@@ -1,13 +1,49 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry drives a real operator from graft.core /
+  * graft.operators / graft.sinks (SURVEY §2 inventory); `oracleSql` holds
+  * the equivalent ANSI SQL the driver runs in DuckDB over the same parquet
+  * tables. Column names and types are aligned on both sides (the driver
+  * sorts columns by name and hash-compares values).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CoreQueries.q1Agg(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // batch analytics over the snapshot path (Spark built-ins per SURVEY §2.3-2.5)
+    "q1_agg" -> (CoreQueries.q1Agg _),
+    "q3_join" -> (CoreQueries.q3Join _),
+    "s1_snapshot_scan" -> (CoreQueries.snapshotScan _),
+    "st5_window_hourly" -> (CoreQueries.windowHourly _),
+    // CDC semantics (SURVEY §2.2, §2.4, §2.6; events table = WAL role)
+    "p4_route" -> (CdcQueries.route _),
+    "a1_lww_dedup" -> (CdcQueries.lwwDedup _),
+    "j1_pk_change" -> (CdcQueries.pkChange _),
+    "st6_toast_coalesce" -> (CdcQueries.toastCoalesce _),
+    "st1_batch_plan" -> (CdcQueries.batchPlan _),
+    "st4_snapshot_gate" -> (CdcQueries.snapshotGate _),
+    "d1_pipeline_e2e" -> (CdcQueries.pipelineE2e _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" -> CoreQueries.q1Sql,
+    "q3_join" -> CoreQueries.q3Sql,
+    "s1_snapshot_scan" -> CoreQueries.snapshotScanSql,
+    "st5_window_hourly" -> CoreQueries.windowHourlySql,
+    "p4_route" -> CdcQueries.routeSql,
+    "a1_lww_dedup" -> CdcQueries.lwwDedupSql,
+    "j1_pk_change" -> CdcQueries.pkChangeSql,
+    "st6_toast_coalesce" -> CdcQueries.toastCoalesceSql,
+    "st1_batch_plan" -> CdcQueries.batchPlanSql,
+    "st4_snapshot_gate" -> CdcQueries.snapshotGateSql,
+    "d1_pipeline_e2e" -> CdcQueries.pipelineE2eSql,
+  )
 }

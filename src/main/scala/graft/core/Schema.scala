@@ -1,0 +1,169 @@
+package graft.core
+
+import org.apache.spark.sql.types._
+
+/** Versioned table schema model — the Spark analog of the reference's
+  * schema layer:
+  *   - `TableSchema`/`ColumnSchema` (reference crates/etl-postgres/src/schema.rs:213-229,455)
+  *   - `SnapshotId(PgLsn)` versioning + floor lookup
+  *     (reference crates/etl/src/store/schema/base.rs:19-35)
+  *   - `ReplicationMask`/`IdentityMask` (reference crates/etl/src/schema.rs:69,207)
+  *   - `SchemaDiff`/`ColumnChange` (reference crates/etl/src/schema.rs:592-770)
+  */
+final case class ColumnSpec(
+    name: String,
+    /** Source (Postgres) type name, e.g. "int8", "numeric", "text". */
+    pgType: String,
+    nullable: Boolean = true,
+    /** 1-based position in the PK, 0 = not part of the PK. */
+    pkOrdinal: Int = 0,
+    /** Type modifier (e.g. numeric precision/scale packed), -1 = none. */
+    modifier: Int = -1,
+    /** Replicated by the publication (ReplicationMask member). */
+    replicated: Boolean = true,
+    /** Part of the replica identity (IdentityMask member). */
+    identity: Boolean = false) {
+  def sparkType: DataType = PgTypeMap.toSpark(pgType, modifier)
+  def sparkField: StructField = StructField(name, sparkType, nullable)
+}
+
+final case class TableSchemaV(
+    tableId: Long,
+    tableName: String,
+    /** LSN of the DDL that created this version (SnapshotId analog). */
+    snapshotLsn: Long,
+    columns: IndexedSeq[ColumnSpec]) {
+
+  /** Columns visible to the pipeline = replicated columns, in ordinal order
+    * (the ReplicatedTableSchema positional view, reference schema.rs:344). */
+  def replicatedColumns: IndexedSeq[ColumnSpec] = columns.filter(_.replicated)
+
+  def primaryKey: Seq[String] =
+    columns.filter(_.pkOrdinal > 0).sortBy(_.pkOrdinal).map(_.name)
+
+  def identityColumns: Seq[String] = {
+    val explicit = columns.filter(_.identity).map(_.name)
+    if (explicit.nonEmpty) explicit else primaryKey
+  }
+
+  def sparkSchema: StructType = StructType(replicatedColumns.map(_.sparkField))
+}
+
+/** Structural diff between two schema versions, consumed by sinks to evolve
+  * destination tables (reference SchemaDiff, crates/etl/src/schema.rs:592). */
+final case class SchemaDiff(
+    added: Seq[ColumnSpec],
+    dropped: Seq[String],
+    modified: Seq[(ColumnSpec, ColumnSpec)]) {
+  def isEmpty: Boolean = added.isEmpty && dropped.isEmpty && modified.isEmpty
+}
+
+object SchemaDiff {
+  def between(from: TableSchemaV, to: TableSchemaV): SchemaDiff = {
+    val fromByName = from.columns.map(c => c.name -> c).toMap
+    val toByName = to.columns.map(c => c.name -> c).toMap
+    SchemaDiff(
+      added = to.columns.filterNot(c => fromByName.contains(c.name)),
+      dropped = from.columns.collect {
+        case c if !toByName.contains(c.name) => c.name
+      },
+      modified = to.columns.flatMap { c =>
+        fromByName.get(c.name) match {
+          case Some(prev)
+              if prev.pgType != c.pgType || prev.nullable != c.nullable ||
+                prev.modifier != c.modifier =>
+            Some((prev, c))
+          case _ => None
+        }
+      })
+  }
+}
+
+/** Postgres type name → Spark SQL type, per SURVEY §1.2's mapping table.
+  * Unknown types fall back to StringType (the reference's preserve-as-text
+  * escape hatch, text.rs:146-157). */
+object PgTypeMap {
+  def toSpark(pgType: String, modifier: Int = -1): DataType = {
+    val t = pgType.toLowerCase.stripPrefix("pg_catalog.")
+    if (t.startsWith("_")) ArrayType(scalarToSpark(t.substring(1), modifier), containsNull = true)
+    else scalarToSpark(t, modifier)
+  }
+
+  private def scalarToSpark(t: String, modifier: Int): DataType = t match {
+    case "bool" | "boolean"           => BooleanType
+    case "int2" | "smallint"          => ShortType
+    case "int4" | "int" | "integer"   => IntegerType
+    case "int8" | "bigint"            => LongType
+    case "oid"                        => LongType // no unsigned in Spark
+    case "float4" | "real"            => FloatType
+    case "float8" | "double precision"=> DoubleType
+    case "numeric" | "decimal" =>
+      numericPrecisionScale(modifier) match {
+        case Some((p, s)) if p <= 38 => DecimalType(p, s)
+        case _                       => StringType // loss boundary: keep text
+      }
+    case "date"                       => DateType
+    case "time"                       => LongType // micros-of-day
+    case "timetz"                     => StringType // offset-preserving
+    case "timestamp"                  => TimestampNTZType
+    case "timestamptz"                => TimestampType
+    case "uuid"                       => StringType
+    case "json" | "jsonb"             => StringType
+    case "bytea"                      => BinaryType
+    case "text" | "varchar" | "char" | "bpchar" | "name" => StringType
+    case _                            => StringType // preserve-as-text fallback
+  }
+
+  /** Postgres packs numeric typmod as ((precision << 16) | scale) + 4. */
+  def numericPrecisionScale(modifier: Int): Option[(Int, Int)] =
+    if (modifier < 4) None
+    else {
+      val m = modifier - 4
+      Some(((m >> 16) & 0xffff, m & 0xffff))
+    }
+  def packNumericModifier(precision: Int, scale: Int): Int =
+    ((precision << 16) | scale) + 4
+}
+
+/** Versioned schema registry: the SchemaStore analog
+  * (reference crates/etl/src/store/schema/base.rs:19-70). Keyed by
+  * (tableId, snapshotLsn); lookups resolve "largest snapshotLsn <= requested".
+  * Thread-safe; driver-side (schemas are metadata, not data — per-table
+  * counts are tiny even at 100 TB, so a driver map + broadcast is the right
+  * scale shape).
+  */
+final class SchemaRegistry extends Serializable {
+  import scala.collection.concurrent.TrieMap
+  private val byTable = TrieMap.empty[Long, scala.collection.immutable.TreeMap[Long, TableSchemaV]]
+
+  def put(schema: TableSchemaV): Unit = byTable.synchronized {
+    val cur = byTable.getOrElse(schema.tableId,
+      scala.collection.immutable.TreeMap.empty[Long, TableSchemaV])
+    byTable.update(schema.tableId, cur + (schema.snapshotLsn -> schema))
+  }
+
+  /** Schema version in force at `lsn`: largest snapshotLsn <= lsn. */
+  def lookup(tableId: Long, lsn: Long): Option[TableSchemaV] =
+    byTable.get(tableId).flatMap(_.rangeTo(lsn).lastOption.map(_._2))
+
+  def latest(tableId: Long): Option[TableSchemaV] =
+    byTable.get(tableId).flatMap(_.lastOption.map(_._2))
+
+  def versions(tableId: Long): Seq[TableSchemaV] =
+    byTable.get(tableId).map(_.values.toSeq).getOrElse(Seq.empty)
+
+  /** Retention pruning: drop versions strictly below `keepFromLsn`, always
+    * retaining the floor version still in force at that LSN
+    * (reference store/schema/base.rs pruning semantics). */
+  def prune(tableId: Long, keepFromLsn: Long): Unit = byTable.synchronized {
+    byTable.get(tableId).foreach { m =>
+      val floor = m.rangeTo(keepFromLsn).lastOption.map(_._1)
+      val pruned = m.filter { case (lsn, _) =>
+        lsn >= keepFromLsn || floor.contains(lsn)
+      }
+      byTable.update(tableId, pruned)
+    }
+  }
+
+  def tables: Seq[Long] = byTable.keys.toSeq
+}

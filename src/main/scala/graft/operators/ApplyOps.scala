@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-apply planner: the declarative re-expression of the reference's
+  * apply semantics. The reference guarantees per-table event order by
+  * processing a single WAL stream sequentially
+  * (reference crates/etl/src/replication/apply.rs:1263-1350); Spark shuffles
+  * freely, so order is never preserved — it is RE-ESTABLISHED from the
+  * sequence key. Every operator here is a pure DataFrame → DataFrame
+  * transform: shuffle-partitioned by key, no driver-side row buffering,
+  * which is exactly the 100 TB shape (SURVEY §7.5.6).
+  */
+object ApplyOps {
+
+  /** Sequence-key column expression: orders events like the reference's
+    * `EventSequenceKey {commit_lsn, tx_ordinal}` (event.rs:321-341). */
+  def seqKey(df: DataFrame): Column =
+    struct(df("_commit_lsn"), df("_tx_ordinal"))
+
+  /** Last-writer-wins dedup (A1): keep, per primary key, the row with the
+    * highest sequence key — the Spark form of BigQuery
+    * `_CHANGE_SEQUENCE_NUMBER` / ClickHouse `_etl_version` dedup
+    * (reference bigquery/core.rs:1405-1407, clickhouse/core.rs:93-110).
+    *
+    * One shuffle on the PK; map-side partial aggregation via max_by keeps
+    * the shuffle payload to one row per key per input partition, which is
+    * the scale-correct plan (vs. a window over a full sort).
+    */
+  def lastWriterWins(df: DataFrame, pkCols: Seq[String], seqCols: Seq[String])
+      : DataFrame = {
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*)
+    val seq = struct(seqCols.map(col): _*)
+    val winner = df
+      .groupBy(pkCols.map(col): _*)
+      .agg(max_by(payload, seq).as("_w"))
+    winner.select(df.columns.map(c => winner("_w")(c).as(c)).toIndexedSeq: _*)
+  }
+
+  /** Window-based variant (row_number over desc seq). Same result as
+    * [[lastWriterWins]]; kept for sinks that also need the losing rows
+    * (changelog compaction) — requires a full sort within each hash
+    * partition, so prefer max_by on the hot path. */
+  def lastWriterWinsWindow(df: DataFrame, pkCols: Seq[String],
+      seqCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(pkCols.map(col): _*)
+      .orderBy(seqCols.map(c => col(c).desc): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Primary-key-change expansion (J1): an update whose replica-identity
+    * columns changed must become DELETE(old key) + UPSERT(new row), ordered
+    * by tx ordinal (reference bigquery/core.rs:1425-1475,
+    * `bigquery_update_rows` / `bigquery_primary_key_changed`).
+    *
+    * Input: envelope rows with `before`/`after` structs. Output: same
+    * envelope, updates with changed keys expanded into two rows; the emitted
+    * DELETE keeps the update's sequence key with `_tx_ordinal` halved-in
+    * by subtracting on a sub-ordinal column so the delete sorts before the
+    * upsert (the reference orders them by internal append ordinal).
+    */
+  def expandPkChanges(events: DataFrame, pkCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val keyChanged = pkCols
+      .map(k => not(col(s"before.$k") <=> col(s"after.$k")))
+      .reduce(_ || _)
+    val isPkChangeUpdate =
+      col("_op") === "U" && col("before").isNotNull && keyChanged
+
+    val withSub = events.withColumn("_sub", lit(0L).cast(LongType))
+    val untouched = withSub.filter(not(isPkChangeUpdate))
+    val changed = withSub.filter(isPkChangeUpdate)
+    val deletes = changed
+      .withColumn("_op", lit("D"))
+      .withColumn("after", lit(null).cast(events.schema("after").dataType))
+      .withColumn("_sub", lit(0L))
+    val upserts = changed
+      .withColumn("_op", lit("U"))
+      .withColumn("before", lit(null).cast(events.schema("before").dataType))
+      .withColumn("_sub", lit(1L))
+    untouched.unionByName(deletes).unionByName(upserts)
+  }
+
+  /** TOAST partial-row coalesce (ST6): updates may arrive with columns
+    * missing (`UnchangedToast`); the applied value for a missing column is
+    * the most recent present value, per key, in sequence order — the
+    * `coalesce(new.col, old.col)` rule from SURVEY §2.6 ST6 generalized
+    * across a batch (reference table_row.rs:68-143, event.rs:103-135).
+    *
+    * `valueCols` are the payload columns subject to TOAST; a null in such a
+    * column is treated as "unchanged" and forward-filled from the previous
+    * event for the same key. (True NULL writes are distinguishable in the
+    * envelope via `_missing`; this column-level helper is for flat frames.)
+    */
+  def coalescePartials(df: DataFrame, pkCols: Seq[String],
+      seqCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(pkCols.map(col): _*)
+      .orderBy(seqCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
+  /** Split a batch at schema-version boundaries (reference requirement:
+    * a batch may span DDL; BigQuery splits at Relation boundaries,
+    * bigquery/core.rs:967-974). Returns the distinct `_schema_lsn` values in
+    * ascending order; callers filter per version and apply sequentially.
+    * The distinct is over a metadata column — tiny result, safe to collect.
+    */
+  def schemaVersionsInBatch(events: DataFrame): Seq[Long] =
+    events.select("_schema_lsn").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+
+  /** Micro-batch planning by byte budget (ST1): assign each event, in
+    * sequence order, to a batch such that each batch's cumulative payload
+    * stays under `maxBytes` (reference EventBatch fill,
+    * apply.rs:633-696 + batch_budget.rs:22-90). Deterministic: batch id =
+    * floor(exclusive-prefix-sum(bytes) / maxBytes). Expressed as a window
+    * cumsum so it scales; the single global ordering window mirrors the
+    * single WAL stream (the reference, too, fills batches from one ordered
+    * stream — this is inherently sequential per pipeline, not per key).
+    */
+  def planBatches(df: DataFrame, seqCols: Seq[String], sizeCol: String,
+      maxBytes: Long): DataFrame = {
+    val w = Window.orderBy(seqCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_batch_id",
+      floor((sum(col(sizeCol)).over(w) - col(sizeCol)) / lit(maxBytes)))
+  }
+
+  /** Backfill↔stream gate (ST4): a table in `SyncDone(snapshotLsn)` only
+    * receives streamed events with `commit_lsn > snapshotLsn` — changes at
+    * or before the snapshot are already in the copied data
+    * (reference apply.rs:2844-2867; SURVEY §7.5.5 calls this the
+    * correctness heart). `gates` maps table id → snapshot LSN; tables
+    * absent from the map pass everything (Ready tables).
+    */
+  def snapshotGate(events: DataFrame, gates: Map[Long, Long]): DataFrame =
+    if (gates.isEmpty) events
+    else {
+      val spark = events.sparkSession
+      import spark.implicits._
+      val gateDf = gates.toSeq.toDF("_gate_table", "_gate_lsn")
+      events.join(broadcast(gateDf),
+          events("_table") === col("_gate_table"), "left")
+        .filter(col("_gate_lsn").isNull ||
+          events("_commit_lsn") > col("_gate_lsn"))
+        .drop("_gate_table", "_gate_lsn")
+    }
+}

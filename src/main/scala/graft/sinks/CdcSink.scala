@@ -1,0 +1,166 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.ApplyOps
+import org.apache.spark.sql.functions._
+
+/** Sink SPI — the Spark form of the reference's `Destination` trait
+  * (reference crates/etl/src/destination/base.rs:27-213). Contracts carried
+  * over: at-least-once (sinks must tolerate duplicate delivery — all
+  * implementations here are idempotent by sequence key), concurrent-call
+  * safety, truncate/drop-for-copy support.
+  *
+  * The reference's `Accepted` vs `Durable` write statuses collapse, per
+  * SURVEY §7.5.2, to: a write returns only when durable; the pipeline
+  * checkpoints only after the sink returns (checkpoint-after-durable), and
+  * replays are neutralized by the sequence high-water mark.
+  */
+trait CdcSink {
+  def startup(spark: SparkSession): Unit = {}
+  /** Backfill path: full load of a table snapshot (reference
+    * `write_table_rows` + `drop_table_for_copy`). */
+  def writeTableRows(table: String, rows: DataFrame): Unit
+  /** Streaming path: one micro-batch of envelope events for `table`,
+    * already deduped/expanded by the apply planner. */
+  def writeEvents(table: String, events: DataFrame): Unit
+  def truncateTable(table: String): Unit
+  def shutdown(): Unit = {}
+}
+
+/** Current-state sink: maintains one merged table per source table — the
+  * BigQuery-CDC / DuckLake apply shape (reference bigquery/core.rs:956-1101,
+  * ducklake/batches.rs:168-213). MERGE keyed on the PK, last-writer-wins by
+  * sequence key, idempotent replay via GraftTable's high-water mark.
+  */
+final class CurrentStateSink(rootDir: String, keysOf: String => Seq[String],
+    nBuckets: Int = 32) extends CdcSink {
+  private val tables = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
+
+  def tableFor(name: String): GraftTable =
+    tables.getOrElseUpdate(name,
+      new GraftTable(s"$rootDir/$name", keysOf(name), nBuckets))
+
+  override def writeTableRows(table: String, rows: DataFrame): Unit =
+    tableFor(table).overwrite(rows)
+
+  /** Events arrive as flat payload + (_op, _commit_lsn, _tx_ordinal). */
+  override def writeEvents(table: String, events: DataFrame): Unit = {
+    val t = tableFor(table)
+    val deduped = ApplyOps.lastWriterWins(events, t.keyCols,
+      Seq("_commit_lsn", "_tx_ordinal"))
+    val withSeq = deduped.withColumn("_seq",
+      concat(lpad(hex(col("_commit_lsn")), 16, "0"), lit("/"),
+             lpad(hex(col("_tx_ordinal")), 16, "0")))
+      .drop("_commit_lsn", "_tx_ordinal")
+    t.merge(withSeq)
+  }
+
+  override def truncateTable(table: String): Unit = tableFor(table).truncate()
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    tableFor(table).read(spark)
+}
+
+/** Append-only changelog sink — the Iceberg/Snowflake/ClickHouse-MergeTree
+  * shape (reference iceberg/core.rs:27-60, snowflake/core.rs:195-310):
+  * every change appended with `cdc_operation` + `sequence_number` columns;
+  * dedup is the READER's job (a `latest` view). Idempotent replay via a
+  * per-table sequence high-water mark kept in a meta file, like Snowflake's
+  * offset token (snowflake/streaming/offset_token.rs).
+  */
+final class ChangelogSink(rootDir: String) extends CdcSink {
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+
+  private def dir(table: String) = s"$rootDir/$table"
+  private def hwPath(table: String) = Paths.get(rootDir, s"$table._hw")
+
+  private def readHw(table: String): String =
+    if (Files.exists(hwPath(table)))
+      new String(Files.readAllBytes(hwPath(table))) else ""
+
+  private def writeHw(table: String, hw: String): Unit = {
+    Files.createDirectories(Paths.get(rootDir))
+    val tmp = Paths.get(rootDir, s"$table._hw.tmp")
+    Files.write(tmp, hw.getBytes)
+    Files.move(tmp, hwPath(table), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  override def writeTableRows(table: String, rows: DataFrame): Unit =
+    rows.withColumn("cdc_operation", lit("I"))
+      .withColumn("sequence_number", lit(""))
+      .write.mode("overwrite").parquet(dir(table))
+
+  /** `events`: flat payload + (_op, _commit_lsn, _tx_ordinal). */
+  override def writeEvents(table: String, events: DataFrame): Unit = {
+    val hw = readHw(table)
+    val withSeq = events.withColumn("sequence_number",
+        concat(lpad(hex(col("_commit_lsn")), 16, "0"), lit("/"),
+               lpad(hex(col("_tx_ordinal")), 16, "0")))
+      .withColumnRenamed("_op", "cdc_operation")
+      .drop("_commit_lsn", "_tx_ordinal")
+    val fresh = if (hw.isEmpty) withSeq
+                else withSeq.filter(col("sequence_number") > lit(hw))
+    if (fresh.isEmpty) return
+    val newHw = fresh.agg(max("sequence_number")).collect()(0).getString(0)
+    fresh.write.mode("append").parquet(dir(table))
+    writeHw(table, newHw)
+  }
+
+  override def truncateTable(table: String): Unit = {
+    // changelog truncate = append nothing, record a T marker is the reader's
+    // concern; physical truncate clears the directory.
+    val p = Paths.get(dir(table))
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    }
+  }
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(dir(table))
+
+  /** The `latest` current-state view over the changelog (reference: the
+    * ClickHouse ReplacingMergeTree FINAL / view pattern,
+    * clickhouse/core.rs:702-760). */
+  def latest(spark: SparkSession, table: String, keyCols: Seq[String])
+      : DataFrame = {
+    val log = read(spark, table)
+    val deduped = ApplyOps.lastWriterWins(log, keyCols,
+      Seq("sequence_number"))
+    deduped.filter(col("cdc_operation") =!= "D")
+      .drop("cdc_operation", "sequence_number")
+  }
+}
+
+/** In-memory sink for tests and as correctness oracle (reference
+  * test_utils/memory_destination.rs). */
+final class MemorySink extends CdcSink {
+  val tableRows = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  val eventBatches =
+    scala.collection.concurrent.TrieMap.empty[String, Vector[DataFrame]]
+  val truncated = scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  override def writeTableRows(table: String, rows: DataFrame): Unit =
+    tableRows.update(table, rows.cache())
+  override def writeEvents(table: String, events: DataFrame): Unit =
+    eventBatches.updateWith(table) {
+      case Some(v) => Some(v :+ events.cache())
+      case None    => Some(Vector(events.cache()))
+    }
+  override def truncateTable(table: String): Unit =
+    truncated.updateWith(table) { c => Some(c.getOrElse(0) + 1) }
+}
+
+/** Null sink — the zero-cost bench destination (reference
+  * etl-benchmarks `--destination null`): forces materialization, discards. */
+final class NullSink extends CdcSink {
+  override def writeTableRows(table: String, rows: DataFrame): Unit = {
+    rows.write.format("noop").mode("overwrite").save()
+  }
+  override def writeEvents(table: String, events: DataFrame): Unit = {
+    events.write.format("noop").mode("overwrite").save()
+  }
+  override def truncateTable(table: String): Unit = {}
+}

@@ -1,0 +1,148 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+/** A minimal keyed copy-on-write table with MERGE semantics — the storage
+  * half of the reference's "current state" destinations (BigQuery CDC
+  * upsert/delete, DuckLake SQL mutations; reference
+  * crates/etl-destinations/src/bigquery/core.rs:956-1101 and
+  * ducklake/core.rs). No Delta/Iceberg is available in this environment, so
+  * the table format itself is part of the engine:
+  *
+  *   root/
+  *     _meta.json                  — key columns, bucket count, seq high-water
+  *     data/_bucket=&lt;i&gt;/part-....parquet  — hash-bucketed by key
+  *
+  * Scale design: a merge touches ONLY the buckets that contain batch keys —
+  * at 100 TB with (say) 8192 buckets, a CDC batch touching 0.1% of keys
+  * rewrites ~a handful of buckets, pruned at scan time via the `_bucket`
+  * partition column. The join per bucket is current ⨝ batch on the key,
+  * with the (small) deduped batch broadcast.
+  *
+  * Idempotent replay (reference DuckLake `retain_mutations_after_sequence_key`,
+  * crates/etl-destinations/src/ducklake/replay_epoch.rs): `_meta.json` keeps
+  * a sequence high-water mark; merges filter their batch to seq > highWater
+  * and advance it atomically with the data commit (write-temp-then-rename).
+  */
+final class GraftTable(val root: String, val keyCols: Seq[String],
+    val nBuckets: Int = 32) {
+
+  private def dataDir = s"$root/data"
+  private def metaPath = Paths.get(root, "_meta.json")
+
+  def exists: Boolean = Files.exists(metaPath)
+
+  // ------------------------------------------------------------------ meta
+  final case class Meta(highWater: String)
+
+  def readMeta(): Meta = {
+    if (!exists) return Meta("")
+    val s = new String(Files.readAllBytes(metaPath), StandardCharsets.UTF_8)
+    val hw = "\"highWater\"\\s*:\\s*\"([^\"]*)\"".r
+      .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+    Meta(hw)
+  }
+
+  private def writeMeta(m: Meta): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root, "_meta.json.tmp")
+    Files.write(tmp,
+      s"""{"keyCols":${keyCols.mkString("[\"", "\",\"", "\"]")},"nBuckets":$nBuckets,"highWater":"${m.highWater}"}"""
+        .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, metaPath, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def bucketExpr = pmod(hash(keyCols.map(col): _*), lit(nBuckets))
+
+  // ------------------------------------------------------------------ read
+  def read(spark: SparkSession): DataFrame =
+    if (!exists) spark.emptyDataFrame
+    else spark.read.parquet(dataDir).drop("_bucket")
+
+  private def readBuckets(spark: SparkSession, buckets: Seq[Int]): DataFrame =
+    spark.read.parquet(dataDir)
+      .filter(col("_bucket").isin(buckets.map(Integer.valueOf): _*))
+
+  // ----------------------------------------------------------------- write
+  /** Full (re)load — snapshot backfill path (drop_table_for_copy + copy,
+    * reference table_sync). */
+  def overwrite(df: DataFrame): Unit = {
+    df.withColumn("_bucket", bucketExpr)
+      .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(dataDir)
+    writeMeta(Meta(""))
+  }
+
+  /** MERGE a deduped CDC batch. `batch` must contain the table's payload
+    * columns plus `_op` (I/U/D) and `_seq` (packed sortable sequence string,
+    * SequenceKey.packedHex) and at most one row per key (run
+    * ApplyOps.lastWriterWins first). Partition-pruned copy-on-write:
+    * only buckets containing batch keys are rewritten.
+    */
+  def merge(batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val meta = readMeta()
+    // Idempotent-replay guard: drop events at or below the high-water mark.
+    val fresh0 = if (meta.highWater.isEmpty) batch
+                 else batch.filter(col("_seq") > lit(meta.highWater))
+    if (fresh0.isEmpty) return
+    val fresh = fresh0.withColumn("_bucket", bucketExpr).cache()
+    try {
+      val stats = fresh.agg(max(col("_seq")).as("hw"),
+        collect_set(col("_bucket")).as("buckets")).collect()(0)
+      val newHigh = stats.getString(0)
+      val buckets = stats.getSeq[Int](1)
+
+      if (!exists) {
+        fresh.filter(col("_op") =!= "D").drop("_op", "_seq")
+          .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
+          .parquet(dataDir)
+        writeMeta(Meta(newHigh))
+        return
+      }
+
+      val current = readBuckets(spark, buckets)
+      val payloadCols = current.columns.toSeq // includes _bucket
+      // survivors: current rows whose key is NOT in the batch
+      val keys = fresh.select(keyCols.map(col): _*)
+      val survivors = current.join(broadcast(keys), keyCols, "left_anti")
+      val upserts = fresh.filter(col("_op") =!= "D").drop("_op", "_seq")
+        .select(payloadCols.map(col): _*)
+      val merged = survivors.unionByName(upserts)
+
+      // copy-on-write: stage affected buckets, then swap directories
+      val stage = s"$root/.stage-${java.util.UUID.randomUUID()}"
+      merged.write.mode(SaveMode.Overwrite).partitionBy("_bucket")
+        .parquet(stage)
+      buckets.foreach { b =>
+        val dst = Paths.get(dataDir, s"_bucket=$b")
+        val src = Paths.get(stage, s"_bucket=$b")
+        deleteRecursively(dst)
+        if (Files.exists(src))
+          Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      }
+      deleteRecursively(Paths.get(stage))
+      val hw = if (meta.highWater.isEmpty || newHigh > meta.highWater) newHigh
+               else meta.highWater
+      writeMeta(Meta(hw))
+    } finally fresh.unpersist()
+  }
+
+  /** Truncate: drop all data, keep identity — the reference's cheap
+    * truncate is a versioned-table swap (bigquery/core.rs:1110-1160);
+    * with a directory-backed table, clearing data/ is the same O(1) shape. */
+  def truncate(): Unit = {
+    deleteRecursively(Paths.get(dataDir))
+    writeMeta(readMeta()) // keep high-water: truncate does not rewind replay
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    }
+}
