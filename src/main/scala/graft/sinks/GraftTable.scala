@@ -60,7 +60,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
 
   // ------------------------------------------------------------------ read
   def read(spark: SparkSession): DataFrame =
-    if (!exists) spark.emptyDataFrame
+    if (!exists || !Files.exists(Paths.get(dataDir))) spark.emptyDataFrame
     else spark.read.parquet(dataDir).drop("_bucket")
 
   private def readBuckets(spark: SparkSession, buckets: Seq[Int]): DataFrame =
@@ -96,7 +96,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       val newHigh = stats.getString(0)
       val buckets = stats.getSeq[Int](1)
 
-      if (!exists) {
+      if (!exists || !Files.exists(Paths.get(dataDir))) {
         fresh.filter(col("_op") =!= "D").drop("_op", "_seq")
           .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
           .parquet(dataDir)

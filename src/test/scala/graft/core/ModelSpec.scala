@@ -1,0 +1,113 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop}
+import graft.PropSpec
+
+class SequenceKeySpec extends AnyFunSuite with PropSpec {
+  test("ordering: commit_lsn then tx_ordinal (event.rs:321)") {
+    assert(SequenceKey(1, 5) < SequenceKey(2, 0))
+    assert(SequenceKey(2, 0) < SequenceKey(2, 1))
+    assert(SequenceKey(2, 1).compare(SequenceKey(2, 1)) == 0)
+  }
+
+  test("packedHex lexicographic order == numeric order") {
+    checkProp(Prop.forAll(
+      Gen.chooseNum(0L, Long.MaxValue), Gen.chooseNum(0L, Long.MaxValue),
+      Gen.chooseNum(0L, Long.MaxValue), Gen.chooseNum(0L, Long.MaxValue)) {
+      (c1, o1, c2, o2) =>
+        val (a, b) = (SequenceKey(c1, o1), SequenceKey(c2, o2))
+        math.signum(a.packedHex.compareTo(b.packedHex)) ==
+          math.signum(a.compare(b))
+    })
+  }
+
+  test("packedHex roundtrip") {
+    checkProp(Prop.forAll(Gen.chooseNum(0L, Long.MaxValue),
+      Gen.chooseNum(0L, Long.MaxValue)) { (c, o) =>
+      SequenceKey.fromPackedHex(SequenceKey(c, o).packedHex) == SequenceKey(c, o)
+    })
+  }
+
+  test("pg_lsn text roundtrip") {
+    assert(SequenceKey.lsnToString(0x16B374D848L) == "16/B374D848")
+    assert(SequenceKey.lsnFromString("16/B374D848") == 0x16B374D848L)
+    checkProp(Prop.forAll(Gen.chooseNum(0L, Long.MaxValue)) { lsn =>
+      SequenceKey.lsnFromString(SequenceKey.lsnToString(lsn)) == lsn
+    })
+  }
+}
+
+class SchemaSpec extends AnyFunSuite {
+  import org.apache.spark.sql.types._
+
+  private def col(n: String, t: String, pk: Int = 0) =
+    ColumnSpec(n, t, nullable = pk == 0, pkOrdinal = pk)
+  private def schema(lsn: Long, cols: ColumnSpec*) =
+    TableSchemaV(1L, "t", lsn, cols.toIndexedSeq)
+
+  test("pg type → spark type mapping (SURVEY §1.2)") {
+    assert(PgTypeMap.toSpark("int8") == LongType)
+    assert(PgTypeMap.toSpark("bool") == BooleanType)
+    assert(PgTypeMap.toSpark("float4") == FloatType)
+    assert(PgTypeMap.toSpark("timestamptz") == TimestampType)
+    assert(PgTypeMap.toSpark("timestamp") == TimestampNTZType)
+    assert(PgTypeMap.toSpark("uuid") == StringType)
+    assert(PgTypeMap.toSpark("bytea") == BinaryType)
+    assert(PgTypeMap.toSpark("_int4") == ArrayType(IntegerType, containsNull = true))
+    // numeric with modifier → decimal; without / too wide → string fallback
+    val mod = PgTypeMap.packNumericModifier(12, 3)
+    assert(PgTypeMap.toSpark("numeric", mod) == DecimalType(12, 3))
+    assert(PgTypeMap.toSpark("numeric") == StringType)
+    assert(PgTypeMap.toSpark("numeric", PgTypeMap.packNumericModifier(50, 2)) == StringType)
+    // unknown types preserve as text (text.rs:146-157)
+    assert(PgTypeMap.toSpark("money") == StringType)
+    assert(PgTypeMap.toSpark("int4range") == StringType)
+  }
+
+  test("replicated columns + pk + spark schema") {
+    val s = schema(10,
+      col("id", "int8", pk = 1),
+      col("name", "text"),
+      ColumnSpec("secret", "text", replicated = false))
+    assert(s.replicatedColumns.map(_.name) == Seq("id", "name"))
+    assert(s.primaryKey == Seq("id"))
+    assert(s.sparkSchema == StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true))))
+  }
+
+  test("registry floor lookup by snapshot LSN (store/schema/base.rs:19-35)") {
+    val reg = new SchemaRegistry
+    reg.put(schema(10, col("id", "int8", pk = 1)))
+    reg.put(schema(20, col("id", "int8", pk = 1), col("name", "text")))
+    assert(reg.lookup(1, 5).isEmpty)
+    assert(reg.lookup(1, 10).get.snapshotLsn == 10)
+    assert(reg.lookup(1, 15).get.snapshotLsn == 10)
+    assert(reg.lookup(1, 20).get.columns.size == 2)
+    assert(reg.lookup(1, 999).get.snapshotLsn == 20)
+    assert(reg.latest(1).get.snapshotLsn == 20)
+  }
+
+  test("registry prune keeps floor version") {
+    val reg = new SchemaRegistry
+    reg.put(schema(10, col("id", "int8")))
+    reg.put(schema(20, col("id", "int8")))
+    reg.put(schema(30, col("id", "int8")))
+    reg.prune(1, 25)
+    assert(reg.versions(1).map(_.snapshotLsn) == Seq(20, 30))
+    assert(reg.lookup(1, 25).get.snapshotLsn == 20)
+  }
+
+  test("schema diff (schema.rs:592-770)") {
+    val a = schema(10, col("id", "int8", pk = 1), col("name", "text"),
+      col("age", "int4"))
+    val b = schema(20, col("id", "int8", pk = 1),
+      col("name", "varchar"), col("email", "text"))
+    val d = SchemaDiff.between(a, b)
+    assert(d.added.map(_.name) == Seq("email"))
+    assert(d.dropped == Seq("age"))
+    assert(d.modified.map(_._2.name) == Seq("name"))
+    assert(SchemaDiff.between(a, a).isEmpty)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+class ApplyOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Seq(
+    // (pk, commit_lsn, tx_ordinal, payload)
+    (1L, 10L, 0L, "a"),
+    (1L, 10L, 1L, "b"),   // same tx, later ordinal wins
+    (1L, 5L, 9L, "stale"),
+    (2L, 7L, 0L, "x"),
+    (3L, 1L, 0L, "only")
+  ).toDF("pk", "_commit_lsn", "_tx_ordinal", "v")
+
+  test("lastWriterWins keeps highest (commit_lsn, tx_ordinal) per key") {
+    val out = ApplyOps.lastWriterWins(events, Seq("pk"),
+      Seq("_commit_lsn", "_tx_ordinal"))
+      .select("pk", "v").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "b", 2L -> "x", 3L -> "only"))
+    // window variant agrees
+    val out2 = ApplyOps.lastWriterWinsWindow(events, Seq("pk"),
+      Seq("_commit_lsn", "_tx_ordinal"))
+      .select("pk", "v").as[(Long, String)].collect().toMap
+    assert(out2 == out)
+  }
+
+  test("expandPkChanges: changed key → DELETE(old)+UPSERT(new), stable ordinals") {
+    val ev = Seq(
+      ("U", 10L, 1L, Some(1L), Some(1L)),  // key unchanged
+      ("U", 11L, 0L, Some(2L), Some(9L)),  // key changed
+      ("I", 12L, 0L, None, Some(3L))       // insert: no before
+    ).toDF("_op", "_commit_lsn", "_tx_ordinal", "bk", "ak")
+      .select(col("_op"), col("_commit_lsn"), col("_tx_ordinal"),
+        when(col("bk").isNotNull, struct(col("bk").as("k"))).as("before"),
+        when(col("ak").isNotNull, struct(col("ak").as("k"))).as("after"))
+    val out = ApplyOps.expandPkChanges(ev, Seq("k"))
+      .select(col("_op"), col("_commit_lsn"), col("_sub"),
+        col("before.k").as("bk"), col("after.k").as("ak"))
+      .orderBy("_commit_lsn", "_sub", "_op")
+      .collect().toSeq
+    assert(out == Seq(
+      Row("U", 10L, 0L, 1L, 1L),
+      Row("D", 11L, 0L, 2L, null),
+      Row("U", 11L, 1L, null, 9L),
+      Row("I", 12L, 0L, null, 3L)))
+  }
+
+  test("coalescePartials forward-fills missing values in sequence order") {
+    val df = Seq(
+      (1L, 1L, Some("v1")),
+      (1L, 2L, None),        // TOAST-unchanged → keeps v1
+      (1L, 3L, Some("v3")),
+      (1L, 4L, None),        // keeps v3
+      (2L, 1L, None)         // nothing to fill from → stays null
+    ).toDF("pk", "lsn", "v")
+    val out = ApplyOps.coalescePartials(df, Seq("pk"), Seq("lsn"), Seq("v"))
+      .orderBy("pk", "lsn").select("v").as[Option[String]].collect().toSeq
+    assert(out == Seq(Some("v1"), Some("v1"), Some("v3"), Some("v3"), None))
+  }
+
+  test("planBatches: floor(exclusive prefix sum / budget), order-deterministic") {
+    val df = Seq((1L, 40L), (2L, 40L), (3L, 40L), (4L, 100L), (5L, 10L))
+      .toDF("lsn", "sz")
+    val out = ApplyOps.planBatches(df, Seq("lsn"), "sz", 100L)
+      .orderBy("lsn").select("_batch_id").as[Long].collect().toSeq
+    // prefix-excl: 0,40,80,120,220 → /100 → 0,0,0,1,2
+    assert(out == Seq(0L, 0L, 0L, 1L, 2L))
+  }
+
+  test("snapshotGate filters by per-table snapshot LSN (apply.rs:2844)") {
+    val ev = Seq(
+      (1L, 5L), (1L, 10L), (1L, 15L),
+      (2L, 5L), (2L, 10L),
+      (3L, 1L)
+    ).toDF("_table", "_commit_lsn")
+    val out = ApplyOps.snapshotGate(ev, Map(1L -> 10L, 2L -> 0L))
+      .as[(Long, Long)].collect().toSet
+    // table 1: only > 10; table 2: all (> 0); table 3: ungated
+    assert(out == Set((1L, 15L), (2L, 5L), (2L, 10L), (3L, 1L)))
+  }
+
+  test("schemaVersionsInBatch returns sorted distinct versions") {
+    val ev = Seq((20L), (10L), (20L), (30L)).toDF("_schema_lsn")
+    assert(ApplyOps.schemaVersionsInBatch(ev) == Seq(10L, 20L, 30L))
+  }
+}

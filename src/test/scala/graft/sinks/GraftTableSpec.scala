@@ -1,0 +1,100 @@
+package graft.sinks
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class GraftTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft-tbl").toString
+
+  private def seq(lsn: Long) = f"$lsn%016x/${0L}%016x"
+
+  private def batch(rows: (Long, String, String, Long)*) =
+    rows.toDF("id", "v", "_op", "lsn")
+      .withColumn("_seq", format_string("%016x/%016x", col("lsn"), lit(0L)))
+      .drop("lsn")
+
+  test("overwrite + read roundtrip") {
+    val t = new GraftTable(tmp(), Seq("id"), nBuckets = 4)
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(t.read(spark).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
+  test("merge: upsert + delete + last-writer-wins across batches") {
+    val t = new GraftTable(tmp(), Seq("id"), nBuckets = 4)
+    t.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    t.merge(batch((1L, "a2", "U", 10L), (4L, "d", "I", 10L)))
+    assert(t.read(spark).as[(Long, String)].collect().toSet ==
+      Set((1L, "a2"), (2L, "b"), (3L, "c"), (4L, "d")))
+    t.merge(batch((2L, "", "D", 20L), (4L, "d2", "U", 20L)))
+    assert(t.read(spark).as[(Long, String)].collect().toSet ==
+      Set((1L, "a2"), (3L, "c"), (4L, "d2")))
+    assert(t.readMeta().highWater == seq(20L))
+  }
+
+  test("idempotent replay: re-merging an old batch is a no-op (ducklake replay_epoch)") {
+    val t = new GraftTable(tmp(), Seq("id"), nBuckets = 4)
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    val b = batch((1L, "new", "U", 10L), (2L, "x", "I", 10L))
+    t.merge(b)
+    val after = t.read(spark).as[(Long, String)].collect().toSet
+    t.merge(b) // replay — filtered by high-water mark
+    assert(t.read(spark).as[(Long, String)].collect().toSet == after)
+    // stale subset replay also no-op
+    t.merge(batch((1L, "stale", "U", 5L)))
+    assert(t.read(spark).as[(Long, String)].collect().toSet == after)
+  }
+
+  test("merge on empty table bootstraps, deletes dropped") {
+    val t = new GraftTable(tmp(), Seq("id"), nBuckets = 4)
+    t.merge(batch((1L, "a", "I", 1L), (2L, "b", "D", 1L)))
+    assert(t.read(spark).as[(Long, String)].collect().toSet == Set((1L, "a")))
+  }
+
+  test("truncate clears data, preserves replay high-water") {
+    val t = new GraftTable(tmp(), Seq("id"), nBuckets = 4)
+    t.merge(batch((1L, "a", "I", 7L)))
+    t.truncate()
+    assert(t.read(spark).isEmpty)
+    assert(t.readMeta().highWater == seq(7L))
+  }
+
+  test("merge touches only affected buckets (copy-on-write pruning)") {
+    val t = new GraftTable(tmp(), Seq("id"), nBuckets = 8)
+    t.overwrite((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val before = (0 until 8).map { b =>
+      b -> Files.getLastModifiedTime(
+        java.nio.file.Paths.get(t.root, "data", s"_bucket=$b")).toMillis
+    }.toMap
+    Thread.sleep(50)
+    t.merge(batch((1L, "v1x", "U", 10L)))
+    val bucketOf1 = spark.range(1).select(
+      pmod(hash(lit(1L)), lit(8)).cast("int")).as[Int].head()
+    (0 until 8).foreach { b =>
+      val now = Files.getLastModifiedTime(
+        java.nio.file.Paths.get(t.root, "data", s"_bucket=$b")).toMillis
+      if (b == bucketOf1) assert(now > before(b), s"bucket $b should be rewritten")
+      else assert(now == before(b), s"bucket $b should be untouched")
+    }
+    assert(t.read(spark).filter($"id" === 1L).select("v").as[String].head() == "v1x")
+  }
+
+  test("ChangelogSink appends with op+seq; latest view dedups; replay no-op") {
+    val dir = tmp()
+    val sink = new ChangelogSink(dir)
+    def ev(rows: (Long, String, String, Long)*) =
+      rows.toDF("id", "v", "_op", "_commit_lsn").withColumn("_tx_ordinal", lit(0L))
+    sink.writeEvents("t", ev((1L, "a", "I", 1L), (2L, "b", "I", 1L)))
+    sink.writeEvents("t", ev((1L, "a2", "U", 2L), (2L, "", "D", 2L)))
+    assert(sink.read(spark, "t").count() == 4) // append-only: all changes kept
+    val latest = sink.latest(spark, "t", Seq("id"))
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(latest == Set((1L, "a2")))
+    // replay of older events is dropped by the high-water mark
+    sink.writeEvents("t", ev((1L, "aX", "U", 1L)))
+    assert(sink.read(spark, "t").count() == 4)
+  }
+}
