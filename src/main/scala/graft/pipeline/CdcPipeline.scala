@@ -1,0 +1,151 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.core.{SchemaRegistry, TableSchemaV}
+import graft.operators.ApplyOps
+import graft.sinks.CdcSink
+
+/** Pipeline configuration — mirrors the reference's `PipelineConfig` /
+  * `BatchConfig` (reference crates/etl-config/src/shared/pipeline.rs:11-111;
+  * defaults: 10 s max fill, 8 MiB byte cap, 4 table-sync workers). */
+final case class PipelineConfig(
+    maxRowsPerTrigger: Long = 100000L,
+    maxFillMs: Long = 10000L,
+    maxTableSyncWorkers: Int = 4,
+    checkpointDir: String,
+    stateDir: String)
+
+/** The pipeline orchestrator — Spark shape of the reference's
+  * `Pipeline::new → start → wait` (reference crates/etl/src/pipeline.rs:96-309)
+  * and the backfill→stream handoff (table_sync/mod.rs:97-434):
+  *
+  *  1. backfill: per-table snapshot load via a bounded parallel job
+  *     submitter (the sync-worker-pool semaphore, pipeline.rs:195-202);
+  *     each records its snapshot LSN and walks
+  *     Init → DataSync → FinishedCopy → SyncWait → Catchup → SyncDone.
+  *  2. stream: ONE StreamingQuery over the CDC source; `foreachBatch`
+  *     routes per table, applies the snapshot gate (SyncDone tables only
+  *     receive commit_lsn > snapshot), expands PK changes, dedups by
+  *     sequence key, and writes through the sink. Tables flip to Ready on
+  *     the first gated batch past their LSN (apply.rs:2844-2867).
+  *
+  * Per-table errors quarantine the table (Errored + retry policy), not the
+  * pipeline (ST8). Drain = processAllAvailable + stop (ST9).
+  */
+final class CdcPipeline(
+    spark: SparkSession,
+    config: PipelineConfig,
+    registry: SchemaRegistry,
+    sink: CdcSink,
+    /** payload JSON decode: envelope df (before/after JSON strings) →
+      * flat typed payload + meta, per schema version. */
+    decode: (DataFrame, TableSchemaV) => DataFrame) {
+
+  val stateStore = new TableStateStore(Some(s"${config.stateDir}/tables.json"))
+
+  // ------------------------------------------------------------- backfill
+  /** Run snapshot backfill for `tables`; `snapshot` loads the table's
+    * consistent snapshot and reports the LSN it was taken at (the slot's
+    * consistent_point, table_sync/mod.rs:255-257). */
+  def backfill(tables: Seq[TableSchemaV],
+      snapshot: TableSchemaV => (DataFrame, Long)): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      config.maxTableSyncWorkers)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = tables.map { t =>
+      scala.concurrent.Future {
+        try {
+          stateStore.transition(t.tableId, TableState.DataSync)
+          sink.truncateTable(t.tableName) // drop_table_for_copy
+          val (df, lsn) = snapshot(t)
+          sink.writeTableRows(t.tableName, df)
+          stateStore.transition(t.tableId, TableState.FinishedCopy)
+          stateStore.transition(t.tableId, TableState.SyncWait(lsn))
+          stateStore.transition(t.tableId, TableState.Catchup(lsn))
+          stateStore.transition(t.tableId, TableState.SyncDone(lsn))
+        } catch {
+          case e: Exception =>
+            stateStore.recordError(t.tableId, e.getMessage,
+              RetryPolicy.TimedRetry())
+        }
+      }
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration.Inf)
+    pool.shutdown()
+  }
+
+  // ------------------------------------------------------------- streaming
+  /** Start the CDC stream from a change-log path. Returns the query;
+    * callers drain with `processAllAvailable()` + `stop()` (ST9). */
+  def startStream(logPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val events = spark.readStream
+      .format("graft-cdc")
+      .option("path", logPath)
+      .option("maxRowsPerTrigger", config.maxRowsPerTrigger.toString)
+      .load()
+
+    events.writeStream
+      .queryName("graft-cdc-apply")
+      .option("checkpointLocation", config.checkpointDir)
+      .trigger(Trigger.ProcessingTime(config.maxFillMs))
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId))
+      .start()
+  }
+
+  /** One micro-batch: route → gate → per-version decode → expand → write.
+    * Batch is tiny-to-bounded (admission control); the per-table loop is
+    * driver-side control flow over METADATA (table list), while all row
+    * work stays distributed. */
+  private[pipeline] def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val cached = batch.cache()
+    try {
+      val (allowed, gates) = stateStore.applyGates
+      val gated = ApplyOps.snapshotGate(
+        cached.filter(col("_table").isin(allowed.toSeq.map(java.lang.Long.valueOf): _*)),
+        gates)
+
+      // truncates apply per table, ordered before subsequent data (D1 shape)
+      val tablesInBatch = gated.select("_table").distinct()
+        .collect().map(_.getLong(0))
+
+      tablesInBatch.foreach { tableId =>
+        try {
+          val tEvents = gated.filter(col("_table") === tableId)
+          val versions = ApplyOps.schemaVersionsInBatch(tEvents)
+          versions.foreach { vLsn =>
+            val schema = registry.lookup(tableId, vLsn).getOrElse(
+              throw new IllegalStateException(
+                s"no schema for table $tableId at lsn $vLsn"))
+            val slice = tEvents.filter(col("_schema_lsn") === vLsn)
+            val truncs = slice.filter(col("_op") === "T")
+            if (!truncs.isEmpty) sink.truncateTable(schema.tableName)
+            val data = decode(slice.filter(col("_op") =!= "T"), schema)
+            sink.writeEvents(schema.tableName, data)
+          }
+          // handoff completion: SyncDone table that has now seen a batch
+          // entirely past its gate becomes Ready (apply.rs:2844-2867)
+          stateStore.get(tableId) match {
+            case TableState.SyncDone(_) =>
+              stateStore.transition(tableId, TableState.Ready)
+              stateStore.clearAttempts(tableId)
+            case _ => ()
+          }
+        } catch {
+          case e: Exception =>
+            // per-table quarantine, pipeline survives (ST8)
+            stateStore.recordError(tableId, e.getMessage,
+              RetryPolicy.TimedRetry())
+        }
+      }
+      val maxLsn = cached.agg(max("_commit_lsn")).collect()(0).getLong(0)
+      stateStore.upsertFlushLsn(maxLsn)
+    } finally cached.unpersist()
+  }
+}

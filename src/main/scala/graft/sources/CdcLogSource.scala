@@ -1,0 +1,218 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** LSN-offset micro-batch streaming source — the Spark shape of the
+  * reference's CDC intake (S2/ST1/ST3):
+  *
+  *   - reference replication stream: crates/etl/src/postgres/stream/
+  *     replication_message.rs:89-245 (decode loop), apply.rs:2026-2127
+  *   - batch admission: EventBatch byte/row budget, apply.rs:633-696
+  *   - progress: ReplicationProgress {last_received, last_flush},
+  *     store/state/base.rs:76-99 — here Spark's checkpointed Offset
+  *
+  * The "WAL" is a change-log file of envelope lines (tab-separated:
+  * lsn, tx_ordinal, op, table, schema_lsn, before, after — the payloads are
+  * JSON, decoded downstream against the schema version in force, as the
+  * reference decodes tuple bytes against `ReplicatedTableSchema`). A
+  * production Postgres reader would implement this same MicroBatchStream
+  * against the replication socket; everything downstream (offsets,
+  * admission, ordered apply, sinks) is identical — which is the point of
+  * the DSv2 seam.
+  *
+  * Registered as format("graft-cdc") with option `path`. The stream is a
+  * single totally-ordered log (Postgres WAL is single-stream), so each
+  * micro-batch plans ONE input partition; parallelism comes after the
+  * per-key shuffle in the apply stage, exactly like the reference's
+  * single-reader/parallel-apply split.
+  */
+class CdcLogSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-cdc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CdcLogSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new CdcLogTable(properties.get("path"))
+}
+
+object CdcLogSource {
+  val schema: StructType = StructType(Seq(
+    StructField("_op", StringType, nullable = false),
+    StructField("_table", LongType, nullable = false),
+    StructField("_commit_lsn", LongType, nullable = false),
+    StructField("_start_lsn", LongType, nullable = false),
+    StructField("_tx_ordinal", LongType, nullable = false),
+    StructField("_schema_lsn", LongType, nullable = false),
+    StructField("before", StringType, nullable = true),
+    StructField("after", StringType, nullable = true)))
+
+  /** One change-log line: tab-separated envelope; `\N` = null payload. */
+  def renderLine(op: String, table: Long, commitLsn: Long, startLsn: Long,
+      txOrdinal: Long, schemaLsn: Long, before: Option[String],
+      after: Option[String]): String =
+    Seq(commitLsn.toString, txOrdinal.toString, op, table.toString,
+      startLsn.toString, schemaLsn.toString,
+      before.getOrElse("\\N").replace("\t", " ").replace("\n", " "),
+      after.getOrElse("\\N").replace("\t", " ").replace("\n", " "))
+      .mkString("\t")
+}
+
+final class CdcLogTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-cdc:$path"
+  override def schema(): StructType = CdcLogSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new CdcLogScan(path,
+      Option(options.get("maxrowspertrigger")).map(_.toLong))
+}
+
+final class CdcLogScan(path: String, maxRowsPerTrigger: Option[Long])
+    extends Scan {
+  override def readSchema(): StructType = CdcLogSource.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CdcLogMicroBatchStream(path, maxRowsPerTrigger)
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(CdcLogPartition(path, Long.MinValue, Long.MaxValue,
+        Long.MinValue, Long.MaxValue))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new CdcLogReaderFactory
+  }
+}
+
+/** Offset = (commit_lsn, tx_ordinal) of the last delivered event — the
+  * stream's watermark-as-progress (ST3): monotonic, checkpointed by Spark,
+  * replay-from-checkpoint gives at-least-once. */
+final case class LsnOffset(commitLsn: Long, txOrdinal: Long) extends Offset {
+  override def json(): String = s"""{"commitLsn":$commitLsn,"txOrdinal":$txOrdinal}"""
+}
+object LsnOffset {
+  val zero: LsnOffset = LsnOffset(0L, -1L)
+  def fromJson(s: String): LsnOffset = {
+    val lsn = "\"commitLsn\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(s).get.group(1).toLong
+    val ord = "\"txOrdinal\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(s).get.group(1).toLong
+    LsnOffset(lsn, ord)
+  }
+  def lt(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+}
+
+final class CdcLogMicroBatchStream(path: String, maxRows: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private def readKeys(): Seq[(Long, Long)] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return Seq.empty
+    Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty).map { l =>
+        val t = l.split("\t", -1)
+        (t(0).toLong, t(1).toLong)
+      }
+  }
+
+  override def initialOffset(): Offset = LsnOffset.zero
+  override def deserializeOffset(json: String): Offset = LsnOffset.fromJson(json)
+
+  override def latestOffset(): Offset =
+    readKeys().sorted.lastOption
+      .map { case (l, o) => LsnOffset(l, o) }.getOrElse(LsnOffset.zero)
+
+  /** Admission control (ST1): cap rows per micro-batch — the analog of the
+    * reference's byte/row batch budget (`BatchConfig.max_bytes`,
+    * batch_budget.rs). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[LsnOffset]
+    val pending = readKeys().sorted
+      .filter(k => LsnOffset.lt((s.commitLsn, s.txOrdinal), k))
+    val capped = limit match {
+      case r: ReadMaxRows => pending.take(r.maxRows().toInt)
+      case _ => maxRows.map(m => pending.take(m.toInt)).getOrElse(pending)
+    }
+    capped.lastOption.map { case (l, o) => LsnOffset(l, o) }
+      .getOrElse(s)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRows.map(m => ReadLimit.maxRows(m)).getOrElse(ReadLimit.allAvailable())
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LsnOffset]
+    val e = end.asInstanceOf[LsnOffset]
+    // single ordered WAL window — one partition (see class doc)
+    Array(CdcLogPartition(path, s.commitLsn, s.txOrdinal,
+      e.commitLsn, e.txOrdinal))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcLogReaderFactory
+
+  /** Checkpoint commit — the reference's status update to Postgres
+    * (confirmed_flush_lsn advance, replication_message.rs:111): progress is
+    * monotonic; a real Postgres source would send Standby Status Update
+    * here. We persist a progress file beside the log for observability. */
+  override def commit(end: Offset): Unit = {
+    val o = end.asInstanceOf[LsnOffset]
+    val p = Paths.get(path + ".progress")
+    val prev = if (Files.exists(p))
+      LsnOffset.fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    else LsnOffset.zero
+    if (LsnOffset.lt((prev.commitLsn, prev.txOrdinal), (o.commitLsn, o.txOrdinal)))
+      Files.write(p, o.json().getBytes(StandardCharsets.UTF_8))
+  }
+
+  override def stop(): Unit = {}
+}
+
+/** The (from, to] window over the ordered log, as (lsn, ordinal) pairs. */
+final case class CdcLogPartition(path: String, fromLsn: Long, fromOrd: Long,
+    toLsn: Long, toOrd: Long) extends InputPartition
+
+final class CdcLogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CdcLogPartition]
+    new PartitionReader[InternalRow] {
+      private val lines: Iterator[Array[String]] = {
+        val f = Paths.get(p.path)
+        if (!Files.exists(f)) Iterator.empty
+        else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.iterator
+          .filter(_.nonEmpty)
+          .map(_.split("\t", -1))
+          .filter { t =>
+            val k = (t(0).toLong, t(1).toLong)
+            LsnOffset.lt((p.fromLsn, p.fromOrd), k) &&
+              !LsnOffset.lt((p.toLsn, p.toOrd), k)
+          }
+      }
+      private var cur: Array[String] = _
+      override def next(): Boolean = {
+        if (lines.hasNext) { cur = lines.next(); true } else false
+      }
+      override def get(): InternalRow = {
+        def str(s: String): UTF8String =
+          if (s == "\\N") null else UTF8String.fromString(s)
+        InternalRow(
+          UTF8String.fromString(cur(2)), // _op
+          cur(3).toLong,                 // _table
+          cur(0).toLong,                 // _commit_lsn
+          cur(4).toLong,                 // _start_lsn
+          cur(1).toLong,                 // _tx_ordinal
+          cur(5).toLong,                 // _schema_lsn
+          str(cur(6)),                   // before
+          str(cur(7)))                   // after
+      }
+      override def close(): Unit = {}
+    }
+  }
+}
