@@ -31,6 +31,25 @@ object SparkEntry {
     "st1_batch_plan" -> (CdcQueries.batchPlan _),
     "st4_snapshot_gate" -> (CdcQueries.snapshotGate _),
     "d1_pipeline_e2e" -> (CdcQueries.pipelineE2e _),
+    // S3 codecs as a table-scale roundtrip gate
+    "s3_codec_roundtrip" -> (CodecQueries.codecRoundtrip _),
+    // text analysis (training-data pipeline extensions)
+    "text_tokens" -> (TextQueries.tokenCounts _),
+    "text_langid" -> (TextQueries.langId _),
+    "text_quality" -> (TextQueries.quality _),
+    "text_fingerprint" -> (TextQueries.fingerprint _),
+    // dedup family
+    "dedup_exact" -> (SimQueries.dedupExact _),
+    "dedup_jaccard" -> (SimQueries.dedupJaccard _),
+    "dedup_minhash_lsh" -> (SimQueries.dedupMinhashLsh _),
+    "dedup_simhash" -> (SimQueries.dedupSimhash _),
+    "dedup_embed_cosine" -> (SimQueries.dedupEmbedCosine _),
+    // similarity search
+    "ann_topk" -> (SimQueries.annTopK _),
+    "ann_lsh" -> (SimQueries.annLsh _),
+    // multimodal columns
+    "mm_meta" -> (SimQueries.mmMeta _),
+    "mm_features" -> (SimQueries.mmFeatures _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -45,5 +64,17 @@ object SparkEntry {
     "st1_batch_plan" -> CdcQueries.batchPlanSql,
     "st4_snapshot_gate" -> CdcQueries.snapshotGateSql,
     "d1_pipeline_e2e" -> CdcQueries.pipelineE2eSql,
+    "s3_codec_roundtrip" -> CodecQueries.codecRoundtripSql,
+    "text_tokens" -> TextQueries.tokenCountsSql,
+    "text_langid" -> TextQueries.langIdSql,
+    "text_quality" -> TextQueries.qualitySql,
+    "dedup_exact" -> SimQueries.dedupExactSql,
+    "dedup_jaccard" -> SimQueries.dedupJaccardSql,
+    "dedup_minhash_lsh" -> SimQueries.dedupMinhashLshSql,
+    "mm_meta" -> SimQueries.mmMetaSql,
+    // rows-only (no SQL-expressible oracle): text_fingerprint (64-bit
+    // wraparound hash), dedup_simhash + dedup_embed_cosine + ann_topk +
+    // ann_lsh (xxhash64 / float-fold not reproducible in DuckDB),
+    // mm_features (stubbed media decode)
   )
 }

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]) — the ANN
+  * surface of a training-data pipeline.
+  *
+  * Scale design: brute-force top-k is the correctness baseline (one
+  * broadcast of the query set, one pass over the corpus — already the
+  * right plan when queries are few); the LSH-bucketed variant is the
+  * 100 TB path: corpus hashed ONCE into hyperplane buckets
+  * (shuffle-partitioned by bucket), probes only touch matching buckets —
+  * an IVF-style inverted file where the coarse quantizer is a seeded
+  * random-hyperplane signature, so it's deterministic and needs no
+  * training step.
+  *
+  * All float math is done in double with a fixed left-to-right fold
+  * (`aggregate` over `zip_with`) so scores are reproducible run-to-run.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors. Queries are broadcast (small side); ranking is deterministic
+    * via (rounded score desc, corpus id) ordering. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      qId: String = "q_id", qVec: String = "q_vec",
+      cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("sim", round(cosine(col(qVec), col(cVec)), 6))
+    val w = Window.partitionBy(col(qId))
+      .orderBy(col("sim").desc, col(cId))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), col("sim"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplanes: component j of
+    * plane p = a fixed-seed hash of (p, j) mapped to [-1, 1). No RNG state,
+    * reproducible on any cluster. */
+  private def planeComponent(p: Int, j: Column): Column =
+    (pmod(xxhash64(lit(p), j), lit(1000000L)).cast("double") / 500000.0) - 1.0
+
+  /** Random-hyperplane LSH signature (nPlanes bits) of a float-array
+    * column: bit p = sign(v · plane_p). */
+  def hyperplaneSig(vec: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => x.cast("double") * planeComponent(p, j)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: corpus bucketed by hyperplane signature; each query
+    * probes its own bucket plus all hamming-1 neighbor buckets (multi-probe
+    * — recovers most near-misses at the boundary), then exact cosine ranks
+    * within the probed set. Returns (q_id, c_id, sim, rank) like
+    * [[bruteForceTopK]]; approximate recall, corpus-scan cost
+    * ~ (nProbes/2^nPlanes) of brute force. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int,
+      qId: String = "q_id", qVec: String = "q_vec",
+      cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = corpus.withColumn("bucket", hyperplaneSig(col(cVec), nPlanes))
+    // query probes: own bucket + flip each bit once (hamming-1)
+    val probes = queries.withColumn("sig", hyperplaneSig(col(qVec), nPlanes))
+      .select(col(qId), col(qVec), explode(array(
+        (col("sig") +: (0 until nPlanes).map(p =>
+          col("sig").bitwiseXOR(shiftleft(lit(1L), p)))): _*)).as("bucket"))
+    val candidates = bucketed.join(broadcast(probes), "bucket")
+    val scored = candidates
+      .withColumn("sim", round(cosine(col(qVec), col(cVec)), 6))
+    val w = Window.partitionBy(col(qId))
+      .orderBy(col("sim").desc, col(cId))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), col("sim"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold)
+    * via the same LSH buckets — pairs must share a bucket under at least
+    * one of `nTables` independent hash tables (OR-amplification), then
+    * exact cosine verifies. Sub-quadratic; the exact variant for oracle
+    * checking is a plain self-join the caller can do at small SF. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 12, nTables: Int = 4): DataFrame = {
+    val tables = (0 until nTables).map { t =>
+      // per-table planes: offset the plane index so tables are independent
+      val sig = hyperplaneSig(col(vecCol), nPlanes) // base table
+      val tSig = if (t == 0) sig else {
+        val bits = (0 until nPlanes).map { p =>
+          val proj = aggregate(
+            zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
+              (x, j) => x.cast("double") * planeComponent(t * nPlanes + p, j)),
+            lit(0.0), (acc, v) => acc + v)
+          when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+        }
+        bits.reduce((a, b) => a.bitwiseOR(b))
+      }
+      df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        lit(t).as("tbl"), tSig.as("bucket"))
+    }
+    val banded = tables.reduce(_ unionByName _)
+    val a = banded.select(col("id").as("id_a"), col("vec").as("vec_a"),
+      col("tbl"), col("bucket"))
+    val b = banded.select(col("id").as("id_b"), col("vec").as("vec_b"),
+      col("tbl"), col("bucket"))
+    a.join(b, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "vec_a", "vec_b").distinct()
+      .withColumn("sim", round(cosine(col("vec_a"), col("vec_b")), 6))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

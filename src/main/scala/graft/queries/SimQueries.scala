@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Dedup / similarity-search / multimodal queries (SURVEY §7.1.7,
+  * BASELINE.json north star). Shingle/Jaccard arithmetic is integer-ratio
+  * → bit-exact against the DuckDB oracles; the LSH variants are the
+  * 100 TB paths and are verified (a) against the same oracle where recall
+  * is provably ~1 on this data, (b) by recall specs against the exact
+  * operators. */
+object SimQueries {
+
+  // ----------------------------------------------------------------- dedup
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.load(spark, dir, "documents"), "text", "doc_id")
+      .select("rep_id", "n_dups", "content_key")
+      .orderBy("rep_id")
+
+  val dedupExactSql: String = """
+    SELECT min(doc_id) AS rep_id, count(*) AS n_dups,
+      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS content_key
+    FROM documents GROUP BY 3 ORDER BY rep_id"""
+
+  /** Shared oracle for the exact inverted-index Jaccard AND the MinHash-LSH
+    * variant: the planted near-dups sit at j ≥ 0.89 with the next pair at
+    * j ≈ 0.07, and the LSH band curve (16 bands × 2 rows) misses a j=0.89
+    * pair with probability (1-j²)⁴⁶ ≈ 3e-12 — so both must return exactly
+    * the pairs with j ≥ 0.5. */
+  private val jaccardOracle: String = """
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+        list_distinct([array_to_string(tk[i:i+2], ' ')
+                       for i in range(1, len(tk) - 1)]) AS g
+      FROM toks WHERE len(tk) >= 3),
+    posting AS (SELECT doc_id, len(g) AS sz, unnest(g) AS gram FROM sh),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             count(*) AS inter
+      FROM posting a JOIN posting b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b,
+      inter * 1.0 / (sz_a + sz_b - inter) AS jaccard
+    FROM cand
+    WHERE inter * 1.0 / (sz_a + sz_b - inter) >= 0.5
+    ORDER BY id_a, id_b"""
+
+  /** Exact 3-gram Jaccard near-dup pairs (inverted-index join). */
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.load(spark, dir, "documents"),
+      "text", "doc_id", n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  val dedupJaccardSql: String = jaccardOracle
+
+  /** MinHash+LSH near-dup pairs — the sub-quadratic scale path; verified
+    * candidates carry their exact Jaccard, so the result set equals the
+    * exact operator's (same oracle). */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.load(spark, dir, "documents"),
+      "text", "doc_id", n = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  val dedupMinhashLshSql: String = jaccardOracle
+
+  /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures). xxhash64
+    * bit patterns aren't reproducible in DuckDB SQL → rows-only check;
+    * cross-validated against Jaccard pairs in DedupSpec. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.load(spark, dir, "documents"),
+      "text", "doc_id", maxDist = 3)
+      .orderBy("id_a", "id_b")
+
+  /** Embedding-cosine near-dup pairs via hyperplane LSH + exact verify.
+    * The testdata embeddings are diffuse (max pairwise cos ≈ 0.5), so the
+    * threshold sits at 0.45 to exercise the operator; 4 planes × 8 tables
+    * gives ~0.8 recall at that similarity (per-table P = (1-θ/π)⁴).
+    * Float-fold parity with DuckDB is not guaranteed → rows-only check;
+    * recall vs. the exact cross join is pinned in SimilaritySpec. */
+  def dedupEmbedCosine(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(
+      Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.45, nPlanes = 4, nTables = 8)
+      .orderBy("id_a", "id_b")
+
+  // ------------------------------------------------------------------- ann
+  /** Brute-force cosine top-10 for the first 10 vectors as queries
+    * (self-match included, rank 1). Rows-only check (float parity);
+    * determinism + agreement with the LSH variant pinned in specs. */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_vec"))
+    Similarity.bruteForceTopK(queries, corpus, k = 10)
+      .orderBy("q_id", "rank")
+  }
+
+  /** LSH-bucketed ANN over the same queries — the scale path (probes
+    * ~ (nPlanes+1)/2^nPlanes of the corpus). Rows-only; recall pinned in
+    * SimilaritySpec. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_vec"))
+    Similarity.lshTopK(queries, corpus, k = 10, nPlanes = 8)
+      .orderBy("q_id", "rank")
+  }
+
+  // ------------------------------------------------------------ multimodal
+  /** Multimodal metadata: media payload as BINARY + pure-expression
+    * metadata (n_bytes, dims) — oracle-checkable since the metadata is
+    * arithmetic over octet_length. */
+  def mmMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.withMediaColumns(
+        Tables.load(spark, dir, "documents"), "text")
+      .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"),
+        col("media_meta.width").cast("long").as("width"),
+        col("media_meta.height").cast("long").as("height"))
+      .orderBy("doc_id")
+
+  val mmMetaSql: String = """
+    SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      320 + octet_length(encode(text)) % 320 AS width,
+      240 + octet_length(encode(text)) % 240 AS height
+    FROM documents ORDER BY doc_id"""
+
+  /** Multimodal decode/feature-extract/frame-sample through the stubbed
+    * MediaCodec via partition-local batch processing. Deterministic fake
+    * decode → rows-only check (stub boundary documented in Multimodal). */
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.withMediaColumns(
+      Tables.load(spark, dir, "documents"), "text")
+    Multimodal.extractFeatures(media, "doc_id", d = 8, frameStride = 16)
+      .select(col("id").as("doc_id"), col("n_frames"),
+        round(aggregate(col("features"), lit(0.0),
+          (a, x) => a + x.cast("double")), 4).as("feat_sum"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "The  quick brown fox jumps over the lazy dog"),   // exact dup mod norm
+    (3L, "the quick brown fox jumps over the lazy cat"),    // near dup
+    (4L, "completely different content about spark engines"),
+    (5L, "ab")                                              // shorter than shingle
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized content") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .select("rep_id", "n_dups").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("shingles: distinct word n-grams; short docs → empty") {
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).contains("the quick brown"))
+    assert(sh(1L).size == 7)
+    assert(sh(5L).isEmpty)
+  }
+
+  test("ngramJaccardPairs finds near-dups above threshold only") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // 1↔2 identical after lowering (j=1.0); 1↔3 and 2↔3 share 6/8 shingles
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("minhash LSH pairs agree with exact jaccard on testdata (recall)") {
+    val real = graft.Tables.load(spark, sf(), "documents")
+    val exact = Dedup.ngramJaccardPairs(real, "text", "doc_id", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(real, "text", "doc_id", 3, 32, 16, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact) // verify step kills FPs; band curve recall ≈ 1 here
+  }
+
+  test("simhash signature is deterministic and near for near-dups") {
+    val sigs = Dedup.simhash(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val sigs2 = Dedup.simhash(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(sigs == sigs2)
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(2L)) == 0) // identical token multiset
+    assert(hamming(sigs(1L), sigs(3L)) <= 12) // one token differs
+    assert(hamming(sigs(1L), sigs(4L)) > 12)  // unrelated
+  }
+
+  test("simhashPairs candidates via chunk bands + hamming verify") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).contains((1L, 2L)))
+    assert(pairs.forall(_._3 <= 3))
+  }
+}
+
+class TextFunctionsSpec extends SparkSpec {
+  import graft.functions.TextFunctions
+  import spark.implicits._
+
+  test("tokens/counts") {
+    val df = Seq("The quick  brown\tfox", "", "  ").toDF("t")
+    val out = df.select(TextFunctions.tokenCount(col("t"))).as[Int].collect()
+    assert(out.toSeq == Seq(4, 0, 0))
+    assert(Seq("abcdefgh").toDF("t")
+      .select(TextFunctions.bpeTokenEstimate(col("t"))).as[Long].head() == 2L)
+  }
+
+  test("langId picks marker-dominant language, tie-breaks deterministically") {
+    val df = Seq(
+      "the cat is on the mat and it is fine",    // en
+      "le chat est sur la table et les chats",   // fr
+      "der hund und die katze ist nicht da",     // de
+      "xyzzy plugh no markers at all qqqq"       // 'at' no; ties → first lang
+    ).toDF("t")
+    val out = df.select(TextFunctions.langId(col("t"))).as[String].collect()
+    assert(out(0) == "en" && out(1) == "fr" && out(2) == "de")
+    // last row: 'at' is not a marker; all scores 0 → tie → 'de' (first)
+    assert(out(3) == "de")
+  }
+
+  test("qualityScore bounded and monotone in stopword ratio") {
+    val df = Seq(
+      "the of and to is in it a",                 // all stopwords
+      "zzz qqq www eee rrr ttt yyy uuu").toDF("t")
+    val s = df.select(TextFunctions.qualityScore(col("t"))).as[Double].collect()
+    assert(s.forall(x => x >= 0.0 && x <= 1.0))
+    assert(s(0) > s(1))
+  }
+}
+
+class RollingHashSpec extends SparkSpec {
+  import graft.functions.RollingHash
+  import spark.implicits._
+
+  test("expression matches reference implementation; codegen path") {
+    val strs = Seq("", "a", "hello world", "ünïcødé ₤ text", "x" * 10000)
+    val df = strs.toDF("s")
+    val viaExpr = df.select(RollingHash(col("s"))).as[Long].collect().toSeq
+    assert(viaExpr == strs.map(RollingHash.compute))
+  }
+
+  test("SQL registration works") {
+    RollingHash.register(spark)
+    val got = spark.sql("SELECT rolling_hash('abc')").as[Long].head()
+    assert(got == RollingHash.compute("abc"))
+  }
+
+  test("null propagates") {
+    val df = Seq(Some("a"), None).toDF("s")
+    val out = df.select(RollingHash(col("s"))).as[Option[Long]].collect()
+    assert(out(1).isEmpty)
+  }
+}

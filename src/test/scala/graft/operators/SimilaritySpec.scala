@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  test("cosine math: orthogonal, identical, opposite") {
+    val df = Seq(
+      (vec(1, 0), vec(0, 1), 0.0),
+      (vec(1, 2), vec(1, 2), 1.0),
+      (vec(1, 0), vec(-1, 0), -1.0)
+    ).toDF("a", "b", "expect")
+    val out = df.select(round(Similarity.cosine(col("a"), col("b")), 9)
+      .as("c"), col("expect")).as[(Double, Double)].collect()
+    out.foreach { case (c, e) => assert(math.abs(c - e) < 1e-9) }
+  }
+
+  test("bruteForceTopK: self is rank 1, ranking deterministic") {
+    val emb = graft.Tables.load(spark, sf(), "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val top = Similarity.bruteForceTopK(queries, corpus, 5)
+    val r1 = top.filter($"rank" === 1)
+      .select("q_id", "c_id").as[(Long, Long)].collect()
+    assert(r1.forall { case (q, c) => q == c }) // self-similarity = 1
+    val again = Similarity.bruteForceTopK(queries, corpus, 5)
+    assert(top.collect().toSeq == again.collect().toSeq)
+  }
+
+  test("lshTopK recall vs brute force (multi-probe hamming-1)") {
+    val emb = graft.Tables.load(spark, sf(), "embeddings")
+    val queries = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val exact = Similarity.bruteForceTopK(queries, corpus, 3)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(queries, corpus, 3, nPlanes = 6)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall too low") // approximate, bounded
+    // every query's own vector survives bucketing (same sig → same bucket)
+    assert(approx.count { case (q, c) => q == c } == 20)
+  }
+
+  test("cosineNearDupPairs finds planted near-duplicates") {
+    val base = (0 until 30).map { i =>
+      val v = (0 until 8).map(j => math.sin(i * 8 + j + 1).toFloat)
+      (i.toLong, v)
+    }
+    // plant a near-dup of vector 0 (tiny perturbation) as id 100
+    val planted = {
+      val v0 = base.head._2
+      (100L, v0.zipWithIndex.map { case (x, j) =>
+        if (j == 0) x + 0.01f else x })
+    }
+    val df = (base :+ planted).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.99, nPlanes = 4, nTables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 100L)))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("media columns: binary payload + arithmetic metadata") {
+    val df = Seq((1L, "hello"), (2L, "x" * 400)).toDF("doc_id", "text")
+    val m = Multimodal.withMediaColumns(df, "text")
+    val rows = m.select($"doc_id", $"media",
+        $"media_meta.n_bytes", $"media_meta.width", $"media_meta.height")
+      .as[(Long, Array[Byte], Long, Int, Int)].collect().sortBy(_._1)
+    assert(new String(rows(0)._2) == "hello")
+    assert(rows(0)._3 == 5L && rows(0)._4 == 325 && rows(0)._5 == 245)
+    assert(rows(1)._4 == 320 + 400 % 320 && rows(1)._5 == 240 + 400 % 240)
+  }
+
+  test("extractFeatures: partition-local decode, deterministic stub") {
+    val df = Multimodal.withMediaColumns(
+      Seq((1L, "abcdefgh" * 4), (2L, "zzzz")).toDF("doc_id", "text"), "text")
+    val feats = Multimodal.extractFeatures(df, "doc_id", d = 4, frameStride = 2)
+      .as[(Long, Seq[Float], Int)].collect().sortBy(_._1)
+    assert(feats.map(_._1).toSeq == Seq(1L, 2L))
+    assert(feats(0)._2.length == 4)
+    assert(feats(0)._3 == 16) // 32 bytes / stride 2
+    assert(feats(1)._3 == 2)
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(df, "doc_id", d = 4, frameStride = 2)
+      .as[(Long, Seq[Float], Int)].collect().sortBy(_._1)
+    assert(feats.toSeq == again.toSeq)
+    // stub matches the MediaCodec reference directly
+    val bytes = ("abcdefgh" * 4).getBytes("UTF-8")
+    assert(feats(0)._2 == Multimodal.MediaCodec.features(bytes, 4).toSeq)
+  }
+}
