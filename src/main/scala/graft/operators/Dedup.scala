@@ -42,21 +42,39 @@ object Dedup {
       .otherwise(array().cast("array<string>")))
   }
 
+  /** Hashed shingle set: same set semantics as [[shingles]] but each
+    * n-gram is reduced to a 64-bit hash via the native NGramHashes
+    * expression (single byte-level pass — see its scaladoc for why the
+    * array-expression formulation is ~1000× slower). Collisions are
+    * ~|g|²/2⁶⁴ per doc pair: negligible, so Jaccard over the hashed sets
+    * equals Jaccard over the string sets for oracle purposes. */
+  def shingleHashes(text: Column, n: Int): Column =
+    graft.functions.NGramHashes(text, n)
+
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     * Jaccard is a ratio of integers — bit-exact, oracle-safe. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, threshold: Double): DataFrame = {
+    // shingle sets computed ONCE (checkpoint) — they feed both join
+    // branches and the size lookup; postings shuffle two longs per row
     val docs = df.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"))
+      shingleHashes(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
-    val posting = docs.select(col("id"), col("sz"), explode(col("sh")).as("g"))
-    val a = posting.select(col("id").as("id_a"), col("sz").as("sz_a"), col("g"))
-    val b = posting.select(col("id").as("id_b"), col("sz").as("sz_b"), col("g"))
-    a.join(b, Seq("g")).filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .localCheckpoint(eager = false)
+    val posting = docs.select(col("id"), explode(col("sh")).as("gh"))
+    val a = posting.select(col("id").as("id_a"), col("gh"))
+    val b = posting.select(col("id").as("id_b"), col("gh"))
+    val inter = a.join(b, Seq("gh")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
+    // sizes re-attached via joins against the one-row-per-doc side; AQE
+    // broadcasts it when small, shuffles on id at corpus scale
+    val sizes = docs.select(col("id"), col("sz"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
@@ -68,7 +86,8 @@ object Dedup {
     * min over the document's shingle hashes. Returns (id, sig array). */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
       n: Int, numHashes: Int): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val docs = df.select(col(idCol).as("id"),
+        shingleHashes(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
     val exploded = docs.select(col("id"), explode(col("sh")).as("g"))
     val aggs = (0 until numHashes).map(i =>
@@ -86,7 +105,9 @@ object Dedup {
       n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // signatures feed 2 self-join branches — materialize once
     val sigs = minhashSignatures(df, textCol, idCol, n, numHashes)
+      .localCheckpoint(eager = false)
     val banded = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bIdx => hash(slice(col("sig"), bIdx * lit(r) + 1, lit(r))))))
@@ -97,8 +118,11 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    // verify: exact jaccard on the candidate pairs only
-    val docs = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    // verify: exact jaccard on the candidate pairs only; shingle sets feed
+    // both sides of the pair join — materialize once
+    val docs = df.select(col(idCol).as("id"),
+        shingleHashes(col(textCol), n).as("sh"))
+      .localCheckpoint(eager = false)
     val withA = candidates.join(docs.withColumnRenamed("id", "id_a")
       .withColumnRenamed("sh", "sh_a"), "id_a")
     val withB = withA.join(docs.withColumnRenamed("id", "id_b")

@@ -19,11 +19,11 @@ import org.apache.spark.sql.functions._
   * (`aggregate` over `zip_with`) so scores are reproducible run-to-run.
   */
 object Similarity {
+  import graft.functions.{HyperplaneSig, VecDot}
 
-  /** Dot product of two float-array columns, computed in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two float-array columns, computed in double (native
+    * kernel — see graft.functions.VecExprs). */
+  def dot(a: Column, b: Column): Column = VecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -45,24 +45,11 @@ object Similarity {
       .select(col(qId), col(cId), col("sim"), col("rank"))
   }
 
-  /** Deterministic pseudo-random unit-ish hyperplanes: component j of
-    * plane p = a fixed-seed hash of (p, j) mapped to [-1, 1). No RNG state,
-    * reproducible on any cluster. */
-  private def planeComponent(p: Int, j: Column): Column =
-    (pmod(xxhash64(lit(p), j), lit(1000000L)).cast("double") / 500000.0) - 1.0
-
   /** Random-hyperplane LSH signature (nPlanes bits) of a float-array
-    * column: bit p = sign(v · plane_p). */
-  def hyperplaneSig(vec: Column, nPlanes: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, j) => x.cast("double") * planeComponent(p, j)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+    * column: bit p = sign(v · plane_p), planes derived from fixed-seed
+    * hashes (native kernel — graft.functions.HyperplaneSig). */
+  def hyperplaneSig(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column =
+    HyperplaneSig(vec, nPlanes, planeOffset)
 
   /** LSH-bucketed ANN: corpus bucketed by hyperplane signature; each query
     * probes its own bucket plus all hamming-1 neighbor buckets (multi-probe
@@ -99,19 +86,9 @@ object Similarity {
       threshold: Double, nPlanes: Int = 12, nTables: Int = 4): DataFrame = {
     val tables = (0 until nTables).map { t =>
       // per-table planes: offset the plane index so tables are independent
-      val sig = hyperplaneSig(col(vecCol), nPlanes) // base table
-      val tSig = if (t == 0) sig else {
-        val bits = (0 until nPlanes).map { p =>
-          val proj = aggregate(
-            zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
-              (x, j) => x.cast("double") * planeComponent(t * nPlanes + p, j)),
-            lit(0.0), (acc, v) => acc + v)
-          when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-        }
-        bits.reduce((a, b) => a.bitwiseOR(b))
-      }
       df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        lit(t).as("tbl"), tSig.as("bucket"))
+        lit(t).as("tbl"),
+        hyperplaneSig(col(vecCol), nPlanes, t * nPlanes).as("bucket"))
     }
     val banded = tables.reduce(_ unionByName _)
     val a = banded.select(col("id").as("id_a"), col("vec").as("vec_a"),

@@ -201,10 +201,11 @@ object CdcQueries {
     sink.writeTableRows("state", base)
 
     val ev = Tables.load(spark, dir, "events").select(
-      col("user_id").as("key"), col("value").as("val"),
-      lit(null).cast(StringType).as("name"),
-      opExpr.as("_op"),
-      col("event_id").as("_commit_lsn"), lit(0L).as("_tx_ordinal"))
+        col("user_id").as("key"), col("value").as("val"),
+        lit(null).cast(StringType).as("name"),
+        opExpr.as("_op"),
+        col("event_id").as("_commit_lsn"), lit(0L).as("_tx_ordinal"))
+      .localCheckpoint(eager = false) // read once, 5 batch filters reuse
     val maxId = ev.agg(max("_commit_lsn")).collect()(0).getLong(0)
     def batchOf(i: Int) =
       ev.filter(floor(col("_commit_lsn") * 4 / (maxId + 1)) === i)

@@ -88,11 +88,12 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     // Idempotent-replay guard: drop events at or below the high-water mark.
     val fresh0 = if (meta.highWater.isEmpty) batch
                  else batch.filter(col("_seq") > lit(meta.highWater))
-    if (fresh0.isEmpty) return
     val fresh = fresh0.withColumn("_bucket", bucketExpr).cache()
     try {
+      // one job computes emptiness + high-water + affected buckets
       val stats = fresh.agg(max(col("_seq")).as("hw"),
         collect_set(col("_bucket")).as("buckets")).collect()(0)
+      if (stats.isNullAt(0)) return // empty batch (full replay)
       val newHigh = stats.getString(0)
       val buckets = stats.getSeq[Int](1)
 
