@@ -106,6 +106,19 @@ final class CdcPipeline(
     if (batch.isEmpty) return
     val cached = batch.cache()
     try {
+      // DDL capture (S5): Relation control records carry the new schema
+      // version; register them FIRST so same-batch data at the new
+      // _schema_lsn decodes against it (the reference's
+      // handle_message/handle_relation path, apply.rs:2160-2276,2363).
+      // Metadata-only rows — collecting to the driver is the right shape.
+      cached.filter(col("_op") === "R")
+        .select("_table", "_schema_lsn", "after")
+        .collect()
+        .sortBy(r => (r.getLong(1), r.getLong(0)))
+        .foreach { r =>
+          registry.put(CdcPipeline.parseRelation(
+            r.getLong(0), r.getLong(1), r.getString(2)))
+        }
       val (allowed, gates) = stateStore.applyGates
       val gated = ApplyOps.snapshotGate(
         cached.filter(col("_table").isin(allowed.toSeq.map(java.lang.Long.valueOf): _*)),
@@ -117,16 +130,31 @@ final class CdcPipeline(
 
       tablesInBatch.foreach { tableId =>
         try {
-          val tEvents = gated.filter(col("_table") === tableId)
+          val tEvents = gated.filter(col("_table") === tableId &&
+            col("_op") =!= "R")
           val versions = ApplyOps.schemaVersionsInBatch(tEvents)
           versions.foreach { vLsn =>
             val schema = registry.lookup(tableId, vLsn).getOrElse(
               throw new IllegalStateException(
                 s"no schema for table $tableId at lsn $vLsn"))
             val slice = tEvents.filter(col("_schema_lsn") === vLsn)
-            val truncs = slice.filter(col("_op") === "T")
-            if (!truncs.isEmpty) sink.truncateTable(schema.tableName)
-            val data = decode(slice.filter(col("_op") =!= "T"), schema)
+            // Truncate ordering (D1, bigquery/core.rs:1110-1160): a batch
+            // may interleave data around a TRUNCATE. Sequentially that is
+            // merge(pre) → wipe → merge(post); the final state equals
+            // wipe → merge(events after the LAST truncate), which is one
+            // truncate + one merge instead of three jobs.
+            val truncTop = slice.filter(col("_op") === "T")
+              .agg(max(struct(col("_commit_lsn"), col("_tx_ordinal"))))
+              .collect()(0)
+            val dataSlice =
+              if (truncTop.isNullAt(0)) slice
+              else {
+                sink.truncateTable(schema.tableName)
+                val t = truncTop.getStruct(0)
+                slice.filter(struct(col("_commit_lsn"), col("_tx_ordinal")) >
+                  struct(lit(t.getLong(0)), lit(t.getLong(1))))
+              }
+            val data = decode(dataSlice.filter(col("_op") =!= "T"), schema)
             sink.writeEvents(schema.tableName, data)
           }
           // handoff completion: SyncDone table that has now seen a batch
@@ -147,5 +175,31 @@ final class CdcPipeline(
       val maxLsn = cached.agg(max("_commit_lsn")).collect()(0).getLong(0)
       stateStore.upsertFlushLsn(maxLsn)
     } finally cached.unpersist()
+  }
+}
+
+object CdcPipeline {
+  import graft.core.ColumnSpec
+
+  /** Parse a Relation control record's schema payload — the analog of the
+    * reference's DDL event-trigger message (serialized table schema,
+    * migrations/source/20260415100000_schema_change_messages.up.sql).
+    * Format: `{"table":"name","cols":[{"name":..,"type":..,"nullable":..,
+    * "pk":..}, ...]}`. */
+  def parseRelation(tableId: Long, schemaLsn: Long, json: String): TableSchemaV = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(json)
+    val name = (j \ "table").extract[String]
+    val cols = (j \ "cols").extract[List[JValue]].zipWithIndex.map {
+      case (c, _) =>
+        ColumnSpec(
+          name = (c \ "name").extract[String],
+          pgType = (c \ "type").extract[String],
+          nullable = (c \ "nullable").extractOrElse[Boolean](true),
+          pkOrdinal = (c \ "pk").extractOrElse[Int](0))
+    }
+    TableSchemaV(tableId, name, schemaLsn, cols.toIndexedSeq)
   }
 }

@@ -23,8 +23,10 @@ object CoreQueries {
 
   /** TPC-H Q1 shape: scan + filter + hash aggregate. */
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    // predicate on the raw timestamp column (not a cast) so it pushes to
+    // the parquet scan; ts < next-midnight ≡ date(ts) <= 1998-09-02
     val li = Tables.load(spark, dir, "lineitem")
-      .filter(col("l_shipdate").cast(DateType) <= lit(java.sql.Date.valueOf("1998-09-02")))
+      .filter(col("l_shipdate") < lit("1998-09-03 00:00:00"))
     li.groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(dec92("l_quantity")).cast(DoubleType).as("sum_qty"),
@@ -63,9 +65,9 @@ object CoreQueries {
     val cust = Tables.load(spark, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.load(spark, dir, "orders")
-      .filter(col("o_orderdate").cast(DateType) < lit(java.sql.Date.valueOf("1998-01-01")))
+      .filter(col("o_orderdate") < lit("1998-01-01 00:00:00"))
     val li = Tables.load(spark, dir, "lineitem")
-      .filter(col("l_shipdate").cast(DateType) > lit(java.sql.Date.valueOf("1996-01-01")))
+      .filter(col("l_shipdate") >= lit("1996-01-02 00:00:00"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"),

@@ -61,10 +61,11 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   // ------------------------------------------------------------------ read
   def read(spark: SparkSession): DataFrame =
     if (!exists || !Files.exists(Paths.get(dataDir))) spark.emptyDataFrame
-    else spark.read.parquet(dataDir).drop("_bucket")
+    else spark.read.option("mergeSchema", "true").parquet(dataDir)
+      .drop("_bucket")
 
   private def readBuckets(spark: SparkSession, buckets: Seq[Int]): DataFrame =
-    spark.read.parquet(dataDir)
+    spark.read.option("mergeSchema", "true").parquet(dataDir)
       .filter(col("_bucket").isin(buckets.map(Integer.valueOf): _*))
 
   // ----------------------------------------------------------------- write
@@ -106,13 +107,14 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       }
 
       val current = readBuckets(spark, buckets)
-      val payloadCols = current.columns.toSeq // includes _bucket
       // survivors: current rows whose key is NOT in the batch
       val keys = fresh.select(keyCols.map(col): _*)
       val survivors = current.join(broadcast(keys), keyCols, "left_anti")
       val upserts = fresh.filter(col("_op") =!= "D").drop("_op", "_seq")
-        .select(payloadCols.map(col): _*)
-      val merged = survivors.unionByName(upserts)
+      // allowMissingColumns = online schema evolution (the ALTER TABLE
+      // analog, reference SchemaDiff → destination ALTER): an added column
+      // is null for pre-DDL rows, a dropped column stays null for new rows
+      val merged = survivors.unionByName(upserts, allowMissingColumns = true)
 
       // copy-on-write: stage affected buckets, then swap directories
       val stage = s"$root/.stage-${java.util.UUID.randomUUID()}"

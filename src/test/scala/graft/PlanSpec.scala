@@ -1,0 +1,79 @@
+package graft
+
+import graft.queries._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: these pin the SCALE properties of the
+  * declared plans (pushdown reached the scan, small dims broadcast, no
+  * accidental cartesian products), so a regression that silently degrades
+  * the 100 TB plan fails CI even while small-SF results stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("snapshot scan pushes filter and prunes columns to the parquet scan (P1/P2)") {
+    val p = plan(CoreQueries.snapshotScan(spark, sf()))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("LessThan(l_quantity"), p)
+    // projection pruning: ReadSchema carries only the 4 selected columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"),
+      readSchema)
+  }
+
+  test("q1 filter reaches the scan; aggregate is partial → final (map-side combine)") {
+    val p = plan(CoreQueries.q1Agg(spark, sf()))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
+    // two HashAggregates per grouping = partial + final
+    assert("(?m)^\\(\\d+\\) HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q3 join broadcasts the customer dimension (no shuffle of the small side)") {
+    val p = plan(CoreQueries.q3Join(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("LWW dedup aggregates map-side before the key shuffle (one exchange)") {
+    val ev = Tables.load(spark, sf(), "events")
+      .select("user_id", "event_id", "value")
+    val p = plan(graft.operators.ApplyOps.lastWriterWins(
+      ev, Seq("user_id"), Seq("event_id")))
+    // partial_max_by BEFORE the Exchange = map-side combine: the shuffle
+    // carries one row per (partition, key), not the raw events
+    assert(p.contains("partial_max_by"), p)
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("snapshot gate joins via broadcast (tiny gate map)") {
+    import org.apache.spark.sql.functions._
+    // _table must be non-constant or Catalyst folds away the equijoin key
+    val ev = Tables.load(spark, sf(), "events")
+      .withColumn("_table", col("user_id") % 2 + 1)
+      .withColumn("_commit_lsn", col("event_id"))
+    val p = plan(graft.operators.ApplyOps.snapshotGate(ev,
+      Map(1L -> 10L, 2L -> 20L)))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("jaccard pair join is an equijoin on the gram hash (no cartesian)") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val p = plan(graft.operators.Dedup.ngramJaccardPairs(
+      docs, "text", "doc_id", 3, 0.5))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("brute-force ANN broadcasts the query side (corpus never shuffles)") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_vec"))
+    val p = plan(graft.operators.Similarity.bruteForceTopK(queries, corpus, 5))
+    assert(p.contains("BroadcastExchange"), p)
+  }
+}
