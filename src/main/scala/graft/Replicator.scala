@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{SchemaRegistry, TableSchemaV}
+import graft.pipeline.{CdcPipeline, PipelineConfig}
+import graft.sinks.{CdcSink, ChangelogSink, CurrentStateSink, NullSink}
+
+/** Standalone replicator binary — the analog of the reference's
+  * etl-replicator (crates/etl-replicator/src/main.rs:75): load a config
+  * file, build store + destination, run the pipeline, handle shutdown.
+  * `spark-submit --class graft.Replicator app.jar pipeline.properties`.
+  *
+  * Java-properties config (mirrors ReplicatorConfig/PipelineConfig,
+  * crates/etl-config/src/shared/replicator.rs:21):
+  *
+  *   pipeline.id = demo
+  *   pipeline.workdir = /tmp/graft-demo       # checkpoints, state, tables
+  *   pipeline.maxRowsPerTrigger = 100000
+  *   pipeline.maxFillMs = 10000
+  *   pipeline.maxTableSyncWorkers = 4
+  *   source.log = /tmp/graft-demo/wal.log     # CDC change log path
+  *   source.schemas = /tmp/graft-demo/schemas.json  # SchemaRegistry file
+  *   destination = current_state | changelog | null
+  *   backfill.<tableName> = <parquet path>    # optional initial snapshots
+  *   drain = true                             # process available + exit
+  */
+object Replicator {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 1, "usage: Replicator <config.properties>")
+    val props = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(args(0)))
+    try props.load(in) finally in.close()
+    def get(k: String, dflt: String = null): String = {
+      val v = props.getProperty(k, dflt)
+      require(v != null, s"missing config key: $k"); v
+    }
+
+    val work = get("pipeline.workdir")
+    val spark = SparkSession.builder()
+      .appName(s"graft-replicator-${get("pipeline.id", "pipeline")}")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val registry = SchemaRegistry.load(get("source.schemas", s"$work/schemas.json"))
+    val sink: CdcSink = get("destination", "current_state") match {
+      case "current_state" => new CurrentStateSink(s"$work/tables",
+        name => registry.tables.flatMap(registry.latest)
+          .find(_.tableName == name).map(_.primaryKey)
+          .getOrElse(Seq("id")))
+      case "changelog" => new ChangelogSink(s"$work/changelog")
+      case "null" => new NullSink
+      case other => throw new IllegalArgumentException(s"unknown destination $other")
+    }
+
+    val config = PipelineConfig(
+      maxRowsPerTrigger = get("pipeline.maxRowsPerTrigger", "100000").toLong,
+      maxFillMs = get("pipeline.maxFillMs", "10000").toLong,
+      maxTableSyncWorkers = get("pipeline.maxTableSyncWorkers", "4").toInt,
+      checkpointDir = s"$work/checkpoint",
+      stateDir = s"$work/state")
+
+    def decode(df: DataFrame, schema: TableSchemaV): DataFrame = {
+      val st = schema.sparkSchema
+      val payload = from_json(coalesce(col("after"), col("before")), st)
+      df.withColumn("_p", payload).select(
+        (st.fieldNames.map(f => col(s"_p.$f").as(f)) ++
+          Seq(col("_op"), col("_commit_lsn"), col("_tx_ordinal"))).toIndexedSeq: _*)
+    }
+
+    val pipeline = new CdcPipeline(spark, config, registry, sink, decode)
+    sink.startup(spark)
+
+    // optional backfill phase (table_sync): backfill.<name> = parquet path
+    import scala.jdk.CollectionConverters._
+    val backfills = props.stringPropertyNames().asScala.toSeq
+      .filter(_.startsWith("backfill."))
+      .map(k => k.stripPrefix("backfill.") -> props.getProperty(k))
+    if (backfills.nonEmpty) {
+      val tables = backfills.flatMap { case (name, _) =>
+        registry.tables.flatMap(registry.latest).find(_.tableName == name)
+      }
+      val paths = backfills.toMap
+      pipeline.backfill(tables, t =>
+        (spark.read.parquet(paths(t.tableName)), 0L))
+    }
+
+    val query = pipeline.startStream(get("source.log", s"$work/wal.log"))
+    sys.addShutdownHook { // graceful drain (ST9)
+      try { query.stop(); sink.shutdown() } catch { case _: Throwable => () }
+    }
+    if (get("drain", "false").toBoolean) {
+      query.processAllAvailable()
+      query.stop()
+      sink.shutdown()
+    } else query.awaitTermination()
+    // no spark.stop(): under spark-submit the JVM exit stops the context;
+    // under tests the session is shared with the harness
+  }
+}

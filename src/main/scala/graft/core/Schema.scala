@@ -166,4 +166,54 @@ final class SchemaRegistry extends Serializable {
   }
 
   def tables: Seq[Long] = byTable.keys.toSeq
+
+  /** Persist all versions to a JSON file — the durable SchemaStore shape
+    * (K2/K4: reference etl.table_schemas/etl.table_columns catalog,
+    * crates/etl-postgres/src/store/catalog.rs:36-53). */
+  def save(path: String): Unit = synchronized {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val body = byTable.toSeq.sortBy(_._1).flatMap(_._2.values).map { s =>
+      val cols = s.columns.map { c =>
+        s"""{"name":"${c.name}","type":"${c.pgType}","nullable":${c.nullable},"pk":${c.pkOrdinal},"mod":${c.modifier},"repl":${c.replicated},"ident":${c.identity}}"""
+      }.mkString("[", ",", "]")
+      s"""{"tableId":${s.tableId},"tableName":"${s.tableName}","snapshotLsn":${s.snapshotLsn},"cols":$cols}"""
+    }.mkString("[", ",\n", "]")
+    val tmp = Paths.get(path + ".tmp")
+    if (tmp.getParent != null) Files.createDirectories(tmp.getParent)
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(path), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+object SchemaRegistry {
+  /** Load a registry persisted by [[SchemaRegistry.save]]. */
+  def load(path: String): SchemaRegistry = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val reg = new SchemaRegistry
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) return reg
+    val j = JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    j.extract[List[JValue]].foreach { t =>
+      val cols = (t \ "cols").extract[List[JValue]].map { c =>
+        ColumnSpec(
+          name = (c \ "name").extract[String],
+          pgType = (c \ "type").extract[String],
+          nullable = (c \ "nullable").extract[Boolean],
+          pkOrdinal = (c \ "pk").extract[Int],
+          modifier = (c \ "mod").extract[Int],
+          replicated = (c \ "repl").extract[Boolean],
+          identity = (c \ "ident").extract[Boolean])
+      }
+      reg.put(TableSchemaV(
+        (t \ "tableId").extract[Long],
+        (t \ "tableName").extract[String],
+        (t \ "snapshotLsn").extract[Long],
+        cols.toIndexedSeq))
+    }
+    reg
+  }
 }

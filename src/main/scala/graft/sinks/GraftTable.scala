@@ -83,7 +83,15 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * ApplyOps.lastWriterWins first). Partition-pruned copy-on-write:
     * only buckets containing batch keys are rewritten.
     */
-  def merge(batch: DataFrame): Unit = {
+  def merge(batch: DataFrame): Unit = merge(batch, Seq.empty)
+
+  /** Like [[merge]], with TOAST-partial handling (ST6, reference
+    * table_row.rs:68-143 + SURVEY §7.5.4): a NULL in a `coalesceCols`
+    * column of an UPDATE means "unchanged" — the merged row keeps the
+    * current stored value (`coalesce(new, old)`), the column-pruned
+    * `UPDATE SET` the DuckLake destination performs. Costs one extra
+    * left join of the batch against the affected buckets. */
+  def merge(batch: DataFrame, coalesceCols: Seq[String]): Unit = {
     val spark = batch.sparkSession
     val meta = readMeta()
     // Idempotent-replay guard: drop events at or below the high-water mark.
@@ -110,7 +118,20 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       // survivors: current rows whose key is NOT in the batch
       val keys = fresh.select(keyCols.map(col): _*)
       val survivors = current.join(broadcast(keys), keyCols, "left_anti")
-      val upserts = fresh.filter(col("_op") =!= "D").drop("_op", "_seq")
+      val upserts0 = fresh.filter(col("_op") =!= "D").drop("_seq")
+      val upserts =
+        if (coalesceCols.isEmpty) upserts0.drop("_op")
+        else {
+          // TOAST coalesce: null update columns inherit the stored value
+          val cur = current.select(
+            (keyCols.map(col) ++ coalesceCols.map(c => col(c).as(s"_cur_$c")))
+              .toIndexedSeq: _*)
+          val joined = upserts0.join(cur, keyCols, "left")
+          coalesceCols.foldLeft(joined) { (acc, c) =>
+            acc.withColumn(c, when(col("_op") === "U",
+              coalesce(col(c), col(s"_cur_$c"))).otherwise(col(c)))
+          }.drop(coalesceCols.map(c => s"_cur_$c"): _*).drop("_op")
+        }
       // allowMissingColumns = online schema evolution (the ALTER TABLE
       // analog, reference SchemaDiff → destination ALTER): an added column
       // is null for pre-DDL rows, a dropped column stays null for new rows

@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.core.{ColumnSpec, SchemaRegistry, TableSchemaV}
+import graft.sources.CdcLogSource
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Drives the replicator binary end-to-end (reference etl-replicator:
+  * config file → pipeline → destination), plus registry persistence. */
+class ReplicatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SchemaRegistry save/load roundtrip (K2 durable schema store)") {
+    val reg = new SchemaRegistry
+    reg.put(TableSchemaV(1L, "users", 0L, IndexedSeq(
+      ColumnSpec("id", "int8", nullable = false, pkOrdinal = 1),
+      ColumnSpec("name", "text"),
+      ColumnSpec("balance", "numeric",
+        modifier = graft.core.PgTypeMap.packNumericModifier(12, 2)))))
+    reg.put(TableSchemaV(1L, "users", 20L, IndexedSeq(
+      ColumnSpec("id", "int8", nullable = false, pkOrdinal = 1),
+      ColumnSpec("name", "text"),
+      ColumnSpec("email", "text", replicated = false))))
+    val path = Files.createTempDirectory("graft-reg").toString + "/schemas.json"
+    reg.save(path)
+    val loaded = SchemaRegistry.load(path)
+    assert(loaded.versions(1L).map(_.snapshotLsn) == Seq(0L, 20L))
+    assert(loaded.lookup(1L, 10L).get.columns(2).pgType == "numeric")
+    assert(loaded.lookup(1L, 10L).get.columns(2).modifier ==
+      graft.core.PgTypeMap.packNumericModifier(12, 2))
+    assert(loaded.latest(1L).get.replicatedColumns.map(_.name) ==
+      Seq("id", "name"))
+    assert(loaded.latest(1L).get.primaryKey == Seq("id"))
+  }
+
+  test("replicator main: config → backfill → stream → drain (etl-replicator analog)") {
+    val work = Files.createTempDirectory("graft-repl").toString
+    // schema registry file
+    val reg = new SchemaRegistry
+    reg.put(TableSchemaV(1L, "users", 0L, IndexedSeq(
+      ColumnSpec("id", "int8", nullable = false, pkOrdinal = 1),
+      ColumnSpec("name", "text"))))
+    reg.save(s"$work/schemas.json")
+    // backfill parquet
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.parquet(s"$work/snapshot")
+    // change log: update 1, delete 2, insert 3
+    Files.write(Paths.get(s"$work/wal.log"), Seq(
+      CdcLogSource.renderLine("U", 1L, 1L, 1L, 0L, 0L,
+        Some("""{"id":1}"""), Some("""{"id":1,"name":"a2"}""")),
+      CdcLogSource.renderLine("D", 1L, 2L, 2L, 0L, 0L,
+        Some("""{"id":2}"""), None),
+      CdcLogSource.renderLine("I", 1L, 3L, 3L, 0L, 0L, None,
+        Some("""{"id":3,"name":"c"}""")))
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    // config file
+    val cfg = s"""
+      |pipeline.id = spec
+      |pipeline.workdir = $work
+      |destination = current_state
+      |backfill.users = $work/snapshot
+      |drain = true
+      |""".stripMargin
+    Files.write(Paths.get(s"$work/pipeline.properties"),
+      cfg.getBytes(StandardCharsets.UTF_8))
+
+    graft.Replicator.main(Array(s"$work/pipeline.properties"))
+
+    val out = spark.read.option("mergeSchema", "true")
+      .parquet(s"$work/tables/users/data")
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a2"), (3L, "c")))
+  }
+}
+
+/** ST5 as a real Structured Streaming query: tumbling window + watermark
+  * over the events table driven through a file stream. */
+class WindowedStreamSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("tumbling-window aggregation under readStream matches batch result") {
+    val dir = Files.createTempDirectory("graft-win").toString
+    val batchDf = graft.Tables.load(spark, sf(), "events")
+      .select("ts", "event_type", "value")
+    batchDf.write.parquet(s"$dir/in")
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .parquet(s"$dir/in")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("start"), col("event_type"), col("n"))
+
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("win_out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable()
+    q.stop()
+
+    // append mode only emits CLOSED windows (watermark passed); every
+    // emitted row must match the batch computation for that window
+    val got = spark.table("win_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val expect = batchDf
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got.nonEmpty)
+    got.foreach { case (k, n) => assert(expect(k) == n, s"window $k") }
+  }
+}

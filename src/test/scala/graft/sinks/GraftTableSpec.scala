@@ -82,6 +82,26 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read(spark).filter($"id" === 1L).select("v").as[String].head() == "v1x")
   }
 
+  test("merge with coalesceCols: null update columns keep stored values (ST6 cross-batch TOAST)") {
+    val t = new GraftTable(tmp(), Seq("id"), nBuckets = 4)
+    t.overwrite(Seq((1L, Some("big-toast-value"), 10),
+      (2L, Some("x"), 20)).toDF("id", "blob", "n"))
+    // update row 1: blob arrives NULL (UnchangedToast) but n changes;
+    // insert row 3 with NULL blob (a REAL null — inserts never coalesce)
+    val b = Seq(
+      (1L, None: Option[String], 11, "U", 5L),
+      (3L, None: Option[String], 30, "I", 5L)
+    ).toDF("id", "blob", "n", "_op", "lsn")
+      .withColumn("_seq", format_string("%016x/%016x", col("lsn"), lit(0L)))
+      .drop("lsn")
+    t.merge(b, coalesceCols = Seq("blob"))
+    val rows = t.read(spark).as[(Long, Option[String], Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(1L) == ((Some("big-toast-value"), 11))) // kept via coalesce
+    assert(rows(2L) == ((Some("x"), 20)))
+    assert(rows(3L) == ((None, 30)))                    // insert keeps null
+  }
+
   test("ChangelogSink appends with op+seq; latest view dedups; replay no-op") {
     val dir = tmp()
     val sink = new ChangelogSink(dir)
