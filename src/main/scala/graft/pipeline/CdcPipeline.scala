@@ -45,6 +45,28 @@ final class CdcPipeline(
 
   val stateStore = new TableStateStore(Some(s"${config.stateDir}/tables.json"))
 
+  /** Rows copied during backfill, per table — the copy-progress
+    * accumulation (A2, reference copy.rs:62-83) surfaced as Spark
+    * accumulators (visible in the UI / status APIs). */
+  val copyProgress =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.util.LongAccumulator]
+
+  /** Publication membership reconciliation (S6, reference
+    * pipeline.rs:354-421 `initialize_table_states`): tables newly in the
+    * publication start at Init; tables no longer published have their
+    * state purged (the reference also drops their slots — our analog is
+    * clearing checkpointed per-table state; destination data is kept,
+    * as in the reference). Returns (added, removed) table ids. */
+  def initTableStates(published: Seq[TableSchemaV]): (Seq[Long], Seq[Long]) = {
+    val pubIds = published.map(_.tableId).toSet
+    val known = stateStore.all.keySet
+    val added = published.filterNot(t => known.contains(t.tableId))
+    added.foreach(t => stateStore.force(t.tableId, TableState.Init))
+    val removed = (known -- pubIds).toSeq
+    removed.foreach(stateStore.purge)
+    (added.map(_.tableId), removed)
+  }
+
   // ------------------------------------------------------------- backfill
   /** Run snapshot backfill for `tables`; `snapshot` loads the table's
     * consistent snapshot and reports the LSN it was taken at (the slot's
@@ -61,7 +83,11 @@ final class CdcPipeline(
           stateStore.transition(t.tableId, TableState.DataSync)
           sink.truncateTable(t.tableName) // drop_table_for_copy
           val (df, lsn) = snapshot(t)
-          sink.writeTableRows(t.tableName, df)
+          val acc = copyProgress.getOrElseUpdate(t.tableName,
+            spark.sparkContext.longAccumulator(s"copied_rows.${t.tableName}"))
+          val counted = df.map { r => acc.add(1L); r }(
+            org.apache.spark.sql.Encoders.row(df.schema))
+          sink.writeTableRows(t.tableName, counted)
           stateStore.transition(t.tableId, TableState.FinishedCopy)
           stateStore.transition(t.tableId, TableState.SyncWait(lsn))
           stateStore.transition(t.tableId, TableState.Catchup(lsn))

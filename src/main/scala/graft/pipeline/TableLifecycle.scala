@@ -109,6 +109,12 @@ final class TableStateStore(persistPath: Option[String] = None) {
   }
   def clearAttempts(tableId: Long): Unit = attempts.remove(tableId)
 
+  /** Remove all state for a table no longer in the publication (S6 purge,
+    * reference pipeline.rs:354-421). */
+  def purge(tableId: Long): Unit = {
+    states.remove(tableId); attempts.remove(tableId); persist()
+  }
+
   def all: Map[Long, TableState] = states.readOnlySnapshot().toMap
 
   // ------------------------------------------------------------ persistence

@@ -198,6 +198,28 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(4L))
   }
 
+  test("publication membership init/purge + copy-progress accumulator (S6/A2)") {
+    val dir = tmp("cdc-pub")
+    val sink = new CurrentStateSink(s"$dir/tables", _ => Seq("id"), 4)
+    val pipeline = mkPipeline(dir, sink)
+    val orders = TableSchemaV(2L, "orders", 0L, IndexedSeq(
+      ColumnSpec("id", "int8", nullable = false, pkOrdinal = 1)))
+
+    val (added1, removed1) = pipeline.initTableStates(Seq(usersSchema, orders))
+    assert(added1.toSet == Set(1L, 2L) && removed1.isEmpty)
+    assert(pipeline.stateStore.get(1L) == TableState.Init)
+
+    pipeline.backfill(Seq(usersSchema), _ => (
+      Seq((1L, "a", 30), (2L, "b", 31), (3L, "c", 32)).toDF("id", "name", "age"),
+      5L))
+    assert(pipeline.copyProgress("users").value == 3L) // A2 accumulator
+
+    // orders leaves the publication → its state is purged, users kept
+    val (added2, removed2) = pipeline.initTableStates(Seq(usersSchema))
+    assert(added2.isEmpty && removed2 == Seq(2L))
+    assert(pipeline.stateStore.all.keySet == Set(1L))
+  }
+
   test("per-table error quarantines table, pipeline survives (ST8)") {
     val dir = tmp("cdc-err")
     val log = s"$dir/wal.log"
