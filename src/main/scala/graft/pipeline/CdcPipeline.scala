@@ -180,7 +180,28 @@ final class CdcPipeline(
                 slice.filter(struct(col("_commit_lsn"), col("_tx_ordinal")) >
                   struct(lit(t.getLong(0)), lit(t.getLong(1))))
               }
-            val data = decode(dataSlice.filter(col("_op") =!= "T"), schema)
+            // PK-change expansion (J1, reference bigquery/core.rs:1425-1475):
+            // an update whose replica-identity columns changed becomes
+            // DELETE(old key) + UPSERT(new row). Old and new key rows land
+            // on different merge keys, so both survive LWW dedup.
+            val idCols = schema.identityColumns
+            val expanded = if (idCols.isEmpty) dataSlice else {
+              val ks = org.apache.spark.sql.types.StructType(
+                schema.sparkSchema.fields.filter(f => idCols.contains(f.name)))
+              val withK = dataSlice
+                .withColumn("_bk", from_json(col("before"), ks))
+                .withColumn("_ak", from_json(col("after"), ks))
+              val changed = col("_op") === "U" && col("_bk").isNotNull &&
+                !(col("_bk") <=> col("_ak"))
+              val unex = withK.filter(!changed)
+              val dels = withK.filter(changed)
+                .withColumn("_op", lit("D"))
+                .withColumn("after", lit(null).cast("string"))
+              val upss = withK.filter(changed)
+                .withColumn("before", lit(null).cast("string"))
+              unex.unionByName(dels).unionByName(upss).drop("_bk", "_ak")
+            }
+            val data = decode(expanded.filter(col("_op") =!= "T"), schema)
             sink.writeEvents(schema.tableName, data)
           }
           // handoff completion: SyncDone table that has now seen a batch

@@ -198,6 +198,32 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(4L))
   }
 
+  test("PK-change update in-stream → delete old key + upsert new key (J1)") {
+    val dir = tmp("cdc-pkchange")
+    val log = s"$dir/wal.log"
+    val sink = new CurrentStateSink(s"$dir/tables", _ => Seq("id"), 4)
+    val pipeline = mkPipeline(dir, sink)
+    pipeline.backfill(Seq(usersSchema), _ => (
+      Seq((1L, "a", 30), (2L, "b", 31)).toDF("id", "name", "age"), 0L))
+
+    appendLog(log, Seq(
+      // replica-identity (id) changes: 1 → 5
+      CdcLogSource.renderLine("U", 1L, 1L, 1L, 0L, 0L,
+        Some("""{"id":1}"""),
+        Some("""{"id":5,"name":"a-moved","age":30}""")),
+      // ordinary update, key unchanged
+      upd(2L, 0, 2L, "b2", 31)))
+    val q = pipeline.startStream(log)
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = sink.read(spark, "users").select("id", "name")
+      .as[(Long, String)].collect().toMap
+    assert(!rows.contains(1L), "old key must be deleted")
+    assert(rows(5L) == "a-moved")
+    assert(rows(2L) == "b2")
+  }
+
   test("publication membership init/purge + copy-progress accumulator (S6/A2)") {
     val dir = tmp("cdc-pub")
     val sink = new CurrentStateSink(s"$dir/tables", _ => Seq("id"), 4)
