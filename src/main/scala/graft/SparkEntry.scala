@@ -31,6 +31,7 @@ object SparkEntry {
     "st1_batch_plan" -> (CdcQueries.batchPlan _),
     "st4_snapshot_gate" -> (CdcQueries.snapshotGate _),
     "d1_pipeline_e2e" -> (CdcQueries.pipelineE2e _),
+    "st2_stream_apply" -> (CdcQueries.streamApply _),
     // S3 codecs as a table-scale roundtrip gate
     "s3_codec_roundtrip" -> (CodecQueries.codecRoundtrip _),
     // text analysis (training-data pipeline extensions)
@@ -64,6 +65,7 @@ object SparkEntry {
     "st1_batch_plan" -> CdcQueries.batchPlanSql,
     "st4_snapshot_gate" -> CdcQueries.snapshotGateSql,
     "d1_pipeline_e2e" -> CdcQueries.pipelineE2eSql,
+    "st2_stream_apply" -> CdcQueries.streamApplySql,
     "s3_codec_roundtrip" -> CodecQueries.codecRoundtripSql,
     "text_tokens" -> TextQueries.tokenCountsSql,
     "text_langid" -> TextQueries.langIdSql,

@@ -216,6 +216,71 @@ object CdcQueries {
     sink.read(spark, "state").orderBy("key")
   }
 
+  /** Full streaming path (S2/ST1-ST3): render the events table as a WAL
+    * change log, stream it through the DSv2 graft-cdc source under a real
+    * StreamingQuery (admission-capped micro-batches, LSN-offset
+    * checkpointing), apply through the pipeline into a current-state
+    * table, and return the drained final state. The time of this query at
+    * bench SF ≈ end-to-end CDC events/sec (the reference's streaming
+    * benchmark metric). The oracle is the relational LWW of the same
+    * events. */
+  def streamApply(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{ColumnSpec, SchemaRegistry, TableSchemaV}
+    import graft.pipeline.{CdcPipeline, PipelineConfig, TableState}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+
+    // WAL from the events table: op mapping as elsewhere, JSON payloads
+    val wal = Tables.load(spark, dir, "events")
+      .withColumn("op", opExpr)
+      .select(col("event_id"), concat(
+        col("event_id").cast(StringType), lit("\t0\t"), col("op"),
+        lit("\t1\t"), col("event_id").cast(StringType), lit("\t0\t"),
+        when(col("op") === "D",
+          concat(lit("""{"key":"""), col("user_id"), lit("}")))
+          .otherwise(lit("\\N")),
+        lit("\t"),
+        when(col("op") =!= "D",
+          concat(lit("""{"key":"""), col("user_id"),
+            lit(""","val":"""), col("value"), lit("}")))
+          .otherwise(lit("\\N"))).as("line"))
+      .orderBy("event_id").select("line")
+    wal.coalesce(1).write.text(s"$tmp/wal")
+    val part = new java.io.File(s"$tmp/wal").listFiles()
+      .find(_.getName.endsWith(".txt")).get
+    val log = s"$tmp/wal.log"
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(log))
+
+    val registry = new SchemaRegistry
+    registry.put(TableSchemaV(1L, "state", 0L, IndexedSeq(
+      ColumnSpec("key", "int8", nullable = false, pkOrdinal = 1),
+      ColumnSpec("val", "float8"))))
+    val sink = new CurrentStateSink(s"$tmp/tables", _ => Seq("key"), 16)
+    val pipeline = new CdcPipeline(spark,
+      PipelineConfig(maxRowsPerTrigger = 25000, maxFillMs = 50,
+        checkpointDir = s"$tmp/ckpt", stateDir = s"$tmp/state"),
+      registry, sink,
+      (df, schema) => {
+        val st = schema.sparkSchema
+        val p = from_json(coalesce(col("after"), col("before")), st)
+        df.withColumn("_p", p).select(
+          (st.fieldNames.map(f => col(s"_p.$f").as(f)) ++
+            Seq(col("_op"), col("_commit_lsn"), col("_tx_ordinal"))).toIndexedSeq: _*)
+      })
+    pipeline.stateStore.force(1L, TableState.Ready)
+    val q = pipeline.startStream(log)
+    q.processAllAvailable()
+    q.stop()
+    sink.read(spark, "state").orderBy("key")
+  }
+
+  val streamApplySql: String = """
+    SELECT user_id AS key, value AS val FROM (
+      SELECT user_id, value, event_type,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY key"""
+
   val pipelineE2eSql: String = """
     WITH last AS (
       SELECT user_id, event_type, value FROM (
