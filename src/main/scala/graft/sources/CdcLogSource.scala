@@ -75,14 +75,15 @@ final class CdcLogTable(path: String) extends Table with SupportsRead {
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new CdcLogScan(path,
-      Option(options.get("maxrowspertrigger")).map(_.toLong))
+      Option(options.get("maxrowspertrigger")).map(_.toLong),
+      Option(options.get("onmissingoffset")).getOrElse("error"))
 }
 
-final class CdcLogScan(path: String, maxRowsPerTrigger: Option[Long])
-    extends Scan {
+final class CdcLogScan(path: String, maxRowsPerTrigger: Option[Long],
+    onMissingOffset: String = "error") extends Scan {
   override def readSchema(): StructType = CdcLogSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CdcLogMicroBatchStream(path, maxRowsPerTrigger)
+    new CdcLogMicroBatchStream(path, maxRowsPerTrigger, onMissingOffset)
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       Array(CdcLogPartition(path, Long.MinValue, Long.MaxValue,
@@ -109,8 +110,35 @@ object LsnOffset {
     a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
 }
 
-final class CdcLogMicroBatchStream(path: String, maxRows: Option[Long])
+final class CdcLogMicroBatchStream(path: String, maxRows: Option[Long],
+    onMissingOffset: String = "error")
     extends MicroBatchStream with SupportsAdmissionControl {
+
+  /** Slot-invalidation analog (ST10, reference slots.rs:51-72 +
+    * invalidated-slot policy etl-config pipeline.rs:123-149): if the
+    * checkpointed start offset predates the earliest retained WAL entry,
+    * changes were lost. Policy "error" (default) fails the query like the
+    * reference's Error behavior; "earliest" mirrors Restart — resume from
+    * the oldest retained entry (the caller is responsible for re-running
+    * backfill, as the reference drops state and re-syncs). */
+  private def checkRetention(start: LsnOffset): LsnOffset = {
+    if (start == LsnOffset.zero) return start
+    val keys = readKeys()
+    if (keys.isEmpty) return start
+    val earliest = keys.min
+    // covered if some retained entry is <= start (the offset boundary
+    // itself may have been the last retained line) or start+1 == earliest
+    if (!LsnOffset.lt((start.commitLsn, start.txOrdinal), earliest)) start
+    else if (earliest == (start.commitLsn + 1, 0L)) start
+    else onMissingOffset match {
+      case "earliest" => LsnOffset(earliest._1 - 1, Long.MaxValue)
+      case _ => throw new IllegalStateException(
+        s"checkpointed offset ${start.json()} predates earliest retained " +
+          s"WAL entry (${earliest._1},${earliest._2}): change log was " +
+          "truncated (slot invalidated). Set onMissingOffset=earliest to " +
+          "resume with data loss after re-running backfill.")
+    }
+  }
 
   private def readKeys(): Seq[(Long, Long)] = {
     val p = Paths.get(path)
@@ -133,7 +161,7 @@ final class CdcLogMicroBatchStream(path: String, maxRows: Option[Long])
     * reference's byte/row batch budget (`BatchConfig.max_bytes`,
     * batch_budget.rs). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[LsnOffset]
+    val s = checkRetention(start.asInstanceOf[LsnOffset])
     val pending = readKeys().sorted
       .filter(k => LsnOffset.lt((s.commitLsn, s.txOrdinal), k))
     val capped = limit match {

@@ -119,6 +119,30 @@ class PgTextSpec extends AnyFunSuite with PropSpec {
     }
   }
 
+  // -------------------------------------------------- fuzz-analog (§5.4)
+  // The reference fuzzes its text codecs (fuzz/fuzz_targets); here random
+  // garbage must parse-or-reject, never corrupt or crash with anything
+  // other than a validation error.
+  test("parsers reject-or-parse arbitrary input, never crash (fuzz analog)") {
+    val junk = Gen.listOf(Gen.choose(Char.MinValue, Char.MaxValue)).map(_.mkString)
+    def survives(f: String => Any): Prop = Prop.forAll(junk) { s =>
+      try { f(s); true } catch {
+        case _: IllegalArgumentException => true
+        case _: java.time.format.DateTimeParseException => true
+        case _: NumberFormatException => true
+        case _: StringIndexOutOfBoundsException => false
+        case _: NullPointerException => false
+      }
+    }
+    checkProp(survives(PgText.parseBool), 200)
+    checkProp(survives(PgText.parseBytea), 200)
+    checkProp(survives(PgText.PgNumeric.parse), 200)
+    checkProp(survives(PgText.parseDate), 200)
+    checkProp(survives(PgText.parseTimestampMicros), 200)
+    checkProp(survives(PgText.parseArray), 200)
+    checkProp(survives(PgText.parseCopyRow), 200)
+  }
+
   test("COPY row property roundtrip") {
     val cell = Gen.option(Gen.listOf(Gen.oneOf(
       Gen.alphaNumChar, Gen.oneOf('\t', '\n', '\\', ' ', ','))).map(_.mkString))

@@ -83,8 +83,25 @@ class ApplyOpsSpec extends SparkSpec {
     assert(out == Set((1L, 15L), (2L, 5L), (2L, 10L), (3L, 1L)))
   }
 
+  test("typed LwwAggregator agrees with the DataFrame max_by path (§2.9)") {
+    import graft.core.SequenceKey
+    import graft.operators.ApplyOpsSpec.Ev
+    val data = Seq(Ev(1, 10, 0, "a"), Ev(1, 10, 1, "b"), Ev(1, 5, 9, "stale"),
+      Ev(2, 7, 0, "x"), Ev(3, 1, 0, "only"))
+    val ds = spark.createDataset(data)(org.apache.spark.sql.Encoders.product[Ev])
+    val agg = graft.operators.LwwAggregator[Ev](e => SequenceKey(e.lsn, e.ord))(
+      org.apache.spark.sql.Encoders.product[Ev])
+    val typed = ds.groupByKey(_.pk)(org.apache.spark.sql.Encoders.scalaLong)
+      .agg(agg.toColumn).collect().map { case (k, e) => k -> e.v }.toMap
+    assert(typed == Map(1L -> "b", 2L -> "x", 3L -> "only"))
+  }
+
   test("schemaVersionsInBatch returns sorted distinct versions") {
     val ev = Seq((20L), (10L), (20L), (30L)).toDF("_schema_lsn")
     assert(ApplyOps.schemaVersionsInBatch(ev) == Seq(10L, 20L, 30L))
   }
+}
+
+object ApplyOpsSpec {
+  case class Ev(pk: Long, lsn: Long, ord: Long, v: String)
 }

@@ -81,6 +81,39 @@ class StreamingSpec extends SparkSpec {
     assert(committed >= 7L && committed <= 10L)
   }
 
+  test("truncated log + checkpointed offset = slot invalidation: error / earliest (ST10)") {
+    val dir = tmp("cdc-slot")
+    val log = s"$dir/wal.log"
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    def run(extra: Map[String, String]): Unit = {
+      var reader = spark.readStream.format("graft-cdc").option("path", log)
+      extra.foreach { case (k, v) => reader = reader.option(k, v) }
+      val q = reader.load().writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.addAndGet(b.count()): Unit)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    appendLog(log, (1L to 6L).map(i => ins(i, 0, i, s"u$i", 20)))
+    run(Map.empty)
+    assert(seen.get() == 6)
+
+    // "slot invalidated": retention dropped entries 1..8, incl. unseen 7-8
+    Files.write(Paths.get(log),
+      (Seq(ins(9L, 0, 9L, "u9", 20), ins(10L, 0, 10L, "u10", 20))
+        .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(Map.empty)
+    }
+    assert(err.getMessage.contains("slot invalidated") ||
+      String.valueOf(err.getCause.getMessage).contains("slot invalidated"))
+
+    // Restart-style policy resumes from the earliest retained entry
+    run(Map("onMissingOffset" -> "earliest"))
+    assert(seen.get() == 8) // 6 + the 2 retained entries
+  }
+
   test("pipeline e2e: backfill → stream handoff with snapshot gate") {
     val dir = tmp("cdc-e2e")
     val log = s"$dir/wal.log"
