@@ -150,15 +150,25 @@ final class CdcPipeline(
         cached.filter(col("_table").isin(allowed.toSeq.map(java.lang.Long.valueOf): _*)),
         gates)
 
-      // truncates apply per table, ordered before subsequent data (D1 shape)
-      val tablesInBatch = gated.select("_table").distinct()
-        .collect().map(_.getLong(0))
+      // ONE metadata job per batch: tables present, schema versions, and
+      // per-(table,version) last-truncate position — replaces the three
+      // separate driver collects this loop used to issue per table.
+      val batchMeta = gated.filter(col("_op") =!= "R")
+        .groupBy("_table", "_schema_lsn")
+        .agg(max(when(col("_op") === "T",
+          struct(col("_commit_lsn"), col("_tx_ordinal")))).as("trunc"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          Option(r.getStruct(2)).map(t => (t.getLong(0), t.getLong(1))))
+        .toMap
+      val tablesInBatch = batchMeta.keys.map(_._1).toSeq.distinct.sorted
 
       tablesInBatch.foreach { tableId =>
         try {
           val tEvents = gated.filter(col("_table") === tableId &&
             col("_op") =!= "R")
-          val versions = ApplyOps.schemaVersionsInBatch(tEvents)
+          val versions = batchMeta.keys.filter(_._1 == tableId)
+            .map(_._2).toSeq.sorted
           versions.foreach { vLsn =>
             val schema = registry.lookup(tableId, vLsn).getOrElse(
               throw new IllegalStateException(
@@ -169,17 +179,13 @@ final class CdcPipeline(
             // merge(pre) → wipe → merge(post); the final state equals
             // wipe → merge(events after the LAST truncate), which is one
             // truncate + one merge instead of three jobs.
-            val truncTop = slice.filter(col("_op") === "T")
-              .agg(max(struct(col("_commit_lsn"), col("_tx_ordinal"))))
-              .collect()(0)
-            val dataSlice =
-              if (truncTop.isNullAt(0)) slice
-              else {
+            val dataSlice = batchMeta((tableId, vLsn)) match {
+              case None => slice
+              case Some((tLsn, tOrd)) =>
                 sink.truncateTable(schema.tableName)
-                val t = truncTop.getStruct(0)
                 slice.filter(struct(col("_commit_lsn"), col("_tx_ordinal")) >
-                  struct(lit(t.getLong(0)), lit(t.getLong(1))))
-              }
+                  struct(lit(tLsn), lit(tOrd)))
+            }
             // PK-change expansion (J1, reference bigquery/core.rs:1425-1475):
             // an update whose replica-identity columns changed becomes
             // DELETE(old key) + UPSERT(new row). Old and new key rows land

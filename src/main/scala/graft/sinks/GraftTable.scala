@@ -72,7 +72,10 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   /** Full (re)load — snapshot backfill path (drop_table_for_copy + copy,
     * reference table_sync). */
   def overwrite(df: DataFrame): Unit = {
+    // repartition on _bucket → one task (one file) per bucket dir instead
+    // of nInputPartitions × nBuckets small files per write
     df.withColumn("_bucket", bucketExpr)
+      .repartition(nBuckets, col("_bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(dataDir)
     writeMeta(Meta(""))
   }
@@ -108,6 +111,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
 
       if (!exists || !Files.exists(Paths.get(dataDir))) {
         fresh.filter(col("_op") =!= "D").drop("_op", "_seq")
+          .repartition(nBuckets, col("_bucket"))
           .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
           .parquet(dataDir)
         writeMeta(Meta(newHigh))
@@ -139,7 +143,8 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
 
       // copy-on-write: stage affected buckets, then swap directories
       val stage = s"$root/.stage-${java.util.UUID.randomUUID()}"
-      merged.write.mode(SaveMode.Overwrite).partitionBy("_bucket")
+      merged.repartition(math.min(nBuckets, buckets.size), col("_bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
         .parquet(stage)
       buckets.foreach { b =>
         val dst = Paths.get(dataDir, s"_bucket=$b")

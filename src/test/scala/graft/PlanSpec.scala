@@ -66,6 +66,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("GraftTable bucket read prunes partitions at the scan (copy-on-write pruning)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan").toString
+    val t = new graft.sinks.GraftTable(dir, Seq("id"), nBuckets = 8)
+    t.overwrite((1L to 64L).map(i => (i, s"v$i")).toDF("id", "v"))
+    // reading with a bucket predicate must hit PartitionFilters, i.e. a
+    // merge touching one bucket scans 1/nBuckets of the table
+    val df = spark.read.parquet(s"$dir/data").filter($"_bucket" === 3)
+    val p = plan(df)
+    assert(p.contains("PartitionFilters: [isnotnull(_bucket"), p)
+    // post-pruning scan reads only bucket 3's file(s): the executed scan
+    // reports one selected partition out of 8
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+    assert(scan.metrics("numFiles").value == 1, scan.metrics("numFiles").value)
+  }
+
   test("brute-force ANN broadcasts the query side (corpus never shuffles)") {
     import org.apache.spark.sql.functions._
     val emb = Tables.load(spark, sf(), "embeddings")
