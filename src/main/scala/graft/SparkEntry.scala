@@ -21,6 +21,9 @@ object SparkEntry {
     // batch analytics over the snapshot path (Spark built-ins per SURVEY §2.3-2.5)
     "q1_agg" -> (CoreQueries.q1Agg _),
     "q3_join" -> (CoreQueries.q3Join _),
+    "q5_join" -> (MoreQueries.q5Join _),
+    "q18_topk" -> (MoreQueries.q18TopOrders _),
+    "sessionize" -> (MoreQueries.sessionize _),
     "s1_snapshot_scan" -> (CoreQueries.snapshotScan _),
     "st5_window_hourly" -> (CoreQueries.windowHourly _),
     // CDC semantics (SURVEY §2.2, §2.4, §2.6; events table = WAL role)
@@ -56,6 +59,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> CoreQueries.q1Sql,
     "q3_join" -> CoreQueries.q3Sql,
+    "q5_join" -> MoreQueries.q5Sql,
+    "q18_topk" -> MoreQueries.q18Sql,
+    "sessionize" -> MoreQueries.sessionizeSql,
     "s1_snapshot_scan" -> CoreQueries.snapshotScanSql,
     "st5_window_hourly" -> CoreQueries.windowHourlySql,
     "p4_route" -> CdcQueries.routeSql,
