@@ -51,6 +51,8 @@ object SparkEntry {
     // similarity search
     "ann_topk" -> (SimQueries.annTopK _),
     "ann_lsh" -> (SimQueries.annLsh _),
+    "ann_ivf" -> (SimQueries.annIvf _),
+    "profile_stats" -> (SimQueries.profileStats _),
     // multimodal columns
     "mm_meta" -> (SimQueries.mmMeta _),
     "mm_features" -> (SimQueries.mmFeatures _),
@@ -80,6 +82,7 @@ object SparkEntry {
     "dedup_jaccard" -> SimQueries.dedupJaccardSql,
     "dedup_minhash_lsh" -> SimQueries.dedupMinhashLshSql,
     "mm_meta" -> SimQueries.mmMetaSql,
+    "profile_stats" -> SimQueries.profileStatsSql,
     // rows-only (no SQL-expressible oracle): text_fingerprint (64-bit
     // wraparound hash), dedup_simhash + dedup_embed_cosine + ann_topk +
     // ann_lsh (xxhash64 / float-fold not reproducible in DuckDB),

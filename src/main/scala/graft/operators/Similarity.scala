@@ -77,6 +77,85 @@ object Similarity {
       .select(col(qId), col(cId), col("sim"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer is trained
+    * deterministically (seed-free: init = the k corpus vectors with the
+    * smallest xxhash64(id); fixed Lloyd iterations with index tie-break),
+    * the corpus is assigned to its nearest centroid ("inverted list"),
+    * and each query probes only the `nProbe` nearest lists — the classic
+    * IVF-Flat layout. Centroids are k×d driver metadata (tiny);
+    * assignment + search are pure DataFrame ops shuffle-partitioned by
+    * list id. Returns (q_id, c_id, sim, rank).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nLists: Int,
+      nProbe: Int, iterations: Int = 5,
+      qId: String = "q_id", qVec: String = "q_vec",
+      cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+
+    def centroidDf(centroids: Array[Array[Double]]) = {
+      import spark.implicits._
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toSeq.toDF("list_id", "centroid")
+    }
+    def nearestList(vec: Column, cDf: DataFrame, n: Int): DataFrame => DataFrame =
+      df => {
+        // spherical k-means: assign by cosine (norm-invariant)
+        val joined = df.crossJoin(broadcast(cDf))
+          .withColumn("_d", cosine(vec, col("centroid")))
+        val w = Window.partitionBy(col(df.columns.head))
+          .orderBy(col("_d").desc, col("list_id"))
+        joined.withColumn("_r", row_number().over(w)).filter(col("_r") <= n)
+          .drop("_d", "_r", "centroid")
+      }
+
+    // --- train: deterministic init + fixed Lloyd iterations
+    val init = corpus
+      .withColumn("_h", xxhash64(col(cId)))
+      .orderBy("_h").limit(nLists)
+      .select(transform(col(cVec), x => x.cast("double")).as("centroid"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    var centroids = init
+    (0 until iterations).foreach { _ =>
+      val cDf = centroidDf(centroids)
+      val assigned = nearestList(col(cVec), cDf, 1)(
+        corpus.select(col(cId), col(cVec)))
+      val next = assigned
+        .withColumn("_v", transform(col(cVec), x => x.cast("double")))
+        .groupBy("list_id")
+        .agg(count(lit(1)).as("_n"), array_agg(col("_v")).as("_vs"))
+        .collect()
+      // mean per list on the driver (k lists × d dims — metadata-sized);
+      // lists that lost all members keep their previous centroid
+      val updated = centroids.clone()
+      next.foreach { r =>
+        val li = r.getInt(0)
+        val vs = r.getSeq[scala.collection.Seq[Double]](2)
+        val d = vs.head.length
+        val mean = new Array[Double](d)
+        vs.foreach(v => (0 until d).foreach(j => mean(j) += v(j)))
+        (0 until d).foreach(j => mean(j) /= vs.length)
+        updated(li) = mean
+      }
+      centroids = updated
+    }
+
+    // --- index + search
+    val cDf = centroidDf(centroids)
+    val indexed = nearestList(col(cVec), cDf, 1)(
+      corpus.select(col(cId), col(cVec)))
+    val probed = nearestList(col(qVec), cDf, nProbe)(
+      queries.select(col(qId), col(qVec)))
+    val candidates = indexed.join(broadcast(probed), "list_id")
+    val scored = candidates
+      .withColumn("sim", round(cosine(col(qVec), col(cVec)), 6))
+    val w = Window.partitionBy(col(qId))
+      .orderBy(col("sim").desc, col(cId))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), col("sim"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold)
     * via the same LSH buckets — pairs must share a bucket under at least
     * one of `nTables` independent hash tables (OR-amplification), then

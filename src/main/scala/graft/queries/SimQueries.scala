@@ -116,6 +116,44 @@ object SimQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF-Flat ANN: deterministic spherical-k-means coarse quantizer,
+    * nProbe inverted lists per query. Rows-only (trained structure +
+    * float folds); recall pinned in SimilaritySpec. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_vec"))
+    Similarity.ivfTopK(queries, corpus, k = 10, nLists = 16, nProbe = 4,
+      iterations = 3)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Dataset profiling: per-event-type cardinalities and value stats —
+    * the distinct-count/statistics surface (exact, oracle-checked; the
+    * HLL approx_count_distinct variant is spec-tested for error bound
+    * since approximation isn't oracle-comparable). */
+  def profileStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("props")).as("n_props"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        sum(col("value").cast("decimal(9,2)")).cast("double").as("sum_v"))
+      .orderBy("event_type")
+
+  val profileStatsSql: String = """
+    SELECT event_type, COUNT(*) AS n,
+      COUNT(DISTINCT user_id) AS n_users,
+      COUNT(DISTINCT props) AS n_props,
+      MIN(value) AS min_v, MAX(value) AS max_v,
+      CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sum_v
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
   // ------------------------------------------------------------ multimodal
   /** Multimodal metadata: media payload as BINARY + pure-expression
     * metadata (n_bytes, dims) — oracle-checkable since the metadata is

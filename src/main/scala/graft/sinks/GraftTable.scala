@@ -160,6 +160,48 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     } finally fresh.unpersist()
   }
 
+  /** Maintenance: compact buckets whose file count exceeds `maxFiles`
+    * into a single file each, and vacuum orphaned stage directories —
+    * the analog of the reference's DuckLake snapshot maintenance
+    * (expire/compact, crates/etl-destinations/src/ducklake/
+    * external_maintenance.rs). Runs as a periodic batch job at scale;
+    * returns the bucket ids compacted. */
+  def compact(spark: SparkSession, maxFiles: Int = 4): Seq[Int] = {
+    import scala.jdk.CollectionConverters._
+    // vacuum crashed stage dirs
+    val rootPath = Paths.get(root)
+    if (Files.exists(rootPath)) {
+      Files.list(rootPath).iterator().asScala
+        .filter(_.getFileName.toString.startsWith(".stage-"))
+        .toSeq.foreach(deleteRecursively)
+    }
+    if (!Files.exists(Paths.get(dataDir))) return Seq.empty
+    val crowded = Files.list(Paths.get(dataDir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("_bucket="))
+      .filter { d =>
+        Files.list(d).iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet")) > maxFiles
+      }
+      .map(_.getFileName.toString.stripPrefix("_bucket=").toInt)
+      .toSeq.sorted
+    crowded.foreach { b =>
+      val dir = Paths.get(dataDir, s"_bucket=$b")
+      val df = spark.read.option("mergeSchema", "true").parquet(dir.toString)
+      val stage = Paths.get(root, s".stage-compact-$b")
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      deleteRecursively(dir)
+      // move data files only (skip _SUCCESS)
+      Files.createDirectories(dir)
+      Files.list(stage).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.foreach { f =>
+          Files.move(f, dir.resolve(f.getFileName), StandardCopyOption.ATOMIC_MOVE)
+        }
+      deleteRecursively(stage)
+    }
+    crowded
+  }
+
   /** Truncate: drop all data, keep identity — the reference's cheap
     * truncate is a versioned-table swap (bigquery/core.rs:1110-1160);
     * with a directory-backed table, clearing data/ is the same O(1) shape. */

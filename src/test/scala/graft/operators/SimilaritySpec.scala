@@ -47,6 +47,38 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.count { case (q, c) => q == c } == 20)
   }
 
+  test("ivfTopK: deterministic training, perfect self-recall, good top-k recall") {
+    val emb = graft.Tables.load(spark, sf(), "embeddings")
+    val queries = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val ivf = Similarity.ivfTopK(queries, corpus, k = 3, nLists = 8,
+      nProbe = 3, iterations = 2)
+    val got = ivf.select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    // deterministic across runs (seed-free training)
+    val again = Similarity.ivfTopK(queries, corpus, k = 3, nLists = 8,
+      nProbe = 3, iterations = 2)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(got == again)
+    // each query's own vector is always found (assigned + probed list 1)
+    assert(got.count { case (q, c) => q == c } == 20)
+    val exact = Similarity.bruteForceTopK(queries, corpus, 3)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("approx_count_distinct within HLL error bound of exact (profiling)") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.load(spark, sf(), "events")
+    val r = ev.agg(
+      countDistinct($"user_id").as("exact"),
+      approx_count_distinct($"user_id", 0.05).as("approx")).collect()(0)
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.15,
+      s"approx $approx vs exact $exact")
+  }
+
   test("cosineNearDupPairs finds planted near-duplicates") {
     val base = (0 until 30).map { i =>
       val v = (0 until 8).map(j => math.sin(i * 8 + j + 1).toFloat)
