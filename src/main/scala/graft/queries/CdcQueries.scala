@@ -256,7 +256,7 @@ object CdcQueries {
       ColumnSpec("val", "float8"))))
     val sink = new CurrentStateSink(s"$tmp/tables", _ => Seq("key"), 16)
     val pipeline = new CdcPipeline(spark,
-      PipelineConfig(maxRowsPerTrigger = 25000, maxFillMs = 50,
+      PipelineConfig(maxRowsPerTrigger = 50000, maxFillMs = 50,
         checkpointDir = s"$tmp/ckpt", stateDir = s"$tmp/state"),
       registry, sink,
       (df, schema) => {
