@@ -39,6 +39,30 @@ object ApplyOps {
     winner.select(df.columns.map(c => winner("_w")(c).as(c)).toIndexedSeq: _*)
   }
 
+  /** Skew-resistant LWW: two-phase max_by with a salt — phase 1 reduces
+    * each (key, salt) shard, phase 2 reduces the ≤`saltBuckets` shard
+    * winners per key. For heavy-hitter keys (one key = millions of
+    * updates, e.g. a hot row at 100 TB) this bounds any single reducer's
+    * input to ~1/saltBuckets of the hot key; cold keys pay one extra tiny
+    * shuffle. Result is identical to [[lastWriterWins]] (max is
+    * associative). The salt is derived from the sequence key, so it is
+    * deterministic, not random. */
+  def lastWriterWinsSalted(df: DataFrame, pkCols: Seq[String],
+      seqCols: Seq[String], saltBuckets: Int = 16): DataFrame = {
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*)
+    val seq = struct(seqCols.map(col): _*)
+    val salted = df.withColumn("_salt",
+      pmod(hash(seqCols.map(col): _*), lit(saltBuckets)))
+    val phase1 = salted
+      .groupBy((pkCols.map(col) :+ col("_salt")): _*)
+      .agg(max_by(payload, seq).as("_w"))
+    val phase2 = phase1
+      .groupBy(pkCols.map(col): _*)
+      .agg(max_by(col("_w"), struct(seqCols.map(c => col(s"_w.$c")): _*))
+        .as("_w"))
+    phase2.select(df.columns.map(c => phase2("_w")(c).as(c)).toIndexedSeq: _*)
+  }
+
   /** Window-based variant (row_number over desc seq). Same result as
     * [[lastWriterWins]]; kept for sinks that also need the losing rows
     * (changelog compaction) — requires a full sort within each hash

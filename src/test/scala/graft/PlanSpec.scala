@@ -85,6 +85,47 @@ class PlanSpec extends SparkSpec {
     assert(scan.metrics("numFiles").value == 1, scan.metrics("numFiles").value)
   }
 
+  test("bucketed tables join without a shuffle (co-located join at scale)") {
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // clear stale managed-table locations from crashed runs
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val p = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    Tables.load(spark, sf(), "orders")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("b_orders")
+    Tables.load(spark, sf(), "lineitem")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("b_lineitem")
+    // at tiny SF the optimizer would rightly broadcast; disable it to
+    // observe the co-located plan big tables would get
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem").join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      val p = plan(joined)
+      // both sides pre-bucketed on the join key → SortMergeJoin with NO
+      // ShuffleExchange below it (the co-location story for repeated joins)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p)
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("brute-force ANN broadcasts the query side (corpus never shuffles)") {
     import org.apache.spark.sql.functions._
     val emb = Tables.load(spark, sf(), "embeddings")

@@ -83,6 +83,23 @@ class ApplyOpsSpec extends SparkSpec {
     assert(out == Set((1L, 15L), (2L, 5L), (2L, 10L), (3L, 1L)))
   }
 
+  test("salted LWW equals plain LWW (skew-resistant two-phase)") {
+    val out = ApplyOps.lastWriterWins(events, Seq("pk"),
+      Seq("_commit_lsn", "_tx_ordinal"))
+      .select("pk", "v").as[(Long, String)].collect().toMap
+    val salted = ApplyOps.lastWriterWinsSalted(events, Seq("pk"),
+      Seq("_commit_lsn", "_tx_ordinal"), saltBuckets = 4)
+      .select("pk", "v").as[(Long, String)].collect().toMap
+    assert(salted == out)
+    // a hot key with many versions still resolves to the max
+    val hot = (1L to 1000L).map(i => (42L, i, 0L, s"v$i"))
+      .toDF("pk", "_commit_lsn", "_tx_ordinal", "v")
+    val hotOut = ApplyOps.lastWriterWinsSalted(hot, Seq("pk"),
+      Seq("_commit_lsn", "_tx_ordinal"), saltBuckets = 8)
+      .select("v").as[String].collect().toSeq
+    assert(hotOut == Seq("v1000"))
+  }
+
   test("typed LwwAggregator agrees with the DataFrame max_by path (§2.9)") {
     import graft.core.SequenceKey
     import graft.operators.ApplyOpsSpec.Ev
