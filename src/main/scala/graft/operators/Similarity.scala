@@ -130,7 +130,11 @@ object Similarity {
       val updated = centroids.clone()
       next.foreach { r =>
         val li = r.getInt(0)
+        // sort members before summing: array_agg order depends on the
+        // partition layout, and float addition isn't associative — the
+        // sorted fold makes centroids bit-identical on any cluster
         val vs = r.getSeq[scala.collection.Seq[Double]](2)
+          .sortBy(_.mkString(","))
         val d = vs.head.length
         val mean = new Array[Double](d)
         vs.foreach(v => (0 until d).foreach(j => mean(j) += v(j)))
