@@ -35,6 +35,9 @@ object SparkEntry {
     "st4_snapshot_gate" -> (CdcQueries.snapshotGate _),
     "d1_pipeline_e2e" -> (CdcQueries.pipelineE2e _),
     "st2_stream_apply" -> (CdcQueries.streamApply _),
+    "s1_copy_throughput" -> (SinkQueries.copyThroughput _),
+    "d3_changelog_latest" -> (SinkQueries.changelogLatest _),
+    "q6_forecast" -> (SinkQueries.q6Forecast _),
     // S3 codecs as a table-scale roundtrip gate
     "s3_codec_roundtrip" -> (CodecQueries.codecRoundtrip _),
     // text analysis (training-data pipeline extensions)
@@ -74,6 +77,9 @@ object SparkEntry {
     "st4_snapshot_gate" -> CdcQueries.snapshotGateSql,
     "d1_pipeline_e2e" -> CdcQueries.pipelineE2eSql,
     "st2_stream_apply" -> CdcQueries.streamApplySql,
+    "s1_copy_throughput" -> SinkQueries.copyThroughputSql,
+    "d3_changelog_latest" -> SinkQueries.changelogLatestSql,
+    "q6_forecast" -> SinkQueries.q6Sql,
     "s3_codec_roundtrip" -> CodecQueries.codecRoundtripSql,
     "text_tokens" -> TextQueries.tokenCountsSql,
     "text_langid" -> TextQueries.langIdSql,

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.sinks.{ChangelogSink, CurrentStateSink}
+
+/** Sink-path queries: each runs a real sink end-to-end and emits a
+  * result the DuckDB oracle can recompute relationally. */
+object SinkQueries {
+  private def dec92(c: String) = col(c).cast(DecimalType(9, 2))
+
+  /** S1/D1 copy throughput: full snapshot backfill of `lineitem` into a
+    * bucketed GraftTable (the reference's table-copy benchmark metric is
+    * rows / copy-seconds — this query's bench time at sf0.1 is exactly
+    * that for 600k rows), then read the loaded table back and aggregate.
+    * The oracle aggregates the source directly, so any row lost or
+    * duplicated by the copy path breaks the hash. */
+  def copyThroughput(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-copy").toString
+    val sink = new CurrentStateSink(tmp,
+      _ => Seq("l_orderkey", "l_linenumber"), nBuckets = 32)
+    sink.writeTableRows("lineitem", Tables.load(spark, dir, "lineitem"))
+    sink.read(spark, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(dec92("l_quantity")).cast(DoubleType).as("qty"),
+        sum(dec92("l_extendedprice")).cast(DoubleType).as("price"))
+      .orderBy("l_returnflag")
+  }
+
+  val copyThroughputSql: String = """
+    SELECT l_returnflag, COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** D3/D5 changelog shape: append the events stream as a changelog
+    * (cdc_operation + sequence_number columns, offset-token high-water),
+    * then read the `latest` current-state VIEW — the ClickHouse
+    * ReplacingMergeTree-FINAL pattern. Oracle = relational LWW minus
+    * deletes. */
+  def changelogLatest(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-clog").toString
+    val sink = new ChangelogSink(tmp)
+    val opExpr = when(col("event_type") === "signup", "I")
+      .when(col("event_type") === "error", "D").otherwise("U")
+    val ev = Tables.load(spark, dir, "events").select(
+      col("user_id").as("key"), col("value").as("val"),
+      opExpr.as("_op"), col("event_id").as("_commit_lsn"),
+      lit(0L).as("_tx_ordinal"))
+    // two appends + one replay of the first (high-water must ignore it)
+    val mid = ev.agg(max("_commit_lsn")).collect()(0).getLong(0) / 2
+    sink.writeEvents("state", ev.filter(col("_commit_lsn") <= mid))
+    sink.writeEvents("state", ev.filter(col("_commit_lsn") > mid))
+    sink.writeEvents("state", ev.filter(col("_commit_lsn") <= mid)) // replay
+    sink.latest(spark, "state", Seq("key")).orderBy("key")
+  }
+
+  val changelogLatestSql: String = """
+    SELECT user_id AS key, value AS val FROM (
+      SELECT user_id, value, event_type,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY key"""
+
+  /** TPC-H Q6 shape: single-scan predicate-heavy aggregate — the pushdown
+    * microbenchmark (every predicate must reach the parquet scan). */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00") &&
+        col("l_discount").between(0.02, 0.06) &&
+        col("l_quantity") < 24)
+      .agg(sum(dec92("l_extendedprice") * col("l_discount").cast(DecimalType(3, 2)))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n"))
+
+  val q6Sql: String = """
+    SELECT
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24"""
+}
