@@ -64,15 +64,8 @@ object Replicator {
       checkpointDir = s"$work/checkpoint",
       stateDir = s"$work/state")
 
-    def decode(df: DataFrame, schema: TableSchemaV): DataFrame = {
-      val st = schema.sparkSchema
-      val payload = from_json(coalesce(col("after"), col("before")), st)
-      df.withColumn("_p", payload).select(
-        (st.fieldNames.map(f => col(s"_p.$f").as(f)) ++
-          Seq(col("_op"), col("_commit_lsn"), col("_tx_ordinal"))).toIndexedSeq: _*)
-    }
-
-    val pipeline = new CdcPipeline(spark, config, registry, sink, decode)
+    val pipeline = new CdcPipeline(spark, config, registry, sink,
+      CdcPipeline.jsonDecode)
     sink.startup(spark)
 
     // optional backfill phase (table_sync): backfill.<name> = parquet path
@@ -81,8 +74,12 @@ object Replicator {
       .filter(_.startsWith("backfill."))
       .map(k => k.stripPrefix("backfill.") -> props.getProperty(k))
     if (backfills.nonEmpty) {
-      val tables = backfills.flatMap { case (name, _) =>
-        registry.tables.flatMap(registry.latest).find(_.tableName == name)
+      val known = registry.tables.flatMap(registry.latest)
+      val tables = backfills.map { case (name, _) =>
+        known.find(_.tableName == name).getOrElse(throw
+          new IllegalArgumentException(
+            s"backfill.$name: table not in schema registry " +
+              s"(known: ${known.map(_.tableName).mkString(", ")})"))
       }
       val paths = backfills.toMap
       pipeline.backfill(tables, t =>

@@ -35,7 +35,12 @@ case class VecDot(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val (ta, tb) = (elemType(left), elemType(right))
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // reject-not-corrupt: a ragged vector must fail loudly, not produce a
+    // plausible prefix dot product
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vec_dot length mismatch: $n vs ${b.numElements()}")
     var acc = 0.0
     var i = 0
     while (i < n) {

@@ -80,7 +80,22 @@ final class CdcPipeline(
     val futures = tables.map { t =>
       scala.concurrent.Future {
         try {
-          stateStore.transition(t.tableId, TableState.DataSync)
+          // normalize to Init first: Errored tables re-enter via the legal
+          // Errored→Init edge; interrupted copies roll back (crash
+          // re-copy, table_sync/mod.rs:168-180)
+          stateStore.get(t.tableId) match {
+            case TableState.Errored(_, _) | TableState.DataSync |
+                TableState.FinishedCopy =>
+              stateStore.transition(t.tableId, TableState.Init)
+            case _ => ()
+          }
+          // refuse (without destructive side effects) if the table is not
+          // in a copy-eligible state — transitions are validated, never
+          // silently ignored
+          if (!stateStore.transition(t.tableId, TableState.DataSync))
+            throw new IllegalStateException(
+              s"table ${t.tableId} not copy-eligible " +
+                s"(state ${stateStore.get(t.tableId).name})")
           sink.truncateTable(t.tableName) // drop_table_for_copy
           val (df, lsn) = snapshot(t)
           val acc = copyProgress.getOrElseUpdate(t.tableName,
@@ -92,6 +107,7 @@ final class CdcPipeline(
           stateStore.transition(t.tableId, TableState.SyncWait(lsn))
           stateStore.transition(t.tableId, TableState.Catchup(lsn))
           stateStore.transition(t.tableId, TableState.SyncDone(lsn))
+          stateStore.clearAttempts(t.tableId)
         } catch {
           case e: Exception =>
             stateStore.recordError(t.tableId, e.getMessage,
@@ -103,6 +119,20 @@ final class CdcPipeline(
       scala.concurrent.Future.sequence(futures),
       scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
+  }
+
+  /** Recovery for quarantined tables (ST8): re-run snapshot backfill for
+    * every Errored table — the reference's retry semantics (a table retry
+    * RESTARTS its copy, it does not replay dropped events; recovery is
+    * re-sync, state/retry_policy.rs + table_sync restart). Returns the
+    * table ids retried. Call on a timer for TimedRetry semantics. */
+  def retryErrored(schemas: Seq[TableSchemaV],
+      snapshot: TableSchemaV => (DataFrame, Long)): Seq[Long] = {
+    val errored = stateStore.all.collect {
+      case (id, TableState.Errored(_, _)) => id }.toSet
+    val toRetry = schemas.filter(t => errored.contains(t.tableId))
+    if (toRetry.nonEmpty) backfill(toRetry, snapshot)
+    toRetry.map(_.tableId)
   }
 
   // ------------------------------------------------------------- streaming
@@ -233,6 +263,18 @@ final class CdcPipeline(
 
 object CdcPipeline {
   import graft.core.ColumnSpec
+
+  /** Standard envelope decode: JSON before/after images → flat typed
+    * payload + (_op, _commit_lsn, _tx_ordinal), against the schema
+    * version in force. The single shared implementation for the
+    * replicator binary, queries, and tests. */
+  def jsonDecode(df: DataFrame, schema: TableSchemaV): DataFrame = {
+    val st = schema.sparkSchema
+    val payload = from_json(coalesce(col("after"), col("before")), st)
+    df.withColumn("_p", payload).select(
+      (st.fieldNames.map(f => col(s"_p.$f").as(f)) ++
+        Seq(col("_op"), col("_commit_lsn"), col("_tx_ordinal"))).toIndexedSeq: _*)
+  }
 
   /** Parse a Relation control record's schema payload — the analog of the
     * reference's DDL event-trigger message (serialized table schema,

@@ -66,6 +66,43 @@ final class TableStateStore(persistPath: Option[String] = None) {
   private val attempts = TrieMap.empty[Long, Int]
   @volatile private var flushLsn: Long = 0L
 
+  // restart recovery: reload the persisted states so a new process
+  // resumes where the old one stopped (K1/K4 — without this, every
+  // table would restart at Init and the apply gates would silently drop
+  // all events while the Spark checkpoint kept advancing)
+  persistPath.foreach { p =>
+    val path = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(path)) {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      implicit val fmts: Formats = DefaultFormats
+      val j = JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(path), "UTF-8"))
+      flushLsn = (j \ "flushLsn").extractOrElse[Long](0L)
+      (j \ "tables").extract[List[JValue]].foreach { t =>
+        val id = (t \ "table").extract[Long]
+        def lsn = (t \ "lsn").extract[Long]
+        val st = (t \ "state").extract[String] match {
+          case "init"          => TableState.Init
+          // crash rollback: an interrupted copy restarts from scratch
+          // (reference table_sync/mod.rs:168-180)
+          case "data_sync"     => TableState.Init
+          case "finished_copy" => TableState.Init
+          case "sync_wait"     => TableState.SyncWait(lsn)
+          case "catchup"       => TableState.Catchup(lsn)
+          case "sync_done"     => TableState.SyncDone(lsn)
+          case "ready"         => TableState.Ready
+          case "skipped"       => TableState.Skipped
+          case "errored" => TableState.Errored(
+            (t \ "reason").extractOrElse[String]("persisted"),
+            RetryPolicy.ManualRetry) // retry budget does not survive restart
+          case other => throw new IllegalStateException(s"bad state $other")
+        }
+        states.update(id, st)
+      }
+    }
+  }
+
   def get(tableId: Long): TableState = states.getOrElse(tableId, TableState.Init)
 
   def transition(tableId: Long, to: TableState): Boolean = {
@@ -120,18 +157,20 @@ final class TableStateStore(persistPath: Option[String] = None) {
   // ------------------------------------------------------------ persistence
   private def persist(): Unit = synchronized { persistPath.foreach { p =>
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val body = states.readOnlySnapshot().toSeq.sortBy(_._1).map {
+    val tables = states.readOnlySnapshot().toSeq.sortBy(_._1).map {
       case (id, s) =>
         val extra = s match {
           case TableState.SyncWait(l) => s""","lsn":$l"""
           case TableState.Catchup(l)  => s""","lsn":$l"""
           case TableState.SyncDone(l) => s""","lsn":$l"""
           case TableState.Errored(r, _) =>
-            s""","reason":"${r.replace("\"", "'")}""""
+            s""","reason":"${r.replace("\\", " ").replace("\"", "'")
+              .replace("\n", " ")}""""
           case _ => ""
         }
         s"""{"table":$id,"state":"${s.name}"$extra}"""
-    }.mkString("[", ",", s"],\n{\"flushLsn\":$flushLsn}")
+    }.mkString("[", ",", "]")
+    val body = s"""{"flushLsn":$flushLsn,"tables":$tables}"""
     val tmp = Paths.get(p + ".tmp")
     Files.createDirectories(tmp.getParent)
     Files.write(tmp, body.getBytes)

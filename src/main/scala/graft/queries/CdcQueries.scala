@@ -258,14 +258,7 @@ object CdcQueries {
     val pipeline = new CdcPipeline(spark,
       PipelineConfig(maxRowsPerTrigger = 50000, maxFillMs = 50,
         checkpointDir = s"$tmp/ckpt", stateDir = s"$tmp/state"),
-      registry, sink,
-      (df, schema) => {
-        val st = schema.sparkSchema
-        val p = from_json(coalesce(col("after"), col("before")), st)
-        df.withColumn("_p", p).select(
-          (st.fieldNames.map(f => col(s"_p.$f").as(f)) ++
-            Seq(col("_op"), col("_commit_lsn"), col("_tx_ordinal"))).toIndexedSeq: _*)
-      })
+      registry, sink, CdcPipeline.jsonDecode)
     pipeline.stateStore.force(1L, TableState.Ready)
     val q = pipeline.startStream(log)
     q.processAllAvailable()

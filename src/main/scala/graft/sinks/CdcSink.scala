@@ -48,9 +48,11 @@ final class CurrentStateSink(rootDir: String, keysOf: String => Seq[String],
     val t = tableFor(table)
     val deduped = ApplyOps.lastWriterWins(events, t.keyCols,
       Seq("_commit_lsn", "_tx_ordinal"))
+    // lowercase to match SequenceKey.packedHex — mixed-case hex would
+    // corrupt lexicographic ordering ('a' > 'B')
     val withSeq = deduped.withColumn("_seq",
-      concat(lpad(hex(col("_commit_lsn")), 16, "0"), lit("/"),
-             lpad(hex(col("_tx_ordinal")), 16, "0")))
+      concat(lpad(lower(hex(col("_commit_lsn"))), 16, "0"), lit("/"),
+             lpad(lower(hex(col("_tx_ordinal"))), 16, "0")))
       .drop("_commit_lsn", "_tx_ordinal")
     t.merge(withSeq)
   }
@@ -95,16 +97,19 @@ final class ChangelogSink(rootDir: String) extends CdcSink {
   override def writeEvents(table: String, events: DataFrame): Unit = {
     val hw = readHw(table)
     val withSeq = events.withColumn("sequence_number",
-        concat(lpad(hex(col("_commit_lsn")), 16, "0"), lit("/"),
-               lpad(hex(col("_tx_ordinal")), 16, "0")))
+        concat(lpad(lower(hex(col("_commit_lsn"))), 16, "0"), lit("/"),
+               lpad(lower(hex(col("_tx_ordinal"))), 16, "0")))
       .withColumnRenamed("_op", "cdc_operation")
       .drop("_commit_lsn", "_tx_ordinal")
-    val fresh = if (hw.isEmpty) withSeq
-                else withSeq.filter(col("sequence_number") > lit(hw))
-    if (fresh.isEmpty) return
-    val newHw = fresh.agg(max("sequence_number")).collect()(0).getString(0)
-    fresh.write.mode("append").parquet(dir(table))
-    writeHw(table, newHw)
+    val fresh = (if (hw.isEmpty) withSeq
+                 else withSeq.filter(col("sequence_number") > lit(hw))).cache()
+    try {
+      // one job decides emptiness + new high-water (GraftTable pattern)
+      val newHw = fresh.agg(max("sequence_number")).collect()(0).getString(0)
+      if (newHw == null) return // full replay
+      fresh.write.mode("append").parquet(dir(table))
+      writeHw(table, newHw)
+    } finally fresh.unpersist()
   }
 
   override def truncateTable(table: String): Unit = {

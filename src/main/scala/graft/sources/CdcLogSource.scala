@@ -140,14 +140,25 @@ final class CdcLogMicroBatchStream(path: String, maxRows: Option[Long],
     }
   }
 
+  // (size, mtime) memo: the driver consults the key list several times per
+  // trigger (retention check, admission, latest) — parse the log once per
+  // change instead of once per call. A socket-backed source would keep a
+  // rolling buffer here instead.
+  @volatile private var keysMemo: ((Long, Long), Seq[(Long, Long)]) = null
+
   private def readKeys(): Seq[(Long, Long)] = {
     val p = Paths.get(path)
     if (!Files.exists(p)) return Seq.empty
-    Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+    val stamp = (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+    val memo = keysMemo
+    if (memo != null && memo._1 == stamp) return memo._2
+    val parsed = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
       .filter(_.nonEmpty).map { l =>
         val t = l.split("\t", -1)
         (t(0).toLong, t(1).toLong)
       }
+    keysMemo = (stamp, parsed)
+    parsed
   }
 
   override def initialOffset(): Offset = LsnOffset.zero

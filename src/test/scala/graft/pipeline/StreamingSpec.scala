@@ -25,13 +25,8 @@ class StreamingSpec extends SparkSpec {
     ColumnSpec("name", "text"),
     ColumnSpec("age", "int4")))
 
-  private def decode(df: DataFrame, schema: TableSchemaV): DataFrame = {
-    val st = schema.sparkSchema
-    val payload = from_json(coalesce(col("after"), col("before")), st)
-    df.withColumn("_p", payload).select(
-      (st.fieldNames.map(f => col(s"_p.$f").as(f)) ++
-        Seq(col("_op"), col("_commit_lsn"), col("_tx_ordinal"))).toIndexedSeq: _*)
-  }
+  private def decode(df: DataFrame, schema: TableSchemaV): DataFrame =
+    CdcPipeline.jsonDecode(df, schema)
 
   private def appendLog(path: String, lines: Seq[String]): Unit =
     Files.write(Paths.get(path),
@@ -147,6 +142,46 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(sink.read(spark, "users").filter($"id" === 4L)
       .select("name").as[String].head() == "d2")
+  }
+
+  test("table state survives process restart: new store loads persisted states (K1)") {
+    val dir = tmp("cdc-persist")
+    val sink = new CurrentStateSink(s"$dir/tables", _ => Seq("id"), 4)
+    val pipeline = mkPipeline(dir, sink)
+    pipeline.backfill(Seq(usersSchema), _ => (
+      Seq((1L, "a", 30)).toDF("id", "name", "age"), 7L))
+    pipeline.stateStore.upsertFlushLsn(42L)
+    assert(pipeline.stateStore.get(1L) == TableState.SyncDone(7L))
+
+    // "restart": a fresh pipeline over the same stateDir must see the
+    // persisted state (without this, gates drop all events silently)
+    val pipeline2 = mkPipeline(dir, sink)
+    assert(pipeline2.stateStore.get(1L) == TableState.SyncDone(7L))
+    assert(pipeline2.stateStore.lastFlushLsn == 42L)
+    val (allowed, gates) = pipeline2.stateStore.applyGates
+    assert(allowed == Set(1L) && gates == Map(1L -> 7L))
+  }
+
+  test("errored table recovers via retryErrored re-backfill (ST8 retry)") {
+    val dir = tmp("cdc-retry")
+    val sink = new CurrentStateSink(s"$dir/tables", _ => Seq("id"), 4)
+    val pipeline = mkPipeline(dir, sink)
+    // first attempt fails mid-copy
+    pipeline.backfill(Seq(usersSchema),
+      _ => throw new RuntimeException("copy blew up"))
+    pipeline.stateStore.get(1L) match {
+      case TableState.Errored(reason, _) => assert(reason.contains("blew up"))
+      case other => fail(s"expected Errored, got $other")
+    }
+    // retry restarts the copy (reference: retry = re-sync, not replay)
+    val retried = pipeline.retryErrored(Seq(usersSchema), _ => (
+      Seq((1L, "a", 30)).toDF("id", "name", "age"), 3L))
+    assert(retried == Seq(1L))
+    assert(pipeline.stateStore.get(1L) == TableState.SyncDone(3L))
+    assert(sink.read(spark, "users").count() == 1)
+    // healthy tables are not re-copied by retryErrored
+    assert(pipeline.retryErrored(Seq(usersSchema), _ => fail("should not run"))
+      .isEmpty)
   }
 
   test("kill/restart between micro-batches converges idempotently") {
