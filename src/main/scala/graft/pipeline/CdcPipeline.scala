@@ -193,7 +193,17 @@ final class CdcPipeline(
         .toMap
       val tablesInBatch = batchMeta.keys.map(_._1).toSeq.distinct.sorted
 
-      tablesInBatch.foreach { tableId =>
+      // Per-table apply runs CONCURRENTLY (bounded by the sync-worker
+      // budget): tables are independent streams in the reference too —
+      // sequencing matters only WITHIN a table, which each task preserves.
+      // Spark's scheduler interleaves the submitted jobs across the
+      // executor pool, so small tables no longer serialize behind big ones.
+      val applyPool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(config.maxTableSyncWorkers, tablesInBatch.size)))
+      implicit val applyEc: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(applyPool)
+      val applyFutures = tablesInBatch.map { tableId =>
+        scala.concurrent.Future {
         try {
           val tEvents = gated.filter(col("_table") === tableId &&
             col("_op") =!= "R")
@@ -254,7 +264,12 @@ final class CdcPipeline(
             stateStore.recordError(tableId, e.getMessage,
               RetryPolicy.TimedRetry())
         }
+        }
       }
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(applyFutures),
+        scala.concurrent.duration.Duration.Inf)
+      finally applyPool.shutdown()
       val maxLsn = cached.agg(max("_commit_lsn")).collect()(0).getLong(0)
       stateStore.upsertFlushLsn(maxLsn)
     } finally cached.unpersist()
