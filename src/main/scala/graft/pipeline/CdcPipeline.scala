@@ -286,9 +286,10 @@ object CdcPipeline {
   def jsonDecode(df: DataFrame, schema: TableSchemaV): DataFrame = {
     val st = schema.sparkSchema
     val payload = from_json(coalesce(col("after"), col("before")), st)
+    val meta = Seq(col("_op"), col("_commit_lsn"), col("_tx_ordinal")) ++
+      (if (df.columns.contains("_missing")) Seq(col("_missing")) else Nil)
     df.withColumn("_p", payload).select(
-      (st.fieldNames.map(f => col(s"_p.$f").as(f)) ++
-        Seq(col("_op"), col("_commit_lsn"), col("_tx_ordinal"))).toIndexedSeq: _*)
+      (st.fieldNames.map(f => col(s"_p.$f").as(f)) ++ meta).toIndexedSeq: _*)
   }
 
   /** Parse a Relation control record's schema payload — the analog of the

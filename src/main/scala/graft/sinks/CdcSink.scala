@@ -43,7 +43,12 @@ final class CurrentStateSink(rootDir: String, keysOf: String => Seq[String],
   override def writeTableRows(table: String, rows: DataFrame): Unit =
     tableFor(table).overwrite(rows)
 
-  /** Events arrive as flat payload + (_op, _commit_lsn, _tx_ordinal). */
+  /** Events arrive as flat payload + (_op, _commit_lsn, _tx_ordinal)
+    * and optionally `_missing` (comma-separated TOAST-unchanged column
+    * names). Rows are merged in per-missing-mask groups so each group's
+    * MERGE coalesces exactly its absent columns — the reference's
+    * column-pruned UPDATE SET per missing-mask group (SURVEY §7.5.4,
+    * bigquery/core.rs partial handling). */
   override def writeEvents(table: String, events: DataFrame): Unit = {
     val t = tableFor(table)
     val deduped = ApplyOps.lastWriterWins(events, t.keyCols,
@@ -54,7 +59,27 @@ final class CurrentStateSink(rootDir: String, keysOf: String => Seq[String],
       concat(lpad(lower(hex(col("_commit_lsn"))), 16, "0"), lit("/"),
              lpad(lower(hex(col("_tx_ordinal"))), 16, "0")))
       .drop("_commit_lsn", "_tx_ordinal")
-    t.merge(withSeq)
+    if (!withSeq.columns.contains("_missing")) { t.merge(withSeq); return }
+
+    // replay-filter ONCE here: the mask groups' sequence ranges
+    // interleave, so per-group filtering against the advancing mark
+    // would wrongly drop disjoint keys
+    val hw = t.readMeta().highWater
+    val fresh = (if (hw.isEmpty) withSeq
+                 else withSeq.filter(col("_seq") > lit(hw)))
+      .localCheckpoint(eager = false)
+    val masks = fresh.select("_missing").distinct()
+      .collect().map(r => Option(r.getString(0)).getOrElse(""))
+    // full rows first, then masked groups (keys are disjoint after the
+    // LWW dedup, so group order does not affect the final state)
+    masks.sortBy(_.length).foreach { mask =>
+      val group = fresh
+        .filter(coalesce(col("_missing"), lit("")) === mask)
+        .drop("_missing")
+      val cols = if (mask.isEmpty) Seq.empty[String]
+                 else mask.split(",").toSeq.filter(_.nonEmpty)
+      t.merge(group, cols, skipReplayFilter = true)
+    }
   }
 
   override def truncateTable(table: String): Unit = tableFor(table).truncate()

@@ -94,11 +94,20 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * current stored value (`coalesce(new, old)`), the column-pruned
     * `UPDATE SET` the DuckLake destination performs. Costs one extra
     * left join of the batch against the affected buckets. */
-  def merge(batch: DataFrame, coalesceCols: Seq[String]): Unit = {
+  def merge(batch: DataFrame, coalesceCols: Seq[String]): Unit =
+    merge(batch, coalesceCols, skipReplayFilter = false)
+
+  /** `skipReplayFilter = true` is for callers that already applied the
+    * high-water filter themselves (e.g. a sink splitting one deduped
+    * batch into per-missing-mask groups: the groups' sequence ranges
+    * interleave, so filtering group N against group N-1's advanced mark
+    * would wrongly drop disjoint keys). */
+  def merge(batch: DataFrame, coalesceCols: Seq[String],
+      skipReplayFilter: Boolean): Unit = {
     val spark = batch.sparkSession
     val meta = readMeta()
     // Idempotent-replay guard: drop events at or below the high-water mark.
-    val fresh0 = if (meta.highWater.isEmpty) batch
+    val fresh0 = if (skipReplayFilter || meta.highWater.isEmpty) batch
                  else batch.filter(col("_seq") > lit(meta.highWater))
     val fresh = fresh0.withColumn("_bucket", bucketExpr).cache()
     try {

@@ -55,16 +55,22 @@ object CdcLogSource {
     StructField("_tx_ordinal", LongType, nullable = false),
     StructField("_schema_lsn", LongType, nullable = false),
     StructField("before", StringType, nullable = true),
-    StructField("after", StringType, nullable = true)))
+    StructField("after", StringType, nullable = true),
+    // comma-separated names of columns ABSENT from `after` because the
+    // source emitted UnchangedToast (PartialTableRow, table_row.rs:68);
+    // null = full row
+    StructField("_missing", StringType, nullable = true)))
 
-  /** One change-log line: tab-separated envelope; `\N` = null payload. */
+  /** One change-log line: tab-separated envelope; `\N` = null payload.
+    * `missing` lists TOAST-unchanged column names absent from `after`. */
   def renderLine(op: String, table: Long, commitLsn: Long, startLsn: Long,
       txOrdinal: Long, schemaLsn: Long, before: Option[String],
-      after: Option[String]): String =
+      after: Option[String], missing: Seq[String] = Nil): String =
     Seq(commitLsn.toString, txOrdinal.toString, op, table.toString,
       startLsn.toString, schemaLsn.toString,
       before.getOrElse("\\N").replace("\t", " ").replace("\n", " "),
-      after.getOrElse("\\N").replace("\t", " ").replace("\n", " "))
+      after.getOrElse("\\N").replace("\t", " ").replace("\n", " "),
+      if (missing.isEmpty) "\\N" else missing.mkString(","))
       .mkString("\t")
 }
 
@@ -249,7 +255,10 @@ final class CdcLogReaderFactory extends PartitionReaderFactory {
           cur(1).toLong,                 // _tx_ordinal
           cur(5).toLong,                 // _schema_lsn
           str(cur(6)),                   // before
-          str(cur(7)))                   // after
+          str(cur(7)),                   // after
+          // 9th column optional: logs written before the TOAST-mask
+          // extension parse as full rows
+          if (cur.length > 8) str(cur(8)) else null) // _missing
       }
       override def close(): Unit = {}
     }

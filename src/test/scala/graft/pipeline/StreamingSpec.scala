@@ -208,6 +208,34 @@ class StreamingSpec extends SparkSpec {
     assert(pipeline.stateStore.lastFlushLsn == 9L)
   }
 
+  test("TOAST partial update in-stream: _missing mask preserves stored columns (ST6)") {
+    val dir = tmp("cdc-toast")
+    val log = s"$dir/wal.log"
+    val sink = new CurrentStateSink(s"$dir/tables", _ => Seq("id"), 4)
+    val pipeline = mkPipeline(dir, sink)
+    pipeline.backfill(Seq(usersSchema), _ => (
+      Seq((1L, "big-toast-name", 30), (2L, "b", 31)).toDF("id", "name", "age"),
+      0L))
+
+    appendLog(log, Seq(
+      // name column TOAST-unchanged: absent from after, listed in _missing
+      CdcLogSource.renderLine("U", 1L, 1L, 1L, 0L, 0L,
+        Some("""{"id":1}"""), Some("""{"id":1,"age":99}"""),
+        missing = Seq("name")),
+      // ordinary full update on id=2 sets name to a REAL null
+      CdcLogSource.renderLine("U", 1L, 2L, 2L, 0L, 0L,
+        Some("""{"id":2}"""), Some("""{"id":2,"name":null,"age":32}"""))))
+    val q = pipeline.startStream(log)
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = sink.read(spark, "users")
+      .as[(Long, Option[String], Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(1L) == ((Some("big-toast-name"), 99))) // preserved via mask
+    assert(rows(2L) == ((None, 32)))                   // real null written
+  }
+
   test("schema evolution mid-stream: Relation record adds a column (S5/D1)") {
     val dir = tmp("cdc-ddl")
     val log = s"$dir/wal.log"
