@@ -68,6 +68,27 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     spark.read.option("mergeSchema", "true").parquet(dataDir)
       .filter(col("_bucket").isin(buckets.map(Integer.valueOf): _*))
 
+  /** Point lookup: rows for one key, scanning ONLY the key's bucket
+    * (1/nBuckets of the table via partition pruning — the read-side
+    * payoff of the bucket layout; at 8192 buckets a key fetch touches
+    * one directory). `keyValues` aligns with `keyCols`. */
+  def lookup(spark: SparkSession, keyValues: Seq[Any]): DataFrame = {
+    require(keyValues.length == keyCols.length,
+      s"expected ${keyCols.length} key values, got ${keyValues.length}")
+    if (!exists || !Files.exists(Paths.get(dataDir)))
+      return spark.emptyDataFrame
+    // same hash the writer used → same bucket id
+    val bucket = spark.range(1)
+      .select(pmod(hash(keyValues.map(lit): _*), lit(nBuckets)).cast("int"))
+      .head().getInt(0)
+    keyCols.zip(keyValues).foldLeft(
+        spark.read.option("mergeSchema", "true").parquet(dataDir)
+          .filter(col("_bucket") === bucket)) {
+        case (df, (c, v)) => df.filter(col(c) === lit(v))
+      }
+      .drop("_bucket")
+  }
+
   // ----------------------------------------------------------------- write
   /** Full (re)load — snapshot backfill path (drop_table_for_copy + copy,
     * reference table_sync). */

@@ -102,6 +102,20 @@ class GraftTableSpec extends SparkSpec {
     assert(rows(3L) == ((None, 30)))                    // insert keeps null
   }
 
+  test("lookup scans only the key's bucket (point-read pruning)") {
+    val t = new GraftTable(tmp(), Seq("id"), nBuckets = 8)
+    t.overwrite((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val hit = t.lookup(spark, Seq(42L))
+    assert(hit.select("v").as[String].collect().toSeq == Seq("v42"))
+    // the executed scan reads exactly one of the 8 bucket files
+    val scan = hit.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+    hit.collect()
+    assert(scan.metrics("numFiles").value == 1)
+    // miss returns empty, still pruned
+    assert(t.lookup(spark, Seq(9999L)).isEmpty)
+  }
+
   test("compact merges crowded buckets to one file; vacuums stage dirs (D4 maintenance)") {
     val t = new GraftTable(tmp(), Seq("id"), nBuckets = 2)
     t.overwrite((1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"))
