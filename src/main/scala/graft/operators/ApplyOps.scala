@@ -108,6 +108,48 @@ object ApplyOps {
     untouched.unionByName(deletes).unionByName(upserts)
   }
 
+  /** Masked last-writer-wins (ST6 + A1 combined): resolve a batch that
+    * mixes full rows and TOAST-partial rows (per-row `maskCol` lists the
+    * columns ABSENT from that row) into one winner row per key with
+    * sequential-apply semantics:
+    *
+    *   - a masked column takes its value from the latest EARLIER in-batch
+    *     event that carried it (so a full update followed by a partial one
+    *     keeps the full update's value — plain LWW-then-coalesce would
+    *     wrongly resurrect the pre-batch stored value);
+    *   - a REAL null written by an unmasked row is preserved (distinct
+    *     from "absent": values are carried in 1-field struct wrappers, so
+    *     Some(null) ≠ None);
+    *   - the returned `_missing` column lists the columns STILL unresolved
+    *     for that key (no in-batch event carried them) — the caller
+    *     coalesces exactly those from storage.
+    *
+    * One shuffle + per-key sort (window), masked batches only. */
+  def maskedLastWriterWins(df: DataFrame, pkCols: Seq[String],
+      seqCols: Seq[String], payloadCols: Seq[String],
+      maskCol: String = "_missing"): DataFrame = {
+    val w = Window.partitionBy(pkCols.map(col): _*)
+      .orderBy(seqCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val maskArr = split(coalesce(col(maskCol), lit("")), ",")
+    val wrapped = payloadCols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(s"_w_$c",
+        when(array_contains(maskArr, c), lit(null))
+          .otherwise(struct(col(c).as("v"))))
+    }
+    val filled = payloadCols.foldLeft(wrapped) { (acc, c) =>
+      acc.withColumn(s"_w_$c", last(col(s"_w_$c"), ignoreNulls = true).over(w))
+    }
+    val winner = lastWriterWins(filled, pkCols, seqCols)
+    val unresolved = array_compact(array(payloadCols.map(c =>
+      when(col(s"_w_$c").isNull && col("_op") =!= "D", lit(c))): _*))
+    payloadCols.foldLeft(
+        winner.withColumn(maskCol,
+          when(size(unresolved) > 0, concat_ws(",", unresolved))))
+      { (acc, c) => acc.withColumn(c, col(s"_w_$c.v")) }
+      .drop(payloadCols.map(c => s"_w_$c"): _*)
+  }
+
   /** TOAST partial-row coalesce (ST6): updates may arrive with columns
     * missing (`UnchangedToast`); the applied value for a missing column is
     * the most recent present value, per key, in sequence order — the

@@ -128,9 +128,10 @@ final class CdcPipeline(
     * table ids retried. Call on a timer for TimedRetry semantics. */
   def retryErrored(schemas: Seq[TableSchemaV],
       snapshot: TableSchemaV => (DataFrame, Long)): Seq[Long] = {
-    val errored = stateStore.all.collect {
-      case (id, TableState.Errored(_, _)) => id }.toSet
-    val toRetry = schemas.filter(t => errored.contains(t.tableId))
+    // respect the stored policy + budget: auto-retry only TimedRetry
+    // tables with attempts remaining (ManualRetry/NoRetry need an
+    // operator; budget exhaustion must not re-truncate forever)
+    val toRetry = schemas.filter(t => stateStore.canAutoRetry(t.tableId))
     if (toRetry.nonEmpty) backfill(toRetry, snapshot)
     toRetry.map(_.tableId)
   }

@@ -146,6 +146,15 @@ final class TableStateStore(persistPath: Option[String] = None) {
   }
   def clearAttempts(tableId: Long): Unit = attempts.remove(tableId)
 
+  /** Whether an automatic retry is permitted: TimedRetry within its
+    * attempt budget only — ManualRetry/NoRetry tables need an operator
+    * (force the retry via backfill after transitioning to Init). */
+  def canAutoRetry(tableId: Long): Boolean = get(tableId) match {
+    case TableState.Errored(_, RetryPolicy.TimedRetry(_, maxA)) =>
+      attempts.getOrElse(tableId, 0) <= maxA
+    case _ => false
+  }
+
   /** Remove all state for a table no longer in the publication (S6 purge,
     * reference pipeline.rs:354-421). */
   def purge(tableId: Long): Unit = {
@@ -164,8 +173,9 @@ final class TableStateStore(persistPath: Option[String] = None) {
           case TableState.Catchup(l)  => s""","lsn":$l"""
           case TableState.SyncDone(l) => s""","lsn":$l"""
           case TableState.Errored(r, _) =>
-            s""","reason":"${r.replace("\\", " ").replace("\"", "'")
-              .replace("\n", " ")}""""
+            val safe = r.map(c =>
+              if (c == '\\' || c == '"' || c < ' ') ' ' else c)
+            s""","reason":"$safe""""
           case _ => ""
         }
         s"""{"table":$id,"state":"${s.name}"$extra}"""

@@ -51,36 +51,53 @@ final class CurrentStateSink(rootDir: String, keysOf: String => Seq[String],
     * bigquery/core.rs partial handling). */
   override def writeEvents(table: String, events: DataFrame): Unit = {
     val t = tableFor(table)
-    val deduped = ApplyOps.lastWriterWins(events, t.keyCols,
-      Seq("_commit_lsn", "_tx_ordinal"))
-    // lowercase to match SequenceKey.packedHex — mixed-case hex would
-    // corrupt lexicographic ordering ('a' > 'B')
-    val withSeq = deduped.withColumn("_seq",
-      concat(lpad(lower(hex(col("_commit_lsn"))), 16, "0"), lit("/"),
-             lpad(lower(hex(col("_tx_ordinal"))), 16, "0")))
-      .drop("_commit_lsn", "_tx_ordinal")
-    if (!withSeq.columns.contains("_missing")) { t.merge(withSeq); return }
+    val metaCols = Set("_op", "_commit_lsn", "_tx_ordinal", "_missing")
+    if (!events.columns.contains("_missing")) {
+      val deduped = ApplyOps.lastWriterWins(events, t.keyCols,
+        Seq("_commit_lsn", "_tx_ordinal"))
+      t.merge(seqed(deduped))
+      return
+    }
 
-    // replay-filter ONCE here: the mask groups' sequence ranges
-    // interleave, so per-group filtering against the advancing mark
-    // would wrongly drop disjoint keys
+    // Masked path: resolve in-batch sequential semantics FIRST (a full
+    // update followed by a partial one must keep the full update's
+    // values — plain LWW would drop the earlier row and wrongly coalesce
+    // from pre-batch storage), then merge per residual-mask group.
+    val payloadCols = events.columns
+      .filterNot(c => metaCols.contains(c) || t.keyCols.contains(c)).toSeq
+    val resolved = ApplyOps.maskedLastWriterWins(events, t.keyCols,
+      Seq("_commit_lsn", "_tx_ordinal"), payloadCols)
+    // replay-filter ONCE: group sequence ranges interleave
     val hw = t.readMeta().highWater
+    val withSeq = seqed(resolved)
     val fresh = (if (hw.isEmpty) withSeq
                  else withSeq.filter(col("_seq") > lit(hw)))
       .localCheckpoint(eager = false)
-    val masks = fresh.select("_missing").distinct()
-      .collect().map(r => Option(r.getString(0)).getOrElse(""))
-    // full rows first, then masked groups (keys are disjoint after the
-    // LWW dedup, so group order does not affect the final state)
-    masks.sortBy(_.length).foreach { mask =>
+    val stats = fresh.agg(max(col("_seq")),
+      collect_set(coalesce(col("_missing"), lit("")))).collect()(0)
+    if (stats.isNullAt(0)) return // full replay
+    val batchMax = stats.getString(0)
+    val masks = stats.getSeq[String](1)
+    masks.sorted.foreach { mask =>
       val group = fresh
         .filter(coalesce(col("_missing"), lit("")) === mask)
         .drop("_missing")
       val cols = if (mask.isEmpty) Seq.empty[String]
                  else mask.split(",").toSeq.filter(_.nonEmpty)
-      t.merge(group, cols, skipReplayFilter = true)
+      // hw advances only after ALL groups are durable (crash between
+      // groups + replay must redeliver the whole batch)
+      t.merge(group, cols, skipReplayFilter = true, advanceHw = false)
     }
+    t.advanceHighWater(batchMax)
   }
+
+  /** lowercase to match SequenceKey.packedHex — mixed-case hex would
+    * corrupt lexicographic ordering ('a' > 'B') */
+  private def seqed(df: DataFrame): DataFrame =
+    df.withColumn("_seq",
+      concat(lpad(lower(hex(col("_commit_lsn"))), 16, "0"), lit("/"),
+             lpad(lower(hex(col("_tx_ordinal"))), 16, "0")))
+      .drop("_commit_lsn", "_tx_ordinal")
 
   override def truncateTable(table: String): Unit = tableFor(table).truncate()
 
@@ -157,10 +174,23 @@ final class ChangelogSink(rootDir: String) extends CdcSink {
   def latest(spark: SparkSession, table: String, keyCols: Seq[String])
       : DataFrame = {
     val log = read(spark, table)
-    val deduped = ApplyOps.lastWriterWins(log, keyCols,
-      Seq("sequence_number"))
-    deduped.filter(col("cdc_operation") =!= "D")
-      .drop("cdc_operation", "sequence_number")
+    if (log.columns.contains("_missing")) {
+      // TOAST-masked rows: resolve masked columns from earlier changes of
+      // the same key (sequential semantics over the whole log)
+      val payloadCols = log.columns.filterNot(c =>
+        keyCols.contains(c) || c == "cdc_operation" ||
+          c == "sequence_number" || c == "_missing").toSeq
+      val resolved = ApplyOps.maskedLastWriterWins(
+        log.withColumnRenamed("cdc_operation", "_op"),
+        keyCols, Seq("sequence_number"), payloadCols)
+      resolved.filter(col("_op") =!= "D")
+        .drop("_op", "sequence_number", "_missing")
+    } else {
+      val deduped = ApplyOps.lastWriterWins(log, keyCols,
+        Seq("sequence_number"))
+      deduped.filter(col("cdc_operation") =!= "D")
+        .drop("cdc_operation", "sequence_number")
+    }
   }
 }
 

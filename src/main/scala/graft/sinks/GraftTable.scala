@@ -77,14 +77,17 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       s"expected ${keyCols.length} key values, got ${keyValues.length}")
     if (!exists || !Files.exists(Paths.get(dataDir)))
       return spark.emptyDataFrame
-    // same hash the writer used → same bucket id
+    // same hash the writer used → same bucket id; lit() must be CAST to
+    // the STORED column type (hash(42L: long) != hash(42: int))
+    val base = spark.read.option("mergeSchema", "true").parquet(dataDir)
+    val types = base.schema.fields.map(f => f.name -> f.dataType).toMap
+    val typedLits = keyCols.zip(keyValues).map { case (c, v) =>
+      lit(v).cast(types(c)) }
     val bucket = spark.range(1)
-      .select(pmod(hash(keyValues.map(lit): _*), lit(nBuckets)).cast("int"))
+      .select(pmod(hash(typedLits: _*), lit(nBuckets)).cast("int"))
       .head().getInt(0)
-    keyCols.zip(keyValues).foldLeft(
-        spark.read.option("mergeSchema", "true").parquet(dataDir)
-          .filter(col("_bucket") === bucket)) {
-        case (df, (c, v)) => df.filter(col(c) === lit(v))
+    keyCols.zip(typedLits).foldLeft(base.filter(col("_bucket") === bucket)) {
+        case (df, (c, v)) => df.filter(col(c) === v)
       }
       .drop("_bucket")
   }
@@ -124,7 +127,16 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * interleave, so filtering group N against group N-1's advanced mark
     * would wrongly drop disjoint keys). */
   def merge(batch: DataFrame, coalesceCols: Seq[String],
-      skipReplayFilter: Boolean): Unit = {
+      skipReplayFilter: Boolean): Unit =
+    merge(batch, coalesceCols, skipReplayFilter, advanceHw = true)
+
+  /** `advanceHw = false` defers the high-water advance to the caller
+    * (see [[advanceHighWater]]): a sink applying one batch as several
+    * merge groups must move the mark only after ALL groups are durable,
+    * or a crash between groups + checkpoint replay would filter the
+    * unapplied groups out forever. */
+  def merge(batch: DataFrame, coalesceCols: Seq[String],
+      skipReplayFilter: Boolean, advanceHw: Boolean): Unit = {
     val spark = batch.sparkSession
     val meta = readMeta()
     // Idempotent-replay guard: drop events at or below the high-water mark.
@@ -144,7 +156,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
           .repartition(nBuckets, col("_bucket"))
           .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
           .parquet(dataDir)
-        writeMeta(Meta(newHigh))
+        if (advanceHw) writeMeta(Meta(newHigh)) else writeMeta(meta)
         return
       }
 
@@ -184,10 +196,21 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
           Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
       }
       deleteRecursively(Paths.get(stage))
-      val hw = if (meta.highWater.isEmpty || newHigh > meta.highWater) newHigh
-               else meta.highWater
-      writeMeta(Meta(hw))
+      if (advanceHw) {
+        val hw = if (meta.highWater.isEmpty || newHigh > meta.highWater) newHigh
+                 else meta.highWater
+        writeMeta(Meta(hw))
+      }
     } finally fresh.unpersist()
+  }
+
+  /** Monotonically advance the replay high-water mark (used with
+    * `merge(..., advanceHw = false)` once every group of a batch is
+    * durable). */
+  def advanceHighWater(seq: String): Unit = {
+    val meta = readMeta()
+    if (meta.highWater.isEmpty || seq > meta.highWater)
+      writeMeta(Meta(seq))
   }
 
   /** Maintenance: compact buckets whose file count exceeds `maxFiles`
@@ -198,9 +221,20 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * returns the bucket ids compacted. */
   def compact(spark: SparkSession, maxFiles: Int = 4): Seq[Int] = {
     import scala.jdk.CollectionConverters._
-    // vacuum crashed stage dirs
     val rootPath = Paths.get(root)
     if (Files.exists(rootPath)) {
+      // crash recovery FIRST: a .old-<b> dir whose live bucket is missing
+      // holds the only copy (crash between the swap moves) — restore it
+      Files.list(rootPath).iterator().asScala
+        .filter(_.getFileName.toString.startsWith(".old-"))
+        .toSeq.foreach { old =>
+          val b = old.getFileName.toString.stripPrefix(".old-")
+          val live = Paths.get(dataDir, s"_bucket=$b")
+          if (!Files.exists(live)) Files.move(old, live)
+          else deleteRecursively(old)
+        }
+      // then vacuum crashed stage dirs (never the sole copy: the live
+      // bucket is deleted only after its replacement is in place)
       Files.list(rootPath).iterator().asScala
         .filter(_.getFileName.toString.startsWith(".stage-"))
         .toSeq.foreach(deleteRecursively)
@@ -219,15 +253,16 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       val df = spark.read.option("mergeSchema", "true").parquet(dir.toString)
       val stage = Paths.get(root, s".stage-compact-$b")
       df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage.toString)
-      deleteRecursively(dir)
-      // move data files only (skip _SUCCESS)
-      Files.createDirectories(dir)
+      // strip non-data files from the stage, then SWAP: old dir aside,
+      // stage in, old dir deleted last — no window where the data exists
+      // only in a vacuum-eligible location
       Files.list(stage).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .toSeq.foreach { f =>
-          Files.move(f, dir.resolve(f.getFileName), StandardCopyOption.ATOMIC_MOVE)
-        }
-      deleteRecursively(stage)
+        .filterNot(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.foreach(Files.deleteIfExists(_))
+      val old = Paths.get(root, s".old-$b")
+      Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(stage, dir, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(old)
     }
     crowded
   }

@@ -100,6 +100,29 @@ class ApplyOpsSpec extends SparkSpec {
     assert(hotOut == Seq("v1000"))
   }
 
+  test("maskedLastWriterWins: sequential semantics for mixed full/partial rows") {
+    // key 1: full update then partial (name masked) — name must come
+    // from the SAME-batch full update, not pre-batch storage;
+    // key 2: a real null written by an unmasked row is preserved;
+    // key 3: only masked rows → column unresolved → residual mask
+    val ev2 = Seq(
+      (1L, 1L, "I", Option("new"), 30, Option.empty[String]),
+      (1L, 2L, "U", Option.empty[String], 31, Option("name")),
+      (2L, 1L, "I", Option("x"), 40, Option.empty[String]),
+      (2L, 2L, "U", Option.empty[String], 41, Option.empty[String]),
+      (3L, 1L, "U", Option.empty[String], 50, Option("name"))
+    ).toDF("pk", "_commit_lsn", "_op", "name", "age", "_missing")
+      .withColumn("_tx_ordinal", lit(0L))
+    val out = ApplyOps.maskedLastWriterWins(ev2, Seq("pk"),
+      Seq("_commit_lsn", "_tx_ordinal"), Seq("name", "age"))
+      .select("pk", "name", "age", "_missing")
+      .as[(Long, Option[String], Int, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((Some("new"), 31, None)))  // filled from in-batch full row
+    assert(out(2L) == ((None, 41, None)))          // real null kept, no mask
+    assert(out(3L) == ((None, 50, Some("name")))) // still missing → residual mask
+  }
+
   test("typed LwwAggregator agrees with the DataFrame max_by path (§2.9)") {
     import graft.core.SequenceKey
     import graft.operators.ApplyOpsSpec.Ev
