@@ -120,26 +120,27 @@ object Similarity {
       val cDf = centroidDf(centroids)
       val assigned = nearestList(col(cVec), cDf, 1)(
         corpus.select(col(cId), col(cVec)))
+      // distributive per-dimension mean: the driver receives k×d sums,
+      // never the corpus vectors. Summing in DECIMAL keeps the fold
+      // order-independent (float addition is not associative), so
+      // centroids are bit-identical on any cluster/partition layout.
       val next = assigned
-        .withColumn("_v", transform(col(cVec), x => x.cast("double")))
-        .groupBy("list_id")
-        .agg(count(lit(1)).as("_n"), array_agg(col("_v")).as("_vs"))
+        .select(col("list_id"),
+          posexplode(transform(col(cVec),
+            x => x.cast("double").cast("decimal(28,12)"))))
+        .groupBy("list_id", "pos")
+        .agg(sum(col("col")).as("_s"), count(lit(1)).as("_n"))
         .collect()
-      // mean per list on the driver (k lists × d dims — metadata-sized);
       // lists that lost all members keep their previous centroid
-      val updated = centroids.clone()
+      val updated = centroids.map(_.clone())
+      val counts = scala.collection.mutable.Map.empty[Int, Long]
       next.foreach { r =>
         val li = r.getInt(0)
-        // sort members before summing: array_agg order depends on the
-        // partition layout, and float addition isn't associative — the
-        // sorted fold makes centroids bit-identical on any cluster
-        val vs = r.getSeq[scala.collection.Seq[Double]](2)
-          .sortBy(_.mkString(","))
-        val d = vs.head.length
-        val mean = new Array[Double](d)
-        vs.foreach(v => (0 until d).foreach(j => mean(j) += v(j)))
-        (0 until d).foreach(j => mean(j) /= vs.length)
-        updated(li) = mean
+        val pos = r.getInt(1)
+        val s = r.getDecimal(2)
+        val n = r.getLong(3)
+        counts(li) = n
+        updated(li)(pos) = s.doubleValue() / n
       }
       centroids = updated
     }

@@ -157,6 +157,27 @@ class GraftTableSpec extends SparkSpec {
       == "after-compact")
   }
 
+  test("ChangelogSink latest view resolves TOAST masks over the log") {
+    val sink = new ChangelogSink(tmp())
+    def ev(rows: (Long, Option[String], Int, String, Long, Option[String])*) =
+      rows.toDF("id", "name", "age", "_op", "_commit_lsn", "_missing")
+        .withColumn("_tx_ordinal", lit(0L))
+    sink.writeEvents("t", ev(
+      (1L, Some("full-name"), 30, "I", 1L, None),
+      (2L, Some("x"), 40, "I", 1L, None)))
+    sink.writeEvents("t", ev(
+      // name TOAST-unchanged in a later update → latest keeps full-name
+      (1L, None, 31, "U", 2L, Some("name")),
+      // real null write for key 2 (unmasked)
+      (2L, None, 41, "U", 2L, None)))
+    val out = sink.latest(spark, "t", Seq("id"))
+      .select("id", "name", "age")
+      .as[(Long, Option[String], Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((Some("full-name"), 31)))
+    assert(out(2L) == ((None, 41)))
+  }
+
   test("ChangelogSink appends with op+seq; latest view dedups; replay no-op") {
     val dir = tmp()
     val sink = new ChangelogSink(dir)
