@@ -26,6 +26,8 @@ object SparkEntry {
     "sessionize" -> (MoreQueries.sessionize _),
     "s1_snapshot_scan" -> (CoreQueries.snapshotScan _),
     "st5_window_hourly" -> (CoreQueries.windowHourly _),
+    "window_analytics" -> (AnalyticQueries.windowAnalytics _),
+    "setops" -> (AnalyticQueries.setOps _),
     // CDC semantics (SURVEY §2.2, §2.4, §2.6; events table = WAL role)
     "p4_route" -> (CdcQueries.route _),
     "a1_lww_dedup" -> (CdcQueries.lwwDedup _),
@@ -69,6 +71,8 @@ object SparkEntry {
     "sessionize" -> MoreQueries.sessionizeSql,
     "s1_snapshot_scan" -> CoreQueries.snapshotScanSql,
     "st5_window_hourly" -> CoreQueries.windowHourlySql,
+    "window_analytics" -> AnalyticQueries.windowAnalyticsSql,
+    "setops" -> AnalyticQueries.setOpsSql,
     "p4_route" -> CdcQueries.routeSql,
     "a1_lww_dedup" -> CdcQueries.lwwDedupSql,
     "j1_pk_change" -> CdcQueries.pkChangeSql,

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Window-function and set-operation coverage (SURVEY §2.5 — absent in
+  * the reference, Spark built-ins in this engine; declared here so the
+  * inventory check sees them exercised against oracles). */
+object AnalyticQueries {
+  private def dec92(c: String) = col(c).cast(DecimalType(9, 2))
+
+  /** Ranking + lag + running sum per supplier over the shipment timeline.
+    * Ordering carries a full unique tie-break (shipdate, orderkey,
+    * linenumber) so every window value is deterministic. */
+  def windowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 45) // keep output bounded
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        row_number().over(w).as("rn"),
+        lag(col("l_orderkey"), 1).over(w).as("prev_order"),
+        sum(dec92("l_quantity")).over(running).cast(DoubleType)
+          .as("running_qty"))
+      .orderBy("l_suppkey", "rn")
+  }
+
+  val windowAnalyticsSql: String = """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+      ROW_NUMBER() OVER w AS rn,
+      LAG(l_orderkey, 1) OVER w AS prev_order,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) OVER (
+        PARTITION BY l_suppkey
+        ORDER BY l_shipdate, l_orderkey, l_linenumber
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS running_qty
+    FROM lineitem
+    WHERE l_quantity >= 45
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    ORDER BY l_suppkey, rn"""
+
+  /** UNION / INTERSECT / EXCEPT with set semantics: order keys that have
+    * lineitems vs. orders in a status slice. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val liKeys = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("k"))
+    val orderKeys = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("k"))
+    val u = liKeys.union(orderKeys).distinct().count()
+    val i = liKeys.intersect(orderKeys).count()
+    val e = orderKeys.except(liKeys).count()
+    import spark.implicits._
+    Seq((u, i, e)).toDF("n_union", "n_intersect", "n_except")
+  }
+
+  val setOpsSql: String = """
+    SELECT
+      (SELECT COUNT(*) FROM (
+        SELECT l_orderkey AS k FROM lineitem
+        UNION
+        SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')) AS n_union,
+      (SELECT COUNT(*) FROM (
+        SELECT l_orderkey AS k FROM lineitem
+        INTERSECT
+        SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')) AS n_intersect,
+      (SELECT COUNT(*) FROM (
+        SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT l_orderkey FROM lineitem)) AS n_except"""
+}
