@@ -133,13 +133,11 @@ object Similarity {
         .collect()
       // lists that lost all members keep their previous centroid
       val updated = centroids.map(_.clone())
-      val counts = scala.collection.mutable.Map.empty[Int, Long]
       next.foreach { r =>
         val li = r.getInt(0)
         val pos = r.getInt(1)
         val s = r.getDecimal(2)
         val n = r.getLong(3)
-        counts(li) = n
         updated(li)(pos) = s.doubleValue() / n
       }
       centroids = updated

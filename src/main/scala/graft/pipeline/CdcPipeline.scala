@@ -79,10 +79,18 @@ final class CdcPipeline(
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val futures = tables.map { t =>
       scala.concurrent.Future {
-        try {
-          // normalize to Init first: Errored tables re-enter via the legal
-          // Errored→Init edge; interrupted copies roll back (crash
-          // re-copy, table_sync/mod.rs:168-180)
+        // already-synced tables SKIP the copy (the reference only
+        // table-syncs states ∈ {Init, DataSync, FinishedCopy},
+        // mod.rs:168-180) — a routine restart re-running static
+        // backfill config must not re-truncate a Ready table
+        val alreadySynced = stateStore.get(t.tableId) match {
+          case TableState.SyncWait(_) | TableState.Catchup(_) |
+              TableState.SyncDone(_) | TableState.Ready => true
+          case _ => false
+        }
+        if (!alreadySynced) try {
+          // Errored tables re-enter via the legal Errored→Init edge;
+          // interrupted copies roll back (crash re-copy)
           stateStore.get(t.tableId) match {
             case TableState.Errored(_, _) | TableState.DataSync |
                 TableState.FinishedCopy =>

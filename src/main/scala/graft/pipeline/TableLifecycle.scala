@@ -88,8 +88,10 @@ final class TableStateStore(persistPath: Option[String] = None) {
           // (reference table_sync/mod.rs:168-180)
           case "data_sync"     => TableState.Init
           case "finished_copy" => TableState.Init
-          case "sync_wait"     => TableState.SyncWait(lsn)
-          case "catchup"       => TableState.Catchup(lsn)
+          // pre-handoff states also roll back: the handoff is lost with
+          // the process, and no post-restart path advances them
+          case "sync_wait"     => TableState.Init
+          case "catchup"       => TableState.Init
           case "sync_done"     => TableState.SyncDone(lsn)
           case "ready"         => TableState.Ready
           case "skipped"       => TableState.Skipped

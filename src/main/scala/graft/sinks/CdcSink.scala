@@ -52,8 +52,14 @@ final class CurrentStateSink(rootDir: String, keysOf: String => Seq[String],
   override def writeEvents(table: String, events: DataFrame): Unit = {
     val t = tableFor(table)
     val metaCols = Set("_op", "_commit_lsn", "_tx_ordinal", "_missing")
-    if (!events.columns.contains("_missing")) {
-      val deduped = ApplyOps.lastWriterWins(events, t.keyCols,
+    // fast path when the batch carries no actual masks (the stream schema
+    // always HAS the column; it is almost always all-null) — the masked
+    // path costs per-key window sorts the hot path must not pay
+    val hasMasks = events.columns.contains("_missing") &&
+      !events.filter(col("_missing").isNotNull).isEmpty
+    if (!hasMasks) {
+      val deduped = ApplyOps.lastWriterWins(
+        events.drop("_missing"), t.keyCols,
         Seq("_commit_lsn", "_tx_ordinal"))
       t.merge(seqed(deduped))
       return
@@ -71,24 +77,25 @@ final class CurrentStateSink(rootDir: String, keysOf: String => Seq[String],
     val hw = t.readMeta().highWater
     val withSeq = seqed(resolved)
     val fresh = (if (hw.isEmpty) withSeq
-                 else withSeq.filter(col("_seq") > lit(hw)))
-      .localCheckpoint(eager = false)
-    val stats = fresh.agg(max(col("_seq")),
-      collect_set(coalesce(col("_missing"), lit("")))).collect()(0)
-    if (stats.isNullAt(0)) return // full replay
-    val batchMax = stats.getString(0)
-    val masks = stats.getSeq[String](1)
-    masks.sorted.foreach { mask =>
-      val group = fresh
-        .filter(coalesce(col("_missing"), lit("")) === mask)
-        .drop("_missing")
-      val cols = if (mask.isEmpty) Seq.empty[String]
-                 else mask.split(",").toSeq.filter(_.nonEmpty)
-      // hw advances only after ALL groups are durable (crash between
-      // groups + replay must redeliver the whole batch)
-      t.merge(group, cols, skipReplayFilter = true, advanceHw = false)
-    }
-    t.advanceHighWater(batchMax)
+                 else withSeq.filter(col("_seq") > lit(hw))).cache()
+    try {
+      val stats = fresh.agg(max(col("_seq")),
+        collect_set(coalesce(col("_missing"), lit("")))).collect()(0)
+      if (stats.isNullAt(0)) return // full replay
+      val batchMax = stats.getString(0)
+      val masks = stats.getSeq[String](1)
+      masks.sorted.foreach { mask =>
+        val group = fresh
+          .filter(coalesce(col("_missing"), lit("")) === mask)
+          .drop("_missing")
+        val cols = if (mask.isEmpty) Seq.empty[String]
+                   else mask.split(",").toSeq.filter(_.nonEmpty)
+        // hw advances only after ALL groups are durable (crash between
+        // groups + replay must redeliver the whole batch)
+        t.merge(group, cols, skipReplayFilter = true, advanceHw = false)
+      }
+      t.advanceHighWater(batchMax)
+    } finally fresh.unpersist()
   }
 
   /** lowercase to match SequenceKey.packedHex — mixed-case hex would
@@ -166,7 +173,9 @@ final class ChangelogSink(rootDir: String) extends CdcSink {
   }
 
   def read(spark: SparkSession, table: String): DataFrame =
-    spark.read.parquet(dir(table))
+    // mergeSchema: backfill files lack the optional _missing column that
+    // streamed files carry; footer-picking would otherwise drop it
+    spark.read.option("mergeSchema", "true").parquet(dir(table))
 
   /** The `latest` current-state view over the changelog (reference: the
     * ClickHouse ReplacingMergeTree FINAL / view pattern,

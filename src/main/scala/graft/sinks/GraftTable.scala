@@ -58,11 +58,32 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
 
   private def bucketExpr = pmod(hash(keyCols.map(col): _*), lit(nBuckets))
 
+  /** Crash recovery for interrupted bucket swaps (merge/compact move the
+    * live dir to .old-<b> before installing the replacement): a .old
+    * whose live bucket is missing holds the only copy — restore it.
+    * Called before EVERY data access, not just maintenance, so a merge
+    * racing a crashed compact cannot rebuild the bucket from nothing. */
+  private def recoverOrphanedBuckets(): Unit = {
+    val rootPath = Paths.get(root)
+    if (!Files.exists(rootPath)) return
+    import scala.jdk.CollectionConverters._
+    Files.list(rootPath).iterator().asScala
+      .filter(_.getFileName.toString.startsWith(".old-"))
+      .toSeq.foreach { old =>
+        val b = old.getFileName.toString.stripPrefix(".old-")
+        val live = Paths.get(dataDir, s"_bucket=$b")
+        if (!Files.exists(live)) Files.move(old, live)
+        else deleteRecursively(old)
+      }
+  }
+
   // ------------------------------------------------------------------ read
-  def read(spark: SparkSession): DataFrame =
+  def read(spark: SparkSession): DataFrame = {
+    recoverOrphanedBuckets()
     if (!exists || !Files.exists(Paths.get(dataDir))) spark.emptyDataFrame
     else spark.read.option("mergeSchema", "true").parquet(dataDir)
       .drop("_bucket")
+  }
 
   private def readBuckets(spark: SparkSession, buckets: Seq[Int]): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(dataDir)
@@ -75,6 +96,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   def lookup(spark: SparkSession, keyValues: Seq[Any]): DataFrame = {
     require(keyValues.length == keyCols.length,
       s"expected ${keyCols.length} key values, got ${keyValues.length}")
+    recoverOrphanedBuckets()
     if (!exists || !Files.exists(Paths.get(dataDir)))
       return spark.emptyDataFrame
     // same hash the writer used → same bucket id; lit() must be CAST to
@@ -138,6 +160,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   def merge(batch: DataFrame, coalesceCols: Seq[String],
       skipReplayFilter: Boolean, advanceHw: Boolean): Unit = {
     val spark = batch.sparkSession
+    recoverOrphanedBuckets()
     val meta = readMeta()
     // Idempotent-replay guard: drop events at or below the high-water mark.
     val fresh0 = if (skipReplayFilter || meta.highWater.isEmpty) batch
@@ -188,12 +211,18 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       merged.repartition(math.min(nBuckets, buckets.size), col("_bucket"))
         .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
         .parquet(stage)
+      // swap order: live aside → replacement in → old deleted LAST, so
+      // no window leaves a bucket's only copy in a vacuum-eligible dir;
+      // crashes recover via recoverOrphanedBuckets + hw-gated replay
       buckets.foreach { b =>
         val dst = Paths.get(dataDir, s"_bucket=$b")
         val src = Paths.get(stage, s"_bucket=$b")
-        deleteRecursively(dst)
+        val old = Paths.get(root, s".old-$b")
+        if (Files.exists(dst))
+          Files.move(dst, old, StandardCopyOption.ATOMIC_MOVE)
         if (Files.exists(src))
           Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(old)
       }
       deleteRecursively(Paths.get(stage))
       if (advanceHw) {
@@ -221,20 +250,12 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * returns the bucket ids compacted. */
   def compact(spark: SparkSession, maxFiles: Int = 4): Seq[Int] = {
     import scala.jdk.CollectionConverters._
+    recoverOrphanedBuckets()
     val rootPath = Paths.get(root)
     if (Files.exists(rootPath)) {
-      // crash recovery FIRST: a .old-<b> dir whose live bucket is missing
-      // holds the only copy (crash between the swap moves) — restore it
-      Files.list(rootPath).iterator().asScala
-        .filter(_.getFileName.toString.startsWith(".old-"))
-        .toSeq.foreach { old =>
-          val b = old.getFileName.toString.stripPrefix(".old-")
-          val live = Paths.get(dataDir, s"_bucket=$b")
-          if (!Files.exists(live)) Files.move(old, live)
-          else deleteRecursively(old)
-        }
-      // then vacuum crashed stage dirs (never the sole copy: the live
-      // bucket is deleted only after its replacement is in place)
+      // vacuum crashed stage dirs (never the sole copy: a live bucket is
+      // sidelined to .old-<b> before its replacement is installed, and
+      // recoverOrphanedBuckets has just restored any orphans)
       Files.list(rootPath).iterator().asScala
         .filter(_.getFileName.toString.startsWith(".stage-"))
         .toSeq.foreach(deleteRecursively)

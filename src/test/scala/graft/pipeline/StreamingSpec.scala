@@ -162,6 +162,27 @@ class StreamingSpec extends SparkSpec {
     assert(allowed == Set(1L) && gates == Map(1L -> 7L))
   }
 
+  test("restart re-running static backfill config skips already-synced tables") {
+    val dir = tmp("cdc-rebf")
+    val sink = new CurrentStateSink(s"$dir/tables", _ => Seq("id"), 4)
+    val pipeline = mkPipeline(dir, sink)
+    pipeline.backfill(Seq(usersSchema), _ => (
+      Seq((1L, "a", 30)).toDF("id", "name", "age"), 5L))
+    // post-backfill change applied through the sink
+    sink.writeEvents("users",
+      Seq((2L, "b", 31, "I", 9L, 0L))
+        .toDF("id", "name", "age", "_op", "_commit_lsn", "_tx_ordinal"))
+
+    // "restart": fresh pipeline reloads SyncDone state; re-running the
+    // same backfill config must NOT re-truncate or error the table
+    val pipeline2 = mkPipeline(dir, sink)
+    pipeline2.backfill(Seq(usersSchema),
+      _ => fail("snapshot must not be re-read for a synced table"))
+    assert(pipeline2.stateStore.get(1L) == TableState.SyncDone(5L))
+    // the post-backfill row survived (no truncate happened)
+    assert(sink.read(spark, "users").count() == 2)
+  }
+
   test("errored table recovers via retryErrored re-backfill (ST8 retry)") {
     val dir = tmp("cdc-retry")
     val sink = new CurrentStateSink(s"$dir/tables", _ => Seq("id"), 4)
