@@ -86,6 +86,7 @@ object Replicator {
         (spark.read.parquet(paths(t.tableName)), 0L))
     }
 
+    val metrics = new graft.pipeline.PipelineMetrics(spark)
     val query = pipeline.startStream(get("source.log", s"$work/wal.log"))
     sys.addShutdownHook { // graceful drain (ST9)
       try { query.stop(); sink.shutdown() } catch { case _: Throwable => () }
@@ -95,6 +96,8 @@ object Replicator {
       query.stop()
       sink.shutdown()
     } else query.awaitTermination()
+    metrics.report(s"$work/metrics.json")
+    metrics.detach()
     // no spark.stop(): under spark-submit the JVM exit stops the context;
     // under tests the session is shared with the harness
   }

@@ -168,9 +168,11 @@ final class CdcPipeline(
     * driver-side control flow over METADATA (table list), while all row
     * work stays distributed. */
   private[pipeline] def applyBatch(batch: DataFrame, batchId: Long): Unit = {
-    if (batch.isEmpty) return
+    // cache BEFORE the emptiness probe: isEmpty on the raw frame would
+    // scan the source once for its single row and again for the cache fill
     val cached = batch.cache()
     try {
+      if (cached.isEmpty) return
       // DDL capture (S5): Relation control records carry the new schema
       // version; register them FIRST so same-batch data at the new
       // _schema_lsn decodes against it (the reference's

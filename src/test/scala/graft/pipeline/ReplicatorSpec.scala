@@ -71,6 +71,12 @@ class ReplicatorSpec extends SparkSpec {
       .parquet(s"$work/tables/users/data")
       .select("id", "name").as[(Long, String)].collect().toSet
     assert(out == Set((1L, "a2"), (3L, "c")))
+
+    // metrics report written on drain (the bench-report analog)
+    val metrics = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$work/metrics.json")))
+    assert(metrics.contains("\"rows\":3"), metrics)
+    assert(metrics.contains("\"eventsPerSecond\""), metrics)
   }
 }
 
