@@ -167,8 +167,9 @@ final class ChangelogSink(rootDir: String) extends CdcSink {
     val p = Paths.get(dir(table))
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => Files.deleteIfExists(f))
+      val st = Files.walk(p)
+      val all = try st.iterator().asScala.toVector finally st.close()
+      all.reverse.foreach(f => Files.deleteIfExists(f))
     }
   }
 

@@ -58,6 +58,24 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
 
   private def bucketExpr = pmod(hash(keyCols.map(col): _*), lit(nBuckets))
 
+  /** Files.list/walk return streams holding an open fd — close them
+    * (recovery runs on EVERY data access; leaking here exhausts fds in a
+    * long-running stream). */
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val st = Files.list(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.toVector
+    } finally st.close()
+  }
+  private def walkDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val st = Files.walk(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.toVector
+    } finally st.close()
+  }
+
   /** Crash recovery for interrupted bucket swaps (merge/compact move the
     * live dir to .old-<b> before installing the replacement): a .old
     * whose live bucket is missing holds the only copy — restore it.
@@ -66,10 +84,9 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   private def recoverOrphanedBuckets(): Unit = {
     val rootPath = Paths.get(root)
     if (!Files.exists(rootPath)) return
-    import scala.jdk.CollectionConverters._
-    Files.list(rootPath).iterator().asScala
+    listDir(rootPath)
       .filter(_.getFileName.toString.startsWith(".old-"))
-      .toSeq.foreach { old =>
+      .foreach { old =>
         val b = old.getFileName.toString.stripPrefix(".old-")
         val live = Paths.get(dataDir, s"_bucket=$b")
         if (!Files.exists(live)) Files.move(old, live)
@@ -249,26 +266,24 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * external_maintenance.rs). Runs as a periodic batch job at scale;
     * returns the bucket ids compacted. */
   def compact(spark: SparkSession, maxFiles: Int = 4): Seq[Int] = {
-    import scala.jdk.CollectionConverters._
     recoverOrphanedBuckets()
     val rootPath = Paths.get(root)
     if (Files.exists(rootPath)) {
       // vacuum crashed stage dirs (never the sole copy: a live bucket is
       // sidelined to .old-<b> before its replacement is installed, and
       // recoverOrphanedBuckets has just restored any orphans)
-      Files.list(rootPath).iterator().asScala
+      listDir(rootPath)
         .filter(_.getFileName.toString.startsWith(".stage-"))
-        .toSeq.foreach(deleteRecursively)
+        .foreach(deleteRecursively)
     }
     if (!Files.exists(Paths.get(dataDir))) return Seq.empty
-    val crowded = Files.list(Paths.get(dataDir)).iterator().asScala
+    val crowded = listDir(Paths.get(dataDir))
       .filter(_.getFileName.toString.startsWith("_bucket="))
       .filter { d =>
-        Files.list(d).iterator().asScala
-          .count(_.getFileName.toString.endsWith(".parquet")) > maxFiles
+        listDir(d).count(_.getFileName.toString.endsWith(".parquet")) > maxFiles
       }
       .map(_.getFileName.toString.stripPrefix("_bucket=").toInt)
-      .toSeq.sorted
+      .sorted
     crowded.foreach { b =>
       val dir = Paths.get(dataDir, s"_bucket=$b")
       val df = spark.read.option("mergeSchema", "true").parquet(dir.toString)
@@ -277,9 +292,9 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       // strip non-data files from the stage, then SWAP: old dir aside,
       // stage in, old dir deleted last — no window where the data exists
       // only in a vacuum-eligible location
-      Files.list(stage).iterator().asScala
+      listDir(stage)
         .filterNot(_.getFileName.toString.endsWith(".parquet"))
-        .toSeq.foreach(Files.deleteIfExists(_))
+        .foreach(Files.deleteIfExists(_))
       val old = Paths.get(root, s".old-$b")
       Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
       Files.move(stage, dir, StandardCopyOption.ATOMIC_MOVE)
@@ -297,9 +312,5 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => Files.deleteIfExists(f))
-    }
+    if (Files.exists(p)) walkDir(p).reverse.foreach(Files.deleteIfExists(_))
 }
