@@ -199,10 +199,15 @@ object ApplyOps {
   }
 
   /** Backfill↔stream gate (ST4): a table in `SyncDone(snapshotLsn)` only
-    * receives streamed events with `commit_lsn > snapshotLsn` — changes at
-    * or before the snapshot are already in the copied data
-    * (reference apply.rs:2844-2867; SURVEY §7.5.5 calls this the
-    * correctness heart). `gates` maps table id → snapshot LSN; tables
+    * receives streamed events with `commit_lsn >= snapshotLsn`
+    * (reference apply.rs:2847 applies events while `lsn <=
+    * remote_final_lsn`; SURVEY §7.5.5 calls this the correctness heart).
+    * The boundary is INCLUSIVE: a Postgres consistent snapshot contains
+    * commits strictly before its LSN, so a transaction committing exactly
+    * at the snapshot point is NOT in the copied data and must stream.
+    * Duplicate delivery at the boundary (if the snapshot did include it)
+    * is neutralized by the idempotent LWW/high-water sinks; a drop would
+    * be unrecoverable. `gates` maps table id → snapshot LSN; tables
     * absent from the map pass everything (Ready tables).
     */
   def snapshotGate(events: DataFrame, gates: Map[Long, Long]): DataFrame =
@@ -214,7 +219,7 @@ object ApplyOps {
       events.join(broadcast(gateDf),
           events("_table") === col("_gate_table"), "left")
         .filter(col("_gate_lsn").isNull ||
-          events("_commit_lsn") > col("_gate_lsn"))
+          events("_commit_lsn") >= col("_gate_lsn"))
         .drop("_gate_table", "_gate_lsn")
     }
 }

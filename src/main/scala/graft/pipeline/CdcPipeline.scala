@@ -45,6 +45,11 @@ final class CdcPipeline(
 
   val stateStore = new TableStateStore(Some(s"${config.stateDir}/tables.json"))
 
+  /** Catchup-spool location for a table: envelope events that arrived
+    * while the table's copy was in flight, awaiting replay at handoff. */
+  private def spoolPath(tableId: Long): String =
+    s"${config.stateDir}/spool/$tableId"
+
   /** Rows copied during backfill, per table — the copy-progress
     * accumulation (A2, reference copy.rs:62-83) surfaced as Spark
     * accumulators (visible in the UI / status APIs). */
@@ -133,7 +138,13 @@ final class CdcPipeline(
     * every Errored table — the reference's retry semantics (a table retry
     * RESTARTS its copy, it does not replay dropped events; recovery is
     * re-sync, state/retry_policy.rs + table_sync restart). Returns the
-    * table ids retried. Call on a timer for TimedRetry semantics. */
+    * table ids retried. Call on a timer for TimedRetry semantics.
+    *
+    * Safe to call WHILE the stream runs: micro-batches that arrive during
+    * the re-copy spool the table's events to disk instead of dropping them
+    * (the catchup handoff, see applyBatch) — events committing after the
+    * new snapshot LSN are replayed from the spool once the table reaches
+    * SyncDone, so the advancing Spark checkpoint cannot strand them. */
   def retryErrored(schemas: Seq[TableSchemaV],
       snapshot: TableSchemaV => (DataFrame, Long)): Seq[Long] = {
     // respect the stored policy + budget: auto-retry only TimedRetry
@@ -186,15 +197,50 @@ final class CdcPipeline(
           registry.put(CdcPipeline.parseRelation(
             r.getLong(0), r.getLong(1), r.getString(2)))
         }
+      val stateSnap = stateStore.all
       val (allowed, gates) = stateStore.applyGates
-      val gated = ApplyOps.snapshotGate(
-        cached.filter(col("_table").isin(allowed.toSeq.map(java.lang.Long.valueOf): _*)),
-        gates)
+
+      // Catchup handoff (reference SyncWait/Catchup, apply.rs:2907-2970):
+      // a table whose copy is IN FLIGHT must not have its events silently
+      // dropped while the Spark checkpoint advances — events committing
+      // after the new snapshot LSN would be stranded forever. The
+      // reference pauses its apply worker; a foreachBatch cannot hold one
+      // table's rows back, so it SPOOLS them to disk and replays the
+      // spool through the snapshot gate once the table reaches SyncDone.
+      // (Init/Errored tables still drop: their future snapshot is taken
+      // after this batch, so the copy itself covers these events.)
+      val copying = stateSnap.collect {
+        case (id, s) if CdcPipeline.copyInFlight(s) => id }.toSet
+      if (copying.nonEmpty) {
+        val toSpool = cached.filter(col("_op") =!= "R" &&
+          col("_table").isin(copying.toSeq.map(java.lang.Long.valueOf): _*))
+        val present = toSpool.groupBy("_table").agg(count(lit(1)))
+          .collect().map(_.getLong(0))
+        present.foreach { id =>
+          toSpool.filter(col("_table") === id)
+            .write.mode("append").parquet(spoolPath(id))
+        }
+      }
+      // tables past their copy with a pending spool → drain this batch
+      // (replayed spool entries and replayed batch rows can overlap, so
+      // the union dedups on the globally-unique event sequence key)
+      val drainable = allowed.filter(id =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(spoolPath(id))))
+      val base = cached.filter(col("_op") =!= "R" &&
+        col("_table").isin(allowed.toSeq.map(java.lang.Long.valueOf): _*))
+      val combined = if (drainable.isEmpty) base else {
+        val spooled = drainable.toSeq.sorted.map { id =>
+          spark.read.schema(graft.sources.CdcLogSource.schema)
+            .parquet(spoolPath(id)) }.reduce(_ unionByName _)
+        base.unionByName(spooled, allowMissingColumns = true)
+          .dropDuplicates("_commit_lsn", "_tx_ordinal")
+      }
+      val gated = ApplyOps.snapshotGate(combined, gates)
 
       // ONE metadata job per batch: tables present, schema versions, and
       // per-(table,version) last-truncate position — replaces the three
       // separate driver collects this loop used to issue per table.
-      val batchMeta = gated.filter(col("_op") =!= "R")
+      val batchMeta = gated
         .groupBy("_table", "_schema_lsn")
         .agg(max(when(col("_op") === "T",
           struct(col("_commit_lsn"), col("_tx_ordinal")))).as("trunc"))
@@ -202,7 +248,11 @@ final class CdcPipeline(
         .map(r => (r.getLong(0), r.getLong(1)) ->
           Option(r.getStruct(2)).map(t => (t.getLong(0), t.getLong(1))))
         .toMap
-      val tablesInBatch = batchMeta.keys.map(_._1).toSeq.distinct.sorted
+      // drainable tables join the loop even when every spooled event gets
+      // gated away (spool ≤ snapshot ⇒ covered by the copy): their spool
+      // still needs deleting
+      val tablesInBatch =
+        (batchMeta.keys.map(_._1).toSet ++ drainable).toSeq.sorted
 
       // Per-table apply runs CONCURRENTLY (bounded by the sync-worker
       // budget): tables are independent streams in the reference too —
@@ -216,8 +266,7 @@ final class CdcPipeline(
       val applyFutures = tablesInBatch.map { tableId =>
         scala.concurrent.Future {
         try {
-          val tEvents = gated.filter(col("_table") === tableId &&
-            col("_op") =!= "R")
+          val tEvents = gated.filter(col("_table") === tableId)
           val versions = batchMeta.keys.filter(_._1 == tableId)
             .map(_._2).toSeq.sorted
           versions.foreach { vLsn =>
@@ -262,13 +311,22 @@ final class CdcPipeline(
             sink.writeEvents(schema.tableName, data)
           }
           // handoff completion: SyncDone table that has now seen a batch
-          // entirely past its gate becomes Ready (apply.rs:2844-2867)
+          // with events PAST its gate becomes Ready (apply.rs:2844-2867).
+          // A drain whose events were all gated away stays SyncDone — the
+          // gate must keep filtering until a post-snapshot event arrives
+          // (Ready tables are ungated).
           stateStore.get(tableId) match {
-            case TableState.SyncDone(_) =>
+            case TableState.SyncDone(_) if versions.nonEmpty =>
               stateStore.transition(tableId, TableState.Ready)
               stateStore.clearAttempts(tableId)
             case _ => ()
           }
+          // spool fully applied (or fully covered by the copy) → drop it;
+          // a crash before this delete just re-drains idempotently (the
+          // sinks' high-water marks absorb the duplicate delivery)
+          if (drainable.contains(tableId))
+            CdcPipeline.deleteRecursively(
+              java.nio.file.Paths.get(spoolPath(tableId)))
         } catch {
           case e: Exception =>
             // per-table quarantine, pipeline survives (ST8)
@@ -289,6 +347,28 @@ final class CdcPipeline(
 
 object CdcPipeline {
   import graft.core.ColumnSpec
+
+  /** A copy is IN FLIGHT from the moment its snapshot LSN may have been
+    * captured (DataSync) until the handoff (SyncDone): in that window
+    * streamed events must be spooled, not dropped. Init/Errored are NOT in
+    * flight — their next snapshot is taken later and covers today's
+    * events. */
+  private[pipeline] def copyInFlight(s: TableState): Boolean = s match {
+    case TableState.DataSync | TableState.FinishedCopy => true
+    case TableState.SyncWait(_) | TableState.Catchup(_) => true
+    case _ => false
+  }
+
+  private[pipeline] def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (!Files.exists(p)) return
+    val st = Files.walk(p)
+    val all = try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.toVector
+    } finally st.close()
+    all.reverse.foreach(Files.deleteIfExists(_))
+  }
 
   /** Standard envelope decode: JSON before/after images → flat typed
     * payload + (_op, _commit_lsn, _tx_ordinal), against the schema

@@ -144,7 +144,7 @@ object CdcQueries {
     GROUP BY batch_id ORDER BY batch_id"""
 
   /** ST4 — backfill↔stream handoff gate: each "table" (event_type bucket)
-    * has a snapshot LSN; only events with commit_lsn > snapshot pass
+    * has a snapshot LSN; only events with commit_lsn >= snapshot pass
     * (ApplyOps.snapshotGate; reference apply.rs:2844-2867 — SURVEY calls
     * this the correctness heart). Snapshot LSN per table is derived
     * deterministically as floor((min+max)/2) of its event ids. */
@@ -180,7 +180,7 @@ object CdcQueries {
       FROM e GROUP BY tbl)
     SELECT e.tbl, COUNT(*) AS n, MIN(event_id) AS min_lsn, MAX(event_id) AS max_lsn
     FROM e JOIN g ON e.tbl = g.tbl
-    WHERE e.event_id > g.snap
+    WHERE e.event_id >= g.snap
     GROUP BY e.tbl ORDER BY e.tbl"""
 
   /** End-to-end pipeline (M2+M3 slice): backfill `customer` into a keyed

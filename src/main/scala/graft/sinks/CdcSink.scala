@@ -163,7 +163,12 @@ final class ChangelogSink(rootDir: String) extends CdcSink {
 
   override def truncateTable(table: String): Unit = {
     // changelog truncate = append nothing, record a T marker is the reader's
-    // concern; physical truncate clears the directory.
+    // concern; physical truncate clears the directory. The replay
+    // high-water is deleted WITH the data: a replayed truncate batch
+    // re-wipes the dir, and a surviving mark would filter the replayed
+    // post-truncate appends out forever (same rationale as
+    // GraftTable.truncate).
+    Files.deleteIfExists(hwPath(table))
     val p = Paths.get(dir(table))
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._

@@ -2,73 +2,94 @@ package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.nio.charset.StandardCharsets
 
-/** A minimal keyed copy-on-write table with MERGE semantics — the storage
-  * half of the reference's "current state" destinations (BigQuery CDC
-  * upsert/delete, DuckLake SQL mutations; reference
-  * crates/etl-destinations/src/bigquery/core.rs:956-1101 and
+/** A keyed copy-on-write table with MERGE semantics and snapshot-atomic,
+  * manifest-based commits — the storage half of the reference's "current
+  * state" destinations (BigQuery CDC upsert/delete, DuckLake SQL mutations;
+  * reference crates/etl-destinations/src/bigquery/core.rs:956-1101 and
   * ducklake/core.rs). No Delta/Iceberg is available in this environment, so
   * the table format itself is part of the engine:
   *
   *   root/
-  *     _meta.json                  — key columns, bucket count, seq high-water
-  *     data/_bucket=&lt;i&gt;/part-....parquet  — hash-bucketed by key
+  *     _meta.json                       — identity: key columns, bucket count
+  *     _manifests/v00000000000N.json    — per-version live-file list + replay
+  *                                        high-water (Iceberg-snapshot shape)
+  *     data/_bucket=&lt;i&gt;/&lt;uuid&gt;.parquet  — immutable, hash-bucketed by key
+  *
+  * Commit protocol: data files are append-only and never rewritten; a
+  * commit writes the new files, then publishes ONE manifest json via
+  * write-tmp + atomic rename. Readers resolve the highest manifest version
+  * — they see the previous snapshot or the new one, never a torn mix (the
+  * round-1 design swapped bucket directories sequentially, which could
+  * expose half-committed merges to concurrent readers). Old versions stay
+  * readable (time travel, `readVersion`) until `vacuum`.
   *
   * Scale design: a merge touches ONLY the buckets that contain batch keys —
   * at 100 TB with (say) 8192 buckets, a CDC batch touching 0.1% of keys
-  * rewrites ~a handful of buckets, pruned at scan time via the `_bucket`
-  * partition column. The join per bucket is current ⨝ batch on the key,
-  * with the (small) deduped batch broadcast.
+  * rewrites ~a handful of buckets; the scan-side pruning reads only the
+  * manifest entries for wanted buckets. Bucket files are sorted by key, so
+  * point lookups skip parquet row groups via min/max stats. The join per
+  * bucket is current ⨝ batch on the key, with the (small) deduped batch
+  * broadcast.
   *
   * Idempotent replay (reference DuckLake `retain_mutations_after_sequence_key`,
-  * crates/etl-destinations/src/ducklake/replay_epoch.rs): `_meta.json` keeps
-  * a sequence high-water mark; merges filter their batch to seq > highWater
-  * and advance it atomically with the data commit (write-temp-then-rename).
+  * crates/etl-destinations/src/ducklake/replay_epoch.rs): the manifest
+  * carries the sequence high-water mark; merges filter their batch to
+  * seq > highWater, and the mark commits ATOMICALLY with the data (one
+  * rename), closing the round-1 window where data and mark were two files.
   */
 final class GraftTable(val root: String, val keyCols: Seq[String],
-    val nBuckets: Int = 32) {
+    val nBuckets: Int = 32,
+    /** Snapshots retained after each commit (auto-expiry). ≥2 gives
+      * in-flight readers of the previous snapshot a grace window (the
+      * Iceberg snapshot-expiry tradeoff) and keeps short-range time
+      * travel; older versions' unreferenced files are deleted eagerly so a
+      * long-running CDC stream's disk footprint stays O(table), not
+      * O(history). */
+    val retainVersions: Int = 2) {
 
   private def dataDir = s"$root/data"
+  private def manifestDir = Paths.get(root, "_manifests")
   private def metaPath = Paths.get(root, "_meta.json")
 
   def exists: Boolean = Files.exists(metaPath)
 
   // ------------------------------------------------------------------ meta
+  /** Snapshot manifest: the live files per bucket + the replay high-water
+    * in force at this version. */
+  final case class Manifest(version: Long, highWater: String,
+      files: Map[Int, Seq[String]]) {
+    def allFiles: Seq[String] = files.valuesIterator.flatten.toVector
+  }
+  /** Back-compat alias for callers that only need the replay mark. */
   final case class Meta(highWater: String)
 
-  def readMeta(): Meta = {
-    if (!exists) return Meta("")
-    val s = new String(Files.readAllBytes(metaPath), StandardCharsets.UTF_8)
-    val hw = "\"highWater\"\\s*:\\s*\"([^\"]*)\"".r
-      .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
-    Meta(hw)
-  }
+  def readMeta(): Meta = Meta(currentManifest().map(_.highWater).getOrElse(""))
 
-  private def writeMeta(m: Meta): Unit = {
+  private def writeIdentity(): Unit = {
     Files.createDirectories(Paths.get(root))
-    val tmp = Paths.get(root, "_meta.json.tmp")
-    Files.write(tmp,
-      s"""{"keyCols":${keyCols.mkString("[\"", "\",\"", "\"]")},"nBuckets":$nBuckets,"highWater":"${m.highWater}"}"""
-        .getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, metaPath, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    if (!exists) {
+      val tmp = Paths.get(root, "_meta.json.tmp")
+      Files.write(tmp,
+        s"""{"keyCols":${keyCols.mkString("[\"", "\",\"", "\"]")},"nBuckets":$nBuckets}"""
+          .getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, metaPath, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
   }
 
-  private def bucketExpr = pmod(hash(keyCols.map(col): _*), lit(nBuckets))
-
-  /** Files.list/walk return streams holding an open fd — close them
-    * (recovery runs on EVERY data access; leaking here exhausts fds in a
-    * long-running stream). */
-  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+  /** Files.list/walk return streams holding an open fd — close them. */
+  private def listDir(p: Path): Seq[Path] = {
+    if (!Files.exists(p)) return Vector.empty
     val st = Files.list(p)
     try {
       import scala.jdk.CollectionConverters._
       st.iterator().asScala.toVector
     } finally st.close()
   }
-  private def walkDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+  private def walkDir(p: Path): Seq[Path] = {
     val st = Files.walk(p)
     try {
       import scala.jdk.CollectionConverters._
@@ -76,78 +97,160 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     } finally st.close()
   }
 
-  /** Crash recovery for interrupted bucket swaps (merge/compact move the
-    * live dir to .old-<b> before installing the replacement): a .old
-    * whose live bucket is missing holds the only copy — restore it.
-    * Called before EVERY data access, not just maintenance, so a merge
-    * racing a crashed compact cannot rebuild the bucket from nothing. */
-  private def recoverOrphanedBuckets(): Unit = {
-    val rootPath = Paths.get(root)
-    if (!Files.exists(rootPath)) return
-    listDir(rootPath)
-      .filter(_.getFileName.toString.startsWith(".old-"))
-      .foreach { old =>
-        val b = old.getFileName.toString.stripPrefix(".old-")
-        val live = Paths.get(dataDir, s"_bucket=$b")
-        if (!Files.exists(live)) Files.move(old, live)
-        else deleteRecursively(old)
-      }
+  // ------------------------------------------------------------ manifests
+  private def manifestPath(v: Long): Path =
+    manifestDir.resolve(f"v$v%012d.json")
+
+  /** Highest committed version, or None for an empty/new table. Manifest
+    * writes are tmp+rename, so every listed file is complete. */
+  def versions: Seq[Long] =
+    listDir(manifestDir).map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong).sorted
+
+  def currentVersion: Option[Long] = versions.lastOption
+
+  private[sinks] def currentManifest(): Option[Manifest] =
+    currentVersion.map(readManifest)
+
+  private def readManifest(v: Long): Manifest = {
+    val s = new String(Files.readAllBytes(manifestPath(v)),
+      StandardCharsets.UTF_8)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(s)
+    val files = (j \ "files").extract[Map[String, List[String]]]
+      .map { case (b, fs) => b.toInt -> (fs: Seq[String]) }
+    Manifest(v, (j \ "highWater").extract[String], files)
   }
+
+  /** Publish a new snapshot: ONE atomic rename makes the file list and the
+    * replay high-water visible together. (package-visible for tests that
+    * fabricate fragmentation / external-writer shapes) */
+  private[sinks] def commitManifest(m: Manifest): Unit = {
+    writeIdentity()
+    Files.createDirectories(manifestDir)
+    val filesJson = m.files.toSeq.sortBy(_._1).map { case (b, fs) =>
+      s""""$b":${fs.map(f => "\"" + f + "\"").mkString("[", ",", "]")}"""
+    }.mkString("{", ",", "}")
+    val body =
+      s"""{"version":${m.version},"highWater":"${m.highWater}","files":$filesJson}"""
+    val tmp = manifestDir.resolve(s".v${m.version}.json.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(m.version),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    expireOldVersions()
+  }
+
+  /** Targeted snapshot expiry (no directory scans — O(expired manifests),
+    * not O(buckets)): drop manifests beyond `retainVersions` and delete
+    * exactly the files they referenced that no retained manifest still
+    * lists. */
+  private def expireOldVersions(): Unit = {
+    val vs = versions
+    if (vs.size <= retainVersions) return
+    val live = vs.takeRight(retainVersions)
+      .flatMap(v => readManifest(v).allFiles).toSet
+    vs.dropRight(retainVersions).foreach { v =>
+      readManifest(v).allFiles.filterNot(live)
+        .foreach(f => Files.deleteIfExists(Paths.get(f)))
+      Files.deleteIfExists(manifestPath(v))
+    }
+  }
+
+  private def nextVersion: Long = currentVersion.getOrElse(-1L) + 1L
 
   // ------------------------------------------------------------------ read
-  def read(spark: SparkSession): DataFrame = {
-    recoverOrphanedBuckets()
-    if (!exists || !Files.exists(Paths.get(dataDir))) spark.emptyDataFrame
-    else spark.read.option("mergeSchema", "true").parquet(dataDir)
-      .drop("_bucket")
-  }
+  private def readFiles(spark: SparkSession, files: Seq[String]): DataFrame =
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.option("mergeSchema", "true")
+      .option("basePath", dataDir).parquet(files: _*)
 
-  private def readBuckets(spark: SparkSession, buckets: Seq[Int]): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(dataDir)
-      .filter(col("_bucket").isin(buckets.map(Integer.valueOf): _*))
+  def read(spark: SparkSession): DataFrame =
+    currentManifest() match {
+      case None    => spark.emptyDataFrame
+      case Some(m) => readFiles(spark, m.allFiles).drop("_bucket")
+    }
+
+  /** Time travel: the table as of snapshot `version` (Iceberg
+    * `VERSION AS OF`). Readable until `vacuum` expires the version. */
+  def readVersion(spark: SparkSession, version: Long): DataFrame =
+    readFiles(spark, readManifest(version).allFiles).drop("_bucket")
+
+  private def readBuckets(spark: SparkSession, m: Manifest,
+      buckets: Seq[Int]): DataFrame =
+    readFiles(spark, buckets.flatMap(b => m.files.getOrElse(b, Nil)))
 
   /** Point lookup: rows for one key, scanning ONLY the key's bucket
-    * (1/nBuckets of the table via partition pruning — the read-side
-    * payoff of the bucket layout; at 8192 buckets a key fetch touches
-    * one directory). `keyValues` aligns with `keyCols`. */
+    * (1/nBuckets of the table via manifest pruning; within the bucket,
+    * key-sorted files let parquet skip row groups on min/max stats).
+    * `keyValues` aligns with `keyCols`. */
   def lookup(spark: SparkSession, keyValues: Seq[Any]): DataFrame = {
     require(keyValues.length == keyCols.length,
       s"expected ${keyCols.length} key values, got ${keyValues.length}")
-    recoverOrphanedBuckets()
-    if (!exists || !Files.exists(Paths.get(dataDir)))
-      return spark.emptyDataFrame
+    val m = currentManifest().getOrElse(return spark.emptyDataFrame)
+    if (m.allFiles.isEmpty) return spark.emptyDataFrame
     // same hash the writer used → same bucket id; lit() must be CAST to
     // the STORED column type (hash(42L: long) != hash(42: int))
-    val base = spark.read.option("mergeSchema", "true").parquet(dataDir)
+    val base = readFiles(spark, m.allFiles)
     val types = base.schema.fields.map(f => f.name -> f.dataType).toMap
     val typedLits = keyCols.zip(keyValues).map { case (c, v) =>
       lit(v).cast(types(c)) }
     val bucket = spark.range(1)
       .select(pmod(hash(typedLits: _*), lit(nBuckets)).cast("int"))
       .head().getInt(0)
-    keyCols.zip(typedLits).foldLeft(base.filter(col("_bucket") === bucket)) {
+    keyCols.zip(typedLits).foldLeft(readBuckets(spark, m, Seq(bucket))) {
         case (df, (c, v)) => df.filter(col(c) === v)
       }
       .drop("_bucket")
   }
 
   // ----------------------------------------------------------------- write
+  private def bucketExpr = pmod(hash(keyCols.map(col): _*), lit(nBuckets))
+
+  /** Write `df` (already carrying _bucket) as immutable data files and
+    * return bucket → new file paths. Files are staged by Spark, then moved
+    * into the bucket dirs under fresh UUID names — never visible to any
+    * manifest until the commit that references them. */
+  private def writeDataFiles(df: DataFrame, parts: Int): Map[Int, Seq[String]] = {
+    val stage = s"$root/.stage-${java.util.UUID.randomUUID()}"
+    df.repartition(parts, col("_bucket"))
+      .sortWithinPartitions(("_bucket" +: keyCols).map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(stage)
+    val out = scala.collection.mutable.Map.empty[Int, Seq[String]]
+    listDir(Paths.get(stage))
+      .filter(_.getFileName.toString.startsWith("_bucket="))
+      .foreach { bdir =>
+        val b = bdir.getFileName.toString.stripPrefix("_bucket=").toInt
+        val dst = Paths.get(dataDir, s"_bucket=$b")
+        Files.createDirectories(dst)
+        val moved = listDir(bdir)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map { f =>
+            val name = s"${java.util.UUID.randomUUID()}.parquet"
+            Files.move(f, dst.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+            s"$dataDir/_bucket=$b/$name"
+          }
+        if (moved.nonEmpty) out(b) = moved
+      }
+    deleteRecursively(Paths.get(stage))
+    out.toMap
+  }
+
   /** Full (re)load — snapshot backfill path (drop_table_for_copy + copy,
-    * reference table_sync). */
+    * reference table_sync). One snapshot commit; the replay mark resets. */
   def overwrite(df: DataFrame): Unit = {
-    // repartition on _bucket → one task (one file) per bucket dir instead
-    // of nInputPartitions × nBuckets small files per write
-    df.withColumn("_bucket", bucketExpr)
-      .repartition(nBuckets, col("_bucket"))
-      .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(dataDir)
-    writeMeta(Meta(""))
+    val files = writeDataFiles(df.withColumn("_bucket", bucketExpr), nBuckets)
+    commitManifest(Manifest(nextVersion, "", files))
   }
 
   /** MERGE a deduped CDC batch. `batch` must contain the table's payload
     * columns plus `_op` (I/U/D) and `_seq` (packed sortable sequence string,
     * SequenceKey.packedHex) and at most one row per key (run
-    * ApplyOps.lastWriterWins first). Partition-pruned copy-on-write:
-    * only buckets containing batch keys are rewritten.
+    * ApplyOps.lastWriterWins first). Manifest-pruned copy-on-write:
+    * only buckets containing batch keys get new files; the commit is one
+    * atomic manifest publish.
     */
   def merge(batch: DataFrame): Unit = merge(batch, Seq.empty)
 
@@ -177,140 +280,135 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   def merge(batch: DataFrame, coalesceCols: Seq[String],
       skipReplayFilter: Boolean, advanceHw: Boolean): Unit = {
     val spark = batch.sparkSession
-    recoverOrphanedBuckets()
-    val meta = readMeta()
+    val current = currentManifest()
+    val hw = current.map(_.highWater).getOrElse("")
     // Idempotent-replay guard: drop events at or below the high-water mark.
-    val fresh0 = if (skipReplayFilter || meta.highWater.isEmpty) batch
-                 else batch.filter(col("_seq") > lit(meta.highWater))
+    val fresh0 = if (skipReplayFilter || hw.isEmpty) batch
+                 else batch.filter(col("_seq") > lit(hw))
     val fresh = fresh0.withColumn("_bucket", bucketExpr).cache()
     try {
       // one job computes emptiness + high-water + affected buckets
       val stats = fresh.agg(max(col("_seq")).as("hw"),
         collect_set(col("_bucket")).as("buckets")).collect()(0)
       if (stats.isNullAt(0)) return // empty batch (full replay)
-      val newHigh = stats.getString(0)
+      val newHigh0 = stats.getString(0)
       val buckets = stats.getSeq[Int](1)
+      def bumped(old: String) =
+        if (advanceHw) { if (old.isEmpty || newHigh0 > old) newHigh0 else old }
+        else old
 
-      if (!exists || !Files.exists(Paths.get(dataDir))) {
-        fresh.filter(col("_op") =!= "D").drop("_op", "_seq")
-          .repartition(nBuckets, col("_bucket"))
-          .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
-          .parquet(dataDir)
-        if (advanceHw) writeMeta(Meta(newHigh)) else writeMeta(meta)
-        return
-      }
-
-      val current = readBuckets(spark, buckets)
-      // survivors: current rows whose key is NOT in the batch
-      val keys = fresh.select(keyCols.map(col): _*)
-      val survivors = current.join(broadcast(keys), keyCols, "left_anti")
-      val upserts0 = fresh.filter(col("_op") =!= "D").drop("_seq")
-      val upserts =
-        if (coalesceCols.isEmpty) upserts0.drop("_op")
-        else {
-          // TOAST coalesce: null update columns inherit the stored value
-          val cur = current.select(
-            (keyCols.map(col) ++ coalesceCols.map(c => col(c).as(s"_cur_$c")))
-              .toIndexedSeq: _*)
-          val joined = upserts0.join(cur, keyCols, "left")
-          coalesceCols.foldLeft(joined) { (acc, c) =>
-            acc.withColumn(c, when(col("_op") === "U",
-              coalesce(col(c), col(s"_cur_$c"))).otherwise(col(c)))
-          }.drop(coalesceCols.map(c => s"_cur_$c"): _*).drop("_op")
-        }
-      // allowMissingColumns = online schema evolution (the ALTER TABLE
-      // analog, reference SchemaDiff → destination ALTER): an added column
-      // is null for pre-DDL rows, a dropped column stays null for new rows
-      val merged = survivors.unionByName(upserts, allowMissingColumns = true)
-
-      // copy-on-write: stage affected buckets, then swap directories
-      val stage = s"$root/.stage-${java.util.UUID.randomUUID()}"
-      merged.repartition(math.min(nBuckets, buckets.size), col("_bucket"))
-        .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
-        .parquet(stage)
-      // swap order: live aside → replacement in → old deleted LAST, so
-      // no window leaves a bucket's only copy in a vacuum-eligible dir;
-      // crashes recover via recoverOrphanedBuckets + hw-gated replay
-      buckets.foreach { b =>
-        val dst = Paths.get(dataDir, s"_bucket=$b")
-        val src = Paths.get(stage, s"_bucket=$b")
-        val old = Paths.get(root, s".old-$b")
-        if (Files.exists(dst))
-          Files.move(dst, old, StandardCopyOption.ATOMIC_MOVE)
-        if (Files.exists(src))
-          Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-        deleteRecursively(old)
-      }
-      deleteRecursively(Paths.get(stage))
-      if (advanceHw) {
-        val hw = if (meta.highWater.isEmpty || newHigh > meta.highWater) newHigh
-                 else meta.highWater
-        writeMeta(Meta(hw))
+      // bootstrap when the affected buckets hold no live files (new table,
+      // post-truncate, or keys landing in never-written buckets): no
+      // survivors to join against — write the upserts directly
+      val existingBucketFiles = current.toSeq
+        .flatMap(m => buckets.flatMap(b => m.files.getOrElse(b, Nil)))
+      if (existingBucketFiles.isEmpty) {
+        val files = writeDataFiles(
+          fresh.filter(col("_op") =!= "D").drop("_op", "_seq"),
+          math.min(nBuckets, math.max(1, buckets.size)))
+        val carried = current.map(_.files -- buckets).getOrElse(Map.empty)
+        commitManifest(Manifest(nextVersion, bumped(hw), carried ++ files))
+      } else {
+          val m = current.get
+          val currentDf = readBuckets(spark, m, buckets)
+          // survivors: current rows whose key is NOT in the batch
+          val keys = fresh.select(keyCols.map(col): _*)
+          val survivors = currentDf.join(broadcast(keys), keyCols, "left_anti")
+          val upserts0 = fresh.filter(col("_op") =!= "D").drop("_seq")
+          val upserts =
+            if (coalesceCols.isEmpty) upserts0.drop("_op")
+            else {
+              // TOAST coalesce: null update columns inherit the stored value
+              val cur = currentDf.select(
+                (keyCols.map(col) ++ coalesceCols.map(c => col(c).as(s"_cur_$c")))
+                  .toIndexedSeq: _*)
+              val joined = upserts0.join(cur, keyCols, "left")
+              coalesceCols.foldLeft(joined) { (acc, c) =>
+                acc.withColumn(c, when(col("_op") === "U",
+                  coalesce(col(c), col(s"_cur_$c"))).otherwise(col(c)))
+              }.drop(coalesceCols.map(c => s"_cur_$c"): _*).drop("_op")
+            }
+          // allowMissingColumns = online schema evolution (the ALTER TABLE
+          // analog, reference SchemaDiff → destination ALTER): an added
+          // column is null for pre-DDL rows, a dropped column stays null
+          val merged = survivors.unionByName(upserts,
+            allowMissingColumns = true)
+          val newFiles = writeDataFiles(merged,
+            math.min(nBuckets, math.max(1, buckets.size)))
+          // untouched buckets carry over; affected buckets point at the new
+          // files (a bucket whose rows were all deleted disappears)
+          val carried = m.files -- buckets
+          commitManifest(Manifest(nextVersion, bumped(m.highWater),
+            carried ++ newFiles))
       }
     } finally fresh.unpersist()
   }
 
   /** Monotonically advance the replay high-water mark (used with
     * `merge(..., advanceHw = false)` once every group of a batch is
-    * durable). */
+    * durable). Publishes a data-identical snapshot with the new mark. */
   def advanceHighWater(seq: String): Unit = {
-    val meta = readMeta()
-    if (meta.highWater.isEmpty || seq > meta.highWater)
-      writeMeta(Meta(seq))
+    val m = currentManifest().getOrElse(Manifest(-1L, "", Map.empty))
+    if (m.highWater.isEmpty || seq > m.highWater)
+      commitManifest(Manifest(nextVersion, seq, m.files))
   }
 
-  /** Maintenance: compact buckets whose file count exceeds `maxFiles`
-    * into a single file each, and vacuum orphaned stage directories —
-    * the analog of the reference's DuckLake snapshot maintenance
-    * (expire/compact, crates/etl-destinations/src/ducklake/
-    * external_maintenance.rs). Runs as a periodic batch job at scale;
-    * returns the bucket ids compacted. */
+  /** Maintenance: compact buckets whose live-file count exceeds `maxFiles`
+    * into a single file each — the analog of the reference's DuckLake
+    * snapshot maintenance (expire/compact, crates/etl-destinations/src/
+    * ducklake/external_maintenance.rs). Data-identical snapshot; old files
+    * are reclaimed by [[vacuum]]. Returns the bucket ids compacted. */
   def compact(spark: SparkSession, maxFiles: Int = 4): Seq[Int] = {
-    recoverOrphanedBuckets()
-    val rootPath = Paths.get(root)
-    if (Files.exists(rootPath)) {
-      // vacuum crashed stage dirs (never the sole copy: a live bucket is
-      // sidelined to .old-<b> before its replacement is installed, and
-      // recoverOrphanedBuckets has just restored any orphans)
-      listDir(rootPath)
-        .filter(_.getFileName.toString.startsWith(".stage-"))
-        .foreach(deleteRecursively)
-    }
-    if (!Files.exists(Paths.get(dataDir))) return Seq.empty
-    val crowded = listDir(Paths.get(dataDir))
-      .filter(_.getFileName.toString.startsWith("_bucket="))
-      .filter { d =>
-        listDir(d).count(_.getFileName.toString.endsWith(".parquet")) > maxFiles
-      }
-      .map(_.getFileName.toString.stripPrefix("_bucket=").toInt)
-      .sorted
-    crowded.foreach { b =>
-      val dir = Paths.get(dataDir, s"_bucket=$b")
-      val df = spark.read.option("mergeSchema", "true").parquet(dir.toString)
-      val stage = Paths.get(root, s".stage-compact-$b")
-      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage.toString)
-      // strip non-data files from the stage, then SWAP: old dir aside,
-      // stage in, old dir deleted last — no window where the data exists
-      // only in a vacuum-eligible location
-      listDir(stage)
-        .filterNot(_.getFileName.toString.endsWith(".parquet"))
-        .foreach(Files.deleteIfExists(_))
-      val old = Paths.get(root, s".old-$b")
-      Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(stage, dir, StandardCopyOption.ATOMIC_MOVE)
-      deleteRecursively(old)
-    }
+    val m = currentManifest().getOrElse(return Seq.empty)
+    val crowded = m.files.filter(_._2.size > maxFiles).keys.toSeq.sorted
+    if (crowded.isEmpty) return Seq.empty
+    val df = readBuckets(spark, m, crowded)
+    val newFiles = writeDataFiles(df, math.max(1, crowded.size))
+    commitManifest(Manifest(nextVersion, m.highWater,
+      (m.files -- crowded) ++ newFiles))
     crowded
+  }
+
+  /** Expire old snapshots: keep the latest `keep` manifests, delete older
+    * ones, and remove data files no retained manifest references (also
+    * reclaims crashed stage dirs). Time travel reaches only retained
+    * versions afterwards. */
+  def vacuum(keep: Int = 1): Unit = {
+    val vs = versions
+    if (vs.isEmpty) return
+    val retained = vs.takeRight(math.max(1, keep))
+    val live = retained.flatMap(v => readManifest(v).allFiles).toSet
+    vs.dropRight(math.max(1, keep))
+      .foreach(v => Files.deleteIfExists(manifestPath(v)))
+    // orphaned stage dirs from crashed writers
+    listDir(Paths.get(root))
+      .filter(_.getFileName.toString.startsWith(".stage-"))
+      .foreach(deleteRecursively)
+    listDir(Paths.get(dataDir))
+      .filter(_.getFileName.toString.startsWith("_bucket="))
+      .foreach { bdir =>
+        listDir(bdir)
+          .filter(f => f.getFileName.toString.endsWith(".parquet") &&
+            !live.contains(f.toString))
+          .foreach(Files.deleteIfExists(_))
+      }
   }
 
   /** Truncate: drop all data, keep identity — the reference's cheap
     * truncate is a versioned-table swap (bigquery/core.rs:1110-1160);
-    * with a directory-backed table, clearing data/ is the same O(1) shape. */
-  def truncate(): Unit = {
-    deleteRecursively(Paths.get(dataDir))
-    writeMeta(readMeta()) // keep high-water: truncate does not rewind replay
-  }
+    * here it is an empty snapshot commit.
+    *
+    * The replay high-water REWINDS with the data: a truncate-containing
+    * micro-batch that replays (crash before checkpoint commit) re-runs
+    * truncate and then re-merges the post-truncate slice — if the mark
+    * survived the wipe, that replayed slice would be filtered out as
+    * already-seen and the table left permanently empty. Rewinding is safe:
+    * the apply planner only merges events AFTER the last truncate position
+    * (CdcPipeline dataSlice filter), and batches before this one never
+    * replay once their checkpoint committed. */
+  def truncate(): Unit =
+    commitManifest(Manifest(nextVersion, "", Map.empty))
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
+  private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) walkDir(p).reverse.foreach(Files.deleteIfExists(_))
 }

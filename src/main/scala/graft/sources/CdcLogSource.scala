@@ -101,16 +101,26 @@ final class CdcLogScan(path: String, maxRowsPerTrigger: Option[Long],
 
 /** Offset = (commit_lsn, tx_ordinal) of the last delivered event — the
   * stream's watermark-as-progress (ST3): monotonic, checkpointed by Spark,
-  * replay-from-checkpoint gives at-least-once. */
-final case class LsnOffset(commitLsn: Long, txOrdinal: Long) extends Offset {
-  override def json(): String = s"""{"commitLsn":$commitLsn,"txOrdinal":$txOrdinal}"""
+  * replay-from-checkpoint gives at-least-once.
+  *
+  * `boundary` records whether the offset was known to sit on a COMMIT
+  * boundary when planned (admission control may cap a batch mid-commit).
+  * The retention check needs it: log truncation that removed exactly
+  * `commitLsn`'s remaining ordinals is only provably loss-free if no such
+  * ordinals existed — i.e. the offset was a boundary. */
+final case class LsnOffset(commitLsn: Long, txOrdinal: Long,
+    boundary: Boolean = false) extends Offset {
+  override def json(): String =
+    s"""{"commitLsn":$commitLsn,"txOrdinal":$txOrdinal,"boundary":$boundary}"""
 }
 object LsnOffset {
   val zero: LsnOffset = LsnOffset(0L, -1L)
   def fromJson(s: String): LsnOffset = {
     val lsn = "\"commitLsn\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(s).get.group(1).toLong
     val ord = "\"txOrdinal\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(s).get.group(1).toLong
-    LsnOffset(lsn, ord)
+    val bnd = "\"boundary\"\\s*:\\s*(true|false)".r.findFirstMatchIn(s)
+      .exists(_.group(1) == "true") // absent (pre-upgrade checkpoint) → strict
+    LsnOffset(lsn, ord, bnd)
   }
   def lt(a: (Long, Long), b: (Long, Long)): Boolean =
     a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
@@ -133,9 +143,13 @@ final class CdcLogMicroBatchStream(path: String, maxRows: Option[Long],
     if (keys.isEmpty) return start
     val earliest = keys.min
     // covered if some retained entry is <= start (the offset boundary
-    // itself may have been the last retained line) or start+1 == earliest
+    // itself may have been the last retained line), or if retention
+    // trimmed exactly through start's commit AND start was a known commit
+    // boundary — without the boundary bit, remaining ordinals of
+    // start.commitLsn may have been truncated away (an admission-capped
+    // offset can sit mid-commit) and reporting "covered" would mask loss
     if (!LsnOffset.lt((start.commitLsn, start.txOrdinal), earliest)) start
-    else if (earliest == (start.commitLsn + 1, 0L)) start
+    else if (start.boundary && earliest == (start.commitLsn + 1, 0L)) start
     else onMissingOffset match {
       case "earliest" => LsnOffset(earliest._1 - 1, Long.MaxValue)
       case _ => throw new IllegalStateException(
@@ -171,8 +185,9 @@ final class CdcLogMicroBatchStream(path: String, maxRows: Option[Long],
   override def deserializeOffset(json: String): Offset = LsnOffset.fromJson(json)
 
   override def latestOffset(): Offset =
-    readKeys().sorted.lastOption
-      .map { case (l, o) => LsnOffset(l, o) }.getOrElse(LsnOffset.zero)
+    readKeys().sorted.lastOption // log end = boundary (whole-commit appends)
+      .map { case (l, o) => LsnOffset(l, o, boundary = true) }
+      .getOrElse(LsnOffset.zero)
 
   /** Admission control (ST1): cap rows per micro-batch — the analog of the
     * reference's byte/row batch budget (`BatchConfig.max_bytes`,
@@ -185,8 +200,15 @@ final class CdcLogMicroBatchStream(path: String, maxRows: Option[Long],
       case r: ReadMaxRows => pending.take(r.maxRows().toInt)
       case _ => maxRows.map(m => pending.take(m.toInt)).getOrElse(pending)
     }
-    capped.lastOption.map { case (l, o) => LsnOffset(l, o) }
-      .getOrElse(s)
+    capped.lastOption.map { case (l, o) =>
+      // commit-boundary bit for the retention check: a later commit
+      // visible behind the cap proves this commit is complete; a fully
+      // drained log is a boundary too (the file transport appends whole
+      // commits per flush). Only a cap landing mid-commit — next pending
+      // entry shares the lsn — is a non-boundary.
+      val rest = pending.drop(capped.length)
+      LsnOffset(l, o, boundary = rest.headOption.forall(_._1 > l))
+    }.getOrElse(s)
   }
 
   override def getDefaultReadLimit: ReadLimit =

@@ -79,8 +79,9 @@ class ApplyOpsSpec extends SparkSpec {
     ).toDF("_table", "_commit_lsn")
     val out = ApplyOps.snapshotGate(ev, Map(1L -> 10L, 2L -> 0L))
       .as[(Long, Long)].collect().toSet
-    // table 1: only > 10; table 2: all (> 0); table 3: ungated
-    assert(out == Set((1L, 15L), (2L, 5L), (2L, 10L), (3L, 1L)))
+    // table 1: >= 10 (inclusive boundary — a tx committing exactly at the
+    // snapshot LSN is NOT in the copy); table 2: all; table 3: ungated
+    assert(out == Set((1L, 10L), (1L, 15L), (2L, 5L), (2L, 10L), (3L, 1L)))
   }
 
   test("salted LWW equals plain LWW (skew-resistant two-phase)") {

@@ -67,8 +67,10 @@ class ReplicatorSpec extends SparkSpec {
 
     graft.Replicator.main(Array(s"$work/pipeline.properties"))
 
-    val out = spark.read.option("mergeSchema", "true")
-      .parquet(s"$work/tables/users/data")
+    // read through the table API: with manifest commits, the data dir is
+    // append-only and only the current manifest defines live files
+    val out = new graft.sinks.GraftTable(s"$work/tables/users", Seq("id"))
+      .read(spark)
       .select("id", "name").as[(Long, String)].collect().toSet
     assert(out == Set((1L, "a2"), (3L, "c")))
 

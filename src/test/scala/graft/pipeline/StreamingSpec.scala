@@ -363,6 +363,114 @@ class StreamingSpec extends SparkSpec {
     assert(pipeline.stateStore.all.keySet == Set(1L))
   }
 
+  /** Envelope frame matching the graft-cdc source schema, for driving
+    * applyBatch directly (foreachBatch replay simulation). */
+  private def envelope(
+      rows: (String, Long, Long, Option[String], Option[String])*) =
+    rows.map { case (op, lsn, ord, before, after) =>
+      (op, 1L, lsn, lsn, ord, 0L, before.orNull, after.orNull,
+        null: String) }
+      .toDF("_op", "_table", "_commit_lsn", "_start_lsn", "_tx_ordinal",
+        "_schema_lsn", "before", "after", "_missing")
+
+  test("replayed truncate batch re-applies post-truncate rows (ADVICE r1)") {
+    val dir = tmp("cdc-trunc-replay")
+    val sink = new CurrentStateSink(s"$dir/tables", _ => Seq("id"), 4)
+    val pipeline = mkPipeline(dir, sink)
+    pipeline.backfill(Seq(usersSchema), _ => (
+      Seq((1L, "a", 30)).toDF("id", "name", "age"), 0L))
+
+    val truncBatch = envelope(
+      ("I", 1L, 0L, None, Some("""{"id":3,"name":"c","age":32}""")),
+      ("T", 2L, 0L, None, None),
+      ("I", 3L, 0L, None, Some("""{"id":4,"name":"d","age":33}""")))
+    pipeline.applyBatch(truncBatch, 0L)
+    def ids = sink.read(spark, "users").select("id").as[Long].collect().toSet
+    assert(ids == Set(4L))
+    // crash before the checkpoint commit → foreachBatch re-runs the same
+    // batch: truncate wipes again, and the post-truncate slice must
+    // RE-apply (a high-water mark surviving the truncate would filter it
+    // out and leave the table permanently empty)
+    pipeline.applyBatch(truncBatch, 0L)
+    assert(ids == Set(4L))
+  }
+
+  test("events during re-copy are spooled and replayed at handoff (catchup)") {
+    val dir = tmp("cdc-spool")
+    val sink = new CurrentStateSink(s"$dir/tables", _ => Seq("id"), 4)
+    val pipeline = mkPipeline(dir, sink)
+    pipeline.backfill(Seq(usersSchema), _ => (
+      Seq((1L, "orig", 30)).toDF("id", "name", "age"), 5L))
+    pipeline.applyBatch(envelope(
+      ("U", 6L, 0L, Some("""{"id":1}"""),
+        Some("""{"id":1,"name":"v6","age":30}"""))), 0L)
+    assert(pipeline.stateStore.get(1L) == TableState.Ready)
+
+    // operator kicks a re-copy while the stream keeps running: the table
+    // walks back through DataSync (retryErrored path). A micro-batch
+    // arriving MID-COPY must not be dropped — the Spark checkpoint will
+    // advance past it and it would never be redelivered.
+    pipeline.stateStore.force(1L, TableState.DataSync)
+    pipeline.applyBatch(envelope(
+      ("U", 10L, 0L, Some("""{"id":1}"""),
+        Some("""{"id":1,"name":"v10-during-copy","age":31}"""))), 1L)
+    // not applied (copy owns the table)... but spooled, not lost
+    assert(sink.read(spark, "users").filter($"name" === "v10-during-copy")
+      .isEmpty)
+    assert(Files.exists(Paths.get(s"$dir/state/spool/1")))
+
+    // copy completes at snapshot LSN 8: the copied image does NOT contain
+    // the lsn-10 update; the handoff must replay it from the spool
+    sink.truncateTable("users")
+    sink.writeTableRows("users",
+      Seq((1L, "copied", 30)).toDF("id", "name", "age"))
+    pipeline.stateStore.force(1L, TableState.SyncDone(8L))
+    pipeline.applyBatch(envelope(
+      ("I", 12L, 0L, None, Some("""{"id":2,"name":"next","age":40}"""))), 2L)
+
+    val rows = sink.read(spark, "users").select("id", "name")
+      .as[(Long, String)].collect().toMap
+    assert(rows(1L) == "v10-during-copy", "spooled event must replay")
+    assert(rows(2L) == "next")
+    assert(!Files.exists(Paths.get(s"$dir/state/spool/1")), "spool drained")
+    assert(pipeline.stateStore.get(1L) == TableState.Ready)
+  }
+
+  test("retention check honors the commit-boundary bit (mid-commit cap ≠ covered)") {
+    import graft.sources.{CdcLogMicroBatchStream, LsnOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = tmp("cdc-bound")
+    val log = s"$dir/wal.log"
+    // commit 1 = three ops; commit 2 = one op
+    appendLog(log, Seq(ins(1L, 0, 1L, "a", 1), ins(1L, 1, 2L, "b", 2),
+      ins(1L, 2, 3L, "c", 3), ins(2L, 0, 4L, "d", 4)))
+    val s1 = new CdcLogMicroBatchStream(log, None)
+    // admission caps MID-commit → not a boundary
+    val mid = s1.latestOffset(LsnOffset.zero, ReadLimit.maxRows(2))
+      .asInstanceOf[LsnOffset]
+    assert(mid.commitLsn == 1L && mid.txOrdinal == 1L && !mid.boundary)
+    // cap lands on commit 1's last ordinal; commit 2 visible behind it
+    val end = s1.latestOffset(LsnOffset.zero, ReadLimit.maxRows(3))
+      .asInstanceOf[LsnOffset]
+    assert(end.commitLsn == 1L && end.txOrdinal == 2L && end.boundary)
+
+    // retention trims exactly through commit 1
+    Files.write(Paths.get(log),
+      (ins(2L, 0, 4L, "d", 4) + "\n").getBytes(StandardCharsets.UTF_8))
+    // boundary offset: provably covered → resumes
+    val s2 = new CdcLogMicroBatchStream(log, None)
+    val resumed = s2.latestOffset(LsnOffset(1L, 2L, boundary = true),
+      ReadLimit.allAvailable()).asInstanceOf[LsnOffset]
+    assert(resumed.commitLsn == 2L)
+    // mid-commit offset: ordinal (1,2) may have been truncated away →
+    // must raise slot-invalidation instead of silently masking the loss
+    val s3 = new CdcLogMicroBatchStream(log, None)
+    val err = intercept[IllegalStateException] {
+      s3.latestOffset(LsnOffset(1L, 1L), ReadLimit.allAvailable())
+    }
+    assert(err.getMessage.contains("slot invalidated"))
+  }
+
   test("per-table error quarantines table, pipeline survives (ST8)") {
     val dir = tmp("cdc-err")
     val log = s"$dir/wal.log"

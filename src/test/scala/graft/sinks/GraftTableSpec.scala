@@ -54,12 +54,17 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read(spark).as[(Long, String)].collect().toSet == Set((1L, "a")))
   }
 
-  test("truncate clears data, preserves replay high-water") {
+  test("truncate clears data AND rewinds replay high-water") {
     val t = new GraftTable(tmp(), Seq("id"), nBuckets = 4)
     t.merge(batch((1L, "a", "I", 7L)))
     t.truncate()
     assert(t.read(spark).isEmpty)
-    assert(t.readMeta().highWater == seq(7L))
+    // the mark rewinds with the data: a replayed truncate-containing
+    // micro-batch re-truncates and RE-MERGES its post-truncate slice — a
+    // surviving mark would filter that slice out and lose it forever
+    assert(t.readMeta().highWater == "")
+    t.merge(batch((1L, "a", "I", 7L))) // replayed slice re-applies
+    assert(t.read(spark).as[(Long, String)].collect().toSet == Set((1L, "a")))
   }
 
   test("merge touches only affected buckets (copy-on-write pruning)") {
@@ -116,34 +121,33 @@ class GraftTableSpec extends SparkSpec {
     assert(t.lookup(spark, Seq(9999L)).isEmpty)
   }
 
-  test("compact merges crowded buckets to one file; vacuums stage dirs (D4 maintenance)") {
+  test("compact merges crowded buckets to one file; vacuum reclaims (D4 maintenance)") {
     val t = new GraftTable(tmp(), Seq("id"), nBuckets = 2)
     t.overwrite((1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"))
-    // fabricate fragmentation (merge itself rewrites whole buckets, so
-    // fragments come from external writers/appends): clone each bucket's
-    // file under new names
-    import scala.jdk.CollectionConverters._
-    (0 until 2).foreach { b =>
-      val dir = java.nio.file.Paths.get(t.root, "data", s"_bucket=$b")
-      val f = java.nio.file.Files.list(dir).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      // cloning duplicates rows; dedupe afterwards is not merge's job, so
-      // instead move rows: split is enough — copy creates dup rows, so
-      // check only file counts + that compaction keeps the UNION of rows
-      java.nio.file.Files.copy(f, dir.resolve("part-clone-1.parquet"))
-      java.nio.file.Files.copy(f, dir.resolve("part-clone-2.parquet"))
+    // fabricate fragmentation (merge rewrites whole buckets, so fragments
+    // come from external appenders): clone each bucket's file and publish
+    // a manifest that references both copies
+    val m0 = t.currentManifest().get
+    val fragged = m0.files.map { case (b, fs) =>
+      val orig = java.nio.file.Paths.get(fs.head)
+      val clone = orig.getParent.resolve("clone-" + orig.getFileName)
+      java.nio.file.Files.copy(orig, clone)
+      b -> (fs :+ clone.toString)
     }
-    // crashed-stage leftover to vacuum
+    t.commitManifest(t.Manifest(m0.version + 1, m0.highWater, fragged))
+    // crashed-stage leftover for vacuum to reclaim
     val stale = java.nio.file.Paths.get(t.root, ".stage-dead")
     java.nio.file.Files.createDirectories(stale)
     val before = t.read(spark).as[(Long, String)].collect().toSet
-    val nRowsBefore = t.read(spark).count()
+    val nRowsBefore = t.read(spark).count() // incl. duplicated clone rows
     val compacted = t.compact(spark, maxFiles = 1)
     assert(compacted.nonEmpty)
-    assert(!java.nio.file.Files.exists(stale))
-    // contents unchanged (incl. duplicate rows), every bucket ≤ 1 data file
+    // contents unchanged (incl. duplicate rows) — compaction is data-identical
     assert(t.read(spark).as[(Long, String)].collect().toSet == before)
     assert(t.read(spark).count() == nRowsBefore)
+    // vacuum expires old snapshots + their files and crashed stage dirs
+    t.vacuum(keep = 1)
+    assert(!java.nio.file.Files.exists(stale))
     compacted.foreach { b =>
       val dir = java.nio.file.Paths.get(t.root, "data", s"_bucket=$b")
       import scala.jdk.CollectionConverters._
@@ -155,6 +159,25 @@ class GraftTableSpec extends SparkSpec {
     t.merge(batch((1L, "after-compact", "U", 99L)))
     assert(t.read(spark).filter($"id" === 1L).select("v").as[String].head()
       == "after-compact")
+  }
+
+  test("manifest commits are snapshot-atomic: time travel + vacuum expiry") {
+    val t = new GraftTable(tmp(), Seq("id"), nBuckets = 4)
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v0 = t.currentVersion.get
+    t.merge(batch((1L, "a2", "U", 10L), (3L, "c", "I", 10L)))
+    val v1 = t.currentVersion.get
+    assert(v1 > v0)
+    // current sees the merge; VERSION AS OF v0 still sees the snapshot
+    assert(t.read(spark).as[(Long, String)].collect().toSet ==
+      Set((1L, "a2"), (2L, "b"), (3L, "c")))
+    assert(t.readVersion(spark, v0).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // vacuum keeps only the latest snapshot; v0 files are reclaimed
+    t.vacuum(keep = 1)
+    assert(t.versions == Seq(v1))
+    assert(t.read(spark).as[(Long, String)].collect().toSet ==
+      Set((1L, "a2"), (2L, "b"), (3L, "c")))
   }
 
   test("ChangelogSink latest view resolves TOAST masks over the log") {
@@ -192,5 +215,24 @@ class GraftTableSpec extends SparkSpec {
     // replay of older events is dropped by the high-water mark
     sink.writeEvents("t", ev((1L, "aX", "U", 1L)))
     assert(sink.read(spark, "t").count() == 4)
+  }
+
+  test("ChangelogSink replayed truncate batch re-applies post-truncate events") {
+    val sink = new ChangelogSink(tmp())
+    def ev(rows: (Long, String, String, Long)*) =
+      rows.toDF("id", "v", "_op", "_commit_lsn").withColumn("_tx_ordinal", lit(0L))
+    sink.writeEvents("t", ev((1L, "a", "I", 1L)))
+    // truncate-containing batch: wipe, then post-truncate appends
+    def applyTruncBatch(): Unit = {
+      sink.truncateTable("t")
+      sink.writeEvents("t", ev((2L, "b", "I", 3L)))
+    }
+    applyTruncBatch()
+    // crash before checkpoint commit → foreachBatch re-runs the batch;
+    // a surviving _hw would filter the replayed append out → empty table
+    applyTruncBatch()
+    val latest = sink.latest(spark, "t", Seq("id"))
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(latest == Set((2L, "b")))
   }
 }
