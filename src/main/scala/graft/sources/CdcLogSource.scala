@@ -93,7 +93,7 @@ final class CdcLogScan(path: String, maxRowsPerTrigger: Option[Long],
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       Array(CdcLogPartition(path, Long.MinValue, Long.MaxValue,
-        Long.MinValue, Long.MaxValue))
+        Long.MaxValue, Long.MaxValue))
     override def createReaderFactory(): PartitionReaderFactory =
       new CdcLogReaderFactory
   }
@@ -107,20 +107,31 @@ final class CdcLogScan(path: String, maxRowsPerTrigger: Option[Long],
   * boundary when planned (admission control may cap a batch mid-commit).
   * The retention check needs it: log truncation that removed exactly
   * `commitLsn`'s remaining ordinals is only provably loss-free if no such
-  * ordinals existed — i.e. the offset was a boundary. */
+  * ordinals existed — i.e. the offset was a boundary.
+  *
+  * `pos` is the byte position in the log just AFTER this offset's line
+  * (-1 = unknown, e.g. a pre-upgrade checkpoint). It makes micro-batch
+  * reads O(batch) instead of O(log): the partition reader seeks to the
+  * start offset's `pos` and reads only the batch's byte window — the
+  * file-transport analog of a replication socket delivering only new
+  * bytes. Purely an optimization: the (lsn, ordinal) window remains the
+  * source of truth and readers fall back to a full scan whenever the
+  * byte hint is stale (log rewritten by retention) or absent. */
 final case class LsnOffset(commitLsn: Long, txOrdinal: Long,
-    boundary: Boolean = false) extends Offset {
+    boundary: Boolean = false, pos: Long = -1L) extends Offset {
   override def json(): String =
-    s"""{"commitLsn":$commitLsn,"txOrdinal":$txOrdinal,"boundary":$boundary}"""
+    s"""{"commitLsn":$commitLsn,"txOrdinal":$txOrdinal,"boundary":$boundary,"pos":$pos}"""
 }
 object LsnOffset {
-  val zero: LsnOffset = LsnOffset(0L, -1L)
+  val zero: LsnOffset = LsnOffset(0L, -1L, boundary = false, pos = 0L)
   def fromJson(s: String): LsnOffset = {
     val lsn = "\"commitLsn\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(s).get.group(1).toLong
     val ord = "\"txOrdinal\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(s).get.group(1).toLong
     val bnd = "\"boundary\"\\s*:\\s*(true|false)".r.findFirstMatchIn(s)
       .exists(_.group(1) == "true") // absent (pre-upgrade checkpoint) → strict
-    LsnOffset(lsn, ord, bnd)
+    val pos = "\"pos\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(s)
+      .map(_.group(1).toLong).getOrElse(-1L) // absent → full-scan fallback
+    LsnOffset(lsn, ord, bnd, pos)
   }
   def lt(a: (Long, Long), b: (Long, Long)): Boolean =
     a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
@@ -151,7 +162,9 @@ final class CdcLogMicroBatchStream(path: String, maxRows: Option[Long],
     if (!LsnOffset.lt((start.commitLsn, start.txOrdinal), earliest)) start
     else if (start.boundary && earliest == (start.commitLsn + 1, 0L)) start
     else onMissingOffset match {
-      case "earliest" => LsnOffset(earliest._1 - 1, Long.MaxValue)
+      case "earliest" =>
+        // everything retained is after this offset → read from byte 0
+        LsnOffset(earliest._1 - 1, Long.MaxValue, boundary = false, pos = 0L)
       case _ => throw new IllegalStateException(
         s"checkpointed offset ${start.json()} predates earliest retained " +
           s"WAL entry (${earliest._1},${earliest._2}): change log was " +
@@ -160,54 +173,117 @@ final class CdcLogMicroBatchStream(path: String, maxRows: Option[Long],
     }
   }
 
-  // (size, mtime) memo: the driver consults the key list several times per
-  // trigger (retention check, admission, latest) — parse the log once per
-  // change instead of once per call. A socket-backed source would keep a
-  // rolling buffer here instead.
-  @volatile private var keysMemo: ((Long, Long), Seq[(Long, Long)]) = null
+  /** Byte-incremental key index (ST1/ST3 at scale): `keys` are
+    * (commit_lsn, tx_ordinal, endPos) per parsed line, `parsedUpTo` the
+    * byte position parsing stopped at (always a line boundary — a
+    * partially-flushed trailing line waits for the next trigger).
+    * `ordered` = the FILE order matches key order, the precondition for
+    * handing byte windows to partition readers.
+    *
+    * Each trigger parses only the appended suffix — O(delta), not
+    * O(log). The round-2 memo re-parsed the whole file whenever it grew,
+    * which made every trigger's driver cost proportional to total WAL
+    * retained; a socket-backed source keeps a rolling buffer here
+    * instead, and this index is its file-transport equivalent. */
+  private final case class LogIndex(parsedUpTo: Long, stamp: (Long, Long),
+      keys: Vector[(Long, Long, Long)], ordered: Boolean)
+  @volatile private var idxMemo: LogIndex =
+    LogIndex(0L, (-1L, -1L), Vector.empty, ordered = true)
+
+  private def readIndex(): LogIndex = {
+    val p = Paths.get(path)
+    if (!Files.exists(p))
+      return LogIndex(0L, (-1L, -1L), Vector.empty, ordered = true)
+    val stamp = (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+    val cur0 = idxMemo
+    if (cur0.stamp == stamp) return cur0
+    // shrunk file = retention trim / rewrite → rebuild from byte 0.
+    // (A same-size rewrite with identical mtime is indistinguishable from
+    // no change; the transport only appends or trims, so not reachable.)
+    val cur = if (stamp._1 < cur0.parsedUpTo)
+      LogIndex(0L, (-1L, -1L), Vector.empty, ordered = true) else cur0
+    val chan = java.nio.channels.FileChannel.open(p,
+      java.nio.file.StandardOpenOption.READ)
+    val bytes = try {
+      val len = (stamp._1 - cur.parsedUpTo).toInt
+      val buf = java.nio.ByteBuffer.allocate(len)
+      chan.position(cur.parsedUpTo)
+      var n = 0
+      while (n < len) {
+        val r = chan.read(buf); if (r < 0) n = len else n += r
+      }
+      buf.array()
+    } finally chan.close()
+    // parse whole lines only: stop at the last newline in the suffix
+    val lastNl = bytes.lastIndexOf('\n'.toByte)
+    if (lastNl < 0) { idxMemo = cur.copy(stamp = stamp); return idxMemo }
+    var from = 0
+    val fresh = Vector.newBuilder[(Long, Long, Long)]
+    while (from <= lastNl) {
+      var to = from
+      while (bytes(to) != '\n'.toByte) to += 1
+      if (to > from) {
+        val line = new String(bytes, from, to - from, StandardCharsets.UTF_8)
+        val tab1 = line.indexOf('\t')
+        val tab2 = line.indexOf('\t', tab1 + 1)
+        fresh += ((line.substring(0, tab1).toLong,
+          line.substring(tab1 + 1, tab2).toLong,
+          cur.parsedUpTo + to + 1))
+      }
+      from = to + 1
+    }
+    val chunk = fresh.result()
+    val chunkOrdered = chunk.iterator.zip(chunk.iterator.drop(1))
+      .forall { case (a, b) => !LsnOffset.lt((b._1, b._2), (a._1, a._2)) }
+    val joinOrdered = cur.keys.isEmpty || chunk.isEmpty ||
+      !LsnOffset.lt((chunk.head._1, chunk.head._2),
+        (cur.keys.last._1, cur.keys.last._2))
+    idxMemo = LogIndex(cur.parsedUpTo + lastNl + 1, stamp,
+      cur.keys ++ chunk, cur.ordered && chunkOrdered && joinOrdered)
+    idxMemo
+  }
 
   private def readKeys(): Seq[(Long, Long)] = {
-    val p = Paths.get(path)
-    if (!Files.exists(p)) return Seq.empty
-    val stamp = (Files.size(p), Files.getLastModifiedTime(p).toMillis)
-    val memo = keysMemo
-    if (memo != null && memo._1 == stamp) return memo._2
-    val parsed = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
-      .filter(_.nonEmpty).map { l =>
-        val t = l.split("\t", -1)
-        (t(0).toLong, t(1).toLong)
-      }
-    keysMemo = (stamp, parsed)
-    parsed
+    val idx = readIndex()
+    val ks = idx.keys.map(k => (k._1, k._2))
+    if (idx.ordered) ks else ks.sorted
   }
 
   override def initialOffset(): Offset = LsnOffset.zero
   override def deserializeOffset(json: String): Offset = LsnOffset.fromJson(json)
 
-  override def latestOffset(): Offset =
-    readKeys().sorted.lastOption // log end = boundary (whole-commit appends)
-      .map { case (l, o) => LsnOffset(l, o, boundary = true) }
-      .getOrElse(LsnOffset.zero)
+  override def latestOffset(): Offset = {
+    val idx = readIndex()
+    val last = // log end = boundary (whole-commit appends)
+      if (idx.ordered) idx.keys.lastOption
+      else idx.keys.sortBy(k => (k._1, k._2)).lastOption
+    last.map { case (l, o, end) =>
+      LsnOffset(l, o, boundary = true, pos = if (idx.ordered) end else -1L)
+    }.getOrElse(LsnOffset.zero)
+  }
 
   /** Admission control (ST1): cap rows per micro-batch — the analog of the
     * reference's byte/row batch budget (`BatchConfig.max_bytes`,
     * batch_budget.rs). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = checkRetention(start.asInstanceOf[LsnOffset])
-    val pending = readKeys().sorted
-      .filter(k => LsnOffset.lt((s.commitLsn, s.txOrdinal), k))
+    val idx = readIndex()
+    val all = if (idx.ordered) idx.keys else idx.keys.sortBy(k => (k._1, k._2))
+    val pending = all
+      .filter(k => LsnOffset.lt((s.commitLsn, s.txOrdinal), (k._1, k._2)))
     val capped = limit match {
       case r: ReadMaxRows => pending.take(r.maxRows().toInt)
       case _ => maxRows.map(m => pending.take(m.toInt)).getOrElse(pending)
     }
-    capped.lastOption.map { case (l, o) =>
+    capped.lastOption.map { case (l, o, end) =>
       // commit-boundary bit for the retention check: a later commit
       // visible behind the cap proves this commit is complete; a fully
       // drained log is a boundary too (the file transport appends whole
       // commits per flush). Only a cap landing mid-commit — next pending
       // entry shares the lsn — is a non-boundary.
       val rest = pending.drop(capped.length)
-      LsnOffset(l, o, boundary = rest.headOption.forall(_._1 > l))
+      LsnOffset(l, o, boundary = rest.headOption.forall(_._1 > l),
+        pos = if (idx.ordered) end else -1L)
     }.getOrElse(s)
   }
 
@@ -217,9 +293,33 @@ final class CdcLogMicroBatchStream(path: String, maxRows: Option[Long],
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[LsnOffset]
     val e = end.asInstanceOf[LsnOffset]
+    // Byte window for the reader, derived from the CURRENT index rather
+    // than the offsets' pos hints (which may predate a retention trim
+    // that shifted every line): fromPos = end of the last line with
+    // key ≤ start, toPos = end of the last line with key ≤ end. Valid
+    // only while file order == key order; otherwise the reader falls
+    // back to scanning the whole log with the key filter.
+    val idx = readIndex()
+    val (fromPos, toPos) =
+      if (!idx.ordered) (-1L, -1L)
+      else {
+        def endOfLastLe(lsn: Long, ord: Long): Long = {
+          var lo = 0; var hi = idx.keys.length - 1; var res = 0L
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            val k = idx.keys(mid)
+            if (!LsnOffset.lt((lsn, ord), (k._1, k._2))) {
+              res = k._3; lo = mid + 1
+            } else hi = mid - 1
+          }
+          res
+        }
+        (endOfLastLe(s.commitLsn, s.txOrdinal),
+          endOfLastLe(e.commitLsn, e.txOrdinal))
+      }
     // single ordered WAL window — one partition (see class doc)
     Array(CdcLogPartition(path, s.commitLsn, s.txOrdinal,
-      e.commitLsn, e.txOrdinal))
+      e.commitLsn, e.txOrdinal, fromPos, toPos))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -242,9 +342,14 @@ final class CdcLogMicroBatchStream(path: String, maxRows: Option[Long],
   override def stop(): Unit = {}
 }
 
-/** The (from, to] window over the ordered log, as (lsn, ordinal) pairs. */
+/** The (from, to] window over the ordered log, as (lsn, ordinal) pairs.
+  * `fromPos`/`toPos` is an optional byte window (−1 = unknown): when the
+  * planner verified file order == key order, the reader seeks to
+  * `fromPos` and reads `toPos − fromPos` bytes — O(batch) I/O — instead
+  * of scanning the whole log. The key filter still applies either way. */
 final case class CdcLogPartition(path: String, fromLsn: Long, fromOrd: Long,
-    toLsn: Long, toOrd: Long) extends InputPartition
+    toLsn: Long, toOrd: Long, fromPos: Long = -1L, toPos: Long = -1L)
+    extends InputPartition
 
 final class CdcLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -252,9 +357,26 @@ final class CdcLogReaderFactory extends PartitionReaderFactory {
     new PartitionReader[InternalRow] {
       private val lines: Iterator[Array[String]] = {
         val f = Paths.get(p.path)
-        if (!Files.exists(f)) Iterator.empty
-        else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.iterator
-          .filter(_.nonEmpty)
+        val raw: Iterator[String] =
+          if (!Files.exists(f)) Iterator.empty
+          else if (p.fromPos >= 0 && p.toPos >= p.fromPos &&
+              Files.size(f) >= p.toPos) {
+            // O(batch) seek-read of exactly this window's bytes
+            val chan = java.nio.channels.FileChannel.open(f,
+              java.nio.file.StandardOpenOption.READ)
+            val bytes = try {
+              val buf = java.nio.ByteBuffer.allocate((p.toPos - p.fromPos).toInt)
+              chan.position(p.fromPos)
+              var n = 0
+              while (n < buf.capacity()) {
+                val r = chan.read(buf); if (r < 0) n = buf.capacity() else n += r
+              }
+              buf.array()
+            } finally chan.close()
+            new String(bytes, StandardCharsets.UTF_8)
+              .split("\n", -1).iterator
+          } else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.iterator
+        raw.filter(_.nonEmpty)
           .map(_.split("\t", -1))
           .filter { t =>
             val k = (t(0).toLong, t(1).toLong)

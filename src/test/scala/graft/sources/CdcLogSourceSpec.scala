@@ -1,0 +1,141 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.connector.read.streaming.ReadLimit
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Unit coverage for the WAL source's incremental-read machinery: byte
+  * windows handed to partition readers, O(delta) driver indexing, and the
+  * full-scan fallbacks that keep the (lsn, ordinal) key window the source
+  * of truth (reference: single-reader decode loop, apply.rs:2026-2127 —
+  * a socket transport only ever sees new bytes; the file transport gets
+  * the same property via the index). */
+class CdcLogSourceSpec extends SparkSpec {
+
+  private def tmp() = Files.createTempDirectory("cdclog").toString
+
+  private def line(lsn: Long, ord: Long, id: Long): String =
+    CdcLogSource.renderLine("I", 1L, lsn, lsn, ord, 0L, None,
+      Some(s"""{"id":$id}"""))
+
+  private def append(path: String, lines: Seq[String]): Unit =
+    Files.write(Paths.get(path),
+      (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+
+  private def readAll(p: CdcLogPartition): Seq[(Long, Long)] = {
+    val r = new CdcLogReaderFactory().createReader(p)
+    val out = Seq.newBuilder[(Long, Long)]
+    while (r.next()) { val row = r.get(); out += ((row.getLong(2), row.getLong(4))) }
+    r.close()
+    out.result()
+  }
+
+  test("offset json round-trips pos; absent pos parses as -1 (pre-upgrade)") {
+    val o = LsnOffset(7L, 2L, boundary = true, pos = 1234L)
+    assert(LsnOffset.fromJson(o.json()) == o)
+    val legacy = LsnOffset.fromJson("""{"commitLsn":7,"txOrdinal":2}""")
+    assert(legacy == LsnOffset(7L, 2L, boundary = false, pos = -1L))
+  }
+
+  test("batch read returns every log line") {
+    val log = s"${tmp()}/wal.log"
+    append(log, (1L to 5L).map(i => line(i, 0, i)))
+    assert(spark.read.format("graft-cdc").option("path", log)
+      .load().count() == 5)
+  }
+
+  test("planned partitions carry exact byte windows; readers seek, not scan") {
+    val log = s"${tmp()}/wal.log"
+    val first = (1L to 3L).map(i => line(i, 0, i))
+    append(log, first)
+    val firstBytes = Files.size(Paths.get(log))
+
+    val s = new CdcLogMicroBatchStream(log, None)
+    val end1 = s.latestOffset(LsnOffset.zero, ReadLimit.allAvailable())
+      .asInstanceOf[LsnOffset]
+    assert(end1 == LsnOffset(3L, 0L, boundary = true, pos = firstBytes))
+    val p1 = s.planInputPartitions(LsnOffset.zero, end1)(0)
+      .asInstanceOf[CdcLogPartition]
+    assert(p1.fromPos == 0L && p1.toPos == firstBytes)
+    assert(readAll(p1) == Seq((1L, 0L), (2L, 0L), (3L, 0L)))
+
+    // second trigger: only the appended suffix is parsed AND read
+    append(log, Seq(line(4L, 0L, 4L), line(5L, 0L, 5L)))
+    val end2 = s.latestOffset(end1, ReadLimit.allAvailable())
+      .asInstanceOf[LsnOffset]
+    val p2 = s.planInputPartitions(end1, end2)(0)
+      .asInstanceOf[CdcLogPartition]
+    assert(p2.fromPos == firstBytes &&
+      p2.toPos == Files.size(Paths.get(log)))
+    assert(readAll(p2) == Seq((4L, 0L), (5L, 0L)))
+  }
+
+  test("byte window splits mid-commit under admission cap") {
+    val log = s"${tmp()}/wal.log"
+    append(log, Seq(line(1L, 0L, 1L), line(1L, 1L, 2L), line(1L, 2L, 3L),
+      line(2L, 0L, 4L)))
+    val s = new CdcLogMicroBatchStream(log, None)
+    val end = s.latestOffset(LsnOffset.zero, ReadLimit.maxRows(2))
+      .asInstanceOf[LsnOffset]
+    // next pending entry shares commit_lsn 1 → cap landed mid-commit
+    assert(end.commitLsn == 1L && end.txOrdinal == 1L && !end.boundary)
+    val p = s.planInputPartitions(LsnOffset.zero, end)(0)
+      .asInstanceOf[CdcLogPartition]
+    assert(readAll(p) == Seq((1L, 0L), (1L, 1L)))
+    // the remainder resumes exactly at the cap's byte position
+    val end2 = s.latestOffset(end, ReadLimit.allAvailable())
+      .asInstanceOf[LsnOffset]
+    val p2 = s.planInputPartitions(end, end2)(0)
+      .asInstanceOf[CdcLogPartition]
+    assert(p2.fromPos == p.toPos)
+    assert(readAll(p2) == Seq((1L, 2L), (2L, 0L)))
+  }
+
+  test("out-of-order log disables byte windows; key filter stays correct") {
+    val log = s"${tmp()}/wal.log"
+    append(log, Seq(line(2L, 0L, 2L), line(1L, 0L, 1L), line(3L, 0L, 3L)))
+    val s = new CdcLogMicroBatchStream(log, None)
+    val end = s.latestOffset(LsnOffset.zero, ReadLimit.allAvailable())
+      .asInstanceOf[LsnOffset]
+    assert(end.commitLsn == 3L && end.pos == -1L)
+    val p = s.planInputPartitions(LsnOffset.zero, end)(0)
+      .asInstanceOf[CdcLogPartition]
+    assert(p.fromPos == -1L && p.toPos == -1L)
+    assert(readAll(p).sorted == Seq((1L, 0L), (2L, 0L), (3L, 0L)))
+  }
+
+  test("retention trim rebuilds the index; windows follow the NEW layout") {
+    val log = s"${tmp()}/wal.log"
+    append(log, (1L to 6L).map(i => line(i, 0, i)))
+    val s = new CdcLogMicroBatchStream(log, None, "earliest")
+    val end1 = s.latestOffset(LsnOffset.zero, ReadLimit.maxRows(4))
+      .asInstanceOf[LsnOffset] // consumed through lsn 4
+    assert(end1.commitLsn == 4L)
+    // retention drops 1..4: file shrinks, every byte position shifts
+    Files.write(Paths.get(log),
+      (Seq(line(5L, 0L, 5L), line(6L, 0L, 6L)).mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    val end2 = s.latestOffset(end1, ReadLimit.allAvailable())
+      .asInstanceOf[LsnOffset]
+    val p = s.planInputPartitions(end1, end2)(0)
+      .asInstanceOf[CdcLogPartition]
+    // start sits before the trimmed file's first line → window from byte 0
+    assert(p.fromPos == 0L && p.toPos == Files.size(Paths.get(log)))
+    assert(readAll(p) == Seq((5L, 0L), (6L, 0L)))
+  }
+
+  test("stale pos hints in offsets are ignored (planner re-derives from index)") {
+    val log = s"${tmp()}/wal.log"
+    append(log, (1L to 4L).map(i => line(i, 0, i)))
+    val s = new CdcLogMicroBatchStream(log, None)
+    // fabricate a checkpointed start with a wildly wrong pos hint
+    val start = LsnOffset(2L, 0L, boundary = true, pos = 999999L)
+    val end = s.latestOffset(start, ReadLimit.allAvailable())
+      .asInstanceOf[LsnOffset]
+    val p = s.planInputPartitions(start, end)(0)
+      .asInstanceOf[CdcLogPartition]
+    assert(readAll(p) == Seq((3L, 0L), (4L, 0L)))
+  }
+}
