@@ -51,30 +51,95 @@ object Dedup {
   def shingleHashes(text: Column, n: Int): Column =
     graft.functions.NGramHashes(text, n)
 
-  /** Exact n-gram Jaccard near-dup pairs via inverted-index join.
+  /** Exact n-gram Jaccard near-dup pairs via PPJoin-style prefix
+    * filtering (Xiao et al., "Efficient Similarity Joins for Near
+    * Duplicate Detection", WWW'08): fix a global total order on
+    * shingles, index only each doc's prefix of length |d| − ⌈t·|d|⌉ + 1,
+    * and generate candidates from prefix-postings equijoins — any pair
+    * with J ≥ t must share a prefix shingle (pigeonhole over the global
+    * order), so the filter is lossless for ANY total order. Candidates
+    * then pass a length filter (J ≥ t ⟹ min ≥ t·max) and are verified
+    * with the exact intersection over full shingle sets.
+    *
+    * vs. the round-1 full inverted index: only ~(1−t)·|d| of each doc's
+    * postings enter the join, and candidate pairs are verified once
+    * instead of counted across every shared gram — so the join no longer
+    * degenerates on low-entropy corpora where nearly all pairs share
+    * some gram. Two orders are offered (see `rarityOrder` in the body);
+    * both are exact.
+    *
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     * Jaccard is a ratio of integers — bit-exact, oracle-safe. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      n: Int, threshold: Double): DataFrame = {
-    // shingle sets computed ONCE (checkpoint) — they feed both join
-    // branches and the size lookup; postings shuffle two longs per row
+      n: Int, threshold: Double, rarityOrder: Boolean = false): DataFrame = {
+    // shingle sets computed ONCE (checkpoint) — they feed the postings
+    // and the verify joins; postings shuffle two longs per row
     val docs = df.select(col(idCol).as("id"),
       shingleHashes(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
       .localCheckpoint(eager = false)
-    val posting = docs.select(col("id"), explode(col("sh")).as("gh"))
-    val a = posting.select(col("id").as("id_a"), col("gh"))
-    val b = posting.select(col("id").as("id_b"), col("gh"))
-    val inter = a.join(b, Seq("gh")).filter(col("id_a") < col("id_b"))
+    // prefix length |d| − ⌈t·|d|⌉ + 1; the 1e-9 slack makes double
+    // rounding err toward a LONGER prefix (extra candidates), never a
+    // shorter one (missed pairs)
+    val prefLen = (col("sz") -
+      ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1).cast("int")
+    // prefix postings carry the gram's 1-based POSITION in the doc's
+    // global-order sort — it feeds the PPJoin positional bound below
+    val prefix =
+      if (!rarityOrder) {
+        // default global order = the shingle hash itself: prefix
+        // extraction is then a pure map-side sort_array + slice (codegen,
+        // ZERO extra shuffles) — the right default when shingles are
+        // already 64-bit hashes with near-uniform frequency
+        docs.select(col("id"), col("sz"),
+            posexplode(slice(sort_array(col("sh")), lit(1), prefLen)))
+          .select(col("id"), col("sz"), (col("pos") + 1).as("p"),
+            col("col").as("gh"))
+      } else {
+        // opt-in rarity order (classic PPJoin) for stopword-heavy corpora:
+        // ascending document frequency pushes common grams OUT of
+        // prefixes, at the cost of a dfreq aggregation + a per-doc sort
+        val posting = docs.select(col("id"), col("sz"),
+          explode(col("sh")).as("gh"))
+        val dfreq = posting.groupBy("gh").agg(count(lit(1)).as("dfreq"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy("dfreq", "gh")
+        posting.join(dfreq, "gh")
+          .withColumn("p", row_number().over(w))
+          .filter(col("p") <= prefLen)
+      }
+    val a = prefix.select(col("id").as("id_a"), col("sz").as("sz_a"),
+      col("p").as("p_a"), col("gh"))
+    val b = prefix.select(col("id").as("id_b"), col("sz").as("sz_b"),
+      col("p").as("p_b"), col("gh"))
+    // Positional upper bound (PPJoin): a GLOBAL order makes shared grams
+    // interleave consistently, so a shared gram at positions (p_a, p_b)
+    // bounds the whole intersection by
+    //   min(p_a, p_b) − 1 + 1 + min(sz_a − p_a, sz_b − p_b).
+    // Required overlap for J ≥ t is o = ⌈t/(1+t)·(sz_a+sz_b)⌉; pairs
+    // whose TIGHTEST bound (min over shared prefix grams) is below o can
+    // never verify — dropped before the expensive set intersection.
+    val candidates = a.join(b, Seq("gh"))
+      .filter(col("id_a") < col("id_b"))
+      // length filter, floor−1 slack again absorbing double rounding
+      .filter(least(col("sz_a"), col("sz_b")) >=
+        floor(lit(threshold) * greatest(col("sz_a"), col("sz_b"))) - 1)
       .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"))
-    // sizes re-attached via joins against the one-row-per-doc side; AQE
-    // broadcasts it when small, shuffles on id at corpus scale
-    val sizes = docs.select(col("id"), col("sz"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .agg(min(least(col("p_a"), col("p_b")) +
+        least(col("sz_a") - col("p_a"), col("sz_b") - col("p_b"))).as("ub"),
+        first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
+      .filter(col("ub") >= ceil(lit(threshold / (1 + threshold)) *
+        (col("sz_a") + col("sz_b")) - lit(1e-9)))
+      .select("id_a", "id_b")
+    // verify candidates with the exact intersection (same integer-ratio
+    // jaccard as the oracle)
+    candidates
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        col("sz").as("sz_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"))

@@ -35,6 +35,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("PPJoin prefix filter is lossless vs brute-force cross join") {
+    // low threshold + real corpus slice → boundary-size prefixes exercised
+    val real = graft.Tables.load(spark, sf(), "documents")
+      .filter(col("doc_id") < 80)
+    val t = 0.3
+    val pp = Dedup.ngramJaccardPairs(real, "text", "doc_id", 3, t)
+      .as[(Long, Long, Double)].collect().toSet
+    val ppRarity = Dedup.ngramJaccardPairs(real, "text", "doc_id", 3, t,
+      rarityOrder = true).as[(Long, Long, Double)].collect().toSet
+    val sh = real.select(col("doc_id").as("id"),
+        Dedup.shingleHashes(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val brute = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(sh.select(col("id").as("id_b"), col("sh").as("sh_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= t)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(pp == brute)
+    assert(ppRarity == brute)
+  }
+
   test("minhash LSH pairs agree with exact jaccard on testdata (recall)") {
     val real = graft.Tables.load(spark, sf(), "documents")
     val exact = Dedup.ngramJaccardPairs(real, "text", "doc_id", 3, 0.5)
