@@ -1,12 +1,15 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import graft.functions.{HyperplaneSig, NGramHashes, RollingHash, VecDot}
+import graft.sinks.{ChangelogSink, GraftTable}
 
 /** SparkSessionExtensions entry point: registers the engine's native
-  * Catalyst expressions as SQL functions, so a plain SQL user gets them
+  * Catalyst expressions as SQL functions AND its storage as SQL
+  * table-valued functions, so a plain SQL user gets the whole surface
   * with
   *
   *   spark.sql.extensions=graft.GraftExtensions
@@ -18,9 +21,18 @@ import graft.functions.{HyperplaneSig, NGramHashes, RollingHash, VecDot}
   *          vec_dot(a, b),                     -- double-fold dot product
   *          hyperplane_sig(vec, 8)             -- LSH bucket signature
   *
-  * This is the injection-point pattern from SURVEY §2.9/§4 — no custom
-  * Rule/Strategy is REQUIRED for parity (the reference has no optimizer),
-  * so the extension surface is exactly the function registry.
+  *   SELECT * FROM graft_table('/path/t')      -- current snapshot
+  *   SELECT * FROM graft_table_version('/path/t', 3)   -- time travel
+  *   SELECT * FROM graft_changelog('/sink', 'users')   -- raw changelog
+  *   SELECT * FROM graft_changelog_latest('/sink', 'users', 'id')
+  *
+  * This is the injection-point pattern from SURVEY §2.9/§4: the
+  * reference has no optimizer, so the extension surface is the function
+  * + table-function registry (the SQL analog of the reference's
+  * destination "views": BigQuery CDC tables, ClickHouse FINAL views).
+  * The TVFs return the ANALYZED plan of the engine's own readers, so
+  * manifest pruning / mergeSchema behavior is identical to the
+  * programmatic API.
   */
 object GraftExtensions {
   /** Register the same functions on an ALREADY-RUNNING session (the
@@ -39,6 +51,51 @@ object GraftExtensions {
         args(1).eval().asInstanceOf[Number].intValue(),
         if (args.length > 2) args(2).eval().asInstanceOf[Number].intValue()
         else 0), "built-in")
+    val t = spark.sessionState.tableFunctionRegistry
+    t.createOrReplaceTempFunction("graft_table",
+      args => tableBuilder(args), "built-in")
+    t.createOrReplaceTempFunction("graft_table_version",
+      args => tableVersionBuilder(args), "built-in")
+    t.createOrReplaceTempFunction("graft_changelog",
+      args => changelogBuilder(args), "built-in")
+    t.createOrReplaceTempFunction("graft_changelog_latest",
+      args => changelogLatestBuilder(args), "built-in")
+  }
+
+  // ------------------------------------------------- table-function bodies
+  private def str(e: Expression, what: String): String = {
+    val v = e.eval()
+    require(v != null, s"$what must be a literal string")
+    v.toString
+  }
+  private def long(e: Expression, what: String): Long = {
+    val v = e.eval()
+    require(v != null, s"$what must be a literal integer")
+    v.asInstanceOf[Number].longValue()
+  }
+  private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+
+  private[graft] def tableBuilder(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    plan(GraftTable.open(str(args.head, "root path")).read(spark))
+  }
+  private[graft] def tableVersionBuilder(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    plan(GraftTable.open(str(args.head, "root path"))
+      .readVersion(spark, long(args(1), "version")))
+  }
+  private[graft] def changelogBuilder(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    plan(new ChangelogSink(str(args.head, "sink dir"))
+      .read(spark, str(args(1), "table")))
+  }
+  private[graft] def changelogLatestBuilder(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    plan(new ChangelogSink(str(args.head, "sink dir"))
+      .latest(spark, str(args(1), "table"),
+        str(args(2), "key columns").split(",").toSeq.map(_.trim)
+          .filter(_.nonEmpty)))
   }
 }
 
@@ -67,5 +124,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         args(1).eval().asInstanceOf[Number].intValue(),
         if (args.length > 2) args(2).eval().asInstanceOf[Number].intValue()
         else 0)))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_table"),
+      info("graft_table", "graft_table(root) - current snapshot of a graft table"),
+      (args: Seq[Expression]) => GraftExtensions.tableBuilder(args)))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_table_version"),
+      info("graft_table_version",
+        "graft_table_version(root, v) - time travel to snapshot v"),
+      (args: Seq[Expression]) => GraftExtensions.tableVersionBuilder(args)))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_changelog"),
+      info("graft_changelog",
+        "graft_changelog(dir, table) - append-only change stream"),
+      (args: Seq[Expression]) => GraftExtensions.changelogBuilder(args)))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_changelog_latest"),
+      info("graft_changelog_latest",
+        "graft_changelog_latest(dir, table, keys) - current-state view"),
+      (args: Seq[Expression]) => GraftExtensions.changelogLatestBuilder(args)))
   }
 }

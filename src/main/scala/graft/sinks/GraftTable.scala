@@ -412,3 +412,20 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) walkDir(p).reverse.foreach(Files.deleteIfExists(_))
 }
+
+object GraftTable {
+  /** Open an existing table by reading its identity (`_meta.json`) —
+    * key columns and bucket count travel with the table, so readers
+    * (e.g. the `graft_table(...)` SQL TVF) need only the root path. */
+  def open(root: String): GraftTable = {
+    val metaPath = Paths.get(root, "_meta.json")
+    require(Files.exists(metaPath), s"not a graft table (no _meta.json): $root")
+    val s = new String(Files.readAllBytes(metaPath), StandardCharsets.UTF_8)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(s)
+    new GraftTable(root, (j \ "keyCols").extract[List[String]],
+      (j \ "nBuckets").extract[Int])
+  }
+}

@@ -25,4 +25,48 @@ class GraftExtensionsSpec extends AnyFunSuite {
   test("builder-time extension injects without error") {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
+
+  test("graft_table / graft_table_version TVFs query snapshots from SQL") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    val root = java.nio.file.Files.createTempDirectory("tvf").toString + "/t"
+    val t = new graft.sinks.GraftTable(root, Seq("id"), nBuckets = 4)
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.merge(Seq((2L, "b2", "U", "0000000000000001/0000000000000000"),
+      (3L, "c", "I", "0000000000000001/0000000000000001"))
+      .toDF("id", "v", "_op", "_seq"))
+    // current snapshot via SQL, no programmatic handle needed
+    val cur = spark.sql(s"SELECT id, v FROM graft_table('$root') ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(cur == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    // time travel to the pre-merge snapshot
+    val v0 = t.versions.head
+    val old = spark.sql(
+      s"SELECT id, v FROM graft_table_version('$root', $v0) ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(old == Seq((1L, "a"), (2L, "b")))
+    // TVFs compose with ordinary SQL (joins, aggregates)
+    assert(spark.sql(
+      s"""SELECT count(*) FROM graft_table('$root') a
+          JOIN graft_table('$root') b USING (id)""").head().getLong(0) == 3L)
+  }
+
+  test("graft_changelog / graft_changelog_latest TVFs read sink output") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    val dir = java.nio.file.Files.createTempDirectory("tvf-cl").toString
+    val sink = new graft.sinks.ChangelogSink(dir)
+    sink.writeEvents("users",
+      Seq((1L, "a", "I", 1L, 0L), (2L, "b", "I", 1L, 1L),
+        (1L, "a2", "U", 2L, 0L), (2L, "b", "D", 3L, 0L))
+        .toDF("id", "v", "_op", "_commit_lsn", "_tx_ordinal"))
+    assert(spark.sql(s"SELECT * FROM graft_changelog('$dir', 'users')")
+      .count() == 4)
+    val latest = spark.sql(
+      s"""SELECT id, v FROM graft_changelog_latest('$dir', 'users', 'id')
+          ORDER BY id""").as[(Long, String)].collect().toSeq
+    assert(latest == Seq((1L, "a2")))
+  }
 }
