@@ -179,11 +179,14 @@ final class CdcPipeline(
     * driver-side control flow over METADATA (table list), while all row
     * work stays distributed. */
   private[pipeline] def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+    // exactly-once bracket: a sink-side ledger (ExactlyOnceSink) can
+    // declare this batchId already committed → skip the whole replay
+    if (!sink.beginBatch(batchId)) return
     // cache BEFORE the emptiness probe: isEmpty on the raw frame would
     // scan the source once for its single row and again for the cache fill
     val cached = batch.cache()
     try {
-      if (cached.isEmpty) return
+      if (cached.isEmpty) { sink.commitBatch(batchId); return }
       // DDL capture (S5): Relation control records carry the new schema
       // version; register them FIRST so same-batch data at the new
       // _schema_lsn decodes against it (the reference's
@@ -341,6 +344,10 @@ final class CdcPipeline(
       finally applyPool.shutdown()
       val maxLsn = cached.agg(max("_commit_lsn")).collect()(0).getLong(0)
       stateStore.upsertFlushLsn(maxLsn)
+      // ledger commit only after every table's writes are durable (a
+      // quarantined table's events are recovered by its re-sync, not by
+      // batch replay — reference retry semantics, ST8)
+      sink.commitBatch(batchId)
     } finally cached.unpersist()
   }
 }

@@ -24,6 +24,15 @@ trait CdcSink {
     * already deduped/expanded by the apply planner. */
   def writeEvents(table: String, events: DataFrame): Unit
   def truncateTable(table: String): Unit
+  /** Batch replay identity (txnAppId/txnVersion shape): the pipeline
+    * brackets each micro-batch with beginBatch/commitBatch, passing
+    * Spark's monotonically-replayed batchId. Return false from
+    * beginBatch to declare the batch ALREADY COMMITTED — the pipeline
+    * then skips it wholesale (see [[ExactlyOnceSink]]). Defaults are
+    * no-ops: sinks with a natural sequence high-water mark (GraftTable
+    * manifests, changelog offset tokens) don't need the ledger. */
+  def beginBatch(batchId: Long): Boolean = true
+  def commitBatch(batchId: Long): Unit = {}
   def shutdown(): Unit = {}
 }
 
@@ -207,6 +216,79 @@ final class ChangelogSink(rootDir: String) extends CdcSink {
         .drop("cdc_operation", "sequence_number")
     }
   }
+}
+
+/** Durable (appId → last committed version) ledger — the file analog of
+  * Delta's txnAppId/txnVersion table and Snowflake's channel offset
+  * token (reference snowflake/streaming/offset_token.rs): one JSON map,
+  * committed by write-tmp + atomic rename, monotonic per app. */
+final class TxnLedger(path: String) {
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+  import java.nio.charset.StandardCharsets
+
+  private def read(): Map[String, Long] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return Map.empty
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    JsonMethods.parse(new String(Files.readAllBytes(p),
+      StandardCharsets.UTF_8)).extract[Map[String, Long]]
+  }
+
+  def lastCommitted(appId: String): Long = read().getOrElse(appId, -1L)
+
+  def commit(appId: String, version: Long): Unit = synchronized {
+    val cur = read()
+    if (cur.getOrElse(appId, -1L) >= version) return // monotonic
+    val next = cur + (appId -> version)
+    val body = next.toSeq.sortBy(_._1).map { case (k, v) =>
+      s""""${k.replace("\\", "\\\\").replace("\"", "\\\"")}":$v"""
+    }.mkString("{", ",", "}")
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    val tmp = Paths.get(path + ".tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+/** Exactly-once decorator for sinks WITHOUT a natural replay high-water
+  * mark (the GraftTable/Changelog sinks carry their own): a replayed
+  * micro-batch whose batchId is already in the ledger is skipped before
+  * any write reaches the inner sink. The ledger commit happens AFTER
+  * the inner sink's writes are durable, so a crash inside a batch
+  * replays it (at-least-once within the crash window — the reference's
+  * delivery contract, destination/base.rs:27-44); a replay after the
+  * ledger commit is suppressed entirely. Backfill writes
+  * (writeTableRows/truncate outside a batch bracket) pass through:
+  * they're made idempotent by the copy protocol itself
+  * (drop_table_for_copy + overwrite). */
+final class ExactlyOnceSink(inner: CdcSink, ledgerPath: String,
+    appId: String) extends CdcSink {
+  private val ledger = new TxnLedger(ledgerPath)
+  @volatile private var skipping = false
+
+  override def startup(spark: SparkSession): Unit = inner.startup(spark)
+  override def beginBatch(batchId: Long): Boolean = {
+    skipping = batchId <= ledger.lastCommitted(appId)
+    if (!skipping) inner.beginBatch(batchId) else false
+  }
+  override def commitBatch(batchId: Long): Unit = {
+    if (!skipping) {
+      inner.commitBatch(batchId)
+      ledger.commit(appId, batchId)
+    }
+    skipping = false
+  }
+  override def writeTableRows(table: String, rows: DataFrame): Unit =
+    inner.writeTableRows(table, rows)
+  override def writeEvents(table: String, events: DataFrame): Unit =
+    if (!skipping) inner.writeEvents(table, events)
+  override def truncateTable(table: String): Unit =
+    if (!skipping) inner.truncateTable(table)
+  override def shutdown(): Unit = inner.shutdown()
 }
 
 /** In-memory sink for tests and as correctness oracle (reference

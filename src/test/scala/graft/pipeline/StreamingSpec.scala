@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.SparkSpec
 import graft.core.{ColumnSpec, SchemaRegistry, TableSchemaV}
-import graft.sinks.CurrentStateSink
+import graft.sinks.{CurrentStateSink, ExactlyOnceSink, MemorySink, TxnLedger}
 import graft.sources.CdcLogSource
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -393,6 +393,50 @@ class StreamingSpec extends SparkSpec {
     // out and leave the table permanently empty)
     pipeline.applyBatch(truncBatch, 0L)
     assert(ids == Set(4L))
+  }
+
+  test("ExactlyOnceSink: committed batches replay as no-ops; ledger survives restart") {
+    val dir = tmp("cdc-txn")
+    val ledger = s"$dir/ledger.json"
+    val mem = new MemorySink
+    def mkP(sink: graft.sinks.CdcSink) = {
+      val registry = new SchemaRegistry
+      registry.put(usersSchema)
+      new CdcPipeline(spark,
+        PipelineConfig(maxRowsPerTrigger = 4, maxFillMs = 50,
+          checkpointDir = s"$dir/ckpt", stateDir = s"$dir/state"),
+        registry, sink, decode)
+    }
+    val pipeline = mkP(new ExactlyOnceSink(mem, ledger, "app1"))
+    pipeline.backfill(Seq(usersSchema), _ => (
+      Seq((1L, "a", 30)).toDF("id", "name", "age"), 0L))
+    def applied = mem.eventBatches.get("users").map(_.size).getOrElse(0)
+
+    val b0 = envelope(("I", 1L, 0L, None,
+      Some("""{"id":2,"name":"b","age":31}""")))
+    pipeline.applyBatch(b0, 0L)
+    assert(applied == 1)
+    // foreachBatch replay of a COMMITTED batch (restart after checkpoint
+    // lag) → suppressed before any write reaches the inner sink
+    pipeline.applyBatch(b0, 0L)
+    assert(applied == 1)
+    // the next batch passes through
+    pipeline.applyBatch(envelope(("I", 2L, 0L, None,
+      Some("""{"id":3,"name":"c","age":32}"""))), 1L)
+    assert(applied == 2)
+
+    // process restart: a FRESH decorator over the same ledger file still
+    // suppresses batches 0 and 1, applies batch 2
+    val pipeline2 = mkP(new ExactlyOnceSink(mem, ledger, "app1"))
+    pipeline2.applyBatch(b0, 0L)
+    pipeline2.applyBatch(b0, 1L)
+    assert(applied == 2)
+    pipeline2.applyBatch(envelope(("I", 3L, 0L, None,
+      Some("""{"id":4,"name":"d","age":33}"""))), 2L)
+    assert(applied == 3)
+    // a different appId has its own version sequence
+    assert(new TxnLedger(ledger).lastCommitted("app1") == 2L)
+    assert(new TxnLedger(ledger).lastCommitted("other") == -1L)
   }
 
   test("events during re-copy are spooled and replayed at handoff (catchup)") {
