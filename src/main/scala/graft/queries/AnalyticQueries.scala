@@ -45,18 +45,25 @@ object AnalyticQueries {
     ORDER BY l_suppkey, rn"""
 
   /** UNION / INTERSECT / EXCEPT with set semantics: order keys that have
-    * lineitems vs. orders in a status slice. */
+    * lineitems vs. orders in a status slice. All three set operations come
+    * out of ONE pass: tag each side, aggregate membership flags per key
+    * (map-side combine), then count flag combinations — one shuffle total
+    * instead of three separate distinct/intersect/except jobs each
+    * rescanning lineitem. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
     val liKeys = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("k"))
+      .select(col("l_orderkey").as("k"), lit(1).as("in_li"), lit(0).as("in_ord"))
     val orderKeys = Tables.load(spark, dir, "orders")
       .filter(col("o_orderstatus") === "F")
-      .select(col("o_orderkey").as("k"))
-    val u = liKeys.union(orderKeys).distinct().count()
-    val i = liKeys.intersect(orderKeys).count()
-    val e = orderKeys.except(liKeys).count()
-    import spark.implicits._
-    Seq((u, i, e)).toDF("n_union", "n_intersect", "n_except")
+      .select(col("o_orderkey").as("k"), lit(0).as("in_li"), lit(1).as("in_ord"))
+    liKeys.unionAll(orderKeys)
+      .groupBy("k")
+      .agg(max("in_li").as("in_li"), max("in_ord").as("in_ord"))
+      .agg(count(lit(1)).as("n_union"),
+        count(when(col("in_li") === 1 && col("in_ord") === 1, 1))
+          .as("n_intersect"),
+        count(when(col("in_li") === 0 && col("in_ord") === 1, 1))
+          .as("n_except"))
   }
 
   val setOpsSql: String = """

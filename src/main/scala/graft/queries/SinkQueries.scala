@@ -47,9 +47,10 @@ object SinkQueries {
     val opExpr = when(col("event_type") === "signup", "I")
       .when(col("event_type") === "error", "D").otherwise("U")
     val ev = Tables.load(spark, dir, "events").select(
-      col("user_id").as("key"), col("value").as("val"),
-      opExpr.as("_op"), col("event_id").as("_commit_lsn"),
-      lit(0L).as("_tx_ordinal"))
+        col("user_id").as("key"), col("value").as("val"),
+        opExpr.as("_op"), col("event_id").as("_commit_lsn"),
+        lit(0L).as("_tx_ordinal"))
+      .localCheckpoint(eager = false) // scanned by max-id + 3 writes
     // two appends + one replay of the first (high-water must ignore it)
     val mid = ev.agg(max("_commit_lsn")).collect()(0).getLong(0) / 2
     sink.writeEvents("state", ev.filter(col("_commit_lsn") <= mid))
