@@ -93,21 +93,36 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
 
-    def centroidDf(centroids: Array[Array[Double]]) = {
-      import spark.implicits._
-      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-        .toSeq.toDF("list_id", "centroid")
+    // Centroids are k×d driver metadata — embedded as LITERALS, so both
+    // assignment and probing are pure projections (whole-stage codegen,
+    // ZERO shuffle): scores = [(cosine to centroid i, -i)], and struct
+    // ordering gives argmax with the deterministic smaller-list_id
+    // tie-break. The round-2 formulation crossJoined a centroid frame and
+    // ranked with a window — a shuffle + sort of the whole corpus PER
+    // Lloyd iteration that this removes.
+    def listScores(vec: Column, centroids: Array[Array[Double]]): Column = {
+      val cLit = typedLit(centroids.map(_.toSeq).toSeq)
+      val nLit = typedLit(centroids
+        .map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))).toSeq)
+      val nv = norm(vec) // spherical k-means: rank by cosine
+      transform(sequence(lit(0), lit(centroids.length - 1)), i =>
+        struct((dot(vec, element_at(cLit, i + 1)) /
+          (element_at(nLit, i + 1) * nv)).as("c"),
+          (-i).cast("int").as("ni")))
     }
-    def nearestList(vec: Column, cDf: DataFrame, n: Int): DataFrame => DataFrame =
-      df => {
-        // spherical k-means: assign by cosine (norm-invariant)
-        val joined = df.crossJoin(broadcast(cDf))
-          .withColumn("_d", cosine(vec, col("centroid")))
-        val w = Window.partitionBy(col(df.columns.head))
-          .orderBy(col("_d").desc, col("list_id"))
-        joined.withColumn("_r", row_number().over(w)).filter(col("_r") <= n)
-          .drop("_d", "_r", "centroid")
-      }
+    /** nearest single list per row (train + index). */
+    def assign(vec: Column, centroids: Array[Array[Double]]):
+        DataFrame => DataFrame = df =>
+      df.withColumn("list_id",
+        (-array_max(listScores(vec, centroids)).getField("ni")).cast("int"))
+    /** nProbe nearest lists per row, exploded (search probes). */
+    def probeLists(vec: Column, centroids: Array[Array[Double]], n: Int):
+        DataFrame => DataFrame = df =>
+      df.withColumn("_e",
+          explode(slice(reverse(array_sort(listScores(vec, centroids))),
+            1, n)))
+        .withColumn("list_id", (-col("_e.ni")).cast("int"))
+        .drop("_e")
 
     // --- train: deterministic init + fixed Lloyd iterations
     val init = corpus
@@ -117,8 +132,7 @@ object Similarity {
       .collect().map(_.getSeq[Double](0).toArray)
     var centroids = init
     (0 until iterations).foreach { _ =>
-      val cDf = centroidDf(centroids)
-      val assigned = nearestList(col(cVec), cDf, 1)(
+      val assigned = assign(col(cVec), centroids)(
         corpus.select(col(cId), col(cVec)))
       // distributive per-dimension mean: the driver receives k×d sums,
       // never the corpus vectors. Summing in DECIMAL keeps the fold
@@ -144,10 +158,9 @@ object Similarity {
     }
 
     // --- index + search
-    val cDf = centroidDf(centroids)
-    val indexed = nearestList(col(cVec), cDf, 1)(
+    val indexed = assign(col(cVec), centroids)(
       corpus.select(col(cId), col(cVec)))
-    val probed = nearestList(col(qVec), cDf, nProbe)(
+    val probed = probeLists(col(qVec), centroids, nProbe)(
       queries.select(col(qId), col(qVec)))
     val candidates = indexed.join(broadcast(probed), "list_id")
     val scored = candidates
