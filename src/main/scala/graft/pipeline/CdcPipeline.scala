@@ -392,9 +392,15 @@ object CdcPipeline {
 
   /** Parse a Relation control record's schema payload — the analog of the
     * reference's DDL event-trigger message (serialized table schema,
-    * migrations/source/20260415100000_schema_change_messages.up.sql).
-    * Format: `{"table":"name","cols":[{"name":..,"type":..,"nullable":..,
-    * "pk":..}, ...]}`. */
+    * migrations/source/20260415100000_schema_change_messages.up.sql) and
+    * of pgoutput's Relation message column flags. Format:
+    * `{"table":"name","cols":[{"name":..,"type":..,"nullable":..,
+    * "pk":..,"mod":..,"repl":..,"ident":..}, ...]}` — `mod` is the type
+    * modifier (numeric precision/scale pack), `repl`/`ident` the
+    * per-column ReplicationMask / IdentityMask bits (reference
+    * crates/etl/src/schema.rs:69,207; pgoutput Relation column flag 1 =
+    * part of the replica identity). Optional fields default like the
+    * reference's (replicated, not identity, no modifier). */
   def parseRelation(tableId: Long, schemaLsn: Long, json: String): TableSchemaV = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -407,7 +413,10 @@ object CdcPipeline {
           name = (c \ "name").extract[String],
           pgType = (c \ "type").extract[String],
           nullable = (c \ "nullable").extractOrElse[Boolean](true),
-          pkOrdinal = (c \ "pk").extractOrElse[Int](0))
+          pkOrdinal = (c \ "pk").extractOrElse[Int](0),
+          modifier = (c \ "mod").extractOrElse[Int](-1),
+          replicated = (c \ "repl").extractOrElse[Boolean](true),
+          identity = (c \ "ident").extractOrElse[Boolean](false))
     }
     TableSchemaV(tableId, name, schemaLsn, cols.toIndexedSeq)
   }

@@ -110,4 +110,29 @@ class SchemaSpec extends AnyFunSuite {
     assert(d.modified.map(_._2.name) == Seq("name"))
     assert(SchemaDiff.between(a, a).isEmpty)
   }
+
+  test("Relation records carry modifier + replication/identity masks") {
+    import org.apache.spark.sql.types._
+    val mod = PgTypeMap.packNumericModifier(12, 3)
+    val s = graft.pipeline.CdcPipeline.parseRelation(7L, 42L,
+      s"""{"table":"acct","cols":[
+        {"name":"id","type":"int8","nullable":false,"pk":1},
+        {"name":"alt","type":"text","ident":true},
+        {"name":"bal","type":"numeric","mod":$mod},
+        {"name":"secret","type":"text","repl":false}]}""")
+    assert(s.tableId == 7L && s.snapshotLsn == 42L)
+    // identity mask overrides the PK for replica-identity purposes
+    // (REPLICA IDENTITY USING INDEX shape, reference schema.rs:207)
+    assert(s.identityColumns == Seq("alt"))
+    assert(s.primaryKey == Seq("id"))
+    // modifier flows into the decimal mapping
+    assert(s.columns.find(_.name == "bal").get.sparkType == DecimalType(12, 3))
+    // unreplicated columns are invisible to the pipeline's positional view
+    assert(s.sparkSchema.fieldNames.toSeq == Seq("id", "alt", "bal"))
+    // absent mask fields default like the reference (replicated, not identity)
+    val plain = graft.pipeline.CdcPipeline.parseRelation(1L, 1L,
+      """{"table":"t","cols":[{"name":"id","type":"int8","pk":1}]}""")
+    assert(plain.identityColumns == Seq("id"))
+    assert(plain.columns.head.replicated)
+  }
 }

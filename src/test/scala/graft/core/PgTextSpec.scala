@@ -108,6 +108,41 @@ class PgTextSpec extends AnyFunSuite with PropSpec {
     intercept[IllegalArgumentException](PgText.parseArray("{{1,2},{3,4}}"))
   }
 
+  test("exotic types round-trip as text through COPY + array codecs (text.rs:146-157)") {
+    // ranges / intervals / enums / money / inet have NO dedicated codec:
+    // the preserve-as-text escape hatch must carry their literal forms
+    // byte-identically, including the delimiter-heavy ones
+    val literals = Seq(
+      "[1,10)",                    // int4range
+      "(,2026-01-01]",             // daterange, open lower bound
+      "empty",                     // empty range literal
+      "1 year 2 mons 3 days 04:05:06.789", // interval
+      "-P1Y2M3DT4H5M6S",           // ISO-8601 interval form
+      "happy",                     // enum label
+      "$1,234.50", "-$0.99",       // money (comma + symbol)
+      "192.168.0.0/24", "::1/128", // inet/cidr
+      "10:20:30:40:50:60",         // macaddr
+      "(1.5,-2.25)",               // point
+      "<(0,0),5>",                 // circle
+      "101 DALMATIANS")            // citext-ish arbitrary text
+    // COPY row: all values in one row, round-trip exact
+    val row = literals.map(Option(_))
+    assert(PgText.parseCopyRow(PgText.renderCopyRow(row)) == row.toVector)
+    // array of exotic literals (quoting covers commas/braces/quotes)
+    val arr = literals.map(Option(_))
+    assert(PgText.parseArray(PgText.renderArray(arr)) == arr.toVector)
+    // and the schema layer maps them all to StringType (no silent cast)
+    Seq("int4range", "daterange", "interval", "money", "inet", "cidr",
+      "macaddr", "point", "circle", "mood").foreach { t =>
+      assert(PgTypeMap.toSpark(t) ==
+        org.apache.spark.sql.types.StringType, s"type $t")
+      assert(PgTypeMap.toSpark(s"_$t") ==
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = true),
+        s"array of $t")
+    }
+  }
+
   // ------------------------------------------------------------- COPY rows
   test("COPY TEXT row roundtrip incl. NULL vs literal \\N, escapes") {
     val cases = Seq(
