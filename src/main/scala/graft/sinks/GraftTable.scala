@@ -58,9 +58,14 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
 
   // ------------------------------------------------------------------ meta
   /** Snapshot manifest: the live files per bucket + the replay high-water
-    * in force at this version. */
+    * in force at this version + the snapshot's unified Spark schema (DDL
+    * string). Carrying the schema means readers NEVER do a mergeSchema
+    * footer sweep — at scale a table is thousands of files and reading
+    * every footer per query is an O(files) driver cost; with the schema
+    * pinned per snapshot, a read is manifest json + the pruned file list.
+    * Empty schema (pre-upgrade manifests) falls back to mergeSchema. */
   final case class Manifest(version: Long, highWater: String,
-      files: Map[Int, Seq[String]]) {
+      files: Map[Int, Seq[String]], schemaDdl: String = "") {
     def allFiles: Seq[String] = files.valuesIterator.flatten.toVector
   }
   /** Back-compat alias for callers that only need the replay mark. */
@@ -122,7 +127,8 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val j = JsonMethods.parse(s)
     val files = (j \ "files").extract[Map[String, List[String]]]
       .map { case (b, fs) => b.toInt -> (fs: Seq[String]) }
-    Manifest(v, (j \ "highWater").extract[String], files)
+    Manifest(v, (j \ "highWater").extract[String], files,
+      (j \ "schema").extractOrElse[String](""))
   }
 
   /** Publish a new snapshot: ONE atomic rename makes the file list and the
@@ -134,8 +140,9 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val filesJson = m.files.toSeq.sortBy(_._1).map { case (b, fs) =>
       s""""$b":${fs.map(f => "\"" + f + "\"").mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
+    val schemaJson = m.schemaDdl.replace("\\", "\\\\").replace("\"", "\\\"")
     val body =
-      s"""{"version":${m.version},"highWater":"${m.highWater}","files":$filesJson}"""
+      s"""{"version":${m.version},"highWater":"${m.highWater}","schema":"$schemaJson","files":$filesJson}"""
     val tmp = manifestDir.resolve(s".v${m.version}.json.tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(m.version),
@@ -162,25 +169,36 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   private def nextVersion: Long = currentVersion.getOrElse(-1L) + 1L
 
   // ------------------------------------------------------------------ read
-  private def readFiles(spark: SparkSession, files: Seq[String]): DataFrame =
+  /** Read data files under the snapshot's pinned schema: no footer sweep,
+    * and files written before a column was added surface it as null (the
+    * same evolution contract the merge's unionByName provides). Pre-schema
+    * manifests (`schemaDdl` empty) fall back to a mergeSchema sweep. */
+  private def readFiles(spark: SparkSession, files: Seq[String],
+      schemaDdl: String): DataFrame =
     if (files.isEmpty) spark.emptyDataFrame
+    else if (schemaDdl.nonEmpty)
+      spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+        .option("basePath", dataDir).parquet(files: _*)
     else spark.read.option("mergeSchema", "true")
       .option("basePath", dataDir).parquet(files: _*)
 
   def read(spark: SparkSession): DataFrame =
     currentManifest() match {
       case None    => spark.emptyDataFrame
-      case Some(m) => readFiles(spark, m.allFiles).drop("_bucket")
+      case Some(m) => readFiles(spark, m.allFiles, m.schemaDdl).drop("_bucket")
     }
 
   /** Time travel: the table as of snapshot `version` (Iceberg
     * `VERSION AS OF`). Readable until `vacuum` expires the version. */
-  def readVersion(spark: SparkSession, version: Long): DataFrame =
-    readFiles(spark, readManifest(version).allFiles).drop("_bucket")
+  def readVersion(spark: SparkSession, version: Long): DataFrame = {
+    val m = readManifest(version)
+    readFiles(spark, m.allFiles, m.schemaDdl).drop("_bucket")
+  }
 
   private def readBuckets(spark: SparkSession, m: Manifest,
       buckets: Seq[Int]): DataFrame =
-    readFiles(spark, buckets.flatMap(b => m.files.getOrElse(b, Nil)))
+    readFiles(spark, buckets.flatMap(b => m.files.getOrElse(b, Nil)),
+      m.schemaDdl)
 
   /** Point lookup: rows for one key, scanning ONLY the key's bucket
     * (1/nBuckets of the table via manifest pruning; within the bucket,
@@ -193,7 +211,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     if (m.allFiles.isEmpty) return spark.emptyDataFrame
     // same hash the writer used → same bucket id; lit() must be CAST to
     // the STORED column type (hash(42L: long) != hash(42: int))
-    val base = readFiles(spark, m.allFiles)
+    val base = readFiles(spark, m.allFiles, m.schemaDdl)
     val types = base.schema.fields.map(f => f.name -> f.dataType).toMap
     val typedLits = keyCols.zip(keyValues).map { case (c, v) =>
       lit(v).cast(types(c)) }
@@ -238,11 +256,35 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     out.toMap
   }
 
+  /** Union of the written payload schema with the previous snapshot's
+    * pinned schema: carried (untouched) buckets may hold columns absent
+    * from this batch, and those must stay visible. Written fields take
+    * precedence on name collision (type evolution follows the writer).
+    * Returns "" — i.e. stay in mergeSchema-fallback mode — when the
+    * previous manifest predates schema pinning AND files carry over
+    * (their union is unknowable without a footer sweep). */
+  private def nextSchemaDdl(current: Option[Manifest],
+      carried: Map[Int, Seq[String]],
+      written: org.apache.spark.sql.types.StructType): String = {
+    import org.apache.spark.sql.types.StructType
+    val w = StructType(written.fields.filterNot(_.name == "_bucket"))
+    current match {
+      case None => w.toDDL
+      case Some(m) if m.schemaDdl.nonEmpty =>
+        val old = StructType.fromDDL(m.schemaDdl)
+        val names = w.fieldNames.toSet
+        StructType(w.fields ++ old.fields.filterNot(f => names(f.name))).toDDL
+      case Some(_) =>
+        if (carried.valuesIterator.forall(_.isEmpty)) w.toDDL else ""
+    }
+  }
+
   /** Full (re)load — snapshot backfill path (drop_table_for_copy + copy,
     * reference table_sync). One snapshot commit; the replay mark resets. */
   def overwrite(df: DataFrame): Unit = {
     val files = writeDataFiles(df.withColumn("_bucket", bucketExpr), nBuckets)
-    commitManifest(Manifest(nextVersion, "", files))
+    commitManifest(Manifest(nextVersion, "", files,
+      nextSchemaDdl(None, Map.empty, df.schema)))
   }
 
   /** MERGE a deduped CDC batch. `batch` must contain the table's payload
@@ -303,11 +345,12 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       val existingBucketFiles = current.toSeq
         .flatMap(m => buckets.flatMap(b => m.files.getOrElse(b, Nil)))
       if (existingBucketFiles.isEmpty) {
-        val files = writeDataFiles(
-          fresh.filter(col("_op") =!= "D").drop("_op", "_seq"),
+        val upserts = fresh.filter(col("_op") =!= "D").drop("_op", "_seq")
+        val files = writeDataFiles(upserts,
           math.min(nBuckets, math.max(1, buckets.size)))
         val carried = current.map(_.files -- buckets).getOrElse(Map.empty)
-        commitManifest(Manifest(nextVersion, bumped(hw), carried ++ files))
+        commitManifest(Manifest(nextVersion, bumped(hw), carried ++ files,
+          nextSchemaDdl(current, carried, upserts.schema)))
       } else {
           val m = current.get
           val currentDf = readBuckets(spark, m, buckets)
@@ -339,7 +382,8 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
           // files (a bucket whose rows were all deleted disappears)
           val carried = m.files -- buckets
           commitManifest(Manifest(nextVersion, bumped(m.highWater),
-            carried ++ newFiles))
+            carried ++ newFiles,
+            nextSchemaDdl(current, carried, merged.schema)))
       }
     } finally fresh.unpersist()
   }
@@ -350,7 +394,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   def advanceHighWater(seq: String): Unit = {
     val m = currentManifest().getOrElse(Manifest(-1L, "", Map.empty))
     if (m.highWater.isEmpty || seq > m.highWater)
-      commitManifest(Manifest(nextVersion, seq, m.files))
+      commitManifest(Manifest(nextVersion, seq, m.files, m.schemaDdl))
   }
 
   /** Maintenance: compact buckets whose live-file count exceeds `maxFiles`
@@ -365,7 +409,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val df = readBuckets(spark, m, crowded)
     val newFiles = writeDataFiles(df, math.max(1, crowded.size))
     commitManifest(Manifest(nextVersion, m.highWater,
-      (m.files -- crowded) ++ newFiles))
+      (m.files -- crowded) ++ newFiles, m.schemaDdl))
     crowded
   }
 

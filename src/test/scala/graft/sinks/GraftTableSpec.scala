@@ -48,6 +48,33 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read(spark).as[(Long, String)].collect().toSet == after)
   }
 
+  test("manifests pin the snapshot schema: no footer sweep, evolution stays visible") {
+    val root = tmp()
+    val t = new GraftTable(root, Seq("id"), nBuckets = 4)
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // pinned schema lands in the manifest json
+    import scala.jdk.CollectionConverters._
+    val mPath = java.nio.file.Paths.get(root, "_manifests")
+    def latestManifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Files.list(mPath).iterator().asScala.toSeq.max))
+    assert(latestManifest.contains("\"schema\":\"id BIGINT"))
+    // merge a batch carrying an ADDED column: old files lack it, but the
+    // pinned union schema surfaces it as null for pre-DDL rows
+    val b = Seq((1L, "a2", 9L, "U"), (3L, "c", 9L, "I"))
+      .toDF("id", "v", "extra", "_op")
+      .withColumn("_seq", format_string("%016x/%016x", lit(1L), lit(0L)))
+    t.merge(b)
+    val out = t.read(spark).select("id", "v", "extra")
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(out == Set((1L, "a2", Some(9L)), (2L, "b", None), (3L, "c", Some(9L))))
+    assert(latestManifest.contains("extra BIGINT"))
+    // pre-upgrade manifest (no schema field) still reads via mergeSchema
+    val m = t.currentManifest().get
+    t.commitManifest(m.copy(version = m.version + 1, schemaDdl = ""))
+    assert(t.read(spark).select("id", "v", "extra")
+      .as[(Long, String, Option[Long])].collect().toSet == out)
+  }
+
   test("merge on empty table bootstraps, deletes dropped") {
     val t = new GraftTable(tmp(), Seq("id"), nBuckets = 4)
     t.merge(batch((1L, "a", "I", 1L), (2L, "b", "D", 1L)))
