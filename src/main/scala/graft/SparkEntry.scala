@@ -39,6 +39,8 @@ object SparkEntry {
     "st2_stream_apply" -> (CdcQueries.streamApply _),
     "s1_copy_throughput" -> (SinkQueries.copyThroughput _),
     "d3_changelog_latest" -> (SinkQueries.changelogLatest _),
+    "d4_time_travel" -> (SinkQueries.timeTravel _),
+    "d4_point_lookup" -> (SinkQueries.pointLookup _),
     "q6_forecast" -> (SinkQueries.q6Forecast _),
     // S3 codecs as a table-scale roundtrip gate
     "s3_codec_roundtrip" -> (CodecQueries.codecRoundtrip _),
@@ -83,6 +85,8 @@ object SparkEntry {
     "st2_stream_apply" -> CdcQueries.streamApplySql,
     "s1_copy_throughput" -> SinkQueries.copyThroughputSql,
     "d3_changelog_latest" -> SinkQueries.changelogLatestSql,
+    "d4_time_travel" -> SinkQueries.timeTravelSql,
+    "d4_point_lookup" -> SinkQueries.pointLookupSql,
     "q6_forecast" -> SinkQueries.q6Sql,
     "s3_codec_roundtrip" -> CodecQueries.codecRoundtripSql,
     "text_tokens" -> TextQueries.tokenCountsSql,

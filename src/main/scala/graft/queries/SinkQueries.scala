@@ -67,6 +67,52 @@ object SinkQueries {
     WHERE rn = 1 AND event_type <> 'error'
     ORDER BY key"""
 
+  /** D4/time travel: backfill customer into a GraftTable (snapshot v0),
+    * merge a CDC batch on top (v1), then read v0 back THROUGH the SQL
+    * TVF `graft_table_version` — the oracle is the untouched source
+    * table, so the result proves (a) snapshot isolation of manifest
+    * commits (the merge didn't leak into v0) and (b) the SQL surface
+    * resolves the same files as the programmatic reader. */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tt").toString
+    val sink = new CurrentStateSink(tmp, _ => Seq("key"), nBuckets = 8)
+    sink.writeTableRows("state", Tables.load(spark, dir, "customer").select(
+      col("c_custkey").as("key"), col("c_acctbal").as("val"),
+      col("c_name").as("name")))
+    val v0 = sink.tableFor("state").currentVersion.get
+    // a merge on top must not disturb v0
+    sink.writeEvents("state", Tables.load(spark, dir, "events").select(
+      col("user_id").as("key"), col("value").as("val"),
+      lit(null).cast(StringType).as("name"),
+      when(col("event_type") === "error", "D").otherwise("U").as("_op"),
+      col("event_id").as("_commit_lsn"), lit(0L).as("_tx_ordinal")))
+    graft.GraftExtensions.install(spark)
+    spark.sql(s"""SELECT key, val, name
+      FROM graft_table_version('$tmp/state', $v0) ORDER BY key""")
+  }
+
+  val timeTravelSql: String = """
+    SELECT c_custkey AS key, c_acctbal AS val, c_name AS name
+    FROM customer ORDER BY key"""
+
+  /** D4/point lookup: the manifest-pruned single-key read (scans ONLY the
+    * key's bucket — 1/nBuckets of the table). The oracle is a WHERE on
+    * the source; any bucket-routing error (hash/type mismatch) returns
+    * the wrong row set and breaks the hash. */
+  def pointLookup(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pl").toString
+    val sink = new CurrentStateSink(tmp, _ => Seq("key"), nBuckets = 8)
+    sink.writeTableRows("state", Tables.load(spark, dir, "customer").select(
+      col("c_custkey").as("key"), col("c_acctbal").as("val")))
+    val t = sink.tableFor("state")
+    Seq(1L, 7L, 13L).map(k => t.lookup(spark, Seq(k)))
+      .reduce(_ unionAll _).orderBy("key")
+  }
+
+  val pointLookupSql: String = """
+    SELECT c_custkey AS key, c_acctbal AS val FROM customer
+    WHERE c_custkey IN (1, 7, 13) ORDER BY key"""
+
   /** TPC-H Q6 shape: single-scan predicate-heavy aggregate — the pushdown
     * microbenchmark (every predicate must reach the parquet scan). */
   def q6Forecast(spark: SparkSession, dir: String): DataFrame =

@@ -354,9 +354,13 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       } else {
           val m = current.get
           val currentDf = readBuckets(spark, m, buckets)
-          // survivors: current rows whose key is NOT in the batch
+          // survivors: current rows whose key is NOT in the batch. No
+          // broadcast hint: an admission-capped CDC batch is small and AQE
+          // broadcasts it anyway, but a backfill-sized merge must be able
+          // to fall back to a shuffled anti join instead of OOMing the
+          // driver on a forced broadcast.
           val keys = fresh.select(keyCols.map(col): _*)
-          val survivors = currentDf.join(broadcast(keys), keyCols, "left_anti")
+          val survivors = currentDf.join(keys, keyCols, "left_anti")
           val upserts0 = fresh.filter(col("_op") =!= "D").drop("_seq")
           val upserts =
             if (coalesceCols.isEmpty) upserts0.drop("_op")
