@@ -66,6 +66,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("IVF assignment is a pure projection: no exchange before the mean agg") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val corpus = (1L to 32L)
+      .map(i => (i, Array.fill(4)(i.toFloat))).toDF("c_id", "c_vec")
+    // the training loop's per-iteration assignment must not shuffle the
+    // corpus: argmax over literal centroids is map-side codegen. Probe the
+    // same listScores shape ivfTopK uses internally via a 1-iteration run.
+    val p = plan(graft.operators.Similarity.ivfTopK(
+      corpus.limit(2).select(col("c_id").as("q_id"), col("c_vec").as("q_vec")),
+      corpus, k = 3, nLists = 4, nProbe = 2, iterations = 1))
+    // the only Exchanges allowed: the list-id candidate join + final window
+    // (search path) — NOT a per-assignment centroid crossJoin
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("PPJoin prefix extraction is map-side (no shuffle before the gram join)") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val p = plan(graft.operators.Dedup.ngramJaccardPairs(
+      docs, "text", "doc_id", 3, 0.5))
+    // hash-order prefixes come from sort_array+slice inside a Project —
+    // no Window (rarity order is opt-in), so no extra shuffle+sort stage
+    assert(!p.contains("Window"), p)
+    // candidate generation joins on the gram hash — SortMergeJoin or
+    // shuffled hash join on gh, never a nested loop
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("GraftTable pinned-schema read plans without a footer sweep (scan carries manifest schema)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan2").toString
+    val t = new graft.sinks.GraftTable(dir, Seq("id"), nBuckets = 4)
+    t.overwrite((1L to 8L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val df = t.read(spark)
+    // schema comes from the manifest, not file footers: ReadSchema shows
+    // the pinned columns even before any action runs
+    assert(df.schema.fieldNames.toSeq == Seq("id", "v"))
+    val p = plan(df)
+    assert(p.contains("ReadSchema"), p)
+  }
+
   test("GraftTable bucket read prunes partitions at the scan (copy-on-write pruning)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
