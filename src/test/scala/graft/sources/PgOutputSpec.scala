@@ -1,0 +1,150 @@
+package graft.sources
+
+import graft.PropSpec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop}
+import PgOutput._
+
+/** pgoutput binary codec: round-trip identity for every message type
+  * (spec: public PostgreSQL "Logical Replication Message Formats"
+  * protocol documentation; the reference consumes the same wire format,
+  * replication_message.rs:89-245). */
+class PgOutputSpec extends AnyFunSuite with PropSpec {
+
+  private val genTupleValue: Gen[TupleValue] = Gen.oneOf(
+    Gen.const(TNull),
+    Gen.const(TUnchangedToast),
+    Gen.asciiPrintableStr.map(TText(_)),
+    Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+      .map(bs => TBinary(bs.toVector)))
+  private val genTuple: Gen[TupleData] =
+    Gen.listOf(genTupleValue).map(_.toIndexedSeq)
+  private val genName: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+
+  private val genMessage: Gen[Message] = Gen.oneOf(
+    for { l <- Gen.long; t <- Gen.long; x <- Gen.posNum[Int] }
+      yield Begin(l, t, x),
+    for { c <- Gen.long; e <- Gen.long; t <- Gen.long }
+      yield Commit(0, c, e, t),
+    for { l <- Gen.long; n <- genName } yield Origin(l, n),
+    for {
+      id <- Gen.posNum[Int]; ns <- genName; n <- genName
+      ident <- Gen.oneOf('d', 'n', 'f', 'i')
+      cols <- Gen.listOf(for {
+        f <- Gen.oneOf(0, 1); cn <- genName
+        oid <- Gen.posNum[Int]; mod <- Gen.choose(-1, 1 << 20)
+      } yield RelCol(f, cn, oid, mod))
+    } yield Relation(id, ns, n, ident, cols.toIndexedSeq),
+    for { oid <- Gen.posNum[Int]; ns <- genName; n <- genName }
+      yield TypeMsg(oid, ns, n),
+    for { id <- Gen.posNum[Int]; t <- genTuple } yield Insert(id, t),
+    for {
+      id <- Gen.posNum[Int]; t <- genTuple
+      old <- Gen.option(Gen.zip(Gen.oneOf('K', 'O'), genTuple))
+    } yield Update(id, old.map(_._1), old.map(_._2), t),
+    for { id <- Gen.posNum[Int]; k <- Gen.oneOf('K', 'O'); t <- genTuple }
+      yield Delete(id, k, t),
+    for {
+      opts <- Gen.choose(0, 3)
+      ids <- Gen.listOf(Gen.posNum[Int])
+    } yield Truncate(opts, ids.toIndexedSeq))
+
+  test("every message type round-trips decode(encode(m)) == m (property)") {
+    checkProp(Prop.forAll(genMessage) { m =>
+      PgOutput.decode(PgOutput.encode(m)) == m
+    })
+  }
+
+  test("utf-8 and escapes survive text tuples and names") {
+    val m = Insert(7, Vector(TText("héllo\t\"wörld\"\nλ"), TNull,
+      TUnchangedToast, TBinary(Vector(0, 1, -1))))
+    assert(decode(encode(m)) == m)
+    val r = Relation(9, "public", "tåble", 'd',
+      Vector(RelCol(1, "höme", 25, -1)))
+    assert(decode(encode(r)) == r)
+  }
+
+  test("unknown message / tuple kinds rejected, never misparsed") {
+    intercept[IllegalArgumentException](decode(Array('Z'.toByte)))
+    val bad = encode(Insert(1, Vector(TNull)))
+    bad(bad.length - 1) = 'q'.toByte // corrupt the tuple kind
+    intercept[IllegalArgumentException](decode(bad))
+  }
+
+  test("Relation bridges to the engine schema with identity mask + typmod") {
+    import graft.core.PgTypeMap
+    val mod = PgTypeMap.packNumericModifier(12, 3)
+    val r = Relation(42, "public", "acct", 'i', Vector(
+      RelCol(1, "id", 20, -1),        // int8, key
+      RelCol(0, "bal", 1700, mod),    // numeric(12,3)
+      RelCol(0, "tags", 1009, -1),    // _text
+      RelCol(0, "weird", 99999, -1))) // unknown oid → text fallback
+    val s = toTableSchema(r, schemaLsn = 5L)
+    assert(s.tableId == 42L && s.tableName == "acct" && s.snapshotLsn == 5L)
+    assert(s.identityColumns == Seq("id"))
+    assert(s.columns.map(_.pgType) ==
+      Seq("int8", "numeric", "_text", "oid_99999"))
+    import org.apache.spark.sql.types._
+    assert(s.sparkSchema == StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("bal", DecimalType(12, 3)),
+      StructField("tags", ArrayType(StringType, containsNull = true)),
+      StructField("weird", StringType))))
+  }
+
+  test("decoded messages render envelope lines the CDC source parses") {
+    val r = Relation(1, "public", "users", 'd', Vector(
+      RelCol(1, "id", 20, -1), RelCol(0, "name", 25, -1),
+      RelCol(0, "doc", 25, -1)))
+    val rel = (_: Int) => r
+    val ins = toEnvelopeLine(Insert(1, Vector(TText("7"), TText("ann"),
+      TText("big"))), rel, 10L, 0L, 0L).get
+    val upd = toEnvelopeLine(Update(1, Some('K'),
+      Some(Vector(TText("7"), TNull, TNull)),
+      Vector(TText("7"), TText("ann2"), TUnchangedToast)), rel, 11L, 0L, 0L).get
+    val del = toEnvelopeLine(Delete(1, 'K',
+      Vector(TText("7"), TNull, TNull)), rel, 12L, 0L, 0L).get
+    assert(toEnvelopeLine(Begin(1, 2, 3), rel, 0, 0, 0).isEmpty)
+
+    // the file source parses the rendered lines back: field positions,
+    // missing-mask, and payload JSON all line up; int8 renders BARE so
+    // from_json types it natively
+    val fields = ins.split("\t", -1)
+    assert(fields(2) == "I" && fields(0) == "10")
+    assert(fields(7) == """{"id":7,"name":"ann","doc":"big"}""")
+    val uf = upd.split("\t", -1)
+    assert(uf(2) == "U" && uf(8) == "doc") // TOAST-unchanged → _missing
+    assert(uf(7) == """{"id":7,"name":"ann2"}""")
+    val df = del.split("\t", -1)
+    assert(df(2) == "D" && df(6) == """{"id":7,"name":null,"doc":null}""")
+    // truncate expands to one line per relation
+    val tr = toEnvelopeLine(Truncate(0, Vector(1, 1)), rel, 13L, 0L, 0L).get
+    assert(tr.split("\n").length == 2)
+  }
+
+  test("wire → envelope → jsonDecode: typed end-to-end against the bridged schema") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val r = Relation(1, "public", "users", 'd', Vector(
+      RelCol(1, "id", 20, -1), RelCol(0, "name", 25, -1),
+      RelCol(0, "bal", 701, -1), RelCol(0, "ok", 16, -1)))
+    val schema = toTableSchema(r, 0L)
+    val lines = Seq(
+      toEnvelopeLine(Insert(1, Vector(TText("7"), TText("ann"),
+        TText("1.5"), TText("t"))), _ => r, 10L, 0L, 0L).get,
+      toEnvelopeLine(Insert(1, Vector(TText("8"), TNull,
+        TText("NaN"), TText("f"))), _ => r, 11L, 0L, 0L).get)
+    val env = lines.map(_.split("\t", -1))
+      .map(t => (t(2), t(0).toLong, t(1).toLong, t(6), t(7)))
+      .toDF("_op", "_commit_lsn", "_tx_ordinal", "before", "after")
+      .withColumn("before", org.apache.spark.sql.functions.expr(
+        "CASE WHEN before = '\\\\N' THEN NULL ELSE before END"))
+    val out = graft.pipeline.CdcPipeline.jsonDecode(env, schema)
+      .select("id", "name", "bal", "ok")
+      .as[(Long, Option[String], Double, Boolean)].collect().toSet
+    assert(out.map(t => (t._1, t._2, t._3.isNaN, t._4)) ==
+      Set((7L, Some("ann"), false, true), (8L, None, true, false)))
+    assert(out.find(_._1 == 7L).get._3 == 1.5)
+  }
+}
