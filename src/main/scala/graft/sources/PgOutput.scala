@@ -250,6 +250,72 @@ object PgOutput {
     (fields.mkString("{", ",", "}"), missing.result())
   }
 
+  /** Stateful decode loop over a pgoutput frame stream — the session
+    * layer a live source runs (the reference's handle_message loop shape,
+    * apply.rs:2026-2127): Begin opens a transaction (its final LSN is the
+    * commit_lsn every change in the tx carries), data messages take
+    * consecutive tx_ordinals, Relation messages refresh the schema cache
+    * mid-stream AND emit an 'R' envelope record (so downstream registries
+    * version on the same log), Commit closes the bracket. Messages
+    * outside a Begin/Commit bracket are a protocol error. Emits envelope
+    * lines in arrival order — already totally ordered by
+    * (commit_lsn, tx_ordinal) because Postgres streams commits in commit
+    * order. */
+  final class DecodeSession {
+    private val relations = scala.collection.mutable.Map.empty[Int, Relation]
+    /** LSN each relation's schema was last (re)announced at — the
+      * `_schema_lsn` data rows decode against (SnapshotId floor-lookup
+      * semantics downstream). */
+    private val relLsn = scala.collection.mutable.Map.empty[Int, Long]
+    private var txLsn: Option[Long] = None
+    private var ordinal: Long = 0L
+
+    def relation(id: Int): Relation = relations(id)
+
+    /** Decode one frame; returns the envelope lines it produces (0..n). */
+    def onFrame(frame: Array[Byte]): Seq[String] = decode(frame) match {
+      case Begin(finalLsn, _, _) =>
+        require(txLsn.isEmpty, "nested Begin")
+        txLsn = Some(finalLsn); ordinal = 0L
+        Seq.empty
+      case Commit(_, _, _, _) =>
+        require(txLsn.nonEmpty, "Commit outside transaction")
+        txLsn = None
+        Seq.empty
+      case r: Relation =>
+        relations(r.relId) = r
+        // Relation records version schemas at the position they arrive;
+        // outside a tx (initial announcement) they pin to LSN 0 as the
+        // base schema version
+        val lsn = txLsn.getOrElse(0L)
+        relLsn(r.relId) = lsn
+        val schema = toTableSchema(r, lsn)
+        val cols = schema.columns.map { c =>
+          s"""{"name":"${c.name}","type":"${c.pgType}","nullable":${c.nullable},""" +
+            s""""pk":${c.pkOrdinal},"mod":${c.modifier},"ident":${c.identity}}"""
+        }.mkString("[", ",", "]")
+        val payload = s"""{"table":"${r.relName}","cols":$cols}"""
+        val o = ordinal; if (txLsn.nonEmpty) ordinal += 1
+        Seq(CdcLogSource.renderLine("R", r.relId.toLong, lsn, lsn, o, lsn,
+          None, Some(payload)))
+      case _: Origin | _: TypeMsg => Seq.empty
+      case data =>
+        val lsn = txLsn.getOrElse(throw new IllegalStateException(
+          "data message outside Begin/Commit bracket"))
+        val schemaLsn = data match {
+          case Insert(id, _) => relLsn.getOrElse(id, 0L)
+          case Update(id, _, _, _) => relLsn.getOrElse(id, 0L)
+          case Delete(id, _, _) => relLsn.getOrElse(id, 0L)
+          case Truncate(_, ids) =>
+            ids.headOption.flatMap(relLsn.get).getOrElse(0L)
+          case _ => 0L
+        }
+        val o = ordinal; ordinal += 1
+        toEnvelopeLine(data, relations, lsn, o, schemaLsn)
+          .toSeq.flatMap(_.split("\n"))
+    }
+  }
+
   /** One decoded data message → a change-log envelope line (the
     * CdcLogSource format), threading commit metadata from the enclosing
     * Begin. Returns None for control messages the envelope does not carry

@@ -123,6 +123,48 @@ class PgOutputSpec extends AnyFunSuite with PropSpec {
     assert(tr.split("\n").length == 2)
   }
 
+  test("DecodeSession: binary frame stream → ordered envelope → live pipeline") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val rel = Relation(1, "public", "users", 'd', Vector(
+      RelCol(1, "id", 20, -1), RelCol(0, "name", 25, -1)))
+    val relV2 = Relation(1, "public", "users", 'd', Vector(
+      RelCol(1, "id", 20, -1), RelCol(0, "name", 25, -1),
+      RelCol(0, "age", 23, -1)))
+    // two committed transactions with a schema change between them —
+    // exactly what a replication socket would deliver
+    val frames: Seq[Message] = Seq(
+      rel, // initial announcement (outside tx → base schema @ lsn 0)
+      Begin(10L, 0L, 100), Insert(1, Vector(TText("1"), TText("ann"))),
+      Insert(1, Vector(TText("2"), TText("bob"))), Commit(0, 10L, 11L, 0L),
+      Begin(20L, 0L, 101), relV2, // DDL inside tx 20
+      Insert(1, Vector(TText("3"), TText("cat"), TText("9"))),
+      Update(1, Some('K'), Some(Vector(TText("1"), TNull, TNull)),
+        Vector(TText("1"), TText("ann2"), TText("30"))),
+      Commit(0, 20L, 21L, 0L))
+    val session = new DecodeSession
+    val lines = frames.flatMap(m => session.onFrame(encode(m)))
+    assert(lines.count(_.split("\t")(2) == "R") == 2)
+
+    val dir = java.nio.file.Files.createTempDirectory("pgout-e2e").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/wal.log"),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val registry = new graft.core.SchemaRegistry
+    // registry starts EMPTY: both schema versions arrive from the wire
+    val sink = new graft.sinks.CurrentStateSink(s"$dir/tables", _ => Seq("id"), 4)
+    val pipeline = new graft.pipeline.CdcPipeline(spark,
+      graft.pipeline.PipelineConfig(maxRowsPerTrigger = 3, maxFillMs = 50,
+        checkpointDir = s"$dir/ckpt", stateDir = s"$dir/state"),
+      registry, sink, graft.pipeline.CdcPipeline.jsonDecode)
+    pipeline.stateStore.force(1L, graft.pipeline.TableState.Ready)
+    val q = pipeline.startStream(s"$dir/wal.log")
+    q.processAllAvailable(); q.stop()
+    val out = sink.read(spark, "users").select("id", "name", "age")
+      .as[(Long, String, Option[Int])].collect().toSet
+    assert(out == Set((1L, "ann2", Some(30)), (2L, "bob", None),
+      (3L, "cat", Some(9))))
+  }
+
   test("wire → envelope → jsonDecode: typed end-to-end against the bridged schema") {
     val spark = graft.SparkSpec.session
     import spark.implicits._
