@@ -192,6 +192,41 @@ final class ChangelogSink(rootDir: String) extends CdcSink {
     // streamed files carry; footer-picking would otherwise drop it
     spark.read.option("mergeSchema", "true").parquet(dir(table))
 
+  /** Maintenance: rewrite the changelog into ~`targetFiles` files sorted
+    * by sequence_number — the external-maintenance analog of the
+    * reference's DuckLake compact (external_maintenance.rs). A streaming
+    * sink appends one file set per micro-batch, so an always-on pipeline
+    * accretes thousands of small files; compaction restores scan
+    * efficiency AND sequence-ordered row groups (min/max stats let
+    * incremental consumers skip already-seen ranges). Single-writer
+    * maintenance operation: run while the stream is quiesced, like the
+    * reference's external maintenance jobs. The replay high-water file is
+    * untouched — content is identical, so replay semantics don't change. */
+  def compact(spark: SparkSession, table: String, targetFiles: Int = 1): Unit = {
+    val p = Paths.get(dir(table))
+    if (!Files.exists(p)) return
+    val tmpDir = s"${dir(table)}.compacting"
+    read(spark, table)
+      .repartitionByRange(math.max(1, targetFiles),
+        org.apache.spark.sql.functions.col("sequence_number"))
+      .sortWithinPartitions("sequence_number")
+      .write.mode("overwrite").parquet(tmpDir)
+    // swap: clear old files, move compacted ones in, drop the temp dir
+    import scala.jdk.CollectionConverters._
+    val old = { val st = Files.list(p)
+      try st.iterator().asScala.toVector finally st.close() }
+    old.filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach(Files.deleteIfExists(_))
+    val moved = { val st = Files.list(Paths.get(tmpDir))
+      try st.iterator().asScala.toVector finally st.close() }
+    moved.filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach(f => Files.move(f, p.resolve(f.getFileName),
+        StandardCopyOption.ATOMIC_MOVE))
+    val rest = { val st = Files.walk(Paths.get(tmpDir))
+      try st.iterator().asScala.toVector finally st.close() }
+    rest.reverse.foreach(Files.deleteIfExists(_))
+  }
+
   /** The `latest` current-state view over the changelog (reference: the
     * ClickHouse ReplacingMergeTree FINAL / view pattern,
     * clickhouse/core.rs:702-760). */

@@ -244,6 +244,35 @@ class GraftTableSpec extends SparkSpec {
     assert(sink.read(spark, "t").count() == 4)
   }
 
+  test("ChangelogSink compact collapses per-batch files, content + replay mark identical") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmp()
+    val sink = new ChangelogSink(dir)
+    def ev(lsn: Long, id: Long, v: String, op: String) =
+      Seq((id, v, op, lsn, 0L))
+        .toDF("id", "v", "_op", "_commit_lsn", "_tx_ordinal")
+    (1L to 6L).foreach(i => sink.writeEvents("t", ev(i, i % 3, s"v$i", "U")))
+    val before = sink.read(spark, "t").collect().toSet
+    val hwBefore = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "t._hw")).toSeq
+    val filesBefore = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "t"))
+      .iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+    assert(filesBefore >= 6) // one file set per micro-batch
+
+    sink.compact(spark, "t", targetFiles = 1)
+    val filesAfter = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "t"))
+      .iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+    assert(filesAfter == 1)
+    assert(sink.read(spark, "t").collect().toSet == before)
+    assert(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "t._hw")).toSeq == hwBefore)
+    // replay of an already-committed batch is still a no-op post-compact
+    sink.writeEvents("t", ev(3L, 0L, "stale", "U"))
+    assert(sink.read(spark, "t").collect().toSet == before)
+    // the latest view still resolves over the compacted log
+    assert(sink.latest(spark, "t", Seq("id")).count() == 3)
+  }
+
   test("ChangelogSink replayed truncate batch re-applies post-truncate events") {
     val sink = new ChangelogSink(tmp())
     def ev(rows: (Long, String, String, Long)*) =
