@@ -108,20 +108,29 @@ object PgOutput {
     new String(sb.toByteArray, StandardCharsets.UTF_8)
   }
 
+  /** Length prefixes are untrusted input: validate against the bytes
+    * actually remaining BEFORE allocating, so a corrupt/hostile frame
+    * fails cleanly instead of attempting a multi-GB allocation. */
+  private def checkedLen(b: ByteBuffer, what: String): Int = {
+    val len = b.getInt
+    require(len >= 0 && len <= b.remaining(),
+      s"$what length $len exceeds frame remainder ${b.remaining()}")
+    len
+  }
+
   private def tuple(b: ByteBuffer): TupleData = {
     val n = b.getShort.toInt
+    require(n >= 0, s"negative tuple column count $n")
     (0 until n).map { _ =>
       (b.get().toChar: @annotation.switch) match {
         case 'n' => TNull
         case 'u' => TUnchangedToast
         case 't' =>
-          val len = b.getInt
-          val arr = new Array[Byte](len)
+          val arr = new Array[Byte](checkedLen(b, "text value"))
           b.get(arr)
           TText(new String(arr, StandardCharsets.UTF_8))
         case 'b' =>
-          val len = b.getInt
-          val arr = new Array[Byte](len)
+          val arr = new Array[Byte](checkedLen(b, "binary value"))
           b.get(arr)
           TBinary(arr.toVector)
         case c => throw new IllegalArgumentException(

@@ -72,6 +72,27 @@ class PgOutputSpec extends AnyFunSuite with PropSpec {
     intercept[IllegalArgumentException](decode(bad))
   }
 
+  test("hostile length prefixes fail cleanly, never allocate (fuzz analog)") {
+    // a 't' value claiming Int.MaxValue bytes must be rejected by bounds
+    // check, not by an OOM after a 2 GB allocation attempt
+    val b = java.nio.ByteBuffer.allocate(16)
+    b.put('I'.toByte).putInt(1).put('N'.toByte)
+      .putShort(1.toShort).put('t'.toByte).putInt(Int.MaxValue)
+    intercept[IllegalArgumentException](decode(b.array()))
+    // random byte soup: decode either parses or throws a parse error —
+    // never a crash class (OOM / negative-size allocation)
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val arr = new Array[Byte](rnd.nextInt(64) + 1)
+      rnd.nextBytes(arr)
+      arr(0) = "BCORYIUDT".charAt(rnd.nextInt(9)).toByte
+      try { decode(arr); () } catch {
+        case _: IllegalArgumentException | _: IllegalStateException => ()
+        case _: java.nio.BufferUnderflowException => ()
+      }
+    }
+  }
+
   test("Relation bridges to the engine schema with identity mask + typmod") {
     import graft.core.PgTypeMap
     val mod = PgTypeMap.packNumericModifier(12, 3)
