@@ -47,6 +47,27 @@ object Multimodal {
       * extraction. */
     def frameSample(bytes: Array[Byte], stride: Int): Array[Byte] =
       bytes.indices.collect { case i if i % stride == 0 => bytes(i) }.toArray
+
+    /** "Resize": deterministic down/up-sample of the payload to exactly
+      * w·h bytes (nearest-neighbor over the byte stream) — stand-in for
+      * an image resampler. Real codecs amortize setup across a BATCH of
+      * images; the batch entry point below models that contract. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val target = w * h
+      val out = new Array[Byte](target)
+      if (bytes.isEmpty) return out
+      var i = 0
+      while (i < target) {
+        out(i) = bytes((i.toLong * bytes.length / target).toInt)
+        i += 1
+      }
+      out
+    }
+
+    /** Batch form: one call per batch of payloads, the shape a vectorized
+      * codec binding (or a Pandas-UDF batch) presents. */
+    def resizeBatch(batch: Seq[Array[Byte]], w: Int, h: Int):
+        Seq[Array[Byte]] = batch.map(resize(_, w, h))
   }
 
   /** Attach a media payload column (here: the UTF-8 bytes of a text col
@@ -63,6 +84,34 @@ object Multimodal {
     StructField("id", LongType, nullable = false),
     StructField("features", ArrayType(FloatType, containsNull = false)),
     StructField("n_frames", IntegerType, nullable = false)))
+
+  private val resizeSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("media", BinaryType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+
+  /** Resize via partition-local BATCHED processing: payloads are grouped
+    * into `batchSize` chunks and handed to the codec one batch at a time
+    * — the mapInPandas batch contract (a real codec binding amortizes
+    * model/library setup across the batch). Output carries the resized
+    * payload + its new dimensions. */
+  def resizeMedia(df: DataFrame, idCol: String, w: Int, h: Int,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.select(col(idCol).cast(LongType), col("media"))
+      .queryExecution.toRdd.mapPartitions { iter =>
+        // materialize fields BEFORE grouping: the scan reuses its
+        // InternalRow, so buffering row references would corrupt batches
+        iter.map(r => (r.getLong(0), r.getBinary(1)))
+          .grouped(batchSize).flatMap { chunk =>
+            val resized = MediaCodec.resizeBatch(chunk.map(_._2), w, h)
+            chunk.lazyZip(resized).map { case ((id, _), bs) =>
+              Row(id, bs, w, h) }
+          }
+      }
+    spark.createDataFrame(rows, resizeSchema)
+  }
 
   /** Decode + feature-extract + frame-sample via partition-local batch
     * processing (the mapInPandas analog). Input needs (idCol, "media"). */

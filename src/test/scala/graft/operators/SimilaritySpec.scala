@@ -129,4 +129,25 @@ class MultimodalSpec extends SparkSpec {
     val bytes = ("abcdefgh" * 4).getBytes("UTF-8")
     assert(feats(0)._2 == Multimodal.MediaCodec.features(bytes, 4).toSeq)
   }
+
+  test("resizeMedia: batched partition-local resize to exact target dims") {
+    val docs = (1L to 150L).map(i => (i, "x" * (i.toInt % 37 + 1)))
+      .toDF("doc_id", "text")
+    val media = Multimodal.withMediaColumns(docs, "text")
+    // batchSize 16 < 150 rows forces multiple codec batches per partition
+    val resized = Multimodal.resizeMedia(media, "doc_id", w = 8, h = 4,
+        batchSize = 16)
+      .as[(Long, Array[Byte], Int, Int)].collect().sortBy(_._1)
+    assert(resized.length == 150)
+    assert(resized.forall(r => r._2.length == 32 && r._3 == 8 && r._4 == 4))
+    // batching must not reorder/corrupt payload↔id pairing: spot-check
+    // against the single-item codec call
+    val b77 = ("x" * (77 % 37 + 1)).getBytes("UTF-8")
+    assert(resized(76)._2.toSeq ==
+      Multimodal.MediaCodec.resize(b77, 8, 4).toSeq)
+    // a resized payload feeds the rest of the media pipeline unchanged
+    val feats = Multimodal.extractFeatures(
+      Multimodal.resizeMedia(media, "doc_id", 8, 4), "id", d = 4)
+    assert(feats.count() == 150)
+  }
 }
