@@ -253,7 +253,27 @@ object PgOutput {
             else quoted(s)
           Some(s""""${c.name}":$rendered""")
         case TBinary(bs) =>
-          Some(s""""${c.name}":"\\\\x${bs.map("%02x".format(_)).mkString}"""")
+          // binary-format values (the stream's optional `binary` mode):
+          // fixed-width numerics/bool decode directly; everything else
+          // renders as bytea hex (the text form of raw bytes)
+          val arr = bs.toArray
+          def bb = ByteBuffer.wrap(arr)
+          val rendered = (c.typeOid, arr.length) match {
+            case (16, 1) => if (arr(0) != 0) "true" else "false"
+            case (21, 2) => bb.getShort.toString
+            case (23, 4) => bb.getInt.toString
+            case (20, 8) => bb.getLong.toString
+            case (26, 4) => (bb.getInt.toLong & 0xffffffffL).toString
+            case (700, 4) =>
+              val f = bb.getFloat
+              if (f.isNaN || f.isInfinite) quoted(f.toString) else f.toString
+            case (701, 8) =>
+              val d = bb.getDouble
+              if (d.isNaN || d.isInfinite) quoted(d.toString) else d.toString
+            case _ =>
+              s""""\\\\x${arr.map("%02x".format(_)).mkString}""""
+          }
+          Some(s""""${c.name}":$rendered""")
       }
     }
     (fields.mkString("{", ",", "}"), missing.result())

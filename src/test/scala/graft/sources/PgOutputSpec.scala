@@ -144,6 +144,24 @@ class PgOutputSpec extends AnyFunSuite with PropSpec {
     assert(tr.split("\n").length == 2)
   }
 
+  test("binary-format tuple values decode typed for fixed-width OIDs") {
+    def be(n: Int, f: java.nio.ByteBuffer => Unit): TBinary = {
+      val b = java.nio.ByteBuffer.allocate(n); f(b)
+      TBinary(b.array().toVector)
+    }
+    val r = Relation(1, "public", "t", 'd', Vector(
+      RelCol(1, "id", 20, -1), RelCol(0, "n", 23, -1),
+      RelCol(0, "x", 701, -1), RelCol(0, "ok", 16, -1),
+      RelCol(0, "raw", 17, -1)))
+    val line = toEnvelopeLine(Insert(1, Vector(
+      be(8, _.putLong(42L)), be(4, _.putInt(-7)),
+      be(8, _.putDouble(2.5)), TBinary(Vector(1)),
+      TBinary(Vector(0xde.toByte, 0xad.toByte)))), _ => r, 1L, 0L, 0L).get
+    val after = line.split("\t", -1)(7)
+    assert(after ==
+      """{"id":42,"n":-7,"x":2.5,"ok":true,"raw":"\\xdead"}""")
+  }
+
   test("DecodeSession: binary frame stream → ordered envelope → live pipeline") {
     val spark = graft.SparkSpec.session
     import spark.implicits._
