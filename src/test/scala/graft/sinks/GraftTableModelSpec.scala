@@ -1,0 +1,101 @@
+package graft.sinks
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Model-based test: a random sequence of table operations runs against
+  * BOTH the real GraftTable and a driver-side reference model (key →
+  * (value, seq) map with last-writer-wins semantics); after every step
+  * the table's read must equal the model. Catches copy-on-write bucket
+  * accounting, replay-guard, truncate-rewind, and maintenance bugs that
+  * single-scenario tests miss. Deterministic seeds → reproducible. */
+class GraftTableModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private final case class ModelRow(v: String, seq: String)
+
+  private def runScenario(seed: Long, steps: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val root = Files.createTempDirectory(s"graft-model-$seed").toString
+    val t = new GraftTable(root, Seq("id"), nBuckets = 4)
+    val model = scala.collection.mutable.Map.empty[Long, ModelRow]
+    var highWater = ""
+    var lsn = 0L
+
+    def check(step: String): Unit = {
+      val actual = t.read(spark)
+      val got =
+        if (actual.columns.isEmpty) Map.empty[Long, String]
+        else actual.select("id", "v").as[(Long, String)].collect().toMap
+      val want = model.map { case (k, r) => k -> r.v }.toMap
+      assert(got == want, s"seed=$seed after $step: got=$got want=$want")
+    }
+
+    def seqOf(l: Long) = f"$l%016x/${0L}%016x"
+
+    def applyToModel(rows: Seq[(Long, String, String, Long)]): Unit = {
+      // LWW within the batch, replay-guard against the table high-water
+      val fresh = rows.filter(r => highWater.isEmpty || seqOf(r._4) > highWater)
+      if (fresh.isEmpty) return
+      val perKey = fresh.groupBy(_._1).values.map(_.maxBy(_._4))
+      perKey.foreach {
+        case (id, _, "D", _) => model.remove(id)
+        case (id, v, _, l) => model(id) = ModelRow(v, seqOf(l))
+      }
+      val m = fresh.map(_._4).max
+      if (highWater.isEmpty || seqOf(m) > highWater) highWater = seqOf(m)
+    }
+
+    (1 to steps).foreach { step =>
+      rnd.nextInt(10) match {
+        case i if i <= 5 => // merge a fresh batch (most common op)
+          lsn += 1
+          val rows = (1 to rnd.nextInt(6) + 1).map { _ =>
+            val id = rnd.nextInt(12).toLong
+            val op = if (rnd.nextInt(4) == 0) "D" else "U"
+            (id, s"v$lsn-$id", op, lsn)
+          }
+          val deduped = rows.groupBy(_._1).values.map(_.maxBy(_._4)).toSeq
+          t.merge(deduped.toDF("id", "v", "_op", "lsn")
+            .withColumn("_seq",
+              format_string("%016x/%016x", col("lsn"), lit(0L))).drop("lsn"))
+          applyToModel(rows)
+          check(s"merge@$lsn")
+        case 6 => // replay an OLD lsn (must be a no-op)
+          if (lsn > 0) {
+            val old = rnd.nextLong(lsn) + 1
+            val rows = Seq((rnd.nextInt(12).toLong, s"stale$old", "U", old))
+            t.merge(rows.toDF("id", "v", "_op", "lsn")
+              .withColumn("_seq",
+                format_string("%016x/%016x", col("lsn"), lit(0L))).drop("lsn"))
+            applyToModel(rows) // replay-guard inside applyToModel drops it
+            check(s"replay@$old")
+          }
+        case 7 => // truncate (rewinds the replay mark with the data)
+          t.truncate()
+          model.clear()
+          highWater = ""
+          check("truncate")
+        case 8 => // compact + vacuum (data-identical maintenance)
+          t.compact(spark, maxFiles = 1)
+          t.vacuum(keep = 1)
+          check("compact+vacuum")
+        case 9 => // overwrite (backfill re-copy; resets the replay mark)
+          lsn += 1
+          val rows = (1 to rnd.nextInt(5) + 1)
+            .map(_ => (rnd.nextInt(12).toLong, s"bf$lsn")).distinct
+          val byId = rows.groupBy(_._1).map(_._2.head).toSeq
+          t.overwrite(byId.toDF("id", "v"))
+          model.clear()
+          byId.foreach { case (id, v) => model(id) = ModelRow(v, "") }
+          highWater = ""
+          check(s"overwrite@$lsn")
+      }
+    }
+  }
+
+  test("random op sequences match the reference model (3 seeds × 40 steps)") {
+    Seq(1L, 7L, 42L).foreach(runScenario(_, steps = 40))
+  }
+}
