@@ -56,6 +56,12 @@ final class CdcPipeline(
   val copyProgress =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.util.LongAccumulator]
 
+  /** Cumulative per-table apply wall time + batch count — the per-table
+    * half of the reference's per-run report (etl-benchmarks JSON shape);
+    * PipelineMetrics carries the per-query half. */
+  val applyTimings =
+    scala.collection.concurrent.TrieMap.empty[Long, (Long, Long)] // id → (ms, batches)
+
   /** Publication membership reconciliation (S6, reference
     * pipeline.rs:354-421 `initialize_table_states`): tables newly in the
     * publication start at Init; tables no longer published have their
@@ -268,6 +274,7 @@ final class CdcPipeline(
         scala.concurrent.ExecutionContext.fromExecutor(applyPool)
       val applyFutures = tablesInBatch.map { tableId =>
         scala.concurrent.Future {
+        val applyT0 = System.nanoTime()
         try {
           val tEvents = gated.filter(col("_table") === tableId)
           val versions = batchMeta.keys.filter(_._1 == tableId)
@@ -335,6 +342,12 @@ final class CdcPipeline(
             // per-table quarantine, pipeline survives (ST8)
             stateStore.recordError(tableId, e.getMessage,
               RetryPolicy.TimedRetry())
+        } finally {
+          val ms = (System.nanoTime() - applyT0) / 1000000L
+          applyTimings.updateWith(tableId) {
+            case Some((t, n)) => Some((t + ms, n + 1))
+            case None         => Some((ms, 1L))
+          }
         }
         }
       }

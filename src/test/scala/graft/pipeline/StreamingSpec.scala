@@ -134,6 +134,9 @@ class StreamingSpec extends SparkSpec {
       .select("id", "name").as[(Long, String)].collect().toSet
     assert(state == Set((1L, "a2"), (3L, "c"), (4L, "d")))
     assert(pipeline.stateStore.get(1L) == TableState.Ready)
+    // per-table apply timings accumulated (observability parity)
+    val (ms, nBatches) = pipeline.applyTimings(1L)
+    assert(nBatches >= 1 && ms >= 0)
     assert(pipeline.stateStore.lastFlushLsn == 8L)
 
     // live appends while the stream runs
