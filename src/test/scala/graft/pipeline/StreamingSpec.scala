@@ -76,6 +76,29 @@ class StreamingSpec extends SparkSpec {
     assert(committed >= 7L && committed <= 10L)
   }
 
+  test("live appends between triggers: incremental index delivers only the delta") {
+    val dir = tmp("cdc-live")
+    val log = s"$dir/wal.log"
+    appendLog(log, (1L to 4L).map(i => ins(i, 0, i, s"u$i", 20)))
+    val q = spark.readStream.format("graft-cdc")
+      .option("path", log).load()
+      .writeStream.format("memory").queryName("live_out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable()
+    assert(spark.table("live_out").count() == 4)
+    // grow the log while the query runs — the driver index parses only
+    // the appended suffix and the next batch reads only its byte window
+    appendLog(log, (5L to 9L).map(i => ins(i, 0, i, s"u$i", 20)))
+    q.processAllAvailable()
+    assert(spark.table("live_out").count() == 9)
+    appendLog(log, Seq(ins(10L, 0, 10L, "u10", 20)))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("live_out").select("_commit_lsn")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == (1L to 10L)) // no duplicates, no gaps across deltas
+  }
+
   test("truncated log + checkpointed offset = slot invalidation: error / earliest (ST10)") {
     val dir = tmp("cdc-slot")
     val log = s"$dir/wal.log"
