@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{SchemaRegistry, TableSchemaV}
 import graft.pipeline.{CdcPipeline, PipelineConfig}
-import graft.sinks.{CdcSink, ChangelogSink, CurrentStateSink, NullSink}
+import graft.sinks.{CdcSink, ChangelogSink, CurrentStateSink, ExactlyOnceSink, NullSink}
 
 /** Standalone replicator binary — the analog of the reference's
   * etl-replicator (crates/etl-replicator/src/main.rs:75): load a config
@@ -22,6 +22,7 @@ import graft.sinks.{CdcSink, ChangelogSink, CurrentStateSink, NullSink}
   *   source.log = /tmp/graft-demo/wal.log     # CDC change log path
   *   source.schemas = /tmp/graft-demo/schemas.json  # SchemaRegistry file
   *   destination = current_state | changelog | null
+  *   exactlyOnce = true                       # batchId txn ledger wrapper
   *   backfill.<tableName> = <parquet path>    # optional initial snapshots
   *   drain = true                             # process available + exit
   */
@@ -47,7 +48,7 @@ object Replicator {
     spark.sparkContext.setLogLevel("WARN")
 
     val registry = SchemaRegistry.load(get("source.schemas", s"$work/schemas.json"))
-    val sink: CdcSink = get("destination", "current_state") match {
+    val sink0: CdcSink = get("destination", "current_state") match {
       case "current_state" => new CurrentStateSink(s"$work/tables",
         name => registry.tables.flatMap(registry.latest)
           .find(_.tableName == name).map(_.primaryKey)
@@ -56,6 +57,13 @@ object Replicator {
       case "null" => new NullSink
       case other => throw new IllegalArgumentException(s"unknown destination $other")
     }
+    // optional txn ledger: replays of committed batches become no-ops
+    // even for destinations without a natural sequence high-water mark
+    val sink: CdcSink =
+      if (get("exactlyOnce", "false").toBoolean)
+        new ExactlyOnceSink(sink0, s"$work/txn_ledger.json",
+          get("pipeline.id", "pipeline"))
+      else sink0
 
     val config = PipelineConfig(
       maxRowsPerTrigger = get("pipeline.maxRowsPerTrigger", "100000").toLong,

@@ -59,6 +59,7 @@ class ReplicatorSpec extends SparkSpec {
       |pipeline.id = spec
       |pipeline.workdir = $work
       |destination = current_state
+      |exactlyOnce = true
       |backfill.users = $work/snapshot
       |drain = true
       |""".stripMargin
@@ -79,6 +80,9 @@ class ReplicatorSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$work/metrics.json")))
     assert(metrics.contains("\"rows\":3"), metrics)
     assert(metrics.contains("\"eventsPerSecond\""), metrics)
+    // exactlyOnce=true persisted the batch ledger under the pipeline id
+    assert(new graft.sinks.TxnLedger(s"$work/txn_ledger.json")
+      .lastCommitted("spec") >= 0L)
   }
 }
 
