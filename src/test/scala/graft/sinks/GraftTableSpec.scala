@@ -273,6 +273,38 @@ class GraftTableSpec extends SparkSpec {
     assert(sink.latest(spark, "t", Seq("id")).count() == 3)
   }
 
+  test("ChangelogSink output is a streaming source: downstream consumers tail it") {
+    // change-data-feed composition: CDC in → changelog parquet out →
+    // ANOTHER Structured Streaming query consumes the change stream
+    // (the Iceberg/ClickHouse downstream-consumer shape)
+    val dir = tmp()
+    val sink = new ChangelogSink(dir)
+    def ev(lsn: Long, id: Long, op: String) =
+      Seq((id, s"v$lsn", op, lsn, 0L))
+        .toDF("id", "v", "_op", "_commit_lsn", "_tx_ordinal")
+    sink.writeEvents("t", ev(1L, 1L, "I"))
+    sink.writeEvents("t", ev(2L, 2L, "I"))
+
+    val schema = sink.read(spark, "t").schema
+    val q = spark.readStream.schema(schema).parquet(s"$dir/t")
+      .groupBy("cdc_operation").count()
+      .writeStream.format("memory").queryName("cdf_out")
+      .outputMode("complete")
+      .option("checkpointLocation", tmp())
+      .start()
+    q.processAllAvailable()
+    import org.apache.spark.sql.functions.col
+    def counts = spark.table("cdf_out")
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("I" -> 2L))
+    // new upstream batches flow through to the downstream consumer
+    sink.writeEvents("t", ev(3L, 1L, "U"))
+    sink.writeEvents("t", ev(4L, 2L, "D"))
+    q.processAllAvailable()
+    q.stop()
+    assert(counts == Map("I" -> 2L, "U" -> 1L, "D" -> 1L))
+  }
+
   test("ChangelogSink replayed truncate batch re-applies post-truncate events") {
     val sink = new ChangelogSink(tmp())
     def ev(rows: (Long, String, String, Long)*) =
