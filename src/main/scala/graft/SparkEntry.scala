@@ -28,6 +28,7 @@ object SparkEntry {
     "st5_window_hourly" -> (CoreQueries.windowHourly _),
     "window_analytics" -> (AnalyticQueries.windowAnalytics _),
     "setops" -> (AnalyticQueries.setOps _),
+    "rollup_stats" -> (AnalyticQueries.rollupStats _),
     // CDC semantics (SURVEY §2.2, §2.4, §2.6; events table = WAL role)
     "p4_route" -> (CdcQueries.route _),
     "a1_lww_dedup" -> (CdcQueries.lwwDedup _),
@@ -75,6 +76,7 @@ object SparkEntry {
     "st5_window_hourly" -> CoreQueries.windowHourlySql,
     "window_analytics" -> AnalyticQueries.windowAnalyticsSql,
     "setops" -> AnalyticQueries.setOpsSql,
+    "rollup_stats" -> AnalyticQueries.rollupStatsSql,
     "p4_route" -> CdcQueries.routeSql,
     "a1_lww_dedup" -> CdcQueries.lwwDedupSql,
     "j1_pk_change" -> CdcQueries.pkChangeSql,

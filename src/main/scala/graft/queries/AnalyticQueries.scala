@@ -44,6 +44,30 @@ object AnalyticQueries {
                  ORDER BY l_shipdate, l_orderkey, l_linenumber)
     ORDER BY l_suppkey, rn"""
 
+  /** Multi-level ROLLUP aggregation (the Expand-based grouping-sets
+    * physical path): per-(flag,status) stats plus per-flag and grand
+    * totals in one pass. NULL grouping rows are COALESCEd to a sentinel
+    * on BOTH sides so ordering is total and null-order conventions can't
+    * diverge between engines. */
+  def rollupStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(9, 2)))
+          .cast(DoubleType).as("qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("qty"))
+      .orderBy("flag", "status")
+
+  val rollupStatsSql: String = """
+    SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+      COALESCE(l_linestatus, 'ALL') AS status,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY flag, status"""
+
   /** UNION / INTERSECT / EXCEPT with set semantics: order keys that have
     * lineitems vs. orders in a status slice. All three set operations come
     * out of ONE pass: tag each side, aggregate membership flags per key
