@@ -131,9 +131,15 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       (j \ "schema").extractOrElse[String](""))
   }
 
-  /** Publish a new snapshot: ONE atomic rename makes the file list and the
-    * replay high-water visible together. (package-visible for tests that
-    * fabricate fragmentation / external-writer shapes) */
+  /** Publish a new snapshot: the fully-written manifest becomes visible
+    * via ONE atomic hard-link creation, so readers see the file list and
+    * replay high-water together — and a CONCURRENT writer that raced to
+    * the same version number fails with [[ConcurrentCommitException]]
+    * instead of silently clobbering the other commit (rename(2) replaces
+    * without error; link(2) is exclusive — the Iceberg optimistic-
+    * concurrency shape). Single-writer pipelines never hit it; a loser
+    * must re-plan from the new current version because its survivors were
+    * computed against a stale snapshot. (package-visible for tests) */
   private[sinks] def commitManifest(m: Manifest): Unit = {
     writeIdentity()
     Files.createDirectories(manifestDir)
@@ -143,10 +149,16 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val schemaJson = m.schemaDdl.replace("\\", "\\\\").replace("\"", "\\\"")
     val body =
       s"""{"version":${m.version},"highWater":"${m.highWater}","schema":"$schemaJson","files":$filesJson}"""
-    val tmp = manifestDir.resolve(s".v${m.version}.json.tmp")
+    val tmp = manifestDir.resolve(s".v${m.version}-${java.util.UUID.randomUUID()}.json.tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(m.version),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(manifestPath(m.version), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new GraftTable.ConcurrentCommitException(
+          s"version ${m.version} of $root was committed by another writer; " +
+            "re-read the current snapshot and retry the merge")
+    } finally Files.deleteIfExists(tmp)
     expireOldVersions()
   }
 
@@ -462,6 +474,12 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
 }
 
 object GraftTable {
+  /** Another writer published this version first (optimistic concurrency
+    * conflict). The losing commit's data files are unreferenced and will
+    * be reclaimed by [[GraftTable.vacuum]]. */
+  final class ConcurrentCommitException(msg: String)
+      extends RuntimeException(msg)
+
   /** Open an existing table by reading its identity (`_meta.json`) —
     * key columns and bucket count travel with the table, so readers
     * (e.g. the `graft_table(...)` SQL TVF) need only the root path. */

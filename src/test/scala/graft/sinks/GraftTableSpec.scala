@@ -75,6 +75,25 @@ class GraftTableSpec extends SparkSpec {
       .as[(Long, String, Option[Long])].collect().toSet == out)
   }
 
+  test("concurrent same-version commits: second writer fails, first commit intact") {
+    val root = tmp()
+    val t = new GraftTable(root, Seq("id"), nBuckets = 4)
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    // a second handle races: both computed nextVersion against the same
+    // current snapshot → same version number; the link publish is
+    // exclusive so the loser gets a conflict instead of clobbering
+    val t2 = new GraftTable(root, Seq("id"), nBuckets = 4)
+    val m = t.currentManifest().get
+    val m2 = t2.currentManifest().get // stale view read BEFORE t commits
+    t.commitManifest(m.copy(version = m.version + 1, highWater = "aaaa"))
+    intercept[GraftTable.ConcurrentCommitException] {
+      t2.commitManifest(m2.copy(version = m2.version + 1, highWater = "bbbb"))
+    }
+    // winner's commit survives untouched
+    assert(t.readMeta().highWater == "aaaa")
+    assert(t.read(spark).as[(Long, String)].collect().toSet == Set((1L, "a")))
+  }
+
   test("merge on empty table bootstraps, deletes dropped") {
     val t = new GraftTable(tmp(), Seq("id"), nBuckets = 4)
     t.merge(batch((1L, "a", "I", 1L), (2L, "b", "D", 1L)))
