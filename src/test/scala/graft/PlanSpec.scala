@@ -95,6 +95,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("rollup plans one Expand + partial/final aggregate (no per-level rescans)") {
+    val p = plan(AnalyticQueries.rollupStats(spark, sf()))
+    // grouping sets materialize through ONE Expand over one scan — three
+    // grouping levels must not become three scans/aggregations of lineitem
+    assert("(?m)^\\(\\d+\\) Expand".r.findAllIn(p).size == 1, p)
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1, p)
+    assert("(?m)^\\(\\d+\\) HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("GraftTable pinned-schema read plans without a footer sweep (scan carries manifest schema)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-plan2").toString
