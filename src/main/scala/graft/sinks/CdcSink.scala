@@ -187,10 +187,51 @@ final class ChangelogSink(rootDir: String) extends CdcSink {
     }
   }
 
-  def read(spark: SparkSession, table: String): DataFrame =
+  def read(spark: SparkSession, table: String): DataFrame = {
+    recoverSwap(table)
     // mergeSchema: backfill files lack the optional _missing column that
     // streamed files carry; footer-picking would otherwise drop it
     spark.read.option("mergeSchema", "true").parquet(dir(table))
+  }
+
+  /** Leading `_` keeps the marker invisible to Spark's parquet listing. */
+  private def swapMarker(table: String) =
+    Paths.get(dir(table), "_compact_swap")
+
+  /** Finish an interrupted compact swap. The marker (written atomically
+    * BEFORE any destructive step) records the temp dir holding the full
+    * compacted file set and the old live files it replaces, so every step
+    * below is idempotent: delete-old is a deleteIfExists, move-in skips
+    * names already present. Until the marker lands, a crash leaves the
+    * live dir untouched; once it lands, any reader/compactor completes
+    * the swap before serving — the changelog is never observed empty or
+    * doubled. */
+  private def recoverSwap(table: String): Unit = {
+    val marker = swapMarker(table)
+    if (!Files.exists(marker)) return
+    import scala.jdk.CollectionConverters._
+    val lines = new String(Files.readAllBytes(marker),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").toVector
+    val tmpDir = Paths.get(lines.head)
+    val p = Paths.get(dir(table))
+    lines.tail.filter(_.nonEmpty)
+      .foreach(n => Files.deleteIfExists(p.resolve(n)))
+    if (Files.exists(tmpDir)) {
+      val st = Files.list(tmpDir)
+      val pend = try st.iterator().asScala.toVector finally st.close()
+      pend.filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
+        val dst = p.resolve(f.getFileName)
+        if (!Files.exists(dst)) Files.move(f, dst, StandardCopyOption.ATOMIC_MOVE)
+        else Files.deleteIfExists(f)
+      }
+    }
+    Files.deleteIfExists(marker)
+    if (Files.exists(tmpDir)) {
+      val st = Files.walk(tmpDir)
+      val rest = try st.iterator().asScala.toVector finally st.close()
+      rest.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
 
   /** Maintenance: rewrite the changelog into ~`targetFiles` files sorted
     * by sequence_number — the external-maintenance analog of the
@@ -201,30 +242,32 @@ final class ChangelogSink(rootDir: String) extends CdcSink {
     * incremental consumers skip already-seen ranges). Single-writer
     * maintenance operation: run while the stream is quiesced, like the
     * reference's external maintenance jobs. The replay high-water file is
-    * untouched — content is identical, so replay semantics don't change. */
+    * untouched — content is identical, so replay semantics don't change.
+    *
+    * Crash-safe: the swap is bracketed by a `_compact_swap` marker
+    * committed via write-tmp + atomic rename before the first delete;
+    * [[recoverSwap]] (run by every read and compact) finishes a swap the
+    * process died inside of. */
   def compact(spark: SparkSession, table: String, targetFiles: Int = 1): Unit = {
     val p = Paths.get(dir(table))
     if (!Files.exists(p)) return
     val tmpDir = s"${dir(table)}.compacting"
-    read(spark, table)
+    read(spark, table) // also completes any interrupted prior swap
       .repartitionByRange(math.max(1, targetFiles),
         org.apache.spark.sql.functions.col("sequence_number"))
       .sortWithinPartitions("sequence_number")
       .write.mode("overwrite").parquet(tmpDir)
-    // swap: clear old files, move compacted ones in, drop the temp dir
     import scala.jdk.CollectionConverters._
     val old = { val st = Files.list(p)
       try st.iterator().asScala.toVector finally st.close() }
-    old.filter(_.getFileName.toString.endsWith(".parquet"))
-      .foreach(Files.deleteIfExists(_))
-    val moved = { val st = Files.list(Paths.get(tmpDir))
-      try st.iterator().asScala.toVector finally st.close() }
-    moved.filter(_.getFileName.toString.endsWith(".parquet"))
-      .foreach(f => Files.move(f, p.resolve(f.getFileName),
-        StandardCopyOption.ATOMIC_MOVE))
-    val rest = { val st = Files.walk(Paths.get(tmpDir))
-      try st.iterator().asScala.toVector finally st.close() }
-    rest.reverse.foreach(Files.deleteIfExists(_))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    // commit point: marker names the temp dir + every old file to drop
+    val body = (tmpDir +: old.map(_.getFileName.toString)).mkString("\n")
+    val mtmp = Paths.get(dir(table), "_compact_swap.tmp")
+    Files.write(mtmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(mtmp, swapMarker(table), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    recoverSwap(table) // the swap itself IS the recovery path
   }
 
   /** The `latest` current-state view over the changelog (reference: the

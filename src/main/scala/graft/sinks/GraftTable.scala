@@ -151,13 +151,26 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       s"""{"version":${m.version},"highWater":"${m.highWater}","schema":"$schemaJson","files":$filesJson}"""
     val tmp = manifestDir.resolve(s".v${m.version}-${java.util.UUID.randomUUID()}.json.tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    def alreadyCommitted(): Nothing = {
+      Files.deleteIfExists(tmp)
+      throw new GraftTable.ConcurrentCommitException(
+        s"version ${m.version} of $root was committed by another writer; " +
+          "re-read the current snapshot and retry the merge")
+    }
     try Files.createLink(manifestPath(m.version), tmp)
     catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        throw new GraftTable.ConcurrentCommitException(
-          s"version ${m.version} of $root was committed by another writer; " +
-            "re-read the current snapshot and retry the merge")
+      case _: java.nio.file.FileAlreadyExistsException => alreadyCommitted()
+      case _: UnsupportedOperationException |
+           _: java.nio.file.FileSystemException =>
+        // Filesystems without hard links (some NFS configs, object-store
+        // FUSE mounts): fall back to the rename publish guarded by an
+        // exists pre-check. Weaker guarantee — two writers can still race
+        // between check and rename — but commits keep working everywhere.
+        // A genuine I/O problem (perms, disk full) fails the move too and
+        // surfaces through it.
+        if (Files.exists(manifestPath(m.version))) alreadyCommitted()
+        Files.move(tmp, manifestPath(m.version),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } finally Files.deleteIfExists(tmp)
     expireOldVersions()
   }

@@ -190,6 +190,26 @@ final class CdcLogMicroBatchStream(path: String, maxRows: Option[Long],
   @volatile private var idxMemo: LogIndex =
     LogIndex(0L, (-1L, -1L), Vector.empty, ordered = true)
 
+  /** Suffix-parse chunk size. A trigger that finds a multi-GiB appended
+    * delta (e.g. first poll after a long pause) must not materialize it in
+    * one array — `(delta).toInt` overflows past 2 GiB and a single huge
+    * allocation thrashes the driver heap either way. Bounded chunks keep
+    * driver memory O(chunk) and advance `parsedUpTo` incrementally, so
+    * even an aborted pass resumes where it stopped. Var (not val) only so
+    * tests can exercise the chunk-boundary paths with small sizes. */
+  private[sources] var indexChunkBytes: Long = 64L << 20
+
+  private def readAt(chan: java.nio.channels.FileChannel, pos: Long,
+      len: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(len)
+    chan.position(pos)
+    var n = 0
+    while (n < len) {
+      val r = chan.read(buf); if (r < 0) n = len else n += r
+    }
+    buf.array()
+  }
+
   private def readIndex(): LogIndex = {
     val p = Paths.get(path)
     if (!Files.exists(p))
@@ -200,46 +220,56 @@ final class CdcLogMicroBatchStream(path: String, maxRows: Option[Long],
     // shrunk file = retention trim / rewrite → rebuild from byte 0.
     // (A same-size rewrite with identical mtime is indistinguishable from
     // no change; the transport only appends or trims, so not reachable.)
-    val cur = if (stamp._1 < cur0.parsedUpTo)
-      LogIndex(0L, (-1L, -1L), Vector.empty, ordered = true) else cur0
+    var parsedUpTo =
+      if (stamp._1 < cur0.parsedUpTo) 0L else cur0.parsedUpTo
+    val keys = Vector.newBuilder[(Long, Long, Long)]
+    var lastKey: Option[(Long, Long)] =
+      if (parsedUpTo == 0L) None
+      else cur0.keys.lastOption.map(k => (k._1, k._2))
+    if (parsedUpTo > 0L) keys ++= cur0.keys
+    var ordered = parsedUpTo == 0L || cur0.ordered
     val chan = java.nio.channels.FileChannel.open(p,
       java.nio.file.StandardOpenOption.READ)
-    val bytes = try {
-      val len = (stamp._1 - cur.parsedUpTo).toInt
-      val buf = java.nio.ByteBuffer.allocate(len)
-      chan.position(cur.parsedUpTo)
-      var n = 0
-      while (n < len) {
-        val r = chan.read(buf); if (r < 0) n = len else n += r
+    try {
+      var chunkLen = math.max(1L, indexChunkBytes)
+      var done = false
+      while (!done) {
+        val remaining = stamp._1 - parsedUpTo
+        if (remaining <= 0) done = true
+        else {
+          val len = math.min(remaining, chunkLen).toInt
+          val bytes = readAt(chan, parsedUpTo, len)
+          // parse whole lines only: stop at the last newline in the chunk
+          val lastNl = bytes.lastIndexOf('\n'.toByte)
+          if (lastNl < 0) {
+            if (len < remaining) chunkLen *= 2 // one line spans the chunk
+            else done = true // trailing partial line: next trigger's work
+          } else {
+            var from = 0
+            while (from <= lastNl) {
+              var to = from
+              while (bytes(to) != '\n'.toByte) to += 1
+              if (to > from) {
+                val line =
+                  new String(bytes, from, to - from, StandardCharsets.UTF_8)
+                val tab1 = line.indexOf('\t')
+                val tab2 = line.indexOf('\t', tab1 + 1)
+                val k = (line.substring(0, tab1).toLong,
+                  line.substring(tab1 + 1, tab2).toLong)
+                keys += ((k._1, k._2, parsedUpTo + to + 1))
+                if (lastKey.exists(prev => LsnOffset.lt(k, prev)))
+                  ordered = false
+                lastKey = Some(k)
+              }
+              from = to + 1
+            }
+            parsedUpTo += lastNl + 1
+            if (parsedUpTo >= stamp._1) done = true
+          }
+        }
       }
-      buf.array()
     } finally chan.close()
-    // parse whole lines only: stop at the last newline in the suffix
-    val lastNl = bytes.lastIndexOf('\n'.toByte)
-    if (lastNl < 0) { idxMemo = cur.copy(stamp = stamp); return idxMemo }
-    var from = 0
-    val fresh = Vector.newBuilder[(Long, Long, Long)]
-    while (from <= lastNl) {
-      var to = from
-      while (bytes(to) != '\n'.toByte) to += 1
-      if (to > from) {
-        val line = new String(bytes, from, to - from, StandardCharsets.UTF_8)
-        val tab1 = line.indexOf('\t')
-        val tab2 = line.indexOf('\t', tab1 + 1)
-        fresh += ((line.substring(0, tab1).toLong,
-          line.substring(tab1 + 1, tab2).toLong,
-          cur.parsedUpTo + to + 1))
-      }
-      from = to + 1
-    }
-    val chunk = fresh.result()
-    val chunkOrdered = chunk.iterator.zip(chunk.iterator.drop(1))
-      .forall { case (a, b) => !LsnOffset.lt((b._1, b._2), (a._1, a._2)) }
-    val joinOrdered = cur.keys.isEmpty || chunk.isEmpty ||
-      !LsnOffset.lt((chunk.head._1, chunk.head._2),
-        (cur.keys.last._1, cur.keys.last._2))
-    idxMemo = LogIndex(cur.parsedUpTo + lastNl + 1, stamp,
-      cur.keys ++ chunk, cur.ordered && chunkOrdered && joinOrdered)
+    idxMemo = LogIndex(parsedUpTo, stamp, keys.result(), ordered)
     idxMemo
   }
 
@@ -317,9 +347,12 @@ final class CdcLogMicroBatchStream(path: String, maxRows: Option[Long],
         (endOfLastLe(s.commitLsn, s.txOrdinal),
           endOfLastLe(e.commitLsn, e.txOrdinal))
       }
-    // single ordered WAL window — one partition (see class doc)
+    // single ordered WAL window — one partition (see class doc); the
+    // planner's layout stamp rides along so the executor can tell whether
+    // the bytes it reads are the bytes the window was planned against
     Array(CdcLogPartition(path, s.commitLsn, s.txOrdinal,
-      e.commitLsn, e.txOrdinal, fromPos, toPos))
+      e.commitLsn, e.txOrdinal, fromPos, toPos,
+      idx.stamp._1, idx.stamp._2))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -346,43 +379,82 @@ final class CdcLogMicroBatchStream(path: String, maxRows: Option[Long],
   * `fromPos`/`toPos` is an optional byte window (−1 = unknown): when the
   * planner verified file order == key order, the reader seeks to
   * `fromPos` and reads `toPos − fromPos` bytes — O(batch) I/O — instead
-  * of scanning the whole log. The key filter still applies either way. */
+  * of scanning the whole log. `stampSize`/`stampMtime` is the layout the
+  * planner observed; the reader treats the byte window as a HINT to be
+  * verified, never as truth: a retention rewrite landing between plan
+  * and read shifts every byte, and a key filter over a shifted window
+  * would silently drop in-window rows. The key filter still applies
+  * either way. */
 final case class CdcLogPartition(path: String, fromLsn: Long, fromOrd: Long,
-    toLsn: Long, toOrd: Long, fromPos: Long = -1L, toPos: Long = -1L)
+    toLsn: Long, toOrd: Long, fromPos: Long = -1L, toPos: Long = -1L,
+    stampSize: Long = -1L, stampMtime: Long = -1L)
     extends InputPartition
 
 final class CdcLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CdcLogPartition]
     new PartitionReader[InternalRow] {
+      /** Windowed fast path with verification. Preconditions for even
+        * attempting the seek-read: a byte window exists, the file still
+        * covers it, and the layout is append-consistent with the
+        * planner's stamp (same size+mtime, or grown — append-only
+        * transports only add bytes; a shrink means rewrite). The decoded
+        * window must then prove it IS the planned window: it starts and
+        * ends on line boundaries and every line's key lies in
+        * (from, to] — a shifted window fails at least one (the log is
+        * key-ordered, so foreign bytes carry out-of-range keys or tear a
+        * line). Any doubt → None → full scan with key filter (correct,
+        * just O(log)). */
+      private def windowedLines(f: java.nio.file.Path)
+          : Option[Vector[Array[String]]] = {
+        if (p.fromPos < 0 || p.toPos < p.fromPos) return None
+        val size = Files.size(f)
+        if (size < p.toPos || size < p.stampSize) return None
+        if (size == p.stampSize && p.stampMtime >= 0 &&
+            Files.getLastModifiedTime(f).toMillis != p.stampMtime) return None
+        if (p.fromPos == p.toPos) return Some(Vector.empty)
+        val pre = if (p.fromPos > 0) 1 else 0 // 1 byte to check alignment
+        val chan = java.nio.channels.FileChannel.open(f,
+          java.nio.file.StandardOpenOption.READ)
+        val bytes = try {
+          val buf =
+            java.nio.ByteBuffer.allocate((p.toPos - p.fromPos).toInt + pre)
+          chan.position(p.fromPos - pre)
+          var n = 0
+          while (n < buf.capacity()) {
+            val r = chan.read(buf); if (r < 0) n = buf.capacity() else n += r
+          }
+          buf.array()
+        } finally chan.close()
+        if (pre == 1 && bytes(0) != '\n'.toByte) return None // torn start
+        if (bytes(bytes.length - 1) != '\n'.toByte) return None // torn end
+        val out = Vector.newBuilder[Array[String]]
+        for (line <- new String(bytes, pre, bytes.length - pre,
+            StandardCharsets.UTF_8).split("\n", -1) if line.nonEmpty) {
+          val t = line.split("\t", -1)
+          if (t.length < 8) return None
+          val k = try { (t(0).toLong, t(1).toLong) }
+            catch { case _: NumberFormatException => return None }
+          if (!(LsnOffset.lt((p.fromLsn, p.fromOrd), k) &&
+              !LsnOffset.lt((p.toLsn, p.toOrd), k))) return None
+          out += t
+        }
+        Some(out.result())
+      }
+
       private val lines: Iterator[Array[String]] = {
         val f = Paths.get(p.path)
-        val raw: Iterator[String] =
-          if (!Files.exists(f)) Iterator.empty
-          else if (p.fromPos >= 0 && p.toPos >= p.fromPos &&
-              Files.size(f) >= p.toPos) {
-            // O(batch) seek-read of exactly this window's bytes
-            val chan = java.nio.channels.FileChannel.open(f,
-              java.nio.file.StandardOpenOption.READ)
-            val bytes = try {
-              val buf = java.nio.ByteBuffer.allocate((p.toPos - p.fromPos).toInt)
-              chan.position(p.fromPos)
-              var n = 0
-              while (n < buf.capacity()) {
-                val r = chan.read(buf); if (r < 0) n = buf.capacity() else n += r
-              }
-              buf.array()
-            } finally chan.close()
-            new String(bytes, StandardCharsets.UTF_8)
-              .split("\n", -1).iterator
-          } else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.iterator
-        raw.filter(_.nonEmpty)
-          .map(_.split("\t", -1))
-          .filter { t =>
-            val k = (t(0).toLong, t(1).toLong)
-            LsnOffset.lt((p.fromLsn, p.fromOrd), k) &&
-              !LsnOffset.lt((p.toLsn, p.toOrd), k)
-          }
+        if (!Files.exists(f)) Iterator.empty
+        else windowedLines(f).map(_.iterator).getOrElse {
+          Files.readAllLines(f, StandardCharsets.UTF_8).asScala.iterator
+            .filter(_.nonEmpty)
+            .map(_.split("\t", -1))
+            .filter { t =>
+              val k = (t(0).toLong, t(1).toLong)
+              LsnOffset.lt((p.fromLsn, p.fromOrd), k) &&
+                !LsnOffset.lt((p.toLsn, p.toOrd), k)
+            }
+        }
       }
       private var cur: Array[String] = _
       override def next(): Boolean = {

@@ -298,6 +298,10 @@ object PgOutput {
     private val relLsn = scala.collection.mutable.Map.empty[Int, Long]
     private var txLsn: Option[Long] = None
     private var ordinal: Long = 0L
+    /** Highest commit LSN closed so far — the monotone floor out-of-tx
+      * Relations are stamped with, so their sequence keys never sort
+      * below an already-delivered checkpoint. */
+    private var lastCommitLsn: Long = 0L
 
     def relation(id: Int): Relation = relations(id)
 
@@ -307,16 +311,21 @@ object PgOutput {
         require(txLsn.isEmpty, "nested Begin")
         txLsn = Some(finalLsn); ordinal = 0L
         Seq.empty
-      case Commit(_, _, _, _) =>
+      case Commit(_, commitLsn, _, _) =>
         require(txLsn.nonEmpty, "Commit outside transaction")
+        lastCommitLsn = math.max(lastCommitLsn, math.max(commitLsn, txLsn.get))
         txLsn = None
         Seq.empty
       case r: Relation =>
         relations(r.relId) = r
-        // Relation records version schemas at the position they arrive;
-        // outside a tx (initial announcement) they pin to LSN 0 as the
-        // base schema version
-        val lsn = txLsn.getOrElse(0L)
+        // Relation records version schemas at the position they arrive.
+        // Outside a tx they stamp the LAST CLOSED commit LSN (monotone):
+        // before any transaction that is 0 (the base schema version);
+        // mid-stream it keeps the record's sequence key at-or-after every
+        // delivered offset, so a resume never skips the schema record,
+        // and the unconditional ordinal bump keeps keys of consecutive
+        // out-of-tx Relations distinct.
+        val lsn = txLsn.getOrElse(lastCommitLsn)
         relLsn(r.relId) = lsn
         val schema = toTableSchema(r, lsn)
         val cols = schema.columns.map { c =>
@@ -324,7 +333,7 @@ object PgOutput {
             s""""pk":${c.pkOrdinal},"mod":${c.modifier},"ident":${c.identity}}"""
         }.mkString("[", ",", "]")
         val payload = s"""{"table":"${r.relName}","cols":$cols}"""
-        val o = ordinal; if (txLsn.nonEmpty) ordinal += 1
+        val o = ordinal; ordinal += 1
         Seq(CdcLogSource.renderLine("R", r.relId.toLong, lsn, lsn, o, lsn,
           None, Some(payload)))
       case _: Origin | _: TypeMsg => Seq.empty

@@ -126,6 +126,55 @@ class CdcLogSourceSpec extends SparkSpec {
     assert(readAll(p) == Seq((5L, 0L), (6L, 0L)))
   }
 
+  test("rewrite between plan and read: shifted window detected, full-scan fallback") {
+    val log = s"${tmp()}/wal.log"
+    append(log, (1L to 6L).map(i => line(i, 0, i)))
+    val s = new CdcLogMicroBatchStream(log, None)
+    val mid = s.latestOffset(LsnOffset.zero, ReadLimit.maxRows(2))
+      .asInstanceOf[LsnOffset]
+    val end = s.latestOffset(mid, ReadLimit.allAvailable())
+      .asInstanceOf[LsnOffset]
+    val p = s.planInputPartitions(mid, end)(0).asInstanceOf[CdcLogPartition]
+    assert(p.fromPos > 0 && p.toPos > p.fromPos) // windowed plan
+
+    // retention rewrite lands AFTER planning, BEFORE the executor reads:
+    // drop lines 1-2, append filler so the file still covers toPos — the
+    // exact scenario where the old validity check passed but every byte
+    // had shifted (silent in-window row loss)
+    val survivors = (3L to 6L).map(i => line(i, 0, i)) ++
+      (7L to 12L).map(i => line(i, 0, i))
+    Files.write(Paths.get(log),
+      (survivors.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    assert(Files.size(Paths.get(log)) >= p.toPos)
+
+    // reader must notice (stamp/content mismatch) and fall back to the
+    // full scan — the key window (2,0)..(6,0] still returns exactly 3..6
+    assert(readAll(p) == Seq((3L, 0L), (4L, 0L), (5L, 0L), (6L, 0L)))
+  }
+
+  test("chunked suffix indexing: tiny chunks produce the same index and windows") {
+    val log = s"${tmp()}/wal.log"
+    append(log, (1L to 40L).map(i => line(i, 0, i)))
+    val s = new CdcLogMicroBatchStream(log, None)
+    s.indexChunkBytes = 7L // far smaller than any line → exercises widening
+    val end = s.latestOffset(LsnOffset.zero, ReadLimit.allAvailable())
+      .asInstanceOf[LsnOffset]
+    assert(end.commitLsn == 40L && end.pos == Files.size(Paths.get(log)))
+    val p = s.planInputPartitions(LsnOffset.zero, end)(0)
+      .asInstanceOf[CdcLogPartition]
+    assert(p.fromPos == 0L && p.toPos == end.pos)
+    assert(readAll(p) == (1L to 40L).map(i => (i, 0L)))
+
+    // incremental append with chunking still joins cleanly
+    append(log, (41L to 45L).map(i => line(i, 0, i)))
+    val end2 = s.latestOffset(end, ReadLimit.allAvailable())
+      .asInstanceOf[LsnOffset]
+    val p2 = s.planInputPartitions(end, end2)(0)
+      .asInstanceOf[CdcLogPartition]
+    assert(p2.fromPos == end.pos)
+    assert(readAll(p2) == (41L to 45L).map(i => (i, 0L)))
+  }
+
   test("stale pos hints in offsets are ignored (planner re-derives from index)") {
     val log = s"${tmp()}/wal.log"
     append(log, (1L to 4L).map(i => line(i, 0, i)))

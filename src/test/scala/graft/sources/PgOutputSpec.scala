@@ -204,6 +204,31 @@ class PgOutputSpec extends AnyFunSuite with PropSpec {
       (3L, "cat", Some(9))))
   }
 
+  test("DecodeSession: out-of-tx Relations mid-stream keep monotone, distinct keys") {
+    val rel = Relation(1, "public", "t", 'd', Vector(RelCol(1, "id", 20, -1)))
+    val relB = Relation(2, "public", "u", 'd', Vector(RelCol(1, "id", 20, -1)))
+    val session = new DecodeSession
+    val lines = Seq[Message](
+      rel,                                         // base announcement → lsn 0
+      Begin(10L, 0L, 1), Insert(1, Vector(TText("1"))), Commit(0, 10L, 11L, 0L),
+      rel, relB,                                   // TWO out-of-tx Relations
+      Begin(20L, 0L, 2), Insert(1, Vector(TText("2"))), Commit(0, 20L, 21L, 0L)
+    ).flatMap(m => session.onFrame(encode(m)))
+    val keys = lines.map(_.split("\t", -1))
+      .map(f => (f(0).toLong, f(1).toLong, f(2)))
+    // before any tx → base version lsn 0; after a commit → that commit's
+    // LSN (monotone), never 0, and consecutive records take distinct keys
+    assert(keys.head == ((0L, 0L, "R")))
+    val mid = keys.filter(_._3 == "R").drop(1)
+    assert(mid.map(_._1).forall(_ >= 10L), s"out-of-tx R stamped stale: $mid")
+    assert(mid.distinct.size == mid.size, s"duplicate keys: $mid")
+    // the whole stream stays totally ordered by (commit_lsn, tx_ordinal)
+    // with op-arrival as tiebreak — byte-windowed reads depend on this
+    val seq = keys.map(k => (k._1, k._2))
+    assert(seq.zip(seq.sorted).forall { case (a, b) => a == b },
+      s"stream not in sequence order: $seq")
+  }
+
   test("wire → envelope → jsonDecode: typed end-to-end against the bridged schema") {
     val spark = graft.SparkSpec.session
     import spark.implicits._
