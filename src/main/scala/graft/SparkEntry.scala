@@ -99,9 +99,13 @@ object SparkEntry {
     "dedup_minhash_lsh" -> SimQueries.dedupMinhashLshSql,
     "mm_meta" -> SimQueries.mmMetaSql,
     "profile_stats" -> SimQueries.profileStatsSql,
-    // rows-only (no SQL-expressible oracle): text_fingerprint (64-bit
-    // wraparound hash), dedup_simhash + dedup_embed_cosine + ann_topk +
-    // ann_lsh (xxhash64 / float-fold not reproducible in DuckDB),
-    // mm_features (stubbed media decode)
+    "text_fingerprint" -> TextQueries.fingerprintSql,
+    "ann_topk" -> SimQueries.annTopKSql,
+    "mm_features" -> SimQueries.mmFeaturesSql,
+    // rows-only (no SQL-expressible oracle): dedup_simhash + ann_lsh +
+    // ann_ivf + dedup_embed_cosine — their candidate sets come from
+    // xxhash64-derived LSH structures (deliberately < 1 recall), which
+    // DuckDB cannot reproduce; recall/agreement is pinned in
+    // SimilaritySpec/DedupSpec instead
   )
 }

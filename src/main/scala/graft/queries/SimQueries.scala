@@ -91,8 +91,10 @@ object SimQueries {
 
   // ------------------------------------------------------------------- ann
   /** Brute-force cosine top-10 for the first 10 vectors as queries
-    * (self-match included, rank 1). Rows-only check (float parity);
-    * determinism + agreement with the LSH variant pinned in specs. */
+    * (self-match included, rank 1). Oracle-checked: both sides fold the
+    * float elements to double LEFT-TO-RIGHT (VecDot here; an explicit
+    * list_reduce in the DuckDB SQL), so the scores agree to the last bit
+    * before the shared round(…, 6). */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
@@ -102,6 +104,35 @@ object SimQueries {
     Similarity.bruteForceTopK(queries, corpus, k = 10)
       .orderBy("q_id", "rank")
   }
+
+  /** Same cosine, spelled out so DuckDB reproduces the exact double fold:
+    * Σ double(q_i)·double(c_i) accumulated left-to-right (list_reduce with
+    * a prepended 0 — DuckDB's reduce has no init), norms likewise, then
+    * the same 6-dp round. `list_cosine_similarity` is NOT used — its
+    * internal precision/order is unspecified. */
+  val annTopKSql: String = """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
+    s AS (
+      SELECT q_id, c_id,
+        round(
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, len(q_vec)+1),
+              i -> CAST(q_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE))),
+            (a,b) -> a+b)
+          / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (a,b) -> a+b))
+           * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(c_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (a,b) -> a+b))), 6) AS sim
+      FROM c, q),
+    r AS (SELECT q_id, c_id, sim,
+            row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+          FROM s)
+    SELECT q_id, c_id, sim, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 10 ORDER BY q_id, rank"""
 
   /** LSH-bucketed ANN over the same queries — the scale path (probes
     * ~ (nPlanes+1)/2^nPlanes of the corpus). Rows-only; recall pinned in
@@ -174,8 +205,10 @@ object SimQueries {
     FROM documents ORDER BY doc_id"""
 
   /** Multimodal decode/feature-extract/frame-sample through the stubbed
-    * MediaCodec via partition-local batch processing. Deterministic fake
-    * decode → rows-only check (stub boundary documented in Multimodal). */
+    * MediaCodec via partition-local batch processing. The fake decode is
+    * DETERMINISTIC byte arithmetic (features: out[i mod 8] += byte/255
+    * accumulated in float; frames: every 16th byte), so it IS
+    * oracle-checkable — the SQL below replays the same float folds. */
   def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.withMediaColumns(
       Tables.load(spark, dir, "documents"), "text")
@@ -185,4 +218,29 @@ object SimQueries {
           (a, x) => a + x.cast("double")), 4).as("feat_sum"))
       .orderBy("doc_id")
   }
+
+  /** Replays MediaCodec.features/frameSample in SQL. The payload is the
+    * UTF-8 text (ASCII in the testdata, so unicode(char) == byte value —
+    * checked: 0 multi-byte docs at every SF); each of the 8 feature
+    * buckets accumulates its stride-8 byte slice in FLOAT (every step
+    * re-rounded via CAST), the bucket totals fold to double for the same
+    * 4-dp rounded sum, and n_frames counts stride-16 offsets. */
+  val mmFeaturesSql: String = """
+    WITH b AS (
+      SELECT doc_id,
+        list_transform(string_split(text, ''), c -> unicode(c)) AS bys
+      FROM documents),
+    f AS (
+      SELECT doc_id, len(bys) AS n,
+        list_transform(range(0, 8), j ->
+          list_reduce(list_prepend(CAST(0 AS FLOAT),
+            list_transform(list_filter(range(1, len(bys)+1), i -> (i-1) % 8 = j),
+              i -> CAST(CAST(bys[i] AS FLOAT) / CAST(255 AS FLOAT) AS FLOAT))),
+            (a, x) -> CAST(a + x AS FLOAT))) AS feats
+      FROM b)
+    SELECT doc_id,
+      CAST((n + 15) // 16 AS INT) AS n_frames,
+      round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(feats, x -> CAST(x AS DOUBLE))), (a,x) -> a+x), 4) AS feat_sum
+    FROM f ORDER BY doc_id"""
 }
