@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: run a subset of SparkEntry queries (comma-separated names in
+  * SPARK_GRAFT_ONLY) with a job listener that prints per-Spark-job wall
+  * time and call site — pins down whether a slow query spends its time in
+  * scheduling (many small jobs), shuffle, or one hot stage. Not part of
+  * the driver contract (Bench stays the reporting surface).
+  */
+object ProfileBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val only = sys.env.getOrElse("SPARK_GRAFT_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        starts.put(js.jobId, (System.nanoTime(),
+          Option(js.properties.getProperty("callSite.short")).getOrElse("?")))
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        Option(starts.remove(je.jobId)).foreach { case (t0, site) =>
+          val ms = (System.nanoTime() - t0) / 1e6
+          if (ms >= 20) println(f"    job ${je.jobId}%4d ${ms}%8.0f ms  $site")
+        }
+      }
+    })
+
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.isEmpty || only(n) }
+    // one warmup pass at the smallest SF so JIT/codegen noise drops out
+    selected.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
+    println("=== profiled runs ===")
+    selected.foreach { case (name, fn) =>
+      println(s"--- $name")
+      val t0 = System.nanoTime()
+      val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      println(f"  total ${(System.nanoTime() - t0) / 1e9}%.2f s  ($n rows)")
+    }
+    spark.stop()
+  }
+}

@@ -188,24 +188,49 @@ final class CdcPipeline(
     // exactly-once bracket: a sink-side ledger (ExactlyOnceSink) can
     // declare this batchId already committed → skip the whole replay
     if (!sink.beginBatch(batchId)) return
-    // cache BEFORE the emptiness probe: isEmpty on the raw frame would
-    // scan the source once for its single row and again for the cache fill
+    // cache BEFORE any probe: every later job reuses the one source scan
     val cached = batch.cache()
     try {
-      if (cached.isEmpty) { sink.commitBatch(batchId); return }
+      // ONE metadata job for the whole batch: emptiness, Relation control
+      // records, per-(table,version) truncate positions, flush LSN, data
+      // presence, and TOAST-mask presence all come out of a single
+      // aggregation over the cached envelope. The round-3 shape issued
+      // four separate driver jobs for these (isEmpty probe, R collect,
+      // gated groupBy, max-LSN agg) plus a sink-side mask probe — at
+      // sub-second micro-batch cadence the per-job scheduling overhead
+      // dominated apply time.
+      val hasMissingCol = cached.columns.contains("_missing")
+      val metaRows = cached.groupBy(col("_table"), col("_schema_lsn"))
+        .agg(
+          max(when(col("_op") === "T",
+            struct(col("_commit_lsn"), col("_tx_ordinal")))).as("trunc"),
+          max(col("_commit_lsn")).as("maxLsn"),
+          // collect_list drops nulls → exactly the R payloads (metadata-
+          // scale: DDL records, never data volume)
+          collect_list(when(col("_op") === "R", col("after"))).as("rps"),
+          max((if (hasMissingCol) col("_missing").isNotNull
+               else lit(false)).cast("int")).as("hasMask"),
+          sum(when(col("_op") =!= "R" && col("_op") =!= "T", 1L)
+            .otherwise(0L)).as("nData"))
+        .collect()
+      if (metaRows.isEmpty) { sink.commitBatch(batchId); return }
+      final case class GroupMeta(tableId: Long, vLsn: Long,
+          trunc: Option[(Long, Long)], maxLsn: Long, rPayloads: Seq[String],
+          hasMask: Boolean, nData: Long)
+      val meta = metaRows.map { r =>
+        GroupMeta(r.getLong(0), r.getLong(1),
+          Option(r.getStruct(2)).map(t => (t.getLong(0), t.getLong(1))),
+          r.getLong(3), r.getSeq[String](4), r.getInt(5) > 0, r.getLong(6))
+      }.toSeq
+
       // DDL capture (S5): Relation control records carry the new schema
       // version; register them FIRST so same-batch data at the new
       // _schema_lsn decodes against it (the reference's
       // handle_message/handle_relation path, apply.rs:2160-2276,2363).
-      // Metadata-only rows — collecting to the driver is the right shape.
-      cached.filter(col("_op") === "R")
-        .select("_table", "_schema_lsn", "after")
-        .collect()
-        .sortBy(r => (r.getLong(1), r.getLong(0)))
-        .foreach { r =>
-          registry.put(CdcPipeline.parseRelation(
-            r.getLong(0), r.getLong(1), r.getString(2)))
-        }
+      meta.filter(_.rPayloads.nonEmpty)
+        .sortBy(g => (g.vLsn, g.tableId))
+        .foreach { g => g.rPayloads.foreach { p =>
+          registry.put(CdcPipeline.parseRelation(g.tableId, g.vLsn, p)) } }
       val stateSnap = stateStore.all
       val (allowed, gates) = stateStore.applyGates
 
@@ -223,8 +248,8 @@ final class CdcPipeline(
       if (copying.nonEmpty) {
         val toSpool = cached.filter(col("_op") =!= "R" &&
           col("_table").isin(copying.toSeq.map(java.lang.Long.valueOf): _*))
-        val present = toSpool.groupBy("_table").agg(count(lit(1)))
-          .collect().map(_.getLong(0))
+        val present = meta.filter(g => copying(g.tableId) && g.nData > 0)
+          .map(_.tableId).distinct
         present.foreach { id =>
           toSpool.filter(col("_table") === id)
             .write.mode("append").parquet(spoolPath(id))
@@ -246,17 +271,31 @@ final class CdcPipeline(
       }
       val gated = ApplyOps.snapshotGate(combined, gates)
 
-      // ONE metadata job per batch: tables present, schema versions, and
-      // per-(table,version) last-truncate position — replaces the three
-      // separate driver collects this loop used to issue per table.
-      val batchMeta = gated
-        .groupBy("_table", "_schema_lsn")
-        .agg(max(when(col("_op") === "T",
-          struct(col("_commit_lsn"), col("_tx_ordinal")))).as("trunc"))
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1)) ->
-          Option(r.getStruct(2)).map(t => (t.getLong(0), t.getLong(1))))
-        .toMap
+      // Steady state (no gate, no spool): gated == base, so the combined
+      // metadata IS the per-(table,version) plan — zero extra jobs. With
+      // an active handoff the gate/drain can change which events (and
+      // truncates) survive, so re-derive the plan over `gated` — one
+      // extra job only while a copy is handing off.
+      val batchMeta: Map[(Long, Long), Option[(Long, Long)]] =
+        if (gates.isEmpty && drainable.isEmpty)
+          meta.filter(g => allowed(g.tableId) &&
+              (g.nData > 0 || g.trunc.nonEmpty))
+            .map(g => (g.tableId, g.vLsn) -> g.trunc).toMap
+        else gated
+          .groupBy("_table", "_schema_lsn")
+          .agg(max(when(col("_op") === "T",
+            struct(col("_commit_lsn"), col("_tx_ordinal")))).as("trunc"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)) ->
+            Option(r.getStruct(2)).map(t => (t.getLong(0), t.getLong(1))))
+          .toMap
+      // TOAST-mask hint per (table, version): lets the sink skip its own
+      // mask-probe job. Only trustworthy when gating removed nothing.
+      val maskHint: ((Long, Long)) => Option[Boolean] =
+        if (gates.isEmpty && drainable.isEmpty) {
+          val m = meta.map(g => (g.tableId, g.vLsn) -> g.hasMask).toMap
+          k => m.get(k)
+        } else _ => None
       // drainable tables join the loop even when every spooled event gets
       // gated away (spool ≤ snapshot ⇒ covered by the copy): their spool
       // still needs deleting
@@ -318,7 +357,8 @@ final class CdcPipeline(
               unex.unionByName(dels).unionByName(upss).drop("_bk", "_ak")
             }
             val data = decode(expanded.filter(col("_op") =!= "T"), schema)
-            sink.writeEvents(schema.tableName, data)
+            sink.writeEvents(schema.tableName, data,
+              maskHint((tableId, vLsn)))
           }
           // handoff completion: SyncDone table that has now seen a batch
           // with events PAST its gate becomes Ready (apply.rs:2844-2867).
@@ -355,8 +395,7 @@ final class CdcPipeline(
         scala.concurrent.Future.sequence(applyFutures),
         scala.concurrent.duration.Duration.Inf)
       finally applyPool.shutdown()
-      val maxLsn = cached.agg(max("_commit_lsn")).collect()(0).getLong(0)
-      stateStore.upsertFlushLsn(maxLsn)
+      stateStore.upsertFlushLsn(meta.map(_.maxLsn).max)
       // ledger commit only after every table's writes are durable (a
       // quarantined table's events are recovered by its re-sync, not by
       // batch replay — reference retry semantics, ST8)

@@ -23,6 +23,12 @@ trait CdcSink {
   /** Streaming path: one micro-batch of envelope events for `table`,
     * already deduped/expanded by the apply planner. */
   def writeEvents(table: String, events: DataFrame): Unit
+  /** Variant with a TOAST-mask hint from the caller's batch metadata
+    * (Some(false) = no row carries `_missing`, Some(true) = at least one
+    * does, None = unknown): saves the sink its own probe job per batch.
+    * Default ignores the hint. */
+  def writeEvents(table: String, events: DataFrame,
+      maskHint: Option[Boolean]): Unit = writeEvents(table, events)
   def truncateTable(table: String): Unit
   /** Batch replay identity (txnAppId/txnVersion shape): the pipeline
     * brackets each micro-batch with beginBatch/commitBatch, passing
@@ -58,14 +64,19 @@ final class CurrentStateSink(rootDir: String, keysOf: String => Seq[String],
     * MERGE coalesces exactly its absent columns — the reference's
     * column-pruned UPDATE SET per missing-mask group (SURVEY §7.5.4,
     * bigquery/core.rs partial handling). */
-  override def writeEvents(table: String, events: DataFrame): Unit = {
+  override def writeEvents(table: String, events: DataFrame): Unit =
+    writeEvents(table, events, None)
+
+  override def writeEvents(table: String, events: DataFrame,
+      maskHint: Option[Boolean]): Unit = {
     val t = tableFor(table)
     val metaCols = Set("_op", "_commit_lsn", "_tx_ordinal", "_missing")
     // fast path when the batch carries no actual masks (the stream schema
     // always HAS the column; it is almost always all-null) — the masked
-    // path costs per-key window sorts the hot path must not pay
+    // path costs per-key window sorts the hot path must not pay. The
+    // caller's hint (from its batch-metadata aggregation) saves the probe.
     val hasMasks = events.columns.contains("_missing") &&
-      !events.filter(col("_missing").isNotNull).isEmpty
+      maskHint.getOrElse(!events.filter(col("_missing").isNotNull).isEmpty)
     if (!hasMasks) {
       val deduped = ApplyOps.lastWriterWins(
         events.drop("_missing"), t.keyCols,
@@ -364,6 +375,9 @@ final class ExactlyOnceSink(inner: CdcSink, ledgerPath: String,
     inner.writeTableRows(table, rows)
   override def writeEvents(table: String, events: DataFrame): Unit =
     if (!skipping) inner.writeEvents(table, events)
+  override def writeEvents(table: String, events: DataFrame,
+      maskHint: Option[Boolean]): Unit =
+    if (!skipping) inner.writeEvents(table, events, maskHint)
   override def truncateTable(table: String): Unit =
     if (!skipping) inner.truncateTable(table)
   override def shutdown(): Unit = inner.shutdown()
