@@ -73,6 +73,20 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
 
   def readMeta(): Meta = Meta(currentManifest().map(_.highWater).getOrElse(""))
 
+  /** Current snapshot's pinned schema (None = empty/pre-schema table) and
+    * live file list — the read surface the SQL catalog plugin scans
+    * through without opening a DataFrame first. */
+  def currentSchema: Option[org.apache.spark.sql.types.StructType] =
+    currentManifest().filter(_.schemaDdl.nonEmpty)
+      .map(m => org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+  def currentFiles: Seq[String] =
+    currentManifest().map(_.allFiles.map(resolved)).getOrElse(Nil)
+
+  /** Manifest file entries are root-relative (rename/move-safe);
+    * pre-upgrade manifests hold absolute paths — both resolve here. */
+  private def resolved(f: String): String =
+    if (Paths.get(f).isAbsolute) f else s"$root/$f"
+
   private def writeIdentity(): Unit = {
     Files.createDirectories(Paths.get(root))
     if (!exists) {
@@ -183,9 +197,9 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val vs = versions
     if (vs.size <= retainVersions) return
     val live = vs.takeRight(retainVersions)
-      .flatMap(v => readManifest(v).allFiles).toSet
+      .flatMap(v => readManifest(v).allFiles.map(resolved)).toSet
     vs.dropRight(retainVersions).foreach { v =>
-      readManifest(v).allFiles.filterNot(live)
+      readManifest(v).allFiles.map(resolved).filterNot(live)
         .foreach(f => Files.deleteIfExists(Paths.get(f)))
       Files.deleteIfExists(manifestPath(v))
     }
@@ -199,13 +213,15 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * same evolution contract the merge's unionByName provides). Pre-schema
     * manifests (`schemaDdl` empty) fall back to a mergeSchema sweep. */
   private def readFiles(spark: SparkSession, files: Seq[String],
-      schemaDdl: String): DataFrame =
-    if (files.isEmpty) spark.emptyDataFrame
+      schemaDdl: String): DataFrame = {
+    val paths = files.map(resolved)
+    if (paths.isEmpty) spark.emptyDataFrame
     else if (schemaDdl.nonEmpty)
       spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
-        .option("basePath", dataDir).parquet(files: _*)
+        .option("basePath", dataDir).parquet(paths: _*)
     else spark.read.option("mergeSchema", "true")
-      .option("basePath", dataDir).parquet(files: _*)
+      .option("basePath", dataDir).parquet(paths: _*)
+  }
 
   def read(spark: SparkSession): DataFrame =
     currentManifest() match {
@@ -273,7 +289,11 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
           .map { f =>
             val name = s"${java.util.UUID.randomUUID()}.parquet"
             Files.move(f, dst.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-            s"$dataDir/_bucket=$b/$name"
+            // manifests record paths RELATIVE to the table root: the
+            // table stays valid across directory renames / warehouse
+            // moves (catalog RENAME TABLE is a plain dir move). Absolute
+            // entries from older manifests still resolve via [[resolved]].
+            s"data/_bucket=$b/$name"
           }
         if (moved.nonEmpty) out(b) = moved
       }
@@ -284,10 +304,16 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   /** Union of the written payload schema with the previous snapshot's
     * pinned schema: carried (untouched) buckets may hold columns absent
     * from this batch, and those must stay visible. Written fields take
-    * precedence on name collision (type evolution follows the writer).
-    * Returns "" — i.e. stay in mergeSchema-fallback mode — when the
-    * previous manifest predates schema pinning AND files carry over
-    * (their union is unknowable without a footer sweep). */
+    * precedence on name collision for the TYPE (type evolution follows
+    * the writer), but nullability only WIDENS implicitly: a batch that
+    * happens to contain no nulls must not narrow a nullable column to
+    * required — carried files may hold nulls or lack the column
+    * entirely, and a required-but-missing column fails the vectorized
+    * parquet reader outright. Narrowing is an explicit ALTER
+    * ([[evolveSchema]]) decision. Returns "" — i.e. stay in
+    * mergeSchema-fallback mode — when the previous manifest predates
+    * schema pinning AND files carry over (their union is unknowable
+    * without a footer sweep). */
   private def nextSchemaDdl(current: Option[Manifest],
       carried: Map[Int, Seq[String]],
       written: org.apache.spark.sql.types.StructType): String = {
@@ -297,8 +323,18 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       case None => w.toDDL
       case Some(m) if m.schemaDdl.nonEmpty =>
         val old = StructType.fromDDL(m.schemaDdl)
+        val oldByName = old.fields.map(f => f.name -> f).toMap
         val names = w.fieldNames.toSet
-        StructType(w.fields ++ old.fields.filterNot(f => names(f.name))).toDDL
+        val evolved = w.fields.map { f =>
+          oldByName.get(f.name) match {
+            case Some(o) => f.copy(nullable = f.nullable || o.nullable)
+            case None    => f
+          }
+        }
+        // old columns absent from this write: the new files don't carry
+        // them at all, so they are nullable in practice from now on
+        StructType(evolved ++ old.fields.filterNot(f => names(f.name))
+          .map(_.copy(nullable = true))).toDDL
       case Some(_) =>
         if (carried.valuesIterator.forall(_.isEmpty)) w.toDDL else ""
     }
@@ -310,6 +346,34 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val files = writeDataFiles(df.withColumn("_bucket", bucketExpr), nBuckets)
     commitManifest(Manifest(nextVersion, "", files,
       nextSchemaDdl(None, Map.empty, df.schema)))
+  }
+
+  /** Plain APPEND (INSERT INTO path, Iceberg-append shape): new files
+    * join their buckets' live lists; no key merge, no replay-mark change.
+    * Keys may now appear in several files of a bucket — reads concatenate,
+    * [[merge]] rewrites whole buckets so CDC semantics are unaffected, and
+    * [[compact]] restores one-file-per-bucket. */
+  def append(df: DataFrame): Unit = {
+    val files = writeDataFiles(df.withColumn("_bucket", bucketExpr), nBuckets)
+    val cur = currentManifest()
+    val curFiles = cur.map(_.files).getOrElse(Map.empty)
+    val merged = (curFiles.keySet ++ files.keySet).map(b =>
+      b -> (curFiles.getOrElse(b, Nil) ++ files.getOrElse(b, Nil))).toMap
+    commitManifest(Manifest(nextVersion, cur.map(_.highWater).getOrElse(""),
+      merged, nextSchemaDdl(cur, curFiles, df.schema)))
+  }
+
+  /** Schema evolution without data movement (ALTER TABLE path): publish a
+    * data-identical snapshot whose pinned schema is `f(current)`. Files
+    * written before an added column surface it as null; a dropped column
+    * simply leaves the read schema. */
+  def evolveSchema(f: org.apache.spark.sql.types.StructType
+      => org.apache.spark.sql.types.StructType): Unit = {
+    val cur = currentManifest().getOrElse(Manifest(-1L, "", Map.empty))
+    require(cur.schemaDdl.nonEmpty,
+      s"$root has no pinned schema to evolve (pre-schema manifest)")
+    val next = f(org.apache.spark.sql.types.StructType.fromDDL(cur.schemaDdl))
+    commitManifest(Manifest(nextVersion, cur.highWater, cur.files, next.toDDL))
   }
 
   /** MERGE a deduped CDC batch. `batch` must contain the table's payload
@@ -450,7 +514,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val vs = versions
     if (vs.isEmpty) return
     val retained = vs.takeRight(math.max(1, keep))
-    val live = retained.flatMap(v => readManifest(v).allFiles).toSet
+    val live = retained.flatMap(v => readManifest(v).allFiles.map(resolved)).toSet
     vs.dropRight(math.max(1, keep))
       .foreach(v => Files.deleteIfExists(manifestPath(v)))
     // orphaned stage dirs from crashed writers
@@ -492,6 +556,19 @@ object GraftTable {
     * be reclaimed by [[GraftTable.vacuum]]. */
   final class ConcurrentCommitException(msg: String)
       extends RuntimeException(msg)
+
+  /** Create an EMPTY table: identity + a v0 manifest pinning `schema`
+    * (the CREATE TABLE path — the table is immediately readable as zero
+    * rows under the declared schema). */
+  def create(root: String, schema: org.apache.spark.sql.types.StructType,
+      keyCols: Seq[String], nBuckets: Int = 32): GraftTable = {
+    val t = new GraftTable(root, keyCols, nBuckets)
+    require(!t.exists, s"graft table already exists: $root")
+    t.commitManifest(t.Manifest(0L, "", Map.empty,
+      org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(_.name == "_bucket")).toDDL))
+    t
+  }
 
   /** Open an existing table by reading its identity (`_meta.json`) —
     * key columns and bucket count travel with the table, so readers

@@ -1,0 +1,126 @@
+package graft.catalog
+
+import graft.SparkSpec
+import graft.sinks.GraftTable
+import org.apache.spark.sql.functions._
+
+/** SQL catalog surface: DDL (namespace/table lifecycle), DML (INSERT
+  * INTO/OVERWRITE), scans with pushdown, ALTER evolution, and interop
+  * with the CDC merge path + TVFs over the same storage. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  // eager: the conf must land before the first spark.sql in any test
+  private val root: String = {
+    val r = java.nio.file.Files.createTempDirectory("graft-cat").toString
+    spark.conf.set("spark.sql.catalog.cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cat.root", r)
+    r
+  }
+
+  test("namespace + table DDL, INSERT INTO appends snapshots, OVERWRITE reloads") {
+    spark.sql("CREATE NAMESPACE cat.cdc")
+    spark.sql("""CREATE TABLE cat.cdc.users (id BIGINT, name STRING)
+                 PARTITIONED BY (bucket(8, id))""")
+    // identity came from the bucket transform
+    val t = GraftTable.open(s"$root/cdc/users")
+    assert(t.keyCols == Seq("id") && t.nBuckets == 8)
+    assert(spark.sql("SELECT * FROM cat.cdc.users").count() == 0)
+
+    spark.sql("INSERT INTO cat.cdc.users VALUES (1, 'ann'), (2, 'bob')")
+    spark.sql("INSERT INTO cat.cdc.users VALUES (3, 'cat')")
+    assert(spark.sql("SELECT * FROM cat.cdc.users").count() == 3)
+    // each INSERT is one snapshot commit (v0 create + 2 appends), with
+    // auto-expiry retaining the latest two for time travel
+    assert(t.currentVersion.contains(2L) && t.versions.size == 2)
+
+    spark.sql("INSERT OVERWRITE cat.cdc.users VALUES (9, 'zoe')")
+    assert(spark.sql("SELECT id, name FROM cat.cdc.users")
+      .as[(Long, String)].collect().toSet == Set((9L, "zoe")))
+
+    assert(spark.sql("SHOW TABLES IN cat.cdc").collect()
+      .map(_.getString(1)).toSet == Set("users"))
+  }
+
+  test("scan delegates to native parquet with filter pushdown") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.scan")
+    spark.sql("""CREATE TABLE cat.scan.ev (id BIGINT, v DOUBLE, pad STRING)
+                 PARTITIONED BY (bucket(4, id))""")
+    spark.sql(
+      "INSERT INTO cat.scan.ev SELECT id, id * 0.5, repeat('x', 100) FROM range(1000)")
+    val q = spark.sql("SELECT v FROM cat.scan.ev WHERE id = 7")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(id,7)"),
+      s"filter not pushed to parquet:\n$plan")
+    // column pruning reaches the scan: pad never leaves the files
+    assert(plan.contains("ReadSchema") && !plan.contains("pad"),
+      s"unused column not pruned:\n$plan")
+    assert(q.as[Double].collect().toSeq == Seq(3.5))
+  }
+
+  test("ALTER TABLE ADD/DROP COLUMN evolves the pinned schema over old files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.ddl")
+    spark.sql("""CREATE TABLE cat.ddl.t (id BIGINT, a STRING)
+                 PARTITIONED BY (bucket(4, id))""")
+    spark.sql("INSERT INTO cat.ddl.t VALUES (1, 'x')")
+    spark.sql("ALTER TABLE cat.ddl.t ADD COLUMN b INT")
+    // pre-DDL files surface the new column as null
+    assert(spark.sql("SELECT id, a, b FROM cat.ddl.t")
+      .as[(Long, String, Option[Int])].collect().toSet ==
+      Set((1L, "x", None)))
+    spark.sql("INSERT INTO cat.ddl.t VALUES (2, 'y', 7)")
+    // the all-non-null second INSERT must NOT narrow b to required —
+    // the pre-DDL file lacks b entirely and still has to read as null
+    assert(GraftTable.open(s"$root/ddl/t").currentSchema.get("b").nullable)
+    assert(spark.sql("SELECT sum(b) FROM cat.ddl.t").as[Long].head() == 7L)
+    // dropping a non-key column hides it from reads
+    spark.sql("ALTER TABLE cat.ddl.t DROP COLUMN a")
+    assert(spark.sql("SELECT * FROM cat.ddl.t").columns.toSeq ==
+      Seq("id", "b"))
+    // bucket keys are load-bearing → refuse to drop
+    intercept[Exception] { spark.sql("ALTER TABLE cat.ddl.t DROP COLUMN id") }
+  }
+
+  test("catalog tables ARE graft tables: CDC merge + TVF read the same storage") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.mix")
+    spark.sql("""CREATE TABLE cat.mix.state (id BIGINT, v STRING)
+                 PARTITIONED BY (bucket(4, id))""")
+    spark.sql("INSERT INTO cat.mix.state VALUES (1, 'a'), (2, 'b')")
+    // a CDC merge through the SAME directory (the CurrentStateSink path)
+    val t = GraftTable.open(s"$root/mix/state")
+    t.merge(Seq((1L, "a2", "U", "01"), (2L, "", "D", "02"))
+      .toDF("id", "v", "_op", "_seq"))
+    assert(spark.sql("SELECT id, v FROM cat.mix.state")
+      .as[(Long, String)].collect().toSet == Set((1L, "a2")))
+    // the TVF sees the same snapshot
+    graft.GraftExtensions.install(spark)
+    assert(spark.sql(s"SELECT id, v FROM graft_table('$root/mix/state')")
+      .as[(Long, String)].collect().toSet == Set((1L, "a2")))
+  }
+
+  test("rename + drop + namespace listing") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.life")
+    spark.sql("""CREATE TABLE cat.life.t1 (id BIGINT)
+                 PARTITIONED BY (bucket(2, id))""")
+    spark.sql("INSERT INTO cat.life.t1 VALUES (5)")
+    spark.sql("ALTER TABLE cat.life.t1 RENAME TO life.t2")
+    assert(spark.sql("SELECT id FROM cat.life.t2").as[Long].head() == 5L)
+    intercept[Exception] { spark.sql("SELECT * FROM cat.life.t1").collect() }
+    spark.sql("DROP TABLE cat.life.t2")
+    assert(spark.sql("SHOW TABLES IN cat.life").count() == 0)
+    assert(spark.sql("SHOW NAMESPACES IN cat").collect()
+      .map(_.getString(0)).contains("life"))
+    spark.sql("DROP NAMESPACE cat.life")
+  }
+
+  test("CREATE TABLE with keys/buckets properties instead of a transform") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.props")
+    spark.sql("""CREATE TABLE cat.props.t (a BIGINT, b BIGINT, v STRING)
+                 TBLPROPERTIES ('keys'='a,b', 'buckets'='4')""")
+    val t = GraftTable.open(s"$root/props/t")
+    assert(t.keyCols == Seq("a", "b") && t.nBuckets == 4)
+    spark.sql("INSERT INTO cat.props.t VALUES (1, 2, 'x')")
+    assert(spark.sql("SELECT v FROM cat.props.t WHERE a=1 AND b=2")
+      .as[String].head() == "x")
+  }
+}

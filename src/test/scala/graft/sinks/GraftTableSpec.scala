@@ -175,10 +175,12 @@ class GraftTableSpec extends SparkSpec {
     // a manifest that references both copies
     val m0 = t.currentManifest().get
     val fragged = m0.files.map { case (b, fs) =>
-      val orig = java.nio.file.Paths.get(fs.head)
+      // manifest entries are root-relative — resolve for the FS copy,
+      // record the clone relative again (the format the writer produces)
+      val orig = java.nio.file.Paths.get(t.root).resolve(fs.head)
       val clone = orig.getParent.resolve("clone-" + orig.getFileName)
       java.nio.file.Files.copy(orig, clone)
-      b -> (fs :+ clone.toString)
+      b -> (fs :+ java.nio.file.Paths.get(t.root).relativize(clone).toString)
     }
     t.commitManifest(t.Manifest(m0.version + 1, m0.highWater, fragged))
     // crashed-stage leftover for vacuum to reclaim
