@@ -42,14 +42,41 @@ trait CdcSink {
   def shutdown(): Unit = {}
 }
 
+/** Auto-maintenance policy for [[CurrentStateSink]] — the in-process
+  * analog of the reference's external maintenance jobs on a timer
+  * (ducklake/external_maintenance.rs: compact + snapshot expiry).
+  * `everyBatches` = 0 disables (explicit compact/vacuum only); N > 0
+  * runs compact(maxFilesPerBucket) + vacuum(keepVersions) on a table
+  * after every Nth applied batch. Runs BETWEEN merges on the sink's own
+  * call thread, so it never races the single writer — the same
+  * quiesced-writer assumption the reference's jobs make. */
+final case class MaintenancePolicy(everyBatches: Int = 0,
+    maxFilesPerBucket: Int = 4, keepVersions: Int = 2)
+
 /** Current-state sink: maintains one merged table per source table — the
   * BigQuery-CDC / DuckLake apply shape (reference bigquery/core.rs:956-1101,
   * ducklake/batches.rs:168-213). MERGE keyed on the PK, last-writer-wins by
   * sequence key, idempotent replay via GraftTable's high-water mark.
   */
 final class CurrentStateSink(rootDir: String, keysOf: String => Seq[String],
-    nBuckets: Int = 32) extends CdcSink {
+    nBuckets: Int = 32,
+    maintenance: MaintenancePolicy = MaintenancePolicy()) extends CdcSink {
   private val tables = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
+  private val applied = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Count an applied batch; every Nth triggers compact + vacuum for
+    * that table (no-op when the policy is disabled or nothing is
+    * fragmented — compact skips buckets under the file threshold). */
+  private def noteApplied(table: String, spark: SparkSession): Unit = {
+    if (maintenance.everyBatches <= 0) return
+    val n = applied.updateWith(table) {
+      c => Some(c.getOrElse(0L) + 1L) }.get
+    if (n % maintenance.everyBatches == 0) {
+      val t = tableFor(table)
+      t.compact(spark, maintenance.maxFilesPerBucket)
+      t.vacuum(maintenance.keepVersions)
+    }
+  }
 
   def tableFor(name: String): GraftTable =
     tables.getOrElseUpdate(name,
@@ -82,6 +109,7 @@ final class CurrentStateSink(rootDir: String, keysOf: String => Seq[String],
         events.drop("_missing"), t.keyCols,
         Seq("_commit_lsn", "_tx_ordinal"))
       t.merge(seqed(deduped))
+      noteApplied(table, events.sparkSession)
       return
     }
 
@@ -115,6 +143,7 @@ final class CurrentStateSink(rootDir: String, keysOf: String => Seq[String],
         t.merge(group, cols, skipReplayFilter = true, advanceHw = false)
       }
       t.advanceHighWater(batchMax)
+      noteApplied(table, events.sparkSession)
     } finally fresh.unpersist()
   }
 

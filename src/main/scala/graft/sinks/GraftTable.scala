@@ -344,7 +344,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * reference table_sync). One snapshot commit; the replay mark resets. */
   def overwrite(df: DataFrame): Unit = {
     val files = writeDataFiles(df.withColumn("_bucket", bucketExpr), nBuckets)
-    commitManifest(Manifest(nextVersion, "", files,
+    publish(Manifest(nextVersion, "", files,
       nextSchemaDdl(None, Map.empty, df.schema)))
   }
 
@@ -355,11 +355,11 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * [[compact]] restores one-file-per-bucket. */
   def append(df: DataFrame): Unit = {
     val files = writeDataFiles(df.withColumn("_bucket", bucketExpr), nBuckets)
-    val cur = currentManifest()
+    val cur = effectiveManifest()
     val curFiles = cur.map(_.files).getOrElse(Map.empty)
     val merged = (curFiles.keySet ++ files.keySet).map(b =>
       b -> (curFiles.getOrElse(b, Nil) ++ files.getOrElse(b, Nil))).toMap
-    commitManifest(Manifest(nextVersion, cur.map(_.highWater).getOrElse(""),
+    publish(Manifest(nextVersion, cur.map(_.highWater).getOrElse(""),
       merged, nextSchemaDdl(cur, curFiles, df.schema)))
   }
 
@@ -369,11 +369,63 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * simply leaves the read schema. */
   def evolveSchema(f: org.apache.spark.sql.types.StructType
       => org.apache.spark.sql.types.StructType): Unit = {
+    require(groupState.isEmpty, "close the open group before evolveSchema")
     val cur = currentManifest().getOrElse(Manifest(-1L, "", Map.empty))
     require(cur.schemaDdl.nonEmpty,
       s"$root has no pinned schema to evolve (pre-schema manifest)")
     val next = f(org.apache.spark.sql.types.StructType.fromDDL(cur.schemaDdl))
     commitManifest(Manifest(nextVersion, cur.highWater, cur.files, next.toDDL))
+  }
+
+  // ----------------------------------------------------------- group commit
+  /** Open snapshot group (None = every write publishes immediately).
+    * Holds the PENDING manifest the next write builds on. */
+  private var groupState: Option[Manifest] = None
+
+  /** Begin a GROUP COMMIT (the Iceberg grouped-commit shape the roadmap
+    * called out): subsequent overwrite/append/merge/truncate calls stage
+    * their data files and manifest deltas without publishing — readers
+    * keep seeing the pre-group snapshot — until [[commitGroup]] publishes
+    * everything as ONE snapshot version. For bulk multi-batch loads
+    * (chunked backfills, replaying a spool) this turns N manifest
+    * publishes + N retention sweeps into one.
+    *
+    * Durability contract: staged writes are NOT durable until
+    * commitGroup returns — callers that checkpoint progress (a streaming
+    * sink) must checkpoint AFTER commitGroup, never between group
+    * members. A crash mid-group loses only the uncommitted group; its
+    * orphaned data files are reclaimed by [[vacuum]]. */
+  def beginGroup(): Unit = {
+    require(groupState.isEmpty, s"group already open on $root")
+    groupState = Some(currentManifest().getOrElse(Manifest(-1L, "", Map.empty)))
+  }
+
+  /** Publish the open group as one snapshot. No-op group (no writes since
+    * beginGroup) publishes nothing. */
+  def commitGroup(): Unit = {
+    val g = groupState.getOrElse(
+      throw new IllegalStateException(s"no open group on $root"))
+    groupState = None
+    if (g.version == -2L) // marker: at least one write staged
+      commitManifest(Manifest(nextVersion, g.highWater, g.files, g.schemaDdl))
+  }
+
+  /** Drop the open group; staged files become orphans for [[vacuum]]. */
+  def abortGroup(): Unit = groupState = None
+
+  /** The manifest writes build on: the staged group overlay when a group
+    * is open (version -1 = group opened on an empty table, nothing staged
+    * yet → behaves as no manifest), else the published current. */
+  private def effectiveManifest(): Option[Manifest] = groupState match {
+    case Some(g) => if (g.version == -1L) None else Some(g)
+    case None    => currentManifest()
+  }
+
+  /** Route a finished write: stage into the group (version -2 marks the
+    * group dirty) or publish immediately. */
+  private def publish(m: Manifest): Unit = groupState match {
+    case Some(_) => groupState = Some(m.copy(version = -2L))
+    case None    => commitManifest(m)
   }
 
   /** MERGE a deduped CDC batch. `batch` must contain the table's payload
@@ -411,7 +463,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   def merge(batch: DataFrame, coalesceCols: Seq[String],
       skipReplayFilter: Boolean, advanceHw: Boolean): Unit = {
     val spark = batch.sparkSession
-    val current = currentManifest()
+    val current = effectiveManifest()
     val hw = current.map(_.highWater).getOrElse("")
     // Idempotent-replay guard: drop events at or below the high-water mark.
     val fresh0 = if (skipReplayFilter || hw.isEmpty) batch
@@ -438,7 +490,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
         val files = writeDataFiles(upserts,
           math.min(nBuckets, math.max(1, buckets.size)))
         val carried = current.map(_.files -- buckets).getOrElse(Map.empty)
-        commitManifest(Manifest(nextVersion, bumped(hw), carried ++ files,
+        publish(Manifest(nextVersion, bumped(hw), carried ++ files,
           nextSchemaDdl(current, carried, upserts.schema)))
       } else {
           val m = current.get
@@ -474,7 +526,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
           // untouched buckets carry over; affected buckets point at the new
           // files (a bucket whose rows were all deleted disappears)
           val carried = m.files -- buckets
-          commitManifest(Manifest(nextVersion, bumped(m.highWater),
+          publish(Manifest(nextVersion, bumped(m.highWater),
             carried ++ newFiles,
             nextSchemaDdl(current, carried, merged.schema)))
       }
@@ -485,9 +537,9 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * `merge(..., advanceHw = false)` once every group of a batch is
     * durable). Publishes a data-identical snapshot with the new mark. */
   def advanceHighWater(seq: String): Unit = {
-    val m = currentManifest().getOrElse(Manifest(-1L, "", Map.empty))
+    val m = effectiveManifest().getOrElse(Manifest(-1L, "", Map.empty))
     if (m.highWater.isEmpty || seq > m.highWater)
-      commitManifest(Manifest(nextVersion, seq, m.files, m.schemaDdl))
+      publish(Manifest(nextVersion, seq, m.files, m.schemaDdl))
   }
 
   /** Maintenance: compact buckets whose live-file count exceeds `maxFiles`
@@ -496,6 +548,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * ducklake/external_maintenance.rs). Data-identical snapshot; old files
     * are reclaimed by [[vacuum]]. Returns the bucket ids compacted. */
   def compact(spark: SparkSession, maxFiles: Int = 4): Seq[Int] = {
+    require(groupState.isEmpty, "close the open group before compact")
     val m = currentManifest().getOrElse(return Seq.empty)
     val crowded = m.files.filter(_._2.size > maxFiles).keys.toSeq.sorted
     if (crowded.isEmpty) return Seq.empty
@@ -511,6 +564,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * reclaims crashed stage dirs). Time travel reaches only retained
     * versions afterwards. */
   def vacuum(keep: Int = 1): Unit = {
+    require(groupState.isEmpty, "close the open group before vacuum")
     val vs = versions
     if (vs.isEmpty) return
     val retained = vs.takeRight(math.max(1, keep))
@@ -544,7 +598,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * (CdcPipeline dataSlice filter), and batches before this one never
     * replay once their checkpoint committed. */
   def truncate(): Unit =
-    commitManifest(Manifest(nextVersion, "", Map.empty))
+    publish(Manifest(nextVersion, "", Map.empty))
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) walkDir(p).reverse.foreach(Files.deleteIfExists(_))

@@ -209,6 +209,74 @@ class GraftTableSpec extends SparkSpec {
       == "after-compact")
   }
 
+  test("group commit: N writes publish as ONE snapshot, invisible until commitGroup") {
+    val t = new GraftTable(tmp(), Seq("id"), nBuckets = 4)
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v0 = t.currentVersion.get
+
+    t.beginGroup()
+    t.merge(batch((1L, "a2", "U", 1L)))
+    t.merge(batch((3L, "c", "I", 2L)))
+    t.merge(batch((2L, "", "D", 3L)))
+    // readers still see the pre-group snapshot (staged writes invisible)
+    assert(t.currentVersion.contains(v0))
+    assert(t.read(spark).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // maintenance is fenced while a group is open
+    intercept[IllegalArgumentException] { t.vacuum() }
+
+    t.commitGroup()
+    // exactly ONE new version; all three merges visible atomically
+    assert(t.currentVersion.contains(v0 + 1))
+    assert(t.read(spark).as[(Long, String)].collect().toSet ==
+      Set((1L, "a2"), (3L, "c")))
+    // the group's high-water survives: replaying a group member is a no-op
+    t.merge(batch((1L, "stale", "U", 2L)))
+    assert(t.read(spark).filter($"id" === 1L).select("v").as[String].head()
+      == "a2")
+
+    // aborted group: staged writes vanish, vacuum reclaims the orphans
+    t.beginGroup()
+    t.merge(batch((9L, "x", "I", 9L)))
+    t.abortGroup()
+    assert(t.read(spark).as[(Long, String)].collect().toSet ==
+      Set((1L, "a2"), (3L, "c")))
+    t.vacuum(keep = 1)
+    assert(t.read(spark).as[(Long, String)].collect().toSet ==
+      Set((1L, "a2"), (3L, "c")))
+  }
+
+  test("auto-maintenance policy: every Nth batch compacts fragmented buckets") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmp()
+    val sink = new CurrentStateSink(dir, _ => Seq("id"), nBuckets = 2,
+      maintenance = MaintenancePolicy(everyBatches = 2, maxFilesPerBucket = 1,
+        keepVersions = 1)) // keep only the compacted snapshot's files
+    def ev(lsn: Long, id: Long, v: String) =
+      Seq((id, v, "U", lsn, 0L))
+        .toDF("id", "v", "_op", "_commit_lsn", "_tx_ordinal")
+    sink.writeTableRows("t", (1L to 8L).map(i => (i, s"v$i")).toDF("id", "v"))
+    // fragment via plain appends (the catalog INSERT INTO path)
+    val t = sink.tableFor("t")
+    t.append(Seq((100L, "x"), (101L, "y")).toDF("id", "v"))
+    t.append(Seq((102L, "z")).toDF("id", "v"))
+    def maxFilesPerBucket(): Int = {
+      val data = java.nio.file.Paths.get(dir, "t", "data")
+      java.nio.file.Files.list(data).iterator().asScala.toVector.map { b =>
+        java.nio.file.Files.list(b).iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet"))
+      }.max
+    }
+    assert(maxFilesPerBucket() > 1) // fragmented
+    sink.writeEvents("t", ev(1L, 1L, "u1"))  // batch 1: no maintenance yet
+    sink.writeEvents("t", ev(2L, 2L, "u2"))  // batch 2: compact + vacuum fire
+    assert(maxFilesPerBucket() == 1, "policy did not compact")
+    // content survived maintenance
+    assert(sink.read(spark, "t").count() == 11)
+    assert(sink.read(spark, "t").filter($"id" === 1L)
+      .select("v").as[String].head() == "u1")
+  }
+
   test("manifest commits are snapshot-atomic: time travel + vacuum expiry") {
     val t = new GraftTable(tmp(), Seq("id"), nBuckets = 4)
     t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
