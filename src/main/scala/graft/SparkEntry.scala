@@ -42,6 +42,7 @@ object SparkEntry {
     "d3_changelog_latest" -> (SinkQueries.changelogLatest _),
     "d4_time_travel" -> (SinkQueries.timeTravel _),
     "d4_point_lookup" -> (SinkQueries.pointLookup _),
+    "catalog_sql" -> (SinkQueries.catalogSql _),
     "q6_forecast" -> (SinkQueries.q6Forecast _),
     // S3 codecs as a table-scale roundtrip gate
     "s3_codec_roundtrip" -> (CodecQueries.codecRoundtrip _),
@@ -89,6 +90,7 @@ object SparkEntry {
     "d3_changelog_latest" -> SinkQueries.changelogLatestSql,
     "d4_time_travel" -> SinkQueries.timeTravelSql,
     "d4_point_lookup" -> SinkQueries.pointLookupSql,
+    "catalog_sql" -> SinkQueries.catalogSqlSql,
     "q6_forecast" -> SinkQueries.q6Sql,
     "s3_codec_roundtrip" -> CodecQueries.codecRoundtripSql,
     "text_tokens" -> TextQueries.tokenCountsSql,

@@ -84,6 +84,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       (catalogName +: (ident.namespace() :+ ident.name())).mkString("."))
   }
 
+  /** Time travel: `SELECT ... FROM t VERSION AS OF 3` pins the scan to
+    * snapshot 3's manifest (readable until vacuum expiry). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val t = GraftTable.open(dirOf(ident).toString)
+    val v = version.toLong
+    require(t.versions.contains(v),
+      s"version $v of ${ident.name()} is not retained " +
+        s"(available: ${t.versions.mkString(",")})")
+    new GraftSqlTable(t,
+      (catalogName +: (ident.namespace() :+ ident.name())).mkString(".") +
+        s"@v$v", pinnedVersion = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF`: resolves to the last snapshot committed at or
+    * before the timestamp (manifest mtime = commit time). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val t = GraftTable.open(dirOf(ident).toString)
+    val v = t.versionAsOfTimestamp(timestampMicros / 1000L).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot of ${ident.name()} at or before " +
+          s"timestamp $timestampMicros"))
+    loadTable(ident, v.toString)
+  }
+
   override def createTable(ident: Identifier, info: TableInfo): Table = {
     if (tableExists(ident))
       throw new TableAlreadyExistsException(ident)
@@ -218,7 +244,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * writes go through the V1 fallback into the manifest commit protocol
   * (INSERT INTO → append snapshot, INSERT OVERWRITE/TRUNCATE → reload).
   */
-final class GraftSqlTable(val table: GraftTable, fullName: String)
+final class GraftSqlTable(val table: GraftTable, fullName: String,
+    pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
   import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
   import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -226,7 +253,11 @@ final class GraftSqlTable(val table: GraftTable, fullName: String)
   override def name(): String = fullName
 
   override def schema(): StructType =
-    table.currentSchema.getOrElse(new StructType())
+    pinnedVersion.map(v => table.schemaOf(v).getOrElse(new StructType()))
+      .getOrElse(table.currentSchema.getOrElse(new StructType()))
+
+  private def liveFiles: Seq[String] =
+    pinnedVersion.map(table.filesOf).getOrElse(table.currentFiles)
 
   override def partitioning(): Array[Transform] =
     Array(Expressions.bucket(table.nBuckets, table.keyCols: _*))
@@ -246,11 +277,13 @@ final class GraftSqlTable(val table: GraftTable, fullName: String)
     // partition discovery so the physical _bucket=N layout stays internal
     val opts = new CaseInsensitiveStringMap(
       (options.asScala ++ Map("recursiveFileLookup" -> "true")).asJava)
-    ParquetTable(fullName, spark, opts, table.currentFiles,
+    ParquetTable(fullName, spark, opts, liveFiles,
       Some(schema()), classOf[ParquetFileFormat]).newScanBuilder(opts)
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"$fullName is a time-travel snapshot — writes go to the current table")
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -263,4 +296,5 @@ final class GraftSqlTable(val table: GraftTable, fullName: String)
           }
       }
     }
+  }
 }

@@ -113,6 +113,43 @@ object SinkQueries {
     SELECT c_custkey AS key, c_acctbal AS val FROM customer
     WHERE c_custkey IN (1, 7, 13) ORDER BY key"""
 
+  /** SQL-catalog end-to-end: CREATE TABLE / INSERT INTO … SELECT / an
+    * aggregate with a pushed filter — all through the
+    * `spark.sql.catalog.*` plugin (DDL, V1-write append, DSv2 parquet
+    * scan over the manifest). Oracle = the same relational aggregate on
+    * the source table, so the entire catalog path (identifier
+    * resolution → bucketed write → manifest-pinned scan) is
+    * hash-gated. Catalog name is derived from the warehouse dir: Spark
+    * caches catalog instances by name, and Bench reuses one session
+    * across warmup + measured dirs. */
+  def catalogSql(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cat").toString
+    val cat = "graftwh" + (tmp.hashCode.toLong & 0xffffffL)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer_src")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+    spark.sql(s"""CREATE TABLE $cat.main.cust
+      (c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, c_nationkey INT)
+      PARTITIONED BY (bucket(16, c_custkey))""")
+    spark.sql(s"""INSERT INTO $cat.main.cust
+      SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer_src""")
+    spark.sql(s"""
+      SELECT c_nationkey, COUNT(*) AS n,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+      FROM $cat.main.cust
+      WHERE c_acctbal > 0
+      GROUP BY c_nationkey ORDER BY c_nationkey""")
+  }
+
+  val catalogSqlSql: String = """
+    SELECT c_nationkey, COUNT(*) AS n,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+    FROM customer
+    WHERE c_acctbal > 0
+    GROUP BY c_nationkey ORDER BY c_nationkey"""
+
   /** TPC-H Q6 shape: single-scan predicate-heavy aggregate — the pushdown
     * microbenchmark (every predicate must reach the parquet scan). */
   def q6Forecast(spark: SparkSession, dir: String): DataFrame =

@@ -81,6 +81,21 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       .map(m => org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
   def currentFiles: Seq[String] =
     currentManifest().map(_.allFiles.map(resolved)).getOrElse(Nil)
+  /** Same surfaces for a PINNED snapshot (catalog `VERSION AS OF`). */
+  def schemaOf(version: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val m = readManifest(version)
+    if (m.schemaDdl.isEmpty) None
+    else Some(org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+  }
+  def filesOf(version: Long): Seq[String] =
+    readManifest(version).allFiles.map(resolved)
+  /** Largest retained version whose manifest was committed at or before
+    * `tsMillis` (catalog `TIMESTAMP AS OF`): manifest files are written
+    * once and never touched, so their mtime IS the commit time. */
+  def versionAsOfTimestamp(tsMillis: Long): Option[Long] =
+    versions.filter(v =>
+      Files.getLastModifiedTime(manifestPath(v)).toMillis <= tsMillis)
+      .lastOption
 
   /** Manifest file entries are root-relative (rename/move-safe);
     * pre-upgrade manifests hold absolute paths — both resolve here. */

@@ -98,6 +98,25 @@ class GraftCatalogSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet == Set((1L, "a2")))
   }
 
+  test("time travel: VERSION AS OF pins a snapshot; writes to it refuse") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.tt")
+    spark.sql("""CREATE TABLE cat.tt.t (id BIGINT, v STRING)
+                 PARTITIONED BY (bucket(2, id))""")
+    spark.sql("INSERT INTO cat.tt.t VALUES (1, 'a')")          // v1
+    spark.sql("INSERT INTO cat.tt.t VALUES (2, 'b')")          // v2
+    assert(spark.sql("SELECT * FROM cat.tt.t VERSION AS OF 1").count() == 1)
+    assert(spark.sql("SELECT * FROM cat.tt.t VERSION AS OF 2").count() == 2)
+    assert(spark.sql("SELECT * FROM cat.tt.t").count() == 2)
+    // TIMESTAMP AS OF now = latest snapshot
+    assert(spark.sql(
+      "SELECT * FROM cat.tt.t TIMESTAMP AS OF current_timestamp()").count() == 2)
+    intercept[Exception] {
+      spark.sql("INSERT INTO cat.tt.t VERSION AS OF 1 VALUES (9, 'x')") }
+    // expired versions refuse cleanly
+    intercept[Exception] {
+      spark.sql("SELECT * FROM cat.tt.t VERSION AS OF 99").collect() }
+  }
+
   test("rename + drop + namespace listing") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.life")
     spark.sql("""CREATE TABLE cat.life.t1 (id BIGINT)
