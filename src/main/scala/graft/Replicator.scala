@@ -104,7 +104,7 @@ object Replicator {
       query.stop()
       sink.shutdown()
     } else query.awaitTermination()
-    metrics.report(s"$work/metrics.json")
+    metrics.report(s"$work/metrics.json", Some(pipeline))
     metrics.detach()
     // no spark.stop(): under spark-submit the JVM exit stops the context;
     // under tests the session is shared with the harness

@@ -54,15 +54,28 @@ final class PipelineMetrics(spark: SparkSession,
   def snapshot: (Long, Long, Long, Long) = (batches, rows, totalMs, maxMs)
 
   /** Write the JSON report (atomic rename), mirroring the reference's
-    * report-file shape. */
-  def report(path: String): Unit = {
+    * report-file shape. Passing the pipeline folds its per-table apply
+    * timings and copy-progress accumulators into the report — the full
+    * per-run picture the reference's benchmark JSON carries (stream
+    * throughput + per-table copy rows). */
+  def report(path: String, pipeline: Option[CdcPipeline] = None): Unit = {
     val wallMs =
       if (firstNs < 0) 0L else math.max(1L, (lastNs - firstNs) / 1000000L)
     val eps = if (wallMs == 0) 0.0 else rows * 1000.0 / wallMs
+    val perTable = pipeline.map { pl =>
+      val apply = pl.applyTimings.toSeq.sortBy(_._1).map {
+        case (id, (ms, n)) =>
+          s""""$id":{"applyMs":$ms,"batches":$n}"""
+      }.mkString("{", ",", "}")
+      val copied = pl.copyProgress.toSeq.sortBy(_._1).map {
+        case (name, acc) => s""""$name":${acc.value}"""
+      }.mkString("{", ",", "}")
+      s""","applyByTable":$apply,"copiedRows":$copied"""
+    }.getOrElse("")
     val body =
       s"""{"query":"$queryName","batches":$batches,"rows":$rows,""" +
         s""""wallMs":$wallMs,"processingMs":$totalMs,"maxBatchMs":$maxMs,""" +
-        f""""eventsPerSecond":$eps%.1f}"""
+        f""""eventsPerSecond":$eps%.1f""" + perTable + "}"
     val p = Paths.get(path)
     if (p.getParent != null) Files.createDirectories(p.getParent)
     val tmp = Paths.get(path + ".tmp")

@@ -80,6 +80,10 @@ class ReplicatorSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$work/metrics.json")))
     assert(metrics.contains("\"rows\":3"), metrics)
     assert(metrics.contains("\"eventsPerSecond\""), metrics)
+    // per-table apply timings + copy-progress folded into the report
+    assert(metrics.contains("\"applyByTable\""), metrics)
+    assert(metrics.contains("\"applyMs\""), metrics)
+    assert(metrics.contains("\"copiedRows\""), metrics)
     // exactlyOnce=true persisted the batch ledger under the pipeline id
     assert(new graft.sinks.TxnLedger(s"$work/txn_ledger.json")
       .lastCommitted("spec") >= 0L)
