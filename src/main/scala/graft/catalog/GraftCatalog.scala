@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -246,7 +247,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   */
 final class GraftSqlTable(val table: GraftTable, fullName: String,
     pinnedVersion: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
   import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 
@@ -279,6 +280,51 @@ final class GraftSqlTable(val table: GraftTable, fullName: String,
       (options.asScala ++ Map("recursiveFileLookup" -> "true")).asJava)
     ParquetTable(fullName, spark, opts, liveFiles,
       Some(schema()), classOf[ParquetFileFormat]).newScanBuilder(opts)
+  }
+
+  /** V1 source Filter → Column, for the subset SQL DELETE pushes down.
+    * None = untranslatable → canDeleteWhere refuses and Spark reports
+    * the condition as too complex (the row-level-operation API is the
+    * escape hatch, not silent partial deletes). */
+  private def toCondition(f: sources.Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    f match {
+      case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+      case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case sources.LessThan(a, v) => Some(col(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case sources.IsNull(a) => Some(col(a).isNull)
+      case sources.IsNotNull(a) => Some(col(a).isNotNull)
+      case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case sources.StringContains(a, v) => Some(col(a).contains(v))
+      case sources.And(l, r) =>
+        for (a <- toCondition(l); b <- toCondition(r)) yield a && b
+      case sources.Or(l, r) =>
+        for (a <- toCondition(l); b <- toCondition(r)) yield a || b
+      case sources.Not(c) => toCondition(c).map(not)
+      case sources.AlwaysTrue() => Some(lit(true))
+      case sources.AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    pinnedVersion.isEmpty && filters.forall(toCondition(_).nonEmpty)
+
+  /** SQL `DELETE FROM t WHERE …`: bucket-pruned copy-on-write rewrite
+    * (only buckets holding matching rows are touched — the DuckLake
+    * `DELETE … WHERE pred` shape, reference ducklake/batches.rs). */
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    require(pinnedVersion.isEmpty,
+      s"$fullName is a time-travel snapshot — deletes go to the current table")
+    val cond = filters.flatMap(toCondition)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    table.deleteWhere(SparkSession.active, cond)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.nio.charset.StandardCharsets
@@ -65,7 +65,11 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * pinned per snapshot, a read is manifest json + the pruned file list.
     * Empty schema (pre-upgrade manifests) falls back to mergeSchema. */
   final case class Manifest(version: Long, highWater: String,
-      files: Map[Int, Seq[String]], schemaDdl: String = "") {
+      files: Map[Int, Seq[String]], schemaDdl: String = "",
+      /** Commit wall-clock (ms), stamped by commitManifest — the
+        * TIMESTAMP AS OF resolution source that survives object-store
+        * copies (file mtimes don't). -1 = pre-upgrade manifest. */
+      committedAtMs: Long = -1L) {
     def allFiles: Seq[String] = files.valuesIterator.flatten.toVector
   }
   /** Back-compat alias for callers that only need the replay mark. */
@@ -93,9 +97,12 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * `tsMillis` (catalog `TIMESTAMP AS OF`): manifest files are written
     * once and never touched, so their mtime IS the commit time. */
   def versionAsOfTimestamp(tsMillis: Long): Option[Long] =
-    versions.filter(v =>
-      Files.getLastModifiedTime(manifestPath(v)).toMillis <= tsMillis)
-      .lastOption
+    versions.filter { v =>
+      val m = readManifest(v)
+      val at = if (m.committedAtMs >= 0) m.committedAtMs
+               else Files.getLastModifiedTime(manifestPath(v)).toMillis
+      at <= tsMillis
+    }.lastOption
 
   /** Manifest file entries are root-relative (rename/move-safe);
     * pre-upgrade manifests hold absolute paths — both resolve here. */
@@ -157,7 +164,8 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val files = (j \ "files").extract[Map[String, List[String]]]
       .map { case (b, fs) => b.toInt -> (fs: Seq[String]) }
     Manifest(v, (j \ "highWater").extract[String], files,
-      (j \ "schema").extractOrElse[String](""))
+      (j \ "schema").extractOrElse[String](""),
+      (j \ "committedAtMs").extractOrElse[Long](-1L))
   }
 
   /** Publish a new snapshot: the fully-written manifest becomes visible
@@ -177,7 +185,9 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     }.mkString("{", ",", "}")
     val schemaJson = m.schemaDdl.replace("\\", "\\\\").replace("\"", "\\\"")
     val body =
-      s"""{"version":${m.version},"highWater":"${m.highWater}","schema":"$schemaJson","files":$filesJson}"""
+      s"""{"version":${m.version},"highWater":"${m.highWater}",""" +
+        s""""committedAtMs":${System.currentTimeMillis()},""" +
+        s""""schema":"$schemaJson","files":$filesJson}"""
     val tmp = manifestDir.resolve(s".v${m.version}-${java.util.UUID.randomUUID()}.json.tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     def alreadyCommitted(): Nothing = {
@@ -614,6 +624,31 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * replay once their checkpoint committed. */
   def truncate(): Unit =
     publish(Manifest(nextVersion, "", Map.empty))
+
+  /** SQL DELETE FROM … WHERE cond: rewrite ONLY the buckets holding
+    * matching rows (manifest-pruned, like merge); high-water and schema
+    * are untouched — a delete is not a CDC event. Rows where `cond`
+    * evaluates to NULL are kept (SQL deletes only WHERE-true rows).
+    * Returns the number of rows deleted. */
+  def deleteWhere(spark: SparkSession, cond: Column): Long = {
+    val current = effectiveManifest()
+    val m = current.getOrElse(return 0L)
+    if (m.allFiles.isEmpty) return 0L
+    val base = readFiles(spark, m.allFiles, m.schemaDdl)
+    val stats = base.filter(coalesce(cond, lit(false)))
+      .agg(collect_set(col("_bucket")).as("b"), count(lit(1)).as("n"))
+      .collect()(0)
+    val nDeleted = stats.getLong(1)
+    if (nDeleted == 0L) return 0L
+    val buckets = stats.getSeq[Int](0)
+    val survivors = readBuckets(spark, m, buckets)
+      .filter(!coalesce(cond, lit(false)))
+    val newFiles = writeDataFiles(survivors,
+      math.min(nBuckets, math.max(1, buckets.size)))
+    publish(Manifest(nextVersion, m.highWater,
+      (m.files -- buckets) ++ newFiles, m.schemaDdl))
+    nDeleted
+  }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) walkDir(p).reverse.foreach(Files.deleteIfExists(_))

@@ -117,6 +117,27 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("SELECT * FROM cat.tt.t VERSION AS OF 99").collect() }
   }
 
+  test("DELETE FROM rewrites only matching buckets; null-cond rows survive") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.del")
+    spark.sql("""CREATE TABLE cat.del.t (id BIGINT, v DOUBLE)
+                 PARTITIONED BY (bucket(4, id))""")
+    spark.sql(
+      "INSERT INTO cat.del.t SELECT id, IF(id % 10 = 0, NULL, id * 1.0) FROM range(100)")
+    val vBefore = GraftTable.open(s"$root/del/t").currentVersion.get
+
+    spark.sql("DELETE FROM cat.del.t WHERE id < 30 AND v > 5")
+    // deleted: ids 6..29 except NULL-v multiples of 10 → 24 - 2 = 22 rows
+    assert(spark.sql("SELECT count(*) FROM cat.del.t").as[Long].head() == 78L)
+    // rows where the condition is NULL (v IS NULL) survived
+    assert(spark.sql(
+      "SELECT count(*) FROM cat.del.t WHERE v IS NULL").as[Long].head() == 10L)
+    // one snapshot commit, not a full rewrite storm
+    assert(GraftTable.open(s"$root/del/t").currentVersion.contains(vBefore + 1))
+    // unconditional DELETE = truncate
+    spark.sql("DELETE FROM cat.del.t")
+    assert(spark.sql("SELECT count(*) FROM cat.del.t").as[Long].head() == 0L)
+  }
+
   test("rename + drop + namespace listing") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.life")
     spark.sql("""CREATE TABLE cat.life.t1 (id BIGINT)
