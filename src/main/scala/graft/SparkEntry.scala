@@ -51,6 +51,7 @@ object SparkEntry {
     "text_langid" -> (TextQueries.langId _),
     "text_quality" -> (TextQueries.quality _),
     "text_fingerprint" -> (TextQueries.fingerprint _),
+    "train_pipeline" -> (TextQueries.trainPipeline _),
     // dedup family
     "dedup_exact" -> (SimQueries.dedupExact _),
     "dedup_jaccard" -> (SimQueries.dedupJaccard _),
@@ -102,6 +103,7 @@ object SparkEntry {
     "mm_meta" -> SimQueries.mmMetaSql,
     "profile_stats" -> SimQueries.profileStatsSql,
     "text_fingerprint" -> TextQueries.fingerprintSql,
+    "train_pipeline" -> TextQueries.trainPipelineSql,
     "ann_topk" -> SimQueries.annTopKSql,
     "mm_features" -> SimQueries.mmFeaturesSql,
     // rows-only (no SQL-expressible oracle): dedup_simhash + ann_lsh +

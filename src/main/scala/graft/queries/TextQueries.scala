@@ -49,6 +49,46 @@ object TextQueries {
       ${TextFunctions.qualityScoreSql("text")} AS score
     FROM documents ORDER BY doc_id"""
 
+  /** End-to-end training-data curation pipeline — the composition a
+    * 100 TB pretraining pass runs, oracle-gated as ONE query: annotate
+    * (language ID + quality score + token count) → filter (keep
+    * high-quality English) → exact dedup (one representative per
+    * normalized content, cluster sizes kept) → per-representative
+    * output. Every stage is an already-hash-gated operator; the gate
+    * here proves they COMPOSE without drift (filter pushdown through
+    * the annotations, dedup over the filtered set, join back on the
+    * representative). */
+  def trainPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val annotated = docs.select(col("doc_id"), col("text"),
+      TextFunctions.langId(col("text")).as("predicted"),
+      TextFunctions.qualityScore(col("text")).as("score"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("ws_tokens"))
+    val kept = annotated.filter(col("predicted") === "en" &&
+      col("score") >= 0.15)
+    val reps = graft.operators.Dedup.exact(kept, "text", "doc_id")
+    reps.join(kept.select(col("doc_id").as("rep_id"),
+        col("score"), col("ws_tokens")), "rep_id")
+      .select("rep_id", "n_dups", "ws_tokens", "score")
+      .orderBy("rep_id")
+  }
+
+  val trainPipelineSql: String = s"""
+    WITH ann AS (
+      SELECT doc_id, text,
+        ${TextFunctions.langIdSql("text")} AS predicted,
+        ${TextFunctions.qualityScoreSql("text")} AS score,
+        CAST(len(${TextFunctions.tokensSql("text")}) AS BIGINT) AS ws_tokens
+      FROM documents),
+    kept AS (SELECT * FROM ann WHERE predicted = 'en' AND score >= 0.15),
+    reps AS (
+      SELECT min(doc_id) AS rep_id, count(*) AS n_dups,
+        lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS ck
+      FROM kept GROUP BY 3)
+    SELECT r.rep_id, r.n_dups, k.ws_tokens, k.score
+    FROM reps r JOIN kept k ON k.doc_id = r.rep_id
+    ORDER BY rep_id"""
+
   /** Document fingerprinting via the custom codegen'd RollingHash
     * expression over normalized text. Oracle-checked: the mod-2^64
     * wraparound h = h·31 + byte is replayed in DuckDB with HUGEINT
