@@ -47,20 +47,25 @@ class GraftTableModelSpec extends SparkSpec {
       if (highWater.isEmpty || seqOf(m) > highWater) highWater = seqOf(m)
     }
 
+    var appendId = 1000L // appends use fresh ids: the model is a key map
+    def mergeRandom(): Unit = {
+      lsn += 1
+      val rows = (1 to rnd.nextInt(6) + 1).map { _ =>
+        val id = rnd.nextInt(12).toLong
+        val op = if (rnd.nextInt(4) == 0) "D" else "U"
+        (id, s"v$lsn-$id", op, lsn)
+      }
+      val deduped = rows.groupBy(_._1).values.map(_.maxBy(_._4)).toSeq
+      t.merge(deduped.toDF("id", "v", "_op", "lsn")
+        .withColumn("_seq",
+          format_string("%016x/%016x", col("lsn"), lit(0L))).drop("lsn"))
+      applyToModel(rows)
+    }
+
     (1 to steps).foreach { step =>
-      rnd.nextInt(10) match {
+      rnd.nextInt(13) match {
         case i if i <= 5 => // merge a fresh batch (most common op)
-          lsn += 1
-          val rows = (1 to rnd.nextInt(6) + 1).map { _ =>
-            val id = rnd.nextInt(12).toLong
-            val op = if (rnd.nextInt(4) == 0) "D" else "U"
-            (id, s"v$lsn-$id", op, lsn)
-          }
-          val deduped = rows.groupBy(_._1).values.map(_.maxBy(_._4)).toSeq
-          t.merge(deduped.toDF("id", "v", "_op", "lsn")
-            .withColumn("_seq",
-              format_string("%016x/%016x", col("lsn"), lit(0L))).drop("lsn"))
-          applyToModel(rows)
+          mergeRandom()
           check(s"merge@$lsn")
         case 6 => // replay an OLD lsn (must be a no-op)
           if (lsn > 0) {
@@ -91,11 +96,47 @@ class GraftTableModelSpec extends SparkSpec {
           byId.foreach { case (id, v) => model(id) = ModelRow(v, "") }
           highWater = ""
           check(s"overwrite@$lsn")
+        case 10 => // append (INSERT INTO path): fresh ids, mark untouched
+          val rows = (1 to rnd.nextInt(4) + 1).map { _ =>
+            appendId += 1; (appendId, s"ap$appendId")
+          }
+          t.append(rows.toDF("id", "v"))
+          rows.foreach { case (id, v) => model(id) = ModelRow(v, "") }
+          check(s"append@$appendId")
+        case 11 => // SQL DELETE WHERE: bucket-pruned rewrite, mark untouched
+          val bound = rnd.nextInt(12).toLong
+          val n = t.deleteWhere(spark, col("id") < bound)
+          val expect = model.keys.count(_ < bound)
+          assert(n == expect, s"seed=$seed deleteWhere(<$bound): $n != $expect")
+          model.filterInPlace { case (id, _) => id >= bound }
+          check(s"delete<$bound")
+        case 12 => // group commit: staged writes invisible, then atomic
+          val preModel = model.toMap
+          val preHw = highWater
+          t.beginGroup()
+          (1 to rnd.nextInt(3) + 1).foreach(_ => mergeRandom())
+          // mid-group: readers still see the pre-group snapshot
+          val mid =
+            if (t.read(spark).columns.isEmpty) Map.empty[Long, String]
+            else t.read(spark).select("id", "v")
+              .as[(Long, String)].collect().toMap
+          assert(mid == preModel.map { case (k, r) => k -> r.v },
+            s"seed=$seed group staged writes leaked")
+          if (rnd.nextInt(4) == 0) {
+            t.abortGroup() // staged writes vanish
+            model.clear(); model ++= preModel
+            highWater = preHw
+            check("group-abort")
+          } else {
+            t.commitGroup()
+            check("group-commit")
+          }
       }
     }
   }
 
-  test("random op sequences match the reference model (3 seeds × 40 steps)") {
+  test("random op sequences match the reference model (3 seeds × 40 steps, " +
+      "merge/replay/truncate/compact/overwrite/append/delete/group)") {
     Seq(1L, 7L, 42L).foreach(runScenario(_, steps = 40))
   }
 }
