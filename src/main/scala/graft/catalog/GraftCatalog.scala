@@ -247,7 +247,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   */
 final class GraftSqlTable(val table: GraftTable, fullName: String,
     pinnedVersion: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
   import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
   import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 
@@ -325,6 +326,113 @@ final class GraftSqlTable(val table: GraftTable, fullName: String,
     val cond = filters.flatMap(toCondition)
       .reduceOption(_ && _).getOrElse(lit(true))
     table.deleteWhere(SparkSession.active, cond)
+  }
+
+  /** SQL `UPDATE` / `MERGE INTO` via group-based (copy-on-write)
+    * row-level operations: Spark's rewrite rules read the table through
+    * the operation's scan, apply the edits, and hand the COMPLETE
+    * replacement contents to the operation's write. The scan is the same
+    * native parquet delegation as normal reads; the write stages the
+    * replacement as plain parquet via Spark's own parquet BatchWrite
+    * (executor-side, fully distributed), and commit() re-buckets the
+    * staged contents into one snapshot with [[GraftTable.replaceAll]] —
+    * the replay high-water mark survives, the swap is manifest-atomic,
+    * and an abort just deletes the staging dir. (DELETE prefers the
+    * bucket-pruned SupportsDelete path; this is its full-rewrite
+    * fallback and the only path for UPDATE/MERGE.) */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory,
+      PhysicalWriteInfo, RowLevelOperation, WriterCommitMessage}
+    require(pinnedVersion.isEmpty,
+      s"$fullName is a time-travel snapshot — row-level ops target the current table")
+    () => new RowLevelOperation {
+      override def command(): RowLevelOperation.Command = info.command()
+
+      /** Whole table = one replacement group. The scan must NOT accept
+        * data-filter pushdown: Spark pushes the command's condition into
+        * a pushdown-capable row-level scan, and a parquet scan drops
+        * non-matching ROWS — the write would then replace the table with
+        * matches only. A plain build()-only ScanBuilder keeps every row
+        * flowing; the rewrite plan's conditional projection applies the
+        * edits. */
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+        val inner = GraftSqlTable.this.newScanBuilder(options)
+        new ScanBuilder {
+          override def build(): org.apache.spark.sql.connector.read.Scan =
+            inner.build()
+        }
+      }
+
+      override def newWriteBuilder(w: LogicalWriteInfo): WriteBuilder = {
+        val spark = SparkSession.active
+        val staging = s"${table.root}/.rowlevel-${java.util.UUID.randomUUID()}"
+        val stagingOpts = new CaseInsensitiveStringMap(
+          Map("path" -> staging).asJava)
+        // Spark 4 prepends a __row_operation INT column to group-based
+        // replacement rows (RowDeltaUtils.OPERATION_COLUMN) without
+        // widening LogicalWriteInfo.schema; the staging schema carries
+        // it explicitly and commit() strips it (dropping DELETE-marked
+        // rows — group-based plans emit survivors only, so that filter
+        // is defense in depth).
+        val opCol = org.apache.spark.sql.catalyst.util.RowDeltaUtils
+          .OPERATION_COLUMN
+        val extSchema = StructType(
+          org.apache.spark.sql.types.StructField(opCol,
+            org.apache.spark.sql.types.IntegerType, nullable = false) +:
+            w.schema().fields)
+        val extInfo = new LogicalWriteInfo {
+          override def options(): CaseInsensitiveStringMap = w.options()
+          override def queryId(): String = w.queryId()
+          override def schema(): StructType = extSchema
+          override def rowIdSchema(): java.util.Optional[StructType] =
+            w.rowIdSchema()
+          override def metadataSchema(): java.util.Optional[StructType] =
+            w.metadataSchema()
+        }
+        val delegate = ParquetTable(s"$fullName-staging", spark, stagingOpts,
+          Seq(staging), Some(extSchema), classOf[ParquetFileFormat])
+          .newWriteBuilder(extInfo).build().toBatch
+        def dropStaging(): Unit = {
+          val p = Paths.get(staging)
+          if (Files.exists(p)) {
+            val st = Files.walk(p)
+            val all = try st.iterator().asScala.toVector finally st.close()
+            all.reverse.foreach(Files.deleteIfExists(_))
+          }
+        }
+        new WriteBuilder {
+          override def build(): Write = new Write {
+            override def toBatch: BatchWrite = new BatchWrite {
+              // the Hadoop commit protocol does its own task-commit
+              // arbitration; double coordination (wrapper default true +
+              // committer) deadlocks into CommitDenied on every attempt
+              override def useCommitCoordinator(): Boolean =
+                delegate.useCommitCoordinator()
+              override def createBatchWriterFactory(
+                  pi: PhysicalWriteInfo): DataWriterFactory =
+                delegate.createBatchWriterFactory(pi)
+              override def commit(msgs: Array[WriterCommitMessage]): Unit = {
+                delegate.commit(msgs) // staged parquet now complete
+                try {
+                  import org.apache.spark.sql.functions.{col, lit}
+                  table.replaceAll(
+                    spark.read.schema(extSchema).parquet(staging)
+                      .filter(col(opCol) =!= lit(
+                        org.apache.spark.sql.catalyst.util.RowDeltaUtils
+                          .DELETE_OPERATION))
+                      .drop(opCol))
+                } finally dropStaging()
+              }
+              override def abort(msgs: Array[WriterCommitMessage]): Unit = {
+                try delegate.abort(msgs) finally dropStaging()
+              }
+            }
+          }
+        }
+      }
+    }
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

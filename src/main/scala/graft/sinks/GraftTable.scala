@@ -625,6 +625,20 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   def truncate(): Unit =
     publish(Manifest(nextVersion, "", Map.empty))
 
+  /** Full-contents replacement that PRESERVES the replay high-water mark
+    * and evolves the pinned schema (vs [[overwrite]], which is the
+    * backfill re-copy and resets the mark): the SQL row-level UPDATE /
+    * MERGE INTO write path — the new contents are the old contents with
+    * row edits applied, so CDC replay semantics must survive. One
+    * snapshot commit. */
+  def replaceAll(df: DataFrame): Unit = {
+    val current = effectiveManifest()
+    val files = writeDataFiles(df.withColumn("_bucket", bucketExpr), nBuckets)
+    publish(Manifest(nextVersion,
+      current.map(_.highWater).getOrElse(""), files,
+      nextSchemaDdl(current, Map.empty, df.schema)))
+  }
+
   /** SQL DELETE FROM … WHERE cond: rewrite ONLY the buckets holding
     * matching rows (manifest-pruned, like merge); high-water and schema
     * are untouched — a delete is not a CDC event. Rows where `cond`

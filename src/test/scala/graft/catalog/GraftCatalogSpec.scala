@@ -138,6 +138,45 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM cat.del.t").as[Long].head() == 0L)
   }
 
+  test("UPDATE and MERGE INTO via row-level operations preserve replay marks") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.rl")
+    spark.sql("""CREATE TABLE cat.rl.t (id BIGINT, v STRING, n INT)
+                 PARTITIONED BY (bucket(4, id))""")
+    spark.sql("INSERT INTO cat.rl.t VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    // seed a replay high-water through the CDC path
+    val t = GraftTable.open(s"$root/rl/t")
+    t.merge(Seq((3L, "c2", 31, "U", "0005"))
+      .toDF("id", "v", "n", "_op", "_seq"))
+    assert(t.readMeta().highWater == "0005")
+
+    spark.sql("UPDATE cat.rl.t SET n = n + 1 WHERE v LIKE 'a%'")
+    assert(spark.sql("SELECT id, n FROM cat.rl.t ORDER BY id")
+      .as[(Long, Int)].collect().toSeq ==
+      Seq((1L, 11), (2L, 20), (3L, 31)))
+    // the CDC replay mark survived the row-level rewrite
+    assert(t.readMeta().highWater == "0005")
+    t.merge(Seq((3L, "stale", 0, "U", "0004"))
+      .toDF("id", "v", "n", "_op", "_seq")) // ≤ hw → dropped
+    assert(spark.sql("SELECT v FROM cat.rl.t WHERE id = 3")
+      .as[String].head() == "c2")
+
+    spark.sql("SELECT 4L AS id, 'd' AS v, 40 AS n").createOrReplaceTempView("src")
+    spark.sql("""MERGE INTO cat.rl.t USING src ON cat.rl.t.id = src.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT count(*) FROM cat.rl.t").as[Long].head() == 4L)
+    spark.sql("""MERGE INTO cat.rl.t USING src ON cat.rl.t.id = src.id
+                 WHEN MATCHED THEN UPDATE SET n = src.n + 1""")
+    assert(spark.sql("SELECT n FROM cat.rl.t WHERE id = 4")
+      .as[Int].head() == 41)
+    // no stranded staging dirs
+    import scala.jdk.CollectionConverters._
+    val leftovers = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$root/rl/t")).iterator().asScala
+      .count(_.getFileName.toString.startsWith(".rowlevel-"))
+    assert(leftovers == 0)
+  }
+
   test("rename + drop + namespace listing") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.life")
     spark.sql("""CREATE TABLE cat.life.t1 (id BIGINT)
