@@ -107,3 +107,74 @@ object HyperplaneSig {
     GraftColumnBridge.column(HyperplaneSig(
       GraftColumnBridge.expression(c), nPlanes, planeOffset))
 }
+
+/** The `n` nearest IVF lists for a vector: cosine against every centroid,
+  * top-n ids by (cosine desc, id asc). The centroid matrix rides in the
+  * expression as PLAIN OBJECT DATA (serialized once per task with the
+  * closure), not as plan literals — the round-3 `typedLit` formulation
+  * put k×d doubles into the Catalyst plan and codegen constant pool,
+  * which stops scaling around k ≈ 1024; this kernel is O(k·d) per row
+  * with zero plan bloat, so nLists can follow the √N rule at 100 TB.
+  * Math is bit-identical to the literal formulation: left-to-right
+  * double folds for dot and norms (VecDot semantics), score =
+  * dot/(normC·normV), ties prefer the smaller list id. */
+case class NearestCentroids(child: Expression,
+    centroids: Array[Array[Double]], n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val norms: Array[Double] =
+    centroids.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    val d = v.numElements()
+    val k = centroids.length
+    // reject-not-corrupt: ragged vectors must fail loudly
+    if (k > 0 && centroids(0).length != d)
+      throw new IllegalArgumentException(
+        s"nearest_centroids dim mismatch: vector $d vs centroid " +
+          s"${centroids(0).length}")
+    var normV = 0.0
+    var jj = 0
+    while (jj < d) {
+      val x = VecExprs.toDouble(v, et, jj); normV += x * x; jj += 1 }
+    normV = math.sqrt(normV)
+    val scores = new Array[Double](k)
+    var i = 0
+    while (i < k) {
+      val c = centroids(i)
+      var acc = 0.0
+      var j = 0
+      while (j < d) { acc += VecExprs.toDouble(v, et, j) * c(j); j += 1 }
+      scores(i) = acc / (norms(i) * normV)
+      i += 1
+    }
+    val m = math.min(n, k)
+    val out = new Array[Int](m)
+    val used = new Array[Boolean](k)
+    var s = 0
+    while (s < m) {
+      var best = -1
+      var i2 = 0
+      while (i2 < k) {
+        if (!used(i2) && (best < 0 || scores(i2) > scores(best))) best = i2
+        i2 += 1
+      }
+      used(best) = true
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : NearestCentroids = copy(child = newChild)
+}
+
+object NearestCentroids {
+  def apply(c: Column, centroids: Array[Array[Double]], n: Int): Column =
+    GraftColumnBridge.column(NearestCentroids(
+      GraftColumnBridge.expression(c), centroids, n))
+}

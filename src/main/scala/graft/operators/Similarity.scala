@@ -93,36 +93,25 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
 
-    // Centroids are k×d driver metadata — embedded as LITERALS, so both
-    // assignment and probing are pure projections (whole-stage codegen,
-    // ZERO shuffle): scores = [(cosine to centroid i, -i)], and struct
-    // ordering gives argmax with the deterministic smaller-list_id
-    // tie-break. The round-2 formulation crossJoined a centroid frame and
-    // ranked with a window — a shuffle + sort of the whole corpus PER
-    // Lloyd iteration that this removes.
-    def listScores(vec: Column, centroids: Array[Array[Double]]): Column = {
-      val cLit = typedLit(centroids.map(_.toSeq).toSeq)
-      val nLit = typedLit(centroids
-        .map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))).toSeq)
-      val nv = norm(vec) // spherical k-means: rank by cosine
-      transform(sequence(lit(0), lit(centroids.length - 1)), i =>
-        struct((dot(vec, element_at(cLit, i + 1)) /
-          (element_at(nLit, i + 1) * nv)).as("c"),
-          (-i).cast("int").as("ni")))
-    }
+    // Centroids are k×d driver metadata — carried by the NearestCentroids
+    // kernel as plain object data (one serialization per task), so both
+    // assignment and probing are pure projections (ZERO shuffle) with no
+    // plan/constant-pool bloat at large k. The round-2 formulation
+    // crossJoined a centroid frame and ranked with a window — a shuffle +
+    // sort of the whole corpus PER Lloyd iteration; round 3 used typedLit
+    // literals, which stop scaling around k ≈ 1024. The kernel's double
+    // folds and smaller-id tie-breaks are bit-identical to both.
+    import graft.functions.NearestCentroids
     /** nearest single list per row (train + index). */
     def assign(vec: Column, centroids: Array[Array[Double]]):
         DataFrame => DataFrame = df =>
       df.withColumn("list_id",
-        (-array_max(listScores(vec, centroids)).getField("ni")).cast("int"))
+        element_at(NearestCentroids(vec, centroids, 1), 1))
     /** nProbe nearest lists per row, exploded (search probes). */
     def probeLists(vec: Column, centroids: Array[Array[Double]], n: Int):
         DataFrame => DataFrame = df =>
-      df.withColumn("_e",
-          explode(slice(reverse(array_sort(listScores(vec, centroids))),
-            1, n)))
-        .withColumn("list_id", (-col("_e.ni")).cast("int"))
-        .drop("_e")
+      df.withColumn("list_id",
+        explode(NearestCentroids(vec, centroids, n)))
 
     // --- train: deterministic init + fixed Lloyd iterations
     val init = corpus
