@@ -15,7 +15,10 @@ final case class PipelineConfig(
     maxFillMs: Long = 10000L,
     maxTableSyncWorkers: Int = 4,
     checkpointDir: String,
-    stateDir: String)
+    stateDir: String,
+    /** Byte budget per micro-batch (reference `BatchConfig.max_bytes`,
+      * default 8 MiB there); None = row cap only. */
+    maxBytesPerTrigger: Option[Long] = None)
 
 /** The pipeline orchestrator — Spark shape of the reference's
   * `Pipeline::new → start → wait` (reference crates/etl/src/pipeline.rs:96-309)
@@ -165,11 +168,15 @@ final class CdcPipeline(
   /** Start the CDC stream from a change-log path. Returns the query;
     * callers drain with `processAllAvailable()` + `stop()` (ST9). */
   def startStream(logPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val events = spark.readStream
-      .format("graft-cdc")
-      .option("path", logPath)
-      .option("maxRowsPerTrigger", config.maxRowsPerTrigger.toString)
-      .load()
+    val events = {
+      val r = spark.readStream
+        .format("graft-cdc")
+        .option("path", logPath)
+        .option("maxRowsPerTrigger", config.maxRowsPerTrigger.toString)
+      config.maxBytesPerTrigger
+        .fold(r)(b => r.option("maxBytesPerTrigger", b.toString))
+        .load()
+    }
 
     events.writeStream
       .queryName("graft-cdc-apply")

@@ -82,14 +82,17 @@ final class CdcLogTable(path: String) extends Table with SupportsRead {
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new CdcLogScan(path,
       Option(options.get("maxrowspertrigger")).map(_.toLong),
-      Option(options.get("onmissingoffset")).getOrElse("error"))
+      Option(options.get("onmissingoffset")).getOrElse("error"),
+      Option(options.get("maxbytespertrigger")).map(_.toLong))
 }
 
 final class CdcLogScan(path: String, maxRowsPerTrigger: Option[Long],
-    onMissingOffset: String = "error") extends Scan {
+    onMissingOffset: String = "error",
+    maxBytesPerTrigger: Option[Long] = None) extends Scan {
   override def readSchema(): StructType = CdcLogSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CdcLogMicroBatchStream(path, maxRowsPerTrigger, onMissingOffset)
+    new CdcLogMicroBatchStream(path, maxRowsPerTrigger, onMissingOffset,
+      maxBytesPerTrigger)
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       Array(CdcLogPartition(path, Long.MinValue, Long.MaxValue,
@@ -138,7 +141,14 @@ object LsnOffset {
 }
 
 final class CdcLogMicroBatchStream(path: String, maxRows: Option[Long],
-    onMissingOffset: String = "error")
+    onMissingOffset: String = "error",
+    /** Byte budget per micro-batch — the reference's `BatchConfig
+      * .max_bytes` (8 MiB default there; unset = unlimited here). The
+      * key index carries exact per-entry byte extents, so the cap costs
+      * nothing extra. At least one entry is always admitted (an
+      * oversized single event still flushes, like the reference's
+      * budgeted EventBatch). */
+    maxBytes: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   /** Slot-invalidation analog (ST10, reference slots.rs:51-72 +
@@ -301,9 +311,20 @@ final class CdcLogMicroBatchStream(path: String, maxRows: Option[Long],
     val all = if (idx.ordered) idx.keys else idx.keys.sortBy(k => (k._1, k._2))
     val pending = all
       .filter(k => LsnOffset.lt((s.commitLsn, s.txOrdinal), (k._1, k._2)))
-    val capped = limit match {
+    val rowCapped = limit match {
       case r: ReadMaxRows => pending.take(r.maxRows().toInt)
       case _ => maxRows.map(m => pending.take(m.toInt)).getOrElse(pending)
+    }
+    // byte budget (reference max_bytes): entries carry absolute end
+    // positions, so the batch's byte extent is endPos − startPos. Only
+    // meaningful while file order == key order; always admit ≥ 1 entry.
+    val capped = maxBytes match {
+      case Some(budget) if idx.ordered && rowCapped.nonEmpty =>
+        val dropped = all.length - pending.length
+        val startPos = if (dropped == 0) 0L else all(dropped - 1)._3
+        val kept = rowCapped.takeWhile(e => e._3 - startPos <= budget)
+        if (kept.isEmpty) rowCapped.take(1) else kept
+      case _ => rowCapped
     }
     capped.lastOption.map { case (l, o, end) =>
       // commit-boundary bit for the retention check: a later commit

@@ -175,6 +175,37 @@ class CdcLogSourceSpec extends SparkSpec {
     assert(readAll(p2) == (41L to 45L).map(i => (i, 0L)))
   }
 
+  test("byte-budget admission: batches end at the budget, oversized events still flush") {
+    val log = s"${tmp()}/wal.log"
+    append(log, (1L to 6L).map(i => line(i, 0, i)))
+    val lineBytes = line(1L, 0, 1L).getBytes(StandardCharsets.UTF_8).length + 1
+    // budget of ~2.5 lines → batches of 2, 2, 2
+    val s = new CdcLogMicroBatchStream(log, None,
+      maxBytes = Some(lineBytes * 5L / 2))
+    var start = LsnOffset.zero
+    val batchSizes = Seq.newBuilder[Int]
+    var n = 0
+    while (n < 10) {
+      val end = s.latestOffset(start, ReadLimit.allAvailable())
+        .asInstanceOf[LsnOffset]
+      if (end == start) n = 10
+      else {
+        val p = s.planInputPartitions(start, end)(0)
+          .asInstanceOf[CdcLogPartition]
+        batchSizes += readAll(p).size
+        start = end
+        n += 1
+      }
+    }
+    assert(batchSizes.result() == Seq(2, 2, 2))
+
+    // a single event larger than the budget is still admitted (alone)
+    val s2 = new CdcLogMicroBatchStream(log, None, maxBytes = Some(1L))
+    val end2 = s2.latestOffset(LsnOffset.zero, ReadLimit.allAvailable())
+      .asInstanceOf[LsnOffset]
+    assert(end2.commitLsn == 1L && end2.txOrdinal == 0L)
+  }
+
   test("stale pos hints in offsets are ignored (planner re-derives from index)") {
     val log = s"${tmp()}/wal.log"
     append(log, (1L to 4L).map(i => line(i, 0, i)))
