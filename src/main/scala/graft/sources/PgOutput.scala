@@ -18,6 +18,12 @@ import java.nio.charset.StandardCharsets
   * implemented and property-tested for round-trip identity.
   */
 object PgOutput {
+  /** Prefix selecting graft's DDL messages on the logical-message
+    * channel — the analog of the reference's `supabase_etl_ddl`
+    * (codec/event.rs:28); payload = the R-record JSON plus a
+    * `tableId` field. Unknown prefixes are discarded. */
+  val DdlMessagePrefix = "graft_ddl"
+
 
   // ------------------------------------------------------------- data model
   sealed trait TupleValue
@@ -52,6 +58,13 @@ object PgOutput {
       oldTuple: Option[TupleData], newTuple: TupleData) extends Message
   final case class Delete(relId: Int, kind: Char, oldTuple: TupleData)
       extends Message
+  /** Logical decoding message (`pg_logical_emit_message`) — the
+    * reference's DDL capture channel ('M' frames arrive when the slot is
+    * created with `messages 'true'`; reference client/raw.rs:634,
+    * apply.rs:2160-2276). `transactional` messages ride inside the
+    * emitting transaction; non-transactional ones arrive immediately. */
+  final case class LogicalMsg(transactional: Boolean, lsn: Long,
+      prefix: String, content: Vector[Byte]) extends Message
   final case class Truncate(options: Int, relIds: IndexedSeq[Int])
       extends Message
 
@@ -96,6 +109,13 @@ object PgOutput {
         val n = b.getInt
         val opts = b.get().toInt & 0xff
         Truncate(opts, (0 until n).map(_ => b.getInt))
+      case 'M' =>
+        val transactional = b.get() != 0
+        val lsn = b.getLong
+        val prefix = cstr(b)
+        val arr = new Array[Byte](checkedLen(b, "logical message"))
+        b.get(arr)
+        LogicalMsg(transactional, lsn, prefix, arr.toVector)
       case c => throw new IllegalArgumentException(
         s"unknown pgoutput message type '$c'")
     }
@@ -182,6 +202,9 @@ object PgOutput {
         d.writeByte('N'); tup(t)
       case Delete(id, kind, t) =>
         d.writeByte('D'); d.writeInt(id); d.writeByte(kind); tup(t)
+      case LogicalMsg(tx, lsn, prefix, content) =>
+        d.writeByte('M'); d.writeByte(if (tx) 1 else 0); d.writeLong(lsn)
+        s(prefix); d.writeInt(content.length); d.write(content.toArray)
       case Truncate(opts, ids) =>
         d.writeByte('T'); d.writeInt(ids.length); d.writeByte(opts)
         ids.foreach(d.writeInt)
@@ -336,6 +359,26 @@ object PgOutput {
         val o = ordinal; ordinal += 1
         Seq(CdcLogSource.renderLine("R", r.relId.toLong, lsn, lsn, o, lsn,
           None, Some(payload)))
+      case LogicalMsg(_, msgLsn, prefix, content) =>
+        // the reference's DDL channel (apply.rs:2160-2276): only the
+        // engine prefix is processed, unknown prefixes are discarded
+        if (prefix != PgOutput.DdlMessagePrefix) Seq.empty
+        else {
+          val payload = new String(content.toArray, StandardCharsets.UTF_8)
+          val tableId = """"tableId"\s*:\s*(\d+)""".r
+            .findFirstMatchIn(payload).map(_.group(1).toLong)
+            .getOrElse(throw new IllegalArgumentException(
+              "graft_ddl message payload missing tableId"))
+          // schema version keyed by the message's own LSN (the
+          // reference keys versions by the DDL's start_lsn); sequence
+          // position follows the stream bracket like Relation records
+          val seqLsn = txLsn.getOrElse(lastCommitLsn)
+          val verLsn = if (msgLsn != 0L) msgLsn else seqLsn
+          relLsn(tableId.toInt) = verLsn
+          val o = ordinal; ordinal += 1
+          Seq(CdcLogSource.renderLine("R", tableId, seqLsn, seqLsn, o,
+            verLsn, None, Some(payload)))
+        }
       case _: Origin | _: TypeMsg => Seq.empty
       case data =>
         val lsn = txLsn.getOrElse(throw new IllegalStateException(

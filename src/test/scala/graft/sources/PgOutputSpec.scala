@@ -48,7 +48,11 @@ class PgOutputSpec extends AnyFunSuite with PropSpec {
     for {
       opts <- Gen.choose(0, 3)
       ids <- Gen.listOf(Gen.posNum[Int])
-    } yield Truncate(opts, ids.toIndexedSeq))
+    } yield Truncate(opts, ids.toIndexedSeq),
+    for {
+      tx <- Gen.oneOf(true, false); l <- Gen.long; pre <- genName
+      content <- Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield LogicalMsg(tx, l, pre, content.toVector))
 
   test("every message type round-trips decode(encode(m)) == m (property)") {
     checkProp(Prop.forAll(genMessage) { m =>
@@ -227,6 +231,64 @@ class PgOutputSpec extends AnyFunSuite with PropSpec {
     val seq = keys.map(k => (k._1, k._2))
     assert(seq.zip(seq.sorted).forall { case (a, b) => a == b },
       s"stream not in sequence order: $seq")
+  }
+
+  test("DecodeSession: graft_ddl logical messages version schemas mid-stream") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val rel = Relation(1, "public", "users", 'd', Vector(
+      RelCol(1, "id", 20, -1), RelCol(0, "name", 25, -1)))
+    def ddl(cols: String, atLsn: Long) = LogicalMsg(true, atLsn,
+      PgOutput.DdlMessagePrefix,
+      s"""{"tableId":1,"table":"users","cols":$cols}"""
+        .getBytes("UTF-8").toVector)
+    val v2cols = """[{"name":"id","type":"int8","nullable":false,"pk":1},
+      {"name":"name","type":"text","nullable":true,"pk":0},
+      {"name":"age","type":"int4","nullable":true,"pk":0}]"""
+      .replaceAll("\\s+", "")
+    // after real DDL, Postgres emits BOTH the trigger's logical message
+    // (rich metadata: nullability, pk ordinals — the reference's channel)
+    // AND a fresh Relation frame before the next data row
+    val relV2 = Relation(1, "public", "users", 'd', Vector(
+      RelCol(1, "id", 20, -1), RelCol(0, "name", 25, -1),
+      RelCol(0, "age", 23, -1)))
+    val frames: Seq[Message] = Seq(
+      rel,
+      Begin(10L, 0L, 1), Insert(1, Vector(TText("1"), TText("ann"))),
+      Commit(0, 10L, 11L, 0L),
+      Begin(20L, 0L, 2),
+      ddl(v2cols, 15L), // DDL message IN the tx: version keyed at its LSN
+      relV2,
+      Insert(1, Vector(TText("2"), TText("bob"), TText("33"))),
+      Commit(0, 20L, 21L, 0L),
+      // unknown prefixes are discarded, never break the stream
+      LogicalMsg(false, 0L, "other_tool", Vector(1, 2, 3)))
+    val session = new DecodeSession
+    val lines = frames.flatMap(m => session.onFrame(encode(m)))
+    assert(lines.count(_.split("\t")(2) == "R") == 3) // base + DDL + rel v2
+
+    val dir = java.nio.file.Files.createTempDirectory("pgout-ddl").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/wal.log"),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val registry = new graft.core.SchemaRegistry
+    val sink = new graft.sinks.CurrentStateSink(s"$dir/tables", _ => Seq("id"), 4)
+    val pipeline = new graft.pipeline.CdcPipeline(spark,
+      graft.pipeline.PipelineConfig(maxRowsPerTrigger = 100, maxFillMs = 50,
+        checkpointDir = s"$dir/ckpt", stateDir = s"$dir/state"),
+      registry, sink, graft.pipeline.CdcPipeline.jsonDecode)
+    pipeline.stateStore.force(1L, graft.pipeline.TableState.Ready)
+    val q = pipeline.startStream(s"$dir/wal.log")
+    q.processAllAvailable(); q.stop()
+    val out = sink.read(spark, "users").select("id", "name", "age")
+      .as[(Long, String, Option[Int])].collect().toSet
+    assert(out == Set((1L, "ann", None), (2L, "bob", Some(33))))
+    // the registry holds the DDL-message version (keyed at ITS lsn, with
+    // the trigger's rich metadata) alongside the base + relation versions
+    assert(registry.lookup(1L, 0L).exists(_.columns.size == 2))
+    val v15 = registry.lookup(1L, 15L).get
+    assert(v15.columns.size == 3 && v15.snapshotLsn == 15L)
+    assert(v15.columns.find(_.name == "id").exists(c =>
+      !c.nullable && c.pkOrdinal == 1)) // metadata only the DDL msg carries
   }
 
   test("wire → envelope → jsonDecode: typed end-to-end against the bridged schema") {
