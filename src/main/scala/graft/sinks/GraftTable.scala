@@ -625,6 +625,41 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   def truncate(): Unit =
     publish(Manifest(nextVersion, "", Map.empty))
 
+  /** Incremental read between snapshots (CDF-lite, the Delta
+    * change-data-feed shape at this format's natural granularity):
+    * buckets are the replacement unit, so the manifest diff identifies
+    * exactly which buckets changed between `fromVersion` and the current
+    * snapshot. Returns (currentVersion, changed-bucket rows,
+    * disappeared-bucket ids) — a consumer upserts the returned rows by
+    * bucket and drops the disappeared buckets, then polls again from
+    * the returned version. `fromVersion` older than retention ⇒ full
+    * refresh (every live bucket returned), the slot-invalidation analog.
+    * Downstream uses: incremental index/materialization rebuilds without
+    * tailing the changelog. */
+  def changesSince(spark: SparkSession, fromVersion: Long)
+      : (Long, DataFrame, Seq[Int]) = {
+    val cur = currentManifest().getOrElse(
+      return (-1L, spark.emptyDataFrame, Seq.empty))
+    val from: Map[Int, Seq[String]] =
+      if (fromVersion >= 0 && versions.contains(fromVersion))
+        readManifest(fromVersion).files
+      else Map.empty // expired/unknown → full refresh
+    val changed = cur.files.collect {
+      case (b, fs) if from.get(b) != Some(fs) => b
+    }.toSeq.sorted
+    val gone = (from.keySet -- cur.files.keySet).toSeq.sorted
+    // rows KEEP the _bucket column — it is the consumer's upsert key
+    val withBucket = currentSchema.map(_.add("_bucket",
+      org.apache.spark.sql.types.IntegerType))
+    val df =
+      if (changed.isEmpty)
+        withBucket.map(s => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+          .getOrElse(spark.emptyDataFrame)
+      else readBuckets(spark, cur, changed)
+    (cur.version, df, gone)
+  }
+
   /** Full-contents replacement that PRESERVES the replay high-water mark
     * and evolves the pinned schema (vs [[overwrite]], which is the
     * backfill re-copy and resets the mark): the SQL row-level UPDATE /

@@ -277,6 +277,43 @@ class GraftTableSpec extends SparkSpec {
       .select("v").as[String].head() == "u1")
   }
 
+  test("changesSince: manifest diff yields exactly the changed buckets") {
+    val t = new GraftTable(tmp(), Seq("id"), nBuckets = 4,
+      retainVersions = 3)
+    t.overwrite((1L to 12L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val v0 = t.currentVersion.get
+    // change ONE key → its bucket only
+    t.merge(batch((1L, "v1b", "U", 10L)))
+    val (v1, diff1, gone1) = t.changesSince(spark, v0)
+    assert(v1 == v0 + 1 && gone1.isEmpty)
+    val touched = diff1.select("_bucket").distinct().as[Int].collect().toSet
+    assert(touched.size < 4, s"diff returned $touched — not bucket-pruned")
+    // the diff contains the changed key's new value (plus its bucket peers)
+    assert(diff1.filter($"id" === 1L).select("v").as[String].head() == "v1b")
+    // catching up from the current version is an empty diff, schema intact
+    val (v2, diff2, gone2) = t.changesSince(spark, v1)
+    assert(v2 == v1 && diff2.isEmpty && gone2.isEmpty)
+    assert(diff2.columns.contains("_bucket"))
+    // an expired from-version degrades to a full refresh
+    val (_, full, _) = t.changesSince(spark, -5L)
+    assert(full.count() == 12)
+    // a bucket whose rows all die is reported as gone
+    val allIds = (1L to 12L)
+    val bucketOf = t.read(spark).withColumn("_b",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash($"id"),
+          org.apache.spark.sql.functions.lit(4)))
+      .select("id", "_b").as[(Long, Int)].collect().toMap
+    val victim = bucketOf(1L)
+    val dels = allIds.filter(id => bucketOf(id) == victim)
+      .zipWithIndex.map { case (id, i) => (id, "", "D", 20L + i) }
+    t.merge(dels.toDF("id", "v", "_op", "lsn")
+      .withColumn("_seq", format_string("%016x/%016x", col("lsn"), lit(0L)))
+      .drop("lsn"))
+    val (_, _, gone3) = t.changesSince(spark, v1)
+    assert(gone3 == Seq(victim))
+  }
+
   test("manifest commits are snapshot-atomic: time travel + vacuum expiry") {
     val t = new GraftTable(tmp(), Seq("id"), nBuckets = 4)
     t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
