@@ -53,6 +53,43 @@ class StreamingSpec extends SparkSpec {
       registry, sink, decode)
   }
 
+  test("steady-state micro-batch cost: one metadata job + sink apply only") {
+    // Perf-shape tripwire for the round-4 apply consolidation: a
+    // steady-state batch (Ready table, no gates/spool/masks) issues ONE
+    // driver metadata aggregation plus the sink's merge jobs; AQE adds
+    // per-query-stage jobs on top (~10 total today, incl. the trailing
+    // empty trigger). Round 3 ran four extra per-concern driver collects
+    // (isEmpty/R/plan/maxLsn) plus a sink mask probe — ~15 jobs. The
+    // bound catches that class of regression without pinning AQE noise.
+    val dir = tmp("cdc-jobs")
+    val log = s"$dir/wal.log"
+    appendLog(log, (1L to 3L).map(i => ins(i, 0, i, s"u$i", 20)))
+    val sink = new CurrentStateSink(s"$dir/tables", _ => Seq("id"), 4)
+    val pipeline = mkPipeline(dir, sink)
+    pipeline.stateStore.force(1L, TableState.Ready)
+    val q = pipeline.startStream(log)
+    q.processAllAvailable() // batch 1: table bootstrap (not measured)
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      appendLog(log, Seq(upd(10L, 0L, 1L, "u1b", 21)))
+      q.processAllAvailable() // batch 2: steady state
+      Thread.sleep(500) // let queued listener events drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+    q.stop()
+    assert(jobs.get() <= 12,
+      s"steady-state micro-batch ran ${jobs.get()} jobs (apply-path " +
+        "consolidation regressed?)")
+    assert(sink.read(spark, "users").filter($"id" === 1L)
+      .select("name").as[String].head() == "u1b")
+  }
+
   test("raw source: admission control splits batches; offsets progress") {
     val dir = tmp("cdc-src")
     val log = s"$dir/wal.log"
