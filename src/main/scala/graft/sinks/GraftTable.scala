@@ -625,30 +625,34 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   def truncate(): Unit =
     publish(Manifest(nextVersion, "", Map.empty))
 
+  /** One incremental pull's result: apply by REPLACING every bucket that
+    * appears in `rows` (its complete new contents are included) and
+    * dropping `goneBuckets`; when `fullRefresh` is set the consumer must
+    * instead discard its whole materialization and take `rows` as the
+    * complete state — the from-version was expired/unknown, so deletions
+    * since then are unobservable (the slot-invalidation analog). */
+  final case class TableChanges(version: Long, rows: DataFrame,
+      goneBuckets: Seq[Int], fullRefresh: Boolean)
+
   /** Incremental read between snapshots (CDF-lite, the Delta
     * change-data-feed shape at this format's natural granularity):
     * buckets are the replacement unit, so the manifest diff identifies
     * exactly which buckets changed between `fromVersion` and the current
-    * snapshot. Returns (currentVersion, changed-bucket rows,
-    * disappeared-bucket ids) — a consumer upserts the returned rows by
-    * bucket and drops the disappeared buckets, then polls again from
-    * the returned version. `fromVersion` older than retention ⇒ full
-    * refresh (every live bucket returned), the slot-invalidation analog.
-    * Downstream uses: incremental index/materialization rebuilds without
-    * tailing the changelog. */
-  def changesSince(spark: SparkSession, fromVersion: Long)
-      : (Long, DataFrame, Seq[Int]) = {
+    * snapshot. Rows keep the `_bucket` column — it is the consumer's
+    * replacement key. Poll again from the returned version. Downstream
+    * uses: incremental index/materialization rebuilds without tailing
+    * the changelog. */
+  def changesSince(spark: SparkSession, fromVersion: Long): TableChanges = {
     val cur = currentManifest().getOrElse(
-      return (-1L, spark.emptyDataFrame, Seq.empty))
+      return TableChanges(-1L, spark.emptyDataFrame, Seq.empty,
+        fullRefresh = true))
+    val known = fromVersion >= 0 && versions.contains(fromVersion)
     val from: Map[Int, Seq[String]] =
-      if (fromVersion >= 0 && versions.contains(fromVersion))
-        readManifest(fromVersion).files
-      else Map.empty // expired/unknown → full refresh
+      if (known) readManifest(fromVersion).files else Map.empty
     val changed = cur.files.collect {
       case (b, fs) if from.get(b) != Some(fs) => b
     }.toSeq.sorted
     val gone = (from.keySet -- cur.files.keySet).toSeq.sorted
-    // rows KEEP the _bucket column — it is the consumer's upsert key
     val withBucket = currentSchema.map(_.add("_bucket",
       org.apache.spark.sql.types.IntegerType))
     val df =
@@ -657,7 +661,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
           .getOrElse(spark.emptyDataFrame)
       else readBuckets(spark, cur, changed)
-    (cur.version, df, gone)
+    TableChanges(cur.version, df, gone, fullRefresh = !known)
   }
 
   /** Full-contents replacement that PRESERVES the replay high-water mark

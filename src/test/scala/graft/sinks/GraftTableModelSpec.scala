@@ -23,6 +23,32 @@ class GraftTableModelSpec extends SparkSpec {
     var highWater = ""
     var lsn = 0L
 
+    // a downstream materialization maintained ONLY through changesSince
+    // pulls — the CDF-lite consumer contract run differentially against
+    // the same random op stream
+    var followerVersion = -1L
+    val follower = scala.collection.mutable.Map.empty[Long, (String, Int)]
+    var sinceLastPull = 0
+    def pullFollower(step: String): Unit = {
+      val c = t.changesSince(spark, followerVersion)
+      if (c.version < 0) { follower.clear(); followerVersion = -1L; return }
+      val rows =
+        if (c.rows.columns.isEmpty) Array.empty[(Long, String, Int)]
+        else c.rows.select("id", "v", "_bucket")
+          .as[(Long, String, Int)].collect()
+      if (c.fullRefresh) follower.clear()
+      else {
+        val dead = rows.map(_._3).toSet ++ c.goneBuckets
+        follower.filterInPlace { case (_, (_, b)) => !dead.contains(b) }
+      }
+      rows.foreach { case (id, v, b) => follower(id) = (v, b) }
+      followerVersion = c.version
+      val got = follower.map { case (k, (v, _)) => k -> v }.toMap
+      val want = model.map { case (k, r) => k -> r.v }.toMap
+      assert(got == want,
+        s"seed=$seed follower diverged after $step: got=$got want=$want")
+    }
+
     def check(step: String): Unit = {
       val actual = t.read(spark)
       val got =
@@ -30,6 +56,13 @@ class GraftTableModelSpec extends SparkSpec {
         else actual.select("id", "v").as[(Long, String)].collect().toMap
       val want = model.map { case (k, r) => k -> r.v }.toMap
       assert(got == want, s"seed=$seed after $step: got=$got want=$want")
+      // follower pulls on a slower cadence than the writer commits —
+      // diffs span several versions (and sometimes expire past retention)
+      sinceLastPull += 1
+      if (sinceLastPull >= 3 || rnd.nextInt(4) == 0) {
+        sinceLastPull = 0
+        pullFollower(step)
+      }
     }
 
     def seqOf(l: Long) = f"$l%016x/${0L}%016x"

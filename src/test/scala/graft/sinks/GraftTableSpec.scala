@@ -284,19 +284,21 @@ class GraftTableSpec extends SparkSpec {
     val v0 = t.currentVersion.get
     // change ONE key → its bucket only
     t.merge(batch((1L, "v1b", "U", 10L)))
-    val (v1, diff1, gone1) = t.changesSince(spark, v0)
-    assert(v1 == v0 + 1 && gone1.isEmpty)
-    val touched = diff1.select("_bucket").distinct().as[Int].collect().toSet
+    val c1 = t.changesSince(spark, v0)
+    assert(c1.version == v0 + 1 && c1.goneBuckets.isEmpty && !c1.fullRefresh)
+    val touched = c1.rows.select("_bucket").distinct().as[Int].collect().toSet
     assert(touched.size < 4, s"diff returned $touched — not bucket-pruned")
     // the diff contains the changed key's new value (plus its bucket peers)
-    assert(diff1.filter($"id" === 1L).select("v").as[String].head() == "v1b")
+    assert(c1.rows.filter($"id" === 1L).select("v").as[String].head() == "v1b")
     // catching up from the current version is an empty diff, schema intact
-    val (v2, diff2, gone2) = t.changesSince(spark, v1)
-    assert(v2 == v1 && diff2.isEmpty && gone2.isEmpty)
-    assert(diff2.columns.contains("_bucket"))
-    // an expired from-version degrades to a full refresh
-    val (_, full, _) = t.changesSince(spark, -5L)
-    assert(full.count() == 12)
+    val c2 = t.changesSince(spark, c1.version)
+    assert(c2.version == c1.version && c2.rows.isEmpty &&
+      c2.goneBuckets.isEmpty && !c2.fullRefresh)
+    assert(c2.rows.columns.contains("_bucket"))
+    // an expired from-version is flagged as a full refresh
+    val full = t.changesSince(spark, -5L)
+    assert(full.fullRefresh && full.rows.count() == 12)
+    val v1 = c1.version
     // a bucket whose rows all die is reported as gone
     val allIds = (1L to 12L)
     val bucketOf = t.read(spark).withColumn("_b",
@@ -310,8 +312,7 @@ class GraftTableSpec extends SparkSpec {
     t.merge(dels.toDF("id", "v", "_op", "lsn")
       .withColumn("_seq", format_string("%016x/%016x", col("lsn"), lit(0L)))
       .drop("lsn"))
-    val (_, _, gone3) = t.changesSince(spark, v1)
-    assert(gone3 == Seq(victim))
+    assert(t.changesSince(spark, v1).goneBuckets == Seq(victim))
   }
 
   test("manifest commits are snapshot-atomic: time travel + vacuum expiry") {
