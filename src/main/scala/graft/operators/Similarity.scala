@@ -169,18 +169,26 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int = 12, nTables: Int = 4): DataFrame = {
     val tables = (0 until nTables).map { t =>
-      // per-table planes: offset the plane index so tables are independent
-      df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        lit(t).as("tbl"),
+      // per-table planes: offset the plane index so tables are independent.
+      // Vectors are projected OUT before the bucket join: the candidate
+      // pipeline (join + dedup) shuffles only (tbl, bucket, id) triples —
+      // at 100 TB the embedding payload moves exactly twice, in the two
+      // id-keyed verify joins below (same shape as minhashLshPairs).
+      df.select(col(idCol).as("id"), lit(t).as("tbl"),
         hyperplaneSig(col(vecCol), nPlanes, t * nPlanes).as("bucket"))
     }
     val banded = tables.reduce(_ unionByName _)
-    val a = banded.select(col("id").as("id_a"), col("vec").as("vec_a"),
-      col("tbl"), col("bucket"))
-    val b = banded.select(col("id").as("id_b"), col("vec").as("vec_b"),
-      col("tbl"), col("bucket"))
-    a.join(b, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "vec_a", "vec_b").distinct()
+    val a = banded.select(col("id").as("id_a"), col("tbl"), col("bucket"))
+    val b = banded.select(col("id").as("id_b"), col("tbl"), col("bucket"))
+    val candIds = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val vecs = df.select(col(idCol).as("_v_id"), col(vecCol).as("_v_vec"))
+    candIds
+      .join(vecs.withColumnsRenamed(
+        Map("_v_id" -> "id_a", "_v_vec" -> "vec_a")), "id_a")
+      .join(vecs.withColumnsRenamed(
+        Map("_v_id" -> "id_b", "_v_vec" -> "vec_b")), "id_b")
       .withColumn("sim", round(cosine(col("vec_a"), col("vec_b")), 6))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
