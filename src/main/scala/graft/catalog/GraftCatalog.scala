@@ -7,8 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, GraftCatalogBridge, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.InsertableRelation
@@ -156,10 +156,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     changes.collect { case r: TableChange.RenameColumn => r }.foreach { r =>
       require(!t.keyCols.contains(r.fieldNames().mkString(".")),
         s"cannot rename bucket key ${r.fieldNames().mkString(".")}")
+      // Existing parquet files keep the old column name, and without a
+      // Delta-style name-mapping layer every pre-rename value would
+      // silently read (and on the next bucket rewrite, persist) as NULL.
+      // Rename is therefore only legal while the table holds no data.
+      require(t.currentFiles.isEmpty,
+        s"cannot rename column ${r.fieldNames().mkString(".")}: " +
+          s"${ident.name()} has live data files, which carry the old name " +
+          "(rename is supported on empty tables only)")
     }
     changes.collect { case d: TableChange.DeleteColumn => d }.foreach { d =>
       require(!t.keyCols.contains(d.fieldNames().mkString(".")),
         s"cannot drop bucket key ${d.fieldNames().mkString(".")}")
+    }
+    changes.collect { case u: TableChange.UpdateColumnType => u }.foreach { u =>
+      // hash(5:INT) != hash(5L:BIGINT): retyping a bucket key re-routes
+      // every existing key to a different bucket, breaking merge/DELETE
+      // pruning — same class of hazard as renaming/dropping a key
+      require(!t.keyCols.contains(u.fieldNames().mkString(".")),
+        s"cannot change the type of bucket key ${u.fieldNames().mkString(".")}" +
+          " (bucket routing is type-sensitive)")
     }
     t.evolveSchema(cur =>
       GraftCatalogBridge.applySchemaChanges(cur, changes.toSeq))
@@ -227,6 +243,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       cascade: Boolean): Boolean = {
     val dir = Paths.get(root, namespace: _*)
     if (!Files.isDirectory(dir)) return false
+    // a table dir is not a namespace (mirrors namespaceExists): without
+    // this, DROP NAMESPACE … CASCADE aimed at a table path would delete
+    // the table while reporting a namespace drop
+    if (isTableDir(dir)) throw new NoSuchNamespaceException(
+      (catalogName +: namespace).toSeq)
     if (!cascade) {
       val st = Files.list(dir)
       val empty = try !st.iterator().hasNext finally st.close()
@@ -244,11 +265,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * filter/column pushdown, row-group skipping on the key-sorted files);
   * writes go through the V1 fallback into the manifest commit protocol
   * (INSERT INTO → append snapshot, INSERT OVERWRITE/TRUNCATE → reload).
-  */
+  *
+  * The physical `_bucket=N` layout is surfaced as a `_bucket` PARTITION
+  * column on the parquet delegation (hidden from `SELECT *` — the table
+  * schema stays data-only; it is a [[SupportsMetadataColumns metadata
+  * column]]). That makes `_bucket` the row-level-operation GROUP id:
+  * Spark's `RowLevelOperationRuntimeGroupFiltering` sees a scan whose
+  * runtime filter attribute is `_bucket`, computes the matching groups
+  * with a dynamic-pruning subquery (works for UPDATE's static WHERE *and*
+  * MERGE's join condition), prunes the scan to those buckets, and the
+  * commit replaces exactly the scanned buckets via
+  * [[GraftTable.replaceBuckets]] — a single-row UPDATE rewrites one
+  * bucket, not 100 TB. */
 final class GraftSqlTable(val table: GraftTable, fullName: String,
     pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
   import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
   import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 
@@ -273,14 +305,48 @@ final class GraftSqlTable(val table: GraftTable, fullName: String,
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 
+  /** `_bucket` (INT): the storage-group id of a row. An empty table has
+    * no files to infer the partition column from, so it exposes none —
+    * [[requiredMetadataAttributes]] mirrors this. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    if (liveFiles.isEmpty) Array.empty
+    else Array(GraftSqlTable.BucketColumn)
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val spark = SparkSession.active
-    // recursiveFileLookup: the file list is explicit leaf files — disable
-    // partition discovery so the physical _bucket=N layout stays internal
+    // basePath: the explicit leaf-file list is partition-discovered
+    // against the data dir, so `_bucket=N` becomes a partition column.
+    // Normal reads never see it (column pruning drops it unless the
+    // metadata column is referenced); row-level operations use it as the
+    // replacement-group id and get partition-pruned scans for free.
+    val files = liveFiles
+    val extra = // empty file list: nothing to partition-discover against
+      if (files.isEmpty) Map("recursiveFileLookup" -> "true")
+      else Map("basePath" -> s"${table.root}/data")
     val opts = new CaseInsensitiveStringMap(
-      (options.asScala ++ Map("recursiveFileLookup" -> "true")).asJava)
-    ParquetTable(fullName, spark, opts, liveFiles,
+      (options.asScala ++ extra).asJava)
+    ParquetTable(fullName, spark, opts, files,
       Some(schema()), classOf[ParquetFileFormat]).newScanBuilder(opts)
+  }
+
+  /** Plan a fresh (unpruned-columns) scan over only `buckets`' live
+    * files, for the runtime group filter. None = those buckets hold no
+    * files (the caller plans an empty scan instead — zero files cannot
+    * partition-infer `_bucket` and would change the scan schema). */
+  private def prunedScan(buckets: Seq[Int],
+      options: CaseInsensitiveStringMap): Option[Scan] = {
+    val byBucket = table.currentFilesByBucket
+    val files = buckets.flatMap(byBucket.getOrElse(_, Nil))
+    if (files.isEmpty) None
+    else {
+      val spark = SparkSession.active
+      val opts = new CaseInsensitiveStringMap(
+        (options.asScala ++
+          Map("basePath" -> s"${table.root}/data")).asJava)
+      Some(ParquetTable(s"$fullName-groups", spark, opts, files,
+        Some(schema()), classOf[ParquetFileFormat]).newScanBuilder(opts)
+        .build())
+    }
   }
 
   /** V1 source Filter → Column, for the subset SQL DELETE pushes down.
@@ -330,16 +396,25 @@ final class GraftSqlTable(val table: GraftTable, fullName: String,
 
   /** SQL `UPDATE` / `MERGE INTO` via group-based (copy-on-write)
     * row-level operations: Spark's rewrite rules read the table through
-    * the operation's scan, apply the edits, and hand the COMPLETE
-    * replacement contents to the operation's write. The scan is the same
-    * native parquet delegation as normal reads; the write stages the
-    * replacement as plain parquet via Spark's own parquet BatchWrite
-    * (executor-side, fully distributed), and commit() re-buckets the
-    * staged contents into one snapshot with [[GraftTable.replaceAll]] —
-    * the replay high-water mark survives, the swap is manifest-atomic,
-    * and an abort just deletes the staging dir. (DELETE prefers the
-    * bucket-pruned SupportsDelete path; this is its full-rewrite
-    * fallback and the only path for UPDATE/MERGE.) */
+    * the operation's scan, apply the edits, and hand the complete
+    * replacement contents OF THE SCANNED GROUPS to the operation's write.
+    * The group id is the `_bucket` partition column: this operation asks
+    * for it via [[requiredMetadataAttributes]], and Spark's
+    * `RowLevelOperationRuntimeGroupFiltering` rule then plants a
+    * dynamic-pruning subquery (matching rows → distinct `_bucket`) that
+    * reaches the scan through `SupportsRuntimeFiltering.filter` — the
+    * scan reads ONLY matched buckets, for UPDATE's WHERE and MERGE's ON
+    * condition alike. The write stages the replacement as plain parquet
+    * via Spark's own parquet BatchWrite (executor-side, fully
+    * distributed), and commit() re-buckets the staged contents with
+    * [[GraftTable.replaceBuckets]] over exactly the buckets the runtime
+    * filter selected — untouched buckets carry their files over. When the
+    * runtime filter never fires (no WHERE, group filtering disabled,
+    * empty table), the safe fallback is the full-table
+    * [[GraftTable.replaceAll]]. The replay high-water mark survives, the
+    * swap is manifest-atomic, and an abort just deletes the staging dir.
+    * (DELETE prefers the bucket-pruned SupportsDelete path; this is its
+    * runtime-pruned fallback and the only path for UPDATE/MERGE.) */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
@@ -350,18 +425,34 @@ final class GraftSqlTable(val table: GraftTable, fullName: String,
     () => new RowLevelOperation {
       override def command(): RowLevelOperation.Command = info.command()
 
-      /** Whole table = one replacement group. The scan must NOT accept
-        * data-filter pushdown: Spark pushes the command's condition into
-        * a pushdown-capable row-level scan, and a parquet scan drops
-        * non-matching ROWS — the write would then replace the table with
-        * matches only. A plain build()-only ScanBuilder keeps every row
-        * flowing; the rewrite plan's conditional projection applies the
-        * edits. */
+      /** Buckets the runtime group filter selected; None = the filter
+        * never fired and the write must assume every bucket was scanned.
+        * Written driver-side by [[GraftSqlTable.BucketRecordingScan]]
+        * before the write stage runs, read by commit() after it. */
+      @volatile private var matchedBuckets: Option[Seq[Int]] = None
+
+      /** `_bucket` joins the read relation so the runtime group filter
+        * has an attribute to prune on. Empty table → no partition column
+        * to bind (and nothing to prune). */
+      override def requiredMetadataAttributes(): Array[NamedReference] =
+        if (liveFiles.isEmpty) Array.empty
+        else Array(Expressions.column("_bucket"))
+
+      /** The scan must NOT accept static data-filter pushdown: Spark
+        * pushes the command's condition into a pushdown-capable row-level
+        * scan, and a parquet scan drops non-matching ROWS — the write
+        * would then replace surviving groups with matches only. A
+        * build()-only ScanBuilder keeps every row of a scanned bucket
+        * flowing (the rewrite plan's conditional projection applies the
+        * edits); group-granular pruning arrives at RUNTIME through the
+        * recording wrapper instead. */
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
         val inner = GraftSqlTable.this.newScanBuilder(options)
         new ScanBuilder {
           override def build(): org.apache.spark.sql.connector.read.Scan =
-            inner.build()
+            new GraftSqlTable.BucketRecordingScan(inner.build(),
+              bs => matchedBuckets = Some(bs),
+              bs => prunedScan(bs, options))
         }
       }
 
@@ -370,30 +461,22 @@ final class GraftSqlTable(val table: GraftTable, fullName: String,
         val staging = s"${table.root}/.rowlevel-${java.util.UUID.randomUUID()}"
         val stagingOpts = new CaseInsensitiveStringMap(
           Map("path" -> staging).asJava)
-        // Spark 4 prepends a __row_operation INT column to group-based
-        // replacement rows (RowDeltaUtils.OPERATION_COLUMN) without
-        // widening LogicalWriteInfo.schema; the staging schema carries
-        // it explicitly and commit() strips it (dropping DELETE-marked
-        // rows — group-based plans emit survivors only, so that filter
-        // is defense in depth).
-        val opCol = org.apache.spark.sql.catalyst.util.RowDeltaUtils
-          .OPERATION_COLUMN
-        val extSchema = StructType(
-          org.apache.spark.sql.types.StructField(opCol,
-            org.apache.spark.sql.types.IntegerType, nullable = false) +:
-            w.schema().fields)
-        val extInfo = new LogicalWriteInfo {
-          override def options(): CaseInsensitiveStringMap = w.options()
-          override def queryId(): String = w.queryId()
-          override def schema(): StructType = extSchema
-          override def rowIdSchema(): java.util.Optional[StructType] =
-            w.rowIdSchema()
-          override def metadataSchema(): java.util.Optional[StructType] =
-            w.metadataSchema()
-        }
+        // The staged parquet carries exactly the DATA columns
+        // (LogicalWriteInfo.schema). What Spark hands the physical writer
+        // varies: with metadata attributes requested, ReplaceData's row
+        // projection delivers data-only rows; without them (empty-table
+        // path) the rows arrive RAW as [__row_operation :: data], the
+        // operation column prepended without widening the declared write
+        // schema. [[GraftSqlTable.RowLevelWriterFactory]] dispatches on
+        // row arity, projecting raw rows down to the data columns and
+        // skipping DELETE-marked ones (group-based plans emit survivors
+        // only — defense in depth). The scanned `_bucket` metadata never
+        // reaches storage: it would be stale for key-changing edits, and
+        // commit re-derives buckets from keys.
+        val dataSchema = w.schema()
         val delegate = ParquetTable(s"$fullName-staging", spark, stagingOpts,
-          Seq(staging), Some(extSchema), classOf[ParquetFileFormat])
-          .newWriteBuilder(extInfo).build().toBatch
+          Seq(staging), Some(dataSchema), classOf[ParquetFileFormat])
+          .newWriteBuilder(w).build().toBatch
         def dropStaging(): Unit = {
           val p = Paths.get(staging)
           if (Files.exists(p)) {
@@ -412,17 +495,17 @@ final class GraftSqlTable(val table: GraftTable, fullName: String,
                 delegate.useCommitCoordinator()
               override def createBatchWriterFactory(
                   pi: PhysicalWriteInfo): DataWriterFactory =
-                delegate.createBatchWriterFactory(pi)
+                new GraftSqlTable.RowLevelWriterFactory(
+                  delegate.createBatchWriterFactory(pi), dataSchema)
               override def commit(msgs: Array[WriterCommitMessage]): Unit = {
                 delegate.commit(msgs) // staged parquet now complete
                 try {
-                  import org.apache.spark.sql.functions.{col, lit}
-                  table.replaceAll(
-                    spark.read.schema(extSchema).parquet(staging)
-                      .filter(col(opCol) =!= lit(
-                        org.apache.spark.sql.catalyst.util.RowDeltaUtils
-                          .DELETE_OPERATION))
-                      .drop(opCol))
+                  val replacement =
+                    spark.read.schema(dataSchema).parquet(staging)
+                  matchedBuckets match {
+                    case Some(bs) => table.replaceBuckets(bs, replacement)
+                    case None     => table.replaceAll(replacement)
+                  }
                 } finally dropStaging()
               }
               override def abort(msgs: Array[WriterCommitMessage]): Unit = {
@@ -448,6 +531,116 @@ final class GraftSqlTable(val table: GraftTable, fullName: String,
               if (overwrite || ov) table.overwrite(data)
               else table.append(data)
           }
+      }
+    }
+  }
+}
+
+object GraftSqlTable {
+  /** The storage-group id, surfaced as a connector metadata column so
+    * `SELECT *` stays data-only but row-level operations (and curious
+    * `SELECT _bucket, ...` debugging) can reach it. */
+  object BucketColumn extends MetadataColumn {
+    override def name(): String = "_bucket"
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.IntegerType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "hash-bucket storage group of the row (row-level-operation group id)"
+  }
+
+  /** Executor-side adapter between the shapes Spark feeds a group-based
+    * row-level write and the data-only parquet staging schema. Rows
+    * arrive either already projected to the data columns (when metadata
+    * attributes were requested) or raw as
+    * `[__row_operation :: data (:: metadata)]`; arity tells them apart
+    * (the widths are distinct by construction). Raw rows are projected
+    * down with a codegen'd [[UnsafeProjection]] and DELETE-marked ones
+    * dropped. */
+  private[catalog] final class RowLevelWriterFactory(
+      inner: org.apache.spark.sql.connector.write.DataWriterFactory,
+      dataSchema: StructType)
+      extends org.apache.spark.sql.connector.write.DataWriterFactory {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.connector.write.DataWriter
+
+    private val dataWidth = dataSchema.fields.length
+
+    override def createWriter(partitionId: Int,
+        taskId: Long): DataWriter[InternalRow] = {
+      val w = inner.createWriter(partitionId, taskId)
+      new DataWriter[InternalRow] {
+        import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+        // fields 1..dataWidth of a raw [__row_operation :: data …] row
+        private lazy val dropOp = UnsafeProjection.create(
+          dataSchema.fields.zipWithIndex.map { case (f, i) =>
+            BoundReference(i + 1, f.dataType, f.nullable)
+          }.toIndexedSeq)
+        override def write(row: InternalRow): Unit =
+          if (row.numFields == dataWidth) w.write(row)
+          else if (row.getInt(0) != org.apache.spark.sql.catalyst.util
+              .RowDeltaUtils.DELETE_OPERATION) w.write(dropOp(row))
+        override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
+          w.commit()
+        override def abort(): Unit = w.abort()
+        override def close(): Unit = w.close()
+      }
+    }
+  }
+
+  /** Runtime-group-filtering seam for row-level operations. Spark 4's
+    * FileScan no longer implements [[SupportsRuntimeFiltering]] itself,
+    * so this wrapper provides it: it advertises `_bucket` as the
+    * prunable attribute, and when the group-filter subquery delivers its
+    * `_bucket IN (…)` predicate it (a) records the matched bucket ids
+    * for the operation's commit and (b) swaps the delegate for a fresh
+    * parquet scan planned over ONLY those buckets' files (the manifest
+    * maps bucket → files, so pruning is an O(groups) driver lookup, no
+    * file listing). Runs entirely on the driver (runtime filtering and
+    * partition planning are driver-side), so the callbacks are ordinary
+    * closures. */
+  private[catalog] final class BucketRecordingScan(inner: Scan,
+      record: Seq[Int] => Unit,
+      prune: Seq[Int] => Option[Scan]) extends Scan with SupportsRuntimeFiltering {
+    @volatile private var effective: Scan = inner
+    @volatile private var emptied = false
+
+    override def readSchema(): StructType = inner.readSchema()
+    override def description(): String = inner.description()
+    override def toBatch: Batch =
+      if (emptied) new Batch {
+        override def planInputPartitions()
+            : Array[org.apache.spark.sql.connector.read.InputPartition] =
+          Array.empty
+        override def createReaderFactory()
+            : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+          inner.toBatch.createReaderFactory()
+      }
+      else effective.toBatch
+
+    override def filterAttributes(): Array[NamedReference] =
+      if (inner.readSchema().fieldNames.contains("_bucket"))
+        Array(Expressions.column("_bucket"))
+      else Array.empty
+
+    override def filter(filters: Array[sources.Filter]): Unit = {
+      val buckets = filters.toSeq.collect {
+        case sources.In("_bucket", vs) =>
+          vs.toSeq.collect { case n: Number => n.intValue }
+        case sources.EqualTo("_bucket", n: Number) => Seq(n.intValue)
+      }
+      // Invariant: the commit replaces exactly the groups the scan
+      // produced. Prune ONLY when every predicate is an understood
+      // _bucket predicate we also recorded; anything else is suppressed
+      // so the scan stays whole-table and the commit's replaceAll
+      // fallback stays correct.
+      if (filters.nonEmpty && buckets.size == filters.length) {
+        val bs = buckets.flatten.distinct.sorted
+        record(bs)
+        prune(bs) match {
+          case Some(s) => effective = s
+          case None    => emptied = true // no live files in matched buckets
+        }
       }
     }
   }

@@ -213,8 +213,14 @@ final class CdcPipeline(
             struct(col("_commit_lsn"), col("_tx_ordinal")))).as("trunc"),
           max(col("_commit_lsn")).as("maxLsn"),
           // collect_list drops nulls → exactly the R payloads (metadata-
-          // scale: DDL records, never data volume)
-          collect_list(when(col("_op") === "R", col("after"))).as("rps"),
+          // scale: DDL records, never data volume). The ordinal rides
+          // along because collect_list has NO cross-partition ordering
+          // guarantee: two Relation records for one (table, schema_lsn)
+          // in one tx must replay in tx order or the wrong schema
+          // version wins registry.put.
+          collect_list(when(col("_op") === "R",
+            struct(col("_tx_ordinal").as("o"), col("after").as("p"))))
+            .as("rps"),
           max((if (hasMissingCol) col("_missing").isNotNull
                else lit(false)).cast("int")).as("hasMask"),
           sum(when(col("_op") =!= "R" && col("_op") =!= "T", 1L)
@@ -227,7 +233,10 @@ final class CdcPipeline(
       val meta = metaRows.map { r =>
         GroupMeta(r.getLong(0), r.getLong(1),
           Option(r.getStruct(2)).map(t => (t.getLong(0), t.getLong(1))),
-          r.getLong(3), r.getSeq[String](4), r.getInt(5) > 0, r.getLong(6))
+          r.getLong(3),
+          r.getSeq[org.apache.spark.sql.Row](4)
+            .sortBy(_.getLong(0)).map(_.getString(1)),
+          r.getInt(5) > 0, r.getLong(6))
       }.toSeq
 
       // DDL capture (S5): Relation control records carry the new schema

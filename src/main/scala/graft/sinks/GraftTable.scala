@@ -85,6 +85,13 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       .map(m => org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
   def currentFiles: Seq[String] =
     currentManifest().map(_.allFiles.map(resolved)).getOrElse(Nil)
+  /** Live files grouped by bucket (resolved paths) — the group-pruned
+    * read surface for row-level operations and bucket-incremental
+    * consumers. */
+  def currentFilesByBucket: Map[Int, Seq[String]] =
+    currentManifest()
+      .map(_.files.map { case (b, fs) => b -> fs.map(resolved) })
+      .getOrElse(Map.empty)
   /** Same surfaces for a PINNED snapshot (catalog `VERSION AS OF`). */
   def schemaOf(version: Long): Option[org.apache.spark.sql.types.StructType] = {
     val m = readManifest(version)
@@ -676,6 +683,33 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     publish(Manifest(nextVersion,
       current.map(_.highWater).getOrElse(""), files,
       nextSchemaDdl(current, Map.empty, df.schema)))
+  }
+
+  /** Group-replacement commit for SQL row-level operations (UPDATE /
+    * MERGE INTO via Spark's group-based rewrite): `df` is the COMPLETE
+    * new contents of `buckets` — survivors plus edits — and those buckets'
+    * old files are dropped; every other bucket carries over untouched.
+    * Rows of `df` that hash OUTSIDE `buckets` (MERGE `NOT MATCHED` inserts,
+    * UPDATEs that change a key column) are APPENDED to their home buckets
+    * — key-safe because a not-matched insert's key exists nowhere and a
+    * moved key's old row was just rewritten out of its matched bucket.
+    * The replay high-water survives (row edits are not CDC events) and
+    * the pinned schema evolves like [[replaceAll]]. One snapshot commit.
+    * (The DuckLake row-level mutation shape, reference
+    * crates/etl-destinations/src/ducklake/batches.rs:168-213 — at 100 TB
+    * a single-row UPDATE rewrites one bucket, not the table.) */
+  def replaceBuckets(buckets: Seq[Int], df: DataFrame): Unit = {
+    val current = effectiveManifest()
+    val bset = buckets.toSet
+    val files = writeDataFiles(df.withColumn("_bucket", bucketExpr),
+      math.min(nBuckets, math.max(1, buckets.size)))
+    val curFiles = current.map(_.files).getOrElse(Map.empty)
+    val carried = curFiles -- bset
+    val next = (carried.keySet ++ files.keySet).map { b =>
+      b -> (carried.getOrElse(b, Nil) ++ files.getOrElse(b, Nil))
+    }.filter(_._2.nonEmpty).toMap
+    publish(Manifest(nextVersion, current.map(_.highWater).getOrElse(""),
+      next, nextSchemaDdl(current, carried, df.schema)))
   }
 
   /** SQL DELETE FROM … WHERE cond: rewrite ONLY the buckets holding

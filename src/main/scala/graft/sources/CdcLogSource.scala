@@ -434,33 +434,69 @@ final class CdcLogReaderFactory extends PartitionReaderFactory {
         if (size == p.stampSize && p.stampMtime >= 0 &&
             Files.getLastModifiedTime(f).toMillis != p.stampMtime) return None
         if (p.fromPos == p.toPos) return Some(Vector.empty)
-        val pre = if (p.fromPos > 0) 1 else 0 // 1 byte to check alignment
+        // Stream the window in bounded chunks: an allAvailable catch-up
+        // after a long pause can plan a multi-GiB window, and a single
+        // (toPos − fromPos).toInt allocation would overflow Int (or pin
+        // the whole window in one executor buffer). Memory here is
+        // O(chunk + one line), same shape as the planner's chunked
+        // indexer.
+        val chunkBytes = 64 << 20
+        val out = Vector.newBuilder[Array[String]]
+        def addLine(line: String): Boolean = { // false = not our window
+          if (line.isEmpty) return true
+          val t = line.split("\t", -1)
+          if (t.length < 8) return false
+          val k = try { (t(0).toLong, t(1).toLong) }
+            catch { case _: NumberFormatException => return false }
+          if (!(LsnOffset.lt((p.fromLsn, p.fromOrd), k) &&
+              !LsnOffset.lt((p.toLsn, p.toOrd), k))) return false
+          out += t; true
+        }
         val chan = java.nio.channels.FileChannel.open(f,
           java.nio.file.StandardOpenOption.READ)
-        val bytes = try {
-          val buf =
-            java.nio.ByteBuffer.allocate((p.toPos - p.fromPos).toInt + pre)
-          chan.position(p.fromPos - pre)
-          var n = 0
-          while (n < buf.capacity()) {
-            val r = chan.read(buf); if (r < 0) n = buf.capacity() else n += r
+        try {
+          def readAt(off: Long, len: Int): Array[Byte] = {
+            val buf = java.nio.ByteBuffer.allocate(len)
+            chan.position(off)
+            var n = 0
+            while (n < len) {
+              val r = chan.read(buf); if (r < 0) n = len else n += r
+            }
+            buf.array()
           }
-          buf.array()
+          if (p.fromPos > 0 && // torn start?
+              readAt(p.fromPos - 1, 1)(0) != '\n'.toByte) return None
+          var pos = p.fromPos
+          // bytes of a line spanning a chunk boundary (carried forward)
+          val carry = new java.io.ByteArrayOutputStream()
+          while (pos < p.toPos) {
+            val len = math.min(chunkBytes.toLong, p.toPos - pos).toInt
+            val bytes = readAt(pos, len)
+            var from = 0
+            var nl = bytes.indexOf('\n'.toByte)
+            while (nl >= 0) {
+              val line =
+                if (carry.size() == 0)
+                  new String(bytes, from, nl - from, StandardCharsets.UTF_8)
+                else {
+                  carry.write(bytes, from, nl - from)
+                  val s = carry.toString(StandardCharsets.UTF_8)
+                  carry.reset(); s
+                }
+              if (!addLine(line)) return None
+              from = nl + 1
+              nl = {
+                var i = from
+                while (i < bytes.length && bytes(i) != '\n'.toByte) i += 1
+                if (i < bytes.length) i else -1
+              }
+            }
+            if (from < bytes.length) carry.write(bytes, from, bytes.length - from)
+            pos += len
+          }
+          if (carry.size() > 0) return None // torn end (no final newline)
+          Some(out.result())
         } finally chan.close()
-        if (pre == 1 && bytes(0) != '\n'.toByte) return None // torn start
-        if (bytes(bytes.length - 1) != '\n'.toByte) return None // torn end
-        val out = Vector.newBuilder[Array[String]]
-        for (line <- new String(bytes, pre, bytes.length - pre,
-            StandardCharsets.UTF_8).split("\n", -1) if line.nonEmpty) {
-          val t = line.split("\t", -1)
-          if (t.length < 8) return None
-          val k = try { (t(0).toLong, t(1).toLong) }
-            catch { case _: NumberFormatException => return None }
-          if (!(LsnOffset.lt((p.fromLsn, p.fromOrd), k) &&
-              !LsnOffset.lt((p.toLsn, p.toOrd), k))) return None
-          out += t
-        }
-        Some(out.result())
       }
 
       private val lines: Iterator[Array[String]] = {

@@ -177,6 +177,55 @@ class GraftCatalogSpec extends SparkSpec {
     assert(leftovers == 0)
   }
 
+  test("UPDATE / MERGE rewrite only matched buckets (runtime group filter)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.grp")
+    spark.sql("""CREATE TABLE cat.grp.t (id BIGINT, v STRING)
+                 PARTITIONED BY (bucket(8, id))""")
+    spark.sql("INSERT INTO cat.grp.t SELECT id, concat('v', id) FROM range(64)")
+    val t = GraftTable.open(s"$root/grp/t")
+    def filesByBucket(): Map[Int, Set[String]] =
+      t.filesOf(t.currentVersion.get)
+        .groupBy(f => f.split("_bucket=")(1).split("/")(0).toInt)
+        .view.mapValues(_.toSet).toMap
+    val before = filesByBucket()
+    assert(before.size > 4, s"want a multi-bucket table, got ${before.size}")
+
+    // UPDATE one key: only that key's bucket may be rewritten
+    spark.sql("UPDATE cat.grp.t SET v = 'updated' WHERE id = 7")
+    val afterUpdate = filesByBucket()
+    val changedU = before.keySet.filter(b =>
+      before(b) != afterUpdate.getOrElse(b, Set.empty[String]))
+    assert(changedU.size == 1,
+      s"UPDATE WHERE id=7 rewrote buckets $changedU (want exactly 1)")
+    assert(spark.sql("SELECT v FROM cat.grp.t WHERE id = 7")
+      .as[String].head() == "updated")
+    assert(spark.sql("SELECT count(*) FROM cat.grp.t").as[Long].head() == 64L)
+
+    // MERGE with matched update + not-matched insert: matched bucket is
+    // rewritten; the insert APPENDS to its home bucket (no other rewrite)
+    spark.sql("SELECT * FROM VALUES (3L, 'merged'), (900L, 'new') AS s(id, v)")
+      .createOrReplaceTempView("grp_src")
+    spark.sql("""MERGE INTO cat.grp.t USING grp_src ON cat.grp.t.id = grp_src.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    val afterMerge = filesByBucket()
+    val rewritten = afterUpdate.keySet.filter(b =>
+      afterMerge.get(b).forall(now =>
+        !afterUpdate(b).forall(now.contains))) // lost an old file = rewritten
+    assert(rewritten.size <= 2,
+      s"MERGE on 2 keys rewrote buckets $rewritten (want ≤ 2)")
+    assert(spark.sql("SELECT v FROM cat.grp.t WHERE id = 3")
+      .as[String].head() == "merged")
+    assert(spark.sql("SELECT v FROM cat.grp.t WHERE id = 900")
+      .as[String].head() == "new")
+    assert(spark.sql("SELECT count(*) FROM cat.grp.t").as[Long].head() == 65L)
+    // strictly: every bucket neither matched nor inserted-into is untouched
+    val touched = rewritten ++ afterMerge.keySet.filter(b =>
+      afterMerge(b) != afterUpdate.getOrElse(b, Set.empty[String]))
+    assert(touched.size <= 2,
+      s"MERGE touched buckets $touched (want ≤ 2: one matched + one insert)")
+  }
+
   test("rename + drop + namespace listing") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.life")
     spark.sql("""CREATE TABLE cat.life.t1 (id BIGINT)
@@ -190,6 +239,38 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SHOW NAMESPACES IN cat").collect()
       .map(_.getString(0)).contains("life"))
     spark.sql("DROP NAMESPACE cat.life")
+  }
+
+  test("ALTER guards: key retype, rename-with-data, namespace-vs-table drop") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.guard")
+    spark.sql("""CREATE TABLE cat.guard.t (id INT, v STRING)
+                 PARTITIONED BY (bucket(4, id))""")
+    // retyping the bucket key would re-route every existing key
+    // (hash(5:INT) != hash(5L:BIGINT)) — refused even on empty tables
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE cat.guard.t ALTER COLUMN id TYPE BIGINT")
+    }
+    assert(e1.getMessage.contains("bucket key"), e1.getMessage)
+    // non-key retype on an empty table is fine; rename on an EMPTY table
+    // is fine (no files carry the old name)
+    spark.sql("ALTER TABLE cat.guard.t ALTER COLUMN v TYPE STRING")
+    spark.sql("ALTER TABLE cat.guard.t RENAME COLUMN v TO w")
+    assert(spark.sql("SELECT w FROM cat.guard.t").count() == 0)
+
+    spark.sql("INSERT INTO cat.guard.t VALUES (1, 'x')")
+    // with live data files the old name lives in parquet: a rename would
+    // silently null every pre-rename value — refused
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE cat.guard.t RENAME COLUMN w TO u")
+    }
+    assert(e2.getMessage.contains("live data files"), e2.getMessage)
+    assert(spark.sql("SELECT w FROM cat.guard.t").as[String].head() == "x")
+
+    // DROP NAMESPACE aimed at a TABLE path must not delete the table
+    intercept[Exception] {
+      spark.sql("DROP NAMESPACE cat.guard.t CASCADE")
+    }
+    assert(spark.sql("SELECT count(*) FROM cat.guard.t").as[Long].head() == 1L)
   }
 
   test("CREATE TABLE with keys/buckets properties instead of a transform") {
