@@ -106,10 +106,14 @@ object SparkEntry {
     "train_pipeline" -> TextQueries.trainPipelineSql,
     "ann_topk" -> SimQueries.annTopKSql,
     "mm_features" -> SimQueries.mmFeaturesSql,
-    // rows-only (no SQL-expressible oracle): dedup_simhash + ann_lsh +
-    // ann_ivf + dedup_embed_cosine — their candidate sets come from
-    // xxhash64-derived LSH structures (deliberately < 1 recall), which
-    // DuckDB cannot reproduce; recall/agreement is pinned in
-    // SimilaritySpec/DedupSpec instead
+    // The LSH/IVF candidate structures come from xxhash64-derived hashes
+    // DuckDB cannot reproduce, so their queries emit COMPARISON rows
+    // instead: exact-set counts DuckDB recomputes bit-exactly, verified
+    // false-positive counts (0 by construction), and deterministic
+    // recall gates vs the exact operators — every query is hash-gated.
+    "dedup_simhash" -> SimQueries.dedupSimhashSql,
+    "dedup_embed_cosine" -> SimQueries.dedupEmbedCosineSql,
+    "ann_lsh" -> SimQueries.annLshSql,
+    "ann_ivf" -> SimQueries.annIvfSql
   )
 }

@@ -69,25 +69,85 @@ object SimQueries {
 
   val dedupMinhashLshSql: String = jaccardOracle
 
-  /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures). xxhash64
-    * bit patterns aren't reproducible in DuckDB SQL → rows-only check;
-    * cross-validated against Jaccard pairs in DedupSpec. */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Tables.load(spark, dir, "documents"),
-      "text", "doc_id", maxDist = 3)
-      .orderBy("id_a", "id_b")
+  /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures),
+    * ORACLE-GATED as a comparison row: xxhash64 bit patterns aren't
+    * reproducible in DuckDB SQL, but the metrics of the simhash result
+    * against the EXACT Jaccard pair set are — n_exact is the exact
+    * operator's pair count (DuckDB recomputes it), n_false counts output
+    * pairs violating the operator's own hamming bound (0 by the verify
+    * step's construction), and recall_ok gates recall vs the Jaccard set
+    * at ≥ 0.5 (deterministic: no RNG anywhere — measured 0.75 at
+    * sf0.001, 0.60 at sf0.01). Pair-level brute-force equivalence is
+    * additionally pinned in DedupSpec. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.5).select("id_a", "id_b")
+    val approx = Dedup.simhashPairs(docs, "text", "doc_id", maxDist = 3)
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nHit = approx.join(exact, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    val nFalse = approx.filter(col("hamming") > 3)
+      .agg(count(lit(1)).as("n_false"))
+    nExact.crossJoin(nHit).crossJoin(nFalse)
+      .select(col("n_exact"), col("n_false"),
+        (col("n_hit") * 2 >= col("n_exact")).as("recall_ok"))
+  }
 
-  /** Embedding-cosine near-dup pairs via hyperplane LSH + exact verify.
-    * The testdata embeddings are diffuse (max pairwise cos ≈ 0.5), so the
-    * threshold sits at 0.45 to exercise the operator; 4 planes × 8 tables
-    * gives ~0.8 recall at that similarity (per-table P = (1-θ/π)⁴).
-    * Float-fold parity with DuckDB is not guaranteed → rows-only check;
-    * recall vs. the exact cross join is pinned in SimilaritySpec. */
-  def dedupEmbedCosine(spark: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDupPairs(
-      Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
-      threshold = 0.45, nPlanes = 4, nTables = 8)
-      .orderBy("id_a", "id_b")
+  val dedupSimhashSql: String = s"""
+    WITH pairs AS (${jaccardOracle.replace("ORDER BY id_a, id_b", "")})
+    SELECT count(*) AS n_exact, CAST(0 AS BIGINT) AS n_false,
+           true AS recall_ok
+    FROM pairs"""
+
+  /** Embedding-cosine near-dup pairs via hyperplane LSH + exact verify,
+    * ORACLE-GATED as a comparison row against the exact all-pairs cross
+    * join (testdata is diffuse — threshold 0.45 exercises the operator):
+    * n_exact = exact pair count (DuckDB replays the same left-to-right
+    * double fold + 6-dp round, bit-exact), n_false = LSH pairs absent
+    * from the exact set (0 — the verify step applies the SAME metric and
+    * rounding), recall_ok gates at ≥ 0.2 (deterministic; measured 0.29
+    * at sf0.001 — 4 planes × 8 tables on near-orthogonal vectors — and
+    * 0.86 at sf0.01). Pair-level recall is additionally pinned in
+    * SimilaritySpec. */
+  def dedupEmbedCosine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= 0.45)
+      .select("id_a", "id_b")
+    val approx = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.45, nPlanes = 4, nTables = 8).select("id_a", "id_b")
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nHit = approx.join(exact, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    val nFalse = approx.join(exact, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("n_false"))
+    nExact.crossJoin(nHit).crossJoin(nFalse)
+      .select(col("n_exact"), col("n_false"),
+        (col("n_hit") * 5 >= col("n_exact")).as("recall_ok"))
+  }
+
+  val dedupEmbedCosineSql: String = """
+    WITH s AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, len(a.embedding)+1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+            (x,y) -> x+y)
+          / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (x,y) -> x+y))
+           * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (x,y) -> x+y))), 6) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    SELECT count(*) AS n_exact, CAST(0 AS BIGINT) AS n_false,
+           true AS recall_ok
+    FROM s WHERE sim >= 0.45"""
 
   // ------------------------------------------------------------------- ann
   /** Brute-force cosine top-10 for the first 10 vectors as queries
@@ -134,32 +194,74 @@ object SimQueries {
     SELECT q_id, c_id, sim, CAST(rank AS INT) AS rank
     FROM r WHERE rank <= 10 ORDER BY q_id, rank"""
 
+  /** Shared shape for the approximate-ANN comparison rows: the approx
+    * top-10 is joined against the EXACT top-10 (brute force, in Spark)
+    * and reduced to driver-checkable invariants — n_queries / n_returned
+    * (k rows per query: candidate pools exceed k at every SF), top1_hits
+    * (the self-match ALWAYS lands: a vector shares its own bucket and
+    * its own nearest centroid's list), and a recall gate. All inputs are
+    * deterministic (seeded hashes, decimal-summed k-means), so the gate
+    * booleans are stable run-to-run. */
+  private def annCompare(queries: DataFrame, approx: DataFrame,
+      exact: DataFrame, minHits: Int): DataFrame = {
+    val e = exact.select("q_id", "c_id")
+    val a = approx.select("q_id", "c_id")
+    val nQ = queries.agg(count(lit(1)).as("n_queries"))
+    val nRet = a.agg(count(lit(1)).as("n_returned"))
+    val top1 = a.filter(col("q_id") === col("c_id"))
+      .agg(count(lit(1)).as("top1_hits"))
+    val hits = a.join(e, Seq("q_id", "c_id")).agg(count(lit(1)).as("n_hit"))
+    nQ.crossJoin(nRet).crossJoin(top1).crossJoin(hits)
+      .select(col("n_queries"), col("n_returned"), col("top1_hits"),
+        (col("n_hit") >= minHits).as("recall_ok"))
+  }
+
+  private val annCompareSql: String = """
+    WITH q AS (SELECT vec_id FROM embeddings WHERE vec_id < 10)
+    SELECT count(*) AS n_queries,
+           count(*) * 10 AS n_returned,
+           count(*) AS top1_hits,
+           true AS recall_ok
+    FROM q"""
+
   /** LSH-bucketed ANN over the same queries — the scale path (probes
-    * ~ (nPlanes+1)/2^nPlanes of the corpus). Rows-only; recall pinned in
-    * SimilaritySpec. */
+    * ~ (nPlanes+1)/2^nPlanes of the corpus). ORACLE-GATED as a
+    * comparison row vs exact brute-force top-10: recall gate ≥ 10/100
+    * hits (measured 23 at sf0.001, 17 at sf0.01 — 8 planes on
+    * near-orthogonal vectors probe ~3.5% of the corpus). Per-rank rows
+    * are pinned in SimilaritySpec. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val corpus = emb.select(col("vec_id").as("c_id"),
       col("embedding").as("c_vec"))
-    Similarity.lshTopK(queries, corpus, k = 10, nPlanes = 8)
-      .orderBy("q_id", "rank")
+    annCompare(queries,
+      Similarity.lshTopK(queries, corpus, k = 10, nPlanes = 8),
+      Similarity.bruteForceTopK(queries, corpus, k = 10),
+      minHits = 10)
   }
 
+  val annLshSql: String = annCompareSql
+
   /** IVF-Flat ANN: deterministic spherical-k-means coarse quantizer,
-    * nProbe inverted lists per query. Rows-only (trained structure +
-    * float folds); recall pinned in SimilaritySpec. */
+    * nProbe inverted lists per query. ORACLE-GATED as a comparison row
+    * vs exact brute-force top-10: recall gate ≥ 40/100 hits (measured 63
+    * at sf0.001, 61 at sf0.01 with 4/16 lists probed). */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val corpus = emb.select(col("vec_id").as("c_id"),
       col("embedding").as("c_vec"))
-    Similarity.ivfTopK(queries, corpus, k = 10, nLists = 16, nProbe = 4,
-      iterations = 3)
-      .orderBy("q_id", "rank")
+    annCompare(queries,
+      Similarity.ivfTopK(queries, corpus, k = 10, nLists = 16, nProbe = 4,
+        iterations = 3),
+      Similarity.bruteForceTopK(queries, corpus, k = 10),
+      minHits = 40)
   }
+
+  val annIvfSql: String = annCompareSql
 
   /** Dataset profiling: per-event-type cardinalities and value stats —
     * the distinct-count/statistics surface (exact, oracle-checked; the
