@@ -1,0 +1,384 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+/** Live Postgres logical-replication intake: the streaming-replication
+  * sub-protocol (frontend/backend protocol v3 COPY BOTH mode) spoken
+  * over a plain TCP socket — the layer the reference reaches through its
+  * protocol stack (crates/etl/src/postgres/stream/replication_message.rs;
+  * START_REPLICATION decode loop, keepalive replies, standby status
+  * updates). Framing per the public PostgreSQL protocol documentation:
+  * every backend message is `type(1) + len(4, incl itself) + payload`;
+  * replication traffic rides inside CopyData ('d') with a sub-type byte
+  * — 'w' XLogData (walStart, walEnd, sendTime, pgoutput frame) from the
+  * server, 'k' Primary Keepalive (walEnd, sendTime, replyRequested), and
+  * 'r' Standby Status Update (write/flush/apply LSNs, sendTime,
+  * replyRequested) from the client. Timestamps are microseconds since
+  * 2000-01-01.
+  *
+  * Architecture (Spark-first): Postgres replication is a single ordered
+  * socket stream, so the client is a driver-side intake daemon that
+  * decodes pgoutput frames through [[PgOutput.DecodeSession]] and spools
+  * whole-commit envelope line batches to the change log the DSv2
+  * [[CdcLogSource]] tails — network intake decoupled from the
+  * distributed micro-batch reader, exactly the reference's
+  * socket → apply-loop split (and the standard connector shape: the
+  * cluster never talks to the replication slot directly).
+  *
+  * Status-update policy (replication_message.rs:111-226):
+  *  - write/flush LSNs reported monotonically (never regress);
+  *  - apply LSN = flush LSN (durable == applied for this engine);
+  *  - non-forced updates are THROTTLED: skipped while the flush LSN is
+  *    unchanged and the last update is younger than
+  *    [[ReplicationSocketClient.StatusUpdateIntervalMs]];
+  *  - a keepalive with reply-requested forces an immediate update;
+  *  - an idle stream sends a periodic heartbeat (reply requested) every
+  *    keepalive deadline = max(0.6 × wal_sender_timeout, 100 ms)
+  *    (apply.rs:1493-1497; timeout read via `SHOW wal_sender_timeout`,
+  *    defaulting to 60 s when disabled/unreadable, apply.rs:1106-1129).
+  */
+final class ReplicationSocketClient(
+    host: String,
+    port: Int,
+    slotName: String,
+    publication: String,
+    logPath: String,
+    user: String = "graft",
+    database: String = "postgres",
+    startLsn: Long = 0L,
+    /** Durable flush position to report (the source checkpoint's
+      * progress — [[CdcLogSource]] commit writes `<log>.progress`). */
+    flushLsn: () => Long = () => 0L) {
+  import ReplicationSocketClient._
+
+  // observability for tests/metrics (reference ETL_STATUS_UPDATES_TOTAL)
+  val statusUpdatesSent = new AtomicLong(0)
+  val statusUpdatesSkipped = new AtomicLong(0)
+  val keepalivesReceived = new AtomicLong(0)
+  val framesReceived = new AtomicLong(0)
+  val lastWriteLsn = new AtomicLong(0)
+  @volatile var lastError: Option[Throwable] = None
+
+  private val running = new AtomicBoolean(false)
+  private var socket: Socket = _
+  private var in: DataInputStream = _
+  private var out: DataOutputStream = _
+  private var reader: Thread = _
+  private var heartbeat: Thread = _
+
+  // ----------------------------------------------------------- lifecycle
+  /** Connect, handshake, START_REPLICATION, and spool until [[stop]].
+    * Two daemon threads: a BLOCKING reader (a read timeout mid-message
+    * would tear the framing) and a heartbeat timer enforcing the
+    * keepalive deadline; connection/handshake errors surface
+    * synchronously. */
+  def start(): Unit = {
+    socket = new Socket()
+    socket.connect(new InetSocketAddress(host, port), 10000)
+    socket.setTcpNoDelay(true)
+    in = new DataInputStream(socket.getInputStream)
+    out = new DataOutputStream(socket.getOutputStream)
+    handshake()
+    val deadlineMs = keepAliveDeadlineMs(queryWalSenderTimeoutMs())
+    startReplication()
+    running.set(true)
+    lastUpdateAtMs = nowMs()
+    reader = new Thread(() => receiveLoop(), "graft-replication-reader")
+    reader.setDaemon(true)
+    reader.start()
+    heartbeat = new Thread(() => {
+      // idle heartbeat: the wal sender must hear from us inside its
+      // timeout even when no durable progress happened
+      // (PeriodicKeepAlive, reply requested — reference semantics)
+      while (running.get()) {
+        try {
+          Thread.sleep(math.min(deadlineMs / 3 + 1, 100L))
+          if (running.get() && nowMs() - lastUpdateAtMs >= deadlineMs)
+            sendStatusUpdate(force = true, requestReply = true)
+        } catch {
+          case _: InterruptedException => ()
+          case e: Throwable => lastError = Some(e); running.set(false)
+        }
+      }
+    }, "graft-replication-heartbeat")
+    heartbeat.setDaemon(true)
+    heartbeat.start()
+  }
+
+  /** Graceful drain: a final forced status update with reply requested
+    * (the reference's ShutdownFlush), then close. */
+  def stop(): Unit = {
+    running.set(false)
+    try {
+      if (out != null) {
+        sendStatusUpdate(force = true, requestReply = true)
+        out.write('X'); writeInt(out, 4); out.flush() // Terminate
+      }
+    } catch { case _: Throwable => () }
+    if (socket != null) socket.close() // unblocks the reader
+    if (reader != null) reader.join(5000)
+    if (heartbeat != null) { heartbeat.interrupt(); heartbeat.join(5000) }
+  }
+
+  // ----------------------------------------------------------- handshake
+  private def handshake(): Unit = {
+    // StartupMessage (no type byte): len, protocol 3.0, key\0value\0…\0
+    val params = Seq("user" -> user, "database" -> database,
+      "replication" -> "database")
+    val body = new java.io.ByteArrayOutputStream()
+    val b = new DataOutputStream(body)
+    b.writeInt(3 << 16) // protocol 3.0
+    params.foreach { case (k, v) =>
+      b.write(k.getBytes(StandardCharsets.UTF_8)); b.write(0)
+      b.write(v.getBytes(StandardCharsets.UTF_8)); b.write(0)
+    }
+    b.write(0)
+    writeInt(out, 4 + body.size()); out.write(body.toByteArray); out.flush()
+    // AuthenticationOk ('R', code 0) … ReadyForQuery ('Z'). Trust-auth
+    // only: this client targets loopback/test servers; production auth
+    // (SCRAM) rides the same framing and is out of scope here.
+    var ready = false
+    while (!ready) {
+      val (t, payload) = readMessage()
+      t match {
+        case 'R' =>
+          val code = ByteBuffer.wrap(payload).getInt
+          require(code == 0, s"unsupported auth request code $code " +
+            "(client supports trust auth)")
+        case 'Z' => ready = true
+        case 'E' => throw new java.io.IOException(
+          s"server error during handshake: ${errorMessage(payload)}")
+        case _ => () // ParameterStatus / BackendKeyData — informational
+      }
+    }
+  }
+
+  /** `SHOW wal_sender_timeout` via a simple query; None = disabled or
+    * unreadable (reference falls back to 60 s, apply.rs:1113-1129). */
+  private def queryWalSenderTimeoutMs(): Option[Long] = {
+    try {
+      simpleQuery("SHOW wal_sender_timeout")
+      var value: Option[String] = None
+      var ready = false
+      while (!ready) {
+        val (t, payload) = readMessage()
+        t match {
+          case 'D' => // DataRow: int16 ncols, (int32 len, bytes)*
+            val buf = ByteBuffer.wrap(payload)
+            if (buf.getShort >= 1) {
+              val len = buf.getInt
+              if (len >= 0) {
+                val bytes = new Array[Byte](len); buf.get(bytes)
+                value = Some(new String(bytes, StandardCharsets.UTF_8))
+              }
+            }
+          case 'Z' => ready = true
+          case 'E' => // unreadable → heuristic default; resync to ready
+            value = None; drainUntilReady(); ready = true
+          case _ => ()
+        }
+      }
+      value.flatMap(parsePgDurationMs).filter(_ > 0)
+    } catch { case _: Throwable => None }
+  }
+
+  private def startReplication(): Unit = {
+    val lsn = formatLsn(startLsn)
+    simpleQuery(s"""START_REPLICATION SLOT "$slotName" LOGICAL $lsn """ +
+      s"""(proto_version '1', publication_names '$publication')""")
+    val (t, payload) = readMessage()
+    t match {
+      case 'W' => () // CopyBothResponse — streaming begins
+      case 'E' => throw new java.io.IOException(
+        // slot gone/invalidated → the ST10 onMissingOffset path upstream
+        s"START_REPLICATION refused: ${errorMessage(payload)}")
+      case other => throw new java.io.IOException(
+        s"expected CopyBothResponse, got '${other.toChar}'")
+    }
+  }
+
+  // --------------------------------------------------------- receive loop
+  private def receiveLoop(): Unit = {
+    val session = new PgOutput.DecodeSession
+    val pending = scala.collection.mutable.ArrayBuffer.empty[String]
+    var inTx = false
+    try {
+      while (running.get()) {
+        readMessage() match {
+          case ('d', payload) =>
+            payload(0) match {
+              case 'w' =>
+                val buf = ByteBuffer.wrap(payload, 1, payload.length - 1)
+                buf.getLong // walStart
+                val walEnd = buf.getLong
+                buf.getLong // sendTime
+                val frame = new Array[Byte](buf.remaining()); buf.get(frame)
+                framesReceived.incrementAndGet()
+                monotonicMax(lastWriteLsn, walEnd)
+                frame(0).toChar match {
+                  case 'B' => inTx = true
+                  case 'C' => inTx = false
+                  case _   => ()
+                }
+                pending ++= session.onFrame(frame)
+                // whole-commit appends only: the log's boundary bit and
+                // the windowed reader both assume a flush never tears a
+                // transaction
+                if (!inTx && pending.nonEmpty) {
+                  appendToLog(pending.toSeq); pending.clear()
+                  sendStatusUpdate(force = false, requestReply = false)
+                }
+              case 'k' =>
+                val buf = ByteBuffer.wrap(payload, 1, payload.length - 1)
+                val walEnd = buf.getLong
+                buf.getLong // sendTime
+                val replyRequested = buf.get() == 1
+                keepalivesReceived.incrementAndGet()
+                monotonicMax(lastWriteLsn, walEnd)
+                if (replyRequested) // reference KeepAlive: reply, no echo
+                  sendStatusUpdate(force = true, requestReply = false)
+              case _ => () // unknown sub-message: ignore (fwd-compat)
+            }
+          case ('E', payload) =>
+            throw new java.io.IOException(
+              s"replication error: ${errorMessage(payload)}")
+          case ('c', _) => // CopyDone — server ended the stream
+            running.set(false)
+          case _ => () // NoticeResponse etc.
+        }
+      }
+    } catch {
+      case e: EOFException => lastError = Some(e); running.set(false)
+      case e: Throwable if running.get() =>
+        lastError = Some(e); running.set(false)
+      case _: Throwable => ()
+    }
+  }
+
+  // ------------------------------------------------------- status updates
+  @volatile private var lastUpdateAtMs = 0L
+  private var reportedWrite = 0L
+  private var reportedFlush = 0L
+
+  private def sendStatusUpdate(force: Boolean, requestReply: Boolean): Unit =
+    synchronized {
+      // monotonic: never report a regressing position
+      val write = math.max(lastWriteLsn.get(), reportedWrite)
+      val flush = math.max(flushLsn(), reportedFlush)
+      if (!force && flush == reportedFlush &&
+          nowMs() - lastUpdateAtMs < StatusUpdateIntervalMs) {
+        statusUpdatesSkipped.incrementAndGet()
+        return
+      }
+      val body = ByteBuffer.allocate(1 + 8 * 4 + 1)
+      body.put('r'.toByte)
+      body.putLong(write)
+      body.putLong(flush)
+      body.putLong(flush) // apply = flush: durable IS applied here
+      body.putLong(pgEpochMicros())
+      body.put(if (requestReply) 1.toByte else 0.toByte)
+      out.write('d'); writeInt(out, 4 + body.capacity())
+      out.write(body.array()); out.flush()
+      statusUpdatesSent.incrementAndGet()
+      lastUpdateAtMs = nowMs()
+      reportedWrite = write
+      reportedFlush = flush
+    }
+
+  // ------------------------------------------------------------ plumbing
+  private def appendToLog(lines: Seq[String]): Unit =
+    Files.write(Paths.get(logPath),
+      (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+
+  private def simpleQuery(sql: String): Unit = {
+    val bytes = sql.getBytes(StandardCharsets.UTF_8)
+    out.write('Q'); writeInt(out, 4 + bytes.length + 1)
+    out.write(bytes); out.write(0); out.flush()
+  }
+
+  private def readMessage(): (Char, Array[Byte]) = {
+    val t = in.readByte().toChar
+    val len = in.readInt()
+    val payload = new Array[Byte](len - 4)
+    in.readFully(payload)
+    (t, payload)
+  }
+
+  private def drainUntilReady(): Unit = {
+    var done = false
+    while (!done) { val (t, _) = readMessage(); if (t == 'Z') done = true }
+  }
+}
+
+object ReplicationSocketClient {
+  /** Min interval between non-forced updates (reference
+    * STATUS_UPDATE_INTERVAL, replication_message.rs:34). */
+  val StatusUpdateIntervalMs = 100L
+  /** Deadline = max(fraction × wal_sender_timeout, floor) — stay well
+    * inside the sender timeout (reference apply.rs:98-116,1493-1497). */
+  val DefaultWalSenderTimeoutMs = 60000L
+  val KeepAliveDeadlineFraction = 0.6
+  val MinKeepAliveDeadlineMs = 100L
+
+  def keepAliveDeadlineMs(walSenderTimeoutMs: Option[Long]): Long =
+    math.max(
+      (walSenderTimeoutMs.getOrElse(DefaultWalSenderTimeoutMs) *
+        KeepAliveDeadlineFraction).toLong,
+      MinKeepAliveDeadlineMs)
+
+  /** Postgres GUC duration ("60s", "1min", "500ms", bare ms). */
+  def parsePgDurationMs(s: String): Option[Long] = {
+    val t = s.trim
+    try {
+      if (t.endsWith("ms")) Some(t.dropRight(2).trim.toLong)
+      else if (t.endsWith("min")) Some(t.dropRight(3).trim.toLong * 60000L)
+      else if (t.endsWith("s")) Some(t.dropRight(1).trim.toLong * 1000L)
+      else if (t.endsWith("h")) Some(t.dropRight(1).trim.toLong * 3600000L)
+      else Some(t.toLong)
+    } catch { case _: NumberFormatException => None }
+  }
+
+  /** XXXXXXXX/XXXXXXXX textual LSN. */
+  def formatLsn(lsn: Long): String =
+    f"${(lsn >>> 32).toInt}%X/${lsn.toInt}%X"
+
+  /** Microseconds since 2000-01-01 (the Postgres epoch). */
+  def pgEpochMicros(): Long =
+    (System.currentTimeMillis() - 946684800000L) * 1000L
+
+  private def nowMs(): Long = System.currentTimeMillis()
+
+  private def monotonicMax(a: AtomicLong, v: Long): Unit = {
+    var cur = a.get()
+    while (v > cur && !a.compareAndSet(cur, v)) cur = a.get()
+  }
+
+  private def writeInt(out: DataOutputStream, v: Int): Unit = out.writeInt(v)
+
+  private def errorMessage(payload: Array[Byte]): String = {
+    // ErrorResponse: (code-byte, cstring)* terminated by 0; 'M' = message
+    val buf = ByteBuffer.wrap(payload)
+    val sb = new StringBuilder
+    var done = false
+    while (!done && buf.hasRemaining) {
+      val code = buf.get()
+      if (code == 0) done = true
+      else {
+        val start = buf.position()
+        while (buf.get() != 0) {}
+        val strBytes = new Array[Byte](buf.position() - start - 1)
+        val save = buf.position()
+        buf.position(start); buf.get(strBytes); buf.position(save)
+        if (code == 'M')
+          sb.append(new String(strBytes, StandardCharsets.UTF_8))
+      }
+    }
+    if (sb.isEmpty) "unknown error" else sb.toString
+  }
+}

@@ -1,0 +1,161 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.{CopyOnWriteArrayList, LinkedBlockingQueue}
+
+/** In-process fake Postgres speaking just enough of the frontend/backend
+  * protocol (v3) to exercise [[ReplicationSocketClient]] end-to-end over
+  * a loopback socket: startup/auth, `SHOW wal_sender_timeout`,
+  * `START_REPLICATION` → COPY BOTH, scripted XLogData/keepalive frames
+  * out, standby status updates recorded in. Protocol layout per the
+  * public PostgreSQL documentation (the same wire format the reference
+  * consumes through its stack, replication_message.rs:89-245). */
+final class FakePgServer(walSenderTimeout: String = "60s") {
+
+  sealed trait Action
+  /** One pgoutput frame wrapped in XLogData at the given WAL position. */
+  final case class Frame(bytes: Array[Byte], walStart: Long, walEnd: Long)
+      extends Action
+  final case class Keepalive(walEnd: Long, replyRequested: Boolean)
+      extends Action
+
+  final case class StatusUpdate(writeLsn: Long, flushLsn: Long,
+      applyLsn: Long, tsMicros: Long, replyRequested: Boolean,
+      atNanos: Long)
+
+  private val script = new LinkedBlockingQueue[Action]()
+  val statusUpdates = new CopyOnWriteArrayList[StatusUpdate]()
+  val queries = new CopyOnWriteArrayList[String]()
+  @volatile var startedStreaming = false
+
+  private var server: ServerSocket = _
+  private var acceptThread: Thread = _
+  @volatile private var running = true
+
+  def enqueue(a: Action*): Unit = a.foreach(script.put)
+
+  def start(): Int = {
+    server = new ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    acceptThread = new Thread(() => {
+      try {
+        val sock = server.accept()
+        serve(sock)
+      } catch { case _: Throwable => () }
+    }, "fake-pg-accept")
+    acceptThread.setDaemon(true)
+    acceptThread.start()
+    server.getLocalPort
+  }
+
+  def stop(): Unit = {
+    running = false
+    if (server != null) server.close()
+  }
+
+  // -------------------------------------------------------------- serving
+  private def serve(sock: Socket): Unit = {
+    sock.setTcpNoDelay(true)
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(sock.getOutputStream)
+
+    // startup (untyped): len, protocol, params. Answer an SSLRequest
+    // (80877103) with 'N' and read the real startup that follows.
+    var len = in.readInt()
+    var proto = in.readInt()
+    if (proto == 80877103) {
+      out.write('N'); out.flush()
+      len = in.readInt(); proto = in.readInt()
+    }
+    in.readFully(new Array[Byte](len - 8)) // parameters (ignored)
+    sendMsg(out, 'R', b => b.putInt(0)) // AuthenticationOk
+    sendMsg(out, 'Z', b => b.put('I'.toByte)) // ReadyForQuery
+
+    while (running) {
+      val t = in.readByte().toChar
+      val mlen = in.readInt()
+      val payload = new Array[Byte](mlen - 4)
+      in.readFully(payload)
+      t match {
+        case 'Q' =>
+          val sql = new String(payload, 0, payload.length - 1,
+            StandardCharsets.UTF_8)
+          queries.add(sql)
+          if (sql.toLowerCase.contains("wal_sender_timeout")) {
+            // RowDescription + DataRow + CommandComplete + ReadyForQuery
+            sendMsg(out, 'T', { b =>
+              b.putShort(1)
+              b.put("wal_sender_timeout".getBytes(StandardCharsets.UTF_8))
+              b.put(0.toByte)
+              b.putInt(0); b.putShort(0); b.putInt(25) // text
+              b.putShort(-1); b.putInt(-1); b.putShort(0)
+            })
+            sendMsg(out, 'D', { b =>
+              val v = walSenderTimeout.getBytes(StandardCharsets.UTF_8)
+              b.putShort(1); b.putInt(v.length); b.put(v)
+            })
+            sendMsg(out, 'C', { b =>
+              b.put("SHOW".getBytes(StandardCharsets.UTF_8)); b.put(0.toByte)
+            })
+            sendMsg(out, 'Z', b => b.put('I'.toByte))
+          } else if (sql.toUpperCase.startsWith("START_REPLICATION")) {
+            sendMsg(out, 'W', b => { b.put(0.toByte); b.putShort(0) })
+            startedStreaming = true
+            // writer: drain the script queue onto the socket
+            val writer = new Thread(() => {
+              try {
+                while (running) {
+                  val a = script.take()
+                  a match {
+                    case Frame(bytes, walStart, walEnd) =>
+                      sendMsg(out, 'd', { b =>
+                        b.put('w'.toByte)
+                        b.putLong(walStart); b.putLong(walEnd)
+                        b.putLong(nowPgMicros())
+                        b.put(bytes)
+                      })
+                    case Keepalive(walEnd, reply) =>
+                      sendMsg(out, 'd', { b =>
+                        b.put('k'.toByte)
+                        b.putLong(walEnd); b.putLong(nowPgMicros())
+                        b.put(if (reply) 1.toByte else 0.toByte)
+                      })
+                  }
+                }
+              } catch { case _: Throwable => () }
+            }, "fake-pg-writer")
+            writer.setDaemon(true)
+            writer.start()
+          } else {
+            sendMsg(out, 'C', { b =>
+              b.put("SELECT 0".getBytes(StandardCharsets.UTF_8))
+              b.put(0.toByte)
+            })
+            sendMsg(out, 'Z', b => b.put('I'.toByte))
+          }
+        case 'd' if payload.nonEmpty && payload(0) == 'r' =>
+          val b = ByteBuffer.wrap(payload, 1, payload.length - 1)
+          statusUpdates.add(StatusUpdate(b.getLong, b.getLong, b.getLong,
+            b.getLong, b.get() == 1, System.nanoTime()))
+        case 'X' => return // Terminate
+        case _ => ()
+      }
+    }
+  }
+
+  private def sendMsg(out: DataOutputStream, t: Char,
+      fill: ByteBuffer => Unit): Unit = out.synchronized {
+    val buf = ByteBuffer.allocate(1 << 16)
+    fill(buf)
+    out.write(t)
+    out.writeInt(4 + buf.position())
+    out.write(buf.array(), 0, buf.position())
+    out.flush()
+  }
+
+  private def nowPgMicros(): Long =
+    (System.currentTimeMillis() - 946684800000L) * 1000L
+}

@@ -1,0 +1,159 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.core.{ColumnSpec, SchemaRegistry, TableSchemaV}
+import graft.pipeline.{CdcPipeline, PipelineConfig}
+import graft.sinks.CurrentStateSink
+import java.nio.file.Files
+
+/** Live-socket intake e2e, mirroring the reference's pipeline tests
+  * against a real replication stream (crates/etl/tests/pipeline.rs) with
+  * an in-process fake Postgres speaking the wire protocol over loopback:
+  * binary pgoutput frames → [[ReplicationSocketClient]] → envelope spool
+  * → DSv2 streaming pipeline → current-state table vs the memory oracle;
+  * keepalive replies + standby-status-update cadence asserted against
+  * the reference's policy (replication_message.rs, apply.rs:1493). */
+class ReplicationClientSpec extends SparkSpec {
+  import PgOutput._
+  import spark.implicits._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  private val usersSchema = TableSchemaV(1L, "users", 0L, IndexedSeq(
+    ColumnSpec("id", "int8", nullable = false, pkOrdinal = 1),
+    ColumnSpec("name", "text"),
+    ColumnSpec("age", "int4")))
+
+  private val usersRelation = Relation(1, "public", "users", 'd', IndexedSeq(
+    RelCol(1, "id", 20, -1), RelCol(0, "name", 25, -1),
+    RelCol(0, "age", 23, -1)))
+
+  private def row(vals: String*): TupleData =
+    vals.map(v => if (v == null) TNull else TText(v)).toIndexedSeq
+
+  private def waitUntil(timeoutMs: Long = 15000)(cond: => Boolean): Unit = {
+    val t0 = System.currentTimeMillis()
+    while (!cond && System.currentTimeMillis() - t0 < timeoutMs)
+      Thread.sleep(20)
+    assert(cond, s"condition not met within ${timeoutMs}ms")
+  }
+
+  test("e2e: fake server → socket client → pipeline → table matches oracle") {
+    val dir = tmp("repl-e2e")
+    val log = s"$dir/wal.log"
+    val server = new FakePgServer(walSenderTimeout = "1s")
+    val port = server.start()
+    @volatile var durableLsn = 0L
+    val client = new ReplicationSocketClient("127.0.0.1", port,
+      "graft_slot", "graft_pub", log, flushLsn = () => durableLsn)
+    try {
+      client.start()
+      waitUntil()(server.startedStreaming)
+      // the client asked for the sender timeout and started the slot
+      assert(server.queries.toArray.exists(
+        _.toString.contains("wal_sender_timeout")))
+      assert(server.queries.toArray.exists { q =>
+        val s = q.toString
+        s.startsWith("START_REPLICATION") && s.contains("graft_slot") &&
+          s.contains("publication_names 'graft_pub'") &&
+          s.contains("proto_version '1'")
+      })
+
+      // tx1: insert ann/bob/cat at commit LSN 100
+      server.enqueue(
+        server.Frame(encode(usersRelation), 90, 90),
+        server.Frame(encode(Begin(100, 0, 7)), 91, 91),
+        server.Frame(encode(Insert(1, row("1", "ann", "30"))), 92, 92),
+        server.Frame(encode(Insert(1, row("2", "bob", "40"))), 93, 93),
+        server.Frame(encode(Insert(1, row("3", "cat", "50"))), 94, 94),
+        server.Frame(encode(Commit(0, 100, 101, 0)), 100, 100),
+        server.Keepalive(150, replyRequested = true))
+      waitUntil()(client.framesReceived.get() == 6 &&
+        client.keepalivesReceived.get() == 1)
+
+      // keepalive with reply-requested → forced status update, write LSN
+      // carried to the keepalive's walEnd, no reply echo requested
+      waitUntil()(server.statusUpdates.toArray.exists { u =>
+        val s = u.asInstanceOf[server.StatusUpdate]
+        s.writeLsn >= 150 && !s.replyRequested && s.tsMicros > 0
+      })
+
+      // tx2: update ann, delete bob at commit LSN 200
+      server.enqueue(
+        server.Frame(encode(Begin(200, 0, 8)), 191, 191),
+        server.Frame(encode(Update(1, Some('K'), Some(row("1")),
+          row("1", "ann2", "31"))), 192, 192),
+        server.Frame(encode(Delete(1, 'K', row("2"))), 193, 193),
+        server.Frame(encode(Commit(0, 200, 201, 0)), 200, 200))
+      waitUntil()(client.framesReceived.get() == 10)
+
+      // spool → DSv2 streaming pipeline → current-state table
+      val registry = new SchemaRegistry
+      registry.put(usersSchema)
+      val sink = new CurrentStateSink(s"$dir/tables", _ => Seq("id"), 4)
+      val pipeline = new CdcPipeline(spark,
+        PipelineConfig(maxRowsPerTrigger = 100, maxFillMs = 50,
+          checkpointDir = s"$dir/ckpt", stateDir = s"$dir/state"),
+        registry, sink, CdcPipeline.jsonDecode)
+      pipeline.stateStore.force(1L, graft.pipeline.TableState.Ready)
+      val q = pipeline.startStream(log)
+      q.processAllAvailable()
+      q.stop()
+      val state = sink.read(spark, "users")
+        .select("id", "name", "age").as[(Long, String, Int)].collect().toSet
+      assert(state == Set((1L, "ann2", 31), (3L, "cat", 50)))
+
+      // durable progress → flush LSN reported (monotonically) within the
+      // keepalive deadline (1 s sender timeout → 600 ms heartbeat)
+      durableLsn = 200L
+      waitUntil()(server.statusUpdates.toArray.exists { u =>
+        val s = u.asInstanceOf[server.StatusUpdate]
+        s.flushLsn == 200L && s.applyLsn == 200L
+      })
+      // write/flush monotonic across every update received
+      val ups = server.statusUpdates.toArray.map(
+        _.asInstanceOf[server.StatusUpdate])
+      assert(ups.sliding(2).forall {
+        case Array(a, b) => b.writeLsn >= a.writeLsn && b.flushLsn >= a.flushLsn
+        case _ => true
+      })
+    } finally {
+      client.stop(); server.stop()
+    }
+  }
+
+  test("idle stream heartbeats inside the keepalive deadline") {
+    val dir = tmp("repl-idle")
+    val server = new FakePgServer(walSenderTimeout = "1s") // deadline 600ms
+    val port = server.start()
+    val client = new ReplicationSocketClient("127.0.0.1", port,
+      "s", "p", s"$dir/wal.log")
+    try {
+      client.start()
+      waitUntil()(server.startedStreaming)
+      val n0 = server.statusUpdates.size()
+      Thread.sleep(1500) // ≥ 2 deadlines, zero traffic
+      val periodic = server.statusUpdates.toArray.drop(n0)
+        .map(_.asInstanceOf[server.StatusUpdate])
+      assert(periodic.count(_.replyRequested) >= 2,
+        s"want ≥2 periodic heartbeats, got ${periodic.mkString(",")}")
+    } finally {
+      client.stop(); server.stop()
+    }
+  }
+
+  test("status-update policy helpers (reference constants)") {
+    import ReplicationSocketClient._
+    assert(parsePgDurationMs("60s").contains(60000L))
+    assert(parsePgDurationMs("1min").contains(60000L))
+    assert(parsePgDurationMs("500ms").contains(500L))
+    assert(parsePgDurationMs("2h").contains(7200000L))
+    assert(parsePgDurationMs("750").contains(750L))
+    assert(parsePgDurationMs("junk").isEmpty)
+    // 0.6 × timeout, floored at 100ms; disabled → 60 s default → 36 s
+    assert(keepAliveDeadlineMs(Some(60000L)) == 36000L)
+    assert(keepAliveDeadlineMs(Some(100L)) == 100L)
+    assert(keepAliveDeadlineMs(None) == 36000L)
+    assert(formatLsn(0x100000002L) == "1/2")
+  }
+}
