@@ -100,6 +100,12 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   }
   def filesOf(version: Long): Seq[String] =
     readManifest(version).allFiles.map(resolved)
+  /** Per-bucket live files (resolved) at a RETAINED version — the
+    * manifest-diff surface the follower stream plans micro-batches
+    * from. */
+  def filesByBucketOf(version: Long): Map[Int, Seq[String]] =
+    readManifest(version).files
+      .map { case (b, fs) => b -> fs.map(resolved) }
   /** Largest retained version whose manifest was committed at or before
     * `tsMillis` (catalog `TIMESTAMP AS OF`): manifest files are written
     * once and never touched, so their mtime IS the commit time. */
@@ -247,7 +253,13 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   private def readFiles(spark: SparkSession, files: Seq[String],
       schemaDdl: String): DataFrame = {
     val paths = files.map(resolved)
-    if (paths.isEmpty) spark.emptyDataFrame
+    if (paths.isEmpty && schemaDdl.nonEmpty)
+      // zero rows under the PINNED schema (post-truncate / fresh CREATE):
+      // downstream projections must still resolve columns
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+    else if (paths.isEmpty) spark.emptyDataFrame
     else if (schemaDdl.nonEmpty)
       spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
         .option("basePath", dataDir).parquet(paths: _*)
@@ -630,7 +642,10 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * (CdcPipeline dataSlice filter), and batches before this one never
     * replay once their checkpoint committed. */
   def truncate(): Unit =
-    publish(Manifest(nextVersion, "", Map.empty))
+    publish(Manifest(nextVersion, "", Map.empty,
+      // the pinned schema survives: an emptied table stays readable
+      // under its declared columns (CREATE-empty contract)
+      effectiveManifest().map(_.schemaDdl).getOrElse("")))
 
   /** One incremental pull's result: apply by REPLACING every bucket that
     * appears in `rows` (its complete new contents are included) and

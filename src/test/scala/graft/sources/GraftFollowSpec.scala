@@ -1,0 +1,85 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sinks.GraftTable
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Streaming consumption of graft tables (`graft-follow`): a follower
+  * table maintained ONLY through checkpointed micro-batches must track
+  * the leader across merges/deletes/truncates, survive kill/restart on
+  * the same checkpoint, and full-refresh after the leader expires the
+  * checkpointed version (slot-invalidation analog). */
+class GraftFollowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  private def contents(t: GraftTable): Set[(Long, String)] =
+    t.read(spark).select("id", "v").as[(Long, String)].collect().toSet
+
+  private def runOnePass(leaderRoot: String, follower: GraftTable,
+      ckpt: String): Unit = {
+    val q = spark.readStream.format("graft-follow")
+      .option("path", leaderRoot).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        GraftFollower.applyBatch(df, follower)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("follower stream tracks leader; kill/restart resumes from version") {
+    val dir = tmp("follow")
+    val leader = new GraftTable(s"$dir/leader", Seq("id"), nBuckets = 8,
+      retainVersions = 10)
+    val follower = new GraftTable(s"$dir/follower", Seq("id"), nBuckets = 8)
+    val ckpt = s"$dir/ckpt"
+
+    leader.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    runOnePass(s"$dir/leader", follower, ckpt)
+    assert(contents(follower) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // merge + delete, then a SECOND pass on the SAME checkpoint (restart):
+    // only the diff is consumed
+    leader.merge(Seq((2L, "b2", "U", "0002"), (3L, "", "D", "0003"))
+      .toDF("id", "v", "_op", "_seq"))
+    leader.deleteWhere(spark, col("id") === 1L)
+    leader.append(Seq((9L, "z")).toDF("id", "v"))
+    runOnePass(s"$dir/leader", follower, ckpt)
+    assert(contents(follower) == Set((2L, "b2"), (9L, "z")))
+    assert(contents(follower) == contents(leader))
+
+    // truncate propagates as tombstones
+    leader.truncate()
+    runOnePass(s"$dir/leader", follower, ckpt)
+    assert(contents(follower).isEmpty)
+  }
+
+  test("expired checkpoint version degrades to one full-refresh batch") {
+    val dir = tmp("follow-exp")
+    // retainVersions=2: history expires fast
+    val leader = new GraftTable(s"$dir/leader", Seq("id"), nBuckets = 4,
+      retainVersions = 2)
+    val follower = new GraftTable(s"$dir/follower", Seq("id"), nBuckets = 4)
+    val ckpt = s"$dir/ckpt"
+
+    leader.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    runOnePass(s"$dir/leader", follower, ckpt)
+    assert(contents(follower) == Set((1L, "a"), (2L, "b")))
+
+    // churn far past retention: the checkpointed version is vacuumed away;
+    // id=2's bucket never changes again, so ONLY a full refresh can
+    // surface the delete of id=1 happening in an expired diff
+    leader.deleteWhere(spark, col("id") === 1L)
+    leader.merge(Seq((4L, "d", "I", "0004")).toDF("id", "v", "_op", "_seq"))
+    leader.merge(Seq((5L, "e", "I", "0005")).toDF("id", "v", "_op", "_seq"))
+    leader.merge(Seq((6L, "f", "I", "0006")).toDF("id", "v", "_op", "_seq"))
+    runOnePass(s"$dir/leader", follower, ckpt)
+    assert(contents(follower) == contents(leader))
+    assert(contents(follower).contains((2L, "b")) &&
+      !contents(follower).exists(_._1 == 1L))
+  }
+}
