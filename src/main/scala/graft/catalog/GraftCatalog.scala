@@ -4,14 +4,13 @@ import java.util.Collections
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, GraftCatalogBridge, SparkSession}
+import org.apache.spark.sql.{GraftCatalogBridge, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsRuntimeFiltering}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, Write, WriteBuilder}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -302,7 +301,7 @@ final class GraftSqlTable(val table: GraftTable, fullName: String,
       "provider" -> "graft").asJava
 
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 
   /** `_bucket` (INT): the storage-group id of a row. An empty table has
@@ -518,25 +517,171 @@ final class GraftSqlTable(val table: GraftTable, fullName: String,
     }
   }
 
+  /** Native DSv2 INSERT INTO / INSERT OVERWRITE: a bucket-aware
+    * BatchWrite. [[GraftSqlTable.GraftInsertWrite]] declares clustered-
+    * by-keys distribution with EXACTLY nBuckets partitions — Spark's
+    * HashPartitioning id expression (pmod(murmur3(keys, 42), n)) is the
+    * table's own bucketExpr, so each task receives exactly one bucket's
+    * rows, key-sorted by the required ordering — and the writers stream
+    * parquet straight into the final `data/_bucket=N/` layout (no
+    * staging rename pass; on an object store the V1 path's post-write
+    * move is a full copy). Files stay invisible until commit() publishes
+    * ONE manifest referencing them; aborted tasks leave orphans for
+    * vacuum. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
       s"$fullName is a time-travel snapshot — writes go to the current table")
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
-      override def build(): Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation =
-          new InsertableRelation {
-            override def insert(data: DataFrame, ov: Boolean): Unit =
-              if (overwrite || ov) table.overwrite(data)
-              else table.append(data)
-          }
-      }
+      override def build(): Write =
+        new GraftSqlTable.GraftInsertWrite(table, info.schema(), overwrite)
     }
   }
 }
 
 object GraftSqlTable {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions => XE, SortDirection, SortOrder => V2SortOrder}
+  import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriterCommitMessage}
+
+  /** Files one task wrote: (bucket, root-relative path). */
+  private final case class InsertFiles(files: Seq[(Int, String)])
+      extends WriterCommitMessage
+
+  /** See [[GraftSqlTable.newWriteBuilder]] for the plan shape. */
+  private[catalog] final class GraftInsertWrite(table: GraftTable,
+      writeSchema: StructType, overwrite: Boolean)
+      extends Write with RequiresDistributionAndOrdering {
+    override def requiredDistribution(): Distribution =
+      Distributions.clustered(
+        table.keyCols.map(k => XE.column(k): org.apache.spark.sql.connector
+          .expressions.Expression).toArray)
+    override def requiredNumPartitions(): Int = table.nBuckets
+    override def requiredOrdering(): Array[V2SortOrder] =
+      table.keyCols.map(k =>
+        XE.sort(XE.column(k), SortDirection.ASCENDING)).toArray
+
+    override def toBatch: BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(
+          info: PhysicalWriteInfo): DataWriterFactory = {
+        // driver-side: bake the session's parquet write options into the
+        // hadoop conf the executors' ParquetWriteSupport will init from
+        // (the same keys ParquetFileFormat.prepareWrite sets)
+        import org.apache.spark.sql.internal.SQLConf
+        val sqlConf = SQLConf.get
+        val c = SparkSession.active.sessionState.newHadoopConf()
+        org.apache.spark.sql.execution.datasources.parquet
+          .ParquetWriteSupport.setSchema(writeSchema, c)
+        Seq(SQLConf.PARQUET_WRITE_LEGACY_FORMAT,
+          SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED,
+          SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE,
+          SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED)
+          .foreach(e => c.set(e.key, sqlConf.getConf(e).toString))
+        c.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+          sqlConf.parquetOutputTimestampType.toString)
+        c.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
+        c.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
+          sqlConf.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
+        c.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
+          sqlConf.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
+        new GraftInsertWriterFactory(table.root, table.keyCols,
+          table.nBuckets, writeSchema,
+          new org.apache.spark.util.SerializableConfiguration(c))
+      }
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val files = messages.collect { case InsertFiles(fs) => fs }.flatten
+          .groupBy(_._1).map { case (b, fs) => b -> fs.map(_._2).toSeq }
+        if (overwrite) table.overwriteFiles(files, writeSchema)
+        else if (files.nonEmpty) table.appendFiles(files, writeSchema)
+      }
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        messages.collect { case InsertFiles(fs) => fs }.flatten.foreach {
+          case (_, rel) =>
+            Files.deleteIfExists(Paths.get(s"${table.root}/$rel"))
+        }
+    }
+  }
+
+  private final class GraftInsertWriterFactory(root: String,
+      keyCols: Seq[String], nBuckets: Int, schema: StructType,
+      conf: org.apache.spark.util.SerializableConfiguration)
+      extends DataWriterFactory {
+    override def createWriter(partitionId: Int,
+        taskId: Long): DataWriter[InternalRow] =
+      new GraftInsertWriter(root, keyCols, nBuckets, schema, conf.value)
+  }
+
+  /** Executor-side parquet writer: routes each row to its bucket via the
+    * same murmur3-pmod expression the table's merge path uses (codegen'd
+    * projection — the distribution contract makes this one bucket per
+    * task in practice, but the router is authoritative, so AQE
+    * coalescing or a future distribution change cannot misfile rows) and
+    * streams it through Spark's own ParquetWriteSupport into the final
+    * bucket directory. */
+  private final class GraftInsertWriter(root: String, keyCols: Seq[String],
+      nBuckets: Int, schema: StructType,
+      conf: org.apache.hadoop.conf.Configuration)
+      extends DataWriter[InternalRow] {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetWriter
+    import org.apache.parquet.hadoop.api.WriteSupport
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, Murmur3Hash, Pmod, UnsafeProjection}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+
+    private val fields = schema.fields
+    private val bucketProj = {
+      val keyRefs = keyCols.map { k =>
+        val i = fields.indexWhere(_.name == k)
+        require(i >= 0, s"bucket key $k missing from INSERT schema " +
+          s"(${schema.fieldNames.mkString(",")})")
+        BoundReference(i, fields(i).dataType, fields(i).nullable)
+      }
+      UnsafeProjection.create(Seq(
+        Pmod(new Murmur3Hash(keyRefs), Literal(nBuckets))))
+    }
+
+    private final class Builder(p: Path)
+        extends ParquetWriter.Builder[InternalRow, Builder](p) {
+      override def self(): Builder = this
+      override def getWriteSupport(c: Configuration)
+          : WriteSupport[InternalRow] = new ParquetWriteSupport
+    }
+
+    // bucket → (writer, root-relative path); the distribution contract
+    // makes this a 1-entry map in practice
+    private val open = scala.collection.mutable.Map.empty[
+      Int, (ParquetWriter[InternalRow], String)]
+
+    private def writerFor(b: Int): ParquetWriter[InternalRow] =
+      open.getOrElseUpdate(b, {
+        val rel = s"data/_bucket=$b/${java.util.UUID.randomUUID()}.parquet"
+        Files.createDirectories(Paths.get(s"$root/data/_bucket=$b"))
+        (new Builder(new Path(s"$root/$rel")).withConf(conf)
+          .withCompressionCodec(CompressionCodecName.SNAPPY).build(), rel)
+      })._1
+
+    override def write(row: InternalRow): Unit =
+      writerFor(bucketProj(row).getInt(0)).write(row)
+
+    override def commit(): WriterCommitMessage = {
+      open.values.foreach(_._1.close())
+      InsertFiles(open.toSeq.map { case (b, (_, rel)) => (b, rel) })
+    }
+
+    override def abort(): Unit = {
+      open.values.foreach { case (w, rel) =>
+        try w.close() catch { case _: Throwable => () }
+        Files.deleteIfExists(Paths.get(s"$root/$rel"))
+      }
+    }
+
+    override def close(): Unit = ()
+  }
+
   /** The storage-group id, surfaced as a connector metadata column so
     * `SELECT *` stays data-only but row-level operations (and curious
     * `SELECT _bucket, ...` debugging) can reach it. */

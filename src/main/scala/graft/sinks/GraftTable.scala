@@ -407,6 +407,29 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       merged, nextSchemaDdl(cur, curFiles, df.schema)))
   }
 
+  /** Commit ALREADY-WRITTEN data files (root-relative paths, laid out in
+    * the bucket dirs by a native DSv2 writer) as an append snapshot —
+    * the zero-move INSERT INTO path: executors streamed the files to
+    * their final locations, invisible until this one manifest publish
+    * references them. `writtenSchema` evolves the pinned schema like a
+    * normal append. */
+  def appendFiles(files: Map[Int, Seq[String]],
+      writtenSchema: org.apache.spark.sql.types.StructType): Unit = {
+    val cur = effectiveManifest()
+    val curFiles = cur.map(_.files).getOrElse(Map.empty)
+    val merged = (curFiles.keySet ++ files.keySet).map(b =>
+      b -> (curFiles.getOrElse(b, Nil) ++ files.getOrElse(b, Nil))).toMap
+    publish(Manifest(nextVersion, cur.map(_.highWater).getOrElse(""),
+      merged, nextSchemaDdl(cur, curFiles, writtenSchema)))
+  }
+
+  /** Commit already-written files as a FULL RELOAD snapshot (INSERT
+    * OVERWRITE): previous contents drop, the replay mark resets. */
+  def overwriteFiles(files: Map[Int, Seq[String]],
+      writtenSchema: org.apache.spark.sql.types.StructType): Unit =
+    publish(Manifest(nextVersion, "", files,
+      nextSchemaDdl(None, Map.empty, writtenSchema)))
+
   /** Schema evolution without data movement (ALTER TABLE path): publish a
     * data-identical snapshot whose pinned schema is `f(current)`. Files
     * written before an added column surface it as null; a dropped column

@@ -241,6 +241,34 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP NAMESPACE cat.life")
   }
 
+  test("native INSERT: single clustered exchange, one key-sorted file per bucket") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.ins")
+    spark.sql("""CREATE TABLE cat.ins.t (id BIGINT, v DOUBLE)
+                 PARTITIONED BY (bucket(8, id))""")
+    // plan shape: exactly ONE exchange — the write's required clustered
+    // distribution; no second repartition inside the writer path
+    val plan = spark.sql(
+      "EXPLAIN FORMATTED INSERT INTO cat.ins.t SELECT id, id * 0.5 FROM range(1000)")
+      .collect()(0).getString(0)
+    val exchanges = "Exchange \\(\\d".r.findAllIn(plan).size // tree nodes only
+    assert(exchanges == 1, s"want exactly 1 exchange in INSERT plan:\n$plan")
+    assert(plan.contains("hashpartitioning(id"), plan)
+
+    spark.sql("INSERT INTO cat.ins.t SELECT id, id * 0.5 FROM range(1000)")
+    assert(spark.sql("SELECT count(*), sum(id) FROM cat.ins.t")
+      .as[(Long, Long)].head() == ((1000L, 499500L)))
+    val t = GraftTable.open(s"$root/ins/t")
+    val byBucket = t.currentFilesByBucket
+    // the clustered distribution pins partition id == bucket id → each
+    // bucket holds exactly one file from one task
+    assert(byBucket.size == 8 && byBucket.values.forall(_.size == 1),
+      s"bucket layout: ${byBucket.view.mapValues(_.size).toMap}")
+    // files are key-sorted (row-group skipping contract)
+    val ids = spark.read.parquet(byBucket(0).head)
+      .select("id").as[Long].collect()
+    assert(ids.sameElements(ids.sorted), "bucket file not key-sorted")
+  }
+
   test("ALTER guards: key retype, rename-with-data, namespace-vs-table drop") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.guard")
     spark.sql("""CREATE TABLE cat.guard.t (id INT, v STRING)
