@@ -16,6 +16,7 @@ import graft.sinks.{CdcSink, ChangelogSink, CurrentStateSink, ExactlyOnceSink, N
   *
   *   pipeline.id = demo
   *   pipeline.workdir = /tmp/graft-demo       # checkpoints, state, tables
+  *   store.dir = /primary/graft-demo          # OPTIONAL separate store root
   *   pipeline.maxRowsPerTrigger = 100000
   *   pipeline.maxFillMs = 10000
   *   pipeline.maxTableSyncWorkers = 4
@@ -25,6 +26,18 @@ import graft.sinks.{CdcSink, ChangelogSink, CurrentStateSink, ExactlyOnceSink, N
   *   exactlyOnce = true                       # batchId txn ledger wrapper
   *   backfill.<tableName> = <parquet path>    # optional initial snapshots
   *   drain = true                             # process available + exit
+  *
+  * `store.dir` is the READ-REPLICA seam (reference
+  * pipeline_read_replica.rs:377 + etl-config's separate
+  * `StoreConfig`/source connections): the pipeline's durable bookkeeping
+  * — offsets checkpoint, table state store, txn ledger — lives on a
+  * connection/path INDEPENDENT of the source. A replica-sourced pipeline
+  * tails the standby's spool (`source.log` on the replica) while its
+  * progress store sits on the primary or a third system; progress
+  * reported back to the SOURCE (the `.progress` status-update file, the
+  * replica-side slot analog) stays source-side, exactly like the
+  * reference keeps the logical slot on the replica while the state
+  * store connects elsewhere.
   */
 object Replicator {
   def main(args: Array[String]): Unit = {
@@ -57,11 +70,13 @@ object Replicator {
       case "null" => new NullSink
       case other => throw new IllegalArgumentException(s"unknown destination $other")
     }
+    // read-replica seam: durable bookkeeping under its own root
+    val store = get("store.dir", work)
     // optional txn ledger: replays of committed batches become no-ops
     // even for destinations without a natural sequence high-water mark
     val sink: CdcSink =
       if (get("exactlyOnce", "false").toBoolean)
-        new ExactlyOnceSink(sink0, s"$work/txn_ledger.json",
+        new ExactlyOnceSink(sink0, s"$store/txn_ledger.json",
           get("pipeline.id", "pipeline"))
       else sink0
 
@@ -69,8 +84,8 @@ object Replicator {
       maxRowsPerTrigger = get("pipeline.maxRowsPerTrigger", "100000").toLong,
       maxFillMs = get("pipeline.maxFillMs", "10000").toLong,
       maxTableSyncWorkers = get("pipeline.maxTableSyncWorkers", "4").toInt,
-      checkpointDir = s"$work/checkpoint",
-      stateDir = s"$work/state")
+      checkpointDir = s"$store/checkpoint",
+      stateDir = s"$store/state")
 
     val pipeline = new CdcPipeline(spark, config, registry, sink,
       CdcPipeline.jsonDecode)

@@ -177,6 +177,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("cosine near-dup candidate dedup shuffles ids only (no vector payload)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val q = graft.operators.Similarity.cosineNearDupPairs(
+      emb, "vec_id", "embedding", threshold = 0.45, nPlanes = 4, nTables = 8)
+    val root: SparkPlan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // the candidate-pair distinct: its shuffle must carry id columns
+    // only — at 100 TB the embedding payload moves exactly twice (the
+    // two verify joins), never through the pair-dedup exchange
+    val distinctAggs = root.collect {
+      case h: BaseAggregateExec
+          if h.groupingExpressions.map(_.name).toSet == Set("id_a", "id_b")
+            && h.aggregateExpressions.isEmpty => h
+    }
+    assert(distinctAggs.nonEmpty, root.toString)
+    val dedupExchanges = distinctAggs.flatMap(_.collect {
+      case e: ShuffleExchangeExec => e
+    })
+    assert(dedupExchanges.nonEmpty, root.toString)
+    dedupExchanges.foreach { ex =>
+      val vectorCols = ex.output.filter(a =>
+        a.dataType.typeName.startsWith("array"))
+      assert(vectorCols.isEmpty,
+        s"pair-dedup exchange carries vectors: ${ex.output.mkString(",")}")
+    }
+  }
+
   test("brute-force ANN broadcasts the query side (corpus never shuffles)") {
     import org.apache.spark.sql.functions._
     val emb = Tables.load(spark, sf(), "embeddings")

@@ -88,6 +88,72 @@ class ReplicatorSpec extends SparkSpec {
     assert(new graft.sinks.TxnLedger(s"$work/txn_ledger.json")
       .lastCommitted("spec") >= 0L)
   }
+
+  test("read-replica mode: store connection independent of the source (store.dir)") {
+    // mirrors pipeline_read_replica.rs:377 semantics: the source (the
+    // standby's spool) and the progress/state STORE live on separate
+    // roots; source-side progress (the replica-slot analog) stays with
+    // the source, durable bookkeeping goes to the store
+    val replica = Files.createTempDirectory("graft-replica").toString // standby
+    val primary = Files.createTempDirectory("graft-primary").toString // store
+    val work = Files.createTempDirectory("graft-rr-work").toString    // dest
+    val reg = new SchemaRegistry
+    reg.put(TableSchemaV(1L, "users", 0L, IndexedSeq(
+      ColumnSpec("id", "int8", nullable = false, pkOrdinal = 1),
+      ColumnSpec("name", "text"))))
+    reg.save(s"$work/schemas.json")
+    // empty snapshot: the copy phase ran on the replica before the stream
+    spark.emptyDataset[(Long, String)].toDF("id", "name")
+      .write.parquet(s"$work/snapshot0")
+    Files.write(Paths.get(s"$replica/wal.log"), Seq(
+      CdcLogSource.renderLine("I", 1L, 1L, 1L, 0L, 0L, None,
+        Some("""{"id":1,"name":"a"}""")),
+      CdcLogSource.renderLine("I", 1L, 2L, 2L, 0L, 0L, None,
+        Some("""{"id":2,"name":"b"}""")))
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    def cfg(): String = {
+      val c = s"""
+        |pipeline.id = rr
+        |pipeline.workdir = $work
+        |store.dir = $primary
+        |source.log = $replica/wal.log
+        |source.schemas = $work/schemas.json
+        |destination = current_state
+        |exactlyOnce = true
+        |backfill.users = $work/snapshot0
+        |drain = true
+        |""".stripMargin
+      Files.write(Paths.get(s"$work/rr.properties"),
+        c.getBytes(StandardCharsets.UTF_8))
+      s"$work/rr.properties"
+    }
+    graft.Replicator.main(Array(cfg()))
+
+    // durable bookkeeping landed on the STORE root, none of it beside
+    // the source
+    assert(Files.isDirectory(Paths.get(s"$primary/checkpoint")))
+    assert(Files.isDirectory(Paths.get(s"$primary/state")))
+    assert(Files.exists(Paths.get(s"$primary/txn_ledger.json")))
+    assert(!Files.exists(Paths.get(s"$work/checkpoint")))
+
+    // restart resumes from the STORE's checkpoint: only the new event
+    // applies (no duplicate inserts of ids 1/2)
+    Files.write(Paths.get(s"$replica/wal.log"), Seq(
+      CdcLogSource.renderLine("U", 1L, 3L, 3L, 0L, 0L,
+        Some("""{"id":1}"""), Some("""{"id":1,"name":"a2"}""")))
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.APPEND)
+    graft.Replicator.main(Array(cfg()))
+    val out = new graft.sinks.GraftTable(s"$work/tables/users", Seq("id"))
+      .read(spark).select("id", "name").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a2"), (2L, "b")))
+    // source-side progress (the replica-slot status-update analog) stays
+    // with the SOURCE, not the store — written once run 2's planning
+    // committed run 1's batch (offset N commits while planning N+1, the
+    // reference's confirm-previous-flush shape)
+    assert(Files.exists(Paths.get(s"$replica/wal.log.progress")))
+    assert(!Files.exists(Paths.get(s"$primary/wal.log.progress")))
+  }
 }
 
 /** ST5 as a real Structured Streaming query: tumbling window + watermark
