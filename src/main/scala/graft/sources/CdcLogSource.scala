@@ -61,6 +61,21 @@ object CdcLogSource {
     // null = full row
     StructField("_missing", StringType, nullable = true)))
 
+  /** Memory-pressure watermarks for `memoryAwareAdmission` (reference
+    * memory_monitor defaults: block > 85%, resume < 75%). */
+  val MemoryHighWatermark = 0.85
+  val MemoryLowWatermark = 0.75
+  /** Base byte budget when memory-aware admission is on but no explicit
+    * maxBytesPerTrigger is set (the reference BatchConfig.max_bytes
+    * default, 8 MiB). */
+  val DefaultMemoryAwareBytes: Long = 8L << 20
+  /** Heap-usage fraction probe; swappable for tests and for cluster
+    * deployments that prefer an executor-memory signal. */
+  @volatile var memoryUsage: () => Double = () => {
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()).toDouble / rt.maxMemory()
+  }
+
   /** One change-log line: tab-separated envelope; `\N` = null payload.
     * `missing` lists TOAST-unchanged column names absent from `after`. */
   def renderLine(op: String, table: Long, commitLsn: Long, startLsn: Long,
@@ -83,16 +98,18 @@ final class CdcLogTable(path: String) extends Table with SupportsRead {
     () => new CdcLogScan(path,
       Option(options.get("maxrowspertrigger")).map(_.toLong),
       Option(options.get("onmissingoffset")).getOrElse("error"),
-      Option(options.get("maxbytespertrigger")).map(_.toLong))
+      Option(options.get("maxbytespertrigger")).map(_.toLong),
+      Option(options.get("memoryawareadmission")).exists(_.toBoolean))
 }
 
 final class CdcLogScan(path: String, maxRowsPerTrigger: Option[Long],
     onMissingOffset: String = "error",
-    maxBytesPerTrigger: Option[Long] = None) extends Scan {
+    maxBytesPerTrigger: Option[Long] = None,
+    memoryAwareAdmission: Boolean = false) extends Scan {
   override def readSchema(): StructType = CdcLogSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new CdcLogMicroBatchStream(path, maxRowsPerTrigger, onMissingOffset,
-      maxBytesPerTrigger)
+      maxBytesPerTrigger, memoryAwareAdmission)
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       Array(CdcLogPartition(path, Long.MinValue, Long.MaxValue,
@@ -148,8 +165,32 @@ final class CdcLogMicroBatchStream(path: String, maxRows: Option[Long],
       * nothing extra. At least one entry is always admitted (an
       * oversized single event still flushes, like the reference's
       * budgeted EventBatch). */
-    maxBytes: Option[Long] = None)
+    maxBytes: Option[Long] = None,
+    /** ST7 analog (reference memory_monitor.rs + concurrency/stream.rs:
+      * 45-131): the reference samples system memory every 100 ms and
+      * BLOCKS source polls above 85%, resuming below 75%. Spark's
+      * trigger cadence is engine-driven, so the analog MODULATES the
+      * admission budget instead: above the high watermark each trigger
+      * admits the minimum (one entry — progress never fully stalls,
+      * memory stays flat); between the watermarks the byte budget
+      * halves; below, the configured budget applies. The probe is
+      * JVM-heap based (executor = driver in local mode; on a cluster
+      * the driver plans admission from its own pressure, the
+      * conservative side since the driver also brokers every manifest
+      * commit). */
+    memoryAware: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
+
+  private def effectiveMaxBytes(): Option[Long] =
+    if (!memoryAware) maxBytes
+    else {
+      val usage = CdcLogSource.memoryUsage()
+      val base = maxBytes.getOrElse(CdcLogSource.DefaultMemoryAwareBytes)
+      if (usage >= CdcLogSource.MemoryHighWatermark) Some(1L) // min admit
+      else if (usage >= CdcLogSource.MemoryLowWatermark)
+        Some(math.max(1L, base / 2))
+      else Some(base)
+    }
 
   /** Slot-invalidation analog (ST10, reference slots.rs:51-72 +
     * invalidated-slot policy etl-config pipeline.rs:123-149): if the
@@ -318,7 +359,7 @@ final class CdcLogMicroBatchStream(path: String, maxRows: Option[Long],
     // byte budget (reference max_bytes): entries carry absolute end
     // positions, so the batch's byte extent is endPos − startPos. Only
     // meaningful while file order == key order; always admit ≥ 1 entry.
-    val capped = maxBytes match {
+    val capped = effectiveMaxBytes() match {
       case Some(budget) if idx.ordered && rowCapped.nonEmpty =>
         val dropped = all.length - pending.length
         val startPos = if (dropped == 0) 0L else all(dropped - 1)._3

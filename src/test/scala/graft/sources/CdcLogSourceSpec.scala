@@ -206,6 +206,44 @@ class CdcLogSourceSpec extends SparkSpec {
     assert(end2.commitLsn == 1L && end2.txOrdinal == 0L)
   }
 
+  test("memory-aware admission modulates the byte budget (ST7 analog)") {
+    val log = s"${tmp()}/wal.log"
+    append(log, (1L to 6L).map(i => line(i, 0, i)))
+    val lineBytes = line(1L, 0, 1L).getBytes(StandardCharsets.UTF_8).length + 1
+    val budget = lineBytes * 4L + 2 // 4 lines when unconstrained
+    def sizes(usage: Double): Seq[Int] = {
+      val saved = CdcLogSource.memoryUsage
+      CdcLogSource.memoryUsage = () => usage
+      try {
+        val s = new CdcLogMicroBatchStream(log, None,
+          maxBytes = Some(budget), memoryAware = true)
+        var start = LsnOffset.zero
+        val out = Seq.newBuilder[Int]
+        var n = 0
+        while (n < 10) {
+          val end = s.latestOffset(start, ReadLimit.allAvailable())
+            .asInstanceOf[LsnOffset]
+          if (end == start) n = 10
+          else {
+            val p = s.planInputPartitions(start, end)(0)
+              .asInstanceOf[CdcLogPartition]
+            out += readAll(p).size
+            start = end; n += 1
+          }
+        }
+        out.result()
+      } finally CdcLogSource.memoryUsage = saved
+    }
+    // relaxed (< low watermark): the configured budget applies — 4+2
+    assert(sizes(0.30) == Seq(4, 2))
+    // between watermarks: budget halves — 2,2,2
+    assert(sizes(0.80) == Seq(2, 2, 2))
+    // above the high watermark: minimum admission, one entry per trigger
+    // (the reference BLOCKS polls here; a trigger-driven source admits
+    // the minimum instead so memory stays flat without stalling)
+    assert(sizes(0.95) == Seq(1, 1, 1, 1, 1, 1))
+  }
+
   test("stale pos hints in offsets are ignored (planner re-derives from index)") {
     val log = s"${tmp()}/wal.log"
     append(log, (1L to 4L).map(i => line(i, 0, i)))
