@@ -50,6 +50,9 @@ final class ReplicationSocketClient(
     logPath: String,
     user: String = "graft",
     database: String = "postgres",
+    /** Password for SCRAM-SHA-256 (RFC 5802/7677, the modern Postgres
+      * default auth); empty = trust-only targets. */
+    password: String = "",
     startLsn: Long = 0L,
     /** Durable flush position to report (the source checkpoint's
       * progress — [[CdcLogSource]] commit writes `<log>.progress`). */
@@ -139,23 +142,66 @@ final class ReplicationSocketClient(
     }
     b.write(0)
     writeInt(out, 4 + body.size()); out.write(body.toByteArray); out.flush()
-    // AuthenticationOk ('R', code 0) … ReadyForQuery ('Z'). Trust-auth
-    // only: this client targets loopback/test servers; production auth
-    // (SCRAM) rides the same framing and is out of scope here.
+    // AuthenticationOk ('R', code 0) or SASL/SCRAM-SHA-256 (codes
+    // 10/11/12, RFC 5802/7677 — Postgres's default auth since v14),
+    // then ParameterStatus/BackendKeyData until ReadyForQuery ('Z').
+    var scram: Option[ScramSession] = None
     var ready = false
     while (!ready) {
       val (t, payload) = readMessage()
       t match {
         case 'R' =>
-          val code = ByteBuffer.wrap(payload).getInt
-          require(code == 0, s"unsupported auth request code $code " +
-            "(client supports trust auth)")
+          val buf = ByteBuffer.wrap(payload)
+          buf.getInt match {
+            case 0 => () // AuthenticationOk
+            case 10 => // AuthenticationSASL: pick SCRAM-SHA-256
+              val mechanisms = Iterator.continually(cstring(buf))
+                .takeWhile(_.nonEmpty).toSeq
+              require(mechanisms.contains("SCRAM-SHA-256"),
+                s"server offers no supported SASL mechanism " +
+                  s"(${mechanisms.mkString(",")})")
+              val s = new ScramSession(user, password)
+              scram = Some(s)
+              val first = s.clientFirstMessage.getBytes(StandardCharsets.UTF_8)
+              val mech = "SCRAM-SHA-256".getBytes(StandardCharsets.UTF_8)
+              out.write('p')
+              writeInt(out, 4 + mech.length + 1 + 4 + first.length)
+              out.write(mech); out.write(0)
+              out.writeInt(first.length); out.write(first); out.flush()
+            case 11 => // AuthenticationSASLContinue: server-first-message
+              val s = scram.getOrElse(throw new java.io.IOException(
+                "SASLContinue without SASL start"))
+              val serverFirst = new String(payload, 4, payload.length - 4,
+                StandardCharsets.UTF_8)
+              val fin = s.clientFinalMessage(serverFirst)
+                .getBytes(StandardCharsets.UTF_8)
+              out.write('p'); writeInt(out, 4 + fin.length)
+              out.write(fin); out.flush()
+            case 12 => // AuthenticationSASLFinal: verify server signature
+              val s = scram.getOrElse(throw new java.io.IOException(
+                "SASLFinal without SASL start"))
+              val serverFinal = new String(payload, 4, payload.length - 4,
+                StandardCharsets.UTF_8)
+              require(s.verifyServerFinal(serverFinal),
+                "server signature mismatch (not the server that holds " +
+                  "the credentials) — refusing to proceed")
+            case code => throw new java.io.IOException(
+              s"unsupported auth request code $code " +
+                "(client supports trust + SCRAM-SHA-256)")
+          }
         case 'Z' => ready = true
         case 'E' => throw new java.io.IOException(
           s"server error during handshake: ${errorMessage(payload)}")
         case _ => () // ParameterStatus / BackendKeyData — informational
       }
     }
+  }
+
+  private def cstring(buf: ByteBuffer): String = {
+    val sb = new StringBuilder
+    var b = buf.get()
+    while (b != 0) { sb.append(b.toChar); b = buf.get() }
+    sb.toString
   }
 
   /** `SHOW wal_sender_timeout` via a simple query; None = disabled or
@@ -313,6 +359,77 @@ final class ReplicationSocketClient(
   private def drainUntilReady(): Unit = {
     var done = false
     while (!done) { val (t, _) = readMessage(); if (t == 'Z') done = true }
+  }
+}
+
+/** SCRAM-SHA-256 primitives (RFC 5802 §2.2/§3, RFC 7677) — used by the
+  * client session below and by the in-process test server's verifier. */
+object Scram {
+  import javax.crypto.Mac
+  import javax.crypto.spec.SecretKeySpec
+  import java.security.MessageDigest
+
+  def hmac(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes(StandardCharsets.UTF_8))
+  }
+  def sha256(b: Array[Byte]): Array[Byte] =
+    MessageDigest.getInstance("SHA-256").digest(b)
+  /** Hi(password, salt, i) = PBKDF2-HMAC-SHA256. */
+  def saltedPassword(password: String, salt: Array[Byte],
+      iterations: Int): Array[Byte] = {
+    val f = javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+    f.generateSecret(new javax.crypto.spec.PBEKeySpec(
+      password.toCharArray, salt, iterations, 256)).getEncoded
+  }
+  def xor(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    a.zip(b).map { case (x, y) => (x ^ y).toByte }
+  def b64(b: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(b)
+  def unb64(s: String): Array[Byte] = java.util.Base64.getDecoder.decode(s)
+  def attrs(msg: String): Map[String, String] =
+    msg.split(",").filter(_.length >= 2).map(kv =>
+      kv.substring(0, 1) -> kv.substring(2)).toMap
+
+  def clientKey(saltedPw: Array[Byte]): Array[Byte] = hmac(saltedPw, "Client Key")
+  def serverKey(saltedPw: Array[Byte]): Array[Byte] = hmac(saltedPw, "Server Key")
+}
+
+/** Client side of one SCRAM-SHA-256 exchange. Channel binding is not
+  * used (`n,,` / `c=biws`) — binding requires TLS, out of scope for the
+  * loopback transport. */
+final class ScramSession(user: String, password: String) {
+  import Scram._
+  private val nonce = {
+    val r = new Array[Byte](18)
+    new java.security.SecureRandom().nextBytes(r)
+    b64(r)
+  }
+  // Postgres ignores n= (the startup user wins); send it anyway per RFC
+  private val clientFirstBare = s"n=$user,r=$nonce"
+  def clientFirstMessage: String = "n,," + clientFirstBare
+
+  private var authMessage: String = _
+  private var saltedPw: Array[Byte] = _
+
+  def clientFinalMessage(serverFirst: String): String = {
+    val a = attrs(serverFirst)
+    val fullNonce = a("r")
+    require(fullNonce.startsWith(nonce),
+      "server nonce does not extend the client nonce (replay?)")
+    saltedPw = saltedPassword(password, unb64(a("s")), a("i").toInt)
+    val withoutProof = s"c=biws,r=$fullNonce"
+    authMessage = clientFirstBare + "," + serverFirst + "," + withoutProof
+    val ck = clientKey(saltedPw)
+    val proof = xor(ck, hmac(sha256(ck), authMessage))
+    withoutProof + ",p=" + b64(proof)
+  }
+
+  def verifyServerFinal(serverFinal: String): Boolean = {
+    val v = attrs(serverFinal).getOrElse("v", return false)
+    java.security.MessageDigest.isEqual(
+      hmac(serverKey(saltedPw), authMessage), unb64(v))
   }
 }
 

@@ -13,7 +13,9 @@ import java.util.concurrent.{CopyOnWriteArrayList, LinkedBlockingQueue}
   * out, standby status updates recorded in. Protocol layout per the
   * public PostgreSQL documentation (the same wire format the reference
   * consumes through its stack, replication_message.rs:89-245). */
-final class FakePgServer(walSenderTimeout: String = "60s") {
+final class FakePgServer(walSenderTimeout: String = "60s",
+    /** Non-empty → require SCRAM-SHA-256 (RFC 5802/7677 server side). */
+    password: String = "") {
 
   sealed trait Action
   /** One pgoutput frame wrapped in XLogData at the given WAL position. */
@@ -71,6 +73,17 @@ final class FakePgServer(walSenderTimeout: String = "60s") {
       len = in.readInt(); proto = in.readInt()
     }
     in.readFully(new Array[Byte](len - 8)) // parameters (ignored)
+    if (password.nonEmpty && !scramExchange(in, out)) {
+      sendMsg(out, 'E', { b =>
+        b.put('S'.toByte)
+        b.put("FATAL".getBytes(StandardCharsets.UTF_8)); b.put(0.toByte)
+        b.put('M'.toByte)
+        b.put("password authentication failed"
+          .getBytes(StandardCharsets.UTF_8)); b.put(0.toByte)
+        b.put(0.toByte)
+      })
+      sock.close(); return
+    }
     sendMsg(out, 'R', b => b.putInt(0)) // AuthenticationOk
     sendMsg(out, 'Z', b => b.put('I'.toByte)) // ReadyForQuery
 
@@ -144,6 +157,65 @@ final class FakePgServer(walSenderTimeout: String = "60s") {
         case _ => ()
       }
     }
+  }
+
+  /** RFC 5802 server side: SASL request → client-first → server-first
+    * (fresh salt/nonce, i=4096) → client-final proof verified against
+    * the stored key → server signature. Returns false on a bad proof. */
+  private def scramExchange(in: DataInputStream,
+      out: DataOutputStream): Boolean = {
+    import Scram._
+    sendMsg(out, 'R', { b =>
+      b.putInt(10) // AuthenticationSASL
+      b.put("SCRAM-SHA-256".getBytes(StandardCharsets.UTF_8))
+      b.put(0.toByte); b.put(0.toByte)
+    })
+    def readP(): Array[Byte] = {
+      val t = in.readByte().toChar
+      require(t == 'p', s"expected SASL response, got '$t'")
+      val len = in.readInt()
+      val payload = new Array[Byte](len - 4); in.readFully(payload)
+      payload
+    }
+    // SASLInitialResponse: mechanism\0 + int32 + client-first-message
+    val init = ByteBuffer.wrap(readP())
+    while (init.get() != 0) {} // mechanism name
+    val cfLen = init.getInt
+    val cfBytes = new Array[Byte](cfLen); init.get(cfBytes)
+    val clientFirst = new String(cfBytes, StandardCharsets.UTF_8)
+    val clientFirstBare = clientFirst.split(",", 3)(2)
+    val cNonce = attrs(clientFirstBare)("r")
+
+    val salt = new Array[Byte](16)
+    new java.security.SecureRandom().nextBytes(salt)
+    val sNonce = cNonce + b64({
+      val r = new Array[Byte](18)
+      new java.security.SecureRandom().nextBytes(r); r
+    })
+    val iterations = 4096
+    val serverFirst = s"r=$sNonce,s=${b64(salt)},i=$iterations"
+    sendMsg(out, 'R', { b =>
+      b.putInt(11) // AuthenticationSASLContinue
+      b.put(serverFirst.getBytes(StandardCharsets.UTF_8))
+    })
+
+    val clientFinal = new String(readP(), StandardCharsets.UTF_8)
+    val fa = attrs(clientFinal)
+    if (fa.get("r") != Some(sNonce)) return false
+    val withoutProof = clientFinal.substring(0, clientFinal.indexOf(",p="))
+    val authMessage = clientFirstBare + "," + serverFirst + "," + withoutProof
+    val saltedPw = saltedPassword(password, salt, iterations)
+    val storedKey = sha256(clientKey(saltedPw))
+    // recover ClientKey from the proof; SHA256 of it must equal StoredKey
+    val recovered = xor(unb64(fa("p")), hmac(storedKey, authMessage))
+    if (!java.security.MessageDigest.isEqual(sha256(recovered), storedKey))
+      return false
+    sendMsg(out, 'R', { b =>
+      b.putInt(12) // AuthenticationSASLFinal
+      b.put(s"v=${b64(hmac(serverKey(saltedPw), authMessage))}"
+        .getBytes(StandardCharsets.UTF_8))
+    })
+    true
   }
 
   private def sendMsg(out: DataOutputStream, t: Char,

@@ -142,6 +142,29 @@ class ReplicationClientSpec extends SparkSpec {
     }
   }
 
+  test("SCRAM-SHA-256 auth: mutual verification succeeds; wrong password refused") {
+    val dir = tmp("repl-scram")
+    val server = new FakePgServer(walSenderTimeout = "1s",
+      password = "s3cret")
+    val port = server.start()
+    val client = new ReplicationSocketClient("127.0.0.1", port,
+      "s", "p", s"$dir/wal.log", password = "s3cret")
+    try {
+      client.start() // throws unless the full SCRAM exchange verified
+      waitUntil()(server.startedStreaming)
+    } finally { client.stop(); server.stop() }
+
+    val server2 = new FakePgServer(password = "s3cret")
+    val port2 = server2.start()
+    val bad = new ReplicationSocketClient("127.0.0.1", port2,
+      "s", "p", s"$dir/wal2.log", password = "wrong")
+    try {
+      val e = intercept[Exception] { bad.start() }
+      assert(e.getMessage.contains("authentication failed") ||
+        e.isInstanceOf[java.io.EOFException], e.toString)
+    } finally { bad.stop(); server2.stop() }
+  }
+
   test("status-update policy helpers (reference constants)") {
     import ReplicationSocketClient._
     assert(parsePgDurationMs("60s").contains(60000L))
