@@ -80,6 +80,12 @@ class GraftTableModelSpec extends SparkSpec {
       if (highWater.isEmpty || seqOf(m) > highWater) highWater = seqOf(m)
     }
 
+    // Spark's bucket routing (pmod(murmur3, n)) for the model's ids —
+    // one job, reused by the replaceBuckets case
+    lazy val bucketOf: Map[Long, Int] = spark.range(0, 5000)
+      .select(col("id"), pmod(hash(col("id")), lit(4)).cast("int"))
+      .as[(Long, Int)].collect().toMap
+
     var appendId = 1000L // appends use fresh ids: the model is a key map
     def mergeRandom(): Unit = {
       lsn += 1
@@ -96,7 +102,7 @@ class GraftTableModelSpec extends SparkSpec {
     }
 
     (1 to steps).foreach { step =>
-      rnd.nextInt(13) match {
+      rnd.nextInt(14) match {
         case i if i <= 5 => // merge a fresh batch (most common op)
           mergeRandom()
           check(s"merge@$lsn")
@@ -164,6 +170,33 @@ class GraftTableModelSpec extends SparkSpec {
             t.commitGroup()
             check("group-commit")
           }
+        case 13 => // replaceBuckets (row-level UPDATE/MERGE commit path):
+          // replacement contents for a random bucket set = its surviving
+          // rows with edits, plus fresh-key inserts that may hash OUTSIDE
+          // the set (appended to their home buckets); replay mark survives
+          val buckets = (0 to 3).filter(_ => rnd.nextBoolean()) match {
+            case Nil => Seq(rnd.nextInt(4))
+            case bs  => bs
+          }
+          val bset = buckets.toSet
+          val edited = model.toSeq
+            .filter { case (id, _) => bset(bucketOf(id)) }
+            .flatMap { case (id, r) =>
+              if (rnd.nextInt(5) == 0) None // row-level DELETE
+              else if (rnd.nextInt(3) == 0) Some((id, r.v + "x")) // UPDATE
+              else Some((id, r.v)) // survivor
+            }
+          val inserts = (0 until rnd.nextInt(3)).map { _ =>
+            appendId += 1; (appendId, s"rb$appendId")
+          }
+          val rows = edited ++ inserts
+          t.replaceBuckets(buckets,
+            if (rows.isEmpty) spark.emptyDataset[(Long, String)]
+              .toDF("id", "v")
+            else rows.toDF("id", "v"))
+          model.filterInPlace { case (id, _) => !bset(bucketOf(id)) }
+          rows.foreach { case (id, v) => model(id) = ModelRow(v, "") }
+          check(s"replaceBuckets@${buckets.mkString("+")}")
       }
     }
   }
