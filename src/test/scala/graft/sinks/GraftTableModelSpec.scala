@@ -202,7 +202,7 @@ class GraftTableModelSpec extends SparkSpec {
   }
 
   test("random op sequences match the reference model (3 seeds × 40 steps, " +
-      "merge/replay/truncate/compact/overwrite/append/delete/group)") {
+      "merge/replay/truncate/compact/overwrite/append/delete/group/replaceBuckets)") {
     Seq(1L, 7L, 42L).foreach(runScenario(_, steps = 40))
     sys.env.get("GRAFT_FUZZ_SEEDS").foreach(n =>
       (100L until 100L + n.toLong).foreach(runScenario(_, steps = 30)))
