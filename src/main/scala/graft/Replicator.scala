@@ -22,6 +22,10 @@ import graft.sinks.{CdcSink, ChangelogSink, CurrentStateSink, ExactlyOnceSink, N
   *   pipeline.maxTableSyncWorkers = 4
   *   source.log = /tmp/graft-demo/wal.log     # CDC change log path
   *   source.schemas = /tmp/graft-demo/schemas.json  # SchemaRegistry file
+  *   source.mode = file | socket              # socket = live replication
+  *   source.host = replica.db   source.port = 5432   # socket mode
+  *   source.slot = graft_slot   source.publication = graft_pub
+  *   source.user = graft  source.password = …  source.database = postgres
   *   destination = current_state | changelog | null
   *   exactlyOnce = true                       # batchId txn ledger wrapper
   *   backfill.<tableName> = <parquet path>    # optional initial snapshots
@@ -109,14 +113,55 @@ object Replicator {
         (spark.read.parquet(paths(t.tableName)), 0L))
     }
 
+    val logPath = get("source.log", s"$work/wal.log")
+    // socket mode: the live replication intake daemon spools the slot's
+    // pgoutput stream into the change log the DSv2 source tails; its
+    // standby status updates report the checkpoint's durable flush LSN
+    // (the `.progress` file the source commit writes)
+    val socketClient =
+      if (get("source.mode", "file") == "socket") {
+        val progressPath = java.nio.file.Paths.get(logPath + ".progress")
+        val c = new graft.sources.ReplicationSocketClient(
+          get("source.host", "127.0.0.1"), get("source.port").toInt,
+          get("source.slot", "graft_slot"),
+          get("source.publication", "graft_pub"), logPath,
+          user = get("source.user", "graft"),
+          database = get("source.database", "postgres"),
+          password = get("source.password", ""),
+          flushLsn = () =>
+            if (!java.nio.file.Files.exists(progressPath)) 0L
+            else graft.sources.LsnOffset.fromJson(new String(
+              java.nio.file.Files.readAllBytes(progressPath))).commitLsn)
+        c.start()
+        Some(c)
+      } else None
+
     val metrics = new graft.pipeline.PipelineMetrics(spark)
-    val query = pipeline.startStream(get("source.log", s"$work/wal.log"))
+    val query = pipeline.startStream(logPath)
     sys.addShutdownHook { // graceful drain (ST9)
-      try { query.stop(); sink.shutdown() } catch { case _: Throwable => () }
+      try {
+        query.stop(); socketClient.foreach(_.stop()); sink.shutdown()
+      } catch { case _: Throwable => () }
     }
     if (get("drain", "false").toBoolean) {
+      // socket mode keeps spooling while we drain: settle until the
+      // spool stops growing, then take the final pass
+      val settleMs = get("drain.settleMs", "1000").toLong
+      var lastSize = -1L
+      var size = if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(logPath)))
+        java.nio.file.Files.size(java.nio.file.Paths.get(logPath)) else 0L
+      do {
+        lastSize = size
+        query.processAllAvailable()
+        if (socketClient.nonEmpty) Thread.sleep(settleMs)
+        size = if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(logPath)))
+          java.nio.file.Files.size(java.nio.file.Paths.get(logPath)) else 0L
+      } while (socketClient.nonEmpty && size != lastSize)
       query.processAllAvailable()
       query.stop()
+      socketClient.foreach(_.stop())
       sink.shutdown()
     } else query.awaitTermination()
     metrics.report(s"$work/metrics.json", Some(pipeline))

@@ -89,6 +89,58 @@ class ReplicatorSpec extends SparkSpec {
       .lastCommitted("spec") >= 0L)
   }
 
+  test("socket mode: live replication intake wired through config (etl-replicator parity)") {
+    import graft.sources.{FakePgServer, PgOutput}
+    import PgOutput._
+    val work = Files.createTempDirectory("graft-sock").toString
+    val reg = new SchemaRegistry
+    reg.put(TableSchemaV(1L, "users", 0L, IndexedSeq(
+      ColumnSpec("id", "int8", nullable = false, pkOrdinal = 1),
+      ColumnSpec("name", "text"))))
+    reg.save(s"$work/schemas.json")
+    spark.emptyDataset[(Long, String)].toDF("id", "name")
+      .write.parquet(s"$work/snapshot0")
+
+    val server = new FakePgServer(walSenderTimeout = "1s",
+      password = "pw")
+    val port = server.start()
+    val rel = Relation(1, "public", "users", 'd', IndexedSeq(
+      RelCol(1, "id", 20, -1), RelCol(0, "name", 25, -1)))
+    def row(vs: String*): TupleData = vs.map(TText(_): TupleValue).toIndexedSeq
+    server.enqueue(
+      server.Frame(encode(rel), 90, 90),
+      server.Frame(encode(Begin(100, 0, 1)), 91, 91),
+      server.Frame(encode(Insert(1, row("1", "ann"))), 92, 92),
+      server.Frame(encode(Insert(1, row("2", "bob"))), 93, 93),
+      server.Frame(encode(Commit(0, 100, 101, 0)), 100, 100))
+
+    val cfg = s"""
+      |pipeline.id = sock
+      |pipeline.workdir = $work
+      |source.mode = socket
+      |source.host = 127.0.0.1
+      |source.port = $port
+      |source.password = pw
+      |source.log = $work/wal.log
+      |destination = current_state
+      |backfill.users = $work/snapshot0
+      |drain = true
+      |drain.settleMs = 500
+      |""".stripMargin
+    Files.write(Paths.get(s"$work/sock.properties"),
+      cfg.getBytes(StandardCharsets.UTF_8))
+    try {
+      graft.Replicator.main(Array(s"$work/sock.properties"))
+    } finally server.stop()
+
+    val out = new graft.sinks.GraftTable(s"$work/tables/users", Seq("id"))
+      .read(spark).select("id", "name").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "ann"), (2L, "bob")))
+    // the intake authenticated (SCRAM) and started the slot
+    assert(server.queries.toArray.exists(
+      _.toString.startsWith("START_REPLICATION")))
+  }
+
   test("read-replica mode: store connection independent of the source (store.dir)") {
     // mirrors pipeline_read_replica.rs:377 semantics: the source (the
     // standby's spool) and the progress/state STORE live on separate
