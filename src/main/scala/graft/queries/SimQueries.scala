@@ -83,13 +83,18 @@ object SimQueries {
     val docs = Tables.load(spark, dir, "documents")
     val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
       n = 3, threshold = 0.5).select("id_a", "id_b")
+      .withColumn("_e", lit(1))
     val approx = Dedup.simhashPairs(docs, "text", "doc_id", maxDist = 3)
-    val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    val nHit = approx.join(exact, Seq("id_a", "id_b"))
-      .agg(count(lit(1)).as("n_hit"))
-    val nFalse = approx.filter(col("hamming") > 3)
-      .agg(count(lit(1)).as("n_false"))
-    nExact.crossJoin(nHit).crossJoin(nFalse)
+      .withColumn("_a", lit(1))
+    // ONE full-outer join evaluates each (expensive) leg exactly once;
+    // all three counts fall out of the same aggregation
+    exact.join(approx, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        coalesce(sum(col("_e")), lit(0L)).as("n_exact"),
+        coalesce(sum(when(col("_a") === 1 && col("hamming") > 3, 1)
+          .otherwise(0)), lit(0L)).as("n_false"),
+        coalesce(sum(when(col("_e") === 1 && col("_a") === 1, 1)
+          .otherwise(0)), lit(0L)).as("n_hit"))
       .select(col("n_exact"), col("n_false"),
         (col("n_hit") * 2 >= col("n_exact")).as("recall_ok"))
   }
@@ -120,12 +125,17 @@ object SimQueries {
       .select("id_a", "id_b")
     val approx = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
       threshold = 0.45, nPlanes = 4, nTables = 8).select("id_a", "id_b")
-    val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    val nHit = approx.join(exact, Seq("id_a", "id_b"))
-      .agg(count(lit(1)).as("n_hit"))
-    val nFalse = approx.join(exact, Seq("id_a", "id_b"), "left_anti")
-      .agg(count(lit(1)).as("n_false"))
-    nExact.crossJoin(nHit).crossJoin(nFalse)
+    // one full-outer join: the all-pairs cross join and the LSH pipeline
+    // each evaluate exactly once
+    exact.withColumn("_e", lit(1))
+      .join(approx.withColumn("_a", lit(1)),
+        Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        coalesce(sum(col("_e")), lit(0L)).as("n_exact"),
+        coalesce(sum(when(col("_a") === 1 && col("_e").isNull, 1)
+          .otherwise(0)), lit(0L)).as("n_false"),
+        coalesce(sum(when(col("_e") === 1 && col("_a") === 1, 1)
+          .otherwise(0)), lit(0L)).as("n_hit"))
       .select(col("n_exact"), col("n_false"),
         (col("n_hit") * 5 >= col("n_exact")).as("recall_ok"))
   }
@@ -204,14 +214,19 @@ object SimQueries {
     * booleans are stable run-to-run. */
   private def annCompare(queries: DataFrame, approx: DataFrame,
       exact: DataFrame, minHits: Int): DataFrame = {
-    val e = exact.select("q_id", "c_id")
-    val a = approx.select("q_id", "c_id")
+    val e = exact.select("q_id", "c_id").withColumn("_e", lit(1))
+    val a = approx.select("q_id", "c_id").withColumn("_a", lit(1))
     val nQ = queries.agg(count(lit(1)).as("n_queries"))
-    val nRet = a.agg(count(lit(1)).as("n_returned"))
-    val top1 = a.filter(col("q_id") === col("c_id"))
-      .agg(count(lit(1)).as("top1_hits"))
-    val hits = a.join(e, Seq("q_id", "c_id")).agg(count(lit(1)).as("n_hit"))
-    nQ.crossJoin(nRet).crossJoin(top1).crossJoin(hits)
+    // one full-outer join: brute force and the approx path each run once
+    val stats = e.join(a, Seq("q_id", "c_id"), "full_outer")
+      .agg(
+        coalesce(sum(col("_a")), lit(0L)).as("n_returned"),
+        coalesce(sum(when(col("_a") === 1 &&
+          col("q_id") === col("c_id"), 1).otherwise(0)), lit(0L))
+          .as("top1_hits"),
+        coalesce(sum(when(col("_e") === 1 && col("_a") === 1, 1)
+          .otherwise(0)), lit(0L)).as("n_hit"))
+    nQ.crossJoin(stats)
       .select(col("n_queries"), col("n_returned"), col("top1_hits"),
         (col("n_hit") >= minHits).as("recall_ok"))
   }
