@@ -480,8 +480,10 @@ final class CdcLogReaderFactory extends PartitionReaderFactory {
         // (toPos − fromPos).toInt allocation would overflow Int (or pin
         // the whole window in one executor buffer). Memory here is
         // O(chunk + one line), same shape as the planner's chunked
-        // indexer.
-        val chunkBytes = 64 << 20
+        // indexer. (System property so tests can force the
+        // line-spans-chunk carry path without 64 MiB fixtures.)
+        val chunkBytes =
+          Integer.getInteger("graft.cdc.windowChunkBytes", 64 << 20).intValue()
         val out = Vector.newBuilder[Array[String]]
         def addLine(line: String): Boolean = { // false = not our window
           if (line.isEmpty) return true

@@ -206,6 +206,23 @@ class CdcLogSourceSpec extends SparkSpec {
     assert(end2.commitLsn == 1L && end2.txOrdinal == 0L)
   }
 
+  test("windowed reads stream in chunks: lines spanning chunk boundaries survive") {
+    val log = s"${tmp()}/wal.log"
+    append(log, (1L to 40L).map(i => line(i, 0, i)))
+    val s = new CdcLogMicroBatchStream(log, None)
+    val end = s.latestOffset(LsnOffset.zero, ReadLimit.allAvailable())
+      .asInstanceOf[LsnOffset]
+    val p = s.planInputPartitions(LsnOffset.zero, end)(0)
+      .asInstanceOf[CdcLogPartition]
+    assert(p.fromPos >= 0 && p.toPos > p.fromPos, p.toString)
+    // tiny chunks force every line to span a chunk boundary (the carry
+    // path); results must be identical to the single-chunk read
+    val one = readAll(p)
+    System.setProperty("graft.cdc.windowChunkBytes", "7")
+    try assert(readAll(p) == one && one.size == 40)
+    finally System.clearProperty("graft.cdc.windowChunkBytes")
+  }
+
   test("memory-aware admission modulates the byte budget (ST7 analog)") {
     val log = s"${tmp()}/wal.log"
     append(log, (1L to 6L).map(i => line(i, 0, i)))
