@@ -68,19 +68,53 @@ final class ReplicationSocketClient(
   @volatile var lastError: Option[Throwable] = None
 
   private val running = new AtomicBoolean(false)
+  private val stopped = new AtomicBoolean(false)
+  val reconnects = new AtomicLong(0)
   private var socket: Socket = _
   private var in: DataInputStream = _
   private var out: DataOutputStream = _
   private var reader: Thread = _
   private var heartbeat: Thread = _
+  private var supervisor: Thread = _
 
   // ----------------------------------------------------------- lifecycle
   /** Connect, handshake, START_REPLICATION, and spool until [[stop]].
-    * Two daemon threads: a BLOCKING reader (a read timeout mid-message
-    * would tear the framing) and a heartbeat timer enforcing the
-    * keepalive deadline; connection/handshake errors surface
-    * synchronously. */
-  def start(): Unit = {
+    * Per session, two daemon threads: a BLOCKING reader (a read timeout
+    * mid-message would tear the framing) and a heartbeat timer enforcing
+    * the keepalive deadline. The FIRST connection is synchronous (auth/
+    * config errors surface to the caller); after that a supervisor
+    * RECONNECTS with backoff when the connection drops — resuming from
+    * the durable flush position, which the server-side slot also
+    * restarts from, so a drop costs at most a re-delivered tail that the
+    * downstream replay guards absorb (at-least-once, the reference
+    * replicator's restart-on-error loop). */
+  def start(reconnectBackoffMs: Long = 1000L): Unit = {
+    connectSession()
+    supervisor = new Thread(() => {
+      while (!stopped.get()) {
+        reader.join()
+        heartbeat.interrupt(); heartbeat.join(5000)
+        if (stopped.get()) return
+        // session died underneath us → reconnect with backoff
+        try socket.close() catch { case _: Throwable => () }
+        var connected = false
+        while (!connected && !stopped.get()) {
+          Thread.sleep(reconnectBackoffMs)
+          if (!stopped.get()) {
+            try {
+              connectSession()
+              reconnects.incrementAndGet()
+              connected = true
+            } catch { case e: Throwable => lastError = Some(e) }
+          }
+        }
+      }
+    }, "graft-replication-supervisor")
+    supervisor.setDaemon(true)
+    supervisor.start()
+  }
+
+  private def connectSession(): Unit = {
     socket = new Socket()
     socket.connect(new InetSocketAddress(host, port), 10000)
     socket.setTcpNoDelay(true)
@@ -88,7 +122,10 @@ final class ReplicationSocketClient(
     out = new DataOutputStream(socket.getOutputStream)
     handshake()
     val deadlineMs = keepAliveDeadlineMs(queryWalSenderTimeoutMs())
-    startReplication()
+    // resume from durable progress: the server slot re-sends from its
+    // confirmed flush position; anything later than flushLsn() that we
+    // already spooled re-arrives and is absorbed downstream
+    startReplication(math.max(startLsn, flushLsn()))
     running.set(true)
     lastUpdateAtMs = nowMs()
     reader = new Thread(() => receiveLoop(), "graft-replication-reader")
@@ -116,6 +153,7 @@ final class ReplicationSocketClient(
   /** Graceful drain: a final forced status update with reply requested
     * (the reference's ShutdownFlush), then close. */
   def stop(): Unit = {
+    stopped.set(true)
     running.set(false)
     try {
       if (out != null) {
@@ -126,6 +164,7 @@ final class ReplicationSocketClient(
     if (socket != null) socket.close() // unblocks the reader
     if (reader != null) reader.join(5000)
     if (heartbeat != null) { heartbeat.interrupt(); heartbeat.join(5000) }
+    if (supervisor != null) supervisor.join(5000)
   }
 
   // ----------------------------------------------------------- handshake
@@ -233,8 +272,8 @@ final class ReplicationSocketClient(
     } catch { case _: Throwable => None }
   }
 
-  private def startReplication(): Unit = {
-    val lsn = formatLsn(startLsn)
+  private def startReplication(fromLsn: Long): Unit = {
+    val lsn = formatLsn(fromLsn)
     simpleQuery(s"""START_REPLICATION SLOT "$slotName" LOGICAL $lsn """ +
       s"""(proto_version '1', publication_names '$publication')""")
     val (t, payload) = readMessage()

@@ -4,7 +4,7 @@ import java.io.{DataInputStream, DataOutputStream}
 import java.net.{ServerSocket, Socket}
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets
-import java.util.concurrent.{CopyOnWriteArrayList, LinkedBlockingQueue}
+import java.util.concurrent.{CopyOnWriteArrayList, LinkedBlockingDeque}
 
 /** In-process fake Postgres speaking just enough of the frontend/backend
   * protocol (v3) to exercise [[ReplicationSocketClient]] end-to-end over
@@ -28,25 +28,37 @@ final class FakePgServer(walSenderTimeout: String = "60s",
       applyLsn: Long, tsMicros: Long, replyRequested: Boolean,
       atNanos: Long)
 
-  private val script = new LinkedBlockingQueue[Action]()
+  private val script = new LinkedBlockingDeque[Action]()
   val statusUpdates = new CopyOnWriteArrayList[StatusUpdate]()
   val queries = new CopyOnWriteArrayList[String]()
   @volatile var startedStreaming = false
+  val connections = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private var server: ServerSocket = _
   private var acceptThread: Thread = _
   @volatile private var running = true
+  @volatile private var current: Socket = _
 
   def enqueue(a: Action*): Unit = a.foreach(script.put)
 
+  /** Kill the live connection (wal sender restart / network blip). */
+  def dropConnection(): Unit =
+    if (current != null) { try current.close() catch { case _: Throwable => () } }
+
   def start(): Int = {
-    server = new ServerSocket(0, 1,
+    server = new ServerSocket(0, 2,
       java.net.InetAddress.getLoopbackAddress)
     acceptThread = new Thread(() => {
-      try {
-        val sock = server.accept()
-        serve(sock)
-      } catch { case _: Throwable => () }
+      // sequential sessions: a reconnecting client gets a fresh one
+      var live = true
+      while (running && live) {
+        try {
+          val sock = server.accept()
+          current = sock
+          connections.incrementAndGet()
+          serve(sock)
+        } catch { case _: Throwable => if (!running) live = false }
+      }
     }, "fake-pg-accept")
     acceptThread.setDaemon(true)
     acceptThread.start()
@@ -55,11 +67,18 @@ final class FakePgServer(walSenderTimeout: String = "60s",
 
   def stop(): Unit = {
     running = false
+    if (current != null) { try current.close() catch { case _: Throwable => () } }
     if (server != null) server.close()
   }
 
   // -------------------------------------------------------------- serving
   private def serve(sock: Socket): Unit = {
+    var writer: Thread = null
+    try serve0(sock, w => writer = w)
+    finally if (writer != null) writer.interrupt() // die without consuming
+  }
+
+  private def serve0(sock: Socket, onWriter: Thread => Unit): Unit = {
     sock.setTcpNoDelay(true)
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
@@ -117,11 +136,17 @@ final class FakePgServer(walSenderTimeout: String = "60s",
           } else if (sql.toUpperCase.startsWith("START_REPLICATION")) {
             sendMsg(out, 'W', b => { b.put(0.toByte); b.putShort(0) })
             startedStreaming = true
-            // writer: drain the script queue onto the socket
+            // writer: drain the script queue onto the socket. A dead
+            // session must not swallow actions: on write failure the
+            // consumed action goes BACK to the head so the next
+            // connection's writer delivers it in order.
             val writer = new Thread(() => {
-              try {
-                while (running) {
-                  val a = script.take()
+              var live = true
+              while (running && live) {
+                val a =
+                  try script.take()
+                  catch { case _: InterruptedException => live = false; null }
+                if (a != null) try {
                   a match {
                     case Frame(bytes, walStart, walEnd) =>
                       sendMsg(out, 'd', { b =>
@@ -137,10 +162,13 @@ final class FakePgServer(walSenderTimeout: String = "60s",
                         b.put(if (reply) 1.toByte else 0.toByte)
                       })
                   }
+                } catch {
+                  case _: Throwable => script.putFirst(a); live = false
                 }
-              } catch { case _: Throwable => () }
+              }
             }, "fake-pg-writer")
             writer.setDaemon(true)
+            onWriter(writer)
             writer.start()
           } else {
             sendMsg(out, 'C', { b =>

@@ -31,11 +31,12 @@ class ReplicationClientSpec extends SparkSpec {
   private def row(vals: String*): TupleData =
     vals.map(v => if (v == null) TNull else TText(v)).toIndexedSeq
 
-  private def waitUntil(timeoutMs: Long = 15000)(cond: => Boolean): Unit = {
+  private def waitUntil(timeoutMs: Long = 15000, msg: => String = "")(
+      cond: => Boolean): Unit = {
     val t0 = System.currentTimeMillis()
     while (!cond && System.currentTimeMillis() - t0 < timeoutMs)
       Thread.sleep(20)
-    assert(cond, s"condition not met within ${timeoutMs}ms")
+    assert(cond, s"condition not met within ${timeoutMs}ms $msg")
   }
 
   test("e2e: fake server → socket client → pipeline → table matches oracle") {
@@ -140,6 +141,52 @@ class ReplicationClientSpec extends SparkSpec {
     } finally {
       client.stop(); server.stop()
     }
+  }
+
+  test("dropped connection: supervisor reconnects from durable progress") {
+    val dir = tmp("repl-drop")
+    val log = s"$dir/wal.log"
+    val server = new FakePgServer(walSenderTimeout = "1s")
+    val port = server.start()
+    @volatile var durableLsn = 0L
+    val client = new ReplicationSocketClient("127.0.0.1", port,
+      "s", "p", log, flushLsn = () => durableLsn)
+    try {
+      client.start(reconnectBackoffMs = 100)
+      waitUntil(msg = "no streaming")(server.startedStreaming)
+      server.enqueue(
+        server.Frame(encode(usersRelation), 90, 90),
+        server.Frame(encode(Begin(100, 0, 1)), 91, 91),
+        server.Frame(encode(Insert(1, row("1", "ann"))), 92, 92),
+        server.Frame(encode(Commit(0, 100, 101, 0)), 100, 100))
+      waitUntil(msg = s"frames=${client.framesReceived.get()} " +
+        s"err=${client.lastError}")(client.framesReceived.get() == 4)
+      durableLsn = 100L
+
+      // network blip: the wal sender drops the session
+      server.dropConnection()
+      waitUntil(msg = s"reconnects=${client.reconnects.get()} " +
+          s"connections=${server.connections.get()} err=${client.lastError}")(
+        client.reconnects.get() == 1 && server.connections.get() == 2)
+      // reconnect asked the slot to resume from the durable position
+      assert(server.queries.toArray.map(_.toString)
+        .count(_.startsWith("START_REPLICATION")) == 2)
+      assert(server.queries.toArray.map(_.toString).exists(q =>
+        q.startsWith("START_REPLICATION") && q.contains("0/64"))) // 100
+
+      // the new session continues: server re-announces the relation
+      // (fresh wal sender session), then delivers the next tx
+      server.enqueue(
+        server.Frame(encode(usersRelation), 190, 190),
+        server.Frame(encode(Begin(200, 0, 2)), 191, 191),
+        server.Frame(encode(Insert(1, row("2", "bob"))), 192, 192),
+        server.Frame(encode(Commit(0, 200, 201, 0)), 200, 200))
+      waitUntil(msg = s"frames=${client.framesReceived.get()} " +
+        s"err=${client.lastError}")(client.framesReceived.get() == 8)
+      val lines = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(log)), java.nio.charset.StandardCharsets.UTF_8)
+      assert(lines.contains("\"ann\"") && lines.contains("\"bob\""), lines)
+    } finally { client.stop(); server.stop() }
   }
 
   test("SCRAM-SHA-256 auth: mutual verification succeeds; wrong password refused") {
