@@ -226,6 +226,23 @@ class GraftCatalogSpec extends SparkSpec {
       s"MERGE touched buckets $touched (want ≤ 2: one matched + one insert)")
   }
 
+  test("row-level ops on an EMPTY table: no metadata column, safe full-replace") {
+    // empty tables expose no _bucket partition column (nothing to infer
+    // from) → requiredMetadataAttributes is empty and the rewrite takes
+    // the replaceAll fallback; UPDATE/MERGE must still work
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.empt")
+    spark.sql("""CREATE TABLE cat.empt.t (id BIGINT, v STRING)
+                 PARTITIONED BY (bucket(4, id))""")
+    spark.sql("UPDATE cat.empt.t SET v = 'x' WHERE id = 1") // no-op
+    assert(spark.sql("SELECT count(*) FROM cat.empt.t").as[Long].head() == 0L)
+    spark.sql("SELECT 1L AS id, 'a' AS v").createOrReplaceTempView("empt_src")
+    spark.sql("""MERGE INTO cat.empt.t USING empt_src ON cat.empt.t.id = empt_src.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT v FROM cat.empt.t WHERE id = 1")
+      .as[String].head() == "a")
+  }
+
   test("rename + drop + namespace listing") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.life")
     spark.sql("""CREATE TABLE cat.life.t1 (id BIGINT)
