@@ -70,9 +70,8 @@ final class ReplicationSocketClient(
   private val running = new AtomicBoolean(false)
   private val stopped = new AtomicBoolean(false)
   val reconnects = new AtomicLong(0)
-  private var socket: Socket = _
-  private var in: DataInputStream = _
-  private var out: DataOutputStream = _
+  private var conn: PgWireConnection = _
+  private def out: DataOutputStream = conn.out
   private var reader: Thread = _
   private var heartbeat: Thread = _
   private var supervisor: Thread = _
@@ -96,7 +95,7 @@ final class ReplicationSocketClient(
         heartbeat.interrupt(); heartbeat.join(5000)
         if (stopped.get()) return
         // session died underneath us → reconnect with backoff
-        try socket.close() catch { case _: Throwable => () }
+        try conn.close() catch { case _: Throwable => () }
         var connected = false
         while (!connected && !stopped.get()) {
           Thread.sleep(reconnectBackoffMs)
@@ -115,12 +114,9 @@ final class ReplicationSocketClient(
   }
 
   private def connectSession(): Unit = {
-    socket = new Socket()
-    socket.connect(new InetSocketAddress(host, port), 10000)
-    socket.setTcpNoDelay(true)
-    in = new DataInputStream(socket.getInputStream)
-    out = new DataOutputStream(socket.getOutputStream)
-    handshake()
+    conn = new PgWireConnection(host, port, user, database, password,
+      replication = true)
+    conn.connect()
     val deadlineMs = keepAliveDeadlineMs(queryWalSenderTimeoutMs())
     // resume from durable progress: the server slot re-sends from its
     // confirmed flush position; anything later than flushLsn() that we
@@ -156,91 +152,15 @@ final class ReplicationSocketClient(
     stopped.set(true)
     running.set(false)
     try {
-      if (out != null) {
+      if (conn != null) {
         sendStatusUpdate(force = true, requestReply = true)
         out.write('X'); writeInt(out, 4); out.flush() // Terminate
       }
     } catch { case _: Throwable => () }
-    if (socket != null) socket.close() // unblocks the reader
+    if (conn != null) conn.close() // unblocks the reader
     if (reader != null) reader.join(5000)
     if (heartbeat != null) { heartbeat.interrupt(); heartbeat.join(5000) }
     if (supervisor != null) supervisor.join(5000)
-  }
-
-  // ----------------------------------------------------------- handshake
-  private def handshake(): Unit = {
-    // StartupMessage (no type byte): len, protocol 3.0, key\0value\0…\0
-    val params = Seq("user" -> user, "database" -> database,
-      "replication" -> "database")
-    val body = new java.io.ByteArrayOutputStream()
-    val b = new DataOutputStream(body)
-    b.writeInt(3 << 16) // protocol 3.0
-    params.foreach { case (k, v) =>
-      b.write(k.getBytes(StandardCharsets.UTF_8)); b.write(0)
-      b.write(v.getBytes(StandardCharsets.UTF_8)); b.write(0)
-    }
-    b.write(0)
-    writeInt(out, 4 + body.size()); out.write(body.toByteArray); out.flush()
-    // AuthenticationOk ('R', code 0) or SASL/SCRAM-SHA-256 (codes
-    // 10/11/12, RFC 5802/7677 — Postgres's default auth since v14),
-    // then ParameterStatus/BackendKeyData until ReadyForQuery ('Z').
-    var scram: Option[ScramSession] = None
-    var ready = false
-    while (!ready) {
-      val (t, payload) = readMessage()
-      t match {
-        case 'R' =>
-          val buf = ByteBuffer.wrap(payload)
-          buf.getInt match {
-            case 0 => () // AuthenticationOk
-            case 10 => // AuthenticationSASL: pick SCRAM-SHA-256
-              val mechanisms = Iterator.continually(cstring(buf))
-                .takeWhile(_.nonEmpty).toSeq
-              require(mechanisms.contains("SCRAM-SHA-256"),
-                s"server offers no supported SASL mechanism " +
-                  s"(${mechanisms.mkString(",")})")
-              val s = new ScramSession(user, password)
-              scram = Some(s)
-              val first = s.clientFirstMessage.getBytes(StandardCharsets.UTF_8)
-              val mech = "SCRAM-SHA-256".getBytes(StandardCharsets.UTF_8)
-              out.write('p')
-              writeInt(out, 4 + mech.length + 1 + 4 + first.length)
-              out.write(mech); out.write(0)
-              out.writeInt(first.length); out.write(first); out.flush()
-            case 11 => // AuthenticationSASLContinue: server-first-message
-              val s = scram.getOrElse(throw new java.io.IOException(
-                "SASLContinue without SASL start"))
-              val serverFirst = new String(payload, 4, payload.length - 4,
-                StandardCharsets.UTF_8)
-              val fin = s.clientFinalMessage(serverFirst)
-                .getBytes(StandardCharsets.UTF_8)
-              out.write('p'); writeInt(out, 4 + fin.length)
-              out.write(fin); out.flush()
-            case 12 => // AuthenticationSASLFinal: verify server signature
-              val s = scram.getOrElse(throw new java.io.IOException(
-                "SASLFinal without SASL start"))
-              val serverFinal = new String(payload, 4, payload.length - 4,
-                StandardCharsets.UTF_8)
-              require(s.verifyServerFinal(serverFinal),
-                "server signature mismatch (not the server that holds " +
-                  "the credentials) — refusing to proceed")
-            case code => throw new java.io.IOException(
-              s"unsupported auth request code $code " +
-                "(client supports trust + SCRAM-SHA-256)")
-          }
-        case 'Z' => ready = true
-        case 'E' => throw new java.io.IOException(
-          s"server error during handshake: ${errorMessage(payload)}")
-        case _ => () // ParameterStatus / BackendKeyData — informational
-      }
-    }
-  }
-
-  private def cstring(buf: ByteBuffer): String = {
-    val sb = new StringBuilder
-    var b = buf.get()
-    while (b != 0) { sb.append(b.toChar); b = buf.get() }
-    sb.toString
   }
 
   /** `SHOW wal_sender_timeout` via a simple query; None = disabled or
@@ -381,23 +301,129 @@ final class ReplicationSocketClient(
       (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
 
-  private def simpleQuery(sql: String): Unit = {
-    val bytes = sql.getBytes(StandardCharsets.UTF_8)
-    out.write('Q'); writeInt(out, 4 + bytes.length + 1)
-    out.write(bytes); out.write(0); out.flush()
+  private def simpleQuery(sql: String): Unit = conn.simpleQuery(sql)
+  private def readMessage(): (Char, Array[Byte]) = conn.readMessage()
+  private def drainUntilReady(): Unit = conn.drainUntilReady()
+}
+
+/** One authenticated protocol-v3 connection: startup (optionally in
+  * replication mode), trust or SCRAM-SHA-256 auth with server-signature
+  * verification, simple queries, raw message frames. Shared by the
+  * replication intake above and the snapshot COPY executor
+  * ([[PgCopy]]). */
+final class PgWireConnection(host: String, port: Int, user: String,
+    database: String, password: String, replication: Boolean = false) {
+  import ReplicationSocketClient.errorMessage
+
+  private var socket: Socket = _
+  private var _in: DataInputStream = _
+  private var _out: DataOutputStream = _
+  def out: DataOutputStream = _out
+
+  def connect(): Unit = {
+    socket = new Socket()
+    socket.connect(new InetSocketAddress(host, port), 10000)
+    socket.setTcpNoDelay(true)
+    _in = new DataInputStream(socket.getInputStream)
+    _out = new DataOutputStream(socket.getOutputStream)
+    handshake()
   }
 
-  private def readMessage(): (Char, Array[Byte]) = {
-    val t = in.readByte().toChar
-    val len = in.readInt()
+  def close(): Unit = if (socket != null) socket.close()
+
+  def simpleQuery(sql: String): Unit = {
+    val bytes = sql.getBytes(StandardCharsets.UTF_8)
+    _out.write('Q'); _out.writeInt(4 + bytes.length + 1)
+    _out.write(bytes); _out.write(0); _out.flush()
+  }
+
+  def readMessage(): (Char, Array[Byte]) = {
+    val t = _in.readByte().toChar
+    val len = _in.readInt()
     val payload = new Array[Byte](len - 4)
-    in.readFully(payload)
+    _in.readFully(payload)
     (t, payload)
   }
 
-  private def drainUntilReady(): Unit = {
+  def drainUntilReady(): Unit = {
     var done = false
     while (!done) { val (t, _) = readMessage(); if (t == 'Z') done = true }
+  }
+
+  // ----------------------------------------------------------- handshake
+  private def handshake(): Unit = {
+    // StartupMessage (no type byte): len, protocol 3.0, key\0value\0…\0
+    val params = Seq("user" -> user, "database" -> database) ++
+      (if (replication) Seq("replication" -> "database") else Nil)
+    val body = new java.io.ByteArrayOutputStream()
+    val b = new DataOutputStream(body)
+    b.writeInt(3 << 16) // protocol 3.0
+    params.foreach { case (k, v) =>
+      b.write(k.getBytes(StandardCharsets.UTF_8)); b.write(0)
+      b.write(v.getBytes(StandardCharsets.UTF_8)); b.write(0)
+    }
+    b.write(0)
+    _out.writeInt(4 + body.size()); _out.write(body.toByteArray); _out.flush()
+    // AuthenticationOk ('R', code 0) or SASL/SCRAM-SHA-256 (codes
+    // 10/11/12, RFC 5802/7677 — Postgres's default auth since v14),
+    // then ParameterStatus/BackendKeyData until ReadyForQuery ('Z').
+    var scram: Option[ScramSession] = None
+    var ready = false
+    while (!ready) {
+      val (t, payload) = readMessage()
+      t match {
+        case 'R' =>
+          val buf = ByteBuffer.wrap(payload)
+          buf.getInt match {
+            case 0 => () // AuthenticationOk
+            case 10 => // AuthenticationSASL: pick SCRAM-SHA-256
+              val mechanisms = Iterator.continually(cstring(buf))
+                .takeWhile(_.nonEmpty).toSeq
+              require(mechanisms.contains("SCRAM-SHA-256"),
+                s"server offers no supported SASL mechanism " +
+                  s"(${mechanisms.mkString(",")})")
+              val s = new ScramSession(user, password)
+              scram = Some(s)
+              val first = s.clientFirstMessage.getBytes(StandardCharsets.UTF_8)
+              val mech = "SCRAM-SHA-256".getBytes(StandardCharsets.UTF_8)
+              _out.write('p')
+              _out.writeInt(4 + mech.length + 1 + 4 + first.length)
+              _out.write(mech); _out.write(0)
+              _out.writeInt(first.length); _out.write(first); _out.flush()
+            case 11 => // AuthenticationSASLContinue: server-first-message
+              val s = scram.getOrElse(throw new java.io.IOException(
+                "SASLContinue without SASL start"))
+              val serverFirst = new String(payload, 4, payload.length - 4,
+                StandardCharsets.UTF_8)
+              val fin = s.clientFinalMessage(serverFirst)
+                .getBytes(StandardCharsets.UTF_8)
+              _out.write('p'); _out.writeInt(4 + fin.length)
+              _out.write(fin); _out.flush()
+            case 12 => // AuthenticationSASLFinal: verify server signature
+              val s = scram.getOrElse(throw new java.io.IOException(
+                "SASLFinal without SASL start"))
+              val serverFinal = new String(payload, 4, payload.length - 4,
+                StandardCharsets.UTF_8)
+              require(s.verifyServerFinal(serverFinal),
+                "server signature mismatch (not the server that holds " +
+                  "the credentials) — refusing to proceed")
+            case code => throw new java.io.IOException(
+              s"unsupported auth request code $code " +
+                "(client supports trust + SCRAM-SHA-256)")
+          }
+        case 'Z' => ready = true
+        case 'E' => throw new java.io.IOException(
+          s"server error during handshake: ${errorMessage(payload)}")
+        case _ => () // ParameterStatus / BackendKeyData — informational
+      }
+    }
+  }
+
+  private def cstring(buf: ByteBuffer): String = {
+    val sb = new StringBuilder
+    var b = buf.get()
+    while (b != 0) { sb.append(b.toChar); b = buf.get() }
+    sb.toString
   }
 }
 
@@ -517,7 +543,7 @@ object ReplicationSocketClient {
 
   private def writeInt(out: DataOutputStream, v: Int): Unit = out.writeInt(v)
 
-  private def errorMessage(payload: Array[Byte]): String = {
+  private[sources] def errorMessage(payload: Array[Byte]): String = {
     // ErrorResponse: (code-byte, cstring)* terminated by 0; 'M' = message
     val buf = ByteBuffer.wrap(payload)
     val sb = new StringBuilder

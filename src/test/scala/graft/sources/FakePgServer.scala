@@ -41,12 +41,18 @@ final class FakePgServer(walSenderTimeout: String = "60s",
 
   def enqueue(a: Action*): Unit = a.foreach(script.put)
 
+  /** COPY … TO STDOUT handler: maps the COPY statement to the TEXT rows
+    * it should stream (tests install per-scan-unit data here). */
+  @volatile var copyHandler: String => Seq[String] = _ => Nil
+
   /** Kill the live connection (wal sender restart / network blip). */
   def dropConnection(): Unit =
     if (current != null) { try current.close() catch { case _: Throwable => () } }
 
   def start(): Int = {
-    server = new ServerSocket(0, 2,
+    // generous backlog: concurrent COPY tasks queue while sessions are
+    // served sequentially
+    server = new ServerSocket(0, 32,
       java.net.InetAddress.getLoopbackAddress)
     acceptThread = new Thread(() => {
       // sequential sessions: a reconnecting client gets a fresh one
@@ -131,6 +137,21 @@ final class FakePgServer(walSenderTimeout: String = "60s",
             })
             sendMsg(out, 'C', { b =>
               b.put("SHOW".getBytes(StandardCharsets.UTF_8)); b.put(0.toByte)
+            })
+            sendMsg(out, 'Z', b => b.put('I'.toByte))
+          } else if (sql.toUpperCase.startsWith("COPY")) {
+            // COPY OUT: CopyOutResponse, one CopyData per row, CopyDone,
+            // CommandComplete, ReadyForQuery
+            val rows = copyHandler(sql)
+            sendMsg(out, 'H', b => { b.put(0.toByte); b.putShort(0) })
+            rows.foreach { r =>
+              sendMsg(out, 'd', b =>
+                b.put((r + "\n").getBytes(StandardCharsets.UTF_8)))
+            }
+            sendMsg(out, 'c', _ => ())
+            sendMsg(out, 'C', { b =>
+              b.put(s"COPY ${rows.size}".getBytes(StandardCharsets.UTF_8))
+              b.put(0.toByte)
             })
             sendMsg(out, 'Z', b => b.put('I'.toByte))
           } else if (sql.toUpperCase.startsWith("START_REPLICATION")) {

@@ -212,6 +212,42 @@ class ReplicationClientSpec extends SparkSpec {
     } finally { bad.stop(); server2.stop() }
   }
 
+  test("snapshot COPY over the wire: per-unit connections, CTID predicates, NULLs") {
+    import SnapshotScan._
+    val server = new FakePgServer(password = "pw")
+    // two leaves → per-leaf CTID ranges; serve rows by matching the
+    // predicate the planner generated (COPY TEXT: \N = NULL, tab-sep)
+    server.copyHandler = sql => {
+      if (sql.contains("public.users_p0")) Seq("1\tann\t30", "2\t\\N\t40")
+      else if (sql.contains("public.users_p1")) Seq("3\tcat\t\\N")
+      else fail(s"unexpected COPY: $sql")
+    }
+    val port = server.start()
+    val units = planTable(Seq(
+      LeafStats("public.users_p0", relpages = 10, reltuples = 2),
+      LeafStats("public.users_p1", relpages = 5, reltuples = 1)), workers = 2)
+    // leaves planned separately, each with ctid predicates
+    assert(units.map(_.table).distinct.sorted ==
+      Seq("public.users_p0", "public.users_p1"))
+    try {
+      val df = PgCopy.copyTable(spark, "127.0.0.1", port, "graft",
+        "postgres", "pw", units.take(2).distinctBy(_.table),
+        Seq("id", "name", "age"))
+      val got = df.collect().map(r =>
+        (r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
+        .toSet
+      assert(got == Set(
+        ("1", Some("ann"), Some("30")),
+        ("2", None, Some("40")),
+        ("3", Some("cat"), None)))
+      // each unit ran its own COPY with its own ctid window, and every
+      // connection authenticated (SCRAM ran per connection)
+      val copies = server.queries.toArray.map(_.toString)
+        .filter(_.startsWith("COPY"))
+      assert(copies.length == 2 && copies.forall(_.contains("ctid")))
+    } finally server.stop()
+  }
+
   test("status-update policy helpers (reference constants)") {
     import ReplicationSocketClient._
     assert(parsePgDurationMs("60s").contains(60000L))
