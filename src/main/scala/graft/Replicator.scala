@@ -95,7 +95,13 @@ object Replicator {
       CdcPipeline.jsonDecode)
     sink.startup(spark)
 
-    // optional backfill phase (table_sync): backfill.<name> = parquet path
+    // optional backfill phase (table_sync): backfill.<name> is either a
+    // parquet path or `copy:<qualified table>` — the latter snapshots
+    // the table OVER THE WIRE: one exporting connection pins a
+    // REPEATABLE READ snapshot (pg_export_snapshot) and reads pg_class
+    // stats; the CTID planner splits each leaf into ranges; every Spark
+    // task joins the snapshot on its own connection and COPYs its range
+    // (the reference's table_sync copy, copy.rs:344-547)
     import scala.jdk.CollectionConverters._
     val backfills = props.stringPropertyNames().asScala.toSeq
       .filter(_.startsWith("backfill."))
@@ -109,8 +115,50 @@ object Replicator {
               s"(known: ${known.map(_.tableName).mkString(", ")})"))
       }
       val paths = backfills.toMap
-      pipeline.backfill(tables, t =>
-        (spark.read.parquet(paths(t.tableName)), 0L))
+      def copySnapshot(t: TableSchemaV, qualified: String): DataFrame = {
+        import graft.sources.{PgCopy, PgWireConnection, SnapshotScan}
+        val host = get("source.host", "127.0.0.1")
+        val port = get("source.port").toInt
+        val user = get("source.user", "graft")
+        val db = get("source.database", "postgres")
+        val pw = get("source.password", "")
+        val exporter = new PgWireConnection(host, port, user, db, pw)
+        exporter.connect()
+        try {
+          exporter.simpleQuery("BEGIN ISOLATION LEVEL REPEATABLE READ")
+          exporter.drainUntilReady()
+          val snapshotId = exporter
+            .queryRows("SELECT pg_export_snapshot()")
+            .headOption.flatMap(_.headOption.flatten)
+          val leaves = exporter.queryRows(
+            s"""SELECT p.relid::regclass::text, c.relpages,
+               |       GREATEST(c.reltuples, 0)::bigint
+               |FROM pg_partition_tree('$qualified') p
+               |JOIN pg_class c ON c.oid = p.relid
+               |WHERE p.isleaf""".stripMargin)
+            .map(r => SnapshotScan.LeafStats(r(0).get,
+              r(1).get.toLong, r(2).get.toLong))
+          val workers = get("pipeline.maxTableSyncWorkers", "4").toInt
+          val units = SnapshotScan.planTable(leaves, workers)
+          val cols = t.replicatedColumns.map(_.name)
+          val raw = PgCopy.copyTable(spark, host, port, user, db, pw,
+            units, cols, snapshotId = snapshotId)
+          // materialize within the exporter's snapshot lifetime
+          val typed = PgCopy.decodeTyped(raw, t).cache()
+          typed.count()
+          typed
+        } finally {
+          try {
+            exporter.simpleQuery("COMMIT"); exporter.drainUntilReady()
+          } catch { case _: Throwable => () }
+          exporter.close()
+        }
+      }
+      pipeline.backfill(tables, t => paths(t.tableName) match {
+        case p if p.startsWith("copy:") =>
+          (copySnapshot(t, p.stripPrefix("copy:")), 0L)
+        case p => (spark.read.parquet(p), 0L)
+      })
     }
 
     val logPath = get("source.log", s"$work/wal.log")

@@ -350,6 +350,36 @@ final class PgWireConnection(host: String, port: Int, user: String,
     while (!done) { val (t, _) = readMessage(); if (t == 'Z') done = true }
   }
 
+  /** Run a simple query and collect its DataRows as text values
+    * (None = SQL NULL) — the metadata surface (pg_class stats,
+    * SHOW …). */
+  def queryRows(sql: String): Seq[IndexedSeq[Option[String]]] = {
+    simpleQuery(sql)
+    val out = Seq.newBuilder[IndexedSeq[Option[String]]]
+    var done = false
+    while (!done) {
+      val (t, payload) = readMessage()
+      t match {
+        case 'D' =>
+          val buf = ByteBuffer.wrap(payload)
+          val n = buf.getShort
+          out += (0 until n).map { _ =>
+            val len = buf.getInt
+            if (len < 0) None
+            else {
+              val bytes = new Array[Byte](len); buf.get(bytes)
+              Some(new String(bytes, StandardCharsets.UTF_8))
+            }
+          }.toIndexedSeq
+        case 'Z' => done = true
+        case 'E' => throw new java.io.IOException(
+          s"query failed: ${ReplicationSocketClient.errorMessage(payload)}")
+        case _ => ()
+      }
+    }
+    out.result()
+  }
+
   // ----------------------------------------------------------- handshake
   private def handshake(): Unit = {
     // StartupMessage (no type byte): len, protocol 3.0, key\0value\0…\0

@@ -92,17 +92,28 @@ class ReplicatorSpec extends SparkSpec {
   test("socket mode: live replication intake wired through config (etl-replicator parity)") {
     import graft.sources.{FakePgServer, PgOutput}
     import PgOutput._
+    spark.sparkContext // shared session up BEFORE main's getOrCreate
     val work = Files.createTempDirectory("graft-sock").toString
     val reg = new SchemaRegistry
     reg.put(TableSchemaV(1L, "users", 0L, IndexedSeq(
       ColumnSpec("id", "int8", nullable = false, pkOrdinal = 1),
       ColumnSpec("name", "text"))))
     reg.save(s"$work/schemas.json")
-    spark.emptyDataset[(Long, String)].toDF("id", "name")
-      .write.parquet(s"$work/snapshot0")
 
     val server = new FakePgServer(walSenderTimeout = "1s",
       password = "pw")
+    // wire-native SNAPSHOT: exported snapshot id, pg_class stats, and
+    // per-range COPY rows all served over the protocol
+    server.queryHandler = sql =>
+      if (sql.contains("pg_export_snapshot"))
+        Some(Seq(Seq("00000003-00000002-1")))
+      else if (sql.contains("pg_partition_tree"))
+        Some(Seq(Seq("public.users", "1", "2")))
+      else None
+    server.copyHandler = sql => {
+      assert(sql.contains("public.users") && sql.contains("ctid"), sql)
+      Seq("10\tpre-a", "11\tpre-b")
+    }
     val port = server.start()
     val rel = Relation(1, "public", "users", 'd', IndexedSeq(
       RelCol(1, "id", 20, -1), RelCol(0, "name", 25, -1)))
@@ -123,7 +134,7 @@ class ReplicatorSpec extends SparkSpec {
       |source.password = pw
       |source.log = $work/wal.log
       |destination = current_state
-      |backfill.users = $work/snapshot0
+      |backfill.users = copy:public.users
       |drain = true
       |drain.settleMs = 500
       |""".stripMargin
@@ -135,10 +146,15 @@ class ReplicatorSpec extends SparkSpec {
 
     val out = new graft.sinks.GraftTable(s"$work/tables/users", Seq("id"))
       .read(spark).select("id", "name").as[(Long, String)].collect().toSet
-    assert(out == Set((1L, "ann"), (2L, "bob")))
-    // the intake authenticated (SCRAM) and started the slot
-    assert(server.queries.toArray.exists(
-      _.toString.startsWith("START_REPLICATION")))
+    // wire snapshot rows + streamed CDC rows, one consistent table
+    assert(out == Set((10L, "pre-a"), (11L, "pre-b"),
+      (1L, "ann"), (2L, "bob")))
+    // the intake authenticated (SCRAM) and started the slot; the copy
+    // workers joined the exported snapshot
+    val qs = server.queries.toArray.map(_.toString)
+    assert(qs.exists(_.startsWith("START_REPLICATION")))
+    assert(qs.exists(_.contains("pg_export_snapshot")))
+    assert(qs.exists(_.contains("SET TRANSACTION SNAPSHOT '00000003-00000002-1'")))
   }
 
   test("read-replica mode: store connection independent of the source (store.dir)") {

@@ -44,6 +44,9 @@ final class FakePgServer(walSenderTimeout: String = "60s",
   /** COPY … TO STDOUT handler: maps the COPY statement to the TEXT rows
     * it should stream (tests install per-scan-unit data here). */
   @volatile var copyHandler: String => Seq[String] = _ => Nil
+  /** SELECT handler: rows (as text cells) for matching queries; None →
+    * the generic empty CommandComplete reply. */
+  @volatile var queryHandler: String => Option[Seq[Seq[String]]] = _ => None
 
   /** Kill the live connection (wal sender restart / network blip). */
   def dropConnection(): Unit =
@@ -55,14 +58,21 @@ final class FakePgServer(walSenderTimeout: String = "60s",
     server = new ServerSocket(0, 32,
       java.net.InetAddress.getLoopbackAddress)
     acceptThread = new Thread(() => {
-      // sequential sessions: a reconnecting client gets a fresh one
+      // CONCURRENT sessions: a snapshot exporter holds its transaction
+      // open while per-range copy workers connect alongside it (and a
+      // reconnecting replication client gets a fresh session)
       var live = true
       while (running && live) {
         try {
           val sock = server.accept()
           current = sock
           connections.incrementAndGet()
-          serve(sock)
+          val t = new Thread(() => {
+            try serve(sock)
+            catch { case _: Throwable => () }
+          }, s"fake-pg-session-${connections.get()}")
+          t.setDaemon(true)
+          t.start()
         } catch { case _: Throwable => if (!running) live = false }
       }
     }, "fake-pg-accept")
@@ -191,12 +201,41 @@ final class FakePgServer(walSenderTimeout: String = "60s",
             writer.setDaemon(true)
             onWriter(writer)
             writer.start()
-          } else {
-            sendMsg(out, 'C', { b =>
-              b.put("SELECT 0".getBytes(StandardCharsets.UTF_8))
-              b.put(0.toByte)
-            })
-            sendMsg(out, 'Z', b => b.put('I'.toByte))
+          } else queryHandler(sql) match {
+            case Some(rows) =>
+              val nCols = rows.headOption.map(_.size).getOrElse(1)
+              sendMsg(out, 'T', { b =>
+                b.putShort(nCols.toShort)
+                (0 until nCols).foreach { i =>
+                  b.put(s"c$i".getBytes(StandardCharsets.UTF_8))
+                  b.put(0.toByte)
+                  b.putInt(0); b.putShort(0); b.putInt(25)
+                  b.putShort(-1); b.putInt(-1); b.putShort(0)
+                }
+              })
+              rows.foreach { r =>
+                sendMsg(out, 'D', { b =>
+                  b.putShort(r.size.toShort)
+                  r.foreach { v =>
+                    if (v == null) b.putInt(-1)
+                    else {
+                      val bytes = v.getBytes(StandardCharsets.UTF_8)
+                      b.putInt(bytes.length); b.put(bytes)
+                    }
+                  }
+                })
+              }
+              sendMsg(out, 'C', { b =>
+                b.put(s"SELECT ${rows.size}".getBytes(StandardCharsets.UTF_8))
+                b.put(0.toByte)
+              })
+              sendMsg(out, 'Z', b => b.put('I'.toByte))
+            case None =>
+              sendMsg(out, 'C', { b =>
+                b.put("SELECT 0".getBytes(StandardCharsets.UTF_8))
+                b.put(0.toByte)
+              })
+              sendMsg(out, 'Z', b => b.put('I'.toByte))
           }
         case 'd' if payload.nonEmpty && payload(0) == 'r' =>
           val b = ByteBuffer.wrap(payload, 1, payload.length - 1)

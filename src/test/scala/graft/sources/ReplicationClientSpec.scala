@@ -248,6 +248,50 @@ class ReplicationClientSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("COPY TEXT → typed decode: PG semantics, not bare casts") {
+    import graft.core.{ColumnSpec, PgTypeMap, TableSchemaV}
+    val schema = TableSchemaV(9L, "typed", 0L, IndexedSeq(
+      ColumnSpec("id", "int8", nullable = false, pkOrdinal = 1),
+      ColumnSpec("ok", "bool"),
+      ColumnSpec("f", "float8"),
+      ColumnSpec("amount", "numeric",
+        modifier = PgTypeMap.packNumericModifier(10, 2)),
+      ColumnSpec("d", "date"),
+      ColumnSpec("ts", "timestamptz"),
+      ColumnSpec("tod", "time"),
+      ColumnSpec("payload", "bytea"),
+      ColumnSpec("tags", "_text"),
+      ColumnSpec("ns", "_int4")))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("1", "t", "NaN", "12.50", "2024-02-29",
+          "2024-01-02 03:04:05.123456+00", "01:02:03.000004",
+          "\\x4869", """{a,"b c",NULL}""", "{1,2,NULL}"),
+        org.apache.spark.sql.Row("2", "f", "-Infinity", null, null,
+          null, null, null, "{}", null)),
+      org.apache.spark.sql.types.StructType(schema.columns.map(c =>
+        org.apache.spark.sql.types.StructField(c.name,
+          org.apache.spark.sql.types.StringType))))
+    val out = PgCopy.decodeTyped(df, schema).orderBy("id").collect()
+    val r1 = out(0)
+    assert(r1.getLong(0) == 1L && r1.getBoolean(1))
+    assert(r1.getDouble(2).isNaN)
+    assert(r1.getDecimal(3).toString == "12.50")
+    assert(r1.getDate(4).toString == "2024-02-29")
+    assert(r1.getTimestamp(5).toInstant.toString ==
+      "2024-01-02T03:04:05.123456Z")
+    assert(r1.getLong(6) == (1L * 3600 + 2 * 60 + 3) * 1000000L + 4)
+    assert(new String(r1.getAs[Array[Byte]](7)) == "Hi")
+    assert(r1.getSeq[String](8) == Seq("a", "b c", null))
+    assert(r1.getSeq[Integer](9) == Seq(1, 2, null))
+    val r2 = out(1)
+    assert(r2.getLong(0) == 2L && !r2.getBoolean(1))
+    assert(r2.getDouble(2).isNegInfinity)
+    assert(r2.isNullAt(3) && r2.isNullAt(4) && r2.isNullAt(5) &&
+      r2.isNullAt(6) && r2.isNullAt(7) && r2.isNullAt(9))
+    assert(r2.getSeq[String](8) == Seq.empty)
+  }
+
   test("status-update policy helpers (reference constants)") {
     import ReplicationSocketClient._
     assert(parsePgDurationMs("60s").contains(60000L))
