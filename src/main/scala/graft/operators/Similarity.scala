@@ -168,16 +168,19 @@ object Similarity {
     * checking is a plain self-join the caller can do at small SF. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int = 12, nTables: Int = 4): DataFrame = {
-    val tables = (0 until nTables).map { t =>
-      // per-table planes: offset the plane index so tables are independent.
-      // Vectors are projected OUT before the bucket join: the candidate
-      // pipeline (join + dedup) shuffles only (tbl, bucket, id) triples —
-      // at 100 TB the embedding payload moves exactly twice, in the two
-      // id-keyed verify joins below (same shape as minhashLshPairs).
-      df.select(col(idCol).as("id"), lit(t).as("tbl"),
-        hyperplaneSig(col(vecCol), nPlanes, t * nPlanes).as("bucket"))
-    }
-    val banded = tables.reduce(_ unionByName _)
+    // ONE corpus pass emits all tables' signatures (posexplode), not a
+    // union of nTables scans — at 100 TB that is 1 read instead of 8.
+    // Per-table planes: the offset keeps tables independent. Vectors are
+    // projected OUT before the bucket join: the candidate pipeline
+    // (join + dedup) shuffles only (tbl, bucket, id) triples — the
+    // embedding payload moves exactly twice, in the two id-keyed verify
+    // joins below (same shape as minhashLshPairs).
+    val sigs = (0 until nTables).map(t =>
+      hyperplaneSig(col(vecCol), nPlanes, t * nPlanes))
+    val banded = df.select(col(idCol).as("id"),
+        posexplode(array(sigs: _*)))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bucket")
     val a = banded.select(col("id").as("id_a"), col("tbl"), col("bucket"))
     val b = banded.select(col("id").as("id_b"), col("tbl"), col("bucket"))
     val candIds = a.join(b, Seq("tbl", "bucket"))
