@@ -58,9 +58,11 @@ object CoreQueries {
     ORDER BY l_returnflag, l_linestatus"""
 
   /** TPC-H Q3 shape: 3-way join with a broadcast-able dimension.
-    * `customer` is tiny relative to the facts at every SF (150 rows per
-    * 6000 lineitem) — broadcast it explicitly; orders⨝lineitem shuffles on
-    * the join key, which AQE handles at scale. */
+    * `customer` is proportionally small but grows linearly with SF, so no
+    * forced broadcast hint: AQE picks BroadcastHashJoin while the build
+    * side fits (PlanSpec asserts it does at test SF) and degrades to a
+    * shuffled join past the broadcast limit instead of failing — the same
+    * policy GraftTable.merge uses for its anti-join. */
   def q3Join(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(spark, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
@@ -69,7 +71,7 @@ object CoreQueries {
     val li = Tables.load(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-02 00:00:00"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"),
         col("o_orderdate").cast(DateType).as("orderdate"),
         col("o_orderpriority"))

@@ -13,9 +13,11 @@ object MoreQueries {
   private def dec32(c: String) = col(c).cast(DecimalType(3, 2))
   private val one = lit(1).cast(DecimalType(3, 2))
 
-  /** TPC-H Q5 shape: 6-way join, dimensions broadcast, revenue per nation.
-    * Note the c_nationkey = s_nationkey co-location constraint — Catalyst
-    * reorders; region/nation/supplier/customer are all broadcast-able. */
+  /** TPC-H Q5 shape: 6-way join, revenue per nation. region/nation are
+    * fixed-cardinality (5/25 rows) so a broadcast hint is safe at any SF;
+    * customer/supplier grow linearly with SF, so they carry no hint — AQE
+    * broadcasts them while small and falls back to shuffled joins past the
+    * broadcast limit instead of OOMing at 100x scale. */
   def q5Join(spark: SparkSession, dir: String): DataFrame = {
     val region = Tables.load(spark, dir, "region").filter(col("r_name") === "ASIA")
     val nation = Tables.load(spark, dir, "nation")
@@ -26,8 +28,8 @@ object MoreQueries {
         col("o_orderdate") < lit("1998-01-01 00:00:00"))
     val li = Tables.load(spark, dir, "lineitem")
     li.join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") &&
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -63,7 +65,7 @@ object MoreQueries {
       .filter(col("sum_qty") > 150)
     li.join(big.select("l_orderkey"), "l_orderkey")
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_totalprice").cast(DecimalType(12, 2)).cast(DoubleType)
           .as("totalprice"))

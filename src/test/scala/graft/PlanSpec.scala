@@ -31,9 +31,22 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q3 join broadcasts the customer dimension (no shuffle of the small side)") {
+    // no broadcast() hint in the query: the optimizer must choose the
+    // broadcast from size estimates, so the same plan degrades to a
+    // shuffled join past the 8 GiB broadcast limit instead of failing
     val p = plan(CoreQueries.q3Join(spark, sf()))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q5/q18 broadcast SF-scaling dims from size estimates, not forced hints") {
+    // customer/supplier grow with SF; dropping the hints must not change
+    // the small-SF plan (optimizer still broadcasts) while letting the
+    // 100 TB plan fall back to shuffled joins
+    val p5 = plan(MoreQueries.q5Join(spark, sf()))
+    assert("BroadcastHashJoin".r.findAllIn(p5).size >= 4, p5)
+    val p18 = plan(MoreQueries.q18TopOrders(spark, sf()))
+    assert(p18.contains("BroadcastHashJoin"), p18)
   }
 
   test("LWW dedup aggregates map-side before the key shuffle (one exchange)") {
