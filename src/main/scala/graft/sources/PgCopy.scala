@@ -2,6 +2,7 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets
 
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
@@ -17,44 +18,95 @@ import graft.core.PgText
   * Scale design: [[copyTable]] parallelizes the unit list so EVERY
   * EXECUTOR TASK opens its own connection and streams its range —
   * driver never touches row data; largest-first unit order gives
-  * LPT-ish scheduling under Spark's task scheduler. Output columns are
-  * COPY TEXT strings (NULL = SQL NULL) for downstream typed decoding
-  * against the declared schema — the same text-codec seam the CDC
-  * envelope uses.
+  * LPT-ish scheduling under Spark's task scheduler. Rows are PULLED
+  * lazily from the socket ([[CopyLineIterator]]): a 250k-row range is
+  * never materialized in executor memory, mirroring the reference's
+  * bounded-channel copy streaming. Output columns are COPY TEXT strings
+  * (NULL = SQL NULL) for downstream typed decoding against the declared
+  * schema — the same text-codec seam the CDC envelope uses.
   */
 object PgCopy {
-  /** Run one `COPY … TO STDOUT` on an OPEN connection; returns raw COPY
-    * TEXT lines. Protocol: CopyOutResponse 'H', CopyData 'd' per row,
-    * CopyDone 'c', CommandComplete, ReadyForQuery. */
-  def copyText(conn: PgWireConnection, copySql: String): Vector[String] = {
-    conn.simpleQuery(copySql)
-    val out = Vector.newBuilder[String]
-    var pending = new StringBuilder
-    var done = false
-    while (!done) {
+
+  /** Lazy line reader over an in-progress `COPY … TO STDOUT`: pulls
+    * CopyData frames from the socket on demand and emits one COPY TEXT
+    * line per `next()`. Byte-exact framing: lines are split on the raw
+    * `0x0A` byte and decoded to UTF-8 only once complete, so a
+    * multi-byte character split across two CopyData frames (the wire
+    * permits arbitrary frame boundaries) never mojibakes. Protocol:
+    * CopyOutResponse 'H', CopyData 'd' per chunk, CopyDone 'c',
+    * CommandComplete, ReadyForQuery. */
+  final class CopyLineIterator private[sources] (conn: PgWireConnection,
+      closeOnExhaust: Boolean) extends Iterator[String] {
+    // bytes after the last seen newline (a partial row spanning frames)
+    private var pending = Array.emptyByteArray
+    private val ready = scala.collection.mutable.Queue.empty[String]
+    private var streamDone = false
+    private var closed = false
+
+    private def pull(): Unit = {
       val (t, payload) = conn.readMessage()
       t match {
         case 'H' => () // CopyOutResponse — rows follow
         case 'd' =>
-          // row data: split on newlines; a row MAY span CopyData frames
-          pending.append(new String(payload, StandardCharsets.UTF_8))
-          var idx = pending.indexOf("\n")
-          while (idx >= 0) {
-            out += pending.substring(0, idx)
-            pending.delete(0, idx + 1)
-            idx = pending.indexOf("\n")
+          val data =
+            if (pending.isEmpty) payload
+            else {
+              val merged = new Array[Byte](pending.length + payload.length)
+              System.arraycopy(pending, 0, merged, 0, pending.length)
+              System.arraycopy(payload, 0, merged, pending.length, payload.length)
+              merged
+            }
+          // pending holds no newline — resume the scan at the new bytes
+          var start = 0
+          var i = data.length - payload.length
+          while (i < data.length) {
+            if (data(i) == 0x0a) {
+              ready += new String(data, start, i - start, StandardCharsets.UTF_8)
+              start = i + 1
+            }
+            i += 1
           }
+          pending =
+            if (start == 0) data
+            else java.util.Arrays.copyOfRange(data, start, data.length)
         case 'c' => // CopyDone
-          require(pending.isEmpty || pending.toString.forall(_ == '\r'),
-            s"COPY stream ended mid-row: '${pending.toString.take(80)}'")
-        case 'Z' => done = true
+          require(pending.isEmpty || pending.forall(_ == 0x0d),
+            s"COPY stream ended mid-row: '${
+              new String(pending, StandardCharsets.UTF_8).take(80)}'")
+        case 'Z' =>
+          streamDone = true
+          if (closeOnExhaust && !closed) { closed = true; conn.close() }
         case 'E' => throw new java.io.IOException(
           s"COPY failed: ${ReplicationSocketClient.errorMessage(payload)}")
         case _ => () // CommandComplete / NoticeResponse
       }
     }
-    out.result()
+
+    override def hasNext: Boolean = {
+      while (ready.isEmpty && !streamDone) pull()
+      ready.nonEmpty
+    }
+    override def next(): String = {
+      if (!hasNext) throw new NoSuchElementException("COPY stream exhausted")
+      ready.dequeue()
+    }
   }
+
+  /** Start a `COPY … TO STDOUT` on an OPEN connection and stream its
+    * lines lazily. The connection must not be used for anything else
+    * until the iterator is exhausted; with `closeOnExhaust` the iterator
+    * closes it after ReadyForQuery. */
+  def copyLines(conn: PgWireConnection, copySql: String,
+      closeOnExhaust: Boolean = false): Iterator[String] = {
+    conn.simpleQuery(copySql)
+    new CopyLineIterator(conn, closeOnExhaust)
+  }
+
+  /** Run one `COPY … TO STDOUT` on an OPEN connection; returns raw COPY
+    * TEXT lines, strictly materialized (tests / small ranges — the
+    * distributed path streams via [[copyLines]]). */
+  def copyText(conn: PgWireConnection, copySql: String): Vector[String] =
+    copyLines(conn, copySql).toVector
 
   /** Distributed snapshot copy: one Spark task per scan unit, each on
     * its own connection. When `snapshotId` is set every worker joins the
@@ -63,7 +115,10 @@ object PgCopy {
     * consistent-multi-connection-snapshot requirement (copy.rs:344-370);
     * the exporting connection must stay open until the copy finishes.
     * Returns a DataFrame of `columns` as COPY TEXT strings (nulls
-    * preserved), ready for [[decodeTyped]]. */
+    * preserved), ready for [[decodeTyped]]. Rows stream lazily from the
+    * socket into Spark's row pipeline; the connection closes when the
+    * range is exhausted (task-completion listener as the failure-path
+    * net). */
   def copyTable(spark: SparkSession, host: String, port: Int, user: String,
       database: String, password: String,
       units: Seq[SnapshotScan.ScanUnit], columns: Seq[String],
@@ -79,6 +134,9 @@ object PgCopy {
           val conn = new PgWireConnection(host, port, user, database,
             password)
           conn.connect()
+          val tc = TaskContext.get()
+          if (tc != null)
+            tc.addTaskCompletionListener[Unit](_ => conn.close())
           try {
             snapshotId.foreach { id =>
               conn.simpleQuery("BEGIN ISOLATION LEVEL REPEATABLE READ")
@@ -86,13 +144,15 @@ object PgCopy {
               conn.simpleQuery(s"SET TRANSACTION SNAPSHOT '$id'")
               conn.drainUntilReady()
             }
-            copyText(conn, sql).map { line =>
+            copyLines(conn, sql, closeOnExhaust = true).map { line =>
               val vals = PgText.parseCopyRow(line)
               require(vals.length == nCols,
                 s"COPY row has ${vals.length} columns, expected $nCols")
               Row.fromSeq(vals.map(_.orNull))
             }
-          } finally conn.close()
+          } catch {
+            case e: Throwable => conn.close(); throw e
+          }
         }
       }
     spark.createDataFrame(rows,
@@ -102,15 +162,19 @@ object PgCopy {
   /** Decode COPY TEXT columns to their declared Spark types with
     * POSTGRES text semantics (not bare casts): bool `t`/`f`, bytea
     * `\x…` hex, floats with `NaN`/`±Infinity`, `time` as micros-of-day,
-    * and 1-D arrays (`{…}` literals, `NULL` elements, quoted strings).
+    * and 1-D arrays (`{…}` literals, `NULL` elements, quoted strings,
+    * `\"`/`\\` escapes — parsed by the stateful [[graft.functions
+    * .PgArrayCodec]] tokenizer via `StaticInvoke`, codegen-friendly).
     * Numeric NaN cannot live in DecimalType → null (the precision-less
     * numeric stays text upstream, PgTypeMap). Mirrors [[graft.core.PgText]]
-    * as codegen-friendly Column expressions — no UDFs in the backfill
-    * path. */
+    * — no UDFs in the backfill path. */
   def decodeTyped(df: DataFrame,
       schema: graft.core.TableSchemaV): DataFrame = {
     import org.apache.spark.sql.Column
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.ArrayType
     def scalar(c: Column, pgType: String, modifier: Int): Column = {
       val t = pgType.toLowerCase.stripPrefix("pg_catalog.")
       t match {
@@ -128,31 +192,16 @@ object PgCopy {
       val t = spec.pgType.toLowerCase.stripPrefix("pg_catalog.")
       val decoded =
         if (t.startsWith("_")) {
-          // 1-D array literal {a,"b c",NULL}: strip braces, split on
-          // commas OUTSIDE quotes, unquote/unescape, NULL sentinel
-          val inner = regexp_replace(c, "^\\{|\\}$", "")
-          val parts = split(inner, ",(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)")
-          when(c.isNull, lit(null)).otherwise(
-            when(inner === "", array().cast("array<string>")).otherwise(parts)
-              .pipe { arr =>
-                transform(arr, x => {
-                  val unq = when(x.startsWith("\""),
-                    regexp_replace(regexp_replace(
-                      x.substr(lit(2), length(x) - 2),
-                      "\\\\\"", "\""), "\\\\\\\\", "\\\\"))
-                    .otherwise(x)
-                  when(x === "NULL", lit(null).cast("string"))
-                    .otherwise(unq)
-                }).pipe(a => transform(a, e =>
-                  scalar(e, t.substring(1), spec.modifier)))
-              })
+          val parsed = GraftColumnBridge.column(StaticInvoke(
+            graft.functions.PgArrayCodec.getClass,
+            ArrayType(StringType, containsNull = true),
+            "parse",
+            Seq(GraftColumnBridge.expression(c)),
+            inputTypes = Seq(StringType)))
+          transform(parsed, e => scalar(e, t.substring(1), spec.modifier))
         } else scalar(c, t, spec.modifier)
       decoded.as(spec.name)
     }
     df.select(cols: _*)
-  }
-
-  private implicit final class Piped[A](private val a: A) extends AnyVal {
-    def pipe[B](f: A => B): B = f(a)
   }
 }

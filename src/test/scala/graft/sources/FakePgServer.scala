@@ -44,6 +44,10 @@ final class FakePgServer(walSenderTimeout: String = "60s",
   /** COPY … TO STDOUT handler: maps the COPY statement to the TEXT rows
     * it should stream (tests install per-scan-unit data here). */
   @volatile var copyHandler: String => Seq[String] = _ => Nil
+  /** When >0, COPY OUT rows are re-framed into CopyData chunks of exactly
+    * this many bytes — the wire permits arbitrary frame boundaries, so
+    * this exercises mid-row and mid-UTF-8-character splits. */
+  @volatile var copyFrameBytes: Int = 0
   /** SELECT handler: rows (as text cells) for matching queries; None →
     * the generic empty CommandComplete reply. */
   @volatile var queryHandler: String => Option[Seq[Seq[String]]] = _ => None
@@ -154,7 +158,17 @@ final class FakePgServer(walSenderTimeout: String = "60s",
             // CommandComplete, ReadyForQuery
             val rows = copyHandler(sql)
             sendMsg(out, 'H', b => { b.put(0.toByte); b.putShort(0) })
-            rows.foreach { r =>
+            if (copyFrameBytes > 0) {
+              val all = rows.map(_ + "\n").mkString
+                .getBytes(StandardCharsets.UTF_8)
+              var off = 0
+              while (off < all.length) {
+                val n = math.min(copyFrameBytes, all.length - off)
+                val chunk = java.util.Arrays.copyOfRange(all, off, off + n)
+                sendMsg(out, 'd', b => b.put(chunk))
+                off += n
+              }
+            } else rows.foreach { r =>
               sendMsg(out, 'd', b =>
                 b.put((r + "\n").getBytes(StandardCharsets.UTF_8)))
             }

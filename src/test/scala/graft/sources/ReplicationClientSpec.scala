@@ -292,6 +292,73 @@ class ReplicationClientSpec extends SparkSpec {
     assert(r2.getSeq[String](8) == Seq.empty)
   }
 
+  test("COPY rows split across CopyData frames mid-UTF-8-character decode intact") {
+    val server = new FakePgServer()
+    // multi-byte chars (2-, 3- and 4-byte UTF-8) + frames of 3 bytes →
+    // every row boundary AND most characters straddle frames
+    val rows = Seq("1\tcafé", "2\t日本語テキスト", "3\t𝕊parkλ", "4\t\\N")
+    server.copyHandler = _ => rows
+    server.copyFrameBytes = 3
+    val port = server.start()
+    try {
+      val conn = new PgWireConnection("127.0.0.1", port, "u", "db", "")
+      conn.connect()
+      try {
+        val got = PgCopy.copyText(conn, "COPY (SELECT 1) TO STDOUT")
+        assert(got == rows.toVector, got)
+        // decoded cells survive byte-exact (no replacement characters)
+        val cells = got.map(graft.core.PgText.parseCopyRow(_)(1))
+        assert(cells == Vector(Some("café"), Some("日本語テキスト"),
+          Some("𝕊parkλ"), None))
+      } finally conn.close()
+    } finally server.stop()
+  }
+
+  test("copyLines streams an oversized range lazily (O(1) client memory)") {
+    val server = new FakePgServer()
+    val n = 300000
+    // LazyList: the server renders rows on demand too — nothing holds
+    // the whole range on either side
+    server.copyHandler = _ =>
+      LazyList.range(0, n).map(i => s"$i\tpayload-$i-${"x" * 64}")
+    val port = server.start()
+    try {
+      val conn = new PgWireConnection("127.0.0.1", port, "u", "db", "")
+      conn.connect()
+      val it = PgCopy.copyLines(conn, "COPY (SELECT 1) TO STDOUT",
+        closeOnExhaust = true)
+      // fold with O(1) retained state — no Vector materialization
+      var count = 0
+      var lastOk = true
+      it.foreach { line =>
+        lastOk &&= line.startsWith(s"$count\t")
+        count += 1
+      }
+      assert(count == n && lastOk)
+    } finally server.stop()
+  }
+
+  test("array literals with escaped quotes and backslashes decode exactly") {
+    import graft.core.{ColumnSpec, TableSchemaV}
+    val schema = TableSchemaV(10L, "arrs", 0L, IndexedSeq(
+      ColumnSpec("id", "int8", nullable = false, pkOrdinal = 1),
+      ColumnSpec("tags", "_text")))
+    // {"say \"hi\"", "back\\slash", "\\\"mix\\\"", plain} — the COPY TEXT
+    // cell as it arrives after parseCopyRow (array-literal escapes only)
+    val lit = """{"say \"hi\"","back\\slash","\\\"mix","a,b",NULL,""}"""
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row("1", lit)),
+      org.apache.spark.sql.types.StructType(schema.columns.map(c =>
+        org.apache.spark.sql.types.StructField(c.name,
+          org.apache.spark.sql.types.StringType))))
+    val out = PgCopy.decodeTyped(df, schema).collect()(0)
+    assert(out.getSeq[String](1) == Seq(
+      "say \"hi\"", "back\\slash", "\\\"mix", "a,b", null, ""))
+    // matches the CDC-path tokenizer bit for bit
+    assert(graft.core.PgText.parseArray(lit).map(_.orNull) ==
+      Seq("say \"hi\"", "back\\slash", "\\\"mix", "a,b", null, ""))
+  }
+
   test("status-update policy helpers (reference constants)") {
     import ReplicationSocketClient._
     assert(parsePgDurationMs("60s").contains(60000L))
