@@ -169,6 +169,7 @@ object Replicator {
     val socketClient =
       if (get("source.mode", "file") == "socket") {
         val progressPath = java.nio.file.Paths.get(logPath + ".progress")
+        val lastFlush = new java.util.concurrent.atomic.AtomicLong(0L)
         val c = new graft.sources.ReplicationSocketClient(
           get("source.host", "127.0.0.1"), get("source.port").toInt,
           get("source.slot", "graft_slot"),
@@ -177,9 +178,17 @@ object Replicator {
           database = get("source.database", "postgres"),
           password = get("source.password", ""),
           flushLsn = () =>
-            if (!java.nio.file.Files.exists(progressPath)) 0L
-            else graft.sources.LsnOffset.fromJson(new String(
-              java.nio.file.Files.readAllBytes(progressPath))).commitLsn)
+            // tolerant read: commit() replaces the file atomically, but a
+            // missing/garbled read must never tear the replication
+            // session — report the last known flush instead
+            try {
+              if (!java.nio.file.Files.exists(progressPath)) lastFlush.get()
+              else {
+                val v = graft.sources.LsnOffset.fromJson(new String(
+                  java.nio.file.Files.readAllBytes(progressPath))).commitLsn
+                lastFlush.updateAndGet(prev => math.max(prev, v))
+              }
+            } catch { case _: Throwable => lastFlush.get() })
         c.start()
         Some(c)
       } else None

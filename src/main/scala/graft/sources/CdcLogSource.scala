@@ -430,8 +430,19 @@ final class CdcLogMicroBatchStream(path: String, maxRows: Option[Long],
     val prev = if (Files.exists(p))
       LsnOffset.fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
     else LsnOffset.zero
-    if (LsnOffset.lt((prev.commitLsn, prev.txOrdinal), (o.commitLsn, o.txOrdinal)))
-      Files.write(p, o.json().getBytes(StandardCharsets.UTF_8))
+    if (LsnOffset.lt((prev.commitLsn, prev.txOrdinal), (o.commitLsn, o.txOrdinal))) {
+      // atomic replace: the replication client's flushLsn() reads this
+      // file concurrently from its heartbeat/reader threads — an
+      // in-place truncate-then-write would expose a torn read
+      val tmp = Paths.get(path + ".progress.tmp")
+      Files.write(tmp, o.json().getBytes(StandardCharsets.UTF_8))
+      try Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
   }
 
   override def stop(): Unit = {}

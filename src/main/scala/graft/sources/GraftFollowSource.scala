@@ -168,7 +168,11 @@ object GraftFollower {
     val files = meta.filter(!_.isNullAt(1)).map(_.getString(1)).toSeq
     val rows =
       if (files.isEmpty) {
+        // tombstone-only batch on a follower with no schema yet (fresh
+        // follower of an empty/truncated leader): nothing to clear, and
+        // a StructType(Nil) frame cannot resolve the bucket key columns
         val schema = target.currentSchema.getOrElse(StructType(Nil))
+        if (schema.isEmpty) return
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       } else spark.read.parquet(files: _*).drop("_bucket")

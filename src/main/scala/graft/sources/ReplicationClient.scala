@@ -90,21 +90,25 @@ final class ReplicationSocketClient(
   def start(reconnectBackoffMs: Long = 1000L): Unit = {
     connectSession()
     supervisor = new Thread(() => {
+      // no early `return` in the lambda: a Scala non-local return after
+      // start() has exited surfaces as NonLocalReturnControl on this
+      // thread at every graceful stop
       while (!stopped.get()) {
         reader.join()
         heartbeat.interrupt(); heartbeat.join(5000)
-        if (stopped.get()) return
-        // session died underneath us → reconnect with backoff
-        try conn.close() catch { case _: Throwable => () }
-        var connected = false
-        while (!connected && !stopped.get()) {
-          Thread.sleep(reconnectBackoffMs)
-          if (!stopped.get()) {
-            try {
-              connectSession()
-              reconnects.incrementAndGet()
-              connected = true
-            } catch { case e: Throwable => lastError = Some(e) }
+        if (!stopped.get()) {
+          // session died underneath us → reconnect with backoff
+          try conn.close() catch { case _: Throwable => () }
+          var connected = false
+          while (!connected && !stopped.get()) {
+            Thread.sleep(reconnectBackoffMs)
+            if (!stopped.get()) {
+              try {
+                connectSession()
+                reconnects.incrementAndGet()
+                connected = true
+              } catch { case e: Throwable => lastError = Some(e) }
+            }
           }
         }
       }

@@ -58,6 +58,25 @@ class GraftFollowSpec extends SparkSpec {
     assert(contents(follower).isEmpty)
   }
 
+  test("fresh follower of an empty/truncated leader survives a tombstone-only batch") {
+    val dir = tmp("follow-empty")
+    val leader = new GraftTable(s"$dir/leader", Seq("id"), nBuckets = 4,
+      retainVersions = 10)
+    val follower = new GraftTable(s"$dir/follower", Seq("id"), nBuckets = 4)
+    // leader gets data then truncates BEFORE the follower's first batch:
+    // the follower (no schema yet) sees only tombstones — must no-op,
+    // not crash resolving bucket keys on an empty frame
+    leader.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    leader.truncate()
+    runOnePass(s"$dir/leader", follower, s"$dir/ckpt")
+    assert(follower.currentSchema.isEmpty ||
+      contents(follower).isEmpty)
+    // and once the leader has data again the follower converges normally
+    leader.overwrite(Seq((5L, "e")).toDF("id", "v"))
+    runOnePass(s"$dir/leader", follower, s"$dir/ckpt")
+    assert(contents(follower) == Set((5L, "e")))
+  }
+
   test("expired checkpoint version degrades to one full-refresh batch") {
     val dir = tmp("follow-exp")
     // retainVersions=2: history expires fast
