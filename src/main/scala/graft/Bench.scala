@@ -6,8 +6,63 @@ import org.apache.spark.sql.SparkSession
   * benchmark harness shape (crates/etl-benchmarks: warmups discarded,
   * per-metric report) — here a small warmup pass on sf0.001 JITs the
   * common codegen paths so per-query numbers measure the operators, not
-  * first-touch compilation. */
+  * first-touch compilation.
+  *
+  * Beyond the per-query medians it reports:
+  *   - `op_*` entries ([[SparkEntry.benchOnly]]): the LSH/IVF operators
+  *     timed WITHOUT their inline exact-oracle gate legs, so their
+  *     round-over-round delta is attributable to the operator;
+  *   - `streaming`: a sustained envelope-event run through the CDC
+  *     pipeline into the current-state sink under a real StreamingQuery,
+  *     reported as events/second — the analog of the reference's
+  *     table-streaming bench (crates/etl-benchmarks/src/
+  *     table_streaming.rs:97-120 `end_to_end/drain events_per_second`).
+  */
 object Bench {
+
+  /** Drive `n` synthetic envelope events (upserts over `n/4` keys, same
+    * WAL line shape the e2e specs use) through CdcPipeline →
+    * CurrentStateSink and time (a) until every event is applied
+    * (`processAllAvailable`) and (b) until the query has fully shut down
+    * — the drain. Returns (n, endToEndEps, drainEps). */
+  def streamingThroughput(spark: SparkSession, nEvents: Int): (Int, Double, Double) = {
+    import org.apache.spark.sql.functions._
+    import graft.core.{ColumnSpec, SchemaRegistry, TableSchemaV}
+    import graft.pipeline.{CdcPipeline, PipelineConfig, TableState}
+    import graft.sinks.CurrentStateSink
+    val tmp = java.nio.file.Files.createTempDirectory("graft-streambench").toString
+    val keys = math.max(1, nEvents / 4)
+    val wal = spark.range(nEvents.toLong)
+      .select(col("id"), concat(
+        col("id"), lit("\t0\tU\t1\t"), col("id"), lit("\t0\t\\N\t"),
+        lit("{\"key\":"), col("id") % keys,
+        lit(",\"val\":"), col("id"), lit("}")).as("line"))
+      .orderBy("id").select("line")
+    wal.coalesce(1).write.text(s"$tmp/wal")
+    val part = new java.io.File(s"$tmp/wal").listFiles()
+      .find(_.getName.endsWith(".txt")).get
+    val log = s"$tmp/wal.log"
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(log))
+
+    val registry = new SchemaRegistry
+    registry.put(TableSchemaV(1L, "state", 0L, IndexedSeq(
+      ColumnSpec("key", "int8", nullable = false, pkOrdinal = 1),
+      ColumnSpec("val", "float8"))))
+    val sink = new CurrentStateSink(s"$tmp/tables", _ => Seq("key"), 16)
+    val pipeline = new CdcPipeline(spark,
+      PipelineConfig(maxRowsPerTrigger = 100000, maxFillMs = 50,
+        checkpointDir = s"$tmp/ckpt", stateDir = s"$tmp/state"),
+      registry, sink, CdcPipeline.jsonDecode)
+    pipeline.stateStore.force(1L, TableState.Ready)
+    val t0 = System.nanoTime()
+    val q = pipeline.startStream(log)
+    q.processAllAvailable()
+    val tEnd = System.nanoTime()
+    q.stop()
+    val tDrain = System.nanoTime()
+    (nEvents, nEvents / ((tEnd - t0) / 1e9), nEvents / ((tDrain - t0) / 1e9))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -21,10 +76,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val gateQueries = SparkEntry.queries.toSeq
+    val opQueries = SparkEntry.benchOnly.toSeq
+
     // warmup (discarded): smallest SF through every query once
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      (gateQueries ++ opQueries).foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     }
@@ -35,7 +93,7 @@ object Bench {
     // dominated: round 4 recorded an 8.05 s outlier for a query whose
     // median was ~5 s. Samples interleave full passes (A,B,C · A,B,C)
     // so one GC pause or compaction can't poison one query's samples.
-    val names = SparkEntry.queries.toSeq
+    val names = gateQueries ++ opQueries
     val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt
     val timed = (0 until samples).map { _ =>
       names.map { case (name, fn) =>
@@ -58,8 +116,22 @@ object Bench {
       .mkString("{", ",", "}")
     val sp = spreads.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","samples":$samples,"spread":$sp}""")
+    // headline total = the 41 correctness-gated queries only, comparable
+    // round-over-round; op_total = operator-only timings reported beside
+    val gateNames = gateQueries.map(_._1).toSet
+    val total = results.filter(r => gateNames(r._1)).map(_._2).sum
+    val opTotal = results.filterNot(r => gateNames(r._1)).map(_._2).sum
+
+    // sustained streaming throughput (one run — it's a duration metric,
+    // not a micro-benchmark; JIT is warm from the per-query warmups)
+    val nEvents = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "200000").toInt
+    val (n, endToEndEps, drainEps) =
+      try streamingThroughput(spark, nEvents)
+      catch { case _: Throwable => (0, 0.0, 0.0) }
+    val streaming = s"""{"n_events":$n,"end_to_end_events_per_second":${
+      math.round(endToEndEps)},"drain_events_per_second":${math.round(drainEps)}}"""
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","samples":$samples,"spread":$sp,"op_total":$opTotal,"streaming":$streaming}""")
     spark.stop()
   }
 }

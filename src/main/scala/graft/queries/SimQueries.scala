@@ -278,6 +278,39 @@ object SimQueries {
 
   val annIvfSql: String = annCompareSql
 
+  // --------------------------------------------------- operator-only bench
+  // The four gate queries above time their exact oracle leg (an O(n²)
+  // crossJoin for the cosine gate) alongside the operator, which pollutes
+  // the round-over-round perf signal. These run the approximate scale
+  // path ALONE for the bench; correctness stays with the gate queries.
+
+  def opDedupEmbedCosine(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(Tables.load(spark, dir, "embeddings"),
+      "vec_id", "embedding", threshold = 0.45, nPlanes = 4, nTables = 8)
+
+  def opDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.load(spark, dir, "documents"),
+      "text", "doc_id", maxDist = 3)
+
+  def opAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_vec"))
+    Similarity.lshTopK(queries, corpus, k = 10, nPlanes = 8)
+  }
+
+  def opAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_vec"))
+    Similarity.ivfTopK(queries, corpus, k = 10, nLists = 16, nProbe = 4,
+      iterations = 3)
+  }
+
   /** Dataset profiling: per-event-type cardinalities and value stats —
     * the distinct-count/statistics surface (exact, oracle-checked; the
     * HLL approx_count_distinct variant is spec-tested for error bound
