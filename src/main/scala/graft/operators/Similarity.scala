@@ -113,16 +113,32 @@ object Similarity {
       df.withColumn("list_id",
         explode(NearestCentroids(vec, centroids, n)))
 
-    // --- train: deterministic init + fixed Lloyd iterations
-    val init = corpus
+    // --- train: deterministic init + fixed Lloyd iterations, on a
+    // deterministic SAMPLE (classic IVF trains the coarse quantizer on a
+    // training subset, not the corpus): keep ids with
+    // xxhash64(id) % mod == 0, mod sized for ≥ max(64·k, 4096) rows.
+    // The sample is localCheckpointed ONCE, so the Lloyd loop scans the
+    // small cached sample instead of re-reading the full corpus per
+    // iteration — at 100 TB this turns `iterations` full passes into one
+    // footer-only count + one sample pass; the full corpus is read once
+    // more for the final assignment below. When the corpus is no bigger
+    // than the target (every test SF), mod = 1 and training sees every
+    // row — bit-identical centroids to the unsampled formulation.
+    val sampleTarget = math.max(64L * nLists, 4096L)
+    val corpusN = corpus.count() // no filter → parquet footer count
+    val mod = math.max(1L, corpusN / sampleTarget)
+    val trainBase = corpus.select(col(cId), col(cVec))
+    val trainSet =
+      (if (mod > 1) trainBase.filter(pmod(xxhash64(col(cId)), lit(mod)) === 0)
+       else trainBase).localCheckpoint()
+    val init = trainSet
       .withColumn("_h", xxhash64(col(cId)))
       .orderBy("_h").limit(nLists)
       .select(transform(col(cVec), x => x.cast("double")).as("centroid"))
       .collect().map(_.getSeq[Double](0).toArray)
     var centroids = init
     (0 until iterations).foreach { _ =>
-      val assigned = assign(col(cVec), centroids)(
-        corpus.select(col(cId), col(cVec)))
+      val assigned = assign(col(cVec), centroids)(trainSet)
       // distributive per-dimension mean: the driver receives k×d sums,
       // never the corpus vectors. Summing in DECIMAL keeps the fold
       // order-independent (float addition is not associative), so

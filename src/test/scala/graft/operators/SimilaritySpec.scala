@@ -68,6 +68,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("ivfTopK trains on a deterministic sample once the corpus outgrows the target") {
+    import org.apache.spark.sql.functions._
+    // 10k vectors > max(64·nLists, 4096) → sampling engages (mod ≥ 2);
+    // clustered structure: 16 well-separated anchor directions + noise
+    val corpus = spark.range(10000)
+      .select(col("id").as("c_id"),
+        transform(sequence(lit(0), lit(7)), d =>
+          when(d === col("id") % 16 % 8, lit(10.0f) *
+            when(col("id") % 16 < 8, 1.0f).otherwise(-1.0f))
+          .otherwise(pmod(xxhash64(col("id") * 8 + d), lit(7)).cast("float") / 7f))
+          .as("c_vec"))
+    val queries = corpus.filter(col("c_id") < 20)
+      .select(col("c_id").as("q_id"), col("c_vec").as("q_vec"))
+    val got = Similarity.ivfTopK(queries, corpus, k = 3, nLists = 16,
+      nProbe = 4, iterations = 2)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    // deterministic across runs (hash-mod sample, seed-free training)
+    val again = Similarity.ivfTopK(queries, corpus, k = 3, nLists = 16,
+      nProbe = 4, iterations = 2)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(got == again)
+    // self-recall survives sampling: own list always probed
+    assert(got.count { case (q, c) => q == c } == 20)
+  }
+
   test("approx_count_distinct within HLL error bound of exact (profiling)") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.load(spark, sf(), "events")
