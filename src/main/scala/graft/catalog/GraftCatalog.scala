@@ -152,17 +152,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case c => throw new UnsupportedOperationException(
         s"graft catalog cannot apply ${c.getClass.getSimpleName}")
     }
+    val hasData = t.currentFiles.nonEmpty
     changes.collect { case r: TableChange.RenameColumn => r }.foreach { r =>
       require(!t.keyCols.contains(r.fieldNames().mkString(".")),
         s"cannot rename bucket key ${r.fieldNames().mkString(".")}")
-      // Existing parquet files keep the old column name, and without a
-      // Delta-style name-mapping layer every pre-rename value would
-      // silently read (and on the next bucket rewrite, persist) as NULL.
-      // Rename is therefore only legal while the table holds no data.
-      require(t.currentFiles.isEmpty,
-        s"cannot rename column ${r.fieldNames().mkString(".")}: " +
-          s"${ident.name()} has live data files, which carry the old name " +
-          "(rename is supported on empty tables only)")
+      // with data, renames go through the manifest's Delta-style name
+      // mapping (GraftTable.renameColumn) — top-level columns only
+      require(!hasData || r.fieldNames().length == 1,
+        s"cannot rename nested field ${r.fieldNames().mkString(".")} on a " +
+          "table with data (name mapping covers top-level columns)")
+    }
+    changes.collect { case a: TableChange.AddColumn => a }.foreach { a =>
+      // a new column's on-disk name is its logical name: refuse names an
+      // EXISTING column still uses on disk (its pre-rename identity) —
+      // old files would leak that column's values into the new one
+      val name = a.fieldNames().mkString(".")
+      val mapping = t.columnMapping
+      val logical = t.currentSchema.map(_.fieldNames.toSet).getOrElse(Set.empty)
+      val physInUse = t.currentSchema
+        .map(_.fieldNames.iterator.map(n => mapping.getOrElse(n, n)).toSet)
+        .getOrElse(Set.empty)
+      require(!physInUse.contains(name) || logical.contains(name),
+        s"cannot add column $name: a renamed column is still stored as " +
+          s"'$name' on disk")
     }
     changes.collect { case d: TableChange.DeleteColumn => d }.foreach { d =>
       require(!t.keyCols.contains(d.fieldNames().mkString(".")),
@@ -176,8 +188,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"cannot change the type of bucket key ${u.fieldNames().mkString(".")}" +
           " (bucket routing is type-sensitive)")
     }
-    t.evolveSchema(cur =>
-      GraftCatalogBridge.applySchemaChanges(cur, changes.toSeq))
+    // renames on data-carrying tables commit through the name-mapping
+    // path; everything else (and empty-table renames, which need no
+    // mapping — no files carry the old name) through plain evolveSchema
+    val (mappedRenames, rest) =
+      if (hasData)
+        changes.partition(_.isInstanceOf[TableChange.RenameColumn])
+      else (Seq.empty[TableChange], changes.toSeq)
+    mappedRenames.foreach { case r: TableChange.RenameColumn =>
+      t.renameColumn(r.fieldNames()(0), r.newName())
+    }
+    if (rest.nonEmpty)
+      t.evolveSchema(cur =>
+        GraftCatalogBridge.applySchemaChanges(cur, rest.toSeq))
     loadTable(ident)
   }
 
@@ -292,6 +315,24 @@ final class GraftSqlTable(val table: GraftTable, fullName: String,
   private def liveFiles: Seq[String] =
     pinnedVersion.map(table.filesOf).getOrElse(table.currentFiles)
 
+  /** Genuine renames (logical → physical) in force at this snapshot,
+    * restricted to visible columns — empty for never-renamed tables, so
+    * the common case takes the unwrapped scan path. */
+  private def scanMapping: Map[String, String] = {
+    val m = pinnedVersion.map(table.mappingOf).getOrElse(table.columnMapping)
+    if (m.isEmpty) m
+    else {
+      val visible = schema().fieldNames.toSet
+      m.filter { case (l, p) => l != p && visible(l) }
+    }
+  }
+
+  /** The schema the parquet files actually carry (renamed columns under
+    * their on-disk names). */
+  private def physicalSchema(mapping: Map[String, String]): StructType =
+    StructType(schema().fields.map(f =>
+      f.copy(name = mapping.getOrElse(f.name, f.name))))
+
   override def partitioning(): Array[Transform] =
     Array(Expressions.bucket(table.nBuckets, table.keyCols: _*))
 
@@ -324,8 +365,11 @@ final class GraftSqlTable(val table: GraftTable, fullName: String,
       else Map("basePath" -> s"${table.root}/data")
     val opts = new CaseInsensitiveStringMap(
       (options.asScala ++ extra).asJava)
-    ParquetTable(fullName, spark, opts, files,
-      Some(schema()), classOf[ParquetFileFormat]).newScanBuilder(opts)
+    val mapping = scanMapping
+    val inner = ParquetTable(fullName, spark, opts, files,
+      Some(physicalSchema(mapping)), classOf[ParquetFileFormat])
+      .newScanBuilder(opts)
+    org.apache.spark.sql.GraftScanBridge.mappedBuilder(inner, mapping)
   }
 
   /** Plan a fresh (unpruned-columns) scan over only `buckets`' live
@@ -342,8 +386,11 @@ final class GraftSqlTable(val table: GraftTable, fullName: String,
       val opts = new CaseInsensitiveStringMap(
         (options.asScala ++
           Map("basePath" -> s"${table.root}/data")).asJava)
-      Some(ParquetTable(s"$fullName-groups", spark, opts, files,
-        Some(schema()), classOf[ParquetFileFormat]).newScanBuilder(opts)
+      val mapping = scanMapping
+      Some(org.apache.spark.sql.GraftScanBridge.mappedBuilder(
+        ParquetTable(s"$fullName-groups", spark, opts, files,
+          Some(physicalSchema(mapping)), classOf[ParquetFileFormat])
+          .newScanBuilder(opts), mapping)
         .build())
     }
   }
@@ -572,8 +619,15 @@ object GraftSqlTable {
         import org.apache.spark.sql.internal.SQLConf
         val sqlConf = SQLConf.get
         val c = SparkSession.active.sessionState.newHadoopConf()
+        // data files carry PHYSICAL column names (renamed columns keep
+        // their on-disk name; the manifest mapping translates on read)
+        val l2p = table.columnMapping
+        val physSchema =
+          if (l2p.isEmpty) writeSchema
+          else StructType(writeSchema.fields.map(f =>
+            f.copy(name = l2p.getOrElse(f.name, f.name))))
         org.apache.spark.sql.execution.datasources.parquet
-          .ParquetWriteSupport.setSchema(writeSchema, c)
+          .ParquetWriteSupport.setSchema(physSchema, c)
         Seq(SQLConf.PARQUET_WRITE_LEGACY_FORMAT,
           SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED,
           SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE,

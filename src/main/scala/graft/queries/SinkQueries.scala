@@ -135,11 +135,16 @@ object SinkQueries {
       PARTITIONED BY (bucket(16, c_custkey))""")
     spark.sql(s"""INSERT INTO $cat.main.cust
       SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer_src""")
+    // RENAME COLUMN on the now-populated table: the files keep c_acctbal
+    // on disk, the manifest name mapping serves the new logical name —
+    // the query below (filter + aggregate over the renamed column)
+    // exercises the mapped scan path end-to-end
+    spark.sql(s"ALTER TABLE $cat.main.cust RENAME COLUMN c_acctbal TO acctbal")
     spark.sql(s"""
       SELECT c_nationkey, COUNT(*) AS n,
-        CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+        CAST(SUM(CAST(acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
       FROM $cat.main.cust
-      WHERE c_acctbal > 0
+      WHERE acctbal > 0
       GROUP BY c_nationkey ORDER BY c_nationkey""")
   }
 

@@ -69,7 +69,16 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       /** Commit wall-clock (ms), stamped by commitManifest — the
         * TIMESTAMP AS OF resolution source that survives object-store
         * copies (file mtimes don't). -1 = pre-upgrade manifest. */
-      committedAtMs: Long = -1L) {
+      committedAtMs: Long = -1L,
+      /** Delta-style column name mapping, logical → physical: data files
+        * always carry a column's ORIGINAL (creation-time) name; a RENAME
+        * COLUMN updates only the logical schema and records the physical
+        * name here, so existing files keep reading correctly with zero
+        * data movement. Empty = identity (no renames ever). Carried
+        * forward automatically on every commit ([[commitManifest]]);
+        * versioned per snapshot, so time travel sees the mapping in
+        * force at that version. */
+      columnMapping: Map[String, String] = Map.empty) {
     def allFiles: Seq[String] = files.valuesIterator.flatten.toVector
   }
   /** Back-compat alias for callers that only need the replay mark. */
@@ -178,8 +187,16 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       .map { case (b, fs) => b.toInt -> (fs: Seq[String]) }
     Manifest(v, (j \ "highWater").extract[String], files,
       (j \ "schema").extractOrElse[String](""),
-      (j \ "committedAtMs").extractOrElse[Long](-1L))
+      (j \ "committedAtMs").extractOrElse[Long](-1L),
+      (j \ "columnMapping").extractOrElse[Map[String, String]](Map.empty))
   }
+
+  /** Current logical → physical column mapping (empty = no renames). */
+  def columnMapping: Map[String, String] =
+    currentManifest().map(_.columnMapping).getOrElse(Map.empty)
+  /** Mapping in force at a PINNED snapshot (catalog VERSION AS OF). */
+  def mappingOf(version: Long): Map[String, String] =
+    readManifest(version).columnMapping
 
   /** Publish a new snapshot: the fully-written manifest becomes visible
     * via ONE atomic hard-link creation, so readers see the file list and
@@ -190,16 +207,26 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * concurrency shape). Single-writer pipelines never hit it; a loser
     * must re-plan from the new current version because its survivors were
     * computed against a stale snapshot. (package-visible for tests) */
-  private[sinks] def commitManifest(m: Manifest): Unit = {
+  private[sinks] def commitManifest(m0: Manifest): Unit = {
     writeIdentity()
     Files.createDirectories(manifestDir)
+    // the name mapping is table-lineage state: every commit carries the
+    // previous snapshot's mapping forward unless the committer (only
+    // renameColumn) set one explicitly
+    val m = if (m0.columnMapping.nonEmpty) m0
+            else m0.copy(columnMapping =
+              currentManifest().map(_.columnMapping).getOrElse(Map.empty))
     val filesJson = m.files.toSeq.sortBy(_._1).map { case (b, fs) =>
       s""""$b":${fs.map(f => "\"" + f + "\"").mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
     val schemaJson = m.schemaDdl.replace("\\", "\\\\").replace("\"", "\\\"")
+    val mappingJson =
+      if (m.columnMapping.isEmpty) ""
+      else m.columnMapping.toSeq.sorted.map { case (l, p) =>
+        s""""$l":"$p"""" }.mkString(""","columnMapping":{""", ",", "}")
     val body =
       s"""{"version":${m.version},"highWater":"${m.highWater}",""" +
-        s""""committedAtMs":${System.currentTimeMillis()},""" +
+        s""""committedAtMs":${System.currentTimeMillis()}$mappingJson,""" +
         s""""schema":"$schemaJson","files":$filesJson}"""
     val tmp = manifestDir.resolve(s".v${m.version}-${java.util.UUID.randomUUID()}.json.tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -251,7 +278,8 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * same evolution contract the merge's unionByName provides). Pre-schema
     * manifests (`schemaDdl` empty) fall back to a mergeSchema sweep. */
   private def readFiles(spark: SparkSession, files: Seq[String],
-      schemaDdl: String): DataFrame = {
+      schemaDdl: String,
+      mapping: Map[String, String] = Map.empty): DataFrame = {
     val paths = files.map(resolved)
     if (paths.isEmpty && schemaDdl.nonEmpty)
       // zero rows under the PINNED schema (post-truncate / fresh CREATE):
@@ -260,9 +288,24 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
     else if (paths.isEmpty) spark.emptyDataFrame
-    else if (schemaDdl.nonEmpty)
-      spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
-        .option("basePath", dataDir).parquet(paths: _*)
+    else if (schemaDdl.nonEmpty) {
+      val logical = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+      // renamed columns: files carry the PHYSICAL name — read under the
+      // physical schema, then surface logical names (positions identical)
+      val renames = mapping.filter { case (l, p) =>
+        l != p && logical.fieldNames.contains(l) }
+      if (renames.isEmpty)
+        spark.read.schema(logical)
+          .option("basePath", dataDir).parquet(paths: _*)
+      else {
+        val physical = org.apache.spark.sql.types.StructType(
+          logical.fields.map(f =>
+            f.copy(name = renames.getOrElse(f.name, f.name))))
+        spark.read.schema(physical)
+          .option("basePath", dataDir).parquet(paths: _*)
+          .withColumnsRenamed(renames.map(_.swap))
+      }
+    }
     else spark.read.option("mergeSchema", "true")
       .option("basePath", dataDir).parquet(paths: _*)
   }
@@ -270,20 +313,22 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   def read(spark: SparkSession): DataFrame =
     currentManifest() match {
       case None    => spark.emptyDataFrame
-      case Some(m) => readFiles(spark, m.allFiles, m.schemaDdl).drop("_bucket")
+      case Some(m) =>
+        readFiles(spark, m.allFiles, m.schemaDdl, m.columnMapping)
+          .drop("_bucket")
     }
 
   /** Time travel: the table as of snapshot `version` (Iceberg
     * `VERSION AS OF`). Readable until `vacuum` expires the version. */
   def readVersion(spark: SparkSession, version: Long): DataFrame = {
     val m = readManifest(version)
-    readFiles(spark, m.allFiles, m.schemaDdl).drop("_bucket")
+    readFiles(spark, m.allFiles, m.schemaDdl, m.columnMapping).drop("_bucket")
   }
 
   private def readBuckets(spark: SparkSession, m: Manifest,
       buckets: Seq[Int]): DataFrame =
     readFiles(spark, buckets.flatMap(b => m.files.getOrElse(b, Nil)),
-      m.schemaDdl)
+      m.schemaDdl, m.columnMapping)
 
   /** Point lookup: rows for one key, scanning ONLY the key's bucket
     * (1/nBuckets of the table via manifest pruning; within the bucket,
@@ -296,7 +341,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     if (m.allFiles.isEmpty) return spark.emptyDataFrame
     // same hash the writer used → same bucket id; lit() must be CAST to
     // the STORED column type (hash(42L: long) != hash(42: int))
-    val base = readFiles(spark, m.allFiles, m.schemaDdl)
+    val base = readFiles(spark, m.allFiles, m.schemaDdl, m.columnMapping)
     val types = base.schema.fields.map(f => f.name -> f.dataType).toMap
     val typedLits = keyCols.zip(keyValues).map { case (c, v) =>
       lit(v).cast(types(c)) }
@@ -316,7 +361,15 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * return bucket → new file paths. Files are staged by Spark, then moved
     * into the bucket dirs under fresh UUID names — never visible to any
     * manifest until the commit that references them. */
-  private def writeDataFiles(df: DataFrame, parts: Int): Map[Int, Seq[String]] = {
+  private def writeDataFiles(df0: DataFrame, parts: Int): Map[Int, Seq[String]] = {
+    // data files ALWAYS carry physical column names: a renamed column
+    // keeps its creation-time name on disk (columnMapping translates on
+    // read), so every file of the table agrees regardless of rename
+    // history — no footer rewrites, no per-file mapping
+    val toPhysical = effectiveManifest().map(_.columnMapping)
+      .getOrElse(Map.empty)
+      .filter { case (l, p) => l != p && df0.columns.contains(l) }
+    val df = if (toPhysical.isEmpty) df0 else df0.withColumnsRenamed(toPhysical)
     val stage = s"$root/.stage-${java.util.UUID.randomUUID()}"
     df.repartition(parts, col("_bucket"))
       .sortWithinPartitions(("_bucket" +: keyCols).map(col): _*)
@@ -442,6 +495,41 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       s"$root has no pinned schema to evolve (pre-schema manifest)")
     val next = f(org.apache.spark.sql.types.StructType.fromDDL(cur.schemaDdl))
     commitManifest(Manifest(nextVersion, cur.highWater, cur.files, next.toDDL))
+  }
+
+  /** RENAME COLUMN with data in place (reference capability: rename
+    * propagation through SchemaDiff → destination ALTER,
+    * crates/etl/src/schema.rs:729-762): publishes a data-identical
+    * snapshot whose logical schema carries the new name while
+    * [[Manifest.columnMapping]] records the on-disk (physical) name —
+    * existing files read correctly with zero data movement, and future
+    * writes keep producing the physical name. Bucket keys cannot be
+    * renamed (routing resolves keyCols by name). Renaming TO a name
+    * another column uses on disk is refused — physical names must stay
+    * unique or time travel turns ambiguous. Note: graft-follow followers
+    * replicate physical file contents; mirror renames on the follower's
+    * own table. */
+  def renameColumn(from: String, to: String): Unit = {
+    require(groupState.isEmpty, "close the open group before renameColumn")
+    require(!keyCols.contains(from), s"cannot rename bucket key $from")
+    val cur = currentManifest().getOrElse(throw new IllegalStateException(
+      s"$root has no committed schema to rename in"))
+    require(cur.schemaDdl.nonEmpty,
+      s"$root has no pinned schema (pre-schema manifest)")
+    val logical = org.apache.spark.sql.types.StructType.fromDDL(cur.schemaDdl)
+    require(logical.fieldNames.contains(from), s"no such column: $from")
+    require(!logical.fieldNames.contains(to),
+      s"column already exists: $to")
+    val physInUse = logical.fieldNames.iterator.filter(_ != from)
+      .map(n => cur.columnMapping.getOrElse(n, n)).toSet
+    require(!physInUse.contains(to),
+      s"cannot rename $from to $to: another column is stored as '$to' on disk")
+    val next = org.apache.spark.sql.types.StructType(logical.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val mapping = (cur.columnMapping - from) +
+      (to -> cur.columnMapping.getOrElse(from, from))
+    commitManifest(Manifest(nextVersion, cur.highWater, cur.files,
+      next.toDDL, columnMapping = mapping))
   }
 
   // ----------------------------------------------------------- group commit
@@ -759,7 +847,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val current = effectiveManifest()
     val m = current.getOrElse(return 0L)
     if (m.allFiles.isEmpty) return 0L
-    val base = readFiles(spark, m.allFiles, m.schemaDdl)
+    val base = readFiles(spark, m.allFiles, m.schemaDdl, m.columnMapping)
     val stats = base.filter(coalesce(cond, lit(false)))
       .agg(collect_set(col("_bucket")).as("b"), count(lit(1)).as("n"))
       .collect()(0)

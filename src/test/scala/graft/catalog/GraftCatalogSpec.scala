@@ -303,19 +303,69 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT w FROM cat.guard.t").count() == 0)
 
     spark.sql("INSERT INTO cat.guard.t VALUES (1, 'x')")
-    // with live data files the old name lives in parquet: a rename would
-    // silently null every pre-rename value — refused
+    // with live data the rename goes through the manifest name mapping:
+    // the file keeps 'w' on disk, the logical schema says 'u'
+    spark.sql("ALTER TABLE cat.guard.t RENAME COLUMN w TO u")
+    assert(spark.sql("SELECT u FROM cat.guard.t").as[String].head() == "x")
+    // a NEW column may not take a name an existing column still uses on
+    // disk — old files' 'w' values would leak into it
     val e2 = intercept[Exception] {
-      spark.sql("ALTER TABLE cat.guard.t RENAME COLUMN w TO u")
+      spark.sql("ALTER TABLE cat.guard.t ADD COLUMN w STRING")
     }
-    assert(e2.getMessage.contains("live data files"), e2.getMessage)
-    assert(spark.sql("SELECT w FROM cat.guard.t").as[String].head() == "x")
+    assert(e2.getMessage.contains("stored as 'w' on disk"), e2.getMessage)
+    // renaming ANOTHER column onto an in-use physical name is refused too
+    spark.sql("ALTER TABLE cat.guard.t ADD COLUMN extra STRING")
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE cat.guard.t RENAME COLUMN extra TO w")
+    }
+    assert(e3.getMessage.contains("stored as 'w' on disk"), e3.getMessage)
 
     // DROP NAMESPACE aimed at a TABLE path must not delete the table
     intercept[Exception] {
       spark.sql("DROP NAMESPACE cat.guard.t CASCADE")
     }
     assert(spark.sql("SELECT count(*) FROM cat.guard.t").as[Long].head() == 1L)
+  }
+
+  test("RENAME COLUMN with data: name mapping keeps every file generation readable") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.ren")
+    spark.sql("""CREATE TABLE cat.ren.t (id BIGINT, val STRING, n INT)
+                 PARTITIONED BY (bucket(4, id))""")
+    spark.sql("INSERT INTO cat.ren.t VALUES (1,'a',10),(2,'b',20),(3,'c',30)")
+    val preRename = GraftTable.open(s"$root/ren/t").currentVersion.get
+
+    spark.sql("ALTER TABLE cat.ren.t RENAME COLUMN val TO label")
+    // pre-rename files (physical name 'val') read under the new name
+    assert(spark.sql("SELECT label FROM cat.ren.t ORDER BY id")
+      .as[String].collect().toSeq == Seq("a", "b", "c"))
+    // filter pushdown on the renamed column still finds rows
+    assert(spark.sql("SELECT id FROM cat.ren.t WHERE label = 'b'")
+      .as[Long].head() == 2L)
+    // time travel BEFORE the rename sees the old logical name (checked
+    // here while the version is still inside the retention window)
+    val old = spark.sql(s"SELECT * FROM cat.ren.t VERSION AS OF $preRename")
+    assert(old.columns.contains("val") && !old.columns.contains("label"))
+    assert(old.count() == 3)
+    // post-rename writes coexist with pre-rename files (same on-disk name)
+    spark.sql("INSERT INTO cat.ren.t VALUES (4,'d',40)")
+    assert(spark.sql("SELECT label FROM cat.ren.t ORDER BY id")
+      .as[String].collect().toSeq == Seq("a", "b", "c", "d"))
+    // raw parquet carries the PHYSICAL name for both generations
+    val t = GraftTable.open(s"$root/ren/t")
+    assert(t.columnMapping == Map("label" -> "val"))
+    t.currentFiles.foreach { f =>
+      assert(spark.read.parquet(f).columns.contains("val"), f)
+    }
+    // row-level ops through the mapped scan (runtime bucket filter path)
+    spark.sql("UPDATE cat.ren.t SET label = 'z' WHERE id = 1")
+    spark.sql("DELETE FROM cat.ren.t WHERE label = 'c'")
+    assert(spark.sql("SELECT label FROM cat.ren.t ORDER BY id")
+      .as[String].collect().toSeq == Seq("z", "b", "d"))
+    // CDC merge keeps working against the logical name
+    t.merge(Seq((2L, "b2", 21, "U", "0005"))
+      .toDF("id", "label", "n", "_op", "_seq"))
+    assert(t.read(spark).orderBy("id").select("label")
+      .as[String].collect().toSeq == Seq("z", "b2", "d"))
   }
 
   test("CREATE TABLE with keys/buckets properties instead of a transform") {
