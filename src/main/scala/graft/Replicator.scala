@@ -26,6 +26,8 @@ import graft.sinks.{CdcSink, ChangelogSink, CurrentStateSink, ExactlyOnceSink, N
   *   source.host = replica.db   source.port = 5432   # socket mode
   *   source.slot = graft_slot   source.publication = graft_pub
   *   source.user = graft  source.password = …  source.database = postgres
+  *   source.sslmode = disable | require | verify-ca   # TLS to the source
+  *   source.sslrootcert = /path/ca.pem        # trust anchors (verify-ca)
   *   destination = current_state | changelog | null
   *   exactlyOnce = true                       # batchId txn ledger wrapper
   *   backfill.<tableName> = <parquet path>    # optional initial snapshots
@@ -63,6 +65,12 @@ object Replicator {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // TLS toward the source, both wire paths — replication stream and
+    // snapshot COPY (the reference's TlsConfig {trusted_root_certs,
+    // enabled} on pipeline connections, connection.rs:194-221)
+    val sslMode = get("source.sslmode", "disable")
+    val sslRootCert = Option(get("source.sslrootcert", "")).filter(_.nonEmpty)
 
     val registry = SchemaRegistry.load(get("source.schemas", s"$work/schemas.json"))
     val sink0: CdcSink = get("destination", "current_state") match {
@@ -122,7 +130,8 @@ object Replicator {
         val user = get("source.user", "graft")
         val db = get("source.database", "postgres")
         val pw = get("source.password", "")
-        val exporter = new PgWireConnection(host, port, user, db, pw)
+        val exporter = new PgWireConnection(host, port, user, db, pw,
+          sslMode = sslMode, sslRootCert = sslRootCert)
         exporter.connect()
         try {
           exporter.simpleQuery("BEGIN ISOLATION LEVEL REPEATABLE READ")
@@ -142,7 +151,8 @@ object Replicator {
           val units = SnapshotScan.planTable(leaves, workers)
           val cols = t.replicatedColumns.map(_.name)
           val raw = PgCopy.copyTable(spark, host, port, user, db, pw,
-            units, cols, snapshotId = snapshotId)
+            units, cols, snapshotId = snapshotId,
+            sslMode = sslMode, sslRootCert = sslRootCert)
           // materialize within the exporter's snapshot lifetime
           val typed = PgCopy.decodeTyped(raw, t).cache()
           typed.count()
@@ -177,6 +187,7 @@ object Replicator {
           user = get("source.user", "graft"),
           database = get("source.database", "postgres"),
           password = get("source.password", ""),
+          sslMode = sslMode, sslRootCert = sslRootCert,
           flushLsn = () =>
             // tolerant read: commit() replaces the file atomically, but a
             // missing/garbled read must never tear the replication

@@ -123,7 +123,9 @@ object PgCopy {
       database: String, password: String,
       units: Seq[SnapshotScan.ScanUnit], columns: Seq[String],
       rowFilter: Option[String] = None,
-      snapshotId: Option[String] = None): DataFrame = {
+      snapshotId: Option[String] = None,
+      sslMode: String = "disable",
+      sslRootCert: Option[String] = None): DataFrame = {
     val sqls = units.map(u =>
       s"COPY (${SnapshotScan.selectSql(u, columns, rowFilter)}) TO STDOUT")
     val nCols = columns.length
@@ -132,7 +134,7 @@ object PgCopy {
       .mapPartitions { it =>
         it.flatMap { sql =>
           val conn = new PgWireConnection(host, port, user, database,
-            password)
+            password, sslMode = sslMode, sslRootCert = sslRootCert)
           conn.connect()
           val tc = TaskContext.get()
           if (tc != null)

@@ -56,7 +56,10 @@ final class ReplicationSocketClient(
     startLsn: Long = 0L,
     /** Durable flush position to report (the source checkpoint's
       * progress — [[CdcLogSource]] commit writes `<log>.progress`). */
-    flushLsn: () => Long = () => 0L) {
+    flushLsn: () => Long = () => 0L,
+    /** TLS: disable | require | verify-ca (see [[PgWireConnection]]). */
+    sslMode: String = "disable",
+    sslRootCert: Option[String] = None) {
   import ReplicationSocketClient._
 
   // observability for tests/metrics (reference ETL_STATUS_UPDATES_TOTAL)
@@ -119,7 +122,7 @@ final class ReplicationSocketClient(
 
   private def connectSession(): Unit = {
     conn = new PgWireConnection(host, port, user, database, password,
-      replication = true)
+      replication = true, sslMode = sslMode, sslRootCert = sslRootCert)
     conn.connect()
     val deadlineMs = keepAliveDeadlineMs(queryWalSenderTimeoutMs())
     // resume from durable progress: the server slot re-sends from its
@@ -311,17 +314,35 @@ final class ReplicationSocketClient(
 }
 
 /** One authenticated protocol-v3 connection: startup (optionally in
-  * replication mode), trust or SCRAM-SHA-256 auth with server-signature
-  * verification, simple queries, raw message frames. Shared by the
-  * replication intake above and the snapshot COPY executor
-  * ([[PgCopy]]). */
+  * replication mode), optional TLS (SSLRequest negotiation, certificate
+  * verification, SCRAM channel binding), trust or SCRAM-SHA-256[-PLUS]
+  * auth with server-signature verification, simple queries, raw message
+  * frames. Shared by the replication intake above and the snapshot COPY
+  * executor ([[PgCopy]]). The reference carries the same knob as
+  * `TlsConfig {trusted_root_certs, enabled}` on both pipeline and store
+  * connections (crates/etl-config/src/shared/connection.rs:194-221).
+  *
+  * `sslMode` follows libpq semantics for the supported subset:
+  *   - `disable`  — plaintext, no SSLRequest;
+  *   - `require`  — TLS mandatory, certificate NOT verified;
+  *   - `verify-ca` — TLS mandatory, server chain must anchor at
+  *     `sslRootCert` (PEM, one or more certificates).
+  * Under TLS, auth upgrades to SCRAM-SHA-256-PLUS (tls-server-end-point
+  * channel binding) whenever the server offers it. */
 final class PgWireConnection(host: String, port: Int, user: String,
-    database: String, password: String, replication: Boolean = false) {
+    database: String, password: String, replication: Boolean = false,
+    sslMode: String = "disable", sslRootCert: Option[String] = None) {
   import ReplicationSocketClient.errorMessage
+  require(Set("disable", "require", "verify-ca").contains(sslMode),
+    s"unsupported sslmode '$sslMode' (disable|require|verify-ca)")
+  require(sslMode != "verify-ca" || sslRootCert.nonEmpty,
+    "sslmode=verify-ca needs sslRootCert (PEM trust anchors)")
 
   private var socket: Socket = _
   private var _in: DataInputStream = _
   private var _out: DataOutputStream = _
+  /** tls-server-end-point binding data (server cert SHA-256), when TLS. */
+  private var certHash: Option[Array[Byte]] = None
   def out: DataOutputStream = _out
 
   def connect(): Unit = {
@@ -330,7 +351,65 @@ final class PgWireConnection(host: String, port: Int, user: String,
     socket.setTcpNoDelay(true)
     _in = new DataInputStream(socket.getInputStream)
     _out = new DataOutputStream(socket.getOutputStream)
+    if (sslMode != "disable") negotiateTls()
     handshake()
+  }
+
+  /** SSLRequest (len 8, code 80877103) → 'S' upgrade / 'N' refuse. */
+  private def negotiateTls(): Unit = {
+    _out.writeInt(8); _out.writeInt(80877103); _out.flush()
+    _in.readByte().toChar match {
+      case 'S' =>
+        val ssl = tlsContext().getSocketFactory
+          .createSocket(socket, host, port, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        ssl.setUseClientMode(true)
+        ssl.startHandshake()
+        val cert = ssl.getSession.getPeerCertificates.head
+        certHash = Some(Scram.sha256(cert.getEncoded))
+        socket = ssl
+        _in = new DataInputStream(ssl.getInputStream)
+        _out = new DataOutputStream(ssl.getOutputStream)
+      case 'N' => throw new java.io.IOException(
+        s"server refused TLS but sslmode=$sslMode requires it")
+      case other => throw new java.io.IOException(
+        s"unexpected SSLRequest response '$other'")
+    }
+  }
+
+  private def tlsContext(): javax.net.ssl.SSLContext = {
+    import javax.net.ssl.{SSLContext, TrustManager, TrustManagerFactory, X509TrustManager}
+    val ctx = SSLContext.getInstance("TLS")
+    val tms: Array[TrustManager] = sslRootCert match {
+      case Some(pem) => // verify-ca: anchor the chain at the given roots
+        val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+        val in = Files.newInputStream(Paths.get(pem))
+        val certs = try {
+          import scala.jdk.CollectionConverters._
+          cf.generateCertificates(in).asScala.toSeq
+        } finally in.close()
+        require(certs.nonEmpty, s"no certificates in $pem")
+        val ks = java.security.KeyStore.getInstance(
+          java.security.KeyStore.getDefaultType)
+        ks.load(null, null)
+        certs.zipWithIndex.foreach { case (c, i) =>
+          ks.setCertificateEntry(s"root-$i", c) }
+        val tmf = TrustManagerFactory.getInstance(
+          TrustManagerFactory.getDefaultAlgorithm)
+        tmf.init(ks)
+        tmf.getTrustManagers
+      case None => // sslmode=require: encrypt without verification (libpq)
+        Array(new X509TrustManager {
+          override def checkClientTrusted(
+              c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+          override def checkServerTrusted(
+              c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+          override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
+            Array.empty
+        })
+    }
+    ctx.init(null, tms, null)
+    ctx
   }
 
   def close(): Unit = if (socket != null) socket.close()
@@ -410,16 +489,19 @@ final class PgWireConnection(host: String, port: Int, user: String,
           val buf = ByteBuffer.wrap(payload)
           buf.getInt match {
             case 0 => () // AuthenticationOk
-            case 10 => // AuthenticationSASL: pick SCRAM-SHA-256
+            case 10 => // AuthenticationSASL: prefer channel binding on TLS
               val mechanisms = Iterator.continually(cstring(buf))
                 .takeWhile(_.nonEmpty).toSeq
-              require(mechanisms.contains("SCRAM-SHA-256"),
+              val usePlus = certHash.isDefined &&
+                mechanisms.contains("SCRAM-SHA-256-PLUS")
+              require(usePlus || mechanisms.contains("SCRAM-SHA-256"),
                 s"server offers no supported SASL mechanism " +
                   s"(${mechanisms.mkString(",")})")
-              val s = new ScramSession(user, password)
+              val s = new ScramSession(user, password,
+                if (usePlus) certHash else None)
               scram = Some(s)
               val first = s.clientFirstMessage.getBytes(StandardCharsets.UTF_8)
-              val mech = "SCRAM-SHA-256".getBytes(StandardCharsets.UTF_8)
+              val mech = s.mechanism.getBytes(StandardCharsets.UTF_8)
               _out.write('p')
               _out.writeInt(4 + mech.length + 1 + 4 + first.length)
               _out.write(mech); _out.write(0)
@@ -495,19 +577,29 @@ object Scram {
   def serverKey(saltedPw: Array[Byte]): Array[Byte] = hmac(saltedPw, "Server Key")
 }
 
-/** Client side of one SCRAM-SHA-256 exchange. Channel binding is not
-  * used (`n,,` / `c=biws`) — binding requires TLS, out of scope for the
-  * loopback transport. */
-final class ScramSession(user: String, password: String) {
+/** Client side of one SCRAM-SHA-256[-PLUS] exchange. With
+  * `channelBinding` (the TLS server certificate's tls-server-end-point
+  * hash, RFC 5929) the session runs SCRAM-SHA-256-PLUS: the gs2 header
+  * advertises the binding and the client-final `c=` attribute carries
+  * header+cert-hash, so a MITM terminating TLS with its own certificate
+  * fails the proof even with a stolen password hash. Without binding:
+  * `n,,` / `c=biws` (plaintext or binding-less TLS). */
+final class ScramSession(user: String, password: String,
+    channelBinding: Option[Array[Byte]] = None) {
   import Scram._
   private val nonce = {
     val r = new Array[Byte](18)
     new java.security.SecureRandom().nextBytes(r)
     b64(r)
   }
+  /** The SASL mechanism this session speaks. */
+  def mechanism: String =
+    if (channelBinding.isDefined) "SCRAM-SHA-256-PLUS" else "SCRAM-SHA-256"
+  private val gs2Header =
+    if (channelBinding.isDefined) "p=tls-server-end-point,," else "n,,"
   // Postgres ignores n= (the startup user wins); send it anyway per RFC
   private val clientFirstBare = s"n=$user,r=$nonce"
-  def clientFirstMessage: String = "n,," + clientFirstBare
+  def clientFirstMessage: String = gs2Header + clientFirstBare
 
   private var authMessage: String = _
   private var saltedPw: Array[Byte] = _
@@ -518,7 +610,9 @@ final class ScramSession(user: String, password: String) {
     require(fullNonce.startsWith(nonce),
       "server nonce does not extend the client nonce (replay?)")
     saltedPw = saltedPassword(password, unb64(a("s")), a("i").toInt)
-    val withoutProof = s"c=biws,r=$fullNonce"
+    val cbind = b64(gs2Header.getBytes(StandardCharsets.UTF_8) ++
+      channelBinding.getOrElse(Array.emptyByteArray))
+    val withoutProof = s"c=$cbind,r=$fullNonce"
     authMessage = clientFirstBare + "," + serverFirst + "," + withoutProof
     val ck = clientKey(saltedPw)
     val proof = xor(ck, hmac(sha256(ck), authMessage))

@@ -15,7 +15,34 @@ import java.util.concurrent.{CopyOnWriteArrayList, LinkedBlockingDeque}
   * consumes through its stack, replication_message.rs:89-245). */
 final class FakePgServer(walSenderTimeout: String = "60s",
     /** Non-empty → require SCRAM-SHA-256 (RFC 5802/7677 server side). */
-    password: String = "") {
+    password: String = "",
+    /** (PKCS12 keystore path, storepass) → answer SSLRequest with 'S'
+      * and upgrade the session to TLS; also advertises and verifies
+      * SCRAM-SHA-256-PLUS (tls-server-end-point channel binding). */
+    tlsKeystore: Option[(String, String)] = None) {
+
+  private lazy val sslContext: javax.net.ssl.SSLContext = {
+    val (path, storepass) = tlsKeystore.get
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    try ks.load(in, storepass.toCharArray) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, storepass.toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx
+  }
+  /** tls-server-end-point binding data of our own certificate. */
+  private lazy val serverCertHash: Array[Byte] = {
+    val (path, storepass) = tlsKeystore.get
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    try ks.load(in, storepass.toCharArray) finally in.close()
+    import scala.jdk.CollectionConverters._
+    val alias = ks.aliases().asScala.find(ks.isKeyEntry).get
+    Scram.sha256(ks.getCertificate(alias).getEncoded)
+  }
 
   sealed trait Action
   /** One pgoutput frame wrapped in XLogData at the given WAL position. */
@@ -32,6 +59,8 @@ final class FakePgServer(walSenderTimeout: String = "60s",
   val statusUpdates = new CopyOnWriteArrayList[StatusUpdate]()
   val queries = new CopyOnWriteArrayList[String]()
   @volatile var startedStreaming = false
+  /** Last SASL mechanism a client selected (test observability). */
+  @volatile var sawMechanism: String = ""
   val connections = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private var server: ServerSocket = _
@@ -98,21 +127,35 @@ final class FakePgServer(walSenderTimeout: String = "60s",
     finally if (writer != null) writer.interrupt() // die without consuming
   }
 
-  private def serve0(sock: Socket, onWriter: Thread => Unit): Unit = {
-    sock.setTcpNoDelay(true)
-    val in = new DataInputStream(sock.getInputStream)
-    val out = new DataOutputStream(sock.getOutputStream)
+  private def serve0(sock0: Socket, onWriter: Thread => Unit): Unit = {
+    sock0.setTcpNoDelay(true)
+    var sock = sock0
+    var in = new DataInputStream(sock.getInputStream)
+    var out = new DataOutputStream(sock.getOutputStream)
 
-    // startup (untyped): len, protocol, params. Answer an SSLRequest
-    // (80877103) with 'N' and read the real startup that follows.
+    // startup (untyped): len, protocol, params. An SSLRequest (80877103)
+    // gets 'S' + TLS upgrade when a keystore is configured, else 'N';
+    // the real startup follows on the (possibly wrapped) stream.
     var len = in.readInt()
     var proto = in.readInt()
     if (proto == 80877103) {
-      out.write('N'); out.flush()
+      if (tlsKeystore.isDefined) {
+        out.write('S'); out.flush()
+        val ssl = sslContext.getSocketFactory
+          .createSocket(sock, null, sock.getPort, false)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        ssl.setUseClientMode(false)
+        ssl.startHandshake()
+        sock = ssl
+        current = ssl
+        in = new DataInputStream(ssl.getInputStream)
+        out = new DataOutputStream(ssl.getOutputStream)
+      } else { out.write('N'); out.flush() }
       len = in.readInt(); proto = in.readInt()
     }
     in.readFully(new Array[Byte](len - 8)) // parameters (ignored)
-    if (password.nonEmpty && !scramExchange(in, out)) {
+    val tlsActive = sock.isInstanceOf[javax.net.ssl.SSLSocket]
+    if (password.nonEmpty && !scramExchange(in, out, tlsActive)) {
       sendMsg(out, 'E', { b =>
         b.put('S'.toByte)
         b.put("FATAL".getBytes(StandardCharsets.UTF_8)); b.put(0.toByte)
@@ -263,12 +306,20 @@ final class FakePgServer(walSenderTimeout: String = "60s",
 
   /** RFC 5802 server side: SASL request → client-first → server-first
     * (fresh salt/nonce, i=4096) → client-final proof verified against
-    * the stored key → server signature. Returns false on a bad proof. */
+    * the stored key → server signature. Under TLS also advertises
+    * SCRAM-SHA-256-PLUS and verifies the tls-server-end-point channel
+    * binding in the client-final `c=` attribute (RFC 5802 §5.1: the
+    * gs2 header + cbind-data must round-trip exactly). Returns false on
+    * a bad proof or binding. */
   private def scramExchange(in: DataInputStream,
-      out: DataOutputStream): Boolean = {
+      out: DataOutputStream, tlsActive: Boolean): Boolean = {
     import Scram._
     sendMsg(out, 'R', { b =>
       b.putInt(10) // AuthenticationSASL
+      if (tlsActive) {
+        b.put("SCRAM-SHA-256-PLUS".getBytes(StandardCharsets.UTF_8))
+        b.put(0.toByte)
+      }
       b.put("SCRAM-SHA-256".getBytes(StandardCharsets.UTF_8))
       b.put(0.toByte); b.put(0.toByte)
     })
@@ -281,10 +332,21 @@ final class FakePgServer(walSenderTimeout: String = "60s",
     }
     // SASLInitialResponse: mechanism\0 + int32 + client-first-message
     val init = ByteBuffer.wrap(readP())
-    while (init.get() != 0) {} // mechanism name
+    val mech = {
+      val sb = new StringBuilder
+      var c = init.get()
+      while (c != 0) { sb.append(c.toChar); c = init.get() }
+      sb.toString
+    }
+    sawMechanism = mech
+    val plus = mech == "SCRAM-SHA-256-PLUS"
+    if (plus && !tlsActive) return false
     val cfLen = init.getInt
     val cfBytes = new Array[Byte](cfLen); init.get(cfBytes)
     val clientFirst = new String(cfBytes, StandardCharsets.UTF_8)
+    val gs2Header = clientFirst.substring(0,
+      clientFirst.length - clientFirst.split(",", 3)(2).length)
+    if (plus && gs2Header != "p=tls-server-end-point,,") return false
     val clientFirstBare = clientFirst.split(",", 3)(2)
     val cNonce = attrs(clientFirstBare)("r")
 
@@ -304,6 +366,10 @@ final class FakePgServer(walSenderTimeout: String = "60s",
     val clientFinal = new String(readP(), StandardCharsets.UTF_8)
     val fa = attrs(clientFinal)
     if (fa.get("r") != Some(sNonce)) return false
+    // channel binding: c = b64(gs2-header ++ cbind-data)
+    val expectedC = b64(gs2Header.getBytes(StandardCharsets.UTF_8) ++
+      (if (plus) serverCertHash else Array.emptyByteArray))
+    if (fa.get("c") != Some(expectedC)) return false
     val withoutProof = clientFinal.substring(0, clientFinal.indexOf(",p="))
     val authMessage = clientFirstBare + "," + serverFirst + "," + withoutProof
     val saltedPw = saltedPassword(password, salt, iterations)

@@ -292,6 +292,81 @@ class ReplicationClientSpec extends SparkSpec {
     assert(r2.getSeq[String](8) == Seq.empty)
   }
 
+  /** Self-signed server identity via the JDK's own keytool: PKCS12
+    * keystore for the fake server, PEM export as the client's trust
+    * anchor. Returns (keystorePath, pemPath). */
+  private def genServerCert(dir: String, alias: String): (String, String) = {
+    import scala.sys.process._
+    val ks = s"$dir/$alias.p12"
+    val pem = s"$dir/$alias.pem"
+    assert(Seq("keytool", "-genkeypair", "-alias", alias, "-keyalg", "RSA",
+      "-keysize", "2048", "-validity", "2", "-keystore", ks,
+      "-storetype", "PKCS12", "-storepass", "changeit",
+      "-dname", "CN=127.0.0.1",
+      "-ext", "san=ip:127.0.0.1").! == 0, "keytool genkeypair failed")
+    assert(Seq("keytool", "-exportcert", "-rfc", "-alias", alias,
+      "-keystore", ks, "-storepass", "changeit",
+      "-file", pem).! == 0, "keytool exportcert failed")
+    (ks, pem)
+  }
+
+  test("TLS e2e: verify-ca + SCRAM-SHA-256-PLUS channel binding; COPY over TLS") {
+    val dir = tmp("repl-tls")
+    val (ks, pem) = genServerCert(dir, "pg")
+    val server = new FakePgServer(walSenderTimeout = "1s",
+      password = "s3cret", tlsKeystore = Some((ks, "changeit")))
+    server.copyHandler = _ => Seq("1\tsecure", "2\t\\N")
+    val port = server.start()
+    val client = new ReplicationSocketClient("127.0.0.1", port,
+      "s", "p", s"$dir/wal.log", password = "s3cret",
+      sslMode = "verify-ca", sslRootCert = Some(pem))
+    try {
+      client.start() // SSLRequest → TLS → SCRAM-PLUS → START_REPLICATION
+      waitUntil()(server.startedStreaming)
+      // the client picked the channel-bound mechanism and the server
+      // verified the tls-server-end-point binding in the proof
+      assert(server.sawMechanism == "SCRAM-SHA-256-PLUS",
+        server.sawMechanism)
+      // snapshot COPY rides the same TLS + SCRAM-PLUS path
+      val conn = new PgWireConnection("127.0.0.1", port, "u", "db",
+        "s3cret", sslMode = "verify-ca", sslRootCert = Some(pem))
+      conn.connect()
+      try assert(PgCopy.copyText(conn, "COPY (SELECT 1) TO STDOUT") ==
+        Vector("1\tsecure", "2\t\\N"))
+      finally conn.close()
+    } finally { client.stop(); server.stop() }
+  }
+
+  test("TLS: wrong trust anchor refused; require-mode against plaintext server refused") {
+    val dir = tmp("repl-tls-bad")
+    val (ks, _) = genServerCert(dir, "real")
+    val (_, wrongPem) = genServerCert(dir, "imposter")
+    val server = new FakePgServer(password = "s3cret",
+      tlsKeystore = Some((ks, "changeit")))
+    val port = server.start()
+    try {
+      // chain does not anchor at the imposter CA → handshake refused
+      val bad = new PgWireConnection("127.0.0.1", port, "u", "db",
+        "s3cret", sslMode = "verify-ca", sslRootCert = Some(wrongPem))
+      intercept[Exception] { bad.connect() }
+      // sslmode=require without a root cert: encrypts, skips verification
+      val req = new PgWireConnection("127.0.0.1", port, "u", "db",
+        "s3cret", sslMode = "require")
+      req.connect()
+      req.close()
+    } finally server.stop()
+
+    // a server that refuses TLS must not get a plaintext fallback
+    val plain = new FakePgServer(password = "s3cret")
+    val port2 = plain.start()
+    try {
+      val c = new PgWireConnection("127.0.0.1", port2, "u", "db",
+        "s3cret", sslMode = "require")
+      val e = intercept[java.io.IOException] { c.connect() }
+      assert(e.getMessage.contains("refused TLS"), e.getMessage)
+    } finally plain.stop()
+  }
+
   test("COPY rows split across CopyData frames mid-UTF-8-character decode intact") {
     val server = new FakePgServer()
     // multi-byte chars (2-, 3- and 4-byte UTF-8) + frames of 3 bytes →
