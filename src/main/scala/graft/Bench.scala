@@ -35,8 +35,8 @@ object Bench {
     val wal = spark.range(nEvents.toLong)
       .select(col("id"), concat(
         col("id"), lit("\t0\tU\t1\t"), col("id"), lit("\t0\t\\N\t"),
-        lit("{\"key\":"), col("id") % keys,
-        lit(",\"val\":"), col("id"), lit("}")).as("line"))
+        lit("="), col("id") % keys,
+        lit(graft.core.PackedRow.Sep.toString), col("id")).as("line"))
       .orderBy("id").select("line")
     wal.coalesce(1).write.text(s"$tmp/wal")
     val part = new java.io.File(s"$tmp/wal").listFiles()

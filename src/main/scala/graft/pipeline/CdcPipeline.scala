@@ -445,17 +445,48 @@ object CdcPipeline {
     all.reverse.foreach(Files.deleteIfExists(_))
   }
 
-  /** Standard envelope decode: JSON before/after images → flat typed
-    * payload + (_op, _commit_lsn, _tx_ordinal), against the schema
-    * version in force. The single shared implementation for the
-    * replicator binary, queries, and tests. */
+  /** Standard envelope decode: before/after images → flat typed payload
+    * + (_op, _commit_lsn, _tx_ordinal), against the schema version in
+    * force. The single shared implementation for the replicator binary,
+    * queries, and tests. Dispatches per row on the payload format:
+    *
+    *   - `=`-prefixed PACKED payloads ([[graft.core.PackedRow]], the hot
+    *     path the live decoder emits): one codegen'd `StaticInvoke` cell
+    *     split + positional Postgres-text casts — no JSON library in the
+    *     apply path;
+    *   - `{`-prefixed legacy JSON images: `from_json` as before.
+    *
+    * Positional contract: packed cells follow `schema.replicatedColumns`
+    * order, which descends from the same Relation message that ordered
+    * the producer's tuple. */
   def jsonDecode(df: DataFrame, schema: TableSchemaV): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.types.{ArrayType, StringType}
     val st = schema.sparkSchema
-    val payload = from_json(coalesce(col("after"), col("before")), st)
+    val specs = schema.replicatedColumns
+    val payload = coalesce(col("after"), col("before"))
+    val isPacked = payload.startsWith(graft.core.PackedRow.Marker.toString)
+    val cells = GraftColumnBridge.column(StaticInvoke(
+      graft.functions.PgPackedRowCodec.getClass,
+      ArrayType(StringType, containsNull = true),
+      "parse",
+      Seq(GraftColumnBridge.expression(payload)),
+      inputTypes = Seq(StringType)))
+    val jsonP = from_json(payload, st)
+    val fields = specs.zipWithIndex.map { case (spec, i) =>
+      // try_element_at: a key-only image (REPLICA IDENTITY DEFAULT
+      // deletes) packs fewer cells than the schema — absent → null,
+      // matching from_json on a key-only JSON object
+      when(isPacked,
+        graft.sources.PgCopy.decodeColumn(
+          try_element_at(cells, lit(i + 1)), spec))
+        .otherwise(jsonP.getField(spec.name))
+        .as(spec.name)
+    }
     val meta = Seq(col("_op"), col("_commit_lsn"), col("_tx_ordinal")) ++
       (if (df.columns.contains("_missing")) Seq(col("_missing")) else Nil)
-    df.withColumn("_p", payload).select(
-      (st.fieldNames.map(f => col(s"_p.$f").as(f)) ++ meta).toIndexedSeq: _*)
+    df.select((fields ++ meta).toIndexedSeq: _*)
   }
 
   /** Parse a Relation control record's schema payload — the analog of the

@@ -229,19 +229,21 @@ object CdcQueries {
     import graft.pipeline.{CdcPipeline, PipelineConfig, TableState}
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
 
-    // WAL from the events table: op mapping as elsewhere, JSON payloads
+    // WAL from the events table: op mapping as elsewhere, PACKED payloads
+    // (the live decoder's hot-path format — cells in schema order
+    // (key, val), 0x1F-separated; see graft.core.PackedRow)
+    val sep = lit(graft.core.PackedRow.Sep.toString)
     val wal = Tables.load(spark, dir, "events")
       .withColumn("op", opExpr)
       .select(col("event_id"), concat(
         col("event_id").cast(StringType), lit("\t0\t"), col("op"),
         lit("\t1\t"), col("event_id").cast(StringType), lit("\t0\t"),
         when(col("op") === "D",
-          concat(lit("""{"key":"""), col("user_id"), lit("}")))
+          concat(lit("="), col("user_id"), sep, lit("\\N")))
           .otherwise(lit("\\N")),
         lit("\t"),
         when(col("op") =!= "D",
-          concat(lit("""{"key":"""), col("user_id"),
-            lit(""","val":"""), col("value"), lit("}")))
+          concat(lit("="), col("user_id"), sep, col("value")))
           .otherwise(lit("\\N"))).as("line"))
       .orderBy("event_id").select("line")
     wal.coalesce(1).write.text(s"$tmp/wal")

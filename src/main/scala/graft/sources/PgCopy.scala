@@ -172,6 +172,17 @@ object PgCopy {
     * — no UDFs in the backfill path. */
   def decodeTyped(df: DataFrame,
       schema: graft.core.TableSchemaV): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(schema.replicatedColumns.map(spec =>
+      decodeColumn(col(spec.name), spec).as(spec.name)): _*)
+  }
+
+  /** One COPY/packed TEXT cell → its declared Spark type with Postgres
+    * text semantics (see [[decodeTyped]]); shared by the wire backfill
+    * and the packed-envelope decode
+    * ([[graft.pipeline.CdcPipeline.jsonDecode]]). */
+  def decodeColumn(c: org.apache.spark.sql.Column,
+      spec: graft.core.ColumnSpec): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
@@ -189,21 +200,15 @@ object PgCopy {
         case _ => c.cast(graft.core.PgTypeMap.toSpark(t, modifier))
       }
     }
-    val cols = schema.replicatedColumns.map { spec =>
-      val c = col(spec.name)
-      val t = spec.pgType.toLowerCase.stripPrefix("pg_catalog.")
-      val decoded =
-        if (t.startsWith("_")) {
-          val parsed = GraftColumnBridge.column(StaticInvoke(
-            graft.functions.PgArrayCodec.getClass,
-            ArrayType(StringType, containsNull = true),
-            "parse",
-            Seq(GraftColumnBridge.expression(c)),
-            inputTypes = Seq(StringType)))
-          transform(parsed, e => scalar(e, t.substring(1), spec.modifier))
-        } else scalar(c, t, spec.modifier)
-      decoded.as(spec.name)
-    }
-    df.select(cols: _*)
+    val t = spec.pgType.toLowerCase.stripPrefix("pg_catalog.")
+    if (t.startsWith("_")) {
+      val parsed = GraftColumnBridge.column(StaticInvoke(
+        graft.functions.PgArrayCodec.getClass,
+        ArrayType(StringType, containsNull = true),
+        "parse",
+        Seq(GraftColumnBridge.expression(c)),
+        inputTypes = Seq(StringType)))
+      transform(parsed, e => scalar(e, t.substring(1), spec.modifier))
+    } else scalar(c, t, spec.modifier)
   }
 }

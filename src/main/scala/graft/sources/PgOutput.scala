@@ -302,6 +302,43 @@ object PgOutput {
     (fields.mkString("{", ",", "}"), missing.result())
   }
 
+  /** Postgres TEXT form of one tuple value (None = NULL); binary-mode
+    * fixed-width values convert to their text forms, anything else
+    * renders as bytea hex. Shared by [[tuplePacked]]. */
+  private def valueText(typeOid: Int, v: TupleValue): Option[String] =
+    v match {
+      case TNull | TUnchangedToast => None
+      case TText(s) => Some(s)
+      case TBinary(bs) =>
+        val arr = bs.toArray
+        def bb = ByteBuffer.wrap(arr)
+        Some((typeOid, arr.length) match {
+          case (16, 1) => if (arr(0) != 0) "t" else "f"
+          case (21, 2) => bb.getShort.toString
+          case (23, 4) => bb.getInt.toString
+          case (20, 8) => bb.getLong.toString
+          case (26, 4) => (bb.getInt.toLong & 0xffffffffL).toString
+          case (700, 4) => bb.getFloat.toString
+          case (701, 8) => bb.getDouble.toString
+          case _ => "\\x" + arr.map("%02x".format(_)).mkString
+        })
+    }
+
+  /** PACKED payload for a tuple ([[graft.core.PackedRow]]): raw text
+    * values straight from pgoutput into position-ordered cells — no JSON
+    * rendering on the intake side and no JSON parsing on the apply side
+    * (the binary-envelope ROADMAP item). TOAST-unchanged columns pack as
+    * NULL and report through the `_missing` mask exactly like the JSON
+    * render (from_json yields null for absent keys — same semantics). */
+  private def tuplePacked(r: Relation, t: TupleData): (String, Seq[String]) = {
+    val missing = Seq.newBuilder[String]
+    val cells = r.columns.zip(t).map { case (c, v) =>
+      if (v == TUnchangedToast) missing += c.name
+      valueText(c.typeOid, v)
+    }
+    (graft.core.PackedRow.render(cells), missing.result())
+  }
+
   /** Stateful decode loop over a pgoutput frame stream — the session
     * layer a live source runs (the reference's handle_message loop shape,
     * apply.rs:2026-2127): Begin opens a transaction (its final LSN is the
@@ -313,7 +350,11 @@ object PgOutput {
     * lines in arrival order — already totally ordered by
     * (commit_lsn, tx_ordinal) because Postgres streams commits in commit
     * order. */
-  final class DecodeSession {
+  final class DecodeSession(
+      /** Emit PACKED payloads ([[graft.core.PackedRow]]) instead of JSON
+        * images — the default hot path; false pins the legacy JSON
+        * format (mixed logs decode fine either way). */
+      packedPayloads: Boolean = true) {
     private val relations = scala.collection.mutable.Map.empty[Int, Relation]
     /** LSN each relation's schema was last (re)announced at — the
       * `_schema_lsn` data rows decode against (SnapshotId floor-lookup
@@ -392,7 +433,8 @@ object PgOutput {
           case _ => 0L
         }
         val o = ordinal; ordinal += 1
-        toEnvelopeLine(data, relations, lsn, o, schemaLsn)
+        toEnvelopeLine(data, relations, lsn, o, schemaLsn,
+          packed = packedPayloads)
           .toSeq.flatMap(_.split("\n"))
     }
   }
@@ -403,19 +445,23 @@ object PgOutput {
     * (Begin/Commit/Origin/Type — their content lives in the sequence key).
     */
   def toEnvelopeLine(msg: Message, rel: Int => Relation, commitLsn: Long,
-      txOrdinal: Long, schemaLsn: Long): Option[String] = msg match {
+      txOrdinal: Long, schemaLsn: Long,
+      packed: Boolean = false): Option[String] = {
+    def image(r: Relation, t: TupleData): (String, Seq[String]) =
+      if (packed) tuplePacked(r, t) else tupleJson(r, t)
+    msg match {
     case Insert(id, t) =>
-      val (after, missing) = tupleJson(rel(id), t)
+      val (after, missing) = image(rel(id), t)
       Some(CdcLogSource.renderLine("I", id.toLong, commitLsn, commitLsn,
         txOrdinal, schemaLsn, None, Some(after), missing))
     case Update(id, _, old, t) =>
       val r = rel(id)
-      val (after, missing) = tupleJson(r, t)
-      val before = old.map(o => tupleJson(r, o)._1)
+      val (after, missing) = image(r, t)
+      val before = old.map(o => image(r, o)._1)
       Some(CdcLogSource.renderLine("U", id.toLong, commitLsn, commitLsn,
         txOrdinal, schemaLsn, before, Some(after), missing))
     case Delete(id, _, t) =>
-      val (before, _) = tupleJson(rel(id), t)
+      val (before, _) = image(rel(id), t)
       Some(CdcLogSource.renderLine("D", id.toLong, commitLsn, commitLsn,
         txOrdinal, schemaLsn, Some(before), None))
     case Truncate(_, ids) =>
@@ -423,5 +469,6 @@ object PgOutput {
       Some(ids.map(id => CdcLogSource.renderLine("T", id.toLong, commitLsn,
         commitLsn, txOrdinal, schemaLsn, None, None)).mkString("\n"))
     case _ => None
+    }
   }
 }

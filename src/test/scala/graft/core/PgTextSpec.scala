@@ -185,4 +185,28 @@ class PgTextSpec extends AnyFunSuite with PropSpec {
       PgText.parseCopyRow(PgText.renderCopyRow(cells)) == cells.toVector
     })
   }
+
+  test("packed envelope payload property roundtrip (incl separator/control chars)") {
+    // cells draw from the full hazard set: the escape characters, the
+    // 0x1F cell separator itself, tabs/newlines (envelope framing), and
+    // the literal strings N / \N that could masquerade as NULL
+    val hazard = Gen.oneOf('\t', '\n', '\r', '\\', PackedRow.Sep, 'N', '=')
+    val cell = Gen.option(Gen.listOf(
+      Gen.oneOf(Gen.alphaNumChar, hazard)).map(_.mkString))
+    checkProp(Prop.forAll(Gen.nonEmptyListOf(cell)) { cells =>
+      PackedRow.parse(PackedRow.render(cells)) == cells.toVector
+    }, 200)
+    // rendered payloads never contain envelope-hostile raw characters
+    checkProp(Prop.forAll(Gen.nonEmptyListOf(cell)) { cells =>
+      val r = PackedRow.render(cells)
+      !r.exists(c => c == '\t' || c == '\n' || c == '\r')
+    }, 200)
+    // fuzz analog: arbitrary garbage parses or rejects, never crashes
+    val junk = Gen.listOf(Gen.choose(Char.MinValue, Char.MaxValue)).map(_.mkString)
+    checkProp(Prop.forAll(junk) { s =>
+      try { PackedRow.parse(s); true } catch {
+        case _: IllegalArgumentException => true
+      }
+    }, 200)
+  }
 }

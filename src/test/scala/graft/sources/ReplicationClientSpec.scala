@@ -185,7 +185,8 @@ class ReplicationClientSpec extends SparkSpec {
         s"err=${client.lastError}")(client.framesReceived.get() == 8)
       val lines = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(log)), java.nio.charset.StandardCharsets.UTF_8)
-      assert(lines.contains("\"ann\"") && lines.contains("\"bob\""), lines)
+      // packed payloads: cells are 0x1F-separated raw text values
+      assert(lines.contains("ann") && lines.contains("bob"), lines)
     } finally { client.stop(); server.stop() }
   }
 
