@@ -26,7 +26,7 @@ import graft.sinks.{CdcSink, ChangelogSink, CurrentStateSink, ExactlyOnceSink, N
   *   source.host = replica.db   source.port = 5432   # socket mode
   *   source.slot = graft_slot   source.publication = graft_pub
   *   source.user = graft  source.password = …  source.database = postgres
-  *   source.sslmode = disable | require | verify-ca   # TLS to the source
+  *   source.sslmode = disable|require|verify-ca|verify-full  # TLS
   *   source.sslrootcert = /path/ca.pem        # trust anchors (verify-ca)
   *   destination = current_state | changelog | null
   *   exactlyOnce = true                       # batchId txn ledger wrapper

@@ -326,17 +326,21 @@ final class ReplicationSocketClient(
   *   - `disable`  — plaintext, no SSLRequest;
   *   - `require`  — TLS mandatory, certificate NOT verified;
   *   - `verify-ca` — TLS mandatory, server chain must anchor at
-  *     `sslRootCert` (PEM, one or more certificates).
+  *     `sslRootCert` (PEM, one or more certificates);
+  *   - `verify-full` — verify-ca + hostname verification (the server
+  *     certificate's SAN/CN must match `host`, RFC 2818/6125 — JSSE
+  *     endpoint identification).
   * Under TLS, auth upgrades to SCRAM-SHA-256-PLUS (tls-server-end-point
   * channel binding) whenever the server offers it. */
 final class PgWireConnection(host: String, port: Int, user: String,
     database: String, password: String, replication: Boolean = false,
     sslMode: String = "disable", sslRootCert: Option[String] = None) {
   import ReplicationSocketClient.errorMessage
-  require(Set("disable", "require", "verify-ca").contains(sslMode),
-    s"unsupported sslmode '$sslMode' (disable|require|verify-ca)")
-  require(sslMode != "verify-ca" || sslRootCert.nonEmpty,
-    "sslmode=verify-ca needs sslRootCert (PEM trust anchors)")
+  require(Set("disable", "require", "verify-ca", "verify-full")
+    .contains(sslMode),
+    s"unsupported sslmode '$sslMode' (disable|require|verify-ca|verify-full)")
+  require(!sslMode.startsWith("verify") || sslRootCert.nonEmpty,
+    s"sslmode=$sslMode needs sslRootCert (PEM trust anchors)")
 
   private var socket: Socket = _
   private var _in: DataInputStream = _
@@ -364,6 +368,13 @@ final class PgWireConnection(host: String, port: Int, user: String,
           .createSocket(socket, host, port, true)
           .asInstanceOf[javax.net.ssl.SSLSocket]
         ssl.setUseClientMode(true)
+        if (sslMode == "verify-full") {
+          // hostname verification: JSSE checks the cert's SAN/CN
+          // against the host passed to createSocket (HTTPS rules)
+          val p = ssl.getSSLParameters
+          p.setEndpointIdentificationAlgorithm("HTTPS")
+          ssl.setSSLParameters(p)
+        }
         ssl.startHandshake()
         val cert = ssl.getSession.getPeerCertificates.head
         certHash = Some(Scram.sha256(cert.getEncoded))

@@ -368,6 +368,45 @@ class ReplicationClientSpec extends SparkSpec {
     } finally plain.stop()
   }
 
+  test("TLS verify-full: hostname match accepted, SAN mismatch refused") {
+    import scala.sys.process._
+    val dir = tmp("repl-tls-full")
+    val (ks, pem) = genServerCert(dir, "good") // SAN = ip:127.0.0.1
+    val server = new FakePgServer(password = "pw",
+      tlsKeystore = Some((ks, "changeit")))
+    val port = server.start()
+    try {
+      val ok = new PgWireConnection("127.0.0.1", port, "u", "db", "pw",
+        sslMode = "verify-full", sslRootCert = Some(pem))
+      ok.connect(); ok.close()
+    } finally server.stop()
+
+    // identity for a DIFFERENT host: chain verifies, hostname must not
+    val ksBad = s"$dir/other.p12"
+    val pemBad = s"$dir/other.pem"
+    assert(Seq("keytool", "-genkeypair", "-alias", "other", "-keyalg",
+      "RSA", "-keysize", "2048", "-validity", "2", "-keystore", ksBad,
+      "-storetype", "PKCS12", "-storepass", "changeit",
+      "-dname", "CN=db.example.com",
+      "-ext", "san=dns:db.example.com").! == 0)
+    assert(Seq("keytool", "-exportcert", "-rfc", "-alias", "other",
+      "-keystore", ksBad, "-storepass", "changeit",
+      "-file", pemBad).! == 0)
+    val server2 = new FakePgServer(password = "pw",
+      tlsKeystore = Some((ksBad, "changeit")))
+    val port2 = server2.start()
+    try {
+      // verify-ca accepts (trusted root, hostname not checked) …
+      val ca = new PgWireConnection("127.0.0.1", port2, "u", "db", "pw",
+        sslMode = "verify-ca", sslRootCert = Some(pemBad))
+      ca.connect(); ca.close()
+      // … verify-full refuses (SAN says db.example.com, we dialed an IP)
+      val full = new PgWireConnection("127.0.0.1", port2, "u", "db", "pw",
+        sslMode = "verify-full", sslRootCert = Some(pemBad))
+      intercept[Exception] { full.connect() }
+    } finally server2.stop()
+  }
+
   test("COPY rows split across CopyData frames mid-UTF-8-character decode intact") {
     val server = new FakePgServer()
     // multi-byte chars (2-, 3- and 4-byte UTF-8) + frames of 3 bytes →
