@@ -51,6 +51,8 @@ object SparkEntry {
     "text_langid" -> (TextQueries.langId _),
     "text_quality" -> (TextQueries.quality _),
     "text_fingerprint" -> (TextQueries.fingerprint _),
+    "text_repetition" -> (TextQueries.repetition _),
+    "decontaminate" -> (TextQueries.decontaminate _),
     "train_pipeline" -> (TextQueries.trainPipeline _),
     // dedup family
     "dedup_exact" -> (SimQueries.dedupExact _),
@@ -114,6 +116,8 @@ object SparkEntry {
     "mm_meta" -> SimQueries.mmMetaSql,
     "profile_stats" -> SimQueries.profileStatsSql,
     "text_fingerprint" -> TextQueries.fingerprintSql,
+    "text_repetition" -> TextQueries.repetitionSql,
+    "decontaminate" -> TextQueries.decontaminateSql,
     "train_pipeline" -> TextQueries.trainPipelineSql,
     "ann_topk" -> SimQueries.annTopKSql,
     "mm_features" -> SimQueries.mmFeaturesSql,

@@ -49,6 +49,84 @@ object TextQueries {
       ${TextFunctions.qualityScoreSql("text")} AS score
     FROM documents ORDER BY doc_id"""
 
+  /** Repetition quality signals (the Gopher-style repetition filters a
+    * pretraining pipeline applies alongside the rational quality score):
+    * duplicate-token fraction and top-2-gram token fraction. One explode
+    * + gram-count shuffle; the per-doc token stats are pure expressions.
+    * All outputs are exact integer ratios cast to double → bit-identical
+    * to the DuckDB oracle. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("tk"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(array_distinct(col("tk"))).cast("long").as("n_distinct"))
+    val max2 = base
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk) - 2), " +
+          "i -> concat(tk[i], ' ', tk[i + 1]))")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max(col("cnt")).as("max2"))
+    base.drop("tk").join(max2, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("max2"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") /
+          col("n_tokens")).as("dup_token_frac"),
+        ((col("max2") * 2).cast("double") / col("n_tokens"))
+          .as("top2gram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionSql: String = """
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+      FROM documents),
+    base AS (
+      SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct
+      FROM toks WHERE len(tk) >= 2),
+    g AS (
+      SELECT doc_id,
+        unnest([array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]) AS gram
+      FROM base),
+    c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+    m AS (SELECT doc_id, max(cnt) AS max2 FROM c GROUP BY 1)
+    SELECT b.doc_id, b.n_tokens, b.n_distinct, m.max2,
+      CAST(b.n_tokens - b.n_distinct AS DOUBLE) / b.n_tokens AS dup_token_frac,
+      CAST(m.max2 * 2 AS DOUBLE) / b.n_tokens AS top2gram_frac
+    FROM base b JOIN m USING (doc_id)
+    ORDER BY doc_id"""
+
+  /** Benchmark decontamination over the documents table: every 50th doc
+    * plays the held-out benchmark; corpus docs sharing any word 4-gram
+    * with it are flagged with their distinct shared-gram count (the
+    * [[graft.operators.Contamination]] operator). */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    graft.operators.Contamination.sharedNgrams(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "text", "doc_id", n = 4)
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String = """
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        unnest([array_to_string(tk[i:i+3], ' ') for i in range(1, len(tk) - 2)]) AS gram
+      FROM toks WHERE len(tk) >= 4),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+    SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared
+    FROM g JOIN bench USING (gram)
+    WHERE g.doc_id % 50 <> 0
+    GROUP BY 1 ORDER BY doc_id"""
+
   /** End-to-end training-data curation pipeline — the composition a
     * 100 TB pretraining pass runs, oracle-gated as ONE query: annotate
     * (language ID + quality score + token count) → filter (keep

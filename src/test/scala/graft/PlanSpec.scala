@@ -224,6 +224,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("decontamination joins on the gram equijoin; per-doc dedup is map-side") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sf(), "documents")
+    val p = plan(graft.operators.Contamination.sharedNgrams(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0), "text", "doc_id", 4))
+    // corpus×benchmark must be a gram equijoin, never an all-pairs join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the corpus side dedupes n-grams inside array_distinct (map-side):
+    // the ONLY distinct aggregation keys on the benchmark gram set, so
+    // no corpus-wide (doc_id, gram) dedup exchange exists
+    assert("(?m)^\\(\\d+\\) HashAggregate".r.findAllIn(p)
+      .size <= 6, p) // bench distinct (partial+final) + final count (×2)
+  }
+
   test("brute-force ANN broadcasts the query side (corpus never shuffles)") {
     import org.apache.spark.sql.functions._
     val emb = Tables.load(spark, sf(), "embeddings")
