@@ -60,6 +60,8 @@ object GraftExtensions {
       args => changelogBuilder(args), "built-in")
     t.createOrReplaceTempFunction("graft_changelog_latest",
       args => changelogLatestBuilder(args), "built-in")
+    t.createOrReplaceTempFunction("graft_table_changes",
+      args => tableChangesBuilder(args), "built-in")
   }
 
   // ------------------------------------------------- table-function bodies
@@ -89,6 +91,11 @@ object GraftExtensions {
     val spark = SparkSession.active
     plan(new ChangelogSink(str(args.head, "sink dir"))
       .read(spark, str(args(1), "table")))
+  }
+  private[graft] def tableChangesBuilder(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    plan(GraftTable.open(str(args.head, "root path"))
+      .rowChangesSince(spark, long(args(1), "from version")).rows)
   }
   private[graft] def changelogLatestBuilder(args: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
@@ -143,5 +150,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_changelog_latest",
         "graft_changelog_latest(dir, table, keys) - current-state view"),
       (args: Seq[Expression]) => GraftExtensions.changelogLatestBuilder(args)))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_table_changes"),
+      info("graft_table_changes",
+        "graft_table_changes(root, fromVersion) - row-level change feed " +
+          "(insert | delete | update_preimage | update_postimage)"),
+      (args: Seq[Expression]) => GraftExtensions.tableChangesBuilder(args)))
   }
 }

@@ -42,6 +42,7 @@ object SparkEntry {
     "d3_changelog_latest" -> (SinkQueries.changelogLatest _),
     "d4_time_travel" -> (SinkQueries.timeTravel _),
     "d4_point_lookup" -> (SinkQueries.pointLookup _),
+    "d4_row_cdf" -> (SinkQueries.rowCdf _),
     "catalog_sql" -> (SinkQueries.catalogSql _),
     "q6_forecast" -> (SinkQueries.q6Forecast _),
     // S3 codecs as a table-scale roundtrip gate
@@ -104,6 +105,7 @@ object SparkEntry {
     "d3_changelog_latest" -> SinkQueries.changelogLatestSql,
     "d4_time_travel" -> SinkQueries.timeTravelSql,
     "d4_point_lookup" -> SinkQueries.pointLookupSql,
+    "d4_row_cdf" -> SinkQueries.rowCdfSql,
     "catalog_sql" -> SinkQueries.catalogSqlSql,
     "q6_forecast" -> SinkQueries.q6Sql,
     "s3_codec_roundtrip" -> CodecQueries.codecRoundtripSql,

@@ -95,6 +95,59 @@ object SinkQueries {
     SELECT c_custkey AS key, c_acctbal AS val, c_name AS name
     FROM customer ORDER BY key"""
 
+  /** D4 row-level CDF: baseline load → CDC merge → `rowChangesSince`
+    * between the two snapshots, through the SQL TVF. The oracle replays
+    * the diff relationally: every surviving (non-error-final) event key
+    * present in the baseline yields an update pre/post pair (post name
+    * is null — updates don't carry it), error-final baseline keys
+    * delete, new non-error keys insert; bucket-diff pruning must not
+    * change the row set. */
+  def rowCdf(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdf").toString
+    val sink = new CurrentStateSink(tmp, _ => Seq("key"), nBuckets = 8)
+    sink.writeTableRows("state", Tables.load(spark, dir, "customer").select(
+      col("c_custkey").as("key"), col("c_acctbal").as("val"),
+      col("c_name").as("name")))
+    val v0 = sink.tableFor("state").currentVersion.get
+    sink.writeEvents("state", Tables.load(spark, dir, "events").select(
+      col("user_id").as("key"), col("value").as("val"),
+      lit(null).cast(StringType).as("name"),
+      when(col("event_type") === "error", "D").otherwise("U").as("_op"),
+      col("event_id").as("_commit_lsn"), lit(0L).as("_tx_ordinal")))
+    graft.GraftExtensions.install(spark)
+    spark.sql(s"""SELECT key, val, name, _change_type
+      FROM graft_table_changes('$tmp/state', $v0)
+      ORDER BY key, _change_type""")
+  }
+
+  val rowCdfSql: String = """
+    WITH last AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events) t WHERE rn = 1),
+    base AS (SELECT c_custkey AS key, c_acctbal AS val, c_name AS name
+             FROM customer)
+    SELECT key, val, name, _change_type FROM (
+      SELECT b.key, b.val, b.name, 'update_preimage' AS _change_type
+      FROM base b JOIN last l ON l.user_id = b.key
+      WHERE l.event_type <> 'error'
+      UNION ALL
+      SELECT b.key, l.value AS val, CAST(NULL AS VARCHAR) AS name,
+        'update_postimage'
+      FROM base b JOIN last l ON l.user_id = b.key
+      WHERE l.event_type <> 'error'
+      UNION ALL
+      SELECT b.key, b.val, b.name, 'delete'
+      FROM base b JOIN last l ON l.user_id = b.key
+      WHERE l.event_type = 'error'
+      UNION ALL
+      SELECT l.user_id AS key, l.value AS val, CAST(NULL AS VARCHAR) AS name,
+        'insert'
+      FROM last l LEFT JOIN base b ON b.key = l.user_id
+      WHERE b.key IS NULL AND l.event_type <> 'error') u
+    ORDER BY key, _change_type"""
+
   /** D4/point lookup: the manifest-pruned single-key read (scans ONLY the
     * key's bucket — 1/nBuckets of the table). The oracle is a WHERE on
     * the source; any bucket-routing error (hash/type mismatch) returns

@@ -797,6 +797,87 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     TableChanges(cur.version, df, gone, fullRefresh = !known)
   }
 
+  /** Row-level change feed between a retained snapshot and the current
+    * one — the Delta-CDF shape on top of [[changesSince]]'s bucket
+    * granularity: rows tagged `_change_type` ∈ insert | delete |
+    * update_preimage | update_postimage. Only the CHANGED buckets are
+    * read on either side (manifest diff), the old/new images meet in a
+    * per-bucket key join, and unchanged rows inside rewritten buckets
+    * are filtered out — at 100 TB a merge that touched 3 buckets diffs
+    * 3 buckets, not the table. Preimages are projected onto the CURRENT
+    * logical schema (columns added since `fromVersion` read as null;
+    * dropped columns leave the feed). An expired/unknown `fromVersion`
+    * degrades to a full-refresh feed (every current row as `insert`,
+    * `fullRefresh = true`) — deletions since then are unobservable, the
+    * same contract as [[changesSince]]. */
+  def rowChangesSince(spark: SparkSession, fromVersion: Long): TableChanges = {
+    import org.apache.spark.sql.types.StringType
+    val cur = currentManifest().getOrElse(
+      return TableChanges(-1L, spark.emptyDataFrame, Seq.empty,
+        fullRefresh = true))
+    val known = fromVersion >= 0 && versions.contains(fromVersion)
+    if (!known)
+      return TableChanges(cur.version,
+        read(spark).withColumn("_change_type", lit("insert")),
+        Seq.empty, fullRefresh = true)
+    val from = readManifest(fromVersion)
+    val changed = (from.files.keySet ++ cur.files.keySet).filter(b =>
+      from.files.get(b) != cur.files.get(b)).toSeq.sorted
+    val target = org.apache.spark.sql.types.StructType.fromDDL(
+      if (cur.schemaDdl.nonEmpty) cur.schemaDdl else from.schemaDdl)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      target.add("_change_type", StringType))
+    if (changed.isEmpty)
+      return TableChanges(cur.version, empty, Seq.empty, fullRefresh = false)
+    def side(m: Manifest): DataFrame = {
+      val df = readFiles(spark,
+        changed.flatMap(b => m.files.getOrElse(b, Nil)), m.schemaDdl,
+        m.columnMapping).drop("_bucket")
+      // align onto the CURRENT logical schema
+      df.select(target.fields.map(f =>
+        (if (df.columns.contains(f.name)) col(f.name)
+         else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
+    }
+    val payloadCols = target.fieldNames.filterNot(keyCols.contains).toSeq
+    val o = side(from)
+      .select((keyCols.map(col) ++
+        payloadCols.map(c => col(c).as(s"_pre_$c")) :+
+        lit(1).as("_o")).toIndexedSeq: _*)
+    val n = side(cur).withColumn("_n", lit(1))
+    val j = o.join(n, keyCols.toSeq, "full_outer")
+    // change rows keep the table's column order + _change_type
+    def image(prefix: String, tag: String) = struct(
+      (target.fieldNames.toSeq.map(f =>
+        if (keyCols.contains(f)) col(f)
+        else col(s"$prefix$f").as(f)) :+
+        lit(tag).as("_change_type")): _*)
+    val rowType = org.apache.spark.sql.types.StructType(
+      target.fields.map(_.copy(nullable = true)).toSeq :+
+        org.apache.spark.sql.types.StructField("_change_type", StringType,
+          nullable = false))
+    // all-key tables have no payload to diff: rewrites of the same key
+    // set produce no update rows
+    val pre =
+      if (payloadCols.isEmpty) lit(0)
+      else struct(payloadCols.map(c => col(s"_pre_$c")).toIndexedSeq: _*)
+    val post =
+      if (payloadCols.isEmpty) lit(0)
+      else struct(payloadCols.map(col).toIndexedSeq: _*)
+    // one pass: each joined row explodes into 0..2 change rows
+    val rows = j.select(explode(
+      when(col("_o").isNull, array(image("", "insert")))
+        .when(col("_n").isNull, array(image("_pre_", "delete")))
+        .when(!(pre <=> post),
+          array(image("_pre_", "update_preimage"),
+            image("", "update_postimage")))
+        .otherwise(array().cast(
+          org.apache.spark.sql.types.ArrayType(rowType, containsNull = false))))
+      .as("_c"))
+      .select("_c.*")
+    TableChanges(cur.version, rows, Seq.empty, fullRefresh = false)
+  }
+
   /** Full-contents replacement that PRESERVES the replay high-water mark
     * and evolves the pinned schema (vs [[overwrite]], which is the
     * backfill re-copy and resets the mark): the SQL row-level UPDATE /

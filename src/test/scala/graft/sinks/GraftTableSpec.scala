@@ -315,6 +315,55 @@ class GraftTableSpec extends SparkSpec {
     assert(t.changesSince(spark, v1).goneBuckets == Seq(victim))
   }
 
+  test("rowChangesSince: row-level CDF with exact insert/delete/update images") {
+    val t = new GraftTable(tmp(), Seq("id"), nBuckets = 4,
+      retainVersions = 5)
+    t.overwrite((1L to 12L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val v0 = t.currentVersion.get
+    // one merge: update key 1, insert key 20, delete key 2
+    t.merge(batch((1L, "v1b", "U", 10L), (20L, "new", "I", 10L),
+      (2L, "", "D", 10L)))
+    val c = t.rowChangesSince(spark, v0)
+    assert(c.version == v0 + 1 && !c.fullRefresh)
+    val got = c.rows.select("id", "v", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    // unchanged bucket-peers of the touched keys do NOT appear
+    assert(got == Set(
+      (1L, "v1", "update_preimage"), (1L, "v1b", "update_postimage"),
+      (20L, "new", "insert"), (2L, "v2", "delete")), got)
+    // catching up from current → empty feed with a stable schema
+    val none = t.rowChangesSince(spark, c.version)
+    assert(none.rows.isEmpty &&
+      none.rows.columns.toSeq == Seq("id", "v", "_change_type"))
+    // expired from-version degrades to a full-refresh insert feed
+    val full = t.rowChangesSince(spark, -9L)
+    assert(full.fullRefresh && full.rows.count() == 12 &&
+      full.rows.select("_change_type").distinct()
+        .as[String].collect().toSeq == Seq("insert"))
+    // SQL surface: the TVF serves the same feed
+    graft.GraftExtensions.install(spark)
+    val sql = spark.sql(
+      s"SELECT id, v, _change_type FROM graft_table_changes('${t.root}', $v0)")
+      .as[(Long, String, String)].collect().toSet
+    assert(sql == got)
+  }
+
+  test("rowChangesSince: schema evolution projects preimages onto the new schema") {
+    val t = new GraftTable(tmp(), Seq("id"), nBuckets = 2,
+      retainVersions = 5)
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    val v0 = t.currentVersion.get
+    // merge with an ADDED column: the preimage lacks it → null
+    t.merge(Seq((1L, "a2", 7L, "U", "0000000000000010/0000000000000000"))
+      .toDF("id", "v", "extra", "_op", "_seq"))
+    val rows = t.rowChangesSince(spark, v0).rows
+      .select("id", "v", "extra", "_change_type")
+      .as[(Long, String, Option[Long], String)].collect().toSet
+    assert(rows == Set(
+      (1L, "a", None, "update_preimage"),
+      (1L, "a2", Some(7L), "update_postimage")), rows)
+  }
+
   test("manifest commits are snapshot-atomic: time travel + vacuum expiry") {
     val t = new GraftTable(tmp(), Seq("id"), nBuckets = 4)
     t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
