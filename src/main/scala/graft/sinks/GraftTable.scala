@@ -816,10 +816,15 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       return TableChanges(-1L, spark.emptyDataFrame, Seq.empty,
         fullRefresh = true))
     val known = fromVersion >= 0 && versions.contains(fromVersion)
-    if (!known)
-      return TableChanges(cur.version,
-        read(spark).withColumn("_change_type", lit("insert")),
-        Seq.empty, fullRefresh = true)
+    if (!known) {
+      // full-refresh insert feed; a pre-schema empty table has no
+      // columns to tag, so its feed is the empty frame itself
+      val cur0 = read(spark)
+      val feed =
+        if (cur0.columns.isEmpty) cur0
+        else cur0.withColumn("_change_type", lit("insert"))
+      return TableChanges(cur.version, feed, Seq.empty, fullRefresh = true)
+    }
     val from = readManifest(fromVersion)
     val changed = (from.files.keySet ++ cur.files.keySet).filter(b =>
       from.files.get(b) != cur.files.get(b)).toSeq.sorted

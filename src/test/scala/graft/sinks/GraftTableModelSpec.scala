@@ -49,6 +49,34 @@ class GraftTableModelSpec extends SparkSpec {
         s"seed=$seed follower diverged after $step: got=$got want=$want")
     }
 
+    // a second consumer maintained ONLY by applying the ROW-LEVEL change
+    // feed (rowChangesSince): insert/update_postimage put, delete
+    // removes, preimages are informational; full refresh rebuilds —
+    // the CDF contract run differentially against the same op stream
+    var cdfVersion = -1L
+    val cdfView = scala.collection.mutable.Map.empty[Long, String]
+    var sinceCdfPull = 0
+    def pullCdf(step: String): Unit = {
+      val c = t.rowChangesSince(spark, cdfVersion)
+      if (c.version < 0) { cdfView.clear(); cdfVersion = -1L; return }
+      val rows =
+        if (!c.rows.columns.contains("id")) Array.empty[(Long, String, String)]
+        else c.rows.select("id", "v", "_change_type")
+          .as[(Long, String, String)].collect()
+      if (c.fullRefresh) cdfView.clear()
+      rows.foreach {
+        case (id, v, t) if t == "insert" || t == "update_postimage" =>
+          cdfView(id) = v
+        case (id, _, "delete") => cdfView.remove(id)
+        case _ => () // update_preimage
+      }
+      cdfVersion = c.version
+      val want = model.map { case (k, r) => k -> r.v }.toMap
+      assert(cdfView.toMap == want,
+        s"seed=$seed CDF view diverged after $step: " +
+          s"got=${cdfView.toMap} want=$want")
+    }
+
     def check(step: String): Unit = {
       val actual = t.read(spark)
       val got =
@@ -62,6 +90,11 @@ class GraftTableModelSpec extends SparkSpec {
       if (sinceLastPull >= 3 || rnd.nextInt(4) == 0) {
         sinceLastPull = 0
         pullFollower(step)
+      }
+      sinceCdfPull += 1
+      if (sinceCdfPull >= 4 || rnd.nextInt(5) == 0) {
+        sinceCdfPull = 0
+        pullCdf(step)
       }
     }
 
