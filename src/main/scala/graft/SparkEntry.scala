@@ -65,6 +65,7 @@ object SparkEntry {
     "ann_topk" -> (SimQueries.annTopK _),
     "ann_lsh" -> (SimQueries.annLsh _),
     "ann_ivf" -> (SimQueries.annIvf _),
+    "ann_pq" -> (SimQueries.annPq _),
     "profile_stats" -> (SimQueries.profileStats _),
     // multimodal columns
     "mm_meta" -> (SimQueries.mmMeta _),
@@ -80,7 +81,8 @@ object SparkEntry {
     "op_dedup_embed_cosine" -> (SimQueries.opDedupEmbedCosine _),
     "op_dedup_simhash" -> (SimQueries.opDedupSimhash _),
     "op_ann_lsh" -> (SimQueries.opAnnLsh _),
-    "op_ann_ivf" -> (SimQueries.opAnnIvf _))
+    "op_ann_ivf" -> (SimQueries.opAnnIvf _),
+    "op_ann_pq" -> (SimQueries.opAnnPq _))
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> CoreQueries.q1Sql,
@@ -131,6 +133,7 @@ object SparkEntry {
     "dedup_simhash" -> SimQueries.dedupSimhashSql,
     "dedup_embed_cosine" -> SimQueries.dedupEmbedCosineSql,
     "ann_lsh" -> SimQueries.annLshSql,
-    "ann_ivf" -> SimQueries.annIvfSql
+    "ann_ivf" -> SimQueries.annIvfSql,
+    "ann_pq" -> SimQueries.annPqSql
   )
 }

@@ -178,3 +178,153 @@ object NearestCentroids {
     GraftColumnBridge.column(NearestCentroids(
       GraftColumnBridge.expression(c), centroids, n))
 }
+
+/** Product-quantization encode: the vector splits into `m` contiguous
+  * subvectors; each maps to its nearest codebook entry by SQUARED L2
+  * (classic PQ, ties → smaller code). Returns
+  * `struct(codes: array<int>, rnorm: double)` where `rnorm` is the norm
+  * of the RECONSTRUCTION (concatenated codewords) — the denominator ADC
+  * cosine scoring needs. Codebooks ride as plain object data (see
+  * [[NearestCentroids]] — no plan/constant-pool bloat at any m·ks). */
+case class PqEncode(child: Expression,
+    codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(IntegerType, containsNull = false),
+      nullable = false),
+    StructField("rnorm", DoubleType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    if (v.numElements() != m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_encode dim mismatch: vector ${v.numElements()} vs $m×$dsub")
+    val codes = new Array[Int](m)
+    var rnorm2 = 0.0
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      val base = j * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val w = cb(c)
+        var d2 = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = VecExprs.toDouble(v, et, base + i) - w(i)
+          d2 += diff * diff
+          i += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      codes(j) = best
+      val w = cb(best)
+      var i = 0
+      while (i < dsub) { rnorm2 += w(i) * w(i); i += 1 }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(codes),
+      java.lang.Double.valueOf(math.sqrt(rnorm2)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  def apply(c: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftColumnBridge.column(PqEncode(
+      GraftColumnBridge.expression(c), codebooks))
+}
+
+/** ADC lookup table for one query vector: flat array of m·ks doubles,
+  * entry [j·ks + c] = dot(q_subvector_j, codebook_j[c]) — computed once
+  * per query row, then every candidate scores in O(m) via [[PqAdc]]
+  * instead of O(d) (the asymmetric-distance-computation speedup). */
+case class PqLut(child: Expression,
+    codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    val m = codebooks.length
+    val ks = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    if (v.numElements() != m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_lut dim mismatch: vector ${v.numElements()} vs $m×$dsub")
+    val out = new Array[Double](m * ks)
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      val base = j * dsub
+      var c = 0
+      while (c < ks) {
+        val w = cb(c)
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          acc += VecExprs.toDouble(v, et, base + i) * w(i)
+          i += 1
+        }
+        out(j * ks + c) = acc
+        c += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
+object PqLut {
+  def apply(c: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftColumnBridge.column(PqLut(
+      GraftColumnBridge.expression(c), codebooks))
+}
+
+/** ADC score: Σ_j lut[j·ks + codes[j]] ≈ dot(query, reconstructed
+  * candidate). O(m) per (query, candidate) pair. */
+case class PqAdc(left: Expression, right: Expression, ks: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[ArrayData]
+    val lut = r.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    if (lut.numElements() != m * ks)
+      throw new IllegalArgumentException(
+        s"pq_adc size mismatch: ${lut.numElements()} lut entries for " +
+          s"$m codes × $ks")
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      acc += lut.getDouble(j * ks + codes.getInt(j))
+      j += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdc = copy(left = newLeft, right = newRight)
+}
+
+object PqAdc {
+  def apply(codes: Column, lut: Column, ks: Int): Column =
+    GraftColumnBridge.column(PqAdc(
+      GraftColumnBridge.expression(codes),
+      GraftColumnBridge.expression(lut), ks))
+}

@@ -86,44 +86,33 @@ object Similarity {
     * assignment + search are pure DataFrame ops shuffle-partitioned by
     * list id. Returns (q_id, c_id, sim, rank).
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nLists: Int,
-      nProbe: Int, iterations: Int = 5,
-      qId: String = "q_id", qVec: String = "q_vec",
-      cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = corpus.sparkSession
+  /** nearest single list per row (train + index). */
+  private def assign(vec: Column, centroids: Array[Array[Double]]):
+      DataFrame => DataFrame = df =>
+    df.withColumn("list_id",
+      element_at(graft.functions.NearestCentroids(vec, centroids, 1), 1))
+  /** nProbe nearest lists per row, exploded (search probes). */
+  private def probeLists(vec: Column, centroids: Array[Array[Double]],
+      n: Int): DataFrame => DataFrame = df =>
+    df.withColumn("list_id",
+      explode(graft.functions.NearestCentroids(vec, centroids, n)))
 
-    // Centroids are k×d driver metadata — carried by the NearestCentroids
-    // kernel as plain object data (one serialization per task), so both
-    // assignment and probing are pure projections (ZERO shuffle) with no
-    // plan/constant-pool bloat at large k. The round-2 formulation
-    // crossJoined a centroid frame and ranked with a window — a shuffle +
-    // sort of the whole corpus PER Lloyd iteration; round 3 used typedLit
-    // literals, which stop scaling around k ≈ 1024. The kernel's double
-    // folds and smaller-id tie-breaks are bit-identical to both.
-    import graft.functions.NearestCentroids
-    /** nearest single list per row (train + index). */
-    def assign(vec: Column, centroids: Array[Array[Double]]):
-        DataFrame => DataFrame = df =>
-      df.withColumn("list_id",
-        element_at(NearestCentroids(vec, centroids, 1), 1))
-    /** nProbe nearest lists per row, exploded (search probes). */
-    def probeLists(vec: Column, centroids: Array[Array[Double]], n: Int):
-        DataFrame => DataFrame = df =>
-      df.withColumn("list_id",
-        explode(NearestCentroids(vec, centroids, n)))
-
-    // --- train: deterministic init + fixed Lloyd iterations, on a
-    // deterministic SAMPLE (classic IVF trains the coarse quantizer on a
-    // training subset, not the corpus): keep ids with
-    // xxhash64(id) % mod == 0, mod sized for ≥ max(64·k, 4096) rows.
-    // The sample is localCheckpointed ONCE, so the Lloyd loop scans the
-    // small cached sample instead of re-reading the full corpus per
-    // iteration — at 100 TB this turns `iterations` full passes into one
-    // footer-only count + one sample pass; the full corpus is read once
-    // more for the final assignment below. When the corpus is no bigger
-    // than the target (every test SF), mod = 1 and training sees every
-    // row — bit-identical centroids to the unsampled formulation.
+  /** Coarse-quantizer training: deterministic init + fixed Lloyd
+    * iterations, on a deterministic SAMPLE (classic IVF trains on a
+    * training subset, not the corpus): keep ids with
+    * xxhash64(id) % mod == 0, mod sized for ≥ max(64·k, 4096) rows.
+    * The sample is localCheckpointed ONCE, so the Lloyd loop scans the
+    * small cached sample instead of re-reading the full corpus per
+    * iteration — at 100 TB this turns `iterations` full passes into one
+    * footer-only count + one sample pass; the full corpus is read once
+    * more for the final assignment. When the corpus is no bigger than
+    * the target (every test SF), mod = 1 and training sees every row —
+    * bit-identical centroids to the unsampled formulation. Per-dimension
+    * means sum in DECIMAL so centroids are bit-identical on any
+    * cluster/partition layout; lists that lose all members keep their
+    * previous centroid. Returns (centroids, the cached sample). */
+  private def trainCoarse(corpus: DataFrame, cId: String, cVec: String,
+      nLists: Int, iterations: Int): (Array[Array[Double]], DataFrame) = {
     val sampleTarget = math.max(64L * nLists, 4096L)
     val corpusN = corpus.count() // no filter → parquet footer count
     val mod = math.max(1L, corpusN / sampleTarget)
@@ -139,10 +128,6 @@ object Similarity {
     var centroids = init
     (0 until iterations).foreach { _ =>
       val assigned = assign(col(cVec), centroids)(trainSet)
-      // distributive per-dimension mean: the driver receives k×d sums,
-      // never the corpus vectors. Summing in DECIMAL keeps the fold
-      // order-independent (float addition is not associative), so
-      // centroids are bit-identical on any cluster/partition layout.
       val next = assigned
         .select(col("list_id"),
           posexplode(transform(col(cVec),
@@ -150,7 +135,6 @@ object Similarity {
         .groupBy("list_id", "pos")
         .agg(sum(col("col")).as("_s"), count(lit(1)).as("_n"))
         .collect()
-      // lists that lost all members keep their previous centroid
       val updated = centroids.map(_.clone())
       next.foreach { r =>
         val li = r.getInt(0)
@@ -161,6 +145,26 @@ object Similarity {
       }
       centroids = updated
     }
+    (centroids, trainSet)
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nLists: Int,
+      nProbe: Int, iterations: Int = 5,
+      qId: String = "q_id", qVec: String = "q_vec",
+      cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+
+    // Centroids are k×d driver metadata — carried by the NearestCentroids
+    // kernel as plain object data (one serialization per task), so both
+    // assignment and probing are pure projections (ZERO shuffle) with no
+    // plan/constant-pool bloat at large k. The round-2 formulation
+    // crossJoined a centroid frame and ranked with a window — a shuffle +
+    // sort of the whole corpus PER Lloyd iteration; round 3 used typedLit
+    // literals, which stop scaling around k ≈ 1024. The kernel's double
+    // folds and smaller-id tie-breaks are bit-identical to both.
+
+    val (centroids, _) = trainCoarse(corpus, cId, cVec, nLists, iterations)
 
     // --- index + search
     val indexed = assign(col(cVec), centroids)(
@@ -173,6 +177,118 @@ object Similarity {
     val w = Window.partitionBy(col(qId))
       .orderBy(col("sim").desc, col(cId))
     scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), col("sim"), col("rank"))
+  }
+
+  /** Deterministic per-subspace PQ codebook training, DRIVER-SIDE over
+    * the bounded coarse-training sample (≤ a few thousand rows ≈ MBs —
+    * the same sampling regime FAISS-style PQ trains in; the distributed
+    * parts are encode and search). L2 k-means per subspace: init = the
+    * `ks` subvectors of the sample rows with the smallest xxhash64(id)
+    * (stable), assignment ties prefer the smaller code, means fold in
+    * fixed id order, empty clusters keep their previous codeword. */
+  private[operators] def trainPqCodebooks(
+      sample: Array[(Long, Array[Double])], m: Int, ks: Int,
+      iterations: Int): Array[Array[Array[Double]]] = {
+    require(sample.nonEmpty, "PQ training needs a non-empty sample")
+    val d = sample.head._2.length
+    require(d % m == 0, s"dim $d not divisible into $m subvectors")
+    val dsub = d / m
+    val byHash = sample.sortBy { case (id, _) =>
+      (org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L), id)
+    }
+    val byId = sample.sortBy(_._1)
+    Array.tabulate(m) { j =>
+      def sub(v: Array[Double]): Array[Double] =
+        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)
+      var cb = byHash.take(ks).map(s => sub(s._2))
+      def nearest(x: Array[Double]): Int = {
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb.length) {
+          var d2 = 0.0
+          var i = 0
+          while (i < dsub) {
+            val diff = x(i) - cb(c)(i); d2 += diff * diff; i += 1 }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        best
+      }
+      (0 until iterations).foreach { _ =>
+        val sums = Array.fill(cb.length)(new Array[Double](dsub))
+        val counts = new Array[Long](cb.length)
+        byId.foreach { case (_, v) =>
+          val x = sub(v)
+          val c = nearest(x)
+          counts(c) += 1
+          var i = 0
+          while (i < dsub) { sums(c)(i) += x(i); i += 1 }
+        }
+        cb = cb.zipWithIndex.map { case (w, c) =>
+          if (counts(c) == 0) w
+          else sums(c).map(_ / counts(c))
+        }
+      }
+      cb
+    }
+  }
+
+  /** IVF-PQ ANN — the memory-compressed 100 TB path: the inverted file
+    * stores `m` small codes (+ a reconstruction norm) per vector instead
+    * of `d` floats (e.g. 64-dim float → 8 codes ≈ 32× less candidate
+    * payload through the probe join), candidates score against a
+    * per-query ADC lookup table in O(m), and the top `k·refineFactor`
+    * per query re-rank EXACTLY against their true vectors (the classic
+    * refine step) — so returned sims are exact cosine values on an
+    * approximate candidate set, directly comparable to [[ivfTopK]].
+    * Training: shared sampled coarse quantizer + driver-side per-subspace
+    * codebooks (deterministic end to end). */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, nLists: Int,
+      nProbe: Int, m: Int, ks: Int = 16, iterations: Int = 3,
+      refineFactor: Int = 4,
+      qId: String = "q_id", qVec: String = "q_vec",
+      cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
+    import graft.functions.{PqAdc, PqEncode, PqLut}
+    import org.apache.spark.sql.expressions.Window
+    val (coarse, trainSet) = trainCoarse(corpus, cId, cVec, nLists, iterations)
+    val sample = trainSet
+      .select(col(cId).cast("long"),
+        transform(col(cVec), x => x.cast("double")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val books = trainPqCodebooks(sample, m, ks, iterations)
+
+    // --- encode: ONE corpus pass → (id, list, codes, recon norm);
+    // vectors do not flow into the index
+    val encoded = assign(col(cVec), coarse)(corpus.select(col(cId), col(cVec)))
+      .withColumn("_enc", PqEncode(col(cVec), books))
+      .select(col(cId), col("list_id"),
+        col("_enc.codes").as("_codes"), col("_enc.rnorm").as("_rnorm"))
+
+    // --- search: probes + per-query LUT broadcast; ADC scores candidates
+    val probed = probeLists(col(qVec), coarse, nProbe)(
+      queries.select(col(qId), col(qVec)))
+      .withColumn("_lut", PqLut(col(qVec), books))
+      .withColumn("_qnorm", sqrt(dot(col(qVec), col(qVec))))
+    val wAdc = Window.partitionBy(col(qId))
+      .orderBy(col("_adc").desc, col(cId))
+    val shortlist = encoded.join(broadcast(probed), "list_id")
+      .withColumn("_adc", PqAdc(col("_codes"), col("_lut"), ks) /
+        (col("_qnorm") * col("_rnorm")))
+      .withColumn("_r", row_number().over(wAdc))
+      .filter(col("_r") <= k * refineFactor)
+      .select(col(qId), col(qVec), col(cId))
+
+    // --- refine: exact cosine on the shortlist only (id-keyed join
+    // moves k·refineFactor vectors per query, not the corpus)
+    val w = Window.partitionBy(col(qId))
+      .orderBy(col("sim").desc, col(cId))
+    shortlist.join(corpus.select(col(cId), col(cVec)), cId)
+      .withColumn("sim", round(cosine(col(qVec), col(cVec)), 6))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(qId), col(cId), col("sim"), col("rank"))
   }

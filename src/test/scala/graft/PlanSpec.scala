@@ -224,6 +224,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ probe join carries codes, not vectors (compressed index)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_vec"))
+    val q = graft.operators.Similarity.ivfPqTopK(queries, corpus, k = 3,
+      nLists = 8, nProbe = 2, m = 8, ks = 16, iterations = 1)
+    val root: SparkPlan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // the list-id probe join streams the ENCODED corpus: its non-query
+    // side must expose codes/rnorm, never the raw c_vec payload
+    val probeJoins = root.collect {
+      case j: BroadcastHashJoinExec
+          if j.output.map(_.name).contains("_codes") => j
+    }
+    assert(probeJoins.nonEmpty, root.toString)
+    probeJoins.foreach { j =>
+      assert(!j.output.map(_.name).contains("c_vec"),
+        s"probe join leaks raw vectors: ${j.output.map(_.name)}")
+    }
+  }
+
   test("decontamination joins on the gram equijoin; per-doc dedup is map-side") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.load(spark, sf(), "documents")

@@ -93,6 +93,48 @@ class SimilaritySpec extends SparkSpec {
     assert(got.count { case (q, c) => q == c } == 20)
   }
 
+  test("ivfPqTopK: deterministic, perfect self-recall, refine returns exact sims") {
+    val emb = graft.Tables.load(spark, sf(), "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    def run() = Similarity.ivfPqTopK(queries, corpus, k = 5, nLists = 8,
+      nProbe = 3, m = 8, ks = 16, iterations = 2, refineFactor = 4)
+    val got = run().select("q_id", "c_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    // deterministic end to end (sampled training, hash init, fixed folds)
+    assert(got.toSet == run().select("q_id", "c_id", "sim")
+      .as[(Long, Long, Double)].collect().toSet)
+    // own vector: same coarse list is always probed, ADC ranks the exact
+    // reconstruction match on top, refine confirms sim 1.0
+    val self = got.filter { case (q, c, _) => q == c }
+    assert(self.length == 10 && self.forall(_._3 == 1.0), self.toSeq)
+    // refined sims are EXACT cosine values: every returned pair matches
+    // the brute-force score for that pair bit-for-bit
+    val bf = Similarity.bruteForceTopK(queries, corpus, k = 1000)
+      .select("q_id", "c_id", "sim").as[(Long, Long, Double)]
+      .collect().map { case (q, c, s) => (q, c) -> s }.toMap
+    got.foreach { case (q, c, s) =>
+      assert(bf((q, c)) == s, s"($q,$c): pq sim $s != exact ${bf((q, c))}")
+    }
+  }
+
+  test("PQ codebook training is deterministic and partitions the sample") {
+    val sample = (1L to 256L).map(i =>
+      (i, Array.tabulate(16)(j => ((i * 31 + j * 7) % 13).toDouble))).toArray
+    val b1 = Similarity.trainPqCodebooks(sample, m = 4, ks = 8, iterations = 3)
+    val b2 = Similarity.trainPqCodebooks(sample, m = 4, ks = 8, iterations = 3)
+    assert(b1.length == 4 && b1.forall(_.length == 8) &&
+      b1.flatten.forall(_.length == 4))
+    assert(b1.flatten.flatten.toSeq == b2.flatten.flatten.toSeq)
+    // shuffling the input order must not change the result (folds are
+    // id-ordered internally)
+    val b3 = Similarity.trainPqCodebooks(
+      new scala.util.Random(5).shuffle(sample.toSeq).toArray,
+      m = 4, ks = 8, iterations = 3)
+    assert(b1.flatten.flatten.toSeq == b3.flatten.flatten.toSeq)
+  }
+
   test("approx_count_distinct within HLL error bound of exact (profiling)") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.load(spark, sf(), "events")
