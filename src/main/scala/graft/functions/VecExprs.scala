@@ -179,29 +179,36 @@ object NearestCentroids {
       GraftColumnBridge.expression(c), centroids, n))
 }
 
-/** Product-quantization encode: the vector splits into `m` contiguous
-  * subvectors; each maps to its nearest codebook entry by SQUARED L2
-  * (classic PQ, ties → smaller code). Returns
-  * `struct(codes: array<int>, rnorm: double)` where `rnorm` is the norm
-  * of the RECONSTRUCTION (concatenated codewords) — the denominator ADC
-  * cosine scoring needs. Codebooks ride as plain object data (see
+/** Product-quantization encode of the RESIDUAL against the row's coarse
+  * centroid (classic IVF-PQ, Jégou et al. 2011 §III: quantizing
+  * `v − C_list` concentrates the codebooks on the much smaller residual
+  * distribution, so the same m×ks budget reconstructs tighter): the
+  * residual splits into `m` contiguous subvectors; each maps to its
+  * nearest codebook entry by SQUARED L2 (ties → smaller code). Inputs
+  * are (vector, list_id). Returns `struct(codes: array<int>, rnorm:
+  * double)` where `rnorm` is the norm of the FULL reconstruction
+  * `C_list + concat(codewords)` — the denominator ADC cosine scoring
+  * needs. Codebooks and centroids ride as plain object data (see
   * [[NearestCentroids]] — no plan/constant-pool bloat at any m·ks). */
-case class PqEncode(child: Expression,
-    codebooks: Array[Array[Array[Double]]])
-    extends UnaryExpression with CodegenFallback {
+case class PqEncode(left: Expression, right: Expression,
+    codebooks: Array[Array[Array[Double]]],
+    centroids: Array[Array[Double]])
+    extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = StructType(Seq(
     StructField("codes", ArrayType(IntegerType, containsNull = false),
       nullable = false),
     StructField("rnorm", DoubleType, nullable = false)))
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any, listId: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    val et = left.dataType.asInstanceOf[ArrayType].elementType
+    val cl = centroids(listId.asInstanceOf[Int])
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
-    if (v.numElements() != m * dsub)
+    if (v.numElements() != m * dsub || cl.length != m * dsub)
       throw new IllegalArgumentException(
-        s"pq_encode dim mismatch: vector ${v.numElements()} vs $m×$dsub")
+        s"pq_encode dim mismatch: vector ${v.numElements()} / centroid " +
+          s"${cl.length} vs $m×$dsub")
     val codes = new Array[Int](m)
     var rnorm2 = 0.0
     var j = 0
@@ -216,7 +223,8 @@ case class PqEncode(child: Expression,
         var d2 = 0.0
         var i = 0
         while (i < dsub) {
-          val diff = VecExprs.toDouble(v, et, base + i) - w(i)
+          val r = VecExprs.toDouble(v, et, base + i) - cl(base + i)
+          val diff = r - w(i)
           d2 += diff * diff
           i += 1
         }
@@ -226,7 +234,11 @@ case class PqEncode(child: Expression,
       codes(j) = best
       val w = cb(best)
       var i = 0
-      while (i < dsub) { rnorm2 += w(i) * w(i); i += 1 }
+      while (i < dsub) {
+        val x = cl(base + i) + w(i)
+        rnorm2 += x * x
+        i += 1
+      }
       j += 1
     }
     org.apache.spark.sql.catalyst.InternalRow(
@@ -234,14 +246,56 @@ case class PqEncode(child: Expression,
       java.lang.Double.valueOf(math.sqrt(rnorm2)))
   }
 
-  override protected def withNewChildInternal(newChild: Expression): PqEncode =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqEncode = copy(left = newLeft, right = newRight)
 }
 
 object PqEncode {
-  def apply(c: Column, codebooks: Array[Array[Array[Double]]]): Column =
+  def apply(c: Column, listId: Column,
+      codebooks: Array[Array[Array[Double]]],
+      centroids: Array[Array[Double]]): Column =
     GraftColumnBridge.column(PqEncode(
-      GraftColumnBridge.expression(c), codebooks))
+      GraftColumnBridge.expression(c), GraftColumnBridge.expression(listId),
+      codebooks, centroids))
+}
+
+/** dot(vector, centroids[list_id]) — the per-(query, probed-list) term of
+  * residual ADC scoring: dot(q, v̂) = dot(q, C_list) + dot(q, recon(r)).
+  * Computed once per probe row (not per candidate); centroids ride as
+  * plain object data. Left-to-right double fold (VecDot semantics). */
+case class CentroidDot(left: Expression, right: Expression,
+    centroids: Array[Array[Double]])
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any, listId: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val et = left.dataType.asInstanceOf[ArrayType].elementType
+    val cl = centroids(listId.asInstanceOf[Int])
+    if (v.numElements() != cl.length)
+      throw new IllegalArgumentException(
+        s"centroid_dot dim mismatch: vector ${v.numElements()} vs " +
+          s"centroid ${cl.length}")
+    var acc = 0.0
+    var i = 0
+    while (i < cl.length) {
+      acc += VecExprs.toDouble(v, et, i) * cl(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CentroidDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object CentroidDot {
+  def apply(c: Column, listId: Column,
+      centroids: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(CentroidDot(
+      GraftColumnBridge.expression(c), GraftColumnBridge.expression(listId),
+      centroids))
 }
 
 /** ADC lookup table for one query vector: flat array of m·ks doubles,

@@ -181,13 +181,46 @@ object Similarity {
       .select(col(qId), col(cId), col("sim"), col("rank"))
   }
 
+  /** Driver-side replica of the [[graft.functions.NearestCentroids]]
+    * assignment rule (cosine score = dot/(normC·normV) with left-to-right
+    * double folds, first-max-wins tie-break) — used to compute training
+    * RESIDUALS for the sample on the driver with bit-identical list
+    * assignment to the distributed encode pass. */
+  private[operators] def nearestListOf(v: Array[Double],
+      centroids: Array[Array[Double]]): Int = {
+    var normV = 0.0
+    var j = 0
+    while (j < v.length) { normV += v(j) * v(j); j += 1 }
+    normV = math.sqrt(normV)
+    var best = -1
+    var bestScore = 0.0
+    var i = 0
+    while (i < centroids.length) {
+      val c = centroids(i)
+      var normC = 0.0
+      var acc = 0.0
+      var k = 0
+      while (k < c.length) {
+        normC += c(k) * c(k)
+        acc += v(k) * c(k)
+        k += 1
+      }
+      val score = acc / (math.sqrt(normC) * normV)
+      if (best < 0 || score > bestScore) { best = i; bestScore = score }
+      i += 1
+    }
+    best
+  }
+
   /** Deterministic per-subspace PQ codebook training, DRIVER-SIDE over
     * the bounded coarse-training sample (≤ a few thousand rows ≈ MBs —
     * the same sampling regime FAISS-style PQ trains in; the distributed
-    * parts are encode and search). L2 k-means per subspace: init = the
-    * `ks` subvectors of the sample rows with the smallest xxhash64(id)
-    * (stable), assignment ties prefer the smaller code, means fold in
-    * fixed id order, empty clusters keep their previous codeword. */
+    * parts are encode and search). Callers feed RESIDUALS (vector minus
+    * assigned coarse centroid — classic IVF-PQ). L2 k-means per
+    * subspace: init = the `ks` subvectors of the sample rows with the
+    * smallest xxhash64(id) (stable), assignment ties prefer the smaller
+    * code, means fold in fixed id order, empty clusters keep their
+    * previous codeword. */
   private[operators] def trainPqCodebooks(
       sample: Array[(Long, Array[Double])], m: Int, ks: Int,
       iterations: Int): Array[Array[Array[Double]]] = {
@@ -244,14 +277,21 @@ object Similarity {
     * per query re-rank EXACTLY against their true vectors (the classic
     * refine step) — so returned sims are exact cosine values on an
     * approximate candidate set, directly comparable to [[ivfTopK]].
-    * Training: shared sampled coarse quantizer + driver-side per-subspace
+    * Codes quantize the RESIDUAL against the assigned coarse centroid
+    * (Jégou et al. 2011): the codebooks model the small residual
+    * distribution instead of the whole space, so reconstruction — and
+    * hence the ADC shortlist — is tighter at the same m×ks budget. The
+    * ADC score decomposes as dot(q, C_list) + Σ lut[codes] with the
+    * centroid term computed once per probe row ([[graft.functions
+    * .CentroidDot]]), still O(m) per candidate. Training: shared
+    * sampled coarse quantizer + driver-side per-subspace residual
     * codebooks (deterministic end to end). */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, nLists: Int,
       nProbe: Int, m: Int, ks: Int = 16, iterations: Int = 3,
       refineFactor: Int = 4,
       qId: String = "q_id", qVec: String = "q_vec",
       cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
-    import graft.functions.{PqAdc, PqEncode, PqLut}
+    import graft.functions.{CentroidDot, PqAdc, PqEncode, PqLut}
     import org.apache.spark.sql.expressions.Window
     val (coarse, trainSet) = trainCoarse(corpus, cId, cVec, nLists, iterations)
     val sample = trainSet
@@ -259,24 +299,33 @@ object Similarity {
         transform(col(cVec), x => x.cast("double")))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val books = trainPqCodebooks(sample, m, ks, iterations)
+    // training residuals: driver-side assignment replicates the encode
+    // kernel's rule bit-for-bit (nearestListOf)
+    val residuals = sample.map { case (id, v) =>
+      val cl = coarse(nearestListOf(v, coarse))
+      (id, Array.tabulate(v.length)(i => v(i) - cl(i)))
+    }
+    val books = trainPqCodebooks(residuals, m, ks, iterations)
 
     // --- encode: ONE corpus pass → (id, list, codes, recon norm);
     // vectors do not flow into the index
     val encoded = assign(col(cVec), coarse)(corpus.select(col(cId), col(cVec)))
-      .withColumn("_enc", PqEncode(col(cVec), books))
+      .withColumn("_enc", PqEncode(col(cVec), col("list_id"), books, coarse))
       .select(col(cId), col("list_id"),
         col("_enc.codes").as("_codes"), col("_enc.rnorm").as("_rnorm"))
 
     // --- search: probes + per-query LUT broadcast; ADC scores candidates
+    // against dot(q, C_list) + residual lookup
     val probed = probeLists(col(qVec), coarse, nProbe)(
       queries.select(col(qId), col(qVec)))
       .withColumn("_lut", PqLut(col(qVec), books))
+      .withColumn("_cdot", CentroidDot(col(qVec), col("list_id"), coarse))
       .withColumn("_qnorm", sqrt(dot(col(qVec), col(qVec))))
     val wAdc = Window.partitionBy(col(qId))
       .orderBy(col("_adc").desc, col(cId))
     val shortlist = encoded.join(broadcast(probed), "list_id")
-      .withColumn("_adc", PqAdc(col("_codes"), col("_lut"), ks) /
+      .withColumn("_adc",
+        (col("_cdot") + PqAdc(col("_codes"), col("_lut"), ks)) /
         (col("_qnorm") * col("_rnorm")))
       .withColumn("_r", row_number().over(wAdc))
       .filter(col("_r") <= k * refineFactor)

