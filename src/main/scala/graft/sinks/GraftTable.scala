@@ -810,16 +810,28 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * degrades to a full-refresh feed (every current row as `insert`,
     * `fullRefresh = true`) — deletions since then are unobservable, the
     * same contract as [[changesSince]]. */
-  def rowChangesSince(spark: SparkSession, fromVersion: Long): TableChanges = {
+  def rowChangesSince(spark: SparkSession, fromVersion: Long): TableChanges =
+    currentVersion match {
+      case None => TableChanges(-1L, spark.emptyDataFrame, Seq.empty,
+        fullRefresh = true)
+      case Some(v) => rowChangesBetween(spark, fromVersion, v)
+    }
+
+  /** [[rowChangesSince]] against an explicit (retained) target snapshot
+    * instead of the current one — the per-commit unit the streaming
+    * row-feed source ([[graft.sources.GraftRowFollowSource]]) consumes:
+    * a batch spanning several commits expands into one
+    * `rowChangesBetween` per retained transition, so every change row
+    * is attributable to the commit that produced it. */
+  def rowChangesBetween(spark: SparkSession, fromVersion: Long,
+      toVersion: Long): TableChanges = {
     import org.apache.spark.sql.types.StringType
-    val cur = currentManifest().getOrElse(
-      return TableChanges(-1L, spark.emptyDataFrame, Seq.empty,
-        fullRefresh = true))
+    val cur = readManifest(toVersion)
     val known = fromVersion >= 0 && versions.contains(fromVersion)
     if (!known) {
       // full-refresh insert feed; a pre-schema empty table has no
       // columns to tag, so its feed is the empty frame itself
-      val cur0 = read(spark)
+      val cur0 = readVersion(spark, toVersion)
       val feed =
         if (cur0.columns.isEmpty) cur0
         else cur0.withColumn("_change_type", lit("insert"))

@@ -1,0 +1,144 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sinks.GraftTable
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Checkpointed streaming consumption of the ROW-LEVEL change feed
+  * (`graft-row-follow`): per-commit attribution, kill/restart resume,
+  * and full-refresh degradation after the checkpointed version expires
+  * — plus a differential consumer maintaining a replica map purely from
+  * the feed. */
+class GraftRowFollowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  /** (_commit_version, _change_type, id, v, _full_refresh) rows collected
+    * across every micro-batch of one stream pass. */
+  private def runOnePass(root: String, ckpt: String,
+      sink: scala.collection.mutable.Buffer[(Long, String, Long, String, Boolean)])
+      : Unit = {
+    val q = spark.readStream.format("graft-row-follow")
+      .option("path", root).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val feed = GraftRowFeed.changes(df, root)
+        if (feed.columns.nonEmpty) {
+          sink ++= feed
+            .select(col("_commit_version"), col("_change_type"), col("id"),
+              col("v"), col("_full_refresh"))
+            .as[(Long, String, Long, String, Boolean)].collect()
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("row feed streams per-commit changes; restart consumes only the diff") {
+    val dir = tmp("rowfollow")
+    val root = s"$dir/leader"
+    val leader = new GraftTable(root, Seq("id"), nBuckets = 8,
+      retainVersions = 10)
+    val ckpt = s"$dir/ckpt"
+    val got = scala.collection.mutable.Buffer
+      .empty[(Long, String, Long, String, Boolean)]
+
+    leader.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    runOnePass(root, ckpt, got)
+    // first batch from the initial offset is a full-refresh insert feed
+    assert(got.toSet == Set(
+      (0L, "insert", 1L, "a", true),
+      (0L, "insert", 2L, "b", true),
+      (0L, "insert", 3L, "c", true)))
+
+    // two commits, one restart: each change row is attributed to ITS
+    // commit (update images at v1, the append insert at v2)
+    got.clear()
+    leader.merge(Seq((2L, "b2", "U", "0002"), (3L, "", "D", "0003"))
+      .toDF("id", "v", "_op", "_seq"))
+    leader.append(Seq((9L, "z")).toDF("id", "v"))
+    runOnePass(root, ckpt, got)
+    assert(got.toSet == Set(
+      (1L, "update_preimage", 2L, "b", false),
+      (1L, "update_postimage", 2L, "b2", false),
+      (1L, "delete", 3L, "c", false),
+      (2L, "insert", 9L, "z", false)))
+
+    // no new commits → a pass yields nothing
+    got.clear()
+    runOnePass(root, ckpt, got)
+    assert(got.isEmpty)
+  }
+
+  test("differential consumer reconstructs state from the feed alone") {
+    val dir = tmp("rowfollow-diff")
+    val root = s"$dir/leader"
+    val leader = new GraftTable(root, Seq("id"), nBuckets = 4,
+      retainVersions = 10)
+    val got = scala.collection.mutable.Buffer
+      .empty[(Long, String, Long, String, Boolean)]
+
+    leader.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    runOnePass(root, s"$dir/ckpt", got)
+    leader.merge(Seq((1L, "a2", "U", "01"), (5L, "e", "I", "02"))
+      .toDF("id", "v", "_op", "_seq"))
+    leader.deleteWhere(spark, col("id") === 2L)
+    runOnePass(root, s"$dir/ckpt", got)
+
+    // replay the tagged rows in commit order into a key→value map
+    val replica = scala.collection.mutable.Map.empty[Long, String]
+    got.sortBy(_._1).foreach {
+      case (_, _, id, v, true)                   => replica(id) = v
+      case (_, "insert", id, v, _)               => replica(id) = v
+      case (_, "update_postimage", id, v, _)     => replica(id) = v
+      case (_, "delete", id, _, _)               => replica.remove(id)
+      case (_, "update_preimage", _, _, _)       => ()
+      case other => fail(s"unexpected feed row $other")
+    }
+    val expect = leader.read(spark).select("id", "v")
+      .as[(Long, String)].collect().toMap
+    assert(replica.toMap == expect)
+  }
+
+  test("expired checkpoint version degrades to one full-refresh insert feed") {
+    val dir = tmp("rowfollow-exp")
+    val root = s"$dir/leader"
+    val leader = new GraftTable(root, Seq("id"), nBuckets = 4,
+      retainVersions = 2)
+    val ckpt = s"$dir/ckpt"
+    val got = scala.collection.mutable.Buffer
+      .empty[(Long, String, Long, String, Boolean)]
+
+    leader.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    runOnePass(root, ckpt, got)
+    got.clear()
+
+    // churn far past retention: the checkpointed version no longer
+    // exists, so the pass must open with a full-refresh feed (deletions
+    // inside the expired window are unobservable row-by-row)
+    leader.deleteWhere(spark, col("id") === 1L)
+    leader.merge(Seq((4L, "d", "I", "04")).toDF("id", "v", "_op", "_seq"))
+    leader.merge(Seq((5L, "e", "I", "05")).toDF("id", "v", "_op", "_seq"))
+    leader.merge(Seq((6L, "f", "I", "06")).toDF("id", "v", "_op", "_seq"))
+    runOnePass(root, ckpt, got)
+
+    val refresh = got.filter(_._5)
+    assert(refresh.nonEmpty && refresh.forall(_._2 == "insert"))
+    // full refresh + later per-commit diffs reconstruct the leader
+    val replica = scala.collection.mutable.Map.empty[Long, String]
+    got.sortBy(_._1).foreach {
+      case (_, _, id, v, true)               => replica(id) = v
+      case (_, "insert", id, v, _)           => replica(id) = v
+      case (_, "update_postimage", id, v, _) => replica(id) = v
+      case (_, "delete", id, _, _)           => replica.remove(id)
+      case _                                 => ()
+    }
+    val expect = leader.read(spark).select("id", "v")
+      .as[(Long, String)].collect().toMap
+    assert(replica.toMap == expect)
+  }
+}
