@@ -197,6 +197,9 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   /** Mapping in force at a PINNED snapshot (catalog VERSION AS OF). */
   def mappingOf(version: Long): Map[String, String] =
     readManifest(version).columnMapping
+  /** Pinned schema DDL at a snapshot ("" = pre-schema) — the follow
+    * stream's rename/evolution control signal. */
+  def schemaDdlOf(version: Long): String = readManifest(version).schemaDdl
 
   /** Publish a new snapshot: the fully-written manifest becomes visible
     * via ONE atomic hard-link creation, so readers see the file list and
@@ -506,9 +509,9 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * writes keep producing the physical name. Bucket keys cannot be
     * renamed (routing resolves keyCols by name). Renaming TO a name
     * another column uses on disk is refused — physical names must stay
-    * unique or time travel turns ambiguous. Note: graft-follow followers
-    * replicate physical file contents; mirror renames on the follower's
-    * own table. */
+    * unique or time travel turns ambiguous. graft-follow followers
+    * mirror renames automatically via the follow stream's control row
+    * (GraftFollower.mirrorRenames). */
   def renameColumn(from: String, to: String): Unit = {
     require(groupState.isEmpty, "close the open group before renameColumn")
     require(!keyCols.contains(from), s"cannot rename bucket key $from")

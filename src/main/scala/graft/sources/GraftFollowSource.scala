@@ -21,19 +21,25 @@ import graft.sinks.GraftTable
   *
   * Scale design: the stream itself carries METADATA rows, not data —
   * each micro-batch is the manifest diff between two snapshot versions:
-  * one row per (bucket, live file) to read plus one TOMBSTONE row per
-  * bucket whose replacement is empty. A follower applies a batch by
-  * replacing exactly the mentioned buckets, reading the listed files
-  * with the session's native vectorized parquet scan
+  * a CONTROL row (`_bucket = -1`) with the leader's pinned schema DDL
+  * and column name mapping at the target version, then one row per
+  * (bucket, live file) to read plus one TOMBSTONE row per bucket whose
+  * replacement is empty. A follower applies a batch by replacing
+  * exactly the mentioned buckets, reading the listed files with the
+  * session's native vectorized parquet scan
   * ([[GraftFollower.applyBatch]]) — the heavy data path never funnels
   * through a custom row reader, and a 100 TB table's update stream is
-  * O(changed buckets) per trigger. Offsets are manifest versions, so
-  * kill/restart resumes from the checkpointed version; a resume from an
-  * EXPIRED version (vacuumed manifest — the slot-invalidation analog)
-  * degrades to one FULL-REFRESH batch: tombstones for every bucket plus
-  * the complete live file list, which under the same replace-contract
-  * rebuilds the follower without a special case (changesSince
-  * `fullRefresh` semantics, GraftTable.scala).
+  * O(changed buckets) per trigger. The control row also propagates
+  * METADATA-ONLY commits (a leader RENAME COLUMN touches no files but
+  * still produces a batch), so follower schemas track leader renames
+  * without waiting for the next data write. Offsets are manifest
+  * versions, so kill/restart resumes from the checkpointed version; a
+  * resume from an EXPIRED version (vacuumed manifest — the
+  * slot-invalidation analog) degrades to one FULL-REFRESH batch:
+  * tombstones for every bucket plus the complete live file list, which
+  * under the same replace-contract rebuilds the follower without a
+  * special case (changesSince `fullRefresh` semantics,
+  * GraftTable.scala).
   */
 class GraftFollowSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -46,14 +52,34 @@ class GraftFollowSource extends TableProvider
 }
 
 object GraftFollowSource {
-  /** One row per file to read (tombstone=false) or per bucket to empty
+  /** One CONTROL row per batch (`_bucket` = -1, `schema_ddl` +
+    * `mapping_json` = leader metadata at `version`), then one row per
+    * file to read (tombstone=false) or per bucket to empty
     * (tombstone=true, file null). `version` is the snapshot the batch
     * lands the follower on. */
   val schema: StructType = StructType(Seq(
     StructField("version", LongType, nullable = false),
     StructField("_bucket", IntegerType, nullable = false),
     StructField("file", StringType, nullable = true),
-    StructField("tombstone", BooleanType, nullable = false)))
+    StructField("tombstone", BooleanType, nullable = false),
+    StructField("schema_ddl", StringType, nullable = true),
+    StructField("mapping_json", StringType, nullable = true)))
+
+  /** Compact, order-stable JSON for the logical→physical name mapping
+    * (same escaping rules as the manifest writer). */
+  def mappingToJson(m: Map[String, String]): String =
+    m.toSeq.sorted.map { case (l, p) =>
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      s""""${esc(l)}":"${esc(p)}""""
+    }.mkString("{", ",", "}")
+
+  def mappingFromJson(s: String): Map[String, String] = {
+    if (s == null || s.isEmpty || s == "{}") return Map.empty
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    JsonMethods.parse(s).extract[Map[String, String]]
+  }
 }
 
 final class GraftFollowTable(root: String) extends Table with SupportsRead {
@@ -113,8 +139,16 @@ final class GraftFollowStream(root: String) extends MicroBatchStream {
         changed.flatMap(b => cur(b).map(f => b -> Option(f))) ++
           gone.map(b => b -> None)
       }
-    if (rows.isEmpty) Array.empty
-    else Array(GraftFollowPartition(to, rows.sortBy(_._1)))
+    val ddl = t.schemaDdlOf(to)
+    val mapping = GraftFollowSource.mappingToJson(t.mappingOf(to))
+    if (rows.isEmpty && known &&
+        ddl == t.schemaDdlOf(from) &&
+        mapping == GraftFollowSource.mappingToJson(t.mappingOf(from)))
+      // nothing changed beyond the version counter (e.g. a replay-mark
+      // only commit): skip the batch entirely
+      Array.empty
+    else
+      Array(GraftFollowPartition(to, rows.sortBy(_._1), ddl, mapping))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -122,22 +156,31 @@ final class GraftFollowStream(root: String) extends MicroBatchStream {
 }
 
 /** The whole diff rides one partition: it is metadata-scale (file names
-  * + bucket ids), and followers consume it on the driver anyway. */
+  * + bucket ids + one schema/mapping control payload), and followers
+  * consume it on the driver anyway. */
 final case class GraftFollowPartition(version: Long,
-    rows: Seq[(Int, Option[String])]) extends InputPartition
+    rows: Seq[(Int, Option[String])], schemaDdl: String,
+    mappingJson: String) extends InputPartition
 
 final class GraftFollowReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftFollowPartition]
     new PartitionReader[InternalRow] {
-      private val it = p.rows.iterator
+      // control row first, then the file/tombstone rows
+      private val it = Iterator.single(
+        InternalRow(p.version, -1, null, false,
+          UTF8String.fromString(p.schemaDdl),
+          UTF8String.fromString(p.mappingJson))) ++
+        p.rows.iterator.map { case (bucket, file) =>
+          InternalRow(p.version, bucket,
+            file.map(UTF8String.fromString).orNull, file.isEmpty,
+            null, null)
+        }
       private var cur: InternalRow = _
       override def next(): Boolean = {
         if (!it.hasNext) return false
-        val (bucket, file) = it.next()
-        cur = InternalRow(p.version, bucket,
-          file.map(UTF8String.fromString).orNull, file.isEmpty)
+        cur = it.next()
         true
       }
       override def get(): InternalRow = cur
@@ -146,11 +189,15 @@ final class GraftFollowReaderFactory extends PartitionReaderFactory {
   }
 }
 
-/** Follower-side application of one `graft-follow` micro-batch: replace
+/** Follower-side application of one `graft-follow` micro-batch: mirror
+  * any leader column RENAMES signalled by the control row, then replace
   * each mentioned bucket of `target` with the batch's listed files'
-  * rows (none for tombstoned buckets). File reads use the session's
-  * native parquet scan; the only driver materialization is the
-  * metadata-scale file list. Typical use:
+  * rows (none for tombstoned buckets). Files carry the leader's
+  * PHYSICAL column names; the control row's schema + mapping translate
+  * them to the leader's logical names on read, so the follower's
+  * logical schema tracks the leader's across renames. File reads use
+  * the session's native parquet scan; the only driver materialization
+  * is the metadata-scale file list. Typical use:
   *
   * {{{
   * spark.readStream.format("graft-follow").option("path", leaderRoot)
@@ -162,10 +209,19 @@ final class GraftFollowReaderFactory extends PartitionReaderFactory {
 object GraftFollower {
   def applyBatch(batch: DataFrame, target: GraftTable): Unit = {
     val spark = batch.sparkSession
-    val meta = batch.select("_bucket", "file").collect()
+    val meta = batch
+      .select("_bucket", "file", "schema_ddl", "mapping_json").collect()
     if (meta.isEmpty) return
-    val buckets = meta.map(_.getInt(0)).distinct.toSeq
-    val files = meta.filter(!_.isNullAt(1)).map(_.getString(1)).toSeq
+    val ctrl = meta.find(_.getInt(0) == -1)
+    val leaderDdl = ctrl.map(_.getString(2)).filter(_ != null).getOrElse("")
+    val leaderMapping = GraftFollowSource.mappingFromJson(
+      ctrl.map(_.getString(3)).orNull)
+    if (leaderDdl.nonEmpty)
+      mirrorRenames(target, StructType.fromDDL(leaderDdl))
+    val data = meta.filter(_.getInt(0) >= 0)
+    if (data.isEmpty) return
+    val buckets = data.map(_.getInt(0)).distinct.toSeq
+    val files = data.filter(!_.isNullAt(1)).map(_.getString(1)).toSeq
     val rows =
       if (files.isEmpty) {
         // tombstone-only batch on a follower with no schema yet (fresh
@@ -175,7 +231,52 @@ object GraftFollower {
         if (schema.isEmpty) return
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      } else spark.read.parquet(files: _*).drop("_bucket")
+      } else readLeaderFiles(spark, files, leaderDdl, leaderMapping)
     target.replaceBuckets(buckets, rows)
+  }
+
+  /** Read leader data files (PHYSICAL column names on disk) and surface
+    * the leader's LOGICAL names — the same translation
+    * `GraftTable.readFiles` performs for its own reads. Pre-schema
+    * leaders (no control payload) fall back to the raw file schema. */
+  private def readLeaderFiles(spark: SparkSession, files: Seq[String],
+      leaderDdl: String, mapping: Map[String, String]): DataFrame = {
+    if (leaderDdl.isEmpty)
+      return spark.read.parquet(files: _*).drop("_bucket")
+    val logical = StructType.fromDDL(leaderDdl)
+    val renames = mapping.filter { case (l, p) =>
+      l != p && logical.fieldNames.contains(l) }
+    if (renames.isEmpty)
+      spark.read.schema(logical).parquet(files: _*)
+    else {
+      val physical = StructType(logical.fields.map(f =>
+        f.copy(name = renames.getOrElse(f.name, f.name))))
+      spark.read.schema(physical).parquet(files: _*)
+        .withColumnsRenamed(renames.map(_.swap))
+    }
+  }
+
+  /** Mirror leader renames onto the follower: a position whose TYPE
+    * matches but whose NAME differs — with neither name present on the
+    * other side (so adds/drops don't misread as renames) — is a rename
+    * of that column, applied via the follower's own
+    * [[GraftTable.renameColumn]] (manifest name-mapping, zero data
+    * movement). Positional identity is exact for the rename-only case
+    * (renameColumn preserves field order); pathological same-commit
+    * add+rename mixes that shift positions fall back to the widen-only
+    * evolution contract instead of guessing. */
+  private def mirrorRenames(target: GraftTable,
+      leaderLogical: StructType): Unit = {
+    val cur = target.currentSchema.getOrElse(return)
+    val curNames = cur.fieldNames.toSet
+    val ldNames = leaderLogical.fieldNames.toSet
+    (0 until math.min(cur.length, leaderLogical.length)).foreach { i =>
+      val c = cur.fields(i)
+      val l = leaderLogical.fields(i)
+      if (c.name != l.name && c.dataType == l.dataType &&
+          !ldNames.contains(c.name) && !curNames.contains(l.name) &&
+          !target.keyCols.contains(c.name))
+        target.renameColumn(c.name, l.name)
+    }
   }
 }

@@ -77,6 +77,39 @@ class GraftFollowSpec extends SparkSpec {
     assert(contents(follower) == Set((5L, "e")))
   }
 
+  test("leader RENAME COLUMN propagates through the control row") {
+    val dir = tmp("follow-rename")
+    val leader = new GraftTable(s"$dir/leader", Seq("id"), nBuckets = 4,
+      retainVersions = 10)
+    val follower = new GraftTable(s"$dir/follower", Seq("id"), nBuckets = 4)
+    val ckpt = s"$dir/ckpt"
+
+    leader.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    runOnePass(s"$dir/leader", follower, ckpt)
+    assert(follower.currentSchema.get.fieldNames.toSeq == Seq("id", "v"))
+
+    // METADATA-ONLY commit: rename with data, no file changes — the
+    // control row alone must carry the new logical name
+    leader.renameColumn("v", "val")
+    runOnePass(s"$dir/leader", follower, ckpt)
+    assert(follower.currentSchema.get.fieldNames.toSeq == Seq("id", "val"))
+    assert(follower.read(spark).select("id", "val").as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+
+    // post-rename data writes keep converging under the new name (the
+    // leader's files mix physical 'v' and — for followers — logical
+    // translation must hold on both old and new files)
+    leader.merge(Seq((3L, "c", "I", "0001"), (1L, "a2", "U", "0002"))
+      .toDF("id", "val", "_op", "_seq"))
+    runOnePass(s"$dir/leader", follower, ckpt)
+    assert(follower.read(spark).select("id", "val").as[(Long, String)]
+      .collect().toSet == Set((1L, "a2"), (2L, "b"), (3L, "c")))
+    assert(follower.read(spark).select("id", "val").as[(Long, String)]
+      .collect().toSet ==
+      leader.read(spark).select("id", "val").as[(Long, String)]
+        .collect().toSet)
+  }
+
   test("expired checkpoint version degrades to one full-refresh batch") {
     val dir = tmp("follow-exp")
     // retainVersions=2: history expires fast
