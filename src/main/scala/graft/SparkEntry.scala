@@ -59,6 +59,7 @@ object SparkEntry {
     "dedup_exact" -> (SimQueries.dedupExact _),
     "dedup_jaccard" -> (SimQueries.dedupJaccard _),
     "dedup_minhash_lsh" -> (SimQueries.dedupMinhashLsh _),
+    "dedup_clusters" -> (SimQueries.dedupClusters _),
     "dedup_simhash" -> (SimQueries.dedupSimhash _),
     "dedup_embed_cosine" -> (SimQueries.dedupEmbedCosine _),
     // similarity search
@@ -117,6 +118,7 @@ object SparkEntry {
     "dedup_exact" -> SimQueries.dedupExactSql,
     "dedup_jaccard" -> SimQueries.dedupJaccardSql,
     "dedup_minhash_lsh" -> SimQueries.dedupMinhashLshSql,
+    "dedup_clusters" -> SimQueries.dedupClustersSql,
     "mm_meta" -> SimQueries.mmMetaSql,
     "profile_stats" -> SimQueries.profileStatsSql,
     "text_fingerprint" -> TextQueries.fingerprintSql,

@@ -244,4 +244,61 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Connected components over a near-dup PAIR list → duplicate
+    * CLUSTERS: (id, rep) where rep is the smallest id reachable through
+    * the pair graph — the canonicalization step between pairwise dedup
+    * output and "keep one representative per duplicate group".
+    *
+    * Algorithm: min-label propagation with pointer jumping (path
+    * halving). Each round (1) every node takes the min of its own label
+    * and its neighbors' labels — one long-pair shuffle over the edge
+    * list; (2) labels compress through `rep ← rep(rep)` — one self-join
+    * on label ids. Halving makes convergence O(log longest chain)
+    * rounds rather than O(diameter), so pathological chain-shaped
+    * components (a~b~c~…) don't serialize the job at 100 TB; per round
+    * everything shuffled is (long, long) pairs — no payload. Labels are
+    * localCheckpointed per round (lineage cut, as the Lloyd loop does)
+    * and convergence is an exact changed-count == 0 check (driver
+    * metadata aggregate). Deterministic: pure min folds.
+    *
+    * Only ids that appear in `pairs` are emitted; callers left-join and
+    * coalesce(rep, id) to cover singleton documents. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .union(pairs
+        .select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("id"), col("u").as("rep"))
+      .distinct()
+      .localCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      // neighbor-min: for each u, the smallest label among its neighbors
+      val nbrMin = edges
+        .join(labels.withColumnsRenamed(Map("id" -> "v", "rep" -> "nrep")),
+          "v")
+        .groupBy("u").agg(min(col("nrep")).as("nmin"))
+      val stepped = labels
+        .join(nbrMin.withColumnRenamed("u", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
+      // pointer jumping: rep ← rep(rep) (path halving)
+      val jumped = stepped.alias("l")
+        .join(stepped.select(col("id").as("rep"),
+          col("rep").as("rrep")).alias("r"), Seq("rep"), "left")
+        .select(col("id"), coalesce(col("rrep"), col("rep")).as("rep"))
+        .localCheckpoint()
+      changed = jumped.join(labels.withColumnRenamed("rep", "prev"), "id")
+        .filter(col("rep") =!= col("prev")).count()
+      labels = jumped
+      round += 1
+    }
+    labels
+  }
 }

@@ -29,8 +29,7 @@ object SimQueries {
     * j ≈ 0.07, and the LSH band curve (16 bands × 2 rows) misses a j=0.89
     * pair with probability (1-j²)⁴⁶ ≈ 3e-12 — so both must return exactly
     * the pairs with j ≥ 0.5. */
-  private val jaccardOracle: String = """
-    WITH toks AS (
+  private val jaccardCtes: String = """toks AS (
       SELECT doc_id,
         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
       FROM documents),
@@ -44,7 +43,10 @@ object SimQueries {
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
              count(*) AS inter
       FROM posting a JOIN posting b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4)
+      GROUP BY 1, 2, 3, 4)"""
+
+  private val jaccardOracle: String = s"""
+    WITH $jaccardCtes
     SELECT id_a, id_b,
       inter * 1.0 / (sz_a + sz_b - inter) AS jaccard
     FROM cand
@@ -58,6 +60,40 @@ object SimQueries {
       .orderBy("id_a", "id_b")
 
   val dedupJaccardSql: String = jaccardOracle
+
+  /** Duplicate CLUSTERS: connected components over the exact Jaccard
+    * pair graph (min-label propagation + pointer jumping), every
+    * document mapped to its cluster representative (smallest reachable
+    * id; singletons map to themselves). Oracle: the same pair CTEs +
+    * a recursive transitive closure. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.5)
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    docs.select(col("doc_id").as("id"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep_id"))
+      .orderBy("id")
+  }
+
+  val dedupClustersSql: String = s"""
+    WITH RECURSIVE $jaccardCtes,
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      WHERE inter * 1.0 / (sz_a + sz_b - inter) >= 0.5),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+      WHERE e.v <> r.a),
+    cc AS (SELECT a AS id, least(a, min(b)) AS rep FROM reach GROUP BY a)
+    SELECT d.doc_id AS id, coalesce(cc.rep, d.doc_id) AS rep_id
+    FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+    ORDER BY id"""
 
   /** MinHash+LSH near-dup pairs — the sub-quadratic scale path; verified
     * candidates carry their exact Jaccard, so the result set equals the

@@ -89,6 +89,40 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).contains((1L, 2L)))
     assert(pairs.forall(_._3 <= 3))
   }
+
+  test("connectedComponents matches driver BFS on random graphs") {
+    val rnd = new scala.util.Random(7)
+    (0 until 3).foreach { _ =>
+      val n = 60
+      val edges = (0 until 80).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver truth: union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      // union-find roots compress to the component MIN (merges always
+      // point larger at smaller), matching the operator's contract
+      assert(got == expected)
+    }
+  }
+
+  test("connectedComponents converges on a long chain (pointer jumping)") {
+    // a 64-node path: min-label alone needs 63 rounds, halving far fewer
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain, "id_a", "id_b", maxRounds = 12)
+      .as[(Long, Long)].collect()
+    assert(got.length == 64 && got.forall(_._2 == 0L))
+  }
 }
 
 class TextFunctionsSpec extends SparkSpec {
