@@ -49,6 +49,8 @@ object SparkEntry {
     "s3_codec_roundtrip" -> (CodecQueries.codecRoundtrip _),
     // text analysis (training-data pipeline extensions)
     "text_tokens" -> (TextQueries.tokenCounts _),
+    "vocab_stats" -> (TextQueries.vocabStats _),
+    "pack_sequences" -> (TextQueries.packSequences _),
     "text_langid" -> (TextQueries.langId _),
     "text_quality" -> (TextQueries.quality _),
     "text_fingerprint" -> (TextQueries.fingerprint _),
@@ -113,6 +115,8 @@ object SparkEntry {
     "q6_forecast" -> SinkQueries.q6Sql,
     "s3_codec_roundtrip" -> CodecQueries.codecRoundtripSql,
     "text_tokens" -> TextQueries.tokenCountsSql,
+    "vocab_stats" -> TextQueries.vocabStatsSql,
+    "pack_sequences" -> TextQueries.packSequencesSql,
     "text_langid" -> TextQueries.langIdSql,
     "text_quality" -> TextQueries.qualitySql,
     "dedup_exact" -> SimQueries.dedupExactSql,

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign documents to fixed-token-budget packs
+  * (context windows) — the batching step between curation and training.
+  * Greedy first-fit in a FIXED document order: a pack closes when the
+  * next document would overflow the budget; documents longer than the
+  * budget get singleton packs.
+  *
+  * Scale design: packing is inherently SEQUENTIAL (each decision depends
+  * on the running total), so parallelism comes from sharding — documents
+  * hash to `shard`, packing runs independently per shard, and pack ids
+  * are (shard, local pack) pairs. One shuffle (repartition by shard) +
+  * one sorted sequential pass per partition; the per-row state is two
+  * longs, so a shard of any size streams. This is the documented
+  * mapPartitions case: genuinely per-row sequential state no Catalyst
+  * expression can carry. At 100 TB, nShards ≈ cluster cores keeps every
+  * core on its own shard stream. Deterministic: (shard, id) total order.
+  */
+object Pack {
+
+  /** Pack `df` greedily: returns (id, shard, pack_id) with `pack_id`
+    * local to the shard, both assigned in ascending id order. */
+  def greedy(df: DataFrame, idCol: String, ntokCol: String,
+      shardCol: String, budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(budget > 0, s"budget must be positive: $budget")
+    val prepared = df.select(col(shardCol).cast("long").as("shard"),
+        col(idCol).cast("long").as("id"),
+        col(ntokCol).cast("long").as("ntok"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "id")
+    // a partition may hold several shards (hash collisions): counters
+    // reset on the shard boundary, which the sort puts first
+    prepared.as[(Long, Long, Long)].mapPartitions { it =>
+      var curShard = Long.MinValue
+      var pack = 0L
+      var acc = 0L
+      var first = true
+      it.map { case (shard, id, ntok) =>
+        if (first || shard != curShard) {
+          curShard = shard; pack = 0L; acc = ntok; first = false
+        } else if (acc + ntok <= budget) {
+          acc += ntok
+        } else {
+          pack += 1L; acc = ntok
+        }
+        (id, shard, pack)
+      }
+    }.toDF("id", "shard", "pack_id")
+  }
+}

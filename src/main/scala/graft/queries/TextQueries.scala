@@ -8,6 +8,65 @@ import graft.functions.{RollingHash, TextFunctions}
 /** Text-analysis queries over `documents` (SURVEY §7.1.7 extensions). */
 object TextQueries {
 
+  /** Vocabulary statistics — the vocab-building / stopword-mining step
+    * of a training pipeline: per-term document frequency + total term
+    * frequency, top-100 by frequency. Scale shape: the classic two-level
+    * aggregation — a (doc, term) pre-aggregate (map-side combine soaks
+    * up within-doc repetition before the shuffle), then a per-term
+    * rollup; the global top-100 is a TakeOrdered over the term
+    * aggregate, never a full sort. Exact integer counts → hash-gated. */
+  def vocabStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+      .orderBy(col("tf_total").desc, col("term"))
+      .limit(100)
+
+  val vocabStatsSql: String = s"""
+    WITH tok AS (
+      SELECT doc_id, unnest(${TextFunctions.tokensSql("text")}) AS term
+      FROM documents),
+    dt AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)
+    SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total
+    FROM dt GROUP BY term
+    ORDER BY tf_total DESC, term LIMIT 100"""
+
+  /** Sequence packing: documents greedily packed into 512-token context
+    * windows, sharded by `doc_id % 8` (8 independent sequential streams
+    * — the oracle-reproducible stand-in for the hash sharding a real
+    * pipeline would use). Exact integer state → hash-gated against a
+    * recursive-CTE replay of the same greedy rule. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+    graft.operators.Pack.greedy(docs, "doc_id", "ntok", "shard",
+        budget = 512L)
+      .orderBy("shard", "id")
+  }
+
+  val packSequencesSql: String = s"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+        CAST(len(${TextFunctions.tokensSql("text")}) AS BIGINT) AS ntok,
+        row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM documents),
+    packed AS (
+      SELECT shard, rn, doc_id, ntok, CAST(0 AS BIGINT) AS pack_id,
+             ntok AS acc
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT nd.shard, nd.rn, nd.doc_id, nd.ntok,
+        CASE WHEN p.acc + nd.ntok <= 512 THEN p.pack_id
+             ELSE p.pack_id + 1 END,
+        CASE WHEN p.acc + nd.ntok <= 512 THEN p.acc + nd.ntok
+             ELSE nd.ntok END
+      FROM packed p JOIN d nd ON nd.shard = p.shard AND nd.rn = p.rn + 1)
+    SELECT doc_id AS id, shard, pack_id FROM packed ORDER BY shard, id"""
+
   /** Token counting: whitespace tokens + BPE-ish subword estimate. */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
