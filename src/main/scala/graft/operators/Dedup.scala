@@ -286,17 +286,19 @@ object Dedup {
         .groupBy("u").agg(min(col("nrep")).as("nmin"))
       val stepped = labels
         .join(nbrMin.withColumnRenamed("u", "id"), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("rep").as("prev"),
           least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
-      // pointer jumping: rep ← rep(rep) (path halving)
+      // pointer jumping: rep ← rep(rep) (path halving); prev rides along
+      // so the convergence check below is a filter over the checkpointed
+      // frame, not another join
       val jumped = stepped.alias("l")
         .join(stepped.select(col("id").as("rep"),
           col("rep").as("rrep")).alias("r"), Seq("rep"), "left")
-        .select(col("id"), coalesce(col("rrep"), col("rep")).as("rep"))
+        .select(col("id"), col("prev"),
+          coalesce(col("rrep"), col("rep")).as("rep"))
         .localCheckpoint()
-      changed = jumped.join(labels.withColumnRenamed("rep", "prev"), "id")
-        .filter(col("rep") =!= col("prev")).count()
-      labels = jumped
+      changed = jumped.filter(col("rep") =!= col("prev")).count()
+      labels = jumped.select("id", "rep")
       round += 1
     }
     labels
