@@ -851,9 +851,20 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     if (changed.isEmpty)
       return TableChanges(cur.version, empty, Seq.empty, fullRefresh = false)
     def side(m: Manifest): DataFrame = {
-      val df = readFiles(spark,
+      val df0 = readFiles(spark,
         changed.flatMap(b => m.files.getOrElse(b, Nil)), m.schemaDdl,
         m.columnMapping).drop("_bucket")
+      // a column renamed between the two snapshots keeps its PHYSICAL
+      // name: map this side's logical names onto the current logical
+      // names through the physical identity, so preimages carry values
+      // across RENAME COLUMN instead of nulling out
+      val curPhysToLogical = cur.columnMapping.map(_.swap)
+      val renames = df0.columns.flatMap { c =>
+        val p = m.columnMapping.getOrElse(c, c)
+        val curName = curPhysToLogical.getOrElse(p, p)
+        if (curName != c) Some(c -> curName) else None
+      }.toMap
+      val df = if (renames.isEmpty) df0 else df0.withColumnsRenamed(renames)
       // align onto the CURRENT logical schema
       df.select(target.fields.map(f =>
         (if (df.columns.contains(f.name)) col(f.name)

@@ -364,6 +364,25 @@ class GraftTableSpec extends SparkSpec {
       (1L, "a2", Some(7L), "update_postimage")), rows)
   }
 
+  test("rowChangesSince: preimages carry values across RENAME COLUMN") {
+    val t = new GraftTable(tmp(), Seq("id"), nBuckets = 2,
+      retainVersions = 5)
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v0 = t.currentVersion.get
+    // rename between the two snapshots: the from-side logical name is
+    // 'v', the current one 'val' — same PHYSICAL column, so preimages
+    // must carry their values, not null out
+    t.renameColumn("v", "val")
+    t.merge(Seq((1L, "a2", "U", "0000000000000010/0000000000000000"))
+      .toDF("id", "val", "_op", "_seq"))
+    val rows = t.rowChangesSince(spark, v0).rows
+      .select("id", "val", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(rows == Set(
+      (1L, "a", "update_preimage"),
+      (1L, "a2", "update_postimage")), rows)
+  }
+
   test("manifest commits are snapshot-atomic: time travel + vacuum expiry") {
     val t = new GraftTable(tmp(), Seq("id"), nBuckets = 4)
     t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
