@@ -146,9 +146,25 @@ object GraftRowFeed {
     val transitions = batch.select("from_version", "to_version").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
     val table = GraftTable.open(root)
+    if (transitions.isEmpty) return spark.emptyDataFrame
+    // a batch spanning a RENAME COLUMN would otherwise union feeds whose
+    // column names differ per transition (each feed is under its target
+    // version's logical schema): align every feed onto the LAST
+    // transition's logical names through the stable physical identity
+    val finalTo = transitions.last._2
+    val finalPhysToLogical = table.mappingOf(finalTo).map(_.swap)
     val feeds = transitions.map { case (f, t) =>
       val c = table.rowChangesBetween(spark, f, t)
-      c.rows
+      val mapping = table.mappingOf(t)
+      val renames = c.rows.columns
+        .filterNot(_ == "_change_type").flatMap { n =>
+          val p = mapping.getOrElse(n, n)
+          val fin = finalPhysToLogical.getOrElse(p, p)
+          if (fin != n) Some(n -> fin) else None
+        }.toMap
+      val rows =
+        if (renames.isEmpty) c.rows else c.rows.withColumnsRenamed(renames)
+      rows
         .withColumn("_commit_version", lit(t))
         .withColumn("_full_refresh", lit(c.fullRefresh))
     }

@@ -104,6 +104,54 @@ class GraftRowFollowSpec extends SparkSpec {
     assert(replica.toMap == expect)
   }
 
+  test("feed spanning a RENAME COLUMN aligns every commit onto the final name") {
+    val dir = tmp("rowfollow-ren")
+    val root = s"$dir/leader"
+    val leader = new GraftTable(root, Seq("id"), nBuckets = 4,
+      retainVersions = 10)
+    val got = scala.collection.mutable.Buffer
+      .empty[(Long, String, Long, String)]
+    val gotCols = scala.collection.mutable.Buffer.empty[Seq[String]]
+
+    leader.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // one stream batch spans: update under 'v' → rename v→val → insert
+    // under 'val'; the expanded feed must come out under ONE column
+    // ('val'), pre-rename commits aligned through the physical identity
+    leader.merge(Seq((1L, "a2", "U", "0000000000000010/0000000000000000"))
+      .toDF("id", "v", "_op", "_seq"))
+    leader.renameColumn("v", "val")
+    leader.merge(Seq((5L, "e", "I", "0000000000000020/0000000000000000"))
+      .toDF("id", "val", "_op", "_seq"))
+
+    val q = spark.readStream.format("graft-row-follow")
+      .option("path", root).load()
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val feed = GraftRowFeed.changes(df, root)
+        if (feed.columns.nonEmpty) {
+          gotCols += feed.columns.toSeq
+          got ++= feed
+            .select(col("_commit_version"), col("_change_type"), col("id"),
+              col("val"))
+            .as[(Long, String, Long, String)].collect()
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    // one logical payload column only — no split v/val pair
+    assert(gotCols.forall(cs => cs.contains("val") && !cs.contains("v")),
+      gotCols)
+    assert(got.toSet == Set(
+      (0L, "insert", 1L, "a"),
+      (0L, "insert", 2L, "b"),
+      (1L, "update_preimage", 1L, "a"),
+      (1L, "update_postimage", 1L, "a2"),
+      (3L, "insert", 5L, "e")), got)
+  }
+
   test("expired checkpoint version degrades to one full-refresh insert feed") {
     val dir = tmp("rowfollow-exp")
     val root = s"$dir/leader"
