@@ -49,6 +49,24 @@ class PlanSpec extends SparkSpec {
     assert(p18.contains("BroadcastHashJoin"), p18)
   }
 
+  test("vocab_stats: partial aggregation + TakeOrdered, no global sort") {
+    val p = plan(TextQueries.vocabStats(spark, sf()))
+    // both aggregation levels partial → final (map-side combine), and the
+    // top-100 is a TakeOrdered, never a full Sort of the term aggregate
+    assert("(?m)^\\(\\d+\\) HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("pack_sequences: one shuffle (repartition by shard), sorted in-partition") {
+    val p = plan(TextQueries.packSequences(spark, sf()))
+    // exactly one exchange feeds the sequential pass; the final orderBy
+    // of the gate query adds its own sort, but packing itself must not
+    // shuffle more than the shard repartition
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).toSeq
+    assert(exchanges.size <= 2, p) // shard repartition + gate orderBy range
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"), p)
+  }
+
   test("LWW dedup aggregates map-side before the key shuffle (one exchange)") {
     val ev = Tables.load(spark, sf(), "events")
       .select("user_id", "event_id", "value")
