@@ -565,7 +565,8 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       throw new IllegalStateException(s"no open group on $root"))
     groupState = None
     if (g.version == -2L) // marker: at least one write staged
-      commitManifest(Manifest(nextVersion, g.highWater, g.files, g.schemaDdl))
+      commitManifest(Manifest(nextVersion, g.highWater, g.files, g.schemaDdl,
+        columnMapping = g.columnMapping))
   }
 
   /** Drop the open group; staged files become orphans for [[vacuum]]. */
@@ -580,9 +581,18 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   }
 
   /** Route a finished write: stage into the group (version -2 marks the
-    * group dirty) or publish immediately. */
+    * group dirty) or publish immediately. The staged overlay carries the
+    * column name mapping forward explicitly (commitManifest does this
+    * for direct publishes): without it, a post-rename group's SECOND
+    * write would see an empty mapping through effectiveManifest and
+    * write logical-named files that the final committed mapping then
+    * mistranslates. */
   private def publish(m: Manifest): Unit = groupState match {
-    case Some(_) => groupState = Some(m.copy(version = -2L))
+    case Some(_) =>
+      val mapping =
+        if (m.columnMapping.nonEmpty) m.columnMapping
+        else effectiveManifest().map(_.columnMapping).getOrElse(Map.empty)
+      groupState = Some(m.copy(version = -2L, columnMapping = mapping))
     case None    => commitManifest(m)
   }
 

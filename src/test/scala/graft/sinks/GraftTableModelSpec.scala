@@ -22,6 +22,11 @@ class GraftTableModelSpec extends SparkSpec {
     val model = scala.collection.mutable.Map.empty[Long, ModelRow]
     var highWater = ""
     var lsn = 0L
+    // current logical name of the payload column: the rename op flips it
+    // between "v" and "val" (metadata-only commits), and every consumer
+    // below must keep tracking it — the rename/CDF/follow machinery run
+    // differentially under the same random op stream
+    var vCol = "v"
 
     // a downstream materialization maintained ONLY through changesSince
     // pulls — the CDF-lite consumer contract run differentially against
@@ -34,7 +39,7 @@ class GraftTableModelSpec extends SparkSpec {
       if (c.version < 0) { follower.clear(); followerVersion = -1L; return }
       val rows =
         if (c.rows.columns.isEmpty) Array.empty[(Long, String, Int)]
-        else c.rows.select("id", "v", "_bucket")
+        else c.rows.select(col("id"), col(vCol), col("_bucket"))
           .as[(Long, String, Int)].collect()
       if (c.fullRefresh) follower.clear()
       else {
@@ -61,7 +66,7 @@ class GraftTableModelSpec extends SparkSpec {
       if (c.version < 0) { cdfView.clear(); cdfVersion = -1L; return }
       val rows =
         if (!c.rows.columns.contains("id")) Array.empty[(Long, String, String)]
-        else c.rows.select("id", "v", "_change_type")
+        else c.rows.select(col("id"), col(vCol), col("_change_type"))
           .as[(Long, String, String)].collect()
       if (c.fullRefresh) cdfView.clear()
       rows.foreach {
@@ -81,7 +86,7 @@ class GraftTableModelSpec extends SparkSpec {
       val actual = t.read(spark)
       val got =
         if (actual.columns.isEmpty) Map.empty[Long, String]
-        else actual.select("id", "v").as[(Long, String)].collect().toMap
+        else actual.select(col("id"), col(vCol)).as[(Long, String)].collect().toMap
       val want = model.map { case (k, r) => k -> r.v }.toMap
       assert(got == want, s"seed=$seed after $step: got=$got want=$want")
       // follower pulls on a slower cadence than the writer commits —
@@ -128,14 +133,14 @@ class GraftTableModelSpec extends SparkSpec {
         (id, s"v$lsn-$id", op, lsn)
       }
       val deduped = rows.groupBy(_._1).values.map(_.maxBy(_._4)).toSeq
-      t.merge(deduped.toDF("id", "v", "_op", "lsn")
+      t.merge(deduped.toDF("id", vCol, "_op", "lsn")
         .withColumn("_seq",
           format_string("%016x/%016x", col("lsn"), lit(0L))).drop("lsn"))
       applyToModel(rows)
     }
 
     (1 to steps).foreach { step =>
-      rnd.nextInt(14) match {
+      rnd.nextInt(15) match {
         case i if i <= 5 => // merge a fresh batch (most common op)
           mergeRandom()
           check(s"merge@$lsn")
@@ -143,7 +148,7 @@ class GraftTableModelSpec extends SparkSpec {
           if (lsn > 0) {
             val old = rnd.nextLong(lsn) + 1
             val rows = Seq((rnd.nextInt(12).toLong, s"stale$old", "U", old))
-            t.merge(rows.toDF("id", "v", "_op", "lsn")
+            t.merge(rows.toDF("id", vCol, "_op", "lsn")
               .withColumn("_seq",
                 format_string("%016x/%016x", col("lsn"), lit(0L))).drop("lsn"))
             applyToModel(rows) // replay-guard inside applyToModel drops it
@@ -163,7 +168,7 @@ class GraftTableModelSpec extends SparkSpec {
           val rows = (1 to rnd.nextInt(5) + 1)
             .map(_ => (rnd.nextInt(12).toLong, s"bf$lsn")).distinct
           val byId = rows.groupBy(_._1).map(_._2.head).toSeq
-          t.overwrite(byId.toDF("id", "v"))
+          t.overwrite(byId.toDF("id", vCol))
           model.clear()
           byId.foreach { case (id, v) => model(id) = ModelRow(v, "") }
           highWater = ""
@@ -172,7 +177,7 @@ class GraftTableModelSpec extends SparkSpec {
           val rows = (1 to rnd.nextInt(4) + 1).map { _ =>
             appendId += 1; (appendId, s"ap$appendId")
           }
-          t.append(rows.toDF("id", "v"))
+          t.append(rows.toDF("id", vCol))
           rows.foreach { case (id, v) => model(id) = ModelRow(v, "") }
           check(s"append@$appendId")
         case 11 => // SQL DELETE WHERE: bucket-pruned rewrite, mark untouched
@@ -190,7 +195,7 @@ class GraftTableModelSpec extends SparkSpec {
           // mid-group: readers still see the pre-group snapshot
           val mid =
             if (t.read(spark).columns.isEmpty) Map.empty[Long, String]
-            else t.read(spark).select("id", "v")
+            else t.read(spark).select(col("id"), col(vCol))
               .as[(Long, String)].collect().toMap
           assert(mid == preModel.map { case (k, r) => k -> r.v },
             s"seed=$seed group staged writes leaked")
@@ -225,17 +230,25 @@ class GraftTableModelSpec extends SparkSpec {
           val rows = edited ++ inserts
           t.replaceBuckets(buckets,
             if (rows.isEmpty) spark.emptyDataset[(Long, String)]
-              .toDF("id", "v")
-            else rows.toDF("id", "v"))
+              .toDF("id", vCol)
+            else rows.toDF("id", vCol))
           model.filterInPlace { case (id, _) => !bset(bucketOf(id)) }
           rows.foreach { case (id, v) => model(id) = ModelRow(v, "") }
           check(s"replaceBuckets@${buckets.mkString("+")}")
+        case 14 => // RENAME COLUMN (metadata-only commit): logical name
+          // flips; data, replay mark, and both change feeds must carry
+          if (t.currentSchema.exists(_.fieldNames.contains(vCol))) {
+            val to = if (vCol == "v") "val" else "v"
+            t.renameColumn(vCol, to)
+            vCol = to
+            check(s"rename->$to")
+          }
       }
     }
   }
 
   test("random op sequences match the reference model (3 seeds × 40 steps, " +
-      "merge/replay/truncate/compact/overwrite/append/delete/group/replaceBuckets)") {
+      "merge/replay/truncate/compact/overwrite/append/delete/group/replaceBuckets/rename)") {
     Seq(1L, 7L, 42L).foreach(runScenario(_, steps = 40))
     sys.env.get("GRAFT_FUZZ_SEEDS").foreach(n =>
       (100L until 100L + n.toLong).foreach(runScenario(_, steps = 30)))
