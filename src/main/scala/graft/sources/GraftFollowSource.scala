@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -47,8 +47,11 @@ class GraftFollowSource extends TableProvider
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftFollowSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new GraftFollowTable(properties.get("path"))
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new GraftFollowTable(opts.get("path"),
+      Option(opts.get("maxVersionsPerTrigger")).map(_.toInt))
+  }
 }
 
 object GraftFollowSource {
@@ -82,7 +85,8 @@ object GraftFollowSource {
   }
 }
 
-final class GraftFollowTable(root: String) extends Table with SupportsRead {
+final class GraftFollowTable(root: String, maxVersions: Option[Int] = None)
+    extends Table with SupportsRead {
   override def name(): String = s"graft-follow:$root"
   override def schema(): StructType = GraftFollowSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -91,7 +95,7 @@ final class GraftFollowTable(root: String) extends Table with SupportsRead {
     () => new Scan {
       override def readSchema(): StructType = GraftFollowSource.schema
       override def toMicroBatchStream(checkpointLocation: String)
-          : MicroBatchStream = new GraftFollowStream(root)
+          : MicroBatchStream = new GraftFollowStream(root, maxVersions)
       override def toBatch: Batch =
         throw new UnsupportedOperationException(
           "graft-follow is a streaming source; batch reads go through " +
@@ -104,7 +108,8 @@ final case class VersionOffset(version: Long) extends Offset {
   override def json(): String = version.toString
 }
 
-final class GraftFollowStream(root: String) extends MicroBatchStream {
+final class GraftFollowStream(root: String, maxVersions: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
   private def table = GraftTable.open(root)
 
   override def initialOffset(): Offset = VersionOffset(-1L)
@@ -112,6 +117,28 @@ final class GraftFollowStream(root: String) extends MicroBatchStream {
     VersionOffset(json.toLong)
   override def latestOffset(): Offset =
     VersionOffset(table.currentVersion.getOrElse(-1L))
+  /** Admission control: `maxVersionsPerTrigger` caps how many RETAINED
+    * snapshot versions one micro-batch may span, bounding each trigger's
+    * diff (and a catch-up's first batch) instead of jumping straight to
+    * the log head. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[VersionOffset].version
+    val cur = table.currentVersion.getOrElse(-1L)
+    if (cur <= s) return VersionOffset(cur.max(s))
+    val cap = limit match {
+      case r: ReadMaxRows => Some(r.maxRows().toInt)
+      case _              => maxVersions
+    }
+    cap match {
+      case None => VersionOffset(cur)
+      case Some(n) =>
+        val ahead = table.versions.filter(_ > s).take(math.max(1, n))
+        VersionOffset(ahead.lastOption.getOrElse(cur))
+    }
+  }
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersions.map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -39,8 +39,11 @@ class GraftRowFollowSource extends TableProvider
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftRowFollowSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new GraftRowFollowTable(properties.get("path"))
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new GraftRowFollowTable(opts.get("path"),
+      Option(opts.get("maxVersionsPerTrigger")).map(_.toInt))
+  }
 }
 
 object GraftRowFollowSource {
@@ -50,7 +53,8 @@ object GraftRowFollowSource {
     StructField("to_version", LongType, nullable = false)))
 }
 
-final class GraftRowFollowTable(root: String) extends Table with SupportsRead {
+final class GraftRowFollowTable(root: String,
+    maxVersions: Option[Int] = None) extends Table with SupportsRead {
   override def name(): String = s"graft-row-follow:$root"
   override def schema(): StructType = GraftRowFollowSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -59,7 +63,7 @@ final class GraftRowFollowTable(root: String) extends Table with SupportsRead {
     () => new Scan {
       override def readSchema(): StructType = GraftRowFollowSource.schema
       override def toMicroBatchStream(checkpointLocation: String)
-          : MicroBatchStream = new GraftRowFollowStream(root)
+          : MicroBatchStream = new GraftRowFollowStream(root, maxVersions)
       override def toBatch: Batch =
         throw new UnsupportedOperationException(
           "graft-row-follow is a streaming source; the poll-based batch " +
@@ -67,7 +71,9 @@ final class GraftRowFollowTable(root: String) extends Table with SupportsRead {
     }
 }
 
-final class GraftRowFollowStream(root: String) extends MicroBatchStream {
+final class GraftRowFollowStream(root: String,
+    maxVersions: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
   private def table = GraftTable.open(root)
 
   override def initialOffset(): Offset = VersionOffset(-1L)
@@ -75,6 +81,28 @@ final class GraftRowFollowStream(root: String) extends MicroBatchStream {
     VersionOffset(json.toLong)
   override def latestOffset(): Offset =
     VersionOffset(table.currentVersion.getOrElse(-1L))
+  /** Admission control: `maxVersionsPerTrigger` caps how many retained
+    * commits one micro-batch expands (the roadmap's transition-chain
+    * bound) — a catch-up drains in bounded per-trigger chunks instead of
+    * building one union over the whole backlog. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[VersionOffset].version
+    val cur = table.currentVersion.getOrElse(-1L)
+    if (cur <= s) return VersionOffset(cur.max(s))
+    val cap = limit match {
+      case r: ReadMaxRows => Some(r.maxRows().toInt)
+      case _              => maxVersions
+    }
+    cap match {
+      case None => VersionOffset(cur)
+      case Some(n) =>
+        val ahead = table.versions.filter(_ > s).take(math.max(1, n))
+        VersionOffset(ahead.lastOption.getOrElse(cur))
+    }
+  }
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersions.map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 

@@ -152,6 +152,34 @@ class GraftRowFollowSpec extends SparkSpec {
       (3L, "insert", 5L, "e")), got)
   }
 
+  test("maxVersionsPerTrigger drains a backlog in bounded per-trigger chunks") {
+    val dir = tmp("rowfollow-cap")
+    val root = s"$dir/leader"
+    val leader = new GraftTable(root, Seq("id"), nBuckets = 4,
+      retainVersions = 10)
+    leader.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    (2 to 4).foreach(i =>
+      leader.merge(Seq((i.toLong, s"v$i", "I", f"$i%016x/${0L}%016x"))
+        .toDF("id", "v", "_op", "_seq")))
+    // 4 commits pending; cap = 1 version per trigger → 4 micro-batches,
+    // each spanning exactly one transition
+    val perBatch = scala.collection.mutable.Buffer.empty[Seq[(Long, Long)]]
+    val q = spark.readStream.format("graft-row-follow")
+      .option("path", root).option("maxVersionsPerTrigger", "1").load()
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ts = df.select("from_version", "to_version")
+          .as[(Long, Long)].collect().toSeq
+        if (ts.nonEmpty) perBatch += ts
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(perBatch.size == 4 && perBatch.forall(_.size == 1), perBatch)
+    assert(perBatch.map(_.head._2) == Seq(0L, 1L, 2L, 3L), perBatch)
+  }
+
   test("expired checkpoint version degrades to one full-refresh insert feed") {
     val dir = tmp("rowfollow-exp")
     val root = s"$dir/leader"
