@@ -94,8 +94,12 @@ object GraftExtensions {
   }
   private[graft] def tableChangesBuilder(args: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
-    plan(GraftTable.open(str(args.head, "root path"))
-      .rowChangesSince(spark, long(args(1), "from version")).rows)
+    val t = GraftTable.open(str(args.head, "root path"))
+    val from = long(args(1), "from version")
+    plan(
+      if (args.length >= 3)
+        t.rowChangesBetween(spark, from, long(args(2), "to version")).rows
+      else t.rowChangesSince(spark, from).rows)
   }
   private[graft] def changelogLatestBuilder(args: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
@@ -153,8 +157,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((
       FunctionIdentifier("graft_table_changes"),
       info("graft_table_changes",
-        "graft_table_changes(root, fromVersion) - row-level change feed " +
-          "(insert | delete | update_preimage | update_postimage)"),
+        "graft_table_changes(root, fromVersion[, toVersion]) - row-level " +
+          "change feed (insert | delete | update_preimage | " +
+          "update_postimage)"),
       (args: Seq[Expression]) => GraftExtensions.tableChangesBuilder(args)))
   }
 }

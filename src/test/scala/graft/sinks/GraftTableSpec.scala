@@ -346,6 +346,14 @@ class GraftTableSpec extends SparkSpec {
       s"SELECT id, v, _change_type FROM graft_table_changes('${t.root}', $v0)")
       .as[(Long, String, String)].collect().toSet
     assert(sql == got)
+    // 3-arg form pins the feed to an intermediate snapshot: a LATER
+    // commit must not leak into the (v0, v1] window
+    val v1 = c.version
+    t.merge(batch((7L, "v7b", "U", 11L)))
+    val between = spark.sql(
+      s"SELECT id, v, _change_type FROM graft_table_changes('${t.root}', $v0, $v1)")
+      .as[(Long, String, String)].collect().toSet
+    assert(between == got, between)
   }
 
   test("rowChangesSince: schema evolution projects preimages onto the new schema") {
