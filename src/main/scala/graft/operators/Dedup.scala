@@ -286,10 +286,14 @@ object Dedup {
         .join(labels.withColumnsRenamed(Map("id" -> "v", "rep" -> "nrep")),
           "v")
         .groupBy("u").agg(min(col("nrep")).as("nmin"))
+      // materialized once: the pointer-jump below self-joins stepped, and
+      // without the checkpoint BOTH join sides would re-run the nbrMin
+      // shuffle (the round's dominant cost) independently
       val stepped = labels
         .join(nbrMin.withColumnRenamed("u", "id"), Seq("id"), "left")
         .select(col("id"), col("rep").as("prev"),
           least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
+        .localCheckpoint()
       // pointer jumping: rep ← rep(rep) (path halving); prev rides along
       // so the convergence check below is a filter over the checkpointed
       // frame, not another join

@@ -128,7 +128,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
 
   /** Manifest file entries are root-relative (rename/move-safe);
     * pre-upgrade manifests hold absolute paths — both resolve here. */
-  private def resolved(f: String): String =
+  private[graft] def resolved(f: String): String =
     if (Paths.get(f).isAbsolute) f else s"$root/$f"
 
   private def writeIdentity(): Unit = {
@@ -176,7 +176,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   private[sinks] def currentManifest(): Option[Manifest] =
     currentVersion.map(readManifest)
 
-  private def readManifest(v: Long): Manifest = {
+  private[graft] def readManifest(v: Long): Manifest = {
     val s = new String(Files.readAllBytes(manifestPath(v)),
       StandardCharsets.UTF_8)
     import org.json4s._
@@ -291,24 +291,9 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
     else if (paths.isEmpty) spark.emptyDataFrame
-    else if (schemaDdl.nonEmpty) {
-      val logical = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
-      // renamed columns: files carry the PHYSICAL name — read under the
-      // physical schema, then surface logical names (positions identical)
-      val renames = mapping.filter { case (l, p) =>
-        l != p && logical.fieldNames.contains(l) }
-      if (renames.isEmpty)
-        spark.read.schema(logical)
-          .option("basePath", dataDir).parquet(paths: _*)
-      else {
-        val physical = org.apache.spark.sql.types.StructType(
-          logical.fields.map(f =>
-            f.copy(name = renames.getOrElse(f.name, f.name))))
-        spark.read.schema(physical)
-          .option("basePath", dataDir).parquet(paths: _*)
-          .withColumnsRenamed(renames.map(_.swap))
-      }
-    }
+    else if (schemaDdl.nonEmpty)
+      GraftTable.readUnderMapping(spark, paths, schemaDdl, mapping,
+        basePath = Some(dataDir))
     else spark.read.option("mergeSchema", "true")
       .option("basePath", dataDir).parquet(paths: _*)
   }
@@ -839,6 +824,10 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   def rowChangesBetween(spark: SparkSession, fromVersion: Long,
       toVersion: Long): TableChanges = {
     import org.apache.spark.sql.types.StringType
+    require(fromVersion <= toVersion,
+      s"inverted change window: fromVersion $fromVersion > toVersion " +
+        s"$toVersion (the feed would read backwards, swapping " +
+        "inserts/deletes)")
     val cur = readManifest(toVersion)
     val known = fromVersion >= 0 && versions.contains(fromVersion)
     if (!known) {
@@ -995,6 +984,29 @@ object GraftTable {
     * be reclaimed by [[GraftTable.vacuum]]. */
   final class ConcurrentCommitException(msg: String)
       extends RuntimeException(msg)
+
+  /** Read parquet `paths` under a pinned LOGICAL schema when files carry
+    * PHYSICAL column names (rename history): read under the physical
+    * schema, then surface logical names (positions identical). The one
+    * translation rule for table reads and graft-follow leader reads —
+    * keep them from drifting. */
+  private[graft] def readUnderMapping(spark: SparkSession,
+      paths: Seq[String], logicalDdl: String, mapping: Map[String, String],
+      basePath: Option[String]): DataFrame = {
+    val logical = org.apache.spark.sql.types.StructType.fromDDL(logicalDdl)
+    val renames = mapping.filter { case (l, p) =>
+      l != p && logical.fieldNames.contains(l) }
+    val reader0 = spark.read
+    val reader = basePath.fold(reader0)(b => reader0.option("basePath", b))
+    if (renames.isEmpty) reader.schema(logical).parquet(paths: _*)
+    else {
+      val physical = org.apache.spark.sql.types.StructType(
+        logical.fields.map(f =>
+          f.copy(name = renames.getOrElse(f.name, f.name))))
+      reader.schema(physical).parquet(paths: _*)
+        .withColumnsRenamed(renames.map(_.swap))
+    }
+  }
 
   /** Create an EMPTY table: identity + a v0 manifest pinning `schema`
     * (the CREATE TABLE path — the table is immediately readable as zero

@@ -108,19 +108,23 @@ final case class VersionOffset(version: Long) extends Offset {
   override def json(): String = version.toString
 }
 
-final class GraftFollowStream(root: String, maxVersions: Option[Int] = None)
-    extends MicroBatchStream with SupportsAdmissionControl {
-  private def table = GraftTable.open(root)
+/** Shared admission control for the two follow streams: offsets are
+  * snapshot versions, and `maxVersionsPerTrigger` (or an engine-supplied
+  * ReadMaxRows limit) caps how many RETAINED versions one micro-batch
+  * may span — a catch-up drains in bounded per-trigger chunks instead
+  * of jumping straight to the log head. Also resolves an EXPIRED end
+  * offset (a replayed batch whose target manifest was vacuumed while
+  * the batch was uncommitted) to the oldest retained version: retention
+  * drops a prefix, so an expired `to` implies the whole window —
+  * including `from` — expired, and the planner's full-refresh path
+  * covers it; without this the replay would crash-loop on the missing
+  * manifest. */
+private[sources] trait VersionCappedStream extends SupportsAdmissionControl {
+  protected def table: GraftTable
+  protected def maxVersions: Option[Int]
 
-  override def initialOffset(): Offset = VersionOffset(-1L)
-  override def deserializeOffset(json: String): Offset =
-    VersionOffset(json.toLong)
-  override def latestOffset(): Offset =
+  def latestOffset(): Offset =
     VersionOffset(table.currentVersion.getOrElse(-1L))
-  /** Admission control: `maxVersionsPerTrigger` caps how many RETAINED
-    * snapshot versions one micro-batch may span, bounding each trigger's
-    * diff (and a catch-up's first batch) instead of jumping straight to
-    * the log head. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[VersionOffset].version
     val cur = table.currentVersion.getOrElse(-1L)
@@ -139,43 +143,65 @@ final class GraftFollowStream(root: String, maxVersions: Option[Int] = None)
   override def getDefaultReadLimit: ReadLimit =
     maxVersions.map(n => ReadLimit.maxRows(n.toLong))
       .getOrElse(ReadLimit.allAvailable())
+
+  /** The replayed end offset if its manifest survives, else the oldest
+    * retained version (None = table has no versions at all). */
+  protected def resolveEnd(to: Long): Option[Long] = {
+    val vs = table.versions
+    if (vs.contains(to)) Some(to) else vs.headOption
+  }
+}
+
+final class GraftFollowStream(root: String,
+    protected val maxVersions: Option[Int] = None)
+    extends MicroBatchStream with VersionCappedStream {
+  protected def table: GraftTable = GraftTable.open(root)
+
+  override def initialOffset(): Offset = VersionOffset(-1L)
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[VersionOffset].version
-    val to = end.asInstanceOf[VersionOffset].version
-    if (to < 0 || to == from) return Array.empty
+    val to0 = end.asInstanceOf[VersionOffset].version
+    if (to0 < 0 || to0 == from) return Array.empty
     val t = table
-    val cur = t.filesByBucketOf(to)
-    val known = from >= 0 && t.versions.contains(from)
-    val rows: Seq[(Int, Option[String])] =
-      if (!known) {
+    val to = resolveEnd(to0).getOrElse(return Array.empty)
+    // one manifest read per side (this runs on every trigger)
+    val toM = t.readManifest(to)
+    val known = from >= 0 && from != to && t.versions.contains(from)
+    val fromM = if (known) Some(t.readManifest(from)) else None
+    val cur = toM.files
+    // diff on RAW manifest entries; resolve to absolute paths on emit
+    val rows: Seq[(Int, Option[String])] = (fromM match {
+      case None =>
         // full refresh: every bucket is replaced — tombstone the empty
         // ones so the consumer's stale buckets clear under the same
         // replace-contract (no special case)
         val live = cur.keySet
         cur.toSeq.flatMap { case (b, fs) => fs.map(f => b -> Option(f)) } ++
           (0 until t.nBuckets).filterNot(live).map(b => b -> None)
-      } else {
-        val before = t.filesByBucketOf(from)
+      case Some(bm) =>
+        val before = bm.files
         val changed = cur.collect {
           case (b, fs) if before.get(b) != Some(fs) => b }.toSeq
         val gone = (before.keySet -- cur.keySet).toSeq
         changed.flatMap(b => cur(b).map(f => b -> Option(f))) ++
           gone.map(b => b -> None)
-      }
-    val ddl = t.schemaDdlOf(to)
-    val mapping = GraftFollowSource.mappingToJson(t.mappingOf(to))
-    if (rows.isEmpty && known &&
-        ddl == t.schemaDdlOf(from) &&
-        mapping == GraftFollowSource.mappingToJson(t.mappingOf(from)))
+    }).map { case (b, f) => b -> f.map(t.resolved) }
+    if (rows.isEmpty && fromM.exists(bm =>
+        toM.schemaDdl == bm.schemaDdl &&
+          toM.columnMapping == bm.columnMapping))
       // nothing changed beyond the version counter (e.g. a replay-mark
       // only commit): skip the batch entirely
       Array.empty
     else
-      Array(GraftFollowPartition(to, rows.sortBy(_._1), ddl, mapping))
+      Array(GraftFollowPartition(to, rows.sortBy(_._1),
+        toM.schemaDdl,
+        GraftFollowSource.mappingToJson(toM.columnMapping)))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -263,41 +289,34 @@ object GraftFollower {
   }
 
   /** Read leader data files (PHYSICAL column names on disk) and surface
-    * the leader's LOGICAL names — the same translation
-    * `GraftTable.readFiles` performs for its own reads. Pre-schema
-    * leaders (no control payload) fall back to the raw file schema. */
+    * the leader's LOGICAL names — [[GraftTable.readUnderMapping]], the
+    * same translation the table's own reads use. Pre-schema leaders (no
+    * control payload) fall back to the raw file schema. */
   private def readLeaderFiles(spark: SparkSession, files: Seq[String],
-      leaderDdl: String, mapping: Map[String, String]): DataFrame = {
+      leaderDdl: String, mapping: Map[String, String]): DataFrame =
     if (leaderDdl.isEmpty)
-      return spark.read.parquet(files: _*).drop("_bucket")
-    val logical = StructType.fromDDL(leaderDdl)
-    val renames = mapping.filter { case (l, p) =>
-      l != p && logical.fieldNames.contains(l) }
-    if (renames.isEmpty)
-      spark.read.schema(logical).parquet(files: _*)
-    else {
-      val physical = StructType(logical.fields.map(f =>
-        f.copy(name = renames.getOrElse(f.name, f.name))))
-      spark.read.schema(physical).parquet(files: _*)
-        .withColumnsRenamed(renames.map(_.swap))
-    }
-  }
+      spark.read.parquet(files: _*).drop("_bucket")
+    else
+      GraftTable.readUnderMapping(spark, files, leaderDdl, mapping,
+        basePath = None)
 
-  /** Mirror leader renames onto the follower: a position whose TYPE
-    * matches but whose NAME differs — with neither name present on the
-    * other side (so adds/drops don't misread as renames) — is a rename
-    * of that column, applied via the follower's own
-    * [[GraftTable.renameColumn]] (manifest name-mapping, zero data
-    * movement). Positional identity is exact for the rename-only case
-    * (renameColumn preserves field order); pathological same-commit
-    * add+rename mixes that shift positions fall back to the widen-only
-    * evolution contract instead of guessing. */
+  /** Mirror leader renames onto the follower: only when both schemas
+    * have the SAME field count (a pure rename never changes it) is a
+    * position whose TYPE matches but whose NAME differs — with neither
+    * name present on the other side — a rename of that column, applied
+    * via the follower's own [[GraftTable.renameColumn]] (manifest
+    * name-mapping, zero data movement). Positional identity is exact
+    * for the rename-only case (renameColumn preserves field order); a
+    * batch that also spans ADD/DROP commits (field counts differ, or a
+    * dropped column's position was reused) falls back to the widen-only
+    * evolution contract instead of guessing a wrong pair. */
   private def mirrorRenames(target: GraftTable,
       leaderLogical: StructType): Unit = {
     val cur = target.currentSchema.getOrElse(return)
+    if (cur.length != leaderLogical.length) return
     val curNames = cur.fieldNames.toSet
     val ldNames = leaderLogical.fieldNames.toSet
-    (0 until math.min(cur.length, leaderLogical.length)).foreach { i =>
+    cur.fields.indices.foreach { i =>
       val c = cur.fields(i)
       val l = leaderLogical.fields(i)
       if (c.name != l.name && c.dataType == l.dataType &&

@@ -72,45 +72,26 @@ final class GraftRowFollowTable(root: String,
 }
 
 final class GraftRowFollowStream(root: String,
-    maxVersions: Option[Int] = None)
-    extends MicroBatchStream with SupportsAdmissionControl {
-  private def table = GraftTable.open(root)
+    protected val maxVersions: Option[Int] = None)
+    extends MicroBatchStream with VersionCappedStream {
+  protected def table: GraftTable = GraftTable.open(root)
 
   override def initialOffset(): Offset = VersionOffset(-1L)
   override def deserializeOffset(json: String): Offset =
     VersionOffset(json.toLong)
-  override def latestOffset(): Offset =
-    VersionOffset(table.currentVersion.getOrElse(-1L))
-  /** Admission control: `maxVersionsPerTrigger` caps how many retained
-    * commits one micro-batch expands (the roadmap's transition-chain
-    * bound) — a catch-up drains in bounded per-trigger chunks instead of
-    * building one union over the whole backlog. */
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[VersionOffset].version
-    val cur = table.currentVersion.getOrElse(-1L)
-    if (cur <= s) return VersionOffset(cur.max(s))
-    val cap = limit match {
-      case r: ReadMaxRows => Some(r.maxRows().toInt)
-      case _              => maxVersions
-    }
-    cap match {
-      case None => VersionOffset(cur)
-      case Some(n) =>
-        val ahead = table.versions.filter(_ > s).take(math.max(1, n))
-        VersionOffset(ahead.lastOption.getOrElse(cur))
-    }
-  }
-  override def getDefaultReadLimit: ReadLimit =
-    maxVersions.map(n => ReadLimit.maxRows(n.toLong))
-      .getOrElse(ReadLimit.allAvailable())
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[VersionOffset].version
-    val to = end.asInstanceOf[VersionOffset].version
-    if (to < 0 || to == from) return Array.empty
+    val to0 = end.asInstanceOf[VersionOffset].version
+    if (to0 < 0 || to0 == from) return Array.empty
+    // an expired replayed end offset resolves to the oldest retained
+    // version (VersionCappedStream.resolveEnd) — the whole window
+    // expired with it, so the feed degrades to a full refresh there
+    val to = resolveEnd(to0).getOrElse(return Array.empty)
+    if (to <= from) return Array.empty
     // retained versions inside (from, to]: per-commit transitions where
     // the manifests survive; expired intermediates collapse into the
     // first transition (whose from-side may itself be expired — then

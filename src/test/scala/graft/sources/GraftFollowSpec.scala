@@ -110,6 +110,56 @@ class GraftFollowSpec extends SparkSpec {
         .collect().toSet)
   }
 
+  test("maxVersionsPerTrigger caps the bucket-diff stream's batch span") {
+    val dir = tmp("follow-cap")
+    val leader = new GraftTable(s"$dir/leader", Seq("id"), nBuckets = 4,
+      retainVersions = 10)
+    val follower = new GraftTable(s"$dir/follower", Seq("id"), nBuckets = 4)
+    leader.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    (2 to 4).foreach(i =>
+      leader.merge(Seq((i.toLong, s"v$i", "I", f"$i%016x/${0L}%016x"))
+        .toDF("id", "v", "_op", "_seq")))
+    var batches = 0
+    val q = spark.readStream.format("graft-follow")
+      .option("path", s"$dir/leader")
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (df.count() > 0) batches += 1
+        GraftFollower.applyBatch(df, follower)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // 4 commits, 1 version per trigger → 4 applied batches, converged
+    assert(batches == 4, batches)
+    assert(contents(follower) == contents(leader))
+  }
+
+  test("replayed batch with a vacuumed end offset degrades, not crashes") {
+    val dir = tmp("follow-expend")
+    val leader = new GraftTable(s"$dir/leader", Seq("id"), nBuckets = 4,
+      retainVersions = 2)
+    leader.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    val expired = leader.currentVersion.get
+    (2 to 6).foreach(i =>
+      leader.merge(Seq((i.toLong, s"v$i", "I", f"$i%016x/${0L}%016x"))
+        .toDF("id", "v", "_op", "_seq")))
+    assert(!leader.versions.contains(expired))
+    // a crash after the offset WAL write replays planInputPartitions with
+    // the ORIGINAL (start, end); both follow streams must resolve the
+    // vacuumed end to a retained full refresh instead of crash-looping
+    val parts = new GraftFollowStream(s"$dir/leader")
+      .planInputPartitions(VersionOffset(-1L), VersionOffset(expired))
+    assert(parts.nonEmpty) // full refresh at the oldest retained version
+    val rowParts = new GraftRowFollowStream(s"$dir/leader")
+      .planInputPartitions(VersionOffset(-1L), VersionOffset(expired))
+    val transitions = rowParts.head
+      .asInstanceOf[GraftRowFollowPartition].transitions
+    assert(transitions.forall { case (_, t) => leader.versions.contains(t) },
+      transitions)
+  }
+
   test("expired checkpoint version degrades to one full-refresh batch") {
     val dir = tmp("follow-exp")
     // retainVersions=2: history expires fast
