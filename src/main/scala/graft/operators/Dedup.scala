@@ -275,6 +275,9 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
+    // free after the checkpoint; decides whether per-round stepped
+    // materialization pays for itself (see below)
+    val bigGraph = edges.count() > 500000L
     var labels = edges.select(col("u").as("id"), col("u").as("rep"))
       .distinct()
       .localCheckpoint()
@@ -286,14 +289,16 @@ object Dedup {
         .join(labels.withColumnsRenamed(Map("id" -> "v", "rep" -> "nrep")),
           "v")
         .groupBy("u").agg(min(col("nrep")).as("nmin"))
-      // materialized once: the pointer-jump below self-joins stepped, and
-      // without the checkpoint BOTH join sides would re-run the nbrMin
-      // shuffle (the round's dominant cost) independently
-      val stepped = labels
+      // on big graphs, materialized once: the pointer-jump below
+      // self-joins stepped, and without the checkpoint BOTH join sides
+      // re-run the nbrMin shuffle (the round's dominant cost at scale)
+      // independently; on small graphs the duplicate shuffle is cheaper
+      // than the extra materialization job per round
+      val stepped0 = labels
         .join(nbrMin.withColumnRenamed("u", "id"), Seq("id"), "left")
         .select(col("id"), col("rep").as("prev"),
           least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
-        .localCheckpoint()
+      val stepped = if (bigGraph) stepped0.localCheckpoint() else stepped0
       // pointer jumping: rep ← rep(rep) (path halving); prev rides along
       // so the convergence check below is a filter over the checkpointed
       // frame, not another join
