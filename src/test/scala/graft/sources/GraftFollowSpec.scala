@@ -160,6 +160,58 @@ class GraftFollowSpec extends SparkSpec {
       transitions)
   }
 
+  test("follower mini-fuzz: random merges/renames/deletes/truncates converge") {
+    val rnd = new scala.util.Random(11)
+    val dir = tmp("follow-fuzz")
+    val leader = new GraftTable(s"$dir/leader", Seq("id"), nBuckets = 4,
+      retainVersions = 8)
+    val follower = new GraftTable(s"$dir/follower", Seq("id"), nBuckets = 4)
+    val ckpt = s"$dir/ckpt"
+    var vCol = "v"
+    var lsn = 0L
+    (1 to 25).foreach { step =>
+      rnd.nextInt(10) match {
+        case i if i <= 4 => // merge
+          lsn += 1
+          val rows = (1 to rnd.nextInt(4) + 1).map { _ =>
+            val id = rnd.nextInt(10).toLong
+            (id, s"v$lsn-$id", if (rnd.nextInt(5) == 0) "D" else "U",
+              f"$lsn%016x/${0L}%016x")
+          }.groupBy(_._1).values.map(_.head).toSeq
+          leader.merge(rows.toDF("id", vCol, "_op", "_seq"))
+        case 5 | 6 => // rename the payload column back and forth
+          if (leader.currentSchema.exists(_.fieldNames.contains(vCol))) {
+            val to = if (vCol == "v") "val" else "v"
+            leader.renameColumn(vCol, to)
+            vCol = to
+          }
+        case 7 => // bucket-pruned SQL delete
+          leader.deleteWhere(spark, col("id") < rnd.nextInt(6).toLong)
+        case 8 => // truncate
+          leader.truncate()
+        case 9 => // overwrite (replay mark resets)
+          lsn += 1
+          leader.overwrite(
+            (1 to rnd.nextInt(4) + 1).map(_ => rnd.nextInt(10).toLong)
+              .distinct.map(id => (id, s"bf$lsn")).toDF("id", vCol))
+      }
+      // stream pass on a RANDOM cadence: batches span several commits,
+      // sometimes past retention
+      if (rnd.nextInt(3) == 0 || step == 25) {
+        runOnePass(s"$dir/leader", follower, ckpt)
+        val want =
+          if (leader.read(spark).columns.isEmpty) Set.empty
+          else leader.read(spark).select(col("id"), col(vCol))
+            .as[(Long, String)].collect().toSet
+        val got =
+          if (follower.read(spark).columns.isEmpty) Set.empty
+          else follower.read(spark).select(col("id"), col(vCol))
+            .as[(Long, String)].collect().toSet
+        assert(got == want, s"step $step: got=$got want=$want")
+      }
+    }
+  }
+
   test("expired checkpoint version degrades to one full-refresh batch") {
     val dir = tmp("follow-exp")
     // retainVersions=2: history expires fast
