@@ -181,4 +181,42 @@ object GraftRowFeed {
         a.unionByName(b, allowMissingColumns = true))
       .getOrElse(spark.emptyDataFrame)
   }
+
+  /** Row-level REPLICATION consumer: apply one micro-batch's change feed
+    * to a keyed target [[GraftTable]]. Each commit applies as its own
+    * merge with `_seq` = the leader commit version, so the target's
+    * replay high-water makes restarts exactly-once: a batch replayed
+    * after a crash (offsets WAL'd before foreachBatch commits) filters
+    * to a no-op instead of double-applying. Full-refresh transitions
+    * (expired checkpoint) rebuild via overwrite, which resets the mark —
+    * correct, because the subsequent commits' versions exceed it again.
+    * Deletes ride the preimage payload; preimages are otherwise
+    * informational. Typical use:
+    *
+    * {{{
+    * spark.readStream.format("graft-row-follow").option("path", root)
+    *   .load().writeStream.option("checkpointLocation", ckpt)
+    *   .foreachBatch { (df, _) => GraftRowFeed.applyBatch(df, root, replica) }
+    *   .start()
+    * }}}
+    */
+  def applyBatch(batch: DataFrame, root: String, target: GraftTable): Unit = {
+    import org.apache.spark.sql.functions.{col, format_string, lit, when}
+    val feed = changes(batch, root)
+    if (feed.columns.isEmpty) return
+    val commits = feed.select("_commit_version", "_full_refresh").distinct()
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1)
+    commits.foreach { case (v, fullRefresh) =>
+      val rows = feed.filter(col("_commit_version") === v)
+      if (fullRefresh)
+        target.overwrite(rows.filter(col("_change_type") === "insert")
+          .drop("_change_type", "_commit_version", "_full_refresh"))
+      else
+        target.merge(rows.filter(col("_change_type") =!= "update_preimage")
+          .withColumn("_op",
+            when(col("_change_type") === "delete", "D").otherwise("U"))
+          .withColumn("_seq", format_string("%016x/%016x", lit(v), lit(0L)))
+          .drop("_change_type", "_commit_version", "_full_refresh"))
+    }
+  }
 }

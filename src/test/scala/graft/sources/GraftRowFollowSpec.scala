@@ -180,6 +180,49 @@ class GraftRowFollowSpec extends SparkSpec {
     assert(perBatch.map(_.head._2) == Seq(0L, 1L, 2L, 3L), perBatch)
   }
 
+  test("applyBatch replicates row-level feeds into a keyed table") {
+    val dir = tmp("rowfollow-apply")
+    val root = s"$dir/leader"
+    val leader = new GraftTable(root, Seq("id"), nBuckets = 4,
+      retainVersions = 10)
+    val replica = new GraftTable(s"$dir/replica", Seq("id"), nBuckets = 8)
+    val ckpt = s"$dir/ckpt"
+    def pass(): Unit = {
+      val q = spark.readStream.format("graft-row-follow")
+        .option("path", root).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          GraftRowFeed.applyBatch(df, root, replica)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    def same(): Unit = {
+      val want = leader.read(spark).select("id", "v")
+        .as[(Long, String)].collect().toSet
+      val got =
+        if (replica.read(spark).columns.isEmpty) Set.empty[(Long, String)]
+        else replica.read(spark).select("id", "v")
+          .as[(Long, String)].collect().toSet
+      assert(got == want, s"got=$got want=$want")
+    }
+
+    leader.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    pass(); same()
+    leader.merge(Seq((1L, "a2", "U", "0000000000000010/0000000000000000"),
+        (3L, "", "D", "0000000000000011/0000000000000000"))
+      .toDF("id", "v", "_op", "_seq"))
+    leader.append(Seq((9L, "z")).toDF("id", "v"))
+    pass(); same()
+    // no new commits → replay-guarded no-op
+    pass(); same()
+    leader.truncate()
+    pass(); same()
+    leader.overwrite(Seq((5L, "e")).toDF("id", "v"))
+    pass(); same()
+  }
+
   test("expired checkpoint version degrades to one full-refresh insert feed") {
     val dir = tmp("rowfollow-exp")
     val root = s"$dir/leader"
