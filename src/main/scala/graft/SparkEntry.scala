@@ -51,6 +51,7 @@ object SparkEntry {
     "text_tokens" -> (TextQueries.tokenCounts _),
     "vocab_stats" -> (TextQueries.vocabStats _),
     "pack_sequences" -> (TextQueries.packSequences _),
+    "pack_balanced" -> (TextQueries.packBalanced _),
     "text_langid" -> (TextQueries.langId _),
     "text_quality" -> (TextQueries.quality _),
     "text_fingerprint" -> (TextQueries.fingerprint _),
@@ -117,6 +118,7 @@ object SparkEntry {
     "text_tokens" -> TextQueries.tokenCountsSql,
     "vocab_stats" -> TextQueries.vocabStatsSql,
     "pack_sequences" -> TextQueries.packSequencesSql,
+    "pack_balanced" -> TextQueries.packBalancedSql,
     "text_langid" -> TextQueries.langIdSql,
     "text_quality" -> TextQueries.qualitySql,
     "dedup_exact" -> SimQueries.dedupExactSql,

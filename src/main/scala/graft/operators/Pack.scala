@@ -52,4 +52,40 @@ object Pack {
       }
     }.toDF("id", "shard", "pack_id")
   }
+
+  /** Skew-resistant two-level packing: each (non-negative) shard splits
+    * into `fanout` deterministic hash sub-shards, packing runs
+    * independently per sub-shard (so one hot shard parallelizes across
+    * `fanout` streams), and pack ids renumber densely per original
+    * shard: sub-shard `s` starts at the sum of earlier sub-shards' pack
+    * counts. Trades exact single-stream first-fit order for balance —
+    * packs still respect the budget (each is built within one
+    * sub-shard) and ids stay contiguous per shard. The offset table is
+    * (shards × fanout) rows — metadata-scale at any data size — so the
+    * renumbering is one broadcast join + a projection, never a
+    * data-sized shuffle. */
+  def greedyBalanced(df: DataFrame, idCol: String, ntokCol: String,
+      shardCol: String, budget: Long, fanout: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(fanout > 0, s"fanout must be positive: $fanout")
+    val composite = df.withColumn("_cshard",
+      col(shardCol).cast("long") * fanout +
+        pmod(xxhash64(col(idCol)), lit(fanout)))
+    val packed = greedy(composite, idCol, ntokCol, "_cshard", budget)
+      .withColumnsRenamed(Map("shard" -> "_cshard", "pack_id" -> "_lpack"))
+    // packs per sub-shard (map-side combined agg over shards×fanout
+    // groups), then a prefix-sum offset per original shard
+    val counts = packed.groupBy(col("_cshard"))
+      .agg((max(col("_lpack")) + 1).as("_n"))
+      .withColumn("shard", (col("_cshard") / fanout).cast("long"))
+      .withColumn("_sub", pmod(col("_cshard"), lit(fanout)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_sub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_off", coalesce(sum(col("_n")).over(w), lit(0L)))
+      .select(col("_cshard"), col("shard"), col("_off"))
+    packed.join(broadcast(offsets), "_cshard")
+      .select(col("id"), col("shard"),
+        (col("_off") + col("_lpack")).as("pack_id"))
+  }
 }

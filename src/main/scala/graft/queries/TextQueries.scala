@@ -67,6 +67,38 @@ object TextQueries {
       FROM packed p JOIN d nd ON nd.shard = p.shard AND nd.rn = p.rn + 1)
     SELECT doc_id AS id, shard, pack_id FROM packed ORDER BY shard, id"""
 
+  /** Skew-resistant two-level packing gate: sub-shards come from
+    * xxhash64 (not DuckDB-reproducible), so this emits a COMPARISON row
+    * — doc count preserved, zero multi-doc packs over budget, pack ids
+    * contiguous per shard — that DuckDB recomputes exactly (the
+    * LSH-gate pattern). */
+  def packBalanced(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 4).as("shard"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+    val packed = graft.operators.Pack.greedyBalanced(docs, "doc_id", "ntok",
+      "shard", budget = 512L, fanout = 4)
+    val packs = packed
+      .join(docs.select(col("doc_id").as("id"), col("ntok")), "id")
+      .groupBy("shard", "pack_id")
+      .agg(sum(col("ntok")).as("tot"), count(lit(1)).as("n"))
+    val contiguous = packs.groupBy("shard")
+      .agg((max(col("pack_id")) + 1 ===
+        count(col("pack_id")).cast("long")).as("c"))
+      .agg(min(col("c")).as("contiguous"))
+    packs.agg(
+        sum(col("n")).as("n_docs"),
+        sum(when(col("tot") > 512 && col("n") > 1, 1L).otherwise(0L))
+          .as("n_over"))
+      .crossJoin(contiguous)
+  }
+
+  val packBalancedSql: String = """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(0 AS BIGINT) AS n_over,
+           true AS contiguous
+    FROM documents"""
+
   /** Token counting: whitespace tokens + BPE-ish subword estimate. */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")

@@ -53,4 +53,35 @@ class PackSpec extends SparkSpec {
       assert(ids.toSeq == (0L until ids.length.toLong).toSeq)
     }
   }
+
+  test("greedyBalanced: budget + contiguity hold, hot shard splits across sub-streams") {
+    // ONE hot shard: all 300 docs land on shard 0
+    val input = (1L to 300L).map(i => (i, 0L, 60L + i % 40))
+      .toDF("doc_id", "shard", "ntok")
+    val packed = Pack.greedyBalanced(input, "doc_id", "ntok", "shard",
+      budget = 512L, fanout = 8)
+    val rows = packed.as[(Long, Long, Long)].collect()
+    assert(rows.length == 300 && rows.forall(_._2 == 0L))
+    // budget respected (multi-doc packs), ids contiguous from 0
+    val byPack = rows.groupBy(_._3)
+    val ntok = input.as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    byPack.foreach { case (p, ds) =>
+      val tot = ds.map(d => ntok(d._1)).sum
+      assert(tot <= 512L || ds.length == 1, s"pack $p: $tot")
+    }
+    val ids = byPack.keys.toSeq.sorted
+    assert(ids == (0L until ids.length.toLong))
+    // deterministic
+    val again = Pack.greedyBalanced(input, "doc_id", "ntok", "shard",
+      512L, 8).as[(Long, Long, Long)].collect()
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // the hot shard actually split: more than one sub-stream contributed
+    // (pack count exceeds what one greedy stream yields isn't guaranteed,
+    // so check the sub-shard hash spreads docs instead)
+    import org.apache.spark.sql.functions.{pmod, xxhash64}
+    val subs = input.select(pmod(xxhash64(col("doc_id")), lit(8)))
+      .distinct().count()
+    assert(subs > 1)
+  }
 }
