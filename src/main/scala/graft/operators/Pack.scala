@@ -53,7 +53,7 @@ object Pack {
     }.toDF("id", "shard", "pack_id")
   }
 
-  /** Skew-resistant two-level packing: each (non-negative) shard splits
+  /** Skew-resistant two-level packing: each shard splits
     * into `fanout` deterministic hash sub-shards, packing runs
     * independently per sub-shard (so one hot shard parallelizes across
     * `fanout` streams), and pack ids renumber densely per original
@@ -75,9 +75,13 @@ object Pack {
       .withColumnsRenamed(Map("shard" -> "_cshard", "pack_id" -> "_lpack"))
     // packs per sub-shard (map-side combined agg over shards×fanout
     // groups), then a prefix-sum offset per original shard
+    // FLOOR division (not truncate-toward-zero) so negative shard ids
+    // reconstruct correctly: (c − pmod(c, f)) is exactly divisible
     val counts = packed.groupBy(col("_cshard"))
       .agg((max(col("_lpack")) + 1).as("_n"))
-      .withColumn("shard", (col("_cshard") / fanout).cast("long"))
+      .withColumn("shard",
+        ((col("_cshard") - pmod(col("_cshard"), lit(fanout))) / fanout)
+          .cast("long"))
       .withColumn("_sub", pmod(col("_cshard"), lit(fanout)))
     val w = Window.partitionBy(col("shard")).orderBy(col("_sub"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -824,12 +824,18 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   def rowChangesBetween(spark: SparkSession, fromVersion: Long,
       toVersion: Long): TableChanges = {
     import org.apache.spark.sql.types.StringType
-    require(fromVersion <= toVersion,
+    require(versions.contains(toVersion),
+      s"toVersion $toVersion is not a retained snapshot of $root " +
+        s"(retained: ${versions.mkString(", ")})")
+    val known = fromVersion >= 0 && versions.contains(fromVersion)
+    // an UNKNOWN fromVersion (expired, or from a dropped/recreated
+    // table's future) degrades to full refresh below — only a window
+    // between two RETAINED versions can be genuinely inverted
+    require(!known || fromVersion <= toVersion,
       s"inverted change window: fromVersion $fromVersion > toVersion " +
         s"$toVersion (the feed would read backwards, swapping " +
         "inserts/deletes)")
     val cur = readManifest(toVersion)
-    val known = fromVersion >= 0 && versions.contains(fromVersion)
     if (!known) {
       // full-refresh insert feed; a pre-schema empty table has no
       // columns to tag, so its feed is the empty frame itself

@@ -310,7 +310,7 @@ object GraftFollower {
     * batch that also spans ADD/DROP commits (field counts differ, or a
     * dropped column's position was reused) falls back to the widen-only
     * evolution contract instead of guessing a wrong pair. */
-  private def mirrorRenames(target: GraftTable,
+  private[sources] def mirrorRenames(target: GraftTable,
       leaderLogical: StructType): Unit = {
     val cur = target.currentSchema.getOrElse(return)
     if (cur.length != leaderLogical.length) return

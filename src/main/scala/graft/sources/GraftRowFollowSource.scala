@@ -150,19 +150,21 @@ final class GraftRowFollowReaderFactory extends PartitionReaderFactory {
   * }}}
   */
 object GraftRowFeed {
-  def changes(batch: DataFrame, root: String): DataFrame = {
+  /** One tagged change frame per transition in the batch, in commit
+    * order — the pre-union shape both [[changes]] and [[applyBatch]]
+    * build on. A batch spanning a RENAME COLUMN would otherwise carry
+    * feeds whose column names differ per transition (each is under its
+    * target version's logical schema): every feed aligns onto the LAST
+    * transition's logical names through the stable physical identity. */
+  private def transitionFeeds(batch: DataFrame,
+      table: GraftTable): Seq[(Long, Boolean, DataFrame)] = {
     val spark = batch.sparkSession
     val transitions = batch.select("from_version", "to_version").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
-    val table = GraftTable.open(root)
-    if (transitions.isEmpty) return spark.emptyDataFrame
-    // a batch spanning a RENAME COLUMN would otherwise union feeds whose
-    // column names differ per transition (each feed is under its target
-    // version's logical schema): align every feed onto the LAST
-    // transition's logical names through the stable physical identity
+    if (transitions.isEmpty) return Seq.empty
     val finalTo = transitions.last._2
     val finalPhysToLogical = table.mappingOf(finalTo).map(_.swap)
-    val feeds = transitions.map { case (f, t) =>
+    transitions.toSeq.map { case (f, t) =>
       val c = table.rowChangesBetween(spark, f, t)
       val mapping = table.mappingOf(t)
       val renames = c.rows.columns
@@ -173,12 +175,18 @@ object GraftRowFeed {
         }.toMap
       val rows =
         if (renames.isEmpty) c.rows else c.rows.withColumnsRenamed(renames)
-      rows
-        .withColumn("_commit_version", lit(t))
-        .withColumn("_full_refresh", lit(c.fullRefresh))
+      (t, c.fullRefresh, rows)
     }
-    feeds.reduceOption((a, b) =>
-        a.unionByName(b, allowMissingColumns = true))
+  }
+
+  def changes(batch: DataFrame, root: String): DataFrame = {
+    val spark = batch.sparkSession
+    transitionFeeds(batch, GraftTable.open(root))
+      .map { case (t, fullRefresh, rows) =>
+        rows.withColumn("_commit_version", lit(t))
+          .withColumn("_full_refresh", lit(fullRefresh))
+      }
+      .reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
       .getOrElse(spark.emptyDataFrame)
   }
 
@@ -202,21 +210,29 @@ object GraftRowFeed {
     */
   def applyBatch(batch: DataFrame, root: String, target: GraftTable): Unit = {
     import org.apache.spark.sql.functions.{col, format_string, lit, when}
-    val feed = changes(batch, root)
-    if (feed.columns.isEmpty) return
-    val commits = feed.select("_commit_version", "_full_refresh").distinct()
-      .collect().map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1)
-    commits.foreach { case (v, fullRefresh) =>
-      val rows = feed.filter(col("_commit_version") === v)
+    val leader = GraftTable.open(root)
+    val feeds = transitionFeeds(batch, leader)
+    if (feeds.isEmpty) return
+    // mirror leader renames first (the feeds are aligned onto the FINAL
+    // transition's logical names): without this a post-rename merge
+    // would widen the replica with the new name while untouched keys
+    // kept the old column — permanent divergence from leader.read
+    val payload = StructType(feeds.last._3.schema.fields
+      .filterNot(_.name == "_change_type"))
+    GraftFollower.mirrorRenames(target, payload)
+    // each commit applies as its own merge directly from its transition
+    // frame (never re-filtering the unioned feed — that re-executed all
+    // N transition joins per commit)
+    feeds.foreach { case (v, fullRefresh, rows) =>
       if (fullRefresh)
         target.overwrite(rows.filter(col("_change_type") === "insert")
-          .drop("_change_type", "_commit_version", "_full_refresh"))
+          .drop("_change_type"))
       else
         target.merge(rows.filter(col("_change_type") =!= "update_preimage")
           .withColumn("_op",
             when(col("_change_type") === "delete", "D").otherwise("U"))
           .withColumn("_seq", format_string("%016x/%016x", lit(v), lit(0L)))
-          .drop("_change_type", "_commit_version", "_full_refresh"))
+          .drop("_change_type"))
     }
   }
 }

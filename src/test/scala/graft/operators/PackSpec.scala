@@ -84,4 +84,22 @@ class PackSpec extends SparkSpec {
       .distinct().count()
     assert(subs > 1)
   }
+
+  test("greedyBalanced: negative shard ids reconstruct without collisions") {
+    val input = (1L to 120L).map(i => (i, (i % 3) - 1, 100L + i % 50))
+      .toDF("doc_id", "shard", "ntok") // shards -1, 0, 1
+    val rows = Pack.greedyBalanced(input, "doc_id", "ntok", "shard",
+      budget = 512L, fanout = 4).as[(Long, Long, Long)].collect()
+    assert(rows.length == 120)
+    assert(rows.map(_._2).toSet == Set(-1L, 0L, 1L))
+    // shard assignment preserved exactly (floor division, not truncate)
+    val want = input.as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    rows.foreach { case (id, shard, _) => assert(shard == want(id), id) }
+    // contiguous non-overlapping pack ids per shard
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      val ids = rs.map(_._3).distinct.sorted
+      assert(ids.toSeq == (0L until ids.length.toLong).toSeq, ids.toSeq)
+    }
+  }
 }

@@ -354,6 +354,17 @@ class GraftTableSpec extends SparkSpec {
       s"SELECT id, v, _change_type FROM graft_table_changes('${t.root}', $v0, $v1)")
       .as[(Long, String, String)].collect().toSet
     assert(between == got, between)
+    // an UNKNOWN future fromVersion (dropped/recreated table) degrades
+    // to full refresh — never throws on the ordering
+    val future = t.rowChangesSince(spark, 9999L)
+    assert(future.fullRefresh && future.rows.count() > 0)
+    // explicit windows validate their bounds with actionable messages
+    val badTo = intercept[IllegalArgumentException](
+      t.rowChangesBetween(spark, v0, 9999L))
+    assert(badTo.getMessage.contains("not a retained snapshot"))
+    val inverted = intercept[IllegalArgumentException](
+      t.rowChangesBetween(spark, v1, v0))
+    assert(inverted.getMessage.contains("inverted change window"))
   }
 
   test("rowChangesSince: schema evolution projects preimages onto the new schema") {

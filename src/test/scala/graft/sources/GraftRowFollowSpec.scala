@@ -221,6 +221,18 @@ class GraftRowFollowSpec extends SparkSpec {
     pass(); same()
     leader.overwrite(Seq((5L, "e")).toDF("id", "v"))
     pass(); same()
+    // leader RENAME mid-stream: the replica must mirror it (untouched
+    // keys serve the new name too, not a null-widened extra column)
+    leader.append(Seq((6L, "f")).toDF("id", "v"))
+    leader.renameColumn("v", "val")
+    leader.merge(Seq((7L, "g", "I", "00000000000000f0/0000000000000000"))
+      .toDF("id", "val", "_op", "_seq"))
+    pass()
+    assert(replica.currentSchema.get.fieldNames.toSeq == Seq("id", "val"))
+    assert(replica.read(spark).select("id", "val").as[(Long, String)]
+      .collect().toSet ==
+      leader.read(spark).select("id", "val").as[(Long, String)]
+        .collect().toSet)
   }
 
   test("expired checkpoint version degrades to one full-refresh insert feed") {
