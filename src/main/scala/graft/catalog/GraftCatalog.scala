@@ -169,11 +169,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       val name = a.fieldNames().mkString(".")
       val mapping = t.columnMapping
       val logical = t.currentSchema.map(_.fieldNames.toSet).getOrElse(Set.empty)
+      // on-disk names in use: the live schema's physical names PLUS every
+      // mapping target — a DROPPED renamed column leaves the schema but
+      // its physical name stays occupied in old files (the mapping entry
+      // is the durable marker), and re-adding it would resurrect that
+      // column's stored values
       val physInUse = t.currentSchema
         .map(_.fieldNames.iterator.map(n => mapping.getOrElse(n, n)).toSet)
-        .getOrElse(Set.empty)
+        .getOrElse(Set.empty) ++ mapping.values
       require(!physInUse.contains(name) || logical.contains(name),
-        s"cannot add column $name: a renamed column is still stored as " +
+        s"cannot add column $name: a renamed column is (or was) stored as " +
           s"'$name' on disk")
     }
     changes.collect { case d: TableChange.DeleteColumn => d }.foreach { d =>
@@ -187,6 +192,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       require(!t.keyCols.contains(u.fieldNames().mkString(".")),
         s"cannot change the type of bucket key ${u.fieldNames().mkString(".")}" +
           " (bucket routing is type-sensitive)")
+      // with data, only WIDENING casts: existing files keep the old
+      // physical type, and the vectorized reader fails outright on a
+      // narrowing read schema (the table would become unreadable)
+      val name = u.fieldNames().mkString(".")
+      t.currentSchema.flatMap(_.fields.find(_.name == name)).foreach { f =>
+        require(!hasData ||
+          org.apache.spark.sql.catalyst.expressions.Cast
+            .canUpCast(f.dataType, u.newDataType()),
+          s"cannot change $name from ${f.dataType.simpleString} to " +
+            s"${u.newDataType().simpleString} on a table with data: " +
+            "existing files keep the old type and only widening " +
+            "(up-cast) reads are safe")
+      }
     }
     // renames on data-carrying tables commit through the name-mapping
     // path; everything else (and empty-table renames, which need no
@@ -207,9 +225,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)
     if (!isTableDir(dir)) return false
-    val st = Files.walk(dir)
-    val all = try st.iterator().asScala.toVector finally st.close()
-    all.reverse.foreach(Files.deleteIfExists(_))
+    graft.core.Fs.deleteRecursively(dir)
     true
   }
 
@@ -275,9 +291,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       val empty = try !st.iterator().hasNext finally st.close()
       require(empty, s"namespace ${namespace.mkString(".")} is not empty")
     }
-    val st = Files.walk(dir)
-    val all = try st.iterator().asScala.toVector finally st.close()
-    all.reverse.foreach(Files.deleteIfExists(_))
+    graft.core.Fs.deleteRecursively(dir)
     true
   }
 }
@@ -523,14 +537,8 @@ final class GraftSqlTable(val table: GraftTable, fullName: String,
         val delegate = ParquetTable(s"$fullName-staging", spark, stagingOpts,
           Seq(staging), Some(dataSchema), classOf[ParquetFileFormat])
           .newWriteBuilder(w).build().toBatch
-        def dropStaging(): Unit = {
-          val p = Paths.get(staging)
-          if (Files.exists(p)) {
-            val st = Files.walk(p)
-            val all = try st.iterator().asScala.toVector finally st.close()
-            all.reverse.foreach(Files.deleteIfExists(_))
-          }
-        }
+        def dropStaging(): Unit =
+          graft.core.Fs.deleteRecursively(Paths.get(staging))
         new WriteBuilder {
           override def build(): Write = new Write {
             override def toBatch: BatchWrite = new BatchWrite {

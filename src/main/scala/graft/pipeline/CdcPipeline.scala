@@ -264,7 +264,12 @@ final class CdcPipeline(
       if (copying.nonEmpty) {
         val toSpool = cached.filter(col("_op") =!= "R" &&
           col("_table").isin(copying.toSeq.map(java.lang.Long.valueOf): _*))
-        val present = meta.filter(g => copying(g.tableId) && g.nData > 0)
+        // nData OR a truncate: a truncate-only batch for a copy-in-flight
+        // table must spool too, or a post-snapshot-LSN TRUNCATE is
+        // dropped while the checkpoint advances (same condition as the
+        // steady-state plan below)
+        val present = meta.filter(g => copying(g.tableId) &&
+            (g.nData > 0 || g.trunc.nonEmpty))
           .map(_.tableId).distinct
         present.foreach { id =>
           toSpool.filter(col("_table") === id)
@@ -359,9 +364,44 @@ final class CdcPipeline(
             val expanded = if (idCols.isEmpty) dataSlice else {
               val ks = org.apache.spark.sql.types.StructType(
                 schema.sparkSchema.fields.filter(f => idCols.contains(f.name)))
+              // dual-format key images, like jsonDecode: the hot path
+              // carries '='-packed payloads (from_json alone returned
+              // null there, so packed key-changing updates were never
+              // expanded); keys compare as canonical TEXT cells — both
+              // sides of one row share a producer format, so within-row
+              // equality is exact
+              val specs = schema.replicatedColumns
+              val keyIdx = specs.zipWithIndex.collect {
+                case (s, i) if idCols.contains(s.name) => i }
+              val strKs = org.apache.spark.sql.types.StructType(
+                keyIdx.indices.map(o =>
+                  org.apache.spark.sql.types.StructField(s"_k$o",
+                    org.apache.spark.sql.types.StringType)))
+              def keyRep(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+                import org.apache.spark.sql.GraftColumnBridge
+                import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+                import org.apache.spark.sql.types.{ArrayType, StringType}
+                val cells = GraftColumnBridge.column(StaticInvoke(
+                  graft.functions.PgPackedRowCodec.getClass,
+                  ArrayType(StringType, containsNull = true), "parse",
+                  Seq(GraftColumnBridge.expression(payload)),
+                  inputTypes = Seq(StringType)))
+                val js = from_json(payload, ks)
+                val packedK = struct(keyIdx.zipWithIndex.map { case (ci, o) =>
+                  try_element_at(cells, lit(ci + 1)).as(s"_k$o") }: _*)
+                val jsonK = struct(ks.fields.zipWithIndex.map { case (f, o) =>
+                  js.getField(f.name).cast("string").as(s"_k$o") }: _*)
+                // struct(...) is never null, so the null payload guard
+                // must come first or U-rows without a before image would
+                // wrongly read as key changes
+                when(payload.isNull, lit(null).cast(strKs))
+                  .when(payload.startsWith(
+                    graft.core.PackedRow.Marker.toString), packedK)
+                  .otherwise(jsonK)
+              }
               val withK = dataSlice
-                .withColumn("_bk", from_json(col("before"), ks))
-                .withColumn("_ak", from_json(col("after"), ks))
+                .withColumn("_bk", keyRep(col("before")))
+                .withColumn("_ak", keyRep(col("after")))
               val changed = col("_op") === "U" && col("_bk").isNotNull &&
                 !(col("_bk") <=> col("_ak"))
               val unex = withK.filter(!changed)
@@ -434,16 +474,8 @@ object CdcPipeline {
     case _ => false
   }
 
-  private[pipeline] def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    if (!Files.exists(p)) return
-    val st = Files.walk(p)
-    val all = try {
-      import scala.jdk.CollectionConverters._
-      st.iterator().asScala.toVector
-    } finally st.close()
-    all.reverse.foreach(Files.deleteIfExists(_))
-  }
+  private[pipeline] def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.core.Fs.deleteRecursively(p)
 
   /** Standard envelope decode: before/after images → flat typed payload
     * + (_op, _commit_lsn, _tx_ordinal), against the schema version in

@@ -75,7 +75,8 @@ final class PipelineMetrics(spark: SparkSession,
     val body =
       s"""{"query":"$queryName","batches":$batches,"rows":$rows,""" +
         s""""wallMs":$wallMs,"processingMs":$totalMs,"maxBatchMs":$maxMs,""" +
-        f""""eventsPerSecond":$eps%.1f""" + perTable + "}"
+        """"eventsPerSecond":""" + String.format(java.util.Locale.ROOT,
+          "%.1f", Double.box(eps)) + perTable + "}"
     val p = Paths.get(path)
     if (p.getParent != null) Files.createDirectories(p.getParent)
     val tmp = Paths.get(path + ".tmp")

@@ -107,14 +107,19 @@ final class TableStateStore(persistPath: Option[String] = None) {
 
   def get(tableId: Long): TableState = states.getOrElse(tableId, TableState.Init)
 
-  def transition(tableId: Long, to: TableState): Boolean = {
+  /** Atomic check-and-set: two concurrent backfills of the same table
+    * (e.g. a timer-driven retry racing an in-flight copy) must not both
+    * win the Init→DataSync transition — copies are mutually exclusive. */
+  def transition(tableId: Long, to: TableState): Boolean = synchronized {
     val from = get(tableId)
     if (TableState.canTransition(from, to)) {
       states.update(tableId, to); persist(); true
     } else false
   }
 
-  def force(tableId: Long, s: TableState): Unit = { states.update(tableId, s); persist() }
+  def force(tableId: Long, s: TableState): Unit = synchronized {
+    states.update(tableId, s); persist()
+  }
 
   /** Tables the apply stream may deliver to, with their snapshot gates:
     * Ready → ungated; SyncDone(lsn) → gated at lsn (apply.rs:2626-2639). */

@@ -218,13 +218,7 @@ final class ChangelogSink(rootDir: String) extends CdcSink {
     // post-truncate appends out forever (same rationale as
     // GraftTable.truncate).
     Files.deleteIfExists(hwPath(table))
-    val p = Paths.get(dir(table))
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      val st = Files.walk(p)
-      val all = try st.iterator().asScala.toVector finally st.close()
-      all.reverse.foreach(f => Files.deleteIfExists(f))
-    }
+    graft.core.Fs.deleteRecursively(Paths.get(dir(table)))
   }
 
   def read(spark: SparkSession, table: String): DataFrame = {
@@ -266,11 +260,7 @@ final class ChangelogSink(rootDir: String) extends CdcSink {
       }
     }
     Files.deleteIfExists(marker)
-    if (Files.exists(tmpDir)) {
-      val st = Files.walk(tmpDir)
-      val rest = try st.iterator().asScala.toVector finally st.close()
-      rest.reverse.foreach(Files.deleteIfExists(_))
-    }
+    graft.core.Fs.deleteRecursively(tmpDir)
   }
 
   /** Maintenance: rewrite the changelog into ~`targetFiles` files sorted
@@ -407,8 +397,14 @@ final class ExactlyOnceSink(inner: CdcSink, ledgerPath: String,
   override def writeEvents(table: String, events: DataFrame,
       maskHint: Option[Boolean]): Unit =
     if (!skipping) inner.writeEvents(table, events, maskHint)
+  // like writeTableRows: truncates reaching a sink OUTSIDE a batch
+  // bracket are backfill drop_table_for_copy calls, idempotent via the
+  // copy protocol — and the in-bracket caller never runs while a replay
+  // is being skipped (applyBatch returns before it). Gating this on
+  // `skipping` dropped a concurrent backfill's truncate whenever the
+  // flag lingered after a skipped replay (no commitBatch resets it).
   override def truncateTable(table: String): Unit =
-    if (!skipping) inner.truncateTable(table)
+    inner.truncateTable(table)
   override def shutdown(): Unit = inner.shutdown()
 }
 

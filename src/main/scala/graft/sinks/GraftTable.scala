@@ -721,7 +721,11 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val vs = versions
     if (vs.isEmpty) return
     val retained = vs.takeRight(math.max(1, keep))
-    val live = retained.flatMap(v => readManifest(v).allFiles.map(resolved)).toSet
+    // normalize through Path: the membership test below compares against
+    // Files.list Paths (which collapse doubled separators), so a root
+    // with a trailing slash must not make every live file look orphaned
+    val live = retained.flatMap(v => readManifest(v).allFiles
+      .map(f => Paths.get(resolved(f)).normalize().toString)).toSet
     vs.dropRight(math.max(1, keep))
       .foreach(v => Files.deleteIfExists(manifestPath(v)))
     // orphaned stage dirs from crashed writers
@@ -981,7 +985,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) walkDir(p).reverse.foreach(Files.deleteIfExists(_))
+    graft.core.Fs.deleteRecursively(p)
 }
 
 object GraftTable {

@@ -90,6 +90,40 @@ class StreamingSpec extends SparkSpec {
       .select("name").as[String].head() == "u1b")
   }
 
+  test("packed envelopes: PK-changing update expands to DELETE(old)+UPSERT(new)") {
+    // the hot path carries '='-packed payloads; the J1 expansion must
+    // detect the key change there too (a from_json-only parse read
+    // packed keys as null and never expanded — the old key's row
+    // survived forever)
+    val dir = tmp("cdc-pk-packed")
+    val log = s"$dir/wal.log"
+    def packed(id: Long, name: String, age: Int) =
+      graft.core.PackedRow.render(
+        Seq(Some(id.toString), Some(name), Some(age.toString)))
+    appendLog(log, Seq(
+      CdcLogSource.renderLine("I", 1L, 1L, 1L, 0L, 0L, None,
+        Some(packed(1L, "a", 10))),
+      CdcLogSource.renderLine("I", 1L, 1L, 1L, 1L, 0L, None,
+        Some(packed(5L, "e", 50)))))
+    val sink = new CurrentStateSink(s"$dir/tables", _ => Seq("id"), 4)
+    val pipeline = mkPipeline(dir, sink)
+    pipeline.stateStore.force(1L, TableState.Ready)
+    val q = pipeline.startStream(log)
+    q.processAllAvailable()
+    // key 1 → 2 (packed before/after), while key 5 gets a plain update
+    appendLog(log, Seq(
+      CdcLogSource.renderLine("U", 1L, 2L, 2L, 0L, 0L,
+        Some(packed(1L, "a", 10)), Some(packed(2L, "a", 11))),
+      CdcLogSource.renderLine("U", 1L, 2L, 2L, 1L, 0L,
+        Some(packed(5L, "e", 50)), Some(packed(5L, "e2", 51)))))
+    q.processAllAvailable()
+    q.stop()
+    val rows = sink.read(spark, "users").select("id", "name", "age")
+      .as[(Long, String, Int)].collect().toSet
+    // old key 1 must be GONE, new key 2 present; key 5 updated in place
+    assert(rows == Set((2L, "a", 11), (5L, "e2", 51)), rows)
+  }
+
   test("raw source: admission control splits batches; offsets progress") {
     val dir = tmp("cdc-src")
     val log = s"$dir/wal.log"
