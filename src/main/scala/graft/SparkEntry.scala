@@ -74,6 +74,13 @@ object SparkEntry {
     // multimodal columns
     "mm_meta" -> (SimQueries.mmMeta _),
     "mm_features" -> (SimQueries.mmFeatures _),
+    // temporal / range joins (no native Spark operator; gated vs DuckDB
+    // ASOF JOIN and the plain BETWEEN join respectively)
+    "asof_join" -> (JoinQueries.asofJoin _),
+    "range_join" -> (JoinQueries.rangeJoin _),
+    // corpus curation: domain mixing + PII redaction
+    "mix_domains" -> (CurationQueries.mixDomains _),
+    "text_redact" -> (CurationQueries.textRedact _),
   )
 
   /** Bench-only operator timings, NOT part of the correctness contract:
@@ -142,6 +149,10 @@ object SparkEntry {
     "dedup_embed_cosine" -> SimQueries.dedupEmbedCosineSql,
     "ann_lsh" -> SimQueries.annLshSql,
     "ann_ivf" -> SimQueries.annIvfSql,
-    "ann_pq" -> SimQueries.annPqSql
+    "ann_pq" -> SimQueries.annPqSql,
+    "asof_join" -> JoinQueries.asofJoinSql,
+    "range_join" -> JoinQueries.rangeJoinSql,
+    "mix_domains" -> CurationQueries.mixDomainsSql,
+    "text_redact" -> CurationQueries.textRedactSql
   )
 }

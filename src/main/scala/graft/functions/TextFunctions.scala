@@ -67,6 +67,28 @@ object TextFunctions {
       least(avgLen, lit(10.0)) / 10.0) / 4.0, 6)
   }
 
+  /** PII redaction patterns — shared by the Spark expression and the
+    * oracle SQL so the two can never drift. Every pattern is restricted
+    * to syntax with IDENTICAL semantics in Java regex (Spark) and RE2
+    * (DuckDB): character classes, greedy counted quantifiers, `\b` —
+    * no lookaround (RE2 has none), no alternation whose order could
+    * resolve differently between leftmost-first and leftmost-longest
+    * matching. Order matters: emails first (self-contained by the `@`),
+    * then dotted quads, then `+`-prefixed phone numbers (by then no
+    * redacted token contains digits for the phone class to swallow). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
+    ("\\+\\d[\\d().-]{6,}\\d", "[PHONE]"))
+
+  /** Scrub emails / IPv4 addresses / international-format phone numbers —
+    * the standard pre-training redaction pass (C4/Dolma-style), as a
+    * pure codegen'd `regexp_replace` chain. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+
   // ---------------------------------------------------------------- oracle SQL
   /** DuckDB expression equivalents, generated from the SAME marker lists so
     * Spark and oracle can never drift. `t` = text column name. */
@@ -109,4 +131,11 @@ object TextFunctions {
        + least($nTok, 500.0) / 500.0
        + (CASE WHEN $nTok > 0 THEN least($nonSpace / $nTok, 10.0) ELSE 0.0 END) / 10.0) / 4.0, 6)"""
   }
+
+  /** DuckDB redaction chain from the SAME [[piiPatterns]] (RE2 needs the
+    * explicit 'g' flag; Java replaces globally by default). */
+  def redactPiiSql(t: String): String =
+    piiPatterns.foldLeft(t) { case (e, (pat, tag)) =>
+      s"regexp_replace($e, '$pat', '$tag', 'g')"
+    }
 }

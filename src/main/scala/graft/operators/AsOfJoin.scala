@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Backward as-of join: each probe row picks the most recent state row
+  * of the same key with `state.time <= probe.time` (point-in-time /
+  * temporal lookup — the classic enrich-events-with-dimension-state
+  * operator; absent from both Spark and the reference, so it belongs to
+  * the north-star extension set alongside sessionize/range-join).
+  *
+  * Spark-first shape: NO per-key loops and NO inequality join (a naive
+  * `probe JOIN state ON key = key AND st <= pt` is a
+  * BroadcastNestedLoopJoin + per-pair max — quadratic in the hot key).
+  * Instead the two sides are UNIONed with a side tag, shuffled ONCE on
+  * the key, and a running `last(state_row, ignoreNulls)` window carries
+  * the latest state row forward in time order; probe rows then read the
+  * carried struct. State columns travel as ONE struct so the carry is
+  * row-wise (a state row whose value column is legitimately NULL still
+  * wins as a whole row — per-column `last` would resurrect older
+  * values).
+  *
+  * Tie rule: at equal time the state row sorts FIRST (tag 0 < 1), so a
+  * state change at time t is visible to a probe at exactly t —
+  * inclusive `>=`, DuckDB `ASOF JOIN`'s rule. State rows must be unique
+  * per (key, time); pre-aggregate ties upstream (e.g. `max_by`) or the
+  * carried row is nondeterministic.
+  *
+  * Scale: `join` serializes each key's timeline through one window
+  * partition — correct at any size but a single very hot key becomes
+  * one task. `joinBucketed` is the 100 TB path: it splits time into
+  * fixed-width buckets so the heavy shuffle key is (key, bucket), then
+  * stitches bucket boundaries with a metadata-scale carry (one row per
+  * key×active-bucket) — a hot key parallelizes across its time range
+  * while small keys pay one extra tiny shuffle.
+  */
+object AsOfJoin {
+
+  /** Single-window form. `probe`/`state` must share `keys`; every other
+    * column name must be distinct across the two sides (alias upstream).
+    * Time columns may be any mutually comparable orderable type.
+    * `toleranceMicros`: when set, a match older than `probeTime - tol`
+    * is nulled out (left-join semantics, like pandas `merge_asof`). */
+  def join(probe: DataFrame, state: DataFrame, keys: Seq[String],
+      probeTime: String, stateTime: String,
+      tolerance: Option[Long] = None): DataFrame = {
+    val u = tagged(probe, state, keys, probeTime, stateTime)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    finish(u.withColumn("_match", last(col("_srow"), ignoreNulls = true)
+        .over(w)),
+      probe, state, keys, probeTime, stateTime, tolerance)
+  }
+
+  /** Two-pass bucketed form — the skew-immune scale path. `probeTime` /
+    * `stateTime` must be LONG (e.g. epoch micros); `bucketWidth` in the
+    * same unit sizes the parallelism of a hot key (aim for ≥ tasks×10
+    * buckets across the data's time span). Results are identical to
+    * [[join]]. */
+  def joinBucketed(probe: DataFrame, state: DataFrame, keys: Seq[String],
+      probeTime: String, stateTime: String, bucketWidth: Long,
+      tolerance: Option[Long] = None): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    require(probe.schema(probeTime).dataType == LongType &&
+      state.schema(stateTime).dataType == LongType,
+      "joinBucketed needs LONG time columns (epoch micros/millis)")
+    val u = tagged(probe, state, keys, probeTime, stateTime)
+      .withColumn("_b", floor(col("_t") / bucketWidth))
+    val kb = keys.map(col) :+ col("_b")
+
+    // pass 1: running last within each (key, bucket) — the heavy
+    // shuffle, hot keys spread across their time buckets
+    val wIn = Window.partitionBy(kb: _*).orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = u.withColumn("_in", last(col("_srow"), ignoreNulls = true)
+      .over(wIn))
+
+    // boundary spine: ONE row per (key, active bucket) — metadata scale.
+    // max_by picks each bucket's final state row (unique per (key,time)
+    // by contract, so the struct-ordered tie-break never fires).
+    val spine = u.groupBy(kb: _*)
+      .agg(max_by(col("_srow"), when(col("_side") === 0, col("_t")))
+        .as("_last_state"))
+    // carry-in for bucket b = last state of any STRICTLY earlier bucket
+    val wCarry = Window.partitionBy(keys.map(col): _*).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = spine.select(kb ++ Seq(last(col("_last_state"),
+      ignoreNulls = true).over(wCarry).as("_carry")): _*)
+
+    // stitch: within-bucket running last, else the carried boundary
+    val joined = staged.join(carry, keys :+ "_b", "left")
+      .withColumn("_match", coalesce(col("_in"), col("_carry")))
+    finish(joined, probe, state, keys, probeTime, stateTime, tolerance)
+  }
+
+  // ----------------------------------------------------------- plumbing
+
+  private def stateValCols(state: DataFrame, keys: Seq[String],
+      stateTime: String): Seq[String] =
+    state.columns.filterNot(c => keys.contains(c) || c == stateTime).toSeq
+
+  /** Align both sides onto one layout: keys, _t, _side, probe payload
+    * (null on state rows), _srow = struct(stateTime, state values)
+    * (null on probe rows). */
+  private def tagged(probe: DataFrame, state: DataFrame, keys: Seq[String],
+      probeTime: String, stateTime: String): DataFrame = {
+    val pPayload = probe.columns.filterNot(c => keys.contains(c) ||
+      c == probeTime).toSeq
+    val sVals = stateValCols(state, keys, stateTime)
+    val overlap = pPayload.toSet.intersect(sVals.toSet + stateTime)
+    require(overlap.isEmpty,
+      s"probe/state column names must be distinct: ${overlap.mkString(",")}")
+    val srowType = {
+      val f = state.select(struct((stateTime +: sVals).map(col): _*)
+        .as("_srow")).schema("_srow").dataType
+      f
+    }
+    val pSel = keys.map(col) ++ Seq(col(probeTime).as("_t"),
+      lit(1).as("_side")) ++ pPayload.map(col) ++
+      Seq(lit(null).cast(srowType).as("_srow"))
+    val sSel = keys.map(col) ++ Seq(col(stateTime).as("_t"),
+      lit(0).as("_side")) ++ pPayload.map(c =>
+        lit(null).cast(probe.schema(c).dataType).as(c)) ++
+      Seq(struct((stateTime +: sVals).map(col): _*).as("_srow"))
+    probe.select(pSel: _*).unionByName(state.select(sSel: _*))
+  }
+
+  /** Keep probe rows, apply tolerance, unpack the matched state row. */
+  private def finish(df: DataFrame, probe: DataFrame, state: DataFrame,
+      keys: Seq[String], probeTime: String, stateTime: String,
+      tolerance: Option[Long]): DataFrame = {
+    val sVals = stateValCols(state, keys, stateTime)
+    val pPayload = probe.columns.filterNot(c => keys.contains(c) ||
+      c == probeTime).toSeq
+    val gated: Column = tolerance match {
+      case Some(tol) => when(col("_t") - col("_match")(stateTime) <= tol,
+        col("_match"))
+      case None => col("_match")
+    }
+    df.filter(col("_side") === 1)
+      .withColumn("_m", gated)
+      .select(keys.map(col) ++ Seq(col("_t").as(probeTime)) ++
+        pPayload.map(col) ++
+        (stateTime +: sVals).map(c => col("_m")(c).as(c)): _*)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Domain mixing: resample a corpus so domains contribute in target
+  * proportions (the data-mixing step of a training pipeline — upweight
+  * curated sources, downweight crawl). Scale-first design:
+  *
+  *  - Per-domain rates, not per-domain top-N: each row is kept iff a
+  *    deterministic hash of its id clears the domain's threshold. A
+  *    row's fate is a pure function of (id, domain rate) — one scan,
+  *    embarrassingly parallel, no per-domain sort or window (a top-N
+  *    would serialize every domain through one task at 100 TB).
+  *  - The domain→rate table is metadata-scale (one row per domain) and
+  *    broadcast; the corpus never shuffles at all.
+  *  - The hash is a fixed multiplicative mix (Knuth 2654435761 mod
+  *    2^32), NOT a seeded RNG: reproducible across engines and runs, so
+  *    the exact sample is oracle-checkable and re-running a pipeline
+  *    stage yields the same corpus.
+  *
+  * Rates follow `total · w_d / (W · n_d)` capped at 1 — expected sample
+  * size ≈ `total` with domain d's share ∝ its weight, realized counts
+  * binomial around the target (the standard rate-based mixing contract;
+  * exact-count mixing needs the top-N sort this avoids).
+  */
+object Mix {
+
+  /** The deterministic per-row selector in [0, 2^32): Knuth
+    * multiplicative hash of a non-negative long id. */
+  def hashOrd(id: Column): Column = pmod(id * lit(2654435761L),
+    lit(4294967296L))
+
+  /** Sample `df` so each domain's expected contribution is
+    * `total · weight / Σweights`, capped by availability. `weightExpr`
+    * maps the domain column to a positive integer weight (an expression
+    * so the oracle can restate it verbatim). Adds nothing, drops rows. */
+  def sampleByDomain(df: DataFrame, domainCol: String, idCol: String,
+      weightExpr: Column => Column, total: Long): DataFrame = {
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_n"))
+      .withColumn("_w", weightExpr(col(domainCol)).cast("long"))
+    val totW = counts.agg(sum(col("_w")).as("_tw"))
+    // metadata-scale: |domains| rows, broadcast into the corpus scan
+    val rates = counts.crossJoin(broadcast(totW))
+      .select(col(domainCol),
+        floor(least(lit(1.0),
+          (lit(total) * col("_w")).cast("double") /
+            (col("_tw") * col("_n")).cast("double")) * lit(4294967296.0))
+          .cast("long").as("_thr"))
+    df.join(broadcast(rates), domainCol)
+      .filter(hashOrd(col(idCol)) < col("_thr"))
+      .drop("_thr")
+      .select(df.columns.map(col): _*)
+  }
+}

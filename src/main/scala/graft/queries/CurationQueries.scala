@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.Mix
+
+/** Corpus-curation queries: domain mixing and PII redaction — two
+  * standard passes of a pre-training data pipeline, both exact-gated. */
+object CurationQueries {
+
+  /** Weight rule shared by Spark and oracle: parse the numeric suffix
+    * of `srcN` and map to 1..5 — a deterministic non-uniform target mix
+    * over the synthetic sources. */
+  private def weightOf(domain: org.apache.spark.sql.Column) =
+    substring(domain, 4, 10).cast("int") % 5 + 1
+  private val weightSql = "(CAST(substr(source, 4) AS INT) % 5) + 1"
+
+  /** Rate-based domain mixing targeting ~200 sampled docs with source
+    * shares ∝ weight. The kept set is a pure function of (doc_id,
+    * per-domain threshold), so DuckDB recomputes the exact same sample
+    * row-for-row — no randomness, no approximation gate needed. */
+  def mixDomains(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    Mix.sampleByDomain(docs, "source", "doc_id", weightOf, total = 200L)
+      .orderBy("doc_id")
+  }
+
+  val mixDomainsSql: String = s"""
+    WITH c AS (
+      SELECT source, count(*) AS n, $weightSql AS w
+      FROM documents GROUP BY source),
+    t AS (
+      SELECT source,
+        CAST(floor(least(1.0,
+          CAST(200 * w AS DOUBLE) /
+          CAST((SELECT sum(w) FROM c) * n AS DOUBLE)) * 4294967296.0)
+          AS BIGINT) AS thr
+      FROM c)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN t ON d.source = t.source
+    WHERE (d.doc_id * 2654435761) % 4294967296 < t.thr
+    ORDER BY d.doc_id"""
+
+  /** PII redaction over text that provably CONTAINS PII: the corpus is
+    * synthetic word soup with no emails/IPs/phones, so both engines
+    * append the same deterministic doc_id-derived contact block to each
+    * document and the gate checks the redaction chain scrubs it (and
+    * nothing else) identically. */
+  def textRedact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val synth = concat(
+      substring(col("text"), 1, 40),
+      lit(" contact u"), col("doc_id").cast("string"),
+      lit("@ex"), (col("doc_id") % 7).cast("string"), lit(".com ip "),
+      (col("doc_id") % 256).cast("string"), lit("."),
+      (col("doc_id") * 7 % 256).cast("string"), lit("."),
+      (col("doc_id") * 13 % 256).cast("string"), lit("."),
+      (col("doc_id") % 100).cast("string"),
+      lit(" tel +1-555-"), lpad((col("doc_id") % 10000).cast("string"),
+        4, "0"), lit(" end"))
+    docs.select(col("doc_id"), col("source"),
+      TextFunctions.redactPii(synth).as("redacted"))
+  }
+
+  val textRedactSql: String = {
+    val synth = """substr(text, 1, 40) || ' contact u' || doc_id ||
+      '@ex' || (doc_id % 7) || '.com ip ' ||
+      (doc_id % 256) || '.' || (doc_id * 7 % 256) || '.' ||
+      (doc_id * 13 % 256) || '.' || (doc_id % 100) ||
+      ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      ' end'"""
+    s"""SELECT doc_id, source,
+      ${TextFunctions.redactPiiSql(s"($synth)")} AS redacted
+    FROM documents"""
+  }
+}

@@ -49,6 +49,28 @@ class PlanSpec extends SparkSpec {
     assert(p18.contains("BroadcastHashJoin"), p18)
   }
 
+  test("asof_join plans as windows over one union — no inequality join") {
+    // the naive formulation (key equality + time inequality + per-pair
+    // max) would be a BroadcastNestedLoopJoin; the operator must stay an
+    // equi-shuffled union + window at any scale
+    val p = plan(JoinQueries.asofJoin(spark, sf()))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("range_join bins restore an equijoin — no nested-loop, no broadcast of a scaling side") {
+    val p = plan(JoinQueries.rangeJoin(spark, sf()))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("mix_domains: corpus is scanned once and never shuffled") {
+    val p = plan(CurationQueries.mixDomains(spark, sf()))
+    // the only joins are broadcasts of the metadata-scale rate table
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("vocab_stats: partial aggregation + TakeOrdered, no global sort") {
     val p = plan(TextQueries.vocabStats(spark, sf()))
     // both aggregation levels partial → final (map-side combine), and the

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def probe = Seq(
+    // (key, t, label)
+    (1L, 10L, "p10"), (1L, 20L, "p20"), (1L, 35L, "p35"),
+    (2L, 5L, "q5"), (3L, 50L, "r50")
+  ).toDF("k", "pt", "plabel")
+
+  private def state = Seq(
+    // (key, t, value)
+    (1L, 10L, "a"), (1L, 30L, "b"),
+    (2L, 7L, "x") // after the only probe of key 2
+  ).toDF("k", "st", "sval")
+
+  test("backward as-of: most recent state at or before probe time") {
+    val out = AsOfJoin.join(probe, state, Seq("k"), "pt", "st")
+      .orderBy("k", "pt")
+      .select("k", "pt", "plabel", "st", "sval")
+      .as[(Long, Long, String, Option[Long], Option[String])]
+      .collect().toSeq
+    assert(out == Seq(
+      // state at exactly t=10 is visible to the probe at t=10 (>=)
+      (1L, 10L, "p10", Some(10L), Some("a")),
+      (1L, 20L, "p20", Some(10L), Some("a")),
+      (1L, 35L, "p35", Some(30L), Some("b")),
+      (2L, 5L, "q5", None, None), // only later state → no match
+      (3L, 50L, "r50", None, None) // key never has state
+    ))
+  }
+
+  test("tolerance nulls out stale matches, keeps probe rows") {
+    val out = AsOfJoin.join(probe, state, Seq("k"), "pt", "st",
+        tolerance = Some(5L))
+      .orderBy("k", "pt").select("k", "pt", "sval")
+      .as[(Long, Long, Option[String])].collect().toSeq
+    assert(out == Seq(
+      (1L, 10L, Some("a")), // age 0 <= 5
+      (1L, 20L, None), // age 10 > 5
+      (1L, 35L, Some("b")), // age 5 <= 5 (inclusive)
+      (2L, 5L, None), (3L, 50L, None)))
+  }
+
+  test("a state row with a NULL value column wins as a whole row") {
+    val st = Seq((1L, 10L, Some("a")), (1L, 30L, None))
+      .toDF("k", "st", "sval")
+    val pr = Seq((1L, 40L, "p")).toDF("k", "pt", "plabel")
+    val out = AsOfJoin.join(pr, st, Seq("k"), "pt", "st")
+      .select("st", "sval").as[(Option[Long], Option[String])]
+      .collect().toSeq
+    // the t=30 row matched (st=30) and its NULL value is NOT backfilled
+    // from the older t=10 row — row-wise carry, not per-column
+    assert(out == Seq((Some(30L), None)))
+  }
+
+  test("bucketed two-pass == single-window on real events (several widths)") {
+    val ev = graft.Tables.load(spark, sf(), "events")
+    val pr = ev.select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("pt"), col("value"))
+    val st = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("st"))
+      .agg(max_by(col("value"), col("event_id")).as("sval"))
+    val base = AsOfJoin.join(pr, st, Seq("user_id"), "pt", "st")
+      .orderBy("event_id").collect().toSeq
+    // widths from "every row its own bucket" to "one giant bucket"
+    for (w <- Seq(3600L * 1000000L, 86400L * 1000000L, 1L << 62)) {
+      val b = AsOfJoin.joinBucketed(pr, st, Seq("user_id"), "pt", "st", w)
+        .orderBy("event_id").collect().toSeq
+      assert(b == base, s"bucketWidth=$w diverged")
+    }
+  }
+
+  test("bucketed carry crosses empty buckets") {
+    // state in bucket 0, probes in buckets 3 and 7 — carry must span
+    // bucket gaps with no rows at all
+    val pr = Seq((1L, 35L, "p35"), (1L, 75L, "p75")).toDF("k", "pt", "pl")
+    val st = Seq((1L, 2L, "early")).toDF("k", "st", "sv")
+    val out = AsOfJoin.joinBucketed(pr, st, Seq("k"), "pt", "st", 10L)
+      .orderBy("pt").select("sv").as[Option[String]].collect().toSeq
+    assert(out == Seq(Some("early"), Some("early")))
+  }
+}

@@ -158,6 +158,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(s.forall(x => x >= 0.0 && x <= 1.0))
     assert(s(0) > s(1))
   }
+
+  test("redactPii scrubs emails/IPs/phones and nothing else") {
+    val df = Seq(
+      "mail bob.smith+x@sub.example.co.uk now",
+      "host at 192.168.0.1 port 8080",
+      "call +1-555-0142 or +44(20)7946-0958 today",
+      "version 1.2 costs 3.50 at example.com rate 10.0.0", // non-PII stays
+      "mixed a@b.io 10.0.0.7 +1(555)222-3333").toDF("t")
+    val out = df.select(TextFunctions.redactPii(col("t"))).as[String]
+      .collect().toSeq
+    assert(out == Seq(
+      "mail [EMAIL] now",
+      "host at [IP] port 8080",
+      "call [PHONE] or [PHONE] today",
+      // bare domains / decimals / short dotted versions are untouched
+      "version 1.2 costs 3.50 at example.com rate 10.0.0",
+      "mixed [EMAIL] [IP] [PHONE]"), out)
+  }
 }
 
 class RollingHashSpec extends SparkSpec {

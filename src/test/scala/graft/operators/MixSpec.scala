@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq.tabulate(600) { i =>
+    (i.toLong, s"d${i % 3}") // 200 docs per domain d0/d1/d2
+  }.toDF("id", "dom")
+
+  test("rates follow weights; selection is deterministic and repeatable") {
+    val w = (d: org.apache.spark.sql.Column) =>
+      when(d === "d0", 1).when(d === "d1", 2).otherwise(3)
+    val s1 = Mix.sampleByDomain(corpus, "dom", "id", w, total = 120L)
+    val s2 = Mix.sampleByDomain(corpus, "dom", "id", w, total = 120L)
+    val ids1 = s1.select("id").as[Long].collect().toSet
+    assert(ids1 == s2.select("id").as[Long].collect().toSet,
+      "same inputs must give the identical sample")
+    val byDom = s1.groupBy("dom").count().as[(String, Long)]
+      .collect().toMap
+    // expected 20/40/60 per domain; binomial spread is wide at n=200 —
+    // assert the ordering and a loose band, not exact counts
+    assert(byDom("d0") < byDom("d1") && byDom("d1") < byDom("d2"), byDom)
+    assert(byDom.values.sum > 60 && byDom.values.sum < 200, byDom)
+  }
+
+  test("weight dominating the budget caps at keeping the whole domain") {
+    val w = (d: org.apache.spark.sql.Column) =>
+      when(d === "d0", 1000).otherwise(1)
+    val s = Mix.sampleByDomain(corpus, "dom", "id", w, total = 600L)
+    val byDom = s.groupBy("dom").count().as[(String, Long)]
+      .collect().toMap
+    // d0's raw rate ≈ 600·1000/(1002·200) ≈ 3 → capped at 1.0: all 200
+    assert(byDom("d0") == 200L, byDom)
+  }
+
+  test("no shuffle of the corpus: rate table broadcasts") {
+    val w = (_: org.apache.spark.sql.Column) => lit(1)
+    val q = Mix.sampleByDomain(corpus, "dom", "id", w, total = 100L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
