@@ -76,8 +76,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val gateQueries = SparkEntry.queries.toSeq
-    val opQueries = SparkEntry.benchOnly.toSeq
+    // local-iteration filter (the driver sets no filter → full run)
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).toSet)
+    def keep(kv: (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)) =
+      filter.forall(_.contains(kv._1))
+    val gateQueries = SparkEntry.queries.toSeq.filter(keep)
+    val opQueries = SparkEntry.benchOnly.toSeq.filter(keep)
 
     // warmup (discarded): smallest SF through every query once
     val warmDir = "/root/testdata/sf0.001"

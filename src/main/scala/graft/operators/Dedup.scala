@@ -32,6 +32,17 @@ object Dedup {
     df.groupBy(normText(col(textCol)).as("content_key"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_dups"))
 
+  /** [[exact]] that also carries the REPRESENTATIVE's values of `carry`
+    * columns through the aggregation (`min_by` on the id) — one pass,
+    * where a rejoin on rep_id would re-evaluate the whole upstream plan
+    * (Spark caches nothing across the two sides of a self-join). */
+  def exactWith(df: DataFrame, textCol: String, idCol: String,
+      carry: Seq[String]): DataFrame =
+    df.groupBy(normText(col(textCol)).as("content_key"))
+      .agg(min(col(idCol)).as("rep_id"),
+        (count(lit(1)).as("n_dups") +:
+          carry.map(c => min_by(col(c), col(idCol)).as(c))): _*)
+
   /** Word n-gram shingles (as single space-joined strings) of the
     * document's token sequence; distinct set. */
   def shingles(text: Column, n: Int): Column = {
@@ -268,10 +279,14 @@ object Dedup {
     * coalesce(rep, id) to cover singleton documents. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 50): DataFrame = {
-    val edges = pairs
+    // materialize the pair stream ONCE before mirroring: the union reads
+    // `pairs` twice, and without this the (expensive) upstream candidate
+    // plan — e.g. a whole PPJoin — executes once per branch
+    val p = pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .union(pairs
-        .select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+      .localCheckpoint()
+    val edges = p
+      .union(p.select(col("v").as("u"), col("u").as("v")))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()

@@ -60,16 +60,20 @@ object MoreQueries {
     val li = Tables.load(spark, dir, "lineitem")
     val orders = Tables.load(spark, dir, "orders")
     val customer = Tables.load(spark, dir, "customer")
+    // ONE lineitem pass: the per-order quantity sum the HAVING filter
+    // needs IS the output aggregate (each surviving order joins exactly
+    // one orders/customer row), so re-joining lineitem and re-aggregating
+    // — the textbook formulation — would scan and shuffle the fact table
+    // twice for nothing
     val big = li.groupBy("l_orderkey")
-      .agg(sum(dec92("l_quantity")).as("sum_qty"))
-      .filter(col("sum_qty") > 150)
-    li.join(big.select("l_orderkey"), "l_orderkey")
-      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .agg(sum(dec92("l_quantity")).as("qty"))
+      .filter(col("qty") > 150)
+    big.join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(customer, col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_totalprice").cast(DecimalType(12, 2)).cast(DoubleType)
-          .as("totalprice"))
-      .agg(sum(dec92("l_quantity")).cast(DoubleType).as("sum_qty"))
+          .as("totalprice"),
+        col("qty").cast(DoubleType).as("sum_qty"))
       .orderBy(col("totalprice").desc, col("o_orderkey"))
       .limit(20)
   }

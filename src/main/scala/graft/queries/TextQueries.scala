@@ -235,9 +235,11 @@ object TextQueries {
       TextFunctions.tokenCount(col("text")).cast("long").as("ws_tokens"))
     val kept = annotated.filter(col("predicted") === "en" &&
       col("score") >= 0.15)
-    val reps = graft.operators.Dedup.exact(kept, "text", "doc_id")
-    reps.join(kept.select(col("doc_id").as("rep_id"),
-        col("score"), col("ws_tokens")), "rep_id")
+    // carry the representative's score/tokens THROUGH the dedup agg
+    // (min_by) — a rejoin on rep_id would re-run langId/qualityScore
+    // over the whole corpus a second time
+    graft.operators.Dedup.exactWith(kept, "text", "doc_id",
+        Seq("ws_tokens", "score"))
       .select("rep_id", "n_dups", "ws_tokens", "score")
       .orderBy("rep_id")
   }
