@@ -188,6 +188,10 @@ object Replicator {
           database = get("source.database", "postgres"),
           password = get("source.password", ""),
           sslMode = sslMode, sslRootCert = sslRootCert,
+          // bidirectional-loop breaker: `source.origin=none` skips
+          // transactions another replication origin stamped (the
+          // subscription `origin = none` option, client-side)
+          dropForeignOrigins = get("source.origin", "any") == "none",
           flushLsn = () =>
             // tolerant read: commit() replaces the file atomically, but a
             // missing/garbled read must never tear the replication

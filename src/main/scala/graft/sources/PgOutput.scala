@@ -354,7 +354,15 @@ object PgOutput {
       /** Emit PACKED payloads ([[graft.core.PackedRow]]) instead of JSON
         * images — the default hot path; false pins the legacy JSON
         * format (mixed logs decode fine either way). */
-      packedPayloads: Boolean = true) {
+      packedPayloads: Boolean = true,
+      /** Skip DATA messages of transactions that carry a replication
+        * Origin message — the bidirectional-replication loop breaker
+        * (Postgres `CREATE SUBSCRIPTION … (origin = none)` semantics,
+        * client-side). The reference discards Origin messages but
+        * applies the transaction anyway (replication_message.rs: Origin
+        * unhandled); default false matches that. Relation/DDL records
+        * still register: schema knowledge is origin-independent. */
+      dropForeignOrigins: Boolean = false) {
     private val relations = scala.collection.mutable.Map.empty[Int, Relation]
     /** LSN each relation's schema was last (re)announced at — the
       * `_schema_lsn` data rows decode against (SnapshotId floor-lookup
@@ -366,6 +374,8 @@ object PgOutput {
       * Relations are stamped with, so their sequence keys never sort
       * below an already-delivered checkpoint. */
     private var lastCommitLsn: Long = 0L
+    /** Current tx was stamped with a foreign replication origin. */
+    private var txForeign: Boolean = false
 
     def relation(id: Int): Relation = relations(id)
 
@@ -373,7 +383,7 @@ object PgOutput {
     def onFrame(frame: Array[Byte]): Seq[String] = decode(frame) match {
       case Begin(finalLsn, _, _) =>
         require(txLsn.isEmpty, "nested Begin")
-        txLsn = Some(finalLsn); ordinal = 0L
+        txLsn = Some(finalLsn); ordinal = 0L; txForeign = false
         Seq.empty
       case Commit(_, commitLsn, _, _) =>
         require(txLsn.nonEmpty, "Commit outside transaction")
@@ -420,7 +430,15 @@ object PgOutput {
           Seq(CdcLogSource.renderLine("R", tableId, seqLsn, seqLsn, o,
             verLsn, None, Some(payload)))
         }
-      case _: Origin | _: TypeMsg => Seq.empty
+      case _: Origin =>
+        // Origin arrives inside the Begin bracket, before any data
+        if (dropForeignOrigins) txForeign = true
+        Seq.empty
+      case _: TypeMsg => Seq.empty
+      case _ if txForeign =>
+        // foreign-origin tx: drop data (incl. truncates) — the commit
+        // still closes normally above, advancing lastCommitLsn
+        Seq.empty
       case data =>
         val lsn = txLsn.getOrElse(throw new IllegalStateException(
           "data message outside Begin/Commit bracket"))

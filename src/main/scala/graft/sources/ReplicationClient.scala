@@ -59,7 +59,11 @@ final class ReplicationSocketClient(
     flushLsn: () => Long = () => 0L,
     /** TLS: disable | require | verify-ca (see [[PgWireConnection]]). */
     sslMode: String = "disable",
-    sslRootCert: Option[String] = None) {
+    sslRootCert: Option[String] = None,
+    /** Drop transactions stamped with a foreign replication origin —
+      * the bidirectional-loop breaker (`origin = none` subscription
+      * semantics, applied client-side in [[PgOutput.DecodeSession]]). */
+    dropForeignOrigins: Boolean = false) {
   import ReplicationSocketClient._
 
   // observability for tests/metrics (reference ETL_STATUS_UPDATES_TOTAL)
@@ -216,7 +220,8 @@ final class ReplicationSocketClient(
 
   // --------------------------------------------------------- receive loop
   private def receiveLoop(): Unit = {
-    val session = new PgOutput.DecodeSession
+    val session = new PgOutput.DecodeSession(
+      dropForeignOrigins = dropForeignOrigins)
     val pending = scala.collection.mutable.ArrayBuffer.empty[String]
     var inTx = false
     try {

@@ -315,4 +315,36 @@ class PgOutputSpec extends AnyFunSuite with PropSpec {
       Set((7L, Some("ann"), false, true), (8L, None, true, false)))
     assert(out.find(_._1 == 7L).get._3 == 1.5)
   }
+
+  test("origin filter: foreign-origin transactions drop, local ones apply") {
+    val rel = Relation(1, "public", "t", 'd', Vector(RelCol(1, "id", 20, -1)))
+    def stream(session: DecodeSession): Seq[String] = Seq[Message](
+      rel,
+      // tx stamped by another replication origin (a loop-back)
+      Begin(10L, 0L, 1), Origin(9L, "other_node"),
+      Insert(1, Vector(TText("1"))), Truncate(0, Vector(1)),
+      Commit(0, 10L, 11L, 0L),
+      // locally-originated tx: no Origin message
+      Begin(20L, 0L, 2), Insert(1, Vector(TText("2"))),
+      Commit(0, 20L, 21L, 0L),
+      // foreign again — the flag must reset per transaction
+      Begin(30L, 0L, 3), Origin(9L, "other_node"),
+      Insert(1, Vector(TText("3"))), Commit(0, 30L, 31L, 0L)
+    ).flatMap(m => session.onFrame(encode(m)))
+
+    val dropped = stream(new DecodeSession(dropForeignOrigins = true))
+    val dData = dropped.map(_.split("\t", -1)).filter(_(2) != "R")
+    assert(dData.map(_(0).toLong) == Seq(20L),
+      s"only the local tx should survive: $dropped")
+    // commit LSNs still advance past foreign txs: a following out-of-tx
+    // Relation is stamped with the FOREIGN tx's commit (monotone resume)
+    val after = new DecodeSession(dropForeignOrigins = true)
+    val lines2 = stream(after) ++ after.onFrame(encode(rel))
+    assert(lines2.last.split("\t")(0).toLong >= 30L, lines2.last)
+
+    // default (reference behavior): Origin ignored, everything applies
+    val kept = stream(new DecodeSession())
+    val kData = kept.map(_.split("\t", -1)).filter(_(2) != "R")
+    assert(kData.map(_(0).toLong) == Seq(10L, 10L, 20L, 30L), s"$kept")
+  }
 }
