@@ -29,6 +29,7 @@ object SparkEntry {
     "window_analytics" -> (AnalyticQueries.windowAnalytics _),
     "setops" -> (AnalyticQueries.setOps _),
     "rollup_stats" -> (AnalyticQueries.rollupStats _),
+    "semi_anti" -> (AnalyticQueries.semiAnti _),
     // CDC semantics (SURVEY §2.2, §2.4, §2.6; events table = WAL role)
     "p4_route" -> (CdcQueries.route _),
     "a1_lww_dedup" -> (CdcQueries.lwwDedup _),
@@ -106,6 +107,7 @@ object SparkEntry {
     "window_analytics" -> AnalyticQueries.windowAnalyticsSql,
     "setops" -> AnalyticQueries.setOpsSql,
     "rollup_stats" -> AnalyticQueries.rollupStatsSql,
+    "semi_anti" -> AnalyticQueries.semiAntiSql,
     "p4_route" -> CdcQueries.routeSql,
     "a1_lww_dedup" -> CdcQueries.lwwDedupSql,
     "j1_pk_change" -> CdcQueries.pkChangeSql,

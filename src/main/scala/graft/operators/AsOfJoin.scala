@@ -96,6 +96,62 @@ object AsOfJoin {
     finish(joined, probe, state, keys, probeTime, stateTime, tolerance)
   }
 
+  // ---------------------------------------------------------- streaming
+
+  /** One element of the merged probe+state stream: `isState = true`
+    * rows update the key's dimension state, others are probes. */
+  final case class AsOfEvent(key: Long, tMicros: Long, isState: Boolean,
+      value: Double)
+  final case class AsOfDimState(tMicros: Long, value: Double)
+  /** Probe row enriched with the latest state at or before its time. */
+  final case class AsOfEnriched(key: Long, tMicros: Long, value: Double,
+      stateT: Option[Long], stateValue: Option[Double])
+
+  /** Streaming as-of enrichment over an unbounded keyed stream — the
+    * CDC shape: dimension updates and probe events arrive interleaved on
+    * one stream (e.g. a union of two sources), each probe reads the
+    * newest dimension version it trails. Keyed state holds ONE row per
+    * key (the latest dimension state) — O(keys) state, no buffering of
+    * probes.
+    *
+    * Ordering contract (same engine-wide rule as streaming sessionize):
+    * within a micro-batch, events are re-sorted by (time, state-first);
+    * ACROSS batches arrival order is trusted — a state row arriving in a
+    * later batch than a probe it precedes in event time does not
+    * retroactively re-enrich that probe (that would need the full
+    * watermark-buffered symmetric join; this operator is the low-latency
+    * last-known-state form, which is exactly the CDC enrichment
+    * semantic: you join against the replica as of processing time). */
+  def streaming(events: org.apache.spark.sql.Dataset[AsOfEvent])
+      : org.apache.spark.sql.Dataset[AsOfEnriched] = {
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+    implicit val outEnc = Encoders.product[AsOfEnriched]
+    implicit val stEnc = Encoders.product[AsOfDimState]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfDimState, AsOfEnriched](
+        ss.OutputMode.Append(), ss.GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[AsOfEvent],
+         state: ss.GroupState[AsOfDimState]) =>
+          // state sorts before probes at equal time — the inclusive `>=`
+          // tie rule the batch operator and DuckDB ASOF share
+          val sorted = it.toSeq.sortBy(e => (e.tMicros, !e.isState))
+          var cur = state.getOption
+          val out = Vector.newBuilder[AsOfEnriched]
+          sorted.foreach { e =>
+            if (e.isState) {
+              // monotone guard: a late/duplicate older state version
+              // must not roll the dimension backwards
+              if (cur.forall(_.tMicros <= e.tMicros))
+                cur = Some(AsOfDimState(e.tMicros, e.value))
+            } else out += AsOfEnriched(key, e.tMicros, e.value,
+              cur.map(_.tMicros), cur.map(_.value))
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   // ----------------------------------------------------------- plumbing
 
   private def stateValCols(state: DataFrame, keys: Seq[String],

@@ -104,4 +104,31 @@ object AnalyticQueries {
         SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'
         EXCEPT
         SELECT l_orderkey FROM lineitem)) AS n_except"""
+
+  /** EXISTS / NOT EXISTS as left-semi + left-anti joins (§2.3's
+    * remaining join family): customers with a finished order but no
+    * half-million-dollar one. Both subquery filters push into the
+    * orders scan BEFORE the join; AQE broadcasts the filtered sides at
+    * small SF and falls back to shuffles at 100× — same no-hint policy
+    * as q3/q5/q18. */
+  def semiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    cust
+      .join(orders.filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(orders.filter(col("o_totalprice") > 450000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  val semiAntiSql: String = """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_totalprice > 450000)
+    ORDER BY c_custkey"""
 }

@@ -75,6 +75,38 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("streaming: probes read latest state; late older state ignored") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import AsOfJoin.{AsOfEvent, AsOfEnriched}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[AsOfEvent]
+    val q = AsOfJoin.streaming(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_out").start()
+    try {
+      // batch 1: state@10 then probes at 5 (before!) and 20 — in-batch
+      // re-sort gives the 5-probe nothing, the 20-probe the state
+      input.addData(
+        AsOfEvent(1L, 20L, isState = false, 2.0),
+        AsOfEvent(1L, 10L, isState = true, 1.0),
+        AsOfEvent(1L, 5L, isState = false, 9.0))
+      q.processAllAvailable()
+      // batch 2: newer state, then a probe; plus an OLD duplicate state
+      // that must not roll the dimension back
+      input.addData(
+        AsOfEvent(1L, 30L, isState = true, 3.0),
+        AsOfEvent(1L, 8L, isState = true, 99.0), // stale — ignored
+        AsOfEvent(1L, 40L, isState = false, 4.0))
+      q.processAllAvailable()
+      val out = spark.table("asof_out").as[AsOfEnriched]
+        .collect().toSeq.sortBy(_.tMicros)
+      assert(out == Seq(
+        AsOfEnriched(1L, 5L, 9.0, None, None),
+        AsOfEnriched(1L, 20L, 2.0, Some(10L), Some(1.0)),
+        AsOfEnriched(1L, 40L, 4.0, Some(30L), Some(3.0))))
+    } finally q.stop()
+  }
+
   test("bucketed carry crosses empty buckets") {
     // state in bucket 0, probes in buckets 3 and 7 — carry must span
     // bucket gaps with no rows at all
