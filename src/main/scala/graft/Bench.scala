@@ -117,11 +117,15 @@ object Bench {
     val spreads = names.map { case (name, _) =>
       val xs = timed.map(_(name))
       name -> (xs.max - xs.min) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision keeps the line compact — 60 queries at full double
+    // precision risks downstream log-tail truncation (locale-stable)
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val sp = spreads.map { case (k, v) => s"\"" + k + "\":" + v }
+    val sp = spreads.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    // headline total = the 41 correctness-gated queries only, comparable
+    // headline total = the correctness-gated queries only, comparable
     // round-over-round; op_total = operator-only timings reported beside
     val gateNames = gateQueries.map(_._1).toSet
     val total = results.filter(r => gateNames(r._1)).map(_._2).sum
@@ -136,7 +140,7 @@ object Bench {
     val streaming = s"""{"n_events":$n,"end_to_end_events_per_second":${
       math.round(endToEndEps)},"drain_events_per_second":${math.round(drainEps)}}"""
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","samples":$samples,"spread":$sp,"op_total":$opTotal,"streaming":$streaming}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","samples":$samples,"spread":$sp,"op_total":${ms(opTotal)},"streaming":$streaming}""")
     spark.stop()
   }
 }
