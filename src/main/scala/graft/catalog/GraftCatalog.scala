@@ -380,10 +380,21 @@ final class GraftSqlTable(val table: GraftTable, fullName: String,
     val opts = new CaseInsensitiveStringMap(
       (options.asScala ++ extra).asJava)
     val mapping = scanMapping
-    val inner = ParquetTable(fullName, spark, opts, files,
-      Some(physicalSchema(mapping)), classOf[ParquetFileFormat])
-      .newScanBuilder(opts)
-    org.apache.spark.sql.GraftScanBridge.mappedBuilder(inner, mapping)
+    def mk(fs: Seq[String]): ScanBuilder =
+      org.apache.spark.sql.GraftScanBridge.mappedBuilder(
+        ParquetTable(fullName, spark, opts, fs,
+          Some(physicalSchema(mapping)), classOf[ParquetFileFormat])
+          .newScanBuilder(opts), mapping)
+    // manifest-level data skipping: when the scan carries key-range
+    // predicates, drop whole files before planning (the row-group stats
+    // inside surviving files still apply on top)
+    val stats = table.currentFileStats
+    table.keyCols.headOption match {
+      case Some(k) if stats.nonEmpty && files.nonEmpty =>
+        new org.apache.spark.sql.GraftFileSkippingBuilder(mk, files,
+          stats.get _, k)
+      case _ => mk(files)
+    }
   }
 
   /** Plan a fresh (unpruned-columns) scan over only `buckets`' live
@@ -604,6 +615,7 @@ object GraftSqlTable {
   /** Files one task wrote: (bucket, root-relative path). */
   private final case class InsertFiles(files: Seq[(Int, String)])
       extends WriterCommitMessage
+
 
   /** See [[GraftSqlTable.newWriteBuilder]] for the plan shape. */
   private[catalog] final class GraftInsertWrite(table: GraftTable,

@@ -78,7 +78,16 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
         * forward automatically on every commit ([[commitManifest]]);
         * versioned per snapshot, so time travel sees the mapping in
         * force at that version. */
-      columnMapping: Map[String, String] = Map.empty) {
+      columnMapping: Map[String, String] = Map.empty,
+      /** Delta-style data skipping: per-file [min, max] of the LEADING
+        * key column (integral keys only), harvested from the parquet
+        * footers of each commit's NEW files by [[commitManifest]] —
+        * write paths stay untouched and the cost is one local footer
+        * read per new file, once. Point lookups prune a bucket's file
+        * list against these ranges before any scan; a file without an
+        * entry is always read (absence = no skip, never wrong). Entries
+        * of removed files drop automatically on the next commit. */
+      fileStats: Map[String, (Long, Long)] = Map.empty) {
     def allFiles: Seq[String] = files.valuesIterator.flatten.toVector
   }
   /** Back-compat alias for callers that only need the replay mark. */
@@ -130,6 +139,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * pre-upgrade manifests hold absolute paths — both resolve here. */
   private[graft] def resolved(f: String): String =
     if (Paths.get(f).isAbsolute) f else s"$root/$f"
+
 
   private def writeIdentity(): Unit = {
     Files.createDirectories(Paths.get(root))
@@ -188,12 +198,21 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     Manifest(v, (j \ "highWater").extract[String], files,
       (j \ "schema").extractOrElse[String](""),
       (j \ "committedAtMs").extractOrElse[Long](-1L),
-      (j \ "columnMapping").extractOrElse[Map[String, String]](Map.empty))
+      (j \ "columnMapping").extractOrElse[Map[String, String]](Map.empty),
+      (j \ "fileStats").extractOrElse[Map[String, List[Long]]](Map.empty)
+        .collect { case (p, List(lo, hi)) => p -> (lo, hi) })
   }
 
   /** Current logical → physical column mapping (empty = no renames). */
   def columnMapping: Map[String, String] =
     currentManifest().map(_.columnMapping).getOrElse(Map.empty)
+
+  /** Current per-file leading-key [min,max] ranges keyed by RESOLVED
+    * path — the data-skipping surface the SQL catalog scan prunes with
+    * (empty = no stats, nothing skips). */
+  def currentFileStats: Map[String, (Long, Long)] =
+    currentManifest().map(_.fileStats.map { case (p, r) =>
+      resolved(p) -> r }).getOrElse(Map.empty)
   /** Mapping in force at a PINNED snapshot (catalog VERSION AS OF). */
   def mappingOf(version: Long): Map[String, String] =
     readManifest(version).columnMapping
@@ -216,9 +235,28 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     // the name mapping is table-lineage state: every commit carries the
     // previous snapshot's mapping forward unless the committer (only
     // renameColumn) set one explicitly
-    val m = if (m0.columnMapping.nonEmpty) m0
-            else m0.copy(columnMapping =
-              currentManifest().map(_.columnMapping).getOrElse(Map.empty))
+    val prev = currentManifest()
+    val m1 = if (m0.columnMapping.nonEmpty) m0
+             else m0.copy(columnMapping =
+               prev.map(_.columnMapping).getOrElse(Map.empty))
+    // data skipping: harvest [min,max] of the leading key column from
+    // the footers of this commit's NEW files, carry live entries forward,
+    // drop removed ones. Capped so a giant backfill commit stays O(cap):
+    // uncovered files simply never skip.
+    val m = {
+      val live = m1.allFiles.toSet
+      val prevStats = prev.map(_.fileStats).getOrElse(Map.empty)
+      val fresh = (live -- prevStats.keySet -- m1.fileStats.keySet)
+        .take(GraftTable.MaxStatsFilesPerCommit)
+      val harvested = keyCols.headOption match {
+        case Some(k) if fresh.nonEmpty =>
+          fresh.iterator.flatMap(p =>
+            GraftTable.footerKeyRange(resolved(p), k).map(p -> _)).toMap
+        case _ => Map.empty[String, (Long, Long)]
+      }
+      m1.copy(fileStats = (prevStats ++ m1.fileStats ++ harvested)
+        .filter { case (p, _) => live(p) })
+    }
     val filesJson = m.files.toSeq.sortBy(_._1).map { case (b, fs) =>
       s""""$b":${fs.map(f => "\"" + f + "\"").mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
@@ -227,9 +265,13 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       if (m.columnMapping.isEmpty) ""
       else m.columnMapping.toSeq.sorted.map { case (l, p) =>
         s""""$l":"$p"""" }.mkString(""","columnMapping":{""", ",", "}")
+    val statsJson =
+      if (m.fileStats.isEmpty) ""
+      else m.fileStats.toSeq.sorted.map { case (p, (lo, hi)) =>
+        s""""$p":[$lo,$hi]""" }.mkString(""","fileStats":{""", ",", "}")
     val body =
       s"""{"version":${m.version},"highWater":"${m.highWater}",""" +
-        s""""committedAtMs":${System.currentTimeMillis()}$mappingJson,""" +
+        s""""committedAtMs":${System.currentTimeMillis()}$mappingJson$statsJson,""" +
         s""""schema":"$schemaJson","files":$filesJson}"""
     val tmp = manifestDir.resolve(s".v${m.version}-${java.util.UUID.randomUUID()}.json.tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -336,7 +378,18 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val bucket = spark.range(1)
       .select(pmod(hash(typedLits: _*), lit(nBuckets)).cast("int"))
       .head().getInt(0)
-    keyCols.zip(typedLits).foldLeft(readBuckets(spark, m, Seq(bucket))) {
+    // data skipping: inside the bucket, drop files whose leading-key
+    // range excludes the probe (append-heavy buckets hold many files;
+    // monotone keys make their ranges disjoint). Stat-less files are
+    // always kept — skipping is an optimization, never a filter.
+    val pruned = keyValues.head match {
+      case n: Number if m.fileStats.nonEmpty =>
+        val k = n.longValue
+        m.copy(files = m.files.updatedWith(bucket)(_.map(_.filter(p =>
+          m.fileStats.get(p).forall { case (lo, hi) => k >= lo && k <= hi }))))
+      case _ => m
+    }
+    keyCols.zip(typedLits).foldLeft(readBuckets(spark, pruned, Seq(bucket))) {
         case (df, (c, v)) => df.filter(col(c) === v)
       }
       .drop("_bucket")
@@ -994,6 +1047,49 @@ object GraftTable {
     * be reclaimed by [[GraftTable.vacuum]]. */
   final class ConcurrentCommitException(msg: String)
       extends RuntimeException(msg)
+
+  /** Stats-harvest cap per commit: a commit referencing more new files
+    * than this gets skipping stats for the first `cap` only (a giant
+    * backfill shouldn't serialize thousands of footer reads through the
+    * commit; its buckets are typically rewritten wholesale anyway). */
+  val MaxStatsFilesPerCommit = 1024
+
+  /** [min, max] of `col` across a parquet file's row groups, from the
+    * footer only — None unless every row group carries non-null INT64/
+    * INT32 statistics for the column (absence = caller must not skip). */
+  private[sinks] def footerKeyRange(path: String,
+      col: String): Option[(Long, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    try {
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.conf.Configuration())
+      val r = ParquetFileReader.open(in)
+      try {
+        val ranges = r.getFooter.getBlocks.asScala.map { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == col)
+            .flatMap { c =>
+              val s = c.getStatistics
+              if (s == null || s.isEmpty || !s.hasNonNullValue) None
+              else s.genericGetMin match {
+                case min: java.lang.Long =>
+                  Some((min.longValue,
+                    s.genericGetMax.asInstanceOf[java.lang.Long].longValue))
+                case min: java.lang.Integer =>
+                  Some((min.longValue,
+                    s.genericGetMax.asInstanceOf[java.lang.Integer].longValue))
+                case _ => None
+              }
+            }
+        }
+        if (ranges.isEmpty || ranges.exists(_.isEmpty)) None
+        else Some((ranges.flatten.map(_._1).min, ranges.flatten.map(_._2).max))
+      } finally r.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Read parquet `paths` under a pinned LOGICAL schema when files carry
     * PHYSICAL column names (rename history): read under the physical

@@ -77,3 +77,132 @@ object GraftScanBridge {
     }
   }
 }
+
+/** Manifest-level data skipping for the graft catalog scan: a deferred
+  * builder that runs the normal pushdown dialogue against a probe built
+  * over ALL files, and at `build()` — once the pushed filters are
+  * known — drops every file whose [min,max] leading-key range the
+  * filters exclude, replaying the recorded pruning/pushdown onto a
+  * rebuilt scan over the survivors. Skipping is conservative: files
+  * without stats always survive, strict bounds widen to inclusive, and
+  * un-analyzable predicates disable skipping — the pushed filters still
+  * run inside every scanned file, so pruning can only remove files that
+  * cannot contain matches. One file is always retained (an empty list
+  * could not partition-infer `_bucket` and would change the scan
+  * schema). Lives here for the same `private[sql]` reason as
+  * [[GraftScanBridge]]. */
+final class GraftFileSkippingBuilder(
+    mk: Seq[String] => ScanBuilder, allFiles: Seq[String],
+    statsOf: String => Option[(Long, Long)], keyCol: String)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownCatalystFilters {
+  import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo,
+    GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual,
+    Literal}
+
+  private val probe = mk(allFiles)
+  private var prunedSchema: Option[StructType] = None
+  private var pushed: Seq[Expression] = Nil
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    prunedSchema = Some(requiredSchema)
+    probe match {
+      case s: SupportsPushDownRequiredColumns => s.pruneColumns(requiredSchema)
+      case _ => ()
+    }
+  }
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    pushed = filters
+    probe match {
+      case s: SupportsPushDownCatalystFilters => s.pushFilters(filters)
+      case _ => filters
+    }
+  }
+
+  override def pushedFilters: Array[Predicate] = probe match {
+    case s: SupportsPushDownCatalystFilters => s.pushedFilters
+    case _ => Array.empty
+  }
+
+  /** Key interval [lo, hi] a conjunct constrains the leading key to —
+    * None = no constraint from this conjunct. */
+  private def interval(e: Expression): Option[(Long, Long)] = {
+    def longOf(l: Literal): Option[Long] = l.value match {
+      case i: java.lang.Integer => Some(i.longValue)
+      case i: java.lang.Long => Some(i.longValue)
+      case i: java.lang.Short => Some(i.longValue)
+      case _ => None
+    }
+    def isKey(a: Expression) = a match {
+      case r: AttributeReference => r.name == keyCol
+      case _ => false
+    }
+    e match {
+      case CAnd(l, r) => (interval(l), interval(r)) match {
+        case (Some((a, b)), Some((c, d))) =>
+          Some((math.max(a, c), math.min(b, d)))
+        case (x, None) => x
+        case (None, y) => y
+      }
+      case EqualTo(a, l: Literal) if isKey(a) => longOf(l).map(v => (v, v))
+      case EqualTo(l: Literal, a) if isKey(a) => longOf(l).map(v => (v, v))
+      case GreaterThan(a, l: Literal) if isKey(a) =>
+        longOf(l).map(v => (v, Long.MaxValue))
+      case GreaterThanOrEqual(a, l: Literal) if isKey(a) =>
+        longOf(l).map(v => (v, Long.MaxValue))
+      case LessThan(a, l: Literal) if isKey(a) =>
+        longOf(l).map(v => (Long.MinValue, v))
+      case LessThanOrEqual(a, l: Literal) if isKey(a) =>
+        longOf(l).map(v => (Long.MinValue, v))
+      case GreaterThan(l: Literal, a) if isKey(a) =>
+        longOf(l).map(v => (Long.MinValue, v))
+      case GreaterThanOrEqual(l: Literal, a) if isKey(a) =>
+        longOf(l).map(v => (Long.MinValue, v))
+      case LessThan(l: Literal, a) if isKey(a) =>
+        longOf(l).map(v => (v, Long.MaxValue))
+      case LessThanOrEqual(l: Literal, a) if isKey(a) =>
+        longOf(l).map(v => (v, Long.MaxValue))
+      case In(a, ls) if isKey(a) && ls.forall(_.isInstanceOf[Literal]) =>
+        val vs = ls.flatMap(l => longOf(l.asInstanceOf[Literal]))
+        if (vs.size == ls.size && vs.nonEmpty) Some((vs.min, vs.max)) else None
+      case InSet(a, vs) if isKey(a) && vs.nonEmpty =>
+        val longs = vs.toSeq.flatMap {
+          case i: java.lang.Integer => Some(i.longValue)
+          case i: java.lang.Long => Some(i.longValue)
+          case _ => None
+        }
+        if (longs.size == vs.size) Some((longs.min, longs.max)) else None
+      case _ => None
+    }
+  }
+
+  override def build(): Scan = {
+    // conjuncts compose by interval intersection
+    val bound = pushed.flatMap(interval) match {
+      case Seq() => None
+      case xs => Some((xs.map(_._1).max, xs.map(_._2).min))
+    }
+    val keep = bound match {
+      case None => allFiles
+      case Some((lo, hi)) => allFiles.filter(p =>
+        statsOf(p).forall { case (mn, mx) => hi >= mn && lo <= mx })
+    }
+    if (keep.size == allFiles.size) probe.build()
+    else {
+      val survivors = if (keep.nonEmpty) keep else allFiles.take(1)
+      val b = mk(survivors)
+      (b, prunedSchema) match {
+        case (s: SupportsPushDownRequiredColumns, Some(sch)) =>
+          s.pruneColumns(sch)
+        case _ => ()
+      }
+      b match {
+        case s: SupportsPushDownCatalystFilters => s.pushFilters(pushed)
+        case _ => ()
+      }
+      b.build()
+    }
+  }
+}

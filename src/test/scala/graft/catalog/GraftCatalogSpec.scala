@@ -362,6 +362,38 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e2.getMessage.contains("only widening"), e2.getMessage)
   }
 
+  test("data skipping: key-range predicates prune whole files at the catalog scan") {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.skip")
+    spark.sql("""CREATE TABLE cat.skip.t (id BIGINT, v STRING)
+                 PARTITIONED BY (bucket(1, id))""")
+    // three INSERT commits with disjoint id ranges → three files in the
+    // single bucket, non-overlapping leading-key stats
+    spark.sql("INSERT INTO cat.skip.t SELECT id, 'a' FROM range(0, 100)")
+    spark.sql("INSERT INTO cat.skip.t SELECT id, 'b' FROM range(100, 200)")
+    spark.sql("INSERT INTO cat.skip.t SELECT id, 'c' FROM range(200, 300)")
+    def scannedFiles(sql: String): (Seq[String], Set[(Long, String)]) = {
+      val df = spark.sql(sql)
+      val rows = df.as[(Long, String)].collect().toSet
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.collect { case f: FilePartition =>
+            f.files.map(_.urlEncodedPath).toSeq }.flatten
+      }.flatten
+      (scans, rows)
+    }
+    val (f1, r1) = scannedFiles("SELECT id, v FROM cat.skip.t WHERE id = 150")
+    assert(r1 == Set((150L, "b")))
+    assert(f1.distinct.size == 1, s"point query must scan 1 file: $f1")
+    val (f2, r2) = scannedFiles(
+      "SELECT id, v FROM cat.skip.t WHERE id >= 90 AND id < 110")
+    assert(r2.size == 20 && r2((95L, "a")) && r2((105L, "b")))
+    assert(f2.distinct.size == 2, s"range query must scan 2 files: $f2")
+    // no key predicate → all files scanned, same results
+    val (f3, r3) = scannedFiles("SELECT id, v FROM cat.skip.t WHERE v = 'c'")
+    assert(r3.size == 100 && f3.distinct.size == 3)
+  }
+
   test("RENAME COLUMN with data: name mapping keeps every file generation readable") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.ren")
     spark.sql("""CREATE TABLE cat.ren.t (id BIGINT, val STRING, n INT)

@@ -571,4 +571,56 @@ class GraftTableSpec extends SparkSpec {
       .select("id", "v").as[(Long, String)].collect().toSet
     assert(latest == Set((2L, "b")))
   }
+
+  test("data skipping: point lookups prune a bucket's files by key range") {
+    val t = new GraftTable(tmp(), Seq("id"), nBuckets = 1)
+    // three append commits with disjoint key ranges — the time-series /
+    // monotone-id shape where files of one bucket never overlap
+    t.append(spark.range(0L, 100L).select(col("id"), lit("a").as("v")))
+    t.append(spark.range(100L, 200L).select(col("id"), lit("b").as("v")))
+    t.append(spark.range(200L, 300L).select(col("id"), lit("c").as("v")))
+    val m = t.currentManifest().get
+    assert(m.files(0).size == 3, m.files)
+    assert(m.fileStats.size == 3, m.fileStats)
+    assert(m.fileStats.values.toSet ==
+      Set((0L, 99L), (100L, 199L), (200L, 299L)), m.fileStats)
+
+    val hit = t.lookup(spark, Seq(150L))
+    assert(hit.as[(Long, String)].collect().toSeq == Seq((150L, "b")))
+    // the scan touched ONLY the one file whose range covers the key
+    assert(hit.inputFiles.length == 1, hit.inputFiles.toSeq)
+    // out-of-range key: every file skipped, no scan at all
+    val miss = t.lookup(spark, Seq(999L))
+    assert(miss.count() == 0 && miss.inputFiles.isEmpty)
+
+    // a merge rewrites the bucket; stats follow the new file set
+    t.merge(batch((150L, "b2", "U", 10L)))
+    val m2 = t.currentManifest().get
+    assert(m2.fileStats.keySet == m2.allFiles.toSet,
+      "stats must track the live file set")
+    assert(m2.fileStats.values.toSeq == Seq((0L, 299L)), m2.fileStats)
+    assert(t.lookup(spark, Seq(150L)).as[(Long, String)].collect().toSeq ==
+      Seq((150L, "b2")))
+  }
+
+  test("data skipping survives manifest reload, compact, and rename") {
+    val dir = tmp()
+    val t = new GraftTable(dir, Seq("id"), nBuckets = 2)
+    t.append(Seq((1L, "a", 1), (2L, "b", 2)).toDF("id", "v", "n"))
+    t.append(Seq((10L, "c", 3), (11L, "d", 4)).toDF("id", "v", "n"))
+    // reopen: stats parse back from JSON
+    val t2 = GraftTable.open(dir)
+    val m = t2.currentManifest().get
+    assert(m.fileStats.nonEmpty &&
+      m.fileStats.keySet.subsetOf(m.allFiles.toSet))
+    // rename a NON-key column: data-identical commit keeps the stats
+    t2.renameColumn("v", "w")
+    assert(t2.currentManifest().get.fileStats == m.fileStats)
+    // compact to one file per bucket: stats re-harvested for new files
+    t2.compact(spark, maxFiles = 1)
+    val mc = t2.currentManifest().get
+    assert(mc.fileStats.keySet == mc.allFiles.toSet, mc.fileStats)
+    assert(t2.lookup(spark, Seq(10L)).select("id", "w")
+      .as[(Long, String)].collect().toSeq == Seq((10L, "c")))
+  }
 }
