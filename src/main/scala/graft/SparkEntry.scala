@@ -79,8 +79,9 @@ object SparkEntry {
     // ASOF JOIN and the plain BETWEEN join respectively)
     "asof_join" -> (JoinQueries.asofJoin _),
     "range_join" -> (JoinQueries.rangeJoin _),
-    // corpus curation: domain mixing + PII redaction
+    // corpus curation: domain mixing + stratified sampling + PII redaction
     "mix_domains" -> (CurationQueries.mixDomains _),
+    "sample_stratified" -> (CurationQueries.sampleStratified _),
     "text_redact" -> (CurationQueries.textRedact _),
   )
 
@@ -155,6 +156,7 @@ object SparkEntry {
     "asof_join" -> JoinQueries.asofJoinSql,
     "range_join" -> JoinQueries.rangeJoinSql,
     "mix_domains" -> CurationQueries.mixDomainsSql,
+    "sample_stratified" -> CurationQueries.sampleStratifiedSql,
     "text_redact" -> CurationQueries.textRedactSql
   )
 }

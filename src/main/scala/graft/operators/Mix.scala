@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Domain mixing: resample a corpus so domains contribute in target
@@ -50,6 +51,42 @@ object Mix {
     df.join(broadcast(rates), domainCol)
       .filter(hashOrd(col(idCol)) < col("_thr"))
       .drop("_thr")
+      .select(df.columns.map(col): _*)
+  }
+
+  /** EXACT-count stratified sample: the `n` rows with the smallest
+    * [[hashOrd]] per stratum (ties broken by id). Complements
+    * [[sampleByDomain]] when realized counts must hit the target
+    * exactly (eval set construction, per-source caps).
+    *
+    * Scale shape — two phases so the per-stratum sort never sees the
+    * full corpus:
+    *  1. rate prefilter: broadcast per-stratum thresholds targeting
+    *     `oversample·n` expected survivors — one corpus scan, no
+    *     shuffle, bounds every stratum's window input to O(n);
+    *  2. `row_number` over (hash, id) within the survivors — the only
+    *     shuffle, over ~`oversample·n·|strata|` rows, not the corpus.
+    *
+    * The top-n-by-hash rows clear the prefilter unless fewer than n
+    * survivors exist at all (a binomial tail event vanishing in
+    * oversample; those strata return the survivors they have). Both
+    * phases are pure functions of (id, stratum counts), so an external
+    * engine recomputes the identical sample row-for-row. Strata with
+    * fewer than n rows keep everything. */
+  def stratifiedExact(df: DataFrame, strataCol: String, idCol: String,
+      n: Int, oversample: Double = 8.0): DataFrame = {
+    require(n > 0 && oversample >= 1.0, "n > 0, oversample >= 1")
+    val thr = floor(least(lit(1.0),
+      lit(oversample * n) / col("_n").cast("double")) * lit(4294967296.0))
+      .cast("long").as("_thr")
+    val rates = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
+      .select(col(strataCol), thr)
+    val pre = df.join(broadcast(rates), strataCol)
+      .filter(hashOrd(col(idCol)) < col("_thr"))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashOrd(col(idCol)), col(idCol))
+    pre.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
       .select(df.columns.map(col): _*)
   }
 }

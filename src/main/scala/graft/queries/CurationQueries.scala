@@ -44,6 +44,37 @@ object CurationQueries {
     WHERE (d.doc_id * 2654435761) % 4294967296 < t.thr
     ORDER BY d.doc_id"""
 
+  /** Exact-count stratified sample: 20 docs per source, smallest
+    * Knuth-hash first. The kept set is a pure function of (doc_id,
+    * per-source counts), so DuckDB recomputes the identical sample —
+    * including the two-phase prefilter, which is part of the operator's
+    * definition, not an approximation. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    Mix.stratifiedExact(docs, "source", "doc_id", n = 20, oversample = 8.0)
+      .orderBy("doc_id")
+  }
+
+  val sampleStratifiedSql: String = """
+    WITH c AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source),
+    t AS (
+      SELECT source,
+        CAST(floor(least(1.0, 160.0 / CAST(n AS DOUBLE)) * 4294967296.0)
+          AS BIGINT) AS thr
+      FROM c),
+    p AS (
+      SELECT d.doc_id, d.source,
+        (d.doc_id * 2654435761) % 4294967296 AS h
+      FROM documents d JOIN t ON d.source = t.source
+      WHERE (d.doc_id * 2654435761) % 4294967296 < t.thr),
+    r AS (
+      SELECT doc_id, source,
+        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+      FROM p)
+    SELECT doc_id, source FROM r WHERE rn <= 20 ORDER BY doc_id"""
+
   /** PII redaction over text that provably CONTAINS PII: the corpus is
     * synthetic word soup with no emails/IPs/phones, so both engines
     * append the same deterministic doc_id-derived contact block to each

@@ -42,4 +42,42 @@ class MixSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("stratifiedExact: exactly n per stratum, deterministic, hash-ordered") {
+    val s1 = Mix.stratifiedExact(corpus, "dom", "id", n = 25)
+    val byDom = s1.groupBy("dom").count().as[(String, Long)]
+      .collect().toMap
+    assert(byDom == Map("d0" -> 25L, "d1" -> 25L, "d2" -> 25L), byDom)
+    val ids1 = s1.select("id").as[Long].collect().toSet
+    val ids2 = Mix.stratifiedExact(corpus, "dom", "id", n = 25)
+      .select("id").as[Long].collect().toSet
+    assert(ids1 == ids2, "same inputs must give the identical sample")
+    // the sample is the smallest-hash prefix: every kept row's hash is
+    // <= every dropped row's hash within its stratum
+    val all = corpus.select(col("dom"),
+        pmod(col("id") * lit(2654435761L), lit(4294967296L)).as("h"),
+        col("id")).as[(String, Long, Long)].collect()
+    val kept = ids1
+    all.groupBy(_._1).foreach { case (_, rows) =>
+      val (in, out) = rows.partition(r => kept(r._3))
+      assert(in.map(_._2).max <= out.map(_._2).min,
+        "kept set must be the smallest-hash prefix")
+    }
+  }
+
+  test("stratifiedExact: undersized strata keep everything; schema preserved") {
+    val tiny = corpus.filter(col("id") < 40) // d0:14, d1:13, d2:13
+    val s = Mix.stratifiedExact(tiny, "dom", "id", n = 25)
+    assert(s.count() == 40L)
+    assert(s.columns.toSeq == Seq("id", "dom"), s.columns.toSeq)
+  }
+
+  test("stratifiedExact: prefilter bounds the window input (broadcast, no corpus shuffle before filter)") {
+    val q = Mix.stratifiedExact(corpus, "dom", "id", n = 10, oversample = 4.0)
+    val plan = q.queryExecution.executedPlan.toString
+    // rate thresholds join in as a broadcast; the only exchange feeding
+    // the window sort is over the prefiltered survivors
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"), plan)
+  }
 }
