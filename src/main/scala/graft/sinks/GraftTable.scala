@@ -248,8 +248,12 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       val prevStats = prev.map(_.fileStats).getOrElse(Map.empty)
       val fresh = (live -- prevStats.keySet -- m1.fileStats.keySet)
         .take(GraftTable.MaxStatsFilesPerCommit)
+      // integral-keyed tables only: the schema DDL travels with the
+      // manifest, so a non-integral leading key skips the footer reads
+      // entirely instead of opening every file to learn "no stats"
       val harvested = keyCols.headOption match {
-        case Some(k) if fresh.nonEmpty =>
+        case Some(k) if fresh.nonEmpty &&
+            GraftTable.integralLeadingKey(m1.schemaDdl, k) =>
           fresh.iterator.flatMap(p =>
             GraftTable.footerKeyRange(resolved(p), k).map(p -> _)).toMap
         case _ => Map.empty[String, (Long, Long)]
@@ -1054,6 +1058,30 @@ object GraftTable {
     * commit; its buckets are typically rewritten wholesale anyway). */
   val MaxStatsFilesPerCommit = 1024
 
+  /** One shared Configuration for footer reads: constructing one parses
+    * the Hadoop XML defaults (~10 ms) — per-call construction dominated
+    * the whole harvest and taxed every merge commit. */
+  private lazy val footerConf = new org.apache.hadoop.conf.Configuration()
+
+  /** Fast pre-check from the manifest's schema DDL: harvest only when
+    * the leading key column is a type whose parquet stats we can use
+    * (integral physical types). Unparseable/absent DDL → harvest and
+    * let [[footerKeyRange]] decide per file. */
+  private[sinks] def integralLeadingKey(schemaDdl: String,
+      keyCol: String): Boolean = {
+    if (schemaDdl == null || schemaDdl.isEmpty) return true
+    try {
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+        .find(_.name == keyCol)
+        .forall(f => f.dataType match {
+          case org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.ShortType => true
+          case _ => false
+        })
+    } catch { case scala.util.control.NonFatal(_) => true }
+  }
+
   /** [min, max] of `col` across a parquet file's row groups, from the
     * footer only — None unless every row group carries non-null INT64/
     * INT32 statistics for the column (absence = caller must not skip). */
@@ -1064,8 +1092,7 @@ object GraftTable {
     import scala.jdk.CollectionConverters._
     try {
       val in = HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(path),
-        new org.apache.hadoop.conf.Configuration())
+        new org.apache.hadoop.fs.Path(path), footerConf)
       val r = ParquetFileReader.open(in)
       try {
         val ranges = r.getFooter.getBlocks.asScala.map { b =>
