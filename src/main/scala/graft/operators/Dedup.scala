@@ -177,6 +177,22 @@ object Dedup {
     * = numHashes), bucket-join per band, then VERIFY candidates with exact
     * n-gram Jaccard (kills LSH false positives; recall governed by the
     * band curve 1-(1-j^r)^b). Returns (id_a, id_b, jaccard). */
+  /** LSH band rows for every document: (id, band, bh) where `bh` hashes
+    * the band's `numHashes/bands` signature slots. The banded form IS
+    * the LSH index — equal (band, bh) ⇒ candidate pair. Factored out so
+    * [[graft.operators.IncrementalDedup]] can maintain it as a persistent
+    * bucket-pruned table. */
+  def bandRows(df: DataFrame, textCol: String, idCol: String,
+      n: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    minhashSignatures(df, textCol, idCol, n, numHashes)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          bIdx => hash(slice(col("sig"), bIdx * lit(r) + 1, lit(r))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+  }
+
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sinks.GraftTable
+
+/** Incremental MinHash-LSH near-duplicate maintenance: keep a near-dup
+  * pair set in sync with a mutating corpus by recomputing ONLY what a
+  * change delta touches — O(delta), never O(corpus) per sync. This is
+  * the fuzzy counterpart of the exact-dedup derived table the
+  * incremental-curation pipeline maintains from the row CDF, and the
+  * at-scale answer to "re-run dedup after every CDC sync": at 100 TB a
+  * from-scratch [[Dedup.minhashLshPairs]] pass per sync re-shingles the
+  * whole corpus, while this touches the changed documents, the LSH
+  * buckets they land in, and nothing else.
+  *
+  * State lives in two [[graft.sinks.GraftTable]]s, so every sync commits
+  * snapshot-atomically with replay idempotence (`_seq` high-water):
+  *
+  *  - '''bands''' — the persistent LSH index: one row per (band, bh,
+  *    id), keyed by all three but BUCKETED by (band, bh) (secondary-
+  *    index bucketing), so a delta's candidate probe reads only the
+  *    buckets its band hashes land in, not the whole index.
+  *  - '''pairs''' — the verified near-dup pairs (id_a < id_b, exact
+  *    n-gram Jaccard ≥ threshold), keyed (id_a, id_b).
+  *
+  * Per delta: changed docs' OLD band rows (derivable from the CDF
+  * preimages — no index lookup needed) are netted against their NEW
+  * band rows into one band-table merge; the new bands then probe the
+  * index bucket-pruned for candidates; candidates verify with exact
+  * Jaccard against the current corpus (candidate ids only); and the
+  * pair table gets deletes for every pair involving a changed doc plus
+  * inserts for the re-verified survivors — which is exactly the
+  * from-scratch result restricted to touched documents, so the invariant
+  * `pairs == minhashLshPairs(corpus)` holds after every sync (pinned in
+  * IncrementalDedupSpec and the `dedup_incremental` oracle).
+  *
+  * Scale notes: the band merge and probe are bucket-pruned by (band,
+  * bh); the only non-pruned step is the obsolete-pair scan, which reads
+  * the PAIR table (output-scale, typically ≪ corpus) through two hash
+  * semi-joins. A corpus whose pair set itself is huge would mirror each
+  * pair under both orientations keyed by the first member to make that
+  * scan bucket-pruned too — not needed at tested scales. */
+object IncrementalDedup {
+
+  /** LSH/verify parameters — must stay fixed for the life of the index
+    * (they define the band hashes stored in it). Defaults match the
+    * `dedup_minhash_lsh` gate. */
+  final case class Config(n: Int = 3, numHashes: Int = 32, bands: Int = 16,
+      threshold: Double = 0.5)
+
+  /** Create (or reopen) the band-index table: keyed (band, bh, id) so a
+    * band row is its own identity, bucketed (band, bh) so probes prune. */
+  def bandTable(root: String, nBuckets: Int = 32): GraftTable =
+    new GraftTable(root, Seq("band", "bh", "id"), nBuckets,
+      bucketCols0 = Seq("band", "bh"))
+
+  /** Create (or reopen) the verified-pair table. */
+  def pairTable(root: String, nBuckets: Int = 8): GraftTable =
+    new GraftTable(root, Seq("id_a", "id_b"), nBuckets)
+
+  /** One incremental sync. `corpus` is the CURRENT (post-delta) corpus;
+    * `changes` is the row CDF of the delta with `_change_type` ∈ insert |
+    * delete | update_preimage | update_postimage (the vocabulary of
+    * [[graft.sinks.GraftTable.rowChangesBetween]]) carrying `idCol` and
+    * `textCol` images. `seq` must increase per sync (replay-idempotent:
+    * a replayed delta no-ops on both state tables). */
+  def applyDelta(spark: SparkSession, bands: GraftTable, pairs: GraftTable,
+      corpus: DataFrame, changes: DataFrame, idCol: String, textCol: String,
+      seq: String, cfg: Config = Config()): Unit = {
+    val ch = changes.select(col(idCol).as("id"), col(textCol).as("text"),
+      col("_change_type"))
+    val after = ch.filter(col("_change_type")
+      .isin("insert", "update_postimage")).select("id", "text")
+    val before = ch.filter(col("_change_type")
+      .isin("delete", "update_preimage")).select("id", "text")
+
+    // band delta: OLD rows come from the CDF preimages (no index read);
+    // net out rows the new text keeps so an update only touches bands
+    // that actually moved. Both sides are delta-scale — cache the one
+    // that feeds two consumers (merge + probe).
+    val newBands = Dedup.bandRows(after, "text", "id",
+      cfg.n, cfg.numHashes, cfg.bands).cache()
+    val oldBands = Dedup.bandRows(before, "text", "id",
+      cfg.n, cfg.numHashes, cfg.bands)
+    try {
+      val key = Seq("band", "bh", "id")
+      val ins = newBands.join(oldBands, key, "left_anti")
+        .withColumn("_op", lit("I"))
+      val del = oldBands.join(newBands, key, "left_anti")
+        .withColumn("_op", lit("D"))
+      bands.merge(ins.unionByName(del).withColumn("_seq", lit(seq)))
+
+      // candidates: the delta's bands probe the post-merge index —
+      // bucket-pruned to the probed (band, bh) buckets; delta×delta
+      // pairs fall out because the delta's own rows are in the index
+      val probe = newBands.select(col("band"), col("bh"),
+        col("id").as("_pid"))
+      val hits = bands.readForProbe(spark, probe)
+        .join(probe, Seq("band", "bh"))
+        .filter(col("id") =!= col("_pid"))
+        .select(least(col("id"), col("_pid")).as("id_a"),
+          greatest(col("id"), col("_pid")).as("id_b"))
+        .distinct()
+
+      // verify candidates with the exact n-gram Jaccard, shingling only
+      // the candidate ids (delta-scale), not the corpus
+      val candIds = hits.select(col("id_a").as("id"))
+        .union(hits.select(col("id_b"))).distinct()
+      val docs = corpus.select(col(idCol).as("id"),
+          Dedup.shingleHashes(col(textCol), cfg.n).as("sh"))
+        .join(candIds, "id")
+        .localCheckpoint(eager = false)
+      val verified = hits
+        .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        .filter(col("jaccard") >= cfg.threshold)
+        .select("id_a", "id_b", "jaccard")
+
+      // pair delta: every pair involving a changed doc is stale — delete
+      // unless re-verified. The scan is over the PAIR table (output-
+      // scale), not the corpus.
+      val changed = ch.select(col("id")).distinct()
+      val existing = pairs.read(spark)
+      val stale =
+        if (existing.columns.isEmpty) verified.limit(0).select("id_a", "id_b")
+        else existing.join(changed, existing("id_a") === changed("id"), "left_semi")
+          .select("id_a", "id_b")
+          .union(existing.join(changed,
+            existing("id_b") === changed("id"), "left_semi")
+            .select("id_a", "id_b"))
+          .distinct()
+      val pairBatch = verified.withColumn("_op", lit("I"))
+        .unionByName(stale.join(verified, Seq("id_a", "id_b"), "left_anti")
+          .withColumn("jaccard", lit(null).cast("double"))
+          .withColumn("_op", lit("D")))
+        .withColumn("_seq", lit(seq))
+      pairs.merge(pairBatch)
+    } finally newBands.unpersist()
+  }
+}

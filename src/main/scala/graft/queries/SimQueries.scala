@@ -29,10 +29,10 @@ object SimQueries {
     * j ≈ 0.07, and the LSH band curve (16 bands × 2 rows) misses a j=0.89
     * pair with probability (1-j²)⁴⁶ ≈ 3e-12 — so both must return exactly
     * the pairs with j ≥ 0.5. */
-  private val jaccardCtes: String = """toks AS (
+  private def jaccardCtesOn(tbl: String): String = s"""toks AS (
       SELECT doc_id,
-        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
-      FROM documents),
+        list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+      FROM $tbl),
     sh AS (
       SELECT doc_id,
         list_distinct([array_to_string(tk[i:i+2], ' ')
@@ -44,6 +44,8 @@ object SimQueries {
              count(*) AS inter
       FROM posting a JOIN posting b ON a.gram = b.gram AND a.doc_id < b.doc_id
       GROUP BY 1, 2, 3, 4)"""
+
+  private val jaccardCtes: String = jaccardCtesOn("documents")
 
   private val jaccardOracle: String = s"""
     WITH $jaccardCtes
@@ -102,6 +104,73 @@ object SimQueries {
     Dedup.minhashLshPairs(Tables.load(spark, dir, "documents"),
       "text", "doc_id", n = 3, numHashes = 32, bands = 16, threshold = 0.5)
       .orderBy("id_a", "id_b")
+
+  /** INCREMENTAL near-dup maintenance e2e: the corpus arrives as four
+    * deterministic CDC deltas (bootstrap inserts → clone inserts →
+    * divergence updates → deletes), each maintained O(delta) through
+    * [[graft.operators.IncrementalDedup.applyDelta]] against persistent
+    * band/pair GraftTables. The final pair table must equal the exact
+    * Jaccard pair set of the final corpus — DuckDB rebuilds that corpus
+    * with the same mutation rules and recomputes the pairs from scratch,
+    * so the gate pins both the incremental invariant AND LSH recall. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalDedup
+    val cfg = IncrementalDedup.Config()
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-incdedup").toString
+    val bands = IncrementalDedup.bandTable(s"$root/bands", nBuckets = 32)
+    val pairs = IncrementalDedup.pairTable(s"$root/pairs", nBuckets = 8)
+    def seq(v: Long) = f"$v%016x/0"
+
+    // delta 1: the corpus bootstraps in
+    IncrementalDedup.applyDelta(spark, bands, pairs, docs,
+      docs.withColumn("_change_type", lit("insert")),
+      "doc_id", "text", seq(1), cfg)
+    // delta 2: clones of every 97th doc (id + 1e6, original text)
+    val clones = docs.filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val corpus2 = docs.unionByName(clones)
+    IncrementalDedup.applyDelta(spark, bands, pairs, corpus2,
+      clones.withColumn("_change_type", lit("insert")),
+      "doc_id", "text", seq(2), cfg)
+    // delta 3: every 89th ORIGINAL doc diverges (appended tokens)
+    val upd = docs.filter(col("doc_id") % 89 === 0)
+    val corpus3 = corpus2.withColumn("text",
+      when(col("doc_id") % 89 === 0 && col("doc_id") < 1000000L,
+        concat(col("text"), lit(" qq zz extra"))).otherwise(col("text")))
+    IncrementalDedup.applyDelta(spark, bands, pairs, corpus3,
+      upd.withColumn("_change_type", lit("update_preimage"))
+        .unionByName(upd.select(col("doc_id"),
+          concat(col("text"), lit(" qq zz extra")).as("text"))
+          .withColumn("_change_type", lit("update_postimage"))),
+      "doc_id", "text", seq(3), cfg)
+    // delta 4: every 61st ORIGINAL doc deleted
+    val delCond = col("doc_id") % 61 === 0 && col("doc_id") < 1000000L
+    val corpus4 = corpus3.filter(!delCond)
+    IncrementalDedup.applyDelta(spark, bands, pairs, corpus4,
+      corpus3.filter(delCond).withColumn("_change_type", lit("delete")),
+      "doc_id", "text", seq(4), cfg)
+
+    pairs.read(spark).select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  val dedupIncrementalSql: String = s"""
+    WITH corpus AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 89 = 0 THEN text || ' qq zz extra'
+             ELSE text END AS text
+      FROM documents WHERE doc_id % 61 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 97 = 0),
+    ${jaccardCtesOn("corpus")}
+    SELECT id_a, id_b,
+      inter * 1.0 / (sz_a + sz_b - inter) AS jaccard
+    FROM cand
+    WHERE inter * 1.0 / (sz_a + sz_b - inter) >= 0.5
+    ORDER BY id_a, id_b"""
 
   val dedupMinhashLshSql: String = jaccardOracle
 

@@ -48,7 +48,22 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       * travel; older versions' unreferenced files are deleted eagerly so a
       * long-running CDC stream's disk footprint stays O(table), not
       * O(history). */
-    val retainVersions: Int = 2) {
+    val retainVersions: Int = 2,
+    /** Columns the bucket hash runs over — a PREFIX-or-subset of
+      * `keyCols` (empty = all of them, the default). A proper subset
+      * turns the table into a secondary index: rows sharing the subset
+      * values co-locate in one bucket, so probes by those columns prune
+      * to single buckets even though row identity (merge semantics) is
+      * still the full key — e.g. an LSH band table keyed
+      * (band, bucket_hash, doc_id) but bucketed by (band, bucket_hash).
+      * Same-key rows always share a bucket because bucketCols ⊆ keyCols. */
+    bucketCols0: Seq[String] = Nil) {
+
+  /** Effective bucket columns (defaults to the full key). */
+  val bucketCols: Seq[String] =
+    if (bucketCols0.isEmpty) keyCols else bucketCols0
+  require(bucketCols.forall(keyCols.contains),
+    s"bucketCols must be a subset of keyCols: $bucketCols vs $keyCols")
 
   private def dataDir = s"$root/data"
   private def manifestDir = Paths.get(root, "_manifests")
@@ -145,8 +160,11 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     Files.createDirectories(Paths.get(root))
     if (!exists) {
       val tmp = Paths.get(root, "_meta.json.tmp")
+      val bucketColsJson =
+        if (bucketCols == keyCols) ""
+        else s""","bucketCols":${bucketCols.mkString("[\"", "\",\"", "\"]")}"""
       Files.write(tmp,
-        s"""{"keyCols":${keyCols.mkString("[\"", "\",\"", "\"]")},"nBuckets":$nBuckets}"""
+        s"""{"keyCols":${keyCols.mkString("[\"", "\",\"", "\"]")},"nBuckets":$nBuckets$bucketColsJson}"""
           .getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, metaPath, StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.ATOMIC_MOVE)
@@ -379,8 +397,10 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val types = base.schema.fields.map(f => f.name -> f.dataType).toMap
     val typedLits = keyCols.zip(keyValues).map { case (c, v) =>
       lit(v).cast(types(c)) }
+    val byCol = keyCols.zip(typedLits).toMap
     val bucket = spark.range(1)
-      .select(pmod(hash(typedLits: _*), lit(nBuckets)).cast("int"))
+      .select(pmod(hash(bucketCols.map(byCol): _*), lit(nBuckets))
+        .cast("int"))
       .head().getInt(0)
     // data skipping: inside the bucket, drop files whose leading-key
     // range excludes the probe (append-heavy buckets hold many files;
@@ -399,8 +419,25 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       .drop("_bucket")
   }
 
+  /** Bucket-pruned read for a probe set: scans only the buckets some
+    * probe row hashes into — the secondary-index read path (O(probed
+    * buckets), never O(table)). `probe` must carry the [[bucketCols]]
+    * with the STORED column types (the writer hashed typed values); it
+    * should be delta-scale — its bucket ids collapse to ≤ [[nBuckets]]
+    * distinct ints (a metadata-scale collect), and the caller still
+    * joins the result against the probe to drop same-bucket strangers. */
+  def readForProbe(spark: SparkSession, probe: DataFrame): DataFrame = {
+    val m = currentManifest().getOrElse(return spark.emptyDataFrame)
+    if (m.allFiles.isEmpty) return spark.emptyDataFrame
+    val buckets = probe
+      .select(pmod(hash(bucketCols.map(col): _*), lit(nBuckets))
+        .cast("int").as("_b"))
+      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+    readBuckets(spark, m, buckets).drop("_bucket")
+  }
+
   // ----------------------------------------------------------------- write
-  private def bucketExpr = pmod(hash(keyCols.map(col): _*), lit(nBuckets))
+  private def bucketExpr = pmod(hash(bucketCols.map(col): _*), lit(nBuckets))
 
   /** Write `df` (already carrying _bucket) as immutable data files and
     * return bucket → new file paths. Files are staged by Spark, then moved
@@ -1166,6 +1203,8 @@ object GraftTable {
     implicit val fmts: Formats = DefaultFormats
     val j = JsonMethods.parse(s)
     new GraftTable(root, (j \ "keyCols").extract[List[String]],
-      (j \ "nBuckets").extract[Int])
+      (j \ "nBuckets").extract[Int],
+      bucketCols0 =
+        (j \ "bucketCols").extractOrElse[List[String]](Nil))
   }
 }

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Pins the IncrementalDedup invariant: after EVERY sync, the maintained
+  * pair table equals the from-scratch [[Dedup.minhashLshPairs]] over the
+  * current corpus — inserts that create pairs, updates that create AND
+  * destroy them, deletes of pair members, and replayed deltas all
+  * included. */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+  private val cfg = IncrementalDedup.Config()
+
+  // word-soup texts: near-dups share all but one trailing token
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "while rain falls on the quiet village roof tonight"
+  private val other = "completely different words about spark shuffles " +
+    "partitions codegen catalyst tungsten execution plans and buckets"
+
+  private def corpusDf(state: Map[Long, String]): DataFrame =
+    state.toSeq.toDF("doc_id", "text")
+
+  /** Build the CDF rows for a mutation of `prev` into `next`. */
+  private def changesDf(prev: Map[Long, String],
+      next: Map[Long, String]): DataFrame = {
+    val ins = (next.keySet -- prev.keySet).toSeq
+      .map(id => (id, next(id), "insert"))
+    val del = (prev.keySet -- next.keySet).toSeq
+      .map(id => (id, prev(id), "delete"))
+    val upd = (next.keySet & prev.keySet).toSeq
+      .filter(id => prev(id) != next(id))
+      .flatMap(id => Seq((id, prev(id), "update_preimage"),
+        (id, next(id), "update_postimage")))
+    (ins ++ del ++ upd).toDF("doc_id", "text", "_change_type")
+  }
+
+  private def rebuild(state: Map[Long, String]): Set[(Long, Long)] =
+    Dedup.minhashLshPairs(corpusDf(state), "text", "doc_id",
+      cfg.n, cfg.numHashes, cfg.bands, cfg.threshold)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+  test("pair table tracks the corpus through inserts, updates, deletes, replay") {
+    val bands = IncrementalDedup.bandTable(tmp("inc-bands"), nBuckets = 16)
+    val pairs = IncrementalDedup.pairTable(tmp("inc-pairs"), nBuckets = 4)
+    var state = Map.empty[Long, String]
+    var v = 0L
+
+    def sync(next: Map[Long, String], seqOverride: Option[String] = None)
+        : Unit = {
+      val seq = seqOverride.getOrElse { v += 1; f"$v%016x/0" }
+      IncrementalDedup.applyDelta(spark, bands, pairs,
+        corpusDf(next), changesDf(state, next), "doc_id", "text", seq, cfg)
+      state = next
+      val got = pairs.read(spark).select("id_a", "id_b")
+        .as[(Long, Long)].collect().toSet
+      assert(got == rebuild(state), s"after seq=$seq state=$state")
+    }
+
+    // bootstrap: 4 docs, one planted near-dup pair (1,2)
+    sync(Map(
+      1L -> s"$base alpha", 2L -> s"$base beta",
+      3L -> other, 4L -> s"$other extra tokens here"))
+    assert(pairs.read(spark).count() >= 1)
+
+    // insert a near-dup of doc 3 → new pair (3,5); unrelated doc 6
+    sync(state ++ Map(5L -> s"$other zz", 6L -> (base.split(" ").reverse
+      .mkString(" ") + " unrelated vocabulary entirely")))
+
+    // update doc 2 away from doc 1 (destroys (1,2)); update doc 6
+    // toward doc 1 (creates (1,6))
+    sync(state ++ Map(2L -> s"$other qq ww ee", 6L -> s"$base gamma"))
+
+    // delete a pair member
+    sync(state - 1L)
+
+    // replay the last delta under the SAME seq: state tables unchanged
+    val bandCount = bands.read(spark).count()
+    val pairSet = pairs.read(spark).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    IncrementalDedup.applyDelta(spark, bands, pairs,
+      corpusDf(state), changesDf(state - 2L, state), "doc_id", "text",
+      f"$v%016x/0", cfg)
+    assert(bands.read(spark).count() == bandCount)
+    assert(pairs.read(spark).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet == pairSet)
+  }
+
+  test("band index is a real secondary index: probes scan a strict subset of buckets") {
+    val bands = IncrementalDedup.bandTable(tmp("inc-bands2"), nBuckets = 16)
+    val pairs = IncrementalDedup.pairTable(tmp("inc-pairs2"), nBuckets = 4)
+    val docs = (1L to 40L).map(i =>
+      i -> (s"document number $i with some shared filler words " +
+        s"plus unique token u$i v${i * 7} w${i * 13}")).toMap
+    IncrementalDedup.applyDelta(spark, bands, pairs, corpusDf(docs),
+      changesDf(Map.empty, docs), "doc_id", "text", "0000000000000001/0", cfg)
+    val allFiles = bands.read(spark).inputFiles.length
+    assert(allFiles > 4, s"want many bucket files: $allFiles")
+    // a one-doc probe touches only the buckets its bands hash into
+    val probe = Dedup.bandRows(Seq((7L, docs(7L))).toDF("doc_id", "text"),
+      "text", "doc_id", cfg.n, cfg.numHashes, cfg.bands)
+    val read = bands.readForProbe(spark, probe)
+    val scanned = read.inputFiles.length
+    assert(scanned > 0 && scanned < allFiles,
+      s"probe must scan a strict subset: $scanned of $allFiles")
+  }
+}
