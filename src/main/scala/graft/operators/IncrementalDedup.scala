@@ -84,6 +84,7 @@ object IncrementalDedup {
     val oldBands = Dedup.bandRows(before, "text", "id",
       cfg.n, cfg.numHashes, cfg.bands)
     try {
+      val hadData = bands.hasData
       val key = Seq("band", "bh", "id")
       val ins = newBands.join(oldBands, key, "left_anti")
         .withColumn("_op", lit("I"))
@@ -93,10 +94,15 @@ object IncrementalDedup {
 
       // candidates: the delta's bands probe the post-merge index —
       // bucket-pruned to the probed (band, bh) buckets; delta×delta
-      // pairs fall out because the delta's own rows are in the index
+      // pairs fall out because the delta's own rows are in the index.
+      // Bootstrap (empty index pre-merge): the post-merge index IS the
+      // delta — self-join the in-memory bands, skip the table read.
       val probe = newBands.select(col("band"), col("bh"),
         col("id").as("_pid"))
-      val hits = bands.readForProbe(spark, probe)
+      val index =
+        if (hadData) bands.readForProbe(spark, probe)
+        else newBands.select("band", "bh", "id")
+      val hits = index
         .join(probe, Seq("band", "bh"))
         .filter(col("id") =!= col("_pid"))
         .select(least(col("id"), col("_pid")).as("id_a"),
@@ -104,12 +110,14 @@ object IncrementalDedup {
         .distinct()
 
       // verify candidates with the exact n-gram Jaccard, shingling only
-      // the candidate ids (delta-scale), not the corpus
+      // the candidate ids (delta-scale), not the corpus: the semi-join
+      // runs BEFORE the shingle projection so the expensive expression
+      // never evaluates over non-candidates
       val candIds = hits.select(col("id_a").as("id"))
         .union(hits.select(col("id_b"))).distinct()
-      val docs = corpus.select(col(idCol).as("id"),
-          Dedup.shingleHashes(col(textCol), cfg.n).as("sh"))
+      val docs = corpus.select(col(idCol).as("id"), col(textCol).as("_t"))
         .join(candIds, "id")
+        .select(col("id"), Dedup.shingleHashes(col("_t"), cfg.n).as("sh"))
         .localCheckpoint(eager = false)
       val verified = hits
         .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")

@@ -105,9 +105,10 @@ object SimQueries {
       "text", "doc_id", n = 3, numHashes = 32, bands = 16, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
-  /** INCREMENTAL near-dup maintenance e2e: the corpus arrives as four
-    * deterministic CDC deltas (bootstrap inserts → clone inserts →
-    * divergence updates → deletes), each maintained O(delta) through
+  /** INCREMENTAL near-dup maintenance e2e: the corpus bootstraps in as
+    * one CDC delta, then a MIXED second delta (clone inserts + text-
+    * divergence updates + deletes in one batch — the realistic CDC sync
+    * shape) is maintained O(delta) through
     * [[graft.operators.IncrementalDedup.applyDelta]] against persistent
     * band/pair GraftTables. The final pair table must equal the exact
     * Jaccard pair set of the final corpus — DuckDB rebuilds that corpus
@@ -120,38 +121,37 @@ object SimQueries {
       .select(col("doc_id"), col("text"))
     val root = java.nio.file.Files
       .createTempDirectory("graft-incdedup").toString
-    val bands = IncrementalDedup.bandTable(s"$root/bands", nBuckets = 32)
-    val pairs = IncrementalDedup.pairTable(s"$root/pairs", nBuckets = 8)
+    // modest bucket counts: each sync commits O(nBuckets) files per
+    // table; a production index sizes this up with the corpus
+    val bands = IncrementalDedup.bandTable(s"$root/bands", nBuckets = 8)
+    val pairs = IncrementalDedup.pairTable(s"$root/pairs", nBuckets = 4)
     def seq(v: Long) = f"$v%016x/0"
 
     // delta 1: the corpus bootstraps in
     IncrementalDedup.applyDelta(spark, bands, pairs, docs,
       docs.withColumn("_change_type", lit("insert")),
       "doc_id", "text", seq(1), cfg)
-    // delta 2: clones of every 97th doc (id + 1e6, original text)
+    // delta 2 (mixed): clones of every 97th doc (id + 1e6, original
+    // text) insert; every 89th surviving doc diverges (appended
+    // tokens); every 61st doc deletes
+    val delCond = col("doc_id") % 61 === 0
+    val updCond = col("doc_id") % 89 === 0 && !delCond
     val clones = docs.filter(col("doc_id") % 97 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-    val corpus2 = docs.unionByName(clones)
-    IncrementalDedup.applyDelta(spark, bands, pairs, corpus2,
-      clones.withColumn("_change_type", lit("insert")),
+    val updated = concat(col("text"), lit(" qq zz extra"))
+    val changes = clones.withColumn("_change_type", lit("insert"))
+      .unionByName(docs.filter(delCond)
+        .withColumn("_change_type", lit("delete")))
+      .unionByName(docs.filter(updCond)
+        .withColumn("_change_type", lit("update_preimage")))
+      .unionByName(docs.filter(updCond)
+        .withColumn("text", updated)
+        .withColumn("_change_type", lit("update_postimage")))
+    val corpus2 = docs.filter(!delCond)
+      .withColumn("text", when(updCond, updated).otherwise(col("text")))
+      .unionByName(clones)
+    IncrementalDedup.applyDelta(spark, bands, pairs, corpus2, changes,
       "doc_id", "text", seq(2), cfg)
-    // delta 3: every 89th ORIGINAL doc diverges (appended tokens)
-    val upd = docs.filter(col("doc_id") % 89 === 0)
-    val corpus3 = corpus2.withColumn("text",
-      when(col("doc_id") % 89 === 0 && col("doc_id") < 1000000L,
-        concat(col("text"), lit(" qq zz extra"))).otherwise(col("text")))
-    IncrementalDedup.applyDelta(spark, bands, pairs, corpus3,
-      upd.withColumn("_change_type", lit("update_preimage"))
-        .unionByName(upd.select(col("doc_id"),
-          concat(col("text"), lit(" qq zz extra")).as("text"))
-          .withColumn("_change_type", lit("update_postimage"))),
-      "doc_id", "text", seq(3), cfg)
-    // delta 4: every 61st ORIGINAL doc deleted
-    val delCond = col("doc_id") % 61 === 0 && col("doc_id") < 1000000L
-    val corpus4 = corpus3.filter(!delCond)
-    IncrementalDedup.applyDelta(spark, bands, pairs, corpus4,
-      corpus3.filter(delCond).withColumn("_change_type", lit("delete")),
-      "doc_id", "text", seq(4), cfg)
 
     pairs.read(spark).select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")

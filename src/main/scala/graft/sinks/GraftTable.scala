@@ -71,6 +71,10 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
 
   def exists: Boolean = Files.exists(metaPath)
 
+  /** Whether the current snapshot references any data files (false for
+    * absent, empty, or truncated tables) — a manifest-only check. */
+  def hasData: Boolean = currentManifest().exists(_.allFiles.nonEmpty)
+
   // ------------------------------------------------------------------ meta
   /** Snapshot manifest: the live files per bucket + the replay high-water
     * in force at this version + the snapshot's unified Spark schema (DDL
