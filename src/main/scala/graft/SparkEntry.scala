@@ -64,6 +64,7 @@ object SparkEntry {
     "dedup_jaccard" -> (SimQueries.dedupJaccard _),
     "dedup_minhash_lsh" -> (SimQueries.dedupMinhashLsh _),
     "dedup_incremental" -> (SimQueries.dedupIncremental _),
+    "dedup_incremental_embed" -> (SimQueries.dedupIncrementalEmbed _),
     "dedup_clusters" -> (SimQueries.dedupClusters _),
     "dedup_simhash" -> (SimQueries.dedupSimhash _),
     "dedup_embed_cosine" -> (SimQueries.dedupEmbedCosine _),
@@ -136,6 +137,7 @@ object SparkEntry {
     "dedup_jaccard" -> SimQueries.dedupJaccardSql,
     "dedup_minhash_lsh" -> SimQueries.dedupMinhashLshSql,
     "dedup_incremental" -> SimQueries.dedupIncrementalSql,
+    "dedup_incremental_embed" -> SimQueries.dedupIncrementalEmbedSql,
     "dedup_clusters" -> SimQueries.dedupClustersSql,
     "mm_meta" -> SimQueries.mmMetaSql,
     "profile_stats" -> SimQueries.profileStatsSql,

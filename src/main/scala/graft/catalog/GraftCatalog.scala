@@ -132,7 +132,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"bucket key $k is not a column of the table"))
-    GraftTable.create(dirOf(ident).toString, schema, keys, buckets)
+    // optional extra data-skipping stats columns (leading key is always
+    // harvested): TBLPROPERTIES ('stats.cols' = 'ts,other')
+    val statsCols = Option(info.properties().get("stats.cols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    statsCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"stats.cols entry $c is not a column of the table"))
+    GraftTable.create(dirOf(ident).toString, schema, keys, buckets,
+      statsCols)
     loadTable(ident)
   }
 
@@ -350,10 +358,14 @@ final class GraftSqlTable(val table: GraftTable, fullName: String,
   override def partitioning(): Array[Transform] =
     Array(Expressions.bucket(table.nBuckets, table.keyCols: _*))
 
-  override def properties(): java.util.Map[String, String] =
-    Map("keys" -> table.keyCols.mkString(","),
+  override def properties(): java.util.Map[String, String] = {
+    val extra = table.statsCols.drop(1)
+    (Map("keys" -> table.keyCols.mkString(","),
       "buckets" -> table.nBuckets.toString,
-      "provider" -> "graft").asJava
+      "provider" -> "graft") ++
+      (if (extra.isEmpty) Map.empty
+       else Map("stats.cols" -> extra.mkString(",")))).asJava
+  }
 
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -385,16 +397,14 @@ final class GraftSqlTable(val table: GraftTable, fullName: String,
         ParquetTable(fullName, spark, opts, fs,
           Some(physicalSchema(mapping)), classOf[ParquetFileFormat])
           .newScanBuilder(opts), mapping)
-    // manifest-level data skipping: when the scan carries key-range
-    // predicates, drop whole files before planning (the row-group stats
-    // inside surviving files still apply on top)
+    // manifest-level data skipping: when the scan carries range
+    // predicates over any stats column, drop whole files before planning
+    // (the row-group stats inside surviving files still apply on top)
     val stats = table.currentFileStats
-    table.keyCols.headOption match {
-      case Some(k) if stats.nonEmpty && files.nonEmpty =>
-        new org.apache.spark.sql.GraftFileSkippingBuilder(mk, files,
-          stats.get _, k)
-      case _ => mk(files)
-    }
+    if (stats.nonEmpty && files.nonEmpty)
+      new org.apache.spark.sql.GraftFileSkippingBuilder(mk, files,
+        stats.get _)
+    else mk(files)
   }
 
   /** Plan a fresh (unpruned-columns) scan over only `buckets`' live

@@ -1,39 +1,44 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sinks.GraftTable
 
-/** Incremental MinHash-LSH near-duplicate maintenance: keep a near-dup
-  * pair set in sync with a mutating corpus by recomputing ONLY what a
-  * change delta touches — O(delta), never O(corpus) per sync. This is
-  * the fuzzy counterpart of the exact-dedup derived table the
-  * incremental-curation pipeline maintains from the row CDF, and the
-  * at-scale answer to "re-run dedup after every CDC sync": at 100 TB a
-  * from-scratch [[Dedup.minhashLshPairs]] pass per sync re-shingles the
-  * whole corpus, while this touches the changed documents, the LSH
-  * buckets they land in, and nothing else.
+/** Incremental LSH near-duplicate maintenance: keep a near-dup pair set
+  * in sync with a mutating corpus by recomputing ONLY what a change
+  * delta touches — O(delta), never O(corpus) per sync. Two fronts share
+  * one sync engine: [[applyDelta]] (text MinHash-LSH, exact n-gram
+  * Jaccard verify) and [[applyEmbedDelta]] (embedding hyperplane LSH,
+  * exact cosine verify). This is the fuzzy counterpart of the
+  * exact-dedup derived table the incremental-curation pipeline maintains
+  * from the row CDF, and the at-scale answer to "re-run dedup after
+  * every CDC sync": at 100 TB a from-scratch [[Dedup.minhashLshPairs]] /
+  * [[Similarity.cosineNearDupPairs]] pass per sync re-processes the
+  * whole corpus, while this touches the changed rows, the LSH buckets
+  * they land in, and nothing else.
   *
   * State lives in two [[graft.sinks.GraftTable]]s, so every sync commits
   * snapshot-atomically with replay idempotence (`_seq` high-water):
   *
   *  - '''bands''' — the persistent LSH index: one row per (band, bh,
-  *    id), keyed by all three but BUCKETED by (band, bh) (secondary-
-  *    index bucketing), so a delta's candidate probe reads only the
-  *    buckets its band hashes land in, not the whole index.
-  *  - '''pairs''' — the verified near-dup pairs (id_a < id_b, exact
-  *    n-gram Jaccard ≥ threshold), keyed (id_a, id_b).
+  *    id) (for embeddings: band = hash-table index, bh = hyperplane
+  *    signature), keyed by all three but BUCKETED by (band, bh)
+  *    (secondary-index bucketing), so a delta's candidate probe reads
+  *    only the buckets its band hashes land in, not the whole index.
+  *  - '''pairs''' — the verified near-dup pairs (id_a < id_b), keyed
+  *    (id_a, id_b), carrying the exact verify score.
   *
-  * Per delta: changed docs' OLD band rows (derivable from the CDF
+  * Per delta: changed rows' OLD band rows (derivable from the CDF
   * preimages — no index lookup needed) are netted against their NEW
   * band rows into one band-table merge; the new bands then probe the
-  * index bucket-pruned for candidates; candidates verify with exact
-  * Jaccard against the current corpus (candidate ids only); and the
-  * pair table gets deletes for every pair involving a changed doc plus
+  * index bucket-pruned for candidates; candidates verify with the exact
+  * metric against the current corpus (candidate ids only); and the pair
+  * table gets deletes for every pair involving a changed row plus
   * inserts for the re-verified survivors — which is exactly the
-  * from-scratch result restricted to touched documents, so the invariant
-  * `pairs == minhashLshPairs(corpus)` holds after every sync (pinned in
-  * IncrementalDedupSpec and the `dedup_incremental` oracle).
+  * from-scratch result restricted to touched rows, so the invariant
+  * `pairs == <batch operator>(corpus)` holds after every sync (pinned
+  * in IncrementalDedupSpec and the `dedup_incremental` /
+  * `dedup_incremental_embed` oracles).
   *
   * Scale notes: the band merge and probe are bucket-pruned by (band,
   * bh); the only non-pruned step is the obsolete-pair scan, which reads
@@ -43,11 +48,16 @@ import graft.sinks.GraftTable
   * scan bucket-pruned too — not needed at tested scales. */
 object IncrementalDedup {
 
-  /** LSH/verify parameters — must stay fixed for the life of the index
-    * (they define the band hashes stored in it). Defaults match the
-    * `dedup_minhash_lsh` gate. */
+  /** Text LSH/verify parameters — must stay fixed for the life of the
+    * index (they define the band hashes stored in it). Defaults match
+    * the `dedup_minhash_lsh` gate. */
   final case class Config(n: Int = 3, numHashes: Int = 32, bands: Int = 16,
       threshold: Double = 0.5)
+
+  /** Embedding LSH/verify parameters. Defaults match the
+    * `dedup_embed_cosine` gate. */
+  final case class EmbedConfig(threshold: Double = 0.45, nPlanes: Int = 4,
+      nTables: Int = 8)
 
   /** Create (or reopen) the band-index table: keyed (band, bh, id) so a
     * band row is its own identity, bucketed (band, bh) so probes prune. */
@@ -59,30 +69,95 @@ object IncrementalDedup {
   def pairTable(root: String, nBuckets: Int = 8): GraftTable =
     new GraftTable(root, Seq("id_a", "id_b"), nBuckets)
 
-  /** One incremental sync. `corpus` is the CURRENT (post-delta) corpus;
-    * `changes` is the row CDF of the delta with `_change_type` ∈ insert |
-    * delete | update_preimage | update_postimage (the vocabulary of
-    * [[graft.sinks.GraftTable.rowChangesBetween]]) carrying `idCol` and
-    * `textCol` images. `seq` must increase per sync (replay-idempotent:
-    * a replayed delta no-ops on both state tables). */
+  /** One incremental TEXT sync. `corpus` is the CURRENT (post-delta)
+    * corpus; `changes` is the row CDF of the delta with `_change_type` ∈
+    * insert | delete | update_preimage | update_postimage (the
+    * vocabulary of [[graft.sinks.GraftTable.rowChangesBetween]]) carrying
+    * `idCol` and `textCol` images. `seq` must increase per sync
+    * (replay-idempotent: a replayed delta no-ops on both state tables). */
   def applyDelta(spark: SparkSession, bands: GraftTable, pairs: GraftTable,
       corpus: DataFrame, changes: DataFrame, idCol: String, textCol: String,
-      seq: String, cfg: Config = Config()): Unit = {
-    val ch = changes.select(col(idCol).as("id"), col(textCol).as("text"),
-      col("_change_type"))
+      seq: String, cfg: Config = Config()): Unit =
+    sync(spark, bands, pairs, changes, idCol, textCol, seq,
+      df => Dedup.bandRows(df, "payload", "id",
+        cfg.n, cfg.numHashes, cfg.bands),
+      hits => {
+        val candIds = hits.select(col("id_a").as("id"))
+          .union(hits.select(col("id_b"))).distinct()
+        // shingle AFTER the candidate semi-join so the expensive
+        // expression never evaluates over non-candidates
+        val docs = corpus.select(col(idCol).as("id"),
+            col(textCol).as("_t"))
+          .join(candIds, "id")
+          .select(col("id"), Dedup.shingleHashes(col("_t"), cfg.n).as("sh"))
+          .localCheckpoint(eager = false)
+        hits
+          .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")),
+            "id_a")
+          .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")),
+            "id_b")
+          .withColumn("jaccard",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .filter(col("jaccard") >= cfg.threshold)
+          .select("id_a", "id_b", "jaccard")
+      }, scoreCol = "jaccard")
+
+  /** One incremental EMBEDDING sync — same contract as [[applyDelta]]
+    * with `vecCol` (Array[Float]/Array[Double]) instead of text. The
+    * invariant is `pairs == cosineNearDupPairs(corpus)` (same signature
+    * functions, same round-6 exact-cosine verify). */
+  def applyEmbedDelta(spark: SparkSession, bands: GraftTable,
+      pairs: GraftTable, corpus: DataFrame, changes: DataFrame,
+      idCol: String, vecCol: String, seq: String,
+      cfg: EmbedConfig = EmbedConfig()): Unit =
+    sync(spark, bands, pairs, changes, idCol, vecCol, seq,
+      df => {
+        val sigs = (0 until cfg.nTables).map(t =>
+          Similarity.hyperplaneSig(col("payload"), cfg.nPlanes,
+            t * cfg.nPlanes))
+        df.select(col("id"), posexplode(array(sigs: _*)))
+          .withColumnRenamed("pos", "band")
+          .withColumnRenamed("col", "bh")
+      },
+      hits => {
+        val candIds = hits.select(col("id_a").as("id"))
+          .union(hits.select(col("id_b"))).distinct()
+        val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("_v"))
+          .join(candIds, "id")
+          .localCheckpoint(eager = false)
+        hits
+          .join(vecs.select(col("id").as("id_a"), col("_v").as("v_a")),
+            "id_a")
+          .join(vecs.select(col("id").as("id_b"), col("_v").as("v_b")),
+            "id_b")
+          .withColumn("sim",
+            round(Similarity.cosine(col("v_a"), col("v_b")), 6))
+          .filter(col("sim") >= cfg.threshold)
+          .select("id_a", "id_b", "sim")
+      }, scoreCol = "sim")
+
+  /** The shared sync engine: `bandRowsOf` turns (id, payload) rows into
+    * (id, band, bh) index rows; `verify` turns candidate (id_a, id_b)
+    * pairs into verified pairs carrying `scoreCol`. */
+  private def sync(spark: SparkSession, bands: GraftTable,
+      pairs: GraftTable, changes: DataFrame, idCol: String,
+      payloadCol: String, seq: String,
+      bandRowsOf: DataFrame => DataFrame,
+      verify: DataFrame => DataFrame, scoreCol: String): Unit = {
+    val ch = changes.select(col(idCol).as("id"),
+      col(payloadCol).as("payload"), col("_change_type"))
     val after = ch.filter(col("_change_type")
-      .isin("insert", "update_postimage")).select("id", "text")
+      .isin("insert", "update_postimage")).select("id", "payload")
     val before = ch.filter(col("_change_type")
-      .isin("delete", "update_preimage")).select("id", "text")
+      .isin("delete", "update_preimage")).select("id", "payload")
 
     // band delta: OLD rows come from the CDF preimages (no index read);
-    // net out rows the new text keeps so an update only touches bands
+    // net out rows the new payload keeps so an update only touches bands
     // that actually moved. Both sides are delta-scale — cache the one
     // that feeds two consumers (merge + probe).
-    val newBands = Dedup.bandRows(after, "text", "id",
-      cfg.n, cfg.numHashes, cfg.bands).cache()
-    val oldBands = Dedup.bandRows(before, "text", "id",
-      cfg.n, cfg.numHashes, cfg.bands)
+    val newBands = bandRowsOf(after).cache()
+    val oldBands = bandRowsOf(before)
     try {
       val hadData = bands.hasData
       val key = Seq("band", "bh", "id")
@@ -109,33 +184,18 @@ object IncrementalDedup {
           greatest(col("id"), col("_pid")).as("id_b"))
         .distinct()
 
-      // verify candidates with the exact n-gram Jaccard, shingling only
-      // the candidate ids (delta-scale), not the corpus: the semi-join
-      // runs BEFORE the shingle projection so the expensive expression
-      // never evaluates over non-candidates
-      val candIds = hits.select(col("id_a").as("id"))
-        .union(hits.select(col("id_b"))).distinct()
-      val docs = corpus.select(col(idCol).as("id"), col(textCol).as("_t"))
-        .join(candIds, "id")
-        .select(col("id"), Dedup.shingleHashes(col("_t"), cfg.n).as("sh"))
-        .localCheckpoint(eager = false)
-      val verified = hits
-        .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        .withColumn("jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-        .filter(col("jaccard") >= cfg.threshold)
-        .select("id_a", "id_b", "jaccard")
+      val verified = verify(hits)
 
-      // pair delta: every pair involving a changed doc is stale — delete
+      // pair delta: every pair involving a changed row is stale — delete
       // unless re-verified. The scan is over the PAIR table (output-
       // scale), not the corpus.
       val changed = ch.select(col("id")).distinct()
       val existing = pairs.read(spark)
       val stale =
-        if (existing.columns.isEmpty) verified.limit(0).select("id_a", "id_b")
-        else existing.join(changed, existing("id_a") === changed("id"), "left_semi")
+        if (existing.columns.isEmpty)
+          verified.limit(0).select("id_a", "id_b")
+        else existing.join(changed,
+            existing("id_a") === changed("id"), "left_semi")
           .select("id_a", "id_b")
           .union(existing.join(changed,
             existing("id_b") === changed("id"), "left_semi")
@@ -143,7 +203,7 @@ object IncrementalDedup {
           .distinct()
       val pairBatch = verified.withColumn("_op", lit("I"))
         .unionByName(stale.join(verified, Seq("id_a", "id_b"), "left_anti")
-          .withColumn("jaccard", lit(null).cast("double"))
+          .withColumn(scoreCol, lit(null).cast("double"))
           .withColumn("_op", lit("D")))
         .withColumn("_seq", lit(seq))
       pairs.merge(pairBatch)

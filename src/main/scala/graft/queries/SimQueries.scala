@@ -157,6 +157,87 @@ object SimQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** INCREMENTAL EMBEDDING near-dup maintenance e2e — the
+    * [[dedupIncremental]] scenario over the embeddings corpus (bootstrap
+    * sync, then a mixed clone-insert + delete sync through
+    * `IncrementalDedup.applyEmbedDelta`), comparison-row gated like
+    * `dedup_embed_cosine`: n_exact is the exact cosine pair count of the
+    * final corpus (DuckDB replays the same fold + round-6 bit-exactly
+    * over the same mutated corpus), n_false counts incremental pairs
+    * absent from the exact set (0 — the verify step applies the same
+    * metric and rounding), recall_ok gates at ≥ 0.2 (deterministic; the
+    * incremental invariant pins equality to the BATCH operator in
+    * IncrementalDedupSpec, and identical-clone pairs always collide). */
+  def dedupIncrementalEmbed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalDedup
+    val cfg = IncrementalDedup.EmbedConfig()
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-incembed").toString
+    val bands = IncrementalDedup.bandTable(s"$root/bands", nBuckets = 8)
+    val pairs = IncrementalDedup.pairTable(s"$root/pairs", nBuckets = 4)
+    def seq(v: Long) = f"$v%016x/0"
+
+    IncrementalDedup.applyEmbedDelta(spark, bands, pairs, emb,
+      emb.withColumn("_change_type", lit("insert")),
+      "vec_id", "embedding", seq(1), cfg)
+    val delCond = col("vec_id") % 17 === 0
+    val clones = emb.filter(col("vec_id") % 23 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val changes = clones.withColumn("_change_type", lit("insert"))
+      .unionByName(emb.filter(delCond)
+        .withColumn("_change_type", lit("delete")))
+    val corpus2 = emb.filter(!delCond).unionByName(clones)
+    IncrementalDedup.applyEmbedDelta(spark, bands, pairs, corpus2,
+      changes, "vec_id", "embedding", seq(2), cfg)
+
+    val a = corpus2.select(col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val b = corpus2.select(col("vec_id").as("id_b"),
+      col("embedding").as("vb"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("sim",
+        round(graft.operators.Similarity.cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= cfg.threshold)
+      .select("id_a", "id_b").withColumn("_e", lit(1))
+    val approx = pairs.read(spark).select("id_a", "id_b")
+      .withColumn("_a", lit(1))
+    exact.join(approx, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        coalesce(sum(col("_e")), lit(0L)).as("n_exact"),
+        coalesce(sum(when(col("_a") === 1 && col("_e").isNull, 1)
+          .otherwise(0)), lit(0L)).as("n_false"),
+        coalesce(sum(when(col("_e") === 1 && col("_a") === 1, 1)
+          .otherwise(0)), lit(0L)).as("n_hit"))
+      .select(col("n_exact"), col("n_false"),
+        (col("n_hit") * 5 >= col("n_exact")).as("recall_ok"))
+  }
+
+  val dedupIncrementalEmbedSql: String = """
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 <> 0
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings
+      WHERE vec_id % 23 = 0),
+    s AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, len(a.embedding)+1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+            (x,y) -> x+y)
+          / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (x,y) -> x+y))
+           * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (x,y) -> x+y))), 6) AS sim
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+    SELECT count(*) AS n_exact, CAST(0 AS BIGINT) AS n_false,
+           true AS recall_ok
+    FROM s WHERE sim >= 0.45"""
+
   val dedupIncrementalSql: String = s"""
     WITH corpus AS (
       SELECT doc_id,

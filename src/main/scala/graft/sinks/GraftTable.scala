@@ -57,13 +57,23 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       * still the full key — e.g. an LSH band table keyed
       * (band, bucket_hash, doc_id) but bucketed by (band, bucket_hash).
       * Same-key rows always share a bucket because bucketCols ⊆ keyCols. */
-    bucketCols0: Seq[String] = Nil) {
+    bucketCols0: Seq[String] = Nil,
+    /** EXTRA columns to harvest per-file [min, max] skipping stats for,
+      * beyond the always-harvested leading key — e.g. an event-time
+      * column on a CDC table, so time-range catalog queries skip whole
+      * files. Only integral-physical types (int/bigint/smallint, date,
+      * micros timestamps) ever produce stats; others are ignored. */
+    statsCols0: Seq[String] = Nil) {
 
   /** Effective bucket columns (defaults to the full key). */
   val bucketCols: Seq[String] =
     if (bucketCols0.isEmpty) keyCols else bucketCols0
   require(bucketCols.forall(keyCols.contains),
     s"bucketCols must be a subset of keyCols: $bucketCols vs $keyCols")
+
+  /** Stats columns (logical names): leading key first, then extras. */
+  val statsCols: Seq[String] =
+    (keyCols.headOption.toSeq ++ statsCols0).distinct
 
   private def dataDir = s"$root/data"
   private def manifestDir = Paths.get(root, "_manifests")
@@ -98,15 +108,18 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
         * versioned per snapshot, so time travel sees the mapping in
         * force at that version. */
       columnMapping: Map[String, String] = Map.empty,
-      /** Delta-style data skipping: per-file [min, max] of the LEADING
-        * key column (integral keys only), harvested from the parquet
-        * footers of each commit's NEW files by [[commitManifest]] —
-        * write paths stay untouched and the cost is one local footer
-        * read per new file, once. Point lookups prune a bucket's file
-        * list against these ranges before any scan; a file without an
-        * entry is always read (absence = no skip, never wrong). Entries
-        * of removed files drop automatically on the next commit. */
-      fileStats: Map[String, (Long, Long)] = Map.empty) {
+      /** Delta-style data skipping: per-file, per-column [min, max] of
+        * the stats columns (leading key + [[statsCols]]; integral
+        * physical types only), harvested from the parquet footers of
+        * each commit's NEW files by [[commitManifest]] — write paths
+        * stay untouched and the cost is one local footer read per new
+        * file, once. Keyed by PHYSICAL column name (stable across
+        * renames). Point lookups prune a bucket's file list against the
+        * leading-key ranges; catalog scans prune on every stats column.
+        * A file/column without an entry is always read (absence = no
+        * skip, never wrong). Entries of removed files drop automatically
+        * on the next commit. */
+      fileStats: Map[String, Map[String, (Long, Long)]] = Map.empty) {
     def allFiles: Seq[String] = files.valuesIterator.flatten.toVector
   }
   /** Back-compat alias for callers that only need the replay mark. */
@@ -167,8 +180,11 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       val bucketColsJson =
         if (bucketCols == keyCols) ""
         else s""","bucketCols":${bucketCols.mkString("[\"", "\",\"", "\"]")}"""
+      val statsColsJson =
+        if (statsCols0.isEmpty) ""
+        else s""","statsCols":${statsCols0.mkString("[\"", "\",\"", "\"]")}"""
       Files.write(tmp,
-        s"""{"keyCols":${keyCols.mkString("[\"", "\",\"", "\"]")},"nBuckets":$nBuckets$bucketColsJson}"""
+        s"""{"keyCols":${keyCols.mkString("[\"", "\",\"", "\"]")},"nBuckets":$nBuckets$bucketColsJson$statsColsJson}"""
           .getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, metaPath, StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.ATOMIC_MOVE)
@@ -217,24 +233,45 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val j = JsonMethods.parse(s)
     val files = (j \ "files").extract[Map[String, List[String]]]
       .map { case (b, fs) => b.toInt -> (fs: Seq[String]) }
+    val mapping =
+      (j \ "columnMapping").extractOrElse[Map[String, String]](Map.empty)
+    // current format: path → col → [lo, hi]; legacy "fileStats" carried
+    // leading-key-only ranges — lift them under the physical head name
+    val colStats =
+      (j \ "fileColStats")
+        .extractOrElse[Map[String, Map[String, List[Long]]]](Map.empty)
+        .map { case (p, cs) => p -> cs.collect {
+          case (c, List(lo, hi)) => c -> (lo, hi) } }
+    val legacy =
+      (j \ "fileStats").extractOrElse[Map[String, List[Long]]](Map.empty)
+    val stats =
+      if (colStats.nonEmpty || legacy.isEmpty || keyCols.isEmpty) colStats
+      else {
+        val head = mapping.getOrElse(keyCols.head, keyCols.head)
+        legacy.collect { case (p, List(lo, hi)) => p -> Map(head -> (lo, hi)) }
+      }
     Manifest(v, (j \ "highWater").extract[String], files,
       (j \ "schema").extractOrElse[String](""),
       (j \ "committedAtMs").extractOrElse[Long](-1L),
-      (j \ "columnMapping").extractOrElse[Map[String, String]](Map.empty),
-      (j \ "fileStats").extractOrElse[Map[String, List[Long]]](Map.empty)
-        .collect { case (p, List(lo, hi)) => p -> (lo, hi) })
+      mapping, stats)
   }
 
   /** Current logical → physical column mapping (empty = no renames). */
   def columnMapping: Map[String, String] =
     currentManifest().map(_.columnMapping).getOrElse(Map.empty)
 
-  /** Current per-file leading-key [min,max] ranges keyed by RESOLVED
-    * path — the data-skipping surface the SQL catalog scan prunes with
-    * (empty = no stats, nothing skips). */
-  def currentFileStats: Map[String, (Long, Long)] =
-    currentManifest().map(_.fileStats.map { case (p, r) =>
-      resolved(p) -> r }).getOrElse(Map.empty)
+  /** Current per-file, per-column [min,max] ranges keyed by RESOLVED
+    * path and LOGICAL column name — the data-skipping surface the SQL
+    * catalog scan prunes with (empty = no stats, nothing skips). Stats
+    * persist under physical names; this translates through the current
+    * name mapping so the scan's logical predicates line up. */
+  def currentFileStats: Map[String, Map[String, (Long, Long)]] =
+    currentManifest().map { m =>
+      val toLogical = m.columnMapping.map(_.swap)
+      m.fileStats.map { case (p, cs) =>
+        resolved(p) -> cs.map { case (c, r) =>
+          toLogical.getOrElse(c, c) -> r } }
+    }.getOrElse(Map.empty)
   /** Mapping in force at a PINNED snapshot (catalog VERSION AS OF). */
   def mappingOf(version: Long): Map[String, String] =
     readManifest(version).columnMapping
@@ -261,25 +298,28 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val m1 = if (m0.columnMapping.nonEmpty) m0
              else m0.copy(columnMapping =
                prev.map(_.columnMapping).getOrElse(Map.empty))
-    // data skipping: harvest [min,max] of the leading key column from
-    // the footers of this commit's NEW files, carry live entries forward,
-    // drop removed ones. Capped so a giant backfill commit stays O(cap):
-    // uncovered files simply never skip.
+    // data skipping: harvest per-column [min,max] of the stats columns
+    // from the footers of this commit's NEW files, carry live entries
+    // forward, drop removed ones. Capped so a giant backfill commit
+    // stays O(cap): uncovered files simply never skip.
     val m = {
       val live = m1.allFiles.toSet
       val prevStats = prev.map(_.fileStats).getOrElse(Map.empty)
       val fresh = (live -- prevStats.keySet -- m1.fileStats.keySet)
         .take(GraftTable.MaxStatsFilesPerCommit)
-      // integral-keyed tables only: the schema DDL travels with the
-      // manifest, so a non-integral leading key skips the footer reads
-      // entirely instead of opening every file to learn "no stats"
-      val harvested = keyCols.headOption match {
-        case Some(k) if fresh.nonEmpty &&
-            GraftTable.integralLeadingKey(m1.schemaDdl, k) =>
-          fresh.iterator.flatMap(p =>
-            GraftTable.footerKeyRange(resolved(p), k).map(p -> _)).toMap
-        case _ => Map.empty[String, (Long, Long)]
-      }
+      // stats-eligible columns only (DDL type pre-check): the schema DDL
+      // travels with the manifest, so e.g. a string leading key skips
+      // the footer reads entirely instead of opening every file to
+      // learn "no stats". Harvest keys are PHYSICAL names.
+      val eligible = statsCols
+        .filter(c => GraftTable.statsEligible(m1.schemaDdl, c))
+        .map(c => m1.columnMapping.getOrElse(c, c))
+      val harvested =
+        if (fresh.isEmpty || eligible.isEmpty)
+          Map.empty[String, Map[String, (Long, Long)]]
+        else fresh.iterator.map(p =>
+            p -> GraftTable.footerRanges(resolved(p), eligible))
+          .filter(_._2.nonEmpty).toMap
       m1.copy(fileStats = (prevStats ++ m1.fileStats ++ harvested)
         .filter { case (p, _) => live(p) })
     }
@@ -293,8 +333,10 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
         s""""$l":"$p"""" }.mkString(""","columnMapping":{""", ",", "}")
     val statsJson =
       if (m.fileStats.isEmpty) ""
-      else m.fileStats.toSeq.sorted.map { case (p, (lo, hi)) =>
-        s""""$p":[$lo,$hi]""" }.mkString(""","fileStats":{""", ",", "}")
+      else m.fileStats.toSeq.sortBy(_._1).map { case (p, cs) =>
+        s""""$p":${cs.toSeq.sorted.map { case (c, (lo, hi)) =>
+          s""""$c":[$lo,$hi]""" }.mkString("{", ",", "}")}"""
+      }.mkString(""","fileColStats":{""", ",", "}")
     val body =
       s"""{"version":${m.version},"highWater":"${m.highWater}",""" +
         s""""committedAtMs":${System.currentTimeMillis()}$mappingJson$statsJson,""" +
@@ -413,8 +455,10 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val pruned = keyValues.head match {
       case n: Number if m.fileStats.nonEmpty =>
         val k = n.longValue
+        val head = m.columnMapping.getOrElse(keyCols.head, keyCols.head)
         m.copy(files = m.files.updatedWith(bucket)(_.map(_.filter(p =>
-          m.fileStats.get(p).forall { case (lo, hi) => k >= lo && k <= hi }))))
+          m.fileStats.get(p).flatMap(_.get(head))
+            .forall { case (lo, hi) => k >= lo && k <= hi }))))
       case _ => m
     }
     keyCols.zip(typedLits).foldLeft(readBuckets(spark, pruned, Seq(bucket))) {
@@ -1104,30 +1148,31 @@ object GraftTable {
     * the whole harvest and taxed every merge commit. */
   private lazy val footerConf = new org.apache.hadoop.conf.Configuration()
 
-  /** Fast pre-check from the manifest's schema DDL: harvest only when
-    * the leading key column is a type whose parquet stats we can use
-    * (integral physical types). Unparseable/absent DDL → harvest and
-    * let [[footerKeyRange]] decide per file. */
-  private[sinks] def integralLeadingKey(schemaDdl: String,
-      keyCol: String): Boolean = {
+  /** Fast pre-check from the manifest's schema DDL: harvest only
+    * columns whose parquet stats we can use as long ranges (integral
+    * physical types; dates are INT32 days, micros timestamps INT64).
+    * Unparseable/absent DDL → harvest and let [[footerRanges]] decide
+    * per file. */
+  private[sinks] def statsEligible(schemaDdl: String,
+      col: String): Boolean = {
     if (schemaDdl == null || schemaDdl.isEmpty) return true
     try {
-      org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
-        .find(_.name == keyCol)
-        .forall(f => f.dataType match {
-          case org.apache.spark.sql.types.IntegerType |
-               org.apache.spark.sql.types.LongType |
-               org.apache.spark.sql.types.ShortType => true
+      import org.apache.spark.sql.types._
+      StructType.fromDDL(schemaDdl).find(_.name == col)
+        .forall(_.dataType match {
+          case IntegerType | LongType | ShortType | DateType |
+               TimestampType | TimestampNTZType => true
           case _ => false
         })
     } catch { case scala.util.control.NonFatal(_) => true }
   }
 
-  /** [min, max] of `col` across a parquet file's row groups, from the
-    * footer only — None unless every row group carries non-null INT64/
-    * INT32 statistics for the column (absence = caller must not skip). */
-  private[sinks] def footerKeyRange(path: String,
-      col: String): Option[(Long, Long)] = {
+  /** Per-column [min, max] across a parquet file's row groups, from the
+    * footer only (ONE footer read for all `cols`). A column appears in
+    * the result only if every row group carries non-null INT64/INT32
+    * statistics for it (absence = caller must not skip on it). */
+  private[sinks] def footerRanges(path: String,
+      cols: Seq[String]): Map[String, (Long, Long)] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
@@ -1136,27 +1181,33 @@ object GraftTable {
         new org.apache.hadoop.fs.Path(path), footerConf)
       val r = ParquetFileReader.open(in)
       try {
-        val ranges = r.getFooter.getBlocks.asScala.map { b =>
-          b.getColumns.asScala
-            .find(_.getPath.toDotString == col)
-            .flatMap { c =>
-              val s = c.getStatistics
-              if (s == null || s.isEmpty || !s.hasNonNullValue) None
-              else s.genericGetMin match {
-                case min: java.lang.Long =>
-                  Some((min.longValue,
-                    s.genericGetMax.asInstanceOf[java.lang.Long].longValue))
-                case min: java.lang.Integer =>
-                  Some((min.longValue,
-                    s.genericGetMax.asInstanceOf[java.lang.Integer].longValue))
-                case _ => None
+        val blocks = r.getFooter.getBlocks.asScala
+        cols.flatMap { col =>
+          val ranges = blocks.map { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == col)
+              .flatMap { c =>
+                val s = c.getStatistics
+                if (s == null || s.isEmpty || !s.hasNonNullValue) None
+                else s.genericGetMin match {
+                  case min: java.lang.Long =>
+                    Some((min.longValue,
+                      s.genericGetMax.asInstanceOf[java.lang.Long].longValue))
+                  case min: java.lang.Integer =>
+                    Some((min.longValue,
+                      s.genericGetMax.asInstanceOf[java.lang.Integer].longValue))
+                  case _ => None
+                }
               }
-            }
-        }
-        if (ranges.isEmpty || ranges.exists(_.isEmpty)) None
-        else Some((ranges.flatten.map(_._1).min, ranges.flatten.map(_._2).max))
+          }
+          if (ranges.isEmpty || ranges.exists(_.isEmpty)) None
+          else Some(col -> (ranges.flatten.map(_._1).min,
+            ranges.flatten.map(_._2).max))
+        }.toMap
       } finally r.close()
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch {
+      case scala.util.control.NonFatal(_) => Map.empty[String, (Long, Long)]
+    }
   }
 
   /** Read parquet `paths` under a pinned LOGICAL schema when files carry
@@ -1186,8 +1237,9 @@ object GraftTable {
     * (the CREATE TABLE path — the table is immediately readable as zero
     * rows under the declared schema). */
   def create(root: String, schema: org.apache.spark.sql.types.StructType,
-      keyCols: Seq[String], nBuckets: Int = 32): GraftTable = {
-    val t = new GraftTable(root, keyCols, nBuckets)
+      keyCols: Seq[String], nBuckets: Int = 32,
+      statsCols: Seq[String] = Nil): GraftTable = {
+    val t = new GraftTable(root, keyCols, nBuckets, statsCols0 = statsCols)
     require(!t.exists, s"graft table already exists: $root")
     t.commitManifest(t.Manifest(0L, "", Map.empty,
       org.apache.spark.sql.types.StructType(
@@ -1209,6 +1261,8 @@ object GraftTable {
     new GraftTable(root, (j \ "keyCols").extract[List[String]],
       (j \ "nBuckets").extract[Int],
       bucketCols0 =
-        (j \ "bucketCols").extractOrElse[List[String]](Nil))
+        (j \ "bucketCols").extractOrElse[List[String]](Nil),
+      statsCols0 =
+        (j \ "statsCols").extractOrElse[List[String]](Nil))
   }
 }

@@ -81,19 +81,20 @@ object GraftScanBridge {
 /** Manifest-level data skipping for the graft catalog scan: a deferred
   * builder that runs the normal pushdown dialogue against a probe built
   * over ALL files, and at `build()` — once the pushed filters are
-  * known — drops every file whose [min,max] leading-key range the
-  * filters exclude, replaying the recorded pruning/pushdown onto a
-  * rebuilt scan over the survivors. Skipping is conservative: files
-  * without stats always survive, strict bounds widen to inclusive, and
-  * un-analyzable predicates disable skipping — the pushed filters still
-  * run inside every scanned file, so pruning can only remove files that
-  * cannot contain matches. One file is always retained (an empty list
-  * could not partition-infer `_bucket` and would change the scan
-  * schema). Lives here for the same `private[sql]` reason as
-  * [[GraftScanBridge]]. */
+  * known — drops every file whose per-column [min,max] ranges the
+  * filters exclude (ANY stats column's interval disjoint ⇒ the file
+  * cannot match), replaying the recorded pruning/pushdown onto a
+  * rebuilt scan over the survivors. Skipping is conservative: files or
+  * columns without stats always survive, strict bounds widen to
+  * inclusive, and un-analyzable predicates constrain nothing — the
+  * pushed filters still run inside every scanned file, so pruning can
+  * only remove files that cannot contain matches. One file is always
+  * retained (an empty list could not partition-infer `_bucket` and
+  * would change the scan schema). Lives here for the same
+  * `private[sql]` reason as [[GraftScanBridge]]. */
 final class GraftFileSkippingBuilder(
     mk: Seq[String] => ScanBuilder, allFiles: Seq[String],
-    statsOf: String => Option[(Long, Long)], keyCol: String)
+    statsOf: String => Option[Map[String, (Long, Long)]])
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownCatalystFilters {
@@ -126,69 +127,86 @@ final class GraftFileSkippingBuilder(
     case _ => Array.empty
   }
 
-  /** Key interval [lo, hi] a conjunct constrains the leading key to —
-    * None = no constraint from this conjunct. */
-  private def interval(e: Expression): Option[(Long, Long)] = {
+  /** Per-column interval [lo, hi] a conjunct constrains — empty map =
+    * no constraint from this conjunct. Values normalize to Long (ints,
+    * longs, date days, timestamp micros — matching the footer stats). */
+  private def intervals(e: Expression): Map[String, (Long, Long)] = {
     def longOf(l: Literal): Option[Long] = l.value match {
       case i: java.lang.Integer => Some(i.longValue)
       case i: java.lang.Long => Some(i.longValue)
       case i: java.lang.Short => Some(i.longValue)
       case _ => None
     }
-    def isKey(a: Expression) = a match {
-      case r: AttributeReference => r.name == keyCol
-      case _ => false
+    def nameOf(a: Expression): Option[String] = a match {
+      case r: AttributeReference => Some(r.name)
+      case _ => None
     }
+    def one(a: Expression, r: (Long, Long)): Map[String, (Long, Long)] =
+      nameOf(a).map(_ -> r).toMap
+    def meet(x: Map[String, (Long, Long)], y: Map[String, (Long, Long)]) =
+      (x.keySet ++ y.keySet).map { k =>
+        (x.get(k), y.get(k)) match {
+          case (Some((a, b)), Some((c, d))) =>
+            k -> (math.max(a, c), math.min(b, d))
+          case (v, w) => k -> v.orElse(w).get
+        }
+      }.toMap
     e match {
-      case CAnd(l, r) => (interval(l), interval(r)) match {
-        case (Some((a, b)), Some((c, d))) =>
-          Some((math.max(a, c), math.min(b, d)))
-        case (x, None) => x
-        case (None, y) => y
-      }
-      case EqualTo(a, l: Literal) if isKey(a) => longOf(l).map(v => (v, v))
-      case EqualTo(l: Literal, a) if isKey(a) => longOf(l).map(v => (v, v))
-      case GreaterThan(a, l: Literal) if isKey(a) =>
-        longOf(l).map(v => (v, Long.MaxValue))
-      case GreaterThanOrEqual(a, l: Literal) if isKey(a) =>
-        longOf(l).map(v => (v, Long.MaxValue))
-      case LessThan(a, l: Literal) if isKey(a) =>
-        longOf(l).map(v => (Long.MinValue, v))
-      case LessThanOrEqual(a, l: Literal) if isKey(a) =>
-        longOf(l).map(v => (Long.MinValue, v))
-      case GreaterThan(l: Literal, a) if isKey(a) =>
-        longOf(l).map(v => (Long.MinValue, v))
-      case GreaterThanOrEqual(l: Literal, a) if isKey(a) =>
-        longOf(l).map(v => (Long.MinValue, v))
-      case LessThan(l: Literal, a) if isKey(a) =>
-        longOf(l).map(v => (v, Long.MaxValue))
-      case LessThanOrEqual(l: Literal, a) if isKey(a) =>
-        longOf(l).map(v => (v, Long.MaxValue))
-      case In(a, ls) if isKey(a) && ls.forall(_.isInstanceOf[Literal]) =>
+      case CAnd(l, r) => meet(intervals(l), intervals(r))
+      case EqualTo(a, l: Literal) =>
+        longOf(l).map(v => one(a, (v, v))).getOrElse(Map.empty)
+      case EqualTo(l: Literal, a) =>
+        longOf(l).map(v => one(a, (v, v))).getOrElse(Map.empty)
+      case GreaterThan(a, l: Literal) =>
+        longOf(l).map(v => one(a, (v, Long.MaxValue))).getOrElse(Map.empty)
+      case GreaterThanOrEqual(a, l: Literal) =>
+        longOf(l).map(v => one(a, (v, Long.MaxValue))).getOrElse(Map.empty)
+      case LessThan(a, l: Literal) =>
+        longOf(l).map(v => one(a, (Long.MinValue, v))).getOrElse(Map.empty)
+      case LessThanOrEqual(a, l: Literal) =>
+        longOf(l).map(v => one(a, (Long.MinValue, v))).getOrElse(Map.empty)
+      case GreaterThan(l: Literal, a) =>
+        longOf(l).map(v => one(a, (Long.MinValue, v))).getOrElse(Map.empty)
+      case GreaterThanOrEqual(l: Literal, a) =>
+        longOf(l).map(v => one(a, (Long.MinValue, v))).getOrElse(Map.empty)
+      case LessThan(l: Literal, a) =>
+        longOf(l).map(v => one(a, (v, Long.MaxValue))).getOrElse(Map.empty)
+      case LessThanOrEqual(l: Literal, a) =>
+        longOf(l).map(v => one(a, (v, Long.MaxValue))).getOrElse(Map.empty)
+      case In(a, ls) if ls.forall(_.isInstanceOf[Literal]) =>
         val vs = ls.flatMap(l => longOf(l.asInstanceOf[Literal]))
-        if (vs.size == ls.size && vs.nonEmpty) Some((vs.min, vs.max)) else None
-      case InSet(a, vs) if isKey(a) && vs.nonEmpty =>
+        if (vs.size == ls.size && vs.nonEmpty) one(a, (vs.min, vs.max))
+        else Map.empty
+      case InSet(a, vs) if vs.nonEmpty =>
         val longs = vs.toSeq.flatMap {
           case i: java.lang.Integer => Some(i.longValue)
           case i: java.lang.Long => Some(i.longValue)
           case _ => None
         }
-        if (longs.size == vs.size) Some((longs.min, longs.max)) else None
-      case _ => None
+        if (longs.size == vs.size) one(a, (longs.min, longs.max))
+        else Map.empty
+      case _ => Map.empty
     }
   }
 
   override def build(): Scan = {
-    // conjuncts compose by interval intersection
-    val bound = pushed.flatMap(interval) match {
-      case Seq() => None
-      case xs => Some((xs.map(_._1).max, xs.map(_._2).min))
-    }
-    val keep = bound match {
-      case None => allFiles
-      case Some((lo, hi)) => allFiles.filter(p =>
-        statsOf(p).forall { case (mn, mx) => hi >= mn && lo <= mx })
-    }
+    // conjuncts compose by per-column interval intersection
+    val bounds = pushed.map(intervals)
+      .foldLeft(Map.empty[String, (Long, Long)]) { (acc, m) =>
+        (acc.keySet ++ m.keySet).map { k =>
+          (acc.get(k), m.get(k)) match {
+            case (Some((a, b)), Some((c, d))) =>
+              k -> (math.max(a, c), math.min(b, d))
+            case (v, w) => k -> v.orElse(w).get
+          }
+        }.toMap
+      }
+    val keep =
+      if (bounds.isEmpty) allFiles
+      else allFiles.filter { p =>
+        statsOf(p).forall(cs => bounds.forall { case (c, (lo, hi)) =>
+          cs.get(c).forall { case (mn, mx) => hi >= mn && lo <= mx } })
+      }
     if (keep.size == allFiles.size) probe.build()
     else {
       val survivors = if (keep.nonEmpty) keep else allFiles.take(1)

@@ -394,6 +394,37 @@ class GraftCatalogSpec extends SparkSpec {
     assert(r3.size == 100 && f3.distinct.size == 3)
   }
 
+  test("data skipping on a SECONDARY stats column (stats.cols property)") {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.skip2")
+    spark.sql("""CREATE TABLE cat.skip2.t (id BIGINT, ts BIGINT, v STRING)
+                 PARTITIONED BY (bucket(1, id))
+                 TBLPROPERTIES ('stats.cols' = 'ts')""")
+    // OVERLAPPING id ranges (no leading-key pruning possible) but
+    // disjoint ts ranges — only the secondary column can prune
+    spark.sql("""INSERT INTO cat.skip2.t
+                 SELECT id, 10000 + id, 'a' FROM range(0, 100)""")
+    spark.sql("""INSERT INTO cat.skip2.t
+                 SELECT id + 100, 20000 + id, 'b' FROM range(0, 100)""")
+    spark.sql("""INSERT INTO cat.skip2.t
+                 SELECT id + 200, 30000 + id, 'c' FROM range(0, 100)""")
+    def scanned(sql: String): (Int, Long) = {
+      val df = spark.sql(sql)
+      val n = df.count()
+      val files = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.collect { case f: FilePartition =>
+            f.files.map(_.urlEncodedPath).toSeq }.flatten
+      }.flatten
+      (files.distinct.size, n)
+    }
+    val (f1, n1) = scanned(
+      "SELECT * FROM cat.skip2.t WHERE ts >= 20000 AND ts < 20050")
+    assert(n1 == 50 && f1 == 1, s"ts-range query must scan 1 file: $f1/$n1")
+    val (f2, n2) = scanned("SELECT * FROM cat.skip2.t WHERE v = 'c'")
+    assert(n2 == 100 && f2 == 3, s"no ts predicate scans all: $f2/$n2")
+  }
+
   test("RENAME COLUMN with data: name mapping keeps every file generation readable") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.ren")
     spark.sql("""CREATE TABLE cat.ren.t (id BIGINT, val STRING, n INT)

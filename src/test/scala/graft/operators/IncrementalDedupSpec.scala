@@ -90,6 +90,60 @@ class IncrementalDedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet == pairSet)
   }
 
+  test("embedding pairs track the corpus through inserts, updates, deletes") {
+    val ecfg = IncrementalDedup.EmbedConfig(threshold = 0.9, nPlanes = 4,
+      nTables = 8)
+    val bands = IncrementalDedup.bandTable(tmp("inc-ebands"), nBuckets = 8)
+    val pairs = IncrementalDedup.pairTable(tmp("inc-epairs"), nBuckets = 4)
+    // base directions: near-orthogonal unit-ish vectors; near-dups are
+    // tiny perturbations of the same direction
+    def vec(dir: Int, eps: Float): Array[Float] = {
+      val v = Array.fill(8)(0.01f * dir)
+      v(dir % 8) = 1.0f
+      v((dir + 3) % 8) = eps
+      v
+    }
+    var state = Map.empty[Long, Array[Float]]
+    var v = 0L
+
+    def rebuild(s: Map[Long, Array[Float]]): Set[(Long, Long)] =
+      Similarity.cosineNearDupPairs(s.toSeq.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", ecfg.threshold, ecfg.nPlanes, ecfg.nTables)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    def sync(next: Map[Long, Array[Float]]): Unit = {
+      v += 1
+      val prev = state
+      val ins = (next.keySet -- prev.keySet).toSeq
+        .map(id => (id, next(id), "insert"))
+      val del = (prev.keySet -- next.keySet).toSeq
+        .map(id => (id, prev(id), "delete"))
+      val upd = (next.keySet & prev.keySet).toSeq
+        .filter(id => !prev(id).sameElements(next(id)))
+        .flatMap(id => Seq((id, prev(id), "update_preimage"),
+          (id, next(id), "update_postimage")))
+      IncrementalDedup.applyEmbedDelta(spark, bands, pairs,
+        next.toSeq.toDF("vec_id", "embedding"),
+        (ins ++ del ++ upd).toDF("vec_id", "embedding", "_change_type"),
+        "vec_id", "embedding", f"$v%016x/0", ecfg)
+      state = next
+      val got = pairs.read(spark).select("id_a", "id_b")
+        .as[(Long, Long)].collect().toSet
+      assert(got == rebuild(state), s"after sync $v")
+    }
+
+    // bootstrap: pair (1,2) same direction, 3/4 distinct directions
+    sync(Map(1L -> vec(0, 0.01f), 2L -> vec(0, 0.02f),
+      3L -> vec(1, 0.01f), 4L -> vec(2, 0.01f)))
+    assert(pairs.read(spark).count() >= 1)
+    // insert a near-dup of direction 1 → pair (3,5)
+    sync(state + (5L -> vec(1, 0.02f)))
+    // update 2 away from 1 (destroys), 4 toward direction 1 (creates)
+    sync(state ++ Map(2L -> vec(5, 0.01f), 4L -> vec(1, 0.03f)))
+    // delete a pair member
+    sync(state - 3L)
+  }
+
   test("band index is a real secondary index: probes scan a strict subset of buckets") {
     val bands = IncrementalDedup.bandTable(tmp("inc-bands2"), nBuckets = 16)
     val pairs = IncrementalDedup.pairTable(tmp("inc-pairs2"), nBuckets = 4)

@@ -582,7 +582,7 @@ class GraftTableSpec extends SparkSpec {
     val m = t.currentManifest().get
     assert(m.files(0).size == 3, m.files)
     assert(m.fileStats.size == 3, m.fileStats)
-    assert(m.fileStats.values.toSet ==
+    assert(m.fileStats.values.map(_("id")).toSet ==
       Set((0L, 99L), (100L, 199L), (200L, 299L)), m.fileStats)
 
     val hit = t.lookup(spark, Seq(150L))
@@ -598,9 +598,27 @@ class GraftTableSpec extends SparkSpec {
     val m2 = t.currentManifest().get
     assert(m2.fileStats.keySet == m2.allFiles.toSet,
       "stats must track the live file set")
-    assert(m2.fileStats.values.toSeq == Seq((0L, 299L)), m2.fileStats)
+    assert(m2.fileStats.values.map(_("id")).toSeq == Seq((0L, 299L)),
+      m2.fileStats)
     assert(t.lookup(spark, Seq(150L)).as[(Long, String)].collect().toSeq ==
       Seq((150L, "b2")))
+  }
+
+  test("multi-column stats: secondary stats columns harvest per file") {
+    val t = new GraftTable(tmp(), Seq("id"), nBuckets = 1,
+      statsCols0 = Seq("ts"))
+    t.append(spark.range(0L, 100L).select(col("id"),
+      (col("id") + 1000L).as("ts"), lit("a").as("v")))
+    t.append(spark.range(100L, 200L).select(col("id"),
+      (col("id") + 1000L).as("ts"), lit("b").as("v")))
+    val m = t.currentManifest().get
+    assert(m.fileStats.size == 2, m.fileStats)
+    assert(m.fileStats.values.forall(cs =>
+      cs.contains("id") && cs.contains("ts")), m.fileStats)
+    assert(m.fileStats.values.map(_("ts")).toSet ==
+      Set((1000L, 1099L), (1100L, 1199L)), m.fileStats)
+    // identity persists statsCols through reopen
+    assert(GraftTable.open(t.root).statsCols == Seq("id", "ts"))
   }
 
   test("data skipping survives manifest reload, compact, and rename") {
