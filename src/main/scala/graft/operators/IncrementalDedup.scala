@@ -25,8 +25,11 @@ import graft.sinks.GraftTable
   *    signature), keyed by all three but BUCKETED by (band, bh)
   *    (secondary-index bucketing), so a delta's candidate probe reads
   *    only the buckets its band hashes land in, not the whole index.
-  *  - '''pairs''' — the verified near-dup pairs (id_a < id_b), keyed
-  *    (id_a, id_b), carrying the exact verify score.
+  *  - '''pairs''' — the verified near-dup pairs, MIRRORED under both
+  *    orientations ((a,b) stored as (a,b) AND (b,a)), keyed (id_a,
+  *    id_b) but BUCKETED by id_a alone — so "every pair involving id
+  *    X" is answerable from X's bucket only, whichever side X is on.
+  *    The canonical (id_a < id_b) operator result is [[readPairs]].
   *
   * Per delta: changed rows' OLD band rows (derivable from the CDF
   * preimages — no index lookup needed) are netted against their NEW
@@ -40,12 +43,11 @@ import graft.sinks.GraftTable
   * in IncrementalDedupSpec and the `dedup_incremental` /
   * `dedup_incremental_embed` oracles).
   *
-  * Scale notes: the band merge and probe are bucket-pruned by (band,
-  * bh); the only non-pruned step is the obsolete-pair scan, which reads
-  * the PAIR table (output-scale, typically ≪ corpus) through two hash
-  * semi-joins. A corpus whose pair set itself is huge would mirror each
-  * pair under both orientations keyed by the first member to make that
-  * scan bucket-pruned too — not needed at tested scales. */
+  * Scale notes: every per-sync read is bucket-pruned — the band merge
+  * and candidate probe by (band, bh), and the obsolete-pair scan by the
+  * changed ids' id_a buckets (the orientation mirror exists exactly so
+  * that one-sided probe sees both sides of every pair). No step reads
+  * O(index) or O(pairs); each sync is O(delta + touched buckets). */
 object IncrementalDedup {
 
   /** Text LSH/verify parameters — must stay fixed for the life of the
@@ -65,9 +67,27 @@ object IncrementalDedup {
     new GraftTable(root, Seq("band", "bh", "id"), nBuckets,
       bucketCols0 = Seq("band", "bh"))
 
-  /** Create (or reopen) the verified-pair table. */
+  /** Create (or reopen) the verified-pair table: a row per pair PER
+    * ORIENTATION, keyed (id_a, id_b), bucketed by id_a so the stale
+    * probe ("pairs touching these changed ids") prunes to the changed
+    * ids' buckets instead of scanning the pair set. */
   def pairTable(root: String, nBuckets: Int = 8): GraftTable =
-    new GraftTable(root, Seq("id_a", "id_b"), nBuckets)
+    new GraftTable(root, Seq("id_a", "id_b"), nBuckets,
+      bucketCols0 = Seq("id_a"))
+
+  /** The operator result: the canonical (id_a < id_b) half of the
+    * mirrored pair index. */
+  def readPairs(spark: SparkSession, pairs: GraftTable): DataFrame = {
+    val df = pairs.read(spark)
+    if (df.columns.isEmpty) df else df.filter(col("id_a") < col("id_b"))
+  }
+
+  /** Both orientations of canonical (id_a < id_b) pair rows. */
+  private def mirror(df: DataFrame, scoreCol: String): DataFrame = {
+    val c = df.select(col("id_a"), col("id_b"), col(scoreCol))
+    c.union(df.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
+      col(scoreCol)))
+  }
 
   /** One incremental TEXT sync. `corpus` is the CURRENT (post-delta)
     * corpus; `changes` is the row CDF of the delta with `_change_type` ∈
@@ -187,24 +207,24 @@ object IncrementalDedup {
       val verified = verify(hits)
 
       // pair delta: every pair involving a changed row is stale — delete
-      // unless re-verified. The scan is over the PAIR table (output-
-      // scale), not the corpus.
+      // unless re-verified. The mirror makes this a one-sided probe:
+      // every pair touching a changed id X has an orientation with
+      // id_a = X, so reading the changed ids' id_a buckets (bucket-
+      // pruned, like the band probe) sees ALL stale pairs — O(delta
+      // buckets), never O(pairs).
       val changed = ch.select(col("id")).distinct()
-      val existing = pairs.read(spark)
       val stale =
-        if (existing.columns.isEmpty)
-          verified.limit(0).select("id_a", "id_b")
-        else existing.join(changed,
-            existing("id_a") === changed("id"), "left_semi")
-          .select("id_a", "id_b")
-          .union(existing.join(changed,
-            existing("id_b") === changed("id"), "left_semi")
-            .select("id_a", "id_b"))
+        if (!pairs.hasData) verified.limit(0).select("id_a", "id_b")
+        else pairs.readForProbe(spark, changed.select(col("id").as("id_a")))
+          .join(changed, col("id_a") === col("id"), "left_semi")
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"))
           .distinct()
-      val pairBatch = verified.withColumn("_op", lit("I"))
-        .unionByName(stale.join(verified, Seq("id_a", "id_b"), "left_anti")
-          .withColumn(scoreCol, lit(null).cast("double"))
-          .withColumn("_op", lit("D")))
+      // inserts and deletes are canonical pair sets; both write mirrored
+      val delPairs = stale.join(verified, Seq("id_a", "id_b"), "left_anti")
+        .withColumn(scoreCol, lit(null).cast("double"))
+      val pairBatch = mirror(verified, scoreCol).withColumn("_op", lit("I"))
+        .unionByName(mirror(delPairs, scoreCol).withColumn("_op", lit("D")))
         .withColumn("_seq", lit(seq))
       pairs.merge(pairBatch)
     } finally newBands.unpersist()

@@ -153,7 +153,8 @@ object SimQueries {
     IncrementalDedup.applyDelta(spark, bands, pairs, corpus2, changes,
       "doc_id", "text", seq(2), cfg)
 
-    pairs.read(spark).select("id_a", "id_b", "jaccard")
+    IncrementalDedup.readPairs(spark, pairs)
+      .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
   }
 
@@ -201,8 +202,8 @@ object SimQueries {
         round(graft.operators.Similarity.cosine(col("va"), col("vb")), 6))
       .filter(col("sim") >= cfg.threshold)
       .select("id_a", "id_b").withColumn("_e", lit(1))
-    val approx = pairs.read(spark).select("id_a", "id_b")
-      .withColumn("_a", lit(1))
+    val approx = IncrementalDedup.readPairs(spark, pairs)
+      .select("id_a", "id_b").withColumn("_a", lit(1))
     exact.join(approx, Seq("id_a", "id_b"), "full_outer")
       .agg(
         coalesce(sum(col("_e")), lit(0L)).as("n_exact"),

@@ -56,8 +56,8 @@ class IncrementalDedupSpec extends SparkSpec {
       IncrementalDedup.applyDelta(spark, bands, pairs,
         corpusDf(next), changesDf(state, next), "doc_id", "text", seq, cfg)
       state = next
-      val got = pairs.read(spark).select("id_a", "id_b")
-        .as[(Long, Long)].collect().toSet
+      val got = IncrementalDedup.readPairs(spark, pairs)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       assert(got == rebuild(state), s"after seq=$seq state=$state")
     }
 
@@ -80,14 +80,14 @@ class IncrementalDedupSpec extends SparkSpec {
 
     // replay the last delta under the SAME seq: state tables unchanged
     val bandCount = bands.read(spark).count()
-    val pairSet = pairs.read(spark).select("id_a", "id_b")
-      .as[(Long, Long)].collect().toSet
+    val pairSet = IncrementalDedup.readPairs(spark, pairs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     IncrementalDedup.applyDelta(spark, bands, pairs,
       corpusDf(state), changesDf(state - 2L, state), "doc_id", "text",
       f"$v%016x/0", cfg)
     assert(bands.read(spark).count() == bandCount)
-    assert(pairs.read(spark).select("id_a", "id_b")
-      .as[(Long, Long)].collect().toSet == pairSet)
+    assert(IncrementalDedup.readPairs(spark, pairs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet == pairSet)
   }
 
   test("embedding pairs track the corpus through inserts, updates, deletes") {
@@ -127,8 +127,8 @@ class IncrementalDedupSpec extends SparkSpec {
         (ins ++ del ++ upd).toDF("vec_id", "embedding", "_change_type"),
         "vec_id", "embedding", f"$v%016x/0", ecfg)
       state = next
-      val got = pairs.read(spark).select("id_a", "id_b")
-        .as[(Long, Long)].collect().toSet
+      val got = IncrementalDedup.readPairs(spark, pairs)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       assert(got == rebuild(state), s"after sync $v")
     }
 
@@ -161,5 +161,34 @@ class IncrementalDedupSpec extends SparkSpec {
     val scanned = read.inputFiles.length
     assert(scanned > 0 && scanned < allFiles,
       s"probe must scan a strict subset: $scanned of $allFiles")
+  }
+
+  test("stale-pair probe is bucket-pruned: scans a strict subset of pair files") {
+    val bands = IncrementalDedup.bandTable(tmp("inc-bands3"), nBuckets = 16)
+    val pairs = IncrementalDedup.pairTable(tmp("inc-pairs3"), nBuckets = 8)
+    // pair-heavy corpus: 15 clone families of 4 → 90 canonical pairs
+    // spread across many id_a buckets
+    val docs = (0L until 60L).map(i =>
+      i -> s"$base family${i % 15} shared duplicate body text").toMap
+    var state = docs
+    IncrementalDedup.applyDelta(spark, bands, pairs, corpusDf(state),
+      changesDf(Map.empty, state), "doc_id", "text",
+      "0000000000000001/0", cfg)
+    assert(IncrementalDedup.readPairs(spark, pairs).count() >= 80)
+    val allFiles = pairs.read(spark).inputFiles.length
+    assert(allFiles > 4, s"want many pair bucket files: $allFiles")
+    // the stale probe for a one-doc delta reads only that id's bucket
+    val probed = pairs.readForProbe(spark,
+      Seq(7L).toDF("id_a")).inputFiles.length
+    assert(probed > 0 && probed < allFiles,
+      s"stale probe must scan a strict subset: $probed of $allFiles")
+    // and the sync stays correct when that one doc leaves its family
+    val next = state + (7L -> s"$other moved away entirely u7")
+    IncrementalDedup.applyDelta(spark, bands, pairs, corpusDf(next),
+      changesDf(state, next), "doc_id", "text", "0000000000000002/0", cfg)
+    state = next
+    assert(IncrementalDedup.readPairs(spark, pairs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet ==
+      rebuild(state))
   }
 }
