@@ -175,11 +175,14 @@ object Bench {
       math.round(withShutdownEps)},"drain_events_per_second":${
       math.round(drainEps)}}"""
 
-    // per-query medians go LAST: the driver captures the log TAIL, and
-    // rounds 5/6 lost the head of this line (the medians) behind the
-    // spread block — tail-most placement keeps them recoverable even if
-    // the line head is clipped
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","samples":$samples,"op_total":${ms(opTotal)},"streaming":$streaming,"spread":$sp,"queries":$qs}""")
+    // The driver captures only the log TAIL and parses the final JSON
+    // line; rounds 5-7 produced "parsed": null because one mega-line
+    // (spread + queries ≈ 3.5 KB) overflowed that window and lost its
+    // head. So: spread goes on its OWN earlier line (diagnostic, fine
+    // if clipped), and the contract line printed LAST stays compact
+    // (~1.8 KB) so it survives tail capture intact and parses.
+    println(s"""{"metric":"spread","sf":"$sfDir","spread":$sp}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","samples":$samples,"op_total":${ms(opTotal)},"streaming":$streaming,"queries":$qs}""")
     spark.stop()
   }
 }

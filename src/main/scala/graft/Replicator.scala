@@ -28,7 +28,8 @@ import graft.sinks.{CdcSink, ChangelogSink, CurrentStateSink, ExactlyOnceSink, N
   *   source.user = graft  source.password = …  source.database = postgres
   *   source.sslmode = disable|require|verify-ca|verify-full  # TLS
   *   source.sslrootcert = /path/ca.pem        # trust anchors (verify-ca)
-  *   destination = current_state | changelog | null
+  *   destination = current_state | changelog | jdbc | null
+  *   destination.url = jdbc:…                  # jdbc mode: engine URL
   *   exactlyOnce = true                       # batchId txn ledger wrapper
   *   backfill.<tableName> = <parquet path>    # optional initial snapshots
   *   drain = true                             # process available + exit
@@ -79,6 +80,13 @@ object Replicator {
           .find(_.tableName == name).map(_.primaryKey)
           .getOrElse(Seq("id")))
       case "changelog" => new ChangelogSink(s"$work/changelog")
+      // external SQL engine over JDBC (the reference's warehouse
+      // destinations): genuine INSERT/MERGE with the replay cursor
+      // held IN the engine, next to the data it gates
+      case "jdbc" => new graft.sinks.JdbcSink(get("destination.url"),
+        name => registry.tables.flatMap(registry.latest)
+          .find(_.tableName == name).map(_.primaryKey)
+          .getOrElse(Seq("id")))
       case "null" => new NullSink
       case other => throw new IllegalArgumentException(s"unknown destination $other")
     }

@@ -45,6 +45,7 @@ object SparkEntry {
     "d4_point_lookup" -> (SinkQueries.pointLookup _),
     "d4_row_cdf" -> (SinkQueries.rowCdf _),
     "catalog_sql" -> (SinkQueries.catalogSql _),
+    "d5_jdbc_apply" -> (SinkQueries.jdbcApply _),
     "q6_forecast" -> (SinkQueries.q6Forecast _),
     // S3 codecs as a table-scale roundtrip gate
     "s3_codec_roundtrip" -> (CodecQueries.codecRoundtrip _),
@@ -125,6 +126,7 @@ object SparkEntry {
     "d4_point_lookup" -> SinkQueries.pointLookupSql,
     "d4_row_cdf" -> SinkQueries.rowCdfSql,
     "catalog_sql" -> SinkQueries.catalogSqlSql,
+    "d5_jdbc_apply" -> SinkQueries.jdbcApplySql,
     "q6_forecast" -> SinkQueries.q6Sql,
     "s3_codec_roundtrip" -> CodecQueries.codecRoundtripSql,
     "text_tokens" -> TextQueries.tokenCountsSql,

@@ -208,6 +208,49 @@ object SinkQueries {
     WHERE c_acctbal > 0
     GROUP BY c_nationkey ORDER BY c_nationkey"""
 
+  /** D5/external engine: the full CDC apply protocol against a REAL
+    * external SQL engine (embedded Derby over JDBC) — backfill
+    * (drop-for-copy + batched INSERT), two streamed batches applied by
+    * set-based seq-guarded MERGE, then a REPLAY of the first batch that
+    * the engine-held offset cursor must filter to a no-op. The result is
+    * read back through spark.read.jdbc (partitioned on the key), so every
+    * row travels the genuine wire both ways. Oracle = baseline customers
+    * untouched by events + latest non-delete event value per key. */
+  def jdbcApply(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jdbc").toString
+    val sink = new graft.sinks.JdbcSink(s"jdbc:derby:$tmp/db;create=true",
+      _ => Seq("key"))
+    sink.startup(spark)
+    sink.writeTableRows("state", Tables.load(spark, dir, "customer").select(
+      col("c_custkey").as("key"), col("c_acctbal").as("val")))
+    val ev = Tables.load(spark, dir, "events").select(
+        col("user_id").as("key"), col("value").as("val"),
+        when(col("event_type") === "error", "D").otherwise("U").as("_op"),
+        col("event_id").as("_commit_lsn"), lit(0L).as("_tx_ordinal"))
+      .localCheckpoint(eager = false) // scanned by max-id + 3 writes
+    val mid = ev.agg(max("_commit_lsn")).collect()(0).getLong(0) / 2
+    sink.writeEvents("state", ev.filter(col("_commit_lsn") <= mid))
+    sink.writeEvents("state", ev.filter(col("_commit_lsn") > mid))
+    sink.writeEvents("state", ev.filter(col("_commit_lsn") <= mid)) // replay
+    sink.read(spark, "state", partitionKey = Some("key"), partitions = 4)
+      .orderBy("key")
+  }
+
+  val jdbcApplySql: String = """
+    WITH last AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events) t WHERE rn = 1)
+    SELECT key, val FROM (
+      SELECT c.c_custkey AS key, c.c_acctbal AS val
+      FROM customer c LEFT JOIN last l ON l.user_id = c.c_custkey
+      WHERE l.user_id IS NULL
+      UNION ALL
+      SELECT user_id AS key, value AS val FROM last
+      WHERE event_type <> 'error') u
+    ORDER BY key"""
+
   /** TPC-H Q6 shape: single-scan predicate-heavy aggregate — the pushdown
     * microbenchmark (every predicate must reach the parquet scan). */
   def q6Forecast(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,424 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager, PreparedStatement, Types}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.ApplyOps
+
+/** External-engine CDC sink: applies the pipeline's change stream to a
+  * REAL external SQL engine over JDBC, with genuine `INSERT` / `MERGE` /
+  * `DELETE` statements executed by that engine — the Spark analog of the
+  * reference's cloud-destination clients (the DuckLake destination's
+  * staged-batch apply, reference crates/etl-destinations/src/ducklake/
+  * batches.rs:168-213, and its replay bookkeeping, replay_epoch.rs:67-92).
+  * Tested against embedded Apache Derby (in-sandbox stand-in for a
+  * warehouse; the SQL is engine-portable: quoted identifiers, standard
+  * MERGE, no Derby extensions beyond DDL type names).
+  *
+  * Apply protocol per micro-batch (per table):
+  *   1. read the table's sequence high-water from the engine's
+  *      `graft_offsets` row (the Snowflake offset-token / DuckLake
+  *      replay-marker shape — the replay cursor lives IN the destination,
+  *      next to the data it gates);
+  *   2. Spark-side last-writer-wins dedup keyed on the PK, then drop
+  *      everything at-or-below the high-water (a replayed batch
+  *      short-circuits to a no-op before any wire traffic);
+  *   3. stage: executors batch-`INSERT` the surviving rows into a
+  *      per-table staging table, one connection per partition — the
+  *      scale fan-in (on a cluster every executor streams its partition
+  *      concurrently, exactly how the reference's clients parallelize
+  *      append streams); the stage is cleared first, so a crashed
+  *      previous attempt can never double-stage;
+  *   4. one driver-side transaction: set-based `MERGE` from stage into
+  *      the target (seq-guarded UPDATE / DELETE / INSERT arms), advance
+  *      the offsets row, clear the stage, COMMIT. Apply + cursor move
+  *      are atomic IN THE ENGINE — a crash anywhere before the commit
+  *      rolls back wholesale and the replay re-runs from step 1.
+  *
+  * Durability contract: `writeEvents` returns only after the engine
+  * transaction commits (the reference's Durable status collapse, SURVEY
+  * §7.5.2); the pipeline checkpoints after that return, and a replay of
+  * an already-committed batch is filtered to nothing by the offsets row.
+  *
+  * Truncate deletes the offsets row in the same transaction that empties
+  * the table — the reference's replay-epoch rotation on truncate
+  * (ducklake/core.rs:1304-1351): post-truncate events must re-apply from
+  * scratch, and a stale cursor would silently swallow them.
+  *
+  * TOAST-partial updates (`_missing` masks) apply per residual-mask
+  * group: each group's MERGE UPDATE arm sets exactly the columns the
+  * mask does NOT name, so unchanged-TOAST columns keep the engine-stored
+  * value — the reference's column-pruned UPDATE SET per missing-mask
+  * group, here as N mask-gated MERGE statements inside the one batch
+  * transaction.
+  */
+final class JdbcSink(url: String, keysOf: String => Seq[String],
+    stageBatch: Int = 1000) extends CdcSink {
+  import JdbcSink._
+
+  private val metaCols = Set("_op", "_commit_lsn", "_tx_ordinal", "_missing")
+
+  override def startup(spark: SparkSession): Unit = withConn { conn =>
+    val st = conn.createStatement()
+    try {
+      if (!tableExists(conn, OffsetsTable))
+        st.executeUpdate(s"""CREATE TABLE ${q(OffsetsTable)} (
+          ${q("table_name")} VARCHAR(128) PRIMARY KEY,
+          ${q("high_water")} VARCHAR(64) NOT NULL)""")
+    } finally st.close()
+  }
+
+  /** Backfill: drop-for-copy + full reload. Dropping the table and its
+    * offsets row in one transaction is the replay-epoch rotation
+    * (reference ducklake/core.rs:1357-1416): a pre-drop stream cursor
+    * must not gate post-reload events. */
+  override def writeTableRows(table: String, rows: DataFrame): Unit = {
+    val payload = rows.schema
+    withConn { conn =>
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        if (tableExists(conn, table)) st.executeUpdate(s"DROP TABLE ${q(table)}")
+        if (tableExists(conn, stageName(table)))
+          st.executeUpdate(s"DROP TABLE ${q(stageName(table))}")
+        st.executeUpdate(createTargetSql(table, payload, keysOf(table)))
+        st.executeUpdate(
+          s"DELETE FROM ${q(OffsetsTable)} WHERE ${q("table_name")} = " +
+            sqlStr(table))
+        conn.commit()
+      } catch { case t: Throwable => conn.rollback(); throw t }
+      finally st.close()
+    }
+    // executor fan-in: one connection per partition, batched INSERTs.
+    // Backfill lands with an empty seq: every stream sequence sorts above.
+    val cols = payload.fields.map(_.name).toSeq :+ SeqCol
+    val insert = s"INSERT INTO ${q(table)} (${cols.map(q).mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val types = payload.fields.map(_.dataType) :+ StringType
+    val u = url; val b = stageBatch
+    rows.withColumn(SeqCol, lit("")).foreachPartition { it: Iterator[Row] =>
+      insertPartition(u, insert, types, it, b)
+    }
+  }
+
+  override def writeEvents(table: String, events: DataFrame): Unit =
+    writeEvents(table, events, None)
+
+  override def writeEvents(table: String, events: DataFrame,
+      maskHint: Option[Boolean]): Unit = {
+    val spark = events.sparkSession
+    val keys = keysOf(table)
+    val hasMasks = events.columns.contains("_missing") &&
+      maskHint.getOrElse(!events.filter(col("_missing").isNotNull).isEmpty)
+    val payloadCols = events.columns
+      .filterNot(c => metaCols.contains(c) || keys.contains(c)).toSeq
+
+    // in-batch sequential resolution, then one surviving row per key
+    val resolved =
+      if (hasMasks)
+        ApplyOps.maskedLastWriterWins(events, keys,
+          Seq("_commit_lsn", "_tx_ordinal"), payloadCols)
+      else ApplyOps.lastWriterWins(
+        events.drop("_missing"), keys, Seq("_commit_lsn", "_tx_ordinal"))
+
+    val hw = withConn(readHighWater(_, table))
+    val seqed = resolved.withColumn(SeqCol,
+        concat(lpad(lower(hex(col("_commit_lsn"))), 16, "0"), lit("/"),
+               lpad(lower(hex(col("_tx_ordinal"))), 16, "0")))
+      .drop("_commit_lsn", "_tx_ordinal")
+    val fresh0 = if (hw.isEmpty) seqed
+                 else seqed.filter(col(SeqCol) > lit(hw))
+    val fresh = (if (hasMasks)
+                   fresh0.withColumn(MaskCol, coalesce(col("_missing"), lit("")))
+                     .drop("_missing")
+                 else fresh0.withColumn(MaskCol, lit(""))).cache()
+    try {
+      val stats = fresh.agg(max(col(SeqCol)), collect_set(col(MaskCol)))
+        .collect()(0)
+      if (stats.isNullAt(0)) return // full replay: engine already ahead
+      val batchMax = stats.getString(0)
+      val masks = stats.getSeq[String](1).sorted
+
+      val dataCols = keys ++ payloadCols
+      val dataTypes = dataCols.map(c => fresh.schema(c).dataType)
+      withConn { conn =>
+        if (!tableExists(conn, table)) {
+          val st = conn.createStatement()
+          try st.executeUpdate(createTargetSql(table,
+            StructType(dataCols.map(c => StructField(c, fresh.schema(c).dataType))),
+            keys))
+          finally st.close()
+        }
+        ensureStage(conn, table, dataCols, dataTypes)
+        // clear any partial stage from a crashed attempt (its batch never
+        // merged — the offsets row still gates the replay that brought us
+        // here, so re-staging from scratch is the idempotent move)
+        val st = conn.createStatement()
+        try st.executeUpdate(s"DELETE FROM ${q(stageName(table))}")
+        finally st.close()
+      }
+
+      val stageCols = dataCols ++ Seq(OpCol, SeqCol, MaskCol)
+      val stageTypes = dataTypes ++ Seq(StringType, StringType, StringType)
+      val insert =
+        s"INSERT INTO ${q(stageName(table))} (${stageCols.map(q).mkString(", ")}) " +
+          s"VALUES (${stageCols.map(_ => "?").mkString(", ")})"
+      val u = url; val b = stageBatch
+      fresh.withColumnRenamed("_op", OpCol)
+        .select(stageCols.map(col): _*)
+        .foreachPartition { it: Iterator[Row] =>
+          insertPartition(u, insert, stageTypes, it, b)
+        }
+
+      // one transaction: N mask-group MERGEs + cursor advance + stage clear
+      withConn { conn =>
+        conn.setAutoCommit(false)
+        val st = conn.createStatement()
+        try {
+          masks.foreach { mask =>
+            val masked = if (mask.isEmpty) Set.empty[String]
+                         else mask.split(",").filter(_.nonEmpty).toSet
+            st.executeUpdate(
+              mergeSql(table, keys, payloadCols.filterNot(masked), mask))
+          }
+          advanceHighWater(conn, table, batchMax)
+          st.executeUpdate(s"DELETE FROM ${q(stageName(table))}")
+          conn.commit()
+        } catch { case t: Throwable => conn.rollback(); throw t }
+        finally st.close()
+      }
+    } finally fresh.unpersist()
+  }
+
+  override def truncateTable(table: String): Unit = withConn { conn =>
+    conn.setAutoCommit(false)
+    val st = conn.createStatement()
+    try {
+      if (tableExists(conn, table))
+        st.executeUpdate(s"DELETE FROM ${q(table)}")
+      st.executeUpdate(
+        s"DELETE FROM ${q(OffsetsTable)} WHERE ${q("table_name")} = " +
+          sqlStr(table))
+      conn.commit()
+    } catch { case t: Throwable => conn.rollback(); throw t }
+    finally st.close()
+  }
+
+  /** Read the applied table back THROUGH the engine (spark.read.jdbc —
+    * the same wire the writes took). `partitions` > 1 splits the scan on
+    * a numeric key range, the standard parallel-JDBC-read shape. */
+  def read(spark: SparkSession, table: String,
+      partitionKey: Option[String] = None, partitions: Int = 1): DataFrame = {
+    val props = new java.util.Properties()
+    val base = partitionKey match {
+      case Some(k) if partitions > 1 =>
+        val (lo, hi) = withConn { conn =>
+          val st = conn.createStatement()
+          try {
+            val rs = st.executeQuery(
+              s"SELECT MIN(${q(k)}), MAX(${q(k)}) FROM ${q(table)}")
+            rs.next()
+            (rs.getLong(1), math.max(rs.getLong(2), rs.getLong(1) + 1))
+          } finally st.close()
+        }
+        spark.read.jdbc(url, q(table), q(k), lo, hi, partitions, props)
+      case _ => spark.read.jdbc(url, q(table), props)
+    }
+    base.drop(SeqCol)
+  }
+
+  /** The engine-held replay cursor (empty = none) — exposed for specs. */
+  def highWater(table: String): String = withConn(readHighWater(_, table))
+
+  // ---- engine-side SQL ----
+
+  private def readHighWater(conn: Connection, table: String): String = {
+    val ps = conn.prepareStatement(
+      s"SELECT ${q("high_water")} FROM ${q(OffsetsTable)} " +
+        s"WHERE ${q("table_name")} = ?")
+    try {
+      ps.setString(1, table)
+      val rs = ps.executeQuery()
+      if (rs.next()) rs.getString(1) else ""
+    } finally ps.close()
+  }
+
+  private def advanceHighWater(conn: Connection, table: String,
+      hw: String): Unit = {
+    val up = conn.prepareStatement(
+      s"UPDATE ${q(OffsetsTable)} SET ${q("high_water")} = ? " +
+        s"WHERE ${q("table_name")} = ? AND ${q("high_water")} < ?")
+    try {
+      up.setString(1, hw); up.setString(2, table); up.setString(3, hw)
+      if (up.executeUpdate() == 0 && readHighWater(conn, table).isEmpty) {
+        val ins = conn.prepareStatement(
+          s"INSERT INTO ${q(OffsetsTable)} VALUES (?, ?)")
+        try { ins.setString(1, table); ins.setString(2, hw); ins.executeUpdate() }
+        finally ins.close()
+      }
+    } finally up.close()
+  }
+
+  /** Seq-guarded three-arm MERGE for one residual-mask group. The guard
+    * (`stage.seq > target.seq`) makes the statement idempotent per row
+    * even outside the offsets gate — a belt the reference's clients also
+    * wear (LWW by sequence at the destination). */
+  private def mergeSql(table: String, keys: Seq[String],
+      setCols: Seq[String], mask: String): String = {
+    val t = q(table); val s = q(stageName(table))
+    val on = keys.map(k => s"$t.${q(k)} = $s.${q(k)}").mkString(" AND ")
+    val maskEq = s"$s.${q(MaskCol)} = ${sqlStr(mask)}"
+    val newer = s"$s.${q(SeqCol)} > $t.${q(SeqCol)}"
+    val sets = (setCols.map(c => s"${q(c)} = $s.${q(c)}") :+
+      s"${q(SeqCol)} = $s.${q(SeqCol)}").mkString(", ")
+    val insCols = (keys ++ setCols :+ SeqCol).map(q).mkString(", ")
+    val insVals = (keys ++ setCols :+ SeqCol).map(c => s"$s.${q(c)}")
+      .mkString(", ")
+    s"""MERGE INTO $t USING $s ON $on
+       WHEN MATCHED AND $maskEq AND $s.${q(OpCol)} = 'D' AND $newer THEN DELETE
+       WHEN MATCHED AND $maskEq AND $s.${q(OpCol)} <> 'D' AND $newer
+         THEN UPDATE SET $sets
+       WHEN NOT MATCHED AND $maskEq AND $s.${q(OpCol)} <> 'D'
+         THEN INSERT ($insCols) VALUES ($insVals)"""
+  }
+
+  private def createTargetSql(table: String, payload: StructType,
+      keys: Seq[String]): String = {
+    val cols = payload.fields.map { f =>
+      val notNull = if (keys.contains(f.name)) " NOT NULL" else ""
+      s"${q(f.name)} ${typeSql(f.dataType)}$notNull"
+    } :+ s"${q(SeqCol)} VARCHAR(64) NOT NULL"
+    val pk = if (keys.nonEmpty)
+      s", PRIMARY KEY (${keys.map(q).mkString(", ")})" else ""
+    s"CREATE TABLE ${q(table)} (${cols.mkString(", ")}$pk)"
+  }
+
+  private def ensureStage(conn: Connection, table: String,
+      dataCols: Seq[String], dataTypes: Seq[DataType]): Unit = {
+    if (tableExists(conn, stageName(table))) return
+    val cols = dataCols.zip(dataTypes).map { case (c, t) =>
+      s"${q(c)} ${typeSql(t)}"
+    } ++ Seq(s"${q(OpCol)} CHAR(1) NOT NULL",
+      s"${q(SeqCol)} VARCHAR(64) NOT NULL",
+      s"${q(MaskCol)} VARCHAR(512) NOT NULL")
+    val st = conn.createStatement()
+    try st.executeUpdate(
+      s"CREATE TABLE ${q(stageName(table))} (${cols.mkString(", ")})")
+    finally st.close()
+  }
+
+  private def tableExists(conn: Connection, name: String): Boolean = {
+    val rs = conn.getMetaData.getTables(null, null, name, null)
+    try rs.next() finally rs.close()
+  }
+
+  private def withConn[T](f: Connection => T): T = {
+    val conn = DriverManager.getConnection(url)
+    try f(conn) finally conn.close()
+  }
+}
+
+object JdbcSink {
+  // Derby writes derby.log into user.dir unless told otherwise; keep the
+  // repo clean (no-op when the embedding app already configured it)
+  if (System.getProperty("derby.stream.error.file") == null)
+    System.setProperty("derby.stream.error.file",
+      s"${System.getProperty("java.io.tmpdir")}/graft-derby.log")
+
+  val OffsetsTable = "graft_offsets"
+  val SeqCol = "_gseq"
+  val OpCol = "_gop"
+  val MaskCol = "_gmask"
+
+  private def stageName(table: String) = s"${table}__stage"
+
+  /** Quoted SQL identifier (preserves case, survives reserved words). */
+  private def q(name: String): String = "\"" + name.replace("\"", "\"\"") + "\""
+
+  private def sqlStr(v: String): String = "'" + v.replace("'", "''") + "'"
+
+  /** Engine-portable DDL types (names are the SQL-standard set Derby,
+    * Postgres and DuckDB all accept). */
+  private def typeSql(dt: DataType): String = dt match {
+    case LongType            => "BIGINT"
+    case IntegerType         => "INTEGER"
+    case ShortType | ByteType => "SMALLINT"
+    case DoubleType          => "DOUBLE"
+    case FloatType           => "REAL"
+    case BooleanType         => "BOOLEAN"
+    case DateType            => "DATE"
+    case _: TimestampType    => "TIMESTAMP"
+    case d: DecimalType      => s"DECIMAL(${d.precision}, ${d.scale})"
+    case BinaryType          => "BLOB"
+    case StringType          => "VARCHAR(32672)"
+    case other => throw new IllegalArgumentException(
+      s"JdbcSink: no SQL mapping for ${other.simpleString}")
+  }
+
+  /** Executor-side batched INSERT: one connection per partition, one
+    * round trip per `batch` rows — the parallel fan-in every partition
+    * performs independently. Static (object) method: the closure ships
+    * only the URL, SQL text and type tags. */
+  private def insertPartition(url: String, sql: String,
+      types: Seq[DataType], rows: Iterator[Row], batch: Int): Unit = {
+    if (rows.isEmpty) return
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      val ps = conn.prepareStatement(sql)
+      try {
+        var pending = 0
+        rows.foreach { row =>
+          var i = 0
+          while (i < types.length) {
+            bind(ps, i + 1, types(i), row, i)
+            i += 1
+          }
+          ps.addBatch()
+          pending += 1
+          if (pending >= batch) { ps.executeBatch(); pending = 0 }
+        }
+        if (pending > 0) ps.executeBatch()
+        conn.commit()
+      } finally ps.close()
+    } finally conn.close()
+  }
+
+  private def bind(ps: PreparedStatement, idx: Int, dt: DataType,
+      row: Row, col: Int): Unit = {
+    if (row.isNullAt(col)) { ps.setNull(idx, jdbcType(dt)); return }
+    dt match {
+      case LongType       => ps.setLong(idx, row.getLong(col))
+      case IntegerType    => ps.setInt(idx, row.getInt(col))
+      case ShortType      => ps.setShort(idx, row.getShort(col))
+      case ByteType       => ps.setShort(idx, row.getByte(col).toShort)
+      case DoubleType     => ps.setDouble(idx, row.getDouble(col))
+      case FloatType      => ps.setFloat(idx, row.getFloat(col))
+      case BooleanType    => ps.setBoolean(idx, row.getBoolean(col))
+      case StringType     => ps.setString(idx, row.getString(col))
+      case DateType       => ps.setDate(idx, row.getDate(col))
+      case _: TimestampType => ps.setTimestamp(idx, row.getTimestamp(col))
+      case _: DecimalType => ps.setBigDecimal(idx, row.getDecimal(col))
+      case BinaryType     => ps.setBytes(idx, row.getAs[Array[Byte]](col))
+      case other => throw new IllegalArgumentException(
+        s"JdbcSink: no JDBC binding for ${other.simpleString}")
+    }
+  }
+
+  private def jdbcType(dt: DataType): Int = dt match {
+    case LongType            => Types.BIGINT
+    case IntegerType         => Types.INTEGER
+    case ShortType | ByteType => Types.SMALLINT
+    case DoubleType          => Types.DOUBLE
+    case FloatType           => Types.REAL
+    case BooleanType         => Types.BOOLEAN
+    case DateType            => Types.DATE
+    case _: TimestampType    => Types.TIMESTAMP
+    case _: DecimalType      => Types.DECIMAL
+    case BinaryType          => Types.BLOB
+    case _                   => Types.VARCHAR
+  }
+}

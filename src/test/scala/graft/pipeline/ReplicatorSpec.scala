@@ -89,6 +89,44 @@ class ReplicatorSpec extends SparkSpec {
       .lastCommitted("spec") >= 0L)
   }
 
+  test("jdbc destination: config → backfill → stream → external engine") {
+    val work = Files.createTempDirectory("graft-repl-jdbc").toString
+    val reg = new SchemaRegistry
+    reg.put(TableSchemaV(1L, "users", 0L, IndexedSeq(
+      ColumnSpec("id", "int8", nullable = false, pkOrdinal = 1),
+      ColumnSpec("name", "text"))))
+    reg.save(s"$work/schemas.json")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.parquet(s"$work/snapshot")
+    Files.write(Paths.get(s"$work/wal.log"), Seq(
+      CdcLogSource.renderLine("U", 1L, 1L, 1L, 0L, 0L,
+        Some("""{"id":1}"""), Some("""{"id":1,"name":"a2"}""")),
+      CdcLogSource.renderLine("D", 1L, 2L, 2L, 0L, 0L,
+        Some("""{"id":2}"""), None),
+      CdcLogSource.renderLine("I", 1L, 3L, 3L, 0L, 0L, None,
+        Some("""{"id":3,"name":"c"}""")))
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val url = s"jdbc:derby:$work/engine;create=true"
+    val cfg = s"""
+      |pipeline.id = spec-jdbc
+      |pipeline.workdir = $work
+      |destination = jdbc
+      |destination.url = $url
+      |backfill.users = $work/snapshot
+      |drain = true
+      |""".stripMargin
+    Files.write(Paths.get(s"$work/pipeline.properties"),
+      cfg.getBytes(StandardCharsets.UTF_8))
+
+    graft.Replicator.main(Array(s"$work/pipeline.properties"))
+
+    // read back THROUGH the engine: the applied state lives in Derby
+    val out = new graft.sinks.JdbcSink(url, _ => Seq("id"))
+      .read(spark, "users")
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a2"), (3L, "c")))
+  }
+
   test("socket mode: live replication intake wired through config (etl-replicator parity)") {
     import graft.sources.{FakePgServer, PgOutput}
     import PgOutput._

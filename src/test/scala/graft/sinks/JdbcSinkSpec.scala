@@ -1,0 +1,148 @@
+package graft.sinks
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** External-engine sink contract (reference destination/base.rs:27-213
+  * delivery semantics, ducklake replay_epoch.rs cursor rotation), proven
+  * against a genuinely external SQL engine: embedded Derby executes the
+  * INSERT / MERGE / DELETE statements, holds the replay cursor, and
+  * survives an engine shutdown + reboot with both intact. */
+class JdbcSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDb(): (String, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("jdbcsink").toString
+    (dir, s"jdbc:derby:$dir/db;create=true")
+  }
+
+  private def ev(rows: (Long, Double, String, Long)*) =
+    rows.toDF("key", "val", "_op", "_commit_lsn")
+      .withColumn("_tx_ordinal", lit(0L))
+
+  test("backfill + MERGE apply + replay converge to LWW state") {
+    val (_, url) = freshDb()
+    val sink = new JdbcSink(url, _ => Seq("key"))
+    sink.startup(spark)
+    sink.writeTableRows("state", Seq((1L, 1.0), (2L, 2.0), (3L, 3.0))
+      .toDF("key", "val"))
+
+    val b1 = ev((1L, 10.0, "U", 5L), (2L, 0.0, "D", 6L), (4L, 4.0, "U", 7L))
+    val b2 = ev((4L, 44.0, "U", 8L), (5L, 5.0, "U", 9L), (9L, 0.0, "D", 10L))
+    sink.writeEvents("state", b1)
+    val hwAfterB1 = sink.highWater("state")
+    assert(hwAfterB1.nonEmpty)
+    sink.writeEvents("state", b2)
+    sink.writeEvents("state", b1) // replay: engine cursor must no-op it
+    assert(sink.highWater("state") > hwAfterB1)
+
+    val got = sink.read(spark, "state").orderBy("key")
+      .as[(Long, Double)].collect().toSeq
+    // 1 updated, 2 deleted, 3 untouched, 4 LWW-updated twice, 5 inserted,
+    // 9 delete-of-absent no-op
+    assert(got == Seq((1L, 10.0), (3L, 3.0), (4L, 44.0), (5L, 5.0)))
+  }
+
+  test("partial stage from a crashed attempt cannot double-apply") {
+    val (_, url) = freshDb()
+    val sink = new JdbcSink(url, _ => Seq("key"))
+    sink.startup(spark)
+    sink.writeTableRows("state", Seq((1L, 1.0)).toDF("key", "val"))
+    sink.writeEvents("state", ev((2L, 2.0, "U", 5L))) // creates the stage
+    // simulate a crash AFTER staging, BEFORE merge: rows sit in the
+    // stage, the offsets row still points before them
+    val conn = DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(
+      """INSERT INTO "state__stage" VALUES (99, 99.0, 'U', 'zzzz', '')""")
+    finally conn.close()
+    // the retry clears the stage before re-staging: the orphan must die
+    sink.writeEvents("state", ev((3L, 3.0, "U", 6L)))
+    val got = sink.read(spark, "state").orderBy("key")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+  }
+
+  test("engine shutdown + reboot keeps state and replay cursor") {
+    val (dir, url) = freshDb()
+    val sink = new JdbcSink(url, _ => Seq("key"))
+    sink.startup(spark)
+    sink.writeTableRows("state", Seq((1L, 1.0)).toDF("key", "val"))
+    sink.writeEvents("state", ev((1L, 11.0, "U", 5L)))
+    val hw = sink.highWater("state")
+    // clean engine shutdown (Derby signals success via SQLState 08006)
+    try DriverManager.getConnection(s"jdbc:derby:$dir/db;shutdown=true")
+    catch { case e: java.sql.SQLException => assert(e.getSQLState == "08006") }
+    // reboot: a new sink over the rebooted engine sees durable state
+    val sink2 = new JdbcSink(url, _ => Seq("key"))
+    assert(sink2.highWater("state") == hw)
+    sink2.writeEvents("state", ev((1L, 11.0, "U", 5L))) // replay → no-op
+    assert(sink2.highWater("state") == hw)
+    val got = sink2.read(spark, "state").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 11.0)))
+  }
+
+  test("truncate rotates the replay cursor with the data") {
+    val (_, url) = freshDb()
+    val sink = new JdbcSink(url, _ => Seq("key"))
+    sink.startup(spark)
+    val batch = ev((1L, 1.0, "U", 5L))
+    sink.writeEvents("state", batch)
+    assert(sink.highWater("state").nonEmpty)
+    sink.truncateTable("state")
+    assert(sink.highWater("state").isEmpty)
+    // post-truncate redelivery of the same sequences must apply again
+    sink.writeEvents("state", batch)
+    val got = sink.read(spark, "state").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1.0)))
+  }
+
+  test("TOAST-masked update keeps engine-stored values for masked columns") {
+    val (_, url) = freshDb()
+    val sink = new JdbcSink(url, _ => Seq("key"))
+    sink.startup(spark)
+    sink.writeTableRows("state",
+      Seq((1L, 1.0, "big"), (2L, 2.0, "toast")).toDF("key", "val", "blob"))
+    val events = Seq(
+      (1L, 10.0, null.asInstanceOf[String], "U", 5L, "blob"),
+      (2L, 20.0, "fresh", "U", 6L, null.asInstanceOf[String]))
+      .toDF("key", "val", "blob", "_op", "_commit_lsn", "_missing")
+      .withColumn("_tx_ordinal", lit(0L))
+    sink.writeEvents("state", events, maskHint = Some(true))
+    val got = sink.read(spark, "state").orderBy("key")
+      .as[(Long, Double, String)].collect().toSeq
+    // key 1: blob masked → engine keeps "big"; key 2: full update
+    assert(got == Seq((1L, 10.0, "big"), (2L, 20.0, "fresh")))
+  }
+
+  test("partitioned JDBC read-back returns the full row set") {
+    val (_, url) = freshDb()
+    val sink = new JdbcSink(url, _ => Seq("key"))
+    sink.startup(spark)
+    sink.writeTableRows("state",
+      (1L to 100L).map(k => (k, k * 1.5)).toDF("key", "val"))
+    val one = sink.read(spark, "state").orderBy("key")
+      .as[(Long, Double)].collect().toSeq
+    val par = sink.read(spark, "state", Some("key"), partitions = 4)
+    assert(par.rdd.getNumPartitions == 4)
+    assert(par.orderBy("key").as[(Long, Double)].collect().toSeq == one)
+    assert(one.size == 100)
+  }
+
+  test("composite keys merge on the full key") {
+    val (_, url) = freshDb()
+    val sink = new JdbcSink(url, _ => Seq("k1", "k2"))
+    sink.startup(spark)
+    sink.writeTableRows("state",
+      Seq((1L, "a", 1.0), (1L, "b", 2.0)).toDF("k1", "k2", "val"))
+    sink.writeEvents("state",
+      Seq((1L, "a", 10.0, "U", 5L), (1L, "b", 0.0, "D", 6L),
+        (2L, "a", 3.0, "U", 7L))
+        .toDF("k1", "k2", "val", "_op", "_commit_lsn")
+        .withColumn("_tx_ordinal", lit(0L)))
+    val got = sink.read(spark, "state").orderBy("k1", "k2")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "a", 3.0)))
+  }
+}
