@@ -1105,12 +1105,41 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * matching rows (manifest-pruned, like merge); high-water and schema
     * are untouched — a delete is not a CDC event. Rows where `cond`
     * evaluates to NULL are kept (SQL deletes only WHERE-true rows).
-    * Returns the number of rows deleted. */
+    * Returns the number of rows deleted.
+    *
+    * The discovery pass (which buckets match, how many rows) first
+    * prunes the file list through the manifest's per-file [min,max]
+    * stats — the same interval check the catalog read path uses
+    * ([[org.apache.spark.sql.GraftFileSkipping]]) — so a key-range
+    * DELETE on a huge table opens only candidate files, not the whole
+    * table. Skipping is conservative (a pruned file cannot hold a
+    * cond-true row), so the discovered bucket set and the deleted-row
+    * count stay exact; the survivor rewrite below still reads the full
+    * affected buckets. */
   def deleteWhere(spark: SparkSession, cond: Column): Long = {
     val current = effectiveManifest()
     val m = current.getOrElse(return 0L)
     if (m.allFiles.isEmpty) return 0L
-    val base = readFiles(spark, m.allFiles, m.schemaDdl, m.columnMapping)
+    // The unanalyzed Column is a ColumnNode tree; analyze+optimize a
+    // filter over the full table ONCE (schema-only, no job) to get the
+    // catalyst condition with literal casts folded, then derive the
+    // per-column bounds. Bounds arrive under LOGICAL names; stats are
+    // keyed by the on-disk physical names — translate before the check.
+    val conjuncts =
+      if (m.fileStats.isEmpty) Nil
+      else readFiles(spark, m.allFiles, m.schemaDdl, m.columnMapping)
+        .filter(cond).queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }
+    val bounds = org.apache.spark.sql.GraftFileSkipping.bounds(conjuncts)
+      .map { case (c, r) => m.columnMapping.getOrElse(c, c) -> r }
+    val candidates =
+      if (bounds.isEmpty) m.allFiles
+      else m.allFiles.filter(p => org.apache.spark.sql.GraftFileSkipping
+        .survives(m.fileStats.get(p), bounds))
+    if (candidates.isEmpty) return 0L
+    val base = readFiles(spark, candidates, m.schemaDdl, m.columnMapping)
     val stats = base.filter(coalesce(cond, lit(false)))
       .agg(collect_set(col("_bucket")).as("b"), count(lit(1)).as("n"))
       .collect()(0)

@@ -92,15 +92,105 @@ object GraftScanBridge {
   * retained (an empty list could not partition-infer `_bucket` and
   * would change the scan schema). Lives here for the same
   * `private[sql]` reason as [[GraftScanBridge]]. */
+/** Shared interval analysis for manifest-level data skipping: maps
+  * filter expressions to per-column [lo, hi] constraints comparable
+  * against the footer-harvested file stats. Used by the catalog scan
+  * ([[GraftFileSkippingBuilder]], analyzed `AttributeReference`s) and
+  * by `GraftTable.deleteWhere`'s discovery pass (unanalyzed `Column`
+  * trees, `UnresolvedAttribute`s). Conservative by construction: an
+  * un-analyzable predicate constrains nothing, and a file lacking
+  * stats for a constrained column always survives. */
+object GraftFileSkipping {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+  import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Cast,
+    EqualTo, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan,
+    LessThanOrEqual, Literal}
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case i: java.lang.Integer => Some(i.longValue)
+    case i: java.lang.Long => Some(i.longValue)
+    case i: java.lang.Short => Some(i.longValue)
+    case _ => None
+  }
+
+  /** Integral literal, through any foldable cast the analyzer wrapped
+    * around it (`id < 5` on a bigint column arrives as
+    * `id < cast(5 as bigint)` in un-optimized trees). */
+  private object LitLong {
+    def unapply(e: Expression): Option[Long] = e match {
+      case l: Literal => asLong(l.value)
+      case c: Cast if c.child.isInstanceOf[Literal] && c.foldable =>
+        try asLong(c.eval(null)) catch {
+          case scala.util.control.NonFatal(_) => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Per-column interval [lo, hi] a conjunct constrains — empty map =
+    * no constraint from this conjunct. Values normalize to Long (ints,
+    * longs, date days, timestamp micros — matching the footer stats). */
+  def intervals(e: Expression): Map[String, (Long, Long)] = {
+    def nameOf(a: Expression): Option[String] = a match {
+      case r: AttributeReference => Some(r.name)
+      case u: UnresolvedAttribute => Some(u.name)
+      case _ => None
+    }
+    def one(a: Expression, r: (Long, Long)): Map[String, (Long, Long)] =
+      nameOf(a).map(_ -> r).toMap
+    e match {
+      case CAnd(l, r) => meet(intervals(l), intervals(r))
+      case EqualTo(a, LitLong(v)) => one(a, (v, v))
+      case EqualTo(LitLong(v), a) => one(a, (v, v))
+      case GreaterThan(a, LitLong(v)) => one(a, (v, Long.MaxValue))
+      case GreaterThanOrEqual(a, LitLong(v)) => one(a, (v, Long.MaxValue))
+      case LessThan(a, LitLong(v)) => one(a, (Long.MinValue, v))
+      case LessThanOrEqual(a, LitLong(v)) => one(a, (Long.MinValue, v))
+      case GreaterThan(LitLong(v), a) => one(a, (Long.MinValue, v))
+      case GreaterThanOrEqual(LitLong(v), a) => one(a, (Long.MinValue, v))
+      case LessThan(LitLong(v), a) => one(a, (v, Long.MaxValue))
+      case LessThanOrEqual(LitLong(v), a) => one(a, (v, Long.MaxValue))
+      case In(a, ls) =>
+        val vs = ls.flatMap(LitLong.unapply)
+        if (vs.size == ls.size && vs.nonEmpty) one(a, (vs.min, vs.max))
+        else Map.empty
+      case InSet(a, vs) if vs.nonEmpty =>
+        val longs = vs.toSeq.flatMap(asLong)
+        if (longs.size == vs.size) one(a, (longs.min, longs.max))
+        else Map.empty
+      case _ => Map.empty
+    }
+  }
+
+  /** Conjuncts compose by per-column interval intersection. */
+  def meet(x: Map[String, (Long, Long)],
+      y: Map[String, (Long, Long)]): Map[String, (Long, Long)] =
+    (x.keySet ++ y.keySet).map { k =>
+      (x.get(k), y.get(k)) match {
+        case (Some((a, b)), Some((c, d))) =>
+          k -> (math.max(a, c), math.min(b, d))
+        case (v, w) => k -> v.orElse(w).get
+      }
+    }.toMap
+
+  def bounds(conjuncts: Seq[Expression]): Map[String, (Long, Long)] =
+    conjuncts.map(intervals)
+      .foldLeft(Map.empty[String, (Long, Long)])(meet)
+
+  /** True iff the file's stats cannot exclude the bounds (missing
+    * stats/columns ⇒ keep). */
+  def survives(stats: Option[Map[String, (Long, Long)]],
+      bounds: Map[String, (Long, Long)]): Boolean =
+    stats.forall(cs => bounds.forall { case (c, (lo, hi)) =>
+      cs.get(c).forall { case (mn, mx) => hi >= mn && lo <= mx } })
+}
+
 final class GraftFileSkippingBuilder(
     mk: Seq[String] => ScanBuilder, allFiles: Seq[String],
     statsOf: String => Option[Map[String, (Long, Long)]])
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownCatalystFilters {
-  import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo,
-    GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual,
-    Literal}
 
   private val probe = mk(allFiles)
   private var prunedSchema: Option[StructType] = None
@@ -127,86 +217,11 @@ final class GraftFileSkippingBuilder(
     case _ => Array.empty
   }
 
-  /** Per-column interval [lo, hi] a conjunct constrains — empty map =
-    * no constraint from this conjunct. Values normalize to Long (ints,
-    * longs, date days, timestamp micros — matching the footer stats). */
-  private def intervals(e: Expression): Map[String, (Long, Long)] = {
-    def longOf(l: Literal): Option[Long] = l.value match {
-      case i: java.lang.Integer => Some(i.longValue)
-      case i: java.lang.Long => Some(i.longValue)
-      case i: java.lang.Short => Some(i.longValue)
-      case _ => None
-    }
-    def nameOf(a: Expression): Option[String] = a match {
-      case r: AttributeReference => Some(r.name)
-      case _ => None
-    }
-    def one(a: Expression, r: (Long, Long)): Map[String, (Long, Long)] =
-      nameOf(a).map(_ -> r).toMap
-    def meet(x: Map[String, (Long, Long)], y: Map[String, (Long, Long)]) =
-      (x.keySet ++ y.keySet).map { k =>
-        (x.get(k), y.get(k)) match {
-          case (Some((a, b)), Some((c, d))) =>
-            k -> (math.max(a, c), math.min(b, d))
-          case (v, w) => k -> v.orElse(w).get
-        }
-      }.toMap
-    e match {
-      case CAnd(l, r) => meet(intervals(l), intervals(r))
-      case EqualTo(a, l: Literal) =>
-        longOf(l).map(v => one(a, (v, v))).getOrElse(Map.empty)
-      case EqualTo(l: Literal, a) =>
-        longOf(l).map(v => one(a, (v, v))).getOrElse(Map.empty)
-      case GreaterThan(a, l: Literal) =>
-        longOf(l).map(v => one(a, (v, Long.MaxValue))).getOrElse(Map.empty)
-      case GreaterThanOrEqual(a, l: Literal) =>
-        longOf(l).map(v => one(a, (v, Long.MaxValue))).getOrElse(Map.empty)
-      case LessThan(a, l: Literal) =>
-        longOf(l).map(v => one(a, (Long.MinValue, v))).getOrElse(Map.empty)
-      case LessThanOrEqual(a, l: Literal) =>
-        longOf(l).map(v => one(a, (Long.MinValue, v))).getOrElse(Map.empty)
-      case GreaterThan(l: Literal, a) =>
-        longOf(l).map(v => one(a, (Long.MinValue, v))).getOrElse(Map.empty)
-      case GreaterThanOrEqual(l: Literal, a) =>
-        longOf(l).map(v => one(a, (Long.MinValue, v))).getOrElse(Map.empty)
-      case LessThan(l: Literal, a) =>
-        longOf(l).map(v => one(a, (v, Long.MaxValue))).getOrElse(Map.empty)
-      case LessThanOrEqual(l: Literal, a) =>
-        longOf(l).map(v => one(a, (v, Long.MaxValue))).getOrElse(Map.empty)
-      case In(a, ls) if ls.forall(_.isInstanceOf[Literal]) =>
-        val vs = ls.flatMap(l => longOf(l.asInstanceOf[Literal]))
-        if (vs.size == ls.size && vs.nonEmpty) one(a, (vs.min, vs.max))
-        else Map.empty
-      case InSet(a, vs) if vs.nonEmpty =>
-        val longs = vs.toSeq.flatMap {
-          case i: java.lang.Integer => Some(i.longValue)
-          case i: java.lang.Long => Some(i.longValue)
-          case _ => None
-        }
-        if (longs.size == vs.size) one(a, (longs.min, longs.max))
-        else Map.empty
-      case _ => Map.empty
-    }
-  }
-
   override def build(): Scan = {
-    // conjuncts compose by per-column interval intersection
-    val bounds = pushed.map(intervals)
-      .foldLeft(Map.empty[String, (Long, Long)]) { (acc, m) =>
-        (acc.keySet ++ m.keySet).map { k =>
-          (acc.get(k), m.get(k)) match {
-            case (Some((a, b)), Some((c, d))) =>
-              k -> (math.max(a, c), math.min(b, d))
-            case (v, w) => k -> v.orElse(w).get
-          }
-        }.toMap
-      }
+    val bounds = GraftFileSkipping.bounds(pushed)
     val keep =
       if (bounds.isEmpty) allFiles
-      else allFiles.filter { p =>
-        statsOf(p).forall(cs => bounds.forall { case (c, (lo, hi)) =>
-          cs.get(c).forall { case (mn, mx) => hi >= mn && lo <= mx } })
-      }
+      else allFiles.filter(p => GraftFileSkipping.survives(statsOf(p), bounds))
     if (keep.size == allFiles.size) probe.build()
     else {
       val survivors = if (keep.nonEmpty) keep else allFiles.take(1)

@@ -604,6 +604,42 @@ class GraftTableSpec extends SparkSpec {
       Seq((150L, "b2")))
   }
 
+  test("deleteWhere discovery prunes files through manifest stats") {
+    val t = new GraftTable(tmp(), Seq("id"), nBuckets = 1)
+    t.append(spark.range(0L, 100L).select(col("id"), lit("a").as("v")))
+    t.append(spark.range(100L, 200L).select(col("id"), lit("b").as("v")))
+    t.append(spark.range(200L, 300L).select(col("id"), lit("c").as("v")))
+    assert(t.currentManifest().get.fileStats.size == 3)
+
+    // count parquet rows actually read during the delete: with the
+    // discovery pruned to the one candidate file it's 100 (discovery)
+    // + 300 (full-bucket survivor rewrite); unpruned would be 600
+    var read = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        synchronized { read += e.taskMetrics.inputMetrics.recordsRead }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val n = try {
+      val n0 = t.deleteWhere(spark, col("id") >= 250L)
+      // listener bus is async; wait for the counters to stabilize
+      var last = -1L
+      var spins = 0
+      while (read != last && spins < 50) {
+        last = read; Thread.sleep(100); spins += 1
+      }
+      n0
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(n == 50L)
+    assert(t.read(spark).count() == 250L)
+    assert(read <= 450L, s"discovery read $read records — not pruned")
+
+    // out-of-range predicate: every file skipped, delete is a no-op
+    assert(t.deleteWhere(spark, col("id") >= 1000L) == 0L)
+    assert(t.read(spark).count() == 250L)
+  }
+
   test("multi-column stats: secondary stats columns harvest per file") {
     val t = new GraftTable(tmp(), Seq("id"), nBuckets = 1,
       statsCols0 = Seq("ts"))
