@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -12,7 +12,15 @@ import org.apache.spark.sql.types._
   * (zip_with + aggregate ≈ ms/row on 64-dim vectors) with tight loops.
   * The fold order is left-to-right in double, identical to the
   * `aggregate(zip_with(...))` formulation they replace, so scores are
-  * unchanged. */
+  * unchanged.
+  *
+  * Codegen: the two pair-wise hot kernels ([[VecDot]], [[PqAdc]]) emit
+  * real generated loops via `doGenCode`; the object-data kernels (whose
+  * centroid/codebook matrices ride as task objects, not plan literals)
+  * generate a direct call to a typed `kernel` method on the expression
+  * instance (`ctx.addReferenceObj`) — no `CodegenFallback`, so the
+  * surrounding stage stays inside whole-stage codegen and pays one
+  * monomorphic call per row instead of a boxed `eval(InternalRow)`. */
 private object VecExprs {
   def toDouble(a: ArrayData, et: DataType, i: Int): Double = et match {
     case FloatType  => a.getFloat(i).toDouble
@@ -21,11 +29,27 @@ private object VecExprs {
     case IntegerType => a.getInt(i).toDouble
     case other => throw new IllegalArgumentException(s"bad element type $other")
   }
+
+  /** Copy to a double[] with the element-type dispatch done ONCE per
+    * call, not once per element — the kernels' load loop. */
+  def toDoubles(a: ArrayData, et: DataType): Array[Double] = et match {
+    case FloatType =>
+      val n = a.numElements(); val out = new Array[Double](n)
+      var i = 0; while (i < n) { out(i) = a.getFloat(i).toDouble; i += 1 }; out
+    case DoubleType => a.toDoubleArray()
+    case LongType =>
+      val n = a.numElements(); val out = new Array[Double](n)
+      var i = 0; while (i < n) { out(i) = a.getLong(i).toDouble; i += 1 }; out
+    case IntegerType =>
+      val n = a.numElements(); val out = new Array[Double](n)
+      var i = 0; while (i < n) { out(i) = a.getInt(i).toDouble; i += 1 }; out
+    case other => throw new IllegalArgumentException(s"bad element type $other")
+  }
 }
 
 /** dot(a, b) over two numeric-array columns, accumulated in double. */
 case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
   private def elemType(e: Expression): DataType =
@@ -50,6 +74,28 @@ case class VecDot(left: Expression, right: Expression)
     java.lang.Double.valueOf(acc)
   }
 
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val getA = CodeGenerator.getValue(a, elemType(left), i)
+      val getB = CodeGenerator.getValue(b, elemType(right), i)
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "vec_dot length mismatch: " + $n + " vs " + $b.numElements());
+         |}
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double)($getA)) * ((double)($getB));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): VecDot = copy(left = newLeft, right = newRight)
 }
@@ -65,9 +111,11 @@ object VecDot {
   * (plane index, j) mapped to [-1, 1) — replicating the column formula
   * `(pmod(xxhash64(lit(p), j), 1e6) / 5e5) - 1` bit-for-bit (xxhash64
   * chains int inputs through seed 42). Deterministic on any cluster; no
-  * trained quantizer needed. */
+  * trained quantizer needed. The plane matrix is derived lazily from the
+  * first vector's dimensionality and cached on the instance — one
+  * nPlanes×d hash sweep per task, not per row. */
 case class HyperplaneSig(child: Expression, nPlanes: Int, planeOffset: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
 
   private def elemType: DataType =
@@ -79,23 +127,51 @@ case class HyperplaneSig(child: Expression, nPlanes: Int, planeOffset: Int)
     m.toDouble / 500000.0 - 1.0
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
-    val et = elemType
-    val n = v.numElements()
+  // flat [p * d + j]; keyed by d so a ragged corpus still computes
+  // correct (if slow) signatures instead of reading stale planes
+  @transient private var cachedPlanes: Array[Double] = _
+  @transient private var cachedD: Int = -1
+
+  private def planesFor(d: Int): Array[Double] = synchronized {
+    if (cachedD != d) {
+      val arr = new Array[Double](nPlanes * d)
+      var p = 0
+      while (p < nPlanes) {
+        var j = 0
+        while (j < d) { arr(p * d + j) = component(planeOffset + p, j); j += 1 }
+        p += 1
+      }
+      cachedPlanes = arr
+      cachedD = d
+    }
+    cachedPlanes
+  }
+
+  def kernel(input: ArrayData): Long = {
+    val v = VecExprs.toDoubles(input, elemType)
+    val d = v.length
+    val planes = planesFor(d)
     var sig = 0L
     var p = 0
     while (p < nPlanes) {
       var acc = 0.0
       var j = 0
-      while (j < n) {
-        acc += VecExprs.toDouble(v, et, j) * component(planeOffset + p, j)
-        j += 1
-      }
+      val base = p * d
+      while (j < d) { acc += v(j) * planes(base + j); j += 1 }
       if (acc >= 0) sig |= (1L << p)
       p += 1
     }
-    java.lang.Long.valueOf(sig)
+    sig
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(kernel(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplaneSig", this,
+      classOf[HyperplaneSig].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.kernel($v)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
@@ -120,16 +196,16 @@ object HyperplaneSig {
   * dot/(normC·normV), ties prefer the smaller list id. */
 case class NearestCentroids(child: Expression,
     centroids: Array[Array[Double]], n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   @transient private lazy val norms: Array[Double] =
     centroids.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  def kernel(input: ArrayData): ArrayData = {
     val et = child.dataType.asInstanceOf[ArrayType].elementType
-    val d = v.numElements()
+    val v = VecExprs.toDoubles(input, et)
+    val d = v.length
     val k = centroids.length
     // reject-not-corrupt: ragged vectors must fail loudly
     if (k > 0 && centroids(0).length != d)
@@ -138,8 +214,7 @@ case class NearestCentroids(child: Expression,
           s"${centroids(0).length}")
     var normV = 0.0
     var jj = 0
-    while (jj < d) {
-      val x = VecExprs.toDouble(v, et, jj); normV += x * x; jj += 1 }
+    while (jj < d) { val x = v(jj); normV += x * x; jj += 1 }
     normV = math.sqrt(normV)
     val scores = new Array[Double](k)
     var i = 0
@@ -147,7 +222,7 @@ case class NearestCentroids(child: Expression,
       val c = centroids(i)
       var acc = 0.0
       var j = 0
-      while (j < d) { acc += VecExprs.toDouble(v, et, j) * c(j); j += 1 }
+      while (j < d) { acc += v(j) * c(j); j += 1 }
       scores(i) = acc / (norms(i) * normV)
       i += 1
     }
@@ -167,6 +242,16 @@ case class NearestCentroids(child: Expression,
       s += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroids", this,
+      classOf[NearestCentroids].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.kernel($v)")
   }
 
   override protected def withNewChildInternal(newChild: Expression)
@@ -193,21 +278,22 @@ object NearestCentroids {
 case class PqEncode(left: Expression, right: Expression,
     codebooks: Array[Array[Array[Double]]],
     centroids: Array[Array[Double]])
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("codes", ArrayType(IntegerType, containsNull = false),
       nullable = false),
     StructField("rnorm", DoubleType, nullable = false)))
 
-  override def nullSafeEval(input: Any, listId: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  def kernel(input: ArrayData,
+      listId: Int): org.apache.spark.sql.catalyst.InternalRow = {
     val et = left.dataType.asInstanceOf[ArrayType].elementType
-    val cl = centroids(listId.asInstanceOf[Int])
+    val v = VecExprs.toDoubles(input, et)
+    val cl = centroids(listId)
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
-    if (v.numElements() != m * dsub || cl.length != m * dsub)
+    if (v.length != m * dsub || cl.length != m * dsub)
       throw new IllegalArgumentException(
-        s"pq_encode dim mismatch: vector ${v.numElements()} / centroid " +
+        s"pq_encode dim mismatch: vector ${v.length} / centroid " +
           s"${cl.length} vs $m×$dsub")
     val codes = new Array[Int](m)
     var rnorm2 = 0.0
@@ -223,7 +309,7 @@ case class PqEncode(left: Expression, right: Expression,
         var d2 = 0.0
         var i = 0
         while (i < dsub) {
-          val r = VecExprs.toDouble(v, et, base + i) - cl(base + i)
+          val r = v(base + i) - cl(base + i)
           val diff = r - w(i)
           d2 += diff * diff
           i += 1
@@ -246,6 +332,15 @@ case class PqEncode(left: Expression, right: Expression,
       java.lang.Double.valueOf(math.sqrt(rnorm2)))
   }
 
+  override def nullSafeEval(input: Any, listId: Any): Any =
+    kernel(input.asInstanceOf[ArrayData], listId.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+    defineCodeGen(ctx, ev, (v, l) => s"$ref.kernel($v, $l)")
+  }
+
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): PqEncode = copy(left = newLeft, right = newRight)
 }
@@ -265,24 +360,32 @@ object PqEncode {
   * plain object data. Left-to-right double fold (VecDot semantics). */
 case class CentroidDot(left: Expression, right: Expression,
     centroids: Array[Array[Double]])
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(input: Any, listId: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  def kernel(input: ArrayData, listId: Int): Double = {
     val et = left.dataType.asInstanceOf[ArrayType].elementType
-    val cl = centroids(listId.asInstanceOf[Int])
-    if (v.numElements() != cl.length)
+    val cl = centroids(listId)
+    if (input.numElements() != cl.length)
       throw new IllegalArgumentException(
-        s"centroid_dot dim mismatch: vector ${v.numElements()} vs " +
+        s"centroid_dot dim mismatch: vector ${input.numElements()} vs " +
           s"centroid ${cl.length}")
+    val v = VecExprs.toDoubles(input, et)
     var acc = 0.0
     var i = 0
-    while (i < cl.length) {
-      acc += VecExprs.toDouble(v, et, i) * cl(i)
-      i += 1
-    }
-    java.lang.Double.valueOf(acc)
+    while (i < cl.length) { acc += v(i) * cl(i); i += 1 }
+    acc
+  }
+
+  override def nullSafeEval(input: Any, listId: Any): Any =
+    java.lang.Double.valueOf(
+      kernel(input.asInstanceOf[ArrayData], listId.asInstanceOf[Int]))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidDot", this,
+      classOf[CentroidDot].getName)
+    defineCodeGen(ctx, ev, (v, l) => s"$ref.kernel($v, $l)")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
@@ -304,19 +407,19 @@ object CentroidDot {
   * instead of O(d) (the asymmetric-distance-computation speedup). */
 case class PqLut(child: Expression,
     codebooks: Array[Array[Array[Double]]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType =
     ArrayType(DoubleType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  def kernel(input: ArrayData): ArrayData = {
     val et = child.dataType.asInstanceOf[ArrayType].elementType
+    val v = VecExprs.toDoubles(input, et)
     val m = codebooks.length
     val ks = codebooks(0).length
     val dsub = codebooks(0)(0).length
-    if (v.numElements() != m * dsub)
+    if (v.length != m * dsub)
       throw new IllegalArgumentException(
-        s"pq_lut dim mismatch: vector ${v.numElements()} vs $m×$dsub")
+        s"pq_lut dim mismatch: vector ${v.length} vs $m×$dsub")
     val out = new Array[Double](m * ks)
     var j = 0
     while (j < m) {
@@ -327,16 +430,22 @@ case class PqLut(child: Expression,
         val w = cb(c)
         var acc = 0.0
         var i = 0
-        while (i < dsub) {
-          acc += VecExprs.toDouble(v, et, base + i) * w(i)
-          i += 1
-        }
+        while (i < dsub) { acc += v(base + i) * w(i); i += 1 }
         out(j * ks + c) = acc
         c += 1
       }
       j += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqLut", this, classOf[PqLut].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.kernel($v)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqLut =
@@ -352,7 +461,7 @@ object PqLut {
 /** ADC score: Σ_j lut[j·ks + codes[j]] ≈ dot(query, reconstructed
   * candidate). O(m) per (query, candidate) pair. */
 case class PqAdc(left: Expression, right: Expression, ks: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -371,6 +480,27 @@ case class PqAdc(left: Expression, right: Expression, ks: Int)
     }
     java.lang.Double.valueOf(acc)
   }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, lut) => {
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $m = $codes.numElements();
+         |if ($lut.numElements() != $m * $ks) {
+         |  throw new IllegalArgumentException(
+         |    "pq_adc size mismatch: " + $lut.numElements() +
+         |    " lut entries for " + $m + " codes × " + $ks);
+         |}
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  $acc += $lut.getDouble($j * $ks + $codes.getInt($j));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): PqAdc = copy(left = newLeft, right = newRight)
