@@ -74,6 +74,9 @@ object SparkEntry {
     "ann_lsh" -> (SimQueries.annLsh _),
     "ann_ivf" -> (SimQueries.annIvf _),
     "ann_pq" -> (SimQueries.annPq _),
+    "cluster_assign" -> (SimQueries.clusterAssign _),
+    "cluster_kmeans" -> (SimQueries.clusterKmeans _),
+    "semdedup" -> (SimQueries.semDedup _),
     "profile_stats" -> (SimQueries.profileStats _),
     // multimodal columns
     "mm_meta" -> (SimQueries.mmMeta _),
@@ -98,7 +101,9 @@ object SparkEntry {
     "op_dedup_simhash" -> (SimQueries.opDedupSimhash _),
     "op_ann_lsh" -> (SimQueries.opAnnLsh _),
     "op_ann_ivf" -> (SimQueries.opAnnIvf _),
-    "op_ann_pq" -> (SimQueries.opAnnPq _))
+    "op_ann_pq" -> (SimQueries.opAnnPq _),
+    "op_cluster_kmeans" -> (SimQueries.opClusterKmeans _),
+    "op_semdedup" -> (SimQueries.opSemDedup _))
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> CoreQueries.q1Sql,
@@ -159,6 +164,9 @@ object SparkEntry {
     "ann_lsh" -> SimQueries.annLshSql,
     "ann_ivf" -> SimQueries.annIvfSql,
     "ann_pq" -> SimQueries.annPqSql,
+    "cluster_assign" -> SimQueries.clusterAssignSql,
+    "cluster_kmeans" -> SimQueries.clusterKmeansSql,
+    "semdedup" -> SimQueries.semDedupSql,
     "asof_join" -> JoinQueries.asofJoinSql,
     "range_join" -> JoinQueries.rangeJoinSql,
     "mix_domains" -> CurationQueries.mixDomainsSql,

@@ -111,7 +111,8 @@ object Similarity {
     * means sum in DECIMAL so centroids are bit-identical on any
     * cluster/partition layout; lists that lose all members keep their
     * previous centroid. Returns (centroids, the cached sample). */
-  private def trainCoarse(corpus: DataFrame, cId: String, cVec: String,
+  private[operators] def trainCoarse(corpus: DataFrame, cId: String,
+      cVec: String,
       nLists: Int, iterations: Int): (Array[Array[Double]], DataFrame) = {
     val sampleTarget = math.max(64L * nLists, 4096L)
     val corpusN = corpus.count() // no filter → parquet footer count

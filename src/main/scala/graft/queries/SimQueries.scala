@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Cluster, Dedup, Multimodal, Similarity}
 
 /** Dedup / similarity-search / multimodal queries (SURVEY §7.1.7,
   * BASELINE.json north star). Shingle/Jaccard arithmetic is integer-ratio
@@ -532,6 +532,19 @@ object SimQueries {
       m = 8, ks = 16, iterations = 3, refineFactor = 4)
   }
 
+  def opClusterKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Cluster.kmeans(emb, "vec_id", "embedding", k = 8, iterations = 3)._2
+  }
+
+  def opSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val (centroids, _) =
+      Cluster.kmeans(emb, "vec_id", "embedding", k = 8, iterations = 3)
+    Cluster.semDeDup(emb, "vec_id", "embedding", centroids,
+      threshold = 0.45)
+  }
+
   /** Dataset profiling: per-event-type cardinalities and value stats —
     * the distinct-count/statistics surface (exact, oracle-checked; the
     * HLL approx_count_distinct variant is spec-tested for error bound
@@ -614,4 +627,145 @@ object SimQueries {
       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
         list_transform(feats, x -> CAST(x AS DOUBLE))), (a,x) -> a+x), 4) AS feat_sum
     FROM f ORDER BY doc_id"""
+
+  // ------------------------------------------------------------ clustering
+  /** Centroid assignment, hash-gated EXACT: centroids fixed to the 8
+    * embeddings with the smallest vec_id (0-based cluster id = that
+    * vec_id), every corpus vector assigned through the
+    * [[graft.operators.Cluster.assign]] kernel path (NearestCentroids +
+    * CentroidDot — zero-shuffle projections, the 100 TB shape). The
+    * oracle replays the argmax over UNROUNDED sims (the kernel compares
+    * unrounded; both sides' double folds are bit-identical), then both
+    * round the reported sim to 6 dp. */
+  def clusterAssign(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .collect().map(_.getSeq[Double](0).toArray)
+    Cluster.assign(emb, "vec_id", "embedding", centroids)
+      .orderBy("vec_id")
+  }
+
+  val clusterAssignSql: String = """
+    WITH c AS (SELECT vec_id AS cl_id, embedding AS c_vec
+               FROM embeddings WHERE vec_id < 8),
+    p AS (SELECT vec_id, embedding AS p_vec FROM embeddings),
+    s AS (
+      SELECT vec_id, cl_id,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(1, len(p_vec)+1),
+            i -> CAST(p_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE))),
+          (a,b) -> a+b)
+        / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(c_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+             (a,b) -> a+b))
+         * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(p_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+             (a,b) -> a+b))) AS sim
+      FROM p, c),
+    r AS (SELECT vec_id, cl_id, sim,
+            row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, cl_id) AS rk
+          FROM s)
+    SELECT vec_id, CAST(cl_id AS INT) AS cluster, round(sim, 6) AS sim
+    FROM r WHERE rk = 1 ORDER BY vec_id"""
+
+  /** Full k-means over the corpus, gated on SQL-checkable invariants
+    * (the annCompare pattern — training state is engine-internal):
+    * n_points = corpus size; clusters_ok = between 2 and k lists used
+    * (non-degenerate); stable_ok = re-assigning a repartition(7)-ed
+    * corpus against the same centroids changes NOTHING (layout
+    * independence — decimal-summed means + deterministic init make the
+    * whole pipeline partition-invariant). */
+  def clusterKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val (centroids, asg) =
+      Cluster.kmeans(emb, "vec_id", "embedding", k = 8, iterations = 3)
+    val again = Cluster.assign(emb.repartition(7), "vec_id", "embedding",
+      centroids)
+    asg.select(col("vec_id"), col("cluster").as("c1"))
+      .join(again.select(col("vec_id"), col("cluster").as("c2")), "vec_id")
+      .agg(
+        count(lit(1)).as("n_points"),
+        (countDistinct(col("c1")) >= 2 &&
+          countDistinct(col("c1")) <= 8).as("clusters_ok"),
+        (sum(when(col("c1") === col("c2"), 0).otherwise(1)) === 0)
+          .as("stable_ok"))
+  }
+
+  val clusterKmeansSql: String = """
+    SELECT count(*) AS n_points, true AS clusters_ok, true AS stable_ok
+    FROM embeddings"""
+
+  /** SemDeDup, hash-gated EXACT under the same fixed centroids as
+    * [[clusterAssign]] (trained-centroid runs are spec-gated — training
+    * state is engine-internal, but the PRUNING semantics are fully
+    * SQL-replayable): per-cluster near-dup pairs at cosine ≥ 0.45
+    * (rounded 6 dp, the dedup_embed_cosine threshold — the testdata
+    * plants near-dup embeddings), transitive closure to the smallest-id
+    * representative, keep = being that representative. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .collect().map(_.getSeq[Double](0).toArray)
+    Cluster.semDeDup(emb, "vec_id", "embedding", centroids,
+      threshold = 0.45).orderBy("vec_id")
+  }
+
+  val semDedupSql: String = """
+    WITH RECURSIVE
+    c AS (SELECT vec_id AS cl_id, embedding AS c_vec
+          FROM embeddings WHERE vec_id < 8),
+    p AS (SELECT vec_id, embedding AS p_vec FROM embeddings),
+    s AS (
+      SELECT vec_id, cl_id,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(1, len(p_vec)+1),
+            i -> CAST(p_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE))),
+          (a,b) -> a+b)
+        / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(c_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+             (a,b) -> a+b))
+         * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(p_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+             (a,b) -> a+b))) AS sim
+      FROM p, c),
+    asg AS (
+      SELECT vec_id, cl_id AS cluster FROM (
+        SELECT vec_id, cl_id,
+          row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cl_id) AS rk
+        FROM s) t WHERE rk = 1),
+    pairs AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM embeddings x
+      JOIN asg ax ON ax.vec_id = x.vec_id
+      JOIN embeddings y ON x.vec_id < y.vec_id
+      JOIN asg ay ON ay.vec_id = y.vec_id AND ay.cluster = ax.cluster
+      WHERE round(
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(1, len(x.embedding)+1),
+            i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))),
+          (a,b) -> a+b)
+        / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+             (a,b) -> a+b))
+         * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+             (a,b) -> a+b))), 6) >= 0.45),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+      WHERE e.v <> r.a),
+    cc AS (SELECT a AS id, least(a, min(b)) AS rep FROM reach GROUP BY a)
+    SELECT g.vec_id, CAST(g.cluster AS INT) AS cluster,
+           coalesce(cc.rep, g.vec_id) AS rep,
+           coalesce(cc.rep, g.vec_id) = g.vec_id AS keep
+    FROM asg g LEFT JOIN cc ON cc.id = g.vec_id
+    ORDER BY g.vec_id"""
 }

@@ -136,6 +136,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("cluster assignment is shuffle-free; semDeDup pairs meet on an equijoin") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val corpus = (1L to 32L)
+      .map(i => (i, Array.fill(4)(i.toFloat))).toDF("id", "vec")
+    val cents = Array(Array(1.0, 0, 0, 0), Array(0.0, 1, 0, 0))
+    // assignment = pure projection through the kernel: ZERO exchanges —
+    // clustering a 100 TB corpus is one read, no shuffle
+    val pa = plan(graft.operators.Cluster.assign(corpus, "id", "vec", cents))
+    assert(!"(?m)^\\(\\d+\\) Exchange".r.findAllIn(pa).hasNext, pa)
+    // the within-cluster pair join is a cluster-id equijoin, never a
+    // cartesian/BNLJ over the corpus
+    val ps = plan(graft.operators.Cluster.semDeDup(
+      corpus, "id", "vec", cents, threshold = 0.9))
+    assert(!ps.contains("CartesianProduct"), ps)
+    assert(!ps.contains("BroadcastNestedLoopJoin"), ps)
+  }
+
   test("PPJoin prefix extraction is map-side (no shuffle before the gram join)") {
     val docs = Tables.load(spark, sf(), "documents")
     val p = plan(graft.operators.Dedup.ngramJaccardPairs(
