@@ -77,6 +77,7 @@ object SparkEntry {
     "cluster_assign" -> (SimQueries.clusterAssign _),
     "cluster_kmeans" -> (SimQueries.clusterKmeans _),
     "semdedup" -> (SimQueries.semDedup _),
+    "knn_label" -> (SimQueries.knnLabel _),
     "profile_stats" -> (SimQueries.profileStats _),
     // multimodal columns
     "mm_meta" -> (SimQueries.mmMeta _),
@@ -167,6 +168,7 @@ object SparkEntry {
     "cluster_assign" -> SimQueries.clusterAssignSql,
     "cluster_kmeans" -> SimQueries.clusterKmeansSql,
     "semdedup" -> SimQueries.semDedupSql,
+    "knn_label" -> SimQueries.knnLabelSql,
     "asof_join" -> JoinQueries.asofJoinSql,
     "range_join" -> JoinQueries.rangeJoinSql,
     "mix_domains" -> CurationQueries.mixDomainsSql,

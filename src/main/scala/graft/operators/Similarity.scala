@@ -45,6 +45,44 @@ object Similarity {
       .select(col(qId), col(cId), col("sim"), col("rank"))
   }
 
+  /** kNN label vote — the standard embedding-quality probe (classify
+    * each query by the majority label of its k nearest neighbors,
+    * self-match excluded): exact cosine ranking ([[bruteForceTopK]]
+    * semantics — rounded-sim ordering, c_id tie-break), then majority
+    * vote with ties broken toward the smaller label. Returns
+    * (qId, pred, votes). This is the exact eval leg; at scale feed any
+    * ANN topK's (qId, cId) pairs to [[voteNeighbors]] instead. */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int,
+      qId: String = "q_id", qVec: String = "q_vec",
+      cId: String = "c_id", cVec: String = "c_vec",
+      labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("sim", round(cosine(col(qVec), col(cVec)), 6))
+    val w = Window.partitionBy(col(qId))
+      .orderBy(col("sim").desc, col(cId))
+    val neighbors = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), col(labelCol))
+    voteNeighbors(neighbors, qId, labelCol)
+  }
+
+  /** Majority vote over a (qId, …, labelCol) neighbor set: most votes
+    * wins, exact ties prefer the smaller label. One aggregation + one
+    * per-query argmax window — neighbor sets are k rows per query, so
+    * both shuffles carry O(k · queries) rows. */
+  def voteNeighbors(neighbors: DataFrame, qId: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val votes = neighbors.groupBy(col(qId), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col(qId))
+      .orderBy(col("votes").desc, col(labelCol))
+    votes.withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
+      .select(col(qId), col(labelCol).as("pred"), col("votes"))
+  }
+
   /** Random-hyperplane LSH signature (nPlanes bits) of a float-array
     * column: bit p = sign(v · plane_p), planes derived from fixed-seed
     * hashes (native kernel — graft.functions.HyperplaneSig). */

@@ -532,6 +532,49 @@ object SimQueries {
       m = 8, ks = 16, iterations = 3, refineFactor = 4)
   }
 
+  /** kNN label vote, hash-gated EXACT: the first 50 vectors classified
+    * by the majority label of their 5 nearest neighbors (self excluded)
+    * over the whole corpus — DuckDB replays ranking (rounded sim desc,
+    * c_id) and the vote (count desc, label asc). */
+  def knnLabel(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_vec"), col("label"))
+    Similarity.knnClassify(queries, corpus, k = 5).orderBy("q_id")
+  }
+
+  val knnLabelSql: String = """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 50),
+    c AS (SELECT vec_id AS c_id, embedding AS c_vec, label FROM embeddings),
+    s AS (
+      SELECT q_id, c_id, label,
+        round(
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, len(q_vec)+1),
+              i -> CAST(q_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE))),
+            (a,b) -> a+b)
+          / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (a,b) -> a+b))
+           * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(c_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (a,b) -> a+b))), 6) AS sim
+      FROM c, q WHERE c_id <> q_id),
+    r AS (SELECT q_id, label,
+            row_number() OVER (PARTITION BY q_id
+                               ORDER BY sim DESC, c_id) AS rk
+          FROM s),
+    v AS (SELECT q_id, label, count(*) AS votes
+          FROM r WHERE rk <= 5 GROUP BY q_id, label),
+    p AS (SELECT q_id, label, votes,
+            row_number() OVER (PARTITION BY q_id
+                               ORDER BY votes DESC, label) AS rk2
+          FROM v)
+    SELECT q_id, label AS pred, votes FROM p WHERE rk2 = 1 ORDER BY q_id"""
+
   def opClusterKmeans(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     Cluster.kmeans(emb, "vec_id", "embedding", k = 8, iterations = 3)._2

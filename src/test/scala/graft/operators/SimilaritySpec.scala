@@ -32,6 +32,34 @@ class SimilaritySpec extends SparkSpec {
     assert(top.collect().toSeq == again.collect().toSeq)
   }
 
+  test("knnClassify: majority vote, self excluded, smaller-label ties") {
+    // 2-d fixture: query 0 at (1,0); neighbors planted so its 3-NN are
+    // ids 1,2,3 with labels (7,7,9) → pred 7 with 2 votes. A second
+    // query 10 at (0,1) has 3-NN labels (5,9,9) → pred 9.
+    val corpus = Seq(
+      (0L, vec(1, 0), 1),       // query itself — must be excluded
+      (1L, vec(0.99, 0.1), 7),
+      (2L, vec(0.98, 0.12), 7),
+      (3L, vec(0.97, 0.2), 9),
+      (10L, vec(0, 1), 2),      // second query
+      (11L, vec(0.1, 0.99), 5),
+      (12L, vec(0.05, 0.99), 9),
+      (13L, vec(0.12, 0.98), 9),
+      (99L, vec(-1, -1), 0)     // far away, never a neighbor
+    ).toDF("c_id", "c_vec", "label")
+    val queries = corpus.filter($"c_id".isin(0L, 10L))
+      .select($"c_id".as("q_id"), $"c_vec".as("q_vec"))
+    val full = Similarity.knnClassify(queries, corpus, k = 3)
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(full(0L) == ((7, 2L)), full)
+    assert(full(10L) == ((9, 2L)), full)
+    // exact tie on votes prefers the smaller label: k=2 for query 0
+    // gives labels (7,7) → 7; k=4 gives (7,7,9,?) — stays 7
+    val t = Similarity.knnClassify(queries.filter($"q_id" === 0L),
+      corpus, k = 2).as[(Long, Int, Long)].collect().head
+    assert(t == ((0L, 7, 2L)), t)
+  }
+
   test("lshTopK recall vs brute force (multi-probe hamming-1)") {
     val emb = graft.Tables.load(spark, sf(), "embeddings")
     val queries = emb.filter($"vec_id" < 20)
