@@ -152,6 +152,117 @@ object AsOfJoin {
       }
   }
 
+  /** Buffered probe awaiting its event-time flush. */
+  final case class AsOfProbe(tMicros: Long, value: Double)
+  /** Per-key buffer of the watermarked symmetric join: dimension
+    * versions and probes still inside the lateness window, plus the one
+    * compacted version at-or-below the watermark (`committed`). */
+  final case class AsOfSymState(states: Seq[AsOfDimState],
+      probes: Seq[AsOfProbe], committed: Option[AsOfDimState])
+  /** [[AsOfEvent]] carrying its own watermark timestamp column —
+    * internal to [[streamingWatermarked]], public only because encoder
+    * codegen must reach the constructor. */
+  final case class AsOfEventW(key: Long, tMicros: Long,
+      isState: Boolean, value: Double, et: java.sql.Timestamp)
+
+  /** Event-time-correct streaming as-of: the watermark-buffered
+    * symmetric form of [[streaming]]. Both sides buffer inside the
+    * `lateness` bound and re-order by EVENT time across micro-batches —
+    * a dimension row arriving one batch late still enriches an
+    * earlier-event-time probe, the cross-batch half of the late-data
+    * story (ST6 coalesces late TOAST columns; this re-orders late
+    * enrichment state).
+    *
+    * Mechanics: each probe is held until the event-time watermark passes
+    * its timestamp — at that point no state row at-or-before it can
+    * still arrive, so the match is final (same guarantee Spark's
+    * stream-stream interval join derives from watermarks). State rows
+    * at-or-below the watermark compact to ONE carried version per key
+    * (`committed`) — exactly the batch operator's running-`last` carry,
+    * so steady-state memory is O(keys + rows-inside-lateness), never
+    * O(stream).
+    *
+    * Rows later than the lateness bound never reach the operator: the
+    * engine's watermark filter drops stateful-op input older than the
+    * watermark (standard Spark semantics — same fate such rows meet at
+    * a windowed aggregation). The internal stale-version guard (a
+    * dimension row older than the committed carry is ignored) is
+    * therefore only replay defense, mirroring [[streaming]]'s monotone
+    * rule.
+    *
+    * `idleTtlMs`: with a value, a key whose buffers drained keeps its
+    * carried dimension state only until the watermark advances that far
+    * past the drain — then the key evicts (bounded state for churning
+    * key spaces). `None` keeps last-known state forever, matching
+    * [[streaming]]. */
+  def streamingWatermarked(events: org.apache.spark.sql.Dataset[AsOfEvent],
+      lateness: String, idleTtlMs: Option[Long] = None)
+      : org.apache.spark.sql.Dataset[AsOfEnriched] = {
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+    implicit val outEnc = Encoders.product[AsOfEnriched]
+    implicit val stEnc = Encoders.product[AsOfSymState]
+    implicit val keyEnc = Encoders.scalaLong
+    // the watermark attribute must survive into the grouped input, so
+    // the event travels with its own timestamp column
+    val wmEvents = events.toDF()
+      .withColumn("et", timestamp_micros(col("tMicros")))
+      .withWatermark("et", lateness)
+      .as[AsOfEventW](Encoders.product[AsOfEventW])
+    wmEvents.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfSymState, AsOfEnriched](
+        ss.OutputMode.Append(), ss.GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, it: Iterator[AsOfEventW],
+         state: ss.GroupState[AsOfSymState]) =>
+          val prev = state.getOption.getOrElse(AsOfSymState(Nil, Nil, None))
+          val timedOut = state.hasTimedOut
+          val incoming = if (timedOut) Seq.empty[AsOfEventW] else it.toSeq
+          val committedT =
+            prev.committed.map(_.tMicros).getOrElse(Long.MinValue)
+          val states = (prev.states ++ incoming.filter(_.isState)
+              .map(e => AsOfDimState(e.tMicros, e.value))
+              .filter(_.tMicros > committedT)) // stale: would roll back
+            .sortBy(_.tMicros)
+          val probes = (prev.probes ++ incoming.filterNot(_.isState)
+            .map(e => AsOfProbe(e.tMicros, e.value))).sortBy(_.tMicros)
+          val wmMicros = state.getCurrentWatermarkMs * 1000L
+          val timeline = (prev.committed.toSeq ++ states).toIndexedSeq
+          def lookup(t: Long): Option[AsOfDimState] = {
+            var res: Option[AsOfDimState] = None
+            var i = 0
+            while (i < timeline.length && timeline(i).tMicros <= t) {
+              res = Some(timeline(i)); i += 1
+            }
+            res
+          }
+          // probes at-or-below the watermark are final; later-than-
+          // lateness probes (t <= wm on arrival) flush here best-effort
+          val (emit, keepProbes) = probes.partition(_.tMicros <= wmMicros)
+          val out = emit.map { p =>
+            val m = lookup(p.tMicros)
+            AsOfEnriched(key, p.tMicros, p.value,
+              m.map(_.tMicros), m.map(_.value))
+          }
+          // compact dim versions at-or-below the watermark to one carry
+          val (below, above) = states.partition(_.tMicros <= wmMicros)
+          val committed =
+            (prev.committed.toSeq ++ below).sortBy(_.tMicros).lastOption
+          if (timedOut && prev.states.isEmpty && prev.probes.isEmpty) {
+            state.remove() // the armed timer was the idle TTL
+          } else if (above.isEmpty && keepProbes.isEmpty &&
+              committed.isEmpty) {
+            state.remove()
+          } else {
+            state.update(AsOfSymState(above, keepProbes, committed))
+            val wmMs = state.getCurrentWatermarkMs
+            if (above.nonEmpty || keepProbes.nonEmpty)
+              state.setTimeoutTimestamp(wmMs + 1) // flush on next advance
+            else idleTtlMs.foreach(ttl => state.setTimeoutTimestamp(
+              wmMs + math.max(1L, ttl)))
+          }
+          out.iterator
+      }
+  }
+
   // ----------------------------------------------------------- plumbing
 
   private def stateValCols(state: DataFrame, keys: Seq[String],

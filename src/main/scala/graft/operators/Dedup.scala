@@ -294,7 +294,15 @@ object Dedup {
     * Only ids that appear in `pairs` are emitted; callers left-join and
     * coalesce(rep, id) to cover singleton documents. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50): DataFrame =
+    connectedComponentsStats(pairs, aCol, bCol, maxRounds)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it
+    * took to converge — the observable the scale soaks pin: rounds must
+    * grow O(log longest-chain), not O(diameter), or a pathological
+    * component serializes the job at 100 TB. */
+  def connectedComponentsStats(pairs: DataFrame, aCol: String,
+      bCol: String, maxRounds: Int = 50): (DataFrame, Int) = {
     // materialize the pair stream ONCE before mirroring: the union reads
     // `pairs` twice, and without this the (expensive) upstream candidate
     // plan — e.g. a whole PPJoin — executes once per branch
@@ -343,6 +351,6 @@ object Dedup {
       labels = jumped.select("id", "rep")
       round += 1
     }
-    labels
+    (labels, round)
   }
 }

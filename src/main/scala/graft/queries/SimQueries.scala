@@ -79,6 +79,23 @@ object SimQueries {
       .orderBy("id")
   }
 
+  /** Operator-only soak entry: connected components over a 64k-node
+    * pure chain disjoint-unioned with a 64k-leaf star — the two
+    * adversarial component shapes (worst diameter per edge, worst
+    * single-key fan-in). Pointer jumping keeps the rounds O(log n), so
+    * this times in seconds; an O(diameter) regression would make the
+    * bench entry blow up, which is exactly the point of timing it.
+    * Synthetic by design (testdata graphs are too benign); `dir`
+    * unused. */
+  def opCcChain(spark: SparkSession, dir: String): DataFrame = {
+    val n = 1L << 16
+    val chain = spark.range(n - 1)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val star = spark.range(n + 1, 2 * n)
+      .select(lit(n).as("id_a"), col("id").as("id_b"))
+    Dedup.connectedComponents(chain.union(star), "id_a", "id_b")
+  }
+
   val dedupClustersSql: String = s"""
     WITH RECURSIVE $jaccardCtes,
     pairs AS (

@@ -107,6 +107,83 @@ class AsOfJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked streaming: cross-batch late state enriches an " +
+      "earlier-event-time probe; watermark finalizes, carry compacts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import AsOfJoin.{AsOfEvent, AsOfEnriched}
+    implicit val sqlCtx = spark.sqlContext
+    def s(sec: Long): Long = sec * 1000000L
+    val input = MemoryStream[AsOfEvent]
+    val q = AsOfJoin.streamingWatermarked(input.toDS(), "10 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_wm_out").start()
+    try {
+      // batch 1: the probe arrives FIRST; filler key 9 sets wm = 15s,
+      // so the 20s probe stays buffered (not final yet)
+      input.addData(
+        AsOfEvent(1L, s(20), isState = false, 2.0),
+        AsOfEvent(9L, s(25), isState = true, 0.0))
+      q.processAllAvailable()
+      assert(spark.table("asof_wm_out").isEmpty,
+        "probe must wait for the watermark, not flush eagerly")
+      // batch 2: the state row arrives one batch late but EARLIER in
+      // event time (18s < 20s) and strictly inside the lateness bound
+      // (wm is 15s — the engine's watermark filter admits it); filler
+      // pushes wm to 35s at batch end
+      input.addData(
+        AsOfEvent(1L, s(18), isState = true, 1.0),
+        AsOfEvent(9L, s(45), isState = true, 0.0))
+      q.processAllAvailable()
+      // batch 3: any batch after the advance fires the flush timer
+      input.addData(AsOfEvent(9L, s(46), isState = true, 0.0))
+      q.processAllAvailable()
+      val out = spark.table("asof_wm_out").as[AsOfEnriched]
+        .collect().toSeq.filter(_.key == 1L)
+      assert(out == Seq(
+        AsOfEnriched(1L, s(20), 2.0, Some(s(18)), Some(1.0))),
+        s"late state must re-order under the probe: $out")
+    } finally q.stop()
+  }
+
+  test("watermarked streaming: idle TTL evicts a drained key's carried " +
+      "state; without TTL it persists") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import AsOfJoin.{AsOfEvent, AsOfEnriched}
+    implicit val sqlCtx = spark.sqlContext
+    def s(sec: Long): Long = sec * 1000000L
+    def run(name: String, ttl: Option[Long]): Option[Double] = {
+      val input = MemoryStream[AsOfEvent]
+      val q = AsOfJoin.streamingWatermarked(input.toDS(), "1 second", ttl)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        // state for key 2, then march the watermark far past the TTL
+        input.addData(AsOfEvent(2L, s(10), isState = true, 7.0))
+        q.processAllAvailable()
+        input.addData(AsOfEvent(9L, s(30), isState = true, 0.0))
+        q.processAllAvailable() // k=2 drains: committed carry, TTL armed
+        input.addData(AsOfEvent(9L, s(100), isState = true, 0.0))
+        q.processAllAvailable() // wm ≫ drain + TTL
+        input.addData(AsOfEvent(9L, s(101), isState = true, 0.0))
+        q.processAllAvailable() // real batch fires the TTL timer (evict)
+        input.addData(AsOfEvent(2L, s(200), isState = false, 5.0))
+        q.processAllAvailable()
+        input.addData(AsOfEvent(9L, s(300), isState = true, 0.0))
+        q.processAllAvailable() // wm passes the probe → it finalizes
+        input.addData(AsOfEvent(9L, s(301), isState = true, 0.0))
+        q.processAllAvailable()
+        val rows = spark.table(name).as[AsOfEnriched]
+          .collect().toSeq.filter(_.key == 2L)
+        assert(rows.map(r => (r.tMicros, r.value)) == Seq((s(200), 5.0)))
+        rows.head.stateValue
+      } finally q.stop()
+    }
+    assert(run("asof_ttl_out", Some(5000L)).isEmpty,
+      "TTL'd key must forget its carried state")
+    assert(run("asof_nottl_out", None).contains(7.0),
+      "without TTL the carry is last-known-state forever")
+  }
+
   test("bucketed carry crosses empty buckets") {
     // state in bucket 0, probes in buckets 3 and 7 — carry must span
     // bucket gaps with no rows at all

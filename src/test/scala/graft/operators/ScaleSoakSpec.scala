@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Scale soaks for the iterative operators. What decides whether these
+  * survive 100 TB is not the label values (other specs pin those) but
+  * the ITERATION STRUCTURE: connected-components round counts must grow
+  * O(log longest-chain) — not O(diameter) — and the incremental dedup
+  * front must keep working when an adversarial corpus collapses every
+  * row into one hot LSH bucket. These shapes are deliberately nastier
+  * than anything in testdata: pure chains (worst diameter per edge),
+  * hot hubs (worst single-key fan-in), and all-duplicate corpora
+  * (worst bucket skew). */
+class ScaleSoakSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents rounds grow O(log chain length)") {
+    // pure paths: the adversarial shape for label propagation — plain
+    // min-label needs n−1 rounds, path halving must stay logarithmic
+    val sizes = Seq(10, 13, 16) // log2 of chain length: 1k → 64k nodes
+    val rounds = sizes.map { lg =>
+      val n = 1L << lg
+      val chain = spark.range(n - 1)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      val (labels, r) =
+        Dedup.connectedComponentsStats(chain, "id_a", "id_b")
+      val comps = labels.select("rep").distinct().count()
+      assert(comps == 1L, s"chain n=$n split into $comps components")
+      assert(labels.count() == n, s"chain n=$n lost nodes")
+      r
+    }
+    rounds.zip(sizes).foreach { case (r, lg) =>
+      assert(r <= 2 * lg, s"chain log2=$lg needed $r rounds (> 2·log)") }
+    // 64× more nodes may cost only logarithmically more rounds
+    assert(rounds.last - rounds.head <= 8,
+      s"round growth not sub-linear across 64× scale-up: $rounds")
+  }
+
+  test("connectedComponents: 100k-leaf hot hub converges in O(1) rounds") {
+    // one giant star — every leaf's only neighbor is the hub; the
+    // neighbor-min aggregation must absorb the fan-in in one shot
+    val star = spark.range(1L, 100001L)
+      .select(lit(0L).as("id_a"), col("id").as("id_b"))
+    val (labels, r) = Dedup.connectedComponentsStats(star, "id_a", "id_b")
+    assert(r <= 3, s"star needed $r rounds")
+    assert(labels.filter(col("rep") =!= 0L).count() == 0L)
+    assert(labels.count() == 100001L)
+  }
+
+  test("incremental dedup survives an all-duplicates hot LSH bucket") {
+    // every doc identical → every band row of every doc lands in the
+    // SAME (band, bh) bucket and every pair verifies. Bucket pruning
+    // degenerates (all probes hit one bucket) but must stay correct and
+    // the pair table must carry the full quadratic mirror.
+    val n = 120L
+    val bands = IncrementalDedup.bandTable(
+      Files.createTempDirectory("soak-bands").toString)
+    val pairs = IncrementalDedup.pairTable(
+      Files.createTempDirectory("soak-pairs").toString)
+    val text = "identical duplicate text shared by every document " +
+      "in this adversarial corpus shape"
+    val corpus = spark.range(n)
+      .select(col("id").as("doc_id"), lit(text).as("text"))
+    val insert = corpus.withColumn("_change_type", lit("insert"))
+    IncrementalDedup.applyDelta(spark, bands, pairs, corpus, insert,
+      "doc_id", "text", seq = "1")
+    val got = IncrementalDedup.readPairs(spark, pairs)
+    assert(got.count() == n * (n - 1) / 2,
+      "hot bucket must still yield the complete pair set")
+    // one more identical doc: the delta touches ONE id but gains n pairs
+    val corpus2 = spark.range(n + 1)
+      .select(col("id").as("doc_id"), lit(text).as("text"))
+    val delta = corpus2.filter(col("doc_id") === n)
+      .withColumn("_change_type", lit("insert"))
+    IncrementalDedup.applyDelta(spark, bands, pairs, corpus2, delta,
+      "doc_id", "text", seq = "2")
+    assert(IncrementalDedup.readPairs(spark, pairs).count() ==
+      (n + 1) * n / 2)
+  }
+}
