@@ -57,6 +57,8 @@ object SparkEntry {
     "text_langid" -> (TextQueries.langId _),
     "text_quality" -> (TextQueries.quality _),
     "text_fingerprint" -> (TextQueries.fingerprint _),
+    "bm25_search" -> (TextQueries.bm25Search _),
+    "dedup_segments" -> (TextQueries.dedupSegments _),
     "text_repetition" -> (TextQueries.repetition _),
     "decontaminate" -> (TextQueries.decontaminate _),
     "train_pipeline" -> (TextQueries.trainPipeline _),
@@ -151,6 +153,8 @@ object SparkEntry {
     "mm_meta" -> SimQueries.mmMetaSql,
     "profile_stats" -> SimQueries.profileStatsSql,
     "text_fingerprint" -> TextQueries.fingerprintSql,
+    "bm25_search" -> TextQueries.bm25SearchSql,
+    "dedup_segments" -> TextQueries.dedupSegmentsSql,
     "text_repetition" -> TextQueries.repetitionSql,
     "decontaminate" -> TextQueries.decontaminateSql,
     "train_pipeline" -> TextQueries.trainPipelineSql,

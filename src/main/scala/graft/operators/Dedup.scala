@@ -43,6 +43,43 @@ object Dedup {
         (count(lit(1)).as("n_dups") +:
           carry.map(c => min_by(col(c), col(idCol)).as(c))): _*)
 
+  /** Segment-level exact dedup (the CCNet / RefinedWeb "line dedup"
+    * pass, generalized): drop every segment occurring in at least
+    * `minDocs` DISTINCT documents — boilerplate headers, navigation
+    * chrome, license blocks — and reassemble each document from its
+    * surviving segments in order. `segsCol` is an `array<string>` the
+    * caller produced with whatever segmenter fits the corpus (newline
+    * split, sentences, fixed token windows); the operator is
+    * segmenter-agnostic. Returns `(idCol, text_dedup)` with EVERY input
+    * document present (a fully-boilerplate document yields `""` — the
+    * caller decides whether to then drop empties).
+    *
+    * Scale shape: posexplode (map-side) → per-segment distinct-doc
+    * count (the (segment, doc) pre-distinct makes the count map-side
+    * combinable) → the duplicated-segment set anti-joins the exploded
+    * stream (that set is small — only boilerplate — so AQE broadcasts
+    * it) → order-preserving reassembly via ONE groupBy(doc) whose sort
+    * happens inside the aggregate (array_sort over (pos, segment)
+    * structs), never a corpus-wide sort. No step is quadratic and the
+    * only wide exchanges are the two aggregations. */
+  def segmentDedup(df: DataFrame, idCol: String, segsCol: String,
+      minDocs: Long, joiner: String = " "): DataFrame = {
+    val segs = df.select(col(idCol), posexplode(col(segsCol)))
+      .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "_seg")
+    val dup = segs.select(col("_seg"), col(idCol)).distinct()
+      .groupBy("_seg").agg(count(lit(1)).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+      .select("_seg")
+    val kept = segs.join(dup, Seq("_seg"), "left_anti")
+    df.select(col(idCol))
+      .join(kept.groupBy(idCol)
+        .agg(concat_ws(joiner, transform(
+          array_sort(collect_list(struct(col("_pos"), col("_seg")))),
+          x => x("_seg"))).as("text_dedup")),
+        Seq(idCol), "left")
+      .withColumn("text_dedup", coalesce(col("text_dedup"), lit("")))
+  }
+
   /** Word n-gram shingles (as single space-joined strings) of the
     * document's token sequence; distinct set. */
   def shingles(text: Column, n: Int): Column = {

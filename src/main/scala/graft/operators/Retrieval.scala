@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical (sparse) retrieval: Okapi BM25 over an inverted doc-term
+  * index — the keyword-search counterpart of the dense ANN family in
+  * [[Similarity]]. In a training-data pipeline this is the other half
+  * of hybrid retrieval and the workhorse of targeted corpus mining
+  * ("find documents about X"), quality auditing, and lexical
+  * decontamination sweeps.
+  *
+  * Spark-first shape: everything is declarative aggregation + equijoin.
+  * The doc-term statistics (tf, per-doc length, per-term document
+  * frequency, corpus avgdl) are what a search engine would call the
+  * inverted index; scoring probes it with an equijoin on `term` — the
+  * postings-list lookup — so only documents sharing a term with a query
+  * are ever touched, never the full corpus cross queries. The query
+  * side is expected to be small (AQE broadcasts it); per-query top-k is
+  * a windowed rank over candidates only.
+  *
+  * At 100 TB: tf/dl/df are one map-side-combinable aggregation pass
+  * each and would be precomputed once and persisted (they are pure
+  * DataFrames — write them to a [[graft.sinks.GraftTable]] bucketed by
+  * `term` and the probe join becomes bucket-pruned); the per-batch cost
+  * of a query wave is then proportional to the probed postings only. */
+object Retrieval {
+
+  /** BM25 top-k: for each query row the `k` best-scoring documents as
+    * `(qIdCol, rank, idCol, score)`.
+    *
+    * Both sides carry PRE-TOKENIZED array columns so one tokenizer
+    * (e.g. [[graft.functions.TextFunctions.tokens]]) is fixed across
+    * docs and queries by construction.
+    *
+    * Determinism: the score rounds to 6 dp BEFORE ranking, and rank
+    * ties break on ascending doc id — so the ranking is reproducible
+    * across engines and execution orders (FP sum-order noise lives many
+    * decades below 1e-6). idf uses the BM25+ floor form
+    * `ln(1 + (N − df + ½)/(df + ½))`, never negative for common
+    * terms. */
+  def bm25TopK(docs: DataFrame, idCol: String, tokensCol: String,
+      queries: DataFrame, qIdCol: String, qTokensCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("_d"),
+      explode(col(tokensCol)).as("term"))
+    // the "index": per-(doc,term) tf, per-doc length, per-term df,
+    // corpus-level (avgdl, N) as a one-row frame (broadcast, not a
+    // driver-side collect — keeps the whole operator one lazy plan)
+    val tf = toks.groupBy("_d", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("_d").agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(avg(col("dl")).as("avgdl"),
+      count(lit(1)).as("n"))
+
+    // postings probe: distinct query terms equijoin the tf index —
+    // only candidate (query, doc) pairs flow beyond this point
+    val qterms = queries.select(col(qIdCol).as("_q"),
+      explode(array_distinct(col(qTokensCol))).as("term"))
+    val hits = tf.join(qterms, "term")
+      .join(dfreq, "term")
+      .join(dl, "_d")
+      .crossJoin(broadcast(stats))
+      .withColumn("_contrib",
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * (k1 + 1) /
+          (col("tf") + (col("dl") / col("avgdl") * b + (1 - b)) * k1))
+    val scored = hits.groupBy("_q", "_d")
+      .agg(round(sum(col("_contrib")), 6).as("score"))
+    val w = Window.partitionBy("_q")
+      .orderBy(col("score").desc, col("_d"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_q").as(qIdCol), col("rank"), col("_d").as(idCol),
+        col("score"))
+  }
+}

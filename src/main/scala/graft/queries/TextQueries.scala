@@ -293,4 +293,90 @@ object TextQueries {
            THEN hv - CAST('18446744073709551616' AS HUGEINT) ELSE hv END
            AS BIGINT) AS fp
     FROM h ORDER BY doc_id"""
+
+  /** BM25 keyword retrieval: the first three documents' texts replay as
+    * queries against the whole corpus, top-10 each. Scores round to
+    * 6 dp before ranking on both engines (ties break on doc id), so the
+    * ranking — not just the row set — is hash-gated. */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"), col("toks").as("q_toks"))
+    graft.operators.Retrieval.bm25TopK(docs, "doc_id", "toks",
+        queries, "q_id", "q_toks", k = 10)
+      .orderBy("q_id", "rank")
+  }
+
+  val bm25SearchSql: String = s"""
+    WITH tok AS (
+      SELECT doc_id, unnest(${TextFunctions.tokensSql("text")}) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    q AS (SELECT DISTINCT doc_id AS q_id, term FROM tok WHERE doc_id < 3),
+    hit AS (
+      SELECT q.q_id, tf.doc_id,
+        ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) * tf.tf
+          * (1.2 + 1)
+          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+          AS contrib
+      FROM q
+      JOIN tf USING (term)
+      JOIN dfreq USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id, stats),
+    scored AS (
+      SELECT q_id, doc_id, round(sum(contrib), 6) AS score
+      FROM hit GROUP BY 1, 2),
+    ranked AS (
+      SELECT q_id,
+        CAST(row_number() OVER (PARTITION BY q_id
+          ORDER BY score DESC, doc_id) AS INT) AS rank,
+        doc_id, score
+      FROM scored)
+    SELECT q_id, rank, doc_id, score FROM ranked
+    WHERE rank <= 10 ORDER BY q_id, rank"""
+
+  /** Segment-level dedup gate: documents segmented into fixed 10-token
+    * windows (this corpus has no newlines, so the fixed-window
+    * segmenter is the non-degenerate choice); any segment appearing in
+    * 2+ distinct documents is boilerplate and drops; documents
+    * reassemble in order. Exact string output → hash-gated. */
+  def dedupSegments(spark: SparkSession, dir: String): DataFrame = {
+    val seg = 10
+    val toksC = TextFunctions.tokens(col("text"))
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), when(size(toksC) > 0, transform(
+          sequence(lit(0),
+            ceil(size(toksC) / lit(seg.toDouble)).cast("int") - 1),
+          c => concat_ws(" ", slice(toksC, c * seg + 1, lit(seg)))))
+        .otherwise(array().cast("array<string>")).as("segs"))
+    graft.operators.Dedup.segmentDedup(docs, "doc_id", "segs",
+        minDocs = 2L)
+      .orderBy("doc_id")
+  }
+
+  val dedupSegmentsSql: String = s"""
+    WITH base AS (
+      SELECT doc_id, ${TextFunctions.tokensSql("text")} AS l
+      FROM documents),
+    poss AS (
+      SELECT doc_id, l,
+        unnest(range(0, CAST(ceil(len(l) / 10.0) AS BIGINT))) AS pos
+      FROM base WHERE len(l) > 0),
+    segs AS (
+      SELECT doc_id, pos,
+        array_to_string(l[(pos * 10 + 1):(pos * 10 + 10)], ' ') AS seg
+      FROM poss),
+    dup AS (
+      SELECT seg FROM (SELECT DISTINCT seg, doc_id FROM segs)
+      GROUP BY seg HAVING count(*) >= 2),
+    kept AS (
+      SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM dup))
+    SELECT b.doc_id,
+      coalesce(string_agg(k.seg, ' ' ORDER BY k.pos), '') AS text_dedup
+    FROM base b LEFT JOIN kept k USING (doc_id)
+    GROUP BY b.doc_id ORDER BY b.doc_id"""
 }

@@ -90,6 +90,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_._3 <= 3))
   }
 
+  test("segmentDedup drops cross-doc segments, reassembles in order") {
+    val in = Seq(
+      (1L, Seq("x y", "boiler", "z")),
+      (2L, Seq("boiler", "q")),
+      (3L, Seq("unique")),
+      (4L, Seq("boiler")), // becomes fully empty — must still be a row
+      (5L, Seq("w", "w", "w")) // within-doc repeats alone don't count
+    ).toDF("doc_id", "segs")
+    val out = Dedup.segmentDedup(in, "doc_id", "segs", minDocs = 2)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "x y z"), // "boiler" removed, order kept across the gap
+      (2L, "q"),
+      (3L, "unique"),
+      (4L, ""),
+      (5L, "w w w"))) // 3 repeats but ONE distinct doc → kept
+  }
+
   test("connectedComponents matches driver BFS on random graphs") {
     val rnd = new scala.util.Random(7)
     (0 until 3).foreach { _ =>

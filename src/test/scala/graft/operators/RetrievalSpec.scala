@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toks(s: String): Seq[String] =
+    s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+
+  test("bm25TopK matches a driver-side reference computation") {
+    val corpus = Seq(
+      (1L, "spark shuffles data across partitions"),
+      (2L, "spark spark spark broadcast join"),
+      (3L, "catalyst optimizes the logical plan"),
+      (4L, "data partitions and data skew"))
+    val docs = corpus.toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val queries = Seq((10L, "spark data")).toDF("q_id", "qtext")
+      .select(col("q_id"), split(col("qtext"), " ").as("q_toks"))
+    val got = Retrieval.bm25TopK(docs, "doc_id", "toks",
+        queries, "q_id", "q_toks", k = 10)
+      .orderBy("rank")
+      .select("rank", "doc_id", "score")
+      .as[(Int, Long, Double)].collect().toSeq
+
+    // reference: same formula, driver-side
+    val docToks = corpus.map { case (id, t) => id -> toks(t) }.toMap
+    val n = docToks.size
+    val avgdl = docToks.values.map(_.size).sum.toDouble / n
+    val dfm = docToks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    def score(id: Long, q: Seq[String]): Double = {
+      val dl = docToks(id).size
+      val s = q.distinct.map { t =>
+        val tf = docToks(id).count(_ == t)
+        if (tf == 0) 0.0
+        else {
+          val df = dfm(t)
+          math.log(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+            (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        }
+      }.sum
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = Seq(1L, 2L, 3L, 4L)
+      .map(id => id -> score(id, Seq("spark", "data")))
+      .filter(_._2 > 0.0)
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex
+      .map { case ((id, s), i) => (i + 1, id, s) }
+    assert(got == expected, s"got $got expected $expected")
+    // sanity: doc 3 shares no term with the query and must be absent
+    assert(!got.exists(_._2 == 3L))
+  }
+
+  test("bm25TopK ranking is deterministic on exact ties (doc id asc)") {
+    val docs = Seq((7L, "alpha beta"), (3L, "alpha beta"),
+        (5L, "alpha beta")).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val queries = Seq((1L, "alpha")).toDF("q_id", "qtext")
+      .select(col("q_id"), split(col("qtext"), " ").as("q_toks"))
+    val got = Retrieval.bm25TopK(docs, "doc_id", "toks",
+        queries, "q_id", "q_toks", k = 3)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(3L, 5L, 7L))
+  }
+}
