@@ -59,6 +59,8 @@ object SparkEntry {
     "text_fingerprint" -> (TextQueries.fingerprint _),
     "bm25_search" -> (TextQueries.bm25Search _),
     "dedup_segments" -> (TextQueries.dedupSegments _),
+    "text_perplexity" -> (TextQueries.perplexity _),
+    "hybrid_search" -> (SimQueries.hybridSearch _),
     "text_repetition" -> (TextQueries.repetition _),
     "decontaminate" -> (TextQueries.decontaminate _),
     "train_pipeline" -> (TextQueries.trainPipeline _),
@@ -155,6 +157,8 @@ object SparkEntry {
     "text_fingerprint" -> TextQueries.fingerprintSql,
     "bm25_search" -> TextQueries.bm25SearchSql,
     "dedup_segments" -> TextQueries.dedupSegmentsSql,
+    "text_perplexity" -> TextQueries.perplexitySql,
+    "hybrid_search" -> SimQueries.hybridSearchSql,
     "text_repetition" -> TextQueries.repetitionSql,
     "decontaminate" -> TextQueries.decontaminateSql,
     "train_pipeline" -> TextQueries.trainPipelineSql,

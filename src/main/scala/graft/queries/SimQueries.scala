@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Cluster, Dedup, Multimodal, Similarity}
+import graft.operators.{Cluster, Dedup, Multimodal, Retrieval, Similarity}
 
 /** Dedup / similarity-search / multimodal queries (SURVEY §7.1.7,
   * BASELINE.json north star). Shingle/Jaccard arithmetic is integer-ratio
@@ -78,6 +78,99 @@ object SimQueries {
       .select(col("id"), coalesce(col("rep"), col("id")).as("rep_id"))
       .orderBy("id")
   }
+
+  /** Hybrid two-stage retrieval — the standard production shape: a
+    * cheap lexical pass (BM25 over the inverted index) narrows the
+    * corpus to 20 candidates per query, then the expensive dense signal
+    * (embedding cosine; testdata aligns doc_id and vec_id on one id
+    * domain) re-ranks just those candidates to a final top-5. At
+    * 100 TB the first stage touches only probed postings and the second
+    * touches 20 vectors per query — no dense scan of the corpus. Both
+    * stages rank on 6-dp-rounded scores with doc-id tie-break, so the
+    * candidate CUT and the final ranking are engine-reproducible and
+    * hash-gated. */
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"), col("toks").as("q_toks"))
+    val cand = Retrieval.bm25TopK(docs, "doc_id", "toks",
+      queries, "q_id", "q_toks", k = 20)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("doc_id"))
+    cand.join(emb.select(col("vec_id").as("doc_id"),
+        col("embedding").as("d_vec")), "doc_id")
+      .join(broadcast(qv), "q_id")
+      .withColumn("sim",
+        round(Similarity.cosine(col("q_vec"), col("d_vec")), 6))
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= 5)
+      .select(col("q_id"), col("_r").cast("int").as("rank"),
+        col("doc_id"), col("sim"), col("score").as("bm25"))
+      .orderBy("q_id", "rank")
+  }
+
+  val hybridSearchSql: String = s"""
+    WITH tok AS (
+      SELECT doc_id,
+        unnest(${graft.functions.TextFunctions.tokensSql("text")}) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    q AS (SELECT DISTINCT doc_id AS q_id, term FROM tok WHERE doc_id < 3),
+    hit AS (
+      SELECT q.q_id, tf.doc_id,
+        ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) * tf.tf
+          * (1.2 + 1)
+          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+          AS contrib
+      FROM q
+      JOIN tf USING (term)
+      JOIN dfreq USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id, stats),
+    scored AS (
+      SELECT q_id, doc_id, round(sum(contrib), 6) AS score
+      FROM hit GROUP BY 1, 2),
+    cand AS (
+      SELECT * FROM (
+        SELECT q_id, doc_id, score,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY score DESC, doc_id) AS lrank
+        FROM scored) WHERE lrank <= 20),
+    sim AS (
+      SELECT c.q_id, c.doc_id, c.score,
+        round(
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, len(qe.embedding)+1),
+              i -> CAST(qe.embedding[i] AS DOUBLE)
+                 * CAST(de.embedding[i] AS DOUBLE))),
+            (a,b) -> a+b)
+          / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(qe.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (a,b) -> a+b))
+           * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(de.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (a,b) -> a+b))), 6) AS sim
+      FROM cand c
+      JOIN embeddings qe ON qe.vec_id = c.q_id
+      JOIN embeddings de ON de.vec_id = c.doc_id),
+    reranked AS (
+      SELECT q_id,
+        CAST(row_number() OVER (PARTITION BY q_id
+          ORDER BY sim DESC, doc_id) AS INT) AS rank,
+        doc_id, sim, score AS bm25
+      FROM sim)
+    SELECT q_id, rank, doc_id, sim, bm25 FROM reranked
+    WHERE rank <= 5 ORDER BY q_id, rank"""
 
   /** Operator-only soak entry: connected components over a 64k-node
     * pure chain disjoint-unioned with a 64k-leaf star — the two

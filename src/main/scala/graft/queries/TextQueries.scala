@@ -294,6 +294,43 @@ object TextQueries {
            AS BIGINT) AS fp
     FROM h ORDER BY doc_id"""
 
+  /** Unigram language-model scoring — the classic cheap quality /
+    * outlier signal (a doc of rare terms scores high NLL, boilerplate
+    * scores low): train the MLE unigram model over the corpus in one
+    * aggregation pass, then score every document by its per-token
+    * negative log-likelihood. Scale shape: the model is the vocab_stats
+    * aggregate (map-side combinable); scoring is one equijoin of the
+    * (doc, term, tf) pre-aggregate against the term table — the corpus
+    * text itself is never re-scanned or shuffled. Rounds to 6 dp. */
+  def perplexity(spark: SparkSession, dir: String): DataFrame = {
+    val dt = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val terms = dt.groupBy("term").agg(sum(col("tf")).as("tf_total"))
+    val total = broadcast(terms.agg(
+      sum(col("tf_total")).cast("double").as("total")))
+    dt.join(terms, "term").crossJoin(total)
+      .groupBy("doc_id")
+      .agg(round(
+        -sum(col("tf") * log(col("tf_total").cast("double") / col("total")))
+          / sum(col("tf")), 6).as("nll"))
+      .orderBy("doc_id")
+  }
+
+  val perplexitySql: String = s"""
+    WITH tok AS (
+      SELECT doc_id, unnest(${TextFunctions.tokensSql("text")}) AS term
+      FROM documents),
+    dt AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    terms AS (SELECT term, sum(tf) AS tf_total FROM dt GROUP BY 1),
+    total AS (SELECT CAST(sum(tf_total) AS DOUBLE) AS total FROM terms)
+    SELECT doc_id,
+      round(-sum(tf * ln(CAST(tf_total AS DOUBLE) / total)) / sum(tf), 6)
+        AS nll
+    FROM dt JOIN terms USING (term), total
+    GROUP BY doc_id ORDER BY doc_id"""
+
   /** BM25 keyword retrieval: the first three documents' texts replay as
     * queries against the whole corpus, top-10 each. Scores round to
     * 6 dp before ranking on both engines (ties break on doc id), so the
