@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_segments" -> (TextQueries.dedupSegments _),
     "text_perplexity" -> (TextQueries.perplexity _),
     "hybrid_search" -> (SimQueries.hybridSearch _),
+    "bm25_incremental" -> (TextQueries.bm25Incremental _),
     "text_repetition" -> (TextQueries.repetition _),
     "decontaminate" -> (TextQueries.decontaminate _),
     "train_pipeline" -> (TextQueries.trainPipeline _),
@@ -159,6 +160,7 @@ object SparkEntry {
     "dedup_segments" -> TextQueries.dedupSegmentsSql,
     "text_perplexity" -> TextQueries.perplexitySql,
     "hybrid_search" -> SimQueries.hybridSearchSql,
+    "bm25_incremental" -> TextQueries.bm25IncrementalSql,
     "text_repetition" -> TextQueries.repetitionSql,
     "decontaminate" -> TextQueries.decontaminateSql,
     "train_pipeline" -> TextQueries.trainPipelineSql,

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sinks.GraftTable
+
+/** Incremental inverted-index maintenance: keep the BM25 index of
+  * [[Retrieval]] (postings, document lengths, corpus statistics) in
+  * sync with a mutating corpus by applying ONLY a change delta —
+  * O(delta) per sync, never an O(corpus) re-index. This is the search
+  * half of the same story [[IncrementalDedup]] tells for near-dup
+  * state: the CDC pipeline streams row changes, and every derived
+  * corpus structure — dedup pairs, the search index — follows along
+  * delta-by-delta instead of being rebuilt.
+  *
+  * State lives in three [[graft.sinks.GraftTable]]s, so every sync
+  * commits snapshot-atomically with replay idempotence (`_seq`
+  * high-water):
+  *
+  *  - '''postings''' — one row per (term, id) with its term frequency,
+  *    keyed (term, id) but BUCKETED by `term` alone: a query's
+  *    postings-list lookup reads only the buckets its terms hash into
+  *    ([[GraftTable.readForProbe]]), the secondary-index pattern.
+  *  - '''docs''' — one row per document: its length in tokens, keyed
+  *    and bucketed by `id`; score-time lookups prune to candidate ids'
+  *    buckets.
+  *  - '''stats''' — the single corpus row (N, total token count). Each
+  *    sync adjusts it by the delta's scalar aggregates (a
+  *    metadata-scale driver computation, like progress accounting);
+  *    replays are filtered by `_seq` before the adjusted row lands, so
+  *    a repeated delta cannot double-count.
+  *
+  * Per delta: OLD posting rows derive from the CDF preimages (no index
+  * read at all); netting them against the NEW rows yields one
+  * postings merge whose writes touch only the changed terms' buckets.
+  * An update that leaves a (term, id) frequency unchanged produces no
+  * row — only terms that actually moved are written.
+  *
+  * The invariant (pinned in IncrementalIndexSpec and the
+  * `bm25_incremental` oracle): after every sync,
+  * `bm25TopK(index) == Retrieval.bm25TopK(<current corpus>)`. */
+object IncrementalIndex {
+
+  /** Create (or reopen) the postings table. */
+  def postingsTable(root: String, nBuckets: Int = 32): GraftTable =
+    new GraftTable(root, Seq("term", "id"), nBuckets,
+      bucketCols0 = Seq("term"))
+
+  /** Create (or reopen) the per-document length table. */
+  def docTable(root: String, nBuckets: Int = 8): GraftTable =
+    new GraftTable(root, Seq("id"), nBuckets)
+
+  /** Create (or reopen) the one-row corpus-stats table. */
+  def statsTable(root: String): GraftTable =
+    new GraftTable(root, Seq("k"), 1)
+
+  /** One incremental sync. `changes` carries the row CDF:
+    * (idCol, tokensCol, _change_type ∈ insert | delete |
+    * update_preimage | update_postimage); `tokensCol` is the SAME
+    * pre-tokenized array the batch operator scores with, so indexing
+    * and querying share one tokenizer by construction. `seq` must be
+    * strictly increasing across syncs (replay-idempotence key). */
+  def applyDelta(spark: SparkSession, postings: GraftTable,
+      docs: GraftTable, stats: GraftTable, changes: DataFrame,
+      idCol: String, tokensCol: String, seq: String): Unit = {
+    val ch = changes.select(col(idCol).as("id"),
+      col(tokensCol).as("toks"), col("_change_type")).cache()
+    try {
+      val after = ch.filter(col("_change_type")
+        .isin("insert", "update_postimage")).select("id", "toks")
+      val before = ch.filter(col("_change_type")
+        .isin("delete", "update_preimage")).select("id", "toks")
+      def postingRows(df: DataFrame): DataFrame =
+        df.select(col("id"), explode(col("toks")).as("term"))
+          .groupBy("term", "id").agg(count(lit(1)).as("tf"))
+      val newP = postingRows(after)
+      val oldP = postingRows(before)
+      val key = Seq("term", "id")
+      // net delta: upsert only where tf actually changed; delete rows
+      // whose (term, id) vanished from the document
+      val ins = newP.join(oldP.withColumnRenamed("tf", "_tfOld"),
+          key, "left")
+        .filter(col("_tfOld").isNull || col("_tfOld") =!= col("tf"))
+        .select(col("term"), col("id"), col("tf"))
+        .withColumn("_op", lit("I"))
+      val del = oldP.join(newP, key, "left_anti")
+        .select(col("term"), col("id"), lit(null).cast("long").as("tf"))
+        .withColumn("_op", lit("D"))
+      postings.merge(ins.unionByName(del).withColumn("_seq", lit(seq)))
+
+      // per-document lengths: upserts for the post-state, deletes for
+      // removed documents
+      val dlUp = after.select(col("id"),
+          size(col("toks")).cast("long").as("dl"))
+        .withColumn("_op", lit("I"))
+      val dlDel = ch.filter(col("_change_type") === "delete")
+        .select(col("id"), lit(null).cast("long").as("dl"))
+        .withColumn("_op", lit("D"))
+      docs.merge(dlUp.unionByName(dlDel).withColumn("_seq", lit(seq)))
+
+      // corpus stats: one scalar-aggregate job over the delta (the
+      // update pre/post images cancel in ΔN and net in Δtokens)
+      val r = ch.agg(
+        sum(when(col("_change_type") === "insert", 1L).otherwise(0L)),
+        sum(when(col("_change_type") === "delete", 1L).otherwise(0L)),
+        sum(when(col("_change_type")
+            .isin("insert", "update_postimage"), size(col("toks")))
+          .otherwise(0)).cast("long"),
+        sum(when(col("_change_type")
+            .isin("delete", "update_preimage"), size(col("toks")))
+          .otherwise(0)).cast("long")).head()
+      def l(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+      val (curN, curTotal) = currentStats(spark, stats)
+      stats.merge(spark.range(1).select(lit(0).as("k"),
+        lit(curN + l(0) - l(1)).as("n"),
+        lit(curTotal + l(2) - l(3)).as("total"),
+        lit("I").as("_op"), lit(seq).as("_seq")))
+    } finally ch.unpersist()
+  }
+
+  private def currentStats(spark: SparkSession,
+      stats: GraftTable): (Long, Long) =
+    if (!stats.hasData) (0L, 0L)
+    else {
+      val row = stats.read(spark).select("n", "total").head()
+      (row.getLong(0), row.getLong(1))
+    }
+
+  /** BM25 top-k against the maintained index — same contract and
+    * formula as [[Retrieval.bm25TopK]], but instead of aggregating the
+    * corpus it probes the index: postings of the query terms read
+    * bucket-pruned (per-term df falls out of those same rows — a
+    * term's postings live entirely in its bucket), candidate document
+    * lengths read bucket-pruned by id, and the corpus row broadcasts.
+    * Per query wave the work is O(probed postings), independent of
+    * corpus size. */
+  def bm25TopK(spark: SparkSession, postings: GraftTable,
+      docs: GraftTable, stats: GraftTable, queries: DataFrame,
+      qIdCol: String, qTokensCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qterms = queries.select(col(qIdCol).as("_q"),
+      explode(array_distinct(col(qTokensCol))).as("term"))
+    val termSet = qterms.select("term").distinct()
+    val posts = postings.readForProbe(spark, termSet)
+      .join(termSet, "term") // bucket read → exact term postings
+    val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    val candIds = posts.select("id").distinct()
+    val dls = docs.readForProbe(spark, candIds).join(candIds, "id")
+    val st = stats.read(spark).select(col("n"),
+      (col("total").cast("double") / col("n")).as("avgdl"))
+    val hits = posts.join(qterms, "term")
+      .join(dfreq, "term")
+      .join(dls, "id")
+      .crossJoin(broadcast(st))
+      .withColumn("_contrib",
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * (k1 + 1) /
+          (col("tf") + (col("dl") / col("avgdl") * b + (1 - b)) * k1))
+    val scored = hits.groupBy("_q", "id")
+      .agg(round(sum(col("_contrib")), 6).as("score"))
+    val w = Window.partitionBy("_q")
+      .orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_q").as(qIdCol), col("rank"), col("id"), col("score"))
+  }
+}

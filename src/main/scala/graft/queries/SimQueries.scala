@@ -172,19 +172,22 @@ object SimQueries {
     SELECT q_id, rank, doc_id, sim, bm25 FROM reranked
     WHERE rank <= 5 ORDER BY q_id, rank"""
 
-  /** Operator-only soak entry: connected components over a 64k-node
+  /** Operator-only soak entry: connected components over a 1k-node
     * pure chain disjoint-unioned with a 64k-leaf star — the two
     * adversarial component shapes (worst diameter per edge, worst
-    * single-key fan-in). Pointer jumping keeps the rounds O(log n), so
-    * this times in seconds; an O(diameter) regression would make the
-    * bench entry blow up, which is exactly the point of timing it.
-    * Synthetic by design (testdata graphs are too benign); `dir`
+    * single-key fan-in). The cost here is per-round fixed overhead
+    * (rounds × a few small jobs), so a short chain carries the same
+    * regression signal as a long one: pointer jumping converges it in
+    * ~2·log₂(1024) rounds and the entry times in low seconds, while an
+    * O(diameter)-rounds regression would take 1023 rounds and blow the
+    * timing up unmistakably. (ScaleSoakSpec separately pins the round
+    * GROWTH across a 64× scale-up.) Synthetic by design; `dir`
     * unused. */
   def opCcChain(spark: SparkSession, dir: String): DataFrame = {
-    val n = 1L << 16
+    val n = 1L << 10
     val chain = spark.range(n - 1)
       .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
-    val star = spark.range(n + 1, 2 * n)
+    val star = spark.range(n + 1, 65536L)
       .select(lit(n).as("id_a"), col("id").as("id_b"))
     Dedup.connectedComponents(chain.union(star), "id_a", "id_b")
   }

@@ -376,6 +376,96 @@ object TextQueries {
     SELECT q_id, rank, doc_id, score FROM ranked
     WHERE rank <= 10 ORDER BY q_id, rank"""
 
+  /** INCREMENTAL inverted-index maintenance e2e — the search-index
+    * counterpart of `dedup_incremental`: bootstrap the corpus into the
+    * persistent postings/doc-length/stats tables, apply one mixed CDF
+    * delta (clone inserts, token-appending updates, deletes), then
+    * query the maintained index. The oracle runs from-scratch BM25 over
+    * the FINAL corpus state in DuckDB — so the gate pins that O(delta)
+    * maintenance converges to exactly what a full re-index would
+    * produce. Queries use surviving unchanged docs (1,2,3). */
+  def bm25Incremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalIndex
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-incindex").toString
+    val postings = IncrementalIndex.postingsTable(s"$root/postings", 8)
+    val dlens = IncrementalIndex.docTable(s"$root/docs", 4)
+    val stats = IncrementalIndex.statsTable(s"$root/stats")
+    def seq(v: Long) = f"$v%016x/0"
+
+    // delta 1: the corpus bootstraps in
+    IncrementalIndex.applyDelta(spark, postings, dlens, stats,
+      docs.withColumn("_change_type", lit("insert")),
+      "doc_id", "toks", seq(1))
+    // delta 2 (mixed, same shape as dedup_incremental): clones of every
+    // 97th doc insert under id+1e6; every 89th surviving doc gains
+    // tokens; every 61st doc deletes
+    val delCond = col("doc_id") % 61 === 0
+    val updCond = col("doc_id") % 89 === 0 && !delCond
+    val appended = concat(col("toks"), array(lit("qq"), lit("zz")))
+    val changes = docs.filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("toks"))
+      .withColumn("_change_type", lit("insert"))
+      .unionByName(docs.filter(delCond)
+        .withColumn("_change_type", lit("delete")))
+      .unionByName(docs.filter(updCond)
+        .withColumn("_change_type", lit("update_preimage")))
+      .unionByName(docs.filter(updCond)
+        .withColumn("toks", appended)
+        .withColumn("_change_type", lit("update_postimage")))
+    IncrementalIndex.applyDelta(spark, postings, dlens, stats,
+      changes, "doc_id", "toks", seq(2))
+
+    val queries = docs.filter(col("doc_id").isin(1L, 2L, 3L))
+      .select(col("doc_id").as("q_id"), col("toks").as("q_toks"))
+    IncrementalIndex.bm25TopK(spark, postings, dlens, stats,
+        queries, "q_id", "q_toks", k = 10)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("q_id", "rank")
+  }
+
+  val bm25IncrementalSql: String = s"""
+    WITH corpus AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 89 = 0
+          THEN ${TextFunctions.tokensSql("text")} ||
+            ['qq', 'zz']
+          ELSE ${TextFunctions.tokensSql("text")} END AS l
+      FROM documents WHERE doc_id % 61 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, ${TextFunctions.tokensSql("text")}
+      FROM documents WHERE doc_id % 97 = 0),
+    tok AS (SELECT doc_id, unnest(l) AS term FROM corpus),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    q AS (SELECT DISTINCT doc_id AS q_id, term FROM tok
+          WHERE doc_id IN (1, 2, 3)),
+    hit AS (
+      SELECT q.q_id, tf.doc_id,
+        ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) * tf.tf
+          * (1.2 + 1)
+          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+          AS contrib
+      FROM q
+      JOIN tf USING (term)
+      JOIN dfreq USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id, stats),
+    scored AS (
+      SELECT q_id, doc_id, round(sum(contrib), 6) AS score
+      FROM hit GROUP BY 1, 2),
+    ranked AS (
+      SELECT q_id,
+        CAST(row_number() OVER (PARTITION BY q_id
+          ORDER BY score DESC, doc_id) AS INT) AS rank,
+        doc_id, score
+      FROM scored)
+    SELECT q_id, rank, doc_id, score FROM ranked
+    WHERE rank <= 10 ORDER BY q_id, rank"""
+
   /** Segment-level dedup gate: documents segmented into fixed 10-token
     * windows (this corpus has no newlines, so the fixed-window
     * segmenter is the non-degenerate choice); any segment appearing in

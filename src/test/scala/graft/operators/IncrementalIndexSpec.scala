@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Pins the IncrementalIndex invariant: after EVERY sync, querying the
+  * maintained index equals the from-scratch [[Retrieval.bm25TopK]]
+  * over the current corpus — inserts, updates (including ones that
+  * leave some term frequencies unchanged), deletes, and replayed
+  * deltas all included. */
+class IncrementalIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  private def toksDf(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+
+  private def corpusDf(state: Map[Long, String]): DataFrame =
+    toksDf(state.toSeq.toDF("doc_id", "text"))
+
+  test("index query equals from-scratch BM25 through mutations + replay") {
+    val postings = IncrementalIndex.postingsTable(tmp("ii-post"), 8)
+    val docs = IncrementalIndex.docTable(tmp("ii-docs"), 4)
+    val stats = IncrementalIndex.statsTable(tmp("ii-stats"))
+    var state = (1L to 12L).map(i =>
+      i -> s"doc $i talks about topic${i % 4} and theme${i % 3} stuff")
+      .toMap
+
+    def changes(prev: Map[Long, String], next: Map[Long, String]) = {
+      val ins = (next.keySet -- prev.keySet).toSeq
+        .map(id => (id, next(id), "insert"))
+      val del = (prev.keySet -- next.keySet).toSeq
+        .map(id => (id, prev(id), "delete"))
+      val upd = (next.keySet & prev.keySet).toSeq
+        .filter(id => prev(id) != next(id))
+        .flatMap(id => Seq((id, prev(id), "update_preimage"),
+          (id, next(id), "update_postimage")))
+      (ins ++ del ++ upd).toDF("doc_id", "text", "_change_type")
+        .select(col("doc_id"),
+          TextFunctions.tokens(col("text")).as("toks"),
+          col("_change_type"))
+    }
+
+    def queries = Seq((100L, "topic1 theme2 stuff"),
+        (101L, "doc 3 talks")).toDF("q_id", "qtext")
+      .select(col("q_id"), TextFunctions.tokens(col("qtext")).as("q_toks"))
+
+    def check(label: String): Unit = {
+      val got = IncrementalIndex.bm25TopK(spark, postings, docs, stats,
+          queries, "q_id", "q_toks", k = 5)
+        .orderBy("q_id", "rank")
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      val want = Retrieval.bm25TopK(corpusDf(state), "doc_id", "toks",
+          queries, "q_id", "q_toks", k = 5)
+        .orderBy("q_id", "rank")
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      assert(got == want, s"$label: index $got vs batch $want")
+      // stats row must equal the corpus aggregate exactly
+      val (n, total) = {
+        val r = stats.read(spark).select("n", "total").head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val wantN = state.size.toLong
+      val wantTotal = corpusDf(state)
+        .agg(sum(size(col("toks")))).head().getLong(0)
+      assert((n, total) == (wantN, wantTotal),
+        s"$label stats ($n,$total) != ($wantN,$wantTotal)")
+    }
+
+    IncrementalIndex.applyDelta(spark, postings, docs, stats,
+      changes(Map.empty, state), "doc_id", "toks", "0000000000000001/0")
+    check("bootstrap")
+
+    // mixed delta: one insert, one delete, one update that keeps some
+    // term frequencies identical (only "theme" terms move)
+    val next = state - 5L +
+      (13L -> "doc 13 talks about topic9 and theme9 stuff") +
+      (3L -> "doc 3 talks about topic3 and theme9 stuff")
+    val delta2 = changes(state, next)
+    IncrementalIndex.applyDelta(spark, postings, docs, stats,
+      delta2, "doc_id", "toks", "0000000000000002/0")
+    state = next
+    check("mixed delta")
+
+    // replay of the same delta (same seq) must be a no-op
+    IncrementalIndex.applyDelta(spark, postings, docs, stats,
+      delta2, "doc_id", "toks", "0000000000000002/0")
+    check("replayed delta")
+  }
+
+  test("postings are a real secondary index: term probes prune buckets") {
+    val postings = IncrementalIndex.postingsTable(tmp("ii-post2"), 16)
+    val docs = IncrementalIndex.docTable(tmp("ii-docs2"), 4)
+    val stats = IncrementalIndex.statsTable(tmp("ii-stats2"))
+    val state = (1L to 40L).map(i =>
+      i -> s"shared filler words plus unique u$i v${i * 7} w${i * 13}")
+      .toMap
+    IncrementalIndex.applyDelta(spark, postings, docs, stats,
+      corpusDf(state).withColumn("_change_type", lit("insert")),
+      "doc_id", "toks", "0000000000000001/0")
+    val allFiles = postings.read(spark).inputFiles.length
+    assert(allFiles > 4, s"want many bucket files: $allFiles")
+    val probed = postings.readForProbe(spark,
+      Seq("u7").toDF("term")).inputFiles.length
+    assert(probed > 0 && probed < allFiles,
+      s"term probe must scan a strict subset: $probed of $allFiles")
+  }
+}
