@@ -110,7 +110,7 @@ object SparkEntry {
     "op_ann_pq" -> (SimQueries.opAnnPq _),
     "op_cluster_kmeans" -> (SimQueries.opClusterKmeans _),
     "op_semdedup" -> (SimQueries.opSemDedup _),
-    "op_cc_chain" -> (SimQueries.opCcChain _))
+    "op_dedup_incremental" -> (SimQueries.opDedupIncremental _))
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> CoreQueries.q1Sql,

@@ -172,26 +172,6 @@ object SimQueries {
     SELECT q_id, rank, doc_id, sim, bm25 FROM reranked
     WHERE rank <= 5 ORDER BY q_id, rank"""
 
-  /** Operator-only soak entry: connected components over a 1k-node
-    * pure chain disjoint-unioned with a 64k-leaf star — the two
-    * adversarial component shapes (worst diameter per edge, worst
-    * single-key fan-in). The cost here is per-round fixed overhead
-    * (rounds × a few small jobs), so a short chain carries the same
-    * regression signal as a long one: pointer jumping converges it in
-    * ~2·log₂(1024) rounds and the entry times in low seconds, while an
-    * O(diameter)-rounds regression would take 1023 rounds and blow the
-    * timing up unmistakably. (ScaleSoakSpec separately pins the round
-    * GROWTH across a 64× scale-up.) Synthetic by design; `dir`
-    * unused. */
-  def opCcChain(spark: SparkSession, dir: String): DataFrame = {
-    val n = 1L << 10
-    val chain = spark.range(n - 1)
-      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
-    val star = spark.range(n + 1, 65536L)
-      .select(lit(n).as("id_a"), col("id").as("id_b"))
-    Dedup.connectedComponents(chain.union(star), "id_a", "id_b")
-  }
-
   val dedupClustersSql: String = s"""
     WITH RECURSIVE $jaccardCtes,
     pairs AS (
@@ -701,6 +681,49 @@ object SimQueries {
       threshold = 0.45)
   }
 
+  /** Operator-only timing for ONE incremental-dedup delta sync against
+    * a PREBUILT index — the number the `dedup_incremental` gate cannot
+    * give (its median is dominated by the O(corpus) bootstrap sync it
+    * runs by construction). The index bootstraps once per JVM and
+    * corpus dir (memoized — Bench samples share it); each timed call
+    * then applies a genuine small delta, ALTERNATING the corpus between
+    * two states so every sample pays a real sync (a repeated identical
+    * seq would replay-no-op to ~zero, which would be a dishonest
+    * timing). */
+  def opDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalDedup
+    val cfg = IncrementalDedup.Config()
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val st = SimQueries.incDedupState.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-incdedup-op").toString
+      val bands = IncrementalDedup.bandTable(s"$root/bands", 8)
+      val pairs = IncrementalDedup.pairTable(s"$root/pairs", 4)
+      IncrementalDedup.applyDelta(spark, bands, pairs, docs,
+        docs.withColumn("_change_type", lit("insert")),
+        "doc_id", "text", f"${1L}%016x/0", cfg)
+      new IncDedupState(bands, pairs)
+    })
+    val (seqNo, toAppended) = st.next()
+    val updCond = col("doc_id") % 89 === 0
+    val appended = concat(col("text"), lit(" qq zz extra"))
+    val (preT, postT) =
+      if (toAppended) (col("text"), appended) else (appended, col("text"))
+    val changes = docs.filter(updCond)
+      .withColumn("text", preT)
+      .withColumn("_change_type", lit("update_preimage"))
+      .unionByName(docs.filter(updCond)
+        .withColumn("text", postT)
+        .withColumn("_change_type", lit("update_postimage")))
+    val corpus = docs
+      .withColumn("text", when(updCond, postT).otherwise(col("text")))
+    IncrementalDedup.applyDelta(spark, st.bands, st.pairs, corpus,
+      changes, "doc_id", "text", f"$seqNo%016x/0", cfg)
+    IncrementalDedup.readPairs(spark, st.pairs)
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Dataset profiling: per-event-type cardinalities and value stats —
     * the distinct-count/statistics surface (exact, oracle-checked; the
     * HLL approx_count_distinct variant is spec-tested for error bound
@@ -924,4 +947,22 @@ object SimQueries {
            coalesce(cc.rep, g.vec_id) = g.vec_id AS keep
     FROM asg g LEFT JOIN cc ON cc.id = g.vec_id
     ORDER BY g.vec_id"""
+
+  /** Mutable per-JVM state backing [[opDedupIncremental]]: the prebuilt
+    * index tables plus a monotone sync counter and the A/B corpus-state
+    * toggle. Bench-only (Verify never calls benchOnly entries). */
+  private[queries] final class IncDedupState(
+      val bands: graft.sinks.GraftTable,
+      val pairs: graft.sinks.GraftTable) {
+    private val seq = new java.util.concurrent.atomic.AtomicLong(1L)
+    /** Returns (next seq, whether this sync moves the corpus TO the
+      * appended state). Bootstrap used seq 1; first delta flips to
+      * appended. */
+    def next(): (Long, Boolean) = {
+      val s = seq.incrementAndGet()
+      (s, s % 2 == 0)
+    }
+  }
+  private[queries] val incDedupState =
+    new java.util.concurrent.ConcurrentHashMap[String, IncDedupState]()
 }
