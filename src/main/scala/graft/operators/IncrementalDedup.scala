@@ -75,6 +75,19 @@ object IncrementalDedup {
     new GraftTable(root, Seq("id_a", "id_b"), nBuckets,
       bucketCols0 = Seq("id_a"))
 
+  /** Periodic index maintenance (same contract as
+    * [[IncrementalIndex.maintain]]): every sync supersedes its touched
+    * buckets' files, so retired snapshots and dead data files pile up
+    * on disk with sync count until vacuumed. Run every N syncs;
+    * data-identical. */
+  def maintain(spark: SparkSession, bands: GraftTable,
+      pairs: GraftTable, maxFilesPerBucket: Int = 4,
+      keepVersions: Int = 2): Unit =
+    Seq(bands, pairs).foreach { t =>
+      t.compact(spark, maxFilesPerBucket)
+      t.vacuum(keepVersions)
+    }
+
   /** The operator result: the canonical (id_a < id_b) half of the
     * mirrored pair index. */
   def readPairs(spark: SparkSession, pairs: GraftTable): DataFrame = {

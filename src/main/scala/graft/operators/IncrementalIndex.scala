@@ -118,6 +118,24 @@ object IncrementalIndex {
     } finally ch.unpersist()
   }
 
+  /** Periodic index maintenance — the long-run half of O(delta) syncs.
+    * Merges copy-on-write whole buckets, so LIVE file counts stay flat;
+    * what accumulates with sync count is retired snapshots and their
+    * dead data files on disk (every sync supersedes each touched
+    * bucket's previous file). Callers run this every N syncs (the same
+    * cadence contract [[graft.sinks.MaintenancePolicy]] gives the CDC
+    * sinks): multi-file buckets (from group commits / appends) compact,
+    * then snapshots older than `keepVersions` expire and their files
+    * reclaim. Data-identical — IncrementalIndexSpec pins that reads are
+    * unchanged while on-disk files shrink. */
+  def maintain(spark: SparkSession, postings: GraftTable,
+      docs: GraftTable, stats: GraftTable, maxFilesPerBucket: Int = 4,
+      keepVersions: Int = 2): Unit =
+    Seq(postings, docs, stats).foreach { t =>
+      t.compact(spark, maxFilesPerBucket)
+      t.vacuum(keepVersions)
+    }
+
   private def currentStats(spark: SparkSession,
       stats: GraftTable): (Long, Long) =
     if (!stats.hasData) (0L, 0L)

@@ -92,6 +92,50 @@ class IncrementalIndexSpec extends SparkSpec {
     check("replayed delta")
   }
 
+  test("maintain compacts sync-accumulated files; data identical") {
+    val postings = IncrementalIndex.postingsTable(tmp("ii-post3"), 4)
+    val docs = IncrementalIndex.docTable(tmp("ii-docs3"), 2)
+    val stats = IncrementalIndex.statsTable(tmp("ii-stats3"))
+    var state = Map.empty[Long, String]
+    // 6 syncs, each touching every bucket → files pile up per bucket
+    (1L to 6L).foreach { i =>
+      val next = (1L to 8L).map(d =>
+        d -> s"doc $d version $i common words w${d % 3}").toMap
+      val post = toksDf(next.toSeq.toDF("doc_id", "text"))
+        .withColumn("_change_type",
+          lit(if (state.isEmpty) "insert" else "update_postimage"))
+      val changes =
+        if (state.isEmpty) post
+        else post.unionByName(toksDf(state.toSeq.toDF("doc_id", "text"))
+          .withColumn("_change_type", lit("update_preimage")))
+      IncrementalIndex.applyDelta(spark, postings, docs, stats,
+        changes, "doc_id", "toks", f"$i%016x/0")
+      state = next
+    }
+    // merges copy-on-write whole buckets: live reads stay one file per
+    // bucket, but six syncs leave five generations of DEAD files on
+    // disk until vacuum reclaims them
+    def diskFiles(t: graft.sinks.GraftTable): Int = {
+      val root = java.nio.file.Paths.get(t.root)
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(p => p.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }
+    val live = postings.read(spark).inputFiles.length
+    val diskBefore = diskFiles(postings)
+    assert(diskBefore > live,
+      s"dead generations expected on disk: $diskBefore vs live $live")
+    val rowsBefore = postings.read(spark)
+      .orderBy("term", "id").collect().toSeq
+    IncrementalIndex.maintain(spark, postings, docs, stats,
+      maxFilesPerBucket = 1, keepVersions = 1)
+    val diskAfter = diskFiles(postings)
+    assert(diskAfter < diskBefore,
+      s"vacuum must reclaim dead files: $diskBefore -> $diskAfter")
+    assert(postings.read(spark).orderBy("term", "id").collect().toSeq
+      == rowsBefore, "maintenance must be data-identical")
+  }
+
   test("postings are a real secondary index: term probes prune buckets") {
     val postings = IncrementalIndex.postingsTable(tmp("ii-post2"), 16)
     val docs = IncrementalIndex.docTable(tmp("ii-docs2"), 4)
