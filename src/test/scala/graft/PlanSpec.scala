@@ -327,6 +327,29 @@ class PlanSpec extends SparkSpec {
       .size <= 6, p) // bench distinct (partial+final) + final count (×2)
   }
 
+  test("bm25: postings probe is an equijoin; only the one-row stats " +
+      "frame nested-loops; index aggregates are partial → final") {
+    val p = plan(TextQueries.bm25Search(spark, sf()))
+    assert(!p.contains("CartesianProduct"), p)
+    // the deliberate one-row corpus-stats broadcast is the ONLY
+    // nested-loop join in the plan — everything data-sized meets on
+    // hash equijoins
+    val bnlj = "(?m)^\\(\\d+\\) BroadcastNestedLoopJoin".r
+      .findAllIn(p).size
+    assert(bnlj == 1, s"expected exactly the stats cross join: $bnlj\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // tf/dl/df index aggregations map-side combine (partial + final)
+    assert("(?m)^\\(\\d+\\) HashAggregate".r.findAllIn(p).size >= 6, p)
+  }
+
+  test("segment dedup: no cartesian; distinct-doc count and reassembly " +
+      "aggregate partial → final") {
+    val p = plan(TextQueries.dedupSegments(spark, sf()))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("(?m)^\\(\\d+\\) HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("brute-force ANN broadcasts the query side (corpus never shuffles)") {
     import org.apache.spark.sql.functions._
     val emb = Tables.load(spark, sf(), "embeddings")
