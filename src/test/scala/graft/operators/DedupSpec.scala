@@ -108,6 +108,28 @@ class DedupSpec extends SparkSpec {
       (5L, "w w w"))) // 3 repeats but ONE distinct doc → kept
   }
 
+  test("segmentDedup matches a driver reference on random corpora") {
+    val rnd = new scala.util.Random(11)
+    val pool = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    (0 until 3).foreach { _ =>
+      val corpus = (1L to 10L).map { id =>
+        id -> Seq.fill(1 + rnd.nextInt(6))(pool(rnd.nextInt(pool.size)))
+      }
+      val minDocs = 2L
+      val out = Dedup.segmentDedup(
+          corpus.toDF("doc_id", "segs"), "doc_id", "segs", minDocs)
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      // driver truth: distinct-doc count per segment, drop, reassemble
+      val docsPerSeg = corpus.flatMap { case (id, segs) =>
+        segs.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (s, xs) => s -> xs.size }
+      val expected = corpus.map { case (id, segs) =>
+        id -> segs.filter(s => docsPerSeg(s) < minDocs).mkString(" ")
+      }
+      assert(out == expected, s"got $out\nexpected $expected")
+    }
+  }
+
   test("connectedComponents matches driver BFS on random graphs") {
     val rnd = new scala.util.Random(7)
     (0 until 3).foreach { _ =>

@@ -55,6 +55,56 @@ class RetrievalSpec extends SparkSpec {
     assert(!got.exists(_._2 == 3L))
   }
 
+  test("bm25TopK matches the driver reference on random corpora") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta", "iota", "kappa")
+    (0 until 3).foreach { _ =>
+      val corpus = (1L to 12L).map { id =>
+        val len = 3 + rnd.nextInt(10)
+        id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val qs = (0 until 2).map { qi =>
+        (100L + qi) -> Seq.fill(1 + rnd.nextInt(3))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val docs = corpus.toDF("doc_id", "text")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val queries = qs.toDF("q_id", "qtext")
+        .select(col("q_id"), split(col("qtext"), " ").as("q_toks"))
+      val got = Retrieval.bm25TopK(docs, "doc_id", "toks",
+          queries, "q_id", "q_toks", k = 12)
+        .orderBy("q_id", "rank")
+        .as[(Long, Int, Long, Double)].collect().toSeq
+
+      // driver reference (same formula, 6-dp HALF_UP round, same ties)
+      val docToks = corpus.map { case (id, t) => id -> toks(t) }.toMap
+      val n = docToks.size
+      val avgdl = docToks.values.map(_.size).sum.toDouble / n
+      val dfm = docToks.values.flatMap(_.distinct).groupBy(identity)
+        .map { case (t, xs) => t -> xs.size }
+      def score(id: Long, q: Seq[String]): Double = {
+        val dl = docToks(id).size
+        val s = q.distinct.map { t =>
+          val tf = docToks(id).count(_ == t)
+          if (tf == 0) 0.0
+          else math.log(1 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5)) *
+            tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        }.sum
+        BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val expected = qs.flatMap { case (qid, qtext) =>
+        docToks.keys.toSeq
+          .map(id => (qid, id, score(id, toks(qtext))))
+          .filter(_._3 > 0.0)
+          .sortBy { case (_, id, s) => (-s, id) }
+          .zipWithIndex
+          .map { case ((q, id, s), i) => (q, i + 1, id, s) }
+      }.sortBy(r => (r._1, r._2))
+      assert(got == expected, s"got $got\nexpected $expected")
+    }
+  }
+
   test("bm25TopK ranking is deterministic on exact ties (doc id asc)") {
     val docs = Seq((7L, "alpha beta"), (3L, "alpha beta"),
         (5L, "alpha beta")).toDF("doc_id", "text")
