@@ -131,4 +131,75 @@ class IncrementalCurationSpec extends SparkSpec {
       .contains(("entirely novel content", 2L, 2L)), after)
     assert(!after.exists(_._1 == "jumps over the lazy dog"))
   }
+
+  test("search index tracks the replicated corpus via O(delta) CDF passes") {
+    import graft.functions.TextFunctions
+    import graft.operators.{IncrementalIndex, Retrieval}
+    val dir = tmp("cdc-searchindex")
+    val log = s"$dir/wal.log"
+    val sink = new CurrentStateSink(s"$dir/tables", _ => Seq("doc_id"), 4)
+    val registry = new SchemaRegistry
+    registry.put(docsSchema)
+    val pipeline = new CdcPipeline(spark,
+      PipelineConfig(maxRowsPerTrigger = 100, maxFillMs = 50,
+        checkpointDir = s"$dir/ckpt", stateDir = s"$dir/state"),
+      registry, sink, CdcPipeline.jsonDecode)
+    pipeline.stateStore.force(1L, TableState.Ready)
+
+    appendLog(log, Seq(
+      ins(1L, 0L, 1L, "spark shuffles data across partitions"),
+      ins(1L, 1L, 2L, "catalyst optimizes the logical plan"),
+      ins(1L, 2L, 3L, "data partitions and data skew"),
+      ins(1L, 3L, 4L, "broadcast joins avoid the shuffle")))
+    val q = pipeline.startStream(log)
+    q.processAllAvailable()
+
+    val docs = sink.tableFor("docs")
+    val postings = IncrementalIndex.postingsTable(s"$dir/postings", 8)
+    val dlens = IncrementalIndex.docTable(s"$dir/doclens", 4)
+    val stats = IncrementalIndex.statsTable(s"$dir/istats")
+    def toksOf(df: DataFrame, extra: String*): DataFrame =
+      df.select((col("doc_id") +:
+        TextFunctions.tokens(col("text")).as("toks") +:
+        extra.map(col)): _*)
+    def corpus = toksOf(docs.read(spark).select("doc_id", "text"))
+    def queries = Seq((50L, "data partitions"), (51L, "spark broadcast"))
+      .toDF("q_id", "qtext")
+      .select(col("q_id"), TextFunctions.tokens(col("qtext")).as("q_toks"))
+    def check(label: String): Unit = {
+      val got = IncrementalIndex.bm25TopK(spark, postings, dlens, stats,
+          queries, "q_id", "q_toks", k = 4)
+        .orderBy("q_id", "rank")
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      val want = Retrieval.bm25TopK(corpus, "doc_id", "toks",
+          queries, "q_id", "q_toks", k = 4)
+        .orderBy("q_id", "rank")
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      assert(got == want, s"$label: index $got vs from-scratch $want")
+    }
+
+    // bootstrap: full-refresh feed (all rows arrive as inserts)
+    var cursor = -1L
+    val boot = docs.rowChangesSince(spark, cursor)
+    IncrementalIndex.applyDelta(spark, postings, dlens, stats,
+      toksOf(boot.rows, "_change_type"), "doc_id", "toks",
+      f"${1L}%016x/0")
+    cursor = boot.version
+    check("bootstrap")
+
+    // sync 2: doc 2 rewritten, doc 5 arrives, doc 3 deleted — the
+    // same replicated WAL drives both the table and the index
+    appendLog(log, Seq(
+      upd(2L, 0L, 2L, "catalyst rewrites plans with rules"),
+      ins(2L, 1L, 5L, "adaptive execution re-plans shuffles"),
+      del(2L, 2L, 3L, "data partitions and data skew")))
+    q.processAllAvailable()
+    q.stop()
+    val delta = docs.rowChangesSince(spark, cursor)
+    assert(!delta.fullRefresh, "retained cursor must give a delta feed")
+    IncrementalIndex.applyDelta(spark, postings, dlens, stats,
+      toksOf(delta.rows, "_change_type"), "doc_id", "toks",
+      f"${2L}%016x/0")
+    check("after CDC delta")
+  }
 }
