@@ -95,6 +95,7 @@ object SparkEntry {
     "mix_domains" -> (CurationQueries.mixDomains _),
     "sample_stratified" -> (CurationQueries.sampleStratified _),
     "text_redact" -> (CurationQueries.textRedact _),
+    "cap_per_source" -> (CurationQueries.capPerSource _),
   )
 
   /** Bench-only operator timings, NOT part of the correctness contract:
@@ -184,6 +185,7 @@ object SparkEntry {
     "range_join" -> JoinQueries.rangeJoinSql,
     "mix_domains" -> CurationQueries.mixDomainsSql,
     "sample_stratified" -> CurationQueries.sampleStratifiedSql,
-    "text_redact" -> CurationQueries.textRedactSql
+    "text_redact" -> CurationQueries.textRedactSql,
+    "cap_per_source" -> CurationQueries.capPerSourceSql
   )
 }

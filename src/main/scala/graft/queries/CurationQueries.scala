@@ -10,6 +10,42 @@ import graft.operators.Mix
   * standard passes of a pre-training data pipeline, both exact-gated. */
 object CurationQueries {
 
+  /** Per-source document caps — the Common-Crawl-style curation pass
+    * that stops any one domain from dominating the corpus: keep at most
+    * K documents per source, preferring longer documents (token count,
+    * doc-id tiebreak). One shuffle on `source` + an in-partition rank;
+    * at 100 TB a pathologically hot source serializes into one task, so
+    * a production run would first prefilter with a per-source
+    * approximate length threshold (the [[Mix.stratifiedExact]]
+    * oversample trick) to bound window input — at the tested scales the
+    * plain window is the right plan. Exact integers → hash-gated. */
+  def capPerSource(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("ntok").desc, col("doc_id"))
+    docs.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 20)
+      .select("source", "rank", "doc_id", "ntok")
+      .orderBy("source", "rank")
+  }
+
+  val capPerSourceSql: String = s"""
+    WITH d AS (
+      SELECT doc_id, source,
+        CAST(len(${TextFunctions.tokensSql("text")}) AS BIGINT) AS ntok
+      FROM documents),
+    r AS (
+      SELECT source,
+        CAST(row_number() OVER (PARTITION BY source
+          ORDER BY ntok DESC, doc_id) AS INT) AS rank,
+        doc_id, ntok
+      FROM d)
+    SELECT source, rank, doc_id, ntok FROM r
+    WHERE rank <= 20 ORDER BY source, rank"""
+
   /** Weight rule shared by Spark and oracle: parse the numeric suffix
     * of `srcN` and map to 1..5 — a deterministic non-uniform target mix
     * over the synthetic sources. */
