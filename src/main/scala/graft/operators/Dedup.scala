@@ -43,6 +43,23 @@ object Dedup {
         (count(lit(1)).as("n_dups") +:
           carry.map(c => min_by(col(c), col(idCol)).as(c))): _*)
 
+  /** STREAMING exact dedup — first-wins on the normalized content key
+    * with watermark-bounded state: the ingest-time half of the dedup
+    * story (the batch/incremental operators curate the landed corpus;
+    * this drops exact dupes before they ever land). Built on Spark's
+    * `dropDuplicatesWithinWatermark`, so state per key evicts once the
+    * watermark passes its event time plus `delay` — memory is
+    * O(distinct keys inside the lateness window), never O(stream).
+    * The documented trade: a duplicate re-arriving AFTER eviction is
+    * admitted again (bounded state cannot promise unbounded-window
+    * uniqueness); the downstream incremental exact-dedup pass catches
+    * those stragglers. `timeCol` must be a timestamp column. */
+  def streamingExact(df: DataFrame, textCol: String, timeCol: String,
+      delay: String): DataFrame =
+    df.withWatermark(timeCol, delay)
+      .withColumn("content_key", normText(col(textCol)))
+      .dropDuplicatesWithinWatermark("content_key")
+
   /** Segment-level exact dedup (the CCNet / RefinedWeb "line dedup"
     * pass, generalized): drop every segment occurring in at least
     * `minDocs` DISTINCT documents — boilerplate headers, navigation

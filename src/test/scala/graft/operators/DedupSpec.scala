@@ -108,6 +108,38 @@ class DedupSpec extends SparkSpec {
       (5L, "w w w"))) // 3 repeats but ONE distinct doc → kept
   }
 
+  test("streamingExact: cross-batch dupes drop inside the watermark; " +
+      "state evicts after it passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val out = Dedup.streamingExact(
+      input.toDS().toDF("doc_id", "text", "tsec")
+        .withColumn("et", timestamp_seconds(col("tsec"))),
+      "text", "et", "10 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_out").start()
+    try {
+      // t=100 up: an event at the stream's initial watermark (0) would
+      // itself be dropped as late
+      input.addData((1L, "The quick  fox", 100L), (2L, "other text", 105L))
+      q.processAllAvailable()
+      // same normalized content, later batch, inside the window → drop
+      input.addData((3L, "the QUICK fox", 108L))
+      q.processAllAvailable()
+      // watermark marches far past both keys' eviction points
+      input.addData((9L, "filler far future", 300L))
+      q.processAllAvailable()
+      // content of doc 1 re-arrives AFTER eviction → admitted again
+      // (the documented bounded-state trade)
+      input.addData((4L, "the quick fox", 420L))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup_out").select("doc_id")
+        .as[Long].collect().toSet
+      assert(ids == Set(1L, 2L, 9L, 4L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("segmentDedup matches a driver reference on random corpora") {
     val rnd = new scala.util.Random(11)
     val pool = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
