@@ -86,7 +86,6 @@ object IncrementalIndex {
       val del = oldP.join(newP, key, "left_anti")
         .select(col("term"), col("id"), lit(null).cast("long").as("tf"))
         .withColumn("_op", lit("D"))
-      postings.merge(ins.unionByName(del).withColumn("_seq", lit(seq)))
 
       // per-document lengths: upserts for the post-state, deletes for
       // removed documents
@@ -96,25 +95,43 @@ object IncrementalIndex {
       val dlDel = ch.filter(col("_change_type") === "delete")
         .select(col("id"), lit(null).cast("long").as("dl"))
         .withColumn("_op", lit("D"))
-      docs.merge(dlUp.unionByName(dlDel).withColumn("_seq", lit(seq)))
 
-      // corpus stats: one scalar-aggregate job over the delta (the
-      // update pre/post images cancel in ΔN and net in Δtokens)
-      val r = ch.agg(
-        sum(when(col("_change_type") === "insert", 1L).otherwise(0L)),
-        sum(when(col("_change_type") === "delete", 1L).otherwise(0L)),
-        sum(when(col("_change_type")
-            .isin("insert", "update_postimage"), size(col("toks")))
-          .otherwise(0)).cast("long"),
-        sum(when(col("_change_type")
-            .isin("delete", "update_preimage"), size(col("toks")))
-          .otherwise(0)).cast("long")).head()
-      def l(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
-      val (curN, curTotal) = currentStats(spark, stats)
-      stats.merge(spark.range(1).select(lit(0).as("k"),
-        lit(curN + l(0) - l(1)).as("n"),
-        lit(curTotal + l(2) - l(3)).as("total"),
-        lit("I").as("_op"), lit(seq).as("_seq")))
+      // the three tables are independent (each replay-idempotent on its
+      // own `_seq` high-water; a crash between commits is repaired by
+      // replaying the delta), so their merges commit CONCURRENTLY —
+      // a sync's wall time is the slowest commit, not the sum. Small
+      // merges are scheduling-latency-bound, so this matters exactly at
+      // the frequent-small-delta cadence this operator exists for.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fPostings = Future {
+        postings.merge(ins.unionByName(del).withColumn("_seq", lit(seq)))
+      }
+      val fDocs = Future {
+        docs.merge(dlUp.unionByName(dlDel).withColumn("_seq", lit(seq)))
+      }
+      val fStats = Future {
+        // corpus stats: one scalar-aggregate job over the delta (the
+        // update pre/post images cancel in ΔN and net in Δtokens)
+        val r = ch.agg(
+          sum(when(col("_change_type") === "insert", 1L).otherwise(0L)),
+          sum(when(col("_change_type") === "delete", 1L).otherwise(0L)),
+          sum(when(col("_change_type")
+              .isin("insert", "update_postimage"), size(col("toks")))
+            .otherwise(0)).cast("long"),
+          sum(when(col("_change_type")
+              .isin("delete", "update_preimage"), size(col("toks")))
+            .otherwise(0)).cast("long")).head()
+        def l(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+        val (curN, curTotal) = currentStats(spark, stats)
+        stats.merge(spark.range(1).select(lit(0).as("k"),
+          lit(curN + l(0) - l(1)).as("n"),
+          lit(curTotal + l(2) - l(3)).as("total"),
+          lit("I").as("_op"), lit(seq).as("_seq")))
+      }
+      Await.result(Future.sequence(Seq(fPostings, fDocs, fStats)),
+        Duration.Inf)
     } finally ch.unpersist()
   }
 
