@@ -135,6 +135,51 @@ object IncrementalIndex {
     } finally ch.unpersist()
   }
 
+  /** CONTINUOUS index maintenance: consume one micro-batch of the
+    * `graft-row-follow` stream of a replicated corpus table and keep
+    * the search index in sync — the streaming composition of the whole
+    * engine: CDC lands documents in a GraftTable, the row-level CDF
+    * streams its transitions, and this keeps BM25 serving the live
+    * corpus. Each commit applies as its own [[applyDelta]] with
+    * `_seq` = the leader commit version, so restarts are exactly-once
+    * (replayed batches filter to no-ops on every index table, the
+    * [[graft.sources.GraftRowFeed.applyBatch]] contract). An expired
+    * checkpoint (full-refresh transition) resets all three tables and
+    * re-bootstraps from the refresh feed. Typical use:
+    *
+    * {{{
+    * spark.readStream.format("graft-row-follow").option("path", root)
+    *   .load().writeStream.option("checkpointLocation", ckpt)
+    *   .foreachBatch { (df, _) => IncrementalIndex.applyFeedBatch(
+    *     df, root, postings, docs, stats, "doc_id", "text") }
+    *   .start()
+    * }}}
+    */
+  def applyFeedBatch(batch: DataFrame, root: String,
+      postings: GraftTable, docs: GraftTable, stats: GraftTable,
+      idCol: String, textCol: String,
+      tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.functions.TextFunctions.tokens): Unit = {
+    val feeds = graft.sources.GraftRowFeed
+      .transitionFeeds(batch, GraftTable.open(root))
+    feeds.foreach { case (v, fullRefresh, rows) =>
+      val seq = f"$v%016x/${0L}%016x"
+      if (fullRefresh) {
+        // expired checkpoint: the feed is a fresh snapshot, not a
+        // delta — clear and re-bootstrap (resets the replay marks; the
+        // following commits' versions exceed them again)
+        Seq(postings, docs, stats).foreach(_.truncate())
+      }
+      val delta = rows
+        .filter(if (fullRefresh) col("_change_type") === "insert"
+                else lit(true))
+        .select(col(idCol), tokenize(col(textCol)).as("_toks"),
+          col("_change_type"))
+      applyDelta(rows.sparkSession, postings, docs, stats, delta,
+        idCol, "_toks", seq)
+    }
+  }
+
   /** Periodic index maintenance — the long-run half of O(delta) syncs.
     * Merges copy-on-write whole buckets, so LIVE file counts stay flat;
     * what accumulates with sync count is retired snapshots and their

@@ -156,7 +156,7 @@ object GraftRowFeed {
     * feeds whose column names differ per transition (each is under its
     * target version's logical schema): every feed aligns onto the LAST
     * transition's logical names through the stable physical identity. */
-  private def transitionFeeds(batch: DataFrame,
+  private[graft] def transitionFeeds(batch: DataFrame,
       table: GraftTable): Seq[(Long, Boolean, DataFrame)] = {
     val spark = batch.sparkSession
     val transitions = batch.select("from_version", "to_version").collect()

@@ -92,6 +92,118 @@ class IncrementalIndexSpec extends SparkSpec {
     check("replayed delta")
   }
 
+  test("applyFeedBatch keeps the index live over the graft-row-follow " +
+      "stream (checkpointed, replay-guarded)") {
+    import graft.sinks.GraftTable
+    val dir = tmp("ii-feed")
+    val root = s"$dir/leader"
+    val leader = new GraftTable(root, Seq("doc_id"), nBuckets = 4,
+      retainVersions = 10)
+    val postings = IncrementalIndex.postingsTable(s"$dir/post", 8)
+    val dlens = IncrementalIndex.docTable(s"$dir/docs", 4)
+    val stats = IncrementalIndex.statsTable(s"$dir/stats")
+    val ckpt = s"$dir/ckpt"
+    def pass(): Unit = {
+      val q = spark.readStream.format("graft-row-follow")
+        .option("path", root).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          IncrementalIndex.applyFeedBatch(df, root, postings, dlens,
+            stats, "doc_id", "text")
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    def queries = Seq((50L, "data plans"), (51L, "spark catalyst"))
+      .toDF("q_id", "qtext")
+      .select(col("q_id"), TextFunctions.tokens(col("qtext")).as("q_toks"))
+    def check(label: String): Unit = {
+      val corpus = toksDf(leader.read(spark).select("doc_id", "text"))
+      val got = IncrementalIndex.bm25TopK(spark, postings, dlens, stats,
+          queries, "q_id", "q_toks", k = 5)
+        .orderBy("q_id", "rank")
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      val want = Retrieval.bm25TopK(corpus, "doc_id", "toks",
+          queries, "q_id", "q_toks", k = 5)
+        .orderBy("q_id", "rank")
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      assert(got == want, s"$label: index $got vs from-scratch $want")
+    }
+
+    leader.overwrite(Seq(
+      (1L, "spark shuffles data across partitions"),
+      (2L, "catalyst plans queries"),
+      (3L, "data skew hurts throughput")).toDF("doc_id", "text"))
+    pass(); check("bootstrap")
+
+    // real CDC-shaped commits: update, delete (preimage text rides the
+    // feed), and an insert — each commit applies as its own sync
+    leader.merge(Seq(
+        (2L, "catalyst rewrites plans with rules", "U",
+          "0000000000000010/0000000000000000"),
+        (3L, "", "D", "0000000000000011/0000000000000000"))
+      .toDF("doc_id", "text", "_op", "_seq"))
+    leader.append(Seq((9L, "adaptive execution replans shuffles"))
+      .toDF("doc_id", "text"))
+    pass(); check("cdc delta")
+
+    // no new commits → the replayed pass must be a no-op
+    pass(); check("replay no-op")
+  }
+
+  test("applyFeedBatch: expired checkpoint resets and re-bootstraps " +
+      "the index from the full-refresh feed") {
+    import graft.sinks.GraftTable
+    val dir = tmp("ii-feed-exp")
+    val root = s"$dir/leader"
+    val leader = new GraftTable(root, Seq("doc_id"), nBuckets = 4,
+      retainVersions = 2)
+    val postings = IncrementalIndex.postingsTable(s"$dir/post", 8)
+    val dlens = IncrementalIndex.docTable(s"$dir/docs", 4)
+    val stats = IncrementalIndex.statsTable(s"$dir/stats")
+    val ckpt = s"$dir/ckpt"
+    def pass(): Unit = {
+      val q = spark.readStream.format("graft-row-follow")
+        .option("path", root).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          IncrementalIndex.applyFeedBatch(df, root, postings, dlens,
+            stats, "doc_id", "text")
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    def check(label: String): Unit = {
+      val corpus = toksDf(leader.read(spark).select("doc_id", "text"))
+      val queries = Seq((50L, "spark data rules"))
+        .toDF("q_id", "qtext").select(col("q_id"),
+          TextFunctions.tokens(col("qtext")).as("q_toks"))
+      val got = IncrementalIndex.bm25TopK(spark, postings, dlens, stats,
+          queries, "q_id", "q_toks", k = 8)
+        .orderBy("rank").as[(Long, Int, Long, Double)].collect().toSeq
+      val want = Retrieval.bm25TopK(corpus, "doc_id", "toks",
+          queries, "q_id", "q_toks", k = 8)
+        .orderBy("rank").as[(Long, Int, Long, Double)].collect().toSeq
+      assert(got == want, s"$label: index $got vs from-scratch $want")
+    }
+
+    leader.overwrite(Seq((1L, "spark shuffles data"),
+      (2L, "catalyst plans rules")).toDF("doc_id", "text"))
+    pass(); check("bootstrap")
+    // churn far past retention (keep 2): the checkpointed version
+    // expires, so the next pass opens with a full-refresh feed and the
+    // index must reset instead of double-counting
+    leader.merge(Seq((3L, "rules for spark data", "I", "03"))
+      .toDF("doc_id", "text", "_op", "_seq"))
+    leader.merge(Seq((1L, "spark shuffles fewer data rows", "U", "04"))
+      .toDF("doc_id", "text", "_op", "_seq"))
+    leader.merge(Seq((2L, "", "D", "05"))
+      .toDF("doc_id", "text", "_op", "_seq"))
+    pass(); check("after expiry full-refresh")
+  }
+
   test("maintain compacts sync-accumulated files; data identical") {
     val postings = IncrementalIndex.postingsTable(tmp("ii-post3"), 4)
     val docs = IncrementalIndex.docTable(tmp("ii-docs3"), 2)
