@@ -62,6 +62,7 @@ object SparkEntry {
     "text_perplexity" -> (TextQueries.perplexity _),
     "hybrid_search" -> (SimQueries.hybridSearch _),
     "bm25_incremental" -> (TextQueries.bm25Incremental _),
+    "phrase_search" -> (TextQueries.phraseSearch _),
     "text_repetition" -> (TextQueries.repetition _),
     "decontaminate" -> (TextQueries.decontaminate _),
     "train_pipeline" -> (TextQueries.trainPipeline _),
@@ -162,6 +163,7 @@ object SparkEntry {
     "text_perplexity" -> TextQueries.perplexitySql,
     "hybrid_search" -> SimQueries.hybridSearchSql,
     "bm25_incremental" -> TextQueries.bm25IncrementalSql,
+    "phrase_search" -> TextQueries.phraseSearchSql,
     "text_repetition" -> TextQueries.repetitionSql,
     "decontaminate" -> TextQueries.decontaminateSql,
     "train_pipeline" -> TextQueries.trainPipelineSql,

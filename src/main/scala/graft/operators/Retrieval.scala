@@ -75,4 +75,38 @@ object Retrieval {
       .select(col("_q").as(qIdCol), col("rank"), col("_d").as(idCol),
         col("score"))
   }
+
+  /** Exact PHRASE search via positional postings: the documents whose
+    * token sequence contains `phrase` (a tiny `(slot, term)` frame,
+    * slot 0-based in phrase order) as a contiguous run — the
+    * token-boundary-exact operation `LIKE '%...%'` only approximates.
+    *
+    * Shape: positional postings (doc, term, pos) from one posexplode;
+    * the phrase frame broadcasts into an equijoin on `term`; aligning
+    * on `base = pos − slot` turns "contiguous run" into a plain
+    * count-distinct-slots == phrase-length aggregate per (doc, base) —
+    * one shuffle, overlapping occurrences handled naturally, duplicate
+    * phrase terms handled by slot identity. Returns distinct matching
+    * ids as `(idCol, n_hits)` where n_hits counts (overlapping)
+    * occurrence start positions.
+    *
+    * At 100 TB the posexplode stream pre-filters to phrase terms BEFORE
+    * the shuffle (the semi-join below is map-side against a broadcast
+    * phrase), so the exchange carries only candidate positions, not the
+    * corpus. */
+  def phraseSearch(docs: DataFrame, idCol: String, tokensCol: String,
+      phrase: DataFrame): DataFrame = {
+    val n = phrase.count() // metadata-scale: the phrase length
+    require(n > 0, "empty phrase")
+    val pt = docs.select(col(idCol), posexplode(col(tokensCol)))
+      .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "_term")
+      .join(broadcast(phrase.select(col("slot").as("_slot"),
+        col("term").as("_term"))), "_term")
+      .select(col(idCol), (col("_pos") - col("_slot")).as("_base"),
+        col("_slot"))
+    pt.distinct()
+      .groupBy(idCol, "_base").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") === n)
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+  }
 }

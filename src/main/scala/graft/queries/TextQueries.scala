@@ -466,6 +466,36 @@ object TextQueries {
     SELECT q_id, rank, doc_id, score FROM ranked
     WHERE rank <= 10 ORDER BY q_id, rank"""
 
+  /** Positional phrase search gate: the corpus's own doc 0 donates its
+    * first three tokens as the phrase (fully relational on both
+    * engines, so the gate is scale-invariant), and every document
+    * containing that contiguous token run reports its OVERLAPPING
+    * occurrence count. The oracle re-checks every candidate start
+    * position with a list-slice equality — token-boundary-exact, which
+    * `LIKE '%…%'` is not. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val phrase = docs.filter(col("doc_id") === 0)
+      .select(posexplode(slice(col("toks"), 1, 3)))
+      .select(col("pos").as("slot"), col("col").as("term"))
+    graft.operators.Retrieval.phraseSearch(docs, "doc_id", "toks", phrase)
+      .orderBy("doc_id")
+  }
+
+  val phraseSearchSql: String = s"""
+    WITH base AS (
+      SELECT doc_id, ${TextFunctions.tokensSql("text")} AS l
+      FROM documents),
+    ph AS (SELECT l[1:3] AS p FROM base WHERE doc_id = 0),
+    pos AS (
+      SELECT doc_id, l, unnest(range(1, len(l) - 3 + 2)) AS c
+      FROM base WHERE len(l) >= 3),
+    hit AS (
+      SELECT doc_id, c FROM pos, ph WHERE l[c:(c + 2)] = p)
+    SELECT doc_id, count(*) AS n_hits
+    FROM hit GROUP BY 1 ORDER BY doc_id"""
+
   /** Segment-level dedup gate: documents segmented into fixed 10-token
     * windows (this corpus has no newlines, so the fixed-window
     * segmenter is the non-degenerate choice); any segment appearing in

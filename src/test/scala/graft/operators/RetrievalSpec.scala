@@ -105,6 +105,25 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("phraseSearch: contiguous runs only, overlapping occurrences, " +
+      "duplicate phrase terms") {
+    val docs = Seq(
+      (1L, "x a b y a b"), // two separate "a b" runs
+      (2L, "a y b"),       // terms present but not contiguous
+      (3L, "a a a"),       // overlapping matches of "a a"
+      (4L, "b a")          // reversed — no match
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val ab = Seq((0, "a"), (1, "b")).toDF("slot", "term")
+    val gotAb = Retrieval.phraseSearch(docs, "doc_id", "toks", ab)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(gotAb == Seq((1L, 2L)))
+    val aa = Seq((0, "a"), (1, "a")).toDF("slot", "term")
+    val gotAa = Retrieval.phraseSearch(docs, "doc_id", "toks", aa)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(gotAa == Seq((3L, 2L))) // "a a a" → starts at 0 and 1
+  }
+
   test("bm25TopK ranking is deterministic on exact ties (doc id asc)") {
     val docs = Seq((7L, "alpha beta"), (3L, "alpha beta"),
         (5L, "alpha beta")).toDF("doc_id", "text")
