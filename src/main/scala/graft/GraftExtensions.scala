@@ -62,6 +62,8 @@ object GraftExtensions {
       args => changelogLatestBuilder(args), "built-in")
     t.createOrReplaceTempFunction("graft_table_changes",
       args => tableChangesBuilder(args), "built-in")
+    t.createOrReplaceTempFunction("graft_search",
+      args => searchBuilder(args), "built-in")
   }
 
   // ------------------------------------------------- table-function bodies
@@ -101,6 +103,26 @@ object GraftExtensions {
         t.rowChangesBetween(spark, from, long(args(2), "to version")).rows
       else t.rowChangesSince(spark, from).rows)
   }
+  /** `graft_search(indexRoot, 'query text'[, k])` — BM25 top-k against
+    * a maintained [[graft.operators.IncrementalIndex]] whose three
+    * tables live under `indexRoot/{postings,docs,stats}` (the layout
+    * the bm25_incremental gate and IncrementalCurationSpec use). The
+    * tables reopen through their persisted identity (keys/buckets), so
+    * the probe is bucket-pruned exactly like the programmatic API. */
+  private[graft] def searchBuilder(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    val root = str(args.head, "index root")
+    val query = str(args(1), "query text")
+    val k = if (args.length > 2) long(args(2), "k").toInt else 10
+    import org.apache.spark.sql.functions.lit
+    val q = spark.range(1).select(lit(0L).as("q_id"),
+      graft.functions.TextFunctions.tokens(lit(query)).as("q_toks"))
+    plan(graft.operators.IncrementalIndex.bm25TopK(spark,
+        GraftTable.open(s"$root/postings"), GraftTable.open(s"$root/docs"),
+        GraftTable.open(s"$root/stats"), q, "q_id", "q_toks", k)
+      .drop("q_id"))
+  }
+
   private[graft] def changelogLatestBuilder(args: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
     plan(new ChangelogSink(str(args.head, "sink dir"))
@@ -161,5 +183,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "change feed (insert | delete | update_preimage | " +
           "update_postimage)"),
       (args: Seq[Expression]) => GraftExtensions.tableChangesBuilder(args)))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_search"),
+      info("graft_search",
+        "graft_search(indexRoot, query[, k]) - BM25 top-k against a " +
+          "maintained incremental search index"),
+      (args: Seq[Expression]) => GraftExtensions.searchBuilder(args)))
   }
 }

@@ -69,4 +69,39 @@ class GraftExtensionsSpec extends AnyFunSuite {
           ORDER BY id""").as[(Long, String)].collect().toSeq
     assert(latest == Seq((1L, "a2")))
   }
+
+  test("graft_search TVF queries a maintained incremental index from SQL") {
+    import graft.functions.TextFunctions
+    import graft.operators.{IncrementalIndex, Retrieval}
+    import org.apache.spark.sql.functions._
+    val spark = SparkSpec.session
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    val root = java.nio.file.Files.createTempDirectory("tvf-idx").toString
+    val postings = IncrementalIndex.postingsTable(s"$root/postings", 8)
+    val dlens = IncrementalIndex.docTable(s"$root/docs", 4)
+    val stats = IncrementalIndex.statsTable(s"$root/stats")
+    val corpus = Seq(
+      (1L, "spark shuffles data across partitions"),
+      (2L, "catalyst optimizes the logical plan"),
+      (3L, "data partitions and data skew")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    IncrementalIndex.applyDelta(spark, postings, dlens, stats,
+      corpus.withColumn("_change_type", lit("insert")),
+      "doc_id", "toks", "0000000000000001/0")
+    val got = spark.sql(
+      s"SELECT rank, id, score FROM graft_search('$root', 'data partitions', 3)")
+      .orderBy("rank").as[(Int, Long, Double)].collect().toSeq
+    val want = Retrieval.bm25TopK(corpus, "doc_id", "toks",
+        Seq((0L, "data partitions")).toDF("q_id", "qtext")
+          .select(col("q_id"),
+            TextFunctions.tokens(col("qtext")).as("q_toks")),
+        "q_id", "q_toks", k = 3)
+      .orderBy("rank").select("rank", "doc_id", "score")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(got == want, s"got $got want $want")
+    // composes with plain SQL
+    assert(spark.sql(s"SELECT count(*) FROM graft_search('$root', 'data', 10)")
+      .head().getLong(0) > 0)
+  }
 }
