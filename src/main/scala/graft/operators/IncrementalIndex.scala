@@ -17,10 +17,12 @@ import graft.sinks.GraftTable
   * commits snapshot-atomically with replay idempotence (`_seq`
   * high-water):
   *
-  *  - '''postings''' — one row per (term, id) with its term frequency,
-  *    keyed (term, id) but BUCKETED by `term` alone: a query's
-  *    postings-list lookup reads only the buckets its terms hash into
-  *    ([[GraftTable.readForProbe]]), the secondary-index pattern.
+  *  - '''postings''' — one row per (term, id) with its term frequency
+  *    and sorted position list (BM25 scoring and exact phrase search
+  *    from one structure), keyed (term, id) but BUCKETED by `term`
+  *    alone: a query's postings-list lookup reads only the buckets its
+  *    terms hash into ([[GraftTable.readForProbe]]), the
+  *    secondary-index pattern.
   *  - '''docs''' — one row per document: its length in tokens, keyed
   *    and bucketed by `id`; score-time lookups prune to candidate ids'
   *    buckets.
@@ -70,21 +72,27 @@ object IncrementalIndex {
         .isin("insert", "update_postimage")).select("id", "toks")
       val before = ch.filter(col("_change_type")
         .isin("delete", "update_preimage")).select("id", "toks")
+      // positional postings: tf plus the sorted position list, so the
+      // same index serves BM25 scoring AND exact phrase search
       def postingRows(df: DataFrame): DataFrame =
-        df.select(col("id"), explode(col("toks")).as("term"))
-          .groupBy("term", "id").agg(count(lit(1)).as("tf"))
+        df.select(col("id"), posexplode(col("toks")))
+          .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "term")
+          .groupBy("term", "id").agg(count(lit(1)).as("tf"),
+            sort_array(collect_list(col("_pos"))).as("positions"))
       val newP = postingRows(after)
       val oldP = postingRows(before)
       val key = Seq("term", "id")
-      // net delta: upsert only where tf actually changed; delete rows
-      // whose (term, id) vanished from the document
-      val ins = newP.join(oldP.withColumnRenamed("tf", "_tfOld"),
-          key, "left")
-        .filter(col("_tfOld").isNull || col("_tfOld") =!= col("tf"))
-        .select(col("term"), col("id"), col("tf"))
+      // net delta: upsert only where the positions actually changed
+      // (tf is their size, so this subsumes the tf comparison); delete
+      // rows whose (term, id) vanished from the document
+      val ins = newP.join(oldP.select(col("term"), col("id"),
+            col("positions").as("_pOld")), key, "left")
+        .filter(col("_pOld").isNull || col("_pOld") =!= col("positions"))
+        .select(col("term"), col("id"), col("tf"), col("positions"))
         .withColumn("_op", lit("I"))
       val del = oldP.join(newP, key, "left_anti")
-        .select(col("term"), col("id"), lit(null).cast("long").as("tf"))
+        .select(col("term"), col("id"), lit(null).cast("long").as("tf"),
+          lit(null).cast("array<int>").as("positions"))
         .withColumn("_op", lit("D"))
 
       // per-document lengths: upserts for the post-state, deletes for
@@ -244,5 +252,32 @@ object IncrementalIndex {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("_q").as(qIdCol), col("rank"), col("id"), col("score"))
+  }
+
+  /** Exact phrase search against the maintained index — the
+    * [[Retrieval.phraseSearch]] semantics (contiguous runs, overlapping
+    * occurrences, duplicate phrase terms) served from the positional
+    * postings instead of a corpus scan: the phrase's terms probe their
+    * buckets ([[GraftTable.readForProbe]]), positions explode only for
+    * those postings, and the same base-alignment aggregate counts
+    * occurrence starts. Work per query is O(probed postings'
+    * positions), independent of corpus size. */
+  def phraseSearch(spark: SparkSession, postings: GraftTable,
+      phrase: DataFrame): DataFrame = {
+    val n = phrase.count()
+    require(n > 0, "empty phrase")
+    val termSet = phrase.select("term").distinct()
+    val posts = postings.readForProbe(spark, termSet).join(termSet, "term")
+    val pt = posts
+      .select(col("id"), col("term").as("_term"),
+        explode(col("positions")).as("_pos"))
+      .join(broadcast(phrase.select(col("slot").as("_slot"),
+        col("term").as("_term"))), "_term")
+      .select(col("id"), (col("_pos") - col("_slot")).as("_base"),
+        col("_slot"))
+    pt.distinct()
+      .groupBy("id", "_base").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") === n)
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
   }
 }

@@ -92,6 +92,50 @@ class IncrementalIndexSpec extends SparkSpec {
     check("replayed delta")
   }
 
+  test("indexed phrase search equals the batch operator through deltas") {
+    val postings = IncrementalIndex.postingsTable(tmp("ii-ph-post"), 8)
+    val docs = IncrementalIndex.docTable(tmp("ii-ph-docs"), 4)
+    val stats = IncrementalIndex.statsTable(tmp("ii-ph-stats"))
+    var state = Map(
+      1L -> "the model talks about data and talks about scale",
+      2L -> "talks about nothing else",
+      3L -> "about talks reversed here",
+      4L -> "unrelated words entirely")
+    def delta(prev: Map[Long, String], next: Map[Long, String]) = {
+      val ins = (next.keySet -- prev.keySet).toSeq
+        .map(id => (id, next(id), "insert"))
+      val del = (prev.keySet -- next.keySet).toSeq
+        .map(id => (id, prev(id), "delete"))
+      val upd = (next.keySet & prev.keySet).toSeq
+        .filter(id => prev(id) != next(id))
+        .flatMap(id => Seq((id, prev(id), "update_preimage"),
+          (id, next(id), "update_postimage")))
+      (ins ++ del ++ upd).toDF("doc_id", "text", "_change_type")
+        .select(col("doc_id"),
+          TextFunctions.tokens(col("text")).as("toks"),
+          col("_change_type"))
+    }
+    val phrase = Seq((0, "talks"), (1, "about")).toDF("slot", "term")
+    def check(label: String): Unit = {
+      val got = IncrementalIndex.phraseSearch(spark, postings, phrase)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      val want = Retrieval.phraseSearch(corpusDf(state), "doc_id", "toks",
+          phrase).orderBy("doc_id").as[(Long, Long)].collect().toSeq
+      assert(got == want, s"$label: index $got vs batch $want")
+      assert(want.nonEmpty, s"$label: degenerate fixture")
+    }
+    IncrementalIndex.applyDelta(spark, postings, docs, stats,
+      delta(Map.empty, state), "doc_id", "toks", "0000000000000001/0")
+    check("bootstrap") // docs 1 (×2 hits) and 2 match; 3 reversed no
+    val next = state - 2L +
+      (4L -> "now it also talks about things") + // phrase appears
+      (1L -> "the model talks mostly of scale")  // phrase disappears
+    IncrementalIndex.applyDelta(spark, postings, docs, stats,
+      delta(state, next), "doc_id", "toks", "0000000000000002/0")
+    state = next
+    check("after mutations")
+  }
+
   test("applyFeedBatch keeps the index live over the graft-row-follow " +
       "stream (checkpointed, replay-guarded)") {
     import graft.sinks.GraftTable
