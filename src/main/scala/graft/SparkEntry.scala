@@ -63,6 +63,7 @@ object SparkEntry {
     "hybrid_search" -> (SimQueries.hybridSearch _),
     "bm25_incremental" -> (TextQueries.bm25Incremental _),
     "phrase_search" -> (TextQueries.phraseSearch _),
+    "chunk_search" -> (TextQueries.chunkSearch _),
     "text_repetition" -> (TextQueries.repetition _),
     "decontaminate" -> (TextQueries.decontaminate _),
     "train_pipeline" -> (TextQueries.trainPipeline _),
@@ -97,6 +98,8 @@ object SparkEntry {
     "sample_stratified" -> (CurationQueries.sampleStratified _),
     "text_redact" -> (CurationQueries.textRedact _),
     "cap_per_source" -> (CurationQueries.capPerSource _),
+    "chunk_docs" -> (CurationQueries.chunkDocs _),
+    "shuffle_shard" -> (CurationQueries.shuffleShard _),
   )
 
   /** Bench-only operator timings, NOT part of the correctness contract:
@@ -164,6 +167,7 @@ object SparkEntry {
     "hybrid_search" -> SimQueries.hybridSearchSql,
     "bm25_incremental" -> TextQueries.bm25IncrementalSql,
     "phrase_search" -> TextQueries.phraseSearchSql,
+    "chunk_search" -> TextQueries.chunkSearchSql,
     "text_repetition" -> TextQueries.repetitionSql,
     "decontaminate" -> TextQueries.decontaminateSql,
     "train_pipeline" -> TextQueries.trainPipelineSql,
@@ -188,6 +192,8 @@ object SparkEntry {
     "mix_domains" -> CurationQueries.mixDomainsSql,
     "sample_stratified" -> CurationQueries.sampleStratifiedSql,
     "text_redact" -> CurationQueries.textRedactSql,
-    "cap_per_source" -> CurationQueries.capPerSourceSql
+    "cap_per_source" -> CurationQueries.capPerSourceSql,
+    "chunk_docs" -> CurationQueries.chunkDocsSql,
+    "shuffle_shard" -> CurationQueries.shuffleShardSql
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.Mix
+import graft.operators.{Chunk, Mix, Shard}
 
 /** Corpus-curation queries: domain mixing and PII redaction — two
   * standard passes of a pre-training data pipeline, both exact-gated. */
@@ -143,4 +143,39 @@ object CurationQueries {
       ${TextFunctions.redactPiiSql(s"($synth)")} AS redacted
     FROM documents"""
   }
+
+  /** RAG chunking: overlapping 32-token windows advancing by 24 —
+    * typical retrieval segmentation (window > stride → ~33% overlap).
+    * Exact text output, hash-gated against DuckDB replaying the same
+    * slice arithmetic. */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    Chunk.tokenWindows(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", window = 32, stride = 24)
+      .orderBy("doc_id", "chunk_id")
+
+  val chunkDocsSql: String =
+    Chunk.tokenWindowsSql("documents", "doc_id", "text",
+      window = 32, stride = 24) + "\n    ORDER BY doc_id, chunk_id"
+
+  /** Deterministic training shuffle: every event keyed by
+    * SplitMix64(id ^ seed), sharded by the key's low 5 bits, densely
+    * position-numbered per shard. The oracle recomputes the identical
+    * mixer through HUGEINT mod-2^64 arithmetic, so the full permutation
+    * is hash-gated row-for-row — the property a resumable training run
+    * depends on. */
+  def shuffleShard(spark: SparkSession, dir: String): DataFrame =
+    Shard.deterministic(
+        Tables.load(spark, dir, "events").select(col("event_id")),
+        "event_id", seed = 2026L, shards = 32)
+      .orderBy("shard", "pos")
+
+  val shuffleShardSql: String = s"""
+    WITH ${Shard.sortKeySql("events", "event_id", 2026L)}
+    SELECT event_id, sort_key,
+      CAST(sort_key & 31 AS INT) AS shard,
+      CAST(row_number() OVER (
+        PARTITION BY (sort_key & 31) ORDER BY sort_key, event_id) - 1
+        AS BIGINT) AS pos
+    FROM _sk
+    ORDER BY shard, pos"""
 }

@@ -376,6 +376,56 @@ object TextQueries {
     SELECT q_id, rank, doc_id, score FROM ranked
     WHERE rank <= 10 ORDER BY q_id, rank"""
 
+  /** Chunk-level retrieval — [[graft.operators.Chunk]] composed with
+    * [[graft.operators.Retrieval.bm25TopK]]: the corpus is chunked into
+    * overlapping 32-token windows and BM25 runs over CHUNKS (the RAG
+    * retrieval granularity), with the first two documents' chunks
+    * replayed as queries. Chunk keys are doc_id·1000+chunk_id so one
+    * BIGINT id flows through the index; ranking is 6-dp-rounded and
+    * id-tiebroken, hash-gated end-to-end. */
+  def chunkSearch(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.operators.Chunk.tokenWindows(
+        Tables.load(spark, dir, "documents"), "doc_id", "text",
+        window = 32, stride = 24)
+      .select((col("doc_id") * 1000 + col("chunk_id")).as("cid"),
+        TextFunctions.tokens(col("chunk_text")).as("toks"))
+    val queries = chunks.filter(col("cid") < 2000)
+      .select(col("cid").as("q_id"), col("toks").as("q_toks"))
+    graft.operators.Retrieval.bm25TopK(chunks, "cid", "toks",
+        queries, "q_id", "q_toks", k = 10)
+      .orderBy("q_id", "rank")
+  }
+
+  val chunkSearchSql: String = s"""
+    WITH chunks AS (${graft.operators.Chunk.tokenWindowsSql(
+        "documents", "doc_id", "text", window = 32, stride = 24)}),
+    tok AS (
+      SELECT doc_id * 1000 + chunk_id AS cid,
+        unnest(string_split(chunk_text, ' ')) AS term
+      FROM chunks),
+    tf AS (SELECT cid, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT cid, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    q AS (SELECT DISTINCT cid AS q_id, term FROM tok WHERE cid < 2000),
+    hit AS (
+      SELECT q.q_id, tf.cid,
+        ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) * tf.tf
+          * (1.2 + 1)
+          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+          AS contrib
+      FROM q JOIN tf USING (term) JOIN dfreq USING (term)
+      JOIN dl ON tf.cid = dl.cid, stats),
+    scored AS (
+      SELECT q_id, cid, round(sum(contrib), 6) AS score
+      FROM hit GROUP BY 1, 2),
+    ranked AS (
+      SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+          ORDER BY score DESC, cid) AS INT) AS rank, cid, score
+      FROM scored)
+    SELECT q_id, rank, cid, score FROM ranked
+    WHERE rank <= 10 ORDER BY q_id, rank"""
+
   /** INCREMENTAL inverted-index maintenance e2e — the search-index
     * counterpart of `dedup_incremental`: bootstrap the corpus into the
     * persistent postings/doc-length/stats tables, apply one mixed CDF
