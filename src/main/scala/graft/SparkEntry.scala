@@ -100,6 +100,8 @@ object SparkEntry {
     "cap_per_source" -> (CurationQueries.capPerSource _),
     "chunk_docs" -> (CurationQueries.chunkDocs _),
     "shuffle_shard" -> (CurationQueries.shuffleShard _),
+    "mix_epochs" -> (CurationQueries.mixEpochs _),
+    "corpus_stats" -> (CurationQueries.corpusStats _),
   )
 
   /** Bench-only operator timings, NOT part of the correctness contract:
@@ -194,6 +196,8 @@ object SparkEntry {
     "text_redact" -> CurationQueries.textRedactSql,
     "cap_per_source" -> CurationQueries.capPerSourceSql,
     "chunk_docs" -> CurationQueries.chunkDocsSql,
-    "shuffle_shard" -> CurationQueries.shuffleShardSql
+    "shuffle_shard" -> CurationQueries.shuffleShardSql,
+    "mix_epochs" -> CurationQueries.mixEpochsSql,
+    "corpus_stats" -> CurationQueries.corpusStatsSql
   )
 }

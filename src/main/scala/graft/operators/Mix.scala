@@ -89,4 +89,30 @@ object Mix {
       .filter(col("_rn") <= n)
       .select(df.columns.map(col): _*)
   }
+
+  /** Fractional-EPOCH upsampling — the other direction of mixing:
+    * repeat high-value domains rather than thin the rest. A factor of
+    * 1.7 means every row appears once and a deterministic 70% of rows
+    * (by [[hashOrd]]) appear a second time — the standard way training
+    * mixes express "2.25 epochs of books, 0.5 epochs of crawl".
+    * `epoch` (0-based repeat index) is appended so downstream shuffles
+    * (e.g. [[Shard.deterministic]] keyed by (id, epoch)) spread the
+    * copies instead of co-locating them.
+    *
+    * Scale shape: zero shuffles — the factor is a pure expression of
+    * the domain column, the repeat decision a pure function of (id,
+    * factor), the expansion a per-row `explode(sequence)`. A factor of
+    * 0 drops the domain entirely (rows with no repeats vanish). */
+  def epochs(df: DataFrame, domainCol: String, idCol: String,
+      factorExpr: Column => Column): DataFrame = {
+    val f = factorExpr(col(domainCol)).cast("double")
+    val frac = floor((f - floor(f)) * lit(4294967296.0)).cast("long")
+    val reps = floor(f).cast("long") +
+      when(hashOrd(col(idCol)) < frac, 1L).otherwise(0L)
+    df.withColumn("_reps", reps)
+      .filter(col("_reps") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0), (col("_reps") - 1).cast("int"))))
+      .drop("_reps")
+  }
 }

@@ -157,6 +157,78 @@ object CurationQueries {
     Chunk.tokenWindowsSql("documents", "doc_id", "text",
       window = 32, stride = 24) + "\n    ORDER BY doc_id, chunk_id"
 
+  /** Fractional-epoch mixing: sources repeat 0.5/1.0/1.7/2.25 epochs by
+    * source-number class — floor(f) guaranteed repeats plus one more for
+    * the deterministic hash-fraction of rows. Pure map + explode (zero
+    * shuffles); the oracle replays the identical IEEE-double threshold
+    * arithmetic, so the expanded corpus is hash-gated row-for-row. */
+  def mixEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val factor = (d: org.apache.spark.sql.Column) =>
+      element_at(array(lit(0.5), lit(1.0), lit(1.7), lit(2.25)),
+        (substring(d, 4, 10).cast("int") % 4 + 1).cast("int"))
+    Mix.epochs(
+        Tables.load(spark, dir, "documents").select("doc_id", "source"),
+        "source", "doc_id", factor)
+      .orderBy("doc_id", "epoch")
+  }
+
+  val mixEpochsSql: String = """
+    WITH f AS (
+      SELECT doc_id, source,
+        CASE CAST(substr(source, 4) AS INT) % 4
+          WHEN 0 THEN 0.5 WHEN 1 THEN 1.0 WHEN 2 THEN 1.7
+          ELSE 2.25 END AS f
+      FROM documents),
+    r AS (
+      SELECT doc_id, source,
+        CAST(floor(f) AS BIGINT) +
+        CASE WHEN (doc_id * 2654435761) % 4294967296 <
+          CAST(floor((f - floor(f)) * 4294967296.0) AS BIGINT)
+          THEN 1 ELSE 0 END AS reps
+      FROM f)
+    SELECT doc_id, source, CAST(unnest(range(0, reps)) AS INT) AS epoch
+    FROM r WHERE reps > 0 ORDER BY doc_id, epoch"""
+
+  /** Per-source corpus statistics: exact token-length quantiles (linear
+    * interpolation, identical definition in Spark `percentile` and
+    * DuckDB `quantile_cont`), min/max/mean, doc counts. The exact
+    * percentile sorts each group in the aggregate buffer — right at
+    * report scale; a 100 TB profile run would swap in
+    * `approx_percentile` (t-digest, mergeable partials) and gate with a
+    * rank tolerance instead of a hash. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+    docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        min(col("ntok")).as("min_tok"),
+        max(col("ntok")).as("max_tok"),
+        round(avg(col("ntok")), 6).as("avg_tok"),
+        expr("percentile(ntok, array(0.25D, 0.5D, 0.75D))").as("_q"))
+      .select(col("source"), col("n_docs"), col("min_tok"), col("max_tok"),
+        col("avg_tok"),
+        round(element_at(col("_q"), 1), 6).as("p25"),
+        round(element_at(col("_q"), 2), 6).as("p50"),
+        round(element_at(col("_q"), 3), 6).as("p75"))
+      .orderBy("source")
+  }
+
+  val corpusStatsSql: String = s"""
+    WITH d AS (
+      SELECT source,
+        CAST(len(${TextFunctions.tokensSql("text")}) AS BIGINT) AS ntok
+      FROM documents)
+    SELECT source,
+      count(*) AS n_docs,
+      min(ntok) AS min_tok,
+      max(ntok) AS max_tok,
+      round(avg(ntok), 6) AS avg_tok,
+      round(quantile_cont(ntok, 0.25), 6) AS p25,
+      round(quantile_cont(ntok, 0.5), 6) AS p50,
+      round(quantile_cont(ntok, 0.75), 6) AS p75
+    FROM d GROUP BY source ORDER BY source"""
+
   /** Deterministic training shuffle: every event keyed by
     * SplitMix64(id ^ seed), sharded by the key's low 5 bits, densely
     * position-numbered per shard. The oracle recomputes the identical

@@ -80,4 +80,32 @@ class MixSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(plan.contains("RunningWindowFunction") || plan.contains("Window"), plan)
   }
+
+  test("epochs: integer factors repeat exactly; fractions hit the hash share") {
+    val f = (d: org.apache.spark.sql.Column) =>
+      when(d === "d0", 0.0).when(d === "d1", 2.0).otherwise(1.5)
+    val out = Mix.epochs(corpus, "dom", "id", f)
+    val byDom = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(!byDom.contains("d0"), "factor 0 drops the domain")
+    assert(byDom("d1") == 400L, "factor 2.0 repeats every doc exactly twice")
+    // factor 1.5: 200 guaranteed + ~100 hash-selected seconds
+    assert(byDom("d2") > 240 && byDom("d2") < 360, byDom)
+    // epoch indices are dense per row: a doc with k copies has epochs 0..k-1
+    val epochs = out.filter(col("dom") === "d1").groupBy("id")
+      .agg(sort_array(collect_list("epoch")).as("e"))
+      .select("e").as[Seq[Int]].collect()
+    assert(epochs.forall(_ == Seq(0, 1)))
+    // deterministic: re-running reproduces the identical expansion
+    val a = out.select("id", "epoch").as[(Long, Int)].collect().sorted.toSeq
+    val b = Mix.epochs(corpus, "dom", "id", f)
+      .select("id", "epoch").as[(Long, Int)].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("epochs: zero shuffles — pure map-side expansion") {
+    val f = (_: org.apache.spark.sql.Column) => lit(1.7)
+    val plan = Mix.epochs(corpus, "dom", "id", f)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"epochs must not shuffle:\n$plan")
+  }
 }
