@@ -79,4 +79,27 @@ class ScaleSoakSpec extends SparkSpec {
     assert(IncrementalDedup.readPairs(spark, pairs).count() ==
       (n + 1) * n / 2)
   }
+
+  test("shard balance holds at 1M sequential ids across 256 shards") {
+    // sequential ids are the adversarial input for sharding (any
+    // modulo/range scheme collapses or stripes); the mixer must spread
+    // them near-uniformly. 1M rows / 256 shards → E = 3906 per shard,
+    // binomial σ ≈ 62; ±6σ ⇒ ~10% band.
+    val n = 1000000L
+    val sizes = Shard.deterministic(spark.range(n).toDF("id"),
+        "id", seed = 99L, shards = 256)
+      .groupBy("shard").count()
+      .select("count").as[Long].collect()
+    assert(sizes.length == 256, "every shard populated")
+    val e = n / 256.0
+    assert(sizes.min > e * 0.9 && sizes.max < e * 1.1,
+      s"imbalance beyond ±10%: min=${sizes.min} max=${sizes.max}")
+    // positions stay dense at scale (spot-check the largest shard)
+    val top = Shard.deterministic(spark.range(n).toDF("id"),
+        "id", seed = 99L, shards = 256)
+      .filter(col("shard") === 0).agg(
+        count(lit(1)), min(col("pos")), max(col("pos")))
+      .as[(Long, Long, Long)].head()
+    assert(top._2 == 0L && top._3 == top._1 - 1, s"gapped positions: $top")
+  }
 }
