@@ -170,6 +170,77 @@ object IncrementalDedup {
           .select("id_a", "id_b", "sim")
       }, scoreCol = "sim")
 
+  /** CONTINUOUS near-dup maintenance — the dedup counterpart of
+    * [[IncrementalIndex.applyFeedBatch]]: consume a `graft-row-follow`
+    * stream of the replicated corpus table inside `foreachBatch` and
+    * keep the band/pair index synced per leader commit. Each commit
+    * applies as its own [[applyDelta]] with `_seq` = the leader commit
+    * version, so restarts are exactly-once (replayed commits no-op on
+    * both state tables); an expired checkpoint (full-refresh feed)
+    * truncates and re-bootstraps. The verify step reads the leader AT
+    * each commit's version (time travel), names aligned across renames
+    * to the batch's final logical schema like the feed rows themselves.
+    *
+    * {{{
+    * spark.readStream.format("graft-row-follow").option("path", root)
+    *   .load().writeStream.option("checkpointLocation", ckpt)
+    *   .foreachBatch { (df, _) => IncrementalDedup.applyFeedBatch(
+    *     df, root, bands, pairs, "doc_id", "text") }
+    *   .start()
+    * }}}
+    */
+  def applyFeedBatch(batch: DataFrame, root: String, bands: GraftTable,
+      pairs: GraftTable, idCol: String, textCol: String,
+      cfg: Config = Config()): Unit =
+    feedSync(batch, root, bands, pairs, Seq(idCol, textCol)) {
+      (spark, corpus, changes, seq) =>
+        applyDelta(spark, bands, pairs, corpus, changes, idCol, textCol,
+          seq, cfg)
+    }
+
+  /** [[applyFeedBatch]] for the embedding front (corpus table carries a
+    * vector column; index synced via [[applyEmbedDelta]]). */
+  def applyEmbedFeedBatch(batch: DataFrame, root: String,
+      bands: GraftTable, pairs: GraftTable, idCol: String, vecCol: String,
+      cfg: EmbedConfig = EmbedConfig()): Unit =
+    feedSync(batch, root, bands, pairs, Seq(idCol, vecCol)) {
+      (spark, corpus, changes, seq) =>
+        applyEmbedDelta(spark, bands, pairs, corpus, changes, idCol,
+          vecCol, seq, cfg)
+    }
+
+  private def feedSync(batch: DataFrame, root: String, bands: GraftTable,
+      pairs: GraftTable, cols: Seq[String])(
+      apply: (org.apache.spark.sql.SparkSession, DataFrame, DataFrame,
+        String) => Unit): Unit = {
+    val spark = batch.sparkSession
+    val leader = GraftTable.open(root)
+    val feeds = graft.sources.GraftRowFeed.transitionFeeds(batch, leader)
+    if (feeds.isEmpty) return
+    // align each commit's corpus read to the batch-final logical names,
+    // the same translation transitionFeeds applied to the feed rows
+    val finalPhysToLogical = leader.mappingOf(feeds.last._1).map(_.swap)
+    feeds.foreach { case (v, fullRefresh, rows) =>
+      val seq = f"$v%016x/${0L}%016x"
+      if (fullRefresh) { bands.truncate(); pairs.truncate() }
+      val changes = rows
+        .filter(if (fullRefresh) col("_change_type") === "insert"
+                else lit(true))
+        .select((cols :+ "_change_type").map(col): _*)
+      val atV = leader.readVersion(spark, v)
+      val mapping = leader.mappingOf(v)
+      val renames = atV.columns.flatMap { n =>
+        val p = mapping.getOrElse(n, n)
+        val fin = finalPhysToLogical.getOrElse(p, p)
+        if (fin != n) Some(n -> fin) else None
+      }.toMap
+      val corpus = (if (renames.isEmpty) atV
+                    else atV.withColumnsRenamed(renames))
+        .select(cols.map(col): _*)
+      apply(spark, corpus, changes, seq)
+    }
+  }
+
   /** The shared sync engine: `bandRowsOf` turns (id, payload) rows into
     * (id, band, bh) index rows; `verify` turns candidate (id_a, id_b)
     * pairs into verified pairs carrying `scoreCol`. */

@@ -191,4 +191,157 @@ class IncrementalDedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet ==
       rebuild(state))
   }
+
+  test("applyFeedBatch keeps the pair index live over the " +
+      "graft-row-follow stream (checkpointed, replay-guarded)") {
+    import graft.sinks.GraftTable
+    val dir = tmp("inc-feed")
+    val root = s"$dir/leader"
+    val leader = new GraftTable(root, Seq("doc_id"), nBuckets = 4,
+      retainVersions = 10)
+    val bands = IncrementalDedup.bandTable(s"$dir/bands", 16)
+    val pairs = IncrementalDedup.pairTable(s"$dir/pairs", 4)
+    val ckpt = s"$dir/ckpt"
+    def pass(): Unit = {
+      val q = spark.readStream.format("graft-row-follow")
+        .option("path", root).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          IncrementalDedup.applyFeedBatch(df, root, bands, pairs,
+            "doc_id", "text", cfg)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    def pairSet() = IncrementalDedup.readPairs(spark, pairs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def check(label: String): Unit = {
+      val want = Dedup.minhashLshPairs(
+          leader.read(spark).select("doc_id", "text"), "text", "doc_id",
+          cfg.n, cfg.numHashes, cfg.bands, cfg.threshold)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pairSet() == want, s"$label: index vs from-scratch rebuild")
+    }
+
+    leader.overwrite(Seq(
+      1L -> s"$base alpha", 2L -> s"$base beta",
+      3L -> other).toDF("doc_id", "text"))
+    pass(); check("bootstrap")
+    assert(pairSet().contains((1L, 2L)), "planted near-dup indexed")
+
+    // CDC-shaped commits: 2 migrates from the `base` cluster to the
+    // `other` cluster (destroys (1,2), joins {3}), 5 arrives in the
+    // `other` cluster, 1 deletes
+    leader.merge(Seq(
+        (2L, s"$other qq ww", "U", "0000000000000010/0"),
+        (5L, s"$other zz", "I", "0000000000000011/0"),
+        (1L, "", "D", "0000000000000012/0"))
+      .toDF("doc_id", "text", "_op", "_seq"))
+    pass(); check("cdc delta")
+    assert(pairSet() == Set((2L, 3L), (2L, 5L), (3L, 5L)),
+      "pair churn tracked")
+
+    // no new commits → replayed pass must no-op
+    pass(); check("replay no-op")
+  }
+
+  test("applyFeedBatch: expired checkpoint truncates and re-bootstraps " +
+      "both state tables from the full-refresh feed") {
+    import graft.sinks.GraftTable
+    val dir = tmp("inc-feed-exp")
+    val root = s"$dir/leader"
+    val leader = new GraftTable(root, Seq("doc_id"), nBuckets = 4,
+      retainVersions = 2)
+    val bands = IncrementalDedup.bandTable(s"$dir/bands", 16)
+    val pairs = IncrementalDedup.pairTable(s"$dir/pairs", 4)
+    val ckpt = s"$dir/ckpt"
+    def pass(): Unit = {
+      val q = spark.readStream.format("graft-row-follow")
+        .option("path", root).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          IncrementalDedup.applyFeedBatch(df, root, bands, pairs,
+            "doc_id", "text", cfg)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    leader.overwrite(Seq(1L -> s"$base alpha", 2L -> s"$base beta")
+      .toDF("doc_id", "text"))
+    pass()
+    // churn far past retention (keep 2): the checkpointed version
+    // expires; next pass gets a full-refresh feed and must reset the
+    // index instead of double-counting band rows
+    leader.merge(Seq((3L, s"$base gamma", "I", "03"))
+      .toDF("doc_id", "text", "_op", "_seq"))
+    leader.merge(Seq((2L, s"$other qq", "U", "04"))
+      .toDF("doc_id", "text", "_op", "_seq"))
+    leader.merge(Seq((4L, s"$other zz", "I", "05"))
+      .toDF("doc_id", "text", "_op", "_seq"))
+    pass()
+    val got = IncrementalDedup.readPairs(spark, pairs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = Dedup.minhashLshPairs(
+        leader.read(spark).select("doc_id", "text"), "text", "doc_id",
+        cfg.n, cfg.numHashes, cfg.bands, cfg.threshold)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == want, "post-expiry rebuild diverged")
+    assert(got == Set((1L, 3L), (2L, 4L)), got)
+  }
+
+  test("applyEmbedFeedBatch maintains the embedding pair index from " +
+      "the row-follow stream") {
+    import graft.sinks.GraftTable
+    val ecfg = IncrementalDedup.EmbedConfig(threshold = 0.9, nPlanes = 4,
+      nTables = 8)
+    val dir = tmp("inc-efeed")
+    val root = s"$dir/leader"
+    val leader = new GraftTable(root, Seq("vec_id"), nBuckets = 4,
+      retainVersions = 10)
+    val bands = IncrementalDedup.bandTable(s"$dir/bands", 8)
+    val pairs = IncrementalDedup.pairTable(s"$dir/pairs", 4)
+    val ckpt = s"$dir/ckpt"
+    def vec(dir0: Int, eps: Float): Array[Float] = {
+      val v = Array.fill(8)(0.01f * dir0)
+      v(dir0 % 8) = 1.0f
+      v((dir0 + 3) % 8) = eps
+      v
+    }
+    def pass(): Unit = {
+      val q = spark.readStream.format("graft-row-follow")
+        .option("path", root).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          IncrementalDedup.applyEmbedFeedBatch(df, root, bands, pairs,
+            "vec_id", "embedding", ecfg)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    def check(label: String): Unit = {
+      val got = IncrementalDedup.readPairs(spark, pairs)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val want = Similarity.cosineNearDupPairs(
+          leader.read(spark).select("vec_id", "embedding"),
+          "vec_id", "embedding", ecfg.threshold, ecfg.nPlanes,
+          ecfg.nTables)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == want, s"$label: index vs from-scratch rebuild")
+    }
+    leader.overwrite(Seq(
+      1L -> vec(0, 0.01f), 2L -> vec(0, 0.02f), 3L -> vec(1, 0.01f))
+      .toDF("vec_id", "embedding"))
+    pass(); check("bootstrap")
+    leader.merge(Seq(
+        (5L, vec(1, 0.02f), "I", "0000000000000010/0"),
+        (2L, vec(4, 0.01f), "U", "0000000000000011/0"))
+      .toDF("vec_id", "embedding", "_op", "_seq"))
+    pass(); check("cdc delta")
+    assert(IncrementalDedup.readPairs(spark, pairs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet ==
+      Set((3L, 5L)))
+  }
 }
