@@ -89,6 +89,7 @@ object SparkEntry {
     // multimodal columns
     "mm_meta" -> (SimQueries.mmMeta _),
     "mm_features" -> (SimQueries.mmFeatures _),
+    "mm_dedup" -> (SimQueries.mmDedup _),
     // temporal / range joins (no native Spark operator; gated vs DuckDB
     // ASOF JOIN and the plain BETWEEN join respectively)
     "asof_join" -> (JoinQueries.asofJoin _),
@@ -175,6 +176,7 @@ object SparkEntry {
     "train_pipeline" -> TextQueries.trainPipelineSql,
     "ann_topk" -> SimQueries.annTopKSql,
     "mm_features" -> SimQueries.mmFeaturesSql,
+    "mm_dedup" -> SimQueries.mmDedupSql,
     // The LSH/IVF candidate structures come from xxhash64-derived hashes
     // DuckDB cannot reproduce, so their queries emit COMPARISON rows
     // instead: exact-set counts DuckDB recomputes bit-exactly, verified

@@ -130,4 +130,18 @@ object Multimodal {
       }
     spark.createDataFrame(rows, featSchema)
   }
+
+  /** Exact binary-content dedup over an opaque media column — the
+    * multimodal counterpart of text [[Dedup.exact]]: identical payloads
+    * (re-crawled images, mirrored videos) collapse to one content group
+    * keyed by SHA-256, keeping the smallest id. One map-side-combinable
+    * aggregation; the 256-bit key makes collisions ~|corpus|²/2²⁵⁶ —
+    * content-hash dedup at 100 TB shuffles 32-byte digests, never
+    * payloads. */
+  def dedupByContent(df: DataFrame, idCol: String,
+      mediaCol: String): DataFrame =
+    df.groupBy(sha2(col(mediaCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper"),
+        count(lit(1)).as("n_copies"),
+        min(length(col(mediaCol))).cast(LongType).as("n_bytes"))
 }

@@ -807,6 +807,34 @@ object SimQueries {
         list_transform(feats, x -> CAST(x AS DOUBLE))), (a,x) -> a+x), 4) AS feat_sum
     FROM f ORDER BY doc_id"""
 
+  /** Binary-content exact dedup over the media column — duplicate
+    * payloads planted deterministically (every 7th doc's media is one
+    * of 3 shared blobs, the re-crawled-asset shape) so the content
+    * groups are non-trivial; SHA-256 digests agree byte-for-byte across
+    * engines (Spark hashes the binary payload, DuckDB the identical
+    * UTF-8 varchar). */
+  def mmDedup(spark: SparkSession, dir: String): DataFrame = {
+    val payload = when(col("doc_id") % 7 === 0,
+        concat(lit("shared blob "), (col("doc_id") % 3).cast("string")))
+      .otherwise(col("text"))
+    val media = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), encode(payload, "UTF-8").as("media"))
+    Multimodal.dedupByContent(media, "doc_id", "media")
+      .orderBy("keeper")
+  }
+
+  val mmDedupSql: String = """
+    WITH m AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0 THEN 'shared blob ' || (doc_id % 3)
+             ELSE text END AS payload
+      FROM documents)
+    SELECT sha256(payload) AS content_hash,
+      min(doc_id) AS keeper,
+      CAST(count(*) AS BIGINT) AS n_copies,
+      CAST(min(octet_length(encode(payload))) AS BIGINT) AS n_bytes
+    FROM m GROUP BY 1 ORDER BY keeper"""
+
   // ------------------------------------------------------------ clustering
   /** Centroid assignment, hash-gated EXACT: centroids fixed to the 8
     * embeddings with the smallest vec_id (0-based cluster id = that
