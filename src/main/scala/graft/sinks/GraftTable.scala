@@ -491,7 +491,8 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * return bucket → new file paths. Files are staged by Spark, then moved
     * into the bucket dirs under fresh UUID names — never visible to any
     * manifest until the commit that references them. */
-  private def writeDataFiles(df0: DataFrame, parts: Int): Map[Int, Seq[String]] = {
+  private def writeDataFiles(df0: DataFrame, parts: Int,
+      rangeCols: Seq[String] = Nil): Map[Int, Seq[String]] = {
     // data files ALWAYS carry physical column names: a renamed column
     // keeps its creation-time name on disk (columnMapping translates on
     // read), so every file of the table agrees regardless of rename
@@ -501,7 +502,15 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       .filter { case (l, p) => l != p && df0.columns.contains(l) }
     val df = if (toPhysical.isEmpty) df0 else df0.withColumnsRenamed(toPhysical)
     val stage = s"$root/.stage-${java.util.UUID.randomUUID()}"
-    df.repartition(parts, col("_bucket"))
+    // default: hash on _bucket (one file per bucket). rangeCols: range
+    // partition instead — contiguous (e.g. z-order) spans become the
+    // files; helper columns beyond _bucket are dropped before writing
+    val shaped = rangeCols match {
+      case Nil => df.repartition(parts, col("_bucket"))
+      case rs  => df.repartitionByRange(parts, rs.map(col): _*)
+        .drop(rs.filterNot(_ == "_bucket").filterNot(keyCols.contains): _*)
+    }
+    shaped
       .sortWithinPartitions(("_bucket" +: keyCols).map(col): _*)
       .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(stage)
     val out = scala.collection.mutable.Map.empty[Int, Seq[String]]
@@ -852,6 +861,55 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     commitManifest(Manifest(nextVersion, m.highWater,
       (m.files -- crowded) ++ newFiles, m.schemaDdl))
     crowded
+  }
+
+  /** Z-ORDER clustering maintenance (the `OPTIMIZE ZORDER BY` shape):
+    * rewrite every bucket's data ordered by the Morton interleave of
+    * two rank-scaled columns, split into ~`filesPerBucket` files per
+    * bucket along the curve. Each rewritten file then covers a compact
+    * region of the (colA, colB) plane, so the per-file [min, max] stats
+    * the commit harvests become selective in BOTH dimensions — a 2-D
+    * box predicate (catalog scan, deleteWhere discovery) opens only the
+    * files whose rectangle intersects the box, where an append-ordered
+    * layout is selective in at most the arrival dimension.
+    *
+    * Both columns should be in [[statsCols]] (integral types) or the
+    * rewrite reorders without anything to prune on. Data-identical by
+    * construction: one shuffle (range partition on (_bucket, z)), keys
+    * stay sorted within files for row-group skipping, bucket membership
+    * never changes (z orders WITHIN buckets). At 100 TB this is the
+    * standard background maintenance pass: per-bucket rewrites can run
+    * incrementally (bucket subsets per run) under the same
+    * copy-on-write commit as [[compact]]. */
+  def clusterBy(spark: SparkSession, colA: String, colB: String,
+      filesPerBucket: Int = 4): Unit = {
+    require(groupState.isEmpty, "close the open group before clusterBy")
+    require(filesPerBucket >= 1, "filesPerBucket >= 1")
+    val m = currentManifest().getOrElse(return)
+    val buckets = m.files.filter(_._2.nonEmpty).keys.toSeq.sorted
+    if (buckets.isEmpty) return
+    val df = readBuckets(spark, m, buckets)
+    // table-level [lo, hi] per dimension: one metadata-scale agg
+    val r = df.agg(min(col(colA)), max(col(colA)),
+      min(col(colB)), max(col(colB))).collect()(0)
+    def lohi(i: Int): (Long, Long) =
+      if (r.isNullAt(i) || r.isNullAt(i + 1)) (0L, 0L)
+      else (r.getAs[Number](i).longValue(), r.getAs[Number](i + 1).longValue())
+    val (aLo, aHi) = lohi(0)
+    val (bLo, bHi) = lohi(2)
+    def rank(c: String, lo: Long, hi: Long) =
+      if (hi <= lo) lit(0L)
+      else least(lit(Int.MaxValue.toLong), floor(
+        (col(c).cast("double") - lit(lo.toDouble)) *
+          (Int.MaxValue.toDouble / (hi.toDouble - lo.toDouble)))
+        .cast("long"))
+    val z = graft.functions.Interleave2(
+      rank(colA, aLo, aHi), rank(colB, bLo, bHi))
+    val parts = math.max(1, buckets.size * filesPerBucket)
+    val newFiles = writeDataFiles(df.withColumn("_zorder", z), parts,
+      rangeCols = Seq("_bucket", "_zorder"))
+    commitManifest(Manifest(nextVersion, m.highWater,
+      (m.files -- buckets) ++ newFiles, m.schemaDdl))
   }
 
   /** Expire old snapshots: keep the latest `keep` manifests, delete older

@@ -159,7 +159,11 @@ class GraftTableModelSpec extends SparkSpec {
           model.clear()
           highWater = ""
           check("truncate")
-        case 8 => // compact + vacuum (data-identical maintenance)
+        case 8 => // data-identical maintenance: sometimes a z-order
+          // rewrite first (degenerate 1-D curve — exercises the
+          // range-partitioned write path under random state)
+          if (rnd.nextInt(2) == 0)
+            t.clusterBy(spark, "id", "id", filesPerBucket = 2)
           t.compact(spark, maxFiles = 1)
           t.vacuum(keep = 1)
           check("compact+vacuum")
