@@ -4,7 +4,8 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import graft.functions.{HyperplaneSig, NGramHashes, RollingHash, VecDot}
+import graft.functions.{HyperplaneSig, Interleave2, NGramHashes, RollingHash,
+  SplitMix64, VecDot}
 import graft.sinks.{ChangelogSink, GraftTable}
 
 /** SparkSessionExtensions entry point: registers the engine's native
@@ -19,7 +20,9 @@ import graft.sinks.{ChangelogSink, GraftTable}
   *   SELECT rolling_hash(text),                -- codegen'd fingerprint
   *          ngram_hashes(text, 3),             -- hashed shingle set
   *          vec_dot(a, b),                     -- double-fold dot product
-  *          hyperplane_sig(vec, 8)             -- LSH bucket signature
+  *          hyperplane_sig(vec, 8),            -- LSH bucket signature
+  *          splitmix64(id),                    -- deterministic shuffle key
+  *          interleave2(rx, ry)                -- Morton (Z-order) key
   *
   *   SELECT * FROM graft_table('/path/t')      -- current snapshot
   *   SELECT * FROM graft_table_version('/path/t', 3)   -- time travel
@@ -51,6 +54,10 @@ object GraftExtensions {
         args(1).eval().asInstanceOf[Number].intValue(),
         if (args.length > 2) args(2).eval().asInstanceOf[Number].intValue()
         else 0), "built-in")
+    r.createOrReplaceTempFunction("splitmix64",
+      args => SplitMix64(args.head), "built-in")
+    r.createOrReplaceTempFunction("interleave2",
+      args => Interleave2(args.head, args(1)), "built-in")
     val t = spark.sessionState.tableFunctionRegistry
     t.createOrReplaceTempFunction("graft_table",
       args => tableBuilder(args), "built-in")
@@ -64,6 +71,8 @@ object GraftExtensions {
       args => tableChangesBuilder(args), "built-in")
     t.createOrReplaceTempFunction("graft_search",
       args => searchBuilder(args), "built-in")
+    t.createOrReplaceTempFunction("graft_chunks",
+      args => chunksBuilder(args), "built-in")
   }
 
   // ------------------------------------------------- table-function bodies
@@ -121,6 +130,21 @@ object GraftExtensions {
         GraftTable.open(s"$root/postings"), GraftTable.open(s"$root/docs"),
         GraftTable.open(s"$root/stats"), q, "q_id", "q_toks", k)
       .drop("q_id"))
+  }
+
+  /** `graft_chunks(root, idCol, textCol[, window[, stride]])` — the RAG
+    * chunking pass over a graft table as a SQL table: one row per
+    * overlapping token window ([[graft.operators.Chunk.tokenWindows]]
+    * semantics — snap-back final window, full coverage). */
+  private[graft] def chunksBuilder(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    val root = str(args.head, "root path")
+    val idCol = str(args(1), "id column")
+    val textCol = str(args(2), "text column")
+    val w = if (args.length > 3) long(args(3), "window").toInt else 256
+    val s = if (args.length > 4) long(args(4), "stride").toInt else w * 3 / 4
+    plan(graft.operators.Chunk.tokenWindows(
+      GraftTable.open(root).read(spark), idCol, textCol, w, s))
   }
 
   private[graft] def changelogLatestBuilder(args: Seq[Expression]): LogicalPlan = {
@@ -189,5 +213,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_search(indexRoot, query[, k]) - BM25 top-k against a " +
           "maintained incremental search index"),
       (args: Seq[Expression]) => GraftExtensions.searchBuilder(args)))
+    e.injectFunction((
+      FunctionIdentifier("splitmix64"),
+      info("splitmix64", "splitmix64(x) - full-avalanche 64-bit mixer " +
+        "(deterministic shuffle keys)"),
+      (args: Seq[Expression]) => SplitMix64(args.head)))
+    e.injectFunction((
+      FunctionIdentifier("interleave2"),
+      info("interleave2", "interleave2(a, b) - Morton (Z-order) bit " +
+        "interleave of two 31-bit ranks"),
+      (args: Seq[Expression]) => Interleave2(args.head, args(1))))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_chunks"),
+      info("graft_chunks",
+        "graft_chunks(root, idCol, textCol[, window[, stride]]) - " +
+          "overlapping token-window chunks of a graft table"),
+      (args: Seq[Expression]) => GraftExtensions.chunksBuilder(args)))
   }
 }

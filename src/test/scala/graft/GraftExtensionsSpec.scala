@@ -104,4 +104,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM graft_search('$root', 'data', 10)")
       .head().getLong(0) > 0)
   }
+
+  test("splitmix64 / interleave2 scalar functions and the graft_chunks TVF") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    assert(spark.sql("SELECT splitmix64(42L)").head().getLong(0) ==
+      graft.functions.SplitMix64.compute(42L))
+    assert(spark.sql("SELECT interleave2(3L, 9L)").head().getLong(0) ==
+      graft.functions.Interleave2.compute(3L, 9L))
+
+    val root = java.nio.file.Files
+      .createTempDirectory("ext-chunks").toString + "/t"
+    val t = new graft.sinks.GraftTable(root, Seq("doc_id"), nBuckets = 2)
+    t.overwrite(Seq(
+      (1L, (1 to 40).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c")).toDF("doc_id", "text"))
+    val got = spark.sql(
+      s"""SELECT doc_id, chunk_id, start, n_tokens
+          FROM graft_chunks('$root', 'doc_id', 'text', 16, 12)
+          ORDER BY doc_id, chunk_id""")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    val want = graft.operators.Chunk.tokenWindows(
+        t.read(spark), "doc_id", "text", 16, 12)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "start", "n_tokens")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.count(_._1 == 1L) == 3) // 40 toks, w=16 s=12 → 3 windows
+  }
 }
