@@ -67,6 +67,7 @@ object SparkEntry {
     "text_repetition" -> (TextQueries.repetition _),
     "decontaminate" -> (TextQueries.decontaminate _),
     "train_pipeline" -> (TextQueries.trainPipeline _),
+    "train_order" -> (TextQueries.trainOrder _),
     // dedup family
     "dedup_exact" -> (SimQueries.dedupExact _),
     "dedup_jaccard" -> (SimQueries.dedupJaccard _),
@@ -174,6 +175,7 @@ object SparkEntry {
     "text_repetition" -> TextQueries.repetitionSql,
     "decontaminate" -> TextQueries.decontaminateSql,
     "train_pipeline" -> TextQueries.trainPipelineSql,
+    "train_order" -> TextQueries.trainOrderSql,
     "ann_topk" -> SimQueries.annTopKSql,
     "mm_features" -> SimQueries.mmFeaturesSql,
     "mm_dedup" -> SimQueries.mmDedupSql,

@@ -376,6 +376,59 @@ object TextQueries {
     SELECT q_id, rank, doc_id, score FROM ranked
     WHERE rank <= 10 ORDER BY q_id, rank"""
 
+  /** The FULL pretraining data path as one gate — [[trainPipeline]]'s
+    * annotate → filter → exact-dedup stages extended through chunking
+    * and the deterministic training shuffle: surviving representative
+    * documents chunk into overlapping context windows, each chunk gets
+    * a SplitMix64 permutation key, and the output is the sharded,
+    * position-numbered order a trainer would actually read. Every
+    * stage is an already-gated operator; this pins that the WHOLE chain
+    * composes without drift (the final permutation is a pure function
+    * of corpus content, so it hash-gates row-for-row). */
+  def trainOrder(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val kept = docs.select(col("doc_id"), col("text"),
+        TextFunctions.langId(col("text")).as("predicted"),
+        TextFunctions.qualityScore(col("text")).as("score"))
+      .filter(col("predicted") === "en" && col("score") >= 0.15)
+    val reps = graft.operators.Dedup
+      .exactWith(kept, "text", "doc_id", Seq("text"))
+      .select(col("rep_id").as("doc_id"), col("text"))
+    val chunks = graft.operators.Chunk.tokenWindows(reps,
+        "doc_id", "text", window = 32, stride = 24)
+      .select((col("doc_id") * 1000 + col("chunk_id")).as("cid"),
+        col("n_tokens"))
+    graft.operators.Shard.deterministic(chunks, "cid",
+        seed = 2026L, shards = 16)
+      .select("shard", "pos", "cid", "n_tokens", "sort_key")
+      .orderBy("shard", "pos")
+  }
+
+  val trainOrderSql: String = s"""
+    WITH ann AS (
+      SELECT doc_id, text,
+        ${TextFunctions.langIdSql("text")} AS predicted,
+        ${TextFunctions.qualityScoreSql("text")} AS score
+      FROM documents),
+    kept AS (SELECT doc_id, text FROM ann
+             WHERE predicted = 'en' AND score >= 0.15),
+    reps AS (
+      SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+      FROM kept
+      GROUP BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))),
+    chunks AS (${graft.operators.Chunk.tokenWindowsSql(
+        "reps", "doc_id", "text", window = 32, stride = 24)}),
+    keyed AS (
+      SELECT doc_id * 1000 + chunk_id AS cid, n_tokens FROM chunks),
+    ${graft.operators.Shard.sortKeySql("keyed", "cid", 2026L)}
+    SELECT CAST(sort_key & 15 AS INT) AS shard,
+      CAST(row_number() OVER (
+        PARTITION BY (sort_key & 15) ORDER BY sort_key, cid) - 1
+        AS BIGINT) AS pos,
+      cid, n_tokens, sort_key
+    FROM _sk
+    ORDER BY shard, pos"""
+
   /** Chunk-level retrieval — [[graft.operators.Chunk]] composed with
     * [[graft.operators.Retrieval.bm25TopK]]: the corpus is chunked into
     * overlapping 32-token windows and BM25 runs over CHUNKS (the RAG
