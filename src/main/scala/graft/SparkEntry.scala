@@ -59,6 +59,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextQueries.fingerprint _),
     "bm25_search" -> (TextQueries.bm25Search _),
     "dedup_segments" -> (TextQueries.dedupSegments _),
+    "dedup_substrings" -> (TextQueries.dedupSubstrings _),
     "text_perplexity" -> (TextQueries.perplexity _),
     "hybrid_search" -> (SimQueries.hybridSearch _),
     "bm25_incremental" -> (TextQueries.bm25Incremental _),
@@ -167,6 +168,7 @@ object SparkEntry {
     "text_fingerprint" -> TextQueries.fingerprintSql,
     "bm25_search" -> TextQueries.bm25SearchSql,
     "dedup_segments" -> TextQueries.dedupSegmentsSql,
+    "dedup_substrings" -> TextQueries.dedupSubstringsSql,
     "text_perplexity" -> TextQueries.perplexitySql,
     "hybrid_search" -> SimQueries.hybridSearchSql,
     "bm25_incremental" -> TextQueries.bm25IncrementalSql,

@@ -97,6 +97,60 @@ object Dedup {
       .withColumn("text_dedup", coalesce(col("text_dedup"), lit("")))
   }
 
+  /** Corpus-wide exact SUBSTRING dedup (the Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better" ExactSubstr pass,
+    * re-expressed relationally): any token covered by a duplicated
+    * `k`-token span is removed unless that span instance is the span's
+    * GLOBALLY FIRST occurrence (min `(doc, pos)` across the corpus —
+    * also catches repeats WITHIN one document). Complements
+    * [[segmentDedup]]: segments drop only on fixed segmenter boundaries
+    * in ≥minDocs docs, this removes arbitrary-alignment repeated spans
+    * down to token granularity, the semantics actually wanted for
+    * "the same paragraph pasted mid-document 40,000 times".
+    *
+    * Where the paper builds a corpus-global suffix array (sequential,
+    * needs the whole corpus addressable), the relational shape is: every
+    * k-gram start becomes an `(id, pos, hash)` occurrence row; the
+    * per-gram first occurrence is a map-side-combinable `min(struct)`
+    * aggregate (NO window over the gram partition — a super-common gram
+    * would make row_number a straggler); occurrences equijoin their
+    * gram's first to classify duplicates; duplicate starts fold back
+    * per doc and a single higher-order filter drops covered tokens.
+    * Scale: two hash-exchanges of a 20-byte occurrence stream + one
+    * id-keyed join whose right side (per-doc duplicate-start arrays)
+    * is output-scale, so AQE broadcasts it on mostly-unique corpora.
+    * Per-doc coverage check is O(tokens × dup-starts) in the worst
+    * (all-duplicate) document, with no cross-doc term. 64-bit gram
+    * hashing: collisions ~|grams|²/2⁶⁴, same accepted trade as
+    * [[shingleHashes]]. Returns every input doc as
+    * `(idCol, text_dedup, n_tokens, n_removed)`. */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int, joiner: String = " "): DataFrame = {
+    val toks = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("tk"))
+    val occ = toks.filter(size(col("tk")) >= k)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(tk) - $k), " +
+          s"i -> xxhash64(concat_ws(' ', slice(tk, i + 1, $k))))")))
+      .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "_gh")
+    val firsts = occ.groupBy("_gh")
+      .agg(min(struct(col(idCol), col("_pos"))).as("_first"))
+    val dupStarts = occ.join(firsts, "_gh")
+      .filter(!(col(idCol) === col("_first")(idCol) &&
+        col("_pos") === col("_first")("_pos")))
+      .groupBy(idCol).agg(collect_set(col("_pos")).as("_st"))
+    toks.join(dupStarts, Seq(idCol), "left")
+      // left-join miss ⇒ null _st; exists(null, …) is null, which filter
+      // reads as "drop" — a no-duplicates doc would lose every token
+      .withColumn("_st", coalesce(col("_st"),
+        expr("cast(array() as array<int>)")))
+      .withColumn("_kept", expr(
+        s"filter(tk, (w, p) -> NOT exists(_st, s -> p >= s AND p < s + $k))"))
+      .select(col(idCol),
+        concat_ws(joiner, col("_kept")).as("text_dedup"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        (size(col("tk")) - size(col("_kept"))).cast("long").as("n_removed"))
+  }
+
   /** Word n-gram shingles (as single space-joined strings) of the
     * document's token sequence; distinct set. */
   def shingles(text: Column, n: Int): Column = {

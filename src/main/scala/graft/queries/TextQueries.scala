@@ -604,6 +604,59 @@ object TextQueries {
     * segmenter is the non-degenerate choice); any segment appearing in
     * 2+ distinct documents is boilerplate and drops; documents
     * reassemble in order. Exact string output → hash-gated. */
+  /** Corpus-wide exact substring dedup over the documents table —
+    * [[graft.operators.Dedup.substringDedup]] with 6-token spans; any
+    * token covered by a repeated 6-gram survives only at the gram's
+    * globally-first `(doc, pos)`. The DuckDB oracle replays the same
+    * semantics with STRING grams (the Spark side joins on 64-bit gram
+    * hashes; agreement also pins collision-freedom at gate scale). */
+  def dedupSubstrings(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    graft.operators.Dedup.substringDedup(docs, "doc_id", "text", k = 6)
+      .orderBy("doc_id")
+  }
+
+  val dedupSubstringsSql: String = {
+    val k = 6
+    s"""
+    WITH toks AS (
+      SELECT doc_id, ${TextFunctions.tokensSql("text")} AS tk
+      FROM documents),
+    g0 AS (
+      SELECT doc_id,
+        unnest([{'pos': i, 'gram': array_to_string(tk[i+1:i+$k], ' ')}
+                for i in range(0, len(tk) - $k + 1)]) AS u
+      FROM toks WHERE len(tk) >= $k),
+    g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g0),
+    d AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+          row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        FROM g) WHERE rn > 1),
+    cov AS (
+      SELECT DISTINCT doc_id, unnest([pos + j for j in range(0, $k)]) AS cpos
+      FROM d),
+    ts0 AS (
+      SELECT doc_id,
+        unnest([{'p': i, 'w': tk[i+1]} for i in range(0, len(tk))]) AS u
+      FROM toks),
+    ts AS (SELECT doc_id, u.p AS p, u.w AS w FROM ts0),
+    kept AS (
+      SELECT ts.doc_id, ts.p, ts.w FROM ts
+      LEFT JOIN cov ON ts.doc_id = cov.doc_id AND ts.p = cov.cpos
+      WHERE cov.doc_id IS NULL),
+    agg AS (
+      SELECT doc_id, array_to_string(list(w ORDER BY p), ' ') AS text_dedup,
+        count(*) AS n_kept
+      FROM kept GROUP BY 1)
+    SELECT t.doc_id,
+      coalesce(a.text_dedup, '') AS text_dedup,
+      CAST(len(t.tk) AS BIGINT) AS n_tokens,
+      CAST(len(t.tk) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    ORDER BY t.doc_id"""
+  }
+
   def dedupSegments(spark: SparkSession, dir: String): DataFrame = {
     val seg = 10
     val toksC = TextFunctions.tokens(col("text"))

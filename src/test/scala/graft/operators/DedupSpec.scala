@@ -195,6 +195,46 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(got.length == 64 && got.forall(_._2 == 0L))
   }
+
+  test("substringDedup removes covered dup spans, keeps global first") {
+    val d = Seq(
+      (1L, "a b c d e f g"),   // holds the first occurrences
+      (2L, "x y a b c d q"),   // one dup 4-gram covering pos 2..5
+      (3L, "a b c d e z z"),   // two overlapping dup grams → pos 0..4 gone
+      (4L, ""),                // no tokens at all
+      (5L, "a b")              // shorter than k: untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(d, "doc_id", "text", k = 4)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a b c d e f g", 7L, 0L),
+      (2L, "x y q", 7L, 4L),
+      (3L, "z z", 7L, 5L),
+      (4L, "", 0L, 0L),
+      (5L, "a b", 2L, 0L)))
+  }
+
+  test("substringDedup catches WITHIN-document repetition") {
+    val d = Seq((7L, "p q r s t p q r s t")).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(d, "doc_id", "text", k = 5)
+      .as[(Long, String, Long, Long)].head()
+    assert(got == ((7L, "p q r s t", 10L, 5L)))
+  }
+
+  test("substringDedup invariants on a real corpus slice") {
+    val docs = graft.Tables.load(spark, sf(), "documents").limit(200)
+    val out = Dedup.substringDedup(docs, "doc_id", "text", k = 6).cache()
+    assert(out.count() == 200)                       // every doc present
+    // n_removed accounting matches the reassembled text exactly
+    val bad = out.filter(
+      size(graft.functions.TextFunctions.tokens(col("text_dedup"))) =!=
+        col("n_tokens") - col("n_removed")).count()
+    assert(bad == 0L)
+    // something real was removed (the synthetic corpus repeats spans)
+    assert(out.agg(sum("n_removed")).as[Long].head() > 0L)
+    out.unpersist()
+  }
 }
 
 class TextFunctionsSpec extends SparkSpec {
