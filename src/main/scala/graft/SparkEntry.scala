@@ -60,6 +60,8 @@ object SparkEntry {
     "bm25_search" -> (TextQueries.bm25Search _),
     "dedup_segments" -> (TextQueries.dedupSegments _),
     "dedup_substrings" -> (TextQueries.dedupSubstrings _),
+    "bpe_merges" -> (TextQueries.bpeMerges _),
+    "bpe_encode" -> (TextQueries.bpeEncode _),
     "text_perplexity" -> (TextQueries.perplexity _),
     "hybrid_search" -> (SimQueries.hybridSearch _),
     "bm25_incremental" -> (TextQueries.bm25Incremental _),
@@ -169,6 +171,8 @@ object SparkEntry {
     "bm25_search" -> TextQueries.bm25SearchSql,
     "dedup_segments" -> TextQueries.dedupSegmentsSql,
     "dedup_substrings" -> TextQueries.dedupSubstringsSql,
+    "bpe_merges" -> TextQueries.bpeMergesSql,
+    "bpe_encode" -> TextQueries.bpeEncodeSql,
     "text_perplexity" -> TextQueries.perplexitySql,
     "hybrid_search" -> SimQueries.hybridSearchSql,
     "bm25_incremental" -> TextQueries.bm25IncrementalSql,

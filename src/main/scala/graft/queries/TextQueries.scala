@@ -657,6 +657,93 @@ object TextQueries {
     ORDER BY t.doc_id"""
   }
 
+  /** BPE tokenizer training over the documents table —
+    * [[graft.operators.Bpe.train]], 8 merges, on words restricted to
+    * `^[a-z0-9]+$` (the restriction keeps the ORACLE sound: DuckDB
+    * replays each merge with `replace()` over double-space-separated
+    * symbol strings, which is exactly leftmost-greedy non-overlapping
+    * — legal only when no symbol can contain the separator). Gate 1
+    * is the learned merge table itself; [[bpeEncode]] gates the
+    * resulting vocab symbolization. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val (rules, _) = graft.operators.Bpe.train(
+      graft.operators.Bpe.wordCounts(docs, "text", "^[a-z0-9]+$"),
+      merges = 8)
+    graft.operators.Bpe.rulesDf(spark, rules).orderBy("rank")
+  }
+
+  /** The trained vocab's final symbolization (top 200 words by count):
+    * what [[graft.operators.Bpe.train]]'s vocab output — and therefore
+    * any corpus encode that joins against it — actually produces. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val (_, vocab) = graft.operators.Bpe.train(
+      graft.operators.Bpe.wordCounts(docs, "text", "^[a-z0-9]+$"),
+      merges = 8)
+    vocab.select(col("word"), col("cnt"),
+        size(col("syms")).cast("long").as("n_subwords"),
+        concat_ws("|", col("syms")).as("subwords"))
+      .orderBy(desc("cnt"), asc("word")).limit(200)
+  }
+
+  /** Shared CTE chain replaying 8 BPE merge iterations in DuckDB:
+    * level i = weighted pair counts over the level-(i−1) symbolization
+    * → deterministic best pair (count DESC, then lexicographic) →
+    * vocab rewrite via `replace(' l  r ', ' lr ')` on words rendered as
+    * `' ' || join(syms, '  ') || ' '` — single-space sentinels,
+    * double-space joints, so consecutive matches share a boundary space
+    * and `replace`'s left-to-right non-overlapping scan reproduces the
+    * merge fold exactly (validated against a driver BPE reference). */
+  private def bpeCtes(m: Int): String = {
+    val head = s"""w0 AS (
+      SELECT tok AS word, count(*) AS cnt
+      FROM (SELECT unnest(${TextFunctions.tokensSql("text")}) AS tok
+            FROM documents)
+      WHERE regexp_matches(tok, '^[a-z0-9]+$$') GROUP BY 1),
+    t0 AS (
+      SELECT word, cnt,
+        ' ' || array_to_string([word[i:i] for i in range(1, len(word)+1)],
+                               '  ') || ' ' AS s
+      FROM w0)"""
+    val levels = (1 to m).map { i =>
+      val p = i - 1
+      s"""pc$i AS (
+      SELECT u.l AS l, u.r AS r, sum(cnt) AS c FROM (
+        SELECT cnt,
+          unnest([{'l': tk[j], 'r': tk[j+1]} for j in range(1, len(tk))]) AS u
+        FROM (SELECT cnt, list_filter(string_split(s, ' '), x -> x <> '') AS tk
+              FROM t$p))
+      GROUP BY 1, 2),
+    b$i AS (SELECT l, r, c FROM pc$i ORDER BY c DESC, l, r LIMIT 1),
+    t$i AS (
+      SELECT word, cnt,
+        replace(s, ' '||b.l||'  '||b.r||' ', ' '||b.l||b.r||' ') AS s
+      FROM t$p, b$i b)"""
+    }
+    (head +: levels).mkString(",\n    ")
+  }
+
+  val bpeMergesSql: String = {
+    val m = 8
+    val union = (1 to m).map(i =>
+      s"""SELECT $i AS rank, l AS "left", r AS "right",
+          CAST(c AS BIGINT) AS pair_count FROM b$i""").mkString(" UNION ALL ")
+    s"""WITH ${bpeCtes(m)}
+    SELECT * FROM ($union) ORDER BY rank"""
+  }
+
+  val bpeEncodeSql: String = {
+    val m = 8
+    s"""WITH ${bpeCtes(m)}
+    SELECT word, cnt, CAST(len(tk) AS BIGINT) AS n_subwords,
+      array_to_string(tk, '|') AS subwords
+    FROM (SELECT word, cnt,
+            list_filter(string_split(s, ' '), x -> x <> '') AS tk
+          FROM t$m)
+    ORDER BY cnt DESC, word LIMIT 200"""
+  }
+
   def dedupSegments(spark: SparkSession, dir: String): DataFrame = {
     val seg = 10
     val toksC = TextFunctions.tokens(col("text"))
