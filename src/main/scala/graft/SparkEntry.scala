@@ -107,6 +107,7 @@ object SparkEntry {
     "shuffle_shard" -> (CurationQueries.shuffleShard _),
     "mix_epochs" -> (CurationQueries.mixEpochs _),
     "corpus_stats" -> (CurationQueries.corpusStats _),
+    "split_assign" -> (CurationQueries.splitAssign _),
   )
 
   /** Bench-only operator timings, NOT part of the correctness contract:
@@ -208,6 +209,7 @@ object SparkEntry {
     "chunk_docs" -> CurationQueries.chunkDocsSql,
     "shuffle_shard" -> CurationQueries.shuffleShardSql,
     "mix_epochs" -> CurationQueries.mixEpochsSql,
-    "corpus_stats" -> CurationQueries.corpusStatsSql
+    "corpus_stats" -> CurationQueries.corpusStatsSql,
+    "split_assign" -> CurationQueries.splitAssignSql
   )
 }

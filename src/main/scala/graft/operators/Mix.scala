@@ -115,4 +115,38 @@ object Mix {
         explode(sequence(lit(0), (col("_reps") - 1).cast("int"))))
       .drop("_reps")
   }
+
+  /** Deterministic train/val/test SPLIT assignment: each row's fate is a
+    * pure function of `(idCol, seed)` — reproducible across runs,
+    * engines, and cluster layouts, and INDEPENDENT of [[hashOrd]]-based
+    * sampling decisions (different mixer), so a row's sample fate never
+    * correlates with its split. `weights` are (label, weight) in
+    * declaration order; thresholds are cumulative weight fractions of
+    * the 32-bit key space (driver-computed integer literals the oracle
+    * restates verbatim; the last threshold is forced to 2³² so rounding
+    * can't orphan the top of the key space). Zero shuffles — a pure
+    * projection over the corpus scan. Stratification: hash-proportional
+    * per stratum by construction; pair with [[stratifiedExact]] when
+    * realized per-stratum counts must be exact. */
+  def splitAssign(df: DataFrame, idCol: String, seed: Long,
+      weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val thrs = splitThresholds(weights)
+    val u32 = shiftrightunsigned(
+      graft.functions.SplitMix64(col(idCol).bitwiseXOR(lit(seed))), 32)
+    val label = weights.zip(thrs).reverse.foldLeft(lit(null).cast("string")) {
+      case (els, ((name, _), thr)) => when(u32 < lit(thr), lit(name)).otherwise(els)
+    }
+    df.withColumn("split", label)
+  }
+
+  /** Cumulative integer thresholds in (0, 2³²] for [[splitAssign]] —
+    * public so oracles restate the exact literals. */
+  def splitThresholds(weights: Seq[(String, Double)]): Seq[Long] = {
+    val total = weights.map(_._2).sum
+    val cum = weights.scanLeft(0.0) { case (a, (_, w)) => a + w }.tail
+      .map(c => math.floor(c / total * 4294967296.0).toLong)
+    cum.init :+ 4294967296L
+  }
 }

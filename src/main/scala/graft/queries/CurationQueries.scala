@@ -250,4 +250,37 @@ object CurationQueries {
         AS BIGINT) AS pos
     FROM _sk
     ORDER BY shard, pos"""
+
+  private val splitWeights =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** Deterministic 80/10/10 train/val/test split over the documents
+    * table — [[graft.operators.Mix.splitAssign]]; the full assignment is
+    * hash-gated (the oracle replays the SplitMix64 mixer bit-exactly and
+    * compares every row's fate, not just the realized counts). */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Mix.splitAssign(
+        Tables.load(spark, dir, "documents").select("doc_id", "source"),
+        "doc_id", seed = 814L, splitWeights)
+      .orderBy("doc_id")
+
+  val splitAssignSql: String = {
+    val thrs = graft.operators.Mix.splitThresholds(splitWeights)
+    val cases = splitWeights.zip(thrs).map { case ((name, _), t) =>
+      s"WHEN u32 < $t THEN '$name'"
+    }.mkString(" ")
+    s"""
+    WITH docs AS (SELECT doc_id, source FROM documents),
+    ${Shard.sortKeySql("docs", "doc_id", 814L)},
+    u AS (
+      SELECT doc_id, source, CAST(
+        ((CASE WHEN sort_key < 0
+           THEN CAST(sort_key AS HUGEINT)
+                + CAST('18446744073709551616' AS HUGEINT)
+           ELSE CAST(sort_key AS HUGEINT) END) // 4294967296)
+        AS BIGINT) AS u32
+      FROM _sk)
+    SELECT doc_id, source, CASE $cases END AS split
+    FROM u ORDER BY doc_id"""
+  }
 }

@@ -108,4 +108,42 @@ class MixSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"epochs must not shuffle:\n$plan")
   }
+
+  test("splitAssign: driver-reference fates, proportions, determinism") {
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val ids = (0L until 5000L)
+    val df = ids.map(i => (i, s"d${i % 3}")).toDF("id", "dom")
+    val out = Mix.splitAssign(df, "id", seed = 42L, w)
+    val got = out.select("id", "split").as[(Long, String)].collect().toMap
+    // driver reference: same mixer, same thresholds
+    val thrs = Mix.splitThresholds(w)
+    ids.foreach { i =>
+      val u32 = graft.functions.SplitMix64.compute(i ^ 42L) >>> 32
+      val exp = w.zip(thrs).collectFirst {
+        case ((name, _), t) if u32 < t => name
+      }.get
+      assert(got(i) == exp, s"id $i")
+    }
+    // hash-proportional within every stratum (loose 3σ-ish bounds)
+    val byDomSplit = out.groupBy("dom", "split").count()
+      .as[(String, String, Long)].collect()
+      .map { case (d, s, c) => (d, s) -> c }.toMap
+    for (d <- Seq("d0", "d1", "d2")) {
+      val n = ids.count(i => s"d${i % 3}" == d).toDouble
+      assert(math.abs(byDomSplit((d, "train")) / n - 0.8) < 0.05, d)
+      assert(math.abs(byDomSplit.getOrElse((d, "val"), 0L) / n - 0.1) < 0.04, d)
+    }
+    // pure projection: no exchange in the plan
+    val plan = Mix.splitAssign(df, "id", 42L, w)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"splitAssign must not shuffle:\n$plan")
+  }
+
+  test("splitAssign: top-of-keyspace rows get the last label, never null") {
+    val w = Seq("a" -> 1.0, "b" -> 1.0, "c" -> 1.0) // 2^32/3 rounds down
+    val df = (0L until 2000L).map(i => (i, "x")).toDF("id", "dom")
+    val nulls = Mix.splitAssign(df, "id", 7L, w)
+      .filter(col("split").isNull).count()
+    assert(nulls == 0L)
+  }
 }
