@@ -77,6 +77,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (SimQueries.dedupMinhashLsh _),
     "dedup_incremental" -> (SimQueries.dedupIncremental _),
     "dedup_incremental_embed" -> (SimQueries.dedupIncrementalEmbed _),
+    "ann_incremental" -> (SimQueries.annIncremental _),
     "dedup_clusters" -> (SimQueries.dedupClusters _),
     "dedup_simhash" -> (SimQueries.dedupSimhash _),
     "dedup_embed_cosine" -> (SimQueries.dedupEmbedCosine _),
@@ -123,7 +124,8 @@ object SparkEntry {
     "op_ann_pq" -> (SimQueries.opAnnPq _),
     "op_cluster_kmeans" -> (SimQueries.opClusterKmeans _),
     "op_semdedup" -> (SimQueries.opSemDedup _),
-    "op_dedup_incremental" -> (SimQueries.opDedupIncremental _))
+    "op_dedup_incremental" -> (SimQueries.opDedupIncremental _),
+    "op_ann_incremental" -> (SimQueries.opAnnIncremental _))
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> CoreQueries.q1Sql,
@@ -165,6 +167,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> SimQueries.dedupMinhashLshSql,
     "dedup_incremental" -> SimQueries.dedupIncrementalSql,
     "dedup_incremental_embed" -> SimQueries.dedupIncrementalEmbedSql,
+    "ann_incremental" -> SimQueries.annIncrementalSql,
     "dedup_clusters" -> SimQueries.dedupClustersSql,
     "mm_meta" -> SimQueries.mmMetaSql,
     "profile_stats" -> SimQueries.profileStatsSql,

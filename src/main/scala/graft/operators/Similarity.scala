@@ -204,8 +204,17 @@ object Similarity {
     // folds and smaller-id tie-breaks are bit-identical to both.
 
     val (centroids, _) = trainCoarse(corpus, cId, cVec, nLists, iterations)
+    ivfSearch(queries, corpus, centroids, k, nProbe, qId, qVec, cId, cVec)
+  }
 
-    // --- index + search
+  /** The search phase of [[ivfTopK]] with an EXPLICIT quantizer —
+    * shared by the trained path above, [[IncrementalAnn]]'s invariant
+    * checks, and fixed-centroid oracles. */
+  def ivfSearch(queries: DataFrame, corpus: DataFrame,
+      centroids: Array[Array[Double]], k: Int, nProbe: Int,
+      qId: String = "q_id", qVec: String = "q_vec",
+      cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val indexed = assign(col(cVec), centroids)(
       corpus.select(col(cId), col(cVec)))
     val probed = probeLists(col(qVec), centroids, nProbe)(

@@ -349,6 +349,118 @@ object SimQueries {
 
   val dedupMinhashLshSql: String = jaccardOracle
 
+  /** DuckDB cosine of two float-list expressions via double-cast
+    * left-to-right folds — the [[graft.functions.NearestCentroids]] /
+    * `Similarity.cosine` replay fragment shared by the ann oracles. */
+  private def cosSql(a: String, b: String): String = s"""
+      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(range(1, len($a)+1),
+          i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+        (x,y) -> x+y)
+      / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+           (x,y) -> x+y))
+       * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+           (x,y) -> x+y)))"""
+
+  /** INCREMENTAL ANN INDEX e2e, hash-gated EXACT: bootstrap the
+    * persistent IVF index from the embeddings corpus under FIXED
+    * centroids (vec_id < 8, the [[semDedup]] trick — training is
+    * spec-gated, the SEARCH/MAINTENANCE semantics are fully
+    * SQL-replayable), apply one mixed delta (deletes, list-crossing
+    * reversal updates, negated clone inserts — all exact float
+    * transforms), then serve top-5/nProbe-2 queries from the maintained
+    * index. The oracle replays IVF-Flat over the post-delta corpus:
+    * same assignment tie-breaks, same probes, same rounded scores —
+    * every returned row must match bit-for-bit, which pins that the
+    * index state equals a from-scratch build after the delta. */
+  def annIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalAnn
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-incann").toString
+    val lists = IncrementalAnn.listsTable(s"$root/lists", 8)
+    val cents = IncrementalAnn.centroidsTable(s"$root/cents")
+    def seq(v: Long) = f"$v%016x/0"
+
+    IncrementalAnn.bootstrap(spark, lists, cents,
+      emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      "id", "vec", centroids, seq(1))
+
+    val delCond = col("vec_id") % 13 === 0
+    val updCond = col("vec_id") % 7 === 3 && !delCond
+    val clones = emb.filter(col("vec_id") % 11 === 5)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    val changes = clones.withColumn("_change_type", lit("insert"))
+      .unionByName(emb.filter(delCond)
+        .withColumn("_change_type", lit("delete")))
+      .unionByName(emb.filter(updCond)
+        .withColumn("_change_type", lit("update_preimage")))
+      .unionByName(emb.filter(updCond)
+        .withColumn("embedding", reverse(col("embedding")))
+        .withColumn("_change_type", lit("update_postimage")))
+    IncrementalAnn.applyDelta(spark, lists, cents,
+      changes.select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("_change_type")),
+      "id", "vec", seq(2))
+
+    val queries = emb.filter(col("vec_id") % 50 === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    IncrementalAnn.search(spark, lists, cents, queries, k = 5, nProbe = 2)
+      .orderBy("q_id", "rank")
+  }
+
+  val annIncrementalSql: String = s"""
+    WITH base AS (SELECT vec_id, embedding FROM embeddings),
+    cor AS (
+      SELECT vec_id,
+        CASE WHEN vec_id % 7 = 3 AND vec_id % 13 <> 0
+             THEN list_reverse(embedding) ELSE embedding END AS embedding
+      FROM base WHERE vec_id % 13 <> 0
+      UNION ALL
+      SELECT vec_id + 100000, list_transform(embedding, x -> -x)
+      FROM base WHERE vec_id % 11 = 5),
+    cents AS (SELECT vec_id AS cl_id, embedding AS c_vec
+              FROM base WHERE vec_id < 8),
+    csim AS (
+      SELECT c.vec_id, c.embedding, ct.cl_id,
+        ${cosSql("c.embedding", "ct.c_vec")} AS sim
+      FROM cor c, cents ct),
+    asg AS (
+      SELECT vec_id, embedding, cl_id AS list_id FROM (
+        SELECT vec_id, embedding, cl_id,
+          row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cl_id) AS rk
+        FROM csim) t WHERE rk = 1),
+    qs AS (SELECT vec_id AS q_id, embedding AS q_vec FROM base
+           WHERE vec_id % 50 = 1),
+    qsim AS (
+      SELECT q.q_id, q.q_vec, ct.cl_id,
+        ${cosSql("q.q_vec", "ct.c_vec")} AS sim
+      FROM qs q, cents ct),
+    probe AS (
+      SELECT q_id, q_vec, cl_id AS list_id FROM (
+        SELECT q_id, q_vec, cl_id,
+          row_number() OVER (PARTITION BY q_id
+                             ORDER BY sim DESC, cl_id) AS rk
+        FROM qsim) t WHERE rk <= 2),
+    scored AS (
+      SELECT p.q_id, a.vec_id AS c_id,
+        round(${cosSql("p.q_vec", "a.embedding")}, 6) AS sim
+      FROM probe p JOIN asg a ON a.list_id = p.list_id),
+    r AS (SELECT q_id, c_id, sim,
+            row_number() OVER (PARTITION BY q_id
+                               ORDER BY sim DESC, c_id) AS rank
+          FROM scored)
+    SELECT q_id, c_id, sim, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5 ORDER BY q_id, rank"""
+
   /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures),
     * ORACLE-GATED as a comparison row: xxhash64 bit patterns aren't
     * reproducible in DuckDB SQL, but the metrics of the simhash result
@@ -993,4 +1105,65 @@ object SimQueries {
   }
   private[queries] val incDedupState =
     new java.util.concurrent.ConcurrentHashMap[String, IncDedupState]()
+
+  /** Mutable per-JVM state backing [[opAnnIncremental]]: the prebuilt
+    * ANN index plus a monotone sync counter and the A/B orientation
+    * toggle. Bench-only. */
+  private[queries] final class IncAnnState(
+      val lists: graft.sinks.GraftTable,
+      val cents: graft.sinks.GraftTable) {
+    private val seq = new java.util.concurrent.atomic.AtomicLong(1L)
+    def next(): (Long, Boolean) = {
+      val s = seq.incrementAndGet()
+      (s, s % 2 == 0)
+    }
+  }
+  private[queries] val incAnnState =
+    new java.util.concurrent.ConcurrentHashMap[String, IncAnnState]()
+
+  /** Operator-only timing for the incremental ANN index: ONE
+    * steady-state delta sync (an update wave flipping every 7th
+    * vector's orientation — preimages always match the index's current
+    * state via the A/B toggle, so replay can't fake the timing) plus
+    * one bucket-pruned query wave against the memoized prebuilt index.
+    * The `ann_incremental` GATE pays bootstrap + oracle legs; this
+    * reports what a production sync+serve actually costs. */
+  def opAnnIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalAnn
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val st = incAnnState.computeIfAbsent(dir, _ => {
+      val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-incann-op").toString
+      val lists = IncrementalAnn.listsTable(s"$root/lists", 8)
+      val cents = IncrementalAnn.centroidsTable(s"$root/cents")
+      IncrementalAnn.bootstrap(spark, lists, cents,
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        "id", "vec", centroids, f"${1L}%016x/0")
+      new IncAnnState(lists, cents)
+    })
+    val (seqNo, toReversed) = st.next()
+    val updCond = col("vec_id") % 7 === 3
+    val (preV, postV) =
+      if (toReversed) (col("embedding"), reverse(col("embedding")))
+      else (reverse(col("embedding")), col("embedding"))
+    val changes = emb.filter(updCond)
+      .withColumn("embedding", preV)
+      .withColumn("_change_type", lit("update_preimage"))
+      .unionByName(emb.filter(updCond)
+        .withColumn("embedding", postV)
+        .withColumn("_change_type", lit("update_postimage")))
+    IncrementalAnn.applyDelta(spark, st.lists, st.cents,
+      changes.select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("_change_type")),
+      "id", "vec", f"$seqNo%016x/0")
+    val queries = emb.filter(col("vec_id") % 50 === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    IncrementalAnn.search(spark, st.lists, st.cents, queries,
+        k = 5, nProbe = 2)
+      .agg(count(lit(1)).as("n_results"))
+  }
 }

@@ -360,4 +360,39 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.operators.Similarity.bruteForceTopK(queries, corpus, 5))
     assert(p.contains("BroadcastExchange"), p)
   }
+
+  test("substring dedup: gram join is an equijoin; first-occurrence is a " +
+      "partial→final min agg, never a window over the gram partition") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val p = plan(graft.operators.Dedup
+      .substringDedup(docs, "doc_id", "text", k = 6))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the skew-safe property: first-occurrence is an AGGREGATE (min of
+    // struct → partial→final SortAggregate, map-side combinable before
+    // its exchange), and no Window appears anywhere — a row_number over
+    // the gram partition would straggle on super-common grams
+    assert(!p.contains("Window"), p)
+    assert("(?m)^\\(\\d+\\) SortAggregate".r.findAllIn(p).size >= 2, p)
+    assert("(?m)^\\(\\d+\\) ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("BPE pair counting: partial→final aggregate over the vocab, " +
+      "single-row TakeOrdered pick (no global sort)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf(), "documents")
+    val words = graft.operators.Bpe.wordCounts(docs, "text", "^[a-z0-9]+$")
+    val pairs = words
+      .select(col("cnt"), split(col("word"), "").as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(0, size(syms) - 2), " +
+          "i -> struct(syms[i] AS l, syms[i + 1] AS r))")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("c"))
+      .orderBy(desc("c"), asc("l"), asc("r")).limit(1)
+    val p = plan(pairs)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
