@@ -62,6 +62,7 @@ object SparkEntry {
     "dedup_substrings" -> (TextQueries.dedupSubstrings _),
     "bpe_merges" -> (TextQueries.bpeMerges _),
     "bpe_encode" -> (TextQueries.bpeEncode _),
+    "bpe_tokens" -> (TextQueries.bpeTokens _),
     "text_perplexity" -> (TextQueries.perplexity _),
     "hybrid_search" -> (SimQueries.hybridSearch _),
     "bm25_incremental" -> (TextQueries.bm25Incremental _),
@@ -177,6 +178,7 @@ object SparkEntry {
     "dedup_substrings" -> TextQueries.dedupSubstringsSql,
     "bpe_merges" -> TextQueries.bpeMergesSql,
     "bpe_encode" -> TextQueries.bpeEncodeSql,
+    "bpe_tokens" -> TextQueries.bpeTokensSql,
     "text_perplexity" -> TextQueries.perplexitySql,
     "hybrid_search" -> SimQueries.hybridSearchSql,
     "bm25_incremental" -> TextQueries.bm25IncrementalSql,

@@ -744,6 +744,56 @@ object TextQueries {
     ORDER BY cnt DESC, word LIMIT 200"""
   }
 
+  /** Per-document TRUE tokenizer token counts — the trained-BPE upgrade
+    * of `text_tokens`' whitespace/4-char estimates: train 8 merges on
+    * the corpus ([[bpeMerges]]'s setup), then charge each document the
+    * subword count of its trained words (corpus words outside the
+    * trained `^[a-z0-9]+$` set fall back to 1 subword per word — the
+    * byte-fallback convention, stated in the oracle identically).
+    * Encoding joins the corpus WORD STREAM against the vocab-scale
+    * symbolization (broadcast — the vocab is tiny next to the corpus),
+    * so the corpus is never re-encoded per occurrence. */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val (_, vocab) = graft.operators.Bpe.train(
+      graft.operators.Bpe.wordCounts(docs, "text", "^[a-z0-9]+$"),
+      merges = 8)
+    val enc = vocab.select(col("word"),
+      size(col("syms")).cast("long").as("n_sub"))
+    docs.select(col("doc_id"),
+        explode_outer(TextFunctions.tokens(col("text"))).as("word"))
+      .join(broadcast(enc), Seq("word"), "left")
+      .groupBy("doc_id").agg(
+        count(col("word")).as("n_words"),
+        // null word = the explode_outer placeholder of an empty doc —
+        // it must contribute 0, not the unknown-word fallback of 1
+        coalesce(sum(when(col("word").isNotNull,
+            coalesce(col("n_sub"), lit(1L))).otherwise(lit(0L))), lit(0L))
+          .as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val bpeTokensSql: String = {
+    val m = 8
+    s"""WITH ${bpeCtes(m)},
+    enc AS (
+      SELECT word, CAST(len(list_filter(string_split(s, ' '),
+        x -> x <> '')) AS BIGINT) AS n_sub
+      FROM t$m),
+    stream AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(tok) = 0 THEN [NULL] ELSE tok END) AS word
+      FROM (SELECT doc_id, ${TextFunctions.tokensSql("text")} AS tok
+            FROM documents))
+    SELECT s.doc_id,
+      count(s.word) AS n_words,
+      CAST(coalesce(sum(CASE WHEN s.word IS NULL THEN 0
+                        ELSE coalesce(e.n_sub, 1) END), 0)
+           AS BIGINT) AS n_bpe_tokens
+    FROM stream s LEFT JOIN enc e ON s.word = e.word
+    GROUP BY s.doc_id ORDER BY s.doc_id"""
+  }
+
   def dedupSegments(spark: SparkSession, dir: String): DataFrame = {
     val seg = 10
     val toksC = TextFunctions.tokens(col("text"))

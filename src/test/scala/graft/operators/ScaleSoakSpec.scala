@@ -102,4 +102,50 @@ class ScaleSoakSpec extends SparkSpec {
       .as[(Long, Long, Long)].head()
     assert(top._2 == 0L && top._3 == top._1 - 1, s"gapped positions: $top")
   }
+
+  test("substringDedup survives a corpus-wide hot gram (20k occurrences " +
+      "of one span; min-agg firsts, no window straggler)") {
+    // every doc opens with the SAME 6-token span — the worst skew for
+    // any per-gram partitioning; the first-occurrence aggregate must
+    // stay map-side-combinable and the whole pass must stay correct
+    val n = 20000L
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma delta epsilon zeta "),
+        col("id").cast("string"), lit(" "),
+        (col("id") + n).cast("string")).as("text"))
+    val out = Dedup.substringDedup(docs, "doc_id", "text", k = 6).cache()
+    assert(out.count() == n)
+    // doc 0 holds the global first: nothing removed
+    val d0 = out.filter(col("doc_id") === 0)
+      .select("n_removed").as[Long].head()
+    assert(d0 == 0L)
+    // every other doc loses exactly the 6 covered prefix tokens and
+    // keeps its unique 2-token tail
+    val rest = out.filter(col("doc_id") > 0)
+      .groupBy("n_removed").count().as[(Long, Long)].collect().toMap
+    assert(rest == Map(6L -> (n - 1)), rest.toString)
+    val tails = out.filter(col("doc_id") === 17)
+      .select("text_dedup").as[String].head()
+    assert(tails == s"17 ${17 + n}")
+    out.unpersist()
+  }
+
+  test("BPE training is stable over a 200k-token corpus with the " +
+      "checkpointed iteration frame (16 merges)") {
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val docs = spark.range(2000L).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 100).map(j =>
+        element_at(typedLit(words), pmod(col("id") * 7 + j, lit(10))
+          .cast("int") + 1)): _*).as("text"))
+    val wc = Bpe.wordCounts(docs, "text", "^[a-z0-9]+$")
+    val (rules, vocab) = Bpe.train(wc, merges = 16, checkpointEvery = 8)
+    assert(rules.map(_.rank) == (1 to rules.length), "dense ranks")
+    assert(rules.nonEmpty && rules.length <= 16)
+    // counts are monotone non-increasing in rank? NOT guaranteed for
+    // BPE in general — but reassembly invariance is:
+    val bad = vocab.filter(
+      concat_ws("", col("syms")) =!= col("word")).count()
+    assert(bad == 0L, "every vocab word reassembles after 16 merges")
+  }
 }
