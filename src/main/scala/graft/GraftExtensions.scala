@@ -73,6 +73,8 @@ object GraftExtensions {
       args => searchBuilder(args), "built-in")
     t.createOrReplaceTempFunction("graft_chunks",
       args => chunksBuilder(args), "built-in")
+    t.createOrReplaceTempFunction("graft_ann",
+      args => annBuilder(args), "built-in")
   }
 
   // ------------------------------------------------- table-function bodies
@@ -129,6 +131,28 @@ object GraftExtensions {
     plan(graft.operators.IncrementalIndex.bm25TopK(spark,
         GraftTable.open(s"$root/postings"), GraftTable.open(s"$root/docs"),
         GraftTable.open(s"$root/stats"), q, "q_id", "q_toks", k)
+      .drop("q_id"))
+  }
+
+  /** `graft_ann(indexRoot, 'v1,v2,...'[, k[, nProbe]])` — IVF top-k
+    * against a maintained [[graft.operators.IncrementalAnn]] index
+    * whose tables live under `indexRoot/{lists,cents}`. The query
+    * vector is a comma-separated float literal; the probe reads only
+    * the nProbe nearest lists' buckets, exactly like the programmatic
+    * API. */
+  private[graft] def annBuilder(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    val root = str(args.head, "index root")
+    val vec = str(args(1), "query vector")
+      .split(",").map(_.trim.toFloat).toSeq
+    val k = if (args.length > 2) long(args(2), "k").toInt else 10
+    val nProbe = if (args.length > 3) long(args(3), "nProbe").toInt else 2
+    import org.apache.spark.sql.functions.{lit, typedLit}
+    val q = spark.range(1).select(lit(0L).as("q_id"),
+      typedLit(vec).as("q_vec"))
+    plan(graft.operators.IncrementalAnn.search(spark,
+        GraftTable.open(s"$root/lists"), GraftTable.open(s"$root/cents"),
+        q, k, nProbe)
       .drop("q_id"))
   }
 
@@ -223,6 +247,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("interleave2", "interleave2(a, b) - Morton (Z-order) bit " +
         "interleave of two 31-bit ranks"),
       (args: Seq[Expression]) => Interleave2(args.head, args(1))))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_ann"),
+      info("graft_ann",
+        "graft_ann(indexRoot, 'v1,v2,..'[, k[, nProbe]]) - IVF top-k " +
+          "against a maintained incremental ANN index"),
+      (args: Seq[Expression]) => GraftExtensions.annBuilder(args)))
     e.injectTableFunction((
       FunctionIdentifier("graft_chunks"),
       info("graft_chunks",

@@ -105,6 +105,38 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head().getLong(0) > 0)
   }
 
+  test("graft_ann TVF queries a maintained incremental ANN index from SQL") {
+    import graft.operators.{IncrementalAnn, Similarity}
+    import org.apache.spark.sql.functions._
+    val spark = SparkSpec.session
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    val root = java.nio.file.Files.createTempDirectory("tvf-ann").toString
+    val lists = IncrementalAnn.listsTable(s"$root/lists", 4)
+    val cents = IncrementalAnn.centroidsTable(s"$root/cents")
+    val centroids: Array[Array[Double]] =
+      Array(Array(1.0, 0, 0), Array(0, 1.0, 0), Array(0, 0, 1.0))
+    val corpus = (1L to 12L).map { i =>
+      val v = Array.fill(3)(0.1f * ((i % 3) - 1)); v((i % 3).toInt) = 1f
+      (i, v.toSeq)
+    }.toDF("id", "vec")
+    IncrementalAnn.bootstrap(spark, lists, cents, corpus, "id", "vec",
+      centroids, "0000000000000001/0")
+    val got = spark.sql(
+      s"SELECT rank, c_id, sim FROM graft_ann('$root', '1.0, 0.05, 0.0', 4, 2)")
+      .orderBy("rank").as[(Int, Long, Double)].collect().toSeq
+    val want = IncrementalAnn.search(spark, lists, cents,
+        Seq((0L, Seq(1.0f, 0.05f, 0.0f))).toDF("q_id", "q_vec"),
+        k = 4, nProbe = 2)
+      .orderBy("rank").select("rank", "c_id", "sim")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(got == want, s"got $got want $want")
+    // composes with plain SQL
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_ann('$root', '0,1,0') WHERE sim > 0.5")
+      .head().getLong(0) > 0)
+  }
+
   test("splitmix64 / interleave2 scalar functions and the graft_chunks TVF") {
     val spark = SparkSpec.session
     import spark.implicits._

@@ -191,6 +191,47 @@ class IncrementalAnnSpec extends SparkSpec {
       centroids.length, "expiry must not drop the quantizer")
   }
 
+  test("randomized mutation soak: invariant holds across 6 random syncs") {
+    val rnd = new scala.util.Random(20260814L)
+    def rvec(): Seq[Float] = {
+      val v = Array.fill(4)((rnd.nextInt(21) - 10) / 100.0f)
+      v(rnd.nextInt(4)) = 1.0f
+      v.toSeq
+    }
+    val lists = IncrementalAnn.listsTable(tmp("ia-soak-l"), 8)
+    val cents = IncrementalAnn.centroidsTable(tmp("ia-soak-c"))
+    var state = (1L to 30L).map(i => i -> rvec()).toMap
+    var nextId = 31L
+    IncrementalAnn.bootstrap(spark, lists, cents, corpusDf(state),
+      "id", "vec", centroids, f"${1L}%016x/0")
+    val queries = (0 until 4).map(a =>
+      (200L + a, vec(a, 0.03, 200L + a))).toDF("q_id", "q_vec")
+    for (sync <- 2 to 7) {
+      val next0 = state.flatMap { case (id, v) =>
+        rnd.nextInt(10) match {
+          case 0 | 1 => None                    // delete (p = .2)
+          case 2 | 3 | 4 => Some(id -> rvec())  // update (p = .3)
+          case _ => Some(id -> v)
+        }
+      }
+      val inserts = (0 until rnd.nextInt(4)).map { _ =>
+        val id = nextId; nextId += 1; id -> rvec()
+      }
+      val next = next0 ++ inserts
+      IncrementalAnn.applyDelta(spark, lists, cents,
+        changesDf(state, next), "id", "vec", f"${sync.toLong}%016x/0")
+      state = next
+      val got = IncrementalAnn.search(spark, lists, cents, queries,
+          k = 5, nProbe = 2).orderBy("q_id", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSeq
+      val want = Similarity.ivfSearch(queries, corpusDf(state)
+            .select(col("id").as("c_id"), col("vec").as("c_vec")),
+          centroids, k = 5, nProbe = 2).orderBy("q_id", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSeq
+      assert(got == want, s"sync $sync (|corpus|=${state.size})")
+    }
+  }
+
   test("trained-quantizer bootstrap equals Similarity.ivfTopK") {
     val emb = graft.Tables.load(spark, sf(), "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
