@@ -79,6 +79,7 @@ object SparkEntry {
     "dedup_incremental" -> (SimQueries.dedupIncremental _),
     "dedup_incremental_embed" -> (SimQueries.dedupIncrementalEmbed _),
     "ann_incremental" -> (SimQueries.annIncremental _),
+    "dedup_incremental_clusters" -> (SimQueries.dedupIncrementalClusters _),
     "dedup_clusters" -> (SimQueries.dedupClusters _),
     "dedup_simhash" -> (SimQueries.dedupSimhash _),
     "dedup_embed_cosine" -> (SimQueries.dedupEmbedCosine _),
@@ -169,6 +170,7 @@ object SparkEntry {
     "dedup_incremental" -> SimQueries.dedupIncrementalSql,
     "dedup_incremental_embed" -> SimQueries.dedupIncrementalEmbedSql,
     "ann_incremental" -> SimQueries.annIncrementalSql,
+    "dedup_incremental_clusters" -> SimQueries.dedupIncrementalClustersSql,
     "dedup_clusters" -> SimQueries.dedupClustersSql,
     "mm_meta" -> SimQueries.mmMetaSql,
     "profile_stats" -> SimQueries.profileStatsSql,

@@ -349,6 +349,79 @@ object SimQueries {
 
   val dedupMinhashLshSql: String = jaccardOracle
 
+  /** CONTINUOUS duplicate-cluster maintenance e2e — the
+    * [[dedupIncremental]] scenario with an [[graft.operators.IncrementalClusters]]
+    * sync after each pair sync: the cluster table follows the pair
+    * table O(touched components) per delta, and the gate hash-compares
+    * the final clustered ids row-for-row against DuckDB recomputing
+    * connected components (recursive closure) over the post-delta
+    * corpus's exact Jaccard pair graph. */
+  def dedupIncrementalClusters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{IncrementalClusters, IncrementalDedup}
+    val cfg = IncrementalDedup.Config()
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-incclu").toString
+    val bands = IncrementalDedup.bandTable(s"$root/bands", 8)
+    val pairs = IncrementalDedup.pairTable(s"$root/pairs", 4)
+    val idRep = IncrementalClusters.idRepTable(s"$root/idrep", 4)
+    val members = IncrementalClusters.membersTable(s"$root/members", 4)
+    def seq(v: Long) = f"$v%016x/0"
+
+    IncrementalDedup.applyDelta(spark, bands, pairs, docs,
+      docs.withColumn("_change_type", lit("insert")),
+      "doc_id", "text", seq(1), cfg)
+    IncrementalClusters.applyDelta(spark, idRep, members, pairs,
+      docs.select(col("doc_id").as("id")), "id", seq(1))
+
+    val delCond = col("doc_id") % 61 === 0
+    val updCond = col("doc_id") % 89 === 0 && !delCond
+    val clones = docs.filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val updated = concat(col("text"), lit(" qq zz extra"))
+    val changes = clones.withColumn("_change_type", lit("insert"))
+      .unionByName(docs.filter(delCond)
+        .withColumn("_change_type", lit("delete")))
+      .unionByName(docs.filter(updCond)
+        .withColumn("_change_type", lit("update_preimage")))
+      .unionByName(docs.filter(updCond)
+        .withColumn("text", updated)
+        .withColumn("_change_type", lit("update_postimage")))
+    val corpus2 = docs.filter(!delCond)
+      .withColumn("text", when(updCond, updated).otherwise(col("text")))
+      .unionByName(clones)
+    IncrementalDedup.applyDelta(spark, bands, pairs, corpus2, changes,
+      "doc_id", "text", seq(2), cfg)
+    IncrementalClusters.applyDelta(spark, idRep, members, pairs,
+      changes.select(col("doc_id").as("id")).distinct(), "id", seq(2))
+
+    IncrementalClusters.readClusters(spark, idRep).orderBy("id")
+  }
+
+  val dedupIncrementalClustersSql: String = s"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 89 = 0 THEN text || ' qq zz extra'
+             ELSE text END AS text
+      FROM documents WHERE doc_id % 61 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 97 = 0),
+    ${jaccardCtesOn("corpus")},
+    p AS (
+      SELECT id_a, id_b FROM cand
+      WHERE inter * 1.0 / (sz_a + sz_b - inter) >= 0.5),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM p
+      UNION SELECT id_b, id_a FROM p),
+    reach(a, b) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+      WHERE e.v <> r.a),
+    cc AS (SELECT a AS id, least(a, min(b)) AS rep FROM reach GROUP BY a)
+    SELECT id, rep FROM cc ORDER BY id"""
+
   /** DuckDB cosine of two float-list expressions via double-cast
     * left-to-right folds — the [[graft.functions.NearestCentroids]] /
     * `Similarity.cosine` replay fragment shared by the ann oracles. */

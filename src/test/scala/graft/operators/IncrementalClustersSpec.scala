@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Pins the IncrementalClusters invariant: after every sync,
+  * `readClusters == Dedup.connectedComponents(readPairs)` — component
+  * merges (a new pair bridges two components), splits (a deleted
+  * document was the cut vertex), pure insertions, and replayed deltas
+  * all included. */
+class IncrementalClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  /** Apply a canonical pair-set transition to a mirrored pair table the
+    * way IncrementalDedup's sync does (mirrored I rows for additions,
+    * mirrored D rows for removals). */
+  private def pairSync(pairs: graft.sinks.GraftTable,
+      add: Seq[(Long, Long)], del: Seq[(Long, Long)], seq: String): Unit = {
+    def mirrored(ps: Seq[(Long, Long)], op: String) = {
+      val canon = ps.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      (canon ++ canon.map(p => (p._2, p._1)))
+        .toDF("id_a", "id_b")
+        .withColumn("sim",
+          if (op == "I") lit(1.0) else lit(null).cast("double"))
+        .withColumn("_op", lit(op))
+    }
+    pairs.merge(mirrored(add, "I").unionByName(mirrored(del, "D"))
+      .withColumn("_seq", lit(seq)))
+  }
+
+  private def check(label: String, idRep: graft.sinks.GraftTable,
+      pairs: graft.sinks.GraftTable): Unit = {
+    val got = IncrementalClusters.readClusters(spark, idRep)
+      .as[(Long, Long)].collect().toSet
+    val canon = IncrementalDedup.readPairs(spark, pairs)
+    val want =
+      if (canon.columns.isEmpty || canon.isEmpty) Set.empty[(Long, Long)]
+      else Dedup.connectedComponents(canon, "id_a", "id_b")
+        .as[(Long, Long)].collect().toSet
+    assert(got == want, s"$label:\n got  $got\n want $want")
+  }
+
+  test("merges, splits, and replay keep clusters == CC(pairs)") {
+    val dir = tmp("ic")
+    val pairs = IncrementalDedup.pairTable(s"$dir/pairs", 4)
+    val idRep = IncrementalClusters.idRepTable(s"$dir/idrep", 4)
+    val members = IncrementalClusters.membersTable(s"$dir/members", 4)
+    def sync(ids: Seq[Long], seq: String) =
+      IncrementalClusters.applyDelta(spark, idRep, members, pairs,
+        ids.toDF("id"), "id", seq)
+
+    // bootstrap: chain {1-2-3} and pair {10-11}
+    pairSync(pairs, Seq((1L, 2L), (2L, 3L), (10L, 11L)), Nil, "01")
+    sync(Seq(1L, 2L, 3L, 10L, 11L), "01")
+    check("bootstrap", idRep, pairs)
+    assert(IncrementalClusters.readClusters(spark, idRep)
+      .as[(Long, Long)].collect().toSet ==
+      Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+
+    // MERGE: doc 3 gains a pair to 10 — both components collapse to 1
+    pairSync(pairs, Seq((3L, 10L)), Nil, "02")
+    sync(Seq(3L), "02")
+    check("merge", idRep, pairs)
+    assert(IncrementalClusters.readClusters(spark, idRep)
+      .filter(col("id") === 11L).select("rep").as[Long].head() == 1L)
+
+    // SPLIT: doc 2 (the 1-3 cut vertex) is deleted along with its pairs
+    // AND the 3-10 bridge goes — 1 drops out entirely (no pairs left),
+    // {3,10,11} keep a component
+    pairSync(pairs, Nil, Seq((1L, 2L), (2L, 3L), (3L, 10L)), "03")
+    sync(Seq(2L, 3L), "03")
+    check("split", idRep, pairs)
+    val after = IncrementalClusters.readClusters(spark, idRep)
+      .as[(Long, Long)].collect().toSet
+    assert(!after.exists(_._1 == 1L), s"1 must drop (no pairs): $after")
+    assert(!after.exists(_._1 == 2L), s"2 must drop (deleted): $after")
+
+    // replayed cluster sync (same seq): both tables no-op
+    val v1 = (idRep.currentVersion, members.currentVersion)
+    sync(Seq(2L, 3L), "03")
+    assert((idRep.currentVersion, members.currentVersion) == v1)
+    check("replay", idRep, pairs)
+  }
+
+  test("e2e with the text pair front: clusters follow IncrementalDedup " +
+      "syncs on a real corpus slice") {
+    val cfg = IncrementalDedup.Config()
+    val docs = graft.Tables.load(spark, sf(), "documents")
+      .select(col("doc_id"), col("text")).limit(300).localCheckpoint()
+    val dir = tmp("ic-e2e")
+    val bands = IncrementalDedup.bandTable(s"$dir/bands", 8)
+    val pairs = IncrementalDedup.pairTable(s"$dir/pairs", 4)
+    val idRep = IncrementalClusters.idRepTable(s"$dir/idrep", 4)
+    val members = IncrementalClusters.membersTable(s"$dir/members", 4)
+
+    // bootstrap
+    IncrementalDedup.applyDelta(spark, bands, pairs, docs,
+      docs.withColumn("_change_type", lit("insert")),
+      "doc_id", "text", "01", cfg)
+    IncrementalClusters.applyDelta(spark, idRep, members, pairs,
+      docs.select(col("doc_id").as("id")), "id", "01")
+    check("bootstrap", idRep, pairs)
+
+    // mixed delta: clones insert (new pairs → merges), some docs delete
+    val delCond = col("doc_id") % 31 === 0
+    val clones = docs.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+    val changes = clones.withColumn("_change_type", lit("insert"))
+      .unionByName(docs.filter(delCond)
+        .withColumn("_change_type", lit("delete")))
+    val corpus2 = docs.filter(!delCond).unionByName(clones)
+    IncrementalDedup.applyDelta(spark, bands, pairs, corpus2, changes,
+      "doc_id", "text", "02", cfg)
+    IncrementalClusters.applyDelta(spark, idRep, members, pairs,
+      changes.select(col("doc_id").as("id")).distinct(), "id", "02")
+    check("mixed delta", idRep, pairs)
+  }
+
+  test("affected-component reads are bucket-pruned (strict file subset)") {
+    val dir = tmp("ic-probe")
+    val pairs = IncrementalDedup.pairTable(s"$dir/pairs", 8)
+    val idRep = IncrementalClusters.idRepTable(s"$dir/idrep", 8)
+    val members = IncrementalClusters.membersTable(s"$dir/members", 8)
+    // 200 two-member components spread across buckets
+    val ps = (0L until 200L).map(i => (i * 2, i * 2 + 1))
+    pairSync(pairs, ps, Nil, "01")
+    IncrementalClusters.applyDelta(spark, idRep, members, pairs,
+      (0L until 400L).toDF("id"), "id", "01")
+    val allM = members.read(spark).inputFiles.length
+    val probed = members.readForProbe(spark,
+      Seq(0L).toDF("rep")).inputFiles.length
+    assert(probed > 0 && probed < allM,
+      s"members probe must scan a strict subset: $probed of $allM")
+    val allR = idRep.read(spark).inputFiles.length
+    val probedR = idRep.readForProbe(spark,
+      Seq(7L).toDF("id")).inputFiles.length
+    assert(probedR > 0 && probedR < allR,
+      s"idRep probe must scan a strict subset: $probedR of $allR")
+  }
+}
