@@ -192,7 +192,7 @@ object IncrementalDedup {
   def applyFeedBatch(batch: DataFrame, root: String, bands: GraftTable,
       pairs: GraftTable, idCol: String, textCol: String,
       cfg: Config = Config()): Unit =
-    feedSync(batch, root, bands, pairs, Seq(idCol, textCol)) {
+    feedSync(batch, root, Seq(bands, pairs), Seq(idCol, textCol)) {
       (spark, corpus, changes, seq) =>
         applyDelta(spark, bands, pairs, corpus, changes, idCol, textCol,
           seq, cfg)
@@ -203,14 +203,20 @@ object IncrementalDedup {
   def applyEmbedFeedBatch(batch: DataFrame, root: String,
       bands: GraftTable, pairs: GraftTable, idCol: String, vecCol: String,
       cfg: EmbedConfig = EmbedConfig()): Unit =
-    feedSync(batch, root, bands, pairs, Seq(idCol, vecCol)) {
+    feedSync(batch, root, Seq(bands, pairs), Seq(idCol, vecCol)) {
       (spark, corpus, changes, seq) =>
         applyEmbedDelta(spark, bands, pairs, corpus, changes, idCol,
           vecCol, seq, cfg)
     }
 
-  private def feedSync(batch: DataFrame, root: String, bands: GraftTable,
-      pairs: GraftTable, cols: Seq[String])(
+  /** Shared graft-row-follow consumer loop: per leader commit, rebuild
+    * the commit's corpus view (time-traveled, rename-aligned) and hand
+    * (corpus, changes, seq) to `apply`. `state` is every derived table
+    * the sync chain maintains — ALL truncate together on a full-refresh
+    * feed so downstream stages (e.g. [[IncrementalClusters]]) reset with
+    * their upstream. */
+  private[operators] def feedSync(batch: DataFrame, root: String,
+      state: Seq[GraftTable], cols: Seq[String])(
       apply: (org.apache.spark.sql.SparkSession, DataFrame, DataFrame,
         String) => Unit): Unit = {
     val spark = batch.sparkSession
@@ -222,7 +228,7 @@ object IncrementalDedup {
     val finalPhysToLogical = leader.mappingOf(feeds.last._1).map(_.swap)
     feeds.foreach { case (v, fullRefresh, rows) =>
       val seq = f"$v%016x/${0L}%016x"
-      if (fullRefresh) { bands.truncate(); pairs.truncate() }
+      if (fullRefresh) state.foreach(_.truncate())
       val changes = rows
         .filter(if (fullRefresh) col("_change_type") === "insert"
                 else lit(true))

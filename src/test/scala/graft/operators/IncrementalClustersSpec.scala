@@ -120,6 +120,74 @@ class IncrementalClustersSpec extends SparkSpec {
     check("mixed delta", idRep, pairs)
   }
 
+  test("applyFeedBatch: corpus→pairs→clusters chain stays live over the " +
+      "graft-row-follow stream (merge + split churn, replay, expiry)") {
+    val cfg = IncrementalDedup.Config()
+    val base = "the quick brown fox jumps over the lazy dog " +
+      "while rain falls on the quiet village roof tonight"
+    val other = "completely different words about spark shuffles " +
+      "partitions codegen catalyst tungsten execution plans and buckets"
+    val dir = tmp("ic-feed")
+    val root = s"$dir/leader"
+    val leader = new graft.sinks.GraftTable(root, Seq("doc_id"),
+      nBuckets = 4, retainVersions = 2)
+    val bands = IncrementalDedup.bandTable(s"$dir/bands", 16)
+    val pairs = IncrementalDedup.pairTable(s"$dir/pairs", 4)
+    val idRep = IncrementalClusters.idRepTable(s"$dir/idrep", 4)
+    val members = IncrementalClusters.membersTable(s"$dir/members", 4)
+    val ckpt = s"$dir/ckpt"
+    def pass(): Unit = {
+      val q = spark.readStream.format("graft-row-follow")
+        .option("path", root).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          IncrementalClusters.applyFeedBatch(df, root, bands, pairs,
+            idRep, members, "doc_id", "text", cfg)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    def clusters() = IncrementalClusters.readClusters(spark, idRep)
+      .as[(Long, Long)].collect().toSet
+
+    leader.overwrite(Seq(
+      1L -> s"$base alpha", 2L -> s"$base beta",
+      3L -> other).toDF("doc_id", "text"))
+    pass()
+    check("feed bootstrap", idRep, pairs)
+    assert(clusters() == Set((1L, 1L), (2L, 1L)), clusters())
+
+    // churn: 2 migrates clusters (splits {1,2}, joins {3}), 5 joins the
+    // other cluster, 1 deletes — clusters must track per commit
+    leader.merge(Seq(
+        (2L, s"$other qq ww", "U", "0000000000000010/0"),
+        (5L, s"$other zz", "I", "0000000000000011/0"),
+        (1L, "", "D", "0000000000000012/0"))
+      .toDF("doc_id", "text", "_op", "_seq"))
+    pass()
+    check("feed churn", idRep, pairs)
+    assert(clusters() == Set((2L, 2L), (3L, 2L), (5L, 2L)), clusters())
+
+    // no new commits → replayed pass no-ops the whole chain
+    val v = (idRep.currentVersion, members.currentVersion)
+    pass()
+    assert((idRep.currentVersion, members.currentVersion) == v)
+
+    // churn past retention (keep 2): expired checkpoint → full-refresh
+    // feed must reset ALL FOUR state tables and re-bootstrap
+    leader.merge(Seq((6L, s"$base gamma", "I", "13"))
+      .toDF("doc_id", "text", "_op", "_seq"))
+    leader.merge(Seq((7L, s"$base delta", "I", "14"))
+      .toDF("doc_id", "text", "_op", "_seq"))
+    leader.merge(Seq((8L, s"$other yy", "I", "15"))
+      .toDF("doc_id", "text", "_op", "_seq"))
+    pass()
+    check("feed expiry rebuild", idRep, pairs)
+    assert(clusters().groupBy(_._2).keySet.size == 2,
+      s"two clusters after re-bootstrap: ${clusters()}")
+  }
+
   test("affected-component reads are bucket-pruned (strict file subset)") {
     val dir = tmp("ic-probe")
     val pairs = IncrementalDedup.pairTable(s"$dir/pairs", 8)
