@@ -111,6 +111,7 @@ object SparkEntry {
     "mix_epochs" -> (CurationQueries.mixEpochs _),
     "corpus_stats" -> (CurationQueries.corpusStats _),
     "split_assign" -> (CurationQueries.splitAssign _),
+    "select_dsir" -> (CurationQueries.selectDsir _),
   )
 
   /** Bench-only operator timings, NOT part of the correctness contract:
@@ -217,6 +218,7 @@ object SparkEntry {
     "shuffle_shard" -> CurationQueries.shuffleShardSql,
     "mix_epochs" -> CurationQueries.mixEpochsSql,
     "corpus_stats" -> CurationQueries.corpusStatsSql,
-    "split_assign" -> CurationQueries.splitAssignSql
+    "split_assign" -> CurationQueries.splitAssignSql,
+    "select_dsir" -> CurationQueries.selectDsirSql
   )
 }

@@ -283,4 +283,85 @@ object CurationQueries {
     SELECT doc_id, source, CASE $cases END AS split
     FROM u ORDER BY doc_id"""
   }
+
+  /** DSIR data selection ([[graft.operators.Select]]): target = the
+    * `src0` documents, raw = everything else; hashed-bigram importance
+    * weights in exact micro-nats; Gumbel top-200 without replacement
+    * under seed 2468. The ENTIRE path is hash-gated: the oracle refits
+    * both bucket distributions (replaying the polynomial gram hash with
+    * the fingerprint gate's HUGEINT fold), rebuilds the integer
+    * log-ratio table, re-sums every document's exact integer weight,
+    * and replays the SplitMix64-derived Gumbel keys — so feature
+    * hashing, smoothing, scoring, and the sampler all have to agree
+    * row-for-row. */
+  def selectDsir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val raw = docs.filter(col("source") =!= "src0")
+      .select("doc_id", "text")
+    val tgt = docs.filter(col("source") === "src0").select("text")
+    graft.operators.Select.dsir(raw, tgt, "doc_id", "text",
+        k = 200, seed = 2468L)
+      .orderBy(desc("skey"), col("doc_id"))
+      .select(col("doc_id"), col("logw"), round(col("skey"), 6).as("skey"))
+  }
+
+  val selectDsirSql: String = {
+    val M = "CAST('18446744073709551616' AS HUGEINT)"
+    def grams(toks: String) = // bigrams with multiplicity
+      s"unnest([array_to_string($toks[i:i+1], ' ') " +
+        s"for i in range(1, len($toks))])"
+    val bucket = "CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+      "list_transform(string_split(gram, ''), " +
+      "c -> CAST(unicode(c) AS HUGEINT))), " +
+      s"(a, b) -> (a * 31 + b) % $M) % 4096 AS INT)"
+    s"""
+    WITH raw AS (
+      SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+    rt AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+          AS tk
+      FROM raw),
+    tt AS (
+      SELECT
+        list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+          AS tk
+      FROM documents WHERE source = 'src0'),
+    rg AS (SELECT doc_id, ${grams("tk")} AS gram FROM rt
+           WHERE len(tk) >= 2),
+    tg AS (SELECT ${grams("tk")} AS gram FROM tt WHERE len(tk) >= 2),
+    rb AS (SELECT doc_id, $bucket AS b FROM rg),
+    tb AS (SELECT $bucket AS b FROM tg),
+    qc AS (SELECT b, count(*) AS c FROM rb GROUP BY b),
+    pc AS (SELECT b, count(*) AS c FROM tb GROUP BY b),
+    qt AS (SELECT CAST(sum(c) AS DOUBLE) AS q FROM qc),
+    pt AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS p FROM pc),
+    lr AS (
+      SELECT qc.b,
+        CAST(floor((ln((coalesce(pc.c, 0) + 1.0) / (pt.p + 4096.0)) -
+                    ln((qc.c + 1.0) / (qt.q + 4096.0))) * 1000000 + 0.5)
+             AS BIGINT) AS lrm
+      FROM qc LEFT JOIN pc ON qc.b = pc.b, qt, pt),
+    db AS (SELECT doc_id, b, count(*) AS cnt FROM rb GROUP BY 1, 2),
+    dw AS (
+      SELECT r.doc_id, coalesce(sum(db.cnt * lr.lrm), 0) AS lw
+      FROM raw r
+      LEFT JOIN db ON r.doc_id = db.doc_id
+      LEFT JOIN lr ON db.b = lr.b
+      GROUP BY r.doc_id),
+    ${graft.operators.Shard.sortKeySql("dw", "doc_id", 2468L)},
+    gk AS (
+      SELECT doc_id, lw,
+        -ln(-ln((CAST((CASE WHEN sort_key < 0
+            THEN CAST(sort_key AS HUGEINT) + $M
+            ELSE CAST(sort_key AS HUGEINT) END) // 2048 AS DOUBLE) + 0.5)
+          / 9007199254740992.0)) AS gum
+      FROM _sk),
+    top AS (
+      SELECT doc_id, lw / 1000000.0 AS logw,
+        lw / 1000000.0 + gum AS skey_x
+      FROM gk ORDER BY skey_x DESC, doc_id LIMIT 200)
+    SELECT doc_id, logw, round(skey_x, 6) AS skey
+    FROM top ORDER BY skey_x DESC, doc_id"""
+  }
 }
