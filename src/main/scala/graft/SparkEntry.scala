@@ -70,6 +70,8 @@ object SparkEntry {
     "chunk_search" -> (TextQueries.chunkSearch _),
     "text_repetition" -> (TextQueries.repetition _),
     "decontaminate" -> (TextQueries.decontaminate _),
+    "decontaminate_near" -> (TextQueries.decontaminateNear _),
+    "heavy_hitters" -> (TextQueries.heavyHitters _),
     "train_pipeline" -> (TextQueries.trainPipeline _),
     "train_order" -> (TextQueries.trainOrder _),
     // dedup family
@@ -189,6 +191,8 @@ object SparkEntry {
     "chunk_search" -> TextQueries.chunkSearchSql,
     "text_repetition" -> TextQueries.repetitionSql,
     "decontaminate" -> TextQueries.decontaminateSql,
+    "decontaminate_near" -> TextQueries.decontaminateNearSql,
+    "heavy_hitters" -> TextQueries.heavyHittersSql,
     "train_pipeline" -> TextQueries.trainPipelineSql,
     "train_order" -> TextQueries.trainOrderSql,
     "ann_topk" -> SimQueries.annTopKSql,

@@ -45,4 +45,39 @@ object Contamination {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** FUZZY decontamination by benchmark containment — the
+    * high-n-gram-overlap test of the PaLM / Llama-2 eval-contamination
+    * methodology (and Brown et al.'s 13-gram filter generalized to a
+    * fraction): flag (corpus doc, benchmark doc) pairs where at least
+    * `threshold` of the benchmark document's distinct word n-grams
+    * appear in the corpus document,
+    *
+    *   containment(c, b) = |grams(b) ∩ grams(c)| / |grams(b)| ≥ τ.
+    *
+    * Containment — not Jaccard — is the right asymmetric metric here: a
+    * long training document that embeds a short eval question whole is
+    * maximal contamination but near-zero Jaccard.
+    *
+    * Same scale shape as [[sharedNgrams]]: corpus grams dedupe map-side
+    * and meet the small benchmark gram set in an equijoin (AQE
+    * broadcasts it), so only corpus grams that actually occur in the
+    * benchmark survive past the join; the (doc, bench) pair aggregation
+    * is bounded by shared-gram pairs, never corpus×benchmark. */
+  def benchmarkContainment(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int,
+      threshold: Double): DataFrame = {
+    val cg = docGrams(corpus, textCol, idCol, n)
+    val bg = docGrams(benchmark, textCol, idCol, n)
+      .withColumnRenamed("doc_id", "bench_id")
+    val bSizes = bg.groupBy("bench_id").agg(count(lit(1)).as("sz_b"))
+    cg.join(bg, "gram")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("inter"))
+      .join(bSizes, "bench_id")
+      .filter(col("inter").cast("double") / col("sz_b") >= threshold)
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("sz_b"), 6))
+      .select("doc_id", "bench_id", "containment")
+  }
 }

@@ -218,6 +218,86 @@ object TextQueries {
     WHERE g.doc_id % 50 <> 0
     GROUP BY 1 ORDER BY doc_id"""
 
+  /** Exact word-bigram heavy hitters via the Misra-Gries sketch +
+    * exact-recount operator ([[graft.operators.HeavyHitters]]): every
+    * bigram exceeding 1/700 of all bigram occurrences, exact counts —
+    * the sketch pass shuffles only fixed-size summaries and the
+    * recount only candidate keys, so the plan never shuffles the full
+    * vocabulary (what `vocab_stats`' two-level agg would do at
+    * web-scale cardinalities). The gate is hash-exact BECAUSE the MG
+    * candidate superset provably contains every true heavy hitter:
+    * DuckDB recomputes the answer from full counts and must agree
+    * row-for-row. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(TextFunctions.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(expr("transform(sequence(0, size(tk) - 2), " +
+        "i -> array_join(slice(tk, i + 1, 2), ' '))").as("grams"))
+    graft.operators.HeavyHitters.exact(docs, "grams", k = 700)
+      .orderBy(desc("cnt"), col("term"))
+  }
+
+  val heavyHittersSql: String = s"""
+    WITH toks AS (
+      SELECT ${TextFunctions.tokensSql("text")} AS tk FROM documents),
+    g AS (
+      SELECT unnest([array_to_string(tk[i:i+1], ' ')
+                     for i in range(1, len(tk))]) AS term
+      FROM toks WHERE len(tk) >= 2),
+    c AS (SELECT term, count(*) AS cnt FROM g GROUP BY 1),
+    n AS (SELECT sum(cnt) AS n FROM c)
+    SELECT term, cnt FROM c, n
+    WHERE cnt > n // 700
+    ORDER BY cnt DESC, term"""
+
+  /** FUZZY decontamination ([[graft.operators.Contamination
+    * .benchmarkContainment]]): the benchmark is every 97th document
+    * TRUNCATED to its first 25 tokens — the "eval question embedded in
+    * a longer training document" shape — and the gate flags (corpus
+    * doc, benchmark doc) pairs where ≥60% of the benchmark's distinct
+    * 3-grams occur in the corpus document. The untruncated source doc
+    * scores containment 1.0 while its Jaccard vs the truncated probe is
+    * low — the asymmetry that makes containment (not Jaccard) the
+    * contamination metric. */
+  def decontaminateNear(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), array_join(slice(
+        filter(split(lower(col("text")), "\\s+"), t => t =!= ""),
+        1, 25), " ").as("text"))
+    graft.operators.Contamination.benchmarkContainment(
+        docs, bench, "text", "doc_id", n = 3, threshold = 0.6)
+      .orderBy("doc_id", "bench_id")
+  }
+
+  val decontaminateNearSql: String = """
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+      FROM documents),
+    cg AS (
+      SELECT doc_id, unnest(list_distinct(
+        [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]))
+        AS gram
+      FROM toks WHERE len(tk) >= 3),
+    bt AS (SELECT doc_id AS bench_id, tk[1:25] AS btk
+           FROM toks WHERE doc_id % 97 = 0),
+    bg AS (
+      SELECT bench_id, unnest(list_distinct(
+        [array_to_string(btk[i:i+2], ' ') for i in range(1, len(btk) - 1)]))
+        AS gram
+      FROM bt WHERE len(btk) >= 3),
+    bs AS (SELECT bench_id, count(*) AS sz_b FROM bg GROUP BY 1),
+    ct AS (
+      SELECT cg.doc_id, bg.bench_id, count(*) AS inter
+      FROM cg JOIN bg USING (gram) GROUP BY 1, 2)
+    SELECT ct.doc_id, ct.bench_id,
+      round(inter * 1.0 / sz_b, 6) AS containment
+    FROM ct JOIN bs USING (bench_id)
+    WHERE inter * 1.0 / sz_b >= 0.6
+    ORDER BY doc_id, bench_id"""
+
   /** End-to-end training-data curation pipeline — the composition a
     * 100 TB pretraining pass runs, oracle-gated as ONE query: annotate
     * (language ID + quality score + token count) → filter (keep

@@ -35,4 +35,35 @@ class ContaminationSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L), got)
   }
+
+  test("benchmarkContainment: an embedded eval question is maximal " +
+      "containment even where Jaccard is near zero") {
+    val eval = "what is the capital of france"
+    val benchmark = Seq((100L, eval)).toDF("doc_id", "text")
+    val filler = (1 to 60).map(i => s"filler$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$filler $eval $filler"), // embeds the whole question
+      (2L, s"what is the capital city"), // partial overlap
+      (3L, filler) // none
+    ).toDF("doc_id", "text")
+    val got = Contamination.benchmarkContainment(corpus, benchmark,
+        "text", "doc_id", n = 3, threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._3)).toMap
+    assert(got(1L) == 1.0, s"full embed must hit 1.0: $got")
+    assert(got(2L) == 0.5, s"2 of 4 eval 3-grams shared: $got")
+    assert(!got.contains(3L))
+    // Jaccard of doc 1 vs the eval text is tiny — containment is the
+    // metric that still fires
+    val j = Dedup.ngramJaccardPairs(
+      corpus.filter($"doc_id" === 1L).unionByName(
+        benchmark.withColumnRenamed("doc_id", "doc_id")),
+      "text", "doc_id", n = 3, threshold = 0.3)
+    assert(j.isEmpty, "Jaccard must NOT fire on the embedded question")
+    // threshold filters
+    val thr = Contamination.benchmarkContainment(corpus, benchmark,
+        "text", "doc_id", n = 3, threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(thr == Set(1L))
+  }
 }
