@@ -395,4 +395,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("DSIR: fitting reduces map-side (partial aggs); scoring+selection " +
+      "is one shuffle-free scan into a TakeOrdered") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf(), "documents")
+    val raw = docs.filter(col("source") =!= "src0").select("doc_id", "text")
+    val cfg = graft.operators.Select.Config()
+    // distribution fit: explode → partial+final hash agg (map-side
+    // combine bounds the shuffle at B rows per partition)
+    val counts = raw.select(explode(graft.functions.GramBuckets(
+        col("text"), cfg.n, cfg.buckets)).as("b"))
+      .groupBy("b").agg(count(lit(1)))
+    val pc = plan(counts)
+    assert("(?m)^\\(\\d+\\) HashAggregate".r.findAllIn(pc).size >= 2, pc)
+    // scoring + Gumbel top-k: the corpus is scanned ONCE, no joins, no
+    // exchange other than the TakeOrdered's own singlePartition gather
+    val lr = Array.fill(cfg.buckets)(1L)
+    val p = plan(graft.operators.Select.resample(
+      raw, "doc_id", "text", lr, cfg, k = 10, seed = 1L))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+      && !p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("heavy hitters recount: candidate filter sits under the " +
+      "aggregation (≤k keys shuffle), no global sort") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf(), "documents")
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("grams"))
+    // the recount leg as built by HeavyHitters.exact for a known
+    // candidate set — filter BEFORE explode-aggregation, partial+final
+    val recount = docs.select(explode(col("grams")).as("term"))
+      .filter(col("term").isInCollection(Seq("scan", "column", "window")))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 100L)
+    val p = plan(recount)
+    assert("(?m)^\\(\\d+\\) HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("term IN") || p.contains("term#"), p)
+    assert(!p.contains("Sort "), p)
+  }
 }
