@@ -4,8 +4,8 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import graft.functions.{HyperplaneSig, Interleave2, NGramHashes, RollingHash,
-  SplitMix64, VecDot}
+import graft.functions.{GramBuckets, HyperplaneSig, Interleave2, NGramHashes,
+  RollingHash, SplitMix64, VecDot}
 import graft.sinks.{ChangelogSink, GraftTable}
 
 /** SparkSessionExtensions entry point: registers the engine's native
@@ -58,6 +58,10 @@ object GraftExtensions {
       args => SplitMix64(args.head), "built-in")
     r.createOrReplaceTempFunction("interleave2",
       args => Interleave2(args.head, args(1)), "built-in")
+    r.createOrReplaceTempFunction("gram_buckets",
+      args => GramBuckets(args.head,
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue()), "built-in")
     val t = spark.sessionState.tableFunctionRegistry
     t.createOrReplaceTempFunction("graft_table",
       args => tableBuilder(args), "built-in")

@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -28,9 +28,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Both expressions run the gram scan in a tight per-byte loop (the
   * [[NGramHashes]] lesson: the equivalent Catalyst HOF pipeline evals
-  * interpreted per element at ~5 ms/doc). eval-based with
-  * CodegenFallback for the same stated reason: the per-row virtual call
-  * is noise next to the per-byte loop.
+  * interpreted per element at ~5 ms/doc) and stay inside whole-stage
+  * codegen via the [[VecExprs]] object-data pattern: `doGenCode` emits
+  * a direct monomorphic `kernel()` call on the expression instance
+  * (`ctx.addReferenceObj`), so surrounding stages never fall back to
+  * boxed `eval(InternalRow)` per row.
   */
 object GramKernel {
 
@@ -100,14 +102,23 @@ object GramKernel {
   * combined — the only shuffle in distribution fitting, and it carries
   * B-bounded rows). */
 case class GramBuckets(child: Expression, n: Int, numBuckets: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1 && numBuckets >= 1)
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  def kernel(input: UTF8String): ArrayData =
+    new GenericArrayData(GramKernel.buckets(input, n, numBuckets))
+
   override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(
-      GramKernel.buckets(input.asInstanceOf[UTF8String], n, numBuckets))
+    kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramBuckets", this,
+      classOf[GramBuckets].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.kernel($v)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): GramBuckets =
     copy(child = newChild)
@@ -117,6 +128,63 @@ object GramBuckets {
   def apply(c: Column, n: Int, numBuckets: Int): Column =
     GraftColumnBridge.column(
       GramBuckets(GraftColumnBridge.expression(c), n, numBuckets))
+}
+
+/** `word_ngrams(text)`: ARRAY<STRING> of the word n-grams themselves
+  * (tokens joined by ' '), multiplicity kept, document order — the
+  * string-materializing sibling of [[GramBuckets]] for operators that
+  * aggregate BY gram (heavy hitters, contamination): one byte-level
+  * pass instead of the interpreted split→sequence→transform→slice→join
+  * higher-order pipeline (the [[NGramHashes]] ~5 ms/doc lesson again,
+  * measured: the HOF construction dominated the heavy-hitters gate). */
+case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  def kernel(input: UTF8String): ArrayData = {
+    val (buf, starts, lens, tokCount) = GramKernel.tokenize(input.getBytes)
+    if (tokCount < n)
+      return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](tokCount - n + 1)
+    var g = 0
+    while (g <= tokCount - n) {
+      var len = n - 1 // the ' ' joiners
+      var k = 0
+      while (k < n) { len += lens(g + k); k += 1 }
+      val bytes = new Array[Byte](len)
+      var p = 0
+      k = 0
+      while (k < n) {
+        if (k > 0) { bytes(p) = ' '; p += 1 }
+        System.arraycopy(buf, starts(g + k), bytes, p, lens(g + k))
+        p += lens(g + k)
+        k += 1
+      }
+      out(g) = UTF8String.fromBytes(bytes)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordNGrams", this,
+      classOf[WordNGrams].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.kernel($v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+}
+
+object WordNGrams {
+  def apply(c: Column, n: Int): Column =
+    GraftColumnBridge.column(WordNGrams(GraftColumnBridge.expression(c), n))
 }
 
 /** `gram_weight_micros(text)`: Σ over gram occurrences of
@@ -129,18 +197,27 @@ object GramBuckets {
   * floating-point summation anywhere in the gate. One corpus pass,
   * zero shuffle: the 100 TB scoring path is a scan. */
 case class GramWeightMicros(child: Expression, n: Int,
-    lrMicros: Array[Long]) extends UnaryExpression with CodegenFallback {
+    lrMicros: Array[Long]) extends UnaryExpression {
   require(n >= 1 && lrMicros.nonEmpty)
 
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
-    val bs = GramKernel.buckets(input.asInstanceOf[UTF8String], n,
-      lrMicros.length)
+  def kernel(input: UTF8String): Long = {
+    val bs = GramKernel.buckets(input, n, lrMicros.length)
     var acc = 0L
     var i = 0
     while (i < bs.length) { acc += lrMicros(bs(i)); i += 1 }
-    java.lang.Long.valueOf(acc)
+    acc
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(kernel(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramWeightMicros", this,
+      classOf[GramWeightMicros].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.kernel($v)")
   }
 
   override protected def withNewChildInternal(newChild: Expression)

@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
@@ -22,18 +22,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * match TextFunctions.tokens / the DuckDB oracle tokenizer, so Jaccard
   * cardinalities are identical.
   *
-  * eval-based with CodegenFallback: the per-row virtual call is noise
-  * next to the per-byte loop, unlike the per-ELEMENT interpretation it
-  * replaces.
+  * Stays inside whole-stage codegen via the [[VecExprs]] object-data
+  * pattern: `doGenCode` emits a direct monomorphic `kernel()` call on
+  * the expression instance (`ctx.addReferenceObj`) — the per-byte loop
+  * is the cost either way, but the fallback wrapper's boxed
+  * `eval(InternalRow)` used to break the surrounding stage.
   */
 case class NGramHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1, "n must be >= 1")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  def kernel(input: UTF8String): ArrayData = {
+    val bytes = input.getBytes
     // 1. token hashes: scan for ASCII-whitespace-separated runs,
     //    lowercasing ASCII letters in place (copy)
     val buf = new Array[Byte](bytes.length)
@@ -77,6 +79,16 @@ case class NGramHashes(child: Expression, n: Int)
     val res = java.util.Arrays.copyOf(out, outLen)
     java.util.Arrays.sort(res)
     new GenericArrayData(res)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nGramHashes", this,
+      classOf[NGramHashes].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.kernel($v)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): NGramHashes =

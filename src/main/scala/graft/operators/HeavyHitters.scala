@@ -34,43 +34,72 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
+  /** The mutable sketch state: object aggregation buffers live as plain
+    * objects between rows (kryo only on spill/shuffle), so updates
+    * mutate a HashMap in place instead of allocating a persistent map
+    * per token — the difference between an O(1)-amortized counter bump
+    * and churning the allocator on every occurrence. `total` tracks N. */
+  final class MgState(var counts: java.util.HashMap[String, Long],
+      var total: Long) extends Serializable {
+    def this() = this(new java.util.HashMap[String, Long](), 0L)
+  }
+
   /** Mergeable Misra-Gries aggregator over token-array rows with `k`
     * counters. Output: (surviving token → lower-bound count, total
     * occurrences N). */
-  def mgSummary(k: Int): Aggregator[Seq[String],
-      (Map[String, Long], Long), (Map[String, Long], Long)] =
-    new Aggregator[Seq[String], (Map[String, Long], Long),
-        (Map[String, Long], Long)] {
-      override def zero: (Map[String, Long], Long) = (Map.empty, 0L)
+  def mgSummary(k: Int): Aggregator[Seq[String], MgState,
+      (Map[String, Long], Long)] =
+    new Aggregator[Seq[String], MgState, (Map[String, Long], Long)] {
+      override def zero: MgState = new MgState()
 
-      private def trim(m: Map[String, Long]): Map[String, Long] =
-        if (m.size <= k) m
-        else {
+      private def trim(m: java.util.HashMap[String, Long]): Unit =
+        if (m.size > k) {
           // batched MG decrement: subtract the k-th largest count from
           // everyone in one pass, so at most k-1 counters survive
-          val cuts = m.valuesIterator.toArray
+          val cuts = new Array[Long](m.size)
+          var i = 0
+          val vs = m.values.iterator()
+          while (vs.hasNext) { cuts(i) = vs.next(); i += 1 }
           java.util.Arrays.sort(cuts)
           val cut = cuts(m.size - k)
-          m.collect { case (t, c) if c > cut => t -> (c - cut) }
+          val it = m.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue > cut) e.setValue(e.getValue - cut)
+            else it.remove()
+          }
         }
 
-      override def reduce(b: (Map[String, Long], Long), in: Seq[String])
-          : (Map[String, Long], Long) = {
-        var m = b._1
-        in.foreach(t => m = m.updated(t, m.getOrElse(t, 0L) + 1L))
-        (trim(m), b._2 + in.length)
+      override def reduce(b: MgState, in: Seq[String]): MgState = {
+        val m = b.counts
+        in.foreach(t => m.put(t, m.getOrDefault(t, 0L) + 1L))
+        trim(m)
+        b.total += in.length
+        b
       }
 
-      override def merge(l: (Map[String, Long], Long),
-          r: (Map[String, Long], Long)): (Map[String, Long], Long) =
-        (trim(r._1.foldLeft(l._1) { case (m, (t, c)) =>
-          m.updated(t, m.getOrElse(t, 0L) + c)
-        }), l._2 + r._2)
+      override def merge(l: MgState, r: MgState): MgState = {
+        val it = r.counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          l.counts.put(e.getKey,
+            l.counts.getOrDefault(e.getKey, 0L) + e.getValue)
+        }
+        trim(l.counts)
+        l.total += r.total
+        l
+      }
 
-      override def finish(b: (Map[String, Long], Long))
-          : (Map[String, Long], Long) = b
-      override def bufferEncoder: Encoder[(Map[String, Long], Long)] =
-        Encoders.kryo[(Map[String, Long], Long)]
+      override def finish(b: MgState): (Map[String, Long], Long) = {
+        val out = Map.newBuilder[String, Long]
+        val it = b.counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          out += (e.getKey -> e.getValue)
+        }
+        (out.result(), b.total)
+      }
+      override def bufferEncoder: Encoder[MgState] = Encoders.kryo[MgState]
       override def outputEncoder: Encoder[(Map[String, Long], Long)] =
         Encoders.kryo[(Map[String, Long], Long)]
     }

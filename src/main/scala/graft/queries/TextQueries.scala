@@ -230,10 +230,7 @@ object TextQueries {
     * row-for-row. */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-      .select(TextFunctions.tokens(col("text")).as("tk"))
-      .filter(size(col("tk")) >= 2)
-      .select(expr("transform(sequence(0, size(tk) - 2), " +
-        "i -> array_join(slice(tk, i + 1, 2), ' '))").as("grams"))
+      .select(graft.functions.WordNGrams(col("text"), 2).as("grams"))
     graft.operators.HeavyHitters.exact(docs, "grams", k = 700)
       .orderBy(desc("cnt"), col("term"))
   }

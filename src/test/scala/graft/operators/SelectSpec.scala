@@ -39,6 +39,30 @@ class SelectSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("WordNGrams materializes the same grams the reference builds, " +
+      "with multiplicity and order") {
+    val texts = Seq(
+      "The quick  Brown fox\tjumps over the quick brown fox",
+      "single", "", "a b a b a b", "X y Z")
+    val got = texts.toDF("t")
+      .select(graft.functions.WordNGrams(col("t"), 2).as("g"))
+      .as[Seq[String]].collect().toSeq
+    val want = texts.map { t =>
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    }
+    assert(got == want)
+    // trigram variant
+    val g3 = texts.toDF("t")
+      .select(graft.functions.WordNGrams(col("t"), 3).as("g"))
+      .as[Seq[String]].collect().toSeq
+    val w3 = texts.map { t =>
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+    }
+    assert(g3 == w3)
+  }
+
   test("GramWeightMicros == exact integer sum of per-gram ratios") {
     val lr = Array.tabulate(64L.toInt)(i => (i * 13L) - 400L)
     val texts = Seq("alpha beta gamma delta", "x y", "solo")
