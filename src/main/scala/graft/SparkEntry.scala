@@ -130,6 +130,7 @@ object SparkEntry {
     "op_cluster_kmeans" -> (SimQueries.opClusterKmeans _),
     "op_semdedup" -> (SimQueries.opSemDedup _),
     "op_dedup_incremental" -> (SimQueries.opDedupIncremental _),
+    "op_dedup_incremental_clusters" -> (SimQueries.opDedupIncrementalClusters _),
     "op_ann_incremental" -> (SimQueries.opAnnIncremental _))
 
   def oracleSql: Map[String, String] = Map(

@@ -62,6 +62,14 @@ object IncrementalClusters {
     if (df.columns.isEmpty) df else df.select("id", "rep")
   }
 
+  /** Affected subgraphs are delta-scale by design, so CC on them runs
+    * on the DRIVER (one bounded collect + union-find) below this edge
+    * count, falling back to the distributed
+    * [[Dedup.connectedComponents]] above it (bootstraps, full
+    * refreshes). A steady-state sync thus pays one job for its CC
+    * instead of O(log chain) shuffle rounds. */
+  val maxLocalEdges: Int = 1 << 17
+
   /** One incremental sync, AFTER the pair table's own sync for the same
     * delta. `changedIds` carries one column `idCol` (the delta's
     * distinct ids — deletes included). `seq` must increase per sync;
@@ -70,21 +78,25 @@ object IncrementalClusters {
       members: GraftTable, pairs: GraftTable, changedIds: DataFrame,
       idCol: String, seq: String, maxRounds: Int = 50): Unit = {
     val changed = changedIds.select(col(idCol).cast("long").as("id"))
-      .distinct().localCheckpoint(eager = false)
+      .distinct().localCheckpoint()
     // NEW neighbors: pairs touching a changed id, read from the changed
     // ids' buckets only (the mirror makes one-sided probing complete)
     val nbrs = probeJoin(pairs.readForProbe(spark,
         changed.select(col("id").as("id_a"))),
       changed.select(col("id").as("id_a")), "id_a")
       .map(_.select(col("id_b").as("id"))).getOrElse(emptyIds(spark))
-    val seeds = changed.union(nbrs).distinct()
-    // OLD co-members: seeds → their stored reps → those reps' members
+    val seeds = changed.union(nbrs).distinct().localCheckpoint()
+    // OLD co-members: seeds → their stored reps → those reps' members.
+    // The member rows carry (rep, id), so they double as the stored-rep
+    // lookup for every non-seed member — no second idRep probe needed.
     val seedRows = probeJoin(idRep.readForProbe(spark, seeds), seeds, "id")
+      .map(_.select(col("id"), col("rep")).localCheckpoint())
     val seedReps = seedRows.map(_.select("rep").distinct())
       .getOrElse(emptyIds(spark).select(col("id").as("rep")))
-    val oldMembers = probeJoin(members.readForProbe(spark, seedReps),
+    val memberRows = probeJoin(members.readForProbe(spark, seedReps),
         seedReps, "rep")
-      .map(_.select("id")).getOrElse(emptyIds(spark))
+      .map(_.select(col("id"), col("rep")).localCheckpoint())
+    val oldMembers = memberRows.map(_.select("id")).getOrElse(emptyIds(spark))
     val memberIds = seeds.union(oldMembers).distinct().localCheckpoint()
     // the affected subgraph's edges (canonical orientation)
     val edges = probeJoin(pairs.readForProbe(spark,
@@ -93,11 +105,12 @@ object IncrementalClusters {
       .map(_.filter(col("id_a") < col("id_b")).select("id_a", "id_b"))
       .getOrElse(emptyIds(spark).select(col("id").as("id_a"),
         col("id").as("id_b")))
-    val fresh = Dedup.connectedComponents(edges, "id_a", "id_b", maxRounds)
-    // net against stored rows for the member set
-    val oldRows = probeJoin(idRep.readForProbe(spark, memberIds),
-        memberIds, "id")
-      .map(_.select(col("id"), col("rep").as("_oldRep")))
+    val fresh = components(spark, edges, maxRounds)
+    // net against stored rows for the member set: seeds' reps from the
+    // idRep probe, every other member's rep from the members probe
+    val oldRows = (seedRows.toSeq ++ memberRows.toSeq)
+      .reduceOption(_.unionByName(_))
+      .map(_.distinct().select(col("id"), col("rep").as("_oldRep")))
       .getOrElse(emptyIds(spark).select(col("id"),
         col("id").as("_oldRep")).limit(0))
     // both merges consume `joined` — materialize once (eager), then
@@ -161,6 +174,43 @@ object IncrementalClusters {
           changes.select(col(idCol).cast("long").as("id")).distinct(),
           "id", seq)
     }
+
+  /** CC over the affected subgraph: a bounded collect + driver
+    * union-find when the edge set is delta-scale (the steady-state
+    * case — one job), the distributed operator otherwise. Both yield
+    * rep = smallest id of the component. */
+  private def components(spark: SparkSession, edges: DataFrame,
+      maxRounds: Int): DataFrame = {
+    import spark.implicits._
+    val head = edges.select(col("id_a").cast("long"),
+      col("id_b").cast("long")).limit(maxLocalEdges + 1)
+      .as[(Long, Long)].collect()
+    if (head.length > maxLocalEdges)
+      Dedup.connectedComponents(edges, "id_a", "id_b", maxRounds)
+    else {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      head.foreach { case (a, b) =>
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by min keeps reps = component minimum
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+        parent.size)
+      val it = parent.keySet().iterator()
+      while (it.hasNext) { val k = it.next(); rows += ((k, find(k))) }
+      rows.toSeq.toDF("id", "rep")
+    }
+  }
 
   private def emptyIds(spark: SparkSession): DataFrame =
     spark.range(0).select(col("id"))

@@ -1179,6 +1179,72 @@ object SimQueries {
   private[queries] val incDedupState =
     new java.util.concurrent.ConcurrentHashMap[String, IncDedupState]()
 
+  /** Mutable per-JVM state backing [[opDedupIncrementalClusters]]: the
+    * full corpus→pairs→clusters chain bootstrapped once per sfDir. */
+  private[queries] final class IncCluState(
+      val bands: graft.sinks.GraftTable,
+      val pairs: graft.sinks.GraftTable,
+      val idRep: graft.sinks.GraftTable,
+      val members: graft.sinks.GraftTable) {
+    private val seq = new java.util.concurrent.atomic.AtomicLong(1L)
+    def next(): (Long, Boolean) = {
+      val s = seq.incrementAndGet()
+      (s, s % 2 == 0)
+    }
+  }
+  private[queries] val incCluState =
+    new java.util.concurrent.ConcurrentHashMap[String, IncCluState]()
+
+  /** Bench-only steady-state CLUSTER-chain delta: one real pair sync +
+    * cluster sync against a memoized prebuilt chain (bootstrap excluded
+    * from the timing by the Bench pre-pass), A/B-toggled like
+    * [[opDedupIncremental]] so replay idempotence can't fake the
+    * timing. Attributes the `dedup_incremental_clusters` gate's cost:
+    * the gate pays corpus-scale bootstrap by construction, this is the
+    * per-delta cost a production sync pays. */
+  def opDedupIncrementalClusters(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.operators.{IncrementalClusters, IncrementalDedup}
+    val cfg = IncrementalDedup.Config()
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val st = SimQueries.incCluState.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-incclu-op").toString
+      val bands = IncrementalDedup.bandTable(s"$root/bands", 8)
+      val pairs = IncrementalDedup.pairTable(s"$root/pairs", 4)
+      val idRep = IncrementalClusters.idRepTable(s"$root/idrep", 4)
+      val members = IncrementalClusters.membersTable(s"$root/members", 4)
+      IncrementalDedup.applyDelta(spark, bands, pairs, docs,
+        docs.withColumn("_change_type", lit("insert")),
+        "doc_id", "text", f"${1L}%016x/0", cfg)
+      IncrementalClusters.applyDelta(spark, idRep, members, pairs,
+        docs.select(col("doc_id").as("id")), "id", f"${1L}%016x/0")
+      new IncCluState(bands, pairs, idRep, members)
+    })
+    val (seqNo, toAppended) = st.next()
+    val updCond = col("doc_id") % 89 === 0
+    val appended = concat(col("text"), lit(" qq zz extra"))
+    val (preT, postT) =
+      if (toAppended) (col("text"), appended) else (appended, col("text"))
+    val changes = docs.filter(updCond)
+      .withColumn("text", preT)
+      .withColumn("_change_type", lit("update_preimage"))
+      .unionByName(docs.filter(updCond)
+        .withColumn("text", postT)
+        .withColumn("_change_type", lit("update_postimage")))
+    val corpus = docs
+      .withColumn("text", when(updCond, postT).otherwise(col("text")))
+    IncrementalDedup.applyDelta(spark, st.bands, st.pairs, corpus,
+      changes, "doc_id", "text", f"$seqNo%016x/0", cfg)
+    IncrementalClusters.applyDelta(spark, st.idRep, st.members, st.pairs,
+      docs.filter(updCond).select(col("doc_id").as("id")),
+      "id", f"$seqNo%016x/0")
+    IncrementalClusters.readClusters(spark, st.idRep)
+      .agg(count(lit(1)).as("n_clustered"),
+        countDistinct(col("rep")).as("n_components"))
+  }
+
   /** Mutable per-JVM state backing [[opAnnIncremental]]: the prebuilt
     * ANN index plus a monotone sync counter and the A/B orientation
     * toggle. Bench-only. */
