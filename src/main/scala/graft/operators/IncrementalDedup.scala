@@ -275,18 +275,31 @@ object IncrementalDedup {
         .withColumn("_op", lit("I"))
       val del = oldBands.join(newBands, key, "left_anti")
         .withColumn("_op", lit("D"))
-      bands.merge(ins.unionByName(del).withColumn("_seq", lit(seq)))
+      // the band-table commit OVERLAPS the candidate probe + verify:
+      // the probe reads the PRE-merge index unioned with the in-memory
+      // delta bands — a superset of the post-merge index ((old −
+      // deleted) ∪ new ⊆ old ∪ new), so candidate completeness holds;
+      // extra candidates from just-deleted band rows are killed by the
+      // exact verify against the CURRENT corpus. Replayed syncs probe
+      // the already-merged index unioned with the same delta —
+      // idempotent under the distinct.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fBands = Future {
+        bands.merge(ins.unionByName(del).withColumn("_seq", lit(seq)))
+      }
 
-      // candidates: the delta's bands probe the post-merge index —
-      // bucket-pruned to the probed (band, bh) buckets; delta×delta
-      // pairs fall out because the delta's own rows are in the index.
-      // Bootstrap (empty index pre-merge): the post-merge index IS the
-      // delta — self-join the in-memory bands, skip the table read.
+      // candidates: the delta's bands probe the index — bucket-pruned
+      // to the probed (band, bh) buckets; delta×delta pairs fall out
+      // because the delta's own rows ride along in-memory.
       val probe = newBands.select(col("band"), col("bh"),
         col("id").as("_pid"))
       val index =
-        if (hadData) bands.readForProbe(spark, probe)
-        else newBands.select("band", "bh", "id")
+        (if (hadData) bands.readForProbe(spark, probe)
+             .select("band", "bh", "id")
+         else newBands.select("band", "bh", "id").limit(0))
+          .unionByName(newBands.select("band", "bh", "id"))
       val hits = index
         .join(probe, Seq("band", "bh"))
         .filter(col("id") =!= col("_pid"))
@@ -317,6 +330,9 @@ object IncrementalDedup {
         .unionByName(mirror(delPairs, scoreCol).withColumn("_op", lit("D")))
         .withColumn("_seq", lit(seq))
       pairs.merge(pairBatch)
+      // band commit must be durable before the sync reports done (the
+      // feed consumer's exactly-once contract covers BOTH tables)
+      Await.result(fBands, Duration.Inf)
     } finally newBands.unpersist()
   }
 }
