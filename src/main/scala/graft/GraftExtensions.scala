@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import graft.functions.{GramBuckets, HyperplaneSig, Interleave2, NGramHashes,
-  RollingHash, SplitMix64, VecDot}
+  RollingHash, SplitMix64, VecDot, WordNGrams}
 import graft.sinks.{ChangelogSink, GraftTable}
 
 /** SparkSessionExtensions entry point: registers the engine's native
@@ -62,6 +62,9 @@ object GraftExtensions {
       args => GramBuckets(args.head,
         args(1).eval().asInstanceOf[Number].intValue(),
         args(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    r.createOrReplaceTempFunction("word_ngrams",
+      args => WordNGrams(args.head,
+        args(1).eval().asInstanceOf[Number].intValue()), "built-in")
     val t = spark.sessionState.tableFunctionRegistry
     t.createOrReplaceTempFunction("graft_table",
       args => tableBuilder(args), "built-in")

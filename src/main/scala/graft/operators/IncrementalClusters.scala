@@ -76,7 +76,8 @@ object IncrementalClusters {
     * replays no-op on both tables. */
   def applyDelta(spark: SparkSession, idRep: GraftTable,
       members: GraftTable, pairs: GraftTable, changedIds: DataFrame,
-      idCol: String, seq: String, maxRounds: Int = 50): Unit = {
+      idCol: String, seq: String, maxRounds: Int = 50,
+      localEdgeCap: Int = maxLocalEdges): Unit = {
     val changed = changedIds.select(col(idCol).cast("long").as("id"))
       .distinct().localCheckpoint()
     // NEW neighbors: pairs touching a changed id, read from the changed
@@ -105,7 +106,7 @@ object IncrementalClusters {
       .map(_.filter(col("id_a") < col("id_b")).select("id_a", "id_b"))
       .getOrElse(emptyIds(spark).select(col("id").as("id_a"),
         col("id").as("id_b")))
-    val fresh = components(spark, edges, maxRounds)
+    val fresh = components(spark, edges, maxRounds, localEdgeCap)
     // net against stored rows for the member set: seeds' reps from the
     // idRep probe, every other member's rep from the members probe
     val oldRows = (seedRows.toSeq ++ memberRows.toSeq)
@@ -180,12 +181,12 @@ object IncrementalClusters {
     * case — one job), the distributed operator otherwise. Both yield
     * rep = smallest id of the component. */
   private def components(spark: SparkSession, edges: DataFrame,
-      maxRounds: Int): DataFrame = {
+      maxRounds: Int, localEdgeCap: Int): DataFrame = {
     import spark.implicits._
     val head = edges.select(col("id_a").cast("long"),
-      col("id_b").cast("long")).limit(maxLocalEdges + 1)
+      col("id_b").cast("long")).limit(localEdgeCap + 1)
       .as[(Long, Long)].collect()
-    if (head.length > maxLocalEdges)
+    if (head.length > localEdgeCap)
       Dedup.connectedComponents(edges, "id_a", "id_b", maxRounds)
     else {
       val parent = new java.util.HashMap[Long, Long]()

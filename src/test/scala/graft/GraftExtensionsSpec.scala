@@ -16,12 +16,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
              size(ngram_hashes('a b c d', 2)) AS ng,
              vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS vd,
              hyperplane_sig(array(cast(1.0 as float)), 4) AS hs,
-             size(gram_buckets('a b c d', 2, 64)) AS gb""").head()
+             size(gram_buckets('a b c d', 2, 64)) AS gb,
+             word_ngrams('a b c', 2) AS wn""").head()
     assert(row.getLong(0) == graft.functions.RollingHash.compute("abc"))
     assert(row.getInt(1) == 3)
     assert(row.getDouble(2) == 11.0)
     assert(row.getLong(3) >= 0L && row.getLong(3) < 16L)
     assert(row.getInt(4) == 3)
+    assert(row.getSeq[String](5) == Seq("a b", "b c"))
   }
 
   test("builder-time extension injects without error") {

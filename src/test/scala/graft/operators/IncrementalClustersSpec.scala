@@ -120,6 +120,34 @@ class IncrementalClustersSpec extends SparkSpec {
     check("mixed delta", idRep, pairs)
   }
 
+  test("distributed-CC fallback (edge cap exceeded) produces the same " +
+      "clustering as the driver union-find path") {
+    // same transition applied through both CC paths — a chain that
+    // merges, then a split — must land identical state
+    def run(cap: Int): Set[(Long, Long)] = {
+      val dir = tmp(s"ic-cap$cap")
+      val pairs = IncrementalDedup.pairTable(s"$dir/pairs", 4)
+      val idRep = IncrementalClusters.idRepTable(s"$dir/idrep", 4)
+      val members = IncrementalClusters.membersTable(s"$dir/members", 4)
+      val chain = (0L until 40L).map(i => (i, i + 1))
+      pairSync(pairs, chain ++ Seq((100L, 101L)), Nil, "01")
+      IncrementalClusters.applyDelta(spark, idRep, members, pairs,
+        (0L to 101L).toDF("id"), "id", "01", localEdgeCap = cap)
+      check(s"cap=$cap bootstrap", idRep, pairs)
+      // split the chain at 20 and bridge 100 into the right half
+      pairSync(pairs, Seq((41L, 100L)), Seq((20L, 21L)), "02")
+      IncrementalClusters.applyDelta(spark, idRep, members, pairs,
+        Seq(20L, 21L, 41L, 100L).toDF("id"), "id", "02",
+        localEdgeCap = cap)
+      check(s"cap=$cap churn", idRep, pairs)
+      IncrementalClusters.readClusters(spark, idRep)
+        .as[(Long, Long)].collect().toSet
+    }
+    val local = run(1 << 17) // everything fits the driver path
+    val dist = run(1)        // every sync exceeds the cap → distributed
+    assert(local == dist, s"paths diverge:\n local $local\n dist  $dist")
+  }
+
   test("applyFeedBatch: corpus→pairs→clusters chain stays live over the " +
       "graft-row-follow stream (merge + split churn, replay, expiry)") {
     val cfg = IncrementalDedup.Config()

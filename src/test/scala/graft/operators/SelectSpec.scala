@@ -73,6 +73,33 @@ class SelectSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("importance scoring runs on a STREAM: the ratio table is task " +
+      "object data, so ingest-time quality gating needs no joins/state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cfg = Select.Config(buckets = 256)
+    val raw = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val target = Seq("alpha beta alpha beta").toDF("text")
+    val lr = Select.fitLogRatioMicros(raw, target, "text", cfg)
+
+    val in = MemoryStream[(Long, String)]
+    val scored = Select.importanceWeights(
+      in.toDF().toDF("doc_id", "text"), "text", lr, cfg.n)
+    val q = scored.writeStream.format("memory")
+      .queryName("dsir_stream").outputMode("append").start()
+    in.addData((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT doc_id, logw_micros FROM dsir_stream")
+      .as[(Long, Long)].collect().toMap
+    val want = Select.importanceWeights(raw, "text", lr, cfg.n)
+      .select(col("doc_id"), col("logw_micros"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+    assert(got(1L) > got(2L), "target-like doc must outscore")
+  }
+
   test("dsir prefers target-looking documents and is deterministic") {
     val tgtish = (1L to 30L).map(i =>
       (i, s"spark shuffle partition codegen catalyst plan stage $i"))
