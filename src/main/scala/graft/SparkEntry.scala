@@ -114,6 +114,7 @@ object SparkEntry {
     "corpus_stats" -> (CurationQueries.corpusStats _),
     "split_assign" -> (CurationQueries.splitAssign _),
     "select_dsir" -> (CurationQueries.selectDsir _),
+    "quality_classify" -> (CurationQueries.qualityClassify _),
   )
 
   /** Bench-only operator timings, NOT part of the correctness contract:
@@ -224,6 +225,7 @@ object SparkEntry {
     "mix_epochs" -> CurationQueries.mixEpochsSql,
     "corpus_stats" -> CurationQueries.corpusStatsSql,
     "split_assign" -> CurationQueries.splitAssignSql,
-    "select_dsir" -> CurationQueries.selectDsirSql
+    "select_dsir" -> CurationQueries.selectDsirSql,
+    "quality_classify" -> CurationQueries.qualityClassifySql
   )
 }

@@ -284,6 +284,64 @@ object CurationQueries {
     FROM u ORDER BY doc_id"""
   }
 
+  /** Quality-classifier scoring ([[graft.operators.Classifier]]) under
+    * FIXED weights — the `cluster_assign` pattern: training is
+    * spec-validated (planted separation, bit-exact partitioning
+    * determinism), while the gate pins the SCORING path hash-exactly
+    * under a weight vector both engines can derive: `w_b =
+    * floorMod(splitmix64(b), 2001) − 1000` micro-nats, bias 0.1. The
+    * margin is an exact integer gram-dot (same kernel the 100 TB sweep
+    * uses), so only the final sigmoid touches floats, rounded to 6 dp. */
+  def qualityClassify(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Classifier
+    val w = Array.tabulate(1024)(b => Math.floorMod(
+      graft.functions.SplitMix64.compute(b.toLong), 2001L) - 1000L)
+    val model = Classifier.Model(w, biasMicros = 100000L,
+      Classifier.Config(buckets = 1024))
+    Classifier.classify(
+        Tables.load(spark, dir, "documents").select("doc_id", "text"),
+        "text", model)
+      .select("doc_id", "margin_micros", "score", "keep")
+      .orderBy("doc_id")
+  }
+
+  val qualityClassifySql: String = {
+    val M = "CAST('18446744073709551616' AS HUGEINT)"
+    s"""
+    WITH bs AS (SELECT unnest(range(0, 1024)) AS b),
+    ${Shard.sortKeySql("bs", "b", 0L)},
+    w AS (
+      SELECT b, ((sort_key % 2001) + 2001) % 2001 - 1000 AS wm
+      FROM _sk),
+    toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+          AS tk
+      FROM documents),
+    g AS (
+      SELECT doc_id, unnest([array_to_string(tk[i:i+1], ' ')
+                             for i in range(1, len(tk))]) AS gram
+      FROM toks WHERE len(tk) >= 2),
+    gb AS (
+      SELECT doc_id, CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        list_transform(string_split(gram, ''),
+          c -> CAST(unicode(c) AS HUGEINT))),
+        (a, b) -> (a * 31 + b) % $M) % 1024 AS BIGINT) AS b
+      FROM g),
+    db AS (SELECT doc_id, b, count(*) AS cnt FROM gb GROUP BY 1, 2),
+    m AS (
+      SELECT d.doc_id,
+        CAST(coalesce(sum(db.cnt * w.wm), 0) + 100000 AS BIGINT) AS mm
+      FROM documents d
+      LEFT JOIN db ON d.doc_id = db.doc_id
+      LEFT JOIN w ON db.b = w.b
+      GROUP BY d.doc_id)
+    SELECT doc_id, mm AS margin_micros,
+      round(1.0 / (1.0 + exp(-(mm / 1000000.0))), 6) AS score,
+      mm >= 0 AS keep
+    FROM m ORDER BY doc_id"""
+  }
+
   /** DSIR data selection ([[graft.operators.Select]]): target = the
     * `src0` documents, raw = everything else; hashed-bigram importance
     * weights in exact micro-nats; Gumbel top-200 without replacement
