@@ -115,6 +115,7 @@ object SparkEntry {
     "split_assign" -> (CurationQueries.splitAssign _),
     "select_dsir" -> (CurationQueries.selectDsir _),
     "quality_classify" -> (CurationQueries.qualityClassify _),
+    "select_pipeline" -> (CurationQueries.selectPipeline _),
   )
 
   /** Bench-only operator timings, NOT part of the correctness contract:
@@ -226,6 +227,7 @@ object SparkEntry {
     "corpus_stats" -> CurationQueries.corpusStatsSql,
     "split_assign" -> CurationQueries.splitAssignSql,
     "select_dsir" -> CurationQueries.selectDsirSql,
-    "quality_classify" -> CurationQueries.qualityClassifySql
+    "quality_classify" -> CurationQueries.qualityClassifySql,
+    "select_pipeline" -> CurationQueries.selectPipelineSql
   )
 }

@@ -67,14 +67,17 @@ object Shard {
 
   /** CTE chain computing `sort_key` = SplitMix64(idExpr ^ seed) as signed
     * BIGINT for each row of `table` — stage-per-step so the expression
-    * tree stays linear. Exposes all of `table`'s columns plus `sort_key`. */
-  def sortKeySql(table: String, idExpr: String, seed: Long): String = s"""
-    _u0 AS (SELECT *, ${toU(s"xor($idExpr, $seed)")} AS u FROM $table),
-    _z1 AS (SELECT * EXCLUDE (u), ((u + $C1) % $M) AS u FROM _u0),
-    _x1 AS (SELECT * EXCLUDE (u), ${xorShift("u", 30)} AS u FROM _z1),
-    _m1 AS (SELECT * EXCLUDE (u), ${mulMod("u", K1)} AS u FROM _x1),
-    _x2 AS (SELECT * EXCLUDE (u), ${xorShift("u", 27)} AS u FROM _m1),
-    _m2 AS (SELECT * EXCLUDE (u), ${mulMod("u", K2)} AS u FROM _x2),
-    _sk AS (SELECT * EXCLUDE (u), ${toS(xorShift("u", 31))} AS sort_key
-            FROM _m2)"""
+    * tree stays linear. Exposes all of `table`'s columns plus `sort_key`
+    * via the final `${prefix}sk` CTE. Pass a distinct `prefix` to use
+    * the chain more than once in one query (composed oracles). */
+  def sortKeySql(table: String, idExpr: String, seed: Long,
+      prefix: String = "_"): String = s"""
+    ${prefix}u0 AS (SELECT *, ${toU(s"xor($idExpr, $seed)")} AS u FROM $table),
+    ${prefix}z1 AS (SELECT * EXCLUDE (u), ((u + $C1) % $M) AS u FROM ${prefix}u0),
+    ${prefix}x1 AS (SELECT * EXCLUDE (u), ${xorShift("u", 30)} AS u FROM ${prefix}z1),
+    ${prefix}m1 AS (SELECT * EXCLUDE (u), ${mulMod("u", K1)} AS u FROM ${prefix}x1),
+    ${prefix}x2 AS (SELECT * EXCLUDE (u), ${xorShift("u", 27)} AS u FROM ${prefix}m1),
+    ${prefix}m2 AS (SELECT * EXCLUDE (u), ${mulMod("u", K2)} AS u FROM ${prefix}x2),
+    ${prefix}sk AS (SELECT * EXCLUDE (u), ${toS(xorShift("u", 31))} AS sort_key
+            FROM ${prefix}m2)"""
 }

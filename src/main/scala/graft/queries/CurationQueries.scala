@@ -342,6 +342,106 @@ object CurationQueries {
     FROM m ORDER BY doc_id"""
   }
 
+  /** The SELECTION pipeline composed — quality-gate then
+    * importance-resample, the two-stage recipe production corpora use
+    * (filter the junk cheaply, then spend the token budget on
+    * target-domain-like survivors): [[qualityClassify]]'s fixed-weight
+    * keep gate feeds [[graft.operators.Select]]'s DSIR fit + Gumbel
+    * top-100. One hash-gated query: distribution fitting sees only
+    * kept documents, so the oracle must reproduce the classifier's
+    * keep set AND the refit ratios AND the resample to agree. */
+  def selectPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Classifier, Select}
+    val w = Array.tabulate(1024)(b => Math.floorMod(
+      graft.functions.SplitMix64.compute(b.toLong), 2001L) - 1000L)
+    val model = Classifier.Model(w, biasMicros = 100000L,
+      Classifier.Config(buckets = 1024))
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "source")
+    val kept = Classifier.classify(docs, "text", model)
+      .filter(col("keep")).select("doc_id", "text", "source")
+    val raw = kept.filter(col("source") =!= "src0").select("doc_id", "text")
+    val tgt = kept.filter(col("source") === "src0").select("text")
+    Select.dsir(raw, tgt, "doc_id", "text", k = 100, seed = 1357L)
+      .orderBy(desc("skey"), col("doc_id"))
+      .select(col("doc_id"), col("logw"), round(col("skey"), 6).as("skey"))
+  }
+
+  val selectPipelineSql: String = {
+    val M = "CAST('18446744073709551616' AS HUGEINT)"
+    def bucket(b: Int) = "CAST(list_reduce(list_prepend(CAST(0 AS " +
+      "HUGEINT), list_transform(string_split(gram, ''), " +
+      "c -> CAST(unicode(c) AS HUGEINT))), " +
+      s"(a, b) -> (a * 31 + b) % $M) % $b AS BIGINT)"
+    def grams(toks: String) =
+      s"unnest([array_to_string($toks[i:i+1], ' ') " +
+        s"for i in range(1, len($toks))])"
+    s"""
+    WITH bs AS (SELECT unnest(range(0, 1024)) AS b),
+    ${Shard.sortKeySql("bs", "b", 0L, "qw_")},
+    w AS (
+      SELECT b, ((sort_key % 2001) + 2001) % 2001 - 1000 AS wm
+      FROM qw_sk),
+    toks AS (
+      SELECT doc_id, source,
+        list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+          AS tk
+      FROM documents),
+    qg AS (SELECT doc_id, ${grams("tk")} AS gram FROM toks
+           WHERE len(tk) >= 2),
+    qgb AS (SELECT doc_id, ${bucket(1024)} AS b FROM qg),
+    qdb AS (SELECT doc_id, b, count(*) AS cnt FROM qgb GROUP BY 1, 2),
+    qm AS (
+      SELECT t.doc_id,
+        CAST(coalesce(sum(qdb.cnt * w.wm), 0) + 100000 AS BIGINT) AS mm
+      FROM toks t
+      LEFT JOIN qdb ON t.doc_id = qdb.doc_id
+      LEFT JOIN w ON qdb.b = w.b
+      GROUP BY t.doc_id),
+    kept AS (
+      SELECT t.doc_id, t.source, t.tk
+      FROM toks t JOIN qm ON t.doc_id = qm.doc_id
+      WHERE qm.mm >= 0),
+    raw AS (SELECT doc_id, tk FROM kept WHERE source <> 'src0'),
+    rg AS (SELECT doc_id, ${grams("tk")} AS gram FROM raw
+           WHERE len(tk) >= 2),
+    tg AS (SELECT ${grams("tk")} AS gram FROM kept
+           WHERE source = 'src0' AND len(tk) >= 2),
+    rb AS (SELECT doc_id, CAST(${bucket(4096)} AS INT) AS b FROM rg),
+    tb AS (SELECT CAST(${bucket(4096)} AS INT) AS b FROM tg),
+    qc AS (SELECT b, count(*) AS c FROM rb GROUP BY b),
+    pc AS (SELECT b, count(*) AS c FROM tb GROUP BY b),
+    qtot AS (SELECT CAST(sum(c) AS DOUBLE) AS q FROM qc),
+    ptot AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS p FROM pc),
+    lr AS (
+      SELECT qc.b,
+        CAST(floor((ln((coalesce(pc.c, 0) + 1.0) / (ptot.p + 4096.0)) -
+                    ln((qc.c + 1.0) / (qtot.q + 4096.0))) * 1000000 + 0.5)
+             AS BIGINT) AS lrm
+      FROM qc LEFT JOIN pc ON qc.b = pc.b, qtot, ptot),
+    db2 AS (SELECT doc_id, b, count(*) AS cnt FROM rb GROUP BY 1, 2),
+    dw AS (
+      SELECT r.doc_id, coalesce(sum(db2.cnt * lr.lrm), 0) AS lw
+      FROM raw r
+      LEFT JOIN db2 ON r.doc_id = db2.doc_id
+      LEFT JOIN lr ON db2.b = lr.b
+      GROUP BY r.doc_id),
+    ${Shard.sortKeySql("dw", "doc_id", 1357L, "g_")},
+    gk AS (
+      SELECT doc_id, lw,
+        -ln(-ln((CAST((CASE WHEN sort_key < 0
+            THEN CAST(sort_key AS HUGEINT) + $M
+            ELSE CAST(sort_key AS HUGEINT) END) // 2048 AS DOUBLE) + 0.5)
+          / 9007199254740992.0)) AS gum
+      FROM g_sk),
+    top AS (
+      SELECT doc_id, lw / 1000000.0 AS logw,
+        lw / 1000000.0 + gum AS skey_x
+      FROM gk ORDER BY skey_x DESC, doc_id LIMIT 100)
+    SELECT doc_id, logw, round(skey_x, 6) AS skey
+    FROM top ORDER BY skey_x DESC, doc_id"""
+  }
+
   /** DSIR data selection ([[graft.operators.Select]]): target = the
     * `src0` documents, raw = everything else; hashed-bigram importance
     * weights in exact micro-nats; Gumbel top-200 without replacement
