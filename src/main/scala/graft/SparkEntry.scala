@@ -133,6 +133,7 @@ object SparkEntry {
     "op_semdedup" -> (SimQueries.opSemDedup _),
     "op_dedup_incremental" -> (SimQueries.opDedupIncremental _),
     "op_dedup_incremental_clusters" -> (SimQueries.opDedupIncrementalClusters _),
+    "op_bm25_incremental" -> (TextQueries.opBm25Incremental _),
     "op_ann_incremental" -> (SimQueries.opAnnIncremental _))
 
   def oracleSql: Map[String, String] = Map(

@@ -906,4 +906,59 @@ object TextQueries {
       coalesce(string_agg(k.seg, ' ' ORDER BY k.pos), '') AS text_dedup
     FROM base b LEFT JOIN kept k USING (doc_id)
     GROUP BY b.doc_id ORDER BY b.doc_id"""
+
+  /** Mutable per-JVM state backing [[opBm25Incremental]] — the
+    * memoized-bootstrap pattern of `SimQueries.opDedupIncremental`. */
+  private[queries] final class IncIdxState(
+      val postings: graft.sinks.GraftTable,
+      val dlens: graft.sinks.GraftTable,
+      val stats: graft.sinks.GraftTable) {
+    private val seq = new java.util.concurrent.atomic.AtomicLong(1L)
+    def next(): (Long, Boolean) = {
+      val s = seq.incrementAndGet()
+      (s, s % 2 == 0)
+    }
+  }
+  private[queries] val incIdxState =
+    new java.util.concurrent.ConcurrentHashMap[String, IncIdxState]()
+
+  /** Bench-only steady-state search-index delta: one real A/B-toggled
+    * update sync + one bucket-pruned query wave against a memoized
+    * prebuilt index (bootstrap excluded by the Bench pre-pass) —
+    * attributes the `bm25_incremental` gate's cost to the per-delta
+    * sync + serve path a production index pays per commit. */
+  def opBm25Incremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalIndex
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val st = incIdxState.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-incindex-op").toString
+      val postings = IncrementalIndex.postingsTable(s"$root/postings", 8)
+      val dlens = IncrementalIndex.docTable(s"$root/docs", 4)
+      val stats = IncrementalIndex.statsTable(s"$root/stats")
+      IncrementalIndex.applyDelta(spark, postings, dlens, stats,
+        docs.withColumn("_change_type", lit("insert")),
+        "doc_id", "toks", f"${1L}%016x/0")
+      new IncIdxState(postings, dlens, stats)
+    })
+    val (seqNo, toAppended) = st.next()
+    val updCond = col("doc_id") % 89 === 0
+    val appended = concat(col("toks"), array(lit("qq"), lit("zz")))
+    val (preT, postT) =
+      if (toAppended) (col("toks"), appended) else (appended, col("toks"))
+    val changes = docs.filter(updCond)
+      .withColumn("toks", preT)
+      .withColumn("_change_type", lit("update_preimage"))
+      .unionByName(docs.filter(updCond)
+        .withColumn("toks", postT)
+        .withColumn("_change_type", lit("update_postimage")))
+    IncrementalIndex.applyDelta(spark, st.postings, st.dlens, st.stats,
+      changes, "doc_id", "toks", f"$seqNo%016x/0")
+    val queries = docs.filter(col("doc_id").isin(1L, 2L, 3L))
+      .select(col("doc_id").as("q_id"), col("toks").as("q_toks"))
+    IncrementalIndex.bm25TopK(spark, st.postings, st.dlens, st.stats,
+        queries, "q_id", "q_toks", k = 10)
+      .agg(count(lit(1)).as("n_results"))
+  }
 }
