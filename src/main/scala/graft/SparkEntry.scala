@@ -105,6 +105,7 @@ object SparkEntry {
     "range_join" -> (JoinQueries.rangeJoin _),
     // corpus curation: domain mixing + stratified sampling + PII redaction
     "mix_domains" -> (CurationQueries.mixDomains _),
+    "mix_temperature" -> (CurationQueries.mixTemperature _),
     "sample_stratified" -> (CurationQueries.sampleStratified _),
     "text_redact" -> (CurationQueries.textRedact _),
     "cap_per_source" -> (CurationQueries.capPerSource _),
@@ -219,6 +220,7 @@ object SparkEntry {
     "asof_join" -> JoinQueries.asofJoinSql,
     "range_join" -> JoinQueries.rangeJoinSql,
     "mix_domains" -> CurationQueries.mixDomainsSql,
+    "mix_temperature" -> CurationQueries.mixTemperatureSql,
     "sample_stratified" -> CurationQueries.sampleStratifiedSql,
     "text_redact" -> CurationQueries.textRedactSql,
     "cap_per_source" -> CurationQueries.capPerSourceSql,

@@ -54,6 +54,31 @@ object Mix {
       .select(df.columns.map(col): _*)
   }
 
+  /** Temperature-based mixture sampling — the T5/PaLM multilingual
+    * recipe: domain weights derive from OBSERVED sizes raised to a
+    * temperature, `w_d = n_d^τ` (τ < 1 flattens head domains so the
+    * tail isn't drowned; τ = 1 is proportional = no-op; τ = 0 is
+    * uniform), then rows keep/drop by the same deterministic
+    * [[hashOrd]] thresholds as [[sampleByDomain]]. Same scale shape:
+    * one |domains|-row aggregate broadcast into a single corpus scan,
+    * nothing else moves. */
+  def sampleByTemperature(df: DataFrame, domainCol: String, idCol: String,
+      tau: Double, total: Long): DataFrame = {
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_n"))
+      .withColumn("_w", pow(col("_n").cast("double"), lit(tau)))
+    val totW = counts.agg(sum(col("_w")).as("_tw"))
+    val rates = counts.crossJoin(broadcast(totW))
+      .select(col(domainCol),
+        floor(least(lit(1.0),
+          lit(total.toDouble) * col("_w") /
+            (col("_tw") * col("_n").cast("double"))) * lit(4294967296.0))
+          .cast("long").as("_thr"))
+    df.join(broadcast(rates), domainCol)
+      .filter(hashOrd(col(idCol)) < col("_thr"))
+      .drop("_thr")
+      .select(df.columns.map(col): _*)
+  }
+
   /** EXACT-count stratified sample: the `n` rows with the smallest
     * [[hashOrd]] per stratum (ties broken by id). Complements
     * [[sampleByDomain]] when realized counts must hit the target

@@ -80,6 +80,37 @@ object CurationQueries {
     WHERE (d.doc_id * 2654435761) % 4294967296 < t.thr
     ORDER BY d.doc_id"""
 
+  /** Temperature mixing over the (skewed) language column: weights =
+    * count^0.5 flatten `en`'s dominance toward the tail languages —
+    * [[graft.operators.Mix.sampleByTemperature]], τ = 0.5,
+    * total = 150. The whole kept set is hash-gated: DuckDB recomputes
+    * the observed counts, the pow-derived thresholds, and every row's
+    * Knuth-hash fate. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    Mix.sampleByTemperature(docs, "lang", "doc_id", tau = 0.5,
+        total = 150L)
+      .orderBy("doc_id")
+  }
+
+  val mixTemperatureSql: String = """
+    WITH c AS (
+      SELECT lang, count(*) AS n,
+        pow(CAST(count(*) AS DOUBLE), 0.5) AS w
+      FROM documents GROUP BY lang),
+    t AS (
+      SELECT lang,
+        CAST(floor(least(1.0,
+          CAST(150 AS DOUBLE) * w /
+          ((SELECT sum(w) FROM c) * CAST(n AS DOUBLE))) * 4294967296.0)
+          AS BIGINT) AS thr
+      FROM c)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN t ON d.lang = t.lang
+    WHERE (d.doc_id * 2654435761) % 4294967296 < t.thr
+    ORDER BY d.doc_id"""
+
   /** Exact-count stratified sample: 20 docs per source, smallest
     * Knuth-hash first. The kept set is a pure function of (doc_id,
     * per-source counts), so DuckDB recomputes the identical sample —

@@ -4,6 +4,32 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 class MixSpec extends SparkSpec {
+
+  test("temperature mixing flattens head domains toward the tail " +
+      "(tau < 1), is proportional at tau = 1, and is deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // skewed domains: 400 a's, 100 b's, 25 c's
+    val df = ((1L to 400L).map(i => (i, "a")) ++
+      (401L to 500L).map(i => (i, "b")) ++
+      (501L to 525L).map(i => (i, "c"))).toDF("id", "dom")
+    def shares(tau: Double): Map[String, Long] =
+      Mix.sampleByTemperature(df, "dom", "id", tau, total = 200L)
+        .groupBy("dom").count().as[(String, Long)].collect().toMap
+    val t1 = shares(1.0)   // proportional: expected 152/38/10
+    val t0 = shares(0.0)   // uniform target: ~67 each (c capped at 25)
+    val th = shares(0.5)   // in between
+    assert(t1("a").toDouble / t1("b") > 3.0, t1)
+    assert(t0("a").toDouble <= t0("b") * 1.4, t0)
+    assert(t0("c") == 25L, s"tiny domain keeps everything: $t0")
+    assert(th("a") < t1("a") && th("a") > t0("a"), (t1, th, t0))
+    // deterministic: the kept id set is a pure function of (id, counts)
+    val k1 = Mix.sampleByTemperature(df, "dom", "id", 0.5, 200L)
+      .select("id").as[Long].collect().toSet
+    val k2 = Mix.sampleByTemperature(df.repartition(13), "dom", "id",
+      0.5, 200L).select("id").as[Long].collect().toSet
+    assert(k1 == k2)
+  }
   import spark.implicits._
 
   private def corpus = Seq.tabulate(600) { i =>
