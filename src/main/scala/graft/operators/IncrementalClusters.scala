@@ -35,9 +35,11 @@ import graft.sinks.GraftTable
   * (inserted, deleted, and updated — the same id set the pair sync
   * consumed): current NEW neighbors come from the pair index
   * (bucket-pruned probe — the orientation mirror shows both sides);
-  * OLD co-members come from the cluster state itself (ids → reps →
-  * members, two bucket-pruned probes — this is how splits find the
-  * rest of a component whose connecting pairs no longer exist).
+  * OLD co-members come from the cluster state itself (ids → reps via
+  * an idRep probe, reps → members via a members probe, both
+  * bucket-pruned — this is how splits find the rest of a component
+  * whose connecting pairs no longer exist; the member rows double as
+  * the stored-rep lookup, so no further probe is needed).
   * The member closure needs no iteration: an unchanged pair can only
   * connect ids that were ALREADY co-members (same rep), and every
   * changed pair touches a changed id by construction of the pair sync,
