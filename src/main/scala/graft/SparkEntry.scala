@@ -113,6 +113,7 @@ object SparkEntry {
     "shuffle_shard" -> (CurationQueries.shuffleShard _),
     "mix_epochs" -> (CurationQueries.mixEpochs _),
     "corpus_stats" -> (CurationQueries.corpusStats _),
+    "corpus_stats_incremental" -> (CurationQueries.corpusStatsIncremental _),
     "split_assign" -> (CurationQueries.splitAssign _),
     "select_dsir" -> (CurationQueries.selectDsir _),
     "quality_classify" -> (CurationQueries.qualityClassify _),
@@ -228,6 +229,7 @@ object SparkEntry {
     "shuffle_shard" -> CurationQueries.shuffleShardSql,
     "mix_epochs" -> CurationQueries.mixEpochsSql,
     "corpus_stats" -> CurationQueries.corpusStatsSql,
+    "corpus_stats_incremental" -> CurationQueries.corpusStatsIncrementalSql,
     "split_assign" -> CurationQueries.splitAssignSql,
     "select_dsir" -> CurationQueries.selectDsirSql,
     "quality_classify" -> CurationQueries.qualityClassifySql,

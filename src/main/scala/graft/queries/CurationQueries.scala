@@ -80,6 +80,65 @@ object CurationQueries {
     WHERE (d.doc_id * 2654435761) % 4294967296 < t.thr
     ORDER BY d.doc_id"""
 
+  /** INCREMENTAL corpus profile ([[graft.operators.IncrementalStats]]):
+    * the per-source (docs, tokens) materialized aggregate maintained
+    * O(delta) from the row CDF — bootstrap insert, then the standard
+    * mixed delta (%97 clones insert, %89 survivors gain tokens, %61
+    * delete) — hash-compared against DuckDB recomputing the aggregate
+    * from scratch over the post-delta corpus. The subtractable-
+    * aggregate maintenance class: the sync probes ONLY the touched
+    * keys' buckets, never rescans the corpus. */
+  def corpusStatsIncremental(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.operators.IncrementalStats
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val ntok = size(TextFunctions.tokens(col("text"))).cast("long")
+    val stats = IncrementalStats.statsTable(java.nio.file.Files
+      .createTempDirectory("graft-incstats").toString, 4)
+    def seq(v: Long) = f"$v%016x/0"
+    IncrementalStats.applyDelta(spark, stats,
+      docs.withColumn("_v", ntok)
+        .withColumn("_change_type", lit("insert")),
+      "source", "_v", seq(1))
+    val delCond = col("doc_id") % 61 === 0
+    val updCond = col("doc_id") % 89 === 0 && !delCond
+    val updated = concat(col("text"), lit(" qq zz extra"))
+    val changes = docs.filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+        col("text"))
+      .withColumn("_change_type", lit("insert"))
+      .unionByName(docs.filter(delCond)
+        .withColumn("_change_type", lit("delete")))
+      .unionByName(docs.filter(updCond)
+        .withColumn("_change_type", lit("update_preimage")))
+      .unionByName(docs.filter(updCond)
+        .withColumn("text", updated)
+        .withColumn("_change_type", lit("update_postimage")))
+    IncrementalStats.applyDelta(spark, stats,
+      changes.withColumn("_v", ntok), "source", "_v", seq(2))
+    IncrementalStats.read(spark, stats)
+      .withColumn("mean_tokens",
+        round(col("n_tokens").cast("double") / col("n_docs"), 6))
+      .orderBy("key")
+  }
+
+  val corpusStatsIncrementalSql: String = s"""
+    WITH corpus AS (
+      SELECT doc_id, source,
+        CASE WHEN doc_id % 89 = 0 THEN text || ' qq zz extra'
+             ELSE text END AS text
+      FROM documents WHERE doc_id % 61 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, source, text FROM documents
+      WHERE doc_id % 97 = 0)
+    SELECT source AS key, count(*) AS n_docs,
+      CAST(sum(len(${TextFunctions.tokensSql("text")})) AS BIGINT)
+        AS n_tokens,
+      round(CAST(sum(len(${TextFunctions.tokensSql("text")})) AS DOUBLE)
+        / count(*), 6) AS mean_tokens
+    FROM corpus GROUP BY source ORDER BY key"""
+
   /** Temperature mixing over the (skewed) language column: weights =
     * count^0.5 flatten `en`'s dominance toward the tail languages —
     * [[graft.operators.Mix.sampleByTemperature]], τ = 0.5,
