@@ -134,6 +134,7 @@ object SparkEntry {
     "op_cluster_kmeans" -> (SimQueries.opClusterKmeans _),
     "op_semdedup" -> (SimQueries.opSemDedup _),
     "op_dedup_incremental" -> (SimQueries.opDedupIncremental _),
+    "op_dedup_incremental_embed" -> (SimQueries.opDedupIncrementalEmbed _),
     "op_dedup_incremental_clusters" -> (SimQueries.opDedupIncrementalClusters _),
     "op_bm25_incremental" -> (TextQueries.opBm25Incremental _),
     "op_ann_incremental" -> (SimQueries.opAnnIncremental _))

@@ -1195,6 +1195,43 @@ object SimQueries {
   private[queries] val incCluState =
     new java.util.concurrent.ConcurrentHashMap[String, IncCluState]()
 
+  /** Mutable per-JVM state backing [[opDedupIncrementalEmbed]]. */
+  private[queries] val incEmbState =
+    new java.util.concurrent.ConcurrentHashMap[String, IncDedupState]()
+
+  /** Bench-only steady-state EMBEDDING-front delta: one real
+    * delete+reinsert sync of every 23rd vector against a memoized
+    * prebuilt index (A/B-toggled between present/absent so replay
+    * can't fake the timing) — attributes the `dedup_incremental_embed`
+    * gate's cost, which is dominated by its corpus-scale bootstrap and
+    * all-pairs exact-comparison oracle leg by construction. */
+  def opDedupIncrementalEmbed(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.operators.IncrementalDedup
+    val cfg = IncrementalDedup.EmbedConfig()
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val st = incEmbState.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-incembed-op").toString
+      val bands = IncrementalDedup.bandTable(s"$root/bands", 8)
+      val pairs = IncrementalDedup.pairTable(s"$root/pairs", 4)
+      IncrementalDedup.applyEmbedDelta(spark, bands, pairs, emb,
+        emb.withColumn("_change_type", lit("insert")),
+        "vec_id", "embedding", f"${1L}%016x/0", cfg)
+      new IncDedupState(bands, pairs)
+    })
+    val (seqNo, present) = st.next()
+    val touched = col("vec_id") % 23 === 0
+    val changes = emb.filter(touched).withColumn("_change_type",
+      lit(if (present) "insert" else "delete"))
+    val corpus = if (present) emb else emb.filter(!touched)
+    IncrementalDedup.applyEmbedDelta(spark, st.bands, st.pairs, corpus,
+      changes, "vec_id", "embedding", f"$seqNo%016x/0", cfg)
+    IncrementalDedup.readPairs(spark, st.pairs)
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Bench-only steady-state CLUSTER-chain delta: one real pair sync +
     * cluster sync against a memoized prebuilt chain (bootstrap excluded
     * from the timing by the Bench pre-pass), A/B-toggled like

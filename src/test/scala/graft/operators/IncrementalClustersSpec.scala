@@ -120,6 +120,53 @@ class IncrementalClustersSpec extends SparkSpec {
     check("mixed delta", idRep, pairs)
   }
 
+  test("embed pair front: cluster syncs follow applyEmbedDelta — the " +
+      "incremental SEMANTIC-dedup-clusters composition") {
+    val ecfg = IncrementalDedup.EmbedConfig(threshold = 0.9, nPlanes = 4,
+      nTables = 8)
+    val dir = tmp("ic-embed")
+    val bands = IncrementalDedup.bandTable(s"$dir/bands", 8)
+    val pairs = IncrementalDedup.pairTable(s"$dir/pairs", 4)
+    val idRep = IncrementalClusters.idRepTable(s"$dir/idrep", 4)
+    val members = IncrementalClusters.membersTable(s"$dir/members", 4)
+    def vec(d: Int, eps: Float): Array[Float] = {
+      val v = Array.fill(8)(0.01f * d)
+      v(d % 8) = 1.0f
+      v((d + 3) % 8) = eps
+      v
+    }
+    var state = Map.empty[Long, Array[Float]]
+    var v = 0L
+    def sync(next: Map[Long, Array[Float]]): Unit = {
+      v += 1
+      val prev = state
+      val ins = (next.keySet -- prev.keySet).toSeq
+        .map(id => (id, next(id), "insert"))
+      val del = (prev.keySet -- next.keySet).toSeq
+        .map(id => (id, prev(id), "delete"))
+      val upd = (next.keySet & prev.keySet).toSeq
+        .filter(id => !prev(id).sameElements(next(id)))
+        .flatMap(id => Seq((id, prev(id), "update_preimage"),
+          (id, next(id), "update_postimage")))
+      IncrementalDedup.applyEmbedDelta(spark, bands, pairs,
+        next.toSeq.toDF("vec_id", "embedding"),
+        (ins ++ del ++ upd).toDF("vec_id", "embedding", "_change_type"),
+        "vec_id", "embedding", f"$v%016x/0", ecfg)
+      IncrementalClusters.applyDelta(spark, idRep, members, pairs,
+        (ins ++ del ++ upd).map(_._1).distinct.toDF("id"), "id",
+        f"$v%016x/0")
+      state = next
+      check(s"embed sync $v", idRep, pairs)
+    }
+    // bootstrap: {1,2} share direction 0, {3,4,5} direction 1
+    sync(Map(1L -> vec(0, 0.01f), 2L -> vec(0, 0.02f),
+      3L -> vec(1, 0.01f), 4L -> vec(1, 0.02f), 5L -> vec(1, 0.03f)))
+    // 2 migrates to direction 1 → clusters merge
+    sync(state + (2L -> vec(1, 0.04f)))
+    // the direction-1 group loses members → split/shrink
+    sync(state - 3L - 4L)
+  }
+
   test("distributed-CC fallback (edge cap exceeded) produces the same " +
       "clustering as the driver union-find path") {
     // same transition applied through both CC paths — a chain that
