@@ -148,4 +148,32 @@ class ScaleSoakSpec extends SparkSpec {
       concat_ws("", col("syms")) =!= col("word")).count()
     assert(bad == 0L, "every vocab word reassembles after 16 merges")
   }
+
+  test("Misra-Gries heavy hitters stay exact and O(k)-bounded over a " +
+      "2M-token Zipf-ish stream with millions of distinct cold keys") {
+    // adversarial for the sketch: a huge cold tail constantly evicting,
+    // hot keys only ~2x above the threshold — the regime where the
+    // undercount bound actually bites. Exactness must survive anyway
+    // because the recount is candidate-filtered, not sketch-valued.
+    val k = 200
+    val docs = spark.range(20000L).select(
+      expr("""transform(sequence(0, 99), i ->
+        CASE WHEN pmod(id * 100 + i, 97) < 10
+             THEN concat('hot', pmod(id * 100 + i, 13))
+             ELSE concat('cold', (id * 100 + i)) END)""").as("grams"))
+      .localCheckpoint()
+    val got = HeavyHitters.exact(docs, "grams", k)
+      .as[(String, Long)].collect().toMap
+    // exact reference from a plain aggregation
+    val counts = docs.select(explode(col("grams")).as("t"))
+      .groupBy("t").count().as[(String, Long)].collect()
+    val n = counts.map(_._2).sum
+    val want = counts.filter(_._2 > n / k).toMap
+    assert(got == want, s"got ${got.size} want ${want.size}")
+    assert(got.nonEmpty && got.keySet.forall(_.startsWith("hot")))
+    // the sketch pass itself stays k-bounded on this stream
+    val (summary, total) = docs.as[Seq[String]]
+      .select(HeavyHitters.mgSummary(k).toColumn).head()
+    assert(summary.size <= k && total == n)
+  }
 }
