@@ -65,6 +65,7 @@ object SparkEntry {
     "bpe_tokens" -> (TextQueries.bpeTokens _),
     "text_perplexity" -> (TextQueries.perplexity _),
     "hybrid_search" -> (SimQueries.hybridSearch _),
+    "rrf_search" -> (SimQueries.rrfSearch _),
     "bm25_incremental" -> (TextQueries.bm25Incremental _),
     "phrase_search" -> (TextQueries.phraseSearch _),
     "chunk_search" -> (TextQueries.chunkSearch _),
@@ -193,6 +194,7 @@ object SparkEntry {
     "bpe_tokens" -> TextQueries.bpeTokensSql,
     "text_perplexity" -> TextQueries.perplexitySql,
     "hybrid_search" -> SimQueries.hybridSearchSql,
+    "rrf_search" -> SimQueries.rrfSearchSql,
     "bm25_incremental" -> TextQueries.bm25IncrementalSql,
     "phrase_search" -> TextQueries.phraseSearchSql,
     "chunk_search" -> TextQueries.chunkSearchSql,

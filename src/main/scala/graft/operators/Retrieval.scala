@@ -76,6 +76,34 @@ object Retrieval {
         col("score"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
+    * industry-standard way to combine retrieval legs (lexical BM25 +
+    * vector ANN) without score calibration: each leg contributes
+    * `1/(kRrf + rank)` per (query, doc), missing docs contribute
+    * nothing, fused ranking orders by the sum.
+    *
+    * Every leg is a `(qIdCol, idCol, rankCol)` frame (its own top-k).
+    * Scale shape: legs are already k-bounded per query, so the union +
+    * aggregation touches O(|queries|·k·|legs|) rows — never a corpus.
+    * Determinism note: with ≤2 legs the double sum is order-free
+    * (two-term addition commutes); for >2 legs at oracle-grade
+    * exactness, scale contributions to integers first (the micro-unit
+    * trick). */
+  def rrfFuse(legs: Seq[DataFrame], qIdCol: String, idCol: String,
+      rankCol: String, kRrf: Int = 60, topK: Int = 10): DataFrame = {
+    require(legs.nonEmpty)
+    val contribs = legs
+      .map(_.select(col(qIdCol), col(idCol),
+        (lit(1.0) / (lit(kRrf.toDouble) + col(rankCol))).as("_c")))
+      .reduce(_.unionByName(_))
+    val fused = contribs.groupBy(qIdCol, idCol)
+      .agg(round(sum(col("_c")), 6).as("rrf"))
+    val w = Window.partitionBy(qIdCol)
+      .orderBy(col("rrf").desc, col(idCol))
+    fused.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topK)
+  }
+
   /** Exact PHRASE search via positional postings: the documents whose
     * token sequence contains `phrase` (a tiny `(slot, term)` frame,
     * slot 0-based in phrase order) as a contiguous run — the

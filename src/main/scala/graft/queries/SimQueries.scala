@@ -425,6 +425,100 @@ object SimQueries {
   /** DuckDB cosine of two float-list expressions via double-cast
     * left-to-right folds — the [[graft.functions.NearestCentroids]] /
     * `Similarity.cosine` replay fragment shared by the ann oracles. */
+  /** Hybrid retrieval by reciprocal-rank fusion
+    * ([[graft.operators.Retrieval.rrfFuse]]): BM25 top-20 fused with
+    * exact-cosine top-20 (the declared exact leg — at scale any
+    * `ann_*` operator's ranks drop in), top-5 per query hash-gated.
+    * The oracle recomputes BOTH legs' rankings and the fused
+    * reciprocal sum row-for-row. */
+  def rrfSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"), col("toks").as("q_toks"))
+    val bleg = Retrieval.bm25TopK(docs, "doc_id", "toks",
+        queries, "q_id", "q_toks", k = 20)
+      .select("q_id", "doc_id", "rank")
+    val emb = Tables.load(spark, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("doc_id"))
+    val cleg = emb.select(col("vec_id").as("doc_id"),
+        col("embedding").as("d_vec"))
+      .crossJoin(broadcast(qv))
+      .withColumn("sim",
+        round(Similarity.cosine(col("q_vec"), col("d_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+      .select("q_id", "doc_id", "rank")
+    graft.operators.Retrieval.rrfFuse(Seq(bleg, cleg),
+        "q_id", "doc_id", "rank", kRrf = 60, topK = 5)
+      .select("q_id", "rank", "doc_id", "rrf")
+      .orderBy("q_id", "rank")
+  }
+
+  val rrfSearchSql: String = s"""
+    WITH tok AS (
+      SELECT doc_id,
+        unnest(${graft.functions.TextFunctions.tokensSql("text")}) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    q AS (SELECT DISTINCT doc_id AS q_id, term FROM tok WHERE doc_id < 3),
+    hit AS (
+      SELECT q.q_id, tf.doc_id,
+        ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) * tf.tf
+          * (1.2 + 1)
+          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+          AS contrib
+      FROM q
+      JOIN tf USING (term)
+      JOIN dfreq USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id, stats),
+    scored AS (
+      SELECT q_id, doc_id, round(sum(contrib), 6) AS score
+      FROM hit GROUP BY 1, 2),
+    bleg AS (
+      SELECT * FROM (
+        SELECT q_id, doc_id,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY score DESC, doc_id) AS rank
+        FROM scored) WHERE rank <= 20),
+    cq AS (SELECT vec_id AS q_id, embedding FROM embeddings
+           WHERE vec_id < 3),
+    csim AS (
+      SELECT cq.q_id, de.vec_id AS doc_id,
+        round(${cosSql("cq.embedding", "de.embedding")}, 6) AS sim
+      FROM cq, embeddings de),
+    cleg AS (
+      SELECT * FROM (
+        SELECT q_id, doc_id,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY sim DESC, doc_id) AS rank
+        FROM csim) WHERE rank <= 20),
+    contrib AS (
+      SELECT q_id, doc_id,
+        CAST(1.0 AS DOUBLE) / (60.0 + rank) AS c FROM bleg
+      UNION ALL
+      SELECT q_id, doc_id,
+        CAST(1.0 AS DOUBLE) / (60.0 + rank) AS c FROM cleg),
+    fused AS (
+      SELECT q_id, doc_id, round(sum(c), 6) AS rrf
+      FROM contrib GROUP BY 1, 2),
+    ranked AS (
+      SELECT q_id,
+        CAST(row_number() OVER (PARTITION BY q_id
+          ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+        doc_id, rrf
+      FROM fused)
+    SELECT q_id, rank, doc_id, rrf FROM ranked
+    WHERE rank <= 5 ORDER BY q_id, rank"""
+
   private def cosSql(a: String, b: String): String = s"""
       list_reduce(list_prepend(CAST(0 AS DOUBLE),
         list_transform(range(1, len($a)+1),
