@@ -141,11 +141,16 @@ object Bench {
     // so one GC pause or compaction can't poison one query's samples.
     val names = gateQueries ++ opQueries
     val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt
+    // A throwing query records NO timing — exception-path elapsed is not
+    // a measurement (round 7's events.ts type drift logged ~0.05 s
+    // "medians" for 15 broken gates and masqueraded as a 70× speedup).
+    // Broken gates surface as value -1 plus an "errors" list instead.
     val timed = (0 until samples).map { _ =>
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }.toMap
     }
     def median(xs: Seq[Double]): Double = {
@@ -153,11 +158,13 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = names.map { case (name, _) =>
-      name -> median(timed.map(_(name))) }
-    val spreads = names.map { case (name, _) =>
-      val xs = timed.map(_(name))
-      name -> (xs.max - xs.min) }
+    val perQuery = names.map { case (name, _) =>
+      name -> timed.flatMap(_(name)) }
+    val errored = perQuery.collect { case (n, xs) if xs.isEmpty => n }
+    val results = perQuery.map { case (name, xs) =>
+      name -> (if (xs.isEmpty) -1.0 else median(xs)) }
+    val spreads = perQuery.map { case (name, xs) =>
+      name -> (if (xs.isEmpty) -1.0 else xs.max - xs.min) }
     // ms precision keeps the line compact — 60 queries at full double
     // precision risks downstream log-tail truncation (locale-stable)
     def ms(v: Double): String =
@@ -169,8 +176,8 @@ object Bench {
     // headline total = the correctness-gated queries only, comparable
     // round-over-round; op_total = operator-only timings reported beside
     val gateNames = gateQueries.map(_._1).toSet
-    val total = results.filter(r => gateNames(r._1)).map(_._2).sum
-    val opTotal = results.filterNot(r => gateNames(r._1)).map(_._2).sum
+    val total = results.filter(r => gateNames(r._1)).map(_._2).filter(_ >= 0).sum
+    val opTotal = results.filterNot(r => gateNames(r._1)).map(_._2).filter(_ >= 0).sum
 
     // sustained streaming throughput — median of 3 runs per phase:
     // single runs of a driver-latency-bound micro-batch pipeline swing
@@ -192,14 +199,18 @@ object Bench {
       math.round(withShutdownEps)},"drain_events_per_second":${
       math.round(drainEps)}}"""
 
-    // The driver captures only the log TAIL and parses the final JSON
-    // line; rounds 5-7 produced "parsed": null because one mega-line
-    // (spread + queries ≈ 3.5 KB) overflowed that window and lost its
-    // head. So: spread goes on its OWN earlier line (diagnostic, fine
-    // if clipped), and the contract line printed LAST stays compact
-    // (~1.8 KB) so it survives tail capture intact and parses.
+    // The driver captures only the log TAIL (~3.2 KB) and parses the
+    // FINAL JSON line; rounds 6-8 produced "parsed": null because the
+    // contract line (total + streaming + 100+-entry queries map ≈
+    // 3.4 KB) overflowed that window and lost its head. So: spread and
+    // the per-query map each go on their OWN earlier lines (diagnostic;
+    // fine if the window clips them), and the contract line printed
+    // LAST carries only total + streaming + error markers (~300 bytes)
+    // so it always survives tail capture intact and parses.
+    val errJson = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"spread","sf":"$sfDir","spread":$sp}""")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","samples":$samples,"op_total":${ms(opTotal)},"streaming":$streaming,"queries":$qs}""")
+    println(s"""{"metric":"queries","sf":"$sfDir","queries":$qs}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","samples":$samples,"op_total":${ms(opTotal)},"errors":$errJson,"streaming":$streaming}""")
     spark.stop()
   }
 }
