@@ -95,6 +95,25 @@ object TextFunctions {
   def tokensSql(t: String): String =
     s"list_filter(string_split_regex(lower($t), '\\s+'), x -> x <> '')"
 
+  /** The UTF-8 byte list of a string expression, as arithmetic over its
+    * code points (DuckDB has no blob-byte accessor). The Spark-side gram
+    * and fingerprint kernels fold UTF-8 BYTES (`getBytes(UTF_8)`), so
+    * oracle replays must fold the same byte sequence — a bare
+    * `unicode(c)` fold agrees only on pure-ASCII text and silently
+    * diverges on any multi-byte character. The CASE mirrors RFC 3629's
+    * 1–4-byte encoding exactly (validated against Python's
+    * `str.encode()` for all four width classes). */
+  def utf8BytesSql(t: String): String =
+    s"""flatten(list_transform(
+      list_transform(string_split($t, ''), c -> unicode(c)),
+      cp -> CASE
+        WHEN cp < 128 THEN [cp]
+        WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+        WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64,
+                              128 + cp % 64]
+        ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64,
+              128 + (cp // 64) % 64, 128 + cp % 64] END))"""
+
   def markerHitsSql(toksExpr: String, lang: String): String = {
     val set = langMarkers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
     s"len(list_filter($toksExpr, x -> x IN ($set)))"

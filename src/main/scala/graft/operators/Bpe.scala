@@ -122,7 +122,11 @@ object Bpe {
     in.mapPartitions { it =>
       val rs = bc.value
       it.map { w =>
-        var syms = w.map(_.toString).toBuffer
+        // split by CODE POINT to match train's `split(word, "")` initial
+        // symbolization — a per-UTF-16-unit split would emit lone
+        // surrogates for non-BMP characters that no trained rule matches
+        var syms = w.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp))).toBuffer
         val present = scala.collection.mutable.HashSet(syms.toSeq: _*)
         var i = 0
         while (i < rs.length) {

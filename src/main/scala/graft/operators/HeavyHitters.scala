@@ -71,10 +71,14 @@ object HeavyHitters {
         }
 
       override def reduce(b: MgState, in: Seq[String]): MgState = {
-        val m = b.counts
-        in.foreach(t => m.put(t, m.getOrDefault(t, 0L) + 1L))
-        trim(m)
-        b.total += in.length
+        // null tokens array (null text upstream) = empty token sequence,
+        // matching the null tolerance of the rest of the operator surface
+        if (in != null) {
+          val m = b.counts
+          in.foreach(t => m.put(t, m.getOrDefault(t, 0L) + 1L))
+          trim(m)
+          b.total += in.length
+        }
         b
       }
 

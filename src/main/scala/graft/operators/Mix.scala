@@ -28,9 +28,20 @@ import org.apache.spark.sql.functions._
 object Mix {
 
   /** The deterministic per-row selector in [0, 2^32): Knuth
-    * multiplicative hash of a non-negative long id. */
+    * multiplicative hash of a non-negative long id. The Long multiply
+    * may wrap for ids above ~3.47e9, but the wrap is mod 2^64 and
+    * 2^32 | 2^64, so `pmod(·, 2^32)` of the wrapped product equals the
+    * exact product's low 32 bits — correct for EVERY non-negative id.
+    * Oracle replays must avoid a checked BIGINT multiply (DuckDB raises
+    * out-of-range where Java wraps): [[hashOrdSql]] widens to HUGEINT. */
   def hashOrd(id: Column): Column = pmod(id * lit(2654435761L),
     lit(4294967296L))
+
+  /** [[hashOrd]] restated for DuckDB: the 128-bit multiply is exact, so
+    * `% 2^32` matches the Spark side's wrap-immune low 32 bits at any
+    * id, instead of erroring past ~3.47e9 as a BIGINT multiply would. */
+  def hashOrdSql(idExpr: String): String =
+    s"(CAST($idExpr AS HUGEINT) * 2654435761) % 4294967296"
 
   /** Sample `df` so each domain's expected contribution is
     * `total · weight / Σweights`, capped by availability. `weightExpr`

@@ -77,7 +77,7 @@ object CurationQueries {
       FROM c)
     SELECT d.doc_id, d.source
     FROM documents d JOIN t ON d.source = t.source
-    WHERE (d.doc_id * 2654435761) % 4294967296 < t.thr
+    WHERE ${Mix.hashOrdSql("d.doc_id")} < t.thr
     ORDER BY d.doc_id"""
 
   /** INCREMENTAL corpus profile ([[graft.operators.IncrementalStats]]):
@@ -153,7 +153,7 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
-  val mixTemperatureSql: String = """
+  val mixTemperatureSql: String = s"""
     WITH c AS (
       SELECT lang, count(*) AS n,
         pow(CAST(count(*) AS DOUBLE), 0.5) AS w
@@ -167,7 +167,7 @@ object CurationQueries {
       FROM c)
     SELECT d.doc_id, d.lang
     FROM documents d JOIN t ON d.lang = t.lang
-    WHERE (d.doc_id * 2654435761) % 4294967296 < t.thr
+    WHERE ${Mix.hashOrdSql("d.doc_id")} < t.thr
     ORDER BY d.doc_id"""
 
   /** Exact-count stratified sample: 20 docs per source, smallest
@@ -182,7 +182,7 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
-  val sampleStratifiedSql: String = """
+  val sampleStratifiedSql: String = s"""
     WITH c AS (
       SELECT source, count(*) AS n FROM documents GROUP BY source),
     t AS (
@@ -192,9 +192,9 @@ object CurationQueries {
       FROM c),
     p AS (
       SELECT d.doc_id, d.source,
-        (d.doc_id * 2654435761) % 4294967296 AS h
+        ${Mix.hashOrdSql("d.doc_id")} AS h
       FROM documents d JOIN t ON d.source = t.source
-      WHERE (d.doc_id * 2654435761) % 4294967296 < t.thr),
+      WHERE ${Mix.hashOrdSql("d.doc_id")} < t.thr),
     r AS (
       SELECT doc_id, source,
         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
@@ -262,7 +262,7 @@ object CurationQueries {
       .orderBy("doc_id", "epoch")
   }
 
-  val mixEpochsSql: String = """
+  val mixEpochsSql: String = s"""
     WITH f AS (
       SELECT doc_id, source,
         CASE CAST(substr(source, 4) AS INT) % 4
@@ -272,7 +272,7 @@ object CurationQueries {
     r AS (
       SELECT doc_id, source,
         CAST(floor(f) AS BIGINT) +
-        CASE WHEN (doc_id * 2654435761) % 4294967296 <
+        CASE WHEN ${Mix.hashOrdSql("doc_id")} <
           CAST(floor((f - floor(f)) * 4294967296.0) AS BIGINT)
           THEN 1 ELSE 0 END AS reps
       FROM f)
@@ -414,8 +414,8 @@ object CurationQueries {
       FROM toks WHERE len(tk) >= 2),
     gb AS (
       SELECT doc_id, CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
-        list_transform(string_split(gram, ''),
-          c -> CAST(unicode(c) AS HUGEINT))),
+        list_transform(${TextFunctions.utf8BytesSql("gram")},
+          b -> CAST(b AS HUGEINT))),
         (a, b) -> (a * 31 + b) % $M) % 1024 AS BIGINT) AS b
       FROM g),
     db AS (SELECT doc_id, b, count(*) AS cnt FROM gb GROUP BY 1, 2),
@@ -460,8 +460,8 @@ object CurationQueries {
   val selectPipelineSql: String = {
     val M = "CAST('18446744073709551616' AS HUGEINT)"
     def bucket(b: Int) = "CAST(list_reduce(list_prepend(CAST(0 AS " +
-      "HUGEINT), list_transform(string_split(gram, ''), " +
-      "c -> CAST(unicode(c) AS HUGEINT))), " +
+      s"HUGEINT), list_transform(${TextFunctions.utf8BytesSql("gram")}, " +
+      "b -> CAST(b AS HUGEINT))), " +
       s"(a, b) -> (a * 31 + b) % $M) % $b AS BIGINT)"
     def grams(toks: String) =
       s"unnest([array_to_string($toks[i:i+1], ' ') " +
@@ -559,8 +559,8 @@ object CurationQueries {
       s"unnest([array_to_string($toks[i:i+1], ' ') " +
         s"for i in range(1, len($toks))])"
     val bucket = "CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
-      "list_transform(string_split(gram, ''), " +
-      "c -> CAST(unicode(c) AS HUGEINT))), " +
+      s"list_transform(${TextFunctions.utf8BytesSql("gram")}, " +
+      "b -> CAST(b AS HUGEINT))), " +
       s"(a, b) -> (a * 31 + b) % $M) % 4096 AS INT)"
     s"""
     WITH raw AS (

@@ -1062,15 +1062,17 @@ object SimQueries {
   }
 
   /** Replays MediaCodec.features/frameSample in SQL. The payload is the
-    * UTF-8 text (ASCII in the testdata, so unicode(char) == byte value —
-    * checked: 0 multi-byte docs at every SF); each of the 8 feature
-    * buckets accumulates its stride-8 byte slice in FLOAT (every step
-    * re-rounded via CAST), the bucket totals fold to double for the same
-    * 4-dp rounded sum, and n_frames counts stride-16 offsets. */
-  val mmFeaturesSql: String = """
+    * UTF-8 text, replayed byte-for-byte via
+    * [[graft.functions.TextFunctions.utf8BytesSql]] (so multi-byte
+    * characters fold the same octets the Spark side's binary payload
+    * holds); each of the 8 feature buckets accumulates its stride-8 byte
+    * slice in FLOAT (every step re-rounded via CAST), the bucket totals
+    * fold to double for the same 4-dp rounded sum, and n_frames counts
+    * stride-16 offsets. */
+  val mmFeaturesSql: String = s"""
     WITH b AS (
       SELECT doc_id,
-        list_transform(string_split(text, ''), c -> unicode(c)) AS bys
+        ${graft.functions.TextFunctions.utf8BytesSql("text")} AS bys
       FROM documents),
     f AS (
       SELECT doc_id, len(bys) AS n,

@@ -349,20 +349,21 @@ object TextQueries {
         RollingHash(graft.operators.Dedup.normText(col("text"))).as("fp"))
       .orderBy("doc_id")
 
-  /** h accumulates over the normalized text's bytes (ASCII testdata →
-    * unicode(char) == UTF-8 byte); HUGEINT keeps h·31+b exact below 2^70,
-    * the explicit mod reproduces Java long wraparound, and the final CASE
-    * maps [2^63, 2^64) onto the negative longs. */
-  val fingerprintSql: String = """
+  /** h accumulates over the normalized text's UTF-8 bytes (replayed via
+    * [[TextFunctions.utf8BytesSql]] so non-ASCII text folds the same
+    * byte sequence the Spark kernel hashes); HUGEINT keeps h·31+b exact
+    * below 2^70, the explicit mod reproduces Java long wraparound, and
+    * the final CASE maps [2^63, 2^64) onto the negative longs. */
+  val fingerprintSql: String = s"""
     WITH norm AS (
-      SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
       FROM documents),
     h AS (
       SELECT doc_id,
         list_reduce(
           list_prepend(CAST(0 AS HUGEINT),
-            list_transform(string_split(t, ''),
-              c -> CAST(unicode(c) AS HUGEINT))),
+            list_transform(${TextFunctions.utf8BytesSql("t")},
+              b -> CAST(b AS HUGEINT))),
           (a, b) -> (a * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS hv
       FROM norm)
     SELECT doc_id,
@@ -471,9 +472,12 @@ object TextQueries {
     val reps = graft.operators.Dedup
       .exactWith(kept, "text", "doc_id", Seq("text"))
       .select(col("rep_id").as("doc_id"), col("text"))
+    // chunk key = doc_id·2^32 + chunk_id: disjoint per-doc chunk spaces
+    // (a ·1000 encoding collides once a doc exceeds 1000 chunks ≈ 23k
+    // tokens at window 32 / stride 24)
     val chunks = graft.operators.Chunk.tokenWindows(reps,
         "doc_id", "text", window = 32, stride = 24)
-      .select((col("doc_id") * 1000 + col("chunk_id")).as("cid"),
+      .select((shiftleft(col("doc_id"), 32) + col("chunk_id")).as("cid"),
         col("n_tokens"))
     graft.operators.Shard.deterministic(chunks, "cid",
         seed = 2026L, shards = 16)
@@ -496,7 +500,7 @@ object TextQueries {
     chunks AS (${graft.operators.Chunk.tokenWindowsSql(
         "reps", "doc_id", "text", window = 32, stride = 24)}),
     keyed AS (
-      SELECT doc_id * 1000 + chunk_id AS cid, n_tokens FROM chunks),
+      SELECT doc_id * 4294967296 + chunk_id AS cid, n_tokens FROM chunks),
     ${graft.operators.Shard.sortKeySql("keyed", "cid", 2026L)}
     SELECT CAST(sort_key & 15 AS INT) AS shard,
       CAST(row_number() OVER (
@@ -510,16 +514,17 @@ object TextQueries {
     * [[graft.operators.Retrieval.bm25TopK]]: the corpus is chunked into
     * overlapping 32-token windows and BM25 runs over CHUNKS (the RAG
     * retrieval granularity), with the first two documents' chunks
-    * replayed as queries. Chunk keys are doc_id·1000+chunk_id so one
-    * BIGINT id flows through the index; ranking is 6-dp-rounded and
-    * id-tiebroken, hash-gated end-to-end. */
+    * replayed as queries. Chunk keys are doc_id·2^32+chunk_id so one
+    * BIGINT id flows through the index with disjoint per-doc chunk
+    * spaces (no collision however many chunks a doc has); ranking is
+    * 6-dp-rounded and id-tiebroken, hash-gated end-to-end. */
   def chunkSearch(spark: SparkSession, dir: String): DataFrame = {
     val chunks = graft.operators.Chunk.tokenWindows(
         Tables.load(spark, dir, "documents"), "doc_id", "text",
         window = 32, stride = 24)
-      .select((col("doc_id") * 1000 + col("chunk_id")).as("cid"),
+      .select((shiftleft(col("doc_id"), 32) + col("chunk_id")).as("cid"),
         TextFunctions.tokens(col("chunk_text")).as("toks"))
-    val queries = chunks.filter(col("cid") < 2000)
+    val queries = chunks.filter(col("cid") < 8589934592L) // doc_id < 2
       .select(col("cid").as("q_id"), col("toks").as("q_toks"))
     graft.operators.Retrieval.bm25TopK(chunks, "cid", "toks",
         queries, "q_id", "q_toks", k = 10)
@@ -530,14 +535,15 @@ object TextQueries {
     WITH chunks AS (${graft.operators.Chunk.tokenWindowsSql(
         "documents", "doc_id", "text", window = 32, stride = 24)}),
     tok AS (
-      SELECT doc_id * 1000 + chunk_id AS cid,
+      SELECT doc_id * 4294967296 + chunk_id AS cid,
         unnest(string_split(chunk_text, ' ')) AS term
       FROM chunks),
     tf AS (SELECT cid, term, count(*) AS tf FROM tok GROUP BY 1, 2),
     dl AS (SELECT cid, count(*) AS dl FROM tok GROUP BY 1),
     stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
     dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-    q AS (SELECT DISTINCT cid AS q_id, term FROM tok WHERE cid < 2000),
+    q AS (SELECT DISTINCT cid AS q_id, term FROM tok
+          WHERE cid < 8589934592),
     hit AS (
       SELECT q.q_id, tf.cid,
         ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) * tf.tf

@@ -84,6 +84,21 @@ class BpeSpec extends SparkSpec {
     assert(encoded.forall { case (w, ss) => ss.mkString == w })
   }
 
+  test("encodeWords splits by code point: non-BMP words match train") {
+    // "𝕏" (U+1D54F) is a surrogate pair in UTF-16: a per-code-UNIT
+    // split would feed encodeWords lone surrogates that never match
+    // train's per-code-POINT symbolization
+    val df = Seq((1L, "𝕏y𝕏y 𝕏y𝕏y a𝕏 a𝕏")).toDF("doc_id", "text")
+    val words = Bpe.wordCounts(df, "text")
+    val (rules, vocab) = Bpe.train(words, merges = 4)
+    val trained = vocab.select("word", "syms").as[(String, Seq[String])]
+      .collect().toMap
+    val encoded = Bpe.encodeWords(words.select("word"), "word", rules)
+      .as[(String, Seq[String])].collect().toMap
+    assert(encoded == trained)
+    assert(encoded.forall { case (w, ss) => ss.mkString == w })
+  }
+
   test("minCount stops training early") {
     val df = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
     val (rules, _) = Bpe.train(Bpe.wordCounts(df, "text"), merges = 8,

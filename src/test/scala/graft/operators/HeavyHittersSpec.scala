@@ -42,6 +42,15 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("null token arrays are skipped, not NPEs") {
+    val df = Seq(Some(Seq("a", "a", "a", "b")), None, Some(Seq("a")), None)
+      .toDF("grams")
+    val got = HeavyHitters.exact(df, "grams", 2)
+      .as[(String, Long)].collect().toMap
+    // N counts only non-null rows' tokens: 5 total, threshold 5/2=2
+    assert(got == Map("a" -> 4L))
+  }
+
   test("MG summary alone is a candidate superset with lower-bound " +
       "counts, whatever the partitioning") {
     val docs = corpus(7, 600)
