@@ -138,7 +138,8 @@ object SparkEntry {
     "op_dedup_incremental_embed" -> (SimQueries.opDedupIncrementalEmbed _),
     "op_dedup_incremental_clusters" -> (SimQueries.opDedupIncrementalClusters _),
     "op_bm25_incremental" -> (TextQueries.opBm25Incremental _),
-    "op_ann_incremental" -> (SimQueries.opAnnIncremental _))
+    "op_ann_incremental" -> (SimQueries.opAnnIncremental _),
+    "op_bpe_train256" -> (TextQueries.opBpeTrain256 _))
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> CoreQueries.q1Sql,

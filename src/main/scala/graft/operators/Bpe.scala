@@ -64,9 +64,140 @@ object Bpe {
     * [[wordCounts]]). Returns the ordered rule list AND the final
     * symbolization of every word (the trained vocab — callers encoding
     * the SAME corpus join against it instead of re-encoding). Stops
-    * early when no pair reaches `minCount`. */
+    * early when no pair reaches `minCount`.
+    *
+    * The dictionary is vocab-scale (10⁵–10⁷ distinct words no matter
+    * how big the corpus), so when it fits under `collectLimit` rows the
+    * trainer collects it ONCE and runs [[trainLocal]] — incremental
+    * pair counts plus a lazily-invalidated max-heap, the structure
+    * every production BPE trainer uses: each merge touches only the
+    * words that CONTAIN the merged pair, so per-merge cost is
+    * proportional to the pair's support, not the dictionary (a 32k-merge
+    * vocab is minutes, not 32k sequential Spark jobs). Past the limit it
+    * falls back to [[trainDistributed]], one pair-count aggregation per
+    * merge over the distributed dictionary. */
   def train(words: DataFrame, merges: Int, minCount: Long = 1L,
-      checkpointEvery: Int = 8): (Seq[Rule], DataFrame) = {
+      checkpointEvery: Int = 8, collectLimit: Long = 1L << 22)
+      : (Seq[Rule], DataFrame) = {
+    val dictSize = words.count()
+    if (dictSize <= collectLimit) trainLocal(words, merges, minCount)
+    else trainDistributed(words, merges, minCount, checkpointEvery)
+  }
+
+  /** Driver-side trainer over the collected dictionary. Semantics are
+    * IDENTICAL to the distributed path (BpeSpec pins rule-sequence and
+    * vocab equality): greedy leftmost merge passes, count-desc then
+    * lexicographic tie-break. Structure: `pairCount` holds every
+    * adjacent pair's total weighted frequency; `pairWords` maps a pair
+    * to the word ids that contained it when last rewritten (entries go
+    * stale when a word is rewritten — filtered by an adjacency re-check
+    * at merge time, the standard lazy-index trick); the heap orders
+    * (count desc, pair asc) with stale entries dropped on pop by
+    * comparing against the live count. One merge = rewrite only the
+    * pair's supporting words and push refreshed heap entries for the
+    * pairs whose counts those rewrites changed. */
+  private def trainLocal(words: DataFrame, merges: Int, minCount: Long)
+      : (Seq[Rule], DataFrame) = {
+    import scala.collection.mutable
+    val spark = words.sparkSession
+    import spark.implicits._
+    val wc = words.select(col("word").cast("string"), col("cnt").cast("long"))
+      .as[(String, Long)].collect()
+    // initial symbolization by CODE POINT (= Spark's split(word, ""))
+    val syms = wc.map { case (w, _) =>
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp))) }
+    val cnts = wc.map(_._2)
+
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String),
+      mutable.ArrayBuffer[Int]]
+    // heap priority: highest count first; ties -> smallest (l, r)
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val cl = b._2.compareTo(a._2)
+          if (cl != 0) cl else b._3.compareTo(a._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+
+    def indexWord(wi: Int, delta: Long, touched: mutable.HashSet[(String, String)]): Unit = {
+      val s = syms(wi)
+      var i = 0
+      val seen = mutable.HashSet.empty[(String, String)]
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val nc = pairCount.getOrElse(p, 0L) + delta * cnts(wi)
+        if (nc == 0L) pairCount.remove(p) else pairCount(p) = nc
+        if (touched ne null) touched += p
+        if (delta > 0 && seen.add(p))
+          pairWords.getOrElseUpdate(p, mutable.ArrayBuffer.empty) += wi
+        i += 1
+      }
+    }
+    syms.indices.foreach(indexWord(_, 1L, null))
+    pairCount.foreach { case ((l, r), c) => heap.enqueue((c, l, r)) }
+
+    val rules = Seq.newBuilder[Rule]
+    var rank = 1
+    while (rank <= merges && heap.nonEmpty) {
+      val (c, l, r) = heap.dequeue()
+      if (pairCount.get((l, r)).contains(c)) { // fresh entry
+        if (c < minCount) { heap.clear() }     // best live pair too rare
+        else {
+          rules += Rule(rank, l, r, c)
+          val touched = mutable.HashSet.empty[(String, String)]
+          val support = pairWords.remove((l, r))
+            .getOrElse(mutable.ArrayBuffer.empty)
+          val visited = mutable.HashSet.empty[Int]
+          support.foreach { wi =>
+            if (visited.add(wi)) {
+              val s = syms(wi)
+              // stale-entry filter: the word may have been rewritten
+              // since it was indexed under this pair
+              var has = false
+              var i = 0
+              while (!has && i < s.length - 1) {
+                has = s(i) == l && s(i + 1) == r; i += 1
+              }
+              if (has) {
+                indexWord(wi, -1L, touched)
+                val out = mutable.ArrayBuffer.empty[String]
+                var j = 0
+                while (j < s.length) {
+                  if (out.nonEmpty && out.last == l && s(j) == r)
+                    out(out.length - 1) = l + r
+                  else out += s(j)
+                  j += 1
+                }
+                syms(wi) = out.toArray
+                indexWord(wi, 1L, touched)
+              }
+            }
+          }
+          pairCount.remove((l, r)) // fully consumed by the greedy passes
+          touched.foreach { p =>
+            pairCount.get(p).foreach(nc => heap.enqueue((nc, p._1, p._2)))
+          }
+          rank += 1
+        }
+      }
+    }
+    val vocab = spark.createDataset(
+        wc.indices.map(i => (wc(i)._1, cnts(i), syms(i).toSeq)))
+      .toDF("word", "cnt", "syms")
+    (rules.result(), vocab)
+  }
+
+  /** Distributed fallback for dictionaries past the collect guard: one
+    * vocab-scale pair-count aggregation + single-row TakeOrdered pick
+    * per merge (serialized driver round-trips — acceptable only because
+    * a >4M-distinct-word dictionary is the rare case, and still exact). */
+  private def trainDistributed(words: DataFrame, merges: Int,
+      minCount: Long, checkpointEvery: Int): (Seq[Rule], DataFrame) = {
     var cur = words
       .select(col("word"), col("cnt"), split(col("word"), "").as("syms"))
       .localCheckpoint(eager = false)

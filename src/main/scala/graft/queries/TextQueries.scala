@@ -827,6 +827,21 @@ object TextQueries {
     ORDER BY cnt DESC, word LIMIT 200"""
   }
 
+  /** Bench-only 256-merge soak ([[graft.operators.Bpe.train]]'s
+    * driver-side fast path): per-merge cost must stay sub-linear in the
+    * dictionary — the collected-dictionary trainer touches only each
+    * merged pair's supporting words, so 32× the gate's 8 merges should
+    * cost nowhere near 32× (the corpus scan + collect dominates).
+    * Returns the rule table; no oracle (the 8-merge gates pin
+    * correctness, and the 256-CTE DuckDB replay would dwarf the run). */
+  def opBpeTrain256(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val (rules, _) = graft.operators.Bpe.train(
+      graft.operators.Bpe.wordCounts(docs, "text", "^[a-z0-9]+$"),
+      merges = 256)
+    graft.operators.Bpe.rulesDf(spark, rules).orderBy("rank")
+  }
+
   /** Per-document TRUE tokenizer token counts — the trained-BPE upgrade
     * of `text_tokens`' whitespace/4-char estimates: train 8 merges on
     * the corpus ([[bpeMerges]]'s setup), then charge each document the

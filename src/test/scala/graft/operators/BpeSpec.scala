@@ -99,6 +99,34 @@ class BpeSpec extends SparkSpec {
     assert(encoded.forall { case (w, ss) => ss.mkString == w })
   }
 
+  test("distributed fallback (collectLimit=0) matches the local trainer") {
+    val words = Bpe.wordCounts(corpus, "text", "^[a-z0-9]+$")
+    val (rl, vl) = Bpe.train(words, merges = 8)
+    val (rd, vd) = Bpe.train(words, merges = 8, collectLimit = 0L)
+    assert(rl == rd)
+    val local = vl.select("word", "syms").as[(String, Seq[String])]
+      .collect().toMap
+    val dist = vd.select("word", "syms").as[(String, Seq[String])]
+      .collect().toMap
+    assert(local == dist)
+  }
+
+  test("distributed fallback matches local on random corpora") {
+    val rnd = new scala.util.Random(99L)
+    for (trial <- 1 to 3) {
+      val alpha = "abc"
+      val wordsPool = (1 to 20).map { _ =>
+        (1 to (1 + rnd.nextInt(6))).map(_ => alpha(rnd.nextInt(3))).mkString }
+      val text = (1 to 60).map(_ => wordsPool(rnd.nextInt(wordsPool.length)))
+        .mkString(" ")
+      val wcDf = Bpe.wordCounts(Seq((1L, text)).toDF("doc_id", "text"),
+        "text", "^[a-z0-9]+$")
+      val (rl, _) = Bpe.train(wcDf, merges = 5)
+      val (rd, _) = Bpe.train(wcDf, merges = 5, collectLimit = 0L)
+      assert(rl == rd, s"trial $trial")
+    }
+  }
+
   test("minCount stops training early") {
     val df = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
     val (rules, _) = Bpe.train(Bpe.wordCounts(df, "text"), merges = 8,
