@@ -211,11 +211,16 @@ object SinkQueries {
   /** D5/external engine: the full CDC apply protocol against a REAL
     * external SQL engine (embedded Derby over JDBC) — backfill
     * (drop-for-copy + batched INSERT), two streamed batches applied by
-    * set-based seq-guarded MERGE, then a REPLAY of the first batch that
-    * the engine-held offset cursor must filter to a no-op. The result is
-    * read back through spark.read.jdbc (partitioned on the key), so every
-    * row travels the genuine wire both ways. Oracle = baseline customers
-    * untouched by events + latest non-delete event value per key. */
+    * set-based seq-guarded MERGE, a REPLAY of the first batch that the
+    * engine-held offset cursor must filter to a no-op, then a POST-DDL
+    * batch whose frame carries a new `etype` column (the pipeline's
+    * schema-version split shape): the sink must ALTER TABLE ADD COLUMN
+    * in the engine, inside the batch transaction, and apply. The result
+    * is read back through spark.read.jdbc (partitioned on the key), so
+    * every row travels the genuine wire both ways. Oracle = baseline
+    * customers untouched by events + latest event value per key across
+    * both epochs, with `etype` NULL for every row the post-DDL batch
+    * didn't rewrite. */
   def jdbcApply(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-jdbc").toString
     val sink = new graft.sinks.JdbcSink(s"jdbc:derby:$tmp/db;create=true",
@@ -227,28 +232,48 @@ object SinkQueries {
         col("user_id").as("key"), col("value").as("val"),
         when(col("event_type") === "error", "D").otherwise("U").as("_op"),
         col("event_id").as("_commit_lsn"), lit(0L).as("_tx_ordinal"))
-      .localCheckpoint(eager = false) // scanned by max-id + 3 writes
-    val mid = ev.agg(max("_commit_lsn")).collect()(0).getLong(0) / 2
+      .localCheckpoint(eager = false) // scanned by max-id + 4 writes
+    val maxId = ev.agg(max("_commit_lsn")).collect()(0).getLong(0)
+    val mid = maxId / 2
     sink.writeEvents("state", ev.filter(col("_commit_lsn") <= mid))
     sink.writeEvents("state", ev.filter(col("_commit_lsn") > mid))
     sink.writeEvents("state", ev.filter(col("_commit_lsn") <= mid)) // replay
+    // post-DDL epoch: 'click' events re-emitted above the prior high
+    // water with doubled values and the NEW column populated
+    val ddl = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("key"), (col("value") * 2).as("val"),
+        col("event_type").as("etype"), lit("U").as("_op"),
+        (col("event_id") + maxId).as("_commit_lsn"),
+        lit(0L).as("_tx_ordinal"))
+    sink.writeEvents("state", ddl)
     sink.read(spark, "state", partitionKey = Some("key"), partitions = 4)
       .orderBy("key")
   }
 
   val jdbcApplySql: String = """
-    WITH last AS (
-      SELECT user_id, event_type, value FROM (
-        SELECT user_id, event_type, value,
-          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
-        FROM events) t WHERE rn = 1)
-    SELECT key, val FROM (
-      SELECT c.c_custkey AS key, c.c_acctbal AS val
+    WITH mx AS (SELECT max(event_id) AS m FROM events),
+    allev AS (
+      SELECT user_id, event_id AS seq, value AS val,
+        CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        CAST(NULL AS VARCHAR) AS etype
+      FROM events
+      UNION ALL
+      SELECT user_id, event_id + mx.m, value * 2, 'U', event_type
+      FROM events, mx WHERE event_type = 'click'),
+    last AS (
+      SELECT user_id, op, val, etype FROM (
+        SELECT user_id, op, val, etype,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+        FROM allev) t WHERE rn = 1)
+    SELECT key, val, etype FROM (
+      SELECT c.c_custkey AS key, c.c_acctbal AS val,
+        CAST(NULL AS VARCHAR) AS etype
       FROM customer c LEFT JOIN last l ON l.user_id = c.c_custkey
       WHERE l.user_id IS NULL
       UNION ALL
-      SELECT user_id AS key, value AS val FROM last
-      WHERE event_type <> 'error') u
+      SELECT user_id AS key, val, etype FROM last
+      WHERE op <> 'D') u
     ORDER BY key"""
 
   /** TPC-H Q6 shape: single-scan predicate-heavy aggregate — the pushdown

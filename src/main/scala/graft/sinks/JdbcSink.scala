@@ -144,14 +144,29 @@ final class JdbcSink(url: String, keysOf: String => Seq[String],
 
       val dataCols = keys ++ payloadCols
       val dataTypes = dataCols.map(c => fresh.schema(c).dataType)
-      withConn { conn =>
-        if (!tableExists(conn, table)) {
-          val st = conn.createStatement()
-          try st.executeUpdate(createTargetSql(table,
-            StructType(dataCols.map(c => StructField(c, fresh.schema(c).dataType))),
-            keys))
-          finally st.close()
-        }
+      // Widen-only schema evolution (the reference's BigQuery destination
+      // consumes SchemaDiff and emits ALTER TABLE on Relation changes,
+      // bigquery/core.rs:1110-1160; diff model etl/src/schema.rs:592-762):
+      // the pipeline splits batches at schema-version boundaries, so a
+      // post-DDL slice arrives here with the NEW column set. Columns the
+      // engine table lacks are added — to the STAGE now (staging needs
+      // them), to the TARGET inside the same engine transaction as the
+      // batch MERGE below (DDL + apply + cursor move commit atomically).
+      // Columns the target has but the slice lacks are left alone (never
+      // dropped): the MERGE simply doesn't set them.
+      val targetAdds: Seq[(String, DataType)] = withConn { conn =>
+        val adds =
+          if (tableExists(conn, table)) {
+            val existing = columnsOf(conn, table)
+            dataCols.zip(dataTypes).filterNot(c => existing.contains(c._1))
+          } else {
+            val st = conn.createStatement()
+            try st.executeUpdate(createTargetSql(table,
+              StructType(dataCols.map(c => StructField(c, fresh.schema(c).dataType))),
+              keys))
+            finally st.close()
+            Seq.empty
+          }
         ensureStage(conn, table, dataCols, dataTypes)
         // clear any partial stage from a crashed attempt (its batch never
         // merged — the offsets row still gates the replay that brought us
@@ -159,6 +174,7 @@ final class JdbcSink(url: String, keysOf: String => Seq[String],
         val st = conn.createStatement()
         try st.executeUpdate(s"DELETE FROM ${q(stageName(table))}")
         finally st.close()
+        adds
       }
 
       val stageCols = dataCols ++ Seq(OpCol, SeqCol, MaskCol)
@@ -173,11 +189,18 @@ final class JdbcSink(url: String, keysOf: String => Seq[String],
           insertPartition(u, insert, stageTypes, it, b)
         }
 
-      // one transaction: N mask-group MERGEs + cursor advance + stage clear
+      // one transaction: schema ALTERs + N mask-group MERGEs + cursor
+      // advance + stage clear — a crash anywhere rolls back wholesale
+      // (including the DDL; Derby and Postgres DDL is transactional) and
+      // the replay re-runs the whole slice
       withConn { conn =>
         conn.setAutoCommit(false)
         val st = conn.createStatement()
         try {
+          targetAdds.foreach { case (c, t) =>
+            st.executeUpdate(
+              s"ALTER TABLE ${q(table)} ADD COLUMN ${q(c)} ${typeSql(t)}")
+          }
           masks.foreach { mask =>
             val masked = if (mask.isEmpty) Set.empty[String]
                          else mask.split(",").filter(_.nonEmpty).toSet
@@ -298,7 +321,20 @@ final class JdbcSink(url: String, keysOf: String => Seq[String],
 
   private def ensureStage(conn: Connection, table: String,
       dataCols: Seq[String], dataTypes: Seq[DataType]): Unit = {
-    if (tableExists(conn, stageName(table))) return
+    if (tableExists(conn, stageName(table))) {
+      // stage evolves with the slice schema (widen-only, like the target)
+      val existing = columnsOf(conn, stageName(table))
+      val missing = dataCols.zip(dataTypes)
+        .filterNot(c => existing.contains(c._1))
+      if (missing.nonEmpty) {
+        val st = conn.createStatement()
+        try missing.foreach { case (c, t) =>
+          st.executeUpdate(s"ALTER TABLE ${q(stageName(table))} " +
+            s"ADD COLUMN ${q(c)} ${typeSql(t)}")
+        } finally st.close()
+      }
+      return
+    }
     val cols = dataCols.zip(dataTypes).map { case (c, t) =>
       s"${q(c)} ${typeSql(t)}"
     } ++ Seq(s"${q(OpCol)} CHAR(1) NOT NULL",
@@ -308,6 +344,17 @@ final class JdbcSink(url: String, keysOf: String => Seq[String],
     try st.executeUpdate(
       s"CREATE TABLE ${q(stageName(table))} (${cols.mkString(", ")})")
     finally st.close()
+  }
+
+  /** The engine table's current column names (exact stored case — all
+    * DDL here uses quoted identifiers, so metadata returns what [[q]]
+    * wrote). */
+  private def columnsOf(conn: Connection, table: String): Set[String] = {
+    val rs = conn.getMetaData.getColumns(null, null, table, null)
+    val out = Set.newBuilder[String]
+    try { while (rs.next()) out += rs.getString("COLUMN_NAME") }
+    finally rs.close()
+    out.result()
   }
 
   private def tableExists(conn: Connection, name: String): Boolean = {

@@ -116,6 +116,38 @@ class JdbcSinkSpec extends SparkSpec {
     assert(got == Seq((1L, 10.0, "big"), (2L, 20.0, "fresh")))
   }
 
+  test("mid-stream ADD COLUMN: widen-only ALTER inside the batch " +
+      "transaction, pre-DDL rows read NULL") {
+    val (_, url) = freshDb()
+    val sink = new JdbcSink(url, _ => Seq("key"))
+    sink.startup(spark)
+    sink.writeTableRows("state", Seq((1L, 1.0), (2L, 2.0)).toDF("key", "val"))
+    sink.writeEvents("state", ev((2L, 20.0, "U", 5L), (3L, 3.0, "U", 6L)))
+    // post-DDL slice: the pipeline splits batches at schema-version
+    // boundaries, so the new column arrives as a wider frame
+    val wide = Seq((3L, 30.0, "active", "U", 7L), (4L, 4.0, "new", "U", 8L))
+      .toDF("key", "val", "status", "_op", "_commit_lsn")
+      .withColumn("_tx_ordinal", lit(0L))
+    sink.writeEvents("state", wide)
+    val got = sink.read(spark, "state").orderBy("key")
+      .as[(Long, Double, Option[String])].collect().toSeq
+    // pre-DDL rows keep NULL in the added column; post-DDL rows carry it
+    assert(got == Seq((1L, 1.0, None), (2L, 20.0, None),
+      (3L, 30.0, Some("active")), (4L, 4.0, Some("new"))))
+    // a NARROWER slice after the DDL must not drop the column (widen-
+    // only): the old-shape MERGE never sets `status`, so the engine-
+    // stored value persists through the update
+    sink.writeEvents("state", ev((3L, 33.0, "U", 9L)))
+    val got2 = sink.read(spark, "state").orderBy("key")
+      .as[(Long, Double, Option[String])].collect().toSeq
+    assert(got2 == Seq((1L, 1.0, None), (2L, 20.0, None),
+      (3L, 33.0, Some("active")), (4L, 4.0, Some("new"))))
+    // replaying the pre-DDL batch after evolution stays a no-op
+    sink.writeEvents("state", ev((2L, 20.0, "U", 5L), (3L, 3.0, "U", 6L)))
+    assert(sink.read(spark, "state").orderBy("key")
+      .as[(Long, Double, Option[String])].collect().toSeq == got2)
+  }
+
   test("partitioned JDBC read-back returns the full row set") {
     val (_, url) = freshDb()
     val sink = new JdbcSink(url, _ => Seq("key"))
