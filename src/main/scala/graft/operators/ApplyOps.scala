@@ -185,17 +185,36 @@ object ApplyOps {
     * sequence order, to a batch such that each batch's cumulative payload
     * stays under `maxBytes` (reference EventBatch fill,
     * apply.rs:633-696 + batch_budget.rs:22-90). Deterministic: batch id =
-    * floor(exclusive-prefix-sum(bytes) / maxBytes). Expressed as a window
-    * cumsum so it scales; the single global ordering window mirrors the
-    * single WAL stream (the reference, too, fills batches from one ordered
-    * stream — this is inherently sequential per pipeline, not per key).
-    */
+    * floor(exclusive-prefix-sum(bytes) / maxBytes).
+    *
+    * The prefix sum is RANGE-PARTITIONED two-pass, not one global
+    * `Window.orderBy` (which would drag any input — including a
+    * backfill-sized frame — through a single task): range-exchange on
+    * the sequence, per-partition window cumsum (parallel), then one
+    * metadata-scale collect of per-partition totals whose exclusive
+    * offsets broadcast-join back. The intermediate is localCheckpoint-ed
+    * because the range partitioner SAMPLES its bounds per job — the
+    * totals job and the output job must see the same partition ids. */
   def planBatches(df: DataFrame, seqCols: Seq[String], sizeCol: String,
       maxBytes: Long): DataFrame = {
-    val w = Window.orderBy(seqCols.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("_batch_id",
-      floor((sum(col(sizeCol)).over(w) - col(sizeCol)) / lit(maxBytes)))
+    val sp = df.sparkSession
+    import sp.implicits._
+    val local = df.repartitionByRange(seqCols.map(col): _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lsum", sum(col(sizeCol)).over(
+        Window.partitionBy(col("_pid")).orderBy(seqCols.map(col): _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint()
+    val totals = local.groupBy(col("_pid"))
+      .agg(max(col("_lsum")).as("_ptot"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = totals.map { case (pid, tot) =>
+      val o = (pid, acc); acc += tot; o }.toSeq
+    local.join(broadcast(offs.toDF("_pid", "_off")), "_pid")
+      .withColumn("_batch_id",
+        floor((col("_off") + col("_lsum") - col(sizeCol)) / lit(maxBytes)))
+      .drop("_pid", "_lsum", "_off")
   }
 
   /** Backfill↔stream gate (ST4): a table in `SyncDone(snapshotLsn)` only

@@ -71,6 +71,32 @@ class ApplyOpsSpec extends SparkSpec {
     assert(out == Seq(0L, 0L, 0L, 1L, 2L))
   }
 
+  test("planBatches plans a backfill-sized frame in parallel, matching " +
+      "the sequential reference") {
+    val n = 50000
+    val rnd = new scala.util.Random(7L)
+    val rows = (1 to n).map(i => (i.toLong, 1L + rnd.nextInt(2000).toLong))
+    val df = rows.toDF("lsn", "sz").repartition(16) // arbitrary layout in
+    // AQE off so the raw exchange partitioning is observable (with AQE on
+    // it rightly coalesces this small frame — the property under test is
+    // that the PLAN is range-partitioned, not a single-task global sort)
+    val out = withSqlConf("spark.sql.adaptive.enabled" -> "false") {
+      val o = ApplyOps.planBatches(df, Seq("lsn"), "sz", 64 * 1024L)
+      assert(o.rdd.getNumPartitions > 1)
+      o
+    }
+    val got = out.orderBy("lsn").select("lsn", "_batch_id")
+      .as[(Long, Long)].collect()
+    var prefix = 0L
+    rows.sortBy(_._1).zip(got).foreach { case ((lsn, sz), (glsn, bid)) =>
+      assert(glsn == lsn)
+      assert(bid == prefix / (64 * 1024L), s"lsn $lsn")
+      prefix += sz
+    }
+    // batch ids are non-decreasing in sequence order and start at 0
+    assert(got.head._2 == 0L)
+  }
+
   test("snapshotGate filters by per-table snapshot LSN (apply.rs:2844)") {
     val ev = Seq(
       (1L, 5L), (1L, 10L), (1L, 15L),
