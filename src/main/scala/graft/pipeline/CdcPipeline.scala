@@ -18,7 +18,14 @@ final case class PipelineConfig(
     stateDir: String,
     /** Byte budget per micro-batch (reference `BatchConfig.max_bytes`,
       * default 8 MiB there); None = row cap only. */
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    /** Invalidated-slot policy (reference InvalidatedSlotBehavior,
+      * etl-config pipeline.rs:123-149): "error" (default) fails startup
+      * when the checkpointed offset predates the retained log;
+      * "restart" mirrors Recreate — [[CdcPipeline.startStreamRecovering]]
+      * drops the checkpoint, resets table states to Init, re-runs
+      * backfill, and streams from scratch. */
+    onInvalidatedSlot: String = "error")
 
 /** The pipeline orchestrator — Spark shape of the reference's
   * `Pipeline::new → start → wait` (reference crates/etl/src/pipeline.rs:96-309)
@@ -185,6 +192,51 @@ final class CdcPipeline(
       .foreachBatch((batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId))
       .start()
+  }
+
+  /** [[startStream]] with the reference's `Recreate` invalidated-slot
+    * recovery (InvalidatedSlotBehavior::Recreate, etl-config
+    * pipeline.rs:131-145; slot teardown slots.rs:51-72): the stream is
+    * started and drained once so the source's retention check runs
+    * synchronously; if it fails with slot invalidation and the
+    * configured policy is "restart", recovery runs the reference's
+    * recreate sequence —
+    *   1. drop the Spark checkpoint (the slot recreate: post-restart
+    *      offsets restart from the log head),
+    *   2. reset every published table to Init and clear its catchup
+    *      spool (reference step "reset all table states to Init"),
+    *   3. re-run snapshot backfill for all tables (table sync from
+    *      scratch — destinations truncate-for-copy, so pre-loss state
+    *      cannot linger),
+    *   4. start a fresh stream, gated by the new snapshot LSNs.
+    * Any other failure — or the "error" policy — rethrows (the
+    * reference's Error behavior: operator intervention). Detection is
+    * at STARTUP, like the reference's slot check; a mid-run truncation
+    * surfaces on the next restart. */
+  def startStreamRecovering(logPath: String, schemas: Seq[TableSchemaV],
+      snapshot: TableSchemaV => (DataFrame, Long))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    def invalidated(t: Throwable): Boolean =
+      t != null && (String.valueOf(t.getMessage).contains("slot invalidated")
+        || invalidated(t.getCause))
+    try {
+      val q = startStream(logPath)
+      q.processAllAvailable()
+      q
+    } catch {
+      case e: org.apache.spark.sql.streaming.StreamingQueryException
+          if invalidated(e) && config.onInvalidatedSlot == "restart" =>
+        CdcPipeline.deleteRecursively(
+          java.nio.file.Paths.get(config.checkpointDir))
+        schemas.foreach { t =>
+          stateStore.force(t.tableId, TableState.Init)
+          stateStore.clearAttempts(t.tableId)
+          CdcPipeline.deleteRecursively(
+            java.nio.file.Paths.get(spoolPath(t.tableId)))
+        }
+        backfill(schemas, snapshot)
+        startStream(logPath)
+    }
   }
 
   /** One micro-batch: route → gate → per-version decode → expand → write.

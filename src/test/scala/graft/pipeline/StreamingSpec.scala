@@ -203,6 +203,58 @@ class StreamingSpec extends SparkSpec {
     assert(seen.get() == 8) // 6 + the 2 retained entries
   }
 
+  test("slot invalidation with restart policy: drop checkpoint, states " +
+      "to Init, re-backfill, fresh stream (ST10 Restart)") {
+    val dir = tmp("cdc-restartpol")
+    val log = s"$dir/wal.log"
+    val sink = new CurrentStateSink(s"$dir/tables", _ => Seq("id"), 4)
+    val registry = new SchemaRegistry
+    registry.put(usersSchema)
+    def pipe(policy: String) = new CdcPipeline(spark,
+      PipelineConfig(maxRowsPerTrigger = 4, maxFillMs = 50,
+        checkpointDir = s"$dir/ckpt", stateDir = s"$dir/state",
+        onInvalidatedSlot = policy),
+      registry, sink, decode)
+    val pipeline = pipe("restart")
+
+    // epoch 1: copy at LSN 0, stream lsns 1-2
+    pipeline.backfill(Seq(usersSchema), _ => (
+      Seq((1L, "a", 30), (2L, "b", 31)).toDF("id", "name", "age"), 0L))
+    appendLog(log, Seq(upd(1L, 0, 1L, "a2", 30), ins(2L, 0, 3L, "c", 32)))
+    val q1 = pipeline.startStream(log)
+    q1.processAllAvailable(); q1.stop()
+    assert(sink.read(spark, "users").select("id").as[Long].collect().toSet
+      == Set(1L, 2L, 3L))
+
+    // "slot invalidated": retention rewrote the log keeping only lsns
+    // 9-10; lsns 3-8 (del id2, ins id4 "d") were lost UNSEEN. The
+    // source of truth meanwhile reflects everything through lsn 8.
+    Files.write(Paths.get(log),
+      (Seq(upd(9L, 0, 4L, "d2", 34), ins(10L, 0, 5L, "e", 35))
+        .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+
+    // error policy (default) refuses, reference Error behavior
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = pipe("error").startStream(log)
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(String.valueOf(err.getMessage).contains("slot invalidated") ||
+      String.valueOf(err.getCause.getMessage).contains("slot invalidated"))
+
+    // restart policy: recreate sequence, then the fresh stream applies
+    // the retained tail over the re-copied snapshot
+    val q2 = pipeline.startStreamRecovering(log, Seq(usersSchema), _ => (
+      Seq((1L, "a2", 30), (3L, "c", 32), (4L, "d", 33))
+        .toDF("id", "name", "age"), 8L))
+    q2.processAllAvailable(); q2.stop()
+    val state = sink.read(spark, "users")
+      .select("id", "name").as[(Long, String)].collect().toSet
+    // id2's delete was lost but the re-copy omits it (truncate-for-copy
+    // dropped stale destination state); retained lsns 9-10 applied on top
+    assert(state == Set((1L, "a2"), (3L, "c"), (4L, "d2"), (5L, "e")))
+    assert(pipeline.stateStore.get(1L) == TableState.Ready)
+  }
+
   test("pipeline e2e: backfill → stream handoff with snapshot gate") {
     val dir = tmp("cdc-e2e")
     val log = s"$dir/wal.log"
