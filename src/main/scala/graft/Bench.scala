@@ -21,69 +21,133 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** The reference harness's four table-streaming rates
-    * (crates/etl-benchmarks/src/table_streaming.rs:163-241): the
-    * pipeline goes live FIRST, then the producer phase appends `n`
-    * synthetic envelope events (upserts over `n/4` keys, same WAL line
-    * shape the e2e specs use, whole-commit line-aligned chunks) to the
-    * live log while micro-batches consume it. Phases, timed exactly as
-    * the reference does:
+    * (crates/etl-benchmarks/src/table_streaming.rs:163-241) over a
+    * TPC-C-SHAPED workload — the reference drives `go-tpc tpcc`
+    * (table_streaming.rs:407-443), whose standard mix is NewOrder 45%,
+    * Payment 43%, OrderStatus 4%, Delivery 4%, StockLevel 4%. The
+    * producer here emits the same mix as multi-table envelope commits
+    * over eight TPC-C tables:
+    *   - NewOrder (45%): INSERT orders + new_order + 2× order_line,
+    *     UPDATE district + 2× stock — 7 events/commit
+    *   - Payment (43%): UPDATE warehouse + district + customer,
+    *     INSERT history — 4 events/commit
+    *   - Delivery (4%): DELETE new_order, UPDATE orders + customer
+    *   - OrderStatus / StockLevel (4% each): read-only, no CDC events
+    * ≈5 CDC events per transaction; each transaction is ONE commit
+    * (shared commit_lsn, per-event tx_ordinal) and the producer appends
+    * whole-commit chunks, so per-table ordering pressure and in-commit
+    * ordinal resolution are both exercised. The pipeline goes live
+    * FIRST (the reference's ready-wait), then phases are timed exactly
+    * as the reference does:
     *   - producer:  workload start → last WAL byte durable
     *   - drain:     producer end → quiescence (`processAllAvailable`)
     *   - end_to_end: producer start → quiescence
     *   - end_to_end_with_shutdown: producer start → query fully stopped
-    * Returns (n, producerEps, endToEndEps, withShutdownEps, drainEps).
-    * NOTE vs rounds ≤6: `drain` is now the reference's post-producer
-    * quiescence wait; the old t0→stop rate is `with_shutdown`. */
-  def streamingThroughput(spark: SparkSession, nEvents: Int)
+    * Post-drain (outside the timed phases) every table's destination
+    * state is checked against an LWW replay of the generated events —
+    * a rate over a diverged destination would be meaningless.
+    * Returns (nEvents, producerEps, endToEndEps, withShutdownEps,
+    * drainEps). */
+  def streamingThroughput(spark: SparkSession, nEventsTarget: Int)
       : (Int, Double, Double, Double, Double) = {
     import org.apache.spark.sql.functions._
     import graft.core.{ColumnSpec, SchemaRegistry, TableSchemaV}
     import graft.pipeline.{CdcPipeline, PipelineConfig, TableState}
     import graft.sinks.CurrentStateSink
     val tmp = java.nio.file.Files.createTempDirectory("graft-streambench").toString
-    val keys = math.max(1, nEvents / 4)
-    val wal = spark.range(nEvents.toLong)
-      .select(col("id"), concat(
-        col("id"), lit("\t0\tU\t1\t"), col("id"), lit("\t0\t\\N\t"),
-        lit("="), col("id") % keys,
-        lit(graft.core.PackedRow.Sep.toString), col("id")).as("line"))
-      .orderBy("id").select("line")
-    wal.coalesce(1).write.text(s"$tmp/wal")
-    val part = new java.io.File(s"$tmp/wal").listFiles()
-      .find(_.getName.endsWith(".txt")).get
-    // pre-generated WAL bytes: producing = appending them to the LIVE log
-    val walBytes = java.nio.file.Files.readAllBytes(part.toPath)
+
+    // ---- TPC-C-mix producer frame: (txn, ordinal, table, op, key) ----
+    val tables = Seq(1L -> "warehouse", 2L -> "district", 3L -> "customer",
+      4L -> "history", 5L -> "orders", 6L -> "new_order",
+      7L -> "order_line", 8L -> "stock")
+    val nTxn = math.max(1L, nEventsTarget / 5L)
+    val custs = math.max(1L, nTxn / 10L)
+    def e(tid: Long, op: String, k: org.apache.spark.sql.Column) =
+      struct(lit(tid).as("tid"), lit(op).as("op"), k.cast("long").as("k"))
+    val t = col("t")
+    val mix = spark.range(nTxn).select(col("id").as("t"),
+      pmod(xxhash64(col("id")), lit(100L)).as("r"))
+    val evArr =
+      when(col("r") < 45, array( // NewOrder
+        e(5, "I", t), e(6, "I", t), e(7, "I", t * 10 + 1),
+        e(7, "I", t * 10 + 2), e(2, "U", t % 40 + 1),
+        e(8, "U", t % 1000), e(8, "U", (t * 7) % 1000)))
+      .when(col("r") < 88, array( // Payment
+        e(1, "U", t % 4 + 1), e(2, "U", t % 40 + 1),
+        e(3, "U", t % custs + 1), e(4, "I", t)))
+      .when(col("r") < 92, array( // Delivery (keys from an older NewOrder)
+        e(6, "D", (t / 2).cast("long")), e(5, "U", (t / 2).cast("long")),
+        e(3, "U", t % custs + 1)))
+      .otherwise(array().cast( // OrderStatus / StockLevel: read-only
+        "array<struct<tid:bigint,op:string,k:bigint>>"))
+    val ev = mix.withColumn("e2", evArr)
+      .select(col("t"), posexplode(col("e2")))
+      .select(col("t"), col("pos").as("ord"), col("col.tid").as("tid"),
+        col("col.op").as("op"), col("col.k").as("k"))
+
+    // envelope lines: commit_lsn = txn+1, per-event ordinal; packed
+    // payloads ('='-marked), key-only before-image for deletes
+    val sep = graft.core.PackedRow.Sep.toString
+    val rows = ev.select(col("t"), concat(
+        (t + 1).cast("string"), lit("\t"), col("ord").cast("string"),
+        lit("\t"), col("op"), lit("\t"), col("tid").cast("string"),
+        lit("\t"), (t + 1).cast("string"), lit("\t0\t"),
+        when(col("op") === "D", concat(lit("="), col("k")))
+          .otherwise(lit("\\N")),
+        lit("\t"),
+        when(col("op") === "D", lit("\\N"))
+          .otherwise(concat(lit("="), col("k"), lit(sep), t))).as("line"))
+      .orderBy("t", "ord").collect()
+    val n = rows.length
+    // WAL bytes + commit-start offsets: the producer appends whole
+    // COMMITS, as a replication stream delivers them
+    val bos = new java.io.ByteArrayOutputStream()
+    val commitStarts = scala.collection.mutable.ArrayBuffer(0)
+    var prevT = if (n > 0) rows(0).getLong(0) else 0L
+    rows.foreach { r =>
+      if (r.getLong(0) != prevT) { commitStarts += bos.size(); prevT = r.getLong(0) }
+      bos.write((r.getString(1) + "\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val walBytes = bos.toByteArray
+    commitStarts += walBytes.length
     val log = s"$tmp/wal.log"
     java.nio.file.Files.createFile(java.nio.file.Paths.get(log))
 
     val registry = new SchemaRegistry
-    registry.put(TableSchemaV(1L, "state", 0L, IndexedSeq(
-      ColumnSpec("key", "int8", nullable = false, pkOrdinal = 1),
-      ColumnSpec("val", "float8"))))
-    val sink = new CurrentStateSink(s"$tmp/tables", _ => Seq("key"), 16)
+    tables.foreach { case (tid, nm) =>
+      registry.put(TableSchemaV(tid, nm, 0L, IndexedSeq(
+        ColumnSpec("key", "int8", nullable = false, pkOrdinal = 1),
+        ColumnSpec("val", "float8"))))
+    }
+    val sink = new CurrentStateSink(s"$tmp/tables", _ => Seq("key"), 8)
     val pipeline = new CdcPipeline(spark,
       PipelineConfig(maxRowsPerTrigger = 100000, maxFillMs = 50,
+        maxTableSyncWorkers = tables.size, // all 8 tables apply in parallel
         checkpointDir = s"$tmp/ckpt", stateDir = s"$tmp/state"),
       registry, sink, CdcPipeline.jsonDecode)
-    pipeline.stateStore.force(1L, TableState.Ready)
+    tables.foreach { case (tid, _) =>
+      pipeline.stateStore.force(tid, TableState.Ready) }
     // pipeline live before the workload (the reference's ready-wait)
     val q = pipeline.startStream(log)
     q.processAllAvailable()
 
-    // producer: append whole-line (= whole-commit) chunks to the live log
+    // producer: append whole-commit chunks (~64 KiB) to the live log
     val t0 = System.nanoTime()
     val out = java.nio.file.Files.newOutputStream(
       java.nio.file.Paths.get(log),
       java.nio.file.StandardOpenOption.APPEND)
     try {
       val chunk = 1 << 16
-      var from = 0
-      while (from < walBytes.length) {
-        var to = math.min(from + chunk, walBytes.length)
-        while (to < walBytes.length && walBytes(to - 1) != '\n'.toByte) to += 1
-        out.write(walBytes, from, to - from)
+      var i = 0
+      while (i < commitStarts.length - 1) {
+        val from = commitStarts(i)
+        var j = i + 1
+        while (j < commitStarts.length - 1 && commitStarts(j + 1) - from < chunk)
+          j += 1
+        out.write(walBytes, from, commitStarts(j) - from)
         out.flush()
-        from = to
+        i = j
       }
     } finally out.close()
     val tProd = System.nanoTime()
@@ -91,8 +155,28 @@ object Bench {
     val tEnd = System.nanoTime()
     q.stop()
     val tStop = System.nanoTime()
-    def eps(fromNs: Long, toNs: Long) = nEvents / ((toNs - fromNs) / 1e9)
-    (nEvents, eps(t0, tProd), eps(t0, tEnd), eps(t0, tStop), eps(tProd, tEnd))
+
+    // convergence + per-table ordering (outside the timed phases): each
+    // destination table must equal the LWW replay of the generated mix
+    val lww = org.apache.spark.sql.expressions.Window
+      .partitionBy("tid", "k").orderBy(desc("t"), desc("ord"))
+    val expected = ev.withColumn("rn", row_number().over(lww))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .groupBy("tid").agg(count(lit(1)).as("cnt"),
+        expr("bit_xor(xxhash64(k, t))").as("h")) // xor: overflow-free,
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    tables.foreach { case (tid, nm) =>
+      val (ec, eh) = expected.getOrElse(tid, (0L, 0L))
+      val a = sink.read(spark, nm).agg(count(lit(1)),
+        expr("bit_xor(xxhash64(key, CAST(val AS BIGINT)))")).collect()(0)
+      val ac = a.getLong(0)
+      val ah = if (a.isNullAt(1)) 0L else a.getLong(1)
+      require(ac == ec && (ec == 0L || ah == eh),
+        s"stream bench divergence on $nm: rows $ac vs $ec expected")
+    }
+
+    def eps(fromNs: Long, toNs: Long) = n / ((toNs - fromNs) / 1e9)
+    (n, eps(t0, tProd), eps(t0, tEnd), eps(t0, tStop), eps(tProd, tEnd))
   }
 
   def main(args: Array[String]): Unit = {
@@ -187,7 +271,10 @@ object Bench {
     val streamSamples = sys.env.getOrElse("SPARK_GRAFT_STREAM_SAMPLES", "3").toInt
     val runs = (0 until streamSamples).flatMap { _ =>
       try Some(streamingThroughput(spark, nEvents))
-      catch { case _: Throwable => None }
+      catch { case e: Throwable =>
+        // a failed sample (incl. the convergence assert) must be VISIBLE,
+        // not a silently smaller median set
+        System.err.println(s"stream bench sample failed: $e"); None }
     }
     val (n, producerEps, endToEndEps, withShutdownEps, drainEps) =
       if (runs.isEmpty) (0, 0.0, 0.0, 0.0, 0.0)
