@@ -75,19 +75,33 @@ object IncrementalClusters {
   /** One incremental sync, AFTER the pair table's own sync for the same
     * delta. `changedIds` carries one column `idCol` (the delta's
     * distinct ids — deletes included). `seq` must increase per sync;
-    * replays no-op on both tables. */
+    * replays no-op on both tables.
+    *
+    * `touchingPairs`: the pair sync's returned verified set
+    * ([[IncrementalDedup.applyDelta]]) — exactly the post-sync pairs
+    * touching a changed id, already materialized. When provided, the
+    * seed set derives from it directly and the first pair-table probe
+    * is skipped (one fewer bucket read per sync in the chained
+    * corpus→pairs→clusters consumer). */
   def applyDelta(spark: SparkSession, idRep: GraftTable,
       members: GraftTable, pairs: GraftTable, changedIds: DataFrame,
       idCol: String, seq: String, maxRounds: Int = 50,
-      localEdgeCap: Int = maxLocalEdges): Unit = {
+      localEdgeCap: Int = maxLocalEdges,
+      touchingPairs: Option[DataFrame] = None): Unit = {
     val changed = changedIds.select(col(idCol).cast("long").as("id"))
       .distinct().localCheckpoint()
-    // NEW neighbors: pairs touching a changed id, read from the changed
-    // ids' buckets only (the mirror makes one-sided probing complete)
-    val nbrs = probeJoin(pairs.readForProbe(spark,
-        changed.select(col("id").as("id_a"))),
-      changed.select(col("id").as("id_a")), "id_a")
-      .map(_.select(col("id_b").as("id"))).getOrElse(emptyIds(spark))
+    // NEW neighbors: pairs touching a changed id — from the pair sync's
+    // verified set when chained, else read from the changed ids'
+    // buckets only (the mirror makes one-sided probing complete)
+    val nbrs = touchingPairs match {
+      case Some(v) =>
+        v.select(col("id_a").cast("long").as("id"))
+          .union(v.select(col("id_b").cast("long").as("id")))
+      case None => probeJoin(pairs.readForProbe(spark,
+          changed.select(col("id").as("id_a"))),
+        changed.select(col("id").as("id_a")), "id_a")
+        .map(_.select(col("id_b").as("id"))).getOrElse(emptyIds(spark))
+    }
     val seeds = changed.union(nbrs).distinct().localCheckpoint()
     // OLD co-members: seeds → their stored reps → those reps' members.
     // The member rows carry (rep, id), so they double as the stored-rep
@@ -171,11 +185,11 @@ object IncrementalClusters {
     IncrementalDedup.feedSync(batch, root,
       Seq(bands, pairs, idRep, members), Seq(idCol, textCol)) {
       (spark, corpus, changes, seq) =>
-        IncrementalDedup.applyDelta(spark, bands, pairs, corpus, changes,
-          idCol, textCol, seq, cfg)
+        val verified = IncrementalDedup.applyDelta(spark, bands, pairs,
+          corpus, changes, idCol, textCol, seq, cfg)
         applyDelta(spark, idRep, members, pairs,
           changes.select(col(idCol).cast("long").as("id")).distinct(),
-          "id", seq)
+          "id", seq, touchingPairs = Some(verified))
     }
 
   /** CC over the affected subgraph: a bounded collect + driver

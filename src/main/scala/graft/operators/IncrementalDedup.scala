@@ -107,10 +107,15 @@ object IncrementalDedup {
     * insert | delete | update_preimage | update_postimage (the
     * vocabulary of [[graft.sinks.GraftTable.rowChangesBetween]]) carrying
     * `idCol` and `textCol` images. `seq` must increase per sync
-    * (replay-idempotent: a replayed delta no-ops on both state tables). */
+    * (replay-idempotent: a replayed delta no-ops on both state tables).
+    * Returns the canonical verified pairs of this delta — exactly the
+    * post-sync pairs touching a changed id (every stale pair not in the
+    * returned set was deleted, every returned pair inserted), so a
+    * chained consumer (the cluster sync) can seed its affected
+    * subgraph from it without re-probing the pair table. */
   def applyDelta(spark: SparkSession, bands: GraftTable, pairs: GraftTable,
       corpus: DataFrame, changes: DataFrame, idCol: String, textCol: String,
-      seq: String, cfg: Config = Config()): Unit =
+      seq: String, cfg: Config = Config()): DataFrame =
     sync(spark, bands, pairs, changes, idCol, textCol, seq,
       df => Dedup.bandRows(df, "payload", "id",
         cfg.n, cfg.numHashes, cfg.bands),
@@ -143,7 +148,7 @@ object IncrementalDedup {
   def applyEmbedDelta(spark: SparkSession, bands: GraftTable,
       pairs: GraftTable, corpus: DataFrame, changes: DataFrame,
       idCol: String, vecCol: String, seq: String,
-      cfg: EmbedConfig = EmbedConfig()): Unit =
+      cfg: EmbedConfig = EmbedConfig()): DataFrame =
     sync(spark, bands, pairs, changes, idCol, vecCol, seq,
       df => {
         val sigs = (0 until cfg.nTables).map(t =>
@@ -168,7 +173,7 @@ object IncrementalDedup {
             round(Similarity.cosine(col("v_a"), col("v_b")), 6))
           .filter(col("sim") >= cfg.threshold)
           .select("id_a", "id_b", "sim")
-      }, scoreCol = "sim")
+      }, scoreCol = "sim", heavyVerify = false)
 
   /** CONTINUOUS near-dup maintenance — the dedup counterpart of
     * [[IncrementalIndex.applyFeedBatch]]: consume a `graft-row-follow`
@@ -249,12 +254,23 @@ object IncrementalDedup {
 
   /** The shared sync engine: `bandRowsOf` turns (id, payload) rows into
     * (id, band, bh) index rows; `verify` turns candidate (id_a, id_b)
-    * pairs into verified pairs carrying `scoreCol`. */
+    * pairs into verified pairs carrying `scoreCol`.
+    *
+    * `heavyVerify` gates the hits/verified/stale localCheckpoints:
+    * those subtrees feed multiple consuming jobs, so when a single
+    * evaluation is EXPENSIVE (the text front: shingle hashing + array
+    * intersections + bucket reads) materializing once wins ~30%; when
+    * it is a handful of codegen'd dot products over a delta-scale frame
+    * (the embedding front), re-evaluation is cheaper than checkpoint
+    * storage and the checkpoints only add fixed job latency. */
   private def sync(spark: SparkSession, bands: GraftTable,
       pairs: GraftTable, changes: DataFrame, idCol: String,
       payloadCol: String, seq: String,
       bandRowsOf: DataFrame => DataFrame,
-      verify: DataFrame => DataFrame, scoreCol: String): Unit = {
+      verify: DataFrame => DataFrame, scoreCol: String,
+      heavyVerify: Boolean = true): DataFrame = {
+    def cp(df: DataFrame): DataFrame =
+      if (heavyVerify) df.localCheckpoint(eager = false) else df
     val ch = changes.select(col(idCol).as("id"),
       col(payloadCol).as("payload"), col("_change_type"))
     val after = ch.filter(col("_change_type")
@@ -264,10 +280,12 @@ object IncrementalDedup {
 
     // band delta: OLD rows come from the CDF preimages (no index read);
     // net out rows the new payload keeps so an update only touches bands
-    // that actually moved. Both sides are delta-scale — cache the one
-    // that feeds two consumers (merge + probe).
+    // that actually moved. Both sides are delta-scale and BOTH feed
+    // multiple consumers/actions (merge stats + merge write + probe), so
+    // both cache — an uncached oldBands would re-run the MinHash kernel
+    // over the preimages once per consuming job.
     val newBands = bandRowsOf(after).cache()
-    val oldBands = bandRowsOf(before)
+    val oldBands = bandRowsOf(before).cache()
     try {
       val hadData = bands.hasData
       val key = Seq("band", "bh", "id")
@@ -300,14 +318,20 @@ object IncrementalDedup {
              .select("band", "bh", "id")
          else newBands.select("band", "bh", "id").limit(0))
           .unionByName(newBands.select("band", "bh", "id"))
-      val hits = index
+      // verified / stale each feed MULTIPLE downstream consumers (pair-
+      // insert side + delete anti-join, and the pair merge runs two
+      // actions over the result) — lazy localCheckpoints make each
+      // expensive subtree (candidate probe + exact verify; stale-pair
+      // probe) evaluate ONCE instead of once per consuming job (the
+      // single biggest per-sync wall-time cost before round 9).
+      val hits = cp(index
         .join(probe, Seq("band", "bh"))
         .filter(col("id") =!= col("_pid"))
         .select(least(col("id"), col("_pid")).as("id_a"),
           greatest(col("id"), col("_pid")).as("id_b"))
-        .distinct()
+        .distinct())
 
-      val verified = verify(hits)
+      val verified = cp(verify(hits))
 
       // pair delta: every pair involving a changed row is stale — delete
       // unless re-verified. The mirror makes this a one-sided probe:
@@ -316,13 +340,13 @@ object IncrementalDedup {
       // pruned, like the band probe) sees ALL stale pairs — O(delta
       // buckets), never O(pairs).
       val changed = ch.select(col("id")).distinct()
-      val stale =
+      val stale = cp(
         if (!pairs.hasData) verified.limit(0).select("id_a", "id_b")
         else pairs.readForProbe(spark, changed.select(col("id").as("id_a")))
           .join(changed, col("id_a") === col("id"), "left_semi")
           .select(least(col("id_a"), col("id_b")).as("id_a"),
             greatest(col("id_a"), col("id_b")).as("id_b"))
-          .distinct()
+          .distinct())
       // inserts and deletes are canonical pair sets; both write mirrored
       val delPairs = stale.join(verified, Seq("id_a", "id_b"), "left_anti")
         .withColumn(scoreCol, lit(null).cast("double"))
@@ -333,6 +357,7 @@ object IncrementalDedup {
       // band commit must be durable before the sync reports done (the
       // feed consumer's exactly-once contract covers BOTH tables)
       Await.result(fBands, Duration.Inf)
-    } finally newBands.unpersist()
+      verified
+    } finally { newBands.unpersist(); oldBands.unpersist() }
   }
 }

@@ -1368,11 +1368,11 @@ object SimQueries {
         .withColumn("_change_type", lit("update_postimage")))
     val corpus = docs
       .withColumn("text", when(updCond, postT).otherwise(col("text")))
-    IncrementalDedup.applyDelta(spark, st.bands, st.pairs, corpus,
-      changes, "doc_id", "text", f"$seqNo%016x/0", cfg)
+    val verified = IncrementalDedup.applyDelta(spark, st.bands, st.pairs,
+      corpus, changes, "doc_id", "text", f"$seqNo%016x/0", cfg)
     IncrementalClusters.applyDelta(spark, st.idRep, st.members, st.pairs,
       docs.filter(updCond).select(col("doc_id").as("id")),
-      "id", f"$seqNo%016x/0")
+      "id", f"$seqNo%016x/0", touchingPairs = Some(verified))
     IncrementalClusters.readClusters(spark, st.idRep)
       .agg(count(lit(1)).as("n_clustered"),
         countDistinct(col("rep")).as("n_components"))

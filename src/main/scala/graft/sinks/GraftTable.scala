@@ -63,7 +63,19 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       * column on a CDC table, so time-range catalog queries skip whole
       * files. Only integral-physical types (int/bigint/smallint, date,
       * micros timestamps) ever produce stats; others are ignored. */
-    statsCols0: Seq[String] = Nil) {
+    statsCols0: Seq[String] = Nil,
+    /** MERGE-ON-READ write mode for high-churn index tables: a small
+      * merge commits as a DELTA LAYER (append upsert files + a key-only
+      * delete file) instead of rewriting every touched bucket — write
+      * cost O(delta), not O(touched buckets). Readers fold layers over
+      * the base (see [[Manifest.layers]]); [[compact]] (and any
+      * copy-on-write path) collapses them back to a clean base, so
+      * layer depth — and the read-side fold cost — is bounded by
+      * [[GraftTable.MorMaxLayers]] plus the maintenance cadence.
+      * Default false: CDC serving tables stay copy-on-write (reads
+      * dominate); enable for tables whose workload is frequent small
+      * syncs against a large base (LSH band/pair indexes, postings). */
+    val mergeOnRead: Boolean = false) {
 
   /** Effective bucket columns (defaults to the full key). */
   val bucketCols: Seq[String] =
@@ -119,9 +131,31 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
         * A file/column without an entry is always read (absence = no
         * skip, never wrong). Entries of removed files drop automatically
         * on the next commit. */
-      fileStats: Map[String, Map[String, (Long, Long)]] = Map.empty) {
-    def allFiles: Seq[String] = files.valuesIterator.flatten.toVector
+      fileStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      /** MERGE-ON-READ delta layers (LSM/Iceberg-equality-delete shape),
+        * oldest first: each layer is one small merge committed WITHOUT
+        * rewriting its buckets — upsert data files per bucket plus an
+        * optional key-only delete file. The read path folds layers over
+        * the base in version order: `acc = (acc ANTI (layer keys)) ∪
+        * layer upserts`. Keys live in exactly one bucket (bucketCols ⊆
+        * keyCols), so bucket-pruned reads stay correct: another bucket's
+        * layer keys cannot match the pruned base. Only tables built with
+        * `mergeOnRead = true` ever WRITE layers; every reader applies
+        * them unconditionally from the manifest, and copy-on-write
+        * paths collapse them first. Empty for CoW tables. */
+      layers: Seq[DeltaLayer] = Nil) {
+    def allFiles: Seq[String] =
+      (files.valuesIterator.flatten ++
+        layers.iterator.flatMap(l =>
+          l.ups.valuesIterator.flatten ++ l.del.iterator)).toVector
   }
+
+  /** One merge-on-read layer: `ups` = upsert data files per bucket
+    * (rows REPLACE same-key rows below them), `del` = key-only parquet
+    * of deleted keys (applies to all buckets; a key hashes to one
+    * bucket, so over-broad application is a no-op elsewhere). */
+  final case class DeltaLayer(version: Long, ups: Map[Int, Seq[String]],
+      del: Option[String])
   /** Back-compat alias for callers that only need the replay mark. */
   final case class Meta(highWater: String)
 
@@ -250,10 +284,20 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
         val head = mapping.getOrElse(keyCols.head, keyCols.head)
         legacy.collect { case (p, List(lo, hi)) => p -> Map(head -> (lo, hi)) }
       }
+    val layers = (j \ "layers") match {
+      case JNothing => Nil
+      case ls => ls.extract[List[JValue]].map { l =>
+        DeltaLayer(
+          (l \ "v").extract[Long],
+          (l \ "ups").extract[Map[String, List[String]]]
+            .map { case (b, fs) => b.toInt -> (fs: Seq[String]) },
+          (l \ "del").extractOpt[String])
+      }
+    }
     Manifest(v, (j \ "highWater").extract[String], files,
       (j \ "schema").extractOrElse[String](""),
       (j \ "committedAtMs").extractOrElse[Long](-1L),
-      mapping, stats)
+      mapping, stats, layers)
   }
 
   /** Current logical → physical column mapping (empty = no renames). */
@@ -326,6 +370,15 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val filesJson = m.files.toSeq.sortBy(_._1).map { case (b, fs) =>
       s""""$b":${fs.map(f => "\"" + f + "\"").mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
+    val layersJson =
+      if (m.layers.isEmpty) ""
+      else m.layers.map { l =>
+        val ups = l.ups.toSeq.sortBy(_._1).map { case (b, fs) =>
+          s""""$b":${fs.map(f => "\"" + f + "\"").mkString("[", ",", "]")}"""
+        }.mkString("{", ",", "}")
+        val del = l.del.map(d => s""","del":"$d"""").getOrElse("")
+        s"""{"v":${l.version},"ups":$ups$del}"""
+      }.mkString(""","layers":[""", ",", "]")
     val schemaJson = m.schemaDdl.replace("\\", "\\\\").replace("\"", "\\\"")
     val mappingJson =
       if (m.columnMapping.isEmpty) ""
@@ -339,7 +392,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       }.mkString(""","fileColStats":{""", ",", "}")
     val body =
       s"""{"version":${m.version},"highWater":"${m.highWater}",""" +
-        s""""committedAtMs":${System.currentTimeMillis()}$mappingJson$statsJson,""" +
+        s""""committedAtMs":${System.currentTimeMillis()}$mappingJson$statsJson$layersJson,""" +
         s""""schema":"$schemaJson","files":$filesJson}"""
     val tmp = manifestDir.resolve(s".v${m.version}-${java.util.UUID.randomUUID()}.json.tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -408,25 +461,79 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       .option("basePath", dataDir).parquet(paths: _*)
   }
 
+  /** Apply a manifest's merge-on-read layers over `base`. NOT a
+    * sequential per-layer fold (whose plan cost would grow with layer
+    * count): layered LWW resolves in three delta-scale steps whose cost
+    * is independent of chain depth —
+    *   1. every key any layer touched (upsert or delete) leaves the
+    *      base via ONE broadcast anti-join;
+    *   2. each touched key's winner is the row from the HIGHEST layer
+    *      that touched it (a row_number over the tagged layer union —
+    *      delta-scale by [[GraftTable.MorDeltaMaxRows]]);
+    *   3. winners that are upserts come back; winners that are delete
+    *      markers stay gone.
+    * `buckets` restricts the layer upsert files like the base read; a
+    * layer's delete keys apply un-restricted — a key hashes to exactly
+    * one bucket, so keys of un-read buckets cannot match the pruned
+    * base (over-broad anti is a no-op, never a loss). */
+  private def applyLayers(spark: SparkSession, m: Manifest, base: DataFrame,
+      buckets: Option[Seq[Int]]): DataFrame = {
+    if (m.layers.isEmpty) return base
+    val tagged = m.layers.sortBy(_.version).flatMap { l =>
+      val upFiles = buckets match {
+        case Some(bs) => bs.flatMap(b => l.ups.getOrElse(b, Nil))
+        case None     => l.ups.valuesIterator.flatten.toSeq
+      }
+      val ups =
+        if (upFiles.isEmpty) None
+        else Some(readFiles(spark, upFiles, m.schemaDdl, m.columnMapping)
+          .withColumn("_lv", lit(l.version))
+          .withColumn("_alive", lit(true)))
+      val dels = l.del.map(f => spark.read.parquet(resolved(f))
+        .withColumn("_lv", lit(l.version))
+        .withColumn("_alive", lit(false)))
+      ups.toSeq ++ dels.toSeq
+    }
+    if (tagged.isEmpty) return base
+    val all = tagged.reduce(_.unionByName(_, allowMissingColumns = true))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("_lv").desc)
+    val winners = all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("_alive"))
+      .drop("_lv", "_alive", "_rn")
+    val touched = all.select(keyCols.map(col): _*).distinct()
+    base.join(broadcast(touched), keyCols, "left_anti")
+      .unionByName(winners, allowMissingColumns = true)
+  }
+
+  /** The one snapshot read everything flows through: base files of the
+    * requested buckets (all when None) + the layer fold. */
+  private def readSnapshot(spark: SparkSession, m: Manifest,
+      buckets: Option[Seq[Int]]): DataFrame = {
+    val baseFiles = buckets match {
+      case Some(bs) => bs.flatMap(b => m.files.getOrElse(b, Nil))
+      case None     => m.files.valuesIterator.flatten.toSeq
+    }
+    applyLayers(spark, m,
+      readFiles(spark, baseFiles, m.schemaDdl, m.columnMapping), buckets)
+  }
+
   def read(spark: SparkSession): DataFrame =
     currentManifest() match {
       case None    => spark.emptyDataFrame
-      case Some(m) =>
-        readFiles(spark, m.allFiles, m.schemaDdl, m.columnMapping)
-          .drop("_bucket")
+      case Some(m) => readSnapshot(spark, m, None).drop("_bucket")
     }
 
   /** Time travel: the table as of snapshot `version` (Iceberg
     * `VERSION AS OF`). Readable until `vacuum` expires the version. */
   def readVersion(spark: SparkSession, version: Long): DataFrame = {
     val m = readManifest(version)
-    readFiles(spark, m.allFiles, m.schemaDdl, m.columnMapping).drop("_bucket")
+    readSnapshot(spark, m, None).drop("_bucket")
   }
 
   private def readBuckets(spark: SparkSession, m: Manifest,
       buckets: Seq[Int]): DataFrame =
-    readFiles(spark, buckets.flatMap(b => m.files.getOrElse(b, Nil)),
-      m.schemaDdl, m.columnMapping)
+    readSnapshot(spark, m, Some(buckets))
 
   /** Point lookup: rows for one key, scanning ONLY the key's bucket
     * (1/nBuckets of the table via manifest pruning; within the bucket,
@@ -590,6 +697,14 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * [[merge]] rewrites whole buckets so CDC semantics are unaffected, and
     * [[compact]] restores one-file-per-bucket. */
   def append(df: DataFrame): Unit = {
+    // appended base files must not be shadowed by older layers' delete
+    // keys (the fold applies layers over ALL base files) — clean base first
+    if (effectiveManifest().exists(_.layers.nonEmpty)) {
+      require(groupState.isEmpty,
+        s"$root has merge-on-read layers inside an open group: " +
+          "collapseLayers before beginGroup to append")
+      collapseLayers(df.sparkSession)
+    }
     val files = writeDataFiles(df.withColumn("_bucket", bucketExpr), nBuckets)
     val cur = effectiveManifest()
     val curFiles = cur.map(_.files).getOrElse(Map.empty)
@@ -607,6 +722,8 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * normal append. */
   def appendFiles(files: Map[Int, Seq[String]],
       writtenSchema: org.apache.spark.sql.types.StructType): Unit = {
+    require(effectiveManifest().forall(_.layers.isEmpty),
+      s"$root has merge-on-read layers: collapseLayers before appendFiles")
     val cur = effectiveManifest()
     val curFiles = cur.map(_.files).getOrElse(Map.empty)
     val merged = (curFiles.keySet ++ files.keySet).map(b =>
@@ -633,7 +750,8 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     require(cur.schemaDdl.nonEmpty,
       s"$root has no pinned schema to evolve (pre-schema manifest)")
     val next = f(org.apache.spark.sql.types.StructType.fromDDL(cur.schemaDdl))
-    commitManifest(Manifest(nextVersion, cur.highWater, cur.files, next.toDDL))
+    commitManifest(Manifest(nextVersion, cur.highWater, cur.files, next.toDDL,
+      layers = cur.layers))
   }
 
   /** RENAME COLUMN with data in place (reference capability: rename
@@ -668,7 +786,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val mapping = (cur.columnMapping - from) +
       (to -> cur.columnMapping.getOrElse(from, from))
     commitManifest(Manifest(nextVersion, cur.highWater, cur.files,
-      next.toDDL, columnMapping = mapping))
+      next.toDDL, columnMapping = mapping, layers = cur.layers))
   }
 
   // ----------------------------------------------------------- group commit
@@ -702,7 +820,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     groupState = None
     if (g.version == -2L) // marker: at least one write staged
       commitManifest(Manifest(nextVersion, g.highWater, g.files, g.schemaDdl,
-        columnMapping = g.columnMapping))
+        columnMapping = g.columnMapping, layers = g.layers))
   }
 
   /** Drop the open group; staged files become orphans for [[vacuum]]. */
@@ -774,28 +892,64 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
                  else batch.filter(col("_seq") > lit(hw))
     val fresh = fresh0.withColumn("_bucket", bucketExpr).cache()
     try {
-      // one job computes emptiness + high-water + affected buckets
+      // one job computes emptiness + high-water + affected buckets + size
       val stats = fresh.agg(max(col("_seq")).as("hw"),
-        collect_set(col("_bucket")).as("buckets")).collect()(0)
+        collect_set(col("_bucket")).as("buckets"),
+        count(lit(1)).as("n"),
+        sum(when(col("_op") === "D", 1L).otherwise(0L)).as("nDel"))
+        .collect()(0)
       if (stats.isNullAt(0)) return // empty batch (full replay)
       val newHigh0 = stats.getString(0)
       val buckets = stats.getSeq[Int](1)
+      val batchRows = stats.getLong(2)
+      val delRows = stats.getLong(3)
       def bumped(old: String) =
         if (advanceHw) { if (old.isEmpty || newHigh0 > old) newHigh0 else old }
         else old
 
-      // bootstrap when the affected buckets hold no live files (new table,
+      // bootstrap when the affected buckets hold no live rows (new table,
       // post-truncate, or keys landing in never-written buckets): no
-      // survivors to join against — write the upserts directly
+      // survivors to join against — write the upserts directly. Layer
+      // upsert files count as live rows (they'd be shadowed otherwise).
       val existingBucketFiles = current.toSeq
-        .flatMap(m => buckets.flatMap(b => m.files.getOrElse(b, Nil)))
+        .flatMap(m => buckets.flatMap(b => m.files.getOrElse(b, Nil) ++
+          m.layers.flatMap(_.ups.getOrElse(b, Nil))))
       if (existingBucketFiles.isEmpty) {
         val upserts = fresh.filter(col("_op") =!= "D").drop("_op", "_seq")
         val files = writeDataFiles(upserts,
           math.min(nBuckets, math.max(1, buckets.size)))
         val carried = current.map(_.files -- buckets).getOrElse(Map.empty)
         publish(Manifest(nextVersion, bumped(hw), carried ++ files,
-          nextSchemaDdl(current, carried, upserts.schema)))
+          nextSchemaDdl(current, carried, upserts.schema),
+          layers = current.map(_.layers).getOrElse(Nil)))
+      } else if (mergeOnRead && coalesceCols.isEmpty &&
+          groupState.isEmpty &&
+          batchRows <= GraftTable.MorDeltaMaxRows &&
+          current.exists(_.layers.size < GraftTable.MorMaxLayers)) {
+        // MERGE-ON-READ delta commit: append the upserts as new bucket
+        // files + a key-only delete file; NO bucket rewrite — write cost
+        // O(delta). Readers fold the layer ([[applyLayers]]).
+        val m = current.get
+        val upserts = fresh.filter(col("_op") =!= "D").drop("_op", "_seq")
+        val upFiles =
+          if (batchRows - delRows == 0) Map.empty[Int, Seq[String]]
+          else writeDataFiles(upserts,
+            math.min(nBuckets, math.max(1, buckets.size)))
+        val delFile =
+          if (delRows == 0) None
+          else Some(writeDeltaKeyFile(
+            fresh.filter(col("_op") === "D").select(keyCols.map(col): _*)))
+        publish(Manifest(nextVersion, bumped(m.highWater), m.files,
+          nextSchemaDdl(current, m.files, upserts.schema),
+          layers = m.layers :+
+            DeltaLayer(nextVersion, upFiles, delFile)))
+      } else if (current.exists(_.layers.nonEmpty)) {
+        // copy-on-write path on a layered snapshot: partial bucket
+        // rewrites cannot coexist with global layers (remaining layers
+        // would re-apply stale deletes to the rewritten buckets), so
+        // collapse to a clean base first, then merge normally
+        collapseLayers(spark)
+        merge(batch, coalesceCols, skipReplayFilter, advanceHw)
       } else {
           val m = current.get
           val currentDf = readBuckets(spark, m, buckets)
@@ -843,7 +997,42 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   def advanceHighWater(seq: String): Unit = {
     val m = effectiveManifest().getOrElse(Manifest(-1L, "", Map.empty))
     if (m.highWater.isEmpty || seq > m.highWater)
-      publish(Manifest(nextVersion, seq, m.files, m.schemaDdl))
+      publish(Manifest(nextVersion, seq, m.files, m.schemaDdl,
+        layers = m.layers))
+  }
+
+  /** Collapse every merge-on-read layer into a clean copy-on-write base:
+    * read the layered snapshot once, rewrite all buckets, publish
+    * layer-free. Data-identical; the amortized cost behind
+    * [[GraftTable.MorMaxLayers]] (one O(table) rewrite buys that many
+    * O(delta) commits). No-op on layer-free tables. */
+  def collapseLayers(spark: SparkSession): Unit = {
+    require(groupState.isEmpty, "close the open group before collapseLayers")
+    val m = currentManifest().getOrElse(return)
+    if (m.layers.isEmpty) return
+    val df = readSnapshot(spark, m, None).drop("_bucket")
+      .withColumn("_bucket", bucketExpr)
+    val newFiles = writeDataFiles(df, nBuckets)
+    commitManifest(Manifest(nextVersion, m.highWater, newFiles, m.schemaDdl))
+  }
+
+  /** Write a delta layer's key-only delete file (root-relative path).
+    * Lives under `deltas/` — outside the partitioned data dir, so the
+    * basePath partition discovery never sees it. Delta-scale by the
+    * MoR admission bound → one file. */
+  private def writeDeltaKeyFile(keys: DataFrame): String = {
+    val stage = s"$root/.stage-del-${java.util.UUID.randomUUID()}"
+    keys.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
+    val dst = Paths.get(root, "deltas")
+    Files.createDirectories(dst)
+    val name = s"${java.util.UUID.randomUUID()}.parquet"
+    val part = listDir(Paths.get(stage))
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"delta key write produced no parquet under $stage"))
+    Files.move(part, dst.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(Paths.get(stage))
+    s"deltas/$name"
   }
 
   /** Maintenance: compact buckets whose live-file count exceeds `maxFiles`
@@ -853,6 +1042,10 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * are reclaimed by [[vacuum]]. Returns the bucket ids compacted. */
   def compact(spark: SparkSession, maxFiles: Int = 4): Seq[Int] = {
     require(groupState.isEmpty, "close the open group before compact")
+    // merge-on-read maintenance: fold outstanding delta layers back into
+    // the base first — partial bucket rewrites cannot coexist with
+    // global layers, and collapse IS this table mode's compaction
+    collapseLayers(spark)
     val m = currentManifest().getOrElse(return Seq.empty)
     val crowded = m.files.filter(_._2.size > maxFiles).keys.toSeq.sorted
     if (crowded.isEmpty) return Seq.empty
@@ -885,6 +1078,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       filesPerBucket: Int = 4): Unit = {
     require(groupState.isEmpty, "close the open group before clusterBy")
     require(filesPerBucket >= 1, "filesPerBucket >= 1")
+    collapseLayers(spark) // z-order rewrites buckets — needs a clean base
     val m = currentManifest().getOrElse(return)
     val buckets = m.files.filter(_._2.nonEmpty).keys.toSeq.sorted
     if (buckets.isEmpty) return
@@ -940,6 +1134,11 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
             !live.contains(f.toString))
           .foreach(Files.deleteIfExists(_))
       }
+    // merge-on-read delete-key files no retained manifest references
+    listDir(Paths.get(root, "deltas"))
+      .filter(f => f.getFileName.toString.endsWith(".parquet") &&
+        !live.contains(f.normalize().toString))
+      .foreach(Files.deleteIfExists(_))
   }
 
   /** Truncate: drop all data, keep identity — the reference's cheap
@@ -1040,7 +1239,14 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
         s"$toVersion (the feed would read backwards, swapping " +
         "inserts/deletes)")
     val cur = readManifest(toVersion)
-    if (!known) {
+    // merge-on-read snapshots: the per-bucket file-list diff below can't
+    // see layer-resolved row state, so a layered endpoint degrades to a
+    // full refresh (correct, just not incremental — MoR tables are index
+    // state, not feed leaders, so this path is a safety net)
+    val layered = cur.layers.nonEmpty || (fromVersion >= 0 &&
+      versions.contains(fromVersion) &&
+      readManifest(fromVersion).layers.nonEmpty)
+    if (!known || layered) {
       // full-refresh insert feed; a pre-schema empty table has no
       // columns to tag, so its feed is the empty frame itself
       val cur0 = readVersion(spark, toVersion)
@@ -1146,6 +1352,8 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * crates/etl-destinations/src/ducklake/batches.rs:168-213 — at 100 TB
     * a single-row UPDATE rewrites one bucket, not the table.) */
   def replaceBuckets(buckets: Seq[Int], df: DataFrame): Unit = {
+    require(effectiveManifest().forall(_.layers.isEmpty),
+      s"$root has merge-on-read layers: collapseLayers before replaceBuckets")
     val current = effectiveManifest()
     val bset = buckets.toSet
     val files = writeDataFiles(df.withColumn("_bucket", bucketExpr),
@@ -1175,6 +1383,11 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * count stay exact; the survivor rewrite below still reads the full
     * affected buckets. */
   def deleteWhere(spark: SparkSession, cond: Column): Long = {
+    if (effectiveManifest().exists(_.layers.nonEmpty)) {
+      require(groupState.isEmpty,
+        s"$root has merge-on-read layers inside an open group")
+      collapseLayers(spark) // bucket rewrites need a clean base
+    }
     val current = effectiveManifest()
     val m = current.getOrElse(return 0L)
     if (m.allFiles.isEmpty) return 0L
@@ -1229,6 +1442,16 @@ object GraftTable {
     * backfill shouldn't serialize thousands of footer reads through the
     * commit; its buckets are typically rewritten wholesale anyway). */
   val MaxStatsFilesPerCommit = 1024
+
+  /** Merge-on-read bounds. `MorMaxLayers` caps read-side fold depth —
+    * the (layers.size)-th small merge on a MoR table collapses first,
+    * so one O(table) rewrite amortizes over that many O(delta) commits
+    * (and [[GraftTable.compact]]-based maintenance usually collapses
+    * sooner). `MorDeltaMaxRows` is the admission bound: a batch past it
+    * is no longer "small" and takes the copy-on-write path (its bucket
+    * rewrite is amortized by the batch itself). */
+  val MorMaxLayers = 8
+  val MorDeltaMaxRows = 262144L
 
   /** One shared Configuration for footer reads: constructing one parses
     * the Hadoop XML defaults (~10 ms) — per-call construction dominated

@@ -48,6 +48,65 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read(spark).as[(Long, String)].collect().toSet == after)
   }
 
+  test("merge-on-read: small merges append delta layers, no bucket rewrite;" +
+      " reads fold, collapse is data-identical") {
+    val cow = new GraftTable(tmp(), Seq("id"), nBuckets = 4)
+    val mor = new GraftTable(tmp(), Seq("id"), nBuckets = 4,
+      mergeOnRead = true)
+    def state(t: GraftTable) =
+      t.read(spark).as[(Long, String)].collect().toSet
+    Seq(cow, mor).foreach { t =>
+      t.overwrite((1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"))
+    }
+    val baseFiles = mor.currentFiles.toSet
+    // a mixed upsert/delete delta over keys in every bucket
+    val deltas = Seq(
+      batch((1L, "a2", "U", 10L), (2L, "", "D", 10L), (60L, "new", "I", 10L)),
+      batch((3L, "b2", "U", 20L), (60L, "", "D", 20L), (61L, "x", "I", 20L)),
+      batch((1L, "a3", "U", 30L), (61L, "x2", "U", 30L), (4L, "", "D", 30L)))
+    deltas.foreach { d => cow.merge(d); mor.merge(d) }
+    // identical visible state through the layer fold...
+    assert(state(mor) == state(cow))
+    assert(mor.readMeta().highWater == cow.readMeta().highWater)
+    // ...but the MoR base files were never rewritten
+    assert(baseFiles.subsetOf(mor.currentFiles.toSet),
+      "delta merges must not rewrite base bucket files")
+    // replay idempotence holds through layers
+    val before = state(mor)
+    mor.merge(deltas(1))
+    assert(state(mor) == before)
+    // time travel reads layered snapshots (version after delta 1)
+    val versions = mor.versions
+    assert(mor.readVersion(spark, versions(versions.length - 2))
+      .as[(Long, String)].collect().toSet.contains((3L, "b2")))
+    // collapse restores a clean base with identical contents
+    mor.collapseLayers(spark)
+    assert(state(mor) == before)
+    assert(!baseFiles.subsetOf(mor.currentFiles.toSet))
+    mor.vacuum(1)
+    assert(state(mor) == before)
+    // a post-collapse delta starts a fresh layer chain
+    mor.merge(batch((5L, "c2", "U", 40L)))
+    assert(state(mor) == before - ((5L, "v5")) + ((5L, "c2")))
+  }
+
+  test("merge-on-read: layer cap triggers collapse, chain stays bounded") {
+    val mor = new GraftTable(tmp(), Seq("id"), nBuckets = 2,
+      mergeOnRead = true)
+    mor.overwrite((1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"))
+    // MorMaxLayers small deltas then one more: chain must stay bounded
+    (1 to GraftTable.MorMaxLayers + 2).foreach { i =>
+      mor.merge(batch((i.toLong, s"u$i", "U", 100L + i)))
+    }
+    val m = mor.readManifest(mor.currentVersion.get)
+    assert(m.layers.size <= GraftTable.MorMaxLayers,
+      s"layer chain must stay bounded: ${m.layers.size}")
+    val got = mor.read(spark).as[(Long, String)].collect().toSet
+    val want = (1L to 20L).map(i =>
+      (i, if (i <= GraftTable.MorMaxLayers + 2) s"u$i" else s"v$i")).toSet
+    assert(got == want)
+  }
+
   test("manifests pin the snapshot schema: no footer sweep, evolution stays visible") {
     val root = tmp()
     val t = new GraftTable(root, Seq("id"), nBuckets = 4)
