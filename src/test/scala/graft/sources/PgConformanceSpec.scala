@@ -1,0 +1,235 @@
+package graft.sources
+
+import graft.core.PackedRow
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.ServerSocket
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recorded-bytes protocol conformance (round-8 verdict item 5): the
+  * FakePgServer-based tests speak frames our own encoder produced, so a
+  * codec bug where encode and decode agree with each other but disagree
+  * with the published protocol would slip through. The fixtures under
+  * `src/test/resources/` are byte streams assembled INDEPENDENTLY from
+  * the public PostgreSQL protocol documentation ("Logical Replication
+  * Message Formats" / protocol 3.0 "Message Formats") by
+  * `tools/gen_pg_fixtures.py` — a second implementation of the wire
+  * layout. The reference consumes the same formats through its own stack
+  * (crates/etl/src/postgres/stream/replication_message.rs:89-245).
+  *
+  * Three layers:
+  *  1. per-frame: decode each fixture to the exact expected Message AND
+  *     re-encode back to the identical bytes (the format has no encoding
+  *     freedom for these shapes, so byte identity is well-defined);
+  *  2. session: the frame sequence through [[PgOutput.DecodeSession]] →
+  *     exact envelope lines (sequence keys, ordinals, packed images,
+  *     TOAST masks);
+  *  3. wire: a replay server that answers the protocol handshake with
+  *     recorded byte blobs and streams recorded CopyData — the full
+  *     [[ReplicationSocketClient]] intake must spool the expected log.
+  */
+class PgConformanceSpec extends AnyFunSuite {
+  import PgOutput._
+
+  private def fixtures(resource: String): Map[String, Array[Byte]] = {
+    val in = getClass.getResourceAsStream(s"/$resource")
+    require(in != null, s"missing test resource $resource")
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    text.linesIterator.filterNot(l => l.startsWith("#") || l.isBlank).map {
+      line =>
+        val Array(name, hex) = line.split("\t", 2)
+        name -> hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    }.toMap
+  }
+
+  private lazy val frames = fixtures("pgoutput_frames.txt")
+  private lazy val session = fixtures("copyboth_session.txt")
+
+  /** Protocol timestamp used by the generator (µs since 2000-01-01). */
+  private val Ts = 820292645000000L
+
+  private val rel = Relation(16384, "public", "users", 'd', IndexedSeq(
+    RelCol(1, "id", 23, -1), RelCol(0, "name", 25, -1),
+    RelCol(0, "bio", 25, -1)))
+
+  private def t(vs: TupleValue*): TupleData = vs.toIndexedSeq
+
+  private val expected: Map[String, Message] = Map(
+    "begin" -> Begin(0x16B3748L, Ts, 777),
+    "commit" -> Commit(0, 0x16B3748L, 0x16B3800L, Ts),
+    "origin" -> Origin(0x1111L, "region_a"),
+    "relation" -> rel,
+    "type" -> TypeMsg(3802, "pg_catalog", "jsonb"),
+    "insert_text_null" ->
+      Insert(16384, t(TText("1"), TText("alice"), TNull)),
+    "insert_utf8" ->
+      Insert(16384, t(TText("2"), TText("héllo→世界"),
+        TText(new String(Character.toChars(0x1F600))))),
+    "insert_binary" -> Insert(16384, t(
+      TBinary(Vector(0, 0, 0, 42)),
+      TBinary(java.nio.ByteBuffer.allocate(8).putDouble(2.5).array().toVector),
+      TBinary(Vector(1, 2, 0xff.toByte)))),
+    "update_key" -> Update(16384, Some('K'),
+      Some(t(TText("1"), TNull, TNull)),
+      t(TText("1"), TText("alicia"), TUnchangedToast)),
+    "update_full" -> Update(16384, Some('O'),
+      Some(t(TText("1"), TText("alice"), TNull)),
+      t(TText("1"), TText("al"), TText("x"))),
+    "update_no_old" -> Update(16384, None, None,
+      t(TText("1"), TText("a2"), TNull)),
+    "delete_key" -> Delete(16384, 'K', t(TText("1"), TNull, TNull)),
+    "truncate" -> Truncate(1, IndexedSeq(16384, 16385)),
+    "logical_msg" -> LogicalMsg(transactional = true, 0x2222L, "graft_ddl",
+      """{"tableId":16384,"table":"users","cols":[]}"""
+        .getBytes(StandardCharsets.UTF_8).toVector),
+    "logical_msg_foreign" -> LogicalMsg(transactional = false, 0x2223L,
+      "other_ext", "abc".getBytes(StandardCharsets.UTF_8).toVector))
+
+  test("every spec-assembled frame decodes to the exact expected message") {
+    assert(frames.keySet == expected.keySet,
+      s"fixture/expectation drift: ${frames.keySet.diff(expected.keySet)} " +
+        s"vs ${expected.keySet.diff(frames.keySet)}")
+    expected.foreach { case (name, want) =>
+      val got = decode(frames(name))
+      assert(got == want, s"fixture '$name': decoded $got, expected $want")
+    }
+  }
+
+  test("re-encoding each decoded frame reproduces the spec bytes exactly") {
+    expected.foreach { case (name, msg) =>
+      val enc = encode(msg)
+      assert(enc.sameElements(frames(name)),
+        s"fixture '$name': encoder produced ${enc.map("%02x".format(_))
+          .mkString} but the protocol spec bytes are ${frames(name)
+          .map("%02x".format(_)).mkString}")
+    }
+  }
+
+  test("session: spec frames through DecodeSession yield exact envelope " +
+      "lines (keys, ordinals, packed images, TOAST mask)") {
+    val s = new DecodeSession()
+    val lines =
+      s.onFrame(frames("begin")) ++
+        s.onFrame(frames("relation")) ++
+        s.onFrame(frames("insert_text_null")) ++
+        s.onFrame(frames("update_key")) ++
+        s.onFrame(frames("delete_key")) ++
+        s.onFrame(frames("commit"))
+    assert(lines.size == 4)
+    val lsn = 0x16B3748L.toString
+    // R record at ordinal 0, schema versioned at the tx's final LSN
+    val r = lines(0).split("\t", -1)
+    assert(r(0) == lsn && r(1) == "0" && r(2) == "R" && r(3) == "16384" &&
+      r(5) == lsn)
+    assert(r(7).contains(""""table":"users"""") &&
+      r(7).contains(""""name":"id","type":"int4""""))
+    // insert: packed after-image, no before, no mask
+    val i = lines(1).split("\t", -1)
+    assert(i(0) == lsn && i(1) == "1" && i(2) == "I" && i(3) == "16384")
+    assert(i(6) == "\\N" && i(8) == "\\N")
+    assert(PackedRow.parse(i(7)) ==
+      Vector(Some("1"), Some("alice"), None))
+    // update: key-image before, TOASTed bio in the missing mask
+    val u = lines(2).split("\t", -1)
+    assert(u(1) == "2" && u(2) == "U")
+    assert(PackedRow.parse(u(6)) == Vector(Some("1"), None, None))
+    assert(PackedRow.parse(u(7)) == Vector(Some("1"), Some("alicia"), None))
+    assert(u(8) == "bio")
+    // delete: before-image only
+    val d = lines(3).split("\t", -1)
+    assert(d(1) == "3" && d(2) == "D" && d(7) == "\\N")
+    assert(PackedRow.parse(d(6)) == Vector(Some("1"), None, None))
+  }
+
+  test("wire: recorded COPY-BOTH session through ReplicationSocketClient " +
+      "spools the expected envelope log") {
+    val dir = Files.createTempDirectory("pg-conformance").toString
+    val log = s"$dir/wal.log"
+    @volatile var sawStartup: Option[String] = None
+    val queries = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = new ServerSocket(0)
+    val replay = new Thread(() => {
+      val sock = server.accept()
+      sock.setTcpNoDelay(true)
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new DataOutputStream(sock.getOutputStream)
+      // StartupMessage: len(4, incl itself) + payload (no type byte)
+      val slen = in.readInt()
+      val sbuf = new Array[Byte](slen - 4); in.readFully(sbuf)
+      sawStartup = Some(new String(sbuf, StandardCharsets.ISO_8859_1))
+      out.write(session("auth")); out.flush()
+      // two simple queries: SHOW wal_sender_timeout, START_REPLICATION
+      var step = 0
+      var open = true
+      while (open && step < 10) {
+        val t = try in.readByte().toChar
+                catch { case _: Throwable => open = false; ' ' }
+        if (open) {
+          val len = in.readInt()
+          val payload = new Array[Byte](len - 4); in.readFully(payload)
+          t match {
+            case 'Q' =>
+              val sql = new String(payload, 0, payload.length - 1,
+                StandardCharsets.UTF_8)
+              queries.add(sql)
+              if (sql.startsWith("SHOW")) out.write(session("show"))
+              else if (sql.startsWith("START_REPLICATION"))
+                out.write(session("stream"))
+              out.flush()
+              step += 1
+            case 'X' => open = false // Terminate
+            case _ => () // status updates ('d') etc.
+          }
+        }
+      }
+      try sock.close() catch { case _: Throwable => () }
+    }, "pg-replay-server")
+    replay.setDaemon(true)
+    replay.start()
+
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot", "conf_pub", log,
+      flushLsn = () => 0x2008L)
+    try {
+      val t0 = System.currentTimeMillis()
+      client.start()
+      // 9 XLogData frames + 1 keepalive in the recorded stream
+      while ((client.framesReceived.get() < 9 ||
+        client.keepalivesReceived.get() < 1) &&
+        System.currentTimeMillis() - t0 < 15000) Thread.sleep(20)
+      assert(client.framesReceived.get() == 9)
+      assert(client.keepalivesReceived.get() == 1)
+      assert(client.lastError.isEmpty, s"client error: ${client.lastError}")
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+    // protocol-level expectations on what the client SENT
+    assert(sawStartup.exists(s => s.contains("replication") &&
+      s.contains("database")), "startup must request replication mode")
+    val qs = queries.toArray.map(_.toString)
+    assert(qs.exists(_.startsWith("SHOW wal_sender_timeout")))
+    assert(qs.exists(q => q.startsWith("START_REPLICATION SLOT " +
+      "\"conf_slot\"") && q.contains("publication_names 'conf_pub'")))
+
+    // spooled envelope log: tx1 (R + 2 inserts) + tx2 (update + delete)
+    val lines = new String(Files.readAllBytes(Paths.get(log)),
+      StandardCharsets.UTF_8).split("\n").toSeq
+    assert(lines.size == 5, s"expected 5 envelope lines, got:\n$lines")
+    val l1 = 0x1000L.toString
+    val l2 = 0x2000L.toString
+    val f = lines.map(_.split("\t", -1))
+    assert(f(0)(0) == l1 && f(0)(2) == "R" && f(0)(3) == "16384")
+    assert(f(1)(2) == "I" &&
+      PackedRow.parse(f(1)(7)) == Vector(Some("1"), Some("alice"), None))
+    assert(f(2)(2) == "I" &&
+      PackedRow.parse(f(2)(7)) == Vector(Some("2"), Some("bob"),
+        Some("héllo")))
+    assert(f(3)(0) == l2 && f(3)(2) == "U" && f(3)(8) == "bio" &&
+      PackedRow.parse(f(3)(7)) == Vector(Some("2"), Some("bob2"), None))
+    assert(f(4)(2) == "D" &&
+      PackedRow.parse(f(4)(6)) == Vector(Some("1"), None, None))
+  }
+}

@@ -1,0 +1,167 @@
+#!/usr/bin/env python3
+"""Generate pgoutput / COPY-BOTH conformance fixtures.
+
+Assembles raw byte streams DIRECTLY from the public PostgreSQL protocol
+documentation ("Logical Replication Message Formats" and "Message
+Formats", protocol 3.0) using struct packing — deliberately independent
+of the Scala codec (graft.sources.PgOutput), so a bug where our encoder
+and decoder agree with each other but not with the spec is caught by
+the fixture-driven tests (PgConformanceSpec).
+
+Outputs (checked into the repo; regenerate only when adding cases):
+  src/test/resources/pgoutput_frames.txt   name\thex  (one frame each)
+  src/test/resources/copyboth_session.txt  step\thex  (server byte blobs)
+"""
+import struct, os
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "src", "test", "resources")
+
+def be16(v): return struct.pack(">h", v)
+def be32(v): return struct.pack(">i", v)
+def be64(v): return struct.pack(">q", v)
+def u8(v):   return struct.pack(">B", v)
+def cstr(s): return s.encode("utf-8") + b"\x00"
+
+def text_cell(s):
+    b = s.encode("utf-8")
+    return b"t" + be32(len(b)) + b
+def bin_cell(raw):
+    return b"b" + be32(len(raw)) + raw
+NULL_CELL  = b"n"
+TOAST_CELL = b"u"
+
+def tuple_data(*cells):
+    return be16(len(cells)) + b"".join(cells)
+
+# deterministic protocol timestamp: microseconds since 2000-01-01
+TS = 820292645000000
+
+# ---------------------------------------------------------------- frames
+frames = []
+
+def frame(name, payload):
+    frames.append((name, payload))
+
+# Begin: Int64 final LSN, Int64 commit ts, Int32 xid
+frame("begin", b"B" + be64(0x16B3748) + be64(TS) + be32(777))
+# Commit: Int8 flags, Int64 commit LSN, Int64 end LSN, Int64 ts
+frame("commit", b"C" + u8(0) + be64(0x16B3748) + be64(0x16B3800) + be64(TS))
+# Origin: Int64 origin commit LSN, String name
+frame("origin", b"O" + be64(0x1111) + cstr("region_a"))
+# Relation: Int32 relid, String ns, String relname, Int8 replident,
+#           Int16 ncols, [Int8 flags, String name, Int32 oid, Int32 typmod]
+REL = (b"R" + be32(16384) + cstr("public") + cstr("users") + u8(ord("d")) +
+       be16(3) +
+       u8(1) + cstr("id") + be32(23) + be32(-1) +
+       u8(0) + cstr("name") + be32(25) + be32(-1) +
+       u8(0) + cstr("bio") + be32(25) + be32(-1))
+frame("relation", REL)
+# Type: Int32 oid, String ns, String name
+frame("type", b"Y" + be32(3802) + cstr("pg_catalog") + cstr("jsonb"))
+# Insert: Int32 relid, Byte1('N'), TupleData
+frame("insert_text_null",
+      b"I" + be32(16384) + b"N" +
+      tuple_data(text_cell("1"), text_cell("alice"), NULL_CELL))
+# UTF-8 multi-byte content (2-, 3- and 4-byte sequences)
+frame("insert_utf8",
+      b"I" + be32(16384) + b"N" +
+      tuple_data(text_cell("2"), text_cell("héllo→世界"),
+                 text_cell("\U0001F600")))
+# binary-mode cells (publication `binary` option): int4 + float8 + raw
+frame("insert_binary",
+      b"I" + be32(16384) + b"N" +
+      tuple_data(bin_cell(struct.pack(">i", 42)),
+                 bin_cell(struct.pack(">d", 2.5)),
+                 bin_cell(b"\x01\x02\xff")))
+# Update, key-image old tuple: relid, 'K' + TupleData, 'N' + TupleData
+frame("update_key",
+      b"U" + be32(16384) +
+      b"K" + tuple_data(text_cell("1"), NULL_CELL, NULL_CELL) +
+      b"N" + tuple_data(text_cell("1"), text_cell("alicia"), TOAST_CELL))
+# Update, full old row (REPLICA IDENTITY FULL)
+frame("update_full",
+      b"U" + be32(16384) +
+      b"O" + tuple_data(text_cell("1"), text_cell("alice"), NULL_CELL) +
+      b"N" + tuple_data(text_cell("1"), text_cell("al"), text_cell("x")))
+# Update without old tuple
+frame("update_no_old",
+      b"U" + be32(16384) +
+      b"N" + tuple_data(text_cell("1"), text_cell("a2"), NULL_CELL))
+# Delete, key image
+frame("delete_key",
+      b"D" + be32(16384) + b"K" +
+      tuple_data(text_cell("1"), NULL_CELL, NULL_CELL))
+# Truncate: Int32 nrels, Int8 options (1=CASCADE|2=RESTART IDENTITY), relids
+frame("truncate", b"T" + be32(2) + u8(1) + be32(16384) + be32(16385))
+# Logical message: Int8 transactional, Int64 lsn, String prefix,
+#                  Int32 length, content
+DDL = b'{"tableId":16384,"table":"users","cols":[]}'
+frame("logical_msg",
+      b"M" + u8(1) + be64(0x2222) + cstr("graft_ddl") +
+      be32(len(DDL)) + DDL)
+frame("logical_msg_foreign",
+      b"M" + u8(0) + be64(0x2223) + cstr("other_ext") + be32(3) + b"abc")
+
+# ------------------------------------------------------- COPY-BOTH session
+def backend(t, payload):
+    """Backend message: type(1) + len(4, incl itself) + payload."""
+    return t + be32(4 + len(payload)) + payload
+
+def xlogdata(wal_start, wal_end, pg_frame):
+    return backend(b"d", b"w" + be64(wal_start) + be64(wal_end) + be64(TS) +
+                   pg_frame)
+
+def keepalive(wal_end, reply):
+    # Primary Keepalive rides inside CopyData like XLogData, sub-type 'k'
+    return backend(b"d", b"k" + be64(wal_end) + be64(TS) +
+                   u8(1 if reply else 0))
+
+# step auth: AuthenticationOk (R, code 0) + ReadyForQuery (Z, idle)
+auth = backend(b"R", be32(0)) + backend(b"Z", b"I")
+
+# step show: response to SHOW wal_sender_timeout —
+#   RowDescription (T): Int16 nfields; per field: name\0, Int32 tableoid,
+#   Int16 attnum, Int32 typoid, Int16 typlen, Int32 typmod, Int16 fmt
+rowdesc = backend(b"T", be16(1) + cstr("wal_sender_timeout") + be32(0) +
+                  be16(0) + be32(25) + be16(-1) + be32(-1) + be16(0))
+val = b"60s"
+datarow = backend(b"D", be16(1) + be32(len(val)) + val)
+show = rowdesc + datarow + backend(b"C", cstr("SHOW")) + backend(b"Z", b"I")
+
+# step stream: CopyBothResponse (W: Int8 fmt, Int16 ncols) + two
+# transactions + a reply-requested keepalive. LSNs chosen so tx2 > tx1.
+T1, T2 = 0x1000, 0x2000
+tx1 = (xlogdata(T1 - 48, T1, b"B" + be64(T1) + be64(TS) + be32(900)) +
+       xlogdata(T1 - 40, T1, REL) +
+       xlogdata(T1 - 32, T1, b"I" + be32(16384) + b"N" +
+                tuple_data(text_cell("1"), text_cell("alice"), NULL_CELL)) +
+       xlogdata(T1 - 24, T1, b"I" + be32(16384) + b"N" +
+                tuple_data(text_cell("2"), text_cell("bob"),
+                           text_cell("héllo"))) +
+       xlogdata(T1 - 8, T1, b"C" + u8(0) + be64(T1) + be64(T1 + 8) + be64(TS)))
+tx2 = (xlogdata(T2 - 40, T2, b"B" + be64(T2) + be64(TS) + be32(901)) +
+       xlogdata(T2 - 32, T2, b"U" + be32(16384) +
+                b"K" + tuple_data(text_cell("2"), NULL_CELL, NULL_CELL) +
+                b"N" + tuple_data(text_cell("2"), text_cell("bob2"),
+                                  TOAST_CELL)) +
+       xlogdata(T2 - 24, T2, b"D" + be32(16384) + b"K" +
+                tuple_data(text_cell("1"), NULL_CELL, NULL_CELL)) +
+       xlogdata(T2 - 8, T2, b"C" + u8(0) + be64(T2) + be64(T2 + 8) + be64(TS)))
+stream = (backend(b"W", u8(0) + be16(0)) + tx1 + tx2 +
+          keepalive(T2 + 8, True))
+
+session = [("auth", auth), ("show", show), ("stream", stream)]
+
+# ------------------------------------------------------------------ write
+def dump(path, rows):
+    with open(path, "w") as f:
+        f.write("# generated by tools/gen_pg_fixtures.py — bytes assembled\n"
+                "# independently from the PostgreSQL protocol docs; do not\n"
+                "# derive from the Scala codec.\n")
+        for name, payload in rows:
+            f.write("%s\t%s\n" % (name, payload.hex()))
+
+dump(os.path.join(OUT, "pgoutput_frames.txt"), frames)
+dump(os.path.join(OUT, "copyboth_session.txt"), session)
+print("wrote %d frame fixtures, %d session steps" %
+      (len(frames), len(session)))
