@@ -139,7 +139,9 @@ object SparkEntry {
     "op_dedup_incremental_clusters" -> (SimQueries.opDedupIncrementalClusters _),
     "op_bm25_incremental" -> (TextQueries.opBm25Incremental _),
     "op_ann_incremental" -> (SimQueries.opAnnIncremental _),
-    "op_bpe_train256" -> (TextQueries.opBpeTrain256 _))
+    "op_bpe_train256" -> (TextQueries.opBpeTrain256 _),
+    "op_sink_delta_cow" -> (SinkQueries.opSinkDeltaCow _),
+    "op_sink_delta_mor" -> (SinkQueries.opSinkDeltaMor _))
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> CoreQueries.q1Sql,

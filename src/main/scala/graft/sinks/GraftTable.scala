@@ -147,15 +147,17 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     def allFiles: Seq[String] =
       (files.valuesIterator.flatten ++
         layers.iterator.flatMap(l =>
-          l.ups.valuesIterator.flatten ++ l.del.iterator)).toVector
+          l.ups.valuesIterator.flatten ++ l.del.valuesIterator.flatten))
+        .toVector
   }
 
   /** One merge-on-read layer: `ups` = upsert data files per bucket
     * (rows REPLACE same-key rows below them), `del` = key-only parquet
-    * of deleted keys (applies to all buckets; a key hashes to one
-    * bucket, so over-broad application is a no-op elsewhere). */
+    * files per bucket (keys deleted from that bucket — a key hashes to
+    * exactly one bucket, so bucket-pruned reads skip foreign delete
+    * files entirely, keeping the layered-read cost O(probed buckets)). */
   final case class DeltaLayer(version: Long, ups: Map[Int, Seq[String]],
-      del: Option[String])
+      del: Map[Int, Seq[String]])
   /** Back-compat alias for callers that only need the replay mark. */
   final case class Meta(highWater: String)
 
@@ -287,11 +289,13 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val layers = (j \ "layers") match {
       case JNothing => Nil
       case ls => ls.extract[List[JValue]].map { l =>
-        DeltaLayer(
-          (l \ "v").extract[Long],
-          (l \ "ups").extract[Map[String, List[String]]]
-            .map { case (b, fs) => b.toInt -> (fs: Seq[String]) },
-          (l \ "del").extractOpt[String])
+        def bucketMap(v: JValue): Map[Int, Seq[String]] = v match {
+          case JNothing => Map.empty
+          case m => m.extract[Map[String, List[String]]]
+            .map { case (b, fs) => b.toInt -> (fs: Seq[String]) }
+        }
+        DeltaLayer((l \ "v").extract[Long], bucketMap(l \ "ups"),
+          bucketMap(l \ "del"))
       }
     }
     Manifest(v, (j \ "highWater").extract[String], files,
@@ -373,11 +377,12 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val layersJson =
       if (m.layers.isEmpty) ""
       else m.layers.map { l =>
-        val ups = l.ups.toSeq.sortBy(_._1).map { case (b, fs) =>
-          s""""$b":${fs.map(f => "\"" + f + "\"").mkString("[", ",", "]")}"""
-        }.mkString("{", ",", "}")
-        val del = l.del.map(d => s""","del":"$d"""").getOrElse("")
-        s"""{"v":${l.version},"ups":$ups$del}"""
+        def bm(m0: Map[Int, Seq[String]]) = m0.toSeq.sortBy(_._1)
+          .map { case (b, fs) =>
+            s""""$b":${fs.map(f => "\"" + f + "\"").mkString("[", ",", "]")}"""
+          }.mkString("{", ",", "}")
+        val del = if (l.del.isEmpty) "" else s""","del":${bm(l.del)}"""
+        s"""{"v":${l.version},"ups":${bm(l.ups)}$del}"""
       }.mkString(""","layers":[""", ",", "]")
     val schemaJson = m.schemaDdl.replace("\\", "\\\\").replace("\"", "\\\"")
     val mappingJson =
@@ -472,26 +477,38 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     *      delta-scale by [[GraftTable.MorDeltaMaxRows]]);
     *   3. winners that are upserts come back; winners that are delete
     *      markers stay gone.
-    * `buckets` restricts the layer upsert files like the base read; a
-    * layer's delete keys apply un-restricted — a key hashes to exactly
-    * one bucket, so keys of un-read buckets cannot match the pruned
-    * base (over-broad anti is a no-op, never a loss). */
+    * `buckets` restricts BOTH the layer upsert and delete files like the
+    * base read — delete keys are bucket-partitioned on write (a key
+    * hashes to exactly one bucket), so a pruned read touches only the
+    * probed buckets' delete files: the layered-read cost stays
+    * O(probed buckets), never O(layers × table). */
   private def applyLayers(spark: SparkSession, m: Manifest, base: DataFrame,
       buckets: Option[Seq[Int]]): DataFrame = {
     if (m.layers.isEmpty) return base
+    // key-only logical schema for delete files (written with physical
+    // names by writeDataFiles, translated back like every data read)
+    val keyDdl =
+      if (m.schemaDdl.isEmpty) ""
+      else org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+          .fields.filter(f => keyCols.contains(f.name))).toDDL
     val tagged = m.layers.sortBy(_.version).flatMap { l =>
-      val upFiles = buckets match {
-        case Some(bs) => bs.flatMap(b => l.ups.getOrElse(b, Nil))
-        case None     => l.ups.valuesIterator.flatten.toSeq
+      def select(bm: Map[Int, Seq[String]]): Seq[String] = buckets match {
+        case Some(bs) => bs.flatMap(b => bm.getOrElse(b, Nil))
+        case None     => bm.valuesIterator.flatten.toSeq
       }
+      val upFiles = select(l.ups)
+      val delFiles = select(l.del)
       val ups =
         if (upFiles.isEmpty) None
         else Some(readFiles(spark, upFiles, m.schemaDdl, m.columnMapping)
           .withColumn("_lv", lit(l.version))
           .withColumn("_alive", lit(true)))
-      val dels = l.del.map(f => spark.read.parquet(resolved(f))
-        .withColumn("_lv", lit(l.version))
-        .withColumn("_alive", lit(false)))
+      val dels =
+        if (delFiles.isEmpty) None
+        else Some(readFiles(spark, delFiles, keyDdl, m.columnMapping)
+          .withColumn("_lv", lit(l.version))
+          .withColumn("_alive", lit(false)))
       ups.toSeq ++ dels.toSeq
     }
     if (tagged.isEmpty) return base
@@ -545,8 +562,16 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val m = currentManifest().getOrElse(return spark.emptyDataFrame)
     if (m.allFiles.isEmpty) return spark.emptyDataFrame
     // same hash the writer used → same bucket id; lit() must be CAST to
-    // the STORED column type (hash(42L: long) != hash(42: int))
-    val base = readFiles(spark, m.allFiles, m.schemaDdl, m.columnMapping)
+    // the STORED column type (hash(42L: long) != hash(42: int)). Schema
+    // probe over BASE files only: layer upserts share the schema, and
+    // delete-key files live outside the basePath'd data dir.
+    val schemaFiles = {
+      val bf = m.files.valuesIterator.flatten.toSeq
+      if (bf.nonEmpty) bf
+      else m.layers.flatMap(_.ups.valuesIterator.flatten).toSeq
+    }
+    if (schemaFiles.isEmpty) return spark.emptyDataFrame
+    val base = readFiles(spark, schemaFiles, m.schemaDdl, m.columnMapping)
     val types = base.schema.fields.map(f => f.name -> f.dataType).toMap
     val typedLits = keyCols.zip(keyValues).map { case (c, v) =>
       lit(v).cast(types(c)) }
@@ -926,23 +951,23 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
           groupState.isEmpty &&
           batchRows <= GraftTable.MorDeltaMaxRows &&
           current.exists(_.layers.size < GraftTable.MorMaxLayers)) {
-        // MERGE-ON-READ delta commit: append the upserts as new bucket
-        // files + a key-only delete file; NO bucket rewrite — write cost
-        // O(delta). Readers fold the layer ([[applyLayers]]).
+        // MERGE-ON-READ delta commit: append the upserts + key-only
+        // delete files, both bucket-partitioned; NO bucket rewrite —
+        // write cost O(delta). Readers fold the layer ([[applyLayers]]).
         val m = current.get
         val upserts = fresh.filter(col("_op") =!= "D").drop("_op", "_seq")
+        val parts = math.min(nBuckets, math.max(1, buckets.size))
         val upFiles =
           if (batchRows - delRows == 0) Map.empty[Int, Seq[String]]
-          else writeDataFiles(upserts,
-            math.min(nBuckets, math.max(1, buckets.size)))
-        val delFile =
-          if (delRows == 0) None
-          else Some(writeDeltaKeyFile(
-            fresh.filter(col("_op") === "D").select(keyCols.map(col): _*)))
+          else writeDataFiles(upserts, parts)
+        val delFiles =
+          if (delRows == 0) Map.empty[Int, Seq[String]]
+          else writeDataFiles(fresh.filter(col("_op") === "D")
+            .select((keyCols :+ "_bucket").map(col): _*), parts)
         publish(Manifest(nextVersion, bumped(m.highWater), m.files,
           nextSchemaDdl(current, m.files, upserts.schema),
           layers = m.layers :+
-            DeltaLayer(nextVersion, upFiles, delFile)))
+            DeltaLayer(nextVersion, upFiles, delFiles)))
       } else if (current.exists(_.layers.nonEmpty)) {
         // copy-on-write path on a layered snapshot: partial bucket
         // rewrites cannot coexist with global layers (remaining layers
@@ -1014,25 +1039,6 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       .withColumn("_bucket", bucketExpr)
     val newFiles = writeDataFiles(df, nBuckets)
     commitManifest(Manifest(nextVersion, m.highWater, newFiles, m.schemaDdl))
-  }
-
-  /** Write a delta layer's key-only delete file (root-relative path).
-    * Lives under `deltas/` — outside the partitioned data dir, so the
-    * basePath partition discovery never sees it. Delta-scale by the
-    * MoR admission bound → one file. */
-  private def writeDeltaKeyFile(keys: DataFrame): String = {
-    val stage = s"$root/.stage-del-${java.util.UUID.randomUUID()}"
-    keys.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
-    val dst = Paths.get(root, "deltas")
-    Files.createDirectories(dst)
-    val name = s"${java.util.UUID.randomUUID()}.parquet"
-    val part = listDir(Paths.get(stage))
-      .find(_.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(
-        s"delta key write produced no parquet under $stage"))
-    Files.move(part, dst.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(Paths.get(stage))
-    s"deltas/$name"
   }
 
   /** Maintenance: compact buckets whose live-file count exceeds `maxFiles`
@@ -1134,11 +1140,6 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
             !live.contains(f.toString))
           .foreach(Files.deleteIfExists(_))
       }
-    // merge-on-read delete-key files no retained manifest references
-    listDir(Paths.get(root, "deltas"))
-      .filter(f => f.getFileName.toString.endsWith(".parquet") &&
-        !live.contains(f.normalize().toString))
-      .foreach(Files.deleteIfExists(_))
   }
 
   /** Truncate: drop all data, keep identity — the reference's cheap

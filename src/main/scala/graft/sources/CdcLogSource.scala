@@ -99,17 +99,20 @@ final class CdcLogTable(path: String) extends Table with SupportsRead {
       Option(options.get("maxrowspertrigger")).map(_.toLong),
       Option(options.get("onmissingoffset")).getOrElse("error"),
       Option(options.get("maxbytespertrigger")).map(_.toLong),
-      Option(options.get("memoryawareadmission")).exists(_.toBoolean))
+      Option(options.get("memoryawareadmission")).exists(_.toBoolean),
+      Option(options.get("memoryblockingadmission")).exists(_.toBoolean))
 }
 
 final class CdcLogScan(path: String, maxRowsPerTrigger: Option[Long],
     onMissingOffset: String = "error",
     maxBytesPerTrigger: Option[Long] = None,
-    memoryAwareAdmission: Boolean = false) extends Scan {
+    memoryAwareAdmission: Boolean = false,
+    memoryBlockingAdmission: Boolean = false) extends Scan {
   override def readSchema(): StructType = CdcLogSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new CdcLogMicroBatchStream(path, maxRowsPerTrigger, onMissingOffset,
-      maxBytesPerTrigger, memoryAwareAdmission)
+      maxBytesPerTrigger, memoryAwareAdmission || memoryBlockingAdmission,
+      memoryBlockingAdmission)
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       Array(CdcLogPartition(path, Long.MinValue, Long.MaxValue,
@@ -178,8 +181,33 @@ final class CdcLogMicroBatchStream(path: String, maxRows: Option[Long],
       * the driver plans admission from its own pressure, the
       * conservative side since the driver also brokers every manifest
       * commit). */
-    memoryAware: Boolean = false)
+    memoryAware: Boolean = false,
+    /** STRICT blocking variant of ST7 — the reference's exact policy
+      * (memory_monitor.rs): above the high watermark admission STOPS
+      * (each trigger returns the start offset → an empty micro-batch,
+      * Spark's native idiom for "poll nothing"), and the blocked state
+      * is STICKY — it persists until usage falls below the LOW
+      * watermark (75%), the reference's resume hysteresis, so an
+      * 84↔86% oscillation cannot flap admission. The modulating mode
+      * above remains the default trade (progress never fully stalls);
+      * this mode is for deployments that want the reference's
+      * flat-memory guarantee over liveness under sustained pressure. */
+    memoryBlocking: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
+
+  /** Hysteresis state for [[memoryBlocking]]: entered at ≥ high
+    * watermark, left only at < low watermark. */
+  @volatile private[sources] var memBlocked = false
+
+  /** True while blocking admission says "admit nothing this trigger". */
+  private def blockedNow(): Boolean =
+    memoryBlocking && {
+      val usage = CdcLogSource.memoryUsage()
+      if (memBlocked) {
+        if (usage < CdcLogSource.MemoryLowWatermark) memBlocked = false
+      } else if (usage >= CdcLogSource.MemoryHighWatermark) memBlocked = true
+      memBlocked
+    }
 
   private def effectiveMaxBytes(): Option[Long] =
     if (!memoryAware) maxBytes
@@ -348,6 +376,7 @@ final class CdcLogMicroBatchStream(path: String, maxRows: Option[Long],
     * batch_budget.rs). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = checkRetention(start.asInstanceOf[LsnOffset])
+    if (blockedNow()) return s // blocking backpressure: empty micro-batch
     val idx = readIndex()
     val all = if (idx.ordered) idx.keys else idx.keys.sortBy(k => (k._1, k._2))
     val pending = all

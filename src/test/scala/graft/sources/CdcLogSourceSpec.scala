@@ -261,6 +261,42 @@ class CdcLogSourceSpec extends SparkSpec {
     assert(sizes(0.95) == Seq(1, 1, 1, 1, 1, 1))
   }
 
+  test("blocking memory backpressure: sticky block at high watermark, " +
+      "resume only below the low watermark (reference hysteresis)") {
+    val log = s"${tmp()}/wal.log"
+    append(log, (1L to 4L).map(i => line(i, 0, i)))
+    val saved = CdcLogSource.memoryUsage
+    @volatile var usage = 0.30
+    CdcLogSource.memoryUsage = () => usage
+    try {
+      val s = new CdcLogMicroBatchStream(log, None,
+        memoryBlocking = true)
+      def admit(start: LsnOffset): LsnOffset =
+        s.latestOffset(start, ReadLimit.allAvailable())
+          .asInstanceOf[LsnOffset]
+      // relaxed: everything admits
+      val end = admit(LsnOffset.zero)
+      assert(end.commitLsn == 4L && !s.memBlocked)
+      append(log, Seq(line(5L, 0, 5L)))
+      // pressure spike → block: empty micro-batch, state sticky
+      usage = 0.90
+      assert(admit(end) == end && s.memBlocked)
+      // hysteresis: dropping below HIGH but above LOW stays blocked
+      // (the modulating mode would admit here — this is the difference)
+      usage = 0.80
+      assert(admit(end) == end && s.memBlocked)
+      // below LOW → unblock and admit the pending tail
+      usage = 0.70
+      val resumed = admit(end)
+      assert(resumed.commitLsn == 5L && !s.memBlocked)
+      // a fresh stream between the watermarks does NOT start blocked
+      usage = 0.80
+      val s2 = new CdcLogMicroBatchStream(log, None, memoryBlocking = true)
+      assert(s2.latestOffset(LsnOffset.zero, ReadLimit.allAvailable())
+        .asInstanceOf[LsnOffset].commitLsn == 5L && !s2.memBlocked)
+    } finally CdcLogSource.memoryUsage = saved
+  }
+
   test("stale pos hints in offsets are ignored (planner re-derives from index)") {
     val log = s"${tmp()}/wal.log"
     append(log, (1L to 4L).map(i => line(i, 0, i)))
