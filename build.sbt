@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the log RAW: sbt's default logger
+// prefixes every line with "[info] ", which has broken the driver's
+// JSON parse of Bench's final contract line in rounds 1-9
+// ("parsed": null every round). StdoutOutput bypasses the logger.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -295,9 +295,19 @@ object Bench {
     // LAST carries only total + streaming + error markers (~300 bytes)
     // so it always survives tail capture intact and parses.
     val errJson = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val contract = s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","samples":$samples,"op_total":${ms(opTotal)},"errors":$errJson,"streaming":$streaming}"""
+    // Belt-and-braces beside the stdout contract: persist the full
+    // numbers to a repo file so they survive any log-capture quirk.
+    try {
+      val local = new java.io.PrintWriter("BENCH_LOCAL.json", "UTF-8")
+      try local.println(
+        s"""{"contract":$contract,"queries":$qs,"spread":$sp}""")
+      finally local.close()
+    } catch { case e: Exception =>
+      System.err.println(s"BENCH_LOCAL.json write failed: $e") }
     println(s"""{"metric":"spread","sf":"$sfDir","spread":$sp}""")
     println(s"""{"metric":"queries","sf":"$sfDir","queries":$qs}""")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","samples":$samples,"op_total":${ms(opTotal)},"errors":$errJson,"streaming":$streaming}""")
+    println(contract)
     spark.stop()
   }
 }

@@ -205,8 +205,10 @@ object ApplyOps {
         Window.partitionBy(col("_pid")).orderBy(seqCols.map(col): _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .localCheckpoint()
+    // cast: a non-integral sizeCol (accepted by the old pure-window
+    // implementation) makes _lsum a double — don't ClassCast at collect
     val totals = local.groupBy(col("_pid"))
-      .agg(max(col("_lsum")).as("_ptot"))
+      .agg(max(col("_lsum")).cast("long").as("_ptot"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offs = totals.map { case (pid, tot) =>

@@ -563,8 +563,9 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     if (m.allFiles.isEmpty) return spark.emptyDataFrame
     // same hash the writer used → same bucket id; lit() must be CAST to
     // the STORED column type (hash(42L: long) != hash(42: int)). Schema
-    // probe over BASE files only: layer upserts share the schema, and
-    // delete-key files live outside the basePath'd data dir.
+    // probe over BASE files only: layer upserts share the schema; layer
+    // delete-key files sit in the same _bucket=N dirs but are KEY-ONLY —
+    // including them would poison the type probe with a partial schema.
     val schemaFiles = {
       val bf = m.files.valuesIterator.flatten.toSeq
       if (bf.nonEmpty) bf
@@ -911,6 +912,12 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       skipReplayFilter: Boolean, advanceHw: Boolean): Unit = {
     val spark = batch.sparkSession
     val current = effectiveManifest()
+    // group merges cannot take the MoR path (group commits splice bucket
+    // maps) and the CoW fallback would die inside collapseLayers with a
+    // message about the open group — fail up front with the real rule
+    require(groupState.isEmpty || current.forall(_.layers.isEmpty),
+      "merge inside an open group is unsupported on a layered table: " +
+        "collapseLayers before beginGroup")
     val hw = current.map(_.highWater).getOrElse("")
     // Idempotent-replay guard: drop events at or below the high-water mark.
     val fresh0 = if (skipReplayFilter || hw.isEmpty) batch
@@ -932,13 +939,18 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
         if (advanceHw) { if (old.isEmpty || newHigh0 > old) newHigh0 else old }
         else old
 
-      // bootstrap when the affected buckets hold no live rows (new table,
-      // post-truncate, or keys landing in never-written buckets): no
-      // survivors to join against — write the upserts directly. Layer
-      // upsert files count as live rows (they'd be shadowed otherwise).
+      // bootstrap when the affected buckets hold no prior STATE (new
+      // table, post-truncate, or keys landing in never-written buckets):
+      // no survivors to join against — write the upserts directly. Layer
+      // upsert files count (they'd be shadowed otherwise) and so do layer
+      // DELETE files: a bucket holding only a delete-key layer file has
+      // state too — bootstrapping past it would publish a base file the
+      // stale delete layer then anti-joins back out (a delete of key K
+      // followed by a re-insert of K would silently vanish).
       val existingBucketFiles = current.toSeq
         .flatMap(m => buckets.flatMap(b => m.files.getOrElse(b, Nil) ++
-          m.layers.flatMap(_.ups.getOrElse(b, Nil))))
+          m.layers.flatMap(l =>
+            l.ups.getOrElse(b, Nil) ++ l.del.getOrElse(b, Nil))))
       if (existingBucketFiles.isEmpty) {
         val upserts = fresh.filter(col("_op") =!= "D").drop("_op", "_seq")
         val files = writeDataFiles(upserts,

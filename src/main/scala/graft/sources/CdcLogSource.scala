@@ -109,6 +109,11 @@ final class CdcLogScan(path: String, maxRowsPerTrigger: Option[Long],
     memoryAwareAdmission: Boolean = false,
     memoryBlockingAdmission: Boolean = false) extends Scan {
   override def readSchema(): StructType = CdcLogSource.schema
+  // NOTE `memoryblockingadmission` IMPLIES the modulating memory-aware
+  // budget below the high watermark (matching the reference, where the
+  // blocking monitor sits on top of byte-budgeted batches, not instead
+  // of them): between the low and high watermarks batch budgets halve;
+  // at ≥ high the source blocks outright until usage drops below low.
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new CdcLogMicroBatchStream(path, maxRowsPerTrigger, onMissingOffset,
       maxBytesPerTrigger, memoryAwareAdmission || memoryBlockingAdmission,

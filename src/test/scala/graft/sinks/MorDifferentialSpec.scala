@@ -57,13 +57,19 @@ class MorDifferentialSpec extends SparkSpec {
     if (wide) base else base.drop("extra")
   }
 
-  for (seed <- Seq(11, 42, 77)) {
+  // seed 7 initializes only 3 of the 200 key values, leaving most
+  // buckets EMPTY: deletes routed to never-written buckets write
+  // delete-layer-only buckets, and later inserts into those buckets
+  // must NOT take the bootstrap path (the shadowing bug class — see the
+  // directed test below).
+  for (seed <- Seq(7, 11, 42, 77)) {
     test(s"CoW and MoR twins agree under a random op mix (seed $seed)") {
       val rnd = new Random(seed)
       val cow = new GraftTable(tmp(), Seq("id"), nBuckets = 4)
       val mor = new GraftTable(tmp(), Seq("id"), nBuckets = 4,
         mergeOnRead = true)
-      val init = (0L until 60L).map(i => (i, s"v0-$i")).toDF("id", "v")
+      val initN = if (seed == 7) 3L else 60L
+      val init = (0L until initN).map(i => (i, s"v0-$i")).toDF("id", "v")
       cow.overwrite(init); mor.overwrite(init)
       // per-merge snapshot versions for time-travel agreement
       val snaps = Seq.newBuilder[(Long, Long)]
@@ -104,8 +110,18 @@ class MorDifferentialSpec extends SparkSpec {
           cow.lookup(spark, Seq(k)).collect().length,
           s"step $step lookup($k) diverged")
       }
-      // every per-merge snapshot pair time-travels identically (vacuum
-      // may have expired older versions — compare the retained tail)
+      // one final merge AFTER all maintenance so at least one recorded
+      // pair is guaranteed retained: the MoR twin commits extra manifest
+      // versions (each pre-maintenance collapse is its own commit), so
+      // under vacuum(2) the twins' retention windows can end up disjoint
+      // and every earlier recorded pair may legitimately expire.
+      lsn += 1
+      val closing = mkBatch(rnd, lsn, wide = true)
+      cow.merge(closing); mor.merge(closing)
+      snaps += ((cow.currentVersion.get, mor.currentVersion.get))
+      assert(state(mor) == state(cow), "closing merge diverged")
+      // every RETAINED per-merge snapshot pair time-travels identically
+      // (retention checked per side at compare time)
       val retainedCow = cow.versions.toSet
       val retainedMor = mor.versions.toSet
       val checked = snaps.result().filter { case (cv, mv) =>
@@ -139,15 +155,64 @@ class MorDifferentialSpec extends SparkSpec {
     cow.merge(small); mor.merge(small)
     assert(mor.currentManifest().exists(_.layers.nonEmpty))
     // past MorDeltaMaxRows the batch is no longer "small": the MoR table
-    // must collapse and take the copy-on-write path
+    // must collapse and take the copy-on-write path. range ids are
+    // already distinct — no modulo (an earlier draft's % 100000 deduped
+    // the batch BELOW the cap, so the MoR path was correctly taken and
+    // this test failed for the wrong reason).
+    val morVerBefore = mor.currentVersion.get
     val big = spark.range(GraftTable.MorDeltaMaxRows + 1)
-      .select((col("id") % 100000).as("id"),
+      .select(col("id"),
         concat(lit("b"), col("id")).as("v"), lit("U").as("_op"),
         lit(f"${2L}%016x/${0L}%016x").as("_seq"))
       .dropDuplicates("id")
     cow.merge(big); mor.merge(big)
     assert(mor.currentManifest().exists(_.layers.isEmpty),
       "oversized merge must leave a collapsed, layer-free table")
+    // the fallback branch really ran: collapse is its OWN commit, then
+    // the recursive CoW merge commits — two new versions, and the
+    // intermediate one is the layer-free collapsed base
+    assert(mor.currentVersion.get == morVerBefore + 2,
+      s"expected collapse+merge commits, versions ${mor.versions}")
+    val collapsed = mor.readManifest(morVerBefore + 1)
+    assert(collapsed.layers.isEmpty, "intermediate commit must be the collapse")
+    def st(t: GraftTable) = t.read(spark).as[(Long, String)].collect().toSet
+    assert(st(mor) == st(cow))
+  }
+
+  test("insert into a bucket holding only a delete-layer file survives " +
+      "(bootstrap-shadowing regression)") {
+    def bucketOf(k: Long, n: Int): Int = spark.range(1)
+      .select(pmod(hash(lit(k)), lit(n)).cast("int")).head().getInt(0)
+    val n = 4
+    // init keys all in one bucket; K lands in a DIFFERENT, empty bucket
+    val keys = (0L until 400L).groupBy(bucketOf(_, n))
+    val homeBucket = keys.keys.head
+    val initKeys = keys(homeBucket).take(5)
+    val otherBucket = keys.keys.find(_ != homeBucket).get
+    val kOut = keys(otherBucket).head
+    val cow = new GraftTable(tmp(), Seq("id"), nBuckets = n)
+    val mor = new GraftTable(tmp(), Seq("id"), nBuckets = n,
+      mergeOnRead = true)
+    val init = initKeys.map(i => (i, s"v$i")).toDF("id", "v")
+    cow.overwrite(init); mor.overwrite(init)
+    // batch 1: delete of kOut (empty bucket → delete-layer-only bucket
+    // on the MoR twin) alongside a live-bucket update so the MoR path
+    // is taken (not bootstrap)
+    val b1 = Seq((initKeys.head, "u1", "U"), (kOut, "", "D"))
+      .toDF("id", "v", "_op")
+      .withColumn("_seq", lit(f"${1L}%016x/${0L}%016x"))
+    cow.merge(b1); mor.merge(b1)
+    assert(mor.currentManifest()
+      .exists(_.layers.exists(_.del.contains(otherBucket))),
+      "precondition: MoR twin must hold a delete-layer file in the bucket")
+    // batch 2: INSERT kOut — its bucket holds no base/upsert files, only
+    // the stale delete layer; bootstrapping here would publish a base
+    // file the delete layer then anti-joins back out
+    val b2 = Seq((kOut, "back", "I")).toDF("id", "v", "_op")
+      .withColumn("_seq", lit(f"${2L}%016x/${0L}%016x"))
+    cow.merge(b2); mor.merge(b2)
+    assert(mor.lookup(spark, Seq(kOut)).collect().map(_.getString(1)).toSeq
+      == Seq("back"), "re-inserted key must survive the stale delete layer")
     def st(t: GraftTable) = t.read(spark).as[(Long, String)].collect().toSet
     assert(st(mor) == st(cow))
   }
