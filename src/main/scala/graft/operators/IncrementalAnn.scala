@@ -42,10 +42,16 @@ import graft.sinks.GraftTable
   * IVF-Flat over the current corpus with the same centroids. */
 object IncrementalAnn {
 
-  /** Create (or reopen) the inverted-lists table. */
-  def listsTable(root: String, nBuckets: Int = 16): GraftTable =
+  /** Create (or reopen) the inverted-lists table. Merge-on-read:
+    * per-sync vector moves commit as layers instead of rewriting every
+    * touched list bucket — O(delta) writes against a corpus-scale
+    * index; probe reads stay pruned to the probed lists' buckets. */
+  def listsTable(root: String, nBuckets: Int = 16,
+      morMinAffectedBytes: Long =
+        GraftTable.MorMinAffectedBytesDefault): GraftTable =
     new GraftTable(root, Seq("list_id", "id"), nBuckets,
-      bucketCols0 = Seq("list_id"))
+      bucketCols0 = Seq("list_id"), mergeOnRead = true,
+      morMinAffectedBytes = morMinAffectedBytes)
 
   /** Create (or reopen) the centroids table. */
   def centroidsTable(root: String): GraftTable =

@@ -48,14 +48,18 @@ import graft.sinks.GraftTable
   * against the stored rows into two key-level merges. */
 object IncrementalClusters {
 
-  /** Create (or reopen) the id → component-representative table. */
+  /** Create (or reopen) the id → component-representative table.
+    * Adaptive merge-on-read like the band/pair tables: layers engage
+    * only past the affected-bytes floor (small buckets stay CoW — the
+    * measured-faster regime at local SF). */
   def idRepTable(root: String, nBuckets: Int = 8): GraftTable =
-    new GraftTable(root, Seq("id"), nBuckets)
+    new GraftTable(root, Seq("id"), nBuckets, mergeOnRead = true)
 
-  /** Create (or reopen) the component-membership reverse index. */
+  /** Create (or reopen) the component-membership reverse index
+    * (adaptive merge-on-read, see [[idRepTable]]). */
   def membersTable(root: String, nBuckets: Int = 8): GraftTable =
     new GraftTable(root, Seq("rep", "id"), nBuckets,
-      bucketCols0 = Seq("rep"))
+      bucketCols0 = Seq("rep"), mergeOnRead = true)
 
   /** The operator result: `(id, rep)` for every id in ≥1 pair —
     * identical to `Dedup.connectedComponents` over the pair table. */

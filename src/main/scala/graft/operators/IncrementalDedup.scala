@@ -62,18 +62,29 @@ object IncrementalDedup {
       nTables: Int = 8)
 
   /** Create (or reopen) the band-index table: keyed (band, bh, id) so a
-    * band row is its own identity, bucketed (band, bh) so probes prune. */
-  def bandTable(root: String, nBuckets: Int = 32): GraftTable =
+    * band row is its own identity, bucketed (band, bh) so probes prune.
+    * MERGE-ON-READ: the workload is exactly "frequent small syncs
+    * against a large base" — a delta commits as a layer (O(delta)
+    * write) instead of rewriting every touched band bucket; probes stay
+    * bucket-pruned because layer files are bucket-partitioned too. */
+  def bandTable(root: String, nBuckets: Int = 32,
+      morMinAffectedBytes: Long =
+        GraftTable.MorMinAffectedBytesDefault): GraftTable =
     new GraftTable(root, Seq("band", "bh", "id"), nBuckets,
-      bucketCols0 = Seq("band", "bh"))
+      bucketCols0 = Seq("band", "bh"), mergeOnRead = true,
+      morMinAffectedBytes = morMinAffectedBytes)
 
   /** Create (or reopen) the verified-pair table: a row per pair PER
     * ORIENTATION, keyed (id_a, id_b), bucketed by id_a so the stale
     * probe ("pairs touching these changed ids") prunes to the changed
-    * ids' buckets instead of scanning the pair set. */
-  def pairTable(root: String, nBuckets: Int = 8): GraftTable =
+    * ids' buckets instead of scanning the pair set. Merge-on-read for
+    * the same reason as [[bandTable]]. */
+  def pairTable(root: String, nBuckets: Int = 8,
+      morMinAffectedBytes: Long =
+        GraftTable.MorMinAffectedBytesDefault): GraftTable =
     new GraftTable(root, Seq("id_a", "id_b"), nBuckets,
-      bucketCols0 = Seq("id_a"))
+      bucketCols0 = Seq("id_a"), mergeOnRead = true,
+      morMinAffectedBytes = morMinAffectedBytes)
 
   /** Periodic index maintenance (same contract as
     * [[IncrementalIndex.maintain]]): every sync supersedes its touched

@@ -43,14 +43,20 @@ import graft.sinks.GraftTable
   * `bm25TopK(index) == Retrieval.bm25TopK(<current corpus>)`. */
 object IncrementalIndex {
 
-  /** Create (or reopen) the postings table. */
-  def postingsTable(root: String, nBuckets: Int = 32): GraftTable =
+  /** Create (or reopen) the postings table. Merge-on-read: per-sync
+    * posting deltas commit as layers instead of rewriting every touched
+    * term bucket — O(delta) writes against a corpus-scale index. */
+  def postingsTable(root: String, nBuckets: Int = 32,
+      morMinAffectedBytes: Long =
+        GraftTable.MorMinAffectedBytesDefault): GraftTable =
     new GraftTable(root, Seq("term", "id"), nBuckets,
-      bucketCols0 = Seq("term"))
+      bucketCols0 = Seq("term"), mergeOnRead = true,
+      morMinAffectedBytes = morMinAffectedBytes)
 
-  /** Create (or reopen) the per-document length table. */
+  /** Create (or reopen) the per-document length table (adaptive
+    * merge-on-read: layers only past the affected-bytes floor). */
   def docTable(root: String, nBuckets: Int = 8): GraftTable =
-    new GraftTable(root, Seq("id"), nBuckets)
+    new GraftTable(root, Seq("id"), nBuckets, mergeOnRead = true)
 
   /** Create (or reopen) the one-row corpus-stats table. */
   def statsTable(root: String): GraftTable =

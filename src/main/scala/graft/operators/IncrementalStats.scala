@@ -24,9 +24,10 @@ import graft.sinks.GraftTable
   * to the from-scratch aggregate after every sync (spec-pinned). */
 object IncrementalStats {
 
-  /** Create (or reopen) the per-key stats table. */
+  /** Create (or reopen) the per-key stats table (adaptive
+    * merge-on-read: layers only past the affected-bytes floor). */
   def statsTable(root: String, nBuckets: Int = 4): GraftTable =
-    new GraftTable(root, Seq("key"), nBuckets)
+    new GraftTable(root, Seq("key"), nBuckets, mergeOnRead = true)
 
   /** The operator result: `(key, n_docs, n_tokens)`, equal to the
     * batch aggregate over the current corpus. */

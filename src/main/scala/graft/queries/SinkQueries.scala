@@ -331,8 +331,12 @@ object SinkQueries {
           col("price"), col("c"))).reduce(_ unionAll _)
       val cow = new graft.sinks.GraftTable(s"$root/cow", Seq("k"),
         nBuckets = 16)
+      // threshold 0: this entry MEASURES the layered path — adaptive
+      // admission must not silently turn it into a second CoW timer at
+      // small SF (at sf0.1 the inflated base passes the default floor
+      // anyway)
       val mor = new graft.sinks.GraftTable(s"$root/mor", Seq("k"),
-        nBuckets = 16, mergeOnRead = true)
+        nBuckets = 16, mergeOnRead = true, morMinAffectedBytes = 0L)
       cow.overwrite(base)
       mor.overwrite(base)
       new DeltaState(cow, mor)

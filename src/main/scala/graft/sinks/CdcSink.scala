@@ -48,8 +48,12 @@ trait CdcSink {
   * `everyBatches` = 0 disables (explicit compact/vacuum only); N > 0
   * runs compact(maxFilesPerBucket) + vacuum(keepVersions) on a table
   * after every Nth applied batch. Runs BETWEEN merges on the sink's own
-  * call thread, so it never races the single writer — the same
-  * quiesced-writer assumption the reference's jobs make. */
+  * call thread, so it never races the single writer — and takes the
+  * table's MAINTENANCE LEASE first, so an EXTERNAL maintenance run
+  * (GraftTable.runMaintenanceUnderLease — the etl-maintenance
+  * coordination analog) serializes against it: while a foreign lease is
+  * held, the in-process timer skips its turn and the apply path pauses
+  * at its quiesce point until the lease releases or expires. */
 final case class MaintenancePolicy(everyBatches: Int = 0,
     maxFilesPerBucket: Int = 4, keepVersions: Int = 2)
 
@@ -73,17 +77,37 @@ final class CurrentStateSink(rootDir: String, keysOf: String => Seq[String],
       c => Some(c.getOrElse(0L) + 1L) }.get
     if (n % maintenance.everyBatches == 0) {
       val t = tableFor(table)
-      t.compact(spark, maintenance.maxFilesPerBucket)
-      t.vacuum(maintenance.keepVersions)
+      // lease-gated: skip this turn if an external maintenance run
+      // holds the table (the next Nth batch retries)
+      t.runMaintenanceUnderLease(leaseOwner) {
+        t.compact(spark, maintenance.maxFilesPerBucket)
+        t.vacuum(maintenance.keepVersions)
+      }
     }
   }
+
+  /** This sink instance's lease identity. */
+  private val leaseOwner =
+    s"current-state-sink@${java.util.UUID.randomUUID()}"
+
+  /** Retry-once on a lost commit race: external maintenance that ran
+    * entirely inside a merge's window commits first and the merge's CAS
+    * loses. Nothing was committed by the loser and merges are
+    * replay-idempotent, so re-running the call against the fresh
+    * snapshot is always safe. */
+  private def retryOnConflict[A](body: => A): A =
+    try body
+    catch { case _: GraftTable.ConcurrentCommitException => body }
 
   def tableFor(name: String): GraftTable =
     tables.getOrElseUpdate(name,
       new GraftTable(s"$rootDir/$name", keysOf(name), nBuckets))
 
-  override def writeTableRows(table: String, rows: DataFrame): Unit =
-    tableFor(table).overwrite(rows)
+  override def writeTableRows(table: String, rows: DataFrame): Unit = {
+    val t = tableFor(table)
+    t.awaitMaintenanceQuiesce(leaseOwner)
+    t.overwrite(rows)
+  }
 
   /** Events arrive as flat payload + (_op, _commit_lsn, _tx_ordinal)
     * and optionally `_missing` (comma-separated TOAST-unchanged column
@@ -97,6 +121,9 @@ final class CurrentStateSink(rootDir: String, keysOf: String => Seq[String],
   override def writeEvents(table: String, events: DataFrame,
       maskHint: Option[Boolean]): Unit = {
     val t = tableFor(table)
+    // pause point: wait out a foreign maintenance lease before merging
+    // (the reference's pause/resume around external maintenance)
+    t.awaitMaintenanceQuiesce(leaseOwner)
     val metaCols = Set("_op", "_commit_lsn", "_tx_ordinal", "_missing")
     // fast path when the batch carries no actual masks (the stream schema
     // always HAS the column; it is almost always all-null) — the masked
@@ -108,7 +135,7 @@ final class CurrentStateSink(rootDir: String, keysOf: String => Seq[String],
       val deduped = ApplyOps.lastWriterWins(
         events.drop("_missing"), t.keyCols,
         Seq("_commit_lsn", "_tx_ordinal"))
-      t.merge(seqed(deduped))
+      retryOnConflict(t.merge(seqed(deduped)))
       noteApplied(table, events.sparkSession)
       return
     }
@@ -140,9 +167,10 @@ final class CurrentStateSink(rootDir: String, keysOf: String => Seq[String],
                    else mask.split(",").toSeq.filter(_.nonEmpty)
         // hw advances only after ALL groups are durable (crash between
         // groups + replay must redeliver the whole batch)
-        t.merge(group, cols, skipReplayFilter = true, advanceHw = false)
+        retryOnConflict(
+          t.merge(group, cols, skipReplayFilter = true, advanceHw = false))
       }
-      t.advanceHighWater(batchMax)
+      retryOnConflict(t.advanceHighWater(batchMax))
       noteApplied(table, events.sparkSession)
     } finally fresh.unpersist()
   }

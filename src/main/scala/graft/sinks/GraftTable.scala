@@ -75,7 +75,18 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       * Default false: CDC serving tables stay copy-on-write (reads
       * dominate); enable for tables whose workload is frequent small
       * syncs against a large base (LSH band/pair indexes, postings). */
-    val mergeOnRead: Boolean = false) {
+    val mergeOnRead: Boolean = false,
+    /** ADAPTIVE merge-on-read admission (Hudi/Delta-style CoW↔MoR
+      * heuristic): the delta-layer path engages only when the affected
+      * buckets' base bytes reach this floor — below it, rewriting the
+      * buckets costs less than the layered-read fold every subsequent
+      * probe would pay, so the merge stays copy-on-write. Measured on
+      * the incremental-index workload at sf0.1 (small buckets): forcing
+      * layers was 15–35% SLOWER end-to-end than CoW, while the CoW/MoR
+      * bench pair on an inflated base shows the layered write winning
+      * ~1.6× — the crossover is the rewrite cost, which this floor
+      * encodes. 0 = always take the layered path (tests). */
+    val morMinAffectedBytes: Long = GraftTable.MorMinAffectedBytesDefault) {
 
   /** Effective bucket columns (defaults to the full key). */
   val bucketCols: Seq[String] =
@@ -143,7 +154,14 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
         * `mergeOnRead = true` ever WRITE layers; every reader applies
         * them unconditionally from the manifest, and copy-on-write
         * paths collapse them first. Empty for CoW tables. */
-      layers: Seq[DeltaLayer] = Nil) {
+      layers: Seq[DeltaLayer] = Nil,
+      /** True when this commit changed NO row and NO schema — layout
+        * maintenance only (collapse, compact, z-order) or a bare
+        * high-water advance. The row CDF uses it to emit an EMPTY feed
+        * for maintenance transitions instead of diffing rewritten
+        * buckets (a collapse rewrites every bucket; diffing it would
+        * read the whole table to produce zero change rows). */
+      sameData: Boolean = false) {
     def allFiles: Seq[String] =
       (files.valuesIterator.flatten ++
         layers.iterator.flatMap(l =>
@@ -219,8 +237,9 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       val statsColsJson =
         if (statsCols0.isEmpty) ""
         else s""","statsCols":${statsCols0.mkString("[\"", "\",\"", "\"]")}"""
+      val morJson = if (mergeOnRead) s""","mergeOnRead":true""" else ""
       Files.write(tmp,
-        s"""{"keyCols":${keyCols.mkString("[\"", "\",\"", "\"]")},"nBuckets":$nBuckets$bucketColsJson$statsColsJson}"""
+        s"""{"keyCols":${keyCols.mkString("[\"", "\",\"", "\"]")},"nBuckets":$nBuckets$bucketColsJson$statsColsJson$morJson}"""
           .getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, metaPath, StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.ATOMIC_MOVE)
@@ -301,7 +320,8 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     Manifest(v, (j \ "highWater").extract[String], files,
       (j \ "schema").extractOrElse[String](""),
       (j \ "committedAtMs").extractOrElse[Long](-1L),
-      mapping, stats, layers)
+      mapping, stats, layers,
+      (j \ "sameData").extractOrElse[Boolean](false))
   }
 
   /** Current logical → physical column mapping (empty = no renames). */
@@ -395,9 +415,10 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
         s""""$p":${cs.toSeq.sorted.map { case (c, (lo, hi)) =>
           s""""$c":[$lo,$hi]""" }.mkString("{", ",", "}")}"""
       }.mkString(""","fileColStats":{""", ",", "}")
+    val sameJson = if (m.sameData) s""","sameData":true""" else ""
     val body =
       s"""{"version":${m.version},"highWater":"${m.highWater}",""" +
-        s""""committedAtMs":${System.currentTimeMillis()}$mappingJson$statsJson$layersJson,""" +
+        s""""committedAtMs":${System.currentTimeMillis()}$mappingJson$statsJson$layersJson$sameJson,""" +
         s""""schema":"$schemaJson","files":$filesJson}"""
     val tmp = manifestDir.resolve(s".v${m.version}-${java.util.UUID.randomUUID()}.json.tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -962,7 +983,8 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       } else if (mergeOnRead && coalesceCols.isEmpty &&
           groupState.isEmpty &&
           batchRows <= GraftTable.MorDeltaMaxRows &&
-          current.exists(_.layers.size < GraftTable.MorMaxLayers)) {
+          current.exists(_.layers.size < GraftTable.MorMaxLayers) &&
+          affectedBaseBytes(current.get, buckets) >= morMinAffectedBytes) {
         // MERGE-ON-READ delta commit: append the upserts + key-only
         // delete files, both bucket-partitioned; NO bucket rewrite —
         // write cost O(delta). Readers fold the layer ([[applyLayers]]).
@@ -1028,6 +1050,18 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     } finally fresh.unpersist()
   }
 
+  /** Bytes a copy-on-write rewrite of `buckets` would have to re-write:
+    * their base files plus any layer upserts (a CoW merge on a layered
+    * table collapses first). Driver-side stat of O(affected files) —
+    * trivia next to the reads the CoW path would do over the same
+    * files; a vanished file (racing vacuum) counts 0. */
+  private def affectedBaseBytes(m: Manifest, buckets: Seq[Int]): Long =
+    buckets.iterator.flatMap(b => m.files.getOrElse(b, Nil) ++
+        m.layers.iterator.flatMap(_.ups.getOrElse(b, Nil)))
+      .map(f => try Files.size(Paths.get(resolved(f)))
+        catch { case _: java.io.IOException => 0L })
+      .sum
+
   /** Monotonically advance the replay high-water mark (used with
     * `merge(..., advanceHw = false)` once every group of a batch is
     * durable). Publishes a data-identical snapshot with the new mark. */
@@ -1035,22 +1069,37 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val m = effectiveManifest().getOrElse(Manifest(-1L, "", Map.empty))
     if (m.highWater.isEmpty || seq > m.highWater)
       publish(Manifest(nextVersion, seq, m.files, m.schemaDdl,
-        layers = m.layers))
+        layers = m.layers, sameData = true))
   }
 
-  /** Collapse every merge-on-read layer into a clean copy-on-write base:
-    * read the layered snapshot once, rewrite all buckets, publish
-    * layer-free. Data-identical; the amortized cost behind
-    * [[GraftTable.MorMaxLayers]] (one O(table) rewrite buys that many
-    * O(delta) commits). No-op on layer-free tables. */
+  /** Collapse every merge-on-read layer into a clean copy-on-write base
+    * — BUCKET-PRUNED: only buckets some layer touches are read (layer
+    * fold) and rewritten; untouched buckets' base files carry over
+    * verbatim (their folded state IS their base — no layer has a key
+    * there). Collapse cost is therefore O(buckets touched since the
+    * last collapse), not O(table): at 100 TB a table absorbing
+    * delta-scale syncs collapses the few touched buckets, the same
+    * footprint a copy-on-write merge would have paid PER sync.
+    * Data-identical; no-op on layer-free tables. */
   def collapseLayers(spark: SparkSession): Unit = {
     require(groupState.isEmpty, "close the open group before collapseLayers")
     val m = currentManifest().getOrElse(return)
     if (m.layers.isEmpty) return
-    val df = readSnapshot(spark, m, None).drop("_bucket")
+    val touched = m.layers
+      .flatMap(l => l.ups.keySet ++ l.del.keySet).distinct.sorted
+    val df = readSnapshot(spark, m, Some(touched)).drop("_bucket")
       .withColumn("_bucket", bucketExpr)
-    val newFiles = writeDataFiles(df, nBuckets)
-    commitManifest(Manifest(nextVersion, m.highWater, newFiles, m.schemaDdl))
+    val newFiles = writeDataFiles(df, math.max(1, touched.size))
+    // a touched bucket folding to zero rows yields no file and drops out.
+    // version PINNED to the snapshot this rewrite was computed from —
+    // committing at nextVersion-at-commit-time would let a data commit
+    // that landed mid-rewrite be silently REVERTED by this stale
+    // snapshot (no CAS conflict: the version number is fresh, the
+    // contents are not). Pinned, an interleaved commit makes this one
+    // fail with ConcurrentCommitException instead; maintenance is
+    // data-identical, so callers simply retry on the fresh snapshot.
+    commitManifest(Manifest(m.version + 1, m.highWater,
+      (m.files -- touched) ++ newFiles, m.schemaDdl, sameData = true))
   }
 
   /** Maintenance: compact buckets whose live-file count exceeds `maxFiles`
@@ -1069,8 +1118,10 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     if (crowded.isEmpty) return Seq.empty
     val df = readBuckets(spark, m, crowded)
     val newFiles = writeDataFiles(df, math.max(1, crowded.size))
-    commitManifest(Manifest(nextVersion, m.highWater,
-      (m.files -- crowded) ++ newFiles, m.schemaDdl))
+    // version pinned to the snapshot read (see collapseLayers): a
+    // mid-rewrite data commit must conflict, not be reverted
+    commitManifest(Manifest(m.version + 1, m.highWater,
+      (m.files -- crowded) ++ newFiles, m.schemaDdl, sameData = true))
     crowded
   }
 
@@ -1120,8 +1171,107 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val parts = math.max(1, buckets.size * filesPerBucket)
     val newFiles = writeDataFiles(df.withColumn("_zorder", z), parts,
       rangeCols = Seq("_bucket", "_zorder"))
-    commitManifest(Manifest(nextVersion, m.highWater,
-      (m.files -- buckets) ++ newFiles, m.schemaDdl))
+    // version pinned to the snapshot read (see collapseLayers)
+    commitManifest(Manifest(m.version + 1, m.highWater,
+      (m.files -- buckets) ++ newFiles, m.schemaDdl, sameData = true))
+  }
+
+  // ----------------------------------------------------- maintenance lease
+  /** Cross-process maintenance coordination — the data-plane core of the
+    * reference's etl-maintenance coordination (crates/etl-maintenance/
+    * src/coordination.rs: cross-instance maintenance runs serialized
+    * through a shared store, with the live replicator paused around
+    * them) without the k8s parts: at most one maintenance runner per
+    * table holds an EXPIRING lease file in the table root, published
+    * with the same atomic create-exclusive the manifest commit uses.
+    *
+    * Contract: anything running compact/vacuum/clusterBy takes the
+    * lease first ([[runMaintenanceUnderLease]]); the live apply path
+    * calls [[awaitMaintenanceQuiesce]] before each merge and waits out
+    * a FOREIGN holder (the pause analog — data applies resume the
+    * moment the lease releases or its TTL lapses), and in-process
+    * maintenance timers skip their turn while a foreign lease is held.
+    * A crashed holder never wedges the table: the TTL expires and the
+    * lease is broken by the next acquirer. */
+  private def leasePath = Paths.get(root, "_maintenance.lease")
+
+  /** (owner, expiresAtMs) of a LIVE lease; None = free or expired. */
+  def maintenanceLeaseHolder: Option[(String, Long)] =
+    try {
+      val s = new String(Files.readAllBytes(leasePath),
+        StandardCharsets.UTF_8)
+      val Array(owner, exp) = s.trim.split("\t", 2)
+      if (System.currentTimeMillis() <= exp.toLong) Some(owner -> exp.toLong)
+      else None
+    } catch { case _: java.io.IOException => None }
+
+  /** Try to take (or renew) the lease for `owner`. Atomic: the lease
+    * file is hard-linked into place like a manifest commit, so two
+    * racing acquirers cannot both win. An EXPIRED lease is broken and
+    * re-acquired; the current holder renews in place. */
+  def tryAcquireMaintenanceLease(owner: String,
+      ttlMs: Long = 60000L): Boolean = {
+    Files.createDirectories(Paths.get(root))
+    val body = s"$owner\t${System.currentTimeMillis() + ttlMs}"
+      .getBytes(StandardCharsets.UTF_8)
+    maintenanceLeaseHolder match {
+      case Some((h, _)) if h != owner => false
+      case Some((h, _)) if h == owner => // renew in place (still holder)
+        Files.write(leasePath, body); true
+      case None =>
+        Files.deleteIfExists(leasePath) // break an expired lease
+        val tmp = Paths.get(root,
+          s".lease-${java.util.UUID.randomUUID()}.tmp")
+        Files.write(tmp, body)
+        try { Files.createLink(leasePath, tmp); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException =>
+            // no-hard-link filesystems: exists pre-check + move (the
+            // manifest commit's documented weaker fallback)
+            if (Files.exists(leasePath)) false
+            else { Files.move(tmp, leasePath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE); true }
+        } finally Files.deleteIfExists(tmp)
+    }
+  }
+
+  /** Release `owner`'s lease (no-op if not held by `owner`). */
+  def releaseMaintenanceLease(owner: String): Unit =
+    if (maintenanceLeaseHolder.exists(_._1 == owner))
+      Files.deleteIfExists(leasePath)
+
+  /** Block while a FOREIGN live lease exists — the apply path's pause
+    * point. Returns once the lease is released/expired (or immediately
+    * when free / held by `owner`); gives up after `maxWaitMs` so a
+    * misconfigured TTL cannot wedge the pipeline (commits stay safe
+    * either way via the version CAS — the wait exists to avoid the
+    * re-plan, not to guarantee exclusion). */
+  def awaitMaintenanceQuiesce(owner: String = "",
+      maxWaitMs: Long = 120000L): Unit = {
+    val t0 = System.currentTimeMillis()
+    while (maintenanceLeaseHolder.exists(_._1 != owner) &&
+      System.currentTimeMillis() - t0 < maxWaitMs)
+      Thread.sleep(25)
+  }
+
+  /** Acquire the lease, wait a short grace (a merge that passed its
+    * quiesce check just before the acquire finishes first), run `body`,
+    * release. Returns false without running when the lease is taken.
+    * A lost commit race inside `body` (possible only when a writer
+    * ignores the quiesce contract or the grace was too short) is
+    * retried once against the fresh snapshot — maintenance is
+    * data-identical, so a retry is always safe. */
+  def runMaintenanceUnderLease(owner: String, ttlMs: Long = 60000L,
+      graceMs: Long = 0L)(body: => Unit): Boolean = {
+    if (!tryAcquireMaintenanceLease(owner, ttlMs)) return false
+    try {
+      if (graceMs > 0) Thread.sleep(graceMs)
+      try body
+      catch { case _: GraftTable.ConcurrentCommitException => body }
+      true
+    } finally releaseMaintenanceLease(owner)
   }
 
   /** Expire old snapshots: keep the latest `keep` manifests, delete older
@@ -1138,18 +1288,37 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     // with a trailing slash must not make every live file look orphaned
     val live = retained.flatMap(v => readManifest(v).allFiles
       .map(f => Paths.get(resolved(f)).normalize().toString)).toSet
-    vs.dropRight(math.max(1, keep))
-      .foreach(v => Files.deleteIfExists(manifestPath(v)))
+    val expired = vs.dropRight(math.max(1, keep))
+    // targeted reclamation FIRST: files the expired manifests referenced
+    // are committed debris — no retained snapshot needs them, and they
+    // can never belong to an in-flight write (in-flight files are
+    // referenced by no manifest yet)
+    val expiredFiles = expired.flatMap(v => readManifest(v).allFiles
+      .map(f => Paths.get(resolved(f)).normalize().toString)).toSet
+    expired.foreach(v => Files.deleteIfExists(manifestPath(v)))
+    (expiredFiles -- live).foreach(f => Files.deleteIfExists(Paths.get(f)))
+    // the catch-all debris sweep is AGE-GATED: a cross-process vacuum
+    // (maintenance lease holder) can run while another writer's merge is
+    // IN FLIGHT — its stage dir, and data files already moved into
+    // bucket dirs but not yet referenced by a commit, look exactly like
+    // crash debris. Writes finish in seconds; genuine debris is
+    // permanent, so only sweep what is older than
+    // [[GraftTable.OrphanSweepMinAgeMs]].
+    val cutoff = System.currentTimeMillis() - GraftTable.OrphanSweepMinAgeMs
+    def oldEnough(p: Path): Boolean =
+      try Files.getLastModifiedTime(p).toMillis < cutoff
+      catch { case _: java.io.IOException => false }
     // orphaned stage dirs from crashed writers
     listDir(Paths.get(root))
-      .filter(_.getFileName.toString.startsWith(".stage-"))
+      .filter(p => p.getFileName.toString.startsWith(".stage-") &&
+        oldEnough(p))
       .foreach(deleteRecursively)
     listDir(Paths.get(dataDir))
       .filter(_.getFileName.toString.startsWith("_bucket="))
       .foreach { bdir =>
         listDir(bdir)
           .filter(f => f.getFileName.toString.endsWith(".parquet") &&
-            !live.contains(f.toString))
+            !live.contains(f.toString) && oldEnough(f))
           .foreach(Files.deleteIfExists(_))
       }
   }
@@ -1194,11 +1363,22 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       return TableChanges(-1L, spark.emptyDataFrame, Seq.empty,
         fullRefresh = true))
     val known = fromVersion >= 0 && versions.contains(fromVersion)
-    val from: Map[Int, Seq[String]] =
-      if (known) readManifest(fromVersion).files else Map.empty
-    val changed = cur.files.collect {
+    val fromM: Option[Manifest] =
+      if (known) Some(readManifest(fromVersion)) else None
+    val from: Map[Int, Seq[String]] = fromM.map(_.files).getOrElse(Map.empty)
+    // layer-aware like [[rowChangesBetween]]: a merge-on-read commit
+    // changes a bucket's ROWS without touching its base files, so
+    // buckets touched by non-common layers count as changed too
+    val commonLayers = fromM.map(_.layers.map(_.version).toSet)
+      .getOrElse(Set.empty).intersect(cur.layers.map(_.version).toSet)
+    val layerBuckets = (fromM.map(_.layers).getOrElse(Nil) ++ cur.layers)
+      .filterNot(l => commonLayers.contains(l.version))
+      .flatMap(l => l.ups.keySet ++ l.del.keySet).toSet
+    val changed = (cur.files.collect {
       case (b, fs) if from.get(b) != Some(fs) => b
-    }.toSeq.sorted
+    }.toSet ++ layerBuckets.filter(b =>
+      cur.files.contains(b) || cur.layers.exists(l =>
+        l.ups.contains(b) || l.del.contains(b)))).toSeq.sorted
     val gone = (from.keySet -- cur.files.keySet).toSeq.sorted
     val withBucket = currentSchema.map(_.add("_bucket",
       org.apache.spark.sql.types.IntegerType))
@@ -1252,14 +1432,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
         s"$toVersion (the feed would read backwards, swapping " +
         "inserts/deletes)")
     val cur = readManifest(toVersion)
-    // merge-on-read snapshots: the per-bucket file-list diff below can't
-    // see layer-resolved row state, so a layered endpoint degrades to a
-    // full refresh (correct, just not incremental — MoR tables are index
-    // state, not feed leaders, so this path is a safety net)
-    val layered = cur.layers.nonEmpty || (fromVersion >= 0 &&
-      versions.contains(fromVersion) &&
-      readManifest(fromVersion).layers.nonEmpty)
-    if (!known || layered) {
+    if (!known) {
       // full-refresh insert feed; a pre-schema empty table has no
       // columns to tag, so its feed is the empty frame itself
       val cur0 = readVersion(spark, toVersion)
@@ -1269,19 +1442,35 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       return TableChanges(cur.version, feed, Seq.empty, fullRefresh = true)
     }
     val from = readManifest(fromVersion)
-    val changed = (from.files.keySet ++ cur.files.keySet).filter(b =>
-      from.files.get(b) != cur.files.get(b)).toSeq.sorted
     val target = org.apache.spark.sql.types.StructType.fromDDL(
       if (cur.schemaDdl.nonEmpty) cur.schemaDdl else from.schemaDdl)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       target.add("_change_type", StringType))
+    // maintenance transitions change layout, not rows: a window whose
+    // every commit is sameData (collapse/compact/z-order/high-water
+    // advance) is an EMPTY feed — without this, a layer collapse
+    // (rewrites every bucket) would diff the whole table to find nothing
+    if ((fromVersion + 1) to toVersion forall(v => readManifest(v).sameData))
+      return TableChanges(cur.version, empty, Seq.empty, fullRefresh = false)
+    // bucket-level diff, LAYER-AWARE: a bucket changed if its base files
+    // differ OR a delta layer present in exactly one endpoint touches it
+    // (layer-only transitions — the merge-on-read hot path — never
+    // rewrite base files, so the layer sets carry the whole delta)
+    val commonLayers = from.layers.map(_.version).toSet
+      .intersect(cur.layers.map(_.version).toSet)
+    val layerBuckets = (from.layers ++ cur.layers)
+      .filterNot(l => commonLayers.contains(l.version))
+      .flatMap(l => l.ups.keySet ++ l.del.keySet).toSet
+    val changed = ((from.files.keySet ++ cur.files.keySet).filter(b =>
+      from.files.get(b) != cur.files.get(b)) ++ layerBuckets).toSeq.sorted
     if (changed.isEmpty)
       return TableChanges(cur.version, empty, Seq.empty, fullRefresh = false)
+    // each side is the LAYER-RESOLVED row state of the changed buckets
+    // (base + layer fold, both bucket-pruned) — for a layer-only
+    // transition this reads the touched buckets, never the table
     def side(m: Manifest): DataFrame = {
-      val df0 = readFiles(spark,
-        changed.flatMap(b => m.files.getOrElse(b, Nil)), m.schemaDdl,
-        m.columnMapping).drop("_bucket")
+      val df0 = readSnapshot(spark, m, Some(changed)).drop("_bucket")
       // a column renamed between the two snapshots keeps its PHYSICAL
       // name: map this side's logical names onto the current logical
       // names through the physical identity, so preimages carry values
@@ -1465,6 +1654,16 @@ object GraftTable {
     * rewrite is amortized by the batch itself). */
   val MorMaxLayers = 8
   val MorDeltaMaxRows = 262144L
+  /** Default floor for [[GraftTable.morMinAffectedBytes]]: ~one parquet
+    * target file. Rewriting less than this per merge is cheap at any
+    * scale; above it, write amplification starts to dominate and the
+    * delta-layer path wins. */
+  val MorMinAffectedBytesDefault: Long = 64L << 20
+  /** Minimum age before [[vacuum]]'s catch-all sweep treats a
+    * never-referenced stage dir / data file as crash debris. Files
+    * younger than this may belong to an IN-FLIGHT write racing a
+    * cross-process maintenance vacuum. */
+  val OrphanSweepMinAgeMs: Long = 10 * 60 * 1000L
 
   /** One shared Configuration for footer reads: constructing one parses
     * the Hadoop XML defaults (~10 ms) — per-call construction dominated
@@ -1586,6 +1785,8 @@ object GraftTable {
       bucketCols0 =
         (j \ "bucketCols").extractOrElse[List[String]](Nil),
       statsCols0 =
-        (j \ "statsCols").extractOrElse[List[String]](Nil))
+        (j \ "statsCols").extractOrElse[List[String]](Nil),
+      mergeOnRead =
+        (j \ "mergeOnRead").extractOrElse[Boolean](false))
   }
 }

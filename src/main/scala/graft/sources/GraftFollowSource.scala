@@ -59,14 +59,23 @@ object GraftFollowSource {
     * `mapping_json` = leader metadata at `version`), then one row per
     * file to read (tombstone=false) or per bucket to empty
     * (tombstone=true, file null). `version` is the snapshot the batch
-    * lands the follower on. */
+    * lands the follower on.
+    *
+    * Merge-on-read leaders: a replaced bucket's contents may be a
+    * LAYERED fold — `kind` distinguishes base files ("base"), layer
+    * upsert files ("up") and key-only layer delete files ("del"), with
+    * `layer_v` ordering the fold (highest layer wins per key). CoW
+    * batches carry only "base" rows, so pre-MoR followers read
+    * unchanged. */
   val schema: StructType = StructType(Seq(
     StructField("version", LongType, nullable = false),
     StructField("_bucket", IntegerType, nullable = false),
     StructField("file", StringType, nullable = true),
     StructField("tombstone", BooleanType, nullable = false),
     StructField("schema_ddl", StringType, nullable = true),
-    StructField("mapping_json", StringType, nullable = true)))
+    StructField("mapping_json", StringType, nullable = true),
+    StructField("kind", StringType, nullable = true),
+    StructField("layer_v", LongType, nullable = false)))
 
   /** Compact, order-stable JSON for the logical→physical name mapping
     * (same escaping rules as the manifest writer). */
@@ -175,23 +184,46 @@ final class GraftFollowStream(root: String,
     val known = from >= 0 && from != to && t.versions.contains(from)
     val fromM = if (known) Some(t.readManifest(from)) else None
     val cur = toM.files
+    // per-bucket layered contents at `to`: base files plus every layer
+    // file touching the bucket, tagged for the follower's fold. A
+    // bucket with NO contents at `to` (base gone, no layer touches it)
+    // is a tombstone.
+    def bucketRows(b: Int): Seq[FollowFile] = {
+      val base = cur.getOrElse(b, Nil)
+        .map(f => FollowFile(b, Some(f), "base", -1L))
+      val layered = toM.layers.flatMap(l =>
+        l.ups.getOrElse(b, Nil).map(f => FollowFile(b, Some(f), "up",
+          l.version)) ++
+          l.del.getOrElse(b, Nil).map(f => FollowFile(b, Some(f), "del",
+            l.version)))
+      val all = base ++ layered
+      if (all.isEmpty) Seq(FollowFile(b, None, "base", -1L)) else all
+    }
     // diff on RAW manifest entries; resolve to absolute paths on emit
-    val rows: Seq[(Int, Option[String])] = (fromM match {
+    val rows: Seq[FollowFile] = (fromM match {
       case None =>
         // full refresh: every bucket is replaced — tombstone the empty
         // ones so the consumer's stale buckets clear under the same
         // replace-contract (no special case)
-        val live = cur.keySet
-        cur.toSeq.flatMap { case (b, fs) => fs.map(f => b -> Option(f)) } ++
-          (0 until t.nBuckets).filterNot(live).map(b => b -> None)
+        (0 until t.nBuckets).flatMap(bucketRows)
       case Some(bm) =>
         val before = bm.files
-        val changed = cur.collect {
-          case (b, fs) if before.get(b) != Some(fs) => b }.toSeq
+        // layer-aware: merge-on-read commits change a bucket's rows
+        // without touching base files — buckets touched by a layer not
+        // common to both endpoints are changed too
+        val commonLayers = bm.layers.map(_.version).toSet
+          .intersect(toM.layers.map(_.version).toSet)
+        val layerTouched = (bm.layers ++ toM.layers)
+          .filterNot(l => commonLayers.contains(l.version))
+          .flatMap(l => l.ups.keySet ++ l.del.keySet).toSet
+        val changed = (cur.collect {
+          case (b, fs) if before.get(b) != Some(fs) => b }.toSet ++
+          layerTouched).toSeq
         val gone = (before.keySet -- cur.keySet).toSeq
-        changed.flatMap(b => cur(b).map(f => b -> Option(f))) ++
-          gone.map(b => b -> None)
-    }).map { case (b, f) => b -> f.map(t.resolved) }
+          .filterNot(changed.contains)
+        changed.flatMap(bucketRows) ++
+          gone.map(b => FollowFile(b, None, "base", -1L))
+    }).map(r => r.copy(file = r.file.map(t.resolved)))
     if (rows.isEmpty && fromM.exists(bm =>
         toM.schemaDdl == bm.schemaDdl &&
           toM.columnMapping == bm.columnMapping))
@@ -199,7 +231,7 @@ final class GraftFollowStream(root: String,
       // only commit): skip the batch entirely
       Array.empty
     else
-      Array(GraftFollowPartition(to, rows.sortBy(_._1),
+      Array(GraftFollowPartition(to, rows.sortBy(_.bucket),
         toM.schemaDdl,
         GraftFollowSource.mappingToJson(toM.columnMapping)))
   }
@@ -208,11 +240,16 @@ final class GraftFollowStream(root: String,
     new GraftFollowReaderFactory
 }
 
+/** One file (or tombstone) of one replaced bucket: `kind` ∈ base | up |
+  * del, `layerV` orders the merge-on-read fold (-1 for base). */
+final case class FollowFile(bucket: Int, file: Option[String],
+    kind: String, layerV: Long)
+
 /** The whole diff rides one partition: it is metadata-scale (file names
   * + bucket ids + one schema/mapping control payload), and followers
   * consume it on the driver anyway. */
 final case class GraftFollowPartition(version: Long,
-    rows: Seq[(Int, Option[String])], schemaDdl: String,
+    rows: Seq[FollowFile], schemaDdl: String,
     mappingJson: String) extends InputPartition
 
 final class GraftFollowReaderFactory extends PartitionReaderFactory {
@@ -224,11 +261,11 @@ final class GraftFollowReaderFactory extends PartitionReaderFactory {
       private val it = Iterator.single(
         InternalRow(p.version, -1, null, false,
           UTF8String.fromString(p.schemaDdl),
-          UTF8String.fromString(p.mappingJson))) ++
-        p.rows.iterator.map { case (bucket, file) =>
-          InternalRow(p.version, bucket,
-            file.map(UTF8String.fromString).orNull, file.isEmpty,
-            null, null)
+          UTF8String.fromString(p.mappingJson), null, -1L)) ++
+        p.rows.iterator.map { r =>
+          InternalRow(p.version, r.bucket,
+            r.file.map(UTF8String.fromString).orNull, r.file.isEmpty,
+            null, null, UTF8String.fromString(r.kind), r.layerV)
         }
       private var cur: InternalRow = _
       override def next(): Boolean = {
@@ -263,7 +300,8 @@ object GraftFollower {
   def applyBatch(batch: DataFrame, target: GraftTable): Unit = {
     val spark = batch.sparkSession
     val meta = batch
-      .select("_bucket", "file", "schema_ddl", "mapping_json").collect()
+      .select("_bucket", "file", "schema_ddl", "mapping_json", "kind",
+        "layer_v").collect()
     if (meta.isEmpty) return
     val ctrl = meta.find(_.getInt(0) == -1)
     val leaderDdl = ctrl.map(_.getString(2)).filter(_ != null).getOrElse("")
@@ -274,9 +312,15 @@ object GraftFollower {
     val data = meta.filter(_.getInt(0) >= 0)
     if (data.isEmpty) return
     val buckets = data.map(_.getInt(0)).distinct.toSeq
-    val files = data.filter(!_.isNullAt(1)).map(_.getString(1)).toSeq
+    def kindOf(r: org.apache.spark.sql.Row): String =
+      if (r.isNullAt(4)) "base" else r.getString(4)
+    def filesOf(k: String => Boolean): Seq[(Long, Seq[String])] = data
+      .filter(r => !r.isNullAt(1) && k(kindOf(r)))
+      .groupBy(_.getLong(5)).toSeq.sortBy(_._1)
+      .map { case (lv, rs) => lv -> rs.map(_.getString(1)).toSeq }
+    val baseFiles = filesOf(_ == "base").flatMap(_._2)
     val rows =
-      if (files.isEmpty) {
+      if (baseFiles.isEmpty && !data.exists(r => kindOf(r) != "base")) {
         // tombstone-only batch on a follower with no schema yet (fresh
         // follower of an empty/truncated leader): nothing to clear, and
         // a StructType(Nil) frame cannot resolve the bucket key columns
@@ -284,8 +328,50 @@ object GraftFollower {
         if (schema.isEmpty) return
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      } else readLeaderFiles(spark, files, leaderDdl, leaderMapping)
+      } else {
+        val base = readLeaderFiles(spark, baseFiles, leaderDdl,
+          leaderMapping)
+        // merge-on-read leader: fold the shipped layers over the base —
+        // the same keyed LWW the leader's own reads apply (highest
+        // touching layer wins; delete-marker winners stay gone)
+        foldLayers(spark, base,
+          filesOf(_ == "up").map { case (lv, fs) => (lv, fs, false) } ++
+            filesOf(_ == "del").map { case (lv, fs) => (lv, fs, true) },
+          leaderDdl, leaderMapping, target)
+      }
     target.replaceBuckets(buckets, rows)
+  }
+
+  /** Keyed layered-LWW fold (the follower-side mirror of the leader's
+    * layer application): among all layer rows touching a key, the one
+    * from the highest layer wins; upsert winners replace, delete
+    * winners remove. Delete files are KEY-ONLY parquet. */
+  private def foldLayers(spark: SparkSession, base: DataFrame,
+      layers: Seq[(Long, Seq[String], Boolean)], leaderDdl: String,
+      mapping: Map[String, String], target: GraftTable): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (layers.isEmpty) return base
+    val keyCols = target.keyCols
+    val keyDdl =
+      if (leaderDdl.isEmpty) ""
+      else StructType(StructType.fromDDL(leaderDdl)
+        .fields.filter(f => keyCols.contains(f.name))).toDDL
+    val tagged = layers.filter(_._2.nonEmpty).map { case (lv, fs, isDel) =>
+      readLeaderFiles(spark, fs, if (isDel) keyDdl else leaderDdl,
+        mapping)
+        .withColumn("_lv", lit(lv))
+        .withColumn("_alive", lit(!isDel))
+    }
+    if (tagged.isEmpty) return base
+    val all = tagged.reduce(_.unionByName(_, allowMissingColumns = true))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("_lv").desc)
+    val winners = all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("_alive"))
+      .drop("_lv", "_alive", "_rn")
+    val touched = all.select(keyCols.map(col): _*).distinct()
+    base.join(broadcast(touched), keyCols, "left_anti")
+      .unionByName(winners, allowMissingColumns = true)
   }
 
   /** Read leader data files (PHYSICAL column names on disk) and surface

@@ -249,7 +249,8 @@ class IncrementalIndexSpec extends SparkSpec {
   }
 
   test("maintain compacts sync-accumulated files; data identical") {
-    val postings = IncrementalIndex.postingsTable(tmp("ii-post3"), 4)
+    val postings = IncrementalIndex.postingsTable(tmp("ii-post3"), 4,
+      morMinAffectedBytes = 0L)
     val docs = IncrementalIndex.docTable(tmp("ii-docs3"), 2)
     val stats = IncrementalIndex.statsTable(tmp("ii-stats3"))
     var state = Map.empty[Long, String]
@@ -268,23 +269,28 @@ class IncrementalIndexSpec extends SparkSpec {
         changes, "doc_id", "toks", f"$i%016x/0")
       state = next
     }
-    // merges copy-on-write whole buckets: live reads stay one file per
-    // bucket, but six syncs leave five generations of DEAD files on
-    // disk until vacuum reclaims them
+    // the postings table is merge-on-read: syncs pile up LIVE delta
+    // layers (plus retired snapshots' files) until maintenance collapses
+    // them back to one clean base and vacuum reclaims the rest
     def diskFiles(t: graft.sinks.GraftTable): Int = {
       val root = java.nio.file.Paths.get(t.root)
       val s = java.nio.file.Files.walk(root)
       try s.filter(p => p.toString.endsWith(".parquet")).count().toInt
       finally s.close()
     }
-    val live = postings.read(spark).inputFiles.length
+    assert(postings.readManifest(postings.currentVersion.get)
+      .layers.nonEmpty, "syncs must have accumulated delta layers")
     val diskBefore = diskFiles(postings)
-    assert(diskBefore > live,
-      s"dead generations expected on disk: $diskBefore vs live $live")
+    val baseBuckets = postings.readManifest(postings.currentVersion.get)
+      .files.size
+    assert(diskBefore > baseBuckets,
+      s"layer files expected on disk: $diskBefore vs $baseBuckets buckets")
     val rowsBefore = postings.read(spark)
       .orderBy("term", "id").collect().toSeq
     IncrementalIndex.maintain(spark, postings, docs, stats,
       maxFilesPerBucket = 1, keepVersions = 1)
+    assert(postings.readManifest(postings.currentVersion.get)
+      .layers.isEmpty, "maintenance must collapse the layers")
     val diskAfter = diskFiles(postings)
     assert(diskAfter < diskBefore,
       s"vacuum must reclaim dead files: $diskBefore -> $diskAfter")

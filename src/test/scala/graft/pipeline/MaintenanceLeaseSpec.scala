@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.core.{ColumnSpec, SchemaRegistry, TableSchemaV}
+import graft.sinks.{CurrentStateSink, GraftTable, MaintenancePolicy}
+import graft.sources.CdcLogSource
+import org.apache.spark.sql.DataFrame
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Maintenance-lease coordination (round-9 verdict item 7): the
+  * data-plane core of the reference's external-maintenance coordination
+  * (crates/etl-maintenance/src/coordination.rs — cross-instance
+  * maintenance serialized through a shared store, live pipeline paused
+  * around it) without the k8s parts: an expiring lease file per table,
+  * the in-process MaintenancePolicy timer skipping its turn under a
+  * foreign lease, the apply path pausing at its quiesce point, and an
+  * external compact/vacuum loop running CONCURRENTLY with a live
+  * CurrentStateSink stream with zero failed commits. */
+class MaintenanceLeaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  test("lease mechanics: exclusive acquire, renewal, expiry break, release") {
+    val t = new GraftTable(tmp("lease"), Seq("id"), nBuckets = 2)
+    assert(t.maintenanceLeaseHolder.isEmpty)
+    assert(t.tryAcquireMaintenanceLease("a", ttlMs = 60000))
+    assert(t.maintenanceLeaseHolder.exists(_._1 == "a"))
+    // a second owner cannot take a live lease
+    assert(!t.tryAcquireMaintenanceLease("b", ttlMs = 60000))
+    // the holder renews (expiry moves forward)
+    val exp1 = t.maintenanceLeaseHolder.get._2
+    Thread.sleep(5)
+    assert(t.tryAcquireMaintenanceLease("a", ttlMs = 60000))
+    assert(t.maintenanceLeaseHolder.get._2 >= exp1)
+    // a foreign release is a no-op; the holder's release frees it
+    t.releaseMaintenanceLease("b")
+    assert(t.maintenanceLeaseHolder.exists(_._1 == "a"))
+    t.releaseMaintenanceLease("a")
+    assert(t.maintenanceLeaseHolder.isEmpty)
+    // an EXPIRED lease is broken by the next acquirer
+    assert(t.tryAcquireMaintenanceLease("stale", ttlMs = 1))
+    Thread.sleep(10)
+    assert(t.maintenanceLeaseHolder.isEmpty, "ttl must lapse")
+    assert(t.tryAcquireMaintenanceLease("c", ttlMs = 60000))
+    assert(t.maintenanceLeaseHolder.exists(_._1 == "c"))
+    t.releaseMaintenanceLease("c")
+  }
+
+  test("apply path pauses at the quiesce point while a foreign lease is " +
+      "held and resumes on expiry") {
+    val dir = tmp("lease-pause")
+    val sink = new CurrentStateSink(s"$dir/tables", _ => Seq("id"), 4)
+    // seed the table so the lease has something to attach to
+    sink.writeEvents("users", Seq((1L, "a", "I", 1L, 0L))
+      .toDF("id", "v", "_op", "_commit_lsn", "_tx_ordinal"))
+    val t = new GraftTable(s"$dir/tables/users", Seq("id"), 4)
+    assert(t.tryAcquireMaintenanceLease("external", ttlMs = 700))
+    val t0 = System.currentTimeMillis()
+    // the merge must WAIT out the foreign lease, then apply normally
+    sink.writeEvents("users", Seq((1L, "b", "U", 2L, 0L))
+      .toDF("id", "v", "_op", "_commit_lsn", "_tx_ordinal"))
+    val waited = System.currentTimeMillis() - t0
+    assert(waited >= 500, s"apply should have paused (~700ms ttl), " +
+      s"waited only ${waited}ms")
+    assert(sink.read(spark, "users").select("v").as[String].collect()
+      .toSeq == Seq("b"))
+  }
+
+  private val usersSchema = TableSchemaV(1L, "users", 0L, IndexedSeq(
+    ColumnSpec("id", "int8", nullable = false, pkOrdinal = 1),
+    ColumnSpec("name", "text"),
+    ColumnSpec("age", "int4")))
+
+  private def appendLog(path: String, lines: Seq[String]): Unit =
+    Files.write(Paths.get(path),
+      (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+
+  private def ins(lsn: Long, ord: Long, id: Long, name: String, age: Int) =
+    CdcLogSource.renderLine("I", 1L, lsn, lsn, ord, 0L, None,
+      Some(s"""{"id":$id,"name":"$name","age":$age}"""))
+  private def upd(lsn: Long, ord: Long, id: Long, name: String, age: Int) =
+    CdcLogSource.renderLine("U", 1L, lsn, lsn, ord, 0L,
+      Some(s"""{"id":$id}"""),
+      Some(s"""{"id":$id,"name":"$name","age":$age}"""))
+
+  test("external compact/vacuum loop runs concurrently with a live " +
+      "stream under the lease: zero failed commits, converged state") {
+    val dir = tmp("lease-e2e")
+    val log = s"$dir/wal.log"
+    appendLog(log, (1L to 20L).map(i => ins(i, 0, i, s"u$i", 20)))
+    // in-process policy ACTIVE too: both maintainers contend for the lease
+    val sink = new CurrentStateSink(s"$dir/tables", _ => Seq("id"), 4,
+      maintenance = MaintenancePolicy(everyBatches = 3,
+        maxFilesPerBucket = 2, keepVersions = 3))
+    val registry = new SchemaRegistry
+    registry.put(usersSchema)
+    val pipeline = new CdcPipeline(spark,
+      PipelineConfig(maxRowsPerTrigger = 4, maxFillMs = 50,
+        checkpointDir = s"$dir/ckpt", stateDir = s"$dir/state"),
+      registry, sink, (df: DataFrame, s: TableSchemaV) =>
+        CdcPipeline.jsonDecode(df, s))
+    pipeline.stateStore.force(1L, TableState.Ready)
+
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val maintRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var streaming = true
+    val ext = new Thread(() => {
+      val t = new GraftTable(s"$dir/tables/users", Seq("id"), 4)
+      while (streaming) {
+        try {
+          if (t.exists && t.runMaintenanceUnderLease("external-maint",
+              ttlMs = 5000, graceMs = 30) {
+                t.compact(spark, maxFiles = 1)
+                t.vacuum(keep = 2)
+              }) maintRuns.incrementAndGet()
+        } catch { case e: Throwable => errors.add(e) }
+        Thread.sleep(60)
+      }
+    }, "external-maintenance")
+    ext.setDaemon(true)
+
+    val q = pipeline.startStream(log)
+    try {
+      q.processAllAvailable() // bootstrap before maintenance contends
+      ext.start()
+      // live churn: interleave appended commits with maintenance loops
+      (1 to 6).foreach { round =>
+        appendLog(log, (1L to 10L).map(i =>
+          upd(100L * round + i, 0, i, s"u$i-r$round", 20 + round)))
+        q.processAllAvailable()
+        Thread.sleep(80) // give the external loop a window to win the lease
+      }
+    } finally {
+      streaming = false
+      q.stop()
+      ext.join(5000)
+    }
+    assert(errors.isEmpty,
+      s"maintenance/apply raced into failures: ${errors.toArray.toSeq}")
+    assert(maintRuns.get() >= 1,
+      "the external loop never won the lease — the test proved nothing")
+    // converged: every key carries its LAST update
+    val got = sink.read(spark, "users").select("id", "name")
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 20)
+    (1L to 10L).foreach(i => assert(got(i) == s"u$i-r6", s"key $i: ${got(i)}"))
+    (11L to 20L).foreach(i => assert(got(i) == s"u$i"))
+    // and the lease is free afterwards
+    val t = new GraftTable(s"$dir/tables/users", Seq("id"), 4)
+    assert(t.maintenanceLeaseHolder.isEmpty)
+  }
+}

@@ -52,7 +52,7 @@ class GraftTableSpec extends SparkSpec {
       " reads fold, collapse is data-identical") {
     val cow = new GraftTable(tmp(), Seq("id"), nBuckets = 4)
     val mor = new GraftTable(tmp(), Seq("id"), nBuckets = 4,
-      mergeOnRead = true)
+      mergeOnRead = true, morMinAffectedBytes = 0L)
     def state(t: GraftTable) =
       t.read(spark).as[(Long, String)].collect().toSet
     Seq(cow, mor).foreach { t =>
@@ -92,7 +92,7 @@ class GraftTableSpec extends SparkSpec {
 
   test("merge-on-read: layer cap triggers collapse, chain stays bounded") {
     val mor = new GraftTable(tmp(), Seq("id"), nBuckets = 2,
-      mergeOnRead = true)
+      mergeOnRead = true, morMinAffectedBytes = 0L)
     mor.overwrite((1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"))
     // MorMaxLayers small deltas then one more: chain must stay bounded
     (1 to GraftTable.MorMaxLayers + 2).foreach { i =>
@@ -242,9 +242,14 @@ class GraftTableSpec extends SparkSpec {
       b -> (fs :+ java.nio.file.Paths.get(t.root).relativize(clone).toString)
     }
     t.commitManifest(t.Manifest(m0.version + 1, m0.highWater, fragged))
-    // crashed-stage leftover for vacuum to reclaim
+    // crashed-stage leftover for vacuum to reclaim — BACKDATED past the
+    // orphan-sweep age gate (a fresh stage dir may belong to an
+    // in-flight writer racing a cross-process vacuum and must survive)
     val stale = java.nio.file.Paths.get(t.root, ".stage-dead")
     java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - GraftTable.OrphanSweepMinAgeMs - 1000))
     val before = t.read(spark).as[(Long, String)].collect().toSet
     val nRowsBefore = t.read(spark).count() // incl. duplicated clone rows
     val compacted = t.compact(spark, maxFiles = 1)
@@ -459,6 +464,61 @@ class GraftTableSpec extends SparkSpec {
     assert(rows == Set(
       (1L, "a", "update_preimage"),
       (1L, "a2", "update_postimage")), rows)
+  }
+
+  test("rowChangesSince: layer-aware CDF over merge-on-read transitions") {
+    val t = new GraftTable(tmp(), Seq("id"), nBuckets = 4,
+      retainVersions = 20, mergeOnRead = true, morMinAffectedBytes = 0L)
+    t.overwrite((1L to 40L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val v0 = t.currentVersion.get
+    // layered merge (base files untouched): the CDF must produce the
+    // EXACT delta rows, incrementally (no fullRefresh)
+    t.merge(batch((1L, "v1b", "U", 10L), (100L, "new", "I", 10L),
+      (2L, "", "D", 10L)))
+    val v1 = t.currentVersion.get
+    assert(t.readManifest(v1).layers.nonEmpty, "precondition: layered")
+    assert(t.readManifest(v1).files == t.readManifest(v0).files,
+      "precondition: base files untouched by the MoR merge")
+    val c = t.rowChangesBetween(spark, v0, v1)
+    assert(!c.fullRefresh, "layer-only transition must stay incremental")
+    val got = c.rows.select("id", "v", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set(
+      (1L, "v1", "update_preimage"), (1L, "v1b", "update_postimage"),
+      (100L, "new", "insert"), (2L, "v2", "delete")), got)
+    // the diff reads only the touched buckets, never the table
+    val allFiles = t.readManifest(v1).allFiles.size +
+      t.readManifest(v0).files.valuesIterator.flatten.size
+    assert(c.rows.inputFiles.length < allFiles,
+      s"layer diff must be bucket-pruned: read ${c.rows.inputFiles.length}" +
+        s" of $allFiles")
+    // a second layered merge stacks another layer; the (v1, v2] window
+    // sees only ITS delta
+    t.merge(batch((3L, "v3b", "U", 11L)))
+    val v2 = t.currentVersion.get
+    val c2 = t.rowChangesBetween(spark, v1, v2)
+    assert(c2.rows.select("id", "v", "_change_type")
+      .as[(Long, String, String)].collect().toSet == Set(
+      (3L, "v3", "update_preimage"), (3L, "v3b", "update_postimage")))
+    // the composite window (v0, v2] composes both deltas
+    val cAll = t.rowChangesBetween(spark, v0, v2).rows
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(cAll == Set((1L, "update_preimage"), (1L, "update_postimage"),
+      (100L, "insert"), (2L, "delete"),
+      (3L, "update_preimage"), (3L, "update_postimage")), cAll)
+    // maintenance transitions (collapse rewrites EVERY bucket) emit an
+    // EMPTY incremental feed, not a full-table diff or refresh
+    t.collapseLayers(spark)
+    val v3 = t.currentVersion.get
+    assert(t.readManifest(v3).sameData)
+    val cm = t.rowChangesBetween(spark, v2, v3)
+    assert(!cm.fullRefresh && cm.rows.isEmpty)
+    assert(cm.rows.inputFiles.isEmpty, "maintenance feed must read nothing")
+    // and a window SPANNING the collapse still yields the exact deltas
+    val span = t.rowChangesBetween(spark, v1, v3).rows
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(span == Set((3L, "update_preimage"), (3L, "update_postimage")),
+      span)
   }
 
   test("manifest commits are snapshot-atomic: time travel + vacuum expiry") {

@@ -67,7 +67,7 @@ class MorDifferentialSpec extends SparkSpec {
       val rnd = new Random(seed)
       val cow = new GraftTable(tmp(), Seq("id"), nBuckets = 4)
       val mor = new GraftTable(tmp(), Seq("id"), nBuckets = 4,
-        mergeOnRead = true)
+        mergeOnRead = true, morMinAffectedBytes = 0L)
       val initN = if (seed == 7) 3L else 60L
       val init = (0L until initN).map(i => (i, s"v0-$i")).toDF("id", "v")
       cow.overwrite(init); mor.overwrite(init)
@@ -146,7 +146,7 @@ class MorDifferentialSpec extends SparkSpec {
       "(collapse-then-merge) with identical results") {
     val cow = new GraftTable(tmp(), Seq("id"), nBuckets = 4)
     val mor = new GraftTable(tmp(), Seq("id"), nBuckets = 4,
-      mergeOnRead = true)
+      mergeOnRead = true, morMinAffectedBytes = 0L)
     val init = (0L until 50L).map(i => (i, s"v$i")).toDF("id", "v")
     cow.overwrite(init); mor.overwrite(init)
     // a small merge first so the MoR table holds a layer
@@ -192,7 +192,7 @@ class MorDifferentialSpec extends SparkSpec {
     val kOut = keys(otherBucket).head
     val cow = new GraftTable(tmp(), Seq("id"), nBuckets = n)
     val mor = new GraftTable(tmp(), Seq("id"), nBuckets = n,
-      mergeOnRead = true)
+      mergeOnRead = true, morMinAffectedBytes = 0L)
     val init = initKeys.map(i => (i, s"v$i")).toDF("id", "v")
     cow.overwrite(init); mor.overwrite(init)
     // batch 1: delete of kOut (empty bucket → delete-layer-only bucket

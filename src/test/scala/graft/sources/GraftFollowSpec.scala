@@ -58,6 +58,36 @@ class GraftFollowSpec extends SparkSpec {
     assert(contents(follower).isEmpty)
   }
 
+  test("follower converges on a MERGE-ON-READ leader (layered commits, " +
+      "collapse, maintenance)") {
+    val dir = tmp("follow-mor")
+    val leader = new GraftTable(s"$dir/leader", Seq("id"), nBuckets = 8,
+      retainVersions = 10, mergeOnRead = true, morMinAffectedBytes = 0L)
+    val follower = new GraftTable(s"$dir/follower", Seq("id"), nBuckets = 8)
+    val ckpt = s"$dir/ckpt"
+    leader.overwrite((1L to 30L).map(i => (i, s"v$i")).toDF("id", "v"))
+    runOnePass(s"$dir/leader", follower, ckpt)
+    assert(contents(follower) == contents(leader))
+    // layered commits: upserts + deletes land as delta layers (base
+    // files untouched) — the follower must fold them
+    leader.merge(Seq((1L, "u1", "U", "0001"), (5L, "", "D", "0002"),
+      (40L, "n40", "I", "0003")).toDF("id", "v", "_op", "_seq"))
+    assert(leader.readManifest(leader.currentVersion.get).layers.nonEmpty,
+      "precondition: the merge must have committed as a layer")
+    runOnePass(s"$dir/leader", follower, ckpt)
+    assert(contents(follower) == contents(leader))
+    // a second layer stacks; delete-then-reinsert crosses layers
+    leader.merge(Seq((5L, "back5", "I", "0004"), (2L, "", "D", "0005"))
+      .toDF("id", "v", "_op", "_seq"))
+    runOnePass(s"$dir/leader", follower, ckpt)
+    assert(contents(follower) == contents(leader))
+    assert(contents(follower).contains((5L, "back5")))
+    // collapse + compact (maintenance) keep the follower identical
+    leader.compact(spark, maxFiles = 1)
+    runOnePass(s"$dir/leader", follower, ckpt)
+    assert(contents(follower) == contents(leader))
+  }
+
   test("fresh follower of an empty/truncated leader survives a tombstone-only batch") {
     val dir = tmp("follow-empty")
     val leader = new GraftTable(s"$dir/leader", Seq("id"), nBuckets = 4,

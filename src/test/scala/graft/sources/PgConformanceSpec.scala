@@ -85,7 +85,22 @@ class PgConformanceSpec extends AnyFunSuite {
       """{"tableId":16384,"table":"users","cols":[]}"""
         .getBytes(StandardCharsets.UTF_8).toVector),
     "logical_msg_foreign" -> LogicalMsg(transactional = false, 0x2223L,
-      "other_ext", "abc".getBytes(StandardCharsets.UTF_8).toVector))
+      "other_ext", "abc".getBytes(StandardCharsets.UTF_8).toVector),
+    // round-9 verdict item 6: the decoder's highest-branching cases
+    // (replication_message.rs:89-245 analogs)
+    "update_toast_multi" -> Update(16384, None, None,
+      t(TText("9"), TUnchangedToast, TUnchangedToast)),
+    "delete_full" -> Delete(16384, 'O',
+      t(TText("3"), TText("carol"), TText("hi"))),
+    "truncate_single" -> Truncate(0, IndexedSeq(16384)),
+    "truncate_cascade_restart" ->
+      Truncate(3, IndexedSeq(16384, 16385, 16386)),
+    "relation_widened" -> Relation(16384, "public", "users", 'f',
+      IndexedSeq(RelCol(1, "id", 23, -1), RelCol(0, "name", 25, -1),
+        RelCol(0, "bio", 25, -1), RelCol(0, "score", 701, -1))),
+    "insert_after_ddl" -> Insert(16384,
+      t(TText("7"), TText("gail"), TNull, TText("1.5"))),
+    "origin_empty" -> Origin(0x3333L, ""))
 
   test("every spec-assembled frame decodes to the exact expected message") {
     assert(frames.keySet == expected.keySet,
@@ -141,6 +156,57 @@ class PgConformanceSpec extends AnyFunSuite {
     val d = lines(3).split("\t", -1)
     assert(d(1) == "3" && d(2) == "D" && d(7) == "\\N")
     assert(PackedRow.parse(d(6)) == Vector(Some("1"), None, None))
+  }
+
+  test("session: mid-transaction Relation, multi-TOAST update and Origin " +
+      "frames decode through DecodeSession with exact schema re-versioning") {
+    val s = new DecodeSession()
+    val lines =
+      s.onFrame(frames("begin")) ++
+        s.onFrame(frames("origin")) ++      // origin inside the Begin bracket
+        s.onFrame(frames("relation")) ++
+        s.onFrame(frames("insert_text_null")) ++
+        s.onFrame(frames("update_toast_multi")) ++ // 3-col shape
+        s.onFrame(frames("relation_widened")) ++ // mid-tx ALTER TABLE shape
+        s.onFrame(frames("insert_after_ddl")) ++
+        s.onFrame(frames("commit"))
+    assert(lines.size == 5, s"expected R,I,U,R,I got:\n${lines.mkString("\n")}")
+    val lsn = 0x16B3748L.toString
+    // first R: 3-col schema
+    val r1 = lines(0).split("\t", -1)
+    assert(r1(2) == "R" && r1(7).contains(""""name":"bio"""") &&
+      !r1(7).contains("score"))
+    // multi-TOAST update with NO old tuple: every unchanged-toast
+    // column lands in the missing mask, no before-image
+    val u = lines(2).split("\t", -1)
+    assert(u(2) == "U" && u(6) == "\\N" && u(8) == "name,bio",
+      s"update line: ${lines(2)}")
+    assert(PackedRow.parse(u(7)) == Vector(Some("9"), None, None))
+    // mid-tx R re-versions the SAME relid with the widened schema at the
+    // same tx LSN, later ordinal
+    val r2 = lines(3).split("\t", -1)
+    assert(r2(2) == "R" && r2(3) == "16384" && r2(0) == lsn &&
+      r2(1).toLong > r1(1).toLong &&
+      r2(7).contains(""""name":"score"""), s"widened R: ${lines(3)}")
+    // post-DDL insert decodes under the widened 4-col shape
+    val i2 = lines(4).split("\t", -1)
+    assert(i2(2) == "I" && PackedRow.parse(i2(7)) ==
+      Vector(Some("7"), Some("gail"), None, Some("1.5")))
+  }
+
+  test("session: foreign-origin transactions drop data when " +
+      "dropForeignOrigins is set, but schema records still register") {
+    val s = new DecodeSession(dropForeignOrigins = true)
+    val lines =
+      s.onFrame(frames("begin")) ++
+        s.onFrame(frames("origin_empty")) ++
+        s.onFrame(frames("relation")) ++
+        s.onFrame(frames("insert_text_null")) ++
+        s.onFrame(frames("truncate")) ++
+        s.onFrame(frames("commit"))
+    // only the Relation record survives; inserts + truncate are dropped
+    assert(lines.size == 1 && lines(0).split("\t", -1)(2) == "R",
+      s"got:\n${lines.mkString("\n")}")
   }
 
   test("wire: recorded COPY-BOTH session through ReplicationSocketClient " +

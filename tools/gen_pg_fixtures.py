@@ -91,8 +91,38 @@ frame("update_no_old",
 frame("delete_key",
       b"D" + be32(16384) + b"K" +
       tuple_data(text_cell("1"), NULL_CELL, NULL_CELL))
+# Update where EVERY non-key new cell is unchanged-TOAST and there is no
+# old tuple — the widest missing-column mask the decoder can produce
+frame("update_toast_multi",
+      b"U" + be32(16384) +
+      b"N" + tuple_data(text_cell("9"), TOAST_CELL, TOAST_CELL))
+# Delete with a FULL old row (REPLICA IDENTITY FULL → 'O')
+frame("delete_full",
+      b"D" + be32(16384) + b"O" +
+      tuple_data(text_cell("3"), text_cell("carol"), text_cell("hi")))
 # Truncate: Int32 nrels, Int8 options (1=CASCADE|2=RESTART IDENTITY), relids
 frame("truncate", b"T" + be32(2) + u8(1) + be32(16384) + be32(16385))
+# single relation, no options
+frame("truncate_single", b"T" + be32(1) + u8(0) + be32(16384))
+# three relations, CASCADE + RESTART IDENTITY
+frame("truncate_cascade_restart",
+      b"T" + be32(3) + u8(3) + be32(16384) + be32(16385) + be32(16386))
+# Relation re-announcing relid 16384 WIDENED by one column (the frame a
+# mid-transaction ALTER TABLE produces) with REPLICA IDENTITY FULL
+REL_WIDE = (b"R" + be32(16384) + cstr("public") + cstr("users") +
+            u8(ord("f")) + be16(4) +
+            u8(1) + cstr("id") + be32(23) + be32(-1) +
+            u8(0) + cstr("name") + be32(25) + be32(-1) +
+            u8(0) + cstr("bio") + be32(25) + be32(-1) +
+            u8(0) + cstr("score") + be32(701) + be32(-1))
+frame("relation_widened", REL_WIDE)
+# insert in the POST-DDL 4-column shape
+frame("insert_after_ddl",
+      b"I" + be32(16384) + b"N" +
+      tuple_data(text_cell("7"), text_cell("gail"), NULL_CELL,
+                 text_cell("1.5")))
+# Origin with an empty name (legal: the name is just a cstring)
+frame("origin_empty", b"O" + be64(0x3333) + cstr(""))
 # Logical message: Int8 transactional, Int64 lsn, String prefix,
 #                  Int32 length, content
 DDL = b'{"tableId":16384,"table":"users","cols":[]}'
