@@ -245,6 +245,9 @@ object Replicator {
       sink.shutdown()
     } else query.awaitTermination()
     metrics.report(s"$work/metrics.json", Some(pipeline))
+    // telemetry export beside the JSON report: Prometheus exposition
+    // (the etl-telemetry metrics surface — scrape the file or serve it)
+    graft.pipeline.Telemetry.writePrometheus(s"$work/metrics.prom")
     metrics.detach()
     // no spark.stop(): under spark-submit the JVM exit stops the context;
     // under tests the session is shared with the harness

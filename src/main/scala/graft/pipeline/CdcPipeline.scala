@@ -490,12 +490,22 @@ final class CdcPipeline(
             // per-table quarantine, pipeline survives (ST8)
             stateStore.recordError(tableId, e.getMessage,
               RetryPolicy.TimedRetry())
+            Telemetry.counter(Telemetry.WorkerErrorsTotal,
+              "Apply failures (quarantined per ST8)").increment()
         } finally {
           val ms = (System.nanoTime() - applyT0) / 1000000L
           applyTimings.updateWith(tableId) {
             case Some((t, n)) => Some((t + ms, n + 1))
             case None         => Some((ms, 1L))
           }
+          // observability.rs parity: per-table apply duration +
+          // transaction count under the reference's metric names
+          Telemetry.histogram(Telemetry.TransactionDurationSeconds,
+            "Per-table apply duration per micro-batch")
+            .observe(ms / 1000.0, Seq("table" -> tableId.toString))
+          Telemetry.counter(Telemetry.TransactionsTotal,
+            "Applied table-batches").increment(1.0,
+            Seq("table" -> tableId.toString))
         }
         }
       }

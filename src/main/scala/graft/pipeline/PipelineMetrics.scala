@@ -43,6 +43,14 @@ final class PipelineMetrics(spark: SparkSession,
           totalMs += dur
           if (dur > maxMs) maxMs = dur
         }
+        // reference-named counters (observability.rs) so dashboards
+        // written for the reference read unchanged
+        Telemetry.counter(Telemetry.EventsReceivedTotal,
+          "Events admitted into micro-batches")
+          .increment(p.numInputRows.toDouble)
+        Telemetry.counter(Telemetry.EventsProcessedTotal,
+          "Events through the apply path")
+          .increment(p.numInputRows.toDouble)
       }
     }
   }

@@ -208,9 +208,22 @@ final class CdcLogMicroBatchStream(path: String, maxRows: Option[Long],
   private def blockedNow(): Boolean =
     memoryBlocking && {
       val usage = CdcLogSource.memoryUsage()
+      val was = memBlocked
       if (memBlocked) {
         if (usage < CdcLogSource.MemoryLowWatermark) memBlocked = false
       } else if (usage >= CdcLogSource.MemoryHighWatermark) memBlocked = true
+      if (was != memBlocked) {
+        // observability.rs parity: backpressure gauge + transition count
+        graft.pipeline.Telemetry
+          .gauge(graft.pipeline.Telemetry.MemoryBackpressureActive,
+            "1 while blocking admission is active")
+          .set(if (memBlocked) 1.0 else 0.0)
+        graft.pipeline.Telemetry
+          .counter("etl_memory_backpressure_transitions_total",
+            "Blocking-admission activations and resumes")
+          .increment(1.0, Seq("direction" ->
+            (if (memBlocked) "activate" else "resume")))
+      }
       memBlocked
     }
 

@@ -209,6 +209,86 @@ class PgConformanceSpec extends AnyFunSuite {
       s"got:\n${lines.mkString("\n")}")
   }
 
+  test("wire: TOAST/DDL-heavy recorded session (origin, mid-tx Relation, " +
+      "multi-TOAST update, truncate) spools the exact envelope log") {
+    val dir = Files.createTempDirectory("pg-conformance2").toString
+    val log = s"$dir/wal.log"
+    val server = new ServerSocket(0)
+    val replay = new Thread(() => {
+      val sock = server.accept()
+      sock.setTcpNoDelay(true)
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val slen = in.readInt()
+      val sbuf = new Array[Byte](slen - 4); in.readFully(sbuf)
+      out.write(session("auth")); out.flush()
+      var open = true
+      var step = 0
+      while (open && step < 10) {
+        val t = try in.readByte().toChar
+                catch { case _: Throwable => open = false; ' ' }
+        if (open) {
+          val len = in.readInt()
+          val payload = new Array[Byte](len - 4); in.readFully(payload)
+          t match {
+            case 'Q' =>
+              val sql = new String(payload, 0, payload.length - 1,
+                StandardCharsets.UTF_8)
+              if (sql.startsWith("SHOW")) out.write(session("show"))
+              else if (sql.startsWith("START_REPLICATION"))
+                out.write(session("stream2"))
+              out.flush()
+              step += 1
+            case 'X' => open = false
+            case _ => ()
+          }
+        }
+      }
+      try sock.close() catch { case _: Throwable => () }
+    }, "pg-replay-server-2")
+    replay.setDaemon(true)
+    replay.start()
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot2", "conf_pub2", log,
+      flushLsn = () => 0x3008L)
+    try {
+      val t0 = System.currentTimeMillis()
+      client.start()
+      // 9 XLogData frames (B,O,R,I,U,R',I,T,C) + 1 keepalive
+      while ((client.framesReceived.get() < 9 ||
+        client.keepalivesReceived.get() < 1) &&
+        System.currentTimeMillis() - t0 < 15000) Thread.sleep(20)
+      assert(client.framesReceived.get() == 9)
+      assert(client.keepalivesReceived.get() == 1)
+      assert(client.lastError.isEmpty, s"client error: ${client.lastError}")
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+    val lines = new String(Files.readAllBytes(Paths.get(log)),
+      StandardCharsets.UTF_8).split("\n").toSeq
+    // R(3col), I, U(multi-TOAST), R(widened), I(4col), T — the Origin
+    // frame produces no envelope line
+    assert(lines.size == 6, s"expected 6 envelope lines, got:\n$lines")
+    val l3 = 0x3000L.toString
+    val f = lines.map(_.split("\t", -1))
+    assert(f(0)(0) == l3 && f(0)(2) == "R" && f(0)(3) == "16384")
+    assert(!f(0)(7).contains("score"))
+    assert(f(1)(2) == "I" &&
+      PackedRow.parse(f(1)(7)) == Vector(Some("1"), Some("alice"), None))
+    // multi-TOAST update against the 3-col schema: full missing mask
+    assert(f(2)(2) == "U" && f(2)(8) == "name,bio" &&
+      PackedRow.parse(f(2)(7)) == Vector(Some("1"), None, None))
+    // mid-tx Relation re-versions the schema at the SAME commit LSN
+    assert(f(3)(2) == "R" && f(3)(0) == l3 &&
+      f(3)(7).contains(""""name":"score""""))
+    assert(f(3)(1).toLong > f(0)(1).toLong, "ordinal must advance")
+    // post-DDL insert decodes under the widened shape
+    assert(f(4)(2) == "I" && PackedRow.parse(f(4)(7)) ==
+      Vector(Some("7"), Some("gail"), None, Some("1.5")))
+    assert(f(5)(2) == "T" && f(5)(3) == "16384")
+  }
+
   test("wire: recorded COPY-BOTH session through ReplicationSocketClient " +
       "spools the expected envelope log") {
     val dir = Files.createTempDirectory("pg-conformance").toString

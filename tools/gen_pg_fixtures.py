@@ -180,7 +180,29 @@ tx2 = (xlogdata(T2 - 40, T2, b"B" + be64(T2) + be64(TS) + be32(901)) +
 stream = (backend(b"W", u8(0) + be16(0)) + tx1 + tx2 +
           keepalive(T2 + 8, True))
 
-session = [("auth", auth), ("show", show), ("stream", stream)]
+# second recorded stream: the decoder's high-branching cases on the
+# wire — Origin inside the Begin bracket, a MID-TRANSACTION Relation
+# re-announcing the same relid widened by a column (the ALTER TABLE
+# shape), a post-DDL 4-column insert, and a multi-TOAST update
+T3 = 0x3000
+tx3 = (xlogdata(T3 - 64, T3, b"B" + be64(T3) + be64(TS) + be32(902)) +
+       xlogdata(T3 - 60, T3, b"O" + be64(0x2F00) + cstr("region_b")) +
+       xlogdata(T3 - 56, T3, REL) +
+       xlogdata(T3 - 48, T3, b"I" + be32(16384) + b"N" +
+                tuple_data(text_cell("1"), text_cell("alice"), NULL_CELL)) +
+       xlogdata(T3 - 40, T3, b"U" + be32(16384) + b"N" +
+                tuple_data(text_cell("1"), TOAST_CELL, TOAST_CELL)) +
+       xlogdata(T3 - 32, T3, REL_WIDE) +
+       xlogdata(T3 - 24, T3, b"I" + be32(16384) + b"N" +
+                tuple_data(text_cell("7"), text_cell("gail"), NULL_CELL,
+                           text_cell("1.5"))) +
+       xlogdata(T3 - 16, T3, b"T" + be32(1) + u8(0) + be32(16384)) +
+       xlogdata(T3 - 8, T3, b"C" + u8(0) + be64(T3) + be64(T3 + 8) + be64(TS)))
+stream2 = (backend(b"W", u8(0) + be16(0)) + tx3 +
+           keepalive(T3 + 8, True))
+
+session = [("auth", auth), ("show", show), ("stream", stream),
+           ("stream2", stream2)]
 
 # ------------------------------------------------------------------ write
 def dump(path, rows):
