@@ -334,8 +334,23 @@ final class GraftSqlTable(val table: GraftTable, fullName: String,
     pinnedVersion.map(v => table.schemaOf(v).getOrElse(new StructType()))
       .getOrElse(table.currentSchema.getOrElse(new StructType()))
 
-  private def liveFiles: Seq[String] =
+  private def liveFiles: Seq[String] = {
+    // the catalog plans RAW parquet scans over the manifest file list —
+    // that cannot express the merge-on-read layer fold (upserts would
+    // duplicate base rows, key-only delete files would read as data).
+    // Catalog-owned tables never grow layers (every catalog write path
+    // is copy-on-write), so this only trips for an externally
+    // maintained MoR table registered here — refuse loudly instead of
+    // returning silently wrong rows.
+    val layered = pinnedVersion
+      .map(v => table.readManifest(v).layers.nonEmpty)
+      .getOrElse(table.hasLayers)
+    if (layered) throw new IllegalStateException(
+      s"$fullName has merge-on-read delta layers: collapseLayers (or " +
+        "compact) before SQL-catalog scans, or query it through the " +
+        "graft_table('<root>') TVF, which folds layers")
     pinnedVersion.map(table.filesOf).getOrElse(table.currentFiles)
+  }
 
   /** Genuine renames (logical → physical) in force at this snapshot,
     * restricted to visible columns — empty for never-renamed tables, so
@@ -413,6 +428,13 @@ final class GraftSqlTable(val table: GraftTable, fullName: String,
     * partition-infer `_bucket` and would change the scan schema). */
   private def prunedScan(buckets: Seq[Int],
       options: CaseInsensitiveStringMap): Option[Scan] = {
+    // same raw-scan limitation as liveFiles: a layered snapshot cannot
+    // feed a row-level operation's replacement scan (replaceBuckets
+    // also refuses at the write side, but failing here keeps the error
+    // ahead of any rewrite work)
+    if (table.hasLayers) throw new IllegalStateException(
+      s"$fullName has merge-on-read delta layers: collapseLayers " +
+        "before SQL row-level operations")
     val byBucket = table.currentFilesByBucket
     val files = buckets.flatMap(byBucket.getOrElse(_, Nil))
     if (files.isEmpty) None

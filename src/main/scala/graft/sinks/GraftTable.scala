@@ -108,6 +108,12 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * absent, empty, or truncated tables) — a manifest-only check. */
   def hasData: Boolean = currentManifest().exists(_.allFiles.nonEmpty)
 
+  /** Whether the current snapshot carries merge-on-read delta layers —
+    * surfaces that plan raw file scans (the SQL catalog) must refuse or
+    * collapse first; folding readers ([[read]], [[lookup]],
+    * [[readForProbe]]) handle layers transparently. */
+  def hasLayers: Boolean = currentManifest().exists(_.layers.nonEmpty)
+
   // ------------------------------------------------------------------ meta
   /** Snapshot manifest: the live files per bucket + the replay high-water
     * in force at this version + the snapshot's unified Spark schema (DDL

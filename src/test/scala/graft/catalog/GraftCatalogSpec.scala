@@ -466,6 +466,43 @@ class GraftCatalogSpec extends SparkSpec {
       .as[String].collect().toSeq == Seq("z", "b2", "d"))
   }
 
+  test("layered merge-on-read tables refuse raw catalog scans; the TVF " +
+      "folds them; collapse restores SQL access") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.mor")
+    // build the table OUTSIDE the catalog with forced layers, then
+    // register it — the only way a catalog table can be layered (every
+    // catalog write path is copy-on-write)
+    val t = new GraftTable(s"$root/mor/t", Seq("id"), nBuckets = 4,
+      mergeOnRead = true, morMinAffectedBytes = 0L)
+    t.overwrite((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.merge(Seq((1L, "u1", "U"), (2L, "", "D"), (20L, "n", "I"))
+      .toDF("id", "v", "_op")
+      .withColumn("_seq", lit(f"${1L}%016x/${0L}%016x")))
+    assert(t.hasLayers, "precondition: layered")
+    // query the layered table through the catalog's DSv2 Table handle
+    // (the path `SELECT * FROM cat.mor.t` resolves to)
+    val sqlTable = new GraftSqlTable(t, "cat.mor.layered")
+    val boom = intercept[IllegalStateException](
+      sqlTable.newScanBuilder(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap())))
+    assert(boom.getMessage.contains("merge-on-read delta layers"))
+    // the TVF folds layers and serves the correct rows
+    graft.GraftExtensions.install(spark)
+    val viaTvf = spark.sql(
+      s"SELECT id, v FROM graft_table('${t.root}') ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(viaTvf.head == (1L, "u1") && !viaTvf.exists(_._1 == 2L) &&
+      viaTvf.last == (20L, "n"))
+    // collapse restores raw-scan access with identical contents
+    t.collapseLayers(spark)
+    assert(!t.hasLayers)
+    val builder = sqlTable.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+    assert(builder != null)
+  }
+
   test("CREATE TABLE with keys/buckets properties instead of a transform") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.props")
     spark.sql("""CREATE TABLE cat.props.t (a BIGINT, b BIGINT, v STRING)
