@@ -196,6 +196,77 @@ class IncrementalIndexSpec extends SparkSpec {
     pass(); check("replay no-op")
   }
 
+  test("applyFeedBatch tracks a MERGE-ON-READ leader: layered commits " +
+      "feed exact O(delta) CDF rows; maintenance collapse is a no-op") {
+    import graft.sinks.GraftTable
+    val dir = tmp("ii-feed-mor")
+    val root = s"$dir/leader"
+    val leader = new GraftTable(root, Seq("doc_id"), nBuckets = 4,
+      retainVersions = 10, mergeOnRead = true, morMinAffectedBytes = 0L)
+    val postings = IncrementalIndex.postingsTable(s"$dir/post", 8)
+    val dlens = IncrementalIndex.docTable(s"$dir/docs", 4)
+    val stats = IncrementalIndex.statsTable(s"$dir/stats")
+    val ckpt = s"$dir/ckpt"
+    def pass(): Unit = {
+      val q = spark.readStream.format("graft-row-follow")
+        .option("path", root).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          IncrementalIndex.applyFeedBatch(df, root, postings, dlens,
+            stats, "doc_id", "text")
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    def queries = Seq((50L, "data plans"), (51L, "spark catalyst"))
+      .toDF("q_id", "qtext")
+      .select(col("q_id"), TextFunctions.tokens(col("qtext")).as("q_toks"))
+    def check(label: String): Unit = {
+      val corpus = toksDf(leader.read(spark).select("doc_id", "text"))
+      val got = IncrementalIndex.bm25TopK(spark, postings, dlens, stats,
+          queries, "q_id", "q_toks", k = 5)
+        .orderBy("q_id", "rank")
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      val want = Retrieval.bm25TopK(corpus, "doc_id", "toks",
+          queries, "q_id", "q_toks", k = 5)
+        .orderBy("q_id", "rank")
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      assert(got == want, s"$label: index $got vs from-scratch $want")
+    }
+
+    leader.overwrite(Seq(
+      (1L, "spark shuffles data across partitions"),
+      (2L, "catalyst plans queries"),
+      (3L, "data skew hurts throughput")).toDF("doc_id", "text"))
+    pass(); check("bootstrap")
+
+    // layered commits: the merges land as delta layers (base untouched)
+    // and the row feed must still deliver the exact CDF per commit
+    leader.merge(Seq(
+        (2L, "catalyst rewrites plans with rules", "U",
+          "0000000000000010/0000000000000000"),
+        (3L, "", "D", "0000000000000011/0000000000000000"))
+      .toDF("doc_id", "text", "_op", "_seq"))
+    assert(leader.hasLayers, "precondition: merge must commit as a layer")
+    leader.merge(Seq((9L, "adaptive execution replans shuffles", "I",
+        "0000000000000012/0000000000000000"))
+      .toDF("doc_id", "text", "_op", "_seq"))
+    pass(); check("layered cdc deltas")
+
+    // a maintenance collapse mid-stream (sameData commit) must feed
+    // NOTHING — the index stays untouched and still matches
+    leader.collapseLayers(spark)
+    assert(!leader.hasLayers)
+    pass(); check("after collapse (empty feed)")
+
+    // and the next layered commit keeps flowing
+    leader.merge(Seq((1L, "spark shuffles fewer rows now", "U",
+        "0000000000000013/0000000000000000"))
+      .toDF("doc_id", "text", "_op", "_seq"))
+    pass(); check("post-collapse delta")
+  }
+
   test("applyFeedBatch: expired checkpoint resets and re-bootstraps " +
       "the index from the full-refresh feed") {
     import graft.sinks.GraftTable
