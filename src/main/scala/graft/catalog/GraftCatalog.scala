@@ -371,12 +371,12 @@ final class GraftSqlTable(val table: GraftTable, fullName: String,
       f.copy(name = mapping.getOrElse(f.name, f.name))))
 
   override def partitioning(): Array[Transform] =
-    Array(Expressions.bucket(table.nBuckets, table.keyCols: _*))
+    Array(Expressions.bucket(table.currentNBuckets, table.keyCols: _*))
 
   override def properties(): java.util.Map[String, String] = {
     val extra = table.statsCols.drop(1)
     (Map("keys" -> table.keyCols.mkString(","),
-      "buckets" -> table.nBuckets.toString,
+      "buckets" -> table.currentNBuckets.toString,
       "provider" -> "graft") ++
       (if (extra.isEmpty) Map.empty
        else Map("stats.cols" -> extra.mkString(",")))).asJava
@@ -653,11 +653,15 @@ object GraftSqlTable {
   private[catalog] final class GraftInsertWrite(table: GraftTable,
       writeSchema: StructType, overwrite: Boolean)
       extends Write with RequiresDistributionAndOrdering {
+    // pinned once at write-plan build so the declared distribution and
+    // the executor-side bucket router always agree — and post-rebucket
+    // inserts hash with the evolved count, not the creation-time one
+    private val writeBuckets = table.currentNBuckets
     override def requiredDistribution(): Distribution =
       Distributions.clustered(
         table.keyCols.map(k => XE.column(k): org.apache.spark.sql.connector
           .expressions.Expression).toArray)
-    override def requiredNumPartitions(): Int = table.nBuckets
+    override def requiredNumPartitions(): Int = writeBuckets
     override def requiredOrdering(): Array[V2SortOrder] =
       table.keyCols.map(k =>
         XE.sort(XE.column(k), SortDirection.ASCENDING)).toArray
@@ -693,7 +697,7 @@ object GraftSqlTable {
         c.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
           sqlConf.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
         new GraftInsertWriterFactory(table.root, table.keyCols,
-          table.nBuckets, writeSchema,
+          writeBuckets, writeSchema,
           new org.apache.spark.util.SerializableConfiguration(c))
       }
       override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -167,7 +167,15 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
         * for maintenance transitions instead of diffing rewritten
         * buckets (a collapse rewrites every bucket; diffing it would
         * read the whole table to produce zero change rows). */
-      sameData: Boolean = false) {
+      sameData: Boolean = false,
+      /** Bucket count in force AT THIS SNAPSHOT (None = the creation-time
+        * [[nBuckets]] from `_meta.json`). Set by [[rebucket]] and carried
+        * forward automatically on every commit ([[commitManifest]]), so
+        * the bucket layout is versioned like the column mapping: probes
+        * against a time-traveled snapshot hash with the count that
+        * snapshot's writer used — a probe hashed with the wrong count
+        * reads the wrong bucket and silently misses. */
+      nBucketsOverride: Option[Int] = None) {
     def allFiles: Seq[String] =
       (files.valuesIterator.flatten ++
         layers.iterator.flatMap(l =>
@@ -327,7 +335,8 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       (j \ "schema").extractOrElse[String](""),
       (j \ "committedAtMs").extractOrElse[Long](-1L),
       mapping, stats, layers,
-      (j \ "sameData").extractOrElse[Boolean](false))
+      (j \ "sameData").extractOrElse[Boolean](false),
+      (j \ "nBuckets").extractOpt[Int])
   }
 
   /** Current logical → physical column mapping (empty = no renames). */
@@ -369,9 +378,16 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     // previous snapshot's mapping forward unless the committer (only
     // renameColumn) set one explicitly
     val prev = currentManifest()
-    val m1 = if (m0.columnMapping.nonEmpty) m0
-             else m0.copy(columnMapping =
-               prev.map(_.columnMapping).getOrElse(Map.empty))
+    val m1a = if (m0.columnMapping.nonEmpty) m0
+              else m0.copy(columnMapping =
+                prev.map(_.columnMapping).getOrElse(Map.empty))
+    // the bucket count is table-lineage state too: only rebucket sets it
+    // explicitly; every other commit inherits the previous snapshot's —
+    // losing it would silently revert write/probe hashing to the
+    // creation-time count and misfile every subsequent row
+    val m1 = if (m1a.nBucketsOverride.nonEmpty) m1a
+             else m1a.copy(nBucketsOverride =
+               prev.flatMap(_.nBucketsOverride))
     // data skipping: harvest per-column [min,max] of the stats columns
     // from the footers of this commit's NEW files, carry live entries
     // forward, drop removed ones. Capped so a giant backfill commit
@@ -422,9 +438,11 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
           s""""$c":[$lo,$hi]""" }.mkString("{", ",", "}")}"""
       }.mkString(""","fileColStats":{""", ",", "}")
     val sameJson = if (m.sameData) s""","sameData":true""" else ""
+    val bucketsJson =
+      m.nBucketsOverride.map(n => s""","nBuckets":$n""").getOrElse("")
     val body =
       s"""{"version":${m.version},"highWater":"${m.highWater}",""" +
-        s""""committedAtMs":${System.currentTimeMillis()}$mappingJson$statsJson$layersJson$sameJson,""" +
+        s""""committedAtMs":${System.currentTimeMillis()}$mappingJson$statsJson$layersJson$sameJson$bucketsJson,""" +
         s""""schema":"$schemaJson","files":$filesJson}"""
     val tmp = manifestDir.resolve(s".v${m.version}-${java.util.UUID.randomUUID()}.json.tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -605,7 +623,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       lit(v).cast(types(c)) }
     val byCol = keyCols.zip(typedLits).toMap
     val bucket = spark.range(1)
-      .select(pmod(hash(bucketCols.map(byCol): _*), lit(nBuckets))
+      .select(pmod(hash(bucketCols.map(byCol): _*), lit(bucketsOf(Some(m))))
         .cast("int"))
       .head().getInt(0)
     // data skipping: inside the bucket, drop files whose leading-key
@@ -638,14 +656,25 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val m = currentManifest().getOrElse(return spark.emptyDataFrame)
     if (m.allFiles.isEmpty) return spark.emptyDataFrame
     val buckets = probe
-      .select(pmod(hash(bucketCols.map(col): _*), lit(nBuckets))
-        .cast("int").as("_b"))
+      .select(bucketExpr(bucketsOf(Some(m))).cast("int").as("_b"))
       .distinct().collect().map(_.getInt(0)).toIndexedSeq
     readBuckets(spark, m, buckets).drop("_bucket")
   }
 
   // ----------------------------------------------------------------- write
-  private def bucketExpr = pmod(hash(bucketCols.map(col): _*), lit(nBuckets))
+  /** Bucket count in force at snapshot `m` (creation-time [[nBuckets]]
+    * unless a [[rebucket]] override is recorded). */
+  private def bucketsOf(m: Option[Manifest]): Int =
+    m.flatMap(_.nBucketsOverride).getOrElse(nBuckets)
+
+  /** Bucket count of the CURRENT snapshot (staged group overlay
+    * included) — the value external writers (catalog INSERT, follow
+    * planner) must hash with; `nBuckets` itself is only the
+    * creation-time default. */
+  def currentNBuckets: Int = bucketsOf(effectiveManifest())
+
+  private def bucketExpr(n: Int) =
+    pmod(hash(bucketCols.map(col): _*), lit(n))
 
   /** Write `df` (already carrying _bucket) as immutable data files and
     * return bucket → new file paths. Files are staged by Spark, then moved
@@ -739,7 +768,8 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   /** Full (re)load — snapshot backfill path (drop_table_for_copy + copy,
     * reference table_sync). One snapshot commit; the replay mark resets. */
   def overwrite(df: DataFrame): Unit = {
-    val files = writeDataFiles(df.withColumn("_bucket", bucketExpr), nBuckets)
+    val n = currentNBuckets
+    val files = writeDataFiles(df.withColumn("_bucket", bucketExpr(n)), n)
     publish(Manifest(nextVersion, "", files,
       nextSchemaDdl(None, Map.empty, df.schema)))
   }
@@ -758,8 +788,9 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
           "collapseLayers before beginGroup to append")
       collapseLayers(df.sparkSession)
     }
-    val files = writeDataFiles(df.withColumn("_bucket", bucketExpr), nBuckets)
     val cur = effectiveManifest()
+    val n = bucketsOf(cur)
+    val files = writeDataFiles(df.withColumn("_bucket", bucketExpr(n)), n)
     val curFiles = cur.map(_.files).getOrElse(Map.empty)
     val merged = (curFiles.keySet ++ files.keySet).map(b =>
       b -> (curFiles.getOrElse(b, Nil) ++ files.getOrElse(b, Nil))).toMap
@@ -899,7 +930,13 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       val mapping =
         if (m.columnMapping.nonEmpty) m.columnMapping
         else effectiveManifest().map(_.columnMapping).getOrElse(Map.empty)
-      groupState = Some(m.copy(version = -2L, columnMapping = mapping))
+      // the bucket-count override must stay visible through the staged
+      // overlay too, or the group's SECOND write would hash with the
+      // stale creation-time count
+      val nOv = m.nBucketsOverride
+        .orElse(effectiveManifest().flatMap(_.nBucketsOverride))
+      groupState = Some(m.copy(version = -2L, columnMapping = mapping,
+        nBucketsOverride = nOv))
     case None    => commitManifest(m)
   }
 
@@ -949,7 +986,8 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     // Idempotent-replay guard: drop events at or below the high-water mark.
     val fresh0 = if (skipReplayFilter || hw.isEmpty) batch
                  else batch.filter(col("_seq") > lit(hw))
-    val fresh = fresh0.withColumn("_bucket", bucketExpr).cache()
+    val nB = bucketsOf(current)
+    val fresh = fresh0.withColumn("_bucket", bucketExpr(nB)).cache()
     try {
       // one job computes emptiness + high-water + affected buckets + size
       val stats = fresh.agg(max(col("_seq")).as("hw"),
@@ -981,7 +1019,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       if (existingBucketFiles.isEmpty) {
         val upserts = fresh.filter(col("_op") =!= "D").drop("_op", "_seq")
         val files = writeDataFiles(upserts,
-          math.min(nBuckets, math.max(1, buckets.size)))
+          math.min(nB, math.max(1, buckets.size)))
         val carried = current.map(_.files -- buckets).getOrElse(Map.empty)
         publish(Manifest(nextVersion, bumped(hw), carried ++ files,
           nextSchemaDdl(current, carried, upserts.schema),
@@ -996,7 +1034,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
         // write cost O(delta). Readers fold the layer ([[applyLayers]]).
         val m = current.get
         val upserts = fresh.filter(col("_op") =!= "D").drop("_op", "_seq")
-        val parts = math.min(nBuckets, math.max(1, buckets.size))
+        val parts = math.min(nB, math.max(1, buckets.size))
         val upFiles =
           if (batchRows - delRows == 0) Map.empty[Int, Seq[String]]
           else writeDataFiles(upserts, parts)
@@ -1045,7 +1083,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
           val merged = survivors.unionByName(upserts,
             allowMissingColumns = true)
           val newFiles = writeDataFiles(merged,
-            math.min(nBuckets, math.max(1, buckets.size)))
+            math.min(nB, math.max(1, buckets.size)))
           // untouched buckets carry over; affected buckets point at the new
           // files (a bucket whose rows were all deleted disappears)
           val carried = m.files -- buckets
@@ -1094,7 +1132,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val touched = m.layers
       .flatMap(l => l.ups.keySet ++ l.del.keySet).distinct.sorted
     val df = readSnapshot(spark, m, Some(touched)).drop("_bucket")
-      .withColumn("_bucket", bucketExpr)
+      .withColumn("_bucket", bucketExpr(bucketsOf(Some(m))))
     val newFiles = writeDataFiles(df, math.max(1, touched.size))
     // a touched bucket folding to zero rows yields no file and drops out.
     // version PINNED to the snapshot this rewrite was computed from —
@@ -1180,6 +1218,54 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     // version pinned to the snapshot read (see collapseLayers)
     commitManifest(Manifest(m.version + 1, m.highWater,
       (m.files -- buckets) ++ newFiles, m.schemaDdl, sameData = true))
+  }
+
+  /** BUCKET-COUNT evolution (the Iceberg partition-spec-evolution /
+    * Hudi-clustering analog for hash buckets): rewrite the table under a
+    * new bucket count and record it in the manifest, where it is
+    * versioned like the column mapping — every later write, probe, and
+    * point lookup hashes with the NEW count, while probes against
+    * retained pre-rebucket snapshots keep hashing with the count those
+    * snapshots were written under.
+    *
+    * Why this exists at 100 TB: the bucket count fixes the unit of
+    * copy-on-write rewrites AND of probe pruning. A table created small
+    * (32 buckets) that grows to tens of TB ends up with multi-hundred-GB
+    * buckets — every CDC merge rewrites GBs per touched key, and a point
+    * lookup scans 1/32 of the table. Rebucketing to (say) 8192 restores
+    * delta-scale rewrites and 1/8192-scale lookups. The rewrite itself
+    * is one full-table shuffle — the same cost as a compaction pass over
+    * everything — run rarely, ideally under the maintenance lease
+    * ([[runMaintenanceUnderLease]]) beside a live pipeline.
+    *
+    * Data-identical (`sameData`): the row CDF and follow feeds treat it
+    * as layout maintenance — a rebucket-only window feeds nothing.
+    * Merge-on-read layers are collapsed first (layer files are bucket-
+    * partitioned under the OLD count; carrying them across would fold
+    * deletes into the wrong buckets). Version-pinned like the other
+    * maintenance commits: a data commit landing mid-rewrite conflicts
+    * instead of being reverted. No-op when the count is unchanged. */
+  def rebucket(spark: SparkSession, newN: Int): Unit = {
+    require(groupState.isEmpty, "close the open group before rebucket")
+    require(newN >= 1, s"bucket count must be >= 1, got $newN")
+    collapseLayers(spark)
+    val m = currentManifest().getOrElse {
+      // empty table: nothing to rewrite — record the count for the
+      // first write via an empty snapshot
+      if (newN != nBuckets)
+        commitManifest(Manifest(nextVersion, "", Map.empty,
+          sameData = true, nBucketsOverride = Some(newN)))
+      return
+    }
+    if (bucketsOf(Some(m)) == newN) return
+    val occupied = m.files.filter(_._2.nonEmpty).keys.toSeq.sorted
+    val newFiles =
+      if (occupied.isEmpty) Map.empty[Int, Seq[String]]
+      else writeDataFiles(
+        readBuckets(spark, m, occupied).drop("_bucket")
+          .withColumn("_bucket", bucketExpr(newN)), newN)
+    commitManifest(Manifest(m.version + 1, m.highWater, newFiles,
+      m.schemaDdl, sameData = true, nBucketsOverride = Some(newN)))
   }
 
   // ----------------------------------------------------- maintenance lease
@@ -1540,7 +1626,8 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * snapshot commit. */
   def replaceAll(df: DataFrame): Unit = {
     val current = effectiveManifest()
-    val files = writeDataFiles(df.withColumn("_bucket", bucketExpr), nBuckets)
+    val n = bucketsOf(current)
+    val files = writeDataFiles(df.withColumn("_bucket", bucketExpr(n)), n)
     publish(Manifest(nextVersion,
       current.map(_.highWater).getOrElse(""), files,
       nextSchemaDdl(current, Map.empty, df.schema)))
@@ -1563,9 +1650,10 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     require(effectiveManifest().forall(_.layers.isEmpty),
       s"$root has merge-on-read layers: collapseLayers before replaceBuckets")
     val current = effectiveManifest()
+    val n = bucketsOf(current)
     val bset = buckets.toSet
-    val files = writeDataFiles(df.withColumn("_bucket", bucketExpr),
-      math.min(nBuckets, math.max(1, buckets.size)))
+    val files = writeDataFiles(df.withColumn("_bucket", bucketExpr(n)),
+      math.min(n, math.max(1, buckets.size)))
     val curFiles = current.map(_.files).getOrElse(Map.empty)
     val carried = curFiles -- bset
     val next = (carried.keySet ++ files.keySet).map { b =>
@@ -1628,7 +1716,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val survivors = readBuckets(spark, m, buckets)
       .filter(!coalesce(cond, lit(false)))
     val newFiles = writeDataFiles(survivors,
-      math.min(nBuckets, math.max(1, buckets.size)))
+      math.min(bucketsOf(Some(m)), math.max(1, buckets.size)))
     publish(Manifest(nextVersion, m.highWater,
       (m.files -- buckets) ++ newFiles, m.schemaDdl))
     nDeleted

@@ -204,8 +204,16 @@ final class GraftFollowStream(root: String,
       case None =>
         // full refresh: every bucket is replaced — tombstone the empty
         // ones so the consumer's stale buckets clear under the same
-        // replace-contract (no special case)
-        (0 until t.nBuckets).flatMap(bucketRows)
+        // replace-contract (no special case). The range covers the
+        // WIDEST known layout (creation-time count, current count, and
+        // every bucket the target snapshot occupies): after a rebucket
+        // the consumer may hold buckets under either count, and an
+        // occupied bucket beyond the creation-time count must still be
+        // emitted or its rows would silently vanish from the follower
+        (((0 until math.max(t.nBuckets, t.currentNBuckets)).toSet ++
+          cur.keySet ++
+          toM.layers.flatMap(l => l.ups.keySet ++ l.del.keySet))
+          .toSeq.sorted).flatMap(bucketRows)
       case Some(bm) =>
         val before = bm.files
         // layer-aware: merge-on-read commits change a bucket's rows

@@ -118,11 +118,16 @@ class GraftTableModelSpec extends SparkSpec {
       if (highWater.isEmpty || seqOf(m) > highWater) highWater = seqOf(m)
     }
 
-    // Spark's bucket routing (pmod(murmur3, n)) for the model's ids —
-    // one job, reused by the replaceBuckets case
-    lazy val bucketOf: Map[Long, Int] = spark.range(0, 5000)
-      .select(col("id"), pmod(hash(col("id")), lit(4)).cast("int"))
-      .as[(Long, Int)].collect().toMap
+    // Spark's bucket routing (pmod(murmur3, n)) for the model's ids,
+    // under the bucket count CURRENTLY in force (the rebucket op flips
+    // it) — one job per distinct count, reused by the replaceBuckets case
+    var curBuckets = 4
+    val bucketMaps = scala.collection.mutable.Map.empty[Int, Map[Long, Int]]
+    def bucketOf(id: Long): Int = bucketMaps.getOrElseUpdate(curBuckets,
+      spark.range(0, 5000)
+        .select(col("id"),
+          pmod(hash(col("id")), lit(curBuckets)).cast("int"))
+        .as[(Long, Int)].collect().toMap)(id)
 
     var appendId = 1000L // appends use fresh ids: the model is a key map
     def mergeRandom(): Unit = {
@@ -140,7 +145,7 @@ class GraftTableModelSpec extends SparkSpec {
     }
 
     (1 to steps).foreach { step =>
-      rnd.nextInt(15) match {
+      rnd.nextInt(16) match {
         case i if i <= 5 => // merge a fresh batch (most common op)
           mergeRandom()
           check(s"merge@$lsn")
@@ -247,6 +252,15 @@ class GraftTableModelSpec extends SparkSpec {
             vCol = to
             check(s"rename->$to")
           }
+        case 15 => // bucket-count evolution: data-identical layout flip;
+          // every later write/probe and BOTH change-feed consumers must
+          // track the new layout (changesSince re-tags every bucket,
+          // the row CDF sees an empty maintenance window)
+          val choices = Seq(2, 4, 8, 16).filterNot(_ == curBuckets)
+          val n = choices(rnd.nextInt(choices.size))
+          t.rebucket(spark, n)
+          curBuckets = n
+          check(s"rebucket->$n")
       }
     }
   }
