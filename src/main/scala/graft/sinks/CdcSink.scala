@@ -43,19 +43,56 @@ trait CdcSink {
 }
 
 /** Auto-maintenance policy for [[CurrentStateSink]] — the in-process
-  * analog of the reference's external maintenance jobs on a timer
-  * (ducklake/external_maintenance.rs: compact + snapshot expiry).
+  * analog of the reference's external maintenance jobs on a timer, with
+  * the DuckLake runner's policy knobs (etl-maintenance
+  * src/materialization.rs:14-43 DuckLakeMaintenancePolicy,
+  * src/ducklake/runner.rs:1544-1672 per-operation configs).
   * `everyBatches` = 0 disables (explicit compact/vacuum only); N > 0
-  * runs compact(maxFilesPerBucket) + vacuum(keepVersions) on a table
-  * after every Nth applied batch. Runs BETWEEN merges on the sink's own
-  * call thread, so it never races the single writer — and takes the
-  * table's MAINTENANCE LEASE first, so an EXTERNAL maintenance run
-  * (GraftTable.runMaintenanceUnderLease — the etl-maintenance
-  * coordination analog) serializes against it: while a foreign lease is
-  * held, the in-process timer skips its turn and the apply path pauses
-  * at its quiesce point until the lease releases or expires. */
+  * runs the policy on a table after every Nth applied batch. Runs
+  * BETWEEN merges on the sink's own call thread, so it never races the
+  * single writer — and takes the table's MAINTENANCE LEASE first, so an
+  * EXTERNAL maintenance run (GraftTable.runMaintenanceUnderLease — the
+  * etl-maintenance coordination analog) serializes against it: while a
+  * foreign lease is held, the in-process timer skips its turn and the
+  * apply path pauses at its quiesce point until the lease releases or
+  * expires.
+  *
+  * Per-table run, in order:
+  *  1. COLLAPSE merge-on-read layers when triggered: layer bytes ≥
+  *     `minLayerBytes` (the min_inlined_bytes flush analog — layers ARE
+  *     our inlined deltas awaiting flush) OR layer deleted-row fraction
+  *     ≥ `deleteThreshold` (the rewrite_data_files trigger). Defaults
+  *     (0, 0.5) preserve the pre-policy behavior: any layers collapse
+  *     on maintenance. An untriggered layer chain stays — merge-time
+  *     MorMaxLayers admission bounds its depth regardless.
+  *  2. [[GraftTable.compact]](maxFilesPerBucket) — crowded-bucket
+  *     rewrite; skipped while layers remain (it would force a
+  *     collapse the triggers just declined).
+  *  3. [[GraftTable.mergeAdjacentFiles]](targetFileSizeBytes,
+  *     maxCompactedFiles, minActiveDataFiles) when
+  *     `targetFileSizeBytes` > 0 — the layer-SAFE fragmentation pass
+  *     (merge_adjacent_files): bounded per run, never rewrites
+  *     at-target files.
+  *  4. Auto bucket-count evolution: when avg occupied-bucket bytes
+  *     exceeds `rebucketAboveBytes`, [[GraftTable.rebucket]] to 2×
+  *     the current count (ours — the reference's DuckLake layout has
+  *     no bucket axis; growth there is absorbed by file splits).
+  *  5. [[GraftTable.vacuum]](keepVersions).
+  *
+  * `minIntervalMs` spaces runs per table (min_interval_seconds);
+  * `maxPauseMs` is the lease TTL = the longest the apply path can stay
+  * paused by one run (max_pause_seconds). */
 final case class MaintenancePolicy(everyBatches: Int = 0,
-    maxFilesPerBucket: Int = 4, keepVersions: Int = 2)
+    maxFilesPerBucket: Int = 4, keepVersions: Int = 2,
+    minIntervalMs: Long = 0L,
+    maxPauseMs: Long = 60000L,
+    minLayerBytes: Long = 0L,
+    deleteThreshold: Double = 0.5,
+    targetFileSizeBytes: Long = 0L,
+    maxCompactedFiles: Int = 40,
+    minActiveDataFiles: Int = 0,
+    maxTablesPerRun: Int = 8,
+    rebucketAboveBytes: Long = Long.MaxValue)
 
 /** Current-state sink: maintains one merged table per source table — the
   * BigQuery-CDC / DuckLake apply shape (reference bigquery/core.rs:956-1101,
@@ -64,27 +101,91 @@ final case class MaintenancePolicy(everyBatches: Int = 0,
   */
 final class CurrentStateSink(rootDir: String, keysOf: String => Seq[String],
     nBuckets: Int = 32,
-    maintenance: MaintenancePolicy = MaintenancePolicy()) extends CdcSink {
+    maintenance: MaintenancePolicy = MaintenancePolicy(),
+    /** MERGE-ON-READ destination tables (see [[GraftTable.mergeOnRead]]):
+      * small CDC batches commit as delta layers instead of bucket
+      * rewrites; the maintenance policy's collapse triggers
+      * (minLayerBytes / deleteThreshold) govern the flush cadence.
+      * Default false — serving tables stay copy-on-write. */
+    mergeOnRead: Boolean = false,
+    morMinAffectedBytes: Long = GraftTable.MorMinAffectedBytesDefault)
+    extends CdcSink {
   private val tables = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
   private val applied = scala.collection.concurrent.TrieMap.empty[String, Long]
 
-  /** Count an applied batch; every Nth triggers compact + vacuum for
-    * that table (no-op when the policy is disabled or nothing is
-    * fragmented — compact skips buckets under the file threshold). */
+  /** Count an applied batch; every Nth runs the maintenance policy for
+    * that table (no-op when the policy is disabled, the per-table
+    * `minIntervalMs` spacing hasn't elapsed, or nothing is triggered). */
   private def noteApplied(table: String, spark: SparkSession): Unit = {
     if (maintenance.everyBatches <= 0) return
     val n = applied.updateWith(table) {
       c => Some(c.getOrElse(0L) + 1L) }.get
     if (n % maintenance.everyBatches == 0) {
+      val now = System.currentTimeMillis()
+      if (now - lastMaintained.getOrElse(table, 0L) <
+          maintenance.minIntervalMs) return
       val t = tableFor(table)
       // lease-gated: skip this turn if an external maintenance run
       // holds the table (the next Nth batch retries)
-      t.runMaintenanceUnderLease(leaseOwner) {
-        t.compact(spark, maintenance.maxFilesPerBucket)
-        t.vacuum(maintenance.keepVersions)
-      }
+      if (t.runMaintenanceUnderLease(leaseOwner,
+          ttlMs = maintenance.maxPauseMs) { runPolicyOn(t, spark) })
+        lastMaintained(table) = now
     }
   }
+
+  private val lastMaintained =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** One policy run against one table (see [[MaintenancePolicy]] for
+    * the operation order and the reference mapping). Caller holds the
+    * table's maintenance lease. */
+  private def runPolicyOn(t: GraftTable, spark: SparkSession): Unit = {
+    val p = maintenance
+    val lp = t.layerPressure
+    val collapse = lp.layers > 0 && (lp.bytes >= p.minLayerBytes ||
+      lp.deleteFraction >= p.deleteThreshold)
+    if (collapse) t.collapseLayers(spark)
+    if (lp.layers == 0 || collapse) t.compact(spark, p.maxFilesPerBucket)
+    if (p.targetFileSizeBytes > 0)
+      t.mergeAdjacentFiles(spark, p.targetFileSizeBytes,
+        p.maxCompactedFiles, p.minActiveDataFiles)
+    if (p.rebucketAboveBytes < Long.MaxValue) {
+      val bp = t.basePressure
+      if (bp.occupiedBuckets > 0 &&
+          bp.bytes / bp.occupiedBuckets > p.rebucketAboveBytes)
+        t.rebucket(spark, t.currentNBuckets * 2)
+    }
+    t.vacuum(p.keepVersions)
+  }
+
+  /** EXTERNAL-runner maintenance sweep — one run of the reference's
+    * per-run table loop (ducklake/runner.rs:1616 maintenance stats per
+    * run; max_tables_per_run materialization.rs:28-29): round-robin
+    * over this sink's tables, running the policy under each table's
+    * maintenance lease, at most `maintenance.maxTablesPerRun` tables
+    * per call. A table whose lease another process holds is skipped
+    * without consuming the budget (it keeps its turn — the cursor only
+    * advances past tables actually run). Returns the tables maintained
+    * this sweep. Safe beside the live apply path: the lease pauses
+    * merges at their quiesce point, and `maxPauseMs` bounds the pause. */
+  def maintenanceSweep(spark: SparkSession): Seq[String] = {
+    val names = tables.keys.toSeq.sorted
+    if (names.isEmpty) return Seq.empty
+    val start = sweepCursor % names.size
+    val order = names.drop(start) ++ names.take(start)
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (name <- order if ran.size < maintenance.maxTablesPerRun) {
+      val t = tableFor(name)
+      if (t.runMaintenanceUnderLease(leaseOwner,
+          ttlMs = maintenance.maxPauseMs) { runPolicyOn(t, spark) }) {
+        ran += name
+        lastMaintained(name) = System.currentTimeMillis()
+        sweepCursor = (names.indexOf(name) + 1) % names.size
+      }
+    }
+    ran.toSeq
+  }
+  private var sweepCursor = 0
 
   /** This sink instance's lease identity. */
   private val leaseOwner =
@@ -101,7 +202,9 @@ final class CurrentStateSink(rootDir: String, keysOf: String => Seq[String],
 
   def tableFor(name: String): GraftTable =
     tables.getOrElseUpdate(name,
-      new GraftTable(s"$rootDir/$name", keysOf(name), nBuckets))
+      new GraftTable(s"$rootDir/$name", keysOf(name), nBuckets,
+        mergeOnRead = mergeOnRead,
+        morMinAffectedBytes = morMinAffectedBytes))
 
   override def writeTableRows(table: String, rows: DataFrame): Unit = {
     val t = tableFor(table)

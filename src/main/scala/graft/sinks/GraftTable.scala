@@ -1169,6 +1169,107 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     crowded
   }
 
+  /** Adjacent small-file merge — the reference's merge_adjacent_files
+    * maintenance operation (etl-maintenance ducklake/runner.rs:1544,
+    * 1616-1663; policy knobs materialization.rs:24-27): per bucket, pick
+    * ONE greedy group of ≥2 sub-`targetBytes` files whose combined size
+    * stays ≤ `targetBytes` (smallest first) and rewrite the group as a
+    * single file. Files already at/above target are never rewritten —
+    * and, unlike [[compact]], outstanding merge-on-read layers are LEFT
+    * IN PLACE: replacing N base files of a bucket with one file holding
+    * the same rows is data-identical under any layer fold (layer deletes
+    * anti-join by key, layer upserts shadow by key — neither cares how
+    * the base rows are distributed across files). That makes this the
+    * fragmentation pass a layered table can run WITHOUT paying a
+    * collapse. One Spark job for the whole run regardless of bucket
+    * count; `maxCompactedFiles` caps source files per run (runner.rs:
+    * 1658, bounded maintenance next to a live pipeline) and
+    * `minActiveDataFiles` skips tables too small for the churn to pay
+    * (materialization.rs:33-34). Returns the buckets rewritten. */
+  def mergeAdjacentFiles(spark: SparkSession, targetBytes: Long,
+      maxCompactedFiles: Int = 40, minActiveDataFiles: Int = 0): Seq[Int] = {
+    require(groupState.isEmpty,
+      "close the open group before mergeAdjacentFiles")
+    require(targetBytes > 0, "targetBytes must be positive")
+    val m = currentManifest().getOrElse(return Seq.empty)
+    if (m.files.valuesIterator.map(_.size).sum < minActiveDataFiles)
+      return Seq.empty
+    // vanished file (racing vacuum of an expired version) → MaxValue:
+    // never selected, the commit CAS below resolves any real race
+    def sz(f: String) = try Files.size(Paths.get(resolved(f)))
+      catch { case _: java.io.IOException => Long.MaxValue }
+    var budget = maxCompactedFiles
+    val groups = m.files.toSeq.sortBy(_._1).flatMap { case (b, fs) =>
+      if (budget < 2) None
+      else {
+        val small = fs.map(f => f -> sz(f))
+          .filter(_._2 < targetBytes).sortBy(_._2)
+          .take(budget)
+        var tot = 0L
+        val grp = small.takeWhile { case (_, s) =>
+          val ok = tot + s <= targetBytes; if (ok) tot += s; ok
+        }.map(_._1)
+        if (grp.size < 2) None
+        else { budget -= grp.size; Some(b -> grp) }
+      }
+    }
+    if (groups.isEmpty) return Seq.empty
+    val df = readFiles(spark, groups.flatMap(_._2), m.schemaDdl,
+      m.columnMapping)
+    val newFiles = writeDataFiles(df, math.max(1, groups.size))
+    val files2 = groups.foldLeft(m.files) { case (acc, (b, grp)) =>
+      val dead = grp.toSet
+      acc.updated(b,
+        acc.getOrElse(b, Nil).filterNot(dead) ++ newFiles.getOrElse(b, Nil))
+    }
+    commitManifest(Manifest(m.version + 1, m.highWater, files2,
+      m.schemaDdl, layers = m.layers, sameData = true))
+    groups.map(_._1)
+  }
+
+  /** Merge-on-read layer pressure of the CURRENT snapshot — the inputs
+    * of [[graft.sinks.MaintenancePolicy]]'s collapse triggers. Driver-
+    * side parquet-footer reads, O(layer files + touched base files), no
+    * Spark job. Delete fraction counts only buckets some layer DELETE
+    * touches (an all-upsert chain reads 0.0 — upserts don't strand dead
+    * base rows the way deletes do); a delete chain over buckets whose
+    * base is empty reads 1.0 (everything there is a tombstone). */
+  def layerPressure: GraftTable.LayerPressure = {
+    val m = currentManifest()
+      .getOrElse(return GraftTable.LayerPressure(0, 0L, 0.0))
+    if (m.layers.isEmpty) return GraftTable.LayerPressure(0, 0L, 0.0)
+    def sz(f: String) = try Files.size(Paths.get(resolved(f)))
+      catch { case _: java.io.IOException => 0L }
+    val bytes = m.layers.iterator.flatMap(l =>
+      l.ups.valuesIterator.flatten ++ l.del.valuesIterator.flatten)
+      .map(sz).sum
+    val delRows = m.layers.iterator.flatMap(_.del.valuesIterator.flatten)
+      .map(f => GraftTable.footerRowCount(resolved(f))).sum
+    val frac =
+      if (delRows == 0L) 0.0
+      else {
+        val touched = m.layers.flatMap(_.del.keys).distinct
+        val baseRows = touched.iterator
+          .flatMap(b => m.files.getOrElse(b, Nil))
+          .map(f => GraftTable.footerRowCount(resolved(f))).sum
+        if (baseRows == 0L) 1.0 else delRows.toDouble / baseRows
+      }
+    GraftTable.LayerPressure(m.layers.size, bytes, frac)
+  }
+
+  /** Live base-file footprint of the CURRENT snapshot (count, bytes,
+    * occupied buckets) — drives the size-aware maintenance gates and
+    * the auto-rebucket trigger. Driver-side file stats only. */
+  def basePressure: GraftTable.BasePressure = {
+    val m = currentManifest()
+      .getOrElse(return GraftTable.BasePressure(0, 0L, 0))
+    def sz(f: String) = try Files.size(Paths.get(resolved(f)))
+      catch { case _: java.io.IOException => 0L }
+    val occupied = m.files.filter(_._2.nonEmpty)
+    GraftTable.BasePressure(occupied.valuesIterator.map(_.size).sum,
+      occupied.valuesIterator.flatten.map(sz).sum, occupied.size)
+  }
+
   /** Z-ORDER clustering maintenance (the `OPTIMIZE ZORDER BY` shape):
     * rewrite every bucket's data ordered by the Morton interleave of
     * two rank-scaled columns, split into ~`filesPerBucket` files per
@@ -1733,6 +1834,24 @@ object GraftTable {
   final class ConcurrentCommitException(msg: String)
       extends RuntimeException(msg)
 
+  /** Merge-on-read layer pressure of one snapshot — the trigger inputs
+    * of policy-driven maintenance ([[graft.sinks.MaintenancePolicy]]):
+    * outstanding layer count, total layer bytes (upsert + delete files;
+    * the "inlined data" awaiting flush in the reference's DuckLake
+    * model, materialization.rs:22-23 min_inlined_bytes), and the
+    * deleted-row fraction (layer delete-key rows over base rows of the
+    * buckets those deletes touch — the reference's rewrite trigger,
+    * materialization.rs:31-32 delete_threshold). */
+  final case class LayerPressure(layers: Int, bytes: Long,
+      deleteFraction: Double)
+
+  /** Live base-file footprint of one snapshot: file count, total bytes,
+    * occupied buckets. Drives the size-aware maintenance gates
+    * (min_active_data_files, materialization.rs:33-34) and the
+    * auto-rebucket trigger (avg bucket bytes). */
+  final case class BasePressure(files: Int, bytes: Long,
+      occupiedBuckets: Int)
+
   /** Stats-harvest cap per commit: a commit referencing more new files
     * than this gets skipping stats for the first `cap` only (a giant
     * backfill shouldn't serialize thousands of footer reads through the
@@ -1781,6 +1900,21 @@ object GraftTable {
           case _ => false
         })
     } catch { case scala.util.control.NonFatal(_) => true }
+  }
+
+  /** Total row count of a parquet file from its footer only — one local
+    * metadata read, no Spark job. Unreadable file → 0 (callers use the
+    * count for maintenance TRIGGERS, where under-counting is safe). */
+  private[sinks] def footerRowCount(path: String): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    try {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), footerConf))
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally r.close()
+    } catch { case scala.util.control.NonFatal(_) => 0L }
   }
 
   /** Per-column [min, max] across a parquet file's row groups, from the
