@@ -141,7 +141,9 @@ object SparkEntry {
     "op_ann_incremental" -> (SimQueries.opAnnIncremental _),
     "op_bpe_train256" -> (TextQueries.opBpeTrain256 _),
     "op_sink_delta_cow" -> (SinkQueries.opSinkDeltaCow _),
-    "op_sink_delta_mor" -> (SinkQueries.opSinkDeltaMor _))
+    "op_sink_delta_mor" -> (SinkQueries.opSinkDeltaMor _),
+    "op_join_shuffle" -> (SinkQueries.opJoinShuffle _),
+    "op_join_spj" -> (SinkQueries.opJoinSpj _))
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> CoreQueries.q1Sql,

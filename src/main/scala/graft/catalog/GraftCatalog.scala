@@ -45,9 +45,30 @@ import graft.sinks.GraftTable
   * append publishes one new snapshot, concurrent committers resolve via
   * the optimistic-concurrency manifest publish.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
   private var catalogName: String = _
   private var root: String = _
+
+  // ----------------------------------------------------------- functions
+  /** The one catalog function: `bucket` — resolved by Spark's SPJ
+    * machinery (V2ExpressionUtils.loadV2FunctionOpt looks it up under
+    * the EMPTY namespace) when matching two scans' reported
+    * `bucket(n, keys)` transforms, and evaluated only if a non-aligned
+    * side must be shuffled to match. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      Array(Identifier.of(Array.empty[String], "bucket"))
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(
+      (catalogName +: namespace.toSeq))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket")
+      org.apache.spark.sql.GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -416,10 +437,19 @@ final class GraftSqlTable(val table: GraftTable, fullName: String,
     // predicates over any stats column, drop whole files before planning
     // (the row-group stats inside surviving files still apply on top)
     val stats = table.currentFileStats
-    if (stats.nonEmpty && files.nonEmpty)
-      new org.apache.spark.sql.GraftFileSkippingBuilder(mk, files,
-        stats.get _)
-    else mk(files)
+    val built =
+      if (stats.nonEmpty && files.nonEmpty)
+        new org.apache.spark.sql.GraftFileSkippingBuilder(mk, files,
+          stats.get _)
+      else mk(files)
+    // storage-partitioned joins: report bucket(n, bucketCols) key-grouped
+    // partitioning (one input partition per live bucket) so equi-joins of
+    // co-bucketed graft tables plan WITHOUT a shuffle on either side
+    // (needs spark.sql.sources.v2.bucketing.enabled=true). Empty tables
+    // skip the report — zero partitions carry no co-location to exploit.
+    if (files.isEmpty) built
+    else org.apache.spark.sql.GraftBucketedScan.builder(built,
+      table.currentNBuckets, table.bucketCols)
   }
 
   /** Plan a fresh (unpruned-columns) scan over only `buckets`' live

@@ -377,4 +377,92 @@ object SinkQueries {
     val st = deltaStateFor(spark, dir)
     applyDelta(spark, dir, st.mor, st.seq.incrementAndGet())
   }
+
+  // --------------------- storage-partitioned-join attribution (bench)
+
+  /** Shared state for the op_join_* pair: two co-bucketed graft catalog
+    * tables built once per corpus dir — an ×8-inflated lineitem fact
+    * (one row per (orderkey, line), with a 64-byte payload column that
+    * must CROSS the join: narrow keys shuffle for free in one JVM, wide
+    * rows are what a real exchange moves) and a key dim — both
+    * PARTITIONED BY bucket(32, k). The pair times the SAME equi-join
+    * aggregate with the SPJ report off (both sides exchange + sort) vs
+    * on (zip-join of co-located buckets, zero exchanges): the gap is
+    * the shuffle the key-grouped report removes, and it grows with
+    * data volume — at 100 TB the exchange IS the join cost. */
+  private val spjState =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def spjCatalogFor(spark: SparkSession, dir: String): String =
+    spjState.computeIfAbsent(dir, _ => {
+      val cat = s"opspj${math.abs(dir.hashCode)}"
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-spj-op").toString
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        "graft.catalog.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.sql(s"""CREATE TABLE $cat.db.fact
+                    (k BIGINT, price DOUBLE, payload STRING)
+                    PARTITIONED BY (bucket(32, k))""")
+      spark.sql(s"""CREATE TABLE $cat.db.dim (k BIGINT, w BIGINT)
+                    PARTITIONED BY (bucket(32, k))""")
+      val li = Tables.load(spark, dir, "lineitem")
+        .select((col("l_orderkey") * 8 + col("l_linenumber")).as("k0"),
+          col("l_extendedprice").cast(DoubleType).as("price"))
+      (0 until 8).map(i =>
+        li.select((col("k0") + lit(i * 8000000L)).as("k"), col("price")))
+        .reduce(_ unionAll _)
+        .withColumn("payload",
+          rpad(conv(col("k").cast("string"), 10, 16), 64, "x"))
+        .createOrReplaceTempView("spj_src_fact")
+      spark.sql(s"INSERT INTO $cat.db.fact SELECT * FROM spj_src_fact")
+      spark.sql(
+        s"""INSERT INTO $cat.db.dim
+            SELECT DISTINCT k, k % 97 AS w FROM spj_src_fact""")
+      cat
+    })
+
+  private def spjJoin(spark: SparkSession, dir: String,
+      spjOn: Boolean): DataFrame = {
+    val cat = spjCatalogFor(spark, dir)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> spjOn.toString,
+      // broadcast off on BOTH entries: the pair compares shuffled vs
+      // storage-partitioned SORT-MERGE joins, not broadcast planning
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // materialize INSIDE the conf window (physical planning reads the
+      // SPJ conf at execution, not at sql()). MAX(payload) forces the
+      // wide column THROUGH the join (no aggregate pushdown below a
+      // join), so the shuffle variant pays the exchange's real freight.
+      val row = spark.sql(
+        s"""SELECT COUNT(*) AS n, SUM(a.price * b.w) AS s,
+                   MAX(a.payload) AS p
+            FROM $cat.db.fact a JOIN $cat.db.dim b ON a.k = b.k""")
+        .collect()(0)
+      val sp = spark; import sp.implicits._
+      Seq((row.getLong(0), row.getDouble(1), row.getString(2)))
+        .toDF("n", "s", "p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** Conventional shuffled sort-merge join: both sides exchange on the
+    * join key before merging — the baseline the SPJ entry is measured
+    * against. */
+  def opJoinShuffle(spark: SparkSession, dir: String): DataFrame =
+    spjJoin(spark, dir, spjOn = false)
+
+  /** Storage-partitioned join: the graft scans report bucket(32, k)
+    * key-grouped partitioning, Spark proves both sides co-located via
+    * the catalog bucket function, and the exchanges vanish
+    * (plan-asserted in StoragePartitionedJoinSpec). */
+  def opJoinSpj(spark: SparkSession, dir: String): DataFrame =
+    spjJoin(spark, dir, spjOn = true)
 }

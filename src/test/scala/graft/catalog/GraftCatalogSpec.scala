@@ -377,8 +377,12 @@ class GraftCatalogSpec extends SparkSpec {
       val rows = df.as[(Long, String)].collect().toSet
       val scans = df.queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.inputPartitions.collect { case f: FilePartition =>
-            f.files.map(_.urlEncodedPath).toSeq }.flatten
+          b.inputPartitions.collect {
+            case f: FilePartition =>
+              f.files.map(_.urlEncodedPath).toSeq
+            case g: org.apache.spark.sql.GraftBucketedScan.BucketPartition =>
+              g.fp.files.map(_.urlEncodedPath).toSeq
+          }.flatten
       }.flatten
       (scans, rows)
     }
@@ -413,8 +417,12 @@ class GraftCatalogSpec extends SparkSpec {
       val n = df.count()
       val files = df.queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.inputPartitions.collect { case f: FilePartition =>
-            f.files.map(_.urlEncodedPath).toSeq }.flatten
+          b.inputPartitions.collect {
+            case f: FilePartition =>
+              f.files.map(_.urlEncodedPath).toSeq
+            case g: org.apache.spark.sql.GraftBucketedScan.BucketPartition =>
+              g.fp.files.map(_.urlEncodedPath).toSeq
+          }.flatten
       }.flatten
       (files.distinct.size, n)
     }

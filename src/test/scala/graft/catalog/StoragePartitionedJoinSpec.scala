@@ -1,0 +1,162 @@
+package graft.catalog
+
+import graft.SparkSpec
+import graft.sinks.GraftTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Storage-partitioned joins (SPARK-37375, the Iceberg-style SPJ): two
+  * graft tables bucketed the same way joined on their bucket keys must
+  * plan with ZERO shuffle exchanges — the scans report
+  * `bucket(n, keys)` key-grouped partitioning and the catalog's bucket
+  * function lets Spark prove both sides co-located. At 100 TB the
+  * exchange this removes is the dominant join cost. */
+class StoragePartitionedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val root: String = {
+    val r = java.nio.file.Files.createTempDirectory("graft-spj").toString
+    spark.conf.set("spark.sql.catalog.spj", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spj.root", r)
+    r
+  }
+
+  private def shuffles(df: DataFrame): Int = {
+    df.collect() // force AQE final plan
+    var n = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          n += 1
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case _ => ()
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    n
+  }
+
+  private def spjConfs = Seq(
+    "spark.sql.sources.v2.bucketing.enabled" -> "true",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+
+  test("bucket function: catalog-resolvable and bit-identical to the " +
+      "writer hash") {
+    val cat = spark.sessionState.catalogManager.catalog("spj")
+      .asInstanceOf[GraftCatalog]
+    val fn = cat.loadFunction(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty[String], "bucket"))
+    val bound = fn.bind(org.apache.spark.sql.types.StructType.fromDDL(
+      "n INT, id BIGINT"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions
+        .ScalarFunction[Integer]]
+    // property: produceResult == pmod(hash(id), n) for a spread of ids
+    val ids = (-1000L to 1000L by 7L) ++
+      Seq(Long.MinValue, Long.MaxValue, 0L, 42L)
+    val expected = ids.toDF("id")
+      .select(col("id"), pmod(hash(col("id")), lit(8)).as("b"))
+      .as[(Long, Int)].collect().toMap
+    ids.foreach { id =>
+      val row = org.apache.spark.sql.catalyst.InternalRow(8, id)
+      assert(bound.produceResult(row).intValue == expected(id),
+        s"bucket mismatch for id=$id")
+    }
+  }
+
+  test("co-bucketed equi-join plans with zero shuffles; " +
+      "misaligned bucket counts fall back to shuffle") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS spj.db")
+    spark.sql("""CREATE TABLE spj.db.orders (id BIGINT, total BIGINT)
+                 PARTITIONED BY (bucket(8, id))""")
+    spark.sql("""CREATE TABLE spj.db.customers (id BIGINT, name STRING)
+                 PARTITIONED BY (bucket(8, id))""")
+    spark.sql("""CREATE TABLE spj.db.mis (id BIGINT, x BIGINT)
+                 PARTITIONED BY (bucket(4, id))""")
+    (1L to 500L).map(i => (i, i * 10L)).toDF("id", "total")
+      .createOrReplaceTempView("src_o")
+    (1L to 400L).map(i => (i, s"c$i")).toDF("id", "name")
+      .createOrReplaceTempView("src_c")
+    spark.sql("INSERT INTO spj.db.orders SELECT * FROM src_o")
+    spark.sql("INSERT INTO spj.db.customers SELECT * FROM src_c")
+    spark.sql("INSERT INTO spj.db.mis SELECT id, total FROM src_o")
+
+    withSqlConf(spjConfs: _*) {
+      val j = spark.sql(
+        """SELECT o.id, o.total, c.name
+           FROM spj.db.orders o JOIN spj.db.customers c ON o.id = c.id""")
+      assert(j.count() == 400L)
+      assert(shuffles(j) == 0,
+        s"co-bucketed join must be shuffle-free:\n${j.queryExecution}")
+      // correctness of the co-located join result
+      val got = j.as[(Long, Long, String)].collect().toSet
+      val want = (1L to 400L).map(i => (i, i * 10L, s"c$i")).toSet
+      assert(got == want)
+
+      // different bucket counts: no co-location to exploit → shuffles
+      val m = spark.sql(
+        """SELECT o.id FROM spj.db.orders o
+           JOIN spj.db.mis m ON o.id = m.id""")
+      assert(m.count() == 500L)
+      assert(shuffles(m) > 0, "misaligned buckets cannot SPJ")
+    }
+    // conf off: same join shuffles (the report is gated, not assumed)
+    withSqlConf(("spark.sql.sources.v2.bucketing.enabled" -> "false") +:
+        spjConfs.tail: _*) {
+      val j = spark.sql(
+        """SELECT o.id FROM spj.db.orders o
+           JOIN spj.db.customers c ON o.id = c.id""")
+      assert(shuffles(j) > 0)
+    }
+  }
+
+  test("SPJ survives one side holding empty buckets (partition-value " +
+      "push-down) and a rebucketed table re-aligns at the new count") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS spj.db2")
+    spark.sql("""CREATE TABLE spj.db2.big (id BIGINT, v BIGINT)
+                 PARTITIONED BY (bucket(8, id))""")
+    spark.sql("""CREATE TABLE spj.db2.sparse (id BIGINT, w BIGINT)
+                 PARTITIONED BY (bucket(8, id))""")
+    (1L to 300L).map(i => (i, i)).toDF("id", "v")
+      .createOrReplaceTempView("src_big")
+    spark.sql("INSERT INTO spj.db2.big SELECT * FROM src_big")
+    // a handful of keys → some buckets stay empty on this side
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "w")
+      .createOrReplaceTempView("src_sparse")
+    spark.sql("INSERT INTO spj.db2.sparse SELECT * FROM src_sparse")
+
+    withSqlConf(spjConfs: _*) {
+      val j = spark.sql(
+        """SELECT b.id, b.v, s.w FROM spj.db2.big b
+           JOIN spj.db2.sparse s ON b.id = s.id""")
+      assert(j.as[(Long, Long, Long)].collect().toSet ==
+        Set((1L, 1L, 10L), (2L, 2L, 20L), (3L, 3L, 30L)))
+      assert(shuffles(j) == 0,
+        "empty buckets on one side must not force a shuffle")
+    }
+
+    // bucket-count evolution: 8 → 16 on one side breaks alignment,
+    // evolving BOTH restores it at the new count
+    val big = GraftTable.open(s"$root/db2/big")
+    val sparse = GraftTable.open(s"$root/db2/sparse")
+    big.rebucket(spark, 16)
+    withSqlConf(spjConfs: _*) {
+      val j1 = spark.sql(
+        """SELECT b.id FROM spj.db2.big b
+           JOIN spj.db2.sparse s ON b.id = s.id""")
+      assert(j1.count() == 3L && shuffles(j1) > 0)
+      sparse.rebucket(spark, 16)
+      val j2 = spark.sql(
+        """SELECT b.id FROM spj.db2.big b
+           JOIN spj.db2.sparse s ON b.id = s.id""")
+      assert(j2.count() == 3L && shuffles(j2) == 0,
+        "both sides rebucketed to 16 must SPJ again")
+    }
+  }
+}
