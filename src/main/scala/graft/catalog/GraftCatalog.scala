@@ -447,9 +447,23 @@ final class GraftSqlTable(val table: GraftTable, fullName: String,
     // co-bucketed graft tables plan WITHOUT a shuffle on either side
     // (needs spark.sql.sources.v2.bucketing.enabled=true). Empty tables
     // skip the report — zero partitions carry no co-location to exploit.
+    // When every scanned bucket holds ≤1 file (the compacted steady
+    // state) the scan also reports per-partition key ordering, letting
+    // the SPJ sort-merge join drop its sorts
+    // (spark.sql.sources.v2.bucketing.sorting.enabled).
     if (files.isEmpty) built
-    else org.apache.spark.sql.GraftBucketedScan.builder(built,
-      table.currentNBuckets, table.bucketCols)
+    else {
+      val byBucket = pinnedVersion.map(v => table.readManifest(v).files)
+        .getOrElse(table.currentFilesByBucket)
+      // ordering = the writer's file sort (the FULL key list); only
+      // valid when each bucket is one file — multi-file buckets
+      // concatenate sorted runs, which is not sorted
+      val sortCols =
+        if (byBucket.valuesIterator.forall(_.size <= 1)) table.keyCols
+        else Nil
+      org.apache.spark.sql.GraftBucketedScan.builder(built,
+        table.currentNBuckets, table.bucketCols, sortCols)
+    }
   }
 
   /** Plan a fresh (unpruned-columns) scan over only `buckets`' live

@@ -8,8 +8,9 @@ import org.apache.spark.sql.connector.catalog.functions.{BoundFunction,
 import org.apache.spark.sql.connector.expressions.{Expressions,
   NamedReference}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey,
-  InputPartition, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownRequiredColumns, SupportsReportPartitioning,
+  InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics,
+  SupportsPushDownRequiredColumns, SupportsReportOrdering,
+  SupportsReportPartitioning, SupportsReportStatistics,
   SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{
   KeyGroupedPartitioning, Partitioning}
@@ -41,13 +42,20 @@ object GraftBucketedScan {
   /** Wrap `inner` so its scan reports bucket(n, keyCols) key-grouped
     * partitioning. `inner` may be the raw parquet builder, the renamed-
     * column bridge, or the file-skipping builder — the wrapper only
-    * touches partition planning. */
-  def builder(inner: ScanBuilder, nBuckets: Int,
-      keyCols: Seq[String]): ScanBuilder =
-    new BucketedBuilder(inner, nBuckets, keyCols)
+    * touches partition planning. Non-empty `sortCols` = every scanned
+    * bucket holds at most ONE base file (the state maintenance
+    * compaction restores), so each bucket partition streams out sorted
+    * by the writer's sort columns (the table keys) end-to-end and the
+    * scan additionally reports that ordering
+    * ([[SupportsReportOrdering]]) — with
+    * `spark.sql.sources.v2.bucketing.sorting.enabled` the SPJ
+    * sort-merge join then drops its per-partition sorts too. */
+  def builder(inner: ScanBuilder, nBuckets: Int, keyCols: Seq[String],
+      sortCols: Seq[String] = Nil): ScanBuilder =
+    new BucketedBuilder(inner, nBuckets, keyCols, sortCols)
 
   private final class BucketedBuilder(inner: ScanBuilder, nBuckets: Int,
-      keyCols: Seq[String]) extends ScanBuilder
+      keyCols: Seq[String], sortCols: Seq[String]) extends ScanBuilder
       with SupportsPushDownRequiredColumns
       with SupportsPushDownCatalystFilters {
     override def pruneColumns(requiredSchema: StructType): Unit =
@@ -68,7 +76,7 @@ object GraftBucketedScan {
       case _ => Array.empty
     }
     override def build(): Scan =
-      new BucketedScan(inner.build(), nBuckets, keyCols)
+      new BucketedScan(inner.build(), nBuckets, keyCols, sortCols)
   }
 
   private val BucketDir = ".*[/\\\\]_bucket=(\\d+)[/\\\\].*".r
@@ -100,15 +108,20 @@ object GraftBucketedScan {
   }
 
   private final class BucketedScan(inner: Scan, nBuckets: Int,
-      keyCols: Seq[String]) extends Scan with Batch
-      with SupportsReportPartitioning with SupportsRuntimeFiltering {
+      keyCols: Seq[String], sortCols: Seq[String]) extends Scan
+      with Batch with SupportsReportPartitioning
+      with SupportsReportOrdering with SupportsReportStatistics
+      with SupportsRuntimeFiltering {
     override def readSchema(): StructType = inner.readSchema()
     override def description(): String =
       s"${inner.description()} (bucket($nBuckets, ${keyCols.mkString(",")}))"
     override def toBatch: Batch = this
 
     // planned fresh on every call: runtime filtering mutates the inner
-    // scan's file set between planning and execution
+    // scan's file set between planning and execution. Splits within a
+    // bucket order by (path, offset) so a partition reads its (single,
+    // key-sorted) file's row groups in order — the ordering report
+    // depends on it.
     override def planInputPartitions(): Array[InputPartition] = {
       val raw = inner.toBatch.planInputPartitions()
       val splits = raw.flatMap {
@@ -118,7 +131,9 @@ object GraftBucketedScan {
       if (splits.exists(_._2.isEmpty)) return raw
       splits.groupBy(_._2.get).toSeq.sortBy(_._1).zipWithIndex.map {
         case ((b, fs), i) =>
-          BucketPartition(FilePartition(i, fs.map(_._1)), b)
+          val ordered = fs.map(_._1)
+            .sortBy(f => (f.filePath.toString, f.start))
+          BucketPartition(FilePartition(i, ordered), b)
       }.toArray[InputPartition]
     }
 
@@ -136,6 +151,28 @@ object GraftBucketedScan {
       new KeyGroupedPartitioning(
         Array(Expressions.bucket(nBuckets, keyCols: _*)),
         planInputPartitions().length)
+
+    /** Within one bucket partition the single base file is key-sorted
+      * by the writer (`sortWithinPartitions(_bucket, keys)` — `_bucket`
+      * constant inside a partition), so rows stream out ordered by the
+      * keys: ASC NULLS FIRST, the writer sort's defaults. Reported only
+      * when the manifest shows ≤1 file per scanned bucket (the
+      * compacted steady state); multi-file buckets concatenate sorted
+      * runs, which is NOT sorted. */
+    override def outputOrdering()
+        : Array[connector.expressions.SortOrder] =
+      sortCols.map(k => Expressions.sort(Expressions.column(k),
+        connector.expressions.SortDirection.ASCENDING)).toArray
+
+    /** Pass the delegate's size/row estimates through — hiding them
+      * would blind broadcast planning for every catalog scan. */
+    override def estimateStatistics(): Statistics = inner match {
+      case s: SupportsReportStatistics => s.estimateStatistics()
+      case _ => new Statistics {
+        override def sizeInBytes() = java.util.OptionalLong.empty()
+        override def numRows() = java.util.OptionalLong.empty()
+      }
+    }
 
     // runtime group filtering (row-level ops filter on `_bucket`)
     override def filterAttributes(): Array[NamedReference] = inner match {

@@ -116,6 +116,57 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  private def sorts(df: DataFrame): Int = {
+    df.collect()
+    var n = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case _: org.apache.spark.sql.execution.SortExec => n += 1
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case _ => ()
+      }
+      p.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    n
+  }
+
+  test("compacted tables (one file per bucket) also report ordering: " +
+      "the SPJ sort-merge join drops its sorts; a fragmented side " +
+      "brings them back — results exact either way") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS spj.db3")
+    spark.sql("""CREATE TABLE spj.db3.l (id BIGINT, v BIGINT)
+                 PARTITIONED BY (bucket(4, id))""")
+    spark.sql("""CREATE TABLE spj.db3.r (id BIGINT, w BIGINT)
+                 PARTITIONED BY (bucket(4, id))""")
+    (1L to 200L).map(i => (i, i)).toDF("id", "v")
+      .createOrReplaceTempView("src_l")
+    spark.sql("INSERT INTO spj.db3.l SELECT * FROM src_l")
+    spark.sql("INSERT INTO spj.db3.r SELECT id, id * 2 FROM src_l")
+    val q =
+      """SELECT l.id, l.v, r.w
+         FROM spj.db3.l l JOIN spj.db3.r r ON l.id = r.id"""
+    val want = (1L to 200L).map(i => (i, i, i * 2)).toSet
+    withSqlConf(spjConfs :+
+        ("spark.sql.sources.v2.bucketing.sorting.enabled" -> "true"): _*) {
+      val j = spark.sql(q)
+      assert(j.as[(Long, Long, Long)].collect().toSet == want)
+      assert(shuffles(j) == 0 && sorts(j) == 0,
+        s"one-file-per-bucket SPJ must drop sorts:\n${j.queryExecution}")
+      // fragment one side: a second file lands in its buckets → the
+      // ordering claim is withdrawn, sorts return, results stay exact
+      spark.sql("INSERT INTO spj.db3.r VALUES (201, 402)")
+      val j2 = spark.sql(q)
+      assert(j2.as[(Long, Long, Long)].collect().toSet == want)
+      assert(shuffles(j2) == 0, "fragmentation must not re-shuffle")
+      assert(sorts(j2) > 0,
+        "multi-file buckets are not sorted — the claim must be withdrawn")
+    }
+  }
+
   test("SPJ survives one side holding empty buckets (partition-value " +
       "push-down) and a rebucketed table re-aligns at the new count") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS spj.db2")
