@@ -167,6 +167,33 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("GROUP BY on the bucket keys aggregates without an exchange — " +
+      "the key-grouped report satisfies the aggregation's distribution") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS spj.db4")
+    spark.sql("""CREATE TABLE spj.db4.t (id BIGINT, v BIGINT)
+                 PARTITIONED BY (bucket(4, id))""")
+    (1L to 100L).map(i => (i % 20, i)).toDF("id", "v")
+      .createOrReplaceTempView("agg_src")
+    spark.sql("INSERT INTO spj.db4.t SELECT * FROM agg_src")
+    withSqlConf(spjConfs: _*) {
+      val df = spark.sql(
+        "SELECT id, SUM(v) AS s FROM spj.db4.t GROUP BY id")
+      val got = df.as[(Long, Long)].collect().toMap
+      val want = (1L to 100L).groupBy(_ % 20).map { case (k, vs) =>
+        k -> vs.sum }
+      assert(got == want)
+      assert(shuffles(df) == 0,
+        s"bucket-key aggregation must not exchange:\n${df.queryExecution}")
+    }
+    // conf explicitly off: the same aggregation pays its exchange
+    withSqlConf(("spark.sql.sources.v2.bucketing.enabled" -> "false") +:
+        spjConfs.tail: _*) {
+      val df = spark.sql(
+        "SELECT id, SUM(v) AS s FROM spj.db4.t GROUP BY id")
+      assert(shuffles(df) > 0)
+    }
+  }
+
   test("SPJ survives one side holding empty buckets (partition-value " +
       "push-down) and a rebucketed table re-aligns at the new count") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS spj.db2")

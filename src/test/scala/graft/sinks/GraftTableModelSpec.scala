@@ -166,9 +166,14 @@ class GraftTableModelSpec extends SparkSpec {
           check("truncate")
         case 8 => // data-identical maintenance: sometimes a z-order
           // rewrite first (degenerate 1-D curve — exercises the
-          // range-partitioned write path under random state)
+          // range-partitioned write path under random state), sometimes
+          // an adjacent-file merge (the layer-safe fragmentation pass)
+          // with a random per-run budget
           if (rnd.nextInt(2) == 0)
             t.clusterBy(spark, "id", "id", filesPerBucket = 2)
+          if (rnd.nextInt(2) == 0)
+            t.mergeAdjacentFiles(spark, targetBytes = 1L << 20,
+              maxCompactedFiles = 2 + rnd.nextInt(6))
           t.compact(spark, maxFiles = 1)
           t.vacuum(keep = 1)
           check("compact+vacuum")
