@@ -437,10 +437,11 @@ final class GraftSqlTable(val table: GraftTable, fullName: String,
     // predicates over any stats column, drop whole files before planning
     // (the row-group stats inside surviving files still apply on top)
     val stats = table.currentFileStats
+    val strStats = table.currentFileStrStats
     val built =
-      if (stats.nonEmpty && files.nonEmpty)
+      if ((stats.nonEmpty || strStats.nonEmpty) && files.nonEmpty)
         new org.apache.spark.sql.GraftFileSkippingBuilder(mk, files,
-          stats.get _)
+          stats.get _, strStats.get _)
       else mk(files)
     // storage-partitioned joins: report bucket(n, bucketCols) key-grouped
     // partitioning (one input partition per live bucket) so equi-joins of

@@ -175,7 +175,21 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
         * against a time-traveled snapshot hash with the count that
         * snapshot's writer used — a probe hashed with the wrong count
         * reads the wrong bucket and silently misses. */
-      nBucketsOverride: Option[Int] = None) {
+      nBucketsOverride: Option[Int] = None,
+      /** STRING-column data skipping (Iceberg truncate(16)-style): per
+        * file, per physical column, [lower, upper] bounds derived from
+        * the parquet footer — lower = min truncated to 16 chars (always
+        * a valid lower bound), upper = max truncated with the LAST CHAR
+        * INCREMENTED (a valid upper bound for every string sharing the
+        * prefix). Harvested ONLY when both footer bounds are pure ASCII:
+        * parquet orders string stats by unsigned UTF-8 bytes while Java
+        * compares UTF-16 code units — the orders agree on ASCII and can
+        * disagree past it, and a wrong bound is a wrong query. Absence =
+        * no skip, never wrong (non-ASCII corpora simply don't prune).
+        * Covers the dominant string-key shapes: doc ids, ULIDs, hex
+        * digests, URLs. */
+      fileStrStats: Map[String, Map[String, (String, String)]] =
+        Map.empty) {
     def allFiles: Seq[String] =
       (files.valuesIterator.flatten ++
         layers.iterator.flatMap(l =>
@@ -331,12 +345,18 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
           bucketMap(l \ "del"))
       }
     }
+    val strStats =
+      (j \ "fileStrStats")
+        .extractOrElse[Map[String, Map[String, List[String]]]](Map.empty)
+        .map { case (p, cs) => p -> cs.collect {
+          case (c, List(lo, hi)) => c -> (lo, hi) } }
     Manifest(v, (j \ "highWater").extract[String], files,
       (j \ "schema").extractOrElse[String](""),
       (j \ "committedAtMs").extractOrElse[Long](-1L),
       mapping, stats, layers,
       (j \ "sameData").extractOrElse[Boolean](false),
-      (j \ "nBuckets").extractOpt[Int])
+      (j \ "nBuckets").extractOpt[Int],
+      strStats)
   }
 
   /** Current logical → physical column mapping (empty = no renames). */
@@ -352,6 +372,16 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     currentManifest().map { m =>
       val toLogical = m.columnMapping.map(_.swap)
       m.fileStats.map { case (p, cs) =>
+        resolved(p) -> cs.map { case (c, r) =>
+          toLogical.getOrElse(c, c) -> r } }
+    }.getOrElse(Map.empty)
+
+  /** STRING-column twin of [[currentFileStats]]: per-file truncated
+    * [lower, upper] bounds keyed by RESOLVED path + LOGICAL name. */
+  def currentFileStrStats: Map[String, Map[String, (String, String)]] =
+    currentManifest().map { m =>
+      val toLogical = m.columnMapping.map(_.swap)
+      m.fileStrStats.map { case (p, cs) =>
         resolved(p) -> cs.map { case (c, r) =>
           toLogical.getOrElse(c, c) -> r } }
     }.getOrElse(Map.empty)
@@ -395,14 +425,21 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val m = {
       val live = m1.allFiles.toSet
       val prevStats = prev.map(_.fileStats).getOrElse(Map.empty)
-      val fresh = (live -- prevStats.keySet -- m1.fileStats.keySet)
+      val prevStrStats = prev.map(_.fileStrStats).getOrElse(Map.empty)
+      val fresh = (live -- prevStats.keySet -- prevStrStats.keySet --
+          m1.fileStats.keySet -- m1.fileStrStats.keySet)
         .take(GraftTable.MaxStatsFilesPerCommit)
       // stats-eligible columns only (DDL type pre-check): the schema DDL
-      // travels with the manifest, so e.g. a string leading key skips
-      // the footer reads entirely instead of opening every file to
-      // learn "no stats". Harvest keys are PHYSICAL names.
+      // travels with the manifest, so an ineligible-typed key skips the
+      // footer reads entirely instead of opening every file to learn
+      // "no stats". Harvest keys are PHYSICAL names; integral and
+      // string columns harvest into separate maps (long ranges vs
+      // truncated ASCII bounds).
       val eligible = statsCols
         .filter(c => GraftTable.statsEligible(m1.schemaDdl, c))
+        .map(c => m1.columnMapping.getOrElse(c, c))
+      val eligibleStr = statsCols
+        .filter(c => GraftTable.statsEligibleStr(m1.schemaDdl, c))
         .map(c => m1.columnMapping.getOrElse(c, c))
       val harvested =
         if (fresh.isEmpty || eligible.isEmpty)
@@ -410,8 +447,17 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
         else fresh.iterator.map(p =>
             p -> GraftTable.footerRanges(resolved(p), eligible))
           .filter(_._2.nonEmpty).toMap
-      m1.copy(fileStats = (prevStats ++ m1.fileStats ++ harvested)
-        .filter { case (p, _) => live(p) })
+      val harvestedStr =
+        if (fresh.isEmpty || eligibleStr.isEmpty)
+          Map.empty[String, Map[String, (String, String)]]
+        else fresh.iterator.map(p =>
+            p -> GraftTable.footerStrRanges(resolved(p), eligibleStr))
+          .filter(_._2.nonEmpty).toMap
+      m1.copy(
+        fileStats = (prevStats ++ m1.fileStats ++ harvested)
+          .filter { case (p, _) => live(p) },
+        fileStrStats = (prevStrStats ++ m1.fileStrStats ++ harvestedStr)
+          .filter { case (p, _) => live(p) })
     }
     val filesJson = m.files.toSeq.sortBy(_._1).map { case (b, fs) =>
       s""""$b":${fs.map(f => "\"" + f + "\"").mkString("[", ",", "]")}"""
@@ -437,12 +483,20 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
         s""""$p":${cs.toSeq.sorted.map { case (c, (lo, hi)) =>
           s""""$c":[$lo,$hi]""" }.mkString("{", ",", "}")}"""
       }.mkString(""","fileColStats":{""", ",", "}")
+    def jstr(s: String) =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val strStatsJson =
+      if (m.fileStrStats.isEmpty) ""
+      else m.fileStrStats.toSeq.sortBy(_._1).map { case (p, cs) =>
+        s""""$p":${cs.toSeq.sorted.map { case (c, (lo, hi)) =>
+          s""""$c":[${jstr(lo)},${jstr(hi)}]""" }.mkString("{", ",", "}")}"""
+      }.mkString(""","fileStrStats":{""", ",", "}")
     val sameJson = if (m.sameData) s""","sameData":true""" else ""
     val bucketsJson =
       m.nBucketsOverride.map(n => s""","nBuckets":$n""").getOrElse("")
     val body =
       s"""{"version":${m.version},"highWater":"${m.highWater}",""" +
-        s""""committedAtMs":${System.currentTimeMillis()}$mappingJson$statsJson$layersJson$sameJson$bucketsJson,""" +
+        s""""committedAtMs":${System.currentTimeMillis()}$mappingJson$statsJson$strStatsJson$layersJson$sameJson$bucketsJson,""" +
         s""""schema":"$schemaJson","files":$filesJson}"""
     val tmp = manifestDir.resolve(s".v${m.version}-${java.util.UUID.randomUUID()}.json.tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -637,6 +691,12 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
         m.copy(files = m.files.updatedWith(bucket)(_.map(_.filter(p =>
           m.fileStats.get(p).flatMap(_.get(head))
             .forall { case (lo, hi) => k >= lo && k <= hi }))))
+      case s: String if m.fileStrStats.nonEmpty =>
+        // string keys prune on the truncated [lower, upper] bounds
+        val head = m.columnMapping.getOrElse(keyCols.head, keyCols.head)
+        m.copy(files = m.files.updatedWith(bucket)(_.map(_.filter(p =>
+          m.fileStrStats.get(p).flatMap(_.get(head))
+            .forall { case (lo, hi) => s >= lo && s <= hi }))))
       case _ => m
     }
     keyCols.zip(typedLits).foldLeft(readBuckets(spark, pruned, Seq(bucket))) {
@@ -1794,7 +1854,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     // per-column bounds. Bounds arrive under LOGICAL names; stats are
     // keyed by the on-disk physical names — translate before the check.
     val conjuncts =
-      if (m.fileStats.isEmpty) Nil
+      if (m.fileStats.isEmpty && m.fileStrStats.isEmpty) Nil
       else readFiles(spark, m.allFiles, m.schemaDdl, m.columnMapping)
         .filter(cond).queryExecution.optimizedPlan.collect {
           case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
@@ -1802,10 +1862,16 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
         }
     val bounds = org.apache.spark.sql.GraftFileSkipping.bounds(conjuncts)
       .map { case (c, r) => m.columnMapping.getOrElse(c, c) -> r }
+    val sBounds = org.apache.spark.sql.GraftFileSkipping
+      .strBounds(conjuncts)
+      .map { case (c, r) => m.columnMapping.getOrElse(c, c) -> r }
     val candidates =
-      if (bounds.isEmpty) m.allFiles
-      else m.allFiles.filter(p => org.apache.spark.sql.GraftFileSkipping
-        .survives(m.fileStats.get(p), bounds))
+      if (bounds.isEmpty && sBounds.isEmpty) m.allFiles
+      else m.allFiles.filter(p =>
+        org.apache.spark.sql.GraftFileSkipping
+          .survives(m.fileStats.get(p), bounds) &&
+        org.apache.spark.sql.GraftFileSkipping
+          .survivesStr(m.fileStrStats.get(p), sBounds))
     if (candidates.isEmpty) return 0L
     val base = readFiles(spark, candidates, m.schemaDdl, m.columnMapping)
     val stats = base.filter(coalesce(cond, lit(false)))
@@ -1900,6 +1966,96 @@ object GraftTable {
           case _ => false
         })
     } catch { case scala.util.control.NonFatal(_) => true }
+  }
+
+  /** String-column twin of [[statsEligible]]: harvest truncated-bound
+    * stats only for STRING columns (the DDL is the authority; absent /
+    * unparseable DDL → try and let the footer decide). */
+  private[sinks] def statsEligibleStr(schemaDdl: String,
+      col: String): Boolean = {
+    if (schemaDdl == null || schemaDdl.isEmpty) return true
+    try {
+      import org.apache.spark.sql.types._
+      StructType.fromDDL(schemaDdl).find(_.name == col)
+        .forall(_.dataType == StringType)
+    } catch { case scala.util.control.NonFatal(_) => true }
+  }
+
+  /** Truncation length for string bounds — Iceberg's write.metadata
+    * truncate(16) default: long keys (URLs, paths) keep manifests
+    * compact while prefixes stay selective. */
+  val StrStatsTruncateChars = 16
+
+  /** A valid UPPER bound for every string with prefix `max take n`:
+    * truncate, then increment the last char (Iceberg
+    * truncateStringMax). None when no char in the prefix can increment
+    * within ASCII (all 0x7F) — the caller drops the column for that
+    * file. `max` itself must be ASCII (checked by the caller). */
+  private[sinks] def truncateUpper(max: String,
+      n: Int = StrStatsTruncateChars): Option[String] = {
+    if (max.length <= n) return Some(max)
+    val p = max.substring(0, n).toCharArray
+    var i = p.length - 1
+    while (i >= 0 && p(i) >= 0x7f.toChar) i -= 1
+    if (i < 0) None
+    else Some(new String(p, 0, i) + (p(i) + 1).toChar)
+  }
+
+  /** Printable ASCII only: parquet's unsigned-UTF-8-byte order and
+    * Java's UTF-16 order agree on ASCII, and the manifest JSON writer
+    * escapes quotes/backslashes but not raw control characters. */
+  private def isAscii(s: String): Boolean =
+    s.forall(c => c >= 0x20.toChar && c < 0x80.toChar)
+
+  /** Per-column [lower, upper] STRING bounds from a parquet footer —
+    * one footer read for all `cols`. A column appears only when every
+    * row group carries non-null binary statistics whose min AND max are
+    * pure ASCII (where parquet's unsigned-UTF-8-byte order and Java's
+    * UTF-16 order agree — a bound under the WRONG order would skip
+    * files that match). Lower = min truncated (always valid), upper =
+    * max truncated + last-char increment ([[truncateUpper]]). */
+  private[sinks] def footerStrRanges(path: String,
+      cols: Seq[String]): Map[String, (String, String)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import scala.jdk.CollectionConverters._
+    try {
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), footerConf)
+      val r = ParquetFileReader.open(in)
+      try {
+        val blocks = r.getFooter.getBlocks.asScala
+        cols.flatMap { col =>
+          val ranges = blocks.map { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == col)
+              .flatMap { c =>
+                val s = c.getStatistics
+                if (s == null || s.isEmpty || !s.hasNonNullValue) None
+                else (s.genericGetMin, s.genericGetMax) match {
+                  case (mn: Binary, mx: Binary) =>
+                    val lo = mn.toStringUsingUTF8
+                    val hi = mx.toStringUsingUTF8
+                    if (isAscii(lo) && isAscii(hi)) Some((lo, hi))
+                    else None
+                  case _ => None
+                }
+              }
+          }
+          if (ranges.isEmpty || ranges.exists(_.isEmpty)) None
+          else {
+            val lo = ranges.flatten.map(_._1).min
+              .take(StrStatsTruncateChars)
+            truncateUpper(ranges.flatten.map(_._2).max)
+              .map(hi => col -> (lo, hi))
+          }
+        }.toMap
+      } finally r.close()
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        Map.empty[String, (String, String)]
+    }
   }
 
   /** Total row count of a parquet file from its footer only — one local

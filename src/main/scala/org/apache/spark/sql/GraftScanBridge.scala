@@ -183,11 +183,108 @@ object GraftFileSkipping {
       bounds: Map[String, (Long, Long)]): Boolean =
     stats.forall(cs => bounds.forall { case (c, (lo, hi)) =>
       cs.get(c).forall { case (mn, mx) => hi >= mn && lo <= mx } })
+
+  // ------------------------------------------------- string intervals
+  // Query-side bounds for STRING columns: [lo, hi] with hi = None for
+  // unbounded above ("" is the natural unbounded-below). Strict
+  // comparisons widen to inclusive — conservative, like the long path.
+
+  private object LitStr {
+    import org.apache.spark.unsafe.types.UTF8String
+    def unapply(e: Expression): Option[String] = e match {
+      case l: Literal if l.dataType ==
+          org.apache.spark.sql.types.StringType => l.value match {
+        case u: UTF8String => Some(u.toString)
+        case s: String => Some(s)
+        case _ => None
+      }
+      case c: Cast if c.child.isInstanceOf[Literal] && c.foldable &&
+          c.dataType == org.apache.spark.sql.types.StringType =>
+        try c.eval(null) match {
+          case u: UTF8String => Some(u.toString)
+          case _ => None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      case _ => None
+    }
+  }
+
+  def strIntervals(e: Expression)
+      : Map[String, (String, Option[String])] = {
+    def nameOf(a: Expression): Option[String] = a match {
+      case r: AttributeReference => Some(r.name)
+      case u: UnresolvedAttribute => Some(u.name)
+      case _ => None
+    }
+    def one(a: Expression, r: (String, Option[String]))
+        : Map[String, (String, Option[String])] =
+      nameOf(a).map(_ -> r).toMap
+    e match {
+      case CAnd(l, r) => strMeet(strIntervals(l), strIntervals(r))
+      case EqualTo(a, LitStr(v)) => one(a, (v, Some(v)))
+      case EqualTo(LitStr(v), a) => one(a, (v, Some(v)))
+      case GreaterThan(a, LitStr(v)) => one(a, (v, None))
+      case GreaterThanOrEqual(a, LitStr(v)) => one(a, (v, None))
+      case LessThan(a, LitStr(v)) => one(a, ("", Some(v)))
+      case LessThanOrEqual(a, LitStr(v)) => one(a, ("", Some(v)))
+      case GreaterThan(LitStr(v), a) => one(a, ("", Some(v)))
+      case GreaterThanOrEqual(LitStr(v), a) => one(a, ("", Some(v)))
+      case LessThan(LitStr(v), a) => one(a, (v, None))
+      case LessThanOrEqual(LitStr(v), a) => one(a, (v, None))
+      case In(a, ls) =>
+        val vs = ls.flatMap(LitStr.unapply)
+        if (vs.size == ls.size && vs.nonEmpty)
+          one(a, (vs.min, Some(vs.max)))
+        else Map.empty
+      case InSet(a, vs) if vs.nonEmpty =>
+        val ss = vs.toSeq.flatMap {
+          case u: org.apache.spark.unsafe.types.UTF8String =>
+            Some(u.toString)
+          case s: String => Some(s)
+          case _ => None
+        }
+        if (ss.size == vs.size) one(a, (ss.min, Some(ss.max)))
+        else Map.empty
+      case _ => Map.empty
+    }
+  }
+
+  def strMeet(x: Map[String, (String, Option[String])],
+      y: Map[String, (String, Option[String])])
+      : Map[String, (String, Option[String])] =
+    (x.keySet ++ y.keySet).map { k =>
+      (x.get(k), y.get(k)) match {
+        case (Some((a, b)), Some((c, d))) =>
+          val hi = (b, d) match {
+            case (Some(p), Some(q)) => Some(if (p < q) p else q)
+            case (p, q) => p.orElse(q)
+          }
+          k -> (if (a > c) a else c, hi)
+        case (v, w) => k -> v.orElse(w).get
+      }
+    }.toMap
+
+  def strBounds(conjuncts: Seq[Expression])
+      : Map[String, (String, Option[String])] =
+    conjuncts.map(strIntervals)
+      .foldLeft(Map.empty[String, (String, Option[String])])(strMeet)
+
+  /** File string stats are INCLUSIVE bounds (lower = truncated min ≤
+    * every value; upper = truncated-incremented max ≥ every value), so
+    * a file is skippable only when the query interval lies strictly
+    * outside. Missing stats/columns ⇒ keep. */
+  def survivesStr(stats: Option[Map[String, (String, String)]],
+      bounds: Map[String, (String, Option[String])]): Boolean =
+    stats.forall(cs => bounds.forall { case (c, (qLo, qHi)) =>
+      cs.get(c).forall { case (fLo, fUp) =>
+        qHi.forall(_ >= fLo) && qLo <= fUp }
+    })
 }
 
 final class GraftFileSkippingBuilder(
     mk: Seq[String] => ScanBuilder, allFiles: Seq[String],
-    statsOf: String => Option[Map[String, (Long, Long)]])
+    statsOf: String => Option[Map[String, (Long, Long)]],
+    strStatsOf: String => Option[Map[String, (String, String)]] =
+      _ => None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownCatalystFilters {
@@ -219,9 +316,12 @@ final class GraftFileSkippingBuilder(
 
   override def build(): Scan = {
     val bounds = GraftFileSkipping.bounds(pushed)
+    val sBounds = GraftFileSkipping.strBounds(pushed)
     val keep =
-      if (bounds.isEmpty) allFiles
-      else allFiles.filter(p => GraftFileSkipping.survives(statsOf(p), bounds))
+      if (bounds.isEmpty && sBounds.isEmpty) allFiles
+      else allFiles.filter(p =>
+        GraftFileSkipping.survives(statsOf(p), bounds) &&
+        GraftFileSkipping.survivesStr(strStatsOf(p), sBounds))
     if (keep.size == allFiles.size) probe.build()
     else {
       val survivors = if (keep.nonEmpty) keep else allFiles.take(1)

@@ -398,6 +398,82 @@ class GraftCatalogSpec extends SparkSpec {
     assert(r3.size == 100 && f3.distinct.size == 3)
   }
 
+  test("data skipping on STRING keys: truncated ASCII bounds prune " +
+      "files; non-ASCII keys harvest nothing but stay correct") {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.skipstr")
+    spark.sql("""CREATE TABLE cat.skipstr.t (doc_id STRING, v STRING)
+                 PARTITIONED BY (bucket(1, doc_id))""")
+    // three commits with doc-id ranges distinguishable INSIDE the
+    // 16-char truncation window; full ids are >16 chars so the
+    // truncated bounds are what actually prunes
+    spark.sql("""INSERT INTO cat.skipstr.t
+      SELECT concat('corpus-a-2024-doc-', lpad(CAST(id AS STRING), 4, '0')),
+             'a' FROM range(0, 100)""")
+    spark.sql("""INSERT INTO cat.skipstr.t
+      SELECT concat('corpus-m-2024-doc-', lpad(CAST(id AS STRING), 4, '0')),
+             'b' FROM range(0, 100)""")
+    spark.sql("""INSERT INTO cat.skipstr.t
+      SELECT concat('corpus-x-2024-doc-', lpad(CAST(id AS STRING), 4, '0')),
+             'c' FROM range(0, 100)""")
+    def scanned(sql: String): (Int, Long) = {
+      val df = spark.sql(sql)
+      val n = df.count()
+      val files = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.collect {
+            case f: FilePartition =>
+              f.files.map(_.urlEncodedPath).toSeq
+            case g: org.apache.spark.sql.GraftBucketedScan.BucketPartition =>
+              g.fp.files.map(_.urlEncodedPath).toSeq
+          }.flatten
+      }.flatten
+      (files.distinct.size, n)
+    }
+    // point query: only the middle file's [lower, upper] contains the key
+    val (f1, n1) = scanned("""SELECT * FROM cat.skipstr.t
+      WHERE doc_id = 'corpus-m-2024-doc-0042'""")
+    assert(n1 == 1 && f1 == 1, s"string point query must scan 1 file: $f1")
+    // range query spanning two prefix groups
+    val (f2, n2) = scanned("""SELECT * FROM cat.skipstr.t
+      WHERE doc_id >= 'corpus-m' AND doc_id < 'corpus-y'""")
+    assert(n2 == 200 && f2 == 2, s"string range must scan 2 files: $f2")
+    // no doc_id predicate → all files
+    val (f3, n3) = scanned("SELECT * FROM cat.skipstr.t WHERE v = 'c'")
+    assert(n3 == 100 && f3 == 3)
+
+    // non-ASCII keys: no bounds harvested (parquet byte order and Java
+    // order can disagree past ASCII) — queries scan everything, stay right
+    spark.sql("""CREATE TABLE cat.skipstr.u (doc_id STRING, v STRING)
+                 PARTITIONED BY (bucket(1, doc_id))""")
+    spark.sql("INSERT INTO cat.skipstr.u VALUES ('docü-1', 'x')")
+    spark.sql("INSERT INTO cat.skipstr.u VALUES ('docü-2', 'y')")
+    val t = graft.sinks.GraftTable.open(s"$root/skipstr/u")
+    assert(t.currentFileStrStats.isEmpty,
+      "non-ASCII bounds must not be harvested")
+    val (f4, n4) = scanned(
+      "SELECT * FROM cat.skipstr.u WHERE doc_id = 'docü-2'")
+    assert(n4 == 1 && f4 == 2, "no stats → all files scanned, result right")
+  }
+
+  test("string-keyed point lookup prunes the bucket's file list on the " +
+      "truncated bounds") {
+    import graft.sinks.GraftTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-strlookup").toString
+    val t = new GraftTable(root, Seq("doc_id"), nBuckets = 1)
+    import spark.implicits._
+    t.overwrite((0 until 50).map(i =>
+      (f"shard-a-doc-$i%04d-of-corpus", i)).toDF("doc_id", "v"))
+    t.append((0 until 50).map(i =>
+      (f"shard-q-doc-$i%04d-of-corpus", i)).toDF("doc_id", "v"))
+    val hit = t.lookup(spark, Seq("shard-q-doc-0007-of-corpus"))
+    assert(hit.as[(String, Int)].collect().toSeq ==
+      Seq(("shard-q-doc-0007-of-corpus", 7)))
+    assert(hit.inputFiles.length == 1,
+      s"lookup must prune to 1 file, read ${hit.inputFiles.length}")
+  }
+
   test("data skipping on a SECONDARY stats column (stats.cols property)") {
     import org.apache.spark.sql.execution.datasources.FilePartition
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.skip2")

@@ -64,4 +64,61 @@ class FileSkippingSpec extends SparkSpec {
     val b = bounds(lit(10L) <= col("k") && lit(20L) > col("k"))
     assert(b("k") == ((10L, 20L)))
   }
+
+  // ------------------------------------------------- string intervals
+
+  private def strBounds(c: Column): Map[String, (String, Option[String])] = {
+    val conjuncts = table.filter(c).queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }
+    GraftFileSkipping.strBounds(conjuncts)
+  }
+
+  test("string equality/range/IN produce bounds; meet intersects") {
+    assert(strBounds(col("name") === "doc-42")("name") ==
+      (("doc-42", Some("doc-42"))))
+    val b = strBounds(col("name") >= "b" && col("name") < "f")
+    assert(b("name") == (("b", Some("f"))))
+    assert(strBounds(col("name").isin("m", "c", "x"))("name") ==
+      (("c", Some("x"))))
+    // long predicates never leak into string bounds and vice versa
+    assert(strBounds(col("k") === 5L).isEmpty)
+    assert(bounds(col("name") === "x").isEmpty)
+  }
+
+  test("survivesStr: disjoint prunes, overlap / missing stats keep, " +
+      "truncated-inclusive bounds are honored") {
+    val b = strBounds(col("name") === "doc-500")
+    assert(!GraftFileSkipping.survivesStr(
+      Some(Map("name" -> (("doc-000", "doc-499")))), b))
+    assert(GraftFileSkipping.survivesStr(
+      Some(Map("name" -> (("doc-400", "doc-999")))), b))
+    assert(GraftFileSkipping.survivesStr(None, b))
+    assert(GraftFileSkipping.survivesStr(Some(Map.empty), b))
+    // file bounds are inclusive: a query exactly at the upper bound keeps
+    assert(GraftFileSkipping.survivesStr(
+      Some(Map("name" -> (("a", "doc-500")))), b))
+    // unbounded-above query interval: > "zz" widens to >= "zz"
+    val gt = strBounds(col("name") > "zz")
+    assert(!GraftFileSkipping.survivesStr(
+      Some(Map("name" -> (("a", "m")))), gt))
+    assert(GraftFileSkipping.survivesStr(
+      Some(Map("name" -> (("a", "zz")))), gt))
+  }
+
+  test("truncateUpper: pass-through, increment, walk-back, overflow") {
+    import GraftTable.truncateUpper
+    assert(truncateUpper("short") == Some("short"))
+    assert(truncateUpper("abcdefghijklmnopXYZ") == Some("abcdefghijklmnoq"))
+    // last truncated char is 0x7E '~' → increments to 0x7F
+    assert(truncateUpper("abcdefghijklmno~Z") ==
+      Some("abcdefghijklmno" + 0x7f.toChar))
+    // 0x7F chars walk back to the first incrementable one
+    val del = 0x7f.toChar
+    assert(truncateUpper("ab" + del.toString * 15) ==
+      Some("ac"))
+    // nothing incrementable → no upper bound
+    assert(truncateUpper(del.toString * 17).isEmpty)
+  }
 }
