@@ -57,7 +57,29 @@ object GraftBucketedScan {
   private final class BucketedBuilder(inner: ScanBuilder, nBuckets: Int,
       keyCols: Seq[String], sortCols: Seq[String]) extends ScanBuilder
       with SupportsPushDownRequiredColumns
-      with SupportsPushDownCatalystFilters {
+      with SupportsPushDownCatalystFilters
+      with connector.read.SupportsPushDownAggregates {
+    // aggregate pushdown (COUNT/MIN/MAX answered from parquet footers,
+    // spark.sql.parquet.aggregatePushDown): forward to the delegate —
+    // but a pushed aggregation changes the scan's rows to per-file
+    // aggregates that carry NO key columns, so the bucket partitioning
+    // and ordering claims no longer describe them; build() then returns
+    // the delegate scan unwrapped.
+    private var aggPushed = false
+    override def supportCompletePushDown(
+        agg: connector.expressions.aggregate.Aggregation): Boolean =
+      inner match {
+        case s: connector.read.SupportsPushDownAggregates =>
+          s.supportCompletePushDown(agg)
+        case _ => false
+      }
+    override def pushAggregation(
+        agg: connector.expressions.aggregate.Aggregation): Boolean =
+      inner match {
+        case s: connector.read.SupportsPushDownAggregates =>
+          aggPushed = s.pushAggregation(agg); aggPushed
+        case _ => false
+      }
     override def pruneColumns(requiredSchema: StructType): Unit =
       inner match {
         case s: SupportsPushDownRequiredColumns =>
@@ -76,7 +98,8 @@ object GraftBucketedScan {
       case _ => Array.empty
     }
     override def build(): Scan =
-      new BucketedScan(inner.build(), nBuckets, keyCols, sortCols)
+      if (aggPushed) inner.build()
+      else new BucketedScan(inner.build(), nBuckets, keyCols, sortCols)
   }
 
   private val BucketDir = ".*[/\\\\]_bucket=(\\d+)[/\\\\].*".r

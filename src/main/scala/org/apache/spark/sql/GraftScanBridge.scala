@@ -287,11 +287,14 @@ final class GraftFileSkippingBuilder(
       _ => None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownCatalystFilters {
+    with SupportsPushDownCatalystFilters
+    with connector.read.SupportsPushDownAggregates {
 
   private val probe = mk(allFiles)
   private var prunedSchema: Option[StructType] = None
   private var pushed: Seq[Expression] = Nil
+  private var pushedAgg: Option[connector.expressions.aggregate.Aggregation] =
+    None
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     prunedSchema = Some(requiredSchema)
@@ -300,6 +303,26 @@ final class GraftFileSkippingBuilder(
       case _ => ()
     }
   }
+
+  // aggregate pushdown passthrough (footer-only COUNT/MIN/MAX): record
+  // for the rebuilt-survivors replay — manifest-level file skipping and
+  // footer aggregation COMPOSE (fewer files, each answered from its
+  // footer)
+  override def supportCompletePushDown(
+      agg: connector.expressions.aggregate.Aggregation): Boolean =
+    probe match {
+      case s: connector.read.SupportsPushDownAggregates =>
+        s.supportCompletePushDown(agg)
+      case _ => false
+    }
+  override def pushAggregation(
+      agg: connector.expressions.aggregate.Aggregation): Boolean =
+    probe match {
+      case s: connector.read.SupportsPushDownAggregates
+          if s.pushAggregation(agg) =>
+        pushedAgg = Some(agg); true
+      case _ => false
+    }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     pushed = filters
@@ -326,13 +349,20 @@ final class GraftFileSkippingBuilder(
     else {
       val survivors = if (keep.nonEmpty) keep else allFiles.take(1)
       val b = mk(survivors)
+      // replay the pushdown dialogue in Spark's own order:
+      // filters → aggregation → column pruning
+      b match {
+        case s: SupportsPushDownCatalystFilters => s.pushFilters(pushed)
+        case _ => ()
+      }
+      (b, pushedAgg) match {
+        case (s: connector.read.SupportsPushDownAggregates, Some(a)) =>
+          s.pushAggregation(a)
+        case _ => ()
+      }
       (b, prunedSchema) match {
         case (s: SupportsPushDownRequiredColumns, Some(sch)) =>
           s.pruneColumns(sch)
-        case _ => ()
-      }
-      b match {
-        case s: SupportsPushDownCatalystFilters => s.pushFilters(pushed)
         case _ => ()
       }
       b.build()

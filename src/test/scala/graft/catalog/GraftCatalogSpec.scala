@@ -398,6 +398,30 @@ class GraftCatalogSpec extends SparkSpec {
     assert(r3.size == 100 && f3.distinct.size == 3)
   }
 
+  test("aggregate pushdown reaches the parquet footers through the " +
+      "wrapper chain (COUNT/MIN/MAX without reading data)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.aggpd")
+    spark.sql("""CREATE TABLE cat.aggpd.t (id BIGINT, v DOUBLE)
+                 PARTITIONED BY (bucket(4, id))""")
+    spark.sql("INSERT INTO cat.aggpd.t SELECT id, id * 0.5 FROM range(1000)")
+    withSqlConf("spark.sql.parquet.aggregatePushdown" -> "true") {
+      val c = spark.sql("SELECT COUNT(*) FROM cat.aggpd.t")
+      assert(c.as[Long].head() == 1000L)
+      val cPlan = c.queryExecution.executedPlan.toString
+      assert(cPlan.contains("PushedAggregation: [COUNT(*)]"),
+        s"COUNT must be answered from footers:\n$cPlan")
+      val mm = spark.sql("SELECT MIN(id), MAX(id) FROM cat.aggpd.t")
+      assert(mm.as[(Long, Long)].head() == ((0L, 999L)))
+      assert(mm.queryExecution.executedPlan.toString
+        .contains("PushedAggregation: [MIN(id), MAX(id)]"))
+      // a data filter disables the pushdown — results stay right
+      val f = spark.sql("SELECT COUNT(*) FROM cat.aggpd.t WHERE v > 100")
+      assert(f.as[Long].head() == 799L)
+      assert(!f.queryExecution.executedPlan.toString
+        .contains("PushedAggregation: [COUNT(*)]"))
+    }
+  }
+
   test("data skipping on STRING keys: truncated ASCII bounds prune " +
       "files; non-ASCII keys harvest nothing but stay correct") {
     import org.apache.spark.sql.execution.datasources.FilePartition
