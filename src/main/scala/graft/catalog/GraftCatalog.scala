@@ -46,9 +46,26 @@ import graft.sinks.GraftTable
   * the optimistic-concurrency manifest publish.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog with ProcedureCatalog {
   private var catalogName: String = _
   private var root: String = _
+
+  // ---------------------------------------------------------- procedures
+  /** Maintenance as SQL stored procedures under `system` — see
+    * [[GraftProcedures]] (lease-gated compact / merge_adjacent_files /
+    * collapse_layers / vacuum / rebucket / zorder). */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    (if (ident.namespace().sameElements(Array("system")))
+       GraftProcedures.load(ident.name(), root)
+     else None).getOrElse(throw new RuntimeException(
+      s"procedure not found: $catalogName.${ident.namespace()
+        .mkString(".")}.${ident.name()}"))
 
   // ----------------------------------------------------------- functions
   /** The one catalog function: `bucket` — resolved by Spark's SPJ
