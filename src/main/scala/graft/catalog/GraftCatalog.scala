@@ -117,7 +117,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     isTableDir(dirOf(ident))
 
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    if (!tableExists(ident)) {
+      // metadata tables (Iceberg shape): `db.t.snapshots` arrives as
+      // Identifier(["db","t"], "snapshots") — serve it when the PARENT
+      // is a real table and the trailing name is a known meta view
+      val ns = ident.namespace()
+      if (ns.nonEmpty && GraftMetaTables.Names(ident.name())) {
+        val parent = Identifier.of(ns.dropRight(1), ns.last)
+        if (tableExists(parent))
+          return GraftMetaTables(
+            GraftTable.open(dirOf(parent).toString), ident.name(),
+            (catalogName +: (ns :+ ident.name())).mkString("."))
+      }
+      throw new NoSuchTableException(ident)
+    }
     new GraftSqlTable(GraftTable.open(dirOf(ident).toString),
       (catalogName +: (ident.namespace() :+ ident.name())).mkString("."))
   }
