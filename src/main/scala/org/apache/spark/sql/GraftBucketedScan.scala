@@ -37,6 +37,11 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   * `bucket(n, keys)` = `pmod(hash(keys), n)`, exactly
   * [[GraftBucketFunction]]. Pushdown, column pruning, runtime group
   * filtering and the vectorized readers all pass through untouched.
+  *
+  * Known Spark limitation (pinned by a spec): V2ExpressionUtils
+  * resolves only SINGLE-reference bucket transforms, so the report is
+  * exploited for one-column bucket keys; multi-column keys report
+  * truthfully but join shuffled until Spark lifts the restriction.
   */
 object GraftBucketedScan {
   /** Wrap `inner` so its scan reports bucket(n, keyCols) key-grouped
