@@ -29,7 +29,8 @@ import graft.sinks.GraftTable
   * never a data scan. Time-travel discovery (`VERSION AS OF` targets)
   * reads `snapshots`; maintenance triggers read `files`/`layers`. */
 object GraftMetaTables {
-  val Names: Set[String] = Set("snapshots", "files", "layers")
+  val Names: Set[String] = Set("snapshots", "files", "layers",
+    "partitions")
 
   def apply(t: GraftTable, which: String, fullName: String): Table =
     new MetaTable(t, which, fullName)
@@ -61,6 +62,12 @@ object GraftMetaTables {
         StructField("bytes", LongType, nullable = false),
         StructField("kind", StringType, nullable = false),
         StructField("layer_version", LongType)))
+      case "partitions" => StructType(Seq(
+        StructField("bucket", IntegerType, nullable = false),
+        StructField("files", IntegerType, nullable = false),
+        StructField("bytes", LongType, nullable = false),
+        StructField("layer_files", IntegerType, nullable = false),
+        StructField("layer_bytes", LongType, nullable = false)))
       case _ => StructType(Seq(
         StructField("version", LongType, nullable = false),
         StructField("upsert_files", IntegerType, nullable = false),
@@ -100,6 +107,20 @@ object GraftMetaTables {
             new GenericInternalRow(Array[Any](
               b, UTF8String.fromString(f), sz(t, f),
               UTF8String.fromString(kind), lv)): InternalRow
+          }
+        }.toArray
+      case "partitions" =>
+        // per-bucket footprint — the skew-diagnosis view: a bucket far
+        // above the median is a rebucket/salting candidate
+        t.currentVersion.map(t.readManifest).toSeq.flatMap { m =>
+          val layered = m.layers.flatMap(l =>
+            (l.ups.toSeq ++ l.del.toSeq)).groupBy(_._1)
+          (m.files.keySet ++ layered.keySet).toSeq.sorted.map { b =>
+            val base = m.files.getOrElse(b, Nil)
+            val lfs = layered.getOrElse(b, Nil).flatMap(_._2)
+            new GenericInternalRow(Array[Any](
+              b, base.size, base.map(sz(t, _)).sum,
+              lfs.size, lfs.map(sz(t, _)).sum)): InternalRow
           }
         }.toArray
       case _ =>

@@ -59,6 +59,16 @@ class GraftMetaTablesSpec extends SparkSpec {
       .as[(Long, Int, Int)].collect().toSeq
     assert(layers.size == 1 && layers.head._2 >= 1 && layers.head._3 >= 1)
 
+    // partitions: per-bucket footprint, base vs layer split
+    val parts = spark.sql(
+      "SELECT bucket, files, bytes, layer_files, layer_bytes " +
+      "FROM mc.db.m.partitions ORDER BY bucket")
+      .as[(Int, Int, Long, Int, Long)].collect().toSeq
+    assert(parts.map(_._1) == Seq(0, 1))
+    assert(parts.forall(p => p._2 >= 1 && p._3 > 0L))
+    assert(parts.map(_._4).sum >= 2 && parts.map(_._5).sum > 0L,
+      "layer files must attribute to their buckets")
+
     // vacuum: snapshots reflects expiry; a real table named like a meta
     // view still resolves as data (existence wins over the meta suffix)
     GraftTable.open(s"$root/db/t").vacuum(1)
