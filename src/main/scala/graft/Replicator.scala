@@ -30,6 +30,13 @@ import graft.sinks.{CdcSink, ChangelogSink, CurrentStateSink, ExactlyOnceSink, N
   *   source.sslrootcert = /path/ca.pem        # trust anchors (verify-ca)
   *   destination = current_state | changelog | jdbc | null
   *   destination.url = jdbc:…                  # jdbc mode: engine URL
+  *   destination.mergeOnRead = true           # delta-layer writes
+  *   destination.morMinAffectedBytes = 67108864  # CoW↔MoR crossover
+  *   maintenance.everyBatches = 16            # in-process policy timer
+  *   maintenance.{maxFilesPerBucket, keepVersions, minIntervalMs,
+  *     maxPauseMs, minLayerBytes, deleteThreshold, targetFileSizeBytes,
+  *     maxCompactedFiles, minActiveDataFiles, maxTablesPerRun,
+  *     rebucketAboveBytes}                    # MaintenancePolicy knobs
   *   exactlyOnce = true                       # batchId txn ledger wrapper
   *   backfill.<tableName> = <parquet path>    # optional initial snapshots
   *   drain = true                             # process available + exit
@@ -78,7 +85,32 @@ object Replicator {
       case "current_state" => new CurrentStateSink(s"$work/tables",
         name => registry.tables.flatMap(registry.latest)
           .find(_.tableName == name).map(_.primaryKey)
-          .getOrElse(Seq("id")))
+          .getOrElse(Seq("id")),
+        // destination.mergeOnRead = true: destination tables absorb
+        // small CDC batches as delta layers (no bucket rewrites); the
+        // maintenance policy's triggers govern the collapse cadence.
+        // Policy knobs are config-exposed with MaintenancePolicy's own
+        // defaults (0 batches = in-process maintenance off).
+        maintenance = graft.sinks.MaintenancePolicy(
+          everyBatches = get("maintenance.everyBatches", "0").toInt,
+          maxFilesPerBucket = get("maintenance.maxFilesPerBucket", "4").toInt,
+          keepVersions = get("maintenance.keepVersions", "2").toInt,
+          minIntervalMs = get("maintenance.minIntervalMs", "0").toLong,
+          maxPauseMs = get("maintenance.maxPauseMs", "60000").toLong,
+          minLayerBytes = get("maintenance.minLayerBytes", "0").toLong,
+          deleteThreshold = get("maintenance.deleteThreshold", "0.5").toDouble,
+          targetFileSizeBytes =
+            get("maintenance.targetFileSizeBytes", "0").toLong,
+          maxCompactedFiles = get("maintenance.maxCompactedFiles", "40").toInt,
+          minActiveDataFiles =
+            get("maintenance.minActiveDataFiles", "0").toInt,
+          maxTablesPerRun = get("maintenance.maxTablesPerRun", "8").toInt,
+          rebucketAboveBytes = get("maintenance.rebucketAboveBytes",
+            Long.MaxValue.toString).toLong),
+        mergeOnRead = get("destination.mergeOnRead", "false").toBoolean,
+        morMinAffectedBytes = get("destination.morMinAffectedBytes",
+          graft.sinks.GraftTable.MorMinAffectedBytesDefault.toString)
+          .toLong)
       case "changelog" => new ChangelogSink(s"$work/changelog")
       // external SQL engine over JDBC (the reference's warehouse
       // destinations): genuine INSERT/MERGE with the replay cursor

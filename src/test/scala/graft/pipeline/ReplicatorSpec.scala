@@ -89,6 +89,49 @@ class ReplicatorSpec extends SparkSpec {
       .lastCommitted("spec") >= 0L)
   }
 
+  test("merge-on-read destination via config: CDC batches land as delta " +
+      "layers; maintenance knobs flow through") {
+    val work = Files.createTempDirectory("graft-repl-mor").toString
+    val reg = new SchemaRegistry
+    reg.put(TableSchemaV(1L, "users", 0L, IndexedSeq(
+      ColumnSpec("id", "int8", nullable = false, pkOrdinal = 1),
+      ColumnSpec("name", "text"))))
+    reg.save(s"$work/schemas.json")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.parquet(s"$work/snapshot")
+    Files.write(Paths.get(s"$work/wal.log"), Seq(
+      CdcLogSource.renderLine("U", 1L, 1L, 1L, 0L, 0L,
+        Some("""{"id":1}"""), Some("""{"id":1,"name":"a2"}""")),
+      CdcLogSource.renderLine("I", 1L, 2L, 3L, 0L, 0L, None,
+        Some("""{"id":3,"name":"c"}""")))
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    // MoR destination, admission floor 0 (always layer), maintenance
+    // timer ON but collapse triggers OFF — the layers must survive
+    val cfg = s"""
+      |pipeline.id = morspec
+      |pipeline.workdir = $work
+      |destination = current_state
+      |destination.mergeOnRead = true
+      |destination.morMinAffectedBytes = 0
+      |maintenance.everyBatches = 1
+      |maintenance.minLayerBytes = 1073741824
+      |maintenance.deleteThreshold = 0.99
+      |backfill.users = $work/snapshot
+      |drain = true
+      |""".stripMargin
+    Files.write(Paths.get(s"$work/pipeline.properties"),
+      cfg.getBytes(StandardCharsets.UTF_8))
+
+    graft.Replicator.main(Array(s"$work/pipeline.properties"))
+
+    val t = graft.sinks.GraftTable.open(s"$work/tables/users")
+    assert(t.read(spark).select("id", "name")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a2"), (2L, "b"), (3L, "c")))
+    assert(t.layerPressure.layers >= 1,
+      "the CDC merge must have landed as a delta layer")
+  }
+
   test("jdbc destination: config → backfill → stream → external engine") {
     val work = Files.createTempDirectory("graft-repl-jdbc").toString
     val reg = new SchemaRegistry
