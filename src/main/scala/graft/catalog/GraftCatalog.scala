@@ -426,9 +426,18 @@ final class GraftSqlTable(val table: GraftTable, fullName: String,
 
   override def properties(): java.util.Map[String, String] = {
     val extra = table.statsCols.drop(1)
+    // live snapshot facts beside the identity: DESCRIBE EXTENDED shows
+    // the current version, replay mark and outstanding MoR layer count
+    // without any data access (driver-side manifest read)
+    val snap = table.currentVersion.map { v =>
+      val m = table.readManifest(v)
+      Map("current.version" -> v.toString,
+        "high.water" -> m.highWater,
+        "layers" -> m.layers.size.toString)
+    }.getOrElse(Map.empty)
     (Map("keys" -> table.keyCols.mkString(","),
       "buckets" -> table.currentNBuckets.toString,
-      "provider" -> "graft") ++
+      "provider" -> "graft") ++ snap ++
       (if (extra.isEmpty) Map.empty
        else Map("stats.cols" -> extra.mkString(",")))).asJava
   }
