@@ -501,8 +501,15 @@ final class GraftSqlTable(val table: GraftTable, fullName: String,
       val sortCols =
         if (byBucket.valuesIterator.forall(_.size <= 1)) table.keyCols
         else Nil
+      // the REPORTED bucket count must be the one the scanned files
+      // were laid out with: a pinned pre-rebucket snapshot hashes
+      // bucket(oldN, keys) — claiming currentNBuckets over it would let
+      // SPJ match partition values across incompatible layouts and
+      // silently drop join rows
+      val nb = pinnedVersion.map(table.nBucketsOf)
+        .getOrElse(table.currentNBuckets)
       org.apache.spark.sql.GraftBucketedScan.builder(built,
-        table.currentNBuckets, table.bucketCols, sortCols)
+        nb, table.bucketCols, sortCols)
     }
   }
 

@@ -242,12 +242,14 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * `tsMillis` (catalog `TIMESTAMP AS OF`): manifest files are written
     * once and never touched, so their mtime IS the commit time. */
   def versionAsOfTimestamp(tsMillis: Long): Option[Long] =
-    versions.filter { v =>
-      val m = readManifest(v)
-      val at = if (m.committedAtMs >= 0) m.committedAtMs
-               else Files.getLastModifiedTime(manifestPath(v)).toMillis
-      at <= tsMillis
-    }.lastOption
+    withManifestRetry {
+      versions.filter { v =>
+        val m = readManifest(v)
+        val at = if (m.committedAtMs >= 0) m.committedAtMs
+                 else Files.getLastModifiedTime(manifestPath(v)).toMillis
+        at <= tsMillis
+      }.lastOption
+    }
 
   /** Manifest file entries are root-relative (rename/move-safe);
     * pre-upgrade manifests hold absolute paths — both resolve here. */
@@ -305,7 +307,32 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   def currentVersion: Option[Long] = versions.lastOption
 
   private[sinks] def currentManifest(): Option[Manifest] =
-    currentVersion.map(readManifest)
+    // list-then-open tolerant of a concurrent vacuum: manifests are
+    // immutable, so a NoSuchFileException can only mean the listed
+    // version was expired between the listing and the open — the
+    // CURRENT version is never expired, so re-listing always converges
+    withManifestRetry { currentVersion.map(readManifest) }
+
+  /** Re-run `body` when a manifest it listed vanished underneath it (a
+    * concurrent vacuum expired the version between list and open).
+    * Manifests are write-once, so the exception has exactly one cause
+    * and a recompute from a fresh listing is always correct; bounded so
+    * a genuinely corrupt table still surfaces the error. `body` must be
+    * read-only or idempotent (every maintenance op is: deletes are
+    * deleteIfExists, commits CAS on the version number). */
+  private[sinks] def withManifestRetry[T](body: => T): T = {
+    var attempts = 0
+    while (true) {
+      try return body
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          attempts += 1
+          if (attempts >= 8) throw e
+          Thread.sleep(5L * attempts)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   private[graft] def readManifest(v: Long): Manifest = {
     val s = new String(Files.readAllBytes(manifestPath(v)),
@@ -426,9 +453,16 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       val live = m1.allFiles.toSet
       val prevStats = prev.map(_.fileStats).getOrElse(Map.empty)
       val prevStrStats = prev.map(_.fileStrStats).getOrElse(Map.empty)
-      val fresh = (live -- prevStats.keySet -- prevStrStats.keySet --
-          m1.fileStats.keySet -- m1.fileStrStats.keySet)
+      // freshness is PER HARVEST KIND: a file covered by long stats but
+      // not string stats (a table upgraded across the string-skipping
+      // release) must still harvest its string bounds — subtracting the
+      // union would freeze such files out until a rewrite. The two kinds
+      // share one per-commit cap.
+      val freshLong = (live -- prevStats.keySet -- m1.fileStats.keySet)
         .take(GraftTable.MaxStatsFilesPerCommit)
+      val freshStr =
+        (live -- prevStrStats.keySet -- m1.fileStrStats.keySet)
+          .take(GraftTable.MaxStatsFilesPerCommit)
       // stats-eligible columns only (DDL type pre-check): the schema DDL
       // travels with the manifest, so an ineligible-typed key skips the
       // footer reads entirely instead of opening every file to learn
@@ -442,15 +476,15 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
         .filter(c => GraftTable.statsEligibleStr(m1.schemaDdl, c))
         .map(c => m1.columnMapping.getOrElse(c, c))
       val harvested =
-        if (fresh.isEmpty || eligible.isEmpty)
+        if (freshLong.isEmpty || eligible.isEmpty)
           Map.empty[String, Map[String, (Long, Long)]]
-        else fresh.iterator.map(p =>
+        else freshLong.iterator.map(p =>
             p -> GraftTable.footerRanges(resolved(p), eligible))
           .filter(_._2.nonEmpty).toMap
       val harvestedStr =
-        if (fresh.isEmpty || eligibleStr.isEmpty)
+        if (freshStr.isEmpty || eligibleStr.isEmpty)
           Map.empty[String, Map[String, (String, String)]]
-        else fresh.iterator.map(p =>
+        else freshStr.iterator.map(p =>
             p -> GraftTable.footerStrRanges(resolved(p), eligibleStr))
           .filter(_._2.nonEmpty).toMap
       m1.copy(
@@ -528,7 +562,9 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * not O(buckets)): drop manifests beyond `retainVersions` and delete
     * exactly the files they referenced that no retained manifest still
     * lists. */
-  private def expireOldVersions(): Unit = {
+  private def expireOldVersions(): Unit = withManifestRetry {
+    // retry-wrapped: an external vacuum can expire a listed version
+    // between this listing and the reads; all deletes are idempotent
     val vs = versions
     if (vs.size <= retainVersions) return
     val live = vs.takeRight(retainVersions)
@@ -732,6 +768,14 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * planner) must hash with; `nBuckets` itself is only the
     * creation-time default. */
   def currentNBuckets: Int = bucketsOf(effectiveManifest())
+
+  /** Bucket count in force at a PINNED snapshot — the count a
+    * `VERSION AS OF` scan's files were laid out with. A time-travel
+    * scan must report THIS to storage-partitioned-join planning, not
+    * [[currentNBuckets]]: after a rebucket the two differ, and claiming
+    * the new count over the old layout would let an SPJ join silently
+    * drop matching rows instead of shuffling. */
+  def nBucketsOf(version: Long): Int = bucketsOf(Some(readManifest(version)))
 
   private def bucketExpr(n: Int) =
     pmod(hash(bucketCols.map(col): _*), lit(n))
@@ -1450,32 +1494,82 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
 
   /** (owner, expiresAtMs) of a LIVE lease; None = free or expired. */
   def maintenanceLeaseHolder: Option[(String, Long)] =
-    try {
-      val s = new String(Files.readAllBytes(leasePath),
-        StandardCharsets.UTF_8)
-      val Array(owner, exp) = s.trim.split("\t", 2)
-      if (System.currentTimeMillis() <= exp.toLong) Some(owner -> exp.toLong)
-      else None
-    } catch { case _: java.io.IOException => None }
+    parseLease(leasePath).filter(_._2 >= System.currentTimeMillis())
 
-  /** Try to take (or renew) the lease for `owner`. Atomic: the lease
-    * file is hard-linked into place like a manifest commit, so two
-    * racing acquirers cannot both win. An EXPIRED lease is broken and
-    * re-acquired; the current holder renews in place. */
+  /** (owner, expiresAtMs) as written, live or not; None = absent. */
+  private def parseLease(p: Path): Option[(String, Long)] =
+    try {
+      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      val i = s.indexOf('\t')
+      if (i <= 0) None else Some(s.substring(0, i) -> s.trim
+        .substring(i + 1).toLong)
+    } catch {
+      case _: java.io.IOException => None
+      case _: NumberFormatException => None // torn/foreign file ≠ a lease
+    }
+
+  /** Try to take (or renew) the lease for `owner`. Atomic: a fresh
+    * lease is hard-linked into place like a manifest commit, so two
+    * racing acquirers cannot both win; a renewal replaces via atomic
+    * move (readers never see a torn file). An EXPIRED lease is broken
+    * by atomically sweeping it aside and VERIFYING the swept content
+    * really was expired — if a rival's fresh lease landed between our
+    * staleness check and the sweep, it is restored and we lose, so a
+    * live lease is never destroyed by a breaker (the round-10 TOCTOU). */
   def tryAcquireMaintenanceLease(owner: String,
       ttlMs: Long = 60000L): Boolean = {
     Files.createDirectories(Paths.get(root))
     val body = s"$owner\t${System.currentTimeMillis() + ttlMs}"
       .getBytes(StandardCharsets.UTF_8)
+    def writeTmp(): Path = {
+      val tmp = Paths.get(root, s".lease-${java.util.UUID.randomUUID()}.tmp")
+      Files.write(tmp, body); tmp
+    }
     maintenanceLeaseHolder match {
       case Some((h, _)) if h != owner => false
-      case Some((h, _)) if h == owner => // renew in place (still holder)
-        Files.write(leasePath, body); true
+      case Some((h, _)) if h == owner =>
+        // renew: atomic replace, never an in-place truncate+write — a
+        // concurrent holder-check must read either the old or the new
+        // lease, never a partial one
+        val tmp = writeTmp()
+        try {
+          Files.move(tmp, leasePath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        } finally Files.deleteIfExists(tmp)
       case None =>
-        Files.deleteIfExists(leasePath) // break an expired lease
-        val tmp = Paths.get(root,
-          s".lease-${java.util.UUID.randomUUID()}.tmp")
-        Files.write(tmp, body)
+        // free or expired. Sweep any expired lease aside ATOMICALLY and
+        // verify what we actually swept before claiming: a blind delete
+        // here could destroy a rival's FRESH lease linked between our
+        // holder check and the delete.
+        val tomb = Paths.get(root,
+          s".lease-tomb-${java.util.UUID.randomUUID()}.tmp")
+        val swept =
+          try { Files.move(leasePath, tomb,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE); true }
+          catch { case _: java.nio.file.NoSuchFileException => false }
+        if (swept) {
+          val live = parseLease(tomb)
+            .exists(_._2 >= System.currentTimeMillis())
+          if (live) {
+            // we swept a LIVE lease — put it back and lose. If the
+            // link-back loses to yet another acquirer, the displaced
+            // holder's next renewal/holder-check sees the loss; the
+            // residual window is microseconds and reads stay safe via
+            // withManifestRetry + the commit CAS.
+            try Files.createLink(leasePath, tomb)
+            catch { case _: java.nio.file.FileAlreadyExistsException => ()
+                    case _: java.nio.file.FileSystemException =>
+                      if (!Files.exists(leasePath))
+                        Files.move(tomb, leasePath,
+                          java.nio.file.StandardCopyOption.ATOMIC_MOVE) }
+            Files.deleteIfExists(tomb)
+            return false
+          }
+          Files.deleteIfExists(tomb)
+        }
+        val tmp = writeTmp()
         try { Files.createLink(leasePath, tmp); true }
         catch {
           case _: java.nio.file.FileAlreadyExistsException => false
@@ -1490,10 +1584,31 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     }
   }
 
-  /** Release `owner`'s lease (no-op if not held by `owner`). */
-  def releaseMaintenanceLease(owner: String): Unit =
-    if (maintenanceLeaseHolder.exists(_._1 == owner))
-      Files.deleteIfExists(leasePath)
+  /** Release `owner`'s lease (no-op if not held by `owner`). Sweep-and-
+    * verify, not read-then-delete: the lease is atomically moved aside
+    * and its CONTENT checked — if it turned out to be a rival's (ours
+    * expired and they acquired between our read and the delete, the
+    * round-10 TOCTOU) it is restored untouched. */
+  def releaseMaintenanceLease(owner: String): Unit = {
+    if (!maintenanceLeaseHolder.exists(_._1 == owner)) return
+    val tomb = Paths.get(root,
+      s".lease-tomb-${java.util.UUID.randomUUID()}.tmp")
+    val swept =
+      try { Files.move(leasePath, tomb,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE); true }
+      catch { case _: java.nio.file.NoSuchFileException => false }
+    if (!swept) return
+    if (!parseLease(tomb).exists(_._1 == owner)) {
+      // swept someone else's lease — restore it
+      try Files.createLink(leasePath, tomb)
+      catch { case _: java.nio.file.FileAlreadyExistsException => ()
+              case _: java.nio.file.FileSystemException =>
+                if (!Files.exists(leasePath))
+                  Files.move(tomb, leasePath,
+                    java.nio.file.StandardCopyOption.ATOMIC_MOVE) }
+    }
+    Files.deleteIfExists(tomb)
+  }
 
   /** Block while a FOREIGN live lease exists — the apply path's pause
     * point. Returns once the lease is released/expired (or immediately
@@ -1515,16 +1630,47 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * A lost commit race inside `body` (possible only when a writer
     * ignores the quiesce contract or the grace was too short) is
     * retried once against the fresh snapshot — maintenance is
-    * data-identical, so a retry is always safe. */
+    * data-identical, so a retry is always safe.
+    *
+    * The lease is HEARTBEAT-RENEWED (every ttl/3, from a daemon
+    * thread) for as long as `body` runs: a maintenance body is a Spark
+    * job whose duration no fixed TTL can bound under load, and a lapsed
+    * TTL lets a rival break the lease and vacuum manifests this body is
+    * still reading (the round-10 421/422 flake). With renewal, the TTL
+    * only lapses when this PROCESS dies — which is exactly the crash
+    * case the TTL exists for. `ttlMs` therefore bounds crash recovery
+    * latency, not run length; the apply path's pause stays bounded by
+    * [[awaitMaintenanceQuiesce]]'s own `maxWaitMs`. */
   def runMaintenanceUnderLease(owner: String, ttlMs: Long = 60000L,
       graceMs: Long = 0L)(body: => Unit): Boolean = {
     if (!tryAcquireMaintenanceLease(owner, ttlMs)) return false
+    @volatile var done = false
+    val beat = new Thread(() => {
+      while (!done) {
+        try Thread.sleep(math.max(1L, ttlMs / 3))
+        catch { case _: InterruptedException => () }
+        // same-owner acquire = renew; a false return means the lease
+        // was lost despite renewal (possible only through the
+        // documented microsecond restore window) — nothing to do but
+        // keep trying, reads stay safe via withManifestRetry
+        if (!done)
+          try tryAcquireMaintenanceLease(owner, ttlMs)
+          catch { case _: java.io.IOException => () }
+      }
+    }, s"graft-lease-heartbeat-$owner")
+    beat.setDaemon(true)
+    beat.start()
     try {
       if (graceMs > 0) Thread.sleep(graceMs)
       try body
       catch { case _: GraftTable.ConcurrentCommitException => body }
       true
-    } finally releaseMaintenanceLease(owner)
+    } finally {
+      done = true
+      beat.interrupt()
+      beat.join(5000) // a renewal AFTER release would wedge rivals for a TTL
+      releaseMaintenanceLease(owner)
+    }
   }
 
   /** Expire old snapshots: keep the latest `keep` manifests, delete older
@@ -1533,21 +1679,29 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * versions afterwards. */
   def vacuum(keep: Int = 1): Unit = {
     require(groupState.isEmpty, "close the open group before vacuum")
-    val vs = versions
-    if (vs.isEmpty) return
-    val retained = vs.takeRight(math.max(1, keep))
-    // normalize through Path: the membership test below compares against
-    // Files.list Paths (which collapse doubled separators), so a root
-    // with a trailing slash must not make every live file look orphaned
-    val live = retained.flatMap(v => readManifest(v).allFiles
-      .map(f => Paths.get(resolved(f)).normalize().toString)).toSet
-    val expired = vs.dropRight(math.max(1, keep))
-    // targeted reclamation FIRST: files the expired manifests referenced
-    // are committed debris — no retained snapshot needs them, and they
-    // can never belong to an in-flight write (in-flight files are
-    // referenced by no manifest yet)
-    val expiredFiles = expired.flatMap(v => readManifest(v).allFiles
-      .map(f => Paths.get(resolved(f)).normalize().toString)).toSet
+    // the whole list-then-read phase recomputes from a fresh listing if
+    // a concurrent vacuum (a broken-lease rival, or an operator running
+    // one by hand) expires a listed version mid-read — the round-10
+    // external-maintenance flake
+    val (live, expired, expiredFiles) = withManifestRetry {
+      val vs = versions
+      if (vs.isEmpty) return
+      val retained = vs.takeRight(math.max(1, keep))
+      // normalize through Path: the membership test below compares
+      // against Files.list Paths (which collapse doubled separators), so
+      // a root with a trailing slash must not make every live file look
+      // orphaned
+      val live = retained.flatMap(v => readManifest(v).allFiles
+        .map(f => Paths.get(resolved(f)).normalize().toString)).toSet
+      val expired = vs.dropRight(math.max(1, keep))
+      // targeted reclamation FIRST: files the expired manifests
+      // referenced are committed debris — no retained snapshot needs
+      // them, and they can never belong to an in-flight write (in-flight
+      // files are referenced by no manifest yet)
+      val expiredFiles = expired.flatMap(v => readManifest(v).allFiles
+        .map(f => Paths.get(resolved(f)).normalize().toString)).toSet
+      (live, expired, expiredFiles)
+    }
     expired.foreach(v => Files.deleteIfExists(manifestPath(v)))
     (expiredFiles -- live).foreach(f => Files.deleteIfExists(Paths.get(f)))
     // the catch-all debris sweep is AGE-GATED: a cross-process vacuum

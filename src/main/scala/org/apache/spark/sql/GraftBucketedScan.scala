@@ -175,10 +175,18 @@ object GraftBucketedScan {
     override def createReaderFactory(): PartitionReaderFactory =
       new UnwrappingReaderFactory(inner.toBatch.createReaderFactory())
 
+    // partition COUNT for the partitioning claim is cached: planning
+    // runs O(files) driver work and outputPartitioning() is consulted
+    // more than once per query. toBatch keeps planning fresh (the
+    // runtime-filtering contract mutates the file set between planning
+    // and execution); only this count is memoized — it describes the
+    // pre-runtime-filter layout, which is what the claim is about.
+    private lazy val claimedPartitionCount = planInputPartitions().length
+
     override def outputPartitioning(): Partitioning =
       new KeyGroupedPartitioning(
         Array(Expressions.bucket(nBuckets, keyCols: _*)),
-        planInputPartitions().length)
+        claimedPartitionCount)
 
     /** Within one bucket partition the single base file is key-sorted
       * by the writer (`sortWithinPartitions(_bucket, keys)` — `_bucket`

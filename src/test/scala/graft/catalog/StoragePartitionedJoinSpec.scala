@@ -292,4 +292,41 @@ class StoragePartitionedJoinSpec extends SparkSpec {
         "both sides rebucketed to 16 must SPJ again")
     }
   }
+
+  test("time travel across a rebucket: the pinned scan reports the " +
+      "PINNED layout's bucket count — joining it with the current table " +
+      "shuffles (never silently drops rows), and pinned-vs-pinned still " +
+      "SPJs at the old count") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS spj.db7")
+    spark.sql("""CREATE TABLE spj.db7.t (id BIGINT, v BIGINT)
+                 PARTITIONED BY (bucket(4, id))""")
+    (1L to 200L).map(i => (i, i)).toDF("id", "v")
+      .createOrReplaceTempView("src7")
+    spark.sql("INSERT INTO spj.db7.t SELECT * FROM src7")
+    val t = GraftTable.open(s"$root/db7/t")
+    val preV = t.currentVersion.get
+    t.rebucket(spark, 8)
+    assert(t.nBucketsOf(preV) == 4 && t.currentNBuckets == 8)
+    withSqlConf(spjConfs: _*) {
+      // pinned(old layout, 4) ⋈ current(new layout, 8): the claims must
+      // MISALIGN — before the fix both claimed bucket(8, id) over
+      // incompatible layouts and SPJ dropped every cross-layout match
+      val j = spark.sql(
+        s"""SELECT a.id, a.v, b.v FROM spj.db7.t VERSION AS OF $preV a
+            JOIN spj.db7.t b ON a.id = b.id""")
+      assert(j.as[(Long, Long, Long)].collect().toSet ==
+        (1L to 200L).map(i => (i, i, i)).toSet,
+        "rebucket + time travel must never lose join rows")
+      assert(shuffles(j) > 0,
+        "pre-rebucket snapshot vs current layout cannot co-locate")
+      // pinned ⋈ pinned at the same old version: both report the OLD
+      // count over the old layout — genuinely co-located, zero shuffles
+      val jp = spark.sql(
+        s"""SELECT a.id FROM spj.db7.t VERSION AS OF $preV a
+            JOIN spj.db7.t VERSION AS OF $preV b ON a.id = b.id""")
+      assert(jp.count() == 200L)
+      assert(shuffles(jp) == 0,
+        s"same-version pinned scans share a layout:\n${jp.queryExecution}")
+    }
+  }
 }

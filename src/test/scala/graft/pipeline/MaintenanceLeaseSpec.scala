@@ -69,6 +69,98 @@ class MaintenanceLeaseSpec extends SparkSpec {
       .toSeq == Seq("b"))
   }
 
+  test("heartbeat renewal: a maintenance body LONGER than the TTL keeps " +
+      "the lease — a rival acquirer never breaks in mid-body (round-10 " +
+      "verdict item 1a)") {
+    val t = new GraftTable(tmp("lease-beat"), Seq("id"), nBuckets = 2)
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val rivalWonMidBody = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var inBody = false
+    @volatile var running = true
+    val rival = new Thread(() => {
+      while (running) {
+        if (t.tryAcquireMaintenanceLease("rival", ttlMs = 60000)) {
+          if (inBody) rivalWonMidBody.incrementAndGet()
+          t.releaseMaintenanceLease("rival")
+        }
+        Thread.sleep(10)
+      }
+    }, "lease-rival")
+    rival.setDaemon(true); rival.start()
+    // ttl 1s, body 3s: without the ttl/3 heartbeat the rival would
+    // break the lapsed lease ~2s before the body finishes. The rival
+    // may momentarily hold the free lease, so acquisition retries
+    // (the skip-your-turn contract every production caller follows).
+    var ran = false
+    val acqDeadline = System.currentTimeMillis() + 10000
+    while (!ran && System.currentTimeMillis() < acqDeadline) {
+      ran = t.runMaintenanceUnderLease("holder", ttlMs = 1000) {
+        inBody = true
+        val deadline = System.currentTimeMillis() + 3000
+        while (System.currentTimeMillis() < deadline) Thread.sleep(20)
+        assert(t.maintenanceLeaseHolder.exists(_._1 == "holder"),
+          "lease lost mid-body despite heartbeat renewal")
+        inBody = false
+      }
+      if (!ran) Thread.sleep(5)
+    }
+    running = false; rival.join(2000)
+    assert(ran, "the holder never acquired the lease in 10s")
+    assert(rivalWonMidBody.get() == 0,
+      s"rival broke the live lease ${rivalWonMidBody.get()} times while " +
+        "the heartbeat should have kept it fresh")
+    assert(t.maintenanceLeaseHolder.isEmpty, "lease must be freed after")
+  }
+
+  test("manifest reads tolerate a concurrent vacuum: two vacuum loops + " +
+      "live merges + snapshot readers race with zero NoSuchFileException " +
+      "(round-10 verdict item 1b)") {
+    val dir = tmp("lease-vac-race")
+    def seqStr = org.apache.spark.sql.functions.format_string(
+      "%016x/%016x", org.apache.spark.sql.functions.col("lsn"),
+      org.apache.spark.sql.functions.lit(0L))
+    val t0 = new GraftTable(dir, Seq("id"), nBuckets = 2)
+    t0.overwrite((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    @volatile var running = true
+    // two DELIBERATELY unleased vacuums (the broken-lease residual the
+    // tolerance exists for) plus metadata readers, all over private
+    // handles like separate processes
+    def loop(name: String)(body: GraftTable => Unit): Thread = {
+      val th = new Thread(() => {
+        val t = new GraftTable(dir, Seq("id"), nBuckets = 2)
+        while (running) {
+          try body(t)
+          catch { case e: Throwable => errors.add(e); running = false }
+          Thread.sleep(3)
+        }
+      }, name)
+      th.setDaemon(true); th.start(); th
+    }
+    val threads = Seq(
+      loop("vac-2")(_.vacuum(keep = 2)),
+      loop("vac-3")(_.vacuum(keep = 3)),
+      loop("reader") { t =>
+        t.currentVersion; t.currentFiles
+        t.versionAsOfTimestamp(Long.MaxValue); () })
+    val writer = new GraftTable(dir, Seq("id"), nBuckets = 2)
+    try {
+      (1 to 25).foreach { i =>
+        writer.merge((1L to 10L).map(k => (k, s"v$k-r$i", "U", i.toLong))
+          .toDF("id", "v", "_op", "lsn")
+          .withColumn("_seq", seqStr).drop("lsn"))
+        if (!running) fail(s"raced into: ${errors.toArray.toSeq}")
+      }
+    } finally { running = false; threads.foreach(_.join(3000)) }
+    assert(errors.isEmpty,
+      s"concurrent vacuum/read raced into: ${errors.toArray.toSeq}")
+    // converged: the last round's values are all present
+    val got = writer.read(spark).select("id", "v")
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 10)
+    (1L to 10L).foreach(k => assert(got(k) == s"v$k-r25"))
+  }
+
   private val usersSchema = TableSchemaV(1L, "users", 0L, IndexedSeq(
     ColumnSpec("id", "int8", nullable = false, pkOrdinal = 1),
     ColumnSpec("name", "text"),
