@@ -39,9 +39,24 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   * filtering and the vectorized readers all pass through untouched.
   *
   * Known Spark limitation (pinned by a spec): V2ExpressionUtils
-  * resolves only SINGLE-reference bucket transforms, so the report is
-  * exploited for one-column bucket keys; multi-column keys report
-  * truthfully but join shuffled until Spark lifts the restriction.
+  * resolves only SINGLE-reference bucket transforms, so the
+  * `bucket(n, keys)` report is exploited for one-column bucket keys;
+  * multi-column keys cannot resolve it until Spark lifts the
+  * restriction. COMPOSITE-KEY WORKAROUND: multi-key tables instead
+  * report `identity(_bucket)` — the bucket id the writer already
+  * materializes as the `_bucket=N` partition directory, surfaced by the
+  * catalog as a metadata column. A join that ADDS `a._bucket =
+  * b._bucket` to its (full composite key) equi-condition resolves the
+  * single-reference identity claim on both sides and plans shuffle-free
+  * today (additionally needs
+  * `spark.sql.requireAllClusterKeysForCoPartition=false` — the
+  * partition key is a strict subset of the join keys, the same session
+  * conf Iceberg's SPJ guide prescribes). The added predicate is implied (the bucket id is a pure
+  * function of the keys) PROVIDED both tables share one bucket count —
+  * across different counts it would wrongly drop matches, the same
+  * precondition SPJ itself has; queries that never reference `_bucket`
+  * are untouched (the claim fails to resolve and planning falls back to
+  * the ordinary shuffle).
   */
 object GraftBucketedScan {
   /** Wrap `inner` so its scan reports bucket(n, keyCols) key-grouped
@@ -58,6 +73,15 @@ object GraftBucketedScan {
   def builder(inner: ScanBuilder, nBuckets: Int, keyCols: Seq[String],
       sortCols: Seq[String] = Nil): ScanBuilder =
     new BucketedBuilder(inner, nBuckets, keyCols, sortCols)
+
+  /** The partitioning expression the scan claims: bucket(n, key) for
+    * single-key tables (joins on the key SPJ with no query change);
+    * identity(_bucket) for composite keys (the documented workaround —
+    * Spark cannot resolve multi-reference bucket transforms). */
+  private def claimOf(nBuckets: Int, keyCols: Seq[String])
+      : connector.expressions.Expression =
+    if (keyCols.size == 1) Expressions.bucket(nBuckets, keyCols: _*)
+    else Expressions.identity("_bucket")
 
   private final class BucketedBuilder(inner: ScanBuilder, nBuckets: Int,
       keyCols: Seq[String], sortCols: Seq[String]) extends ScanBuilder
@@ -185,8 +209,7 @@ object GraftBucketedScan {
 
     override def outputPartitioning(): Partitioning =
       new KeyGroupedPartitioning(
-        Array(Expressions.bucket(nBuckets, keyCols: _*)),
-        claimedPartitionCount)
+        Array(claimOf(nBuckets, keyCols)), claimedPartitionCount)
 
     /** Within one bucket partition the single base file is key-sorted
       * by the writer (`sortWithinPartitions(_bucket, keys)` — `_bucket`
