@@ -142,6 +142,8 @@ object SparkEntry {
     "op_bpe_train256" -> (TextQueries.opBpeTrain256 _),
     "op_sink_delta_cow" -> (SinkQueries.opSinkDeltaCow _),
     "op_sink_delta_mor" -> (SinkQueries.opSinkDeltaMor _),
+    "op_dedup_incremental_cow" -> (SimQueries.opDedupIncrementalCow _),
+    "op_dedup_incremental_mor" -> (SimQueries.opDedupIncrementalMor _),
     "op_join_shuffle" -> (SinkQueries.opJoinShuffle _),
     "op_join_spj" -> (SinkQueries.opJoinSpj _))
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Cluster, Dedup, Multimodal, Retrieval, Similarity}
@@ -1294,6 +1294,131 @@ object SimQueries {
   /** Mutable per-JVM state backing [[opDedupIncrementalEmbed]]. */
   private[queries] val incEmbState =
     new java.util.concurrent.ConcurrentHashMap[String, IncDedupState]()
+
+  // ------------- adaptive merge-on-read at index-table scale (bench pair)
+
+  /** Shared state for the `op_dedup_incremental_{cow,mor}` pair: the
+    * text near-dup BAND INDEX, inflated to ~96 MiB of base (disjoint
+    * id-shifted copies of the real band rows — the index of a
+    * K×-larger corpus with identical per-bucket shape, the
+    * op_sink_delta_* inflation pattern), materialized twice: `_1` with
+    * the layer path disabled (`morMinAffectedBytes = Long.MaxValue` →
+    * every sync rewrites its touched buckets) and `_2` with the
+    * PRODUCTION DEFAULT threshold (64 MiB), which the inflated base
+    * genuinely crosses. The pair times the per-sync BAND-TABLE MERGE —
+    * the write leg the adaptive admission governs (the full sync around
+    * it is already timed by op_dedup_incremental; its probe/verify legs
+    * are identical across write modes and would only dilute this
+    * attribution). Its gap is the touched-bucket read+rewrite each
+    * layered sync skips, which grows linearly with index size. Layer
+    * engagement under the DEFAULT threshold plus probe bucket-pruning
+    * over the layered inflated index are asserted in
+    * `MorIndexScaleSpec`. */
+  private[queries] val incMorState =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (IncDedupState, IncDedupState)]()
+
+  private def incMorStateFor(spark: SparkSession,
+      dir: String): (IncDedupState, IncDedupState) =
+    incMorState.computeIfAbsent(dir, _ => {
+      import graft.operators.IncrementalDedup
+      val cfg = IncrementalDedup.Config()
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val bandRows = graft.operators.Dedup.bandRows(
+        docs.select(col("doc_id").as("id"), col("text").as("payload")),
+        "payload", "id", cfg.n, cfg.numHashes, cfg.bands)
+        .localCheckpoint()
+      // inflation factor: measured once from a 1-copy write, then the
+      // index is rebuilt at K copies. Shifted ids preserve (band, bh) →
+      // per-bucket bytes scale ×K. Capped so toy SFs stay bounded. The
+      // inflated index is WRITTEN once and directory-copied for the
+      // second leg (manifest paths are root-relative by design) — the
+      // two legs differ only in their admission threshold.
+      val cowRoot = java.nio.file.Files
+        .createTempDirectory("graft-incmor-cow").toString
+      val cowBands = IncrementalDedup.bandTable(s"$cowRoot/bands", 8,
+        morMinAffectedBytes = Long.MaxValue)
+      cowBands.overwrite(bandRows)
+      val target = 96L << 20
+      val baseBytes = math.max(1L, cowBands.basePressure.bytes)
+      val k = math.min(4096L, (target + baseBytes - 1) / baseBytes)
+      if (k > 1) {
+        val rep = spark.range(0, k).select(col("id").as("_rep"))
+        cowBands.overwrite(bandRows.crossJoin(broadcast(rep))
+          .withColumn("id", col("id") + col("_rep") * 1000000000L)
+          .drop("_rep"))
+      }
+      val morRoot = java.nio.file.Files
+        .createTempDirectory("graft-incmor-mor").toString
+      locally {
+        import java.nio.file.{Files, Path, Paths}
+        val src = Paths.get(cowRoot); val dst = Paths.get(morRoot)
+        val walk = Files.walk(src)
+        try walk.forEach { (p: Path) =>
+          val t = dst.resolve(src.relativize(p))
+          if (Files.isDirectory(p)) Files.createDirectories(t)
+          else Files.copy(p, t,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } finally walk.close()
+      }
+      val morBands = IncrementalDedup.bandTable(s"$morRoot/bands", 8,
+        morMinAffectedBytes =
+          graft.sinks.GraftTable.MorMinAffectedBytesDefault)
+      (new IncDedupState(cowBands,
+         IncrementalDedup.pairTable(s"$cowRoot/pairs", 4,
+           morMinAffectedBytes = Long.MaxValue)),
+       new IncDedupState(morBands,
+         IncrementalDedup.pairTable(s"$morRoot/pairs", 4)))
+    })
+
+  /** One steady-state band-table merge against the inflated index (the
+    * opDedupIncremental delta shape: every 89th doc's bands A/B-toggle
+    * between original and appended text, so each sample pays a genuine
+    * netted I/D merge). Returns the table's layer engagement so the
+    * pair's mechanism is visible in the result, not just the timing. */
+  private def incMorSync(spark: SparkSession, dir: String,
+      st: IncDedupState): DataFrame = {
+    import graft.operators.IncrementalDedup
+    val cfg = IncrementalDedup.Config()
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val (seqNo, toAppended) = st.next()
+    val updCond = col("doc_id") % 89 === 0
+    val appended = concat(col("text"), lit(" qq zz extra"))
+    val (preT, postT) =
+      if (toAppended) (col("text"), appended) else (appended, col("text"))
+    def bandsOf(t: Column) = graft.operators.Dedup.bandRows(
+      docs.filter(updCond).select(col("doc_id").as("id"),
+        t.as("payload")),
+      "payload", "id", cfg.n, cfg.numHashes, cfg.bands)
+    val newBands = bandsOf(postT).cache()
+    val oldBands = bandsOf(preT).cache()
+    try {
+      val key = Seq("band", "bh", "id")
+      val ins = newBands.join(oldBands, key, "left_anti")
+        .withColumn("_op", lit("I"))
+      val del = oldBands.join(newBands, key, "left_anti")
+        .withColumn("_op", lit("D"))
+      st.bands.merge(ins.unionByName(del)
+        .withColumn("_seq", lit(f"$seqNo%016x/0")))
+    } finally { newBands.unpersist(); oldBands.unpersist() }
+    spark.range(1).select(
+      lit(st.bands.hasLayers).as("bands_layered"),
+      lit(seqNo).as("sync"))
+  }
+
+  /** Copy-on-write leg: every merge rewrites its touched band buckets —
+    * O(index) read+write per sync on the inflated base. */
+  def opDedupIncrementalCow(spark: SparkSession, dir: String): DataFrame =
+    incMorSync(spark, dir, incMorStateFor(spark, dir)._1)
+
+  /** Merge-on-read leg under the DEFAULT adaptive threshold: the
+    * inflated base crosses 64 MiB of affected bytes, so each merge
+    * commits an O(delta) layer instead (every MorMaxLayers-th sync pays
+    * the amortized collapse, honestly inside the median). */
+  def opDedupIncrementalMor(spark: SparkSession, dir: String): DataFrame =
+    incMorSync(spark, dir, incMorStateFor(spark, dir)._2)
 
   /** Bench-only steady-state EMBEDDING-front delta: one real
     * delete+reinsert sync of every 23rd vector against a memoized
