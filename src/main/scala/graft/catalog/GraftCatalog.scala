@@ -265,19 +265,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "(up-cast) reads are safe")
       }
     }
-    // renames on data-carrying tables commit through the name-mapping
-    // path; everything else (and empty-table renames, which need no
-    // mapping — no files carry the old name) through plain evolveSchema
-    val (mappedRenames, rest) =
-      if (hasData)
-        changes.partition(_.isInstanceOf[TableChange.RenameColumn])
-      else (Seq.empty[TableChange], changes.toSeq)
-    mappedRenames.foreach { case r: TableChange.RenameColumn =>
-      t.renameColumn(r.fieldNames()(0), r.newName())
-    }
-    if (rest.nonEmpty)
-      t.evolveSchema(cur =>
-        GraftCatalogBridge.applySchemaChanges(cur, rest.toSeq))
+    // delegate through the IDEMPOTENT DDL planner
+    // (GraftTable.applyDdlPlan — the reference's interrupted-schema-
+    // change recovery analog): the target schema is computed TOLERANTLY
+    // over the current one, so re-running this exact alterTable against
+    // a table a previous run left half-altered (rename committed, the
+    // evolve not) skips the already-applied steps and converges. SQL
+    // statements stay strict — Spark's analyzer validates each change
+    // against the loaded schema before this method runs; the tolerance
+    // surfaces only for programmatic/recovery replays.
+    val renameMap = changes.collect {
+      case r: TableChange.RenameColumn => r.fieldNames()(0) -> r.newName()
+    }.toMap
+    val cur = t.currentSchema.getOrElse(new org.apache.spark.sql.types
+      .StructType())
+    val afterRenames = org.apache.spark.sql.types.StructType(
+      cur.fields.map(f => renameMap.get(f.name)
+        .fold(f)(to => f.copy(name = to))))
+    val target = changes.filterNot(_.isInstanceOf[TableChange.RenameColumn])
+      .foldLeft(afterRenames) { (s, c) => c match {
+        case a: TableChange.AddColumn
+            if s.fieldNames.contains(a.fieldNames().mkString(".")) => s
+        case d: TableChange.DeleteColumn
+            if !s.fieldNames.contains(d.fieldNames().mkString(".")) => s
+        case other =>
+          GraftCatalogBridge.applySchemaChanges(s, Seq(other))
+      }}
+    t.applyDdlPlan(target, renameMap)
     loadTable(ident)
   }
 

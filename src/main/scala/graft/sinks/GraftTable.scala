@@ -977,6 +977,85 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       next.toDDL, columnMapping = mapping, layers = cur.layers))
   }
 
+  /** IDEMPOTENT destination-DDL planner — the analog of the reference's
+    * interrupted-schema-change recovery (crates/etl-destinations/src/
+    * recovery.rs:12-33: reconstruct enough previous-schema state that an
+    * idempotent DDL planner can re-apply a crashed change): given the
+    * TARGET logical schema and the rename intents that produce it, diff
+    * against the CURRENT pinned schema and apply ONLY what is missing.
+    * A schema change is two commits here (name-mapping rename, then the
+    * evolve) — not atomic, but RECOVERABLE: a crash between them (or
+    * before either, or after both) converges by re-running the same
+    * plan, because every step checks live state first and replays as a
+    * no-op. Validation matches the SQL ALTER path: bucket keys cannot
+    * be renamed, dropped, or retyped; with data, type changes must
+    * widen (up-cast) and adds must not collide with a physical name
+    * still occupied on disk. */
+  def applyDdlPlan(target: org.apache.spark.sql.types.StructType,
+      renames: Map[String, String] = Map.empty): Unit = {
+    require(groupState.isEmpty, "close the open group before applyDdlPlan")
+    val cur0 = currentManifest().getOrElse(throw new IllegalStateException(
+      s"$root has no committed schema to evolve"))
+    require(cur0.schemaDdl.nonEmpty,
+      s"$root has no pinned schema (pre-schema manifest)")
+    renames.foreach { case (from, to) =>
+      require(!keyCols.contains(from), s"cannot rename bucket key $from")
+      require(target.fieldNames.contains(to),
+        s"rename target $to is absent from the target schema")
+    }
+    val hasData = cur0.allFiles.nonEmpty
+    // phase 1: renames still pending (each one a mapping commit); a
+    // rename a previous run already landed skips. Empty tables skip the
+    // mapping entirely — no files carry the old name, so the evolve
+    // below writes the target names directly.
+    renames.foreach { case (from, to) =>
+      val logical = org.apache.spark.sql.types.StructType
+        .fromDDL(currentManifest().get.schemaDdl).fieldNames.toSet
+      (logical(from), logical(to)) match {
+        case (true, false) => if (hasData) renameColumn(from, to)
+        case (false, true) => () // already applied before the crash
+        case (true, true) => throw new IllegalStateException(
+          s"rename $from -> $to is ambiguous: both columns exist")
+        case (false, false) => throw new IllegalStateException(
+          s"rename $from -> $to is unresolvable: neither column exists")
+      }
+    }
+    // phase 2: ONE data-identical evolve to the target — a no-op when
+    // the previous run completed
+    val cur = org.apache.spark.sql.types.StructType
+      .fromDDL(currentManifest().get.schemaDdl)
+    if (cur != target) {
+      val curBy = cur.fields.map(f => f.name -> f).toMap
+      val tgtBy = target.fields.map(f => f.name -> f).toMap
+      keyCols.foreach { k =>
+        require(tgtBy.contains(k), s"cannot drop bucket key $k")
+        require(curBy.get(k).forall(_.dataType == tgtBy(k).dataType),
+          s"cannot change the type of bucket key $k " +
+            "(bucket routing is type-sensitive)")
+      }
+      val mapping = cur0.columnMapping
+      val physInUse = cur.fieldNames.iterator
+        .map(n => mapping.getOrElse(n, n)).toSet ++ mapping.values
+      target.fields.foreach { f =>
+        curBy.get(f.name) match {
+          case Some(c) if c.dataType != f.dataType =>
+            require(!hasData ||
+              org.apache.spark.sql.catalyst.expressions.Cast
+                .canUpCast(c.dataType, f.dataType),
+              s"cannot change ${f.name} from ${c.dataType.simpleString} " +
+                s"to ${f.dataType.simpleString} on a table with data: " +
+                "only widening (up-cast) reads are safe")
+          case None =>
+            require(!hasData || !physInUse.contains(f.name),
+              s"cannot add column ${f.name}: a renamed column is (or " +
+                s"was) stored as '${f.name}' on disk")
+          case _ => ()
+        }
+      }
+      evolveSchema(_ => target)
+    }
+  }
+
   // ----------------------------------------------------------- group commit
   /** Open snapshot group (None = every write publishes immediately).
     * Holds the PENDING manifest the next write builds on. */
