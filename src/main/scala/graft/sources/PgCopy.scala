@@ -42,6 +42,15 @@ object PgCopy {
     private val ready = scala.collection.mutable.Queue.empty[String]
     private var streamDone = false
     private var closed = false
+    // source-payload accounting (source_payload_metadata.rs COPY
+    // boundary): each row's BODY — delimiters, escaping, trailing
+    // newline — counts at emission; the merged total records as
+    // PROCESSED when the stream exhausts, which here means the
+    // consuming destination write pulled every row (a failed write
+    // abandons the iterator and the copy restarts from scratch — the
+    // same at-least-once accounting the reference has on retry)
+    private var copiedMeta = graft.pipeline.SourcePayload.CopyMeta(0L)
+    private var processedRecorded = false
 
     private def pull(): Unit = {
       val (t, payload) = conn.readMessage()
@@ -62,6 +71,10 @@ object PgCopy {
           while (i < data.length) {
             if (data(i) == 0x0a) {
               ready += new String(data, start, i - start, StandardCharsets.UTF_8)
+              val row = graft.pipeline.SourcePayload
+                .CopyMeta(i - start + 1L) // body incl. the newline
+              row.recordReceived(); row.recordRowSize()
+              copiedMeta = copiedMeta merge row
               start = i + 1
             }
             i += 1
@@ -75,6 +88,10 @@ object PgCopy {
               new String(pending, StandardCharsets.UTF_8).take(80)}'")
         case 'Z' =>
           streamDone = true
+          if (!processedRecorded) {
+            processedRecorded = true
+            copiedMeta.recordProcessed("spark")
+          }
           if (closeOnExhaust && !closed) { closed = true; conn.close() }
         case 'E' => throw new java.io.IOException(
           s"COPY failed: ${ReplicationSocketClient.errorMessage(payload)}")

@@ -260,6 +260,7 @@ object PgOutput {
     * true/false; text values are JSON-escaped; binary values hex-encoded
     * like bytea. */
   private def tupleJson(r: Relation, t: TupleData): (String, Seq[String]) = {
+    requireArity(r, t)
     val missing = Seq.newBuilder[String]
     def quoted(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -331,6 +332,7 @@ object PgOutput {
     * NULL and report through the `_missing` mask exactly like the JSON
     * render (from_json yields null for absent keys — same semantics). */
   private def tuplePacked(r: Relation, t: TupleData): (String, Seq[String]) = {
+    requireArity(r, t)
     val missing = Seq.newBuilder[String]
     val cells = r.columns.zip(t).map { case (c, v) =>
       if (v == TUnchangedToast) missing += c.name
@@ -338,6 +340,16 @@ object PgOutput {
     }
     (graft.core.PackedRow.render(cells), missing.result())
   }
+
+  /** A tuple whose column count disagrees with its Relation is a
+    * protocol violation: zipping would silently DROP cells (or columns)
+    * and publish a corrupt row — reject instead (the reference's fuzz
+    * targets pin the same reject-not-corrupt contract,
+    * fuzz/fuzz_targets/). */
+  private def requireArity(r: Relation, t: TupleData): Unit =
+    require(t.length == r.columns.length,
+      s"tuple arity ${t.length} != relation ${r.relName} arity " +
+        s"${r.columns.length}: corrupt or stale frame")
 
   /** Stateful decode loop over a pgoutput frame stream — the session
     * layer a live source runs (the reference's handle_message loop shape,
@@ -377,6 +389,30 @@ object PgOutput {
     /** Current tx was stamped with a foreign replication origin. */
     private var txForeign: Boolean = false
 
+    // -------------------------------------- source-payload accounting
+    /** Tuple-value bytes of the OPEN transaction (source_payload_
+      * metadata.rs semantics — see [[graft.pipeline.SourcePayload]]).
+      * Received/row-size metrics fire per event at decode; the merged
+      * per-commit metadata parks here until [[ackProcessed]] confirms
+      * the flushed LSN covers it (the reference records processed only
+      * after destination acknowledgement). */
+    private var txPayload = graft.pipeline.SourcePayload.StreamingMeta.empty
+    private val pendingAck = scala.collection.mutable.TreeMap
+      .empty[Long, graft.pipeline.SourcePayload.StreamingMeta]
+
+    /** Record processed (acknowledged) bytes for every commit at or
+      * below `flushedLsn` — called when a status update reports that
+      * flush position upstream. */
+    def ackProcessed(flushedLsn: Long,
+        destinationType: String = "graft-log"): Unit =
+      pendingAck.synchronized {
+        val done = pendingAck.rangeTo(flushedLsn).toSeq
+        if (done.nonEmpty) {
+          done.map(_._2).reduce(_ merge _).recordProcessed(destinationType)
+          done.foreach { case (lsn, _) => pendingAck.remove(lsn) }
+        }
+      }
+
     def relation(id: Int): Relation = relations(id)
 
     /** Decode one frame; returns the envelope lines it produces (0..n). */
@@ -388,6 +424,16 @@ object PgOutput {
       case Commit(_, commitLsn, _, _) =>
         require(txLsn.nonEmpty, "Commit outside transaction")
         lastCommitLsn = math.max(lastCommitLsn, math.max(commitLsn, txLsn.get))
+        // park the closed tx's payload meta for the flushed-LSN ack
+        if (txPayload != graft.pipeline.SourcePayload.StreamingMeta.empty) {
+          pendingAck.synchronized {
+            pendingAck.updateWith(lastCommitLsn) {
+              case Some(m) => Some(m merge txPayload)
+              case None => Some(txPayload)
+            }
+          }
+          txPayload = graft.pipeline.SourcePayload.StreamingMeta.empty
+        }
         txLsn = None
         Seq.empty
       case r: Relation =>
@@ -442,6 +488,12 @@ object PgOutput {
       case data =>
         val lsn = txLsn.getOrElse(throw new IllegalStateException(
           "data message outside Begin/Commit bracket"))
+        // tuple-value byte accounting at the decode boundary: received
+        // + per-row size fire NOW; processed waits for the flushed ack
+        graft.pipeline.SourcePayload.of(data).foreach { m =>
+          m.recordReceived(); m.recordRowSize()
+          txPayload = txPayload merge m
+        }
         val schemaLsn = data match {
           case Insert(id, _) => relLsn.getOrElse(id, 0L)
           case Update(id, _, _, _) => relLsn.getOrElse(id, 0L)

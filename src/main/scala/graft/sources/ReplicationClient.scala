@@ -219,9 +219,14 @@ final class ReplicationSocketClient(
   }
 
   // --------------------------------------------------------- receive loop
+  /** Live decode session — sendStatusUpdate acks its parked payload
+    * meta at the reported flush position (processed-bytes accounting). */
+  @volatile private var decodeSession: PgOutput.DecodeSession = null
+
   private def receiveLoop(): Unit = {
     val session = new PgOutput.DecodeSession(
       dropForeignOrigins = dropForeignOrigins)
+    decodeSession = session
     val pending = scala.collection.mutable.ArrayBuffer.empty[String]
     var inTx = false
     try {
@@ -305,6 +310,11 @@ final class ReplicationSocketClient(
       lastUpdateAtMs = nowMs()
       reportedWrite = write
       reportedFlush = flush
+      // the flush report IS the acknowledgement boundary: commits at or
+      // below it are durable downstream — record their payload bytes as
+      // processed (source_payload_metadata.rs record_processed semantics)
+      val ds = decodeSession
+      if (ds != null) ds.ackProcessed(flush)
     }
 
   // ------------------------------------------------------------ plumbing

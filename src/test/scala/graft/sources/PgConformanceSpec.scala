@@ -112,6 +112,60 @@ class PgConformanceSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed frames REJECT instead of corrupting (reference fuzz "
+      + "contract, fuzz/fuzz_targets/): truncated tuple, bad cell tag, "
+      + "oversized length prefix, negative column count, tuple arity vs "
+      + "Relation — and the session keeps decoding good frames after") {
+    val s = new DecodeSession()
+    s.onFrame(encode(Relation(1, "public", "t", 'd', IndexedSeq(
+      RelCol(1, "id", 25, -1), RelCol(0, "v", 25, -1)))))
+    s.onFrame(encode(Begin(0x100L, Ts, 1)))
+    val good = encode(Insert(1, IndexedSeq(TText("1"), TText("x"))))
+    // layout: 'I'(0) relId(1-4) 'N'(5) nCols(6-7) [tag(8) len(9-12) "1"(13)]
+    //         [tag(14) len(15-18) "x"(19)]
+
+    // truncated mid-cell: the buffer runs out cleanly, nothing emitted
+    intercept[Exception] { s.onFrame(good.dropRight(1)) }
+
+    // unknown cell tag
+    val badTag = good.clone(); badTag(8) = 'q'.toByte
+    val e1 = intercept[IllegalArgumentException] { s.onFrame(badTag) }
+    assert(e1.getMessage.contains("unknown tuple-value kind"))
+
+    // length prefix beyond the frame remainder: rejected BEFORE any
+    // allocation (a hostile length must not OOM the decoder)
+    val badLen = good.clone()
+    badLen(9) = 0x7f.toByte; badLen(10) = -1; badLen(11) = -1; badLen(12) = -1
+    val e2 = intercept[IllegalArgumentException] { s.onFrame(badLen) }
+    assert(e2.getMessage.contains("exceeds frame remainder"))
+
+    // negative column count
+    val badN = good.clone(); badN(6) = -1; badN(7) = -1
+    val e3 = intercept[IllegalArgumentException] { s.onFrame(badN) }
+    assert(e3.getMessage.contains("negative tuple column count"))
+
+    // tuple arity disagreeing with the Relation would silently DROP
+    // cells (or columns) under a zip — it must reject on both sides
+    val e4 = intercept[IllegalArgumentException] {
+      s.onFrame(encode(Insert(1,
+        IndexedSeq(TText("1"), TText("x"), TText("extra")))))
+    }
+    assert(e4.getMessage.contains("arity"))
+    intercept[IllegalArgumentException] {
+      s.onFrame(encode(Insert(1, IndexedSeq(TText("1")))))
+    }
+
+    // the session is NOT corrupted by the rejects: the same good frame
+    // still decodes to a well-formed envelope line and the tx closes
+    val lines = s.onFrame(good)
+    assert(lines.size == 1)
+    val f = lines.head.split("	", -1)
+    assert(f(2) == "I" &&
+      graft.core.PackedRow.parse(f(7)) == Vector(Some("1"), Some("x")),
+      s"post-reject decode corrupted: ${lines.head}")
+    assert(s.onFrame(encode(Commit(0, 0x100L, 0x100L, Ts))).isEmpty)
+  }
+
   test("re-encoding each decoded frame reproduces the spec bytes exactly") {
     expected.foreach { case (name, msg) =>
       val enc = encode(msg)

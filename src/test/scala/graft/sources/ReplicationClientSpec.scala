@@ -82,9 +82,12 @@ class ReplicationClientSpec extends SparkSpec {
       // tx2: update ann, delete bob at commit LSN 200
       server.enqueue(
         server.Frame(encode(Begin(200, 0, 8)), 191, 191),
-        server.Frame(encode(Update(1, Some('K'), Some(row("1")),
+        // key images carry FULL relation arity with NULL non-identity
+        // columns (PG proto.c logicalrep_write_tuple writes natts cells;
+        // the decoder REJECTS short tuples as corrupt)
+        server.Frame(encode(Update(1, Some('K'), Some(row("1", null, null)),
           row("1", "ann2", "31"))), 192, 192),
-        server.Frame(encode(Delete(1, 'K', row("2"))), 193, 193),
+        server.Frame(encode(Delete(1, 'K', row("2", null, null))), 193, 193),
         server.Frame(encode(Commit(0, 200, 201, 0)), 200, 200))
       waitUntil()(client.framesReceived.get() == 10)
 
@@ -157,7 +160,7 @@ class ReplicationClientSpec extends SparkSpec {
       server.enqueue(
         server.Frame(encode(usersRelation), 90, 90),
         server.Frame(encode(Begin(100, 0, 1)), 91, 91),
-        server.Frame(encode(Insert(1, row("1", "ann"))), 92, 92),
+        server.Frame(encode(Insert(1, row("1", "ann", "30"))), 92, 92),
         server.Frame(encode(Commit(0, 100, 101, 0)), 100, 100))
       waitUntil(msg = s"frames=${client.framesReceived.get()} " +
         s"err=${client.lastError}")(client.framesReceived.get() == 4)
@@ -179,7 +182,7 @@ class ReplicationClientSpec extends SparkSpec {
       server.enqueue(
         server.Frame(encode(usersRelation), 190, 190),
         server.Frame(encode(Begin(200, 0, 2)), 191, 191),
-        server.Frame(encode(Insert(1, row("2", "bob"))), 192, 192),
+        server.Frame(encode(Insert(1, row("2", "bob", "40"))), 192, 192),
         server.Frame(encode(Commit(0, 200, 201, 0)), 200, 200))
       waitUntil(msg = s"frames=${client.framesReceived.get()} " +
         s"err=${client.lastError}")(client.framesReceived.get() == 8)
