@@ -196,7 +196,13 @@ final class CdcLogMicroBatchStream(path: String, maxRows: Option[Long],
       * 84↔86% oscillation cannot flap admission. The modulating mode
       * above remains the default trade (progress never fully stalls);
       * this mode is for deployments that want the reference's
-      * flat-memory guarantee over liveness under sustained pressure. */
+      * flat-memory guarantee over liveness under sustained pressure.
+      *
+      * NOTE: blocking IMPLIES the modulating budget BELOW the high
+      * watermark — between the watermarks batch byte budgets still
+      * halve (the reference's blocking monitor likewise sits on top of
+      * byte-budgeted batches, not instead of them); an operator tuning
+      * `maxBytesPerTrigger` should expect both effects with this flag. */
     memoryBlocking: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
 
