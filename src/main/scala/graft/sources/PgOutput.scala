@@ -68,6 +68,25 @@ object PgOutput {
   final case class Truncate(options: Int, relIds: IndexedSeq[Int])
       extends Message
 
+  // -------- protocol v2: streamed in-progress transactions (PG 14+).
+  // A transaction exceeding the server's logical_decoding_work_mem
+  // streams BEFORE commit as interleavable blocks bracketed by
+  // StreamStart/StreamStop; data frames inside a block carry a leading
+  // subtransaction xid. The reference runs proto_version '1' only
+  // (client/raw.rs:634) — v1 makes the SERVER buffer the whole
+  // transaction and the client see nothing until commit, which at
+  // 100 TB (bulk UPDATEs, backfills inside one tx) means unbounded
+  // publisher-side spill and a commit-sized latency cliff. v2 moves
+  // that buffering HERE, disk-spooled and abort-truncatable.
+  final case class StreamStart(xid: Int, firstSegment: Boolean)
+      extends Message
+  case object StreamStop extends Message
+  final case class StreamCommit(xid: Int, flags: Int, commitLsn: Long,
+      endLsn: Long, commitTsMicros: Long) extends Message
+  /** `subXid` == `xid` aborts the whole transaction; otherwise exactly
+    * the subtransaction's (and its children's) spooled changes drop. */
+  final case class StreamAbort(xid: Int, subXid: Int) extends Message
+
   // ---------------------------------------------------------------- decode
   def decode(bytes: Array[Byte]): Message = {
     val b = ByteBuffer.wrap(bytes)
@@ -116,9 +135,46 @@ object PgOutput {
         val arr = new Array[Byte](checkedLen(b, "logical message"))
         b.get(arr)
         LogicalMsg(transactional, lsn, prefix, arr.toVector)
+      case 'S' => StreamStart(b.getInt, b.get() != 0)
+      case 'E' => StreamStop
+      case 'c' => StreamCommit(b.getInt, b.get().toInt & 0xff, b.getLong,
+        b.getLong, b.getLong)
+      case 'A' => StreamAbort(b.getInt, b.getInt)
       case c => throw new IllegalArgumentException(
         s"unknown pgoutput message type '$c'")
     }
+  }
+
+  /** The pgoutput message types that carry a leading Int32 subxid when
+    * they arrive INSIDE a StreamStart/StreamStop block (protocol v2). */
+  private val StreamableTypes = Set('R', 'Y', 'I', 'U', 'D', 'T', 'M')
+
+  /** Split an in-stream data frame into (subxid, v1-equivalent frame):
+    * the xid sits between the type byte and the regular body, so
+    * removing it yields a frame the v1 decoder — and the spool replay —
+    * consumes unchanged. */
+  def stripStreamedXid(frame: Array[Byte]): (Int, Array[Byte]) = {
+    require(frame.length >= 5 && StreamableTypes(frame(0).toChar),
+      s"frame type '${frame.headOption.map(_.toChar).orNull}' does not " +
+        "carry a streamed xid")
+    val xid = ByteBuffer.wrap(frame, 1, 4).getInt
+    val out = new Array[Byte](frame.length - 4)
+    out(0) = frame(0)
+    System.arraycopy(frame, 5, out, 1, frame.length - 5)
+    (xid, out)
+  }
+
+  /** Encode a data message as an IN-STREAM (protocol v2) frame: type
+    * byte, Int32 subxid, then the regular body. */
+  def encodeStreamed(xid: Int, m: Message): Array[Byte] = {
+    val v1 = encode(m)
+    require(StreamableTypes(v1(0).toChar),
+      s"message type '${v1(0).toChar}' cannot appear inside a stream")
+    val out = new Array[Byte](v1.length + 4)
+    out(0) = v1(0)
+    ByteBuffer.wrap(out, 1, 4).putInt(xid)
+    System.arraycopy(v1, 1, out, 5, v1.length - 1)
+    out
   }
 
   private def cstr(b: ByteBuffer): String = {
@@ -208,6 +264,14 @@ object PgOutput {
       case Truncate(opts, ids) =>
         d.writeByte('T'); d.writeInt(ids.length); d.writeByte(opts)
         ids.foreach(d.writeInt)
+      case StreamStart(xid, first) =>
+        d.writeByte('S'); d.writeInt(xid); d.writeByte(if (first) 1 else 0)
+      case StreamStop => d.writeByte('E')
+      case StreamCommit(xid, fl, clsn, elsn, ts) =>
+        d.writeByte('c'); d.writeInt(xid); d.writeByte(fl)
+        d.writeLong(clsn); d.writeLong(elsn); d.writeLong(ts)
+      case StreamAbort(xid, sub) =>
+        d.writeByte('A'); d.writeInt(xid); d.writeInt(sub)
     }
     d.flush()
     out.toByteArray
@@ -351,6 +415,59 @@ object PgOutput {
       s"tuple arity ${t.length} != relation ${r.relName} arity " +
         s"${r.columns.length}: corrupt or stale frame")
 
+  /** Disk-backed spool of ONE streamed transaction's v1-equivalent
+    * frames: length-prefixed records in a temp file, per-frame file
+    * offsets in memory (8 bytes per frame), and subxid → first-frame
+    * index for abort truncation. Appends are sequential writes; a
+    * subtransaction abort truncates the FILE back to the subxid's
+    * first offset. A 100 GB in-progress transaction costs the decode
+    * session one open file and an offsets array. */
+  private final class StreamSpool {
+    private val path =
+      java.nio.file.Files.createTempFile("graft-stream-", ".spool")
+    private val file = new java.io.RandomAccessFile(path.toFile, "rw")
+    private val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
+    private val subStart =
+      scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+    def frameCount: Int = offsets.length
+    def append(subXid: Int, frame: Array[Byte]): Unit = {
+      if (!subStart.contains(subXid)) subStart(subXid) = offsets.length
+      offsets += file.length()
+      file.seek(file.length())
+      file.writeInt(frame.length)
+      file.write(frame)
+    }
+    /** Drop the subxid's first change THROUGH the tail (its children's
+      * and its own later changes all sit after it; post-rollback parent
+      * changes arrive after the abort message — PostgreSQL's apply
+      * worker uses the same offset-stack truncation). */
+    def truncateFromSub(subXid: Int): Unit =
+      subStart.get(subXid).foreach { idx =>
+        file.setLength(offsets(idx))
+        offsets.remove(idx, offsets.length - idx)
+        subStart.filterInPlace((_, i) => i < idx)
+      }
+    /** Replay order = append order. Single-threaded with appends (the
+      * session replays only at StreamCommit, after the last block). */
+    def frames: Iterator[Array[Byte]] = {
+      val end = file.length()
+      file.seek(0L)
+      new Iterator[Array[Byte]] {
+        def hasNext: Boolean = file.getFilePointer < end
+        def next(): Array[Byte] = {
+          val len = file.readInt()
+          val a = new Array[Byte](len)
+          file.readFully(a)
+          a
+        }
+      }
+    }
+    def delete(): Unit = {
+      file.close()
+      java.nio.file.Files.deleteIfExists(path)
+    }
+  }
+
   /** Stateful decode loop over a pgoutput frame stream — the session
     * layer a live source runs (the reference's handle_message loop shape,
     * apply.rs:2026-2127): Begin opens a transaction (its final LSN is the
@@ -415,8 +532,84 @@ object PgOutput {
 
     def relation(id: Int): Relation = relations(id)
 
-    /** Decode one frame; returns the envelope lines it produces (0..n). */
-    def onFrame(frame: Array[Byte]): Seq[String] = decode(frame) match {
+    // ------------------- protocol v2: streamed in-progress transactions
+    /** Top-level xid of the OPEN stream block (None = outside blocks). */
+    private var inStreamOf: Option[Int] = None
+    /** Per top-xid spool of v1-equivalent frames awaiting
+      * StreamCommit/StreamAbort. */
+    private val streamSpools =
+      scala.collection.mutable.Map.empty[Int, StreamSpool]
+
+    /** Spooled streamed transactions currently held (tests/metrics). */
+    def openStreamCount: Int = streamSpools.size
+
+    /** Decode one frame; returns the envelope lines it produces (0..n).
+      * Streamed-transaction blocks (protocol v2) spool to DISK until
+      * their StreamCommit — an in-progress 100 GB transaction costs
+      * this session O(1) memory — and replay through the regular
+      * decode path at commit, so ordering, schema re-versioning, TOAST
+      * masks and byte accounting are identical to the v1 path. A
+      * StreamAbort TRUNCATES the spool: whole-tx aborts drop the file;
+      * subtransaction aborts cut from the subxid's first change to the
+      * tail (changes after a rollback-to-savepoint arrive after the
+      * abort message, so the tail cut is exact — the same offset-stack
+      * algorithm PostgreSQL's own apply worker uses). */
+    def onFrame(frame: Array[Byte]): Seq[String] = {
+      // inside a stream block, data frames carry a leading subxid and
+      // spool; only StreamStop (and protocol errors) end the block
+      if (inStreamOf.isDefined && StreamableTypes(frame(0).toChar)) {
+        val (subXid, v1) = stripStreamedXid(frame)
+        streamSpools(inStreamOf.get).append(subXid, v1)
+        return Seq.empty
+      }
+      onMessage(decode(frame))
+    }
+
+    private def onMessage(msg: Message): Seq[String] = msg match {
+      case StreamStart(xid, _) =>
+        require(inStreamOf.isEmpty, "nested StreamStart")
+        require(txLsn.isEmpty, "StreamStart inside a Begin/Commit bracket")
+        inStreamOf = Some(xid)
+        streamSpools.getOrElseUpdate(xid, new StreamSpool)
+        Seq.empty
+      case StreamStop =>
+        require(inStreamOf.nonEmpty, "StreamStop outside a stream block")
+        inStreamOf = None
+        Seq.empty
+      case StreamAbort(xid, subXid) =>
+        require(inStreamOf.isEmpty, "StreamAbort inside a stream block")
+        if (subXid == xid) streamSpools.remove(xid).foreach(_.delete())
+        else streamSpools.get(xid).foreach(_.truncateFromSub(subXid))
+        Seq.empty
+      case StreamCommit(xid, _, commitLsn, _, _) =>
+        require(inStreamOf.isEmpty, "StreamCommit inside a stream block")
+        val spool = streamSpools.remove(xid).getOrElse(
+          throw new IllegalStateException(
+            s"StreamCommit for unknown streamed xid $xid"))
+        try {
+          // replay the spooled frames through the regular decode path
+          // under the now-known commit LSN — one whole-commit line set,
+          // exactly what a v1 Commit would have produced
+          txLsn = Some(commitLsn); ordinal = 0L; txForeign = false
+          val out = Seq.newBuilder[String]
+          spool.frames.foreach(f => out ++= onMessage(decode(f)))
+          lastCommitLsn = math.max(lastCommitLsn, commitLsn)
+          if (txPayload != graft.pipeline.SourcePayload.StreamingMeta.empty) {
+            pendingAck.synchronized {
+              pendingAck.updateWith(lastCommitLsn) {
+                case Some(m) => Some(m merge txPayload)
+                case None => Some(txPayload)
+              }
+            }
+            txPayload = graft.pipeline.SourcePayload.StreamingMeta.empty
+          }
+          txLsn = None
+          out.result()
+        } finally spool.delete()
+      case m => onDecoded(m)
+    }
+
+    private def onDecoded(msg: Message): Seq[String] = msg match {
       case Begin(finalLsn, _, _) =>
         require(txLsn.isEmpty, "nested Begin")
         txLsn = Some(finalLsn); ordinal = 0L; txForeign = false

@@ -63,7 +63,14 @@ final class ReplicationSocketClient(
     /** Drop transactions stamped with a foreign replication origin —
       * the bidirectional-loop breaker (`origin = none` subscription
       * semantics, applied client-side in [[PgOutput.DecodeSession]]). */
-    dropForeignOrigins: Boolean = false) {
+    dropForeignOrigins: Boolean = false,
+    /** pgoutput protocol version: 1 (the reference's choice — the
+      * server buffers each transaction until commit) or 2 (PG 14+
+      * streamed in-progress transactions: large transactions arrive as
+      * interleavable blocks the decode session spools to disk and
+      * emits whole at StreamCommit — bounded publisher memory, no
+      * commit-sized latency cliff; see [[PgOutput.DecodeSession]]). */
+    protoVersion: Int = 1) {
   import ReplicationSocketClient._
 
   // observability for tests/metrics (reference ETL_STATUS_UPDATES_TOTAL)
@@ -205,8 +212,13 @@ final class ReplicationSocketClient(
 
   private def startReplication(fromLsn: Long): Unit = {
     val lsn = formatLsn(fromLsn)
+    require(protoVersion == 1 || protoVersion == 2,
+      s"unsupported proto_version $protoVersion")
+    val streaming = // v2 must also request streaming, or v2 ≡ v1
+      if (protoVersion >= 2) ", streaming 'true'" else ""
     simpleQuery(s"""START_REPLICATION SLOT "$slotName" LOGICAL $lsn """ +
-      s"""(proto_version '1', publication_names '$publication')""")
+      s"""(proto_version '$protoVersion', """ +
+      s"""publication_names '$publication'$streaming)""")
     val (t, payload) = readMessage()
     t match {
       case 'W' => () // CopyBothResponse — streaming begins
@@ -245,6 +257,10 @@ final class ReplicationSocketClient(
                 frame(0).toChar match {
                   case 'B' => inTx = true
                   case 'C' => inTx = false
+                  // v2 stream blocks: lines only materialize at
+                  // StreamCommit ('c'), which arrives OUTSIDE blocks —
+                  // 'S'/'E' themselves emit nothing, so the whole-commit
+                  // flush below still never tears a transaction
                   case _   => ()
                 }
                 pending ++= session.onFrame(frame)

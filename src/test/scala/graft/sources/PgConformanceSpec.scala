@@ -100,7 +100,14 @@ class PgConformanceSpec extends AnyFunSuite {
         RelCol(0, "bio", 25, -1), RelCol(0, "score", 701, -1))),
     "insert_after_ddl" -> Insert(16384,
       t(TText("7"), TText("gail"), TNull, TText("1.5"))),
-    "origin_empty" -> Origin(0x3333L, ""))
+    "origin_empty" -> Origin(0x3333L, ""),
+    // protocol v2: streamed in-progress transactions (PG 14+)
+    "stream_start" -> StreamStart(777, firstSegment = true),
+    "stream_start_next" -> StreamStart(777, firstSegment = false),
+    "stream_stop" -> StreamStop,
+    "stream_commit" -> StreamCommit(777, 0, 0x16B3748L, 0x16B3800L, Ts),
+    "stream_abort" -> StreamAbort(777, 777),
+    "stream_abort_sub" -> StreamAbort(777, 778))
 
   test("every spec-assembled frame decodes to the exact expected message") {
     assert(frames.keySet == expected.keySet,
@@ -341,6 +348,91 @@ class PgConformanceSpec extends AnyFunSuite {
     assert(f(4)(2) == "I" && PackedRow.parse(f(4)(7)) ==
       Vector(Some("7"), Some("gail"), None, Some("1.5")))
     assert(f(5)(2) == "T" && f(5)(3) == "16384")
+  }
+
+  test("wire: protocol v2 streamed-transaction session (interleaved " +
+      "blocks, subxact + whole-tx aborts, a normal tx between blocks) " +
+      "spools the exact envelope log via a proto_version '2' client") {
+    val dir = Files.createTempDirectory("pg-conformance-v2").toString
+    val log = s"$dir/wal.log"
+    val queries = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = new ServerSocket(0)
+    val replay = new Thread(() => {
+      val sock = server.accept()
+      sock.setTcpNoDelay(true)
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val slen = in.readInt()
+      val sbuf = new Array[Byte](slen - 4); in.readFully(sbuf)
+      out.write(session("auth")); out.flush()
+      var open = true
+      var step = 0
+      while (open && step < 10) {
+        val t = try in.readByte().toChar
+                catch { case _: Throwable => open = false; ' ' }
+        if (open) {
+          val len = in.readInt()
+          val payload = new Array[Byte](len - 4); in.readFully(payload)
+          t match {
+            case 'Q' =>
+              val sql = new String(payload, 0, payload.length - 1,
+                StandardCharsets.UTF_8)
+              queries.add(sql)
+              if (sql.startsWith("SHOW")) out.write(session("show"))
+              else if (sql.startsWith("START_REPLICATION"))
+                out.write(session("stream_v2"))
+              out.flush()
+              step += 1
+            case 'X' => open = false
+            case _ => ()
+          }
+        }
+      }
+      try sock.close() catch { case _: Throwable => () }
+    }, "pg-replay-server-v2")
+    replay.setDaemon(true)
+    replay.start()
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot3", "conf_pub3", log,
+      flushLsn = () => 0x5008L, protoVersion = 2)
+    try {
+      val t0 = System.currentTimeMillis()
+      // 18 XLogData frames + 1 keepalive (see gen_pg_fixtures.py)
+      client.start()
+      while ((client.framesReceived.get() < 18 ||
+        client.keepalivesReceived.get() < 1) &&
+        System.currentTimeMillis() - t0 < 15000) Thread.sleep(20)
+      assert(client.framesReceived.get() == 18,
+        s"frames=${client.framesReceived.get()} err=${client.lastError}")
+      assert(client.lastError.isEmpty, s"client error: ${client.lastError}")
+      // the v2 client asked for streaming
+      assert(queries.toArray.map(_.toString).exists(q =>
+        q.startsWith("START_REPLICATION") &&
+          q.contains("proto_version '2'") && q.contains("streaming 'true'")))
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+    val lines = new String(Files.readAllBytes(Paths.get(log)),
+      StandardCharsets.UTF_8).split("\n").toSeq
+    // out-of-tx R, the normal tx's I, then the streamed commit's replay
+    // (in-stream R + keep1 + keep2); tx 906 aborted whole → nothing;
+    // subxact 910's drop1 truncated → nothing
+    assert(lines.size == 5, s"expected 5 envelope lines, got:\n$lines")
+    val f = lines.map(_.split("\t", -1))
+    assert(f(0)(2) == "R" && f(0)(3) == "16384")
+    assert(f(1)(2) == "I" && f(1)(0) == 0x4000L.toString &&
+      PackedRow.parse(f(1)(7)) == Vector(Some("5"), Some("normal"), None))
+    assert(f(2)(2) == "R" && f(2)(0) == 0x5000L.toString,
+      "the streamed tx's own Relation replays at ITS commit lsn")
+    assert(f(3)(2) == "I" && f(3)(0) == 0x5000L.toString &&
+      PackedRow.parse(f(3)(7)) == Vector(Some("1"), Some("keep1"), None))
+    assert(f(4)(2) == "I" && f(4)(0) == 0x5000L.toString &&
+      PackedRow.parse(f(4)(7)) == Vector(Some("3"), Some("keep2"), None))
+    assert(!lines.exists(l => l.contains("drop1") || l.contains("aborted")),
+      s"aborted changes leaked into the envelope log:\n$lines")
+    // ordinals dense across the replayed blocks
+    assert(f(3)(1).toLong < f(4)(1).toLong)
   }
 
   test("wire: recorded COPY-BOTH session through ReplicationSocketClient " +

@@ -1,0 +1,170 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.PackedRow
+
+/** pgoutput protocol v2 — streamed in-progress transactions (PG 14+,
+  * public "Logical Replication Message Formats" docs; BEYOND the
+  * reference, which pins proto_version '1' at client/raw.rs:634 and so
+  * makes the publisher buffer whole transactions): stream blocks spool
+  * to disk, interleave across transactions, truncate on (sub)abort,
+  * and replay through the regular decode path at StreamCommit —
+  * producing exactly the envelope a v1 commit would have. */
+class PgStreamingSpec extends AnyFunSuite {
+  import PgOutput._
+
+  private val rel = Relation(1, "public", "users", 'd', IndexedSeq(
+    RelCol(1, "id", 20, -1), RelCol(0, "v", 25, -1)))
+
+  private def row(id: String, v: String): TupleData =
+    IndexedSeq(TText(id), if (v == null) TNull else TText(v))
+
+  test("v2 control messages and in-stream frames round-trip the codec") {
+    Seq[Message](StreamStart(77, firstSegment = true), StreamStop,
+      StreamCommit(77, 0, 0x5000L, 0x5100L, 123456789L),
+      StreamAbort(77, 78)).foreach { m =>
+      assert(decode(encode(m)) == m, s"round trip failed for $m")
+    }
+    val ins = Insert(1, row("9", "x"))
+    val (xid, v1) = stripStreamedXid(encodeStreamed(42, ins))
+    assert(xid == 42 && decode(v1) == ins)
+    intercept[IllegalArgumentException] {
+      encodeStreamed(1, Begin(1L, 2L, 3)) // Begin never streams
+    }
+  }
+
+  test("interleaved streamed transactions + a normal transaction: " +
+      "lines materialize only at each StreamCommit, whole and ordered, " +
+      "with the commit's LSN") {
+    val s = new DecodeSession()
+    def f(ms: Message*): Seq[String] =
+      ms.flatMap(m => s.onFrame(encode(m)))
+    def fs(xid: Int, ms: Message*): Seq[String] =
+      ms.flatMap(m => s.onFrame(encodeStreamed(xid, m)))
+
+    assert(f(rel).size == 1) // base relation announcement (R line)
+
+    // tx A block 1, then tx B block 1 (interleaved), then a NORMAL tx
+    // commits in between, then B commits, then A commits
+    assert(f(StreamStart(100, firstSegment = true)).isEmpty)
+    assert(fs(100, Insert(1, row("1", "a1"))).isEmpty)
+    assert(f(StreamStop).isEmpty)
+    assert(f(StreamStart(200, firstSegment = true)).isEmpty)
+    assert(fs(200, Insert(1, row("2", "b1"))).isEmpty)
+    assert(f(StreamStop).isEmpty)
+    assert(s.openStreamCount == 2)
+
+    val normal = f(Begin(0x300L, 0L, 5),
+      Insert(1, row("3", "n1")), Commit(0, 0x300L, 0x301L, 0L))
+    assert(normal.size == 1 && normal.head.split("\t")(0) == 0x300L.toString)
+
+    // a second block for A
+    assert(f(StreamStart(100, firstSegment = false)).isEmpty)
+    assert(fs(100, Insert(1, row("4", "a2")),
+      Update(1, Some('K'), Some(row("1", null)), row("1", "a1x"))).isEmpty)
+    assert(f(StreamStop).isEmpty)
+
+    val bLines = f(StreamCommit(200, 0, 0x400L, 0x401L, 0L))
+    assert(bLines.size == 1)
+    assert(bLines.head.split("\t")(0) == 0x400L.toString)
+    assert(PackedRow.parse(bLines.head.split("\t", -1)(7)) ==
+      Vector(Some("2"), Some("b1")))
+
+    val aLines = f(StreamCommit(100, 0, 0x500L, 0x501L, 0L))
+    assert(aLines.size == 3, s"tx A must replay whole: $aLines")
+    val fields = aLines.map(_.split("\t", -1))
+    assert(fields.forall(_(0) == 0x500L.toString),
+      "every line carries the COMMIT lsn, not block-arrival positions")
+    assert(fields.map(_(2)) == Seq("I", "I", "U"))
+    // tx ordinals dense in replay order across blocks
+    assert(fields.map(_(1)) == Seq("0", "1", "2"))
+    assert(s.openStreamCount == 0, "spools must drain at commit")
+  }
+
+  test("StreamAbort: whole-transaction abort drops everything; a " +
+      "subtransaction abort truncates exactly the subxid's tail") {
+    val s = new DecodeSession()
+    s.onFrame(encode(rel))
+    def f(ms: Message*): Seq[String] = ms.flatMap(m => s.onFrame(encode(m)))
+    def fs(xid: Int, ms: Message*): Seq[String] =
+      ms.flatMap(m => s.onFrame(encodeStreamed(xid, m)))
+
+    // whole abort
+    f(StreamStart(50, firstSegment = true))
+    fs(50, Insert(1, row("1", "gone")))
+    f(StreamStop, StreamAbort(50, 50))
+    assert(s.openStreamCount == 0)
+    // PG never commits an aborted stream; if a corrupt stream does, the
+    // session rejects instead of emitting a phantom transaction
+    intercept[IllegalStateException] {
+      f(StreamCommit(50, 0, 0x600L, 0x601L, 0L))
+    }
+
+    val s2 = new DecodeSession()
+    s2.onFrame(encode(rel))
+    def f2(ms: Message*): Seq[String] =
+      ms.flatMap(m => s2.onFrame(encode(m)))
+    def fs2(xid: Int, ms: Message*): Seq[String] =
+      ms.flatMap(m => s2.onFrame(encodeStreamed(xid, m)))
+    // parent change (subxid = top xid), then subxact 61 changes, then
+    // rollback-to-savepoint aborts 61, then more parent changes
+    f2(StreamStart(60, firstSegment = true))
+    fs2(60, Insert(1, row("1", "keep1")))
+    fs2(61, Insert(1, row("2", "drop1")),
+      Insert(1, row("3", "drop2")))
+    f2(StreamStop, StreamAbort(60, 61))
+    f2(StreamStart(60, firstSegment = false))
+    fs2(60, Insert(1, row("4", "keep2")))
+    f2(StreamStop)
+    val lines = f2(StreamCommit(60, 0, 0x700L, 0x701L, 0L))
+    val vals = lines.map(l => PackedRow.parse(l.split("\t", -1)(7))(1).get)
+    assert(vals == Seq("keep1", "keep2"),
+      s"subabort must cut exactly the subxid tail: $vals")
+  }
+
+  test("an in-stream Relation applies at REPLAY, not at arrival: a " +
+      "concurrent normal transaction keeps decoding under the old " +
+      "schema until the streamed commit lands") {
+    val s = new DecodeSession()
+    s.onFrame(encode(rel))
+    def f(ms: Message*): Seq[String] = ms.flatMap(m => s.onFrame(encode(m)))
+    val rel3 = Relation(1, "public", "users", 'd', IndexedSeq(
+      RelCol(1, "id", 20, -1), RelCol(0, "v", 25, -1),
+      RelCol(0, "extra", 25, -1)))
+    // the streamed tx announces a WIDER relation + a 3-col insert
+    f(StreamStart(70, firstSegment = true))
+    s.onFrame(encodeStreamed(70, rel3))
+    s.onFrame(encodeStreamed(70,
+      Insert(1, IndexedSeq(TText("7"), TText("w"), TText("e")))))
+    f(StreamStop)
+    // a normal 2-col tx decodes fine meanwhile — the global relation
+    // cache is untouched by the spooled announcement
+    val normal = f(Begin(0x800L, 0L, 9), Insert(1, row("8", "old")),
+      Commit(0, 0x800L, 0x801L, 0L))
+    assert(normal.size == 1 &&
+      PackedRow.parse(normal.head.split("\t", -1)(7)) ==
+        Vector(Some("8"), Some("old")))
+    // the streamed commit replays R + the 3-col insert in order
+    val lines = f(StreamCommit(70, 0, 0x900L, 0x901L, 0L))
+    assert(lines.size == 2 && lines.head.split("\t")(2) == "R")
+    assert(PackedRow.parse(lines(1).split("\t", -1)(7)) ==
+      Vector(Some("7"), Some("w"), Some("e")))
+  }
+
+  test("byte accounting: streamed tuple-value bytes park at StreamCommit " +
+      "and record processed at the flushed ack") {
+    graft.pipeline.Telemetry.resetForTest()
+    val s = new DecodeSession()
+    s.onFrame(encode(rel))
+    s.onFrame(encode(StreamStart(80, firstSegment = true)))
+    s.onFrame(encodeStreamed(80, Insert(1, row("1", "abcd")))) // 1+4=5
+    s.onFrame(encode(StreamStop))
+    s.onFrame(encode(StreamCommit(80, 0, 0xA00L, 0xA01L, 0L)))
+    def processed = graft.pipeline.Telemetry
+      .counter(graft.pipeline.Telemetry.BytesProcessedTotal)
+      .value(Seq("event_type" -> "insert"))
+    assert(processed == 0.0)
+    s.ackProcessed(0xA00L)
+    assert(processed == 5.0)
+  }
+}

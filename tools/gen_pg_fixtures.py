@@ -132,6 +132,20 @@ frame("logical_msg",
 frame("logical_msg_foreign",
       b"M" + u8(0) + be64(0x2223) + cstr("other_ext") + be32(3) + b"abc")
 
+# ---------------- protocol v2: streamed in-progress transactions (PG 14+)
+# Stream Start: Int32 xid, Int8 first_segment
+frame("stream_start", b"S" + be32(777) + u8(1))
+frame("stream_start_next", b"S" + be32(777) + u8(0))
+# Stream Stop: no body
+frame("stream_stop", b"E")
+# Stream Commit: Int32 xid, Int8 flags, Int64 commit lsn, Int64 end lsn,
+#                Int64 commit ts
+frame("stream_commit",
+      b"c" + be32(777) + u8(0) + be64(0x16B3748) + be64(0x16B3800) + be64(TS))
+# Stream Abort: Int32 xid, Int32 subxid (== xid for whole-tx aborts)
+frame("stream_abort", b"A" + be32(777) + be32(777))
+frame("stream_abort_sub", b"A" + be32(777) + be32(778))
+
 # ------------------------------------------------------- COPY-BOTH session
 def backend(t, payload):
     """Backend message: type(1) + len(4, incl itself) + payload."""
@@ -203,6 +217,48 @@ stream2 = (backend(b"W", u8(0) + be16(0)) + tx3 +
 
 session = [("auth", auth), ("show", show), ("stream", stream),
            ("stream2", stream2)]
+
+# third recorded stream: protocol v2 streamed in-progress transactions —
+# two INTERLEAVED streamed txs (905 with a subtransaction abort, 906
+# whole-tx aborted), a normal tx between their blocks, stream commits.
+# In-stream data frames carry a leading Int32 subxid after the type byte.
+def streamed(subxid, pg_frame):
+    return pg_frame[:1] + be32(subxid) + pg_frame[1:]
+T4, T5 = 0x4000, 0x5000
+INS = lambda i, n: (b"I" + be32(16384) + b"N" +
+                    tuple_data(text_cell(i), text_cell(n), NULL_CELL))
+v2 = (backend(b"W", u8(0) + be16(0)) +
+      # base relation announced OUTSIDE any stream (as a fresh wal
+      # sender session would) — the normal tx below needs it before the
+      # streamed tx's own announcement replays at its commit
+      xlogdata(T4 - 70, T4, REL) +
+      # tx 905 block 1: relation + one parent insert + one subxact insert
+      xlogdata(T4 - 64, T4, b"S" + be32(905) + u8(1)) +
+      xlogdata(T4 - 60, T4, streamed(905, REL)) +
+      xlogdata(T4 - 56, T4, streamed(905, INS("1", "keep1"))) +
+      xlogdata(T4 - 52, T4, streamed(910, INS("2", "drop1"))) +
+      xlogdata(T4 - 48, T4, b"E") +
+      # tx 906 block 1 interleaves
+      xlogdata(T4 - 44, T4, b"S" + be32(906) + u8(1)) +
+      xlogdata(T4 - 40, T4, streamed(906, INS("9", "aborted"))) +
+      xlogdata(T4 - 36, T4, b"E") +
+      # rollback to savepoint: subxact 910 of 905 aborts
+      xlogdata(T4 - 32, T4, b"A" + be32(905) + be32(910)) +
+      # a NORMAL v1 transaction commits between blocks
+      xlogdata(T4 - 28, T4, b"B" + be64(T4) + be64(TS) + be32(907)) +
+      xlogdata(T4 - 24, T4, INS("5", "normal")) +
+      xlogdata(T4 - 20, T4, b"C" + u8(0) + be64(T4) + be64(T4 + 8) +
+               be64(TS)) +
+      # tx 905 block 2: one more parent insert
+      xlogdata(T4 - 16, T4, b"S" + be32(905) + u8(0)) +
+      xlogdata(T4 - 12, T4, streamed(905, INS("3", "keep2"))) +
+      xlogdata(T4 - 8, T4, b"E") +
+      # tx 906 aborts whole; tx 905 stream-commits at T5
+      xlogdata(T4 - 4, T4, b"A" + be32(906) + be32(906)) +
+      xlogdata(T5 - 8, T5, b"c" + be32(905) + u8(0) + be64(T5) +
+               be64(T5 + 8) + be64(TS)) +
+      keepalive(T5 + 8, True))
+session.append(("stream_v2", v2))
 
 # ------------------------------------------------------------------ write
 def dump(path, rows):
