@@ -298,7 +298,9 @@ object Bench {
     val contract = s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","samples":$samples,"op_total":${ms(opTotal)},"errors":$errJson,"streaming":$streaming}"""
     // Belt-and-braces beside the stdout contract: persist the full
     // numbers to a repo file so they survive any log-capture quirk.
-    try {
+    // FILTERED local-iteration runs skip the write — a two-query subset
+    // must not clobber the last full map (round-11 lesson).
+    if (filter.isEmpty) try {
       val local = new java.io.PrintWriter("BENCH_LOCAL.json", "UTF-8")
       try local.println(
         s"""{"contract":$contract,"queries":$qs,"spread":$sp}""")

@@ -232,6 +232,11 @@ object Replicator {
           // transactions another replication origin stamped (the
           // subscription `origin = none` option, client-side)
           dropForeignOrigins = get("source.origin", "any") == "none",
+          // pgoutput protocol: 2 = PG 14+ streamed in-progress
+          // transactions (large txs arrive before commit, disk-spooled
+          // client-side — see PgOutput.DecodeSession); 1 = the
+          // reference's whole-tx-at-commit default
+          protoVersion = get("source.protoVersion", "1").toInt,
           flushLsn = () =>
             // tolerant read: commit() replaces the file atomically, but a
             // missing/garbled read must never tear the replication
