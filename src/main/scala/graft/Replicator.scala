@@ -28,6 +28,9 @@ import graft.sinks.{CdcSink, ChangelogSink, CurrentStateSink, ExactlyOnceSink, N
   *   source.user = graft  source.password = …  source.database = postgres
   *   source.sslmode = disable|require|verify-ca|verify-full  # TLS
   *   source.sslrootcert = /path/ca.pem        # trust anchors (verify-ca)
+  *   source.protoVersion = 1 | 2 | 3          # 2: streamed large txs,
+  *                                            # 3: + two-phase commit
+  *   source.origin = any | none               # foreign-origin tx filter
   *   destination = current_state | changelog | jdbc | null
   *   destination.url = jdbc:…                  # jdbc mode: engine URL
   *   destination.mergeOnRead = true           # delta-layer writes
@@ -234,8 +237,10 @@ object Replicator {
           dropForeignOrigins = get("source.origin", "any") == "none",
           // pgoutput protocol: 2 = PG 14+ streamed in-progress
           // transactions (large txs arrive before commit, disk-spooled
-          // client-side — see PgOutput.DecodeSession); 1 = the
-          // reference's whole-tx-at-commit default
+          // client-side); 3 = PG 15+ adds two-phase (prepared txs decode
+          // at PREPARE, apply at COMMIT PREPARED — see
+          // PgOutput.DecodeSession); 1 = the reference's
+          // whole-tx-at-commit default
           protoVersion = get("source.protoVersion", "1").toInt,
           flushLsn = () =>
             // tolerant read: commit() replaces the file atomically, but a

@@ -87,6 +87,27 @@ object PgOutput {
     * the subtransaction's (and its children's) spooled changes drop. */
   final case class StreamAbort(xid: Int, subXid: Int) extends Message
 
+  // -------- protocol v3: two-phase commit (PG 15+, `two_phase 'true'`).
+  // A PREPARE TRANSACTION decodes immediately (BeginPrepare … data …
+  // Prepare), but its effects must not apply until the matching
+  // CommitPrepared — or vanish on RollbackPrepared. Also beyond the
+  // reference (proto_version '1').
+  final case class BeginPrepare(prepareLsn: Long, endLsn: Long,
+      prepareTsMicros: Long, xid: Int, gid: String) extends Message
+  final case class Prepare(flags: Int, prepareLsn: Long, endLsn: Long,
+      prepareTsMicros: Long, xid: Int, gid: String) extends Message
+  final case class CommitPrepared(flags: Int, commitLsn: Long,
+      endLsn: Long, commitTsMicros: Long, xid: Int, gid: String)
+      extends Message
+  final case class RollbackPrepared(flags: Int, prepareEndLsn: Long,
+      rollbackEndLsn: Long, prepareTsMicros: Long,
+      rollbackTsMicros: Long, xid: Int, gid: String) extends Message
+  /** A STREAMED transaction ending in PREPARE instead of commit (v3 +
+    * streaming): transitions the xid's spool to the prepared set. */
+  final case class StreamPrepare(flags: Int, prepareLsn: Long,
+      endLsn: Long, prepareTsMicros: Long, xid: Int, gid: String)
+      extends Message
+
   // ---------------------------------------------------------------- decode
   def decode(bytes: Array[Byte]): Message = {
     val b = ByteBuffer.wrap(bytes)
@@ -140,6 +161,16 @@ object PgOutput {
       case 'c' => StreamCommit(b.getInt, b.get().toInt & 0xff, b.getLong,
         b.getLong, b.getLong)
       case 'A' => StreamAbort(b.getInt, b.getInt)
+      case 'b' => BeginPrepare(b.getLong, b.getLong, b.getLong, b.getInt,
+        cstr(b))
+      case 'P' => Prepare(b.get().toInt & 0xff, b.getLong, b.getLong,
+        b.getLong, b.getInt, cstr(b))
+      case 'K' => CommitPrepared(b.get().toInt & 0xff, b.getLong,
+        b.getLong, b.getLong, b.getInt, cstr(b))
+      case 'r' => RollbackPrepared(b.get().toInt & 0xff, b.getLong,
+        b.getLong, b.getLong, b.getLong, b.getInt, cstr(b))
+      case 'p' => StreamPrepare(b.get().toInt & 0xff, b.getLong,
+        b.getLong, b.getLong, b.getInt, cstr(b))
       case c => throw new IllegalArgumentException(
         s"unknown pgoutput message type '$c'")
     }
@@ -272,6 +303,22 @@ object PgOutput {
         d.writeLong(clsn); d.writeLong(elsn); d.writeLong(ts)
       case StreamAbort(xid, sub) =>
         d.writeByte('A'); d.writeInt(xid); d.writeInt(sub)
+      case BeginPrepare(plsn, elsn, ts, xid, gid) =>
+        d.writeByte('b'); d.writeLong(plsn); d.writeLong(elsn)
+        d.writeLong(ts); d.writeInt(xid); s(gid)
+      case Prepare(fl, plsn, elsn, ts, xid, gid) =>
+        d.writeByte('P'); d.writeByte(fl); d.writeLong(plsn)
+        d.writeLong(elsn); d.writeLong(ts); d.writeInt(xid); s(gid)
+      case CommitPrepared(fl, clsn, elsn, ts, xid, gid) =>
+        d.writeByte('K'); d.writeByte(fl); d.writeLong(clsn)
+        d.writeLong(elsn); d.writeLong(ts); d.writeInt(xid); s(gid)
+      case RollbackPrepared(fl, pelsn, relsn, pts, rts, xid, gid) =>
+        d.writeByte('r'); d.writeByte(fl); d.writeLong(pelsn)
+        d.writeLong(relsn); d.writeLong(pts); d.writeLong(rts)
+        d.writeInt(xid); s(gid)
+      case StreamPrepare(fl, plsn, elsn, ts, xid, gid) =>
+        d.writeByte('p'); d.writeByte(fl); d.writeLong(plsn)
+        d.writeLong(elsn); d.writeLong(ts); d.writeInt(xid); s(gid)
     }
     d.flush()
     out.toByteArray
@@ -423,8 +470,11 @@ object PgOutput {
     * first offset. A 100 GB in-progress transaction costs the decode
     * session one open file and an offsets array. */
   private final class StreamSpool {
-    private val path =
-      java.nio.file.Files.createTempFile("graft-stream-", ".spool")
+    private val path = {
+      val p = java.nio.file.Files.createTempFile("graft-stream-", ".spool")
+      p.toFile.deleteOnExit() // a crashed session must not leak spools
+      p
+    }
     private val file = new java.io.RandomAccessFile(path.toFile, "rw")
     private val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
     private val subStart =
@@ -543,6 +593,31 @@ object PgOutput {
     /** Spooled streamed transactions currently held (tests/metrics). */
     def openStreamCount: Int = streamSpools.size
 
+    // --------------------- protocol v3: two-phase (prepared) transactions
+    /** Open BeginPrepare..Prepare bracket: (gid, prepare LSN). */
+    private var preparing: Option[(String, Long)] = None
+    /** PREPAREd-but-undecided transactions: gid → (prepare LSN, spool).
+      * VOLATILE by design — instead of making the spool durable (the
+      * subscriber-side PREPARE a real Postgres subscriber performs),
+      * the session exposes [[flushCap]]: the reported flush LSN never
+      * passes an undecided prepare, so a crashed consumer resumes
+      * BELOW it and the publisher re-sends the whole prepared
+      * transaction (redelivered BeginPrepare resets the gid's spool —
+      * idempotent). */
+    private val preparedSpools =
+      scala.collection.mutable.Map.empty[String, (Long, StreamSpool)]
+
+    /** Prepared transactions currently held (tests/metrics). */
+    def preparedCount: Int = preparedSpools.size
+
+    /** Cap a flush position so it never passes an undecided PREPARE —
+      * the status-update caller routes its flush LSN through this. */
+    def flushCap(flush: Long): Long = {
+      val floor = (preparedSpools.valuesIterator.map(_._1) ++
+        preparing.iterator.map(_._2)).minOption
+      floor.fold(flush)(f => math.min(flush, f - 1))
+    }
+
     /** Decode one frame; returns the envelope lines it produces (0..n).
       * Streamed-transaction blocks (protocol v2) spool to DISK until
       * their StreamCommit — an in-progress 100 GB transaction costs
@@ -560,6 +635,14 @@ object PgOutput {
       if (inStreamOf.isDefined && StreamableTypes(frame(0).toChar)) {
         val (subXid, v1) = stripStreamedXid(frame)
         streamSpools(inStreamOf.get).append(subXid, v1)
+        return Seq.empty
+      }
+      // inside a BeginPrepare..Prepare bracket, data frames are plain
+      // v1 frames that spool until CommitPrepared/RollbackPrepared
+      if (preparing.isDefined && StreamableTypes(frame(0).toChar)) {
+        val (gid, lsn) = preparing.get
+        preparedSpools(gid) match { case (_, sp) => sp.append(0, frame) }
+        val _ = lsn
         return Seq.empty
       }
       onMessage(decode(frame))
@@ -590,6 +673,54 @@ object PgOutput {
           // replay the spooled frames through the regular decode path
           // under the now-known commit LSN — one whole-commit line set,
           // exactly what a v1 Commit would have produced
+          txLsn = Some(commitLsn); ordinal = 0L; txForeign = false
+          val out = Seq.newBuilder[String]
+          spool.frames.foreach(f => out ++= onMessage(decode(f)))
+          lastCommitLsn = math.max(lastCommitLsn, commitLsn)
+          if (txPayload != graft.pipeline.SourcePayload.StreamingMeta.empty) {
+            pendingAck.synchronized {
+              pendingAck.updateWith(lastCommitLsn) {
+                case Some(m) => Some(m merge txPayload)
+                case None => Some(txPayload)
+              }
+            }
+            txPayload = graft.pipeline.SourcePayload.StreamingMeta.empty
+          }
+          txLsn = None
+          out.result()
+        } finally spool.delete()
+      case BeginPrepare(prepareLsn, _, _, _, gid) =>
+        require(txLsn.isEmpty && inStreamOf.isEmpty && preparing.isEmpty,
+          "BeginPrepare inside another bracket")
+        // a REDELIVERED prepare (post-restart, flushCap held the flush
+        // below it) resets the gid's spool — idempotent
+        preparedSpools.remove(gid).foreach(_._2.delete())
+        preparedSpools(gid) = (prepareLsn, new StreamSpool)
+        preparing = Some(gid -> prepareLsn)
+        Seq.empty
+      case Prepare(_, _, _, _, _, gid) =>
+        require(preparing.exists(_._1 == gid),
+          s"Prepare for gid '$gid' without its BeginPrepare")
+        preparing = None
+        Seq.empty
+      case StreamPrepare(_, prepareLsn, _, _, xid, gid) =>
+        require(inStreamOf.isEmpty, "StreamPrepare inside a stream block")
+        val spool = streamSpools.remove(xid).getOrElse(
+          throw new IllegalStateException(
+            s"StreamPrepare for unknown streamed xid $xid"))
+        preparedSpools.remove(gid).foreach(_._2.delete())
+        preparedSpools(gid) = (prepareLsn, spool)
+        Seq.empty
+      case RollbackPrepared(_, _, _, _, _, _, gid) =>
+        preparedSpools.remove(gid).foreach(_._2.delete())
+        Seq.empty
+      case CommitPrepared(_, commitLsn, _, _, _, gid) =>
+        val (_, spool) = preparedSpools.remove(gid).getOrElse(
+          throw new IllegalStateException(
+            s"CommitPrepared for unknown gid '$gid' — the prepared " +
+              "spool was lost; resume below the prepare LSN (flushCap " +
+              "guarantees a restarted session never confirms past it)"))
+        try {
           txLsn = Some(commitLsn); ordinal = 0L; txForeign = false
           val out = Seq.newBuilder[String]
           spool.frames.foreach(f => out ++= onMessage(decode(f)))

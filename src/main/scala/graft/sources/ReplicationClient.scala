@@ -212,13 +212,15 @@ final class ReplicationSocketClient(
 
   private def startReplication(fromLsn: Long): Unit = {
     val lsn = formatLsn(fromLsn)
-    require(protoVersion == 1 || protoVersion == 2,
+    require(protoVersion >= 1 && protoVersion <= 3,
       s"unsupported proto_version $protoVersion")
     val streaming = // v2 must also request streaming, or v2 ≡ v1
       if (protoVersion >= 2) ", streaming 'true'" else ""
+    val twoPhase = // v3: prepared transactions decode at PREPARE time
+      if (protoVersion >= 3) ", two_phase 'true'" else ""
     simpleQuery(s"""START_REPLICATION SLOT "$slotName" LOGICAL $lsn """ +
       s"""(proto_version '$protoVersion', """ +
-      s"""publication_names '$publication'$streaming)""")
+      s"""publication_names '$publication'$streaming$twoPhase)""")
     val (t, payload) = readMessage()
     t match {
       case 'W' => () // CopyBothResponse — streaming begins
@@ -305,9 +307,19 @@ final class ReplicationSocketClient(
 
   private def sendStatusUpdate(force: Boolean, requestReply: Boolean): Unit =
     synchronized {
-      // monotonic: never report a regressing position
+      // monotonic: never report a regressing position. The flush is
+      // additionally CAPPED below the earliest undecided PREPARE
+      // (two-phase): the prepared spool is volatile, so a restarted
+      // session must resume below the prepare to get it re-sent — the
+      // cap can never regress in practice (a prepare's LSN is above
+      // every previously-durable commit), but the max() guards the
+      // monotonic contract regardless
       val write = math.max(lastWriteLsn.get(), reportedWrite)
-      val flush = math.max(flushLsn(), reportedFlush)
+      val rawFlush = flushLsn()
+      val ds0 = decodeSession
+      val flush = math.max(
+        if (ds0 != null) ds0.flushCap(rawFlush) else rawFlush,
+        reportedFlush)
       if (!force && flush == reportedFlush &&
           nowMs() - lastUpdateAtMs < StatusUpdateIntervalMs) {
         statusUpdatesSkipped.incrementAndGet()

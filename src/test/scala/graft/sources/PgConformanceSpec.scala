@@ -107,7 +107,17 @@ class PgConformanceSpec extends AnyFunSuite {
     "stream_stop" -> StreamStop,
     "stream_commit" -> StreamCommit(777, 0, 0x16B3748L, 0x16B3800L, Ts),
     "stream_abort" -> StreamAbort(777, 777),
-    "stream_abort_sub" -> StreamAbort(777, 778))
+    "stream_abort_sub" -> StreamAbort(777, 778),
+    // protocol v3: two-phase commit (PG 15+)
+    "begin_prepare" -> BeginPrepare(0x16B4000L, 0x16B4010L, Ts, 888,
+      "gid-42"),
+    "prepare" -> Prepare(0, 0x16B4000L, 0x16B4010L, Ts, 888, "gid-42"),
+    "commit_prepared" -> CommitPrepared(0, 0x16B5000L, 0x16B5010L, Ts,
+      888, "gid-42"),
+    "rollback_prepared" -> RollbackPrepared(0, 0x16B4010L, 0x16B6000L,
+      Ts, Ts + 1000L, 888, "gid-42"),
+    "stream_prepare" -> StreamPrepare(0, 0x16B4000L, 0x16B4010L, Ts,
+      888, "gid-42"))
 
   test("every spec-assembled frame decodes to the exact expected message") {
     assert(frames.keySet == expected.keySet,

@@ -151,6 +151,86 @@ class PgStreamingSpec extends AnyFunSuite {
       Vector(Some("7"), Some("w"), Some("e")))
   }
 
+  test("two-phase commit round trips + session: changes spool at " +
+      "PREPARE, apply whole at COMMIT PREPARED, vanish at ROLLBACK " +
+      "PREPARED, and the flush cap holds below undecided prepares") {
+    Seq[Message](
+      BeginPrepare(0x10L, 0x20L, 5L, 31, "gid-a"),
+      Prepare(0, 0x10L, 0x20L, 5L, 31, "gid-a"),
+      CommitPrepared(0, 0x30L, 0x40L, 6L, 31, "gid-a"),
+      RollbackPrepared(0, 0x20L, 0x50L, 5L, 7L, 31, "gid-a"),
+      StreamPrepare(0, 0x10L, 0x20L, 5L, 31, "gid-a")).foreach { m =>
+      assert(decode(encode(m)) == m, s"round trip failed for $m")
+    }
+
+    val s = new DecodeSession()
+    s.onFrame(encode(rel))
+    def f(ms: Message*): Seq[String] = ms.flatMap(m => s.onFrame(encode(m)))
+
+    // prepared tx: nothing emits at PREPARE; the flush cap drops below
+    // the prepare LSN while it is undecided
+    assert(f(BeginPrepare(0x1000L, 0x1010L, 0L, 21, "g1"),
+      Insert(1, row("1", "p1")), Insert(1, row("2", "p2")),
+      Prepare(0, 0x1000L, 0x1010L, 0L, 21, "g1")).isEmpty)
+    assert(s.preparedCount == 1)
+    assert(s.flushCap(0x5000L) == 0x1000L - 1,
+      "flush must hold below the undecided prepare")
+    assert(s.flushCap(0x500L) == 0x500L, "a lower flush passes through")
+
+    // an unrelated normal tx commits while g1 is pending
+    val n = f(Begin(0x1100L, 0L, 22), Insert(1, row("3", "n")),
+      Commit(0, 0x1100L, 0x1101L, 0L))
+    assert(n.size == 1)
+
+    // COMMIT PREPARED applies the whole prepared tx at ITS commit LSN
+    val lines = f(CommitPrepared(0, 0x2000L, 0x2001L, 0L, 21, "g1"))
+    assert(lines.size == 2 &&
+      lines.forall(_.split("	")(0) == 0x2000L.toString))
+    assert(PackedRow.parse(lines.head.split("	", -1)(7)) ==
+      Vector(Some("1"), Some("p1")))
+    assert(s.preparedCount == 0 && s.flushCap(0x5000L) == 0x5000L)
+
+    // ROLLBACK PREPARED discards without a trace
+    f(BeginPrepare(0x3000L, 0x3010L, 0L, 23, "g2"),
+      Insert(1, row("9", "doomed")),
+      Prepare(0, 0x3000L, 0x3010L, 0L, 23, "g2"))
+    assert(f(RollbackPrepared(0, 0x3010L, 0x3020L, 0L, 0L, 23, "g2"))
+      .isEmpty)
+    assert(s.preparedCount == 0)
+    intercept[IllegalStateException] { // committing the rolled-back gid
+      f(CommitPrepared(0, 0x4000L, 0x4001L, 0L, 23, "g2"))
+    }
+
+    // a REDELIVERED BeginPrepare (post-restart replay) resets the spool
+    // instead of doubling it
+    f(BeginPrepare(0x6000L, 0x6010L, 0L, 24, "g3"),
+      Insert(1, row("4", "v1")),
+      Prepare(0, 0x6000L, 0x6010L, 0L, 24, "g3"))
+    f(BeginPrepare(0x6000L, 0x6010L, 0L, 24, "g3"), // redelivery
+      Insert(1, row("4", "v1")),
+      Prepare(0, 0x6000L, 0x6010L, 0L, 24, "g3"))
+    val rd = f(CommitPrepared(0, 0x7000L, 0x7001L, 0L, 24, "g3"))
+    assert(rd.size == 1, s"redelivered prepare must not double: $rd")
+  }
+
+  test("streamed + prepared: StreamPrepare moves the stream spool to " +
+      "the prepared set; CommitPrepared replays it") {
+    val s = new DecodeSession()
+    s.onFrame(encode(rel))
+    def f(ms: Message*): Seq[String] = ms.flatMap(m => s.onFrame(encode(m)))
+    f(StreamStart(90, firstSegment = true))
+    s.onFrame(encodeStreamed(90, Insert(1, row("1", "sp1"))))
+    s.onFrame(encodeStreamed(90, Insert(1, row("2", "sp2"))))
+    f(StreamStop)
+    assert(f(StreamPrepare(0, 0x8000L, 0x8010L, 0L, 90, "g9")).isEmpty)
+    assert(s.openStreamCount == 0 && s.preparedCount == 1)
+    assert(s.flushCap(0x9000L) == 0x8000L - 1)
+    val lines = f(CommitPrepared(0, 0x9000L, 0x9001L, 0L, 90, "g9"))
+    assert(lines.size == 2 &&
+      lines.forall(_.split("	")(0) == 0x9000L.toString))
+    assert(s.preparedCount == 0)
+  }
+
   test("byte accounting: streamed tuple-value bytes park at StreamCommit " +
       "and record processed at the flushed ack") {
     graft.pipeline.Telemetry.resetForTest()

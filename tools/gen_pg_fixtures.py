@@ -146,6 +146,33 @@ frame("stream_commit",
 frame("stream_abort", b"A" + be32(777) + be32(777))
 frame("stream_abort_sub", b"A" + be32(777) + be32(778))
 
+# -------------- protocol v3: two-phase commit messages (PG 15+)
+# Begin Prepare: Int64 prepare lsn, Int64 end lsn, Int64 prepare ts,
+#                Int32 xid, String gid
+frame("begin_prepare",
+      b"b" + be64(0x16B4000) + be64(0x16B4010) + be64(TS) + be32(888) +
+      cstr("gid-42"))
+# Prepare: Int8 flags, Int64 prepare lsn, Int64 end lsn, Int64 ts,
+#          Int32 xid, String gid
+frame("prepare",
+      b"P" + u8(0) + be64(0x16B4000) + be64(0x16B4010) + be64(TS) +
+      be32(888) + cstr("gid-42"))
+# Commit Prepared: Int8 flags, Int64 commit lsn, Int64 end lsn, Int64 ts,
+#                  Int32 xid, String gid
+frame("commit_prepared",
+      b"K" + u8(0) + be64(0x16B5000) + be64(0x16B5010) + be64(TS) +
+      be32(888) + cstr("gid-42"))
+# Rollback Prepared: Int8 flags, Int64 prepare end lsn, Int64 rollback
+#                    end lsn, Int64 prepare ts, Int64 rollback ts,
+#                    Int32 xid, String gid
+frame("rollback_prepared",
+      b"r" + u8(0) + be64(0x16B4010) + be64(0x16B6000) + be64(TS) +
+      be64(TS + 1000) + be32(888) + cstr("gid-42"))
+# Stream Prepare: same shape as Prepare, type 'p'
+frame("stream_prepare",
+      b"p" + u8(0) + be64(0x16B4000) + be64(0x16B4010) + be64(TS) +
+      be32(888) + cstr("gid-42"))
+
 # ------------------------------------------------------- COPY-BOTH session
 def backend(t, payload):
     """Backend message: type(1) + len(4, incl itself) + payload."""
