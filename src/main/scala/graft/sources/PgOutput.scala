@@ -637,6 +637,13 @@ object PgOutput {
         streamSpools(inStreamOf.get).append(subXid, v1)
         return Seq.empty
       }
+      // inside a block, ONLY streamable data frames and StreamStop are
+      // legal — decoding anything else as a top-level message would
+      // corrupt session state (the protocol ends every block with
+      // Stream Stop before any other control message)
+      require(inStreamOf.isEmpty || frame(0).toChar == 'E',
+        s"message type '${frame(0).toChar}' is illegal inside a " +
+          s"stream block of xid ${inStreamOf.get}")
       // inside a BeginPrepare..Prepare bracket, data frames are plain
       // v1 frames that spool until CommitPrepared/RollbackPrepared
       if (preparing.isDefined && StreamableTypes(frame(0).toChar)) {

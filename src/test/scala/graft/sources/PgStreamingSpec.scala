@@ -151,6 +151,22 @@ class PgStreamingSpec extends AnyFunSuite {
       Vector(Some("7"), Some("w"), Some("e")))
   }
 
+  test("a non-streamable control frame inside a stream block rejects " +
+      "instead of corrupting session state") {
+    val s = new DecodeSession()
+    s.onFrame(encode(rel))
+    s.onFrame(encode(StreamStart(40, firstSegment = true)))
+    val e = intercept[IllegalArgumentException] {
+      s.onFrame(encode(Begin(0x100L, 0L, 1))) // Begin cannot nest here
+    }
+    assert(e.getMessage.contains("illegal inside a stream block"))
+    // the block still closes and the stream still commits normally
+    s.onFrame(encodeStreamed(40, Insert(1, row("1", "ok"))))
+    s.onFrame(encode(StreamStop))
+    assert(s.onFrame(encode(
+      StreamCommit(40, 0, 0x200L, 0x201L, 0L))).size == 1)
+  }
+
   test("two-phase commit round trips + session: changes spool at " +
       "PREPARE, apply whole at COMMIT PREPARED, vanish at ROLLBACK " +
       "PREPARED, and the flush cap holds below undecided prepares") {
