@@ -159,6 +159,12 @@ object Telemetry {
   val MemoryBackpressureActive = "etl_memory_backpressure_active"
   val SlotInvalidationsTotal = "etl_slot_invalidations_total"
   val WorkerErrorsTotal = "etl_worker_errors_total"
+  // two-phase (pgoutput v3) visibility — beyond the reference's catalog:
+  // an undecided PREPARE pins publisher WAL retention via the flush cap
+  val PreparedTransactions = "etl_prepared_transactions"
+  val OldestPrepareAgeSeconds = "etl_oldest_prepare_age_seconds"
+  val FlushCapLagBytes = "etl_flush_cap_lag_bytes"
+  val FlushCapStallsTotal = "etl_flush_cap_stalls_total"
 
   // ------------------------------------------------------------- tracing
   /** Structured JSON tracing to an append-only file — the

@@ -462,31 +462,87 @@ object PgOutput {
       s"tuple arity ${t.length} != relation ${r.relName} arity " +
         s"${r.columns.length}: corrupt or stale frame")
 
+  /** JVM-wide registry of session spool DIRECTORIES with ONE shutdown
+    * hook total. The previous design registered every spool file via
+    * `File.deleteOnExit()`, whose static `DeleteOnExitHook` set is
+    * never pruned — a long-lived replication session decoding millions
+    * of streamed transactions accrued driver heap forever. Here each
+    * [[DecodeSession]] owns one directory (released at session close);
+    * crash cleanup is the single hook deleting whatever directories
+    * are still live. */
+  private[sources] object SpoolDirs {
+    private val live =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+    // one hook for the whole JVM, installed on first use
+    private lazy val hookInstalled: Unit = Runtime.getRuntime.addShutdownHook(
+      new Thread(() => { live.forEach(deleteTree(_)) }, "graft-spool-cleanup"))
+    /** Create a fresh session spool directory under `base` (created if
+      * missing) or, by default, the JVM temp dir. Spooling large
+      * streamed transactions to a size-limited tmpfs /tmp defeats the
+      * bounded-memory goal — production sessions should pass a real
+      * disk next to their log/checkpoint path. */
+    def create(base: Option[java.nio.file.Path]): java.nio.file.Path = {
+      hookInstalled
+      val dir = base match {
+        case Some(b) =>
+          java.nio.file.Files.createDirectories(b)
+          java.nio.file.Files.createTempDirectory(b, "graft-spools-")
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft-spools-")
+      }
+      live.add(dir)
+      dir
+    }
+    def release(dir: java.nio.file.Path): Unit = {
+      live.remove(dir)
+      deleteTree(dir)
+    }
+    /** Live session-spool directories (tests/metrics). */
+    private[sources] def liveCount: Int = live.size
+    private def deleteTree(dir: java.nio.file.Path): Unit =
+      try {
+        if (java.nio.file.Files.isDirectory(dir)) {
+          val s = java.nio.file.Files.list(dir)
+          try s.forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(dir)
+      } catch { case _: java.io.IOException => () } // best-effort cleanup
+
+  }
+
   /** Disk-backed spool of ONE streamed transaction's v1-equivalent
     * frames: length-prefixed records in a temp file, per-frame file
     * offsets in memory (8 bytes per frame), and subxid → first-frame
     * index for abort truncation. Appends are sequential writes; a
     * subtransaction abort truncates the FILE back to the subxid's
     * first offset. A 100 GB in-progress transaction costs the decode
-    * session one open file and an offsets array. */
-  private final class StreamSpool {
-    private val path = {
-      val p = java.nio.file.Files.createTempFile("graft-stream-", ".spool")
-      p.toFile.deleteOnExit() // a crashed session must not leak spools
-      p
-    }
+    * session one open file and an offsets array. Files live inside the
+    * session's [[SpoolDirs]] directory — no per-file `deleteOnExit`. */
+  private final class StreamSpool(dir: java.nio.file.Path) {
+    private val path =
+      java.nio.file.Files.createTempFile(dir, "graft-stream-", ".spool")
     private val file = new java.io.RandomAccessFile(path.toFile, "rw")
     private val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
     private val subStart =
       scala.collection.mutable.LinkedHashMap.empty[Int, Int]
     def frameCount: Int = offsets.length
-    def append(subXid: Int, frame: Array[Byte]): Unit = {
-      if (!subStart.contains(subXid)) subStart(subXid) = offsets.length
-      offsets += file.length()
-      file.seek(file.length())
-      file.writeInt(frame.length)
-      file.write(frame)
-    }
+    def append(subXid: Int, frame: Array[Byte]): Unit =
+      try {
+        if (!subStart.contains(subXid)) subStart(subXid) = offsets.length
+        offsets += file.length()
+        file.seek(file.length())
+        file.writeInt(frame.length)
+        file.write(frame)
+      } catch {
+        case e: java.io.IOException =>
+          // a full spool volume (tmpfs /tmp is the classic case) must
+          // not surface as an opaque IO error mid-stream
+          throw new java.io.IOException(
+            s"stream spool write failed at $path — spool volume full? " +
+              "Point the decode session's spoolDir at a real disk " +
+              "(default: next to the change log)", e)
+      }
     /** Drop the subxid's first change THROUGH the tail (its children's
       * and its own later changes all sit after it; post-rollback parent
       * changes arrive after the abort message — PostgreSQL's apply
@@ -541,7 +597,14 @@ object PgOutput {
         * applies the transaction anyway (replication_message.rs: Origin
         * unhandled); default false matches that. Relation/DDL records
         * still register: schema knowledge is origin-independent. */
-      dropForeignOrigins: Boolean = false) {
+      dropForeignOrigins: Boolean = false,
+      /** Base directory for streamed/prepared-transaction spools. A
+        * session directory is created beneath it on first use and
+        * removed at [[close]] (crash cleanup via one JVM-wide shutdown
+        * hook — see [[SpoolDirs]]). None = the JVM temp dir; live
+        * sources should point this at real disk next to the change
+        * log, since /tmp is often a size-limited tmpfs. */
+      spoolDir: Option[java.nio.file.Path] = None) {
     private val relations = scala.collection.mutable.Map.empty[Int, Relation]
     /** LSN each relation's schema was last (re)announced at — the
       * `_schema_lsn` data rows decode against (SnapshotId floor-lookup
@@ -582,6 +645,39 @@ object PgOutput {
 
     def relation(id: Int): Relation = relations(id)
 
+    // ------------------------------------------------ spool directory
+    /** Session spool directory, created on first spool, removed at
+      * [[close]]. */
+    private var sessionSpoolDir: java.nio.file.Path = null
+    private def spoolHome: java.nio.file.Path = {
+      if (sessionSpoolDir == null) sessionSpoolDir = SpoolDirs.create(spoolDir)
+      sessionSpoolDir
+    }
+
+    /** Release every open spool and the session spool directory,
+      * RETAINING the undecided-prepare flush floor (returned, and kept
+      * on this object): the prepared spools are volatile by design, so
+      * a status update issued after close — or by a successor session
+      * before the publisher's redelivery arrives — must still not
+      * confirm past an undecided prepare, or the prepared transaction
+      * is lost. Safe to call more than once; the session remains
+      * usable (a new spool directory is created on demand). */
+    def close(): Option[Long] = {
+      val floor = prepareFloor
+      streamSpools.valuesIterator.foreach(_.delete())
+      streamSpools.clear()
+      streamForeign.clear()
+      preparedSpools.valuesIterator.foreach(_.spool.delete())
+      preparedSpools.clear()
+      preparedForeign.clear()
+      inheritedFloor = floor
+      if (sessionSpoolDir != null) {
+        SpoolDirs.release(sessionSpoolDir)
+        sessionSpoolDir = null
+      }
+      floor
+    }
+
     // ------------------- protocol v2: streamed in-progress transactions
     /** Top-level xid of the OPEN stream block (None = outside blocks). */
     private var inStreamOf: Option[Int] = None
@@ -589,6 +685,10 @@ object PgOutput {
       * StreamCommit/StreamAbort. */
     private val streamSpools =
       scala.collection.mutable.Map.empty[Int, StreamSpool]
+    /** Top-level xids whose stream carried a foreign-origin stamp
+      * (pgoutput sends the Origin message inside the FIRST stream
+      * segment) — consulted when the spool replays at StreamCommit. */
+    private val streamForeign = scala.collection.mutable.Set.empty[Int]
 
     /** Spooled streamed transactions currently held (tests/metrics). */
     def openStreamCount: Int = streamSpools.size
@@ -596,7 +696,13 @@ object PgOutput {
     // --------------------- protocol v3: two-phase (prepared) transactions
     /** Open BeginPrepare..Prepare bracket: (gid, prepare LSN). */
     private var preparing: Option[(String, Long)] = None
-    /** PREPAREd-but-undecided transactions: gid → (prepare LSN, spool).
+    /** An undecided PREPAREd transaction: its prepare LSN, spooled
+      * frames, and the wall-clock instant it was prepared (undecided
+      * prepares hold WAL retention via [[flushCap]], so their AGE is an
+      * operational signal — see [[oldestPrepareAgeMs]]). */
+    private final case class PreparedTx(prepareLsn: Long,
+        spool: StreamSpool, sinceMs: Long)
+    /** PREPAREd-but-undecided transactions by gid.
       * VOLATILE by design — instead of making the spool durable (the
       * subscriber-side PREPARE a real Postgres subscriber performs),
       * the session exposes [[flushCap]]: the reported flush LSN never
@@ -605,18 +711,45 @@ object PgOutput {
       * transaction (redelivered BeginPrepare resets the gid's spool —
       * idempotent). */
     private val preparedSpools =
-      scala.collection.mutable.Map.empty[String, (Long, StreamSpool)]
+      scala.collection.mutable.Map.empty[String, PreparedTx]
+    /** Gids of prepared transactions stamped with a foreign origin —
+      * consulted when the spool replays at CommitPrepared. */
+    private val preparedForeign =
+      scala.collection.mutable.Set.empty[String]
 
     /** Prepared transactions currently held (tests/metrics). */
     def preparedCount: Int = preparedSpools.size
 
+    /** Age of the OLDEST undecided prepare, or None when there is
+      * none. While a prepare is undecided the flush cap holds WAL
+      * retention on the publisher — export this so a transaction
+      * manager stuck for hours is visible, not a silent stall. */
+    def oldestPrepareAgeMs(
+        nowMs: Long = System.currentTimeMillis()): Option[Long] =
+      preparedSpools.valuesIterator.map(_.sinceMs).minOption
+        .map(s => math.max(0L, nowMs - s))
+
+    /** Prepare-LSN floor inherited from a predecessor session (after a
+      * reconnect) or retained by [[close]]. Cleared when the
+      * publisher's LSN-ordered redelivery re-establishes a LIVE cap at
+      * or below it — delivery order guarantees the redelivered
+      * BeginPrepare/StreamPrepare arrives before any frame beyond the
+      * floor, so the window where only the inherited floor protects
+      * the prepared transaction is exactly bridged. */
+    @volatile private var inheritedFloor: Option[Long] = None
+    /** Carry a predecessor session's undecided-prepare floor (see
+      * [[close]]) into this session. */
+    def inheritPrepareFloor(floor: Option[Long]): Unit =
+      inheritedFloor = floor
+
+    private def prepareFloor: Option[Long] =
+      (preparedSpools.valuesIterator.map(_.prepareLsn) ++
+        preparing.iterator.map(_._2) ++ inheritedFloor.iterator).minOption
+
     /** Cap a flush position so it never passes an undecided PREPARE —
       * the status-update caller routes its flush LSN through this. */
-    def flushCap(flush: Long): Long = {
-      val floor = (preparedSpools.valuesIterator.map(_._1) ++
-        preparing.iterator.map(_._2)).minOption
-      floor.fold(flush)(f => math.min(flush, f - 1))
-    }
+    def flushCap(flush: Long): Long =
+      prepareFloor.fold(flush)(f => math.min(flush, f - 1))
 
     /** Decode one frame; returns the envelope lines it produces (0..n).
       * Streamed-transaction blocks (protocol v2) spool to DISK until
@@ -637,10 +770,19 @@ object PgOutput {
         streamSpools(inStreamOf.get).append(subXid, v1)
         return Seq.empty
       }
-      // inside a block, ONLY streamable data frames and StreamStop are
-      // legal — decoding anything else as a top-level message would
-      // corrupt session state (the protocol ends every block with
-      // Stream Stop before any other control message)
+      // an Origin frame arrives INSIDE the first stream segment when
+      // the streamed transaction carries one (pgoutput writes it right
+      // after Stream Start; it is a protocol message, no leading
+      // subxid) — record the top-level xid's foreign stamp for the
+      // replay at StreamCommit/StreamPrepare
+      if (inStreamOf.isDefined && frame(0).toChar == 'O') {
+        if (dropForeignOrigins) streamForeign += inStreamOf.get
+        return Seq.empty
+      }
+      // inside a block, ONLY streamable data frames, Origin, and
+      // StreamStop are legal — decoding anything else as a top-level
+      // message would corrupt session state (the protocol ends every
+      // block with Stream Stop before any other control message)
       require(inStreamOf.isEmpty || frame(0).toChar == 'E',
         s"message type '${frame(0).toChar}' is illegal inside a " +
           s"stream block of xid ${inStreamOf.get}")
@@ -648,7 +790,7 @@ object PgOutput {
       // v1 frames that spool until CommitPrepared/RollbackPrepared
       if (preparing.isDefined && StreamableTypes(frame(0).toChar)) {
         val (gid, lsn) = preparing.get
-        preparedSpools(gid) match { case (_, sp) => sp.append(0, frame) }
+        preparedSpools(gid).spool.append(0, frame)
         val _ = lsn
         return Seq.empty
       }
@@ -660,7 +802,7 @@ object PgOutput {
         require(inStreamOf.isEmpty, "nested StreamStart")
         require(txLsn.isEmpty, "StreamStart inside a Begin/Commit bracket")
         inStreamOf = Some(xid)
-        streamSpools.getOrElseUpdate(xid, new StreamSpool)
+        streamSpools.getOrElseUpdate(xid, new StreamSpool(spoolHome))
         Seq.empty
       case StreamStop =>
         require(inStreamOf.nonEmpty, "StreamStop outside a stream block")
@@ -668,8 +810,10 @@ object PgOutput {
         Seq.empty
       case StreamAbort(xid, subXid) =>
         require(inStreamOf.isEmpty, "StreamAbort inside a stream block")
-        if (subXid == xid) streamSpools.remove(xid).foreach(_.delete())
-        else streamSpools.get(xid).foreach(_.truncateFromSub(subXid))
+        if (subXid == xid) {
+          streamSpools.remove(xid).foreach(_.delete())
+          streamForeign -= xid
+        } else streamSpools.get(xid).foreach(_.truncateFromSub(subXid))
         Seq.empty
       case StreamCommit(xid, _, commitLsn, _, _) =>
         require(inStreamOf.isEmpty, "StreamCommit inside a stream block")
@@ -679,8 +823,12 @@ object PgOutput {
         try {
           // replay the spooled frames through the regular decode path
           // under the now-known commit LSN — one whole-commit line set,
-          // exactly what a v1 Commit would have produced
-          txLsn = Some(commitLsn); ordinal = 0L; txForeign = false
+          // exactly what a v1 Commit would have produced. The foreign-
+          // origin stamp recorded at the stream's Origin frame applies
+          // HERE (the loop breaker must filter streamed transactions
+          // too, or a bidirectional setup re-emits foreign data).
+          txLsn = Some(commitLsn); ordinal = 0L
+          txForeign = streamForeign.remove(xid)
           val out = Seq.newBuilder[String]
           spool.frames.foreach(f => out ++= onMessage(decode(f)))
           lastCommitLsn = math.max(lastCommitLsn, commitLsn)
@@ -694,6 +842,7 @@ object PgOutput {
             txPayload = graft.pipeline.SourcePayload.StreamingMeta.empty
           }
           txLsn = None
+          txForeign = false
           out.result()
         } finally spool.delete()
       case BeginPrepare(prepareLsn, _, _, _, gid) =>
@@ -701,9 +850,13 @@ object PgOutput {
           "BeginPrepare inside another bracket")
         // a REDELIVERED prepare (post-restart, flushCap held the flush
         // below it) resets the gid's spool — idempotent
-        preparedSpools.remove(gid).foreach(_._2.delete())
-        preparedSpools(gid) = (prepareLsn, new StreamSpool)
+        preparedSpools.remove(gid).foreach(_.spool.delete())
+        preparedForeign -= gid
+        preparedSpools(gid) = PreparedTx(prepareLsn, new StreamSpool(
+          spoolHome), System.currentTimeMillis())
         preparing = Some(gid -> prepareLsn)
+        // a live cap at or below the inherited floor retires it
+        if (inheritedFloor.exists(prepareLsn <= _)) inheritedFloor = None
         Seq.empty
       case Prepare(_, _, _, _, _, gid) =>
         require(preparing.exists(_._1 == gid),
@@ -715,20 +868,30 @@ object PgOutput {
         val spool = streamSpools.remove(xid).getOrElse(
           throw new IllegalStateException(
             s"StreamPrepare for unknown streamed xid $xid"))
-        preparedSpools.remove(gid).foreach(_._2.delete())
-        preparedSpools(gid) = (prepareLsn, spool)
+        preparedSpools.remove(gid).foreach(_.spool.delete())
+        preparedForeign -= gid
+        // the streamed xid's foreign stamp transfers to the gid
+        if (streamForeign.remove(xid)) preparedForeign += gid
+        preparedSpools(gid) =
+          PreparedTx(prepareLsn, spool, System.currentTimeMillis())
+        if (inheritedFloor.exists(prepareLsn <= _)) inheritedFloor = None
         Seq.empty
       case RollbackPrepared(_, _, _, _, _, _, gid) =>
-        preparedSpools.remove(gid).foreach(_._2.delete())
+        preparedSpools.remove(gid).foreach(_.spool.delete())
+        preparedForeign -= gid
         Seq.empty
       case CommitPrepared(_, commitLsn, _, _, _, gid) =>
-        val (_, spool) = preparedSpools.remove(gid).getOrElse(
+        val spool = preparedSpools.remove(gid).getOrElse(
           throw new IllegalStateException(
             s"CommitPrepared for unknown gid '$gid' — the prepared " +
               "spool was lost; resume below the prepare LSN (flushCap " +
-              "guarantees a restarted session never confirms past it)"))
+              "guarantees a restarted session never confirms past it)")).spool
         try {
-          txLsn = Some(commitLsn); ordinal = 0L; txForeign = false
+          // apply the foreign stamp recorded during the prepare bracket
+          // (resetting it here silently disabled the loop breaker for
+          // every prepared transaction)
+          txLsn = Some(commitLsn); ordinal = 0L
+          txForeign = preparedForeign.remove(gid)
           val out = Seq.newBuilder[String]
           spool.frames.foreach(f => out ++= onMessage(decode(f)))
           lastCommitLsn = math.max(lastCommitLsn, commitLsn)
@@ -742,6 +905,7 @@ object PgOutput {
             txPayload = graft.pipeline.SourcePayload.StreamingMeta.empty
           }
           txLsn = None
+          txForeign = false
           out.result()
         } finally spool.delete()
       case m => onDecoded(m)
@@ -808,8 +972,14 @@ object PgOutput {
             verLsn, None, Some(payload)))
         }
       case _: Origin =>
-        // Origin arrives inside the Begin bracket, before any data
-        if (dropForeignOrigins) txForeign = true
+        // Origin arrives inside the Begin bracket (or the BeginPrepare
+        // bracket, for a two-phase transaction), before any data; a
+        // prepared transaction's stamp must survive until the
+        // CommitPrepared replay, so it records against the gid
+        if (dropForeignOrigins) preparing match {
+          case Some((gid, _)) => preparedForeign += gid
+          case None => txForeign = true
+        }
         Seq.empty
       case _: TypeMsg => Seq.empty
       case _ if txForeign =>

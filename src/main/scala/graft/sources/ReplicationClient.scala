@@ -70,7 +70,17 @@ final class ReplicationSocketClient(
       * interleavable blocks the decode session spools to disk and
       * emits whole at StreamCommit — bounded publisher memory, no
       * commit-sized latency cliff; see [[PgOutput.DecodeSession]]). */
-    protoVersion: Int = 1) {
+    protoVersion: Int = 1,
+    /** Base directory for streamed/prepared-transaction spools. The
+      * default sits NEXT TO THE CHANGE LOG — real disk, not the JVM
+      * temp dir, which is often a size-limited tmpfs a 100 GB streamed
+      * transaction would fill mid-stream. */
+    spoolDir: Option[String] = None,
+    /** Warn (and bump `etl_flush_cap_stalls_total`) when the reported
+      * flush LSN is held this many bytes behind durable progress by an
+      * undecided PREPARE — an undecided two-phase transaction pins
+      * publisher WAL retention, which must be visible, not silent. */
+    flushCapWarnLagBytes: Long = 64L << 20) {
   import ReplicationSocketClient._
 
   // observability for tests/metrics (reference ETL_STATUS_UPDATES_TOTAL)
@@ -237,9 +247,19 @@ final class ReplicationSocketClient(
     * meta at the reported flush position (processed-bytes accounting). */
   @volatile private var decodeSession: PgOutput.DecodeSession = null
 
+  /** Undecided-prepare floor carried from a torn-down session into its
+    * reconnect successor: the prepared spools are volatile, so between
+    * a session's death and the publisher's redelivery the cap must
+    * survive in the client or a keepalive-triggered status update
+    * could confirm past the prepare and lose the transaction. */
+  @volatile private var carriedPrepareFloor: Option[Long] = None
+
   private def receiveLoop(): Unit = {
     val session = new PgOutput.DecodeSession(
-      dropForeignOrigins = dropForeignOrigins)
+      dropForeignOrigins = dropForeignOrigins,
+      spoolDir = Some(spoolDir.map(Paths.get(_)).getOrElse(
+        Paths.get(logPath).toAbsolutePath.getParent.resolve("spools"))))
+    session.inheritPrepareFloor(carriedPrepareFloor)
     decodeSession = session
     val pending = scala.collection.mutable.ArrayBuffer.empty[String]
     var inTx = false
@@ -297,6 +317,11 @@ final class ReplicationSocketClient(
       case e: Throwable if running.get() =>
         lastError = Some(e); running.set(false)
       case _: Throwable => ()
+    } finally {
+      // release spools; the close() retains the undecided-prepare
+      // floor on the session object (the final status update in
+      // stop() may still consult it) and carries it to the successor
+      carriedPrepareFloor = session.close()
     }
   }
 
@@ -304,6 +329,7 @@ final class ReplicationSocketClient(
   @volatile private var lastUpdateAtMs = 0L
   private var reportedWrite = 0L
   private var reportedFlush = 0L
+  private val lastStallWarnAtMs = new AtomicLong(0L)
 
   private def sendStatusUpdate(force: Boolean, requestReply: Boolean): Unit =
     synchronized {
@@ -317,9 +343,15 @@ final class ReplicationSocketClient(
       val write = math.max(lastWriteLsn.get(), reportedWrite)
       val rawFlush = flushLsn()
       val ds0 = decodeSession
-      val flush = math.max(
-        if (ds0 != null) ds0.flushCap(rawFlush) else rawFlush,
-        reportedFlush)
+      val capped = if (ds0 != null) ds0.flushCap(rawFlush) else rawFlush
+      val flush = math.max(capped, reportedFlush)
+      // undecided-prepare visibility (before the throttle return, so
+      // the gauges track even while updates are being skipped): an
+      // undecided two-phase transaction pins publisher WAL retention
+      // and freezes apparent progress — that must be observable
+      if (ds0 != null)
+        recordPrepareStall(ds0, rawFlush, capped, flushCapWarnLagBytes,
+          lastStallWarnAtMs)
       if (!force && flush == reportedFlush &&
           nowMs() - lastUpdateAtMs < StatusUpdateIntervalMs) {
         statusUpdatesSkipped.incrementAndGet()
@@ -684,6 +716,45 @@ object ReplicationSocketClient {
   /** Min interval between non-forced updates (reference
     * STATUS_UPDATE_INTERVAL, replication_message.rs:34). */
   val StatusUpdateIntervalMs = 100L
+  /** Min interval between repeated flush-cap stall warnings. */
+  val StallWarnIntervalMs = 60000L
+
+  /** Export the undecided-prepare gauges and, when the flush cap holds
+    * the reported position more than `warnLagBytes` behind durable
+    * progress, a throttled WARN + `etl_flush_cap_stalls_total` bump.
+    * A prepared transaction can legitimately stay undecided for hours
+    * (that is what two-phase commit is for); while it does, the
+    * publisher retains WAL from the cap and the source's progress
+    * appears frozen — silent only if nothing exports it. */
+  private[sources] def recordPrepareStall(ds: PgOutput.DecodeSession,
+      rawFlush: Long, cappedFlush: Long, warnLagBytes: Long,
+      lastWarnAtMs: AtomicLong,
+      nowMs: Long = System.currentTimeMillis()): Unit = {
+    import graft.pipeline.Telemetry
+    val ageSec = ds.oldestPrepareAgeMs(nowMs).fold(0.0)(_ / 1000.0)
+    Telemetry.gauge(Telemetry.PreparedTransactions,
+      "undecided PREPAREd transactions held by the decode session")
+      .set(ds.preparedCount.toDouble)
+    Telemetry.gauge(Telemetry.OldestPrepareAgeSeconds,
+      "age of the oldest undecided PREPARE (0 when none)").set(ageSec)
+    val lag = math.max(0L, rawFlush - cappedFlush)
+    Telemetry.gauge(Telemetry.FlushCapLagBytes,
+      "bytes the undecided-prepare cap holds the reported flush LSN " +
+        "below durable progress").set(lag.toDouble)
+    if (lag > warnLagBytes) {
+      val last = lastWarnAtMs.get()
+      if (nowMs - last >= StallWarnIntervalMs &&
+          lastWarnAtMs.compareAndSet(last, nowMs)) {
+        Telemetry.counter(Telemetry.FlushCapStallsTotal,
+          "flush-cap stall warnings issued").increment()
+        java.util.logging.Logger.getLogger("graft.sources.replication")
+          .warning(s"flush LSN capped $lag bytes below durable progress " +
+            s"by ${ds.preparedCount} undecided prepared transaction(s), " +
+            f"oldest ${ageSec}%.0f s — publisher WAL retention grows " +
+            "until COMMIT PREPARED / ROLLBACK PREPARED")
+      }
+    }
+  }
   /** Deadline = max(fraction × wal_sender_timeout, floor) — stay well
     * inside the sender timeout (reference apply.rs:98-116,1493-1497). */
   val DefaultWalSenderTimeoutMs = 60000L

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core.PackedRow
+import scala.jdk.CollectionConverters._
 
 /** pgoutput protocol v2 — streamed in-progress transactions (PG 14+,
   * public "Logical Replication Message Formats" docs; BEYOND the
@@ -245,6 +246,209 @@ class PgStreamingSpec extends AnyFunSuite {
     assert(lines.size == 2 &&
       lines.forall(_.split("	")(0) == 0x9000L.toString))
     assert(s.preparedCount == 0)
+  }
+
+  test("an Origin frame inside the first stream segment marks the " +
+      "streamed transaction foreign: dropForeignOrigins filters its " +
+      "data at StreamCommit (Relation records still register)") {
+    // pgoutput writes the transaction's Origin message right after the
+    // first Stream Start when the tx carries one — it is a protocol
+    // message (no leading subxid) and must be ACCEPTED inside the block
+    def run(drop: Boolean): Seq[String] = {
+      val s = new DecodeSession(dropForeignOrigins = drop)
+      s.onFrame(encode(rel))
+      def f(ms: Message*): Seq[String] =
+        ms.flatMap(m => s.onFrame(encode(m)))
+      f(StreamStart(300, firstSegment = true))
+      f(Origin(0x42L, "upstream-node"))
+      s.onFrame(encodeStreamed(300, Insert(1, row("1", "foreign"))))
+      f(StreamStop)
+      // interleave a NATIVE streamed tx — no origin — to prove the
+      // stamp is per-xid, not session-global
+      f(StreamStart(301, firstSegment = true))
+      s.onFrame(encodeStreamed(301, Insert(1, row("2", "native"))))
+      f(StreamStop)
+      f(StreamCommit(300, 0, 0xB00L, 0xB01L, 0L)) ++
+        f(StreamCommit(301, 0, 0xC00L, 0xC01L, 0L))
+    }
+    val kept = run(drop = false)
+    assert(kept.size == 2, s"default keeps foreign data: $kept")
+    val dropped = run(drop = true)
+    assert(dropped.size == 1 &&
+      PackedRow.parse(dropped.head.split("\t", -1)(7)) ==
+        Vector(Some("2"), Some("native")),
+      s"foreign streamed tx must filter, native must survive: $dropped")
+    // after a foreign StreamCommit the session decodes normally again
+    val s = new DecodeSession(dropForeignOrigins = true)
+    s.onFrame(encode(rel))
+    s.onFrame(encode(StreamStart(310, firstSegment = true)))
+    s.onFrame(encode(Origin(0x42L, "upstream-node")))
+    s.onFrame(encodeStreamed(310, Insert(1, row("3", "f"))))
+    s.onFrame(encode(StreamStop))
+    assert(s.onFrame(encode(StreamCommit(310, 0, 0xD00L, 0xD01L, 0L)))
+      .isEmpty)
+    val native = Seq(Begin(0xE00L, 0L, 7), Insert(1, row("4", "n")),
+      Commit(0, 0xE00L, 0xE01L, 0L)).flatMap(m => s.onFrame(encode(m)))
+    assert(native.size == 1, "the foreign stamp must not leak forward")
+  }
+
+  test("a foreign-origin PREPARED transaction filters at CommitPrepared " +
+      "(the stamp survives the prepare bracket); StreamPrepare " +
+      "transfers the streamed stamp to the gid") {
+    val s = new DecodeSession(dropForeignOrigins = true)
+    s.onFrame(encode(rel))
+    def f(ms: Message*): Seq[String] = ms.flatMap(m => s.onFrame(encode(m)))
+    // plain two-phase: Origin arrives inside the BeginPrepare bracket
+    f(BeginPrepare(0x1000L, 0x1010L, 0L, 41, "fg1"),
+      Origin(0x42L, "upstream-node"),
+      Insert(1, row("1", "foreign")),
+      Prepare(0, 0x1000L, 0x1010L, 0L, 41, "fg1"))
+    assert(f(CommitPrepared(0, 0x2000L, 0x2001L, 0L, 41, "fg1")).isEmpty,
+      "prepared foreign data must not re-emit (loop breaker)")
+    // a NATIVE prepared tx still applies
+    f(BeginPrepare(0x3000L, 0x3010L, 0L, 42, "ng1"),
+      Insert(1, row("2", "native")),
+      Prepare(0, 0x3000L, 0x3010L, 0L, 42, "ng1"))
+    assert(f(CommitPrepared(0, 0x4000L, 0x4001L, 0L, 42, "ng1")).size == 1)
+    // streamed + prepared: stamp recorded at the stream's Origin frame
+    // transfers through StreamPrepare to the gid
+    f(StreamStart(43, firstSegment = true), Origin(0x42L, "upstream-node"))
+    s.onFrame(encodeStreamed(43, Insert(1, row("3", "foreign"))))
+    f(StreamStop, StreamPrepare(0, 0x5000L, 0x5010L, 0L, 43, "fg2"))
+    assert(f(CommitPrepared(0, 0x6000L, 0x6001L, 0L, 43, "fg2")).isEmpty)
+    // RollbackPrepared clears the foreign stamp with the spool
+    f(BeginPrepare(0x7000L, 0x7010L, 0L, 44, "fg3"),
+      Origin(0x42L, "x"), Insert(1, row("4", "f")),
+      Prepare(0, 0x7000L, 0x7010L, 0L, 44, "fg3"),
+      RollbackPrepared(0, 0x7010L, 0x7020L, 0L, 0L, 44, "fg3"))
+    // same gid reused natively: must NOT inherit the stale stamp
+    f(BeginPrepare(0x8000L, 0x8010L, 0L, 45, "fg3"),
+      Insert(1, row("5", "native")),
+      Prepare(0, 0x8000L, 0x8010L, 0L, 45, "fg3"))
+    assert(f(CommitPrepared(0, 0x9000L, 0x9001L, 0L, 45, "fg3")).size == 1)
+  }
+
+  test("spool lifecycle: files live in ONE session directory, vanish " +
+      "at commit/close, and no per-file deleteOnExit entries accrue") {
+    val deleteOnExitFiles: java.util.LinkedHashSet[String] = {
+      val cls = Class.forName("java.io.DeleteOnExitHook")
+      val fld = cls.getDeclaredField("files")
+      fld.setAccessible(true)
+      fld.get(null).asInstanceOf[java.util.LinkedHashSet[String]]
+    }
+    val hookBefore = deleteOnExitFiles.size
+    val base = java.nio.file.Files.createTempDirectory("spool-spec-")
+    val dirsBefore = PgOutput.SpoolDirs.liveCount
+    val s = new DecodeSession(spoolDir = Some(base))
+    s.onFrame(encode(rel))
+    def f(ms: Message*): Seq[String] = ms.flatMap(m => s.onFrame(encode(m)))
+    (0 until 20).foreach { i =>
+      f(StreamStart(1000 + i, firstSegment = true))
+      s.onFrame(encodeStreamed(1000 + i, Insert(1, row(i.toString, "v"))))
+      f(StreamStop)
+      f(StreamCommit(1000 + i, 0, 0x1000L + i, 0x1001L + i, 0L))
+    }
+    assert(deleteOnExitFiles.size == hookBefore,
+      "decoding streamed transactions must not grow DeleteOnExitHook")
+    assert(PgOutput.SpoolDirs.liveCount == dirsBefore + 1,
+      "one session = one spool directory")
+    // the session dir exists under base and is EMPTY (spools deleted
+    // at each commit)
+    val sessionDirs = {
+      val l = java.nio.file.Files.list(base)
+      try l.iterator().asScala.toList finally l.close()
+    }
+    assert(sessionDirs.size == 1)
+    val inDir = {
+      val l = java.nio.file.Files.list(sessionDirs.head)
+      try l.iterator().asScala.toList finally l.close()
+    }
+    assert(inDir.isEmpty, s"spool files must vanish at commit: $inDir")
+    // an OPEN spool holds a file; close() releases it with the dir
+    f(StreamStart(2000, firstSegment = true))
+    s.onFrame(encodeStreamed(2000, Insert(1, row("9", "open"))))
+    f(StreamStop)
+    assert({
+      val l = java.nio.file.Files.list(sessionDirs.head)
+      try l.iterator().asScala.nonEmpty finally l.close()
+    })
+    s.close()
+    assert(PgOutput.SpoolDirs.liveCount == dirsBefore)
+    assert(!java.nio.file.Files.exists(sessionDirs.head),
+      "close() must remove the session spool directory")
+    assert(deleteOnExitFiles.size == hookBefore)
+  }
+
+  test("close() retains the undecided-prepare floor and a successor " +
+      "session inherits it until redelivery re-establishes a live cap") {
+    val s = new DecodeSession()
+    s.onFrame(encode(rel))
+    def f(ms: Message*): Seq[String] = ms.flatMap(m => s.onFrame(encode(m)))
+    f(BeginPrepare(0x1000L, 0x1010L, 0L, 51, "gf"),
+      Insert(1, row("1", "p")),
+      Prepare(0, 0x1000L, 0x1010L, 0L, 51, "gf"))
+    assert(s.oldestPrepareAgeMs(System.currentTimeMillis() + 50)
+      .exists(_ >= 50L), "age gauge must see the undecided prepare")
+    val floor = s.close()
+    assert(floor.contains(0x1000L))
+    // the CLOSED session still caps (stop()'s final status update)
+    assert(s.flushCap(0x5000L) == 0x1000L - 1)
+    // a successor session inherits the floor...
+    val s2 = new DecodeSession()
+    s2.inheritPrepareFloor(floor)
+    assert(s2.flushCap(0x5000L) == 0x1000L - 1)
+    assert(s2.oldestPrepareAgeMs().isEmpty, "inherited floor has no age")
+    // ...until the publisher redelivers the prepare, which replaces the
+    // inherited floor with a live cap at the same LSN
+    s2.onFrame(encode(rel))
+    Seq(BeginPrepare(0x1000L, 0x1010L, 0L, 51, "gf"),
+      Insert(1, row("1", "p")),
+      Prepare(0, 0x1000L, 0x1010L, 0L, 51, "gf"))
+      .foreach(m => s2.onFrame(encode(m)))
+    assert(s2.flushCap(0x5000L) == 0x1000L - 1, "live cap holds")
+    val lines = s2.onFrame(encode(
+      CommitPrepared(0, 0x2000L, 0x2001L, 0L, 51, "gf")))
+    assert(lines.size == 1)
+    assert(s2.flushCap(0x5000L) == 0x5000L,
+      "the inherited floor must retire with the decision, not pin " +
+        "the flush forever")
+    s2.close(); s.close()
+  }
+
+  test("prepare-stall telemetry: gauges track prepared count/age and " +
+      "the stall counter fires throttled once the lag crosses the " +
+      "threshold") {
+    graft.pipeline.Telemetry.resetForTest()
+    import graft.pipeline.Telemetry
+    val s = new DecodeSession()
+    s.onFrame(encode(rel))
+    def f(ms: Message*): Seq[String] = ms.flatMap(m => s.onFrame(encode(m)))
+    f(BeginPrepare(0x1000L, 0x1010L, 0L, 61, "tg"),
+      Insert(1, row("1", "p")),
+      Prepare(0, 0x1000L, 0x1010L, 0L, 61, "tg"))
+    val warnAt = new java.util.concurrent.atomic.AtomicLong(0L)
+    val now = System.currentTimeMillis() + 30000
+    val raw = 0x1000L + (100L << 20) // durable progress 100 MiB past cap
+    ReplicationSocketClient.recordPrepareStall(
+      s, raw, s.flushCap(raw), 64L << 20, warnAt, now)
+    assert(Telemetry.gauge(Telemetry.PreparedTransactions).value() == 1.0)
+    assert(Telemetry.gauge(Telemetry.OldestPrepareAgeSeconds).value()
+      >= 29.0)
+    assert(Telemetry.gauge(Telemetry.FlushCapLagBytes).value()
+      >= (100L << 20).toDouble - 1)
+    assert(Telemetry.counter(Telemetry.FlushCapStallsTotal).value() == 1.0)
+    // throttled: an immediate second call does not re-warn
+    ReplicationSocketClient.recordPrepareStall(
+      s, raw, s.flushCap(raw), 64L << 20, warnAt, now + 1000)
+    assert(Telemetry.counter(Telemetry.FlushCapStallsTotal).value() == 1.0)
+    // after the decision the gauges return to rest
+    f(CommitPrepared(0, 0x2000L, 0x2001L, 0L, 61, "tg"))
+    ReplicationSocketClient.recordPrepareStall(
+      s, raw, s.flushCap(raw), 64L << 20, warnAt, now + 2000)
+    assert(Telemetry.gauge(Telemetry.PreparedTransactions).value() == 0.0)
+    assert(Telemetry.gauge(Telemetry.OldestPrepareAgeSeconds).value() == 0.0)
+    assert(Telemetry.gauge(Telemetry.FlushCapLagBytes).value() == 0.0)
+    s.close()
   }
 
   test("byte accounting: streamed tuple-value bytes park at StreamCommit " +
