@@ -1568,126 +1568,29 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * moment the lease releases or its TTL lapses), and in-process
     * maintenance timers skip their turn while a foreign lease is held.
     * A crashed holder never wedges the table: the TTL expires and the
-    * lease is broken by the next acquirer. */
-  private def leasePath = Paths.get(root, "_maintenance.lease")
+    * lease is broken by the next acquirer.
+    *
+    * The store is PLUGGABLE ([[MaintenanceLeaseStore]], the reference's
+    * coordination/{postgres,kubernetes}.rs seam): the default leases
+    * through an atomic file in the table root (shared POSIX-ish
+    * storage); deployments on object stores swap in [[JdbcLeaseStore]]
+    * to coordinate through a SQL database instead. */
+  @volatile var maintenanceLeaseStore: MaintenanceLeaseStore =
+    new FsLeaseStore(root)
 
   /** (owner, expiresAtMs) of a LIVE lease; None = free or expired. */
   def maintenanceLeaseHolder: Option[(String, Long)] =
-    parseLease(leasePath).filter(_._2 >= System.currentTimeMillis())
+    maintenanceLeaseStore.holder
 
-  /** (owner, expiresAtMs) as written, live or not; None = absent. */
-  private def parseLease(p: Path): Option[(String, Long)] =
-    try {
-      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      val i = s.indexOf('\t')
-      if (i <= 0) None else Some(s.substring(0, i) -> s.trim
-        .substring(i + 1).toLong)
-    } catch {
-      case _: java.io.IOException => None
-      case _: NumberFormatException => None // torn/foreign file ≠ a lease
-    }
-
-  /** Try to take (or renew) the lease for `owner`. Atomic: a fresh
-    * lease is hard-linked into place like a manifest commit, so two
-    * racing acquirers cannot both win; a renewal replaces via atomic
-    * move (readers never see a torn file). An EXPIRED lease is broken
-    * by atomically sweeping it aside and VERIFYING the swept content
-    * really was expired — if a rival's fresh lease landed between our
-    * staleness check and the sweep, it is restored and we lose, so a
-    * live lease is never destroyed by a breaker (the round-10 TOCTOU). */
+  /** Try to take (or renew) the lease for `owner` — see
+    * [[MaintenanceLeaseStore.tryAcquire]] for the atomicity contract. */
   def tryAcquireMaintenanceLease(owner: String,
-      ttlMs: Long = 60000L): Boolean = {
-    Files.createDirectories(Paths.get(root))
-    val body = s"$owner\t${System.currentTimeMillis() + ttlMs}"
-      .getBytes(StandardCharsets.UTF_8)
-    def writeTmp(): Path = {
-      val tmp = Paths.get(root, s".lease-${java.util.UUID.randomUUID()}.tmp")
-      Files.write(tmp, body); tmp
-    }
-    maintenanceLeaseHolder match {
-      case Some((h, _)) if h != owner => false
-      case Some((h, _)) if h == owner =>
-        // renew: atomic replace, never an in-place truncate+write — a
-        // concurrent holder-check must read either the old or the new
-        // lease, never a partial one
-        val tmp = writeTmp()
-        try {
-          Files.move(tmp, leasePath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          true
-        } finally Files.deleteIfExists(tmp)
-      case None =>
-        // free or expired. Sweep any expired lease aside ATOMICALLY and
-        // verify what we actually swept before claiming: a blind delete
-        // here could destroy a rival's FRESH lease linked between our
-        // holder check and the delete.
-        val tomb = Paths.get(root,
-          s".lease-tomb-${java.util.UUID.randomUUID()}.tmp")
-        val swept =
-          try { Files.move(leasePath, tomb,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE); true }
-          catch { case _: java.nio.file.NoSuchFileException => false }
-        if (swept) {
-          val live = parseLease(tomb)
-            .exists(_._2 >= System.currentTimeMillis())
-          if (live) {
-            // we swept a LIVE lease — put it back and lose. If the
-            // link-back loses to yet another acquirer, the displaced
-            // holder's next renewal/holder-check sees the loss; the
-            // residual window is microseconds and reads stay safe via
-            // withManifestRetry + the commit CAS.
-            try Files.createLink(leasePath, tomb)
-            catch { case _: java.nio.file.FileAlreadyExistsException => ()
-                    case _: java.nio.file.FileSystemException =>
-                      if (!Files.exists(leasePath))
-                        Files.move(tomb, leasePath,
-                          java.nio.file.StandardCopyOption.ATOMIC_MOVE) }
-            Files.deleteIfExists(tomb)
-            return false
-          }
-          Files.deleteIfExists(tomb)
-        }
-        val tmp = writeTmp()
-        try { Files.createLink(leasePath, tmp); true }
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-          case _: UnsupportedOperationException |
-               _: java.nio.file.FileSystemException =>
-            // no-hard-link filesystems: exists pre-check + move (the
-            // manifest commit's documented weaker fallback)
-            if (Files.exists(leasePath)) false
-            else { Files.move(tmp, leasePath,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE); true }
-        } finally Files.deleteIfExists(tmp)
-    }
-  }
+      ttlMs: Long = 60000L): Boolean =
+    maintenanceLeaseStore.tryAcquire(owner, ttlMs)
 
-  /** Release `owner`'s lease (no-op if not held by `owner`). Sweep-and-
-    * verify, not read-then-delete: the lease is atomically moved aside
-    * and its CONTENT checked — if it turned out to be a rival's (ours
-    * expired and they acquired between our read and the delete, the
-    * round-10 TOCTOU) it is restored untouched. */
-  def releaseMaintenanceLease(owner: String): Unit = {
-    if (!maintenanceLeaseHolder.exists(_._1 == owner)) return
-    val tomb = Paths.get(root,
-      s".lease-tomb-${java.util.UUID.randomUUID()}.tmp")
-    val swept =
-      try { Files.move(leasePath, tomb,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE); true }
-      catch { case _: java.nio.file.NoSuchFileException => false }
-    if (!swept) return
-    if (!parseLease(tomb).exists(_._1 == owner)) {
-      // swept someone else's lease — restore it
-      try Files.createLink(leasePath, tomb)
-      catch { case _: java.nio.file.FileAlreadyExistsException => ()
-              case _: java.nio.file.FileSystemException =>
-                if (!Files.exists(leasePath))
-                  Files.move(tomb, leasePath,
-                    java.nio.file.StandardCopyOption.ATOMIC_MOVE) }
-    }
-    Files.deleteIfExists(tomb)
-  }
+  /** Release `owner`'s lease (no-op if not held by `owner`). */
+  def releaseMaintenanceLease(owner: String): Unit =
+    maintenanceLeaseStore.release(owner)
 
   /** Block while a FOREIGN live lease exists — the apply path's pause
     * point. Returns once the lease is released/expired (or immediately
@@ -1724,6 +1627,12 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       graceMs: Long = 0L)(body: => Unit): Boolean = {
     if (!tryAcquireMaintenanceLease(owner, ttlMs)) return false
     @volatile var done = false
+    // heartbeat renewal and the final release MUTUALLY EXCLUDE through
+    // this lock: without it, a heartbeat stuck inside a slow renewal
+    // (an NFS write) could re-create the lease AFTER the release and
+    // wedge rivals for one TTL. Release waits for any in-flight
+    // renewal; the done re-check under the lock stops the next one.
+    val renewLock = new Object
     val beat = new Thread(() => {
       while (!done) {
         try Thread.sleep(math.max(1L, ttlMs / 3))
@@ -1732,9 +1641,11 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
         // was lost despite renewal (possible only through the
         // documented microsecond restore window) — nothing to do but
         // keep trying, reads stay safe via withManifestRetry
-        if (!done)
-          try tryAcquireMaintenanceLease(owner, ttlMs)
-          catch { case _: java.io.IOException => () }
+        renewLock.synchronized {
+          if (!done)
+            try tryAcquireMaintenanceLease(owner, ttlMs)
+            catch { case _: java.io.IOException => () }
+        }
       }
     }, s"graft-lease-heartbeat-$owner")
     beat.setDaemon(true)
@@ -1747,8 +1658,8 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     } finally {
       done = true
       beat.interrupt()
-      beat.join(5000) // a renewal AFTER release would wedge rivals for a TTL
-      releaseMaintenanceLease(owner)
+      renewLock.synchronized { releaseMaintenanceLease(owner) }
+      beat.join(5000) // tidy the thread; correctness rests on the lock
     }
   }
 

@@ -56,7 +56,13 @@ import graft.operators.ApplyOps
   * transaction.
   */
 final class JdbcSink(url: String, keysOf: String => Seq[String],
-    stageBatch: Int = 1000) extends CdcSink {
+    stageBatch: Int = 1000,
+    /** Bounded exponential backoff for TRANSIENT engine errors
+      * (deadlock, lock timeout, connection hiccup) around the
+      * driver-side engine transactions — reference retry.rs:12-25.
+      * Replay-safe: the transaction rolled back and the offsets-row
+      * cursor still gates, so a retry re-applies the identical slice. */
+    backoff: JdbcSink.Backoff = JdbcSink.Backoff()) extends CdcSink {
   import JdbcSink._
 
   private val metaCols = Set("_op", "_commit_lsn", "_tx_ordinal", "_missing")
@@ -192,8 +198,12 @@ final class JdbcSink(url: String, keysOf: String => Seq[String],
       // one transaction: schema ALTERs + N mask-group MERGEs + cursor
       // advance + stage clear — a crash anywhere rolls back wholesale
       // (including the DDL; Derby and Postgres DDL is transactional) and
-      // the replay re-runs the whole slice
-      withConn { conn =>
+      // the replay re-runs the whole slice. Transient engine errors
+      // (deadlock/lock-timeout/connection) retry HERE with backoff —
+      // the stage is intact and the cursor gates, so a retry applies
+      // the identical slice; non-transient errors fail fast to the
+      // table quarantine.
+      withBackoffRetry(backoff) { withConn { conn =>
         conn.setAutoCommit(false)
         val st = conn.createStatement()
         try {
@@ -212,23 +222,24 @@ final class JdbcSink(url: String, keysOf: String => Seq[String],
           conn.commit()
         } catch { case t: Throwable => conn.rollback(); throw t }
         finally st.close()
-      }
+      } }
     } finally fresh.unpersist()
   }
 
-  override def truncateTable(table: String): Unit = withConn { conn =>
-    conn.setAutoCommit(false)
-    val st = conn.createStatement()
-    try {
-      if (tableExists(conn, table))
-        st.executeUpdate(s"DELETE FROM ${q(table)}")
-      st.executeUpdate(
-        s"DELETE FROM ${q(OffsetsTable)} WHERE ${q("table_name")} = " +
-          sqlStr(table))
-      conn.commit()
-    } catch { case t: Throwable => conn.rollback(); throw t }
-    finally st.close()
-  }
+  override def truncateTable(table: String): Unit =
+    withBackoffRetry(backoff) { withConn { conn =>
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        if (tableExists(conn, table))
+          st.executeUpdate(s"DELETE FROM ${q(table)}")
+        st.executeUpdate(
+          s"DELETE FROM ${q(OffsetsTable)} WHERE ${q("table_name")} = " +
+            sqlStr(table))
+        conn.commit()
+      } catch { case t: Throwable => conn.rollback(); throw t }
+      finally st.close()
+    } }
 
   /** Read the applied table back THROUGH the engine (spark.read.jdbc —
     * the same wire the writes took). `partitions` > 1 splits the scan on
@@ -379,6 +390,56 @@ object JdbcSink {
   val SeqCol = "_gseq"
   val OpCol = "_gop"
   val MaskCol = "_gmask"
+
+  /** Destination-owned retry policy for TRANSIENT engine errors —
+    * the reference centralizes the same knobs per destination
+    * (crates/etl-destinations/src/retry.rs:12-25: max_retries,
+    * initial_delay, max_delay with per-attempt decisions). Non-transient
+    * errors still fail fast to the table-level quarantine
+    * ([[graft.pipeline.TableLifecycle]]'s RetryPolicy). */
+  final case class Backoff(maxRetries: Int = 4, initialDelayMs: Long = 100L,
+      maxDelayMs: Long = 5000L)
+
+  /** A deadlock / lock-timeout / serialization-failure / connection
+    * hiccup is the engine saying "try again", not "this batch is bad":
+    * SQLState class 40 (serialization failures; Derby lock timeouts are
+    * 40XL1/2, deadlocks 40001, Postgres deadlocks 40P01), class 08
+    * (connection exceptions), or any SQLTransientException. Walks the
+    * cause chain: drivers often wrap the stateful exception. */
+  private[sinks] def isTransient(t: Throwable): Boolean = {
+    var e: Throwable = t
+    while (e != null) {
+      e match {
+        case _: java.sql.SQLTransientException => return true
+        case s: java.sql.SQLException =>
+          val st = Option(s.getSQLState).getOrElse("")
+          if (st.startsWith("40") || st.startsWith("08")) return true
+        case _ => ()
+      }
+      e = if (e.getCause eq e) null else e.getCause
+    }
+    false
+  }
+
+  /** Run `body` with bounded exponential backoff on transient engine
+    * errors. The caller's body must be replay-safe — every use here is
+    * (the engine transaction rolls back wholesale and the offsets-row
+    * cursor gates re-application). `sleep` injectable for tests. */
+  private[sinks] def withBackoffRetry[T](policy: Backoff,
+      sleep: Long => Unit = Thread.sleep)(body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case t: Throwable if isTransient(t) && attempt < policy.maxRetries =>
+          val delay = math.min(policy.maxDelayMs,
+            policy.initialDelayMs << attempt)
+          attempt += 1
+          sleep(delay)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   private def stageName(table: String) = s"${table}__stage"
 

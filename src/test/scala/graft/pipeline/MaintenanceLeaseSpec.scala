@@ -23,30 +23,100 @@ class MaintenanceLeaseSpec extends SparkSpec {
   private def tmp(prefix: String) =
     Files.createTempDirectory(prefix).toString
 
-  test("lease mechanics: exclusive acquire, renewal, expiry break, release") {
-    val t = new GraftTable(tmp("lease"), Seq("id"), nBuckets = 2)
-    assert(t.maintenanceLeaseHolder.isEmpty)
-    assert(t.tryAcquireMaintenanceLease("a", ttlMs = 60000))
-    assert(t.maintenanceLeaseHolder.exists(_._1 == "a"))
-    // a second owner cannot take a live lease
-    assert(!t.tryAcquireMaintenanceLease("b", ttlMs = 60000))
-    // the holder renews (expiry moves forward)
-    val exp1 = t.maintenanceLeaseHolder.get._2
-    Thread.sleep(5)
-    assert(t.tryAcquireMaintenanceLease("a", ttlMs = 60000))
-    assert(t.maintenanceLeaseHolder.get._2 >= exp1)
-    // a foreign release is a no-op; the holder's release frees it
-    t.releaseMaintenanceLease("b")
-    assert(t.maintenanceLeaseHolder.exists(_._1 == "a"))
-    t.releaseMaintenanceLease("a")
-    assert(t.maintenanceLeaseHolder.isEmpty)
-    // an EXPIRED lease is broken by the next acquirer
-    assert(t.tryAcquireMaintenanceLease("stale", ttlMs = 1))
-    Thread.sleep(10)
-    assert(t.maintenanceLeaseHolder.isEmpty, "ttl must lapse")
-    assert(t.tryAcquireMaintenanceLease("c", ttlMs = 60000))
-    assert(t.maintenanceLeaseHolder.exists(_._1 == "c"))
-    t.releaseMaintenanceLease("c")
+  /** The store matrix: every mechanics/hammer test runs against BOTH
+    * lease stores — the filesystem default and the JDBC (embedded
+    * Derby) one, the reference's coordination/postgres.rs analog. */
+  private def storeKinds: Seq[(String, GraftTable => GraftTable)] = Seq(
+    "fs" -> identity[GraftTable] _,
+    "jdbc" -> { (t: GraftTable) =>
+      val db = tmp("leasedb")
+      t.maintenanceLeaseStore = new graft.sinks.JdbcLeaseStore(
+        s"jdbc:derby:$db/leases;create=true", t.root)
+      t
+    })
+
+  storeKinds.foreach { case (kind, wire) =>
+    test(s"[$kind] lease mechanics: exclusive acquire, renewal, expiry " +
+        "break, release") {
+      val t = wire(new GraftTable(tmp("lease"), Seq("id"), nBuckets = 2))
+      assert(t.maintenanceLeaseHolder.isEmpty)
+      assert(t.tryAcquireMaintenanceLease("a", ttlMs = 60000))
+      assert(t.maintenanceLeaseHolder.exists(_._1 == "a"))
+      // a second owner cannot take a live lease
+      assert(!t.tryAcquireMaintenanceLease("b", ttlMs = 60000))
+      // the holder renews (expiry moves forward)
+      val exp1 = t.maintenanceLeaseHolder.get._2
+      Thread.sleep(5)
+      assert(t.tryAcquireMaintenanceLease("a", ttlMs = 60000))
+      assert(t.maintenanceLeaseHolder.get._2 >= exp1)
+      // a foreign release is a no-op; the holder's release frees it
+      t.releaseMaintenanceLease("b")
+      assert(t.maintenanceLeaseHolder.exists(_._1 == "a"))
+      t.releaseMaintenanceLease("a")
+      assert(t.maintenanceLeaseHolder.isEmpty)
+      // an EXPIRED lease is broken by the next acquirer
+      assert(t.tryAcquireMaintenanceLease("stale", ttlMs = 1))
+      Thread.sleep(10)
+      assert(t.maintenanceLeaseHolder.isEmpty, "ttl must lapse")
+      assert(t.tryAcquireMaintenanceLease("c", ttlMs = 60000))
+      assert(t.maintenanceLeaseHolder.exists(_._1 == "c"))
+      t.releaseMaintenanceLease("c")
+    }
+
+    test(s"[$kind] a lapsed holder's renewal LOSES to the rival that " +
+        "legitimately broke the lease — and never clobbers it") {
+      val t = wire(new GraftTable(tmp("lease-renew"), Seq("id"),
+        nBuckets = 2))
+      assert(t.tryAcquireMaintenanceLease("a", ttlMs = 1))
+      Thread.sleep(10) // a's lease lapses
+      assert(t.tryAcquireMaintenanceLease("b", ttlMs = 60000),
+        "rival must break the expired lease")
+      // a still believes it holds; its renewal must fail closed
+      assert(!t.tryAcquireMaintenanceLease("a", ttlMs = 60000))
+      assert(t.maintenanceLeaseHolder.exists(_._1 == "b"),
+        "the rival's fresh lease must survive the stale renewal")
+      // and a's release must not destroy b's lease either
+      t.releaseMaintenanceLease("a")
+      assert(t.maintenanceLeaseHolder.exists(_._1 == "b"))
+      t.releaseMaintenanceLease("b")
+    }
+
+    test(s"[$kind] acquire hammer: racing acquirers never observe two " +
+        "live owners") {
+      val t = wire(new GraftTable(tmp("lease-hammer"), Seq("id"),
+        nBuckets = 2))
+      val held = new java.util.concurrent.atomic.AtomicInteger(0)
+      val maxHeld = new java.util.concurrent.atomic.AtomicInteger(0)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      @volatile var running = true
+      val threads = (0 until 6).map { i =>
+        val th = new Thread(() => {
+          // each contender gets its own table handle (separate-process
+          // shape); the jdbc store is shared via the same db path
+          val mine = new GraftTable(t.root, Seq("id"), nBuckets = 2)
+          mine.maintenanceLeaseStore = t.maintenanceLeaseStore
+          while (running) {
+            try {
+              if (mine.tryAcquireMaintenanceLease(s"w$i", ttlMs = 5000)) {
+                val n = held.incrementAndGet()
+                maxHeld.updateAndGet(m => math.max(m, n))
+                Thread.sleep(2)
+                held.decrementAndGet()
+                mine.releaseMaintenanceLease(s"w$i")
+              }
+            } catch { case e: Throwable => errors.add(e); running = false }
+            Thread.sleep(1)
+          }
+        }, s"lease-hammer-$i")
+        th.setDaemon(true); th.start(); th
+      }
+      Thread.sleep(1500)
+      running = false
+      threads.foreach(_.join(3000))
+      assert(errors.isEmpty, s"hammer raced into: ${errors.toArray.toSeq}")
+      assert(maxHeld.get() == 1,
+        s"mutual exclusion violated: ${maxHeld.get()} concurrent holders")
+    }
   }
 
   test("apply path pauses at the quiesce point while a foreign lease is " +
@@ -69,10 +139,11 @@ class MaintenanceLeaseSpec extends SparkSpec {
       .toSeq == Seq("b"))
   }
 
-  test("heartbeat renewal: a maintenance body LONGER than the TTL keeps " +
-      "the lease — a rival acquirer never breaks in mid-body (round-10 " +
-      "verdict item 1a)") {
-    val t = new GraftTable(tmp("lease-beat"), Seq("id"), nBuckets = 2)
+  storeKinds.foreach { case (kind, wire) =>
+  test(s"[$kind] heartbeat renewal: a maintenance body LONGER than the " +
+      "TTL keeps the lease — a rival acquirer never breaks in mid-body " +
+      "(round-10 verdict item 1a)") {
+    val t = wire(new GraftTable(tmp("lease-beat"), Seq("id"), nBuckets = 2))
     t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
     val rivalWonMidBody = new java.util.concurrent.atomic.AtomicInteger(0)
     @volatile var inBody = false
@@ -110,6 +181,7 @@ class MaintenanceLeaseSpec extends SparkSpec {
       s"rival broke the live lease ${rivalWonMidBody.get()} times while " +
         "the heartbeat should have kept it fresh")
     assert(t.maintenanceLeaseHolder.isEmpty, "lease must be freed after")
+  }
   }
 
   test("manifest reads tolerate a concurrent vacuum: two vacuum loops + " +

@@ -162,6 +162,79 @@ class JdbcSinkSpec extends SparkSpec {
     assert(one.size == 100)
   }
 
+  test("backoff policy: transient SQLStates retry with exponential " +
+      "delay, non-transient fail fast (reference retry.rs:12-25)") {
+    import JdbcSink.{Backoff, isTransient, withBackoffRetry}
+    // classification: class-40 (deadlock/serialization/lock timeout),
+    // class-08 (connection), SQLTransientException, wrapped causes
+    assert(isTransient(new java.sql.SQLException("deadlock", "40001")))
+    assert(isTransient(new java.sql.SQLException("derby lock", "40XL1")))
+    assert(isTransient(new java.sql.SQLException("conn reset", "08006")))
+    assert(isTransient(new RuntimeException("wrap",
+      new java.sql.SQLTransientConnectionException("x"))))
+    assert(!isTransient(new java.sql.SQLException("syntax", "42X01")))
+    assert(!isTransient(new java.sql.SQLIntegrityConstraintViolationException(
+      "dup", "23505")))
+    // converges after transient failures, with growing capped delays
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var calls = 0
+    val out = withBackoffRetry(Backoff(maxRetries = 4,
+        initialDelayMs = 100, maxDelayMs = 350), delays += _) {
+      calls += 1
+      if (calls <= 3) throw new java.sql.SQLException("deadlock", "40001")
+      "ok"
+    }
+    assert(out == "ok" && calls == 4)
+    assert(delays.toSeq == Seq(100L, 200L, 350L), s"got $delays")
+    // exhausted retries rethrow the transient error
+    intercept[java.sql.SQLException] {
+      withBackoffRetry(Backoff(maxRetries = 2, initialDelayMs = 1), _ => ())(
+        throw new java.sql.SQLException("deadlock", "40001"))
+    }
+    // non-transient: no retry at all
+    var once = 0
+    intercept[java.sql.SQLException] {
+      withBackoffRetry(Backoff(), _ => fail("must not sleep")) {
+        once += 1; throw new java.sql.SQLException("syntax", "42X01")
+      }
+    }
+    assert(once == 1)
+  }
+
+  test("a lock-timeout on the engine transaction retries with backoff " +
+      "and converges once the rival releases") {
+    val (dir, url) = freshDb()
+    val sink = new JdbcSink(url, _ => Seq("key"),
+      backoff = JdbcSink.Backoff(maxRetries = 6, initialDelayMs = 200,
+        maxDelayMs = 1000))
+    sink.startup(spark)
+    sink.writeTableRows("state", Seq((1L, 1.0)).toDF("key", "val"))
+    // per-DATABASE lock timeout (not engine-wide): the merge must hit
+    // 40XL1 fast instead of Derby's 60 s default
+    val admin = DriverManager.getConnection(url)
+    try admin.createStatement().execute(
+      "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY(" +
+        "'derby.locks.waitTimeout', '1')")
+    finally admin.close()
+    // a rival transaction holds the target table exclusively, then
+    // releases while the sink is mid-backoff
+    val rival = DriverManager.getConnection(url)
+    rival.setAutoCommit(false)
+    rival.createStatement().execute("LOCK TABLE \"state\" IN EXCLUSIVE MODE")
+    val releaser = new Thread(() => {
+      Thread.sleep(2500); rival.commit(); rival.close()
+    })
+    releaser.setDaemon(true); releaser.start()
+    // without the backoff this throws 40XL1 out of writeEvents
+    sink.writeEvents("state", ev((1L, 10.0, "U", 5L)))
+    releaser.join(5000)
+    val got = sink.read(spark, "state").orderBy("key")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10.0)),
+      s"the retried engine transaction must have applied: $got")
+    val _ = dir
+  }
+
   test("composite keys merge on the full key") {
     val (_, url) = freshDb()
     val sink = new JdbcSink(url, _ => Seq("k1", "k2"))
