@@ -39,8 +39,14 @@ import graft.sinks.{ChangelogSink, GraftTable}
   */
 object GraftExtensions {
   /** Register the same functions on an ALREADY-RUNNING session (the
-    * builder-time extension can't retrofit an existing one). */
+    * builder-time extension can't retrofit an existing one). Analyzer
+    * rules are fixed at session construction, so the composite-key SPJ
+    * auto-injection ([[graft.plans.GraftSpjInjectRule]]) is available
+    * only through the builder path (`spark.sql.extensions=
+    * graft.GraftExtensions`); install() still sets the session conf the
+    * hand-written `_bucket` workaround needs. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     val r = spark.sessionState.functionRegistry
     r.createOrReplaceTempFunction("rolling_hash",
       args => RollingHash(args.head), "built-in")
@@ -192,6 +198,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // composite-key SPJ: inject the implied `_bucket = _bucket` join
+    // term so co-bucketed multi-key graft tables plan shuffle-free
+    // without the user hand-writing the workaround (see the rule's
+    // scaladoc for the stand-down conditions)
+    e.injectResolutionRule(spark => new graft.plans.GraftSpjInjectRule(spark))
     e.injectFunction((
       FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(str) - 64-bit polynomial rolling hash"),

@@ -438,6 +438,18 @@ final class GraftSqlTable(val table: GraftTable, fullName: String,
   override def partitioning(): Array[Transform] =
     Array(Expressions.bucket(table.currentNBuckets, table.keyCols: _*))
 
+  /** The bucket count the SCANNED snapshot was laid out with (a pinned
+    * pre-rebucket snapshot hashes bucket(oldN, keys)) — what the SPJ
+    * partitioning claim reports, and what [[graft.plans
+    * .GraftSpjInjectRule]] compares across join sides before injecting
+    * the implied `_bucket` equality. */
+  def spjBucketCount: Int =
+    pinnedVersion.map(table.nBucketsOf).getOrElse(table.currentNBuckets)
+
+  /** The columns the bucket hash runs over (`bucketCols` ⊆ keys — a
+    * proper subset for secondary-index tables). */
+  def spjBucketCols: Seq[String] = table.bucketCols
+
   override def properties(): java.util.Map[String, String] = {
     val extra = table.statsCols.drop(1)
     // live snapshot facts beside the identity: DESCRIBE EXTENDED shows

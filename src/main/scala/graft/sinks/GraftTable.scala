@@ -456,13 +456,18 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       // freshness is PER HARVEST KIND: a file covered by long stats but
       // not string stats (a table upgraded across the string-skipping
       // release) must still harvest its string bounds — subtracting the
-      // union would freeze such files out until a rewrite. The two kinds
-      // share one per-commit cap.
+      // union would freeze such files out until a rewrite. The two
+      // kinds share ONE per-commit footer-read budget: string harvest
+      // spends what the long harvest left, so a giant backfill commit
+      // opens at most MaxStatsFilesPerCommit footers total (string
+      // coverage catches up over subsequent commits — uncovered files
+      // simply never skip in the meantime).
       val freshLong = (live -- prevStats.keySet -- m1.fileStats.keySet)
         .take(GraftTable.MaxStatsFilesPerCommit)
       val freshStr =
         (live -- prevStrStats.keySet -- m1.fileStrStats.keySet)
-          .take(GraftTable.MaxStatsFilesPerCommit)
+          .take(math.max(0,
+            GraftTable.MaxStatsFilesPerCommit - freshLong.size))
       // stats-eligible columns only (DDL type pre-check): the schema DDL
       // travels with the manifest, so an ineligible-typed key skips the
       // footer reads entirely instead of opening every file to learn

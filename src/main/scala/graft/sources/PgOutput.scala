@@ -746,6 +746,14 @@ object PgOutput {
       (preparedSpools.valuesIterator.map(_.prepareLsn) ++
         preparing.iterator.map(_._2) ++ inheritedFloor.iterator).minOption
 
+    /** The earliest undecided-prepare LSN (None = no cap) — the client
+      * persists this as a durable resume floor: a restarted process
+      * must not REQUEST a start position past it, or a server that
+      * starts at max(requested, confirmed_flush) skips the prepared
+      * transaction entirely (the flush cap alone only protects the
+      * server-side confirmed position). */
+    def prepareFloorLsn: Option[Long] = prepareFloor
+
     /** Cap a flush position so it never passes an undecided PREPARE —
       * the status-update caller routes its flush LSN through this. */
     def flushCap(flush: Long): Long =

@@ -146,10 +146,17 @@ final class ReplicationSocketClient(
       replication = true, sslMode = sslMode, sslRootCert = sslRootCert)
     conn.connect()
     val deadlineMs = keepAliveDeadlineMs(queryWalSenderTimeoutMs())
-    // resume from durable progress: the server slot re-sends from its
-    // confirmed flush position; anything later than flushLsn() that we
-    // already spooled re-arrives and is absorbed downstream
-    startReplication(math.max(startLsn, flushLsn()))
+    // resume from durable progress, CAPPED by the durable prepare
+    // floor: the server starts at max(requested, confirmed_flush), so
+    // requesting raw downstream progress — which legitimately passes an
+    // undecided PREPARE once later transactions commit — would make the
+    // server skip the prepared transaction's redelivery even though the
+    // confirmed flush was held below it. The floor file is written at
+    // prepare decode and cleared at the decision (see receiveLoop);
+    // anything later than the requested position that was already
+    // spooled re-arrives and is absorbed downstream (at-least-once).
+    val resume = math.max(startLsn, flushLsn())
+    startReplication(readDurableFloor().fold(resume)(math.min(resume, _)))
     running.set(true)
     lastUpdateAtMs = nowMs()
     reader = new Thread(() => receiveLoop(), "graft-replication-reader")
@@ -286,6 +293,15 @@ final class ReplicationSocketClient(
                   case _   => ()
                 }
                 pending ++= session.onFrame(frame)
+                // two-phase bookkeeping is made DURABLE at decode time,
+                // before any later commit can advance downstream
+                // progress past the prepare: BeginPrepare/StreamPrepare
+                // write the resume-floor file, CommitPrepared/
+                // RollbackPrepared recompute (and usually clear) it
+                frame(0).toChar match {
+                  case 'b' | 'p' | 'K' | 'r' => persistPrepareFloor(session)
+                  case _ => ()
+                }
                 // whole-commit appends only: the log's boundary bit and
                 // the windowed reader both assume a flush never tears a
                 // transaction
@@ -375,6 +391,34 @@ final class ReplicationSocketClient(
       // processed (source_payload_metadata.rs record_processed semantics)
       val ds = decodeSession
       if (ds != null) ds.ackProcessed(flush)
+    }
+
+  // ----------------------------------------------- durable prepare floor
+  /** Sidecar next to the change log holding the max LSN a restarted
+    * session may REQUEST while a prepare is undecided (= floor − 1).
+    * Present ⇔ undecided prepares exist. */
+  private def floorPath = Paths.get(logPath + ".prepare_floor")
+
+  private def persistPrepareFloor(ds: PgOutput.DecodeSession): Unit =
+    try ds.prepareFloorLsn match {
+      case Some(f) =>
+        val tmp = Paths.get(logPath + ".prepare_floor.tmp")
+        Files.write(tmp, (f - 1).toString.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, floorPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      case None => Files.deleteIfExists(floorPath)
+    } catch { case _: java.io.IOException => () } // next event retries
+
+  private def readDurableFloor(): Option[Long] =
+    try {
+      if (Files.exists(floorPath))
+        Some(new String(Files.readAllBytes(floorPath),
+          StandardCharsets.UTF_8).trim.toLong)
+      else None
+    } catch {
+      case _: java.io.IOException => None
+      case _: NumberFormatException => None
     }
 
   // ------------------------------------------------------------ plumbing

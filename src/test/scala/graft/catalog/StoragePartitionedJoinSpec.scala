@@ -167,9 +167,9 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
-  test("composite keys: the plain join shuffles (Spark resolves only " +
-      "single-column bucket transforms), and the identity(_bucket) " +
-      "workaround joins shuffle-free, data-identical") {
+  test("composite keys: the SPJ auto-injection rule adds the implied " +
+      "_bucket equality — a PLAIN composite-key join plans shuffle-free, " +
+      "data-identical; the hand-written term still works") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS spj.db5")
     spark.sql("""CREATE TABLE spj.db5.a (k1 BIGINT, k2 STRING, v BIGINT)
                  PARTITIONED BY (bucket(4, k1, k2))""")
@@ -180,38 +180,84 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     spark.sql("INSERT INTO spj.db5.a SELECT * FROM src5")
     spark.sql(
       "INSERT INTO spj.db5.b SELECT DISTINCT k1, k2, k1 * 10 FROM src5")
-    withSqlConf(spjConfs: _*) {
-      val q =
+    // the expected rows, computed OUTSIDE the SPJ confs (broadcast plan)
+    val want = spark.sql(
+      """SELECT a.k1, a.k2, a.v, b.w FROM spj.db5.a a
+         JOIN spj.db5.b b ON a.k1 = b.k1 AND a.k2 = b.k2""")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(want.size == 120)
+    withSqlConf(spjConfs :+
+        ("spark.sql.requireAllClusterKeysForCoPartition" -> "false"): _*) {
+      // NO hand-written _bucket term: Spark resolves only single-column
+      // bucket transforms, so without the rule this join would pay two
+      // full exchanges — the GraftSpjInjectRule adds the implied
+      // `a._bucket = b._bucket` (round-11 verdict item 1) and the scans'
+      // identity(_bucket) claims co-locate it
+      val j = spark.sql(
         """SELECT a.k1, a.k2, a.v, b.w FROM spj.db5.a a
-           JOIN spj.db5.b b ON a.k1 = b.k1 AND a.k2 = b.k2"""
-      val j = spark.sql(q)
-      assert(j.count() == 120L)
-      // V2ExpressionUtils resolves only SINGLE-reference bucket
-      // transforms; a plain composite-key join pays its exchanges —
-      // but stays correct.
-      assert(shuffles(j) > 0,
-        "plain composite-key joins are expected to shuffle")
-      // THE WORKAROUND (round-10 verdict item 3): composite-key tables
-      // report identity(_bucket) — adding the (implied, same bucket
-      // count both sides) `a._bucket = b._bucket` equality resolves the
-      // claim and the join plans shuffle-free, data-identical to the
-      // shuffled plan. Needs requireAllClusterKeysForCoPartition=false
-      // (partition keys are a strict subset of the join keys — the same
-      // session conf Iceberg's SPJ documentation prescribes); Spark
-      // still proves compatibility through the per-key positions.
-      spark.conf.set(
-        "spark.sql.requireAllClusterKeysForCoPartition", "false")
-      val want = j.as[(Long, String, Long, Long)].collect().toSet
+           JOIN spj.db5.b b ON a.k1 = b.k1 AND a.k2 = b.k2""")
+      assert(j.as[(Long, String, Long, Long)].collect().toSet == want,
+        "the auto-injected join must be data-identical")
+      assert(shuffles(j) == 0,
+        s"auto-injected composite-key SPJ must drop the exchanges:\n" +
+          s"${j.queryExecution}")
+      // the documented hand-written workaround still plans shuffle-free
+      // (the rule detects the existing term and stands down — no
+      // duplicate conjunct, no flip-flop)
       val js = spark.sql(
         """SELECT a.k1, a.k2, a.v, b.w FROM spj.db5.a a
            JOIN spj.db5.b b ON a.k1 = b.k1 AND a.k2 = b.k2
                            AND a._bucket = b._bucket""")
-      assert(js.as[(Long, String, Long, Long)].collect().toSet == want,
-        "the _bucket-augmented join must be data-identical")
-      assert(shuffles(js) == 0,
-        s"identity(_bucket) SPJ must drop the exchanges:\n" +
-          s"${js.queryExecution}")
-      spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+      assert(js.as[(Long, String, Long, Long)].collect().toSet == want)
+      assert(shuffles(js) == 0)
+      // LEFT JOIN: the implied term is safe for outer joins too (it
+      // never changes which rows match — bucket id is a function of
+      // the equated keys)
+      val lj = spark.sql(
+        """SELECT a.k1, a.k2, a.v, b.w FROM spj.db5.a a
+           LEFT JOIN spj.db5.b b ON a.k1 = b.k1 AND a.k2 = b.k2""")
+      assert(lj.count() == 120L && shuffles(lj) == 0)
+    }
+  }
+
+  test("SPJ auto-injection stands down: mismatched bucket counts, " +
+      "non-graft sides, and partial key coverage stay correct (and " +
+      "shuffled)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS spj.db7")
+    spark.sql("""CREATE TABLE spj.db7.a (k1 BIGINT, k2 STRING, v BIGINT)
+                 PARTITIONED BY (bucket(4, k1, k2))""")
+    spark.sql("""CREATE TABLE spj.db7.c (k1 BIGINT, k2 STRING, w BIGINT)
+                 PARTITIONED BY (bucket(8, k1, k2))""")
+    (1L to 60L).map(i => (i % 5, s"g${i % 3}", i)).toDF("k1", "k2", "v")
+      .createOrReplaceTempView("src7")
+    spark.sql("INSERT INTO spj.db7.a SELECT * FROM src7")
+    spark.sql(
+      "INSERT INTO spj.db7.c SELECT DISTINCT k1, k2, k1 * 10 FROM src7")
+    withSqlConf(spjConfs :+
+        ("spark.sql.requireAllClusterKeysForCoPartition" -> "false"): _*) {
+      // mismatched bucket counts: the implied equality does NOT hold
+      // across layouts — the rule must not inject (a wrong injection
+      // would silently drop rows); the join shuffles and stays exact
+      val mis = spark.sql(
+        """SELECT a.k1, a.k2, a.v, c.w FROM spj.db7.a a
+           JOIN spj.db7.c c ON a.k1 = c.k1 AND a.k2 = c.k2""")
+      assert(mis.count() == 60L,
+        "mismatched-count join must keep every matching row")
+      assert(shuffles(mis) > 0)
+      // non-graft side: untouched
+      (0L to 4L).map(i => (i, s"g${i % 3}", i)).toDF("k1", "k2", "z")
+        .createOrReplaceTempView("plain7")
+      val ng = spark.sql(
+        """SELECT a.v, p.z FROM spj.db7.a a
+           JOIN plain7 p ON a.k1 = p.k1 AND a.k2 = p.k2""")
+      assert(ng.count() > 0)
+      // partial key coverage: only k1 equated — the bucket id is NOT
+      // implied, the rule must not inject; correct (shuffled) join
+      // a: 12 rows per k1 value; c: 3 distinct (k1,k2) rows per k1
+      val part = spark.sql(
+        """SELECT count(*) FROM spj.db7.a a
+           JOIN spj.db7.c c ON a.k1 = c.k1""")
+      assert(part.as[Long].collect().head == 180L)
     }
   }
 

@@ -534,4 +534,136 @@ class PgConformanceSpec extends AnyFunSuite {
     assert(f(4)(2) == "D" &&
       PackedRow.parse(f(4)(6)) == Vector(Some("1"), None, None))
   }
+
+  test("wire: protocol v3 two-phase session across a crash — status " +
+      "updates never pass the undecided prepare, the restart REQUESTS " +
+      "below it (durable floor), redelivery converges exactly-once at " +
+      "COMMIT PREPARED") {
+    val dir = Files.createTempDirectory("pg-conformance-v3").toString
+    val log = s"$dir/wal.log"
+    val P1 = 0x6000L; val T6 = 0x6800L; val C1 = 0x7000L
+    val startQueries =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // per-connection recorded status-update flush LSNs
+    val flushes1 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val flushes2 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val server = new ServerSocket(0)
+    val replay = new Thread(() => {
+      def serveOne(streamStep: String, flushes:
+          java.util.concurrent.ConcurrentLinkedQueue[Long],
+          closeWhenFlushAt: Option[Long]): Unit = {
+        val sock = server.accept()
+        sock.setTcpNoDelay(true)
+        val in = new DataInputStream(sock.getInputStream)
+        val out = new DataOutputStream(sock.getOutputStream)
+        val slen = in.readInt()
+        in.readFully(new Array[Byte](slen - 4))
+        out.write(session("auth")); out.flush()
+        var open = true
+        while (open) {
+          val t = try in.readByte().toChar
+                  catch { case _: Throwable => open = false; ' ' }
+          if (open) {
+            val len = in.readInt()
+            val payload = new Array[Byte](len - 4); in.readFully(payload)
+            t match {
+              case 'Q' =>
+                val sql = new String(payload, 0, payload.length - 1,
+                  StandardCharsets.UTF_8)
+                if (sql.startsWith("SHOW")) out.write(session("show"))
+                else if (sql.startsWith("START_REPLICATION")) {
+                  startQueries.add(sql)
+                  out.write(session(streamStep))
+                }
+                out.flush()
+              case 'd' if payload.nonEmpty && payload(0) == 'r' =>
+                val b = java.nio.ByteBuffer.wrap(payload, 1,
+                  payload.length - 1)
+                b.getLong // write
+                val flush = b.getLong
+                flushes.add(flush)
+                // "crash": the server drops the connection once the
+                // capped flush arrives
+                if (closeWhenFlushAt.contains(flush)) open = false
+              case 'X' => open = false
+              case _ => ()
+            }
+          }
+        }
+        try sock.close() catch { case _: Throwable => () }
+      }
+      // session A: prepare + unrelated commit, die at the capped flush;
+      // session B: redelivery + COMMIT PREPARED
+      serveOne("stream_v3a", flushes1, Some(P1 - 1))
+      serveOne("stream_v3b", flushes2, None)
+    }, "pg-replay-server-v3")
+    replay.setDaemon(true)
+    replay.start()
+
+    // downstream durable progress = max commit LSN spooled so far (the
+    // checkpoint shape) — it legitimately PASSES the prepare once the
+    // unrelated transaction lands
+    def durableProgress(): Long =
+      try {
+        val p = Paths.get(log)
+        if (!Files.exists(p)) 0L
+        else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+          .split("\n").filter(_.nonEmpty)
+          .map(_.split("\t")(0).toLong).maxOption.getOrElse(0L)
+      } catch { case _: Throwable => 0L }
+
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot4", "conf_pub4", log,
+      flushLsn = () => durableProgress(), protoVersion = 3)
+    try {
+      val t0 = System.currentTimeMillis()
+      client.start(reconnectBackoffMs = 100)
+      // wait for the full story: reconnect happened and the decision's
+      // flush (≥ C1) was reported on the second connection
+      while (!flushes2.toArray.exists(
+          _.asInstanceOf[Long] >= C1) &&
+        System.currentTimeMillis() - t0 < 20000) Thread.sleep(20)
+      assert(client.lastError.isEmpty || client.reconnects.get() >= 1,
+        s"client error: ${client.lastError}")
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+    val qs = startQueries.toArray.map(_.toString)
+    assert(qs.size == 2, s"expected a reconnect, got $qs")
+    assert(qs.forall(q => q.contains("two_phase 'true'") &&
+      q.contains("streaming 'true'")), "v3 must request two_phase")
+    // ON THE WIRE: no session-A status update ever passed the prepare,
+    // even though durable progress reached T6 > P1
+    val f1 = flushes1.toArray.map(_.asInstanceOf[Long]).toSeq
+    assert(f1.nonEmpty && f1.max == P1 - 1,
+      s"session A must cap the flush at ${P1 - 1}: $f1")
+    // ON THE WIRE: the restarted session REQUESTED a start position at
+    // or below the floor — raw durable progress (T6) would have made a
+    // real server skip the prepared transaction's redelivery
+    val req2 = qs(1)
+    assert(req2.contains(ReplicationSocketClient.formatLsn(P1 - 1)),
+      s"restart must request the durable floor, got: $req2")
+    // after COMMIT PREPARED the flush advances past the decision
+    val f2 = flushes2.toArray.map(_.asInstanceOf[Long]).toSeq
+    assert(f2.exists(_ >= C1), s"decision must release the cap: $f2")
+    // and the durable floor file is gone (no stale cap for a later run)
+    assert(!Files.exists(Paths.get(log + ".prepare_floor")),
+      "the floor file must clear at the decision")
+
+    // envelope log: the prepared transaction applies EXACTLY ONCE (the
+    // redelivered BeginPrepare reset the spool) at the commit LSN; the
+    // redelivered unrelated transaction is the documented at-least-once
+    // tail (byte-identical lines the downstream replay guards collapse)
+    val lines = new String(Files.readAllBytes(Paths.get(log)),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+    val pLines = lines.filter(l => l.contains("p1") || l.contains("p2"))
+    assert(pLines.size == 2,
+      s"prepared tx must apply exactly once:\n$lines")
+    assert(pLines.forall(_.split("\t")(0) == C1.toString),
+      "prepared rows must carry the COMMIT PREPARED lsn")
+    val normal = lines.filter(_.contains("normal"))
+    assert(normal.size == 2 && normal.distinct.size == 1,
+      "the redelivered tail must be byte-identical (replay-collapsible)")
+  }
 }

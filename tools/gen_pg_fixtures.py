@@ -287,6 +287,51 @@ v2 = (backend(b"W", u8(0) + be16(0)) +
       keepalive(T5 + 8, True))
 session.append(("stream_v2", v2))
 
+# fourth/fifth recorded streams: protocol v3 two-phase commit ACROSS A
+# CRASH — session A delivers BeginPrepare..Prepare for gid g2pc plus an
+# unrelated committed transaction (durable progress passes the prepare),
+# then the test drops the connection; session B is the publisher's
+# redelivery from the capped confirmed flush: the SAME prepared
+# transaction again (idempotent spool reset), the SAME normal
+# transaction again (at-least-once tail), then COMMIT PREPARED.
+P1, T6, C1 = 0x6000, 0x6800, 0x7000
+v3a = (backend(b"W", u8(0) + be16(0)) +
+       xlogdata(P1 - 80, P1, REL) +
+       xlogdata(P1 - 64, P1, b"b" + be64(P1) + be64(P1 + 0x10) + be64(TS) +
+                be32(920) + cstr("g2pc")) +
+       xlogdata(P1 - 56, P1, INS("1", "p1")) +
+       xlogdata(P1 - 48, P1, INS("2", "p2")) +
+       xlogdata(P1 - 40, P1, b"P" + u8(0) + be64(P1) + be64(P1 + 0x10) +
+                be64(TS) + be32(920) + cstr("g2pc")) +
+       # unrelated tx COMMITS while g2pc is undecided: downstream durable
+       # progress now exceeds the prepare LSN
+       xlogdata(T6 - 24, T6, b"B" + be64(T6) + be64(TS) + be32(921)) +
+       xlogdata(T6 - 16, T6, INS("5", "normal")) +
+       xlogdata(T6 - 8, T6, b"C" + u8(0) + be64(T6) + be64(T6 + 8) +
+                be64(TS)) +
+       keepalive(T6 + 8, True))
+v3b = (backend(b"W", u8(0) + be16(0)) +
+       xlogdata(P1 - 80, P1, REL) +
+       # redelivered prepare (BeginPrepare resets the gid's spool)
+       xlogdata(P1 - 64, P1, b"b" + be64(P1) + be64(P1 + 0x10) + be64(TS) +
+                be32(920) + cstr("g2pc")) +
+       xlogdata(P1 - 56, P1, INS("1", "p1")) +
+       xlogdata(P1 - 48, P1, INS("2", "p2")) +
+       xlogdata(P1 - 40, P1, b"P" + u8(0) + be64(P1) + be64(P1 + 0x10) +
+                be64(TS) + be32(920) + cstr("g2pc")) +
+       # redelivered normal tx (the at-least-once tail the replay
+       # guards downstream absorb)
+       xlogdata(T6 - 24, T6, b"B" + be64(T6) + be64(TS) + be32(921)) +
+       xlogdata(T6 - 16, T6, INS("5", "normal")) +
+       xlogdata(T6 - 8, T6, b"C" + u8(0) + be64(T6) + be64(T6 + 8) +
+                be64(TS)) +
+       # the decision
+       xlogdata(C1 - 8, C1, b"K" + u8(0) + be64(C1) + be64(C1 + 0x10) +
+                be64(TS) + be32(920) + cstr("g2pc")) +
+       keepalive(C1 + 0x10, True))
+session.append(("stream_v3a", v3a))
+session.append(("stream_v3b", v3b))
+
 # ------------------------------------------------------------------ write
 def dump(path, rows):
     with open(path, "w") as f:
