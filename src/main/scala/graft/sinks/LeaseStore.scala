@@ -193,9 +193,16 @@ final class JdbcLeaseStore(url: String, leaseName: String,
   if (System.getProperty("derby.stream.error.file") == null)
     System.setProperty("derby.stream.error.file", "/dev/null")
 
+  /** ensureTable is idempotent but chatty (a CREATE + catch per call);
+    * once it has succeeded on this store instance, skip it. */
+  @volatile private var tableEnsured = false
+
   private def withConn[T](f: Connection => T): T = {
     val conn = DriverManager.getConnection(url)
-    try f(conn) finally conn.close()
+    try {
+      if (!tableEnsured) { ensureTable(conn); tableEnsured = true }
+      f(conn)
+    } finally conn.close()
   }
 
   /** Duplicate-key SQLStates: standard 23505 plus the 23000 class some
@@ -220,7 +227,6 @@ final class JdbcLeaseStore(url: String, leaseName: String,
     }
 
   def tryAcquire(owner: String, ttlMs: Long): Boolean = withConn { conn =>
-    ensureTable(conn)
     val now = System.currentTimeMillis()
     // one-statement CAS: renew-if-mine OR break-if-expired
     val upd = conn.prepareStatement(
@@ -248,7 +254,6 @@ final class JdbcLeaseStore(url: String, leaseName: String,
   }
 
   def release(owner: String): Unit = withConn { conn =>
-    ensureTable(conn)
     val del = conn.prepareStatement(
       s"DELETE FROM $table WHERE name = ? AND lease_owner = ?")
     try { del.setString(1, leaseName); del.setString(2, owner)
@@ -257,7 +262,6 @@ final class JdbcLeaseStore(url: String, leaseName: String,
   }
 
   def holder: Option[(String, Long)] = withConn { conn =>
-    ensureTable(conn)
     val sel = conn.prepareStatement(
       s"SELECT lease_owner, expires_at FROM $table WHERE name = ?")
     try {
