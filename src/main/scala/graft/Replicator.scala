@@ -31,6 +31,8 @@ import graft.sinks.{CdcSink, ChangelogSink, CurrentStateSink, ExactlyOnceSink, N
   *   source.protoVersion = 1 | 2 | 3          # 2: streamed large txs,
   *                                            # 3: + two-phase commit
   *   source.origin = any | none               # foreign-origin tx filter
+  *   source.spoolDir = /data/spools           # streamed-tx spool volume
+  *                                            # (default: next to the log)
   *   destination = current_state | changelog | jdbc | null
   *   destination.url = jdbc:…                  # jdbc mode: engine URL
   *   destination.mergeOnRead = true           # delta-layer writes
@@ -242,6 +244,9 @@ object Replicator {
           // PgOutput.DecodeSession); 1 = the reference's
           // whole-tx-at-commit default
           protoVersion = get("source.protoVersion", "1").toInt,
+          // streamed/prepared-tx spools default NEXT TO THE LOG (real
+          // disk); override when the log volume is small or slow
+          spoolDir = Option(props.getProperty("source.spoolDir")),
           flushLsn = () =>
             // tolerant read: commit() replaces the file atomically, but a
             // missing/garbled read must never tear the replication

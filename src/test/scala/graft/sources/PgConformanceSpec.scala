@@ -666,4 +666,154 @@ class PgConformanceSpec extends AnyFunSuite {
     assert(normal.size == 2 && normal.distinct.size == 1,
       "the redelivered tail must be byte-identical (replay-collapsible)")
   }
+
+  /** Replay server for multi-connection wire tests: serves the given
+    * session steps to consecutive connections; each step optionally
+    * drops the connection once a status update reports the given flush
+    * LSN (the crash). Records START_REPLICATION SQL and per-connection
+    * flush LSNs. */
+  private def replayConnections(server: ServerSocket,
+      steps: Seq[(String, Option[Long])],
+      startQueries: java.util.concurrent.ConcurrentLinkedQueue[String],
+      flushes: Seq[java.util.concurrent.ConcurrentLinkedQueue[Long]])
+      : Thread = {
+    val th = new Thread(() => {
+      steps.zip(flushes).foreach { case ((streamStep, closeAt), fl) =>
+        try {
+          val sock = server.accept()
+          sock.setTcpNoDelay(true)
+          val in = new DataInputStream(sock.getInputStream)
+          val out = new DataOutputStream(sock.getOutputStream)
+          val slen = in.readInt()
+          in.readFully(new Array[Byte](slen - 4))
+          out.write(session("auth")); out.flush()
+          var open = true
+          while (open) {
+            val t = try in.readByte().toChar
+                    catch { case _: Throwable => open = false; ' ' }
+            if (open) {
+              val len = in.readInt()
+              val payload = new Array[Byte](len - 4); in.readFully(payload)
+              t match {
+                case 'Q' =>
+                  val sql = new String(payload, 0, payload.length - 1,
+                    StandardCharsets.UTF_8)
+                  if (sql.startsWith("SHOW")) out.write(session("show"))
+                  else if (sql.startsWith("START_REPLICATION")) {
+                    startQueries.add(sql)
+                    out.write(session(streamStep))
+                  }
+                  out.flush()
+                case 'd' if payload.nonEmpty && payload(0) == 'r' =>
+                  val b = java.nio.ByteBuffer.wrap(payload, 1,
+                    payload.length - 1)
+                  b.getLong
+                  val flush = b.getLong
+                  fl.add(flush)
+                  if (closeAt.contains(flush)) open = false
+                case 'X' => open = false
+                case _ => ()
+              }
+            }
+          }
+          try sock.close() catch { case _: Throwable => () }
+        } catch { case _: Throwable => () }
+      }
+    }, "pg-replay-multi")
+    th.setDaemon(true)
+    th.start()
+    th
+  }
+
+  test("wire: an Origin inside the first stream segment filters the " +
+      "FOREIGN streamed transaction through a dropForeignOrigins " +
+      "proto-2 client; the interleaved native one applies") {
+    val dir = Files.createTempDirectory("pg-conformance-v2o").toString
+    val log = s"$dir/wal.log"
+    val startQueries =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val fl = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val server = new ServerSocket(0)
+    replayConnections(server, Seq("stream_v2_origin" -> None),
+      startQueries, Seq(fl))
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot5", "conf_pub5", log,
+      flushLsn = () => 0x8108L, protoVersion = 2,
+      dropForeignOrigins = true)
+    try {
+      val t0 = System.currentTimeMillis()
+      client.start()
+      // 10 XLogData frames + 1 keepalive
+      while ((client.framesReceived.get() < 10 ||
+        client.keepalivesReceived.get() < 1) &&
+        System.currentTimeMillis() - t0 < 15000) Thread.sleep(20)
+      assert(client.framesReceived.get() == 10,
+        s"frames=${client.framesReceived.get()} err=${client.lastError}")
+      assert(client.lastError.isEmpty, s"client error: ${client.lastError}")
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+    val lines = new String(Files.readAllBytes(Paths.get(log)),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+    // R + the native insert ONLY — the foreign streamed tx must filter
+    assert(lines.size == 2, s"expected R + native line, got:\n$lines")
+    val f = lines.map(_.split("\t", -1))
+    assert(f(0)(2) == "R")
+    assert(f(1)(2) == "I" && f(1)(0) == 0x8100L.toString &&
+      PackedRow.parse(f(1)(7)) == Vector(Some("2"), Some("native"), None))
+    assert(!lines.exists(_.contains("foreign")),
+      s"foreign-origin streamed data leaked:\n$lines")
+  }
+
+  test("wire: v3 + STREAMING across a crash — StreamPrepare holds the " +
+      "flush cap and the durable floor; redelivery + COMMIT PREPARED " +
+      "applies the streamed prepared tx exactly once") {
+    val dir = Files.createTempDirectory("pg-conformance-v3s").toString
+    val log = s"$dir/wal.log"
+    val P2 = 0x9000L; val C2 = 0xA000L
+    val startQueries =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val fl1 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val fl2 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val server = new ServerSocket(0)
+    replayConnections(server,
+      Seq("stream_v3s_a" -> Some(P2 - 1), "stream_v3s_b" -> None),
+      startQueries, Seq(fl1, fl2))
+    def durableProgress(): Long =
+      try {
+        val p = Paths.get(log)
+        if (!Files.exists(p)) 0L
+        else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+          .split("\n").filter(_.nonEmpty)
+          .map(_.split("\t")(0).toLong).maxOption.getOrElse(0L)
+      } catch { case _: Throwable => 0L }
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot6", "conf_pub6", log,
+      flushLsn = () => durableProgress(), protoVersion = 3)
+    try {
+      val t0 = System.currentTimeMillis()
+      client.start(reconnectBackoffMs = 100)
+      while (!fl2.toArray.exists(_.asInstanceOf[Long] >= C2) &&
+        System.currentTimeMillis() - t0 < 20000) Thread.sleep(20)
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+    val f1 = fl1.toArray.map(_.asInstanceOf[Long]).toSeq
+    assert(f1.nonEmpty && f1.max == P2 - 1,
+      s"session A must cap the flush below the streamed prepare: $f1")
+    val qs = startQueries.toArray.map(_.toString)
+    assert(qs.size == 2 &&
+      qs(1).contains(ReplicationSocketClient.formatLsn(P2 - 1)),
+      s"restart must request the durable floor: $qs")
+    assert(fl2.toArray.exists(_.asInstanceOf[Long] >= C2))
+    assert(!Files.exists(Paths.get(log + ".prepare_floor")))
+    val lines = new String(Files.readAllBytes(Paths.get(log)),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+    val sp = lines.filter(_.contains("sp1"))
+    assert(sp.size == 1 && sp.head.split("\t")(0) == C2.toString,
+      s"streamed prepared tx must apply exactly once at COMMIT " +
+        s"PREPARED:\n$lines")
+  }
 }

@@ -332,6 +332,53 @@ v3b = (backend(b"W", u8(0) + be16(0)) +
 session.append(("stream_v3a", v3a))
 session.append(("stream_v3b", v3b))
 
+# sixth recorded stream: an Origin frame INSIDE the first stream segment
+# (pgoutput sends the transaction's origin message right after the first
+# Stream Start; it is a protocol message — NO leading subxid). A
+# dropForeignOrigins client must filter the foreign streamed tx at its
+# StreamCommit while an interleaved native streamed tx applies.
+T7, T8 = 0x8000, 0x8100
+v2o = (backend(b"W", u8(0) + be16(0)) +
+       xlogdata(T7 - 70, T7, REL) +
+       # foreign streamed tx: Origin arrives inside the first segment
+       xlogdata(T7 - 64, T7, b"S" + be32(930) + u8(1)) +
+       xlogdata(T7 - 60, T7, b"O" + be64(0x7F00) + cstr("region_x")) +
+       xlogdata(T7 - 56, T7, streamed(930, INS("1", "foreign"))) +
+       xlogdata(T7 - 52, T7, b"E") +
+       # native streamed tx interleaves — no origin
+       xlogdata(T7 - 48, T7, b"S" + be32(931) + u8(1)) +
+       xlogdata(T7 - 44, T7, streamed(931, INS("2", "native"))) +
+       xlogdata(T7 - 40, T7, b"E") +
+       xlogdata(T7 - 8, T7, b"c" + be32(930) + u8(0) + be64(T7) +
+                be64(T7 + 8) + be64(TS)) +
+       xlogdata(T8 - 8, T8, b"c" + be32(931) + u8(0) + be64(T8) +
+                be64(T8 + 8) + be64(TS)) +
+       keepalive(T8 + 8, True))
+session.append(("stream_v2_origin", v2o))
+
+# seventh/eighth: v3 + STREAMING across a crash — a large transaction
+# streams in blocks, ends in StreamPrepare (spool transitions to the
+# prepared set), an unrelated commit passes the prepare, crash, then
+# redelivery + COMMIT PREPARED (the streamed sibling of stream_v3a/b).
+P2, T9, C2 = 0x9000, 0x9800, 0xA000
+v3s_prep = (xlogdata(P2 - 70, P2, REL) +
+            xlogdata(P2 - 64, P2, b"S" + be32(940) + u8(1)) +
+            xlogdata(P2 - 60, P2, streamed(940, INS("1", "sp1"))) +
+            xlogdata(P2 - 56, P2, b"E") +
+            xlogdata(P2 - 40, P2, b"p" + u8(0) + be64(P2) +
+                     be64(P2 + 0x10) + be64(TS) + be32(940) + cstr("gs")) +
+            xlogdata(T9 - 24, T9, b"B" + be64(T9) + be64(TS) + be32(941)) +
+            xlogdata(T9 - 16, T9, INS("5", "normal")) +
+            xlogdata(T9 - 8, T9, b"C" + u8(0) + be64(T9) + be64(T9 + 8) +
+                     be64(TS)))
+v3sa = (backend(b"W", u8(0) + be16(0)) + v3s_prep + keepalive(T9 + 8, True))
+v3sb = (backend(b"W", u8(0) + be16(0)) + v3s_prep +
+        xlogdata(C2 - 8, C2, b"K" + u8(0) + be64(C2) + be64(C2 + 0x10) +
+                 be64(TS) + be32(940) + cstr("gs")) +
+        keepalive(C2 + 0x10, True))
+session.append(("stream_v3s_a", v3sa))
+session.append(("stream_v3s_b", v3sb))
+
 # ------------------------------------------------------------------ write
 def dump(path, rows):
     with open(path, "w") as f:
