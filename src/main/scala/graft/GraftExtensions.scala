@@ -46,7 +46,12 @@ object GraftExtensions {
     * graft.GraftExtensions`); install() still sets the session conf the
     * hand-written `_bucket` workaround needs. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    // only the DEFAULT is overridden — an explicit user choice wins
+    // (same guard as the rule's constructor)
+    if (!spark.sessionState.conf.contains(
+        "spark.sql.requireAllClusterKeysForCoPartition"))
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition",
+        "false")
     val r = spark.sessionState.functionRegistry
     r.createOrReplaceTempFunction("rolling_hash",
       args => RollingHash(args.head), "built-in")
@@ -203,6 +208,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // without the user hand-writing the workaround (see the rule's
     // scaladoc for the stand-down conditions)
     e.injectResolutionRule(spark => new graft.plans.GraftSpjInjectRule(spark))
+    // fail-loud physical guard: a `_bucket = _bucket` join across graft
+    // scans whose CAPTURED layouts differ (hand-written across
+    // mismatched tables, or a rebucket landing between analysis and
+    // planning) would silently drop rows — refuse to execute it instead
+    e.injectQueryStagePrepRule(spark => new graft.plans.GraftSpjGuardRule(spark))
     e.injectFunction((
       FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(str) - 64-bit polynomial rolling hash"),

@@ -1,0 +1,69 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+  ShuffledHashJoinExec, SortMergeJoinExec}
+
+/** Physical (query-stage-prep) guard for `_bucket = _bucket` joins: a
+  * bucket id is only comparable WITHIN one layout, so a join equating
+  * the two sides' `_bucket` columns across graft scans whose captured
+  * bucket counts differ silently drops matching rows. The analyzer rule
+  * ([[GraftSpjInjectRule]]) validates counts when it INJECTS the term,
+  * but two windows remain: a hand-written term the user added across
+  * mismatched tables (the analyzer only warns — it cannot prove
+  * intent), and a rebucket committed between analysis and physical
+  * planning (the scans then capture the NEW layout while the injected
+  * term assumed the old). This rule runs right before execution against
+  * the exact [[org.apache.spark.sql.GraftBucketedScan]] objects the
+  * query will read — the counts it compares are the layouts of the
+  * captured file lists, so a mismatch here IS a wrong-results query —
+  * and fails loud instead of silently dropping rows.
+  *
+  * Re-executions of a cached plan stay consistent by construction: the
+  * scans re-read the file lists they captured at planning, so the
+  * validated counts keep describing the data actually read even if the
+  * live table rebuckets afterwards. */
+class GraftSpjGuardRule(spark: SparkSession) extends Rule[SparkPlan] {
+
+  override def apply(plan: SparkPlan): SparkPlan = {
+    plan.foreach {
+      case j: SortMergeJoinExec => check(j.leftKeys, j.rightKeys, j)
+      case j: ShuffledHashJoinExec => check(j.leftKeys, j.rightKeys, j)
+      case j: BroadcastHashJoinExec => check(j.leftKeys, j.rightKeys, j)
+      case _ => ()
+    }
+    plan
+  }
+
+  private def check(leftKeys: Seq[org.apache.spark.sql.catalyst
+      .expressions.Expression], rightKeys: Seq[org.apache.spark.sql
+      .catalyst.expressions.Expression], j: SparkPlan): Unit = {
+    val bucketKeyed = leftKeys.zip(rightKeys).exists {
+      case (l: AttributeReference, r: AttributeReference) =>
+        conf.resolver(l.name, "_bucket") && conf.resolver(r.name, "_bucket")
+      case _ => false
+    }
+    if (!bucketKeyed) return
+    val lc = graftCounts(j.children.head)
+    val rc = graftCounts(j.children(1))
+    (lc, rc) match {
+      case (Seq(a), Seq(b)) if a != b =>
+        throw new IllegalStateException(
+          s"join equates _bucket across INCOMPATIBLE graft layouts " +
+            s"($a vs $b buckets): bucket ids are only comparable within " +
+            "one bucket count, so this predicate silently drops matching " +
+            "rows. Remove the _bucket term (the tables cannot " +
+            "storage-partition-join), or rebucket one side to match.")
+      case _ => () // non-graft / ambiguous sides: nothing to prove
+    }
+  }
+
+  private def graftCounts(p: SparkPlan): Seq[Int] = p.collect {
+    case b: BatchScanExec =>
+      org.apache.spark.sql.GraftBucketedScan.bucketCountOf(b.scan)
+  }.flatten
+}

@@ -49,9 +49,12 @@ import graft.catalog.GraftSqlTable
   * counts instead of rewriting the query.
   */
 class GraftSpjInjectRule(spark: SparkSession) extends Rule[LogicalPlan] {
-  try spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition",
-    "false")
-  catch { case _: Throwable => () } // session still warming up: skip
+  try {
+    // an explicit user choice (spark-defaults or an earlier set) wins;
+    // only the DEFAULT is overridden
+    val k = "spark.sql.requireAllClusterKeysForCoPartition"
+    if (!spark.sessionState.conf.contains(k)) spark.conf.set(k, "false")
+  } catch { case _: Throwable => () } // session still warming up: skip
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
@@ -93,9 +96,23 @@ class GraftSpjInjectRule(spark: SparkSession) extends Rule[LogicalPlan] {
       : Option[Attribute] =
     rel.output.find(a => conf.resolver(a.name, name))
 
-  private def bucketAttr(side: LogicalPlan): Option[Attribute] =
-    (side.output ++ side.metadataOutput)
+  /** The RELATION's `_bucket` metadata attribute, required to be the
+    * ONLY `_bucket` visible at the side level: a user-projected alias
+    * named `_bucket` (fresh exprId) must make the rule stand down, or
+    * the injected equality would bind an arbitrary user column and
+    * silently drop rows. */
+  private def bucketAttr(side: LogicalPlan,
+      rel: DataSourceV2Relation): Option[Attribute] = {
+    val relAttr = (rel.output ++ rel.metadataOutput)
       .find(a => conf.resolver(a.name, "_bucket"))
+    val visible = (side.output ++ side.metadataOutput)
+      .filter(a => conf.resolver(a.name, "_bucket"))
+    (relAttr, visible) match {
+      case (Some(ra), Seq(single)) if single.exprId == ra.exprId =>
+        Some(single)
+      case _ => None // shadowed, duplicated, or not threadable
+    }
+  }
 
   private def inject(j: Join, cond: Expression): Option[Join] = {
     val pairs = equiPairs(cond)
@@ -136,8 +153,8 @@ class GraftSpjInjectRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!covered) return None
 
     for {
-      lb <- bucketAttr(j.left)
-      rb <- bucketAttr(j.right)
+      lb <- bucketAttr(j.left, lRel)
+      rb <- bucketAttr(j.right, rRel)
     } yield j.copy(condition = Some(And(cond, EqualTo(lb, rb))))
   }
 }

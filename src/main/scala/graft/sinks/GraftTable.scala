@@ -457,17 +457,23 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       // not string stats (a table upgraded across the string-skipping
       // release) must still harvest its string bounds — subtracting the
       // union would freeze such files out until a rewrite. The two
-      // kinds share ONE per-commit footer-read budget: string harvest
-      // spends what the long harvest left, so a giant backfill commit
-      // opens at most MaxStatsFilesPerCommit footers total (string
-      // coverage catches up over subsequent commits — uncovered files
-      // simply never skip in the meantime).
-      val freshLong = (live -- prevStats.keySet -- m1.fileStats.keySet)
-        .take(GraftTable.MaxStatsFilesPerCommit)
-      val freshStr =
-        (live -- prevStrStats.keySet -- m1.fileStrStats.keySet)
-          .take(math.max(0,
-            GraftTable.MaxStatsFilesPerCommit - freshLong.size))
+      // kinds share ONE per-commit footer-read budget (a giant backfill
+      // commit opens at most MaxStatsFilesPerCommit footers total), and
+      // the kind that drains FIRST alternates by commit parity: a fixed
+      // priority would starve the other kind forever under sustained
+      // ingest of budget-sized batches of fresh files. Uncovered files
+      // simply never skip until their harvest turn comes.
+      val longBacklog = live -- prevStats.keySet -- m1.fileStats.keySet
+      val strBacklog = live -- prevStrStats.keySet -- m1.fileStrStats.keySet
+      val cap = GraftTable.MaxStatsFilesPerCommit
+      val (freshLong, freshStr) =
+        if (m1.version % 2 == 0) {
+          val l = longBacklog.take(cap)
+          (l, strBacklog.take(math.max(0, cap - l.size)))
+        } else {
+          val s = strBacklog.take(cap)
+          (longBacklog.take(math.max(0, cap - s.size)), s)
+        }
       // stats-eligible columns only (DDL type pre-check): the schema DDL
       // travels with the manifest, so an ineligible-typed key skips the
       // footer reads entirely instead of opening every file to learn
@@ -1606,8 +1612,14 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
   def awaitMaintenanceQuiesce(owner: String = "",
       maxWaitMs: Long = 120000L): Unit = {
     val t0 = System.currentTimeMillis()
-    while (maintenanceLeaseHolder.exists(_._1 != owner) &&
-      System.currentTimeMillis() - t0 < maxWaitMs)
+    // a store error (a JDBC lease store's transient SQLException) must
+    // not crash the APPLY path through its pause point — treat the
+    // lease as unknown-and-possibly-held and keep waiting; maxWaitMs
+    // bounds the pause either way (commits stay safe via the CAS)
+    def foreignHeld: Boolean =
+      try maintenanceLeaseHolder.exists(_._1 != owner)
+      catch { case scala.util.control.NonFatal(_) => true }
+    while (foreignHeld && System.currentTimeMillis() - t0 < maxWaitMs)
       Thread.sleep(25)
   }
 
@@ -1630,7 +1642,13 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * [[awaitMaintenanceQuiesce]]'s own `maxWaitMs`. */
   def runMaintenanceUnderLease(owner: String, ttlMs: Long = 60000L,
       graceMs: Long = 0L)(body: => Unit): Boolean = {
-    if (!tryAcquireMaintenanceLease(owner, ttlMs)) return false
+    // a store error at acquire is a LOST TURN, not a failure to
+    // propagate into the caller (the sink's in-process timer runs this
+    // on the apply thread; the next Nth batch retries)
+    val acquired =
+      try tryAcquireMaintenanceLease(owner, ttlMs)
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!acquired) return false
     @volatile var done = false
     // heartbeat renewal and the final release MUTUALLY EXCLUDE through
     // this lock: without it, a heartbeat stuck inside a slow renewal
@@ -1648,8 +1666,12 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
         // keep trying, reads stay safe via withManifestRetry
         renewLock.synchronized {
           if (!done)
+            // swallow ANY store error, not just IO: a pluggable store
+            // (JDBC) throws SQLException on a transient blip, and a
+            // dead heartbeat thread means silent loss of exclusion
+            // for the rest of the body — keep beating instead
             try tryAcquireMaintenanceLease(owner, ttlMs)
-            catch { case _: java.io.IOException => () }
+            catch { case scala.util.control.NonFatal(_) => () }
         }
       }
     }, s"graft-lease-heartbeat-$owner")
@@ -1663,7 +1685,12 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     } finally {
       done = true
       beat.interrupt()
-      renewLock.synchronized { releaseMaintenanceLease(owner) }
+      renewLock.synchronized {
+        // a release blip must not mask the body's outcome; the TTL
+        // reclaims an unreleased lease
+        try releaseMaintenanceLease(owner)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
       beat.join(5000) // tidy the thread; correctness rests on the lock
     }
   }

@@ -432,8 +432,10 @@ object JdbcSink {
       try return body
       catch {
         case t: Throwable if isTransient(t) && attempt < policy.maxRetries =>
+          // clamp the shift: a large maxRetries must saturate at
+          // maxDelayMs, not overflow the Long into a negative sleep
           val delay = math.min(policy.maxDelayMs,
-            policy.initialDelayMs << attempt)
+            policy.initialDelayMs << math.min(attempt, 20))
           attempt += 1
           sleep(delay)
       }

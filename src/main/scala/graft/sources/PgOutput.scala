@@ -663,14 +663,17 @@ object PgOutput {
       * is lost. Safe to call more than once; the session remains
       * usable (a new spool directory is created on demand). */
     def close(): Option[Long] = {
-      val floor = prepareFloor
+      val floor = prepLock.synchronized {
+        val f = prepareFloor
+        preparedSpools.valuesIterator.foreach(_.spool.delete())
+        preparedSpools.clear()
+        preparedForeign.clear()
+        inheritedFloor = f
+        f
+      }
       streamSpools.valuesIterator.foreach(_.delete())
       streamSpools.clear()
       streamForeign.clear()
-      preparedSpools.valuesIterator.foreach(_.spool.delete())
-      preparedSpools.clear()
-      preparedForeign.clear()
-      inheritedFloor = floor
       if (sessionSpoolDir != null) {
         SpoolDirs.release(sessionSpoolDir)
         sessionSpoolDir = null
@@ -712,13 +715,23 @@ object PgOutput {
       * idempotent). */
     private val preparedSpools =
       scala.collection.mutable.Map.empty[String, PreparedTx]
+    /** Guards the prepared-transaction bookkeeping (preparedSpools,
+      * preparing, inheritedFloor): the DECODE thread mutates it while
+      * the status-update/heartbeat threads read it through
+      * [[flushCap]]/[[preparedCount]]/[[oldestPrepareAgeMs]] — an
+      * unsynchronized read racing a redelivery's remove+reinsert could
+      * miss the entry and confirm the flush PAST an undecided prepare
+      * (losing the transaction after a crash). Held only for the map
+      * operations, never across a spool replay, so a multi-GB
+      * CommitPrepared cannot stall keepalives. */
+    private val prepLock = new Object
     /** Gids of prepared transactions stamped with a foreign origin —
       * consulted when the spool replays at CommitPrepared. */
     private val preparedForeign =
       scala.collection.mutable.Set.empty[String]
 
     /** Prepared transactions currently held (tests/metrics). */
-    def preparedCount: Int = preparedSpools.size
+    def preparedCount: Int = prepLock.synchronized { preparedSpools.size }
 
     /** Age of the OLDEST undecided prepare, or None when there is
       * none. While a prepare is undecided the flush cap holds WAL
@@ -726,8 +739,10 @@ object PgOutput {
       * manager stuck for hours is visible, not a silent stall. */
     def oldestPrepareAgeMs(
         nowMs: Long = System.currentTimeMillis()): Option[Long] =
-      preparedSpools.valuesIterator.map(_.sinceMs).minOption
-        .map(s => math.max(0L, nowMs - s))
+      prepLock.synchronized {
+        preparedSpools.valuesIterator.map(_.sinceMs).minOption
+          .map(s => math.max(0L, nowMs - s))
+      }
 
     /** Prepare-LSN floor inherited from a predecessor session (after a
       * reconnect) or retained by [[close]]. Cleared when the
@@ -740,8 +755,9 @@ object PgOutput {
     /** Carry a predecessor session's undecided-prepare floor (see
       * [[close]]) into this session. */
     def inheritPrepareFloor(floor: Option[Long]): Unit =
-      inheritedFloor = floor
+      prepLock.synchronized { inheritedFloor = floor }
 
+    /** Callers hold [[prepLock]] (the monitor is reentrant). */
     private def prepareFloor: Option[Long] =
       (preparedSpools.valuesIterator.map(_.prepareLsn) ++
         preparing.iterator.map(_._2) ++ inheritedFloor.iterator).minOption
@@ -752,12 +768,14 @@ object PgOutput {
       * starts at max(requested, confirmed_flush) skips the prepared
       * transaction entirely (the flush cap alone only protects the
       * server-side confirmed position). */
-    def prepareFloorLsn: Option[Long] = prepareFloor
+    def prepareFloorLsn: Option[Long] =
+      prepLock.synchronized { prepareFloor }
 
     /** Cap a flush position so it never passes an undecided PREPARE —
       * the status-update caller routes its flush LSN through this. */
-    def flushCap(flush: Long): Long =
+    def flushCap(flush: Long): Long = prepLock.synchronized {
       prepareFloor.fold(flush)(f => math.min(flush, f - 1))
+    }
 
     /** Decode one frame; returns the envelope lines it produces (0..n).
       * Streamed-transaction blocks (protocol v2) spool to DISK until
@@ -798,7 +816,10 @@ object PgOutput {
       // v1 frames that spool until CommitPrepared/RollbackPrepared
       if (preparing.isDefined && StreamableTypes(frame(0).toChar)) {
         val (gid, lsn) = preparing.get
-        preparedSpools(gid).spool.append(0, frame)
+        // map lookup under the lock; the append itself is decode-thread
+        // private (status threads never read spool contents)
+        val sp = prepLock.synchronized { preparedSpools(gid).spool }
+        sp.append(0, frame)
         val _ = lsn
         return Seq.empty
       }
@@ -857,49 +878,68 @@ object PgOutput {
         require(txLsn.isEmpty && inStreamOf.isEmpty && preparing.isEmpty,
           "BeginPrepare inside another bracket")
         // a REDELIVERED prepare (post-restart, flushCap held the flush
-        // below it) resets the gid's spool — idempotent
-        preparedSpools.remove(gid).foreach(_.spool.delete())
-        preparedForeign -= gid
-        preparedSpools(gid) = PreparedTx(prepareLsn, new StreamSpool(
-          spoolHome), System.currentTimeMillis())
-        preparing = Some(gid -> prepareLsn)
-        // a live cap at or below the inherited floor retires it
-        if (inheritedFloor.exists(prepareLsn <= _)) inheritedFloor = None
+        // below it) resets the gid's spool — idempotent. The spool
+        // creation stays OUTSIDE the lock (filesystem work); the map
+        // swap inside it, so a concurrent flushCap sees either the old
+        // entry or the new one, never a gap.
+        val fresh = new StreamSpool(spoolHome)
+        prepLock.synchronized {
+          preparedSpools.remove(gid).foreach(_.spool.delete())
+          preparedForeign -= gid
+          preparedSpools(gid) =
+            PreparedTx(prepareLsn, fresh, System.currentTimeMillis())
+          preparing = Some(gid -> prepareLsn)
+          // a live cap at or below the inherited floor retires it
+          if (inheritedFloor.exists(prepareLsn <= _)) inheritedFloor = None
+        }
         Seq.empty
       case Prepare(_, _, _, _, _, gid) =>
         require(preparing.exists(_._1 == gid),
           s"Prepare for gid '$gid' without its BeginPrepare")
-        preparing = None
+        prepLock.synchronized { preparing = None }
         Seq.empty
       case StreamPrepare(_, prepareLsn, _, _, xid, gid) =>
         require(inStreamOf.isEmpty, "StreamPrepare inside a stream block")
         val spool = streamSpools.remove(xid).getOrElse(
           throw new IllegalStateException(
             s"StreamPrepare for unknown streamed xid $xid"))
-        preparedSpools.remove(gid).foreach(_.spool.delete())
-        preparedForeign -= gid
-        // the streamed xid's foreign stamp transfers to the gid
-        if (streamForeign.remove(xid)) preparedForeign += gid
-        preparedSpools(gid) =
-          PreparedTx(prepareLsn, spool, System.currentTimeMillis())
-        if (inheritedFloor.exists(prepareLsn <= _)) inheritedFloor = None
+        prepLock.synchronized {
+          preparedSpools.remove(gid).foreach(_.spool.delete())
+          preparedForeign -= gid
+          // the streamed xid's foreign stamp transfers to the gid
+          if (streamForeign.remove(xid)) preparedForeign += gid
+          preparedSpools(gid) =
+            PreparedTx(prepareLsn, spool, System.currentTimeMillis())
+          if (inheritedFloor.exists(prepareLsn <= _)) inheritedFloor = None
+        }
         Seq.empty
       case RollbackPrepared(_, _, _, _, _, _, gid) =>
-        preparedSpools.remove(gid).foreach(_.spool.delete())
-        preparedForeign -= gid
+        prepLock.synchronized {
+          preparedSpools.remove(gid).foreach(_.spool.delete())
+          preparedForeign -= gid
+        }
         Seq.empty
       case CommitPrepared(_, commitLsn, _, _, _, gid) =>
-        val spool = preparedSpools.remove(gid).getOrElse(
+        // map removal under the lock; the replay below runs WITHOUT it
+        // (a multi-GB prepared transaction must not stall keepalives).
+        // Removing before replay is sound: the cap the entry provided
+        // is superseded by lastCommitLsn only after the commit anyway,
+        // and a crash mid-replay resumes below the prepare via the
+        // durable floor file (cleared only after this decision decodes).
+        val (spool, wasForeign) = prepLock.synchronized {
+          preparedSpools.remove(gid)
+            .map(p => (p.spool, preparedForeign.remove(gid)))
+        }.getOrElse(
           throw new IllegalStateException(
             s"CommitPrepared for unknown gid '$gid' — the prepared " +
               "spool was lost; resume below the prepare LSN (flushCap " +
-              "guarantees a restarted session never confirms past it)")).spool
+              "guarantees a restarted session never confirms past it)"))
         try {
           // apply the foreign stamp recorded during the prepare bracket
           // (resetting it here silently disabled the loop breaker for
           // every prepared transaction)
           txLsn = Some(commitLsn); ordinal = 0L
-          txForeign = preparedForeign.remove(gid)
+          txForeign = wasForeign
           val out = Seq.newBuilder[String]
           spool.frames.foreach(f => out ++= onMessage(decode(f)))
           lastCommitLsn = math.max(lastCommitLsn, commitLsn)

@@ -159,7 +159,17 @@ object GraftBucketedScan {
       inner.supportColumnarReads(unwrap(p))
   }
 
-  private final class BucketedScan(inner: Scan, nBuckets: Int,
+  /** The bucket count a built graft scan CAPTURED at planning (the
+    * layout of the exact file list it will read), or None for non-graft
+    * scans — the physical SPJ guard compares the two join sides' counts
+    * right before execution, closing the analysis-to-planning window
+    * where a rebucket could invalidate a `_bucket = _bucket` term. */
+  def bucketCountOf(scan: Scan): Option[Int] = scan match {
+    case b: BucketedScan => Some(b.nBuckets)
+    case _ => None
+  }
+
+  private final class BucketedScan(inner: Scan, val nBuckets: Int,
       keyCols: Seq[String], sortCols: Seq[String]) extends Scan
       with Batch with SupportsReportPartitioning
       with SupportsReportOrdering with SupportsReportStatistics

@@ -258,6 +258,28 @@ class StoragePartitionedJoinSpec extends SparkSpec {
         """SELECT count(*) FROM spj.db7.a a
            JOIN spj.db7.c c ON a.k1 = c.k1""")
       assert(part.as[Long].collect().head == 180L)
+      // a USER column aliased `_bucket` shadows the metadata column:
+      // the rule must stand down (injecting against the alias would be
+      // an arbitrary filter) — correct rows, no exception
+      val shadowed = spark.sql(
+        """SELECT count(*) FROM
+             (SELECT k1, k2, v % 7 AS _bucket FROM spj.db7.a) a
+           JOIN spj.db7.a b ON a.k1 = b.k1 AND a.k2 = b.k2""")
+      // 60 rows on each side, 4 rows per (k1,k2) combo → 4*4*15
+      assert(shadowed.as[Long].collect().head == 240L)
+      // fail-loud guard: a HAND-WRITTEN _bucket equality across
+      // MISMATCHED layouts (4 vs 8 buckets) would silently drop rows —
+      // the physical guard refuses to execute it
+      val bad = spark.sql(
+        """SELECT a.v FROM spj.db7.a a
+           JOIN spj.db7.c c ON a.k1 = c.k1 AND a.k2 = c.k2
+                           AND a._bucket = c._bucket""")
+      val e = intercept[Exception] { bad.collect() }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(
+        _.getMessage.contains("INCOMPATIBLE graft layouts")),
+        s"expected the SPJ guard to refuse, got: $e")
     }
   }
 
