@@ -465,4 +465,97 @@ object SinkQueries {
     * (plan-asserted in StoragePartitionedJoinSpec). */
   def opJoinSpj(spark: SparkSession, dir: String): DataFrame =
     spjJoin(spark, dir, spjOn = true)
+
+  // --------------- composite-key SPJ auto-injection (correctness gate)
+
+  private val spjCompositeState =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def spjCompositeCatalogFor(spark: SparkSession,
+      dir: String): String =
+    spjCompositeState.computeIfAbsent(dir, _ => {
+      val cat = s"spjck${math.abs(dir.hashCode)}"
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-spj-composite").toString
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        "graft.catalog.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.sql(s"""CREATE TABLE $cat.db.qty
+                    (k1 BIGINT, k2 INT, flag STRING, qty DECIMAL(12,2))
+                    PARTITIONED BY (bucket(16, k1, k2))""")
+      spark.sql(s"""CREATE TABLE $cat.db.price
+                    (k1 BIGINT, k2 INT, price DECIMAL(12,2))
+                    PARTITIONED BY (bucket(16, k1, k2))""")
+      // the synthetic lineitem is NOT unique on (orderkey, linenumber)
+      // — pre-aggregate per key so the keyed tables hold one row per
+      // key and the join is exactly 1:1 (the oracle mirrors this)
+      Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("k1"), col("l_linenumber").as("k2"),
+          col("l_returnflag").as("flag"),
+          col("l_quantity").cast(DecimalType(9, 2)).as("qty"),
+          col("l_extendedprice").cast(DecimalType(9, 2)).as("price"))
+        .createOrReplaceTempView("spj_comp_src")
+      spark.sql(s"""INSERT INTO $cat.db.qty
+        SELECT k1, k2, MIN(flag),
+               CAST(SUM(qty) AS DECIMAL(12,2))
+        FROM spj_comp_src GROUP BY k1, k2""")
+      spark.sql(s"""INSERT INTO $cat.db.price
+        SELECT k1, k2, CAST(SUM(price) AS DECIMAL(12,2))
+        FROM spj_comp_src GROUP BY k1, k2""")
+      cat
+    })
+
+  /** Correctness gate for the composite-key SPJ auto-injection
+    * ([[graft.plans.GraftSpjInjectRule]]): two graft catalog tables
+    * bucketed by the composite key (l_orderkey, l_linenumber), joined
+    * WITHOUT any hand-written `_bucket` term. The analyzer rule injects
+    * the implied `_bucket = _bucket` equality and the join plans
+    * shuffle-free (plan-asserted in StoragePartitionedJoinSpec); the
+    * DuckDB oracle pins that the rewritten plan returns EXACTLY the
+    * rows the plain join would — an injection bug (wrong attribute,
+    * wrong count precondition) would drop rows and hash-mismatch. */
+  def spjCompositeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cat = spjCompositeCatalogFor(spark, dir)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // materialize INSIDE the conf window (physical planning reads the
+      // SPJ confs at execution)
+      val sp = spark; import sp.implicits._
+      spark.sql(
+        s"""SELECT a.flag AS flag, COUNT(*) AS n,
+                   CAST(SUM(a.qty * b.price) AS DOUBLE) AS total
+            FROM $cat.db.qty a JOIN $cat.db.price b
+              ON a.k1 = b.k1 AND a.k2 = b.k2
+            GROUP BY a.flag ORDER BY a.flag""")
+        .as[(String, Long, Double)].collect().toSeq
+        .toDF("flag", "n", "total")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  val spjCompositeJoinSql: String = """
+    WITH a AS (
+      SELECT l_orderkey AS k1, l_linenumber AS k2,
+             MIN(l_returnflag) AS flag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)))
+               AS DECIMAL(12,2)) AS qty
+      FROM lineitem GROUP BY 1, 2),
+    b AS (
+      SELECT l_orderkey AS k1, l_linenumber AS k2,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)))
+               AS DECIMAL(12,2)) AS price
+      FROM lineitem GROUP BY 1, 2)
+    SELECT a.flag AS flag, COUNT(*) AS n,
+           CAST(SUM(a.qty * b.price) AS DOUBLE) AS total
+    FROM a JOIN b ON a.k1 = b.k1 AND a.k2 = b.k2
+    GROUP BY 1 ORDER BY 1"""
 }
