@@ -43,6 +43,8 @@ import graft.sinks.{CdcSink, ChangelogSink, CurrentStateSink, ExactlyOnceSink, N
   *     maxCompactedFiles, minActiveDataFiles, maxTablesPerRun,
   *     rebucketAboveBytes}                    # MaintenancePolicy knobs
   *   exactlyOnce = true                       # batchId txn ledger wrapper
+  *   telemetry.exportIntervalMs = 10000       # live metrics.prom refresh
+  *                                            # (0 = final write only)
   *   backfill.<tableName> = <parquet path>    # optional initial snapshots
   *   drain = true                             # process available + exit
   *
@@ -264,6 +266,24 @@ object Replicator {
       } else None
 
     val metrics = new graft.pipeline.PipelineMetrics(spark)
+    // periodic Prometheus export for a LIVE pipeline (the reference
+    // serves /metrics continuously; here a textfile-collector path
+    // refreshed on an interval — the undecided-prepare stall gauges are
+    // only useful if an operator can see them BEFORE shutdown). The
+    // final write below still lands on exit; 0 disables the ticker.
+    val promPath = s"$work/metrics.prom"
+    val promIntervalMs = get("telemetry.exportIntervalMs", "10000").toLong
+    if (promIntervalMs > 0) {
+      val promTicker = new Thread(() => {
+        while (true) {
+          Thread.sleep(promIntervalMs)
+          try graft.pipeline.Telemetry.writePrometheus(promPath)
+          catch { case _: Throwable => () } // next tick retries
+        }
+      }, "graft-telemetry-export")
+      promTicker.setDaemon(true)
+      promTicker.start()
+    }
     val query = pipeline.startStream(logPath)
     sys.addShutdownHook { // graceful drain (ST9)
       try {
@@ -294,7 +314,7 @@ object Replicator {
     metrics.report(s"$work/metrics.json", Some(pipeline))
     // telemetry export beside the JSON report: Prometheus exposition
     // (the etl-telemetry metrics surface — scrape the file or serve it)
-    graft.pipeline.Telemetry.writePrometheus(s"$work/metrics.prom")
+    graft.pipeline.Telemetry.writePrometheus(promPath)
     metrics.detach()
     // no spark.stop(): under spark-submit the JVM exit stops the context;
     // under tests the session is shared with the harness
