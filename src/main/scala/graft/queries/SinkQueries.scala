@@ -466,6 +466,94 @@ object SinkQueries {
   def opJoinSpj(spark: SparkSession, dir: String): DataFrame =
     spjJoin(spark, dir, spjOn = true)
 
+  // ---------- composite-key SPJ auto-injection attribution (bench pair)
+
+  /** Shared state for the op_join_composite_* pair: an ×8-inflated
+    * COMPOSITE-key fact (k1, k2) with a 64-byte payload that must cross
+    * the join, plus a key dim — both bucket(32, k1, k2). Unlike the
+    * single-key pair, Spark cannot resolve the multi-reference bucket
+    * transform here, so the shuffle-free plan exists ONLY through the
+    * [[graft.plans.GraftSpjInjectRule]] auto-injected `_bucket`
+    * equality: the pair's gap attributes the RULE's value, not just
+    * SPJ's. */
+  private val spjCompositeOpState =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def spjCompositeOpCatalogFor(spark: SparkSession,
+      dir: String): String =
+    spjCompositeOpState.computeIfAbsent(dir, _ => {
+      val cat = s"opspjc${math.abs(dir.hashCode)}"
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-spj-comp-op").toString
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        "graft.catalog.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.sql(s"""CREATE TABLE $cat.db.fact
+                    (k1 BIGINT, k2 INT, price DOUBLE, payload STRING)
+                    PARTITIONED BY (bucket(32, k1, k2))""")
+      spark.sql(s"""CREATE TABLE $cat.db.dim (k1 BIGINT, k2 INT, w BIGINT)
+                    PARTITIONED BY (bucket(32, k1, k2))""")
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("k0"),
+          col("l_linenumber").as("k2"),
+          col("l_extendedprice").cast(DoubleType).as("price"))
+      (0 until 8).map(i =>
+        li.select((col("k0") + lit(i * 8000000L)).as("k1"), col("k2"),
+          col("price")))
+        .reduce(_ unionAll _)
+        .createOrReplaceTempView("spj_comp_op_src")
+      // the synthetic lineitem duplicates (orderkey, linenumber):
+      // aggregate to one row per composite key before the keyed insert
+      spark.sql(s"""INSERT INTO $cat.db.fact
+        SELECT k1, k2, SUM(price),
+               RPAD(CONV(CAST(k1 * 8 + k2 AS STRING), 10, 16), 64, 'x')
+        FROM spj_comp_op_src GROUP BY k1, k2""")
+      spark.sql(s"""INSERT INTO $cat.db.dim
+        SELECT DISTINCT k1, k2, (k1 + k2) % 97 AS w
+        FROM spj_comp_op_src""")
+      cat
+    })
+
+  private def spjCompositeOpJoin(spark: SparkSession, dir: String,
+      spjOn: Boolean): DataFrame = {
+    val cat = spjCompositeOpCatalogFor(spark, dir)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> spjOn.toString,
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // NO hand-written _bucket term anywhere: with spjOn the analyzer
+      // rule injects it and the join zip-joins co-located buckets
+      val row = spark.sql(
+        s"""SELECT COUNT(*) AS n, SUM(a.price * b.w) AS s,
+                   MAX(a.payload) AS p
+            FROM $cat.db.fact a JOIN $cat.db.dim b
+              ON a.k1 = b.k1 AND a.k2 = b.k2""")
+        .collect()(0)
+      val sp = spark; import sp.implicits._
+      Seq((row.getLong(0), row.getDouble(1), row.getString(2)))
+        .toDF("n", "s", "p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** Baseline: composite-key equi-join with the SPJ report off — both
+    * sides exchange + sort. */
+  def opJoinCompositeShuffle(spark: SparkSession, dir: String): DataFrame =
+    spjCompositeOpJoin(spark, dir, spjOn = false)
+
+  /** The auto-injected plan: same query text, zero exchanges — the gap
+    * vs the shuffle leg is what the analyzer rule buys composite-key
+    * tables (plan-asserted in StoragePartitionedJoinSpec). */
+  def opJoinCompositeAuto(spark: SparkSession, dir: String): DataFrame =
+    spjCompositeOpJoin(spark, dir, spjOn = true)
+
   // --------------- composite-key SPJ auto-injection (correctness gate)
 
   private val spjCompositeState =
