@@ -26,7 +26,12 @@ import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
   * Re-executions of a cached plan stay consistent by construction: the
   * scans re-read the file lists they captured at planning, so the
   * validated counts keep describing the data actually read even if the
-  * live table rebuckets afterwards. */
+  * live table rebuckets afterwards.
+  *
+  * Scope: query-stage-prep rules run under ADAPTIVE execution (the
+  * Spark default). A session that disables AQE keeps the analyzer-time
+  * validation and the hand-written-mismatch warning, but not this
+  * execution-time backstop. */
 class GraftSpjGuardRule(spark: SparkSession) extends Rule[SparkPlan] {
 
   override def apply(plan: SparkPlan): SparkPlan = {
