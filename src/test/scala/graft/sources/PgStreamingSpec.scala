@@ -451,6 +451,50 @@ class PgStreamingSpec extends AnyFunSuite {
     s.close()
   }
 
+  test("flushCap hammer: a status thread racing prepare redeliveries " +
+      "never reads PAST the undecided prepare and never crashes " +
+      "(decode/status threads share the prepared-state lock)") {
+    val s = new DecodeSession()
+    s.onFrame(encode(rel))
+    val P = 0x1000L
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    @volatile var stop = false
+    val prober = new Thread(() => {
+      while (!stop) {
+        try {
+          // the cap must hold for EVERY interleaving of the
+          // redelivery's remove+reinsert — a missed entry here would
+          // confirm the flush past the prepare and lose the tx
+          val f = s.flushCap(0x5000L)
+          if (f != P - 1) errors.add(new AssertionError(
+            s"cap leaked mid-redelivery: $f"))
+          s.preparedCount; s.oldestPrepareAgeMs(); s.prepareFloorLsn
+        } catch { case e: Throwable => errors.add(e); stop = true }
+      }
+    }, "flushcap-prober")
+    // an undecided prepare exists for the whole hammer window
+    Seq(BeginPrepare(P, P + 0x10, 0L, 71, "gh"),
+      Insert(1, row("1", "p")),
+      Prepare(0, P, P + 0x10, 0L, 71, "gh"))
+      .foreach(m => s.onFrame(encode(m)))
+    prober.setDaemon(true); prober.start()
+    val deadline = System.currentTimeMillis() + 1000
+    while (System.currentTimeMillis() < deadline) {
+      // redeliver the SAME prepare over and over (remove + reinsert)
+      Seq(BeginPrepare(P, P + 0x10, 0L, 71, "gh"),
+        Insert(1, row("1", "p")),
+        Prepare(0, P, P + 0x10, 0L, 71, "gh"))
+        .foreach(m => s.onFrame(encode(m)))
+    }
+    stop = true
+    prober.join(2000)
+    assert(errors.isEmpty, s"raced into: ${errors.toArray.toSeq.take(3)}")
+    val lines = s.onFrame(encode(CommitPrepared(0, 0x2000L, 0x2001L, 0L,
+      71, "gh")))
+    assert(lines.size == 1 && s.flushCap(0x5000L) == 0x5000L)
+    s.close()
+  }
+
   test("byte accounting: streamed tuple-value bytes park at StreamCommit " +
       "and record processed at the flushed ack") {
     graft.pipeline.Telemetry.resetForTest()
