@@ -177,79 +177,168 @@ final class FsLeaseStore(root: String) extends MaintenanceLeaseStore {
   *
   * Atomicity comes from single-statement row CAS, not transactions:
   *  - acquire/renew/break is ONE `UPDATE … WHERE owner = me OR
-  *    expires_at < now` (the database serializes racing updates on the
-  *    row lock; exactly one wins);
+  *    expires_at < CURRENT_TIMESTAMP` (the database serializes racing
+  *    updates on the row lock; exactly one wins);
   *  - first-time claim is an INSERT whose duplicate-key failure IS the
   *    lost race;
   *  - release is `DELETE … WHERE owner = me` — a rival's row never
   *    matches, so it is never destroyed.
+  *
+  * Clock discipline: this store exists precisely for MULTI-HOST
+  * deployments, so expiry is decided by the DATABASE ENGINE's clock —
+  * `expires_at` is a TIMESTAMP compared against, and computed from,
+  * the engine's `CURRENT_TIMESTAMP` inside the statement (the
+  * reference's Postgres coordination likewise compares against the
+  * database's `now()`, coordination/postgres.rs:118,305). A client
+  * clock NEVER enters the liveness decision: with a client-side `now`,
+  * a rival whose clock ran ahead by more than the holder's remaining
+  * TTL would break a LIVE lease — two concurrent maintainers. (The
+  * [[FsLeaseStore]] keeps the client clock: shared-POSIX deployments
+  * are one NTP domain by construction.) The millisecond TTL is applied
+  * engine-side via chained `{fn TIMESTAMPADD}` (seconds + the
+  * sub-second remainder in nanoseconds — SQL_TSI_FRAC_SECOND's count
+  * is an INT, so a single frac-second term would overflow past 2.1 s).
+  *
+  * One cached connection per store instance, re-opened on a connection
+  * failure (heartbeats at ttl/3 per table across many tables made a
+  * fresh DriverManager connection per call needless engine churn; the
+  * reference holds a sqlx pool).
   */
 final class JdbcLeaseStore(url: String, leaseName: String,
     table: String = "graft_lease") extends MaintenanceLeaseStore {
-  import java.sql.{Connection, DriverManager}
+  import java.sql.{Connection, DriverManager, SQLException, Timestamp}
 
   // Derby writes derby.log into user.dir unless told otherwise (same
   // guard as JdbcSink)
   if (System.getProperty("derby.stream.error.file") == null)
     System.setProperty("derby.stream.error.file", "/dev/null")
 
-  /** ensureTable is idempotent but chatty (a CREATE + catch per call);
-    * once it has succeeded on this store instance, skip it. */
+  /** Set only after the lease table has been VERIFIED usable (created,
+    * or already present, and probed with a SELECT) — a CREATE failing
+    * for a non-already-exists reason (insufficient privilege 42501,
+    * syntax/qualifier errors) must propagate, not silently disable all
+    * maintenance coordination. */
   @volatile private var tableEnsured = false
 
-  private def withConn[T](f: Connection => T): T = {
-    val conn = DriverManager.getConnection(url)
-    try {
-      if (!tableEnsured) { ensureTable(conn); tableEnsured = true }
-      f(conn)
-    } finally conn.close()
+  /** Connections opened over this store's lifetime (tests assert the
+    * cache holds: a heartbeat hammer must not open one per call). */
+  private[graft] val connectionsOpened =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private val connLock = new Object
+  private var cached: Connection = null
+
+  private def freshConn(): Connection = {
+    val c = DriverManager.getConnection(url)
+    connectionsOpened.incrementAndGet()
+    if (!tableEnsured) { ensureTable(c); tableEnsured = true }
+    c
   }
 
-  /** Duplicate-key SQLStates: standard 23505 plus the 23000 class some
-    * engines report. */
-  private def isDuplicateKey(e: java.sql.SQLException): Boolean =
-    Option(e.getSQLState).exists(s => s == "23505" || s.startsWith("23"))
+  /** SQLState class 08 = connection exception (also Derby 40XD0 "dead
+    * connection", XJ040/XJ041 boot failures are NOT retried — a broken
+    * URL should surface, not loop). */
+  private def isConnectionFailure(e: SQLException): Boolean =
+    Option(e.getSQLState).exists(s => s.startsWith("08") || s == "40XD0")
 
-  private def ensureTable(conn: Connection): Unit =
+  /** Run `f` on the cached connection; one retry on a fresh connection
+    * when the cached one died. Every statement here is an idempotent
+    * CAS/point-read, so the single retry is safe (an acquire whose
+    * INSERT landed before the failure renews itself via the retried
+    * UPDATE's `owner = me` arm). */
+  private def withConn[T](f: Connection => T): T = connLock.synchronized {
+    if (cached == null) cached = freshConn()
+    try f(cached)
+    catch {
+      case e: SQLException if isConnectionFailure(e) =>
+        try cached.close() catch { case _: SQLException => () }
+        cached = null
+        cached = freshConn()
+        f(cached)
+    }
+  }
+
+  /** Close the cached connection (idempotent; the store stays usable —
+    * the next call reconnects). */
+  def close(): Unit = connLock.synchronized {
+    if (cached != null) {
+      try cached.close() catch { case _: SQLException => () }
+      cached = null
+    }
+  }
+
+  /** Duplicate-key SQLStates ONLY: standard 23505 plus the bare 23000
+    * some engines report for it. The REST of the integrity class
+    * (23502 NOT NULL, 23514 CHECK, …) must propagate — swallowing it
+    * as "lost the INSERT race" turns a schema misconfiguration into
+    * "lease never acquirable" with no error anywhere. */
+  private def isDuplicateKey(e: SQLException): Boolean =
+    Option(e.getSQLState).exists(s => s == "23505" || s == "23000")
+
+  /** `CURRENT_TIMESTAMP + ttlMs`, computed entirely in the engine.
+    * Binds two ints: (1) whole seconds, (2) remainder in nanoseconds. */
+  private def expiryExpr: String =
+    "{fn TIMESTAMPADD(SQL_TSI_FRAC_SECOND, CAST(? AS INTEGER), " +
+      "{fn TIMESTAMPADD(SQL_TSI_SECOND, CAST(? AS INTEGER), " +
+      "CURRENT_TIMESTAMP)})}"
+
+  private def bindTtl(ps: java.sql.PreparedStatement, at: Int,
+      ttlMs: Long): Unit = {
+    ps.setInt(at, ((ttlMs % 1000L) * 1000000L).toInt) // nanos remainder
+    ps.setInt(at + 1, math.min(ttlMs / 1000L, Int.MaxValue.toLong).toInt)
+  }
+
+  private def ensureTable(conn: Connection): Unit = {
     try {
       val st = conn.createStatement()
       try st.executeUpdate(
         s"""CREATE TABLE $table (
            |  name VARCHAR(512) PRIMARY KEY,
            |  lease_owner VARCHAR(256) NOT NULL,
-           |  expires_at BIGINT NOT NULL)""".stripMargin)
+           |  expires_at TIMESTAMP NOT NULL)""".stripMargin)
       finally st.close()
     } catch {
-      // X0Y32 = Derby "already exists"; 42S01 = SQL-standard variant
-      case e: java.sql.SQLException
+      // ONLY the "already exists" states: X0Y32 (Derby), 42S01
+      // (SQL-standard/MySQL), 42P07 (Postgres). Anything else (42501
+      // insufficient privilege, 42000 syntax, a bad qualifier)
+      // propagates — the probe below never runs and tableEnsured
+      // stays false, so the misconfiguration surfaces on EVERY call
+      // instead of silently disabling maintenance coordination.
+      case e: SQLException
         if Option(e.getSQLState).exists(s =>
-          s == "X0Y32" || s == "42S01" || s.startsWith("42")) => ()
+          s == "X0Y32" || s == "42S01" || s == "42P07") => ()
     }
+    // verify the table is actually usable before trusting it
+    val probe = conn.prepareStatement(
+      s"SELECT name, lease_owner, expires_at FROM $table WHERE 1 = 0")
+    try { probe.executeQuery().close() } finally probe.close()
+  }
 
   def tryAcquire(owner: String, ttlMs: Long): Boolean = withConn { conn =>
-    val now = System.currentTimeMillis()
-    // one-statement CAS: renew-if-mine OR break-if-expired
+    // one-statement CAS: renew-if-mine OR break-if-expired; liveness
+    // and the new expiry BOTH come from the engine clock
     val upd = conn.prepareStatement(
-      s"UPDATE $table SET lease_owner = ?, expires_at = ? " +
-        "WHERE name = ? AND (lease_owner = ? OR expires_at < ?)")
+      s"UPDATE $table SET lease_owner = ?, expires_at = $expiryExpr " +
+        "WHERE name = ? AND (lease_owner = ? " +
+        "OR expires_at < CURRENT_TIMESTAMP)")
     val updated =
       try {
-        upd.setString(1, owner); upd.setLong(2, now + ttlMs)
-        upd.setString(3, leaseName); upd.setString(4, owner)
-        upd.setLong(5, now)
+        upd.setString(1, owner); bindTtl(upd, 2, ttlMs)
+        upd.setString(4, leaseName); upd.setString(5, owner)
         upd.executeUpdate()
       } finally upd.close()
     if (updated == 1) return true
     // no row matched: either a rival holds a live lease (lose), or the
     // row does not exist yet (claim by INSERT; duplicate key = lost race)
     val ins = conn.prepareStatement(
-      s"INSERT INTO $table (name, lease_owner, expires_at) VALUES (?, ?, ?)")
+      s"INSERT INTO $table (name, lease_owner, expires_at) " +
+        s"VALUES (?, ?, $expiryExpr)")
     try {
       ins.setString(1, leaseName); ins.setString(2, owner)
-      ins.setLong(3, now + ttlMs)
+      bindTtl(ins, 3, ttlMs)
       ins.executeUpdate() == 1
     } catch {
-      case e: java.sql.SQLException if isDuplicateKey(e) => false
+      case e: SQLException if isDuplicateKey(e) => false
     } finally ins.close()
   }
 
@@ -262,15 +351,21 @@ final class JdbcLeaseStore(url: String, leaseName: String,
   }
 
   def holder: Option[(String, Long)] = withConn { conn =>
+    // liveness decided ENGINE-side; the returned expiresAtMs is the
+    // engine expiry translated onto this client's clock (reporting
+    // only — no liveness decision ever reads it)
     val sel = conn.prepareStatement(
-      s"SELECT lease_owner, expires_at FROM $table WHERE name = ?")
+      s"SELECT lease_owner, expires_at, CURRENT_TIMESTAMP FROM $table " +
+        "WHERE name = ? AND expires_at >= CURRENT_TIMESTAMP")
     try {
       sel.setString(1, leaseName)
       val rs = sel.executeQuery()
       try {
         if (rs.next()) {
-          val h = (rs.getString(1), rs.getLong(2))
-          if (h._2 >= System.currentTimeMillis()) Some(h) else None
+          val exp: Timestamp = rs.getTimestamp(2)
+          val dbNow: Timestamp = rs.getTimestamp(3)
+          Some((rs.getString(1),
+            System.currentTimeMillis() + (exp.getTime - dbNow.getTime)))
         } else None
       } finally rs.close()
     } finally sel.close()

@@ -664,10 +664,11 @@ object PgOutput {
       * usable (a new spool directory is created on demand). */
     def close(): Option[Long] = {
       val floor = prepLock.synchronized {
-        val f = prepareFloor
+        val f = prepareFloor // includes any parked replay floor
         preparedSpools.valuesIterator.foreach(_.spool.delete())
         preparedSpools.clear()
         preparedForeign.clear()
+        replayFloor = None
         inheritedFloor = f
         f
       }
@@ -757,10 +758,31 @@ object PgOutput {
     def inheritPrepareFloor(floor: Option[Long]): Unit =
       prepLock.synchronized { inheritedFloor = floor }
 
+    /** Floor of a CommitPrepared whose spool is REPLAYING (or has
+      * replayed but whose lines are not yet durably appended by the
+      * caller). CommitPrepared removes the gid's [[preparedSpools]]
+      * entry before replaying (the replay must not run under
+      * [[prepLock]] — keepalives), but the entry's cap must survive
+      * until the replayed lines are appended: a heartbeat confirming
+      * flush past the prepare during the replay window, followed by a
+      * crash before the append, would make the server (which starts at
+      * max(requested, confirmed_flush)) skip the redelivery — the
+      * prepared transaction would be silently lost even though the
+      * durable floor FILE still capped the request. Cleared by the
+      * caller via [[clearReplayFloor]] once the lines are durable, and
+      * defensively at the next [[onFrame]] (by which point a same-
+      * thread caller has consumed the previous frame's lines). */
+    private var replayFloor: Option[Long] = None
+    /** The caller appended the replayed CommitPrepared lines durably —
+      * the flush may now pass the decided prepare. */
+    def clearReplayFloor(): Unit =
+      prepLock.synchronized { replayFloor = None }
+
     /** Callers hold [[prepLock]] (the monitor is reentrant). */
     private def prepareFloor: Option[Long] =
       (preparedSpools.valuesIterator.map(_.prepareLsn) ++
-        preparing.iterator.map(_._2) ++ inheritedFloor.iterator).minOption
+        preparing.iterator.map(_._2) ++ inheritedFloor.iterator ++
+        replayFloor.iterator).minOption
 
     /** The earliest undecided-prepare LSN (None = no cap) — the client
       * persists this as a durable resume floor: a restarted process
@@ -789,6 +811,11 @@ object PgOutput {
       * abort message, so the tail cut is exact — the same offset-stack
       * algorithm PostgreSQL's own apply worker uses). */
     def onFrame(frame: Array[Byte]): Seq[String] = {
+      // the previous frame's lines have been consumed by the caller
+      // (the client appends them before reading the next message), so
+      // a replay floor a prior CommitPrepared parked is now safe to
+      // drop even if the caller never calls clearReplayFloor
+      if (replayFloor.isDefined) clearReplayFloor()
       // inside a stream block, data frames carry a leading subxid and
       // spool; only StreamStop (and protocol errors) end the block
       if (inStreamOf.isDefined && StreamableTypes(frame(0).toChar)) {
@@ -922,13 +949,19 @@ object PgOutput {
       case CommitPrepared(_, commitLsn, _, _, _, gid) =>
         // map removal under the lock; the replay below runs WITHOUT it
         // (a multi-GB prepared transaction must not stall keepalives).
-        // Removing before replay is sound: the cap the entry provided
-        // is superseded by lastCommitLsn only after the commit anyway,
-        // and a crash mid-replay resumes below the prepare via the
-        // durable floor file (cleared only after this decision decodes).
+        // The entry's flush cap transfers to [[replayFloor]] in the
+        // same critical section — a heartbeat racing the replay must
+        // still see the floor, or a crash before the replayed lines
+        // are appended loses the transaction (the durable floor file
+        // only caps the restart REQUEST; the server starts at
+        // max(requested, confirmed_flush), so a confirm past the
+        // prepare is unrecoverable).
         val (spool, wasForeign) = prepLock.synchronized {
           preparedSpools.remove(gid)
-            .map(p => (p.spool, preparedForeign.remove(gid)))
+            .map { p =>
+              replayFloor = Some(p.prepareLsn)
+              (p.spool, preparedForeign.remove(gid))
+            }
         }.getOrElse(
           throw new IllegalStateException(
             s"CommitPrepared for unknown gid '$gid' — the prepared " +

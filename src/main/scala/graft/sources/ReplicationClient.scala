@@ -307,7 +307,21 @@ final class ReplicationSocketClient(
                 // transaction
                 if (!inTx && pending.nonEmpty) {
                   appendToLog(pending.toSeq); pending.clear()
+                  // the replayed CommitPrepared lines are now durable
+                  // in the log — release the replay floor BEFORE the
+                  // status update (held any earlier, a heartbeat
+                  // confirming past the prepare + a crash before this
+                  // append would lose the transaction: the server
+                  // starts at max(requested, confirmed_flush))
+                  if (frame(0) == 'K') {
+                    session.clearReplayFloor()
+                    persistPrepareFloor(session)
+                  }
                   sendStatusUpdate(force = false, requestReply = false)
+                } else if (frame(0) == 'K') {
+                  // empty prepared transaction: no lines to lose
+                  session.clearReplayFloor()
+                  persistPrepareFloor(session)
                 }
               case 'k' =>
                 val buf = ByteBuffer.wrap(payload, 1, payload.length - 1)
@@ -359,6 +373,9 @@ final class ReplicationSocketClient(
       val write = math.max(lastWriteLsn.get(), reportedWrite)
       val rawFlush = flushLsn()
       val ds0 = decodeSession
+      // a failed floor write retries here — every status update, not
+      // just the next prepare-family frame
+      if (floorDirty.get() && ds0 != null) persistPrepareFloor(ds0)
       val capped = if (ds0 != null) ds0.flushCap(rawFlush) else rawFlush
       val flush = math.max(capped, reportedFlush)
       // undecided-prepare visibility (before the throttle return, so
@@ -399,16 +416,41 @@ final class ReplicationSocketClient(
     * Present ⇔ undecided prepares exist. */
   private def floorPath = Paths.get(logPath + ".prepare_floor")
 
+  /** Set when a floor write failed — retried at every status update
+    * (not just the next prepare-family frame: a failed BeginPrepare
+    * write otherwise leaves the file missing/stale for the whole
+    * prepare window, and a crash then can request past the undecided
+    * prepare once downstream progress ran ahead of the capped
+    * confirm). */
+  private val floorDirty = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val floorWriteLock = new Object
+
   private def persistPrepareFloor(ds: PgOutput.DecodeSession): Unit =
-    try ds.prepareFloorLsn match {
-      case Some(f) =>
-        val tmp = Paths.get(logPath + ".prepare_floor.tmp")
-        Files.write(tmp, (f - 1).toString.getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp, floorPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      case None => Files.deleteIfExists(floorPath)
-    } catch { case _: java.io.IOException => () } // next event retries
+    floorWriteLock.synchronized {
+      try {
+        ds.prepareFloorLsn match {
+          case Some(f) =>
+            // unique temp name: the decode thread and a status-update
+            // retry may both stage a write — a shared temp path lets
+            // one move/delete the other's file mid-flight
+            val tmp = Paths.get(logPath + ".prepare_floor.tmp." +
+              Thread.currentThread().getId)
+            Files.write(tmp,
+              (f - 1).toString.getBytes(StandardCharsets.UTF_8))
+            Files.move(tmp, floorPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          case None => Files.deleteIfExists(floorPath)
+        }
+        floorDirty.set(false)
+      } catch {
+        case e: java.io.IOException =>
+          floorDirty.set(true)
+          java.util.logging.Logger.getLogger("graft.sources.replication")
+            .warning("prepare-floor write failed (will retry at the " +
+              s"next status update): ${e.getMessage}")
+      }
+    }
 
   private def readDurableFloor(): Option[Long] =
     try {

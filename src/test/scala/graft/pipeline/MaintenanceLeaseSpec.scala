@@ -119,6 +119,90 @@ class MaintenanceLeaseSpec extends SparkSpec {
     }
   }
 
+  // ------------- JDBC store: engine-clock liveness (round-12 verdict #1)
+  private def jdbcStore(): (graft.sinks.JdbcLeaseStore, String) = {
+    val db = tmp("leasedb")
+    val url = s"jdbc:derby:$db/leases;create=true"
+    (new graft.sinks.JdbcLeaseStore(url, "t"), url)
+  }
+
+  test("[jdbc] lease liveness is decided by the ENGINE clock: a live " +
+      "engine-relative lease is unbreakable, an engine-expired one " +
+      "breaks — no client clock enters the CAS") {
+    val (store, url) = jdbcStore()
+    assert(store.holder.isEmpty) // also ensures the table
+    def plant(offsetSeconds: Int): Unit = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        try {
+          st.executeUpdate("DELETE FROM graft_lease")
+          // a holder on ANOTHER HOST wrote this row; its client clock
+          // is irrelevant — the expiry is engine-relative
+          st.executeUpdate(
+            "INSERT INTO graft_lease (name, lease_owner, expires_at) " +
+              "VALUES ('t', 'remote-holder', {fn TIMESTAMPADD(" +
+              s"SQL_TSI_SECOND, $offsetSeconds, CURRENT_TIMESTAMP)})")
+        } finally st.close()
+      } finally c.close()
+    }
+    // engine-live for another 60 s: a rival must NOT break it (the old
+    // BIGINT client-clock CAS let a rival 60 s ahead break a live lease)
+    plant(60)
+    assert(!store.tryAcquire("rival", ttlMs = 60000),
+      "rival broke an engine-live lease")
+    assert(store.holder.exists(_._1 == "remote-holder"))
+    // engine-expired 5 s ago: the break must go through
+    plant(-5)
+    assert(store.holder.isEmpty)
+    assert(store.tryAcquire("rival", ttlMs = 60000))
+    assert(store.holder.exists(_._1 == "rival"))
+    // and the freshly-written expiry is itself engine-relative ≈ ttl
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(
+        "SELECT {fn TIMESTAMPDIFF(SQL_TSI_SECOND, CURRENT_TIMESTAMP, " +
+          "expires_at)} FROM graft_lease WHERE name = 't'")
+      assert(rs.next())
+      val remain = rs.getLong(1)
+      assert(remain >= 50 && remain <= 61,
+        s"engine-side expiry should be ~60s out, was ${remain}s")
+    } finally c.close()
+    store.close()
+  }
+
+  test("[jdbc] a misconfigured lease table fails LOUD, not as " +
+      "lease-never-acquirable (round-12 advice: ensureTable must not " +
+      "swallow the whole 42 class)") {
+    val db = tmp("leasedb-bad")
+    val store = new graft.sinks.JdbcLeaseStore(
+      s"jdbc:derby:$db/leases;create=true", "t",
+      table = "graft lease (bad name)")
+    intercept[java.sql.SQLException] {
+      store.tryAcquire("a", ttlMs = 60000)
+    }
+    // and it keeps surfacing (tableEnsured never latched on failure)
+    intercept[java.sql.SQLException] { store.holder }
+    store.close()
+  }
+
+  test("[jdbc] the store caches its connection: a heartbeat hammer " +
+      "does not open one per call (round-12 verdict item 6)") {
+    val (store, _) = jdbcStore()
+    (1 to 200).foreach { _ =>
+      assert(store.tryAcquire("beat", ttlMs = 60000)) // renew path
+      store.holder
+    }
+    store.release("beat")
+    assert(store.connectionsOpened.get() <= 2,
+      s"expected a cached connection, opened ${store.connectionsOpened.get()}")
+    store.close()
+    // usable after close: reconnects once
+    assert(store.tryAcquire("post-close", ttlMs = 60000))
+    store.release("post-close")
+    store.close()
+  }
+
   test("apply path pauses at the quiesce point while a foreign lease is " +
       "held and resumes on expiry") {
     val dir = tmp("lease-pause")

@@ -205,7 +205,16 @@ class PgStreamingSpec extends AnyFunSuite {
       lines.forall(_.split("	")(0) == 0x2000L.toString))
     assert(PackedRow.parse(lines.head.split("	", -1)(7)) ==
       Vector(Some("1"), Some("p1")))
-    assert(s.preparedCount == 0 && s.flushCap(0x5000L) == 0x5000L)
+    assert(s.preparedCount == 0)
+    // the cap HOLDS past onFrame's return: the replayed lines are not
+    // yet durable, and a heartbeat confirming past the prepare before
+    // the caller appends them + a crash would lose the transaction
+    // (the durable floor file only caps the restart REQUEST; the
+    // server starts at max(requested, confirmed_flush))
+    assert(s.flushCap(0x5000L) == 0x1000L - 1,
+      "replay floor must hold until the replayed lines are appended")
+    s.clearReplayFloor() // the client appended the lines durably
+    assert(s.flushCap(0x5000L) == 0x5000L)
 
     // ROLLBACK PREPARED discards without a trace
     f(BeginPrepare(0x3000L, 0x3010L, 0L, 23, "g2"),
@@ -228,6 +237,12 @@ class PgStreamingSpec extends AnyFunSuite {
       Prepare(0, 0x6000L, 0x6010L, 0L, 24, "g3"))
     val rd = f(CommitPrepared(0, 0x7000L, 0x7001L, 0L, 24, "g3"))
     assert(rd.size == 1, s"redelivered prepare must not double: $rd")
+    // the replay floor also drops DEFENSIVELY at the next frame (a
+    // same-thread caller has consumed the previous lines by then)
+    assert(s.flushCap(0x9000L) == 0x6000L - 1)
+    f(Begin(0x8000L, 0L, 25), Commit(0, 0x8000L, 0x8001L, 0L))
+    assert(s.flushCap(0x9000L) == 0x9000L,
+      "the next frame must retire a stale replay floor")
   }
 
   test("streamed + prepared: StreamPrepare moves the stream spool to " +
@@ -409,10 +424,30 @@ class PgStreamingSpec extends AnyFunSuite {
     val lines = s2.onFrame(encode(
       CommitPrepared(0, 0x2000L, 0x2001L, 0L, 51, "gf")))
     assert(lines.size == 1)
+    s2.clearReplayFloor() // the replayed lines are appended
     assert(s2.flushCap(0x5000L) == 0x5000L,
       "the inherited floor must retire with the decision, not pin " +
         "the flush forever")
     s2.close(); s.close()
+  }
+
+  test("a session closed MID-REPLAY (CommitPrepared decoded, lines not " +
+      "yet appended) carries the replay floor to its successor") {
+    val s = new DecodeSession()
+    s.onFrame(encode(rel))
+    def f(ms: Message*): Seq[String] = ms.flatMap(m => s.onFrame(encode(m)))
+    f(BeginPrepare(0x1000L, 0x1010L, 0L, 55, "gc"),
+      Insert(1, row("1", "p")),
+      Prepare(0, 0x1000L, 0x1010L, 0L, 55, "gc"))
+    val lines = f(CommitPrepared(0, 0x2000L, 0x2001L, 0L, 55, "gc"))
+    assert(lines.size == 1)
+    // crash here: the lines never reach the log — the carried floor
+    // must still protect the prepare so the redelivery happens
+    val floor = s.close()
+    assert(floor.contains(0x1000L),
+      "a close mid-replay must carry the undecided-prepare floor")
+    assert(s.flushCap(0x5000L) == 0x1000L - 1,
+      "the closed session's final status update stays capped")
   }
 
   test("prepare-stall telemetry: gauges track prepared count/age and " +
@@ -443,6 +478,7 @@ class PgStreamingSpec extends AnyFunSuite {
     assert(Telemetry.counter(Telemetry.FlushCapStallsTotal).value() == 1.0)
     // after the decision the gauges return to rest
     f(CommitPrepared(0, 0x2000L, 0x2001L, 0L, 61, "tg"))
+    s.clearReplayFloor() // the replayed lines are appended
     ReplicationSocketClient.recordPrepareStall(
       s, raw, s.flushCap(raw), 64L << 20, warnAt, now + 2000)
     assert(Telemetry.gauge(Telemetry.PreparedTransactions).value() == 0.0)
@@ -491,7 +527,10 @@ class PgStreamingSpec extends AnyFunSuite {
     assert(errors.isEmpty, s"raced into: ${errors.toArray.toSeq.take(3)}")
     val lines = s.onFrame(encode(CommitPrepared(0, 0x2000L, 0x2001L, 0L,
       71, "gh")))
-    assert(lines.size == 1 && s.flushCap(0x5000L) == 0x5000L)
+    assert(lines.size == 1 && s.flushCap(0x5000L) == P - 1,
+      "the cap must hold through the replay window")
+    s.clearReplayFloor()
+    assert(s.flushCap(0x5000L) == 0x5000L)
     s.close()
   }
 
