@@ -273,16 +273,59 @@ object Replicator {
     // final write below still lands on exit; 0 disables the ticker.
     val promPath = s"$work/metrics.prom"
     val promIntervalMs = get("telemetry.exportIntervalMs", "10000").toLong
-    if (promIntervalMs > 0) {
-      val promTicker = new Thread(() => {
-        while (true) {
-          Thread.sleep(promIntervalMs)
-          try graft.pipeline.Telemetry.writePrometheus(promPath)
-          catch { case _: Throwable => () } // next tick retries
+    // poll-style gauges refreshed at each export/scrape: spool volume
+    // (the disk analog of ST7's memory signal — a wedged StreamCommit
+    // otherwise grows the spool volume invisibly)
+    def refreshRuntimeGauges(): Unit = {
+      val (sBytes, sFiles) = graft.sources.PgOutput.spoolUsage()
+      graft.pipeline.Telemetry.gauge(graft.pipeline.Telemetry.SpoolBytes,
+        "bytes in live streamed/prepared-transaction spool directories")
+        .set(sBytes.toDouble)
+      graft.pipeline.Telemetry.gauge(graft.pipeline.Telemetry.SpoolFiles,
+        "files in live streamed/prepared-transaction spool directories")
+        .set(sFiles.toDouble)
+    }
+    val promTickerRunning = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val promTicker: Option[Thread] = if (promIntervalMs > 0) {
+      val t = new Thread(() => {
+        var run = true
+        while (run && promTickerRunning.get()) {
+          // sleep INSIDE the guarded region: an interrupt must exit the
+          // loop LOUDLY, not kill the export silently (the operator
+          // would lose the live prepared-transaction gauges)
+          try {
+            Thread.sleep(promIntervalMs)
+            refreshRuntimeGauges()
+            graft.pipeline.Telemetry.writePrometheus(promPath)
+          } catch {
+            case _: InterruptedException =>
+              if (promTickerRunning.get())
+                java.util.logging.Logger.getLogger("graft.replicator")
+                  .warning("telemetry export ticker interrupted — " +
+                    "live metrics.prom refresh stops now")
+              run = false
+            case _: Throwable => () // next tick retries
+          }
         }
       }, "graft-telemetry-export")
-      promTicker.setDaemon(true)
-      promTicker.start()
+      t.setDaemon(true)
+      t.start()
+      Some(t)
+    } else None
+    // live /metrics endpoint (reference etl-telemetry/src/metrics.rs:
+    // 82-103 serves Prometheus over HTTP); off unless a port is set.
+    // telemetry.port = 0 binds an ephemeral port (tests).
+    val promServer = get("telemetry.port", "").trim match {
+      case "" => None
+      case p => Some(graft.pipeline.Telemetry.serveHttp(p.toInt,
+        () => refreshRuntimeGauges()))
+    }
+    // the bound port, durable for operators/tests using port 0
+    promServer.foreach { s =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$work/metrics.port"),
+        s.getAddress.getPort.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
     }
     val query = pipeline.startStream(logPath)
     sys.addShutdownHook { // graceful drain (ST9)
@@ -312,8 +355,15 @@ object Replicator {
       sink.shutdown()
     } else query.awaitTermination()
     metrics.report(s"$work/metrics.json", Some(pipeline))
+    // stop the ticker (and endpoint) BEFORE the final export — the
+    // unique temp names make a racing tick harmless, but the quiesce
+    // keeps the final file provably last
+    promTickerRunning.set(false)
+    promTicker.foreach { t => t.interrupt(); t.join(2000) }
+    promServer.foreach(_.stop(0))
     // telemetry export beside the JSON report: Prometheus exposition
     // (the etl-telemetry metrics surface — scrape the file or serve it)
+    refreshRuntimeGauges()
     graft.pipeline.Telemetry.writePrometheus(promPath)
     metrics.detach()
     // no spark.stop(): under spark-submit the JVM exit stops the context;

@@ -133,14 +133,47 @@ object Telemetry {
   }
 
   /** Render to a file (atomic rename) — for scrapers that read a
-    * textfile-collector path instead of an HTTP endpoint. */
+    * textfile-collector path instead of an HTTP endpoint. The staging
+    * temp name is UNIQUE per call: a periodic ticker racing the final
+    * shutdown write through one shared temp path could move/delete the
+    * other's file mid-flight and throw at exit. */
   def writePrometheus(path: String): Unit = {
     val p = Paths.get(path)
     if (p.getParent != null) Files.createDirectories(p.getParent)
-    val tmp = Paths.get(path + ".tmp")
+    val tmp = Paths.get(
+      s"$path.tmp.${Thread.currentThread().getId}")
     Files.write(tmp, renderPrometheus().getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Minimal live `/metrics` HTTP endpoint — the reference serves
+    * Prometheus exposition continuously over HTTP
+    * (crates/etl-telemetry/src/metrics.rs:82-103,
+    * `PrometheusBuilder::with_http_listener` on port 9000); an operator
+    * with plain Prometheus cannot scrape a textfile path. Off by
+    * default (callers only start it when a port is configured);
+    * `refresh` runs before each render so poll-style gauges (spool
+    * volume) are current. Port 0 binds an ephemeral port (tests);
+    * returns the server — `stop(0)` on shutdown. */
+  def serveHttp(port: Int, refresh: () => Unit = () => ())
+      : com.sun.net.httpserver.HttpServer = {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(port), 0)
+    srv.createContext("/metrics",
+      (ex: com.sun.net.httpserver.HttpExchange) =>
+        try {
+          try refresh() catch { case scala.util.control.NonFatal(_) => () }
+          val body = renderPrometheus().getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.add("Content-Type",
+            "text/plain; version=0.0.4; charset=utf-8")
+          ex.sendResponseHeaders(200, body.length.toLong)
+          val os = ex.getResponseBody
+          try os.write(body) finally os.close()
+        } finally ex.close())
+    srv.setExecutor(null)
+    srv.start()
+    srv
   }
 
   /** TEST-ONLY: drop every registered family. */
@@ -165,6 +198,10 @@ object Telemetry {
   val OldestPrepareAgeSeconds = "etl_oldest_prepare_age_seconds"
   val FlushCapLagBytes = "etl_flush_cap_lag_bytes"
   val FlushCapStallsTotal = "etl_flush_cap_stalls_total"
+  // streamed/prepared-transaction spool volume (disk analog of ST7's
+  // memory backpressure signal — a wedged StreamCommit grows it)
+  val SpoolBytes = "etl_spool_bytes"
+  val SpoolFiles = "etl_spool_files"
 
   // ------------------------------------------------------------- tracing
   /** Structured JSON tracing to an append-only file — the

@@ -30,8 +30,12 @@ import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
   *
   * Scope: query-stage-prep rules run under ADAPTIVE execution (the
   * Spark default). A session that disables AQE keeps the analyzer-time
-  * validation and the hand-written-mismatch warning, but not this
-  * execution-time backstop. */
+  * validation — which now THROWS on a provably-mismatched hand-written
+  * term ([[GraftSpjInjectRule]], round-12 verdict item 3) — but not
+  * this execution-time backstop for the rebucket-mid-plan window.
+  * `graft.spj.allowMismatchedBucketTerm=true` downgrades both to a
+  * warning; a name-only match whose provenance is NOT the graft scan's
+  * own `_bucket` output (a user data column) only ever warns. */
 class GraftSpjGuardRule(spark: SparkSession) extends Rule[SparkPlan] {
 
   override def apply(plan: SparkPlan): SparkPlan = {
@@ -47,28 +51,51 @@ class GraftSpjGuardRule(spark: SparkSession) extends Rule[SparkPlan] {
   private def check(leftKeys: Seq[org.apache.spark.sql.catalyst
       .expressions.Expression], rightKeys: Seq[org.apache.spark.sql
       .catalyst.expressions.Expression], j: SparkPlan): Unit = {
-    val bucketKeyed = leftKeys.zip(rightKeys).exists {
-      case (l: AttributeReference, r: AttributeReference) =>
-        conf.resolver(l.name, "_bucket") && conf.resolver(r.name, "_bucket")
-      case _ => false
+    val bucketPairs = leftKeys.zip(rightKeys).collect {
+      case (l: AttributeReference, r: AttributeReference)
+          if conf.resolver(l.name, "_bucket") &&
+            conf.resolver(r.name, "_bucket") => (l, r)
     }
-    if (!bucketKeyed) return
-    val lc = graftCounts(j.children.head)
-    val rc = graftCounts(j.children(1))
-    (lc, rc) match {
-      case (Seq(a), Seq(b)) if a != b =>
-        throw new IllegalStateException(
+    if (bucketPairs.isEmpty) return
+    val ls = graftScans(j.children.head)
+    val rs = graftScans(j.children(1))
+    (ls, rs) match {
+      case (Seq((a, lIds)), Seq((b, rIds))) if a != b =>
+        // PROVENANCE before refusing (round-12 advice): the key must be
+        // the graft scan's own _bucket output (exprId match), not a
+        // user data column that happens to carry the name — that
+        // predicate compares user data and is the user's business
+        val proven = bucketPairs.exists { case (l, r) =>
+          (lIds(l.exprId) && rIds(r.exprId)) ||
+            (lIds(r.exprId) && rIds(l.exprId)) }
+        val msg =
           s"join equates _bucket across INCOMPATIBLE graft layouts " +
             s"($a vs $b buckets): bucket ids are only comparable within " +
             "one bucket count, so this predicate silently drops matching " +
             "rows. Remove the _bucket term (the tables cannot " +
-            "storage-partition-join), or rebucket one side to match.")
+            "storage-partition-join), or rebucket one side to match."
+        val allow = conf.getConfString(
+          "graft.spj.allowMismatchedBucketTerm", "false").toBoolean
+        if (proven && !allow) throw new IllegalStateException(msg)
+        else logWarning(
+          if (proven) msg + " (running anyway: " +
+            "graft.spj.allowMismatchedBucketTerm=true)"
+          else "a join key named _bucket spans graft scans with " +
+            s"$a vs $b buckets but is not provably the graft bucket " +
+            "column — if it is, this join silently drops rows")
       case _ => () // non-graft / ambiguous sides: nothing to prove
     }
   }
 
-  private def graftCounts(p: SparkPlan): Seq[Int] = p.collect {
-    case b: BatchScanExec =>
-      org.apache.spark.sql.GraftBucketedScan.bucketCountOf(b.scan)
-  }.flatten
+  /** Per graft scan under `p`: (bucket count, its output `_bucket`
+    * attribute exprIds). */
+  private def graftScans(p: SparkPlan)
+      : Seq[(Int, Set[org.apache.spark.sql.catalyst.expressions.ExprId])] =
+    p.collect {
+      case b: BatchScanExec =>
+        org.apache.spark.sql.GraftBucketedScan.bucketCountOf(b.scan)
+          .map(n => n -> b.output
+            .filter(a => conf.resolver(a.name, "_bucket"))
+            .map(_.exprId).toSet)
+    }.flatten
 }

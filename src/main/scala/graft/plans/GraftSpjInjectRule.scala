@@ -42,11 +42,13 @@ import graft.catalog.GraftSqlTable
   * leniency only, never correctness). A later explicit user set wins —
   * the rule never re-asserts it.
   *
-  * Safety guard (round-11 advice): a HAND-WRITTEN `_bucket = _bucket`
-  * term between graft scans with DIFFERENT bucket counts silently drops
-  * matching rows — the bucket id is only comparable across one layout.
-  * The rule cannot prove intent, so it logs a loud warning naming both
-  * counts instead of rewriting the query.
+  * Safety guard (round-11 advice; hardened round 13): a HAND-WRITTEN
+  * `_bucket = _bucket` term between graft scans with DIFFERENT bucket
+  * counts silently drops matching rows — the bucket id is only
+  * comparable across one layout. When the term PROVABLY binds the two
+  * relations' metadata bucket columns (exprId provenance), analysis
+  * FAILS with the reason (`graft.spj.allowMismatchedBucketTerm=true`
+  * opts back into warn-and-run); unprovable name matches only warn.
   */
 class GraftSpjInjectRule(spark: SparkSession) extends Rule[LogicalPlan] {
   try {
@@ -121,17 +123,41 @@ class GraftSpjInjectRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val (rRel, rt) = graftSide(j.right).getOrElse(return None)
 
     // the advice guard: a hand-written _bucket equality across
-    // MISMATCHED layouts drops rows — warn loudly, never rewrite
-    val handWritten = pairs.exists { case (a, b) =>
+    // MISMATCHED layouts drops rows. When the term PROVABLY binds the
+    // two graft metadata bucket columns (exprId provenance — not a
+    // user data column that happens to be named _bucket), this is a
+    // certainly-wrong query: FAIL at analysis instead of warning (the
+    // execution-time [[GraftSpjGuardRule]] backstop only runs under
+    // AQE, so a non-AQE session would otherwise silently drop rows).
+    // `graft.spj.allowMismatchedBucketTerm=true` opts back into the
+    // warn-and-shuffle behavior for the user who truly means it;
+    // unprovable cases (aliased/re-projected attrs) keep the warning.
+    val handPairs = pairs.filter { case (a, b) =>
       conf.resolver(a.name, "_bucket") && conf.resolver(b.name, "_bucket") }
-    if (handWritten) {
-      if (lt.spjBucketCount != rt.spjBucketCount)
-        logWarning(s"join condition equates _bucket between " +
+    if (handPairs.nonEmpty) {
+      if (lt.spjBucketCount != rt.spjBucketCount) {
+        def relBucket(rel: DataSourceV2Relation) =
+          (rel.output ++ rel.metadataOutput)
+            .find(a => conf.resolver(a.name, "_bucket")).map(_.exprId)
+        val (lb, rb) = (relBucket(lRel), relBucket(rRel))
+        val proven = handPairs.exists { case (a, b) =>
+          (lb.contains(a.exprId) && rb.contains(b.exprId)) ||
+            (lb.contains(b.exprId) && rb.contains(a.exprId)) }
+        val msg = s"join condition equates _bucket between " +
           s"'${lt.name()}' (${lt.spjBucketCount} buckets) and " +
           s"'${rt.name()}' (${rt.spjBucketCount} buckets): bucket ids " +
           "are NOT comparable across different bucket counts — this " +
           "predicate silently drops matching rows. Remove it; the " +
-          "layouts cannot storage-partition-join.")
+          "layouts cannot storage-partition-join."
+        val allow = conf.getConfString(
+          "graft.spj.allowMismatchedBucketTerm", "false").toBoolean
+        if (proven && !allow)
+          throw new org.apache.spark.sql.AnalysisException(
+            "USER_RAISED_EXCEPTION", Map("errorMessage" -> (msg +
+              " (set graft.spj.allowMismatchedBucketTerm=true to " +
+              "run it anyway)")))
+        logWarning(msg)
+      }
       return None // already present (or explicitly wrong): nothing to add
     }
 

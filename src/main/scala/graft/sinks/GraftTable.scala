@@ -1181,83 +1181,157 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val fresh0 = if (skipReplayFilter || hw.isEmpty) batch
                  else batch.filter(col("_seq") > lit(hw))
     val nB = bucketsOf(current)
-    val fresh = fresh0.withColumn("_bucket", bucketExpr(nB)).cache()
+    val fresh = fresh0.withColumn("_bucket", bucketExpr(nB))
+    // logical payload schema of this batch (control columns excluded) —
+    // computed from the plan, no job
+    val logicalSchema = fresh.drop("_op", "_seq").schema
+
+    // ONE Spark job stages the whole batch, partitioned by
+    // (_bucket, _op), with high-water + row counts observed DURING the
+    // write — the steady-state CDC apply loop used to pay a job PAIR
+    // per merge (a stats collect, then the write); at scale that is 2×
+    // driver/scheduler round-trips on the product's hottest path
+    // (reference apply.rs:1280-1350 pipelines the flush for the same
+    // reason). The affected buckets fall out of the stage listing, and
+    // the bootstrap / merge-on-read commits below become pure file
+    // moves. Copy-on-write reads the stage back (its second job reads
+    // existing buckets anyway and is unavoidable).
+    val toPhysical = current.map(_.columnMapping).getOrElse(Map.empty)
+      .filter { case (l, p) => l != p && fresh.columns.contains(l) }
+    val obs = org.apache.spark.sql.Observation()
+    val observed = fresh.observe(obs,
+      max(col("_seq")).as("hw"),
+      count(lit(1)).as("n"),
+      sum(when(col("_op") === "D", 1L).otherwise(0L)).as("nDel"))
+    val stage = s"$root/.stage-${java.util.UUID.randomUUID()}"
     try {
-      // one job computes emptiness + high-water + affected buckets + size
-      val stats = fresh.agg(max(col("_seq")).as("hw"),
-        collect_set(col("_bucket")).as("buckets"),
-        count(lit(1)).as("n"),
-        sum(when(col("_op") === "D", 1L).otherwise(0L)).as("nDel"))
-        .collect()(0)
-      if (stats.isNullAt(0)) return // empty batch (full replay)
-      val newHigh0 = stats.getString(0)
-      val buckets = stats.getSeq[Int](1)
-      val batchRows = stats.getLong(2)
-      val delRows = stats.getLong(3)
+      val staged = (if (toPhysical.isEmpty) observed
+                    else observed.withColumnsRenamed(toPhysical))
+        .drop("_seq")
+      // a micro-batch (≤ nB input partitions — the CDC apply hot path)
+      // stages WITHOUT a shuffle: each task writes its buckets' files
+      // directly (file count ≤ parts × touched buckets, absorbed by the
+      // MoR layer ladder / the CoW rewrite), and the merge is ONE
+      // scheduler round-trip even under AQE (a repartition would
+      // materialize as its own query-stage job). A wide backfill
+      // repartitions to nB so the file count stays O(buckets).
+      val inParts =
+        try fresh0.rdd.getNumPartitions
+        catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
+      val shaped = if (inParts <= nB) staged
+                   else staged.repartition(nB, col("_bucket"))
+      shaped
+        .sortWithinPartitions(("_bucket" +: keyCols).map(col): _*)
+        .write.mode(SaveMode.Overwrite).partitionBy("_bucket", "_op")
+        .parquet(stage)
+      // staged files by bucket, upserts (any non-D op) vs deletes
+      val stagedUps = scala.collection.mutable.Map.empty[Int, Seq[Path]]
+      val stagedDels = scala.collection.mutable.Map.empty[Int, Seq[Path]]
+      listDir(Paths.get(stage))
+        .filter(_.getFileName.toString.startsWith("_bucket="))
+        .foreach { bdir =>
+          val b = bdir.getFileName.toString.stripPrefix("_bucket=").toInt
+          listDir(bdir)
+            .filter(_.getFileName.toString.startsWith("_op="))
+            .foreach { odir =>
+              val fs = listDir(odir)
+                .filter(_.getFileName.toString.endsWith(".parquet"))
+              if (fs.nonEmpty) {
+                val into = if (odir.getFileName.toString == "_op=D")
+                  stagedDels else stagedUps
+                into(b) = into.getOrElse(b, Nil) ++ fs
+              }
+            }
+        }
+      val buckets = (stagedUps.keySet ++ stagedDels.keySet).toSeq.sorted
+      // emptiness from the LISTING (ground truth of what the job wrote):
+      // a batch filtered to nothing produces no files AND no observed
+      // metrics (zero tasks update the accumulator)
+      if (buckets.isEmpty) return // empty batch (full replay)
+      val metrics = obs.get
+      require(metrics.contains("n"),
+        s"staged merge wrote files but reported no observed metrics " +
+          s"($stage) — refusing to guess the high-water mark")
+      val newHigh0 = metrics("hw").asInstanceOf[String]
+      val batchRows = metrics("n").asInstanceOf[Long]
+      val delRows = metrics("nDel").asInstanceOf[Long]
       def bumped(old: String) =
         if (advanceHw) { if (old.isEmpty || newHigh0 > old) newHigh0 else old }
         else old
+      // adopt staged files as table files: an atomic move per file —
+      // no rewrite, no job (the staged content IS the final content:
+      // physical names, key-sorted, _bucket/_op live in the dir names)
+      def adopt(m0: scala.collection.Map[Int, Seq[Path]])
+          : Map[Int, Seq[String]] =
+        m0.iterator.map { case (b, fs) =>
+          val dst = Paths.get(dataDir, s"_bucket=$b")
+          Files.createDirectories(dst)
+          b -> fs.map { f =>
+            val name = s"${java.util.UUID.randomUUID()}.parquet"
+            Files.move(f, dst.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+            s"data/_bucket=$b/$name"
+          }
+        }.toMap
 
       // bootstrap when the affected buckets hold no prior STATE (new
       // table, post-truncate, or keys landing in never-written buckets):
-      // no survivors to join against — write the upserts directly. Layer
-      // upsert files count (they'd be shadowed otherwise) and so do layer
-      // DELETE files: a bucket holding only a delete-key layer file has
-      // state too — bootstrapping past it would publish a base file the
-      // stale delete layer then anti-joins back out (a delete of key K
-      // followed by a re-insert of K would silently vanish).
-      val existingBucketFiles = current.toSeq
-        .flatMap(m => buckets.flatMap(b => m.files.getOrElse(b, Nil) ++
-          m.layers.flatMap(l =>
-            l.ups.getOrElse(b, Nil) ++ l.del.getOrElse(b, Nil))))
-      if (existingBucketFiles.isEmpty) {
-        val upserts = fresh.filter(col("_op") =!= "D").drop("_op", "_seq")
-        val files = writeDataFiles(upserts,
-          math.min(nB, math.max(1, buckets.size)))
-        val carried = current.map(_.files -- buckets).getOrElse(Map.empty)
-        publish(Manifest(nextVersion, bumped(hw), carried ++ files,
-          nextSchemaDdl(current, carried, upserts.schema),
-          layers = current.map(_.layers).getOrElse(Nil)))
-      } else if (mergeOnRead && coalesceCols.isEmpty &&
-          groupState.isEmpty &&
-          batchRows <= GraftTable.MorDeltaMaxRows &&
-          current.exists(_.layers.size < GraftTable.MorMaxLayers) &&
-          affectedBaseBytes(current.get, buckets) >= morMinAffectedBytes) {
-        // MERGE-ON-READ delta commit: append the upserts + key-only
-        // delete files, both bucket-partitioned; NO bucket rewrite —
-        // write cost O(delta). Readers fold the layer ([[applyLayers]]).
-        val m = current.get
-        val upserts = fresh.filter(col("_op") =!= "D").drop("_op", "_seq")
-        val parts = math.min(nB, math.max(1, buckets.size))
-        val upFiles =
-          if (batchRows - delRows == 0) Map.empty[Int, Seq[String]]
-          else writeDataFiles(upserts, parts)
-        val delFiles =
-          if (delRows == 0) Map.empty[Int, Seq[String]]
-          else writeDataFiles(fresh.filter(col("_op") === "D")
-            .select((keyCols :+ "_bucket").map(col): _*), parts)
-        publish(Manifest(nextVersion, bumped(m.highWater), m.files,
-          nextSchemaDdl(current, m.files, upserts.schema),
-          layers = m.layers :+
-            DeltaLayer(nextVersion, upFiles, delFiles)))
-      } else if (current.exists(_.layers.nonEmpty)) {
-        // copy-on-write path on a layered snapshot: partial bucket
-        // rewrites cannot coexist with global layers (remaining layers
-        // would re-apply stale deletes to the rewritten buckets), so
-        // collapse to a clean base first, then merge normally
-        collapseLayers(spark)
-        merge(batch, coalesceCols, skipReplayFilter, advanceHw)
-      } else {
+      // no survivors to join against — adopt the staged upserts as base
+      // files. Layer upsert files count (they'd be shadowed otherwise)
+      // and so do layer DELETE files: a bucket holding only a delete-key
+      // layer file has state too — bootstrapping past it would publish a
+      // base file the stale delete layer then anti-joins back out (a
+      // delete of key K followed by a re-insert of K would silently
+      // vanish). Re-evaluated after a layer collapse (`attempt` below
+      // mirrors the old recursive re-merge without re-staging).
+      def attempt(current: Option[Manifest]): Unit = {
+        val existingBucketFiles = current.toSeq
+          .flatMap(m => buckets.flatMap(b => m.files.getOrElse(b, Nil) ++
+            m.layers.flatMap(l =>
+              l.ups.getOrElse(b, Nil) ++ l.del.getOrElse(b, Nil))))
+        if (existingBucketFiles.isEmpty) {
+          val files = adopt(stagedUps)
+          val carried = current.map(_.files -- buckets).getOrElse(Map.empty)
+          publish(Manifest(nextVersion, bumped(hw), carried ++ files,
+            nextSchemaDdl(current, carried, logicalSchema),
+            layers = current.map(_.layers).getOrElse(Nil)))
+        } else if (mergeOnRead && coalesceCols.isEmpty &&
+            groupState.isEmpty &&
+            batchRows <= GraftTable.MorDeltaMaxRows &&
+            current.exists(_.layers.size < GraftTable.MorMaxLayers) &&
+            affectedBaseBytes(current.get, buckets) >= morMinAffectedBytes) {
+          // MERGE-ON-READ delta commit: adopt the staged upsert +
+          // delete files, both bucket-partitioned; NO bucket rewrite —
+          // write cost O(delta), commit cost ZERO jobs. Readers fold
+          // the layer ([[applyLayers]]; delete files read key-pruned).
+          val m = current.get
+          publish(Manifest(nextVersion, bumped(m.highWater), m.files,
+            nextSchemaDdl(current, m.files, logicalSchema),
+            layers = m.layers :+
+              DeltaLayer(nextVersion, adopt(stagedUps), adopt(stagedDels))))
+        } else if (current.exists(_.layers.nonEmpty)) {
+          // copy-on-write path on a layered snapshot: partial bucket
+          // rewrites cannot coexist with global layers (remaining layers
+          // would re-apply stale deletes to the rewritten buckets), so
+          // collapse to a clean base first, then merge normally
+          collapseLayers(spark)
+          attempt(effectiveManifest())
+        } else {
           val m = current.get
           val currentDf = readBuckets(spark, m, buckets)
+          // the staged batch reads back with _bucket/_op as partition
+          // columns and PHYSICAL data names — translate to logical
+          val fromPhysical = toPhysical.map(_.swap)
+          val stageDf0 = spark.read.parquet(stage)
+          val stageDf = if (fromPhysical.isEmpty) stageDf0
+                        else stageDf0.withColumnsRenamed(fromPhysical)
           // survivors: current rows whose key is NOT in the batch. No
           // broadcast hint: an admission-capped CDC batch is small and AQE
           // broadcasts it anyway, but a backfill-sized merge must be able
           // to fall back to a shuffled anti join instead of OOMing the
           // driver on a forced broadcast.
-          val keys = fresh.select(keyCols.map(col): _*)
+          val keys = stageDf.select(keyCols.map(col): _*)
           val survivors = currentDf.join(keys, keyCols, "left_anti")
-          val upserts0 = fresh.filter(col("_op") =!= "D").drop("_seq")
+          val upserts0 = stageDf.filter(col("_op") =!= "D")
           val upserts =
             if (coalesceCols.isEmpty) upserts0.drop("_op")
             else {
@@ -1284,8 +1358,10 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
           publish(Manifest(nextVersion, bumped(m.highWater),
             carried ++ newFiles,
             nextSchemaDdl(current, carried, merged.schema)))
+        }
       }
-    } finally fresh.unpersist()
+      attempt(current)
+    } finally deleteRecursively(Paths.get(stage))
   }
 
   /** Bytes a copy-on-write rewrite of `buckets` would have to re-write:

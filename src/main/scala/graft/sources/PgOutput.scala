@@ -470,6 +470,10 @@ object PgOutput {
     * [[DecodeSession]] owns one directory (released at session close);
     * crash cleanup is the single hook deleting whatever directories
     * are still live. */
+  /** Public spool-volume gauge feed (the telemetry exporter polls it —
+    * see [[SpoolDirs.usage]]). */
+  def spoolUsage(): (Long, Long) = SpoolDirs.usage()
+
   private[sources] object SpoolDirs {
     private val live =
       java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
@@ -499,6 +503,25 @@ object PgOutput {
     }
     /** Live session-spool directories (tests/metrics). */
     private[sources] def liveCount: Int = live.size
+    /** (bytes, files) across live session spool dirs — the disk analog
+      * of ST7's memory signal: a wedged StreamCommit grows the spool
+      * volume, and without a gauge it grows invisibly. */
+    private[sources] def usage(): (Long, Long) = {
+      var bytes = 0L; var files = 0L
+      live.forEach { d =>
+        try {
+          if (java.nio.file.Files.isDirectory(d)) {
+            val s = java.nio.file.Files.list(d)
+            try s.forEach { p =>
+              files += 1
+              bytes += (try java.nio.file.Files.size(p)
+                catch { case _: java.io.IOException => 0L })
+            } finally s.close()
+          }
+        } catch { case _: java.io.IOException => () } // racing a release
+      }
+      (bytes, files)
+    }
     private def deleteTree(dir: java.nio.file.Path): Unit =
       try {
         if (java.nio.file.Files.isDirectory(dir)) {

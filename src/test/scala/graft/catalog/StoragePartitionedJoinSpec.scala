@@ -269,17 +269,43 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       assert(shadowed.as[Long].collect().head == 240L)
       // fail-loud guard: a HAND-WRITTEN _bucket equality across
       // MISMATCHED layouts (4 vs 8 buckets) would silently drop rows —
-      // the physical guard refuses to execute it
-      val bad = spark.sql(
-        """SELECT a.v FROM spj.db7.a a
-           JOIN spj.db7.c c ON a.k1 = c.k1 AND a.k2 = c.k2
-                           AND a._bucket = c._bucket""")
-      val e = intercept[Exception] { bad.collect() }
-      def causes(t: Throwable): Seq[Throwable] =
-        if (t == null) Nil else t +: causes(t.getCause)
-      assert(causes(e).exists(
-        _.getMessage.contains("INCOMPATIBLE graft layouts")),
-        s"expected the SPJ guard to refuse, got: $e")
+      // ANALYSIS now refuses it outright (round-12 verdict item 3: the
+      // physical guard only runs under AQE, so analyzer-time is the
+      // backstop that also covers non-AQE sessions)
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(
+          """SELECT a.v FROM spj.db7.a a
+             JOIN spj.db7.c c ON a.k1 = c.k1 AND a.k2 = c.k2
+                             AND a._bucket = c._bucket""")
+      }
+      assert(e.getMessage.contains("NOT comparable across different " +
+        "bucket counts"), s"expected the analyzer to refuse, got: $e")
+      // the explicit opt-out restores warn-and-run for the user who
+      // truly means it (the physical guard honors it too)
+      withSqlConf("graft.spj.allowMismatchedBucketTerm" -> "true") {
+        val opted = spark.sql(
+          """SELECT count(*) FROM spj.db7.a a
+             JOIN spj.db7.c c ON a.k1 = c.k1 AND a.k2 = c.k2
+                             AND a._bucket = c._bucket""")
+        // executes; row count is whatever the (explicitly-requested)
+        // cross-layout bucket filter leaves — only boundedness matters
+        assert(opted.as[Long].collect().head <= 60L)
+      }
+      // a USER column named _bucket joined across mismatched graft
+      // tables compares user data, not bucket ids: the guard's
+      // provenance check (round-12 advice) must let it run
+      val userCol = spark.sql(
+        """SELECT count(*) FROM
+             (SELECT k1, k2, v % 7 AS _bucket FROM spj.db7.a) x
+           JOIN (SELECT k1, k2, w % 7 AS _bucket FROM spj.db7.c) y
+             ON x.k1 = y.k1 AND x.k2 = y.k2 AND x._bucket = y._bucket""")
+      val n = userCol.as[Long].collect().head
+      // exact oracle: rows of a whose (v % 7) equals the matching
+      // c-row's (w % 7), where c holds (k1, k2, k1*10) distinct rows
+      val expect = (1L to 60L).count(i =>
+        (i % 7) == ((i % 5) * 10) % 7).toLong
+      assert(n == expect,
+        s"user-named _bucket join must compare user data: $n != $expect")
     }
   }
 

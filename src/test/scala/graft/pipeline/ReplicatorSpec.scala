@@ -238,6 +238,142 @@ class ReplicatorSpec extends SparkSpec {
     assert(qs.exists(_.contains("SET TRANSACTION SNAPSHOT '00000003-00000002-1'")))
   }
 
+  test("live /metrics endpoint (telemetry.port): a Prometheus scrape " +
+      "during the pipeline sees etl_prepared_transactions move across " +
+      "a prepare → commit, and the spool gauges track the held spool") {
+    import graft.sources.{FakePgServer, PgOutput}
+    import PgOutput._
+    spark.sparkContext
+    val work = Files.createTempDirectory("graft-prom").toString
+    val reg = new SchemaRegistry
+    reg.put(TableSchemaV(1L, "users", 0L, IndexedSeq(
+      ColumnSpec("id", "int8", nullable = false, pkOrdinal = 1),
+      ColumnSpec("name", "text"))))
+    reg.save(s"$work/schemas.json")
+    val server = new FakePgServer(walSenderTimeout = "1s", password = "pw")
+    server.queryHandler = sql =>
+      if (sql.contains("pg_export_snapshot"))
+        Some(Seq(Seq("00000003-00000002-1")))
+      else if (sql.contains("pg_partition_tree"))
+        Some(Seq(Seq("public.users", "1", "2")))
+      else None
+    server.copyHandler = _ => Seq("10\tpre-a")
+    val port = server.start()
+    val rel = Relation(1, "public", "users", 'd', IndexedSeq(
+      RelCol(1, "id", 20, -1), RelCol(0, "name", 25, -1)))
+    def row(vs: String*): TupleData = vs.map(TText(_): TupleValue).toIndexedSeq
+    // a two-phase transaction PREPAREs and stays undecided
+    server.enqueue(
+      server.Frame(encode(rel), 90, 90),
+      server.Frame(encode(BeginPrepare(200, 210, 0, 21, "g1")), 91, 91),
+      server.Frame(encode(Insert(1, row("7", "prep"))), 92, 92),
+      server.Frame(encode(Prepare(0, 200, 210, 0, 21, "g1")), 93, 93))
+    val cfg = s"""
+      |pipeline.id = prom
+      |pipeline.workdir = $work
+      |source.mode = socket
+      |source.host = 127.0.0.1
+      |source.port = $port
+      |source.password = pw
+      |source.protoVersion = 3
+      |source.log = $work/wal.log
+      |destination = current_state
+      |backfill.users = copy:public.users
+      |telemetry.port = 0
+      |telemetry.exportIntervalMs = 200
+      |drain = true
+      |drain.settleMs = 400
+      |""".stripMargin
+    Files.write(Paths.get(s"$work/prom.properties"),
+      cfg.getBytes(StandardCharsets.UTF_8))
+    val main = new Thread(() =>
+      graft.Replicator.main(Array(s"$work/prom.properties")), "prom-main")
+    main.setDaemon(true)
+    def scrape(p: Int): String = {
+      val c = new java.net.URL(s"http://127.0.0.1:$p/metrics")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      c.setConnectTimeout(2000); c.setReadTimeout(2000)
+      try new String(c.getInputStream.readAllBytes(),
+        StandardCharsets.UTF_8)
+      finally c.disconnect()
+    }
+    def gaugeOf(body: String, name: String): Option[Double] =
+      body.linesIterator.find(l => l.startsWith(name + " "))
+        .map(_.split(' ').last.toDouble)
+    try {
+      main.start()
+      // per-phase deadline: under a fully-parallel suite run the shared
+      // local session is heavily contended
+      def deadline = System.currentTimeMillis() + 60000
+      // the endpoint publishes its bound port (telemetry.port = 0)
+      val d0 = deadline
+      val portPath = Paths.get(s"$work/metrics.port")
+      while (!Files.exists(portPath) &&
+        System.currentTimeMillis() < d0) Thread.sleep(50)
+      assert(Files.exists(portPath), "metrics.port never appeared")
+      val promPort = new String(Files.readAllBytes(portPath),
+        StandardCharsets.UTF_8).trim.toInt
+      // keep the log growing (so drain cannot exit) while scraping for
+      // the undecided prepare; each committed tx forces a status update
+      // which refreshes the prepared gauges
+      var lsn = 300L
+      def pumpTx(): Unit = {
+        server.enqueue(
+          server.Frame(encode(Begin(lsn, 0, 50)), lsn, lsn),
+          server.Frame(encode(Insert(1, row(lsn.toString, "x"))),
+            lsn + 1, lsn + 1),
+          server.Frame(encode(Commit(0, lsn, lsn + 2, 0)), lsn + 2, lsn + 2))
+        lsn += 10
+      }
+      var seenPrepared = false
+      var seenSpool = false
+      val d1 = deadline
+      while (!seenPrepared && System.currentTimeMillis() < d1) {
+        pumpTx()
+        val body = try scrape(promPort) catch { case _: Throwable => "" }
+        if (gaugeOf(body, "etl_prepared_transactions").contains(1.0)) {
+          seenPrepared = true
+          // the held prepared spool is visible on disk
+          seenSpool = gaugeOf(body, "etl_spool_files").exists(_ >= 1.0)
+        } else Thread.sleep(100)
+      }
+      assert(seenPrepared,
+        "scrape never observed the undecided prepared transaction")
+      assert(seenSpool, "etl_spool_files did not track the held spool")
+      // the decision lands; the gauge must return to rest
+      server.enqueue(
+        server.Frame(encode(CommitPrepared(0, 900, 901, 0, 21, "g1")),
+          900, 901))
+      var atRest = false
+      val d2 = deadline
+      while (!atRest && System.currentTimeMillis() < d2) {
+        pumpTx()
+        val body = try scrape(promPort) catch { case _: Throwable => "" }
+        if (gaugeOf(body, "etl_prepared_transactions").contains(0.0))
+          atRest = true
+        else Thread.sleep(100)
+      }
+      assert(atRest, "etl_prepared_transactions never returned to 0 " +
+        "after COMMIT PREPARED")
+      // stop pumping: drain settles and main exits
+      main.join(60000)
+      assert(!main.isAlive, "replicator main did not drain/exit")
+    } finally {
+      // never leak the pipeline query into other suites: a still-alive
+      // main holds the 'graft-cdc-apply' query name and every later
+      // startStream in the shared session would refuse to start
+      spark.streams.active.filter(q => q.name == "graft-cdc-apply")
+        .foreach(q => try q.stop() catch { case _: Throwable => () })
+      server.stop()
+      main.join(15000)
+    }
+    // the prepared row and the pumped rows landed exactly once
+    val out = new graft.sinks.GraftTable(s"$work/tables/users", Seq("id"))
+      .read(spark).select("id", "name").as[(Long, String)].collect().toMap
+    assert(out(7L) == "prep", s"prepared tx row missing: $out")
+    assert(out(10L) == "pre-a")
+  }
+
   test("read-replica mode: store connection independent of the source (store.dir)") {
     // mirrors pipeline_read_replica.rs:377 semantics: the source (the
     // standby's spool) and the progress/state STORE live on separate

@@ -16,6 +16,49 @@ class GraftTableSpec extends SparkSpec {
       .withColumn("_seq", format_string("%016x/%016x", col("lsn"), lit(0L)))
       .drop("lsn")
 
+  /** Spark jobs submitted while `body` runs (listener-drained). */
+  private def countJobs(body: => Unit): Int = {
+    org.apache.spark.GraftTestBus.drain(spark.sparkContext)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { body; org.apache.spark.GraftTestBus.drain(spark.sparkContext) }
+    finally spark.sparkContext.removeSparkListener(l)
+    jobs.get
+  }
+
+  test("merge job budget: bootstrap and merge-on-read commits cost ONE " +
+      "Spark job (stats observed during the staged write, commit is " +
+      "file moves — round-12 verdict item 1); empty replay costs one; " +
+      "copy-on-write adds only its unavoidable rewrite job") {
+    val mor = new GraftTable(tmp(), Seq("id"), nBuckets = 4,
+      mergeOnRead = true, morMinAffectedBytes = 0L)
+    val boot = countJobs {
+      mor.merge(batch((1L, "a", "I", 1L), (2L, "b", "I", 1L)))
+    }
+    assert(boot == 1, s"bootstrap merge took $boot jobs, expected 1")
+    val delta = countJobs { mor.merge(batch((1L, "a2", "U", 2L))) }
+    assert(delta == 1, s"merge-on-read delta took $delta jobs, expected 1")
+    val replay = countJobs { mor.merge(batch((1L, "a2", "U", 2L))) }
+    assert(replay == 1, s"empty replay took $replay jobs, expected 1")
+    assert(mor.read(spark).as[(Long, String)].collect().toSet ==
+      Set((1L, "a2"), (2L, "b")))
+    val cow = new GraftTable(tmp(), Seq("id"), nBuckets = 4)
+    cow.merge(batch((1L, "a", "I", 1L), (2L, "b", "I", 1L)))
+    val cowJobs = countJobs { cow.merge(batch((1L, "a2", "U", 2L))) }
+    // CoW pays the staged write + its unavoidable rewrite (whose AQE
+    // broadcast/shuffle/write stages each submit a job) — pin only
+    // that no EXTRA stats pass crept back in beyond those
+    assert(cowJobs <= 5, s"copy-on-write merge took $cowJobs jobs — " +
+      "a separate stats job crept back into the merge path")
+    assert(cow.read(spark).as[(Long, String)].collect().toSet ==
+      Set((1L, "a2"), (2L, "b")))
+  }
+
   test("overwrite + read roundtrip") {
     val t = new GraftTable(tmp(), Seq("id"), nBuckets = 4)
     t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))

@@ -816,4 +816,189 @@ class PgConformanceSpec extends AnyFunSuite {
       s"streamed prepared tx must apply exactly once at COMMIT " +
         s"PREPARED:\n$lines")
   }
+
+  test("wire: a CASCADE truncate inside a stream block spools with the " +
+      "block and replays at StreamCommit, in position, one line per " +
+      "truncated relation") {
+    val dir = Files.createTempDirectory("pg-conformance-v2t").toString
+    val log = s"$dir/wal.log"
+    val TA = 0xB000L
+    val startQueries =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val fl = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val server = new ServerSocket(0)
+    replayConnections(server, Seq("stream_v2_truncate" -> None),
+      startQueries, Seq(fl))
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot7", "conf_pub7", log,
+      flushLsn = () => TA + 8, protoVersion = 2)
+    try {
+      val t0 = System.currentTimeMillis()
+      client.start()
+      // 7 XLogData frames + 1 keepalive
+      while ((client.framesReceived.get() < 7 ||
+        client.keepalivesReceived.get() < 1) &&
+        System.currentTimeMillis() - t0 < 15000) Thread.sleep(20)
+      assert(client.framesReceived.get() == 7,
+        s"frames=${client.framesReceived.get()} err=${client.lastError}")
+      assert(client.lastError.isEmpty, s"client error: ${client.lastError}")
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+    val lines = new String(Files.readAllBytes(Paths.get(log)),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+    val f = lines.map(_.split("\t", -1))
+    // R, insert(pre), truncate(users), truncate(16385), insert(post) —
+    // all data lines at the StreamCommit LSN, ordinals preserving the
+    // in-block position of the truncate BETWEEN the inserts
+    assert(lines.size == 5, s"expected 5 lines, got:\n$lines")
+    assert(f(0)(2) == "R")
+    assert(f(1)(2) == "I" &&
+      PackedRow.parse(f(1)(7)) == Vector(Some("1"), Some("pre"), None))
+    assert(f(2)(2) == "T" && f(2)(3) == "16384")
+    assert(f(3)(2) == "T" && f(3)(3) == "16385",
+      "CASCADE must truncate every listed relation")
+    assert(f(4)(2) == "I" &&
+      PackedRow.parse(f(4)(7)) == Vector(Some("2"), Some("post"), None))
+    assert(f.drop(1).forall(_(0) == TA.toString),
+      "replayed lines must carry the StreamCommit LSN")
+    // one Truncate message = ONE transaction position (its lines share
+    // the ordinal); order across messages must survive the replay
+    val ords = f.drop(1).map(_(1).toLong)
+    assert(ords == ords.sorted && ords == Seq(0L, 1L, 1L, 2L),
+      s"in-block order must survive the replay: $ords")
+  }
+
+  test("wire: a keepalive-ONLY idle session crossing wal_sender_timeout " +
+      "stays alive — the client replies to reply-requested keepalives, " +
+      "volunteers status updates inside the 0.6×timeout deadline, and " +
+      "appends nothing") {
+    val dir = Files.createTempDirectory("pg-conformance-idle").toString
+    val log = s"$dir/wal.log"
+    val statusUpdates = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = new ServerSocket(0)
+    val replay = new Thread(() => {
+      try {
+        val sock = server.accept()
+        sock.setTcpNoDelay(true)
+        val in = new DataInputStream(sock.getInputStream)
+        val out = new DataOutputStream(sock.getOutputStream)
+        val slen = in.readInt()
+        in.readFully(new Array[Byte](slen - 4))
+        out.write(session("auth")); out.flush()
+        var open = true
+        while (open) {
+          val t = try in.readByte().toChar
+                  catch { case _: Throwable => open = false; ' ' }
+          if (open) {
+            val len = in.readInt()
+            val payload = new Array[Byte](len - 4); in.readFully(payload)
+            t match {
+              case 'Q' =>
+                val sql = new String(payload, 0, payload.length - 1,
+                  StandardCharsets.UTF_8)
+                // a ONE-SECOND sender timeout: the client must
+                // heartbeat every ≤600 ms on its own
+                if (sql.startsWith("SHOW")) out.write(session("show_1s"))
+                else if (sql.startsWith("START_REPLICATION"))
+                  out.write(session("stream_idle"))
+                out.flush()
+              case 'd' if payload.nonEmpty && payload(0) == 'r' =>
+                statusUpdates.incrementAndGet()
+              case 'X' => open = false
+              case _ => ()
+            }
+          }
+        }
+        try sock.close() catch { case _: Throwable => () }
+      } catch { case _: Throwable => () }
+    }, "pg-replay-idle")
+    replay.setDaemon(true); replay.start()
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot8", "conf_pub8", log,
+      flushLsn = () => 0L)
+    try {
+      client.start()
+      val t0 = System.currentTimeMillis()
+      // idle ACROSS the 1s sender timeout: ~2.5s with no data frames
+      while (System.currentTimeMillis() - t0 < 2500) Thread.sleep(50)
+      assert(client.lastError.isEmpty, s"client error: ${client.lastError}")
+      assert(client.reconnects.get() == 0,
+        "idle session must not reconnect")
+      assert(client.keepalivesReceived.get() >= 3,
+        s"server keepalives lost: ${client.keepalivesReceived.get()}")
+      // 2 reply-requested keepalives + at least 2 self-paced heartbeats
+      // over 2.5s idle at a ≤600ms deadline
+      assert(statusUpdates.get() >= 4,
+        s"idle heartbeats missing: ${statusUpdates.get()} status updates")
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+    // nothing was appended and no floor was persisted
+    assert(!Files.exists(Paths.get(log)) ||
+      Files.size(Paths.get(log)) == 0L, "idle session must append nothing")
+    assert(!Files.exists(Paths.get(log + ".prepare_floor")))
+  }
+
+  test("wire: v3 ROLLBACK PREPARED after a crash — the redelivered " +
+      "prepare vanishes without a trace, the durable floor clears, and " +
+      "the flush advances past the rollback") {
+    val dir = Files.createTempDirectory("pg-conformance-v3r").toString
+    val log = s"$dir/wal.log"
+    val P3 = 0xC000L; val TB = 0xC800L; val R1 = 0xD000L
+    val startQueries =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val fl1 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val fl2 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val server = new ServerSocket(0)
+    replayConnections(server,
+      Seq("stream_v3r_a" -> Some(P3 - 1), "stream_v3r_b" -> None),
+      startQueries, Seq(fl1, fl2))
+    def durableProgress(): Long =
+      try {
+        val p = Paths.get(log)
+        if (!Files.exists(p)) 0L
+        else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+          .split("\n").filter(_.nonEmpty)
+          .map(_.split("\t")(0).toLong).maxOption.getOrElse(0L)
+      } catch { case _: Throwable => 0L }
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot9", "conf_pub9", log,
+      flushLsn = () => durableProgress(), protoVersion = 3)
+    try {
+      val t0 = System.currentTimeMillis()
+      client.start(reconnectBackoffMs = 100)
+      // the rollback releases the cap: the flush climbs to durable
+      // progress (TB, the unrelated commit) on the second connection
+      while (!fl2.toArray.exists(_.asInstanceOf[Long] >= TB) &&
+        System.currentTimeMillis() - t0 < 20000) Thread.sleep(20)
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+    // session A: capped below the undecided prepare despite durable
+    // progress at TB > P3
+    val f1 = fl1.toArray.map(_.asInstanceOf[Long]).toSeq
+    assert(f1.nonEmpty && f1.max == P3 - 1,
+      s"session A must cap the flush at ${P3 - 1}: $f1")
+    // the restart requested the durable floor
+    val qs = startQueries.toArray.map(_.toString)
+    assert(qs.size == 2 &&
+      qs(1).contains(ReplicationSocketClient.formatLsn(P3 - 1)),
+      s"restart must request the durable floor: $qs")
+    // the rollback released the cap without any commit line for it
+    val f2 = fl2.toArray.map(_.asInstanceOf[Long]).toSeq
+    assert(f2.exists(_ >= TB), s"rollback must release the cap: $f2")
+    assert(!Files.exists(Paths.get(log + ".prepare_floor")),
+      "the floor file must clear at the rollback decision")
+    val lines = new String(Files.readAllBytes(Paths.get(log)),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+    assert(!lines.exists(_.contains("doomed")),
+      s"rolled-back prepared rows must never surface:\n$lines")
+    val normal = lines.filter(_.contains("normal"))
+    assert(normal.size == 2 && normal.distinct.size == 1,
+      "the redelivered tail must be byte-identical (replay-collapsible)")
+  }
 }

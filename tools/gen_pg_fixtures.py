@@ -379,6 +379,72 @@ v3sb = (backend(b"W", u8(0) + be16(0)) + v3s_prep +
 session.append(("stream_v3s_a", v3sa))
 session.append(("stream_v3s_b", v3sb))
 
+# ninth: a CASCADE truncate INSIDE a stream block (the protocol docs
+# list Truncate among the messages that carry a leading Int32 xid when
+# sent between Stream Start and Stream Stop) — it must spool with the
+# block and replay at StreamCommit, preserving the CASCADE option bit
+# and its position between the block's inserts.
+TA = 0xB000
+v2t = (backend(b"W", u8(0) + be16(0)) +
+       xlogdata(TA - 70, TA, REL) +
+       xlogdata(TA - 64, TA, b"S" + be32(950) + u8(1)) +
+       xlogdata(TA - 60, TA, streamed(950, INS("1", "pre"))) +
+       # Truncate: Int32 nrelids, Int8 options (1 = CASCADE), relids
+       xlogdata(TA - 56, TA, streamed(950, b"T" + be32(2) + u8(1) +
+                be32(16384) + be32(16385))) +
+       xlogdata(TA - 52, TA, streamed(950, INS("2", "post"))) +
+       xlogdata(TA - 48, TA, b"E") +
+       xlogdata(TA - 8, TA, b"c" + be32(950) + u8(0) + be64(TA) +
+                be64(TA + 8) + be64(TS)) +
+       keepalive(TA + 8, True))
+session.append(("stream_v2_truncate", v2t))
+
+# tenth: a keepalive-ONLY idle session. Served with wal_sender_timeout
+# = 1s (the show_1s step below), the client's own keepalive deadline is
+# max(0.6 × 1s, 100ms) = 600ms — an idle stream must stay alive across
+# several deadline windows on periodic server keepalives alone
+# (reply-requested and not), appending nothing.
+idle = (backend(b"W", u8(0) + be16(0)) +
+        keepalive(0x100, True) +
+        keepalive(0x110, False) +
+        keepalive(0x120, True))
+session.append(("stream_idle", idle))
+val_1s = b"1s"
+show_1s = (backend(b"T", be16(1) + cstr("wal_sender_timeout") + be32(0) +
+                   be16(0) + be32(25) + be16(-1) + be32(-1) + be16(0)) +
+           backend(b"D", be16(1) + be32(len(val_1s)) + val_1s) +
+           backend(b"C", cstr("SHOW")) + backend(b"Z", b"I"))
+session.append(("show_1s", show_1s))
+
+# eleventh/twelfth: v3 ROLLBACK PREPARED across a crash — session A
+# prepares gid 'gr' and an unrelated transaction commits PAST it
+# (durable progress exceeds the prepare; the test drops the connection
+# at the capped flush); session B is the redelivery: the same prepare,
+# the same unrelated transaction, then ROLLBACK PREPARED — the spool
+# must vanish without a trace, the durable floor file must clear, and
+# the flush must advance past the rollback.
+P3, TB, R1 = 0xC000, 0xC800, 0xD000
+v3r_common = (xlogdata(P3 - 70, P3, REL) +
+       xlogdata(P3 - 64, P3, b"b" + be64(P3) + be64(P3 + 0x10) + be64(TS) +
+                be32(960) + cstr("gr")) +
+       xlogdata(P3 - 56, P3, INS("1", "doomed")) +
+       xlogdata(P3 - 40, P3, b"P" + u8(0) + be64(P3) + be64(P3 + 0x10) +
+                be64(TS) + be32(960) + cstr("gr")) +
+       xlogdata(TB - 24, TB, b"B" + be64(TB) + be64(TS) + be32(961)) +
+       xlogdata(TB - 16, TB, INS("5", "normal")) +
+       xlogdata(TB - 8, TB, b"C" + u8(0) + be64(TB) + be64(TB + 8) +
+                be64(TS)))
+v3ra = (backend(b"W", u8(0) + be16(0)) + v3r_common +
+        keepalive(TB + 8, True))
+# Rollback Prepared: Int8 flags, Int64 prepare end lsn, Int64 rollback
+# end lsn, Int64 prepare ts, Int64 rollback ts, Int32 xid, String gid
+v3rb = (backend(b"W", u8(0) + be16(0)) + v3r_common +
+        xlogdata(R1 - 8, R1, b"r" + u8(0) + be64(P3 + 0x10) + be64(R1) +
+                 be64(TS) + be64(TS + 1000) + be32(960) + cstr("gr")) +
+        keepalive(R1 + 0x10, True))
+session.append(("stream_v3r_a", v3ra))
+session.append(("stream_v3r_b", v3rb))
+
 # ------------------------------------------------------------------ write
 def dump(path, rows):
     with open(path, "w") as f:
