@@ -1182,20 +1182,121 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
                  else batch.filter(col("_seq") > lit(hw))
     val nB = bucketsOf(current)
     val fresh = fresh0.withColumn("_bucket", bucketExpr(nB))
+    // Two lanes. MERGE-ON-READ-eligible merges (the 100 TB steady-state
+    // destination shape) stage the batch ONCE, partitioned by
+    // (_bucket, _op), stats observed DURING the write — the staged
+    // files ARE the delta-layer (or bootstrap base) files, so the whole
+    // merge is ONE Spark job and the commit is file moves (the apply
+    // loop used to pay a stats job + 1-2 write jobs per merge; the
+    // reference pipelines its flush for the same reason,
+    // apply.rs:1280-1350). COPY-ON-WRITE merges keep the cached
+    // stats-then-rewrite shape: their rewrite never adopts staged
+    // files, so a parquet stage would be pure encode/decode overhead
+    // on every micro-batch (measured 1.5-2.5× on the d1/st2 gates).
+    if (mergeOnRead && coalesceCols.isEmpty && groupState.isEmpty)
+      mergeStaged(spark, current, hw, nB, fresh0, fresh, advanceHw)
+    else
+      mergeCached(spark, current, hw, nB, fresh, batch, coalesceCols,
+        skipReplayFilter, advanceHw)
+  }
+
+  /** The copy-on-write merge lane: ONE stats job over the cached batch
+    * (emptiness + high-water + affected buckets + sizes), then the
+    * bootstrap write or the survivors∪upserts bucket rewrite. */
+  private def mergeCached(spark: SparkSession, current: Option[Manifest],
+      hw: String, nB: Int, fresh0: DataFrame, batch: DataFrame,
+      coalesceCols: Seq[String], skipReplayFilter: Boolean,
+      advanceHw: Boolean): Unit = {
+    val fresh = fresh0.cache()
+    try {
+      // one job computes emptiness + high-water + affected buckets + size
+      val stats = fresh.agg(max(col("_seq")).as("hw"),
+        collect_set(col("_bucket")).as("buckets"),
+        count(lit(1)).as("n"))
+        .collect()(0)
+      if (stats.isNullAt(0)) return // empty batch (full replay)
+      val newHigh0 = stats.getString(0)
+      val buckets = stats.getSeq[Int](1)
+      def bumped(old: String) =
+        if (advanceHw) { if (old.isEmpty || newHigh0 > old) newHigh0 else old }
+        else old
+
+      // bootstrap when the affected buckets hold no prior STATE (new
+      // table, post-truncate, or keys landing in never-written buckets):
+      // no survivors to join against — write the upserts directly. Layer
+      // upsert files count (they'd be shadowed otherwise) and so do layer
+      // DELETE files: a bucket holding only a delete-key layer file has
+      // state too — bootstrapping past it would publish a base file the
+      // stale delete layer then anti-joins back out (a delete of key K
+      // followed by a re-insert of K would silently vanish).
+      val existingBucketFiles = current.toSeq
+        .flatMap(m => buckets.flatMap(b => m.files.getOrElse(b, Nil) ++
+          m.layers.flatMap(l =>
+            l.ups.getOrElse(b, Nil) ++ l.del.getOrElse(b, Nil))))
+      if (existingBucketFiles.isEmpty) {
+        val upserts = fresh.filter(col("_op") =!= "D").drop("_op", "_seq")
+        val files = writeDataFiles(upserts,
+          math.min(nB, math.max(1, buckets.size)))
+        val carried = current.map(_.files -- buckets).getOrElse(Map.empty)
+        publish(Manifest(nextVersion, bumped(hw), carried ++ files,
+          nextSchemaDdl(current, carried, upserts.schema),
+          layers = current.map(_.layers).getOrElse(Nil)))
+      } else if (current.exists(_.layers.nonEmpty)) {
+        // copy-on-write path on a layered snapshot: partial bucket
+        // rewrites cannot coexist with global layers (remaining layers
+        // would re-apply stale deletes to the rewritten buckets), so
+        // collapse to a clean base first, then merge normally
+        collapseLayers(spark)
+        merge(batch, coalesceCols, skipReplayFilter, advanceHw)
+      } else {
+          val m = current.get
+          val currentDf = readBuckets(spark, m, buckets)
+          // survivors: current rows whose key is NOT in the batch. No
+          // broadcast hint: an admission-capped CDC batch is small and AQE
+          // broadcasts it anyway, but a backfill-sized merge must be able
+          // to fall back to a shuffled anti join instead of OOMing the
+          // driver on a forced broadcast.
+          val keys = fresh.select(keyCols.map(col): _*)
+          val survivors = currentDf.join(keys, keyCols, "left_anti")
+          val upserts0 = fresh.filter(col("_op") =!= "D").drop("_seq")
+          val upserts =
+            if (coalesceCols.isEmpty) upserts0.drop("_op")
+            else {
+              // TOAST coalesce: null update columns inherit the stored value
+              val cur = currentDf.select(
+                (keyCols.map(col) ++ coalesceCols.map(c => col(c).as(s"_cur_$c")))
+                  .toIndexedSeq: _*)
+              val joined = upserts0.join(cur, keyCols, "left")
+              coalesceCols.foldLeft(joined) { (acc, c) =>
+                acc.withColumn(c, when(col("_op") === "U",
+                  coalesce(col(c), col(s"_cur_$c"))).otherwise(col(c)))
+              }.drop(coalesceCols.map(c => s"_cur_$c"): _*).drop("_op")
+            }
+          // allowMissingColumns = online schema evolution (the ALTER TABLE
+          // analog, reference SchemaDiff → destination ALTER): an added
+          // column is null for pre-DDL rows, a dropped column stays null
+          val merged = survivors.unionByName(upserts,
+            allowMissingColumns = true)
+          val newFiles = writeDataFiles(merged,
+            math.min(nB, math.max(1, buckets.size)))
+          // untouched buckets carry over; affected buckets point at the new
+          // files (a bucket whose rows were all deleted disappears)
+          val carried = m.files -- buckets
+          publish(Manifest(nextVersion, bumped(m.highWater),
+            carried ++ newFiles,
+            nextSchemaDdl(current, carried, merged.schema)))
+      }
+    } finally fresh.unpersist()
+  }
+
+  /** The merge-on-read merge lane: ONE staged write job, then a
+    * file-move commit (see [[merge]]). */
+  private def mergeStaged(spark: SparkSession, current: Option[Manifest],
+      hw: String, nB: Int, fresh0: DataFrame, fresh: DataFrame,
+      advanceHw: Boolean): Unit = {
     // logical payload schema of this batch (control columns excluded) —
     // computed from the plan, no job
     val logicalSchema = fresh.drop("_op", "_seq").schema
-
-    // ONE Spark job stages the whole batch, partitioned by
-    // (_bucket, _op), with high-water + row counts observed DURING the
-    // write — the steady-state CDC apply loop used to pay a job PAIR
-    // per merge (a stats collect, then the write); at scale that is 2×
-    // driver/scheduler round-trips on the product's hottest path
-    // (reference apply.rs:1280-1350 pipelines the flush for the same
-    // reason). The affected buckets fall out of the stage listing, and
-    // the bootstrap / merge-on-read commits below become pure file
-    // moves. Copy-on-write reads the stage back (its second job reads
-    // existing buckets anyway and is unavoidable).
     val toPhysical = current.map(_.columnMapping).getOrElse(Map.empty)
       .filter { case (l, p) => l != p && fresh.columns.contains(l) }
     val obs = org.apache.spark.sql.Observation()
@@ -1294,9 +1395,7 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
           publish(Manifest(nextVersion, bumped(hw), carried ++ files,
             nextSchemaDdl(current, carried, logicalSchema),
             layers = current.map(_.layers).getOrElse(Nil)))
-        } else if (mergeOnRead && coalesceCols.isEmpty &&
-            groupState.isEmpty &&
-            batchRows <= GraftTable.MorDeltaMaxRows &&
+        } else if (batchRows <= GraftTable.MorDeltaMaxRows &&
             current.exists(_.layers.size < GraftTable.MorMaxLayers) &&
             affectedBaseBytes(current.get, buckets) >= morMinAffectedBytes) {
           // MERGE-ON-READ delta commit: adopt the staged upsert +
@@ -1331,20 +1430,9 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
           // driver on a forced broadcast.
           val keys = stageDf.select(keyCols.map(col): _*)
           val survivors = currentDf.join(keys, keyCols, "left_anti")
-          val upserts0 = stageDf.filter(col("_op") =!= "D")
-          val upserts =
-            if (coalesceCols.isEmpty) upserts0.drop("_op")
-            else {
-              // TOAST coalesce: null update columns inherit the stored value
-              val cur = currentDf.select(
-                (keyCols.map(col) ++ coalesceCols.map(c => col(c).as(s"_cur_$c")))
-                  .toIndexedSeq: _*)
-              val joined = upserts0.join(cur, keyCols, "left")
-              coalesceCols.foldLeft(joined) { (acc, c) =>
-                acc.withColumn(c, when(col("_op") === "U",
-                  coalesce(col(c), col(s"_cur_$c"))).otherwise(col(c)))
-              }.drop(coalesceCols.map(c => s"_cur_$c"): _*).drop("_op")
-            }
+          // TOAST coalesce never reaches this lane (it routes through
+          // [[mergeCached]]), so upserts are the staged non-deletes
+          val upserts = stageDf.filter(col("_op") =!= "D").drop("_op")
           // allowMissingColumns = online schema evolution (the ALTER TABLE
           // analog, reference SchemaDiff → destination ALTER): an added
           // column is null for pre-DDL rows, a dropped column stays null

@@ -50,11 +50,12 @@ class GraftTableSpec extends SparkSpec {
     val cow = new GraftTable(tmp(), Seq("id"), nBuckets = 4)
     cow.merge(batch((1L, "a", "I", 1L), (2L, "b", "I", 1L)))
     val cowJobs = countJobs { cow.merge(batch((1L, "a2", "U", 2L))) }
-    // CoW pays the staged write + its unavoidable rewrite (whose AQE
-    // broadcast/shuffle/write stages each submit a job) — pin only
-    // that no EXTRA stats pass crept back in beyond those
-    assert(cowJobs <= 5, s"copy-on-write merge took $cowJobs jobs — " +
-      "a separate stats job crept back into the merge path")
+    // copy-on-write DELIBERATELY keeps the cached stats-then-rewrite
+    // shape (a parquet stage would be pure encode/decode overhead —
+    // its files are never adopted): one stats job + the rewrite's AQE
+    // broadcast/shuffle/write stage jobs. Pin the envelope.
+    assert(cowJobs <= 6, s"copy-on-write merge took $cowJobs jobs — " +
+      "an extra pass crept into the merge path")
     assert(cow.read(spark).as[(Long, String)].collect().toSet ==
       Set((1L, "a2"), (2L, "b")))
   }
