@@ -45,6 +45,9 @@ import graft.sinks.{CdcSink, ChangelogSink, CurrentStateSink, ExactlyOnceSink, N
   *   exactlyOnce = true                       # batchId txn ledger wrapper
   *   telemetry.exportIntervalMs = 10000       # live metrics.prom refresh
   *                                            # (0 = final write only)
+  *   telemetry.port = 9000                    # live /metrics HTTP endpoint
+  *                                            # (unset = off; 0 = ephemeral,
+  *                                            # bound port → metrics.port)
   *   backfill.<tableName> = <parquet path>    # optional initial snapshots
   *   drain = true                             # process available + exit
   *

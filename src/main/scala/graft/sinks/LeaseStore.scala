@@ -37,7 +37,14 @@ trait MaintenanceLeaseStore {
   * see [[tryAcquire]] for the per-state protocol. Expired leases break
   * via sweep-aside + verify-content-unchanged + restore-on-mismatch, so
   * even in the expiry domain a renewal/claim that landed concurrently
-  * survives. */
+  * survives.
+  *
+  * CLOCK ASSUMPTION (by design): expiry compares the file's client-
+  * written epoch millis against the reader's `System.currentTimeMillis`
+  * — sound because a shared-POSIX deployment is ONE NTP domain by
+  * construction (the processes mount the same filesystem). Multi-host
+  * deployments whose clocks can skew belong on [[JdbcLeaseStore]],
+  * where the DATABASE engine's clock decides liveness. */
 final class FsLeaseStore(root: String) extends MaintenanceLeaseStore {
   private def leasePath = Paths.get(root, "_maintenance.lease")
 
