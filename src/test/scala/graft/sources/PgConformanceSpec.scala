@@ -942,6 +942,56 @@ class PgConformanceSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(log + ".prepare_floor")))
   }
 
+  test("wire: an EMPTY prepared transaction (no published rows) holds " +
+      "the cap while undecided, releases it at its line-less COMMIT " +
+      "PREPARED, and leaves no trace in the log") {
+    val dir = Files.createTempDirectory("pg-conformance-v3e").toString
+    val log = s"$dir/wal.log"
+    val PE = 0xE000L; val TC = 0xE800L
+    val startQueries =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val fl = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val server = new ServerSocket(0)
+    replayConnections(server, Seq("stream_v3_empty" -> None),
+      startQueries, Seq(fl))
+    def durableProgress(): Long =
+      try {
+        val p = Paths.get(log)
+        if (!Files.exists(p)) 0L
+        else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+          .split("\n").filter(_.nonEmpty)
+          .map(_.split("\t")(0).toLong).maxOption.getOrElse(0L)
+      } catch { case _: Throwable => 0L }
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot10", "conf_pub10", log,
+      flushLsn = () => durableProgress(), protoVersion = 3)
+    try {
+      val t0 = System.currentTimeMillis()
+      client.start()
+      // the trailing normal tx's flush confirms once the decision freed
+      // the cap (while undecided the cap held every report below PE)
+      while (!fl.toArray.exists(_.asInstanceOf[Long] >= TC) &&
+        System.currentTimeMillis() - t0 < 15000) Thread.sleep(20)
+      assert(client.lastError.isEmpty, s"client error: ${client.lastError}")
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+    assert(fl.toArray.exists(_.asInstanceOf[Long] >= TC),
+      s"the empty decision must release the cap: ${fl.toArray.toSeq}")
+    // the floor file cleared at the decision
+    assert(!Files.exists(Paths.get(log + ".prepare_floor")),
+      "the floor file must clear at the (empty) decision")
+    // the log holds ONLY the relation record and the trailing normal tx
+    val lines = new String(Files.readAllBytes(Paths.get(log)),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+    assert(lines.size == 2, s"expected R + trailing insert only:\n$lines")
+    val f = lines.map(_.split("\t", -1))
+    assert(f(0)(2) == "R")
+    assert(f(1)(2) == "I" && f(1)(0) == TC.toString &&
+      PackedRow.parse(f(1)(7)) == Vector(Some("9"), Some("after"), None))
+  }
+
   test("wire: v3 ROLLBACK PREPARED after a crash — the redelivered " +
       "prepare vanishes without a trace, the durable floor clears, and " +
       "the flush advances past the rollback") {

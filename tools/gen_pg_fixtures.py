@@ -445,6 +445,28 @@ v3rb = (backend(b"W", u8(0) + be16(0)) + v3r_common +
 session.append(("stream_v3r_a", v3ra))
 session.append(("stream_v3r_b", v3rb))
 
+# thirteenth: an EMPTY prepared transaction (PREPARE TRANSACTION on a
+# transaction whose publication saw no rows — e.g. all changes hit
+# unpublished tables) decided by COMMIT PREPARED, followed by a normal
+# transaction. The client must hold the cap while undecided, release it
+# at the (line-less) decision, and keep the log free of any trace.
+PE, TC = 0xE000, 0xE800
+v3e = (backend(b"W", u8(0) + be16(0)) +
+       xlogdata(PE - 70, PE, REL) +
+       xlogdata(PE - 64, PE, b"b" + be64(PE) + be64(PE + 0x10) + be64(TS) +
+                be32(970) + cstr("gempty")) +
+       xlogdata(PE - 40, PE, b"P" + u8(0) + be64(PE) + be64(PE + 0x10) +
+                be64(TS) + be32(970) + cstr("gempty")) +
+       xlogdata(PE + 0x20, PE + 0x20,
+                b"K" + u8(0) + be64(PE + 0x20) + be64(PE + 0x30) + be64(TS) +
+                be32(970) + cstr("gempty")) +
+       xlogdata(TC - 24, TC, b"B" + be64(TC) + be64(TS) + be32(971)) +
+       xlogdata(TC - 16, TC, INS("9", "after")) +
+       xlogdata(TC - 8, TC, b"C" + u8(0) + be64(TC) + be64(TC + 8) +
+                be64(TS)) +
+       keepalive(TC + 8, True))
+session.append(("stream_v3_empty", v3e))
+
 # ------------------------------------------------------------------ write
 def dump(path, rows):
     with open(path, "w") as f:
