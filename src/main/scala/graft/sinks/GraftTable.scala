@@ -1354,6 +1354,9 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
         s"staged merge wrote files but reported no observed metrics " +
           s"($stage) — refusing to guess the high-water mark")
       val newHigh0 = metrics("hw").asInstanceOf[String]
+      require(newHigh0 != null,
+        "merge batch has rows but no _seq values — every CDC row must " +
+          "carry its replay sequence key")
       val batchRows = metrics("n").asInstanceOf[Long]
       val delRows = metrics("nDel").asInstanceOf[Long]
       def bumped(old: String) =

@@ -431,6 +431,53 @@ class PgStreamingSpec extends AnyFunSuite {
     s2.close(); s.close()
   }
 
+  test("DDL inside a prepare bracket spools WITH the transaction: " +
+      "ROLLBACK PREPARED drops the schema change entirely; a " +
+      "redelivered bracket + COMMIT PREPARED applies it at the commit " +
+      "position") {
+    val s = new DecodeSession()
+    s.onFrame(encode(rel))
+    def f(ms: Message*): Seq[String] = ms.flatMap(m => s.onFrame(encode(m)))
+    val relWide = Relation(1, "public", "users", 'd', IndexedSeq(
+      RelCol(1, "id", 20, -1), RelCol(0, "v", 25, -1),
+      RelCol(0, "w", 25, -1)))
+    def bracket(): Unit = {
+      f(BeginPrepare(0x1000L, 0x1010L, 0L, 81, "gddl"))
+      s.onFrame(encode(relWide)) // ALTER TABLE inside the prepared tx
+      s.onFrame(encode(Insert(1,
+        IndexedSeq(TText("1"), TText("a"), TText("b")))))
+      f(Prepare(0, 0x1000L, 0x1010L, 0L, 81, "gddl"))
+    }
+    bracket()
+    // nothing emitted, nothing applied: the base schema still decodes
+    // a concurrent 2-column transaction
+    val n = f(Begin(0x1100L, 0L, 82), Insert(1, row("5", "plain")),
+      Commit(0, 0x1100L, 0x1101L, 0L))
+    assert(n.size == 1 &&
+      PackedRow.parse(n.head.split("\t", -1)(7)) ==
+        Vector(Some("5"), Some("plain")))
+    // the rollback drops the spool — the widened schema NEVER lands
+    f(RollbackPrepared(0, 0x1010L, 0x1200L, 0L, 0L, 81, "gddl"))
+    val n2 = f(Begin(0x1300L, 0L, 83), Insert(1, row("6", "still2col")),
+      Commit(0, 0x1300L, 0x1301L, 0L))
+    assert(n2.size == 1 &&
+      PackedRow.parse(n2.head.split("\t", -1)(7)) ==
+        Vector(Some("6"), Some("still2col")),
+      "a rolled-back prepared DDL must leave the schema untouched")
+    // redelivered bracket decided by COMMIT PREPARED: the R record and
+    // the 3-column insert land together at the commit LSN
+    bracket()
+    val lines = f(CommitPrepared(0, 0x2000L, 0x2001L, 0L, 81, "gddl"))
+    s.clearReplayFloor()
+    assert(lines.size == 2, s"expected R + insert, got:\n$lines")
+    val lf = lines.map(_.split("\t", -1))
+    assert(lf(0)(2) == "R" && lf(0)(0) == 0x2000L.toString)
+    assert(lf(1)(2) == "I" &&
+      PackedRow.parse(lf(1)(7)) ==
+        Vector(Some("1"), Some("a"), Some("b")))
+    s.close()
+  }
+
   test("a session closed MID-REPLAY (CommitPrepared decoded, lines not " +
       "yet appended) carries the replay floor to its successor") {
     val s = new DecodeSession()
