@@ -364,6 +364,10 @@ object Replicator {
     promTickerRunning.set(false)
     promTicker.foreach { t => t.interrupt(); t.join(2000) }
     promServer.foreach(_.stop(0))
+    // the endpoint is gone — a stale port file would only mislead
+    if (promServer.nonEmpty)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$work/metrics.port"))
     // telemetry export beside the JSON report: Prometheus exposition
     // (the etl-telemetry metrics surface — scrape the file or serve it)
     refreshRuntimeGauges()

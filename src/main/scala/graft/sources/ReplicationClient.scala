@@ -145,7 +145,16 @@ final class ReplicationSocketClient(
     conn = new PgWireConnection(host, port, user, database, password,
       replication = true, sslMode = sslMode, sslRootCert = sslRootCert)
     conn.connect()
-    val deadlineMs = keepAliveDeadlineMs(queryWalSenderTimeoutMs())
+    val walSenderTimeoutMs = queryWalSenderTimeoutMs()
+    val deadlineMs = keepAliveDeadlineMs(walSenderTimeoutMs)
+    // receive deadline (PostgreSQL's own wal_receiver_timeout shape): a
+    // server that goes SILENT — NAT drop, partition, half-open socket —
+    // must surface as an error and reconnect, not block readMessage
+    // forever. A healthy stream is never this quiet: the wal sender
+    // keepalives when idle, and our own ≤0.6×timeout heartbeats request
+    // replies even when wal_sender_timeout is disabled server-side.
+    conn.setReadTimeoutMs(
+      ReplicationSocketClient.receiveTimeoutMs(walSenderTimeoutMs))
     // resume from durable progress, CAPPED by the durable prepare
     // floor: the server starts at max(requested, confirmed_flush), so
     // requesting raw downstream progress — which legitimately passes an
@@ -586,6 +595,14 @@ final class PgWireConnection(host: String, port: Int, user: String,
 
   def close(): Unit = if (socket != null) socket.close()
 
+  /** SO_TIMEOUT on the live socket (TLS-upgraded when applicable) —
+    * reads past the deadline throw SocketTimeoutException instead of
+    * blocking forever on a silently dead peer. Replication intakes set
+    * this AFTER the handshake; snapshot COPY connections leave reads
+    * unbounded (a server-side scan may legitimately pause the stream). */
+  def setReadTimeoutMs(ms: Int): Unit =
+    if (socket != null) socket.setSoTimeout(ms)
+
   def simpleQuery(sql: String): Unit = {
     val bytes = sql.getBytes(StandardCharsets.UTF_8)
     _out.write('Q'); _out.writeInt(4 + bytes.length + 1)
@@ -846,6 +863,17 @@ object ReplicationSocketClient {
   val DefaultWalSenderTimeoutMs = 60000L
   val KeepAliveDeadlineFraction = 0.6
   val MinKeepAliveDeadlineMs = 100L
+
+  /** Receive deadline = max(2 × wal_sender_timeout, floor) — the
+    * client-side `wal_receiver_timeout` analog: a healthy wal sender
+    * keepalives at least every timeout/2 when idle, and our own
+    * heartbeats request replies, so double the sender timeout of pure
+    * silence means the connection is dead. */
+  val MinReceiveTimeoutMs = 10000L
+  def receiveTimeoutMs(walSenderTimeoutMs: Option[Long]): Int =
+    math.min(Int.MaxValue.toLong, math.max(
+      walSenderTimeoutMs.getOrElse(DefaultWalSenderTimeoutMs) * 2L,
+      MinReceiveTimeoutMs)).toInt
 
   def keepAliveDeadlineMs(walSenderTimeoutMs: Option[Long]): Long =
     math.max(

@@ -992,6 +992,80 @@ class PgConformanceSpec extends AnyFunSuite {
       PackedRow.parse(f(1)(7)) == Vector(Some("9"), Some("after"), None))
   }
 
+  test("wire: a SILENTLY dead server (no keepalives, socket held open) " +
+      "trips the receive deadline and the client reconnects — the " +
+      "wal_receiver_timeout analog") {
+    val dir = Files.createTempDirectory("pg-conformance-dead").toString
+    val log = s"$dir/wal.log"
+    val connections = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = new ServerSocket(0)
+    val replay = new Thread(() => {
+      // two consecutive connections; each serves the idle step (with a
+      // 1 s wal_sender_timeout → 10 s receive floor) then goes SILENT
+      // with the socket held open — the first must be abandoned by the
+      // client's receive deadline, not by any server action
+      (1 to 2).foreach { _ =>
+        try {
+          val sock = server.accept()
+          connections.incrementAndGet()
+          sock.setTcpNoDelay(true)
+          val in = new DataInputStream(sock.getInputStream)
+          val out = new DataOutputStream(sock.getOutputStream)
+          val slen = in.readInt()
+          in.readFully(new Array[Byte](slen - 4))
+          out.write(session("auth")); out.flush()
+          var open = true
+          while (open) {
+            val t = try in.readByte().toChar
+                    catch { case _: Throwable => open = false; ' ' }
+            if (open) {
+              val len = in.readInt()
+              val payload = new Array[Byte](len - 4); in.readFully(payload)
+              t match {
+                case 'Q' =>
+                  val sql = new String(payload, 0, payload.length - 1,
+                    StandardCharsets.UTF_8)
+                  if (sql.startsWith("SHOW")) out.write(session("show_1s"))
+                  else if (sql.startsWith("START_REPLICATION"))
+                    out.write(session("stream_idle"))
+                  out.flush()
+                case 'X' => open = false
+                case _ => () // swallow status updates; NEVER reply
+              }
+            }
+          }
+          try sock.close() catch { case _: Throwable => () }
+        } catch { case _: Throwable => () }
+      }
+    }, "pg-replay-dead")
+    replay.setDaemon(true); replay.start()
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot11", "conf_pub11", log,
+      flushLsn = () => 0L)
+    try {
+      client.start(reconnectBackoffMs = 100)
+      val t0 = System.currentTimeMillis()
+      // the receive deadline (10 s floor at a 1 s sender timeout) must
+      // abandon the dead connection and dial the second
+      while (connections.get() < 2 &&
+        System.currentTimeMillis() - t0 < 30000) Thread.sleep(100)
+      assert(connections.get() >= 2,
+        "client never abandoned the silently dead connection")
+      assert(client.reconnects.get() >= 1,
+        s"expected a reconnect, got ${client.reconnects.get()}")
+      // the reconnected session processes the redelivered keepalives
+      val k0 = client.keepalivesReceived.get()
+      val d1 = System.currentTimeMillis() + 10000
+      while (client.keepalivesReceived.get() < k0 + 1 &&
+        System.currentTimeMillis() < d1) Thread.sleep(50)
+      assert(client.keepalivesReceived.get() >= 4,
+        s"reconnected session silent: ${client.keepalivesReceived.get()}")
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+  }
+
   test("wire: v3 ROLLBACK PREPARED after a crash — the redelivered " +
       "prepare vanishes without a trace, the durable floor clears, and " +
       "the flush advances past the rollback") {
