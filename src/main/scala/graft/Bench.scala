@@ -48,7 +48,8 @@ object Bench {
     * a rate over a diverged destination would be meaningless.
     * Returns (nEvents, producerEps, endToEndEps, withShutdownEps,
     * drainEps). */
-  def streamingThroughput(spark: SparkSession, nEventsTarget: Int)
+  def streamingThroughput(spark: SparkSession, nEventsTarget: Int,
+      mergeOnRead: Boolean = false)
       : (Int, Double, Double, Double, Double) = {
     import org.apache.spark.sql.functions._
     import graft.core.{ColumnSpec, SchemaRegistry, TableSchemaV}
@@ -120,7 +121,11 @@ object Bench {
         ColumnSpec("key", "int8", nullable = false, pkOrdinal = 1),
         ColumnSpec("val", "float8"))))
     }
-    val sink = new CurrentStateSink(s"$tmp/tables", _ => Seq("key"), 8)
+    // mergeOnRead = the staged one-job-per-merge apply lane (the 100 TB
+    // steady-state destination shape); false = the CoW serving shape,
+    // the round-over-round headline
+    val sink = new CurrentStateSink(s"$tmp/tables", _ => Seq("key"), 8,
+      mergeOnRead = mergeOnRead, morMinAffectedBytes = 0L)
     val pipeline = new CdcPipeline(spark,
       PipelineConfig(maxRowsPerTrigger = 100000, maxFillMs = 50,
         maxTableSyncWorkers = tables.size, // all 8 tables apply in parallel
@@ -281,11 +286,24 @@ object Bench {
       if (runs.isEmpty) (0, 0.0, 0.0, 0.0, 0.0)
       else (runs.head._1, median(runs.map(_._2)), median(runs.map(_._3)),
         median(runs.map(_._4)), median(runs.map(_._5)))
+    // the same workload through the MERGE-ON-READ apply lane (staged
+    // one-job merges — the steady-state 100 TB destination shape),
+    // reported BESIDE the CoW headline so rounds stay comparable
+    val morRuns =
+      if (filter.nonEmpty) Nil // local-iteration probes skip the extra phase
+      else (0 until streamSamples).flatMap { _ =>
+        try Some(streamingThroughput(spark, nEvents, mergeOnRead = true))
+        catch { case e: Throwable =>
+          System.err.println(s"stream bench (mor) sample failed: $e"); None }
+      }
+    val morEndToEndEps =
+      if (morRuns.isEmpty) 0.0 else median(morRuns.map(_._3))
     val streaming = s"""{"n_events":$n,"producer_events_per_second":${
       math.round(producerEps)},"end_to_end_events_per_second":${
       math.round(endToEndEps)},"end_to_end_with_shutdown_events_per_second":${
       math.round(withShutdownEps)},"drain_events_per_second":${
-      math.round(drainEps)}}"""
+      math.round(drainEps)},"end_to_end_mor_events_per_second":${
+      math.round(morEndToEndEps)}}"""
 
     // The driver captures only the log TAIL (~3.2 KB) and parses the
     // FINAL JSON line; rounds 6-8 produced "parsed": null because the
