@@ -20,6 +20,11 @@ import graft.sinks.{CdcSink, ChangelogSink, CurrentStateSink, ExactlyOnceSink, N
   *   pipeline.maxRowsPerTrigger = 100000
   *   pipeline.maxFillMs = 10000
   *   pipeline.maxTableSyncWorkers = 4
+  *   pipeline.maxBytesPerTrigger = 8388608    # byte budget per batch
+  *   pipeline.memoryAdmission = off | modulate | block   # ST7 policy
+  *   pipeline.memorySignal = driver | executor  # pressure source:
+  *                                            # local JVM vs worst live
+  *                                            # executor (cluster)
   *   source.log = /tmp/graft-demo/wal.log     # CDC change log path
   *   source.schemas = /tmp/graft-demo/schemas.json  # SchemaRegistry file
   *   source.mode = file | socket              # socket = live replication
@@ -147,7 +152,18 @@ object Replicator {
       maxFillMs = get("pipeline.maxFillMs", "10000").toLong,
       maxTableSyncWorkers = get("pipeline.maxTableSyncWorkers", "4").toInt,
       checkpointDir = s"$store/checkpoint",
-      stateDir = s"$store/state")
+      stateDir = s"$store/state",
+      maxBytesPerTrigger =
+        Option(props.getProperty("pipeline.maxBytesPerTrigger"))
+          .map(_.trim).filter(_.nonEmpty).map(_.toLong),
+      memoryAdmission = get("pipeline.memoryAdmission", "off"))
+
+    // pressure-signal source for memory admission: "driver" (default,
+    // the local-mode shape) or "executor" — worst live executor via
+    // scheduler metrics events (the cluster shape; the driver's own
+    // heap stays a floor either way)
+    if (get("pipeline.memorySignal", "driver") == "executor")
+      graft.sources.ExecutorMemorySignal.install(spark)
 
     val pipeline = new CdcPipeline(spark, config, registry, sink,
       CdcPipeline.jsonDecode)

@@ -25,7 +25,20 @@ final case class PipelineConfig(
       * "restart" mirrors Recreate — [[CdcPipeline.startStreamRecovering]]
       * drops the checkpoint, resets table states to Init, re-runs
       * backfill, and streams from scratch. */
-    onInvalidatedSlot: String = "error")
+    onInvalidatedSlot: String = "error",
+    /** ST7 memory-pressure admission for the stream source (reference
+      * memory_monitor.rs): "off" = row/byte caps only; "modulate" =
+      * byte budget halves between the watermarks, minimum admit above
+      * the high one (progress never fully stalls); "block" = the
+      * reference's exact sticky policy — admission stops at ≥85% until
+      * usage falls below 75%. The pressure SIGNAL comes from
+      * [[graft.sources.CdcLogSource.memoryUsage]]: driver JVM by
+      * default, worst-executor via
+      * [[graft.sources.ExecutorMemorySignal.install]] on a cluster. */
+    memoryAdmission: String = "off") {
+  require(Set("off", "modulate", "block")(memoryAdmission),
+    s"memoryAdmission must be off|modulate|block, got '$memoryAdmission'")
+}
 
 /** The pipeline orchestrator — Spark shape of the reference's
   * `Pipeline::new → start → wait` (reference crates/etl/src/pipeline.rs:96-309)
@@ -180,9 +193,14 @@ final class CdcPipeline(
         .format("graft-cdc")
         .option("path", logPath)
         .option("maxRowsPerTrigger", config.maxRowsPerTrigger.toString)
-      config.maxBytesPerTrigger
+      val withBytes = config.maxBytesPerTrigger
         .fold(r)(b => r.option("maxBytesPerTrigger", b.toString))
-        .load()
+      val withMem = config.memoryAdmission match {
+        case "modulate" => withBytes.option("memoryAwareAdmission", "true")
+        case "block" => withBytes.option("memoryBlockingAdmission", "true")
+        case _ => withBytes
+      }
+      withMem.load()
     }
 
     events.writeStream

@@ -69,12 +69,15 @@ object CdcLogSource {
     * maxBytesPerTrigger is set (the reference BatchConfig.max_bytes
     * default, 8 MiB). */
   val DefaultMemoryAwareBytes: Long = 8L << 20
-  /** Heap-usage fraction probe; swappable for tests and for cluster
-    * deployments that prefer an executor-memory signal. */
-  @volatile var memoryUsage: () => Double = () => {
+  /** The driver-JVM heap probe (executor == driver in local mode). */
+  val defaultMemoryUsage: () => Double = () => {
     val rt = Runtime.getRuntime
     (rt.totalMemory() - rt.freeMemory()).toDouble / rt.maxMemory()
   }
+  /** Heap-usage fraction probe; swappable for tests and for cluster
+    * deployments that prefer an executor-memory signal
+    * ([[ExecutorMemorySignal.install]]). */
+  @volatile var memoryUsage: () => Double = defaultMemoryUsage
 
   /** One change-log line: tab-separated envelope; `\N` = null payload.
     * `missing` lists TOAST-unchanged column names absent from `after`. */

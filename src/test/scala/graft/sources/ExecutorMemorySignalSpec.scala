@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.scheduler.{SparkListenerExecutorMetricsUpdate,
+  SparkListenerExecutorRemoved, SparkListenerStageExecutorMetrics}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ST7's cluster-side pressure signal: worst live executor, driver
+  * floor, removal cleanup (reference memory_monitor.rs polls the
+  * applying process; on Spark that process is every executor). */
+final class ExecutorMemorySignalSpec extends AnyFunSuite {
+
+  test("worst executor wins; removal drops its contribution") {
+    val s = new ExecutorMemorySignal(executorMaxHeapBytes = 1000L)
+    s.record("1", 900L)
+    s.record("2", 100L)
+    assert(s.worstExecutorFraction === 0.9)
+    assert(s.usage() >= 0.9, "usage must include the worst executor")
+    s.onExecutorRemoved(
+      SparkListenerExecutorRemoved(0L, "1", "decommissioned"))
+    assert(s.trackedExecutors == Set("2"))
+    assert(s.worstExecutorFraction === 0.1,
+      "a removed executor must stop pinning the signal")
+  }
+
+  test("driver observations use the driver JVM's own max heap as " +
+      "denominator, not the executor bound") {
+    val s = new ExecutorMemorySignal(executorMaxHeapBytes = 1L)
+    val used = Runtime.getRuntime.maxMemory() / 4
+    s.record(ExecutorMemorySignal.DriverId, used)
+    // with the executor bound (1 byte) this would be astronomic;
+    // against the driver's real max heap it is ~0.25
+    assert(s.worstExecutorFraction > 0.2 && s.worstExecutorFraction < 0.3)
+  }
+
+  test("scheduler metrics events feed the signal: heartbeat updates " +
+      "and per-stage peaks") {
+    val s = new ExecutorMemorySignal(executorMaxHeapBytes = 1000L)
+    s.onExecutorMetricsUpdate(SparkListenerExecutorMetricsUpdate(
+      "3", Seq.empty,
+      Map((0, 0) -> org.apache.spark.GraftTestBus.executorMetrics(Map("JVMHeapMemory" -> 600L)),
+          (1, 0) -> org.apache.spark.GraftTestBus.executorMetrics(Map("JVMHeapMemory" -> 800L)))))
+    assert(s.worstExecutorFraction === 0.8,
+      "the max across a heartbeat's stage entries must win")
+    s.onStageExecutorMetrics(SparkListenerStageExecutorMetrics(
+      "4", 7, 0, org.apache.spark.GraftTestBus.executorMetrics(Map("JVMHeapMemory" -> 950L))))
+    assert(s.worstExecutorFraction === 0.95)
+    // an empty update must not register a zero that hides pressure
+    s.onExecutorMetricsUpdate(
+      SparkListenerExecutorMetricsUpdate("5", Seq.empty, Map.empty))
+    assert(!s.trackedExecutors.contains("5"))
+  }
+
+  test("usage() never reports below the driver's live heap (the " +
+      "manifest-commit broker stays part of the signal)") {
+    val s = new ExecutorMemorySignal(executorMaxHeapBytes = 1000L)
+    val rt = Runtime.getRuntime
+    val driverNow = (rt.totalMemory() - rt.freeMemory()).toDouble /
+      rt.maxMemory()
+    assert(s.usage() >= driverNow * 0.5,
+      "an idle signal still reflects the driver JVM")
+  }
+
+  test("install points CdcLogSource.memoryUsage at the signal; " +
+      "uninstall restores the driver default") {
+    val spark = graft.SparkSpec.session
+    val saved = CdcLogSource.memoryUsage
+    try {
+      val sig = ExecutorMemorySignal.install(spark)
+      sig.record("9", 999L)
+      assert(CdcLogSource.memoryUsage() >= 0.0)
+      assert(sig.trackedExecutors.contains("9"))
+      ExecutorMemorySignal.uninstall(spark, sig)
+      assert(CdcLogSource.memoryUsage eq CdcLogSource.defaultMemoryUsage)
+    } finally CdcLogSource.memoryUsage = saved
+  }
+}

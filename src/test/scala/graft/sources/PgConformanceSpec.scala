@@ -992,6 +992,109 @@ class PgConformanceSpec extends AnyFunSuite {
       PackedRow.parse(f(1)(7)) == Vector(Some("9"), Some("after"), None))
   }
 
+  test("wire: a transactional logical message inside a stream block " +
+      "spools with the block and replays at StreamCommit in position; " +
+      "an unknown-prefix streamed message is discarded at replay") {
+    val dir = Files.createTempDirectory("pg-conformance-v2m").toString
+    val log = s"$dir/wal.log"
+    val TD = 0xF000L
+    val startQueries =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val fl = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val server = new ServerSocket(0)
+    replayConnections(server, Seq("stream_v2_msg" -> None),
+      startQueries, Seq(fl))
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot12", "conf_pub12", log,
+      flushLsn = () => TD + 8, protoVersion = 2)
+    try {
+      val t0 = System.currentTimeMillis()
+      client.start()
+      // 8 XLogData frames + 1 keepalive
+      while ((client.framesReceived.get() < 8 ||
+        client.keepalivesReceived.get() < 1) &&
+        System.currentTimeMillis() - t0 < 15000) Thread.sleep(20)
+      assert(client.framesReceived.get() == 8,
+        s"frames=${client.framesReceived.get()} err=${client.lastError}")
+      assert(client.lastError.isEmpty, s"client error: ${client.lastError}")
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+    val lines = new String(Files.readAllBytes(Paths.get(log)),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+    val f = lines.map(_.split("\t", -1))
+    // base R, then at the StreamCommit LSN: insert(pre), the graft_ddl
+    // message as a schema record, insert(post) — the other_ext message
+    // replays but the DDL channel discards it (reference
+    // apply.rs:2160-2276 processes only the engine prefix)
+    assert(lines.size == 4, s"expected 4 lines, got:\n$lines")
+    assert(f(0)(2) == "R")
+    assert(f(1)(2) == "I" &&
+      PackedRow.parse(f(1)(7)) == Vector(Some("1"), Some("pre"), None))
+    assert(f(2)(2) == "R" && f(2)(3) == "16384" &&
+      f(2)(7).contains("\"tableId\":16384"),
+      s"the streamed DDL message must replay as a schema record: $lines")
+    // schema version keyed by the message's OWN LSN, sequence position
+    // at the commit like every replayed line
+    assert(f(2)(5) == 0xF100L.toString,
+      s"DDL schema version must key by the message LSN: ${f(2).toSeq}")
+    assert(f(3)(2) == "I" &&
+      PackedRow.parse(f(3)(7)) == Vector(Some("2"), Some("post"), None))
+    assert(f.drop(1).forall(_(0) == TD.toString),
+      "replayed lines must carry the StreamCommit LSN")
+    val ords = f.drop(1).map(_(1).toLong)
+    assert(ords == ords.sorted && ords.distinct == ords,
+      s"in-block order must survive the replay: $ords")
+  }
+
+  test("wire: an EMPTY stream block commits line-less — StreamStart/" +
+      "StreamStop with no changes, then StreamCommit advances the " +
+      "flush and the session stays healthy") {
+    val dir = Files.createTempDirectory("pg-conformance-v2e").toString
+    val log = s"$dir/wal.log"
+    val TE = 0xF800L
+    val startQueries =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val fl = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val server = new ServerSocket(0)
+    replayConnections(server, Seq("stream_v2_empty" -> None),
+      startQueries, Seq(fl))
+    def durableProgress(): Long =
+      try {
+        val p = Paths.get(log)
+        if (!Files.exists(p)) 0L
+        else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+          .split("\n").filter(_.nonEmpty)
+          .map(_.split("\t")(0).toLong).maxOption.getOrElse(0L)
+      } catch { case _: Throwable => 0L }
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot13", "conf_pub13", log,
+      flushLsn = () => durableProgress(), protoVersion = 2)
+    try {
+      val t0 = System.currentTimeMillis()
+      client.start()
+      while (!fl.toArray.exists(_.asInstanceOf[Long] >= TE + 0x18) &&
+        System.currentTimeMillis() - t0 < 15000) Thread.sleep(20)
+      assert(client.lastError.isEmpty, s"client error: ${client.lastError}")
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+    assert(fl.toArray.exists(_.asInstanceOf[Long] >= TE + 0x18),
+      s"flush must advance past the trailing commit: ${fl.toArray.toSeq}")
+    // only the base relation record and the trailing normal insert —
+    // the empty streamed transaction leaves no data lines and no spool
+    val lines = new String(Files.readAllBytes(Paths.get(log)),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+    assert(lines.size == 2,
+      s"expected R + trailing insert only:\n$lines")
+    val f = lines.map(_.split("\t", -1))
+    assert(f(0)(2) == "R")
+    assert(f(1)(2) == "I" && f(1)(0) == (TE + 0x18).toString &&
+      PackedRow.parse(f(1)(7)) == Vector(Some("5"), Some("after"), None))
+  }
+
   test("wire: a SILENTLY dead server (no keepalives, socket held open) " +
       "trips the receive deadline and the client reconnects — the " +
       "wal_receiver_timeout analog") {

@@ -5,4 +5,9 @@ package org.apache.spark
   * deterministic. */
 object GraftTestBus {
   def drain(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
+
+  /** `ExecutorMetrics`' constructors are `private[spark]`; specs build
+    * synthetic heartbeat/stage metrics through this factory. */
+  def executorMetrics(metrics: Map[String, Long])
+      : executor.ExecutorMetrics = new executor.ExecutorMetrics(metrics)
 }

@@ -467,6 +467,51 @@ v3e = (backend(b"W", u8(0) + be16(0)) +
        keepalive(TC + 8, True))
 session.append(("stream_v3_empty", v3e))
 
+# fourteenth: a transactional logical message ('M', the engine's DDL
+# prefix) INSIDE a stream block — the protocol docs list Message among
+# the types that carry a leading Int32 xid when streamed. It must spool
+# with the block and replay at StreamCommit IN POSITION between the
+# block's inserts; an unknown-prefix streamed message is discarded at
+# replay (the DDL channel processes only the engine prefix).
+TD = 0xF000
+DDL2 = b'{"tableId":16384,"table":"users","cols":[]}'
+msg_ddl = (b"M" + u8(1) + be64(0xF100) + cstr("graft_ddl") +
+           be32(len(DDL2)) + DDL2)
+msg_other = (b"M" + u8(1) + be64(0xF200) + cstr("other_ext") +
+             be32(2) + b"zz")
+v2m = (backend(b"W", u8(0) + be16(0)) +
+       xlogdata(TD - 70, TD, REL) +
+       xlogdata(TD - 64, TD, b"S" + be32(980) + u8(1)) +
+       xlogdata(TD - 60, TD, streamed(980, INS("1", "pre"))) +
+       xlogdata(TD - 56, TD, streamed(980, msg_ddl)) +
+       xlogdata(TD - 52, TD, streamed(980, msg_other)) +
+       xlogdata(TD - 48, TD, streamed(980, INS("2", "post"))) +
+       xlogdata(TD - 44, TD, b"E") +
+       xlogdata(TD - 8, TD, b"c" + be32(980) + u8(0) + be64(TD) +
+                be64(TD + 8) + be64(TS)) +
+       keepalive(TD + 8, True))
+session.append(("stream_v2_msg", v2m))
+
+# fifteenth: an EMPTY stream block (StreamStart immediately followed by
+# StreamStop — every change of the spilled segment hit unpublished
+# tables), then its StreamCommit: zero data lines, the flush advances
+# past the commit, and the session stays healthy for a trailing normal
+# transaction.
+TE = 0xF800
+v2e = (backend(b"W", u8(0) + be16(0)) +
+       xlogdata(TE - 70, TE, REL) +
+       xlogdata(TE - 64, TE, b"S" + be32(985) + u8(1)) +
+       xlogdata(TE - 60, TE, b"E") +
+       xlogdata(TE - 8, TE, b"c" + be32(985) + u8(0) + be64(TE) +
+                be64(TE + 8) + be64(TS)) +
+       xlogdata(TE + 0x10, TE + 0x18, b"B" + be64(TE + 0x18) + be64(TS) +
+                be32(986)) +
+       xlogdata(TE + 0x14, TE + 0x18, INS("5", "after")) +
+       xlogdata(TE + 0x18, TE + 0x18, b"C" + u8(0) + be64(TE + 0x18) +
+                be64(TE + 0x20) + be64(TS)) +
+       keepalive(TE + 0x20, True))
+session.append(("stream_v2_empty", v2e))
+
 # ------------------------------------------------------------------ write
 def dump(path, rows):
     with open(path, "w") as f:
