@@ -54,6 +54,9 @@ import graft.sinks.{CdcSink, ChangelogSink, CurrentStateSink, ExactlyOnceSink, N
   *                                            # (unset = off; 0 = ephemeral,
   *                                            # bound port → metrics.port)
   *   backfill.<tableName> = <parquet path>    # optional initial snapshots
+  *   preflight = true                         # validate config + source
+  *                                            # before starting (warnings
+  *                                            # log, criticals abort)
   *   drain = true                             # process available + exit
   *
   * `store.dir` is the READ-REPLICA seam (reference
@@ -242,6 +245,28 @@ object Replicator {
     // pgoutput stream into the change log the DSv2 source tails; its
     // standby status updates report the checkpoint's durable flush LSN
     // (the `.progress` file the source commit writes)
+    // opt-in preflight validation (the reference control plane's
+    // validator suite, run engine-side — see graft.sources.Preflight):
+    // aggregated report; warnings log, criticals abort startup
+    if (get("preflight", "false") == "true") {
+      val prop = (k: String) => Option(props.getProperty(k))
+      val cfgFailures = graft.sources.Preflight.validateConfig(prop)
+      val srcFailures =
+        if (get("source.mode", "file") == "socket") {
+          val conn = new graft.sources.PgWireConnection(
+            get("source.host", "127.0.0.1"), get("source.port").toInt,
+            get("source.user", "graft"), get("source.database", "postgres"),
+            get("source.password", ""), replication = false,
+            sslMode = sslMode, sslRootCert = sslRootCert)
+          conn.connect()
+          try graft.sources.Preflight.validateSource(conn,
+            get("source.publication", "graft_pub"),
+            get("pipeline.maxTableSyncWorkers", "4").toInt)
+          finally conn.close()
+        } else Nil
+      graft.sources.Preflight.enforce(cfgFailures ++ srcFailures)
+    }
+
     val socketClient =
       if (get("source.mode", "file") == "socket") {
         val progressPath = java.nio.file.Paths.get(logPath + ".progress")

@@ -1,0 +1,158 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Preflight validation — the reference control plane's validator
+  * suite run engine-side (validators/{pipeline,replica_identity}.rs):
+  * aggregated critical/warning findings over the simple-query wire. */
+final class PreflightSpec extends AnyFunSuite {
+
+  // ----------------------------------------------------------- config
+  test("config checks aggregate every violation") {
+    val props = Map(
+      "source.slot" -> "Bad-Slot!",
+      "source.publication" -> "",
+      "pipeline.maxRowsPerTrigger" -> "0",
+      "source.protoVersion" -> "7")
+    val fails = Preflight.validateConfig(props.get)
+    assert(fails.size == 4 && fails.forall(_.critical),
+      fails.map(_.render).mkString("\n"))
+    assert(fails.exists(_.name == "Invalid Slot Name"))
+    assert(fails.exists(_.name == "Invalid Publication Name"))
+    assert(fails.exists(_.name == "Invalid Pipeline Config"))
+    assert(fails.exists(_.name == "Invalid Proto Version"))
+  }
+
+  test("a clean config passes; absent keys are not guessed at") {
+    val props = Map(
+      "source.slot" -> "graft_slot_01",
+      "pipeline.maxRowsPerTrigger" -> "100000")
+    assert(Preflight.validateConfig(props.get).isEmpty)
+    assert(Preflight.validateConfig(_ => None).isEmpty)
+  }
+
+  // ----------------------------------------------------------- source
+  /** Script the catalog surface: each entry maps a SQL substring to the
+    * canned result rows (null = SQL NULL). */
+  private def withSource(script: Seq[(String, Seq[Seq[String]])])
+      (body: PgWireConnection => Unit): Unit = {
+    val server = new FakePgServer()
+    server.queryHandler = sql =>
+      script.collectFirst {
+        case (marker, rows) if sql.contains(marker) => rows
+      }
+    val port = server.start()
+    val conn = new PgWireConnection("127.0.0.1", port, "graft",
+      "postgres", "", replication = false)
+    conn.connect()
+    try body(conn)
+    finally {
+      try conn.close() catch { case _: Throwable => () }
+      server.stop()
+    }
+  }
+
+  private val healthy = Seq(
+    "select exists(select 1 from pg_publication" -> Seq(Seq("t")),
+    "wal_level" -> Seq(Seq("logical")),
+    "max_replication_slots" -> Seq(Seq("10", "2")),
+    "max_wal_senders" -> Seq(Seq("10", "1")),
+    "max_slot_wal_keep_size" -> Seq(Seq("-1")),
+    "idle_replication_slot_timeout" -> Seq(Seq("0")),
+    "pubupdate, pubdelete" -> Seq(Seq("t", "t")),
+    "pg_get_publication_tables" -> Seq(
+      Seq("public.users", "d", "t", "f"),   // default + PK
+      Seq("public.events", "f", "f", "f"),  // full
+      Seq("public.tags", "i", "f", "t")))   // index + replident index
+
+  test("a healthy source reports no failures") {
+    withSource(healthy) { conn =>
+      assert(Preflight.validateSource(conn, "graft_pub", 4).isEmpty)
+    }
+  }
+
+  test("missing publication, wrong wal_level, exhausted slots and " +
+      "senders all report as criticals in ONE aggregated pass") {
+    val broken = Seq(
+      "select exists(select 1 from pg_publication" -> Seq(Seq("f")),
+      "wal_level" -> Seq(Seq("replica")),
+      "max_replication_slots" -> Seq(Seq("10", "8")),
+      "max_wal_senders" -> Seq(Seq("4", "3")),
+      "max_slot_wal_keep_size" -> Seq(Seq("-1")),
+      "idle_replication_slot_timeout" -> Seq(Seq("0")),
+      // publication row absent → identity audit skipped (the
+      // actionable failure is Publication Not Found)
+      "pubupdate, pubdelete" -> Seq.empty)
+    withSource(broken) { conn =>
+      // 1 apply + 4 sync workers = 5 required; 2 slots / 1 sender free
+      val fails = Preflight.validateSource(conn, "graft_pub", 4)
+      assert(fails.size == 4 && fails.forall(_.critical),
+        fails.map(_.render).mkString("\n"))
+      assert(fails.exists(_.name == "Publication Not Found"))
+      assert(fails.exists(_.name == "Wrong wal_level"))
+      assert(fails.exists(_.name == "Insufficient Replication Slots"))
+      assert(fails.exists(_.name == "Insufficient WAL Senders"))
+    }
+  }
+
+  test("retention and idle-timeout hazards are warnings, not blockers") {
+    val hazy = healthy.map {
+      case ("max_slot_wal_keep_size", _) =>
+        "max_slot_wal_keep_size" -> Seq(Seq("512"))
+      case ("idle_replication_slot_timeout", _) =>
+        "idle_replication_slot_timeout" -> Seq(Seq("120"))
+      case kv => kv
+    }
+    withSource(hazy) { conn =>
+      val fails = Preflight.validateSource(conn, "graft_pub", 4)
+      assert(fails.size == 2 && fails.forall(!_.critical),
+        fails.map(_.render).mkString("\n"))
+      assert(fails.exists(_.name == "Low Slot WAL Retention"))
+      assert(fails.exists(_.name == "Aggressive Idle Slot Timeout"))
+    }
+  }
+
+  test("a table with no usable replica identity is CRITICAL when the " +
+      "publication publishes UPDATE/DELETE, a warning otherwise") {
+    val noIdentity = Seq(
+      Seq("public.users", "d", "t", "f"),
+      Seq("public.nopk", "d", "f", "f"),   // default, NO primary key
+      Seq("public.nothing", "n", "t", "f")) // REPLICA IDENTITY NOTHING
+    val critical = healthy.map {
+      case ("pg_get_publication_tables", _) =>
+        "pg_get_publication_tables" -> noIdentity
+      case kv => kv
+    }
+    withSource(critical) { conn =>
+      val fails = Preflight.validateSource(conn, "graft_pub", 4)
+      assert(fails.size == 1 && fails.head.critical, fails)
+      assert(fails.head.name == "Unsupported Replica Identity")
+      assert(fails.head.detail.contains("public.nopk") &&
+        fails.head.detail.contains("public.nothing") &&
+        !fails.head.detail.contains("public.users"))
+    }
+    val tolerated = critical.map {
+      case ("pubupdate, pubdelete", _) =>
+        "pubupdate, pubdelete" -> Seq(Seq("f", "f"))
+      case kv => kv
+    }
+    withSource(tolerated) { conn =>
+      val fails = Preflight.validateSource(conn, "graft_pub", 4)
+      assert(fails.size == 1 && !fails.head.critical, fails)
+    }
+  }
+
+  test("enforce throws an aggregated message on criticals and " +
+      "tolerates warnings") {
+    Preflight.enforce(Seq(
+      PreflightFailure(critical = false, "Soft", "just a note")))
+    val e = intercept[IllegalStateException] {
+      Preflight.enforce(Seq(
+        PreflightFailure(critical = false, "Soft", "note"),
+        PreflightFailure(critical = true, "Hard A", "broken"),
+        PreflightFailure(critical = true, "Hard B", "also broken")))
+    }
+    assert(e.getMessage.contains("Hard A") &&
+      e.getMessage.contains("Hard B") && !e.getMessage.contains("Soft"))
+  }
+}
