@@ -168,6 +168,28 @@ object Replicator {
     if (get("pipeline.memorySignal", "driver") == "executor")
       graft.sources.ExecutorMemorySignal.install(spark)
 
+    // opt-in preflight validation (the reference control plane's
+    // validator suite, run engine-side — see graft.sources.Preflight):
+    // aggregated report; warnings log, criticals abort startup
+    if (get("preflight", "false") == "true") {
+      val prop = (k: String) => Option(props.getProperty(k))
+      val cfgFailures = graft.sources.Preflight.validateConfig(prop)
+      val srcFailures =
+        if (get("source.mode", "file") == "socket") {
+          val conn = new graft.sources.PgWireConnection(
+            get("source.host", "127.0.0.1"), get("source.port").toInt,
+            get("source.user", "graft"), get("source.database", "postgres"),
+            get("source.password", ""), replication = false,
+            sslMode = sslMode, sslRootCert = sslRootCert)
+          conn.connect()
+          try graft.sources.Preflight.validateSource(conn,
+            get("source.publication", "graft_pub"),
+            get("pipeline.maxTableSyncWorkers", "4").toInt)
+          finally conn.close()
+        } else Nil
+      graft.sources.Preflight.enforce(cfgFailures ++ srcFailures)
+    }
+
     val pipeline = new CdcPipeline(spark, config, registry, sink,
       CdcPipeline.jsonDecode)
     sink.startup(spark)
@@ -245,28 +267,6 @@ object Replicator {
     // pgoutput stream into the change log the DSv2 source tails; its
     // standby status updates report the checkpoint's durable flush LSN
     // (the `.progress` file the source commit writes)
-    // opt-in preflight validation (the reference control plane's
-    // validator suite, run engine-side — see graft.sources.Preflight):
-    // aggregated report; warnings log, criticals abort startup
-    if (get("preflight", "false") == "true") {
-      val prop = (k: String) => Option(props.getProperty(k))
-      val cfgFailures = graft.sources.Preflight.validateConfig(prop)
-      val srcFailures =
-        if (get("source.mode", "file") == "socket") {
-          val conn = new graft.sources.PgWireConnection(
-            get("source.host", "127.0.0.1"), get("source.port").toInt,
-            get("source.user", "graft"), get("source.database", "postgres"),
-            get("source.password", ""), replication = false,
-            sslMode = sslMode, sslRootCert = sslRootCert)
-          conn.connect()
-          try graft.sources.Preflight.validateSource(conn,
-            get("source.publication", "graft_pub"),
-            get("pipeline.maxTableSyncWorkers", "4").toInt)
-          finally conn.close()
-        } else Nil
-      graft.sources.Preflight.enforce(cfgFailures ++ srcFailures)
-    }
-
     val socketClient =
       if (get("source.mode", "file") == "socket") {
         val progressPath = java.nio.file.Paths.get(logPath + ".progress")

@@ -374,6 +374,53 @@ class ReplicatorSpec extends SparkSpec {
     assert(out(10L) == "pre-a")
   }
 
+  test("preflight=true aborts startup on a critical source failure " +
+      "BEFORE anything deploys — no slot, no stream, no backfill") {
+    import graft.sources.FakePgServer
+    spark.sparkContext
+    val work = Files.createTempDirectory("graft-preflight").toString
+    val reg = new SchemaRegistry
+    reg.put(TableSchemaV(1L, "users", 0L, IndexedSeq(
+      ColumnSpec("id", "int8", nullable = false, pkOrdinal = 1),
+      ColumnSpec("name", "text"))))
+    reg.save(s"$work/schemas.json")
+    val server = new FakePgServer()
+    // the publication is MISSING; everything else answers healthy
+    server.queryHandler = sql =>
+      if (sql.contains("select exists(select 1 from pg_publication"))
+        Some(Seq(Seq("f")))
+      else if (sql.contains("wal_level")) Some(Seq(Seq("logical")))
+      else if (sql.contains("max_replication_slots"))
+        Some(Seq(Seq("10", "0")))
+      else if (sql.contains("max_wal_senders")) Some(Seq(Seq("10", "0")))
+      else None
+    val port = server.start()
+    val cfg = s"""
+      |pipeline.id = preflight
+      |pipeline.workdir = $work
+      |preflight = true
+      |source.mode = socket
+      |source.host = 127.0.0.1
+      |source.port = $port
+      |source.log = $work/wal.log
+      |destination = null
+      |drain = true
+      |""".stripMargin
+    Files.write(Paths.get(s"$work/preflight.properties"),
+      cfg.getBytes(StandardCharsets.UTF_8))
+    try {
+      val e = intercept[IllegalStateException] {
+        graft.Replicator.main(Array(s"$work/preflight.properties"))
+      }
+      assert(e.getMessage.contains("Publication Not Found"), e.getMessage)
+      // the abort happened before deployment: the replication stream
+      // never started against the source
+      val qs = server.queries.toArray.map(_.toString)
+      assert(!qs.exists(_.startsWith("START_REPLICATION")),
+        s"preflight must abort before the slot starts: $qs")
+    } finally server.stop()
+  }
+
   test("read-replica mode: store connection independent of the source (store.dir)") {
     // mirrors pipeline_read_replica.rs:377 semantics: the source (the
     // standby's spool) and the progress/state STORE live on separate

@@ -1095,6 +1095,67 @@ class PgConformanceSpec extends AnyFunSuite {
       PackedRow.parse(f(1)(7)) == Vector(Some("5"), Some("after"), None))
   }
 
+  test("wire: TWO interleaved prepared transactions decided out of " +
+      "order — the flush cap holds at the EARLIEST undecided prepare " +
+      "through the later gid's commit, and releases at the earlier " +
+      "gid's rollback") {
+    val dir = Files.createTempDirectory("pg-conformance-v3two").toString
+    val log = s"$dir/wal.log"
+    val PA = 0x10000L; val CB = 0x13000L
+    val startQueries =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val fl = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val server = new ServerSocket(0)
+    replayConnections(server, Seq("stream_v3_two_gids" -> None),
+      startQueries, Seq(fl))
+    def durableProgress(): Long =
+      try {
+        val p = Paths.get(log)
+        if (!Files.exists(p)) 0L
+        else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+          .split("\n").filter(_.nonEmpty)
+          .map(_.split("\t")(0).toLong).maxOption.getOrElse(0L)
+      } catch { case _: Throwable => 0L }
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot14", "conf_pub14", log,
+      flushLsn = () => durableProgress(), protoVersion = 3)
+    try {
+      val t0 = System.currentTimeMillis()
+      client.start()
+      while (!fl.toArray.exists(_.asInstanceOf[Long] >= CB) &&
+        System.currentTimeMillis() - t0 < 15000) Thread.sleep(20)
+      assert(client.lastError.isEmpty, s"client error: ${client.lastError}")
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+    val flushes = fl.toArray.map(_.asInstanceOf[Long]).toSeq
+    // the cap sat exactly below the EARLIEST prepare while any gid was
+    // undecided — including AFTER the later gid's COMMIT PREPARED
+    // appended its lines (durable progress was already at gb's commit)
+    assert(flushes.contains(PA - 1),
+      s"the min-floor cap must report PA-1 while ga is undecided: $flushes")
+    assert(flushes.exists(_ >= CB),
+      s"the rollback of ga must release the cap: $flushes")
+    assert(!flushes.exists(v => v > PA - 1 && v < CB),
+      s"no flush may land between the cap and the release: $flushes")
+    // the rollback cleared the floor file; the log holds the base R,
+    // the normal insert, and gb's committed line — never ga's
+    assert(!Files.exists(Paths.get(log + ".prepare_floor")))
+    val lines = new String(Files.readAllBytes(Paths.get(log)),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+    val f = lines.map(_.split("\t", -1))
+    assert(lines.size == 3, s"expected R + normal + b1:\n$lines")
+    assert(f(0)(2) == "R")
+    assert(PackedRow.parse(f(1)(7)) ==
+      Vector(Some("5"), Some("normal"), None))
+    assert(f(2)(0) == CB.toString && PackedRow.parse(f(2)(7)) ==
+      Vector(Some("2"), Some("b1"), None),
+      s"gb applies exactly once at its COMMIT PREPARED: $lines")
+    assert(!lines.exists(_.contains("a1")),
+      "the rolled-back ga must leave no trace")
+  }
+
   test("wire: a SILENTLY dead server (no keepalives, socket held open) " +
       "trips the receive deadline and the client reconnects — the " +
       "wal_receiver_timeout analog") {

@@ -512,6 +512,38 @@ v2e = (backend(b"W", u8(0) + be16(0)) +
        keepalive(TE + 0x20, True))
 session.append(("stream_v2_empty", v2e))
 
+# sixteenth: TWO interleaved prepared transactions decided OUT OF
+# ORDER — gid 'ga' prepares at PA, gid 'gb' prepares at PB > PA, a
+# normal transaction commits past both, then gb COMMITs FIRST (the
+# flush cap must STAY below PA: ga is still undecided), and finally ga
+# ROLLBACKs (the cap clears and the flush advances to the tail).
+PA, PB, TF, CB, RA = 0x10000, 0x11000, 0x12000, 0x13000, 0x14000
+v3two = (backend(b"W", u8(0) + be16(0)) +
+         xlogdata(PA - 80, PA, REL) +
+         xlogdata(PA - 64, PA, b"b" + be64(PA) + be64(PA + 0x10) +
+                  be64(TS) + be32(990) + cstr("ga")) +
+         xlogdata(PA - 56, PA, INS("1", "a1")) +
+         xlogdata(PA - 40, PA, b"P" + u8(0) + be64(PA) + be64(PA + 0x10) +
+                  be64(TS) + be32(990) + cstr("ga")) +
+         xlogdata(PB - 64, PB, b"b" + be64(PB) + be64(PB + 0x10) +
+                  be64(TS) + be32(991) + cstr("gb")) +
+         xlogdata(PB - 56, PB, INS("2", "b1")) +
+         xlogdata(PB - 40, PB, b"P" + u8(0) + be64(PB) + be64(PB + 0x10) +
+                  be64(TS) + be32(991) + cstr("gb")) +
+         xlogdata(TF - 24, TF, b"B" + be64(TF) + be64(TS) + be32(992)) +
+         xlogdata(TF - 16, TF, INS("5", "normal")) +
+         xlogdata(TF - 8, TF, b"C" + u8(0) + be64(TF) + be64(TF + 8) +
+                  be64(TS)) +
+         # LATER prepare decided FIRST: flush may not pass PA yet
+         xlogdata(CB - 8, CB, b"K" + u8(0) + be64(CB) + be64(CB + 0x10) +
+                  be64(TS) + be32(991) + cstr("gb")) +
+         keepalive(CB + 0x10, True) +
+         # the EARLIER prepare rolls back: cap releases entirely
+         xlogdata(RA - 8, RA, b"r" + u8(0) + be64(PA + 0x10) + be64(RA) +
+                  be64(TS) + be64(TS + 1000) + be32(990) + cstr("ga")) +
+         keepalive(RA + 0x10, True))
+session.append(("stream_v3_two_gids", v3two))
+
 # ------------------------------------------------------------------ write
 def dump(path, rows):
     with open(path, "w") as f:
