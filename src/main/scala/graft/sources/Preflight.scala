@@ -105,26 +105,41 @@ object Preflight {
       conn.queryRows(sql)
     def scalar(sql: String): Option[String] =
       rows(sql).headOption.flatMap(_.headOption).flatten
+    /** One check; an unexpected per-check error (a malformed setting
+      * value, a catalog shape this server lacks) becomes a WARNING so
+      * the rest of the aggregated pass still runs — only wire-level
+      * IOExceptions abort (a dead connection invalidates everything). */
+    def checked(name: String)(body: => Unit): Unit =
+      try body catch {
+        case e: java.io.IOException => throw e
+        case scala.util.control.NonFatal(e) =>
+          out += PreflightFailure(critical = false, name,
+            s"check could not run: $e")
+      }
 
     // publication exists
-    val pubExists = bool(scalar(
-      s"select exists(select 1 from pg_publication where pubname = '$pub')"))
-    if (!pubExists)
-      out += PreflightFailure(critical = true, "Publication Not Found",
-        s"publication '$publication' does not exist in the source " +
-          "database; create it with CREATE PUBLICATION " +
-          s"$publication FOR TABLE <schema.table>, …")
+    checked("Publication Check") {
+      val pubExists = bool(scalar(
+        s"select exists(select 1 from pg_publication where pubname = '$pub')"))
+      if (!pubExists)
+        out += PreflightFailure(critical = true, "Publication Not Found",
+          s"publication '$publication' does not exist in the source " +
+            "database; create it with CREATE PUBLICATION " +
+            s"$publication FOR TABLE <schema.table>, …")
+    }
 
     // wal_level
+    checked("wal_level Check") {
     scalar("select current_setting('wal_level')").foreach { wl =>
       if (wl != "logical")
         out += PreflightFailure(critical = true, "Wrong wal_level",
           s"source wal_level is '$wl' but logical replication requires " +
             "'logical' (ALTER SYSTEM SET wal_level = 'logical' + restart)")
-    }
+    } }
 
     // replication-slot headroom: required = 1 apply + sync workers
     val required = maxTableSyncWorkers.toLong + 1L
+    checked("Replication Slot Check") {
     for (r <- rows(
       "select (select setting from pg_settings where name = " +
         "'max_replication_slots'), " +
@@ -139,9 +154,10 @@ object Preflight {
               "max_replication_slots")
         case _ => ()
       }
-    }
+    } }
 
     // wal-sender headroom
+    checked("WAL Sender Check") {
     for (r <- rows(
       "select (select setting from pg_settings where name = " +
         "'max_wal_senders'), " +
@@ -156,9 +172,10 @@ object Preflight {
               "raise max_wal_senders")
         case _ => ()
       }
-    }
+    } }
 
     // slot WAL retention (setting unit: MB; -1 = unlimited)
+    checked("Slot Retention Check") {
     scalar("select setting from pg_settings where name = " +
       "'max_slot_wal_keep_size'").foreach { v =>
       val mb = try v.toLong catch { case _: Exception => -1L }
@@ -167,9 +184,10 @@ object Preflight {
           s"max_slot_wal_keep_size = $mb MB; below 1024 MB a paused " +
             "pipeline risks slot invalidation during ordinary " +
             "maintenance windows")
-    }
+    } }
 
     // idle slot timeout (seconds; 0 = disabled)
+    checked("Idle Slot Timeout Check") {
     scalar("select setting from pg_settings where name = " +
       "'idle_replication_slot_timeout'").foreach { v =>
       val secs = try v.toLong catch { case _: Exception => 0L }
@@ -178,9 +196,10 @@ object Preflight {
           "Aggressive Idle Slot Timeout",
           s"idle_replication_slot_timeout = $secs s; at or below 300 s " +
             "an incident pause can invalidate the slot")
-    }
+    } }
 
     // replica identity audit — only when the publication resolves
+    checked("Replica Identity Check") {
     for (pubOps <- rows("select pubupdate, pubdelete from " +
       s"pg_publication where pubname = '$pub'").headOption) {
       val pubUpd = bool(pubOps.lift(0).flatten)
@@ -224,7 +243,7 @@ object Preflight {
             detail + " (tolerated now: the publication does not " +
               "publish UPDATE/DELETE)")
       }
-    }
+    } }
 
     out.result()
   }

@@ -142,6 +142,27 @@ final class PreflightSpec extends AnyFunSuite {
     }
   }
 
+  test("a malformed setting value downgrades ITS check to a warning; " +
+      "the rest of the aggregated pass still runs") {
+    val garbled = healthy.map {
+      case ("max_replication_slots", _) =>
+        "max_replication_slots" -> Seq(Seq("not-a-number", "0"))
+      case ("select exists(select 1 from pg_publication", _) =>
+        "select exists(select 1 from pg_publication" -> Seq(Seq("f"))
+      case kv => kv
+    }
+    withSource(garbled) { conn =>
+      val fails = Preflight.validateSource(conn, "graft_pub", 4)
+      assert(fails.exists(f => f.critical &&
+        f.name == "Publication Not Found"),
+        "later checks must still run after a garbled one")
+      assert(fails.exists(f => !f.critical &&
+        f.name == "Replication Slot Check" &&
+        f.detail.contains("check could not run")),
+        fails.map(_.render).mkString("\n"))
+    }
+  }
+
   test("enforce throws an aggregated message on criticals and " +
       "tolerates warnings") {
     Preflight.enforce(Seq(
