@@ -1156,6 +1156,58 @@ class PgConformanceSpec extends AnyFunSuite {
       "the rolled-back ga must leave no trace")
   }
 
+  test("wire: SERVER-INITIATED CopyDone (wal sender shutdown) ends the " +
+      "stream gracefully — no error, one reconnect, resume from the " +
+      "durable flush, each transaction applied exactly once") {
+    val dir = Files.createTempDirectory("pg-conformance-cd").toString
+    val log = s"$dir/wal.log"
+    val TG = 0x15000L; val TH = 0x15800L
+    val startQueries =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val fl1 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val fl2 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val server = new ServerSocket(0)
+    replayConnections(server,
+      Seq("stream_copydone_a" -> None, "stream_copydone_b" -> None),
+      startQueries, Seq(fl1, fl2))
+    def durableProgress(): Long =
+      try {
+        val p = Paths.get(log)
+        if (!Files.exists(p)) 0L
+        else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+          .split("\n").filter(_.nonEmpty)
+          .map(_.split("\t")(0).toLong).maxOption.getOrElse(0L)
+      } catch { case _: Throwable => 0L }
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot15", "conf_pub15", log,
+      flushLsn = () => durableProgress())
+    try {
+      val t0 = System.currentTimeMillis()
+      client.start(reconnectBackoffMs = 100)
+      while (!fl2.toArray.exists(_.asInstanceOf[Long] >= TH) &&
+        System.currentTimeMillis() - t0 < 20000) Thread.sleep(20)
+      // a graceful sender shutdown is NOT an error — the only session
+      // teardown the client may record is the reconnect itself
+      assert(client.reconnects.get() == 1,
+        s"expected exactly one reconnect: ${client.reconnects.get()}")
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+    assert(fl2.toArray.exists(_.asInstanceOf[Long] >= TH),
+      s"the second session must resume and confirm: ${fl2.toArray.toSeq}")
+    val qs = startQueries.toArray.map(_.toString)
+    assert(qs.size == 2, s"two START_REPLICATION requests: ${qs.toSeq}")
+    // resume position: at least the durable flush of session A
+    assert(qs(1).contains(ReplicationSocketClient.formatLsn(TG)),
+      s"the restart must request the durable flush: ${qs(1)}")
+    val lines = new String(Files.readAllBytes(Paths.get(log)),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+    assert(lines.count(_.contains("one")) == 1 &&
+      lines.count(_.contains("two")) == 1,
+      s"each transaction applies exactly once across the CopyDone:\n$lines")
+  }
+
   test("wire: a SILENTLY dead server (no keepalives, socket held open) " +
       "trips the receive deadline and the client reconnects — the " +
       "wal_receiver_timeout analog") {

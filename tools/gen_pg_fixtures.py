@@ -544,6 +544,34 @@ v3two = (backend(b"W", u8(0) + be16(0)) +
          keepalive(RA + 0x10, True))
 session.append(("stream_v3_two_gids", v3two))
 
+# seventeenth/eighteenth: SERVER-INITIATED CopyDone — a shutting-down
+# wal sender (restart, standby promotion) ends the COPY-BOTH stream
+# with CopyDone ('c') + CommandComplete + ReadyForQuery. The client
+# must treat it as a GRACEFUL stream end (not an error), reconnect,
+# and resume from its durable flush: session B delivers the next
+# transaction only.
+TG, TH = 0x15000, 0x15800
+cd_a = (backend(b"W", u8(0) + be16(0)) +
+        xlogdata(TG - 70, TG, REL) +
+        xlogdata(TG - 24, TG, b"B" + be64(TG) + be64(TS) + be32(995)) +
+        xlogdata(TG - 16, TG, INS("1", "one")) +
+        xlogdata(TG - 8, TG, b"C" + u8(0) + be64(TG) + be64(TG + 8) +
+                 be64(TS)) +
+        keepalive(TG + 8, True) +
+        # graceful sender shutdown: CopyDone, CommandComplete, ready
+        backend(b"c", b"") +
+        backend(b"C", cstr("COPY 0")) +
+        backend(b"Z", b"I"))
+cd_b = (backend(b"W", u8(0) + be16(0)) +
+        xlogdata(TG - 70, TH, REL) +
+        xlogdata(TH - 24, TH, b"B" + be64(TH) + be64(TS) + be32(996)) +
+        xlogdata(TH - 16, TH, INS("2", "two")) +
+        xlogdata(TH - 8, TH, b"C" + u8(0) + be64(TH) + be64(TH + 8) +
+                 be64(TS)) +
+        keepalive(TH + 8, True))
+session.append(("stream_copydone_a", cd_a))
+session.append(("stream_copydone_b", cd_b))
+
 # ------------------------------------------------------------------ write
 def dump(path, rows):
     with open(path, "w") as f:
