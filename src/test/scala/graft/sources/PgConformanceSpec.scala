@@ -101,6 +101,11 @@ class PgConformanceSpec extends AnyFunSuite {
     "insert_after_ddl" -> Insert(16384,
       t(TText("7"), TText("gail"), TNull, TText("1.5"))),
     "origin_empty" -> Origin(0x3333L, ""),
+    // zero-column table (CREATE TABLE t()): ncols=0 relation, empty
+    // tuple insert — both legal on a live wire
+    "relation_zero_cols" ->
+      Relation(16390, "public", "zero", 'n', IndexedSeq()),
+    "insert_zero_cols" -> Insert(16390, t()),
     // protocol v2: streamed in-progress transactions (PG 14+)
     "stream_start" -> StreamStart(777, firstSegment = true),
     "stream_start_next" -> StreamStart(777, firstSegment = false),

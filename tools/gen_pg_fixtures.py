@@ -132,6 +132,13 @@ frame("logical_msg",
 frame("logical_msg_foreign",
       b"M" + u8(0) + be64(0x2223) + cstr("other_ext") + be32(3) + b"abc")
 
+# zero-column table (CREATE TABLE t() is legal; pgoutput sends ncols=0
+# and inserts carry an empty TupleData) with REPLICA IDENTITY NOTHING
+REL_ZERO = (b"R" + be32(16390) + cstr("public") + cstr("zero") +
+            u8(ord("n")) + be16(0))
+frame("relation_zero_cols", REL_ZERO)
+frame("insert_zero_cols", b"I" + be32(16390) + b"N" + tuple_data())
+
 # ---------------- protocol v2: streamed in-progress transactions (PG 14+)
 # Stream Start: Int32 xid, Int8 first_segment
 frame("stream_start", b"S" + be32(777) + u8(1))
