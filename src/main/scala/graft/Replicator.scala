@@ -33,6 +33,7 @@ import graft.sinks.{CdcSink, ChangelogSink, CurrentStateSink, ExactlyOnceSink, N
   *   source.user = graft  source.password = …  source.database = postgres
   *   source.sslmode = disable|require|verify-ca|verify-full  # TLS
   *   source.sslrootcert = /path/ca.pem        # trust anchors (verify-ca)
+  *   source.binary = true                     # PG 14+ binary tuple mode
   *   source.protoVersion = 1 | 2 | 3          # 2: streamed large txs,
   *                                            # 3: + two-phase commit
   *   source.origin = any | none               # foreign-origin tx filter
@@ -182,10 +183,25 @@ object Replicator {
             get("source.password", ""), replication = false,
             sslMode = sslMode, sslRootCert = sslRootCert)
           conn.connect()
-          try graft.sources.Preflight.validateSource(conn,
-            get("source.publication", "graft_pub"),
-            get("pipeline.maxTableSyncWorkers", "4").toInt)
-          finally conn.close()
+          try {
+            val src = graft.sources.Preflight.validateSource(conn,
+              get("source.publication", "graft_pub"),
+              get("pipeline.maxTableSyncWorkers", "4").toInt)
+            // merge-shaped destinations additionally require a primary
+            // key per published table (the reference's per-destination
+            // PrimaryKeyValidator); append changelog shapes do not
+            val pk = get("destination", "current_state") match {
+              case "current_state" =>
+                graft.sources.Preflight.validatePrimaryKeys(conn,
+                  get("source.publication", "graft_pub"),
+                  "current-state merge")
+              case "jdbc" =>
+                graft.sources.Preflight.validatePrimaryKeys(conn,
+                  get("source.publication", "graft_pub"), "JDBC merge")
+              case _ => Nil
+            }
+            src ++ pk
+          } finally conn.close()
         } else Nil
       graft.sources.Preflight.enforce(cfgFailures ++ srcFailures)
     }
@@ -290,6 +306,10 @@ object Replicator {
           // PgOutput.DecodeSession); 1 = the reference's
           // whole-tx-at-commit default
           protoVersion = get("source.protoVersion", "1").toInt,
+          // PG 14+ binary tuple mode: cells arrive in binary send format
+          // and decode through graft.core.PgBinary to the same text
+          // forms — skips the server's per-value output function
+          binaryMode = get("source.binary", "false") == "true",
           // streamed/prepared-tx spools default NEXT TO THE LOG (real
           // disk); override when the log volume is small or slow
           spoolDir = Option(props.getProperty("source.spoolDir")),

@@ -1,0 +1,136 @@
+package graft.core
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.time.LocalDate
+
+/** Postgres BINARY wire format → the type's TEXT form.
+  *
+  * pgoutput's optional `binary 'true'` mode sends tuple cells in each
+  * type's binary send format instead of its text output. The reference
+  * refuses such cells outright ("Binary format not supported",
+  * crates/etl/src/postgres/codec/event.rs:979), which forces text mode
+  * and its parse/print cost on every row; we accept them and convert to
+  * the SAME text form the rest of the decode path already speaks, so a
+  * binary-mode stream is indistinguishable downstream from a text-mode
+  * one (one canonical value representation, verified cell-for-cell by
+  * the `stream_binary` conformance session).
+  *
+  * Formats are from the public PostgreSQL source's send functions
+  * (`utils/adt/{bool,int,float,date,timestamp,uuid,numeric,varlena}.c`):
+  * network byte order throughout; temporal types count from the
+  * Postgres epoch 2000-01-01; `numeric` is base-10000 digit groups.
+  * Types without an implemented conversion fall back to bytea-style hex
+  * (`\x…`) — the same representation text mode uses for raw bytes — so
+  * an exotic type degrades to an opaque-but-lossless value rather than
+  * an error.
+  */
+object PgBinary {
+
+  /** Microseconds from the Postgres epoch (2000-01-01) to the Unix
+    * epoch; days likewise. */
+  private val PgEpochMicros = 946684800000000L
+  private val PgEpochDays = 10957L
+
+  /** Text-output types whose binary send format IS their UTF-8 text:
+    * text, name, bpchar, varchar, json, xml (varlena.c / json.c —
+    * `textsend` is just the bytes). Treating these as bytea (the old
+    * fallback) published hex instead of the string — the one case
+    * where the fallback was WRONG rather than merely opaque. */
+  private val Utf8Oids = Set(25, 19, 1042, 1043, 114, 142)
+
+  def text(typeOid: Int, arr: Array[Byte]): String = {
+    def bb = ByteBuffer.wrap(arr)
+    (typeOid, arr.length) match {
+      case (16, 1) => if (arr(0) != 0) "t" else "f"
+      case (21, 2) => bb.getShort.toString
+      case (23, 4) => bb.getInt.toString
+      case (20, 8) => bb.getLong.toString
+      case (26, 4) => (bb.getInt.toLong & 0xffffffffL).toString
+      case (700, 4) => bb.getFloat.toString // NaN/Infinity match PG text
+      case (701, 8) => bb.getDouble.toString
+      case (oid, _) if Utf8Oids(oid) =>
+        new String(arr, StandardCharsets.UTF_8)
+      case (3802, n) if n >= 1 && arr(0) == 1 =>
+        // jsonb: 1-byte version header (always 1) + the JSON text
+        new String(arr, 1, n - 1, StandardCharsets.UTF_8)
+      case (1082, 4) => dateText(bb.getInt)
+      case (1083, 8) => PgText.renderTimeMicros(bb.getLong)
+      case (1114, 8) => timestampText(bb.getLong, tz = false)
+      case (1184, 8) => timestampText(bb.getLong, tz = true)
+      case (2950, 16) => uuidText(arr)
+      case (1700, n) if n >= 8 => numericText(bb)
+      case _ => "\\x" + arr.map("%02x".format(_)).mkString
+    }
+  }
+
+  /** `date`: int32 days since 2000-01-01; ±Int.MaxValue are the
+    * infinity sentinels (datatype/timestamp.h) — rendered as their text
+    * forms so binary mode rejects them exactly where text mode does. */
+  private def dateText(days: Int): String =
+    if (days == Int.MaxValue) "infinity"
+    else if (days == Int.MinValue) "-infinity"
+    else PgText.renderDate(LocalDate.ofEpochDay(days.toLong + PgEpochDays))
+
+  /** `timestamp[tz]`: int64 microseconds since 2000-01-01 (UTC for
+    * timestamptz); ±Long.MaxValue are the infinity sentinels. */
+  private def timestampText(pgMicros: Long, tz: Boolean): String =
+    if (pgMicros == Long.MaxValue) "infinity"
+    else if (pgMicros == Long.MinValue) "-infinity"
+    else {
+      val unixMicros = pgMicros + PgEpochMicros
+      if (tz) PgText.renderTimestampTzMicros(unixMicros)
+      else PgText.renderTimestampMicros(unixMicros)
+    }
+
+  private def uuidText(arr: Array[Byte]): String = {
+    val h = arr.map("%02x".format(_)).mkString
+    s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
+      s"${h.substring(16, 20)}-${h.substring(20)}"
+  }
+
+  /** `numeric` (numeric.c `numeric_send`): ndigits(u16), weight(i16,
+    * exponent of the FIRST base-10000 group), sign(u16), dscale(u16),
+    * then ndigits base-10000 groups. Sign 0xC000/0xD000/0xF000 are
+    * NaN/+Inf/-Inf (PG 14+). Text form: exactly `dscale` fractional
+    * digits, groups beyond the transmitted ones are zero (PG strips
+    * leading/trailing zero groups on send). */
+  private def numericText(b: ByteBuffer): String = {
+    val nd = b.getShort.toInt
+    val weight = b.getShort.toInt
+    val sign = b.getShort & 0xffff
+    val dscale = b.getShort & 0x3fff
+    require(nd >= 0 && b.remaining >= 2 * nd,
+      s"malformed binary numeric: ndigits=$nd, ${b.remaining} bytes left")
+    sign match {
+      case 0xC000 => "NaN"
+      case 0xD000 => "Infinity"
+      case 0xF000 => "-Infinity"
+      case s if s == 0 || s == 0x4000 =>
+        val digits = Array.fill(nd)(b.getShort.toInt)
+        def group(i: Int): Int = if (i >= 0 && i < nd) digits(i) else 0
+        val sb = new StringBuilder
+        if (s == 0x4000) sb += '-'
+        if (weight < 0) sb += '0'
+        else {
+          var i = 0
+          while (i <= weight) {
+            if (i == 0) sb.append(group(0).toString)
+            else sb.append(f"${group(i)}%04d")
+            i += 1
+          }
+        }
+        if (dscale > 0) {
+          sb += '.'
+          val frac = new StringBuilder
+          var i = weight + 1
+          while (frac.length < dscale) { frac.append(f"${group(i)}%04d"); i += 1 }
+          sb.append(frac.substring(0, dscale))
+        }
+        sb.toString
+      case other =>
+        throw new IllegalArgumentException(
+          f"unknown binary numeric sign 0x$other%04x")
+    }
+  }
+}

@@ -389,25 +389,15 @@ object PgOutput {
           Some(s""""${c.name}":$rendered""")
         case TBinary(bs) =>
           // binary-format values (the stream's optional `binary` mode):
-          // fixed-width numerics/bool decode directly; everything else
-          // renders as bytea hex (the text form of raw bytes)
-          val arr = bs.toArray
-          def bb = ByteBuffer.wrap(arr)
-          val rendered = (c.typeOid, arr.length) match {
-            case (16, 1) => if (arr(0) != 0) "true" else "false"
-            case (21, 2) => bb.getShort.toString
-            case (23, 4) => bb.getInt.toString
-            case (20, 8) => bb.getLong.toString
-            case (26, 4) => (bb.getInt.toLong & 0xffffffffL).toString
-            case (700, 4) =>
-              val f = bb.getFloat
-              if (f.isNaN || f.isInfinite) quoted(f.toString) else f.toString
-            case (701, 8) =>
-              val d = bb.getDouble
-              if (d.isNaN || d.isInfinite) quoted(d.toString) else d.toString
-            case _ =>
-              s""""\\\\x${arr.map("%02x".format(_)).mkString}""""
-          }
+          // convert to the type's TEXT form (graft.core.PgBinary), then
+          // render exactly like a text-mode cell — one canonical JSON
+          // shape regardless of the negotiated tuple format
+          val s = graft.core.PgBinary.text(c.typeOid, bs.toArray)
+          val rendered =
+            if (c.typeOid == 16) (if (s == "t") "true" else "false")
+            else if (numericOids.contains(c.typeOid) &&
+              plainNumber.matches(s)) s
+            else quoted(s)
           Some(s""""${c.name}":$rendered""")
       }
     }
@@ -415,25 +405,15 @@ object PgOutput {
   }
 
   /** Postgres TEXT form of one tuple value (None = NULL); binary-mode
-    * fixed-width values convert to their text forms, anything else
-    * renders as bytea hex. Shared by [[tuplePacked]]. */
+    * values convert through [[graft.core.PgBinary]] — fixed-width
+    * numerics, text-ish types, temporals, uuid and numeric all render
+    * as their text forms; unsupported types fall back to bytea hex.
+    * Shared by [[tuplePacked]]. */
   private def valueText(typeOid: Int, v: TupleValue): Option[String] =
     v match {
       case TNull | TUnchangedToast => None
       case TText(s) => Some(s)
-      case TBinary(bs) =>
-        val arr = bs.toArray
-        def bb = ByteBuffer.wrap(arr)
-        Some((typeOid, arr.length) match {
-          case (16, 1) => if (arr(0) != 0) "t" else "f"
-          case (21, 2) => bb.getShort.toString
-          case (23, 4) => bb.getInt.toString
-          case (20, 8) => bb.getLong.toString
-          case (26, 4) => (bb.getInt.toLong & 0xffffffffL).toString
-          case (700, 4) => bb.getFloat.toString
-          case (701, 8) => bb.getDouble.toString
-          case _ => "\\x" + arr.map("%02x".format(_)).mkString
-        })
+      case TBinary(bs) => Some(graft.core.PgBinary.text(typeOid, bs.toArray))
     }
 
   /** PACKED payload for a tuple ([[graft.core.PackedRow]]): raw text

@@ -96,19 +96,18 @@ object Preflight {
     *    partition parents for inherited PKs — pgoutput publishes leaf
     *    relations and leaves carry their own PK in supported layouts.
     */
-  def validateSource(conn: PgWireConnection, publication: String,
-      maxTableSyncWorkers: Int): Seq[PreflightFailure] = {
-    val out = Seq.newBuilder[PreflightFailure]
-    val pub = esc(publication)
-
+  /** Shared audit plumbing: aggregated findings over one connection.
+    * A per-check error (a malformed setting value, a catalog shape
+    * this server lacks) becomes a WARNING so the rest of the pass
+    * still runs — only wire-level IOExceptions abort (a dead
+    * connection invalidates everything). */
+  private final class Audit(conn: PgWireConnection) {
+    val out: scala.collection.mutable.Builder[PreflightFailure,
+      Seq[PreflightFailure]] = Seq.newBuilder[PreflightFailure]
     def rows(sql: String): Seq[IndexedSeq[Option[String]]] =
       conn.queryRows(sql)
     def scalar(sql: String): Option[String] =
       rows(sql).headOption.flatMap(_.headOption).flatten
-    /** One check; an unexpected per-check error (a malformed setting
-      * value, a catalog shape this server lacks) becomes a WARNING so
-      * the rest of the aggregated pass still runs — only wire-level
-      * IOExceptions abort (a dead connection invalidates everything). */
     def checked(name: String)(body: => Unit): Unit =
       try body catch {
         case e: java.io.IOException => throw e
@@ -116,6 +115,13 @@ object Preflight {
           out += PreflightFailure(critical = false, name,
             s"check could not run: $e")
       }
+  }
+
+  def validateSource(conn: PgWireConnection, publication: String,
+      maxTableSyncWorkers: Int): Seq[PreflightFailure] = {
+    val audit = new Audit(conn)
+    import audit.{checked, out, rows, scalar}
+    val pub = esc(publication)
 
     // publication exists
     checked("Publication Check") {
@@ -244,6 +250,84 @@ object Preflight {
               "publish UPDATE/DELETE)")
       }
     } }
+
+    out.result()
+  }
+
+  /** Primary-key audit for merge-shaped destinations (the reference's
+    * `PrimaryKeyValidator`, validators/primary_key.rs): a current-state
+    * or JDBC merge sink keys every UPDATE/DELETE on the table's primary
+    * key, so a published table WITHOUT one cannot be merged — even when
+    * REPLICA IDENTITY FULL satisfies the streaming layer. Two checks:
+    *  1. published tables with no PRIMARY KEY constraint → critical
+    *     (skipped entirely when the publication is missing — the
+    *     pipeline validator reports that, primary_key.rs:55-60);
+    *  2. PG 15+ only: a publication COLUMN LIST that omits PK columns
+    *     strips the merge key from every event → critical
+    *     (primary_key.rs:117-180).
+    * Unlike the reference we do not walk partition parents for
+    * inherited PKs (same leaf-relation stance as the replica-identity
+    * audit above). Call only for destinations that merge on key;
+    * append-changelog shapes need no PK. */
+  def validatePrimaryKeys(conn: PgWireConnection, publication: String,
+      destinationName: String): Seq[PreflightFailure] = {
+    val audit = new Audit(conn)
+    import audit.{checked, out, rows, scalar}
+    val pub = esc(publication)
+
+    checked("Primary Key Check") {
+      val pubExists = bool(scalar(
+        s"select exists(select 1 from pg_publication where pubname = '$pub')"))
+      if (pubExists) {
+        val noPk = rows(
+          "select n.nspname || '.' || c.relname " +
+            "from pg_publication p " +
+            "cross join lateral pg_get_publication_tables(p.pubname) gpt " +
+            "join pg_class c on c.oid = gpt.relid " +
+            "join pg_namespace n on n.oid = c.relnamespace " +
+            s"where p.pubname = '$pub' " +
+            "and not exists (select 1 from pg_constraint con " +
+            "where con.conrelid = c.oid and con.contype = 'p') " +
+            "order by 1").flatMap(_.headOption.flatten)
+        if (noPk.nonEmpty)
+          out += PreflightFailure(critical = true, "Missing Primary Key",
+            s"the $destinationName destination merges each UPDATE/DELETE " +
+              "on the table's primary key, but these published tables " +
+              s"have none: ${noPk.mkString(", ")}; add a primary key or " +
+              "switch those tables to an append (changelog) destination")
+      }
+    }
+
+    // publication column lists exist from PG 15; a list omitting a PK
+    // column would strip the merge key from every replicated event
+    checked("Primary Key Column List Check") {
+      val vnum = scalar("select current_setting('server_version_num')")
+        .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(0)
+      if (vnum >= 150000) {
+        val omitted = rows(
+          "select pt.schemaname || '.' || pt.tablename " +
+            "from pg_publication_tables pt " +
+            "join pg_namespace n on n.nspname = pt.schemaname " +
+            "join pg_class c on c.relnamespace = n.oid " +
+            "and c.relname = pt.tablename " +
+            s"where pt.pubname = '$pub' and pt.attnames is not null " +
+            "and exists (select 1 from pg_constraint con " +
+            "cross join lateral unnest(con.conkey) as k(attnum) " +
+            "join pg_attribute a on a.attrelid = c.oid " +
+            "and a.attnum = k.attnum " +
+            "where con.conrelid = c.oid and con.contype = 'p' " +
+            "and a.attname <> all(pt.attnames)) " +
+            "order by 1").flatMap(_.headOption.flatten)
+        if (omitted.nonEmpty)
+          out += PreflightFailure(critical = true,
+            "Primary Key Column Not Replicated",
+            "these tables' publication column lists omit primary-key " +
+              s"columns: ${omitted.mkString(", ")}; the " +
+              s"$destinationName destination cannot merge events that " +
+              "lack their key — ALTER PUBLICATION … SET TABLE <t> to " +
+              "include every primary-key column")
+      }
+    }
 
     out.result()
   }

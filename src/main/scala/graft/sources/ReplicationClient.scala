@@ -71,6 +71,14 @@ final class ReplicationSocketClient(
       * emits whole at StreamCommit — bounded publisher memory, no
       * commit-sized latency cliff; see [[PgOutput.DecodeSession]]). */
     protoVersion: Int = 1,
+    /** Request `binary 'true'` (PG 14+): tuple cells arrive in each
+      * type's binary send format instead of its text output —
+      * [[graft.core.PgBinary]] converts them back to canonical text, so
+      * downstream is format-agnostic. Saves the server's per-value
+      * output-function call on wide numeric/temporal tables. The
+      * reference cannot enable this (its codec rejects binary cells,
+      * codec/event.rs:979). */
+    binaryMode: Boolean = false,
     /** Base directory for streamed/prepared-transaction spools. The
       * default sits NEXT TO THE CHANGE LOG — real disk, not the JVM
       * temp dir, which is often a size-limited tmpfs a 100 GB streamed
@@ -244,9 +252,11 @@ final class ReplicationSocketClient(
       if (protoVersion >= 2) ", streaming 'true'" else ""
     val twoPhase = // v3: prepared transactions decode at PREPARE time
       if (protoVersion >= 3) ", two_phase 'true'" else ""
+    val binary = // PG 14+: tuple cells in binary send format
+      if (binaryMode) ", binary 'true'" else ""
     simpleQuery(s"""START_REPLICATION SLOT "$slotName" LOGICAL $lsn """ +
       s"""(proto_version '$protoVersion', """ +
-      s"""publication_names '$publication'$streaming$twoPhase)""")
+      s"""publication_names '$publication'$streaming$twoPhase$binary)""")
     val (t, payload) = readMessage()
     t match {
       case 'W' => () // CopyBothResponse — streaming begins

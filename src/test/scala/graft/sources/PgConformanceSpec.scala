@@ -1346,4 +1346,60 @@ class PgConformanceSpec extends AnyFunSuite {
     assert(normal.size == 2 && normal.distinct.size == 1,
       "the redelivered tail must be byte-identical (replay-collapsible)")
   }
+
+  test("wire: BINARY tuple mode (`binary 'true'`) — a type-diverse " +
+      "insert/update decodes to the same canonical text forms as text " +
+      "mode, TOAST placeholders included") {
+    val dir = Files.createTempDirectory("pg-conformance-bin").toString
+    val log = s"$dir/wal.log"
+    val startQueries =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val fl = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val server = new ServerSocket(0)
+    replayConnections(server, Seq("stream_binary" -> None),
+      startQueries, Seq(fl))
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot_bin", "conf_pub_bin", log,
+      flushLsn = () => 0x16008L, binaryMode = true)
+    try {
+      val t0 = System.currentTimeMillis()
+      client.start()
+      // 5 XLogData frames + 1 keepalive
+      while ((client.framesReceived.get() < 5 ||
+        client.keepalivesReceived.get() < 1) &&
+        System.currentTimeMillis() - t0 < 15000) Thread.sleep(20)
+      assert(client.framesReceived.get() == 5,
+        s"frames=${client.framesReceived.get()} err=${client.lastError}")
+      assert(client.lastError.isEmpty, s"client error: ${client.lastError}")
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+    // the client must NEGOTIATE binary mode on the wire
+    val qs = startQueries.toArray.map(_.toString)
+    assert(qs.size == 1 && qs(0).contains("binary 'true'"),
+      s"START_REPLICATION must request binary mode: $qs")
+
+    val lines = new String(Files.readAllBytes(Paths.get(log)),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+    assert(lines.size == 3, s"expected R + I + U, got:\n$lines")
+    val f = lines.map(_.split("\t", -1))
+    assert(f(0)(2) == "R" && f(0)(3) == "16392")
+    // the insert: every cell arrived binary, decodes to PG text forms
+    assert(f(1)(2) == "I")
+    assert(PackedRow.parse(f(1)(7)) == Vector(
+      Some("7"), Some("t"), Some("3000000000"), Some("-2.25"),
+      Some("héllo"), Some("""{"a":1}"""), Some("2022-10-16"),
+      Some("2000-01-01 00:00:00+00"),
+      Some("a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11"), Some("1234.5678")))
+    // the update: binary key image, binary new values, TOAST mask
+    assert(f(2)(2) == "U")
+    assert(PackedRow.parse(f(2)(6)).head == Some("7"),
+      "binary key image must decode")
+    assert(PackedRow.parse(f(2)(7)) == Vector(
+      Some("7"), Some("f"), None, None, Some("rené"), None, None, None,
+      None, Some("-0.001")))
+    assert(f(2)(8) == "cnt,ratio,born,at,uid",
+      s"TOAST mask must name the unchanged columns, got '${f(2)(8)}'")
+  }
 }

@@ -166,6 +166,31 @@ class PgOutputSpec extends AnyFunSuite with PropSpec {
       """{"id":42,"n":-7,"x":2.5,"ok":true,"raw":"\\xdead"}""")
   }
 
+  test("binary-format text/temporal/uuid/numeric values render as their " +
+      "PG text forms (graft.core.PgBinary), numerics bare in JSON") {
+    val r = Relation(1, "public", "t", 'd', Vector(
+      RelCol(1, "id", 23, -1), RelCol(0, "s", 25, -1),
+      RelCol(0, "d", 1082, -1), RelCol(0, "ts", 1184, -1),
+      RelCol(0, "u", 2950, -1), RelCol(0, "p", 1700, -1)))
+    def bin(bytes: Array[Byte]) = TBinary(bytes.toVector)
+    def be32v(v: Int) =
+      bin(java.nio.ByteBuffer.allocate(4).putInt(v).array())
+    def be64v(v: Long) =
+      bin(java.nio.ByteBuffer.allocate(8).putLong(v).array())
+    val uuid = bin(("a0eebc999c0b4ef8bb6d6bb9bd380a11").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray)
+    val num = bin(java.nio.ByteBuffer.allocate(12).putShort(2).putShort(0)
+      .putShort(0).putShort(4).putShort(1234).putShort(5678).array())
+    val line = toEnvelopeLine(Insert(1, Vector(
+      be32v(7),
+      bin("héllo".getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+      be32v(8324), be64v(0L), uuid, num)), _ => r, 1L, 0L, 0L).get
+    val after = line.split("\t", -1)(7)
+    assert(after == """{"id":7,"s":"héllo","d":"2022-10-16",""" +
+      """"ts":"2000-01-01 00:00:00+00",""" +
+      """"u":"a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11","p":1234.5678}""")
+  }
+
   test("DecodeSession: binary frame stream → ordered envelope → live pipeline") {
     val spark = graft.SparkSpec.session
     import spark.implicits._

@@ -163,6 +163,80 @@ final class PreflightSpec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------------------- primary keys
+  private val pkHealthy = Seq(
+    "select exists(select 1 from pg_publication" -> Seq(Seq("t")),
+    "not exists (select 1 from pg_constraint" -> Seq.empty[Seq[String]],
+    "server_version_num" -> Seq(Seq("170000")),
+    "attnames" -> Seq.empty[Seq[String]])
+
+  test("merge destinations: all published tables keyed → no findings") {
+    withSource(pkHealthy) { conn =>
+      assert(Preflight.validatePrimaryKeys(conn, "graft_pub",
+        "current-state merge").isEmpty)
+    }
+  }
+
+  test("merge destinations: published tables without a primary key are " +
+      "critical, named, and attributed to the destination") {
+    val script = pkHealthy.map {
+      case ("not exists (select 1 from pg_constraint", _) =>
+        "not exists (select 1 from pg_constraint" ->
+          Seq(Seq("public.nopk"), Seq("public.nopk2"))
+      case kv => kv
+    }
+    withSource(script) { conn =>
+      val fails = Preflight.validatePrimaryKeys(conn, "graft_pub",
+        "JDBC merge")
+      assert(fails.size == 1 && fails.head.critical, fails)
+      assert(fails.head.name == "Missing Primary Key")
+      assert(fails.head.detail.contains("public.nopk") &&
+        fails.head.detail.contains("public.nopk2") &&
+        fails.head.detail.contains("JDBC merge"))
+    }
+  }
+
+  test("PG 15+: a publication column list omitting a PK column is " +
+      "critical; the check is skipped entirely below PG 15") {
+    val omits = pkHealthy.map {
+      case ("attnames", _) => "attnames" -> Seq(Seq("public.partial"))
+      case kv => kv
+    }
+    withSource(omits) { conn =>
+      val fails = Preflight.validatePrimaryKeys(conn, "graft_pub",
+        "current-state merge")
+      assert(fails.size == 1 && fails.head.critical, fails)
+      assert(fails.head.name == "Primary Key Column Not Replicated")
+      assert(fails.head.detail.contains("public.partial"))
+    }
+    val pg14 = omits.map {
+      case ("server_version_num", _) =>
+        "server_version_num" -> Seq(Seq("140013"))
+      case kv => kv
+    }
+    withSource(pg14) { conn =>
+      assert(Preflight.validatePrimaryKeys(conn, "graft_pub",
+        "current-state merge").isEmpty,
+        "pg_publication_tables.attnames does not exist before PG 15")
+    }
+  }
+
+  test("a missing publication skips the PK audit (the pipeline " +
+      "validator owns that failure)") {
+    val script = pkHealthy.map {
+      case ("select exists(select 1 from pg_publication", _) =>
+        "select exists(select 1 from pg_publication" -> Seq(Seq("f"))
+      case ("not exists (select 1 from pg_constraint", _) =>
+        "not exists (select 1 from pg_constraint" ->
+          Seq(Seq("public.nopk"))
+      case kv => kv
+    }
+    withSource(script) { conn =>
+      assert(Preflight.validatePrimaryKeys(conn, "graft_pub",
+        "current-state merge").isEmpty)
+    }
+  }
+
   test("enforce throws an aggregated message on criticals and " +
       "tolerates warnings") {
     Preflight.enforce(Seq(

@@ -579,6 +579,55 @@ cd_b = (backend(b"W", u8(0) + be16(0)) +
 session.append(("stream_copydone_a", cd_a))
 session.append(("stream_copydone_b", cd_b))
 
+# binary tuple mode (`binary 'true'`, PG 14+): cells arrive in each
+# type's binary SEND format (utils/adt/*.c) instead of its text output.
+# One transaction over a type-diverse relation: an insert with every
+# cell binary, then an update mixing a binary key image, binary new
+# values and a TOAST placeholder.
+REL_BIN = (b"R" + be32(16392) + cstr("public") + cstr("bintypes") +
+           u8(ord("d")) + be16(10) +
+           u8(1) + cstr("id") + be32(23) + be32(-1) +      # int4
+           u8(0) + cstr("flag") + be32(16) + be32(-1) +    # bool
+           u8(0) + cstr("cnt") + be32(20) + be32(-1) +     # int8
+           u8(0) + cstr("ratio") + be32(701) + be32(-1) +  # float8
+           u8(0) + cstr("label") + be32(25) + be32(-1) +   # text
+           u8(0) + cstr("doc") + be32(3802) + be32(-1) +   # jsonb
+           u8(0) + cstr("born") + be32(1082) + be32(-1) +  # date
+           u8(0) + cstr("at") + be32(1184) + be32(-1) +    # timestamptz
+           u8(0) + cstr("uid") + be32(2950) + be32(-1) +   # uuid
+           u8(0) + cstr("price") + be32(1700) + be32(-1))  # numeric
+BIN_ROW = tuple_data(
+    bin_cell(be32(7)),                                   # 7
+    bin_cell(u8(1)),                                     # t
+    bin_cell(be64(3000000000)),                          # 3000000000
+    bin_cell(struct.pack(">d", -2.25)),                  # -2.25
+    bin_cell("héllo".encode("utf-8")),                   # raw UTF-8 text
+    bin_cell(b"\x01" + b'{"a":1}'),                      # jsonb v1 header
+    bin_cell(be32(8324)),                                # 2022-10-16
+    bin_cell(be64(0)),                                   # 2000-01-01 00:00:00+00
+    bin_cell(bytes.fromhex("a0eebc999c0b4ef8bb6d6bb9bd380a11")),
+    bin_cell(be16(2) + be16(0) + be16(0) + be16(4) +     # 1234.5678
+             be16(1234) + be16(5678)))
+BIN_KEY = tuple_data(bin_cell(be32(7)), *([NULL_CELL] * 9))
+BIN_NEW = tuple_data(
+    bin_cell(be32(7)), bin_cell(u8(0)),                  # flag flips to f
+    TOAST_CELL, TOAST_CELL,                              # cnt/ratio unchanged
+    bin_cell("rené".encode("utf-8")),
+    NULL_CELL, TOAST_CELL, TOAST_CELL, TOAST_CELL,
+    bin_cell(be16(1) + be16(-1) + be16(0x4000) + be16(3) +
+             be16(10)))                                  # -0.001
+T6 = 0x16000
+binary_tx = (backend(b"W", u8(0) + be16(0)) +
+             xlogdata(T6 - 40, T6, b"B" + be64(T6) + be64(TS) + be32(998)) +
+             xlogdata(T6 - 32, T6, REL_BIN) +
+             xlogdata(T6 - 24, T6, b"I" + be32(16392) + b"N" + BIN_ROW) +
+             xlogdata(T6 - 16, T6, b"U" + be32(16392) +
+                      b"K" + BIN_KEY + b"N" + BIN_NEW) +
+             xlogdata(T6 - 8, T6, b"C" + u8(0) + be64(T6) + be64(T6 + 8) +
+                      be64(TS)) +
+             keepalive(T6 + 8, True))
+session.append(("stream_binary", binary_tx))
+
 # ------------------------------------------------------------------ write
 def dump(path, rows):
     with open(path, "w") as f:
