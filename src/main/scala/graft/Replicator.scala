@@ -34,6 +34,7 @@ import graft.sinks.{CdcSink, ChangelogSink, CurrentStateSink, ExactlyOnceSink, N
   *   source.sslmode = disable|require|verify-ca|verify-full  # TLS
   *   source.sslrootcert = /path/ca.pem        # trust anchors (verify-ca)
   *   source.binary = true                     # PG 14+ binary tuple mode
+  *   source.copyBinary = true                 # FORMAT binary snapshots
   *   source.protoVersion = 1 | 2 | 3          # 2: streamed large txs,
   *                                            # 3: + two-phase commit
   *   source.origin = any | none               # foreign-origin tx filter
@@ -257,9 +258,20 @@ object Replicator {
           val workers = get("pipeline.maxTableSyncWorkers", "4").toInt
           val units = SnapshotScan.planTable(leaves, workers)
           val cols = t.replicatedColumns.map(_.name)
-          val raw = PgCopy.copyTable(spark, host, port, user, db, pw,
-            units, cols, snapshotId = snapshotId,
-            sslMode = sslMode, sslRootCert = sslRootCert)
+          // source.copyBinary=true: FORMAT binary COPY (skips the
+          // server's per-value output function) when every replicated
+          // column has a binary conversion; tables with arrays/exotic
+          // types fall back to the text wire per table
+          val useBinary = get("source.copyBinary", "false") == "true" &&
+            t.replicatedColumns.forall(s =>
+              graft.core.PgBinary.copySupported(s.pgType))
+          val raw =
+            if (useBinary) PgCopy.copyTableBinary(spark, host, port,
+              user, db, pw, units, t, snapshotId = snapshotId,
+              sslMode = sslMode, sslRootCert = sslRootCert)
+            else PgCopy.copyTable(spark, host, port, user, db, pw,
+              units, cols, snapshotId = snapshotId,
+              sslMode = sslMode, sslRootCert = sslRootCert)
           // materialize within the exporter's snapshot lifetime
           val typed = PgCopy.decodeTyped(raw, t).cache()
           typed.count()

@@ -32,6 +32,38 @@ object PgBinary {
   private val PgEpochMicros = 946684800000000L
   private val PgEpochDays = 10957L
 
+  /** Scalar type-name → OID for the COPY BINARY decode path (inverse
+    * of [[graft.sources.PgOutput.oidToName]] restricted to types with
+    * an implemented binary conversion; bytea included — its hex
+    * fallback IS its text form). */
+  private val nameToOid: Map[String, Int] = Map(
+    "bool" -> 16, "boolean" -> 16, "bytea" -> 17, "int8" -> 20,
+    "bigint" -> 20, "int2" -> 21, "smallint" -> 21, "int4" -> 23,
+    "int" -> 23, "integer" -> 23, "text" -> 25, "name" -> 19,
+    "oid" -> 26, "json" -> 114, "xml" -> 142, "float4" -> 700,
+    "real" -> 700, "float8" -> 701, "double precision" -> 701,
+    "bpchar" -> 1042, "char" -> 1042, "varchar" -> 1043,
+    "date" -> 1082, "time" -> 1083, "timestamp" -> 1114,
+    "timestamptz" -> 1184, "numeric" -> 1700, "decimal" -> 1700,
+    "uuid" -> 2950, "jsonb" -> 3802)
+
+  private def canon(pgType: String): String =
+    pgType.toLowerCase.stripPrefix("pg_catalog.")
+
+  /** Whether a binary `COPY` of this column type converts losslessly
+    * to its text form here (arrays and exotic types do not — callers
+    * fall back to text-mode COPY for such tables). */
+  def copySupported(pgType: String): Boolean = nameToOid.contains(canon(pgType))
+
+  /** [[text]] keyed by type NAME (the schema registry's vocabulary —
+    * COPY has no Relation message to carry OIDs). Unknown names render
+    * as bytea hex, same as unknown OIDs. */
+  def textByName(pgType: String, arr: Array[Byte]): String =
+    nameToOid.get(canon(pgType)) match {
+      case Some(oid) => text(oid, arr)
+      case None => "\\x" + arr.map("%02x".format(_)).mkString
+    }
+
   /** Text-output types whose binary send format IS their UTF-8 text:
     * text, name, bpchar, varchar, json, xml (varlena.c / json.c —
     * `textsend` is just the bytes). Treating these as bytea (the old

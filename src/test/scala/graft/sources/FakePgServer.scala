@@ -70,6 +70,10 @@ final class FakePgServer(walSenderTimeout: String = "60s",
 
   def enqueue(a: Action*): Unit = a.foreach(script.put)
 
+  /** `COPY … (FORMAT binary)` handler: Some(complete PGCOPY payload)
+    * routes the statement to the binary branch; None falls through to
+    * the TEXT handler below. */
+  @volatile var copyBinaryHandler: String => Option[Array[Byte]] = _ => None
   /** COPY … TO STDOUT handler: maps the COPY statement to the TEXT rows
     * it should stream (tests install per-scan-unit data here). */
   @volatile var copyHandler: String => Seq[String] = _ => Nil
@@ -194,6 +198,27 @@ final class FakePgServer(walSenderTimeout: String = "60s",
             })
             sendMsg(out, 'C', { b =>
               b.put("SHOW".getBytes(StandardCharsets.UTF_8)); b.put(0.toByte)
+            })
+            sendMsg(out, 'Z', b => b.put('I'.toByte))
+          } else if (sql.toUpperCase.startsWith("COPY") &&
+              copyBinaryHandler(sql).isDefined) {
+            // binary COPY OUT: the handler provides the COMPLETE PGCOPY
+            // payload (header + rows + trailer); re-framed into
+            // copyFrameBytes-sized CopyData chunks when set
+            val all = copyBinaryHandler(sql).get
+            sendMsg(out, 'H', b => { b.put(1.toByte); b.putShort(0) })
+            val step = if (copyFrameBytes > 0) copyFrameBytes else all.length
+            var boff = 0
+            while (boff < all.length) {
+              val n = math.min(step, all.length - boff)
+              val chunk = java.util.Arrays.copyOfRange(all, boff, boff + n)
+              sendMsg(out, 'd', b => b.put(chunk))
+              boff += n
+            }
+            sendMsg(out, 'c', _ => ())
+            sendMsg(out, 'C', { b =>
+              b.put("COPY".getBytes(StandardCharsets.UTF_8))
+              b.put(0.toByte)
             })
             sendMsg(out, 'Z', b => b.put('I'.toByte))
           } else if (sql.toUpperCase.startsWith("COPY")) {

@@ -252,6 +252,66 @@ class ReplicationClientSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("snapshot COPY (FORMAT binary) over the wire: negotiated per " +
+      "unit, spec-assembled PGCOPY bytes decode to canonical text " +
+      "across hostile frame boundaries, NULLs and the typed decode " +
+      "preserved") {
+    import graft.core.{ColumnSpec, TableSchemaV}
+    // spec-assembled payload (tools/gen_pg_fixtures.py, COPY docs
+    // "Binary Format"): 3 rows of (id int8, name text, score float8,
+    // born date) incl. a 4-byte header extension and NULL fields
+    val in = getClass.getResourceAsStream("/copy_binary.txt")
+    require(in != null, "missing copy_binary.txt fixture")
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val payload = text.linesIterator
+      .filterNot(l => l.startsWith("#") || l.isBlank)
+      .map(_.split("\t", 2)(1)).next()
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+    val schema = TableSchemaV(11L, "bin", 0L, IndexedSeq(
+      ColumnSpec("id", "int8", nullable = false, pkOrdinal = 1),
+      ColumnSpec("name", "text"),
+      ColumnSpec("score", "float8"),
+      ColumnSpec("born", "date")))
+    val server = new FakePgServer()
+    server.copyBinaryHandler = sql =>
+      if (sql.contains("FORMAT binary")) Some(payload) else None
+    server.copyFrameBytes = 5 // rows reassemble across frame boundaries
+    val port = server.start()
+    try {
+      val unit = SnapshotScan.ScanUnit("public.bin",
+        SnapshotScan.CtidRange(0, Long.MaxValue))
+      val df = PgCopy.copyTableBinary(spark, "127.0.0.1", port, "graft",
+        "postgres", "", Seq(unit), schema)
+      val got = df.collect().map(r => (0 until 4).map(i =>
+        Option(r.getString(i))).toList).toSet
+      assert(got == Set(
+        List(Some("1"), Some("ann"), Some("-2.25"), Some("2022-10-16")),
+        List(Some("2"), None, Some("40.5"), None),
+        List(Some("3"), Some("héllo"), None, Some("2000-01-01"))))
+      // the negotiated statement asked for the binary wire
+      assert(server.queries.toArray.map(_.toString)
+        .exists(q => q.startsWith("COPY") && q.contains("FORMAT binary")))
+      // the text-path typed decode applies unchanged (format-agnostic)
+      val typed = PgCopy.decodeTyped(df, schema).orderBy("id").collect()
+      assert(typed(0).getLong(0) == 1L &&
+        typed(0).getDouble(2) == -2.25 &&
+        typed(0).getDate(3).toString == "2022-10-16")
+      assert(typed(1).isNullAt(1) && typed(1).isNullAt(3))
+      assert(typed(2).getString(1) == "héllo" && typed(2).isNullAt(2))
+    } finally server.stop()
+    // a table with a column lacking a binary conversion refuses loud
+    val arrSchema = TableSchemaV(12L, "arr", 0L, IndexedSeq(
+      ColumnSpec("id", "int8", nullable = false, pkOrdinal = 1),
+      ColumnSpec("tags", "_text")))
+    val e = intercept[IllegalArgumentException] {
+      PgCopy.copyTableBinary(spark, "127.0.0.1", 1, "g", "p", "",
+        Seq.empty, arrSchema)
+    }
+    assert(e.getMessage.contains("_text"))
+  }
+
   test("COPY TEXT → typed decode: PG semantics, not bare casts") {
     import graft.core.{ColumnSpec, PgTypeMap, TableSchemaV}
     val schema = TableSchemaV(9L, "typed", 0L, IndexedSeq(

@@ -628,6 +628,26 @@ binary_tx = (backend(b"W", u8(0) + be16(0)) +
              keepalive(T6 + 8, True))
 session.append(("stream_binary", binary_tx))
 
+# ------------------------------------------------- binary COPY payload
+# PGCOPY framing straight from the COPY docs ("Binary Format"): 11-byte
+# signature, Int32 flags, Int32 header-extension length (+ bytes), per
+# row Int16 field count + per field Int32 length (-1 NULL) + data in the
+# type's binary send format, Int16 -1 trailer. Schema: id int8,
+# name text, score float8, born date.
+def bin_field(raw):
+    return be32(len(raw)) + raw
+NULL_FIELD = be32(-1)
+copy_binary = (
+    b"PGCOPY\n\xff\r\n\x00" + be32(0) + be32(4) + b"ext!" +  # header + ext
+    be16(4) + bin_field(be64(1)) + bin_field("ann".encode()) +
+    bin_field(struct.pack(">d", -2.25)) + bin_field(be32(8324)) +
+    be16(4) + bin_field(be64(2)) + NULL_FIELD +
+    bin_field(struct.pack(">d", 40.5)) + NULL_FIELD +
+    be16(4) + bin_field(be64(3)) + bin_field("héllo".encode("utf-8")) +
+    NULL_FIELD + bin_field(be32(0)) +
+    be16(-1))
+dump_rows_copy = [("copy_binary", copy_binary)]
+
 # ------------------------------------------------------------------ write
 def dump(path, rows):
     with open(path, "w") as f:
@@ -639,5 +659,6 @@ def dump(path, rows):
 
 dump(os.path.join(OUT, "pgoutput_frames.txt"), frames)
 dump(os.path.join(OUT, "copyboth_session.txt"), session)
-print("wrote %d frame fixtures, %d session steps" %
-      (len(frames), len(session)))
+dump(os.path.join(OUT, "copy_binary.txt"), dump_rows_copy)
+print("wrote %d frame fixtures, %d session steps, %d copy payloads" %
+      (len(frames), len(session), len(dump_rows_copy)))
