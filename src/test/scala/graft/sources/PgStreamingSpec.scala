@@ -597,4 +597,27 @@ class PgStreamingSpec extends AnyFunSuite {
     s.ackProcessed(0xA00L)
     assert(processed == 5.0)
   }
+
+  test("BINARY tuple cells inside a stream block survive the disk spool " +
+      "and convert at replay — binary mode and v2 streaming compose") {
+    val relBin = Relation(2, "public", "bins", 'd', IndexedSeq(
+      RelCol(1, "id", 23, -1), RelCol(0, "born", 1082, -1),
+      RelCol(0, "price", 1700, -1)))
+    def be32(v: Int) =
+      java.nio.ByteBuffer.allocate(4).putInt(v).array().toVector
+    val numeric = java.nio.ByteBuffer.allocate(12).putShort(2).putShort(0)
+      .putShort(0).putShort(4).putShort(1234).putShort(5678)
+      .array().toVector
+    val s = new DecodeSession()
+    s.onFrame(encode(relBin))
+    s.onFrame(encode(StreamStart(90, firstSegment = true)))
+    assert(s.onFrame(encodeStreamed(90, Insert(2, IndexedSeq(
+      TBinary(be32(7)), TBinary(be32(8324)), TBinary(numeric))))).isEmpty)
+    s.onFrame(encode(StreamStop))
+    val lines = s.onFrame(encode(StreamCommit(90, 0, 0xB00L, 0xB01L, 0L)))
+    assert(lines.size == 1)
+    assert(PackedRow.parse(lines.head.split("\t", -1)(7)) ==
+      Vector(Some("7"), Some("2022-10-16"), Some("1234.5678")))
+    s.close()
+  }
 }
