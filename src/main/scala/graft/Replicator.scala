@@ -187,7 +187,9 @@ object Replicator {
           try {
             val src = graft.sources.Preflight.validateSource(conn,
               get("source.publication", "graft_pub"),
-              get("pipeline.maxTableSyncWorkers", "4").toInt)
+              get("pipeline.maxTableSyncWorkers", "4").toInt,
+              protoVersion = get("source.protoVersion", "1").toInt,
+              binaryMode = get("source.binary", "false") == "true")
             // merge-shaped destinations additionally require a primary
             // key per published table (the reference's per-destination
             // PrimaryKeyValidator); append changelog shapes do not

@@ -45,7 +45,14 @@ object PgBinary {
     "bpchar" -> 1042, "char" -> 1042, "varchar" -> 1043,
     "date" -> 1082, "time" -> 1083, "timestamp" -> 1114,
     "timestamptz" -> 1184, "numeric" -> 1700, "decimal" -> 1700,
-    "uuid" -> 2950, "jsonb" -> 3802)
+    "uuid" -> 2950, "jsonb" -> 3802,
+    // 1-D arrays of the above (underscore names, the registry's form)
+    "_bool" -> 1000, "_bytea" -> 1001, "_int2" -> 1005, "_int4" -> 1007,
+    "_int8" -> 1016, "_text" -> 1009, "_float4" -> 1021,
+    "_float8" -> 1022, "_json" -> 199, "_bpchar" -> 1014,
+    "_varchar" -> 1015, "_date" -> 1182, "_time" -> 1183,
+    "_timestamp" -> 1115, "_timestamptz" -> 1185, "_numeric" -> 1231,
+    "_uuid" -> 2951, "_jsonb" -> 3807)
 
   private def canon(pgType: String): String =
     pgType.toLowerCase.stripPrefix("pg_catalog.")
@@ -92,8 +99,68 @@ object PgBinary {
       case (1184, 8) => timestampText(bb.getLong, tz = true)
       case (2950, 16) => uuidText(arr)
       case (1700, n) if n >= 8 => numericText(bb)
+      case (oid, n) if arrayElemOid.contains(oid) && n >= 12 =>
+        arrayText(bb)
       case _ => "\\x" + arr.map("%02x".format(_)).mkString
     }
+  }
+
+  /** 1-D array OIDs with convertible element types (the array half of
+    * [[graft.sources.PgOutput.oidToName]]). The element OID also rides
+    * IN the wire value (array_send) — [[arrayText]] trusts that one,
+    * this set only gates which array types claim support. */
+  private val arrayElemOid: Map[Int, Int] = Map(
+    1000 -> 16, 1001 -> 17, 1005 -> 21, 1007 -> 23, 1016 -> 20,
+    1009 -> 25, 1021 -> 700, 1022 -> 701, 199 -> 114, 1014 -> 1042,
+    1015 -> 1043, 1182 -> 1082, 1183 -> 1083, 1115 -> 1114,
+    1185 -> 1184, 1231 -> 1700, 2951 -> 2950, 3807 -> 3802)
+
+  /** `array_send` (arrayfuncs.c): Int32 ndim, Int32 has-nulls flag,
+    * Int32 element OID, per dimension {Int32 length, Int32 lower
+    * bound}, then per element Int32 byte length (-1 = NULL) + the
+    * element's binary send format. Rendered as the PG array literal
+    * `{…}` with array_out's quoting rules, so the existing text-side
+    * array tokenizer ([[PgText.parseArray]]) decodes it unchanged.
+    * Multidimensional arrays reject — the same 1-D stance as the text
+    * parser (and the reference, text.rs:163). */
+  private def arrayText(b: ByteBuffer): String = {
+    val ndim = b.getInt
+    b.getInt // has-nulls flag (redundant with per-element -1 lengths)
+    val elemOid = b.getInt
+    require(ndim >= 0 && ndim <= 1,
+      s"multidimensional arrays unsupported: ndim=$ndim")
+    if (ndim == 0) return "{}"
+    val len = b.getInt
+    b.getInt // lower bound
+    require(len >= 0 && len <= b.remaining,
+      s"hostile binary array length $len (${b.remaining} bytes left)")
+    val sb = new StringBuilder("{")
+    var i = 0
+    while (i < len) {
+      if (i > 0) sb += ','
+      val l = b.getInt
+      if (l == -1) sb.append("NULL")
+      else {
+        require(l >= 0 && l <= b.remaining,
+          s"hostile binary array element length $l")
+        val a = new Array[Byte](l); b.get(a)
+        sb.append(quoteArrayElem(text(elemOid, a)))
+      }
+      i += 1
+    }
+    sb += '}'
+    sb.toString
+  }
+
+  /** array_out's quoting rule: quote when the element is empty, spells
+    * NULL (any case), or contains a brace, comma, quote, backslash or
+    * whitespace; escape `"` and `\` inside. */
+  private def quoteArrayElem(s: String): String = {
+    val needs = s.isEmpty || s.equalsIgnoreCase("null") ||
+      s.exists(c => c == '{' || c == '}' || c == ',' || c == '"' ||
+        c == '\\' || c.isWhitespace)
+    if (!needs) s
+    else "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
   }
 
   /** `date`: int32 days since 2000-01-01; ±Int.MaxValue are the

@@ -118,10 +118,49 @@ object Preflight {
   }
 
   def validateSource(conn: PgWireConnection, publication: String,
-      maxTableSyncWorkers: Int): Seq[PreflightFailure] = {
+      maxTableSyncWorkers: Int,
+      /** Requested pgoutput protocol version (1/2/3) — v2 needs a
+        * PG 14+ source, v3 a PG 15+ one; checked here so the operator
+        * sees a named failure instead of START_REPLICATION's generic
+        * "unrecognized pgoutput option". */
+      protoVersion: Int = 1,
+      /** Requested `binary 'true'` tuple mode — a PG 14+ option. */
+      binaryMode: Boolean = false): Seq[PreflightFailure] = {
     val audit = new Audit(conn)
     import audit.{checked, out, rows, scalar}
     val pub = esc(publication)
+
+    if (protoVersion >= 2 || binaryMode) checked("Protocol Version Check") {
+      val vnum = scalar("select current_setting('server_version_num')")
+        .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(0)
+      if (protoVersion >= 2 && vnum > 0 && vnum < 140000)
+        out += PreflightFailure(critical = true,
+          "Protocol Version Unsupported",
+          s"source.protoVersion=$protoVersion requires PostgreSQL 14+ " +
+            s"(streamed in-progress transactions); server is $vnum")
+      if (protoVersion >= 3 && vnum >= 140000 && vnum < 150000)
+        out += PreflightFailure(critical = true,
+          "Protocol Version Unsupported",
+          s"source.protoVersion=3 requires PostgreSQL 15+ (two-phase " +
+            s"commit decoding); server is $vnum")
+      if (binaryMode && vnum > 0 && vnum < 140000)
+        out += PreflightFailure(critical = true,
+          "Binary Mode Unsupported",
+          s"source.binary=true requires PostgreSQL 14+ (pgoutput " +
+            s"`binary` option); server is $vnum")
+      if (protoVersion >= 3) {
+        val prep = scalar("select setting from pg_settings where name " +
+          "= 'max_prepared_transactions'")
+          .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+        if (prep.contains(0L))
+          out += PreflightFailure(critical = false,
+            "Two-Phase Without Prepared Transactions",
+            "source.protoVersion=3 requested but the source has " +
+              "max_prepared_transactions = 0 — no prepared " +
+              "transactions can exist there, so two_phase decoding " +
+              "adds nothing (harmless, but likely a misconfiguration)")
+      }
+    }
 
     // publication exists
     checked("Publication Check") {

@@ -254,9 +254,14 @@ final class ReplicationSocketClient(
       if (protoVersion >= 3) ", two_phase 'true'" else ""
     val binary = // PG 14+: tuple cells in binary send format
       if (binaryMode) ", binary 'true'" else ""
+    // messages 'true' is REQUIRED for 'M' logical-message frames (the
+    // S5 DDL-capture channel, pg_logical_emit_message) — without it
+    // pgoutput silently drops them; the reference sends it
+    // unconditionally too (client/raw.rs:634)
     simpleQuery(s"""START_REPLICATION SLOT "$slotName" LOGICAL $lsn """ +
       s"""(proto_version '$protoVersion', """ +
-      s"""publication_names '$publication'$streaming$twoPhase$binary)""")
+      s"""publication_names '$publication', """ +
+      s"""messages 'true'$streaming$twoPhase$binary)""")
     val (t, payload) = readMessage()
     t match {
       case 'W' => () // CopyBothResponse — streaming begins

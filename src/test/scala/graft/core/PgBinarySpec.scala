@@ -133,6 +133,50 @@ class PgBinarySpec extends AnyFunSuite with PropSpec {
       PgBinary.text(1700, numeric(0, 0, 0, 1, 2).dropRight(2)))
   }
 
+  /** array_send layout: ndim, has-nulls, element oid, {len, lbound}
+    * per dim, then per element Int32 length (-1 NULL) + data. */
+  private def arrayBytes(elemOid: Int,
+      elems: Seq[Option[Array[Byte]]]): Array[Byte] = {
+    val payload = elems.map {
+      case None => be32(-1)
+      case Some(a) => be32(a.length) ++ a
+    }.fold(Array.emptyByteArray)(_ ++ _)
+    be32(1) ++ be32(if (elems.contains(None)) 1 else 0) ++
+      be32(elemOid) ++ be32(elems.size) ++ be32(1) ++ payload
+  }
+
+  test("1-D binary arrays render as PG array literals with array_out " +
+      "quoting; the text-side tokenizer decodes them back") {
+    // int4[] with a NULL
+    val ints = arrayBytes(23, Seq(Some(be32(1)), None, Some(be32(-7))))
+    assert(PgBinary.text(1007, ints) == "{1,NULL,-7}")
+    // text[] exercising every quoting rule: empty, NULL-spelling,
+    // comma, quote, backslash, whitespace, plain unicode unquoted
+    def t(s: String) = Some(s.getBytes(StandardCharsets.UTF_8))
+    val texts = arrayBytes(25, Seq(t(""), t("null"), t("a,b"),
+      t("say \"hi\""), t("""back\slash"""), t("two words"), t("plainé")))
+    val lit = PgBinary.text(1009, texts)
+    assert(lit == """{"","null","a,b","say \"hi\"","back\\slash","two words",plainé}""")
+    assert(PgText.parseArray(lit) == Vector(Some(""), Some("null"),
+      Some("a,b"), Some("say \"hi\""), Some("""back\slash"""),
+      Some("two words"), Some("plainé")))
+    // empty array (ndim=0 — array_send emits no dims)
+    assert(PgBinary.text(1007,
+      be32(0) ++ be32(0) ++ be32(23)) == "{}")
+    // date[] converts elements through the scalar path
+    assert(PgBinary.text(1182,
+      arrayBytes(1082, Seq(Some(be32(0))))) == "{2000-01-01}")
+    // name-keyed entry point covers the underscore registry names
+    assert(PgBinary.textByName("_int4", ints) == "{1,NULL,-7}")
+    assert(PgBinary.copySupported("_numeric") &&
+      !PgBinary.copySupported("point"))
+    // multidimensional rejects (same 1-D stance as the text parser)
+    intercept[IllegalArgumentException] {
+      PgBinary.text(1007, be32(2) ++ be32(0) ++ be32(23) ++
+        be32(1) ++ be32(1) ++ be32(1) ++ be32(1) ++ be32(4) ++ be32(9))
+    }
+  }
+
   test("numeric property: rendered text equals BigDecimal rendering") {
     val gen = for {
       unscaled <- Gen.choose(-999999999999999L, 999999999999999L)

@@ -519,7 +519,9 @@ class PgConformanceSpec extends AnyFunSuite {
     val qs = queries.toArray.map(_.toString)
     assert(qs.exists(_.startsWith("SHOW wal_sender_timeout")))
     assert(qs.exists(q => q.startsWith("START_REPLICATION SLOT " +
-      "\"conf_slot\"") && q.contains("publication_names 'conf_pub'")))
+      "\"conf_slot\"") && q.contains("publication_names 'conf_pub'") &&
+      q.contains("messages 'true'")),
+      "logical-message delivery must be requested (reference raw.rs:634)")
 
     // spooled envelope log: tx1 (R + 2 inserts) + tx2 (update + delete)
     val lines = new String(Files.readAllBytes(Paths.get(log)),

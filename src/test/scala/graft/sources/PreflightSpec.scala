@@ -163,6 +163,42 @@ final class PreflightSpec extends AnyFunSuite {
     }
   }
 
+  test("protocol-version requirements: v2 needs PG 14+, v3 needs " +
+      "PG 15+, binary needs PG 14+; v3 on a no-prepared-tx source is " +
+      "a warning; v1 issues no version query at all") {
+    val pg13 = ("server_version_num" -> Seq(Seq("130011"))) +: healthy
+    withSource(pg13) { conn =>
+      val fails = Preflight.validateSource(conn, "graft_pub", 4,
+        protoVersion = 2, binaryMode = true)
+      assert(fails.count(_.critical) == 2, fails.map(_.render))
+      assert(fails.exists(_.name == "Protocol Version Unsupported"))
+      assert(fails.exists(_.name == "Binary Mode Unsupported"))
+    }
+    val pg14 = ("server_version_num" -> Seq(Seq("140013"))) +:
+      ("max_prepared_transactions" -> Seq(Seq("0"))) +: healthy
+    withSource(pg14) { conn =>
+      val fails = Preflight.validateSource(conn, "graft_pub", 4,
+        protoVersion = 3)
+      assert(fails.exists(f => f.critical &&
+        f.name == "Protocol Version Unsupported" &&
+        f.detail.contains("15+")), fails.map(_.render))
+    }
+    val pg16NoPrep = ("server_version_num" -> Seq(Seq("160004"))) +:
+      ("max_prepared_transactions" -> Seq(Seq("0"))) +: healthy
+    withSource(pg16NoPrep) { conn =>
+      val fails = Preflight.validateSource(conn, "graft_pub", 4,
+        protoVersion = 3)
+      assert(fails.size == 1 && !fails.head.critical &&
+        fails.head.name == "Two-Phase Without Prepared Transactions",
+        fails.map(_.render))
+    }
+    // v1 text mode: the version check must not even run (older servers
+    // answer everything else fine)
+    withSource(healthy) { conn =>
+      assert(Preflight.validateSource(conn, "graft_pub", 4).isEmpty)
+    }
+  }
+
   // ----------------------------------------------------- primary keys
   private val pkHealthy = Seq(
     "select exists(select 1 from pg_publication" -> Seq(Seq("t")),

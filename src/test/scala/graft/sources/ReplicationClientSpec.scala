@@ -302,14 +302,15 @@ class ReplicationClientSpec extends SparkSpec {
       assert(typed(2).getString(1) == "héllo" && typed(2).isNullAt(2))
     } finally server.stop()
     // a table with a column lacking a binary conversion refuses loud
-    val arrSchema = TableSchemaV(12L, "arr", 0L, IndexedSeq(
+    // (1-D arrays of supported scalars ARE supported; geometry is not)
+    val geoSchema = TableSchemaV(12L, "geo", 0L, IndexedSeq(
       ColumnSpec("id", "int8", nullable = false, pkOrdinal = 1),
-      ColumnSpec("tags", "_text")))
+      ColumnSpec("loc", "point")))
     val e = intercept[IllegalArgumentException] {
       PgCopy.copyTableBinary(spark, "127.0.0.1", 1, "g", "p", "",
-        Seq.empty, arrSchema)
+        Seq.empty, geoSchema)
     }
-    assert(e.getMessage.contains("_text"))
+    assert(e.getMessage.contains("point"))
   }
 
   test("binary COPY reassembly: random rows × random CopyData frame " +
