@@ -34,6 +34,8 @@ import graft.sinks.{CdcSink, ChangelogSink, CurrentStateSink, ExactlyOnceSink, N
   *   source.sslmode = disable|require|verify-ca|verify-full  # TLS
   *   source.sslrootcert = /path/ca.pem        # trust anchors (verify-ca)
   *   source.binary = true                     # PG 14+ binary tuple mode
+  *   source.createSlot = true                 # create slot if missing
+  *                                            # (TWO_PHASE under proto 3)
   *   source.copyBinary = true                 # FORMAT binary snapshots
   *   source.protoVersion = 1 | 2 | 3          # 2: streamed large txs,
   *                                            # 3: + two-phase commit
@@ -189,7 +191,8 @@ object Replicator {
               get("source.publication", "graft_pub"),
               get("pipeline.maxTableSyncWorkers", "4").toInt,
               protoVersion = get("source.protoVersion", "1").toInt,
-              binaryMode = get("source.binary", "false") == "true")
+              binaryMode = get("source.binary", "false") == "true",
+              slotName = Some(get("source.slot", "graft_slot")))
             // merge-shaped destinations additionally require a primary
             // key per published table (the reference's per-destination
             // PrimaryKeyValidator); append changelog shapes do not
@@ -324,6 +327,10 @@ object Replicator {
           // and decode through graft.core.PgBinary to the same text
           // forms — skips the server's per-value output function
           binaryMode = get("source.binary", "false") == "true",
+          // create the slot on first start (the reference's apply
+          // worker does; opt-in here — operators managing slots
+          // out-of-band keep fail-loud behavior)
+          createSlotIfMissing = get("source.createSlot", "false") == "true",
           // streamed/prepared-tx spools default NEXT TO THE LOG (real
           // disk); override when the log volume is small or slow
           spoolDir = Option(props.getProperty("source.spoolDir")),

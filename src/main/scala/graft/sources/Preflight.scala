@@ -125,7 +125,10 @@ object Preflight {
         * "unrecognized pgoutput option". */
       protoVersion: Int = 1,
       /** Requested `binary 'true'` tuple mode — a PG 14+ option. */
-      binaryMode: Boolean = false): Seq[PreflightFailure] = {
+      binaryMode: Boolean = false,
+      /** Configured slot name, for the v3 two_phase slot-property
+        * audit (None skips it). */
+      slotName: Option[String] = None): Seq[PreflightFailure] = {
     val audit = new Audit(conn)
     import audit.{checked, out, rows, scalar}
     val pub = esc(publication)
@@ -159,6 +162,28 @@ object Preflight {
               "max_prepared_transactions = 0 — no prepared " +
               "transactions can exist there, so two_phase decoding " +
               "adds nothing (harmless, but likely a misconfiguration)")
+      }
+    }
+
+    // an EXISTING slot created without two_phase cannot serve a v3
+    // session — START_REPLICATION(two_phase 'true') refuses with a
+    // generic error; name the fix here (recreate the slot, or let
+    // source.createSlot=true make a fresh TWO_PHASE one)
+    if (protoVersion >= 3) checked("Slot Two-Phase Check") {
+      slotName.foreach { slot =>
+        val s = esc(slot)
+        rows("select two_phase from pg_replication_slots where " +
+          s"slot_name = '$s'").headOption
+          .flatMap(_.headOption.flatten).foreach { tp =>
+            if (!bool(Some(tp)))
+              out += PreflightFailure(critical = true,
+                "Slot Without Two-Phase",
+                s"replication slot '$slot' exists but was created " +
+                  "without two_phase; source.protoVersion=3 cannot " +
+                  "stream from it — drop and recreate the slot with " +
+                  "two_phase (or set source.createSlot=true after " +
+                  "dropping it)")
+          }
       }
     }
 

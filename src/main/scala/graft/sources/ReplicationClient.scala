@@ -79,6 +79,13 @@ final class ReplicationSocketClient(
       * reference cannot enable this (its codec rejects binary cells,
       * codec/event.rs:979). */
     binaryMode: Boolean = false,
+    /** Create the replication slot when it does not exist (the
+      * reference's apply worker does this unconditionally,
+      * worker.rs:385/query.rs:26; here opt-in so operators who manage
+      * slots out-of-band keep today's fail-loud behavior). Proto v3
+      * slots are created with TWO_PHASE — the property must be set at
+      * slot creation for prepared-transaction decoding. */
+    createSlotIfMissing: Boolean = false,
     /** Base directory for streamed/prepared-transaction spools. The
       * default sits NEXT TO THE CHANGE LOG — real disk, not the JVM
       * temp dir, which is often a size-limited tmpfs a 100 GB streamed
@@ -172,6 +179,7 @@ final class ReplicationSocketClient(
     // prepare decode and cleared at the decision (see receiveLoop);
     // anything later than the requested position that was already
     // spooled re-arrives and is absorbed downstream (at-least-once).
+    if (createSlotIfMissing) ensureSlot()
     val resume = math.max(startLsn, flushLsn())
     startReplication(readDurableFloor().fold(resume)(math.min(resume, _)))
     running.set(true)
@@ -213,6 +221,91 @@ final class ReplicationSocketClient(
     if (reader != null) reader.join(5000)
     if (heartbeat != null) { heartbeat.interrupt(); heartbeat.join(5000) }
     if (supervisor != null) supervisor.join(5000)
+  }
+
+  /** Create the replication slot when absent (reference
+    * worker.rs:385, query.rs:26-75): probe `pg_replication_slots`
+    * over this replication connection's simple-query surface, then
+    * `CREATE_REPLICATION_SLOT <slot> LOGICAL pgoutput` — with
+    * `TWO_PHASE` for proto v3 (the slot property must be set at
+    * creation for prepared-transaction decoding; the parenthesized
+    * option syntax is PG 15+, which v3 requires anyway) and no
+    * exported snapshot (backfill consistency coordinates through the
+    * SnapshotScan exporter connection, not the slot). A
+    * duplicate-object (42710) race with a rival worker is benign —
+    * the slot exists, which is the goal. */
+  private def ensureSlot(): Unit = {
+    val escSlot = slotName.replace("'", "''")
+    simpleQuery("SELECT slot_name FROM pg_replication_slots " +
+      s"WHERE slot_name = '$escSlot'")
+    var exists = false
+    var ready = false
+    while (!ready) {
+      val (t, payload) = readMessage()
+      t match {
+        case 'D' => exists = true
+        case 'Z' => ready = true
+        case 'E' =>
+          // cannot probe — fall through and let START_REPLICATION name
+          // the real failure on this server
+          drainUntilReady(); return
+        case _ => ()
+      }
+    }
+    if (exists) return
+    // the reference's missed-changes guard (worker.rs:516): a missing
+    // slot alongside EXISTING durable progress means the old slot —
+    // and every change it retained past our flush position — is gone;
+    // a fresh slot starts at the CURRENT wal position, so the gap is
+    // unreplayable. Warn loud; the operator decides whether a
+    // re-backfill is needed.
+    val durable = math.max(startLsn, flushLsn())
+    if (durable > 0L)
+      java.util.logging.Logger.getLogger("graft.sources.replication")
+        .warning(s"replication slot '$slotName' is GONE but durable " +
+          s"progress exists at ${ReplicationSocketClient.formatLsn(durable)}" +
+          " — changes between that position and the fresh slot's start " +
+          "were not retained and cannot be replayed; tables may have " +
+          "missed changes (consider re-running the backfill)")
+    val opts =
+      if (protoVersion >= 3) " (TWO_PHASE, SNAPSHOT 'nothing')"
+      else " NOEXPORT_SNAPSHOT"
+    simpleQuery(
+      s"""CREATE_REPLICATION_SLOT "$slotName" LOGICAL pgoutput$opts""")
+    var consistentPoint: Option[String] = None
+    ready = false
+    while (!ready) {
+      val (t, payload) = readMessage()
+      t match {
+        case 'D' =>
+          // columns: slot_name, consistent_point, snapshot_name, plugin
+          val b = ByteBuffer.wrap(payload)
+          val n = b.getShort.toInt
+          val cells = (0 until n).map { _ =>
+            val len = b.getInt
+            if (len < 0) null
+            else {
+              val a = new Array[Byte](len); b.get(a)
+              new String(a, StandardCharsets.UTF_8)
+            }
+          }
+          if (cells.length >= 2) consistentPoint = Option(cells(1))
+        case 'Z' => ready = true
+        case 'E' =>
+          val state = ReplicationSocketClient.errorSqlState(payload)
+          val msg = ReplicationSocketClient.errorMessage(payload)
+          drainUntilReady()
+          if (!state.contains("42710")) // duplicate_object: rival won
+            throw new java.io.IOException(
+              s"CREATE_REPLICATION_SLOT failed: $msg")
+          ready = true
+        case _ => ()
+      }
+    }
+    java.util.logging.Logger.getLogger("graft.sources.replication")
+      .info(s"created replication slot '$slotName'" +
+        consistentPoint.fold("")(p => s" at consistent point $p") +
+        (if (protoVersion >= 3) " (two_phase)" else ""))
   }
 
   /** `SHOW wal_sender_timeout` via a simple query; None = disabled or
@@ -944,5 +1037,23 @@ object ReplicationSocketClient {
       }
     }
     if (sb.isEmpty) "unknown error" else sb.toString
+  }
+
+  /** The SQLSTATE ('C') field of an ErrorResponse payload. */
+  private[sources] def errorSqlState(payload: Array[Byte]): Option[String] = {
+    val buf = ByteBuffer.wrap(payload)
+    while (buf.hasRemaining) {
+      val code = buf.get()
+      if (code == 0) return None
+      val start = buf.position()
+      while (buf.get() != 0) {}
+      if (code == 'C') {
+        val strBytes = new Array[Byte](buf.position() - start - 1)
+        val save = buf.position()
+        buf.position(start); buf.get(strBytes); buf.position(save)
+        return Some(new String(strBytes, StandardCharsets.UTF_8))
+      }
+    }
+    None
   }
 }

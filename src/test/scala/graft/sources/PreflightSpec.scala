@@ -199,6 +199,30 @@ final class PreflightSpec extends AnyFunSuite {
     }
   }
 
+  test("v3 against an existing slot created WITHOUT two_phase is " +
+      "critical; a two_phase slot or an absent one passes") {
+    val base = ("server_version_num" -> Seq(Seq("160004"))) +:
+      ("max_prepared_transactions" -> Seq(Seq("8"))) +: healthy
+    def withSlot(tp: Seq[Seq[String]]) =
+      ("two_phase from pg_replication_slots" -> tp) +: base
+    withSource(withSlot(Seq(Seq("f")))) { conn =>
+      val fails = Preflight.validateSource(conn, "graft_pub", 4,
+        protoVersion = 3, slotName = Some("graft_slot"))
+      assert(fails.size == 1 && fails.head.critical &&
+        fails.head.name == "Slot Without Two-Phase",
+        fails.map(_.render))
+    }
+    withSource(withSlot(Seq(Seq("t")))) { conn =>
+      assert(Preflight.validateSource(conn, "graft_pub", 4,
+        protoVersion = 3, slotName = Some("graft_slot")).isEmpty)
+    }
+    withSource(withSlot(Seq.empty)) { conn =>
+      assert(Preflight.validateSource(conn, "graft_pub", 4,
+        protoVersion = 3, slotName = Some("graft_slot")).isEmpty,
+        "an absent slot is fine — it will be created fresh")
+    }
+  }
+
   // ----------------------------------------------------- primary keys
   private val pkHealthy = Seq(
     "select exists(select 1 from pg_publication" -> Seq(Seq("t")),

@@ -126,6 +126,70 @@ class ReplicationClientSpec extends SparkSpec {
     }
   }
 
+  test("slot auto-creation: a missing slot is created before " +
+      "START_REPLICATION (TWO_PHASE under proto v3), an existing one " +
+      "is left alone; the duplicate-object SQLSTATE parses for the " +
+      "creation-race tolerance") {
+    // ErrorResponse field parsing for the 42710 race path
+    val err = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def f(code: Char, v: String): Unit = {
+        bos.write(code); bos.write(v.getBytes("UTF-8")); bos.write(0)
+      }
+      f('S', "ERROR"); f('C', "42710")
+      f('M', "replication slot \"x\" already exists"); bos.write(0)
+      bos.toByteArray
+    }
+    assert(ReplicationSocketClient.errorSqlState(err).contains("42710"))
+    assert(ReplicationSocketClient.errorMessage(err).contains("already"))
+    // missing slot, proto v3 → probe, CREATE with TWO_PHASE, stream
+    val server = new FakePgServer(walSenderTimeout = "1s")
+    @volatile var slotExists = false
+    server.queryHandler = sql =>
+      if (sql.contains("pg_replication_slots"))
+        Some(if (slotExists) Seq(Seq("s3_slot")) else Seq.empty)
+      else if (sql.startsWith("CREATE_REPLICATION_SLOT")) {
+        slotExists = true
+        Some(Seq(Seq("s3_slot", "0/500", null, "pgoutput")))
+      } else None
+    val port = server.start()
+    val log = tmp("slot-create") + "/wal.log"
+    val client = new ReplicationSocketClient("127.0.0.1", port,
+      "s3_slot", "pub", log, protoVersion = 3,
+      createSlotIfMissing = true)
+    try {
+      client.start()
+      waitUntil()(server.startedStreaming)
+      val qs = server.queries.toArray.map(_.toString)
+      val create = qs.filter(_.startsWith("CREATE_REPLICATION_SLOT"))
+      assert(create.length == 1 &&
+        create.head.contains("\"s3_slot\"") &&
+        create.head.contains("LOGICAL pgoutput") &&
+        create.head.contains("TWO_PHASE"), create.mkString("\n"))
+      // probe precedes create precedes START_REPLICATION
+      val probeIdx = qs.indexWhere(_.contains("pg_replication_slots"))
+      val createIdx = qs.indexWhere(_.startsWith("CREATE_REPLICATION_SLOT"))
+      val startIdx = qs.indexWhere(_.startsWith("START_REPLICATION"))
+      assert(probeIdx >= 0 && probeIdx < createIdx && createIdx < startIdx)
+    } finally { client.stop(); server.stop() }
+
+    // existing slot → probed, NOT recreated; proto v1 default opts
+    val server2 = new FakePgServer(walSenderTimeout = "1s")
+    server2.queryHandler = sql =>
+      if (sql.contains("pg_replication_slots")) Some(Seq(Seq("v1_slot")))
+      else None
+    val port2 = server2.start()
+    val client2 = new ReplicationSocketClient("127.0.0.1", port2,
+      "v1_slot", "pub", tmp("slot-exists") + "/wal.log",
+      createSlotIfMissing = true)
+    try {
+      client2.start()
+      waitUntil()(server2.startedStreaming)
+      assert(!server2.queries.toArray.map(_.toString)
+        .exists(_.startsWith("CREATE_REPLICATION_SLOT")))
+    } finally { client2.stop(); server2.stop() }
+  }
+
   test("idle stream heartbeats inside the keepalive deadline") {
     val dir = tmp("repl-idle")
     val server = new FakePgServer(walSenderTimeout = "1s") // deadline 600ms
