@@ -177,6 +177,24 @@ class PgBinarySpec extends AnyFunSuite with PropSpec {
     }
   }
 
+  test("array property: arbitrary unicode text[] elements round-trip " +
+      "through the literal rendering and the text-side tokenizer") {
+    val genElem: Gen[Option[String]] = Gen.frequency(
+      1 -> Gen.const(None),
+      2 -> Gen.const(Some("")),
+      2 -> Gen.const(Some("NULL")),
+      8 -> Gen.listOf(Gen.frequency(
+        6 -> Gen.alphaNumChar,
+        3 -> Gen.oneOf('{', '}', ',', '"', '\\', ' ', '\t', 'é', '世'),
+        1 -> Gen.const('\n'))).map(cs => Some(cs.mkString)))
+    checkProp(Prop.forAll(Gen.listOf(genElem)) { elems =>
+      val bytes = arrayBytes(25, elems.map(_.map(
+        _.getBytes(StandardCharsets.UTF_8))))
+      val lit = PgBinary.text(1009, bytes)
+      PgText.parseArray(lit).toList == elems
+    })
+  }
+
   test("numeric property: rendered text equals BigDecimal rendering") {
     val gen = for {
       unscaled <- Gen.choose(-999999999999999L, 999999999999999L)
