@@ -236,6 +236,30 @@ object Replicator {
               s"(known: ${known.map(_.tableName).mkString(", ")})"))
       }
       val paths = backfills.toMap
+      // slot-aligned bootstrap: when this replicator OWNS slot creation
+      // (source.createSlot) and wire backfills exist, the slot must be
+      // created BEFORE any snapshot export — a slot only retains WAL
+      // from its own consistent point, so the naive order (export,
+      // backfill, create-at-stream-start) silently loses every change
+      // inside the (export, create) window. Better: create it WITH an
+      // exported snapshot and give the backfill THAT snapshot — reads
+      // land exactly on the slot's consistent point, and the stream
+      // resumes from confirmed_flush with zero gap and zero overlap
+      // (the reference's create_slot_with_transaction pattern,
+      // raw.rs:419).
+      val slotSession =
+        if (get("source.mode", "file") == "socket" &&
+            get("source.createSlot", "false") == "true" &&
+            paths.valuesIterator.exists(_.startsWith("copy:")))
+          Some(graft.sources.ReplicationSocketClient.SlotBootstrap
+            .ensureWithSnapshot(get("source.host", "127.0.0.1"),
+              get("source.port").toInt, get("source.user", "graft"),
+              get("source.database", "postgres"),
+              get("source.password", ""),
+              get("source.slot", "graft_slot"),
+              get("source.protoVersion", "1").toInt,
+              sslMode, sslRootCert))
+        else None
       def copySnapshot(t: TableSchemaV, qualified: String): DataFrame = {
         import graft.sources.{PgCopy, PgWireConnection, SnapshotScan}
         val host = get("source.host", "127.0.0.1")
@@ -246,12 +270,19 @@ object Replicator {
         val exporter = new PgWireConnection(host, port, user, db, pw,
           sslMode = sslMode, sslRootCert = sslRootCert)
         exporter.connect()
+        var began = false
         try {
-          exporter.simpleQuery("BEGIN ISOLATION LEVEL REPEATABLE READ")
-          exporter.drainUntilReady()
-          val snapshotId = exporter
-            .queryRows("SELECT pg_export_snapshot()")
-            .headOption.flatMap(_.headOption.flatten)
+          // a freshly-created slot supplies ITS snapshot; otherwise
+          // export one here (a pre-existing slot's retention already
+          // covers the overlap, which LWW apply absorbs)
+          val snapshotId = slotSession.flatMap(_.snapshotName)
+            .orElse {
+              exporter.simpleQuery("BEGIN ISOLATION LEVEL REPEATABLE READ")
+              exporter.drainUntilReady()
+              began = true
+              exporter.queryRows("SELECT pg_export_snapshot()")
+                .headOption.flatMap(_.headOption.flatten)
+            }
           val leaves = exporter.queryRows(
             s"""SELECT p.relid::regclass::text, c.relpages,
                |       GREATEST(c.reltuples, 0)::bigint
@@ -283,16 +314,21 @@ object Replicator {
           typed
         } finally {
           try {
-            exporter.simpleQuery("COMMIT"); exporter.drainUntilReady()
+            if (began) {
+              exporter.simpleQuery("COMMIT"); exporter.drainUntilReady()
+            }
           } catch { case _: Throwable => () }
           exporter.close()
         }
       }
-      pipeline.backfill(tables, t => paths(t.tableName) match {
-        case p if p.startsWith("copy:") =>
-          (copySnapshot(t, p.stripPrefix("copy:")), 0L)
-        case p => (spark.read.parquet(p), 0L)
-      })
+      try
+        pipeline.backfill(tables, t => paths(t.tableName) match {
+          case p if p.startsWith("copy:") =>
+            (copySnapshot(t, p.stripPrefix("copy:")), 0L)
+          case p => (spark.read.parquet(p), 0L)
+        })
+      // the slot's exported snapshot must outlive every COPY worker
+      finally slotSession.foreach(_.close())
     }
 
     val logPath = get("source.log", s"$work/wal.log")

@@ -1039,6 +1039,73 @@ object ReplicationSocketClient {
     if (sb.isEmpty) "unknown error" else sb.toString
   }
 
+  /** Slot-aligned backfill bootstrap — the reference's
+    * create-slot-then-use-its-snapshot pattern (raw.rs:419
+    * `create_slot_with_transaction`, worker.rs:385) adapted to the
+    * multi-connection Spark backfill: create the slot with an EXPORTED
+    * snapshot and hand the snapshot name to every CTID-range COPY
+    * worker (`SET TRANSACTION SNAPSHOT`), so the backfill reads
+    * EXACTLY the slot's consistent point and the stream then resumes
+    * from `confirmed_flush` with zero gap and zero overlap. Creating
+    * the slot AFTER exporting an unrelated snapshot (the naive
+    * ordering) loses every change between the export and the
+    * creation — the slot only retains WAL from its own consistent
+    * point.
+    *
+    * The exported snapshot stays importable only while this
+    * replication connection is open and runs no further command (PG
+    * docs, CREATE_REPLICATION_SLOT) — [[Session.close]] only after the
+    * backfill has materialized. */
+  object SlotBootstrap {
+    final case class Session(conn: PgWireConnection, created: Boolean,
+        consistentPoint: Option[String], snapshotName: Option[String]) {
+      def close(): Unit = conn.close()
+    }
+
+    def ensureWithSnapshot(host: String, port: Int, user: String,
+        database: String, password: String, slotName: String,
+        protoVersion: Int, sslMode: String = "disable",
+        sslRootCert: Option[String] = None): Session = {
+      def open(): PgWireConnection = {
+        val c = new PgWireConnection(host, port, user, database,
+          password, replication = true, sslMode = sslMode,
+          sslRootCert = sslRootCert)
+        c.connect(); c
+      }
+      val escSlot = slotName.replace("'", "''")
+      def probe(c: PgWireConnection): Boolean =
+        c.queryRows("SELECT slot_name FROM pg_replication_slots " +
+          s"WHERE slot_name = '$escSlot'").nonEmpty
+      val conn = open()
+      try {
+        if (probe(conn)) return Session(conn, created = false, None, None)
+        // v3 slots need the two_phase property at creation; the
+        // parenthesized option syntax is PG 15+, which v3 requires
+        val opts =
+          if (protoVersion >= 3) " (TWO_PHASE, SNAPSHOT 'export')"
+          else " EXPORT_SNAPSHOT"
+        val row = conn.queryRows(
+          s"""CREATE_REPLICATION_SLOT "$slotName" LOGICAL pgoutput$opts""")
+          .headOption.getOrElse(IndexedSeq.empty)
+        // columns: slot_name, consistent_point, snapshot_name, plugin
+        Session(conn, created = true,
+          consistentPoint = row.lift(1).flatten,
+          snapshotName = row.lift(2).flatten)
+      } catch {
+        case e: java.io.IOException =>
+          // a rival worker may have won the creation race; reprobe on
+          // a fresh connection — slot present = goal achieved
+          conn.close()
+          val retry = open()
+          val present =
+            try probe(retry)
+            catch { case _: Throwable => retry.close(); throw e }
+          if (present) Session(retry, created = false, None, None)
+          else { retry.close(); throw e }
+      }
+    }
+  }
+
   /** The SQLSTATE ('C') field of an ErrorResponse payload. */
   private[sources] def errorSqlState(payload: Array[Byte]): Option[String] = {
     val buf = ByteBuffer.wrap(payload)

@@ -238,6 +238,85 @@ class ReplicatorSpec extends SparkSpec {
     assert(qs.exists(_.contains("SET TRANSACTION SNAPSHOT '00000003-00000002-1'")))
   }
 
+  test("socket mode + source.createSlot: the slot is created BEFORE " +
+      "any snapshot work and the backfill joins the SLOT's exported " +
+      "snapshot — no pg_export_snapshot, no (export, create) loss " +
+      "window") {
+    import graft.sources.{FakePgServer, PgOutput}
+    import PgOutput._
+    spark.sparkContext
+    val work = Files.createTempDirectory("graft-slotboot").toString
+    val reg = new SchemaRegistry
+    reg.put(TableSchemaV(1L, "users", 0L, IndexedSeq(
+      ColumnSpec("id", "int8", nullable = false, pkOrdinal = 1),
+      ColumnSpec("name", "text"))))
+    reg.save(s"$work/schemas.json")
+
+    val server = new FakePgServer(walSenderTimeout = "1s",
+      password = "pw")
+    @volatile var slotExists = false
+    server.queryHandler = sql =>
+      if (sql.contains("pg_replication_slots"))
+        Some(if (slotExists) Seq(Seq("boot_slot")) else Seq.empty)
+      else if (sql.startsWith("CREATE_REPLICATION_SLOT")) {
+        slotExists = true
+        Some(Seq(Seq("boot_slot", "0/80", "00000007-00000022-1",
+          "pgoutput")))
+      } else if (sql.contains("pg_partition_tree"))
+        Some(Seq(Seq("public.users", "1", "2")))
+      else None
+    server.copyHandler = sql => Seq("10\tpre-a")
+    val port = server.start()
+    val rel = Relation(1, "public", "users", 'd', IndexedSeq(
+      RelCol(1, "id", 20, -1), RelCol(0, "name", 25, -1)))
+    def row(vs: String*): TupleData = vs.map(TText(_): TupleValue).toIndexedSeq
+    server.enqueue(
+      server.Frame(encode(rel), 90, 90),
+      server.Frame(encode(Begin(100, 0, 1)), 91, 91),
+      server.Frame(encode(Insert(1, row("1", "ann"))), 92, 92),
+      server.Frame(encode(Commit(0, 100, 101, 0)), 100, 100))
+
+    val cfg = s"""
+      |pipeline.id = slotboot
+      |pipeline.workdir = $work
+      |source.mode = socket
+      |source.host = 127.0.0.1
+      |source.port = $port
+      |source.password = pw
+      |source.slot = boot_slot
+      |source.createSlot = true
+      |source.log = $work/wal.log
+      |destination = current_state
+      |backfill.users = copy:public.users
+      |drain = true
+      |drain.settleMs = 500
+      |""".stripMargin
+    Files.write(Paths.get(s"$work/slotboot.properties"),
+      cfg.getBytes(StandardCharsets.UTF_8))
+    try {
+      graft.Replicator.main(Array(s"$work/slotboot.properties"))
+    } finally server.stop()
+
+    val out = new graft.sinks.GraftTable(s"$work/tables/users", Seq("id"))
+      .read(spark).select("id", "name").as[(Long, String)].collect().toSet
+    assert(out == Set((10L, "pre-a"), (1L, "ann")))
+
+    val qs = server.queries.toArray.map(_.toString)
+    // the slot's snapshot serves the backfill — nothing else exports one
+    assert(!qs.exists(_.contains("pg_export_snapshot")),
+      "the slot's exported snapshot must replace pg_export_snapshot")
+    assert(qs.exists(
+      _.contains("SET TRANSACTION SNAPSHOT '00000007-00000022-1'")))
+    // creation strictly precedes every COPY and START_REPLICATION
+    val createIdx = qs.indexWhere(_.startsWith("CREATE_REPLICATION_SLOT"))
+    val firstCopy = qs.indexWhere(_.toUpperCase.startsWith("COPY"))
+    val startIdx = qs.indexWhere(_.startsWith("START_REPLICATION"))
+    assert(createIdx >= 0 && firstCopy > createIdx && startIdx > createIdx,
+      qs.mkString("\n"))
+    // the intake probed again at stream start and did NOT recreate
+    assert(qs.count(_.startsWith("CREATE_REPLICATION_SLOT")) == 1)
+  }
+
   test("live /metrics endpoint (telemetry.port): a Prometheus scrape " +
       "during the pipeline sees etl_prepared_transactions move across " +
       "a prepare → commit, and the spool gauges track the held spool") {

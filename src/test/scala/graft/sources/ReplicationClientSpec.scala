@@ -190,6 +190,44 @@ class ReplicationClientSpec extends SparkSpec {
     } finally { client2.stop(); server2.stop() }
   }
 
+  test("SlotBootstrap: creating the slot exports ITS snapshot for the " +
+      "backfill; a pre-existing slot skips creation") {
+    val server = new FakePgServer(walSenderTimeout = "1s")
+    @volatile var exists = false
+    server.queryHandler = sql =>
+      if (sql.contains("pg_replication_slots"))
+        Some(if (exists) Seq(Seq("boot_slot")) else Seq.empty)
+      else if (sql.startsWith("CREATE_REPLICATION_SLOT")) {
+        exists = true
+        Some(Seq(Seq("boot_slot", "0/900", "00000004-00000011-1",
+          "pgoutput")))
+      } else None
+    val port = server.start()
+    try {
+      val s = ReplicationSocketClient.SlotBootstrap.ensureWithSnapshot(
+        "127.0.0.1", port, "graft", "postgres", "", "boot_slot",
+        protoVersion = 1)
+      try {
+        assert(s.created && s.snapshotName.contains("00000004-00000011-1")
+          && s.consistentPoint.contains("0/900"))
+        val qs = server.queries.toArray.map(_.toString)
+        val create = qs.filter(_.startsWith("CREATE_REPLICATION_SLOT"))
+        assert(create.length == 1 &&
+          create.head.contains("EXPORT_SNAPSHOT") &&
+          !create.head.contains("TWO_PHASE"), create.mkString("\n"))
+      } finally s.close()
+      // second call: the slot now exists — probed, not recreated
+      val s2 = ReplicationSocketClient.SlotBootstrap.ensureWithSnapshot(
+        "127.0.0.1", port, "graft", "postgres", "", "boot_slot",
+        protoVersion = 1)
+      try {
+        assert(!s2.created && s2.snapshotName.isEmpty)
+        assert(server.queries.toArray.map(_.toString)
+          .count(_.startsWith("CREATE_REPLICATION_SLOT")) == 1)
+      } finally s2.close()
+    } finally server.stop()
+  }
+
   test("idle stream heartbeats inside the keepalive deadline") {
     val dir = tmp("repl-idle")
     val server = new FakePgServer(walSenderTimeout = "1s") // deadline 600ms
