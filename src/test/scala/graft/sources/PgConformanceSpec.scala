@@ -1404,4 +1404,50 @@ class PgConformanceSpec extends AnyFunSuite {
     assert(f(2)(8) == "cnt,ratio,born,at,uid",
       s"TOAST mask must name the unchanged columns, got '${f(2)(8)}'")
   }
+
+  test("wire: BINARY cells inside a v2 STREAM block — the spool holds " +
+      "raw binary frames and converts at StreamCommit replay through " +
+      "a proto-2 binary-mode client") {
+    val dir = Files.createTempDirectory("pg-conformance-v2bin").toString
+    val log = s"$dir/wal.log"
+    val startQueries =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val fl = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val server = new ServerSocket(0)
+    replayConnections(server, Seq("stream_v2_binary" -> None),
+      startQueries, Seq(fl))
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot_v2b", "conf_pub_v2b", log,
+      flushLsn = () => 0x17808L, protoVersion = 2, binaryMode = true)
+    try {
+      val t0 = System.currentTimeMillis()
+      client.start()
+      // 5 XLogData frames + 1 keepalive
+      while ((client.framesReceived.get() < 5 ||
+        client.keepalivesReceived.get() < 1) &&
+        System.currentTimeMillis() - t0 < 15000) Thread.sleep(20)
+      assert(client.framesReceived.get() == 5,
+        s"frames=${client.framesReceived.get()} err=${client.lastError}")
+      assert(client.lastError.isEmpty, s"client error: ${client.lastError}")
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+    val qs = startQueries.toArray.map(_.toString)
+    assert(qs.size == 1 && qs(0).contains("streaming 'true'") &&
+      qs(0).contains("binary 'true'"),
+      s"both options must be negotiated together: $qs")
+    val lines = new String(Files.readAllBytes(Paths.get(log)),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+    assert(lines.size == 2, s"expected R + I at StreamCommit, got:\n$lines")
+    val f = lines.map(_.split("\t", -1))
+    // both lines carry the StreamCommit LSN (replayed whole)
+    assert(f.forall(_(0) == 0x17800L.toString))
+    assert(f(0)(2) == "R" && f(1)(2) == "I")
+    assert(PackedRow.parse(f(1)(7)) == Vector(
+      Some("7"), Some("t"), Some("3000000000"), Some("-2.25"),
+      Some("héllo"), Some("""{"a":1}"""), Some("2022-10-16"),
+      Some("2000-01-01 00:00:00+00"),
+      Some("a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11"), Some("1234.5678")))
+  }
 }

@@ -628,6 +628,21 @@ binary_tx = (backend(b"W", u8(0) + be16(0)) +
              keepalive(T6 + 8, True))
 session.append(("stream_binary", binary_tx))
 
+# binary cells INSIDE a v2 stream block: the spool must hold the raw
+# binary frames and convert at StreamCommit replay — binary mode and
+# streamed transactions compose on the wire
+T7, T8 = 0x17000, 0x17800
+v2bin = (backend(b"W", u8(0) + be16(0)) +
+         xlogdata(T7 - 40, T7, b"S" + be32(940) + u8(1)) +
+         xlogdata(T7 - 36, T7, streamed(940, REL_BIN)) +
+         xlogdata(T7 - 32, T7, streamed(940, b"I" + be32(16392) + b"N" +
+                                        BIN_ROW)) +
+         xlogdata(T7 - 28, T7, b"E") +
+         xlogdata(T8 - 8, T8, b"c" + be32(940) + u8(0) + be64(T8) +
+                  be64(T8 + 8) + be64(TS)) +
+         keepalive(T8 + 8, True))
+session.append(("stream_v2_binary", v2bin))
+
 # ------------------------------------------------- binary COPY payload
 # PGCOPY framing straight from the COPY docs ("Binary Format"): 11-byte
 # signature, Int32 flags, Int32 header-extension length (+ bytes), per
