@@ -285,6 +285,11 @@ object Preflight {
           "join pg_class c on c.oid = gpt.relid " +
           "join pg_namespace n on n.oid = c.relnamespace " +
           s"where p.pubname = '$pub' order by 1")
+      if (audit.isEmpty)
+        out += PreflightFailure(critical = false, "Empty Publication",
+          s"publication '$publication' exists but publishes no tables " +
+            "— the pipeline will stream nothing; ALTER PUBLICATION " +
+            s"$publication ADD TABLE <schema.table>, …")
       val unusable = audit.flatMap { r =>
         val name = r.lift(0).flatten.getOrElse("?")
         val ident = r.lift(1).flatten.getOrElse("d")

@@ -142,6 +142,20 @@ final class PreflightSpec extends AnyFunSuite {
     }
   }
 
+  test("a publication that publishes zero tables warns — it streams " +
+      "nothing, which is never what the operator meant") {
+    val empty = healthy.map {
+      case ("pg_get_publication_tables", _) =>
+        "pg_get_publication_tables" -> Seq.empty[Seq[String]]
+      case kv => kv
+    }
+    withSource(empty) { conn =>
+      val fails = Preflight.validateSource(conn, "graft_pub", 4)
+      assert(fails.size == 1 && !fails.head.critical &&
+        fails.head.name == "Empty Publication", fails.map(_.render))
+    }
+  }
+
   test("a malformed setting value downgrades ITS check to a warning; " +
       "the rest of the aggregated pass still runs") {
     val garbled = healthy.map {
