@@ -201,10 +201,11 @@ final class FsLeaseStore(root: String) extends MaintenanceLeaseStore {
   * a rival whose clock ran ahead by more than the holder's remaining
   * TTL would break a LIVE lease — two concurrent maintainers. (The
   * [[FsLeaseStore]] keeps the client clock: shared-POSIX deployments
-  * are one NTP domain by construction.) The millisecond TTL is applied
-  * engine-side via chained `{fn TIMESTAMPADD}` (seconds + the
-  * sub-second remainder in nanoseconds — SQL_TSI_FRAC_SECOND's count
-  * is an INT, so a single frac-second term would overflow past 2.1 s).
+  * are one NTP domain by construction.) The TTL is applied engine-side
+  * through per-engine interval arithmetic chosen from the connection's
+  * `DatabaseMetaData` (PostgreSQL `make_interval`, Derby chained
+  * `{fn TIMESTAMPADD}`, whole-second fallback elsewhere — see
+  * `Dialect`).
   *
   * One cached connection per store instance, re-opened on a connection
   * failure (heartbeats at ttl/3 per table across many tables made a
@@ -238,6 +239,7 @@ final class JdbcLeaseStore(url: String, leaseName: String,
   private def freshConn(): Connection = {
     val c = DriverManager.getConnection(url)
     connectionsOpened.incrementAndGet()
+    if (dialect == null) dialect = Dialect.detect(c)
     if (!tableEnsured) { ensureTable(c); tableEnsured = true }
     c
   }
@@ -282,18 +284,81 @@ final class JdbcLeaseStore(url: String, leaseName: String,
   private def isDuplicateKey(e: SQLException): Boolean =
     Option(e.getSQLState).exists(s => s == "23505" || s == "23000")
 
-  /** `CURRENT_TIMESTAMP + ttlMs`, computed entirely in the engine.
-    * Binds two ints: (1) whole seconds, (2) remainder in nanoseconds. */
-  private def expiryExpr: String =
-    "{fn TIMESTAMPADD(SQL_TSI_FRAC_SECOND, CAST(? AS INTEGER), " +
-      "{fn TIMESTAMPADD(SQL_TSI_SECOND, CAST(? AS INTEGER), " +
-      "CURRENT_TIMESTAMP)})}"
-
-  private def bindTtl(ps: java.sql.PreparedStatement, at: Int,
-      ttlMs: Long): Unit = {
-    ps.setInt(at, ((ttlMs % 1000L) * 1000000L).toInt) // nanos remainder
-    ps.setInt(at + 1, math.min(ttlMs / 1000L, Int.MaxValue.toLong).toInt)
+  /** Engine dialect for `CURRENT_TIMESTAMP + ttl` — the JDBC
+    * `{fn TIMESTAMPADD}` escape is DRIVER-translated and drivers
+    * disagree on (or lack) SQL_TSI_FRAC_SECOND: Derby reads its count
+    * as nanoseconds, some drivers as milliseconds, and the PostgreSQL
+    * JDBC driver — the engine this store's own scaladoc points
+    * multi-host deployments at — does not implement the FRAC_SECOND
+    * interval at all and errors every statement carrying it. So the
+    * expiry arithmetic is chosen per engine from
+    * `DatabaseMetaData.getDatabaseProductName`:
+    *  - PostgreSQL: native `make_interval(secs => ?)` (fractional
+    *    seconds as one double — the reference's own coordination
+    *    engine, coordination/postgres.rs);
+    *  - Apache Derby: the chained FRAC_SECOND(nanos)+SECOND escape
+    *    (verified ms-precise by this repo's suite);
+    *  - anything else: whole-second `SQL_TSI_SECOND` with the TTL
+    *    CEILed — every driver implements SECOND, and rounding UP keeps
+    *    the safety direction (a lease may live ≤1 s longer; it never
+    *    expires early under a holder that believes it is live). */
+  private sealed trait Dialect {
+    def expiryExpr: String
+    /** Bind the TTL at `at`; returns the number of params consumed. */
+    def bindTtl(ps: java.sql.PreparedStatement, at: Int, ttlMs: Long): Int
   }
+  private object Dialect {
+    case object Postgres extends Dialect {
+      val expiryExpr = "CURRENT_TIMESTAMP + make_interval(secs => ?)"
+      def bindTtl(ps: java.sql.PreparedStatement, at: Int,
+          ttlMs: Long): Int = {
+        ps.setDouble(at, ttlMs / 1000.0); 1
+      }
+    }
+    case object Derby extends Dialect {
+      /** Binds (1) sub-second remainder in NANOseconds — Derby's
+        * FRAC_SECOND unit; a single frac-second term would overflow
+        * its INT count past 2.1 s — then (2) whole seconds. */
+      val expiryExpr =
+        "{fn TIMESTAMPADD(SQL_TSI_FRAC_SECOND, CAST(? AS INTEGER), " +
+          "{fn TIMESTAMPADD(SQL_TSI_SECOND, CAST(? AS INTEGER), " +
+          "CURRENT_TIMESTAMP)})}"
+      def bindTtl(ps: java.sql.PreparedStatement, at: Int,
+          ttlMs: Long): Int = {
+        ps.setInt(at, ((ttlMs % 1000L) * 1000000L).toInt)
+        ps.setInt(at + 1,
+          math.min(ttlMs / 1000L, Int.MaxValue.toLong).toInt)
+        2
+      }
+    }
+    case object WholeSecond extends Dialect {
+      val expiryExpr =
+        "{fn TIMESTAMPADD(SQL_TSI_SECOND, CAST(? AS INTEGER), " +
+          "CURRENT_TIMESTAMP)}"
+      def bindTtl(ps: java.sql.PreparedStatement, at: Int,
+          ttlMs: Long): Int = {
+        val ceilSec = (ttlMs + 999L) / 1000L
+        ps.setInt(at, math.min(ceilSec, Int.MaxValue.toLong).toInt); 1
+      }
+    }
+    def detect(c: Connection): Dialect = {
+      val name =
+        try Option(c.getMetaData.getDatabaseProductName).getOrElse("")
+        catch { case _: SQLException => "" }
+      val n = name.toLowerCase
+      if (n.contains("postgres")) Postgres
+      else if (n.contains("derby")) Derby
+      else WholeSecond
+    }
+  }
+
+  /** Set from the first connection's metadata; immutable afterwards
+    * (a store talks to ONE engine for its lifetime). */
+  @volatile private var dialect: Dialect = null
+
+  private def expiryExpr: String = dialect.expiryExpr
+  private def bindTtl(ps: java.sql.PreparedStatement, at: Int,
+      ttlMs: Long): Int = dialect.bindTtl(ps, at, ttlMs)
 
   private def ensureTable(conn: Connection): Unit = {
     try {
@@ -330,8 +395,9 @@ final class JdbcLeaseStore(url: String, leaseName: String,
         "OR expires_at < CURRENT_TIMESTAMP)")
     val updated =
       try {
-        upd.setString(1, owner); bindTtl(upd, 2, ttlMs)
-        upd.setString(4, leaseName); upd.setString(5, owner)
+        upd.setString(1, owner)
+        val n = bindTtl(upd, 2, ttlMs)
+        upd.setString(2 + n, leaseName); upd.setString(3 + n, owner)
         upd.executeUpdate()
       } finally upd.close()
     if (updated == 1) return true
@@ -342,7 +408,7 @@ final class JdbcLeaseStore(url: String, leaseName: String,
         s"VALUES (?, ?, $expiryExpr)")
     try {
       ins.setString(1, leaseName); ins.setString(2, owner)
-      bindTtl(ins, 3, ttlMs)
+      bindTtl(ins, 3, ttlMs): Unit
       ins.executeUpdate() == 1
     } catch {
       case e: SQLException if isDuplicateKey(e) => false

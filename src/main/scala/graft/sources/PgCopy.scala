@@ -150,6 +150,10 @@ object PgCopy {
     private var copiedMeta = graft.pipeline.SourcePayload.CopyMeta(0L)
     private var processedRecorded = false
 
+    /** Accumulated row wire bytes (test observability for the
+      * across-compaction accounting). */
+    private[sources] def wireBytesSeen: Long = copiedMeta.copyBytes
+
     private def avail: Int = buf.length - off
     /** Pull frames until `n` bytes are buffered; false at stream end. */
     private def fill(n: Int): Boolean = {
@@ -225,14 +229,19 @@ object PgCopy {
         require(avail == 0, "binary COPY stream ended mid-row")
         return None
       }
-      val rowStart = off
       val n = be16()
       if (n == -1) { trailerSeen = true; return None }
       require(n == nCols,
         s"binary COPY row has $n columns, expected $nCols")
+      // wire-size accounting accumulates CONSUMED bytes directly (2-byte
+      // field count + per cell 4-byte length + data) — `off` arithmetic
+      // across the row would be wrong because pullFrame compacts the
+      // buffer (resets off to 0) whenever a row spans CopyData frames
+      var wireBytes = 2L
       val cells = (0 until n).map { _ =>
         require(fill(4), "binary COPY stream ended mid-row")
         val len = be32()
+        wireBytes += 4
         if (len == -1) None
         else {
           require(len >= 0 && len <= MaxBinaryCellBytes,
@@ -240,12 +249,13 @@ object PgCopy {
           require(fill(len), "binary COPY stream ended mid-cell")
           val a = java.util.Arrays.copyOfRange(buf, off, off + len)
           off += len
+          wireBytes += len
           Some(a)
         }
       }
       // source-payload accounting: the row's wire body (field count,
       // lengths, data) — the binary analog of line+newline
-      val row = graft.pipeline.SourcePayload.CopyMeta(off - rowStart)
+      val row = graft.pipeline.SourcePayload.CopyMeta(wireBytes)
       row.recordReceived(); row.recordRowSize()
       copiedMeta = copiedMeta merge row
       Some(cells)
@@ -340,7 +350,9 @@ object PgCopy {
     * ([[graft.core.PgBinary.textByName]]), so [[decodeTyped]] and
     * everything downstream are format-agnostic. Callers must check
     * [[graft.core.PgBinary.copySupported]] for every replicated column
-    * first (arrays/exotic types have no binary conversion — this
+    * first (supported scalars AND 1-D arrays of them take this path;
+    * only genuinely exotic types — geometry, ranges, enums,
+    * multidimensional arrays — fall back to the text wire; this
     * REQUIREs rather than silently hex-encoding a value the typed
     * decode would then nullify). */
   def copyTableBinary(spark: SparkSession, host: String, port: Int,

@@ -133,9 +133,15 @@ object Preflight {
     import audit.{checked, out, rows, scalar}
     val pub = esc(publication)
 
-    if (protoVersion >= 2 || binaryMode) checked("Protocol Version Check") {
+    checked("Protocol Version Check") {
       val vnum = scalar("select current_setting('server_version_num')")
         .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(0)
+      if (vnum > 0 && vnum < 140000)
+        out += PreflightFailure(critical = false,
+          "DDL Capture Unavailable",
+          s"source server is $vnum (< 14): the pgoutput `messages` " +
+            "option does not exist there, so logical-message DDL " +
+            "capture is disabled (v1 row streaming is unaffected)")
       if (protoVersion >= 2 && vnum > 0 && vnum < 140000)
         out += PreflightFailure(critical = true,
           "Protocol Version Unsupported",

@@ -161,6 +161,7 @@ final class ReplicationSocketClient(
       replication = true, sslMode = sslMode, sslRootCert = sslRootCert)
     conn.connect()
     val walSenderTimeoutMs = queryWalSenderTimeoutMs()
+    serverVersionNum = queryServerVersionNum()
     val deadlineMs = keepAliveDeadlineMs(walSenderTimeoutMs)
     // receive deadline (PostgreSQL's own wal_receiver_timeout shape): a
     // server that goes SILENT — NAT drop, partition, half-open socket —
@@ -337,6 +338,40 @@ final class ReplicationSocketClient(
     } catch { case _: Throwable => None }
   }
 
+  /** `SHOW server_version_num` via a simple query (a GUC, so the
+    * walsender answers it in replication mode); None = unreadable.
+    * Probed once per session to gate version-dependent pgoutput
+    * options ([[startReplication]]). */
+  private def queryServerVersionNum(): Option[Int] = {
+    try {
+      simpleQuery("SHOW server_version_num")
+      var value: Option[String] = None
+      var ready = false
+      while (!ready) {
+        val (t, payload) = readMessage()
+        t match {
+          case 'D' =>
+            val buf = ByteBuffer.wrap(payload)
+            if (buf.getShort >= 1) {
+              val len = buf.getInt
+              if (len >= 0) {
+                val bytes = new Array[Byte](len); buf.get(bytes)
+                value = Some(new String(bytes, StandardCharsets.UTF_8))
+              }
+            }
+          case 'Z' => ready = true
+          case 'E' => value = None; drainUntilReady(); ready = true
+          case _ => ()
+        }
+      }
+      value.flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+    } catch { case _: Throwable => None }
+  }
+
+  /** Source server version from this session's probe; None until the
+    * probe ran (or when the server would not answer it). */
+  @volatile private var serverVersionNum: Option[Int] = None
+
   private def startReplication(fromLsn: Long): Unit = {
     val lsn = formatLsn(fromLsn)
     require(protoVersion >= 1 && protoVersion <= 3,
@@ -350,11 +385,25 @@ final class ReplicationSocketClient(
     // messages 'true' is REQUIRED for 'M' logical-message frames (the
     // S5 DDL-capture channel, pg_logical_emit_message) — without it
     // pgoutput silently drops them; the reference sends it
-    // unconditionally too (client/raw.rs:634)
+    // unconditionally too (client/raw.rs:634). The option only EXISTS
+    // on PG 14+, though: a pre-14 walsender errors the whole
+    // START_REPLICATION with "unrecognized pgoutput option", so on a
+    // CONFIRMED older server we drop it (v1 keeps streaming; DDL
+    // capture is simply unavailable there) and log the degradation.
+    // An unreadable probe keeps the option — modern servers must not
+    // lose DDL capture to a transient SHOW failure.
+    val messages =
+      if (serverVersionNum.exists(_ < 140000)) {
+        java.util.logging.Logger.getLogger("graft.sources.replication")
+          .warning(s"source server is ${serverVersionNum.get} (< 14): " +
+            "pgoutput `messages` option unavailable — logical-message " +
+            "DDL capture disabled for this session")
+        ""
+      } else ", messages 'true'"
     simpleQuery(s"""START_REPLICATION SLOT "$slotName" LOGICAL $lsn """ +
       s"""(proto_version '$protoVersion', """ +
-      s"""publication_names '$publication', """ +
-      s"""messages 'true'$streaming$twoPhase$binary)""")
+      s"""publication_names '$publication'""" +
+      s"""$messages$streaming$twoPhase$binary)""")
     val (t, payload) = readMessage()
     t match {
       case 'W' => () // CopyBothResponse — streaming begins

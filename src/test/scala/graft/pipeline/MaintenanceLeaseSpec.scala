@@ -23,15 +23,27 @@ class MaintenanceLeaseSpec extends SparkSpec {
   private def tmp(prefix: String) =
     Files.createTempDirectory(prefix).toString
 
-  /** The store matrix: every mechanics/hammer test runs against BOTH
-    * lease stores — the filesystem default and the JDBC (embedded
-    * Derby) one, the reference's coordination/postgres.rs analog. */
+  /** The store matrix: every mechanics/hammer test runs against ALL
+    * lease stores — the filesystem default, the JDBC (embedded Derby)
+    * one (the reference's coordination/postgres.rs analog), and the
+    * JDBC store under the PostgreSQL-emulating shim engine
+    * ([[graft.sinks.PgEmulatingJdbc]]) that exercises the PG dialect's
+    * `make_interval` expiry end-to-end and REFUSES the FRAC_SECOND
+    * escape exactly as pgjdbc does. */
   private def storeKinds: Seq[(String, GraftTable => GraftTable)] = Seq(
     "fs" -> identity[GraftTable] _,
     "jdbc" -> { (t: GraftTable) =>
       val db = tmp("leasedb")
       t.maintenanceLeaseStore = new graft.sinks.JdbcLeaseStore(
         s"jdbc:derby:$db/leases;create=true", t.root)
+      t
+    },
+    "jdbc-pg" -> { (t: GraftTable) =>
+      graft.sinks.PgEmulatingJdbc.register()
+      val db = tmp("leasedb-pg")
+      t.maintenanceLeaseStore = new graft.sinks.JdbcLeaseStore(
+        s"${graft.sinks.PgEmulatingJdbc.Prefix}$db/leases;create=true",
+        t.root)
       t
     })
 
@@ -124,6 +136,79 @@ class MaintenanceLeaseSpec extends SparkSpec {
     val db = tmp("leasedb")
     val url = s"jdbc:derby:$db/leases;create=true"
     (new graft.sinks.JdbcLeaseStore(url, "t"), url)
+  }
+
+  // --------- JDBC store: engine dialects (round-13 verdict #1) — the
+  // FRAC_SECOND JDBC escape is driver-translated and pgjdbc lacks it
+  // entirely; the store must pick engine-native interval arithmetic.
+  test("[jdbc-pg] dialect: under a PostgreSQL-reporting engine the " +
+      "store uses make_interval (works end-to-end, ms-precise); the " +
+      "old FRAC_SECOND escape is RED under the same engine") {
+    graft.sinks.PgEmulatingJdbc.register()
+    val db = tmp("leasedb-dialect")
+    val url = s"${graft.sinks.PgEmulatingJdbc.Prefix}$db/leases;create=true"
+
+    // the pre-dialect (Derby-only) statement: refused at prepare, the
+    // way pgjdbc refuses FRAC_SECOND — proving the dialect split is
+    // load-bearing, not cosmetic
+    val raw = java.sql.DriverManager.getConnection(url)
+    try {
+      val e = intercept[java.sql.SQLException] {
+        raw.prepareStatement(
+          "VALUES {fn TIMESTAMPADD(SQL_TSI_FRAC_SECOND, " +
+            "CAST(? AS INTEGER), CURRENT_TIMESTAMP)}")
+      }
+      assert(e.getMessage.contains("FRAC_SECOND"))
+    } finally raw.close()
+
+    // the store itself: full acquire/renew/expire/release cycle through
+    // the PG dialect (make_interval), against the real engine clock
+    val store = new graft.sinks.JdbcLeaseStore(url, "t")
+    assert(store.tryAcquire("a", ttlMs = 60000))
+    assert(!store.tryAcquire("b", ttlMs = 60000))
+    assert(store.holder.exists(_._1 == "a"))
+    // engine-side expiry lands ~60 s out (double-seconds bind intact)
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(
+        "SELECT {fn TIMESTAMPDIFF(SQL_TSI_SECOND, CURRENT_TIMESTAMP, " +
+          "expires_at)} FROM graft_lease WHERE name = 't'")
+      assert(rs.next())
+      val remain = rs.getLong(1)
+      assert(remain >= 50 && remain <= 61,
+        s"engine-side expiry should be ~60s out, was ${remain}s")
+    } finally c.close()
+    store.release("a")
+    // sub-second TTLs stay sub-second (the fractional part of the
+    // double survives — a whole-second floor would make this 0 ≈ forever
+    // or 1 s; the lapse below proves it expires)
+    assert(store.tryAcquire("quick", ttlMs = 400))
+    Thread.sleep(900)
+    assert(store.holder.isEmpty, "400ms lease must lapse within 900ms")
+    assert(store.tryAcquire("c", ttlMs = 60000))
+    store.release("c")
+    store.close()
+  }
+
+  test("[jdbc] unknown-engine fallback: whole-second expiry CEILs the " +
+      "TTL (a lease never expires early under a live holder)") {
+    // exercised directly on Derby through the WholeSecond expression
+    // shape the store emits for unrecognized engines
+    val db = tmp("leasedb-ws")
+    val c = java.sql.DriverManager.getConnection(
+      s"jdbc:derby:$db/leases;create=true")
+    try {
+      val ps = c.prepareStatement(
+        "VALUES {fn TIMESTAMPDIFF(SQL_TSI_SECOND, CURRENT_TIMESTAMP, " +
+          "{fn TIMESTAMPADD(SQL_TSI_SECOND, CAST(? AS INTEGER), " +
+          "CURRENT_TIMESTAMP)})}")
+      val ceilSec = ((1500L + 999L) / 1000L).toInt // the store's ceil
+      ps.setInt(1, ceilSec)
+      val rs = ps.executeQuery()
+      assert(rs.next() && rs.getLong(1) >= 1L,
+        "1500ms must round UP to 2s, never down to 1s")
+      assert(ceilSec == 2)
+    } finally c.close()
   }
 
   test("[jdbc] lease liveness is decided by the ENGINE clock: a live " +

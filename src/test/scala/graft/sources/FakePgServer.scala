@@ -84,6 +84,8 @@ final class FakePgServer(walSenderTimeout: String = "60s",
   /** SELECT handler: rows (as text cells) for matching queries; None →
     * the generic empty CommandComplete reply. */
   @volatile var queryHandler: String => Option[Seq[Seq[String]]] = _ => None
+  /** Answer to `SHOW server_version_num` (tests pin pre-14 servers). */
+  @volatile var serverVersionNum: String = "170000"
 
   /** Kill the live connection (wal sender restart / network blip). */
   def dropConnection(): Unit =
@@ -183,7 +185,23 @@ final class FakePgServer(walSenderTimeout: String = "60s",
           val sql = new String(payload, 0, payload.length - 1,
             StandardCharsets.UTF_8)
           queries.add(sql)
-          if (sql.toLowerCase.contains("wal_sender_timeout")) {
+          if (sql.toLowerCase.startsWith("show server_version_num")) {
+            sendMsg(out, 'T', { b =>
+              b.putShort(1)
+              b.put("server_version_num".getBytes(StandardCharsets.UTF_8))
+              b.put(0.toByte)
+              b.putInt(0); b.putShort(0); b.putInt(25)
+              b.putShort(-1); b.putInt(-1); b.putShort(0)
+            })
+            sendMsg(out, 'D', { b =>
+              val v = serverVersionNum.getBytes(StandardCharsets.UTF_8)
+              b.putShort(1); b.putInt(v.length); b.put(v)
+            })
+            sendMsg(out, 'C', { b =>
+              b.put("SHOW".getBytes(StandardCharsets.UTF_8)); b.put(0.toByte)
+            })
+            sendMsg(out, 'Z', b => b.put('I'.toByte))
+          } else if (sql.toLowerCase.contains("wal_sender_timeout")) {
             // RowDescription + DataRow + CommandComplete + ReadyForQuery
             sendMsg(out, 'T', { b =>
               b.putShort(1)

@@ -179,7 +179,7 @@ final class PreflightSpec extends AnyFunSuite {
 
   test("protocol-version requirements: v2 needs PG 14+, v3 needs " +
       "PG 15+, binary needs PG 14+; v3 on a no-prepared-tx source is " +
-      "a warning; v1 issues no version query at all") {
+      "a warning; pre-14 v1 warns that DDL capture is unavailable") {
     val pg13 = ("server_version_num" -> Seq(Seq("130011"))) +: healthy
     withSource(pg13) { conn =>
       val fails = Preflight.validateSource(conn, "graft_pub", 4,
@@ -206,8 +206,16 @@ final class PreflightSpec extends AnyFunSuite {
         fails.head.name == "Two-Phase Without Prepared Transactions",
         fails.map(_.render))
     }
-    // v1 text mode: the version check must not even run (older servers
-    // answer everything else fine)
+    // v1 text mode on a pre-14 source: supported (no criticals), but
+    // the operator is told DDL capture is off — the `messages` pgoutput
+    // option does not exist there, so the client drops it
+    withSource(pg13) { conn =>
+      val fails = Preflight.validateSource(conn, "graft_pub", 4)
+      assert(fails.size == 1 && !fails.head.critical &&
+        fails.head.name == "DDL Capture Unavailable",
+        fails.map(_.render))
+    }
+    // v1 with an unreadable version: nothing to report
     withSource(healthy) { conn =>
       assert(Preflight.validateSource(conn, "graft_pub", 4).isEmpty)
     }

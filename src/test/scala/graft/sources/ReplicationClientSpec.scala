@@ -248,6 +248,43 @@ class ReplicationClientSpec extends SparkSpec {
     }
   }
 
+  test("pre-14 source: `messages` option dropped from START_REPLICATION " +
+      "(option does not exist before PG 14); modern source keeps it") {
+    // PG 13 source: the walsender would error the whole START_REPLICATION
+    // on an unrecognized `messages` option — v1 must keep streaming
+    val dir = tmp("repl-pg13")
+    val server = new FakePgServer(walSenderTimeout = "1s")
+    server.serverVersionNum = "130011"
+    val port = server.start()
+    val client = new ReplicationSocketClient("127.0.0.1", port,
+      "s", "p", s"$dir/wal.log")
+    try {
+      client.start()
+      waitUntil()(server.startedStreaming)
+      val start = server.queries.toArray.map(_.toString)
+        .find(_.startsWith("START_REPLICATION")).get
+      assert(!start.contains("messages"),
+        s"PG 13 must not be sent the `messages` option: $start")
+      assert(server.queries.toArray.map(_.toString)
+        .exists(_.startsWith("SHOW server_version_num")))
+    } finally { client.stop(); server.stop() }
+
+    // PG 14+ (default fake): messages 'true' present (reference
+    // raw.rs:634 sends it unconditionally — it only supports PG 14+)
+    val dir2 = tmp("repl-pg17")
+    val server2 = new FakePgServer(walSenderTimeout = "1s")
+    val port2 = server2.start()
+    val client2 = new ReplicationSocketClient("127.0.0.1", port2,
+      "s", "p", s"$dir2/wal.log")
+    try {
+      client2.start()
+      waitUntil()(server2.startedStreaming)
+      val start = server2.queries.toArray.map(_.toString)
+        .find(_.startsWith("START_REPLICATION")).get
+      assert(start.contains("messages 'true'"), start)
+    } finally { client2.stop(); server2.stop() }
+  }
+
   test("dropped connection: supervisor reconnects from durable progress") {
     val dir = tmp("repl-drop")
     val log = s"$dir/wal.log"
@@ -449,10 +486,18 @@ class ReplicationClientSpec extends SparkSpec {
           "postgres", "")
         conn.connect()
         try {
-          val got = PgCopy.copyBinaryRows(conn,
-            "COPY (SELECT 1) TO STDOUT (FORMAT binary)", nCols).toVector
+          val it = PgCopy.copyBinaryRows(conn,
+            "COPY (SELECT 1) TO STDOUT (FORMAT binary)", nCols)
+          val got = it.toVector
           assert(got.size == rows.size,
             s"rows=${rows.size} frame=${server.copyFrameBytes}")
+          // wire-size accounting is exact even when rows span CopyData
+          // frames (buffer compaction must not corrupt the byte count)
+          val expectBytes = rows.map(r =>
+            2L + r.map(c => 4L + c.map(_.length.toLong).getOrElse(0L)).sum).sum
+          assert(it.asInstanceOf[PgCopy.CopyBinaryRowIterator]
+            .wireBytesSeen == expectBytes,
+            s"wire bytes off at frame=${server.copyFrameBytes}")
           got.zip(rows).foreach { case (g, e) =>
             g.zip(e).foreach {
               case (None, None) => ()
