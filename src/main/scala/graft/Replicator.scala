@@ -177,39 +177,33 @@ object Replicator {
     // aggregated report; warnings log, criticals abort startup
     if (get("preflight", "false") == "true") {
       val prop = (k: String) => Option(props.getProperty(k))
-      val cfgFailures = graft.sources.Preflight.validateConfig(prop)
-      val srcFailures =
+      val failures =
         if (get("source.mode", "file") == "socket") {
-          val conn = new graft.sources.PgWireConnection(
-            get("source.host", "127.0.0.1"), get("source.port").toInt,
-            get("source.user", "graft"), get("source.database", "postgres"),
-            get("source.password", ""), replication = false,
-            sslMode = sslMode, sslRootCert = sslRootCert)
-          conn.connect()
-          try {
-            val src = graft.sources.Preflight.validateSource(conn,
-              get("source.publication", "graft_pub"),
-              get("pipeline.maxTableSyncWorkers", "4").toInt,
+          // merge-shaped destinations additionally require a primary
+          // key per published table (the reference's per-destination
+          // PrimaryKeyValidator); append changelog shapes do not
+          val shape = get("destination", "current_state") match {
+            case "current_state" => Some("current-state merge")
+            case "jdbc" => Some("JDBC merge")
+            case _ => None
+          }
+          graft.pipeline.CdcPipeline.preflight(
+            graft.sources.PgSourceConfig(
+              host = get("source.host", "127.0.0.1"),
+              port = get("source.port").toInt,
+              user = get("source.user", "graft"),
+              database = get("source.database", "postgres"),
+              password = get("source.password", ""),
+              publication = get("source.publication", "graft_pub"),
+              slot = Some(get("source.slot", "graft_slot")),
               protoVersion = get("source.protoVersion", "1").toInt,
               binaryMode = get("source.binary", "false") == "true",
-              slotName = Some(get("source.slot", "graft_slot")))
-            // merge-shaped destinations additionally require a primary
-            // key per published table (the reference's per-destination
-            // PrimaryKeyValidator); append changelog shapes do not
-            val pk = get("destination", "current_state") match {
-              case "current_state" =>
-                graft.sources.Preflight.validatePrimaryKeys(conn,
-                  get("source.publication", "graft_pub"),
-                  "current-state merge")
-              case "jdbc" =>
-                graft.sources.Preflight.validatePrimaryKeys(conn,
-                  get("source.publication", "graft_pub"), "JDBC merge")
-              case _ => Nil
-            }
-            src ++ pk
-          } finally conn.close()
-        } else Nil
-      graft.sources.Preflight.enforce(cfgFailures ++ srcFailures)
+              sslMode = sslMode, sslRootCert = sslRootCert),
+            maxTableSyncWorkers =
+              get("pipeline.maxTableSyncWorkers", "4").toInt,
+            destinationShape = shape, config = prop)
+        } else graft.sources.Preflight.validateConfig(prop)
+      graft.sources.Preflight.enforce(failures)
     }
 
     val pipeline = new CdcPipeline(spark, config, registry, sink,

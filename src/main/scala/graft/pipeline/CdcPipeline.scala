@@ -543,6 +543,50 @@ final class CdcPipeline(
 object CdcPipeline {
   import graft.core.ColumnSpec
 
+  /** Embedded-entry preflight façade (the validator suite the
+    * `Replicator` binary runs at startup, exposed to library users who
+    * drive [[CdcPipeline]] directly — the reference performs its
+    * validation in etl-api before a replicator deploys,
+    * validators/{pipeline,replica_identity,primary_key}.rs; an embedded
+    * engine must be able to run the same checks without the binary's
+    * property file). Opens ONE short-lived non-replication connection
+    * from `source`, runs config + source + (for merge-shaped
+    * destinations) primary-key validation, and returns the aggregated
+    * findings — pass them to [[graft.sources.Preflight.enforce]] to
+    * abort on criticals, or inspect/log them directly.
+    *
+    * @param destinationShape Some(label) adds the primary-key audit and
+    *   attributes findings to that destination (e.g. "current-state
+    *   merge", "JDBC merge"); None = append-changelog shape, no PK
+    *   requirement.
+    * @param config optional pipeline-property lookup for the static
+    *   config checks (slot/publication name syntax, trigger bounds);
+    *   the default checks nothing. */
+  def preflight(source: graft.sources.PgSourceConfig,
+      maxTableSyncWorkers: Int = 4,
+      destinationShape: Option[String] = None,
+      config: String => Option[String] = _ => None)
+      : Seq[graft.sources.PreflightFailure] = {
+    val cfg = graft.sources.Preflight.validateConfig(config)
+    val conn = new graft.sources.PgWireConnection(source.host,
+      source.port, source.user, source.database, source.password,
+      replication = false, sslMode = source.sslMode,
+      sslRootCert = source.sslRootCert)
+    conn.connect()
+    val wire =
+      try {
+        val src = graft.sources.Preflight.validateSource(conn,
+          source.publication, maxTableSyncWorkers,
+          protoVersion = source.protoVersion,
+          binaryMode = source.binaryMode, slotName = source.slot)
+        val pk = destinationShape.map(shape =>
+          graft.sources.Preflight.validatePrimaryKeys(conn,
+            source.publication, shape)).getOrElse(Nil)
+        src ++ pk
+      } finally conn.close()
+    cfg ++ wire
+  }
+
   /** A copy is IN FLIGHT from the moment its snapshot LSN may have been
     * captured (DataSync) until the handoff (SyncDone): in that window
     * streamed events must be spooled, not dropped. Init/Errored are NOT in

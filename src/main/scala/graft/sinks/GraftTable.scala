@@ -1166,8 +1166,28 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * merge groups must move the mark only after ALL groups are durable,
     * or a crash between groups + checkpoint replay would filter the
     * unapplied groups out forever. */
+  /** One-time (per handle) sweep of stale `.stage-*` dirs — crash
+    * debris from hard-killed writers otherwise accumulates until a
+    * `vacuum` runs, and a crash-looping deployment (restart → stage →
+    * die before commit) can fill the volume before maintenance ever
+    * gets a lease. Age-gated exactly like vacuum's catch-all sweep: a
+    * rival writer's IN-FLIGHT stage dir is younger than
+    * [[GraftTable.OrphanSweepMinAgeMs]] and is left alone. */
+  private lazy val staleStageSweep: Unit = {
+    val cutoff = System.currentTimeMillis() - GraftTable.OrphanSweepMinAgeMs
+    try listDir(Paths.get(root))
+      .filter { p =>
+        p.getFileName.toString.startsWith(".stage-") &&
+          (try Files.getLastModifiedTime(p).toMillis < cutoff
+           catch { case _: java.io.IOException => false })
+      }
+      .foreach(deleteRecursively)
+    catch { case _: java.io.IOException => () } // sweep is best-effort
+  }
+
   def merge(batch: DataFrame, coalesceCols: Seq[String],
       skipReplayFilter: Boolean, advanceHw: Boolean): Unit = {
+    staleStageSweep
     val spark = batch.sparkSession
     val current = effectiveManifest()
     // group merges cannot take the MoR path (group commits splice bucket
@@ -1289,6 +1309,37 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     } finally fresh.unpersist()
   }
 
+  /** Feedback gate for [[mergeStaged]]'s no-shuffle staging when the
+    * batch's input partition count is NOT statically derivable: starts
+    * conservative (repartition to buckets — the right plan for the
+    * backfill-sized batches that tend to arrive first), then steered by
+    * the previous batch's observed row count. Steady-state CDC
+    * micro-batches are size-stable, so only the first batch after a
+    * (re)open pays the extra exchange. */
+  @volatile private[sinks] var morStageConservative = true
+
+  /** Input partition count read from the ANALYZED logical plan — narrow
+    * chains over RDD-backed or driver-local leaves expose it without a
+    * physical-planning pass (`df.rdd` would physically plan the same
+    * tree the write then plans AGAIN, doubling the per-merge Catalyst
+    * cost on the steady-state apply path; under AQE it can even
+    * materialize shuffle stages early — round-13 verdict #2). None =
+    * not derivable without planning (a shuffle-introducing node or an
+    * unknown leaf), in which case [[morStageConservative]] decides. */
+  private def staticPartitionCount(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    @annotation.tailrec
+    def walk(p: LogicalPlan): Option[Int] = p match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        Some(l.rdd.getNumPartitions)
+      case _: LocalRelation => Some(1) // driver-local rows: small
+      case n @ (_: Project | _: Filter | _: SubqueryAlias) =>
+        walk(n.children.head)
+      case _ => None
+    }
+    walk(df.queryExecution.analyzed)
+  }
+
   /** The merge-on-read merge lane: ONE staged write job, then a
     * file-move commit (see [[merge]]). */
   private def mergeStaged(spark: SparkSession, current: Option[Manifest],
@@ -1309,17 +1360,23 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       val staged = (if (toPhysical.isEmpty) observed
                     else observed.withColumnsRenamed(toPhysical))
         .drop("_seq")
-      // a micro-batch (≤ nB input partitions — the CDC apply hot path)
-      // stages WITHOUT a shuffle: each task writes its buckets' files
-      // directly (file count ≤ parts × touched buckets, absorbed by the
-      // MoR layer ladder / the CoW rewrite), and the merge is ONE
-      // scheduler round-trip even under AQE (a repartition would
-      // materialize as its own query-stage job). A wide backfill
-      // repartitions to nB so the file count stays O(buckets).
-      val inParts =
-        try fresh0.rdd.getNumPartitions
-        catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
-      val shaped = if (inParts <= nB) staged
+      // a micro-batch (small input — the CDC apply hot path) stages
+      // WITHOUT a shuffle: each task writes its buckets' files directly
+      // (file count ≤ parts × touched buckets, absorbed by the MoR
+      // layer ladder / the CoW rewrite), and the merge is ONE scheduler
+      // round-trip even under AQE (a repartition would materialize as
+      // its own query-stage job). A wide backfill repartitions to nB so
+      // the file count stays O(buckets). The small/wide decision must
+      // not cost a physical-planning pass of its own (`.rdd` plans the
+      // same tree the write then plans AGAIN — round-13 verdict #2), so
+      // it reads the ANALYZED logical plan where derivable and falls
+      // back to per-table feedback (first batch conservative, then
+      // steered by the previous batch's observed row count) otherwise.
+      val noShuffle = staticPartitionCount(fresh0) match {
+        case Some(n) => n <= nB
+        case None => !morStageConservative
+      }
+      val shaped = if (noShuffle) staged
                    else staged.repartition(nB, col("_bucket"))
       shaped
         .sortWithinPartitions(("_bucket" +: keyCols).map(col): _*)
@@ -1359,6 +1416,12 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
           "carry its replay sequence key")
       val batchRows = metrics("n").asInstanceOf[Long]
       val delRows = metrics("nDel").asInstanceOf[Long]
+      // feedback for the next statically-underivable batch: a
+      // delta-scale batch stages without a shuffle next time; a
+      // backfill-scale one flips back to the conservative repartition
+      // (this batch's file count stays bounded by tasks × buckets,
+      // which maintenance compacts)
+      morStageConservative = batchRows > GraftTable.MorDeltaMaxRows
       def bumped(old: String) =
         if (advanceHw) { if (old.isEmpty || newHigh0 > old) newHigh0 else old }
         else old

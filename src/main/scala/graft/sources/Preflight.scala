@@ -9,6 +9,17 @@ final case class PreflightFailure(critical: Boolean, name: String,
     s"[${if (critical) "CRITICAL" else "warning"}] $name — $detail"
 }
 
+/** Source-connection descriptor for the embedded preflight façade
+  * ([[graft.pipeline.CdcPipeline.preflight]]) — the handful of knobs a
+  * library user already holds to start a pipeline, bundled so the
+  * validator suite can build its own short-lived wire connection. */
+final case class PgSourceConfig(
+    host: String, port: Int, user: String, database: String,
+    password: String = "", publication: String = "graft_pub",
+    slot: Option[String] = None, protoVersion: Int = 1,
+    binaryMode: Boolean = false, sslMode: String = "disable",
+    sslRootCert: Option[String] = None)
+
 /** Source preflight validation — the engine-side analog of the
   * reference control plane's validator suite
   * (`crates/etl-api/src/validation/validators/{pipeline,
