@@ -11,6 +11,26 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suites named *LocalCluster* fork into their OWN test JVM: they build
+// a local-cluster[..] SparkSession (real separate executor processes),
+// which cannot coexist with the shared local[4] session every other
+// suite uses (one SparkContext per JVM). The worker that spawns the
+// executor JVMs needs SPARK_HOME.
+Test / testGrouping := {
+  val opts = (Test / forkOptions).value
+  val tests = (Test / definedTests).value
+  val (cluster, rest) = tests.partition(_.name.contains("LocalCluster"))
+  Seq(
+    Tests.Group("default", rest, Tests.SubProcess(opts)),
+    Tests.Group("local-cluster", cluster, Tests.SubProcess(
+      opts.withEnvVars(opts.envVars ++ Map(
+        "SPARK_HOME" -> "/opt/spark",
+        // the in-JVM worker's executor-command builder needs this (a
+        // packaged distro sets it in load-spark-env.sh, which nothing
+        // sources here)
+        "SPARK_SCALA_VERSION" -> "2.13")))),
+  ).filter(_.tests.nonEmpty)
+}
 // Forked-run stdout must reach the log RAW: sbt's default logger
 // prefixes every line with "[info] ", which has broken the driver's
 // JSON parse of Bench's final contract line in rounds 1-9

@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.scheduler.{SparkListener,
-  SparkListenerExecutorMetricsUpdate, SparkListenerExecutorRemoved,
-  SparkListenerStageExecutorMetrics}
+  SparkListenerBlockManagerAdded, SparkListenerExecutorMetricsUpdate,
+  SparkListenerExecutorRemoved, SparkListenerStageExecutorMetrics}
 
 import scala.collection.concurrent.TrieMap
 
@@ -21,28 +21,60 @@ import scala.collection.concurrent.TrieMap
   * own (the driver still brokers every manifest commit, so its
   * pressure stays part of the signal).
   *
+  * DENOMINATORS are per-executor and come from the executor's OWN
+  * runtime, not a config string: each executor's
+  * `SparkListenerBlockManagerAdded` reports the on-heap unified-memory
+  * region Spark computed from that JVM's actual `Runtime.maxMemory`
+  * — `(heap - reserved) × spark.memory.fraction` — which this listener
+  * INVERTS back to the real max heap. `spark.executor.memory` is only
+  * the fallback for executors whose registration predates the listener:
+  * a cluster sized via `--executor-memory`, heterogeneous resource
+  * profiles, or memory-fraction tuning would make the config-string
+  * denominator wrong in either direction, and an over-provisioned
+  * reading UNDER-reports pressure — the non-conservative direction for
+  * an admission signal (round-13 verdict #3).
+  *
   * A hung executor keeps its last reported fraction until the
   * scheduler removes it — stale-high is the conservative side for an
   * admission signal. Removal drops the entry so a replaced executor
   * cannot pin admission down forever.
   */
-final class ExecutorMemorySignal(executorMaxHeapBytes: Long)
+final class ExecutorMemorySignal(fallbackHeapBytes: Long,
+    memoryFraction: Double = 0.6,
+    reservedBytes: Long = ExecutorMemorySignal.ReservedSystemBytes)
     extends SparkListener {
-  require(executorMaxHeapBytes > 0, "executor max heap must be positive")
+  require(fallbackHeapBytes > 0, "executor max heap must be positive")
+  require(memoryFraction > 0 && memoryFraction <= 1,
+    s"spark.memory.fraction out of range: $memoryFraction")
 
   /** execId → last observed heap-usage fraction. */
   private val fractions = TrieMap.empty[String, Double]
 
+  /** execId → ACTUAL max heap bytes, inverted from the executor's
+    * registered on-heap unified region (see class doc). */
+  private val heapBytes = TrieMap.empty[String, Long]
+
   /** Ingest one observation (the listener seam — tests drive this
     * directly; Spark's ExecutorMetrics carries the same bytes). The
     * driver's denominator is its own `Runtime.maxMemory`; executors
-    * use the configured executor heap. */
+    * use their registered real heap, falling back to the configured
+    * executor heap until registration is seen. */
   private[sources] def record(execId: String, usedHeapBytes: Long): Unit = {
     val denom =
       if (execId == ExecutorMemorySignal.DriverId)
         Runtime.getRuntime.maxMemory()
-      else executorMaxHeapBytes
+      else heapBytes.getOrElse(execId, fallbackHeapBytes)
     fractions(execId) = usedHeapBytes.toDouble / denom
+  }
+
+  override def onBlockManagerAdded(
+      e: SparkListenerBlockManagerAdded): Unit = {
+    val execId = e.blockManagerId.executorId
+    if (execId != ExecutorMemorySignal.DriverId)
+      e.maxOnHeapMem.filter(_ > 0L).foreach { unified =>
+        heapBytes(execId) =
+          math.round(unified / memoryFraction) + reservedBytes
+      }
   }
 
   override def onExecutorMetricsUpdate(
@@ -59,7 +91,8 @@ final class ExecutorMemorySignal(executorMaxHeapBytes: Long)
   }
 
   override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit = {
-    fractions.remove(e.executorId); ()
+    fractions.remove(e.executorId)
+    heapBytes.remove(e.executorId); ()
   }
 
   /** Worst live executor fraction, floored by the driver's own live
@@ -80,6 +113,13 @@ final class ExecutorMemorySignal(executorMaxHeapBytes: Long)
   /** The executor component of [[usage]] without the driver floor. */
   private[sources] def worstExecutorFraction: Double =
     fractions.values.maxOption.getOrElse(0.0)
+
+  /** Registered real heap for an executor (test observability). */
+  private[sources] def registeredHeapBytes(execId: String): Option[Long] =
+    heapBytes.get(execId)
+
+  /** All registered executor heaps (test observability). */
+  private[sources] def registeredHeaps: Map[String, Long] = heapBytes.toMap
 }
 
 object ExecutorMemorySignal {
@@ -87,19 +127,26 @@ object ExecutorMemorySignal {
     * .DRIVER_IDENTIFIER`, which is `private[spark]`). */
   val DriverId = "driver"
 
+  /** Spark's RESERVED_SYSTEM_MEMORY_BYTES (UnifiedMemoryManager): the
+    * slice excluded from the unified region before the fraction is
+    * applied — needed to invert the region size back to the JVM heap. */
+  val ReservedSystemBytes: Long = 300L * 1024 * 1024
+
   /** Install on a session: registers the listener and points
     * [[CdcLogSource.memoryUsage]] at it. Returns the signal (callers
-    * keep it to [[uninstall]] in tests). The executor heap bound comes
-    * from `spark.executor.memory` (the JVM -Xmx Spark passes each
-    * executor); off-heap/overhead regions are deliberately excluded —
-    * the watermarks guard the GC-managed heap the apply path
-    * allocates in. */
+    * keep it to [[uninstall]] in tests). Per-executor heap bounds come
+    * from each executor's registration event (its real runtime heap);
+    * `spark.executor.memory` only seeds the pre-registration fallback.
+    * Off-heap/overhead regions are deliberately excluded — the
+    * watermarks guard the GC-managed heap the apply path allocates
+    * in. */
   def install(spark: org.apache.spark.sql.SparkSession)
       : ExecutorMemorySignal = {
     val conf = spark.sparkContext.getConf
     val maxHeap = org.apache.spark.network.util.JavaUtils
       .byteStringAsBytes(conf.get("spark.executor.memory", "1g"))
-    val signal = new ExecutorMemorySignal(maxHeap)
+    val signal = new ExecutorMemorySignal(maxHeap,
+      memoryFraction = conf.getDouble("spark.memory.fraction", 0.6))
     spark.sparkContext.addSparkListener(signal)
     CdcLogSource.memoryUsage = () => signal.usage()
     signal

@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
 final class ExecutorMemorySignalSpec extends AnyFunSuite {
 
   test("worst executor wins; removal drops its contribution") {
-    val s = new ExecutorMemorySignal(executorMaxHeapBytes = 1000L)
+    val s = new ExecutorMemorySignal(fallbackHeapBytes = 1000L)
     s.record("1", 900L)
     s.record("2", 100L)
     assert(s.worstExecutorFraction === 0.9)
@@ -22,9 +22,47 @@ final class ExecutorMemorySignalSpec extends AnyFunSuite {
       "a removed executor must stop pinning the signal")
   }
 
+  test("denominators come from each executor's REGISTERED real heap " +
+      "(BlockManagerAdded unified-region inversion), not the config " +
+      "string; removal forgets it (round-13 verdict #3)") {
+    // config says 1 GiB, but executor 1 actually runs with a 4 GiB heap
+    // (e.g. --executor-memory at submit, or a heterogeneous profile):
+    // Spark registers its on-heap unified region as
+    // (heap - 300MiB) * fraction
+    val gib = 1024L * 1024 * 1024
+    val s = new ExecutorMemorySignal(fallbackHeapBytes = gib,
+      memoryFraction = 0.6)
+    val realHeap = 4 * gib
+    val unified = ((realHeap - ExecutorMemorySignal.ReservedSystemBytes)
+      * 0.6).toLong
+    s.onBlockManagerAdded(
+      org.apache.spark.GraftTestBus.blockManagerAdded("1", unified))
+    assert(s.registeredHeapBytes("1").exists(h =>
+      math.abs(h - realHeap) < gib / 100),
+      s"inverted heap ${s.registeredHeapBytes("1")} should be ~4 GiB")
+    // 2 GiB used on a 4 GiB executor = 0.5 — the config-string
+    // denominator (1 GiB) would have reported an absurd 2.0; the other
+    // wrong direction (config 8 GiB vs real 4) would UNDER-report
+    s.record("1", 2 * gib)
+    assert(s.worstExecutorFraction > 0.45 && s.worstExecutorFraction < 0.55,
+      s"fraction ${s.worstExecutorFraction} must use the real heap")
+    // an unregistered executor falls back to the configured bound
+    s.record("2", gib / 2)
+    assert(s.registeredHeapBytes("2").isEmpty)
+    assert(s.trackedExecutors.contains("2"))
+    // removal forgets the registration too
+    s.onExecutorRemoved(
+      SparkListenerExecutorRemoved(0L, "1", "decommissioned"))
+    assert(s.registeredHeapBytes("1").isEmpty)
+    // the driver's registration is never used as an executor bound
+    s.onBlockManagerAdded(org.apache.spark.GraftTestBus
+      .blockManagerAdded(ExecutorMemorySignal.DriverId, unified))
+    assert(s.registeredHeapBytes(ExecutorMemorySignal.DriverId).isEmpty)
+  }
+
   test("driver observations use the driver JVM's own max heap as " +
       "denominator, not the executor bound") {
-    val s = new ExecutorMemorySignal(executorMaxHeapBytes = 1L)
+    val s = new ExecutorMemorySignal(fallbackHeapBytes = 1L)
     val used = Runtime.getRuntime.maxMemory() / 4
     s.record(ExecutorMemorySignal.DriverId, used)
     // with the executor bound (1 byte) this would be astronomic;
@@ -34,7 +72,7 @@ final class ExecutorMemorySignalSpec extends AnyFunSuite {
 
   test("scheduler metrics events feed the signal: heartbeat updates " +
       "and per-stage peaks") {
-    val s = new ExecutorMemorySignal(executorMaxHeapBytes = 1000L)
+    val s = new ExecutorMemorySignal(fallbackHeapBytes = 1000L)
     s.onExecutorMetricsUpdate(SparkListenerExecutorMetricsUpdate(
       "3", Seq.empty,
       Map((0, 0) -> org.apache.spark.GraftTestBus.executorMetrics(Map("JVMHeapMemory" -> 600L)),
@@ -52,7 +90,7 @@ final class ExecutorMemorySignalSpec extends AnyFunSuite {
 
   test("usage() never reports below the driver's live heap (the " +
       "manifest-commit broker stays part of the signal)") {
-    val s = new ExecutorMemorySignal(executorMaxHeapBytes = 1000L)
+    val s = new ExecutorMemorySignal(fallbackHeapBytes = 1000L)
     val rt = Runtime.getRuntime
     val driverNow = (rt.totalMemory() - rt.freeMemory()).toDouble /
       rt.maxMemory()
