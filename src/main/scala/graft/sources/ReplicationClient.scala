@@ -42,6 +42,14 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
   *    (apply.rs:1493-1497; timeout read via `SHOW wal_sender_timeout`,
   *    defaulting to 60 s when disabled/unreadable, apply.rs:1106-1129).
   */
+/** Named retryable condition: START_REPLICATION refused with SQLSTATE
+  * 55006 (object_in_use) — a rival wal receiver still holds the slot,
+  * which is EXPECTED during failovers and worker handovers (the old
+  * holder's socket lingers until the server notices). The client
+  * retries with backoff instead of dying on a generic wire error. */
+final class SlotInUseException(msg: String)
+    extends java.io.IOException(msg)
+
 final class ReplicationSocketClient(
     host: String,
     port: Int,
@@ -109,6 +117,9 @@ final class ReplicationSocketClient(
   private val running = new AtomicBoolean(false)
   private val stopped = new AtomicBoolean(false)
   val reconnects = new AtomicLong(0)
+  /** START_REPLICATION attempts refused with SQLSTATE 55006 (rival
+    * worker holds the slot) — each is retried with backoff. */
+  val slotBusyRetries = new AtomicLong(0)
   private var conn: PgWireConnection = _
   private def out: DataOutputStream = conn.out
   private var reader: Thread = _
@@ -127,15 +138,31 @@ final class ReplicationSocketClient(
     * downstream replay guards absorb (at-least-once, the reference
     * replicator's restart-on-error loop). */
   def start(reconnectBackoffMs: Long = 1000L): Unit = {
-    connectSession()
+    try connectSession()
+    catch {
+      case e: SlotInUseException =>
+        // a rival holds the slot (failover/handover window): NAMED and
+        // RETRYABLE — the supervisor below reconnects with backoff
+        // until the rival releases. Every other first-connect failure
+        // (auth, config, bad host) still surfaces to the caller.
+        lastError = Some(e)
+        try conn.close() catch { case _: Throwable => () }
+        java.util.logging.Logger.getLogger("graft.sources.replication")
+          .warning(s"${e.getMessage} — retrying with backoff")
+    }
     supervisor = new Thread(() => {
       // no early `return` in the lambda: a Scala non-local return after
       // start() has exited surfaces as NonLocalReturnControl on this
       // thread at every graceful stop
       while (!stopped.get()) {
-        reader.join()
-        heartbeat.interrupt(); heartbeat.join(5000)
-        if (!stopped.get()) {
+        // a first connect refused on a busy slot leaves no session to
+        // watch — go straight to the reconnect loop
+        if (reader != null) {
+          reader.join()
+          heartbeat.interrupt(); heartbeat.join(5000)
+        }
+        if (!stopped.get() && (reader == null || !running.get() ||
+            !reader.isAlive)) {
           // session died underneath us → reconnect with backoff
           try conn.close() catch { case _: Throwable => () }
           var connected = false
@@ -374,10 +401,16 @@ final class ReplicationSocketClient(
 
   private def startReplication(fromLsn: Long): Unit = {
     val lsn = formatLsn(fromLsn)
-    require(protoVersion >= 1 && protoVersion <= 3,
+    require(protoVersion >= 1 && protoVersion <= 4,
       s"unsupported proto_version $protoVersion")
-    val streaming = // v2 must also request streaming, or v2 ≡ v1
-      if (protoVersion >= 2) ", streaming 'true'" else ""
+    val streaming = // v2 must also request streaming, or v2 ≡ v1;
+      // v4 (PG 16) negotiates `streaming 'parallel'` — the server may
+      // then stream prepared/aborted subtransactions with the extended
+      // Stream Abort frame (abort LSN + ts). Parallel APPLY is a
+      // subscriber-side concern; our spool replay is already
+      // transactional, so v4 maps onto the same replay path.
+      if (protoVersion >= 4) ", streaming 'parallel'"
+      else if (protoVersion >= 2) ", streaming 'true'" else ""
     val twoPhase = // v3: prepared transactions decode at PREPARE time
       if (protoVersion >= 3) ", two_phase 'true'" else ""
     val binary = // PG 14+: tuple cells in binary send format
@@ -407,9 +440,21 @@ final class ReplicationSocketClient(
     val (t, payload) = readMessage()
     t match {
       case 'W' => () // CopyBothResponse — streaming begins
-      case 'E' => throw new java.io.IOException(
-        // slot gone/invalidated → the ST10 onMissingOffset path upstream
-        s"START_REPLICATION refused: ${errorMessage(payload)}")
+      case 'E' =>
+        val state = ReplicationSocketClient.errorSqlState(payload)
+        val msg = errorMessage(payload)
+        if (state.contains("55006")) {
+          // object_in_use: a rival worker still holds the slot — a
+          // NAMED retryable condition (failover handover), not a
+          // generic refusal
+          slotBusyRetries.incrementAndGet()
+          throw new SlotInUseException(
+            s"replication slot '$slotName' is held by a rival " +
+              s"(SQLSTATE 55006): $msg")
+        }
+        throw new java.io.IOException(
+          // slot gone/invalidated → the ST10 onMissingOffset path upstream
+          s"START_REPLICATION refused: $msg")
       case other => throw new java.io.IOException(
         s"expected CopyBothResponse, got '${other.toChar}'")
     }

@@ -86,6 +86,11 @@ final class FakePgServer(walSenderTimeout: String = "60s",
   @volatile var queryHandler: String => Option[Seq[Seq[String]]] = _ => None
   /** Answer to `SHOW server_version_num` (tests pin pre-14 servers). */
   @volatile var serverVersionNum: String = "170000"
+  /** Verify the client's SCRAM-PLUS channel binding against a WRONG
+    * cert hash — emulates a TLS-terminating middlebox between client
+    * and backend: the honest client binds to the certificate it SAW,
+    * the backend's tls-server-end-point check fails, auth is refused. */
+  @volatile var corruptChannelBinding: Boolean = false
 
   /** Kill the live connection (wal sender restart / network blip). */
   def dropConnection(): Unit =
@@ -410,8 +415,14 @@ final class FakePgServer(walSenderTimeout: String = "60s",
     val fa = attrs(clientFinal)
     if (fa.get("r") != Some(sNonce)) return false
     // channel binding: c = b64(gs2-header ++ cbind-data)
+    val bindData =
+      if (!plus) Array.emptyByteArray
+      else if (corruptChannelBinding)
+        Scram.sha256("not-the-cert-the-client-saw".getBytes(
+          StandardCharsets.UTF_8))
+      else serverCertHash
     val expectedC = b64(gs2Header.getBytes(StandardCharsets.UTF_8) ++
-      (if (plus) serverCertHash else Array.emptyByteArray))
+      bindData)
     if (fa.get("c") != Some(expectedC)) return false
     val withoutProof = clientFinal.substring(0, clientFinal.indexOf(",p="))
     val authMessage = clientFirstBare + "," + serverFirst + "," + withoutProof

@@ -113,6 +113,8 @@ class PgConformanceSpec extends AnyFunSuite {
     "stream_commit" -> StreamCommit(777, 0, 0x16B3748L, 0x16B3800L, Ts),
     "stream_abort" -> StreamAbort(777, 777),
     "stream_abort_sub" -> StreamAbort(777, 778),
+    // protocol v4 (PG 16): extended Stream Abort (abort LSN + ts)
+    "stream_abort_v4" -> StreamAbort(777, 778, Some(0x18FE0L), Some(Ts)),
     // protocol v3: two-phase commit (PG 15+)
     "begin_prepare" -> BeginPrepare(0x16B4000L, 0x16B4010L, Ts, 888,
       "gid-42"),
@@ -1449,5 +1451,226 @@ class PgConformanceSpec extends AnyFunSuite {
       Some("héllo"), Some("""{"a":1}"""), Some("2022-10-16"),
       Some("2000-01-01 00:00:00+00"),
       Some("a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11"), Some("1234.5678")))
+  }
+
+  test("wire: protocol v4 (streaming 'parallel') — extended Stream " +
+      "Abort decodes, the aborted subtransaction drops, replay parity " +
+      "with v2 at StreamCommit") {
+    val dir = Files.createTempDirectory("pg-conformance").toString
+    val log = s"$dir/wal.log"
+    val queries = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = new ServerSocket(0)
+    val replay = new Thread(() => {
+      val sock = server.accept()
+      sock.setTcpNoDelay(true)
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val slen = in.readInt()
+      in.readFully(new Array[Byte](slen - 4))
+      out.write(session("auth")); out.flush()
+      var open = true
+      while (open) {
+        val t = try in.readByte().toChar
+                catch { case _: Throwable => open = false; ' ' }
+        if (open) {
+          val len = in.readInt()
+          val payload = new Array[Byte](len - 4); in.readFully(payload)
+          t match {
+            case 'Q' =>
+              val sql = new String(payload, 0, payload.length - 1,
+                StandardCharsets.UTF_8)
+              queries.add(sql)
+              if (sql.startsWith("SHOW")) out.write(session("show"))
+              else if (sql.startsWith("START_REPLICATION"))
+                out.write(session("stream_v4"))
+              out.flush()
+            case 'X' => open = false
+            case _ => ()
+          }
+        }
+      }
+      try sock.close() catch { case _: Throwable => () }
+    }, "pg-v4-replay")
+    replay.setDaemon(true)
+    replay.start()
+
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot", "conf_pub", log,
+      flushLsn = () => 0L, protoVersion = 4)
+    try {
+      client.start()
+      val t0 = System.currentTimeMillis()
+      // 12 XLogData frames + 1 keepalive in the recorded v4 stream
+      while ((client.framesReceived.get() < 12 ||
+        client.keepalivesReceived.get() < 1) &&
+        System.currentTimeMillis() - t0 < 15000) Thread.sleep(20)
+      assert(client.framesReceived.get() == 12,
+        s"frames=${client.framesReceived.get()} err=${client.lastError}")
+      assert(client.lastError.isEmpty, s"client error: ${client.lastError}")
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+    // negotiation: v4 requests parallel streaming (two_phase rides
+    // along at >= 3)
+    val start = queries.toArray.map(_.toString)
+      .find(_.startsWith("START_REPLICATION")).get
+    assert(start.contains("proto_version '4'") &&
+      start.contains("streaming 'parallel'") &&
+      start.contains("two_phase 'true'"), start)
+    // replay parity with v2: R + keep1 + keep2 at the commit LSN; the
+    // v4-aborted subtransaction's row never reaches the envelope log
+    val lines = new String(Files.readAllBytes(Paths.get(log)),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+    assert(lines.size == 3, s"expected R + 2 inserts, got:\n$lines")
+    val f = lines.map(_.split("\t", -1))
+    assert(f.forall(_(0) == 0x18800L.toString),
+      "all replayed lines carry the StreamCommit LSN")
+    assert(f(0)(2) == "R" && f(1)(2) == "I" && f(2)(2) == "I")
+    assert(PackedRow.parse(f(1)(7)) ==
+      Vector(Some("1"), Some("keep1"), None))
+    assert(PackedRow.parse(f(2)(7)) ==
+      Vector(Some("3"), Some("keep2"), None))
+    assert(!lines.exists(_.contains("drop1")),
+      s"v4-aborted subtransaction leaked:\n$lines")
+  }
+
+  test("wire: ErrorResponse MID-binary-COPY surfaces loudly through " +
+      "the PGCOPY reassembler — no hang on the half row it was " +
+      "waiting to complete") {
+    val server = new ServerSocket(0)
+    val replay = new Thread(() => {
+      val sock = server.accept()
+      sock.setTcpNoDelay(true)
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val slen = in.readInt()
+      in.readFully(new Array[Byte](slen - 4))
+      out.write(session("auth")); out.flush()
+      var open = true
+      while (open) {
+        val t = try in.readByte().toChar
+                catch { case _: Throwable => open = false; ' ' }
+        if (open) {
+          val len = in.readInt()
+          val payload = new Array[Byte](len - 4); in.readFully(payload)
+          t match {
+            case 'Q' =>
+              // the recorded session: header + row1 + HALF of row2,
+              // then ErrorResponse 57P01, then ReadyForQuery
+              out.write(session("copy_binary_error")); out.flush()
+            case 'X' => open = false
+            case _ => ()
+          }
+        }
+      }
+      try sock.close() catch { case _: Throwable => () }
+    }, "pg-copy-error-replay")
+    replay.setDaemon(true)
+    replay.start()
+
+    val conn = new PgWireConnection("127.0.0.1", server.getLocalPort,
+      "graft", "postgres", "")
+    conn.connect()
+    try {
+      val it = PgCopy.copyBinaryRows(conn,
+        "COPY public.t TO STDOUT (FORMAT binary)", nCols = 2)
+      // the first (complete) row parses; pulling the second must FAIL
+      // with the server's error, promptly — a reassembler that keeps
+      // waiting for the missing 3 bytes of the half cell would hang
+      // this test into its timeout
+      val first = it.next()
+      assert(new String(first(1).get, StandardCharsets.UTF_8) == "ann")
+      val e = intercept[java.io.IOException] { it.hasNext }
+      assert(e.getMessage.contains("COPY failed") &&
+        e.getMessage.contains("administrator command"), e.getMessage)
+    } finally {
+      try conn.close() catch { case _: Throwable => () }
+      try server.close() catch { case _: Throwable => () }
+    }
+  }
+
+  test("wire: START_REPLICATION refused with SQLSTATE 55006 (slot held " +
+      "by a rival worker) is NAMED and RETRYABLE — the client backs " +
+      "off, retries, and streams once the rival releases") {
+    val dir = Files.createTempDirectory("pg-conformance").toString
+    val log = s"$dir/wal.log"
+    val queries = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val startAttempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = new ServerSocket(0)
+    val accept = new Thread(() => {
+      var live = true
+      while (live) {
+        val sock = try server.accept()
+                   catch { case _: Throwable => live = false; null }
+        if (sock != null) {
+          val worker = new Thread(() => {
+            sock.setTcpNoDelay(true)
+            val in = new DataInputStream(sock.getInputStream)
+            val out = new DataOutputStream(sock.getOutputStream)
+            val slen = in.readInt()
+            in.readFully(new Array[Byte](slen - 4))
+            out.write(session("auth")); out.flush()
+            var open = true
+            while (open) {
+              val t = try in.readByte().toChar
+                      catch { case _: Throwable => open = false; ' ' }
+              if (open) {
+                val len = in.readInt()
+                val payload = new Array[Byte](len - 4)
+                in.readFully(payload)
+                t match {
+                  case 'Q' =>
+                    val sql = new String(payload, 0, payload.length - 1,
+                      StandardCharsets.UTF_8)
+                    queries.add(sql)
+                    if (sql.startsWith("SHOW")) out.write(session("show"))
+                    else if (sql.startsWith("START_REPLICATION")) {
+                      // first attempt: rival holds the slot (55006);
+                      // the retry gets the recorded stream
+                      if (startAttempts.incrementAndGet() == 1)
+                        out.write(session("slot_busy"))
+                      else out.write(session("stream"))
+                    }
+                    out.flush()
+                  case 'X' => open = false
+                  case _ => ()
+                }
+              }
+            }
+            try sock.close() catch { case _: Throwable => () }
+          }, "pg-slot-busy-session")
+          worker.setDaemon(true)
+          worker.start()
+        }
+      }
+    }, "pg-slot-busy-accept")
+    accept.setDaemon(true)
+    accept.start()
+
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot", "conf_pub", log,
+      flushLsn = () => 0L)
+    try {
+      // must NOT throw: 55006 is a retryable handover condition
+      client.start(reconnectBackoffMs = 100)
+      val t0 = System.currentTimeMillis()
+      while ((client.framesReceived.get() < 9 ||
+        client.keepalivesReceived.get() < 1) &&
+        System.currentTimeMillis() - t0 < 15000) Thread.sleep(20)
+      assert(client.framesReceived.get() == 9,
+        s"frames=${client.framesReceived.get()} err=${client.lastError}")
+      assert(client.slotBusyRetries.get() == 1,
+        "exactly one named slot-busy refusal expected")
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+    assert(startAttempts.get() == 2,
+      s"one refused + one successful attempt, got ${startAttempts.get()}")
+    // the spooled envelope log is the same as the clean session's
+    val lines = new String(Files.readAllBytes(Paths.get(log)),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+    assert(lines.length == 5, s"expected 5 envelope lines:\n${lines.toSeq}")
   }
 }

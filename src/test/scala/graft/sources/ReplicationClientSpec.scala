@@ -599,6 +599,29 @@ class ReplicationClientSpec extends SparkSpec {
     } finally { client.stop(); server.stop() }
   }
 
+  test("TLS + SCRAM-PLUS channel-binding mismatch: server offers PLUS, " +
+      "binding data disagrees (TLS-terminating middlebox shape) → " +
+      "CLEAN named auth failure, no hang, no fallback to unbound SCRAM") {
+    val dir = tmp("repl-tls-cbind")
+    val (ks, pem) = genServerCert(dir, "pg")
+    val server = new FakePgServer(walSenderTimeout = "1s",
+      password = "s3cret", tlsKeystore = Some((ks, "changeit")))
+    server.corruptChannelBinding = true
+    val port = server.start()
+    try {
+      val conn = new PgWireConnection("127.0.0.1", port, "u", "db",
+        "s3cret", sslMode = "verify-ca", sslRootCert = Some(pem))
+      val e = intercept[java.io.IOException] { conn.connect() }
+      assert(e.getMessage.toLowerCase.contains("authentication"),
+        s"want a clean auth failure, got: ${e.getMessage}")
+      // the client DID choose the channel-bound mechanism — a client
+      // that silently fell back to unbound SCRAM under TLS would make
+      // the middlebox invisible
+      assert(server.sawMechanism == "SCRAM-SHA-256-PLUS",
+        server.sawMechanism)
+    } finally server.stop()
+  }
+
   test("TLS: wrong trust anchor refused; require-mode against plaintext server refused") {
     val dir = tmp("repl-tls-bad")
     val (ks, _) = genServerCert(dir, "real")

@@ -152,6 +152,9 @@ frame("stream_commit",
 # Stream Abort: Int32 xid, Int32 subxid (== xid for whole-tx aborts)
 frame("stream_abort", b"A" + be32(777) + be32(777))
 frame("stream_abort_sub", b"A" + be32(777) + be32(778))
+# v4 extension: Int64 abort LSN + Int64 abort timestamp
+frame("stream_abort_v4",
+      b"A" + be32(777) + be32(778) + be64(0x18FE0) + be64(TS))
 
 # -------------- protocol v3: two-phase commit messages (PG 15+)
 # Begin Prepare: Int64 prepare lsn, Int64 end lsn, Int64 prepare ts,
@@ -642,6 +645,70 @@ v2bin = (backend(b"W", u8(0) + be16(0)) +
                   be64(T8 + 8) + be64(TS)) +
          keepalive(T8 + 8, True))
 session.append(("stream_v2_binary", v2bin))
+
+# v4 (PG 16, `streaming 'parallel'`) streamed transaction: the aborted
+# subtransaction's Stream Abort carries the EXTENDED frame (Int64 abort
+# LSN + Int64 abort timestamp — "available since protocol version 4").
+# Replay semantics must be v2-identical: the aborted subtransaction's
+# changes drop, the rest replays whole at StreamCommit.
+T9, TA = 0x18000, 0x18800
+v4tx = (backend(b"W", u8(0) + be16(0)) +
+        xlogdata(T9 - 60, T9, b"S" + be32(950) + u8(1)) +
+        xlogdata(T9 - 56, T9, streamed(950, REL)) +
+        xlogdata(T9 - 52, T9, streamed(950, b"I" + be32(16384) + b"N" +
+                 tuple_data(text_cell("1"), text_cell("keep1"),
+                            NULL_CELL))) +
+        xlogdata(T9 - 48, T9, b"E") +
+        xlogdata(T9 - 44, T9, b"S" + be32(950) + u8(0)) +
+        xlogdata(T9 - 40, T9, streamed(951, b"I" + be32(16384) + b"N" +
+                 tuple_data(text_cell("2"), text_cell("drop1"),
+                            NULL_CELL))) +
+        xlogdata(T9 - 36, T9, b"E") +
+        xlogdata(T9 - 32, T9, b"A" + be32(950) + be32(951) +
+                 be64(T9 - 32) + be64(TS)) +
+        xlogdata(T9 - 28, T9, b"S" + be32(950) + u8(0)) +
+        xlogdata(T9 - 24, T9, streamed(950, b"I" + be32(16384) + b"N" +
+                 tuple_data(text_cell("3"), text_cell("keep2"),
+                            NULL_CELL))) +
+        xlogdata(T9 - 20, T9, b"E") +
+        xlogdata(TA - 8, TA, b"c" + be32(950) + u8(0) + be64(TA) +
+                 be64(TA + 8) + be64(TS)) +
+        keepalive(TA + 8, True))
+session.append(("stream_v4", v4tx))
+
+# ErrorResponse ('E'): list of (code byte, cstr value) fields, then a
+# terminating zero byte — per the docs' "Message Formats".
+def err_resp(sqlstate, msg):
+    return backend(b"E", b"S" + cstr("ERROR") + b"V" + cstr("ERROR") +
+                   b"C" + cstr(sqlstate) + b"M" + cstr(msg) + b"\x00")
+
+# mid-binary-COPY ErrorResponse: CopyOutResponse (fmt=1), one CopyData
+# carrying the PGCOPY header + a complete row + HALF of a second row
+# (its third cell declares 5 bytes but only 2 arrive), then the backend
+# aborts the COPY. The reassembler is mid-`fill` waiting for the rest
+# of the cell — it must surface the error LOUDLY, not wait forever for
+# bytes that will never come. Schema: id int8, name text.
+def bin_field_err(raw):
+    return be32(len(raw)) + raw
+copy_err_bytes = (b"PGCOPY\n\xff\r\n\x00" + be32(0) + be32(0) +
+                  be16(2) + bin_field_err(be64(1)) + bin_field_err(b"ann") +
+                  be16(2) + bin_field_err(be64(2)) + be32(5) + b"bo")
+copy_binary_error = (
+    backend(b"H", u8(1) + be16(0)) +
+    backend(b"d", copy_err_bytes) +
+    err_resp("57P01",
+             "terminating connection due to administrator command") +
+    backend(b"Z", b"I"))
+session.append(("copy_binary_error", copy_binary_error))
+
+# slot-in-use at START_REPLICATION: SQLSTATE 55006 (object_in_use) — a
+# rival wal receiver still holds the slot (normal during failover
+# handover). The client must surface a NAMED retryable condition and
+# try again with backoff; the retry is answered with the `stream` step.
+slot_busy = (err_resp("55006",
+                      'replication slot "conf_slot" is active for PID 4711') +
+             backend(b"Z", b"I"))
+session.append(("slot_busy", slot_busy))
 
 # ------------------------------------------------- binary COPY payload
 # PGCOPY framing straight from the COPY docs ("Binary Format"): 11-byte
