@@ -84,8 +84,14 @@ object PgOutput {
   final case class StreamCommit(xid: Int, flags: Int, commitLsn: Long,
       endLsn: Long, commitTsMicros: Long) extends Message
   /** `subXid` == `xid` aborts the whole transaction; otherwise exactly
-    * the subtransaction's (and its children's) spooled changes drop. */
-  final case class StreamAbort(xid: Int, subXid: Int) extends Message
+    * the subtransaction's (and its children's) spooled changes drop.
+    * Protocol v4 (PG 16, `streaming 'parallel'`) extends the frame
+    * with the abort LSN and abort timestamp — informational for our
+    * replay (the spool truncation is identical), decoded and carried
+    * so the envelope layer and re-encode stay byte-faithful. */
+  final case class StreamAbort(xid: Int, subXid: Int,
+      abortLsn: Option[Long] = None,
+      abortTsMicros: Option[Long] = None) extends Message
 
   // -------- protocol v3: two-phase commit (PG 15+, `two_phase 'true'`).
   // A PREPARE TRANSACTION decodes immediately (BeginPrepare … data …
@@ -160,7 +166,13 @@ object PgOutput {
       case 'E' => StreamStop
       case 'c' => StreamCommit(b.getInt, b.get().toInt & 0xff, b.getLong,
         b.getLong, b.getLong)
-      case 'A' => StreamAbort(b.getInt, b.getInt)
+      case 'A' =>
+        // v4 appends Int64 abort LSN + Int64 abort timestamp; the
+        // frame length discriminates (v≤3 frames end after the subxid)
+        val xid = b.getInt; val sub = b.getInt
+        if (b.remaining() >= 16)
+          StreamAbort(xid, sub, Some(b.getLong), Some(b.getLong))
+        else StreamAbort(xid, sub)
       case 'b' => BeginPrepare(b.getLong, b.getLong, b.getLong, b.getInt,
         cstr(b))
       case 'P' => Prepare(b.get().toInt & 0xff, b.getLong, b.getLong,
@@ -301,8 +313,12 @@ object PgOutput {
       case StreamCommit(xid, fl, clsn, elsn, ts) =>
         d.writeByte('c'); d.writeInt(xid); d.writeByte(fl)
         d.writeLong(clsn); d.writeLong(elsn); d.writeLong(ts)
-      case StreamAbort(xid, sub) =>
+      case StreamAbort(xid, sub, albn, ats) =>
         d.writeByte('A'); d.writeInt(xid); d.writeInt(sub)
+        (albn, ats) match { // v4 tail — both or neither
+          case (Some(l), Some(t)) => d.writeLong(l); d.writeLong(t)
+          case _ => ()
+        }
       case BeginPrepare(plsn, elsn, ts, xid, gid) =>
         d.writeByte('b'); d.writeLong(plsn); d.writeLong(elsn)
         d.writeLong(ts); d.writeInt(xid); s(gid)
@@ -867,7 +883,7 @@ object PgOutput {
         require(inStreamOf.nonEmpty, "StreamStop outside a stream block")
         inStreamOf = None
         Seq.empty
-      case StreamAbort(xid, subXid) =>
+      case StreamAbort(xid, subXid, _, _) =>
         require(inStreamOf.isEmpty, "StreamAbort inside a stream block")
         if (subXid == xid) {
           streamSpools.remove(xid).foreach(_.delete())

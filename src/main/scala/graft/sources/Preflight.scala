@@ -77,9 +77,9 @@ object Preflight {
     positive("pipeline.maxBytesPerTrigger")
     positive("pipeline.maxTableSyncWorkers")
     prop("source.protoVersion").foreach { v =>
-      if (!Set("1", "2", "3")(v.trim))
+      if (!Set("1", "2", "3", "4")(v.trim))
         out += PreflightFailure(critical = true, "Invalid Proto Version",
-          s"source.protoVersion must be 1, 2 or 3, got '$v'")
+          s"source.protoVersion must be 1, 2, 3 or 4, got '$v'")
     }
     out.result()
   }
@@ -161,8 +161,13 @@ object Preflight {
       if (protoVersion >= 3 && vnum >= 140000 && vnum < 150000)
         out += PreflightFailure(critical = true,
           "Protocol Version Unsupported",
-          s"source.protoVersion=3 requires PostgreSQL 15+ (two-phase " +
-            s"commit decoding); server is $vnum")
+          s"source.protoVersion=$protoVersion requires PostgreSQL 15+ " +
+            s"(two-phase commit decoding); server is $vnum")
+      if (protoVersion >= 4 && vnum >= 150000 && vnum < 160000)
+        out += PreflightFailure(critical = true,
+          "Protocol Version Unsupported",
+          s"source.protoVersion=4 requires PostgreSQL 16+ (parallel " +
+            s"streaming, extended Stream Abort); server is $vnum")
       if (binaryMode && vnum > 0 && vnum < 140000)
         out += PreflightFailure(critical = true,
           "Binary Mode Unsupported",

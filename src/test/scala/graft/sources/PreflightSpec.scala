@@ -237,6 +237,16 @@ final class PreflightSpec extends AnyFunSuite {
         f.name == "Protocol Version Unsupported" &&
         f.detail.contains("15+")), fails.map(_.render))
     }
+    // v4 needs PG 16+: a PG 15 source is a named critical
+    val pg15 = ("server_version_num" -> Seq(Seq("150006"))) +:
+      ("max_prepared_transactions" -> Seq(Seq("8"))) +: healthy
+    withSource(pg15) { conn =>
+      val fails = Preflight.validateSource(conn, "graft_pub", 4,
+        protoVersion = 4)
+      assert(fails.exists(f => f.critical &&
+        f.name == "Protocol Version Unsupported" &&
+        f.detail.contains("16+")), fails.map(_.render))
+    }
     val pg16NoPrep = ("server_version_num" -> Seq(Seq("160004"))) +:
       ("max_prepared_transactions" -> Seq(Seq("0"))) +: healthy
     withSource(pg16NoPrep) { conn =>
