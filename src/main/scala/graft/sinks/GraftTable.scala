@@ -1309,33 +1309,43 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     } finally fresh.unpersist()
   }
 
-  /** Feedback gate for [[mergeStaged]]'s no-shuffle staging when the
-    * batch's input partition count is NOT statically derivable: starts
-    * conservative (repartition to buckets — the right plan for the
-    * backfill-sized batches that tend to arrive first), then steered by
-    * the previous batch's observed row count. Steady-state CDC
-    * micro-batches are size-stable, so only the first batch after a
-    * (re)open pays the extra exchange. */
-  @volatile private[sinks] var morStageConservative = true
-
-  /** Input partition count read from the ANALYZED logical plan — narrow
-    * chains over RDD-backed or driver-local leaves expose it without a
-    * physical-planning pass (`df.rdd` would physically plan the same
-    * tree the write then plans AGAIN, doubling the per-merge Catalyst
-    * cost on the steady-state apply path; under AQE it can even
-    * materialize shuffle stages early — round-13 verdict #2). None =
-    * not derivable without planning (a shuffle-introducing node or an
-    * unknown leaf), in which case [[morStageConservative]] decides. */
-  private def staticPartitionCount(df: DataFrame): Option[Int] = {
+  /** Decide [[mergeStaged]]'s no-shuffle staging from the ANALYZED
+    * logical plan — never from a physical-planning pass (`df.rdd`
+    * plans the same tree the write then plans AGAIN, doubling the
+    * per-merge Catalyst cost on the steady-state apply path; under AQE
+    * it even materializes shuffle stages early — round-13 verdict #2).
+    *
+    * No-shuffle is chosen only when the batch's input partition count
+    * is PROVABLY ≤ nB:
+    *  - exact: narrow Project/Filter/alias chains over a LogicalRDD
+    *    (partition count readable for free) or a LocalRelation
+    *    (driver-local rows);
+    *  - bounded: the topmost wide node is shuffle-producing
+    *    (Aggregate/Join/Window/Sort/Deduplicate — the CDC apply path's
+    *    last-writer-wins shape), whose output partitioning cannot
+    *    exceed `spark.sql.shuffle.partitions` (AQE only coalesces it
+    *    further down).
+    * Anything unprovable — file scans, unions, generators — stages
+    * through a repartition to nB: the staged files BECOME table/layer
+    * files, so an unbounded input partition count multiplies the
+    * per-bucket file count that every subsequent read folds (measured
+    * 2× on the incremental-dedup sync workload when a join-shaped
+    * delta was staged unshuffled). */
+  private def stagingNoShuffle(df: DataFrame, nB: Int): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
     @annotation.tailrec
-    def walk(p: LogicalPlan): Option[Int] = p match {
+    def walk(p: LogicalPlan): Boolean = p match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
-        Some(l.rdd.getNumPartitions)
-      case _: LocalRelation => Some(1) // driver-local rows: small
+        l.rdd.getNumPartitions <= nB
+      case _: LocalRelation => true
       case n @ (_: Project | _: Filter | _: SubqueryAlias) =>
         walk(n.children.head)
-      case _ => None
+      case _: Aggregate | _: Window | _: Sort | _: Deduplicate =>
+        df.sparkSession.sessionState.conf.numShufflePartitions <= nB
+      // NOT Join: a broadcast-hash join keeps the STREAMED side's
+      // partitioning, which can be an unbounded file scan — only a
+      // shuffle-producing top node bounds the count
+      case _ => false
     }
     walk(df.queryExecution.analyzed)
   }
@@ -1368,15 +1378,12 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       // its own query-stage job). A wide backfill repartitions to nB so
       // the file count stays O(buckets). The small/wide decision must
       // not cost a physical-planning pass of its own (`.rdd` plans the
-      // same tree the write then plans AGAIN — round-13 verdict #2), so
-      // it reads the ANALYZED logical plan where derivable and falls
-      // back to per-table feedback (first batch conservative, then
-      // steered by the previous batch's observed row count) otherwise.
-      val noShuffle = staticPartitionCount(fresh0) match {
-        case Some(n) => n <= nB
-        case None => !morStageConservative
-      }
-      val shaped = if (noShuffle) staged
+      // same tree the write then plans AGAIN — round-13 verdict #2):
+      // [[stagingNoShuffle]] proves the bound from the ANALYZED plan,
+      // and anything unprovable repartitions (staged files become
+      // table/layer files — an unbounded input partition count
+      // multiplies the per-bucket file count every read then folds).
+      val shaped = if (stagingNoShuffle(fresh0, nB)) staged
                    else staged.repartition(nB, col("_bucket"))
       shaped
         .sortWithinPartitions(("_bucket" +: keyCols).map(col): _*)
@@ -1416,12 +1423,6 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
           "carry its replay sequence key")
       val batchRows = metrics("n").asInstanceOf[Long]
       val delRows = metrics("nDel").asInstanceOf[Long]
-      // feedback for the next statically-underivable batch: a
-      // delta-scale batch stages without a shuffle next time; a
-      // backfill-scale one flips back to the conservative repartition
-      // (this batch's file count stays bounded by tasks × buckets,
-      // which maintenance compacts)
-      morStageConservative = batchRows > GraftTable.MorDeltaMaxRows
       def bumped(old: String) =
         if (advanceHw) { if (old.isEmpty || newHigh0 > old) newHigh0 else old }
         else old

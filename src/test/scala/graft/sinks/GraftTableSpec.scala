@@ -83,32 +83,41 @@ class GraftTableSpec extends SparkSpec {
       Set((1L, "a2"), (2L, "b")))
   }
 
-  test("staging small/wide decision: plan-derived for narrow chains " +
-      "over local/RDD leaves, feedback-driven otherwise — never a " +
-      "second planning pass (round-13 verdict #2)") {
+  test("staging small/wide decision: no-shuffle only when the input " +
+      "partition count is PROVABLY ≤ buckets (exact RDD/local leaves, " +
+      "or shuffle-bounded tops) — never a second planning pass " +
+      "(round-13 verdict #2); unprovable shapes repartition and stay " +
+      "correct with O(buckets) staged files") {
     val mor = new GraftTable(tmp(), Seq("id"), nBuckets = 4,
       mergeOnRead = true, morMinAffectedBytes = 0L)
-    // underivable plans start conservative…
-    assert(mor.morStageConservative,
-      "first statically-underivable batch must take the conservative " +
-        "repartition lane")
-    // …but a derivable LocalRelation batch takes the no-shuffle lane
-    // regardless (the 1-job budget above pins that); after any
-    // delta-scale batch the feedback flips to no-shuffle
     mor.merge(batch((1L, "a", "I", 1L), (2L, "b", "I", 1L)))
-    assert(!mor.morStageConservative,
-      "a delta-scale batch must flip the feedback to no-shuffle")
     // aggregate-shaped batches (the CDC apply hot path goes through
-    // last-writer-wins) are not statically derivable; they ride the
-    // feedback and stay correct on both lanes
+    // last-writer-wins) are shuffle-bounded: with shuffle.partitions
+    // (4) ≤ nBuckets (4) they prove no-shuffle and stay one job
     def aggBatch(rows: (Long, String, String, Long)*) =
       graft.operators.ApplyOps.lastWriterWins(batch(rows: _*),
         Seq("id"), Seq("_seq"))
-    mor.merge(aggBatch((1L, "a2", "U", 2L)))
-    mor.merge(aggBatch((2L, "b2", "U", 3L), (3L, "c", "I", 3L)))
+    val (aggJobs, aggExecs) = countBudget {
+      mor.merge(aggBatch((1L, "a2", "U", 2L)))
+    }
+    assert(aggExecs == 1, s"agg-shaped delta ran $aggExecs executions")
+    assert(aggJobs <= 3, // the LWW shuffle stages + the write, no more
+      s"agg-shaped delta took $aggJobs jobs")
+    // join/union-shaped batches are NOT provable (a broadcast join
+    // keeps the streamed side's unbounded partitioning): they take the
+    // repartition lane — correct results, and the staged layer stays
+    // O(buckets) files rather than O(input partitions × buckets)
+    val extra = batch((2L, "b2", "U", 3L), (3L, "c", "I", 3L))
+    val joined = extra.join(
+      batch((2L, "x", "I", 1L), (3L, "x", "I", 1L)).select("id"),
+      Seq("id"), "left_semi")
+    mor.merge(joined)
     assert(mor.read(spark).as[(Long, String)].collect().toSet ==
       Set((1L, "a2"), (2L, "b2"), (3L, "c")))
-    assert(!mor.morStageConservative)
+    val layers = mor.currentManifest().map(_.layers).getOrElse(Nil)
+    assert(layers.nonEmpty &&
+      layers.last.ups.values.forall(_.size <= 1),
+      "repartitioned staging must leave ≤1 upsert file per bucket")
   }
 
   test("stale .stage-* crash debris is swept on the first merge " +
