@@ -1161,11 +1161,6 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       skipReplayFilter: Boolean): Unit =
     merge(batch, coalesceCols, skipReplayFilter, advanceHw = true)
 
-  /** `advanceHw = false` defers the high-water advance to the caller
-    * (see [[advanceHighWater]]): a sink applying one batch as several
-    * merge groups must move the mark only after ALL groups are durable,
-    * or a crash between groups + checkpoint replay would filter the
-    * unapplied groups out forever. */
   /** One-time (per handle) sweep of stale `.stage-*` dirs — crash
     * debris from hard-killed writers otherwise accumulates until a
     * `vacuum` runs, and a crash-looping deployment (restart → stage →
@@ -1185,6 +1180,11 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     catch { case _: java.io.IOException => () } // sweep is best-effort
   }
 
+  /** `advanceHw = false` defers the high-water advance to the caller
+    * (see [[advanceHighWater]]): a sink applying one batch as several
+    * merge groups must move the mark only after ALL groups are durable,
+    * or a crash between groups + checkpoint replay would filter the
+    * unapplied groups out forever. */
   def merge(batch: DataFrame, coalesceCols: Seq[String],
       skipReplayFilter: Boolean, advanceHw: Boolean): Unit = {
     staleStageSweep

@@ -7,6 +7,14 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
 
+/** Named retryable condition: START_REPLICATION refused with SQLSTATE
+  * 55006 (object_in_use) — a rival wal receiver still holds the slot,
+  * which is EXPECTED during failovers and worker handovers (the old
+  * holder's socket lingers until the server notices). The client
+  * retries with backoff instead of dying on a generic wire error. */
+final class SlotInUseException(msg: String)
+    extends java.io.IOException(msg)
+
 /** Live Postgres logical-replication intake: the streaming-replication
   * sub-protocol (frontend/backend protocol v3 COPY BOTH mode) spoken
   * over a plain TCP socket — the layer the reference reaches through its
@@ -42,14 +50,6 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
   *    (apply.rs:1493-1497; timeout read via `SHOW wal_sender_timeout`,
   *    defaulting to 60 s when disabled/unreadable, apply.rs:1106-1129).
   */
-/** Named retryable condition: START_REPLICATION refused with SQLSTATE
-  * 55006 (object_in_use) — a rival wal receiver still holds the slot,
-  * which is EXPECTED during failovers and worker handovers (the old
-  * holder's socket lingers until the server notices). The client
-  * retries with backoff instead of dying on a generic wire error. */
-final class SlotInUseException(msg: String)
-    extends java.io.IOException(msg)
-
 final class ReplicationSocketClient(
     host: String,
     port: Int,
