@@ -1342,6 +1342,10 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
         walk(n.children.head)
       case _: Aggregate | _: Window | _: Sort | _: Deduplicate =>
         df.sparkSession.sessionState.conf.numShufflePartitions <= nB
+      case r: Repartition => r.numPartitions <= nB
+      case r: RepartitionByExpression =>
+        r.optNumPartitions.getOrElse(
+          df.sparkSession.sessionState.conf.numShufflePartitions) <= nB
       // NOT Join: a broadcast-hash join keeps the STREAMED side's
       // partitioning, which can be an unbounded file scan — only a
       // shuffle-producing top node bounds the count

@@ -437,26 +437,34 @@ final class ReplicationSocketClient(
       s"""(proto_version '$protoVersion', """ +
       s"""publication_names '$publication'""" +
       s"""$messages$streaming$twoPhase$binary)""")
-    val (t, payload) = readMessage()
-    t match {
-      case 'W' => () // CopyBothResponse — streaming begins
-      case 'E' =>
-        val state = ReplicationSocketClient.errorSqlState(payload)
-        val msg = errorMessage(payload)
-        if (state.contains("55006")) {
-          // object_in_use: a rival worker still holds the slot — a
-          // NAMED retryable condition (failover handover), not a
-          // generic refusal
-          slotBusyRetries.incrementAndGet()
-          throw new SlotInUseException(
-            s"replication slot '$slotName' is held by a rival " +
-              s"(SQLSTATE 55006): $msg")
-        }
-        throw new java.io.IOException(
-          // slot gone/invalidated → the ST10 onMissingOffset path upstream
-          s"START_REPLICATION refused: $msg")
-      case other => throw new java.io.IOException(
-        s"expected CopyBothResponse, got '${other.toChar}'")
+    var decided = false
+    while (!decided) {
+      val (t, payload) = readMessage()
+      t match {
+        case 'W' => decided = true // CopyBothResponse — streaming begins
+        case 'N' | 'S' =>
+          // async NoticeResponse / ParameterStatus — a live server may
+          // interleave these anywhere (e.g. a slot-creation NOTICE, a
+          // reloaded GUC); they are not the answer, keep reading
+          ()
+        case 'E' =>
+          val state = ReplicationSocketClient.errorSqlState(payload)
+          val msg = errorMessage(payload)
+          if (state.contains("55006")) {
+            // object_in_use: a rival worker still holds the slot — a
+            // NAMED retryable condition (failover handover), not a
+            // generic refusal
+            slotBusyRetries.incrementAndGet()
+            throw new SlotInUseException(
+              s"replication slot '$slotName' is held by a rival " +
+                s"(SQLSTATE 55006): $msg")
+          }
+          throw new java.io.IOException(
+            // slot gone/invalidated → ST10 onMissingOffset path upstream
+            s"START_REPLICATION refused: $msg")
+        case other => throw new java.io.IOException(
+          s"expected CopyBothResponse, got '${other.toChar}'")
+      }
     }
   }
 

@@ -1535,6 +1535,69 @@ class PgConformanceSpec extends AnyFunSuite {
       s"v4-aborted subtransaction leaked:\n$lines")
   }
 
+  test("wire: async NoticeResponse + ParameterStatus between " +
+      "START_REPLICATION and CopyBothResponse are skipped — a live " +
+      "server interleaves these anywhere") {
+    val dir = Files.createTempDirectory("pg-conformance").toString
+    val log = s"$dir/wal.log"
+    val server = new ServerSocket(0)
+    val replay = new Thread(() => {
+      val sock = server.accept()
+      sock.setTcpNoDelay(true)
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val slen = in.readInt()
+      in.readFully(new Array[Byte](slen - 4))
+      out.write(session("auth")); out.flush()
+      var open = true
+      while (open) {
+        val t = try in.readByte().toChar
+                catch { case _: Throwable => open = false; ' ' }
+        if (open) {
+          val len = in.readInt()
+          val payload = new Array[Byte](len - 4); in.readFully(payload)
+          t match {
+            case 'Q' =>
+              val sql = new String(payload, 0, payload.length - 1,
+                StandardCharsets.UTF_8)
+              if (sql.startsWith("SHOW")) out.write(session("show"))
+              else if (sql.startsWith("START_REPLICATION")) {
+                // NOTICE + ParameterStatus FIRST, then the stream
+                out.write(session("notices"))
+                out.write(session("stream"))
+              }
+              out.flush()
+            case 'X' => open = false
+            case _ => ()
+          }
+        }
+      }
+      try sock.close() catch { case _: Throwable => () }
+    }, "pg-notice-replay")
+    replay.setDaemon(true)
+    replay.start()
+
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot", "conf_pub", log,
+      flushLsn = () => 0L)
+    try {
+      client.start()
+      val t0 = System.currentTimeMillis()
+      while ((client.framesReceived.get() < 9 ||
+        client.keepalivesReceived.get() < 1) &&
+        System.currentTimeMillis() - t0 < 15000) Thread.sleep(20)
+      assert(client.framesReceived.get() == 9,
+        s"frames=${client.framesReceived.get()} err=${client.lastError}")
+      assert(client.lastError.isEmpty, s"client error: ${client.lastError}")
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+    val lines = new String(Files.readAllBytes(Paths.get(log)),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+    assert(lines.length == 5, s"expected 5 envelope lines:\n${lines.toSeq}")
+  }
+
   test("wire: ErrorResponse MID-binary-COPY surfaces loudly through " +
       "the PGCOPY reassembler — no hang on the half row it was " +
       "waiting to complete") {

@@ -710,6 +710,17 @@ slot_busy = (err_resp("55006",
              backend(b"Z", b"I"))
 session.append(("slot_busy", slot_busy))
 
+# async NoticeResponse + ParameterStatus arriving BETWEEN the
+# START_REPLICATION query and the CopyBothResponse — a live server
+# interleaves these anywhere (slot-creation NOTICE, reloaded GUC); the
+# client must skip them, not die on "expected CopyBothResponse".
+notices = (backend(b"N", b"S" + cstr("NOTICE") + b"V" + cstr("NOTICE") +
+                   b"C" + cstr("00000") +
+                   b"M" + cstr("created logical replication slot") +
+                   b"\x00") +
+           backend(b"S", cstr("wal_sender_timeout") + cstr("45s")))
+session.append(("notices", notices))
+
 # ------------------------------------------------- binary COPY payload
 # PGCOPY framing straight from the COPY docs ("Binary Format"): 11-byte
 # signature, Int32 flags, Int32 header-extension length (+ bytes), per
