@@ -34,6 +34,14 @@ class PgSessionPropertySpec extends AnyFunSuite with PropSpec {
   private val rel = Relation(1, "public", "t", 'd', IndexedSeq(
     RelCol(1, "id", 20, -1), RelCol(0, "tok", 25, -1)))
 
+  /** Half the aborts ride the v4 EXTENDED Stream Abort frame (abort
+    * LSN + timestamp, PG 16 `streaming 'parallel'`) — the replay
+    * outcome must be identical regardless of the tail's presence. */
+  private def abortFrame(xid: Int, subXid: Int): Message =
+    if (xid % 2 == 0)
+      StreamAbort(xid, subXid, Some(0x19000L + xid), Some(7L))
+    else StreamAbort(xid, subXid)
+
   // ------------------------------------------------------------- model
   private sealed trait Kind
   private case object Plain extends Kind
@@ -172,14 +180,14 @@ class PgSessionPropertySpec extends AnyFunSuite with PropSpec {
         }
         out ++= s.onFrame(encode(StreamStop))
       case USubAbort(tx) =>
-        out ++= s.onFrame(encode(StreamAbort(tx.xid, tx.subXid)))
+        out ++= s.onFrame(encode(abortFrame(tx.xid, tx.subXid)))
       case UStreamDecide(tx) => tx.kind match {
         case Streamed(true, _) =>
           val l = next()
           out ++= s.onFrame(encode(StreamCommit(tx.xid, 0, l, l + 8, 7L)))
           decisionLsn(tx.xid) = l; decisionOrder += tx.xid
         case _ =>
-          out ++= s.onFrame(encode(StreamAbort(tx.xid, tx.xid)))
+          out ++= s.onFrame(encode(abortFrame(tx.xid, tx.xid)))
       }
       case UPrepBody(tx) =>
         val l = next()
