@@ -1535,6 +1535,50 @@ class PgConformanceSpec extends AnyFunSuite {
       s"v4-aborted subtransaction leaked:\n$lines")
   }
 
+  test("wire: NoticeResponse + BackendKeyData during startup/auth are " +
+      "skipped; the session proceeds to a working simple-query surface") {
+    val server = new ServerSocket(0)
+    val replay = new Thread(() => {
+      val sock = server.accept()
+      sock.setTcpNoDelay(true)
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val slen = in.readInt()
+      in.readFully(new Array[Byte](slen - 4))
+      // notice BEFORE AuthenticationOk, ParameterStatus + BackendKeyData
+      // after — all informational, all byte-pinned
+      out.write(session("auth_notice")); out.flush()
+      var open = true
+      while (open) {
+        val t = try in.readByte().toChar
+                catch { case _: Throwable => open = false; ' ' }
+        if (open) {
+          val len = in.readInt()
+          val payload = new Array[Byte](len - 4); in.readFully(payload)
+          t match {
+            case 'Q' => out.write(session("show")); out.flush()
+            case 'X' => open = false
+            case _ => ()
+          }
+        }
+      }
+      try sock.close() catch { case _: Throwable => () }
+    }, "pg-auth-notice-replay")
+    replay.setDaemon(true)
+    replay.start()
+
+    val conn = new PgWireConnection("127.0.0.1", server.getLocalPort,
+      "graft", "postgres", "")
+    try {
+      conn.connect() // must not trip on the pre-auth notice
+      val rows = conn.queryRows("SHOW wal_sender_timeout")
+      assert(rows == Seq(IndexedSeq(Some("60s"))), rows)
+    } finally {
+      try conn.close() catch { case _: Throwable => () }
+      try server.close() catch { case _: Throwable => () }
+    }
+  }
+
   test("wire: async NoticeResponse + ParameterStatus between " +
       "START_REPLICATION and CopyBothResponse are skipped — a live " +
       "server interleaves these anywhere") {

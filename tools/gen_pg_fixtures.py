@@ -721,6 +721,18 @@ notices = (backend(b"N", b"S" + cstr("NOTICE") + b"V" + cstr("NOTICE") +
            backend(b"S", cstr("wal_sender_timeout") + cstr("45s")))
 session.append(("notices", notices))
 
+# NoticeResponse arriving DURING the startup/auth exchange (before
+# ReadyForQuery), plus BackendKeyData — informational frames the
+# handshake must skip; byte-pinned so the tolerance cannot regress.
+auth_notice = (backend(b"N", b"S" + cstr("NOTICE") + b"V" + cstr("NOTICE") +
+                       b"C" + cstr("00000") +
+                       b"M" + cstr("connection logged") + b"\x00") +
+               backend(b"R", be32(0)) +
+               backend(b"S", cstr("server_encoding") + cstr("UTF8")) +
+               backend(b"K", be32(4242) + be32(0x5EC2E7)) +
+               backend(b"Z", b"I"))
+session.append(("auth_notice", auth_notice))
+
 # ------------------------------------------------- binary COPY payload
 # PGCOPY framing straight from the COPY docs ("Binary Format"): 11-byte
 # signature, Int32 flags, Int32 header-extension length (+ bytes), per
