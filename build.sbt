@@ -19,16 +19,23 @@ run / fork := true
 Test / testGrouping := {
   val opts = (Test / forkOptions).value
   val tests = (Test / definedTests).value
+  // honor a caller-provided SPARK_HOME; /opt/spark is only the layout
+  // this image ships. When neither exists, DROP the local-cluster
+  // group instead of letting every suite fail at worker launch.
+  val sparkHome = sys.env.getOrElse("SPARK_HOME", "/opt/spark")
   val (cluster, rest) = tests.partition(_.name.contains("LocalCluster"))
   Seq(
     Tests.Group("default", rest, Tests.SubProcess(opts)),
-    Tests.Group("local-cluster", cluster, Tests.SubProcess(
-      opts.withEnvVars(opts.envVars ++ Map(
-        "SPARK_HOME" -> "/opt/spark",
-        // the in-JVM worker's executor-command builder needs this (a
-        // packaged distro sets it in load-spark-env.sh, which nothing
-        // sources here)
-        "SPARK_SCALA_VERSION" -> "2.13")))),
+    Tests.Group("local-cluster",
+      if (file(sparkHome).isDirectory) cluster else Seq.empty,
+      Tests.SubProcess(
+        opts.withEnvVars(opts.envVars ++ Map(
+          "SPARK_HOME" -> sparkHome,
+          // the in-JVM worker's executor-command builder needs this (a
+          // packaged distro sets it in load-spark-env.sh, which nothing
+          // sources here)
+          "SPARK_SCALA_VERSION" ->
+            sys.env.getOrElse("SPARK_SCALA_VERSION", "2.13"))))),
   ).filter(_.tests.nonEmpty)
 }
 // Forked-run stdout must reach the log RAW: sbt's default logger

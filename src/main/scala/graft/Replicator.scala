@@ -361,6 +361,11 @@ object Replicator {
           // worker does; opt-in here — operators managing slots
           // out-of-band keep fail-loud behavior)
           createSlotIfMissing = get("source.createSlot", "false") == "true",
+          // consecutive 55006 slot-busy refusals tolerated before the
+          // retry loop escalates to a terminal error naming the rival
+          // holder (0 = retry forever — pure failover deployments)
+          slotBusyMaxConsecutive =
+            get("source.slotBusyMaxRetries", "120").toInt,
           // streamed/prepared-tx spools default NEXT TO THE LOG (real
           // disk); override when the log volume is small or slow
           spoolDir = Option(props.getProperty("source.spoolDir")),

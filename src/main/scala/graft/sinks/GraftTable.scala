@@ -1321,17 +1321,19 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     *    (partition count readable for free) or a LocalRelation
     *    (driver-local rows);
     *  - bounded: the topmost wide node is shuffle-producing
-    *    (Aggregate/Join/Window/Sort/Deduplicate — the CDC apply path's
-    *    last-writer-wins shape), whose output partitioning cannot
-    *    exceed `spark.sql.shuffle.partitions` (AQE only coalesces it
-    *    further down).
+    *    (Aggregate/Window/global Sort/Deduplicate — the CDC apply
+    *    path's last-writer-wins shape), whose output partitioning
+    *    cannot exceed `spark.sql.shuffle.partitions` (AQE only
+    *    coalesces it further down). A NON-global Sort
+    *    (sortWithinPartitions) preserves its child's partitioning and
+    *    recurses instead.
     * Anything unprovable — file scans, unions, generators — stages
     * through a repartition to nB: the staged files BECOME table/layer
     * files, so an unbounded input partition count multiplies the
     * per-bucket file count that every subsequent read folds (measured
     * 2× on the incremental-dedup sync workload when a join-shaped
     * delta was staged unshuffled). */
-  private def stagingNoShuffle(df: DataFrame, nB: Int): Boolean = {
+  private[sinks] def stagingNoShuffle(df: DataFrame, nB: Int): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
     @annotation.tailrec
     def walk(p: LogicalPlan): Boolean = p match {
@@ -1340,8 +1342,15 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       case _: LocalRelation => true
       case n @ (_: Project | _: Filter | _: SubqueryAlias) =>
         walk(n.children.head)
-      case _: Aggregate | _: Window | _: Sort | _: Deduplicate =>
+      case _: Aggregate | _: Window | _: Deduplicate =>
         df.sparkSession.sessionState.conf.numShufflePartitions <= nB
+      // only a GLOBAL sort shuffles (range exchange); Sort(global=
+      // false) is sortWithinPartitions, which PRESERVES the child's
+      // partitioning — recurse, so a local sort over a wide scan lands
+      // in the repartition lane instead of being misclassified bounded
+      case s: Sort if s.global =>
+        df.sparkSession.sessionState.conf.numShufflePartitions <= nB
+      case s: Sort => walk(s.child)
       case r: Repartition => r.numPartitions <= nB
       case r: RepartitionByExpression =>
         r.optNumPartitions.getOrElse(

@@ -41,14 +41,28 @@ import scala.collection.concurrent.TrieMap
   */
 final class ExecutorMemorySignal(fallbackHeapBytes: Long,
     memoryFraction: Double = 0.6,
-    reservedBytes: Long = ExecutorMemorySignal.ReservedSystemBytes)
+    reservedBytes: Long = ExecutorMemorySignal.ReservedSystemBytes,
+    /** Configured `spark.memory.offHeap.size` when
+      * `spark.memory.offHeap.enabled` — an off-heap-tuned cluster runs
+      * its execution/storage memory OUTSIDE the GC heap, so a
+      * heap-only watch under-reports exactly the region that fills
+      * during an apply. 0 = off-heap disabled (heap-only watch). */
+    offHeapBytes: Long = 0L)
     extends SparkListener {
   require(fallbackHeapBytes > 0, "executor max heap must be positive")
   require(memoryFraction > 0 && memoryFraction <= 1,
     s"spark.memory.fraction out of range: $memoryFraction")
+  require(offHeapBytes >= 0, "off-heap size must be non-negative")
 
   /** execId → last observed heap-usage fraction. */
   private val fractions = TrieMap.empty[String, Double]
+
+  /** execId → last observed Spark-managed OFF-HEAP usage fraction
+    * (`OffHeapUnifiedMemory` — execution + storage in the off-heap
+    * region — over the configured region size; the Spark-managed
+    * region, not raw `JVMOffHeapMemory`, which also counts metaspace
+    * and code cache that no admission decision can shed). */
+  private val offHeapFractions = TrieMap.empty[String, Double]
 
   /** execId → ACTUAL max heap bytes, inverted from the executor's
     * registered on-heap unified region (see class doc). */
@@ -67,6 +81,13 @@ final class ExecutorMemorySignal(fallbackHeapBytes: Long,
     fractions(execId) = usedHeapBytes.toDouble / denom
   }
 
+  /** Ingest one off-heap observation (no-op while off-heap is
+    * disabled — the region size is the only sane denominator). */
+  private[sources] def recordOffHeap(execId: String,
+      usedOffHeapBytes: Long): Unit =
+    if (offHeapBytes > 0L)
+      offHeapFractions(execId) = usedOffHeapBytes.toDouble / offHeapBytes
+
   override def onBlockManagerAdded(
       e: SparkListenerBlockManagerAdded): Unit = {
     val execId = e.blockManagerId.executorId
@@ -82,16 +103,23 @@ final class ExecutorMemorySignal(fallbackHeapBytes: Long,
     val heap = u.executorUpdates.values
       .map(_.getMetricValue("JVMHeapMemory")).maxOption.getOrElse(0L)
     if (heap > 0L) record(u.execId, heap)
+    val off = u.executorUpdates.values
+      .map(_.getMetricValue("OffHeapUnifiedMemory")).maxOption
+      .getOrElse(0L)
+    if (off > 0L) recordOffHeap(u.execId, off)
   }
 
   override def onStageExecutorMetrics(
       s: SparkListenerStageExecutorMetrics): Unit = {
     val heap = s.executorMetrics.getMetricValue("JVMHeapMemory")
     if (heap > 0L) record(s.execId, heap)
+    val off = s.executorMetrics.getMetricValue("OffHeapUnifiedMemory")
+    if (off > 0L) recordOffHeap(s.execId, off)
   }
 
   override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit = {
     fractions.remove(e.executorId)
+    offHeapFractions.remove(e.executorId)
     heapBytes.remove(e.executorId); ()
   }
 
@@ -102,7 +130,8 @@ final class ExecutorMemorySignal(fallbackHeapBytes: Long,
     val rt = Runtime.getRuntime
     val driverNow = (rt.totalMemory() - rt.freeMemory()).toDouble /
       rt.maxMemory()
-    val worst = fractions.values.maxOption.getOrElse(0.0)
+    val worst = (fractions.values ++ offHeapFractions.values)
+      .maxOption.getOrElse(0.0)
     math.max(driverNow, worst)
   }
 
@@ -112,7 +141,11 @@ final class ExecutorMemorySignal(fallbackHeapBytes: Long,
 
   /** The executor component of [[usage]] without the driver floor. */
   private[sources] def worstExecutorFraction: Double =
-    fractions.values.maxOption.getOrElse(0.0)
+    (fractions.values ++ offHeapFractions.values).maxOption.getOrElse(0.0)
+
+  /** Last off-heap fraction for an executor (test observability). */
+  private[sources] def offHeapFraction(execId: String): Option[Double] =
+    offHeapFractions.get(execId)
 
   /** Registered real heap for an executor (test observability). */
   private[sources] def registeredHeapBytes(execId: String): Option[Long] =
@@ -137,16 +170,25 @@ object ExecutorMemorySignal {
     * keep it to [[uninstall]] in tests). Per-executor heap bounds come
     * from each executor's registration event (its real runtime heap);
     * `spark.executor.memory` only seeds the pre-registration fallback.
-    * Off-heap/overhead regions are deliberately excluded — the
-    * watermarks guard the GC-managed heap the apply path allocates
-    * in. */
+    * When `spark.memory.offHeap.enabled`, the Spark-managed off-heap
+    * region (`OffHeapUnifiedMemory` vs the configured
+    * `spark.memory.offHeap.size`) joins the watch — on an
+    * off-heap-tuned cluster THAT is the region an apply fills, and a
+    * heap-only watch under-reports it. Executor-overhead/metaspace
+    * stay excluded: no admission decision can shed them. */
   def install(spark: org.apache.spark.sql.SparkSession)
       : ExecutorMemorySignal = {
     val conf = spark.sparkContext.getConf
     val maxHeap = org.apache.spark.network.util.JavaUtils
       .byteStringAsBytes(conf.get("spark.executor.memory", "1g"))
+    val offHeap =
+      if (conf.getBoolean("spark.memory.offHeap.enabled", false))
+        org.apache.spark.network.util.JavaUtils
+          .byteStringAsBytes(conf.get("spark.memory.offHeap.size", "0"))
+      else 0L
     val signal = new ExecutorMemorySignal(maxHeap,
-      memoryFraction = conf.getDouble("spark.memory.fraction", 0.6))
+      memoryFraction = conf.getDouble("spark.memory.fraction", 0.6),
+      offHeapBytes = offHeap)
     spark.sparkContext.addSparkListener(signal)
     CdcLogSource.memoryUsage = () => signal.usage()
     signal

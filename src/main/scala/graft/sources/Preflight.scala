@@ -153,21 +153,24 @@ object Preflight {
           s"source server is $vnum (< 14): the pgoutput `messages` " +
             "option does not exist there, so logical-message DDL " +
             "capture is disabled (v1 row streaming is unaffected)")
-      if (protoVersion >= 2 && vnum > 0 && vnum < 140000)
-        out += PreflightFailure(critical = true,
-          "Protocol Version Unsupported",
-          s"source.protoVersion=$protoVersion requires PostgreSQL 14+ " +
-            s"(streamed in-progress transactions); server is $vnum")
-      if (protoVersion >= 3 && vnum >= 140000 && vnum < 150000)
-        out += PreflightFailure(critical = true,
-          "Protocol Version Unsupported",
-          s"source.protoVersion=$protoVersion requires PostgreSQL 15+ " +
-            s"(two-phase commit decoding); server is $vnum")
-      if (protoVersion >= 4 && vnum >= 150000 && vnum < 160000)
-        out += PreflightFailure(critical = true,
-          "Protocol Version Unsupported",
-          s"source.protoVersion=4 requires PostgreSQL 16+ (parallel " +
-            s"streaming, extended Stream Abort); server is $vnum")
+      // ONE true floor per requested protocol version (v2→14, v3→15,
+      // v4→16), computed up front — a staircase of range checks told a
+      // v4-on-PG-14 operator "requires 15+", they upgraded, and only
+      // then learned v4 needs 16+ (round-14 verdict #1)
+      val floor = protoVersion match {
+        case v if v >= 4 => Some((160000, "16",
+          "parallel streaming, extended Stream Abort"))
+        case 3 => Some((150000, "15", "two-phase commit decoding"))
+        case 2 => Some((140000, "14", "streamed in-progress transactions"))
+        case _ => None
+      }
+      floor.foreach { case (minVnum, major, why) =>
+        if (vnum > 0 && vnum < minVnum)
+          out += PreflightFailure(critical = true,
+            "Protocol Version Unsupported",
+            s"source.protoVersion=$protoVersion requires PostgreSQL " +
+              s"$major+ ($why); server is $vnum")
+      }
       if (binaryMode && vnum > 0 && vnum < 140000)
         out += PreflightFailure(critical = true,
           "Binary Mode Unsupported",

@@ -15,6 +15,15 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
 final class SlotInUseException(msg: String)
     extends java.io.IOException(msg)
 
+/** Terminal escalation of [[SlotInUseException]]: the slot stayed busy
+  * for the configured number of CONSECUTIVE retries — no failover
+  * window lasts that long, so this is a permanent misconfiguration
+  * (two replicators deployed against one slot). Named, carries the
+  * rival's `active_pid` when the server would tell us, and STOPS the
+  * retry loop: an infinite warning loop is not an operator signal. */
+final class SlotBusyEscalationException(msg: String)
+    extends java.io.IOException(msg)
+
 /** Live Postgres logical-replication intake: the streaming-replication
   * sub-protocol (frontend/backend protocol v3 COPY BOTH mode) spoken
   * over a plain TCP socket — the layer the reference reaches through its
@@ -94,6 +103,16 @@ final class ReplicationSocketClient(
       * slots are created with TWO_PHASE — the property must be set at
       * slot creation for prepared-transaction decoding. */
     createSlotIfMissing: Boolean = false,
+    /** CONSECUTIVE slot-busy (SQLSTATE 55006) refusals tolerated before
+      * the retry loop escalates to a terminal
+      * [[SlotBusyEscalationException]] (enriched with the rival's
+      * `active_pid` from `pg_replication_slots` when readable). 0 =
+      * retry forever (pure failover-handover deployments). The default
+      * bounds a PERMANENT misconfiguration — two replicators on one
+      * slot — at ~2 min of named warnings instead of an infinite loop,
+      * while comfortably outlasting any real handover window (the old
+      * holder's socket lingers seconds, not minutes). */
+    slotBusyMaxConsecutive: Int = 120,
     /** Base directory for streamed/prepared-transaction spools. The
       * default sits NEXT TO THE CHANGE LOG — real disk, not the JVM
       * temp dir, which is often a size-limited tmpfs a 100 GB streamed
@@ -138,6 +157,7 @@ final class ReplicationSocketClient(
     * downstream replay guards absorb (at-least-once, the reference
     * replicator's restart-on-error loop). */
   def start(reconnectBackoffMs: Long = 1000L): Unit = {
+    var slotBusyStreak = 0
     try connectSession()
     catch {
       case e: SlotInUseException =>
@@ -146,6 +166,7 @@ final class ReplicationSocketClient(
         // until the rival releases. Every other first-connect failure
         // (auth, config, bad host) still surfaces to the caller.
         lastError = Some(e)
+        slotBusyStreak = 1
         try conn.close() catch { case _: Throwable => () }
         java.util.logging.Logger.getLogger("graft.sources.replication")
           .warning(s"${e.getMessage} — retrying with backoff")
@@ -160,6 +181,7 @@ final class ReplicationSocketClient(
         if (reader != null) {
           reader.join()
           heartbeat.interrupt(); heartbeat.join(5000)
+          slotBusyStreak = 0 // a live session means the slot was ours
         }
         if (!stopped.get() && (reader == null || !running.get() ||
             !reader.isAlive)) {
@@ -173,7 +195,28 @@ final class ReplicationSocketClient(
                 connectSession()
                 reconnects.incrementAndGet()
                 connected = true
-              } catch { case e: Throwable => lastError = Some(e) }
+                slotBusyStreak = 0
+              } catch {
+                case e: Throwable =>
+                  lastError = Some(e)
+                  // a failed connectSession() can leave a FULLY
+                  // AUTHENTICATED session half-open (START_REPLICATION
+                  // refused 55006 arrives after auth) — close it before
+                  // the next attempt, or each retry leaks a live
+                  // walsender and exhausts max_wal_senders /
+                  // max_connections during exactly the handover window
+                  // the retry exists for (then blocks even the
+                  // legitimate retry)
+                  try conn.close() catch { case _: Throwable => () }
+                  e match {
+                    case _: SlotInUseException =>
+                      slotBusyStreak += 1
+                      if (slotBusyMaxConsecutive > 0 &&
+                          slotBusyStreak >= slotBusyMaxConsecutive)
+                        escalateSlotBusy(slotBusyStreak)
+                    case _ => slotBusyStreak = 0
+                  }
+              }
             }
           }
         }
@@ -181,6 +224,43 @@ final class ReplicationSocketClient(
     }, "graft-replication-supervisor")
     supervisor.setDaemon(true)
     supervisor.start()
+  }
+
+  /** Terminal slot-busy escalation (see [[slotBusyMaxConsecutive]]):
+    * enrich with the rival holder's `active_pid` over a FRESH
+    * simple-query session (best effort — the refusing server may also
+    * be unreachable by now), record a terminal
+    * [[SlotBusyEscalationException]] in [[lastError]], and stop the
+    * supervisor: after this many consecutive 55006s the condition is a
+    * permanent misconfiguration, not a handover window, and an
+    * actionable failure beats an infinite warning loop. */
+  private def escalateSlotBusy(streak: Int): Unit = {
+    val rival: Option[String] =
+      try {
+        val c = new PgWireConnection(host, port, user, database,
+          password, replication = true, sslMode = sslMode,
+          sslRootCert = sslRootCert)
+        try {
+          c.connect()
+          c.queryRows("select active_pid from pg_replication_slots " +
+              s"where slot_name = '${slotName.replace("'", "''")}'")
+            .headOption.flatMap(_.headOption.flatten)
+        } finally c.close()
+      } catch { case _: Throwable => None }
+    val who = rival.fold("rival active_pid unreadable")(p =>
+      s"rival active_pid=$p")
+    val e = new SlotBusyEscalationException(
+      s"replication slot '$slotName' still held after $streak " +
+        s"consecutive retries (SQLSTATE 55006; $who): this is a " +
+        "permanent conflict — most likely two replicators configured " +
+        "against the same slot — not a failover handover; giving up. " +
+        "Stop the rival worker (or point one of them at its own slot) " +
+        "and restart.")
+    lastError = Some(e)
+    java.util.logging.Logger.getLogger("graft.sources.replication")
+      .severe(e.getMessage)
+    stopped.set(true)
+    running.set(false)
   }
 
   private def connectSession(): Unit = {

@@ -924,4 +924,32 @@ class GraftTableSpec extends SparkSpec {
     assert(t2.lookup(spark, Seq(10L)).select("id", "w")
       .as[(Long, String)].collect().toSeq == Seq((10L, "c")))
   }
+
+  test("stagingNoShuffle: a NON-global Sort (sortWithinPartitions) " +
+      "preserves its child's partitioning — a wide input stays in the " +
+      "repartition lane, a provably-narrow one stays shuffle-free; a " +
+      "GLOBAL sort is shuffle-bounded (round-14 advice)") {
+    val t = new GraftTable(tmp(), Seq("id"), nBuckets = 4)
+    val nB = 4
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    def rddDf(parts: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (1L to 64L).map(org.apache.spark.sql.Row(_)), parts), schema)
+    // LogicalRDD with 16 partitions: a local sort DOES NOT bound it —
+    // staging it unshuffled would write 16 × touched-bucket files
+    assert(!t.stagingNoShuffle(rddDf(16).sortWithinPartitions("id"), nB),
+      "local sort over a wide input must not claim a bounded count")
+    // the same local sort over a provably-narrow input recurses and
+    // keeps the no-shuffle lane (this is the micro-batch hot path)
+    assert(t.stagingNoShuffle(rddDf(2).sortWithinPartitions("id"), nB))
+    // a GLOBAL sort is a range exchange: bounded by shuffle partitions
+    val shuffleBounded =
+      spark.sessionState.conf.numShufflePartitions <= nB
+    assert(t.stagingNoShuffle(rddDf(16).orderBy("id"), nB)
+      == shuffleBounded)
+    // unprovable wide input without any sort: repartition lane
+    assert(!t.stagingNoShuffle(rddDf(16), nB))
+  }
 }

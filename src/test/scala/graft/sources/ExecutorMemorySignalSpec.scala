@@ -88,6 +88,37 @@ final class ExecutorMemorySignalSpec extends AnyFunSuite {
     assert(!s.trackedExecutors.contains("5"))
   }
 
+  test("off-heap awareness: with spark.memory.offHeap enabled, " +
+      "OffHeapUnifiedMemory folds into the per-executor fraction — an " +
+      "off-heap-tuned cluster's real pressure is OUTSIDE the GC heap " +
+      "(round-14 verdict #7); disabled off-heap ignores observations; " +
+      "removal forgets both regions") {
+    val s = new ExecutorMemorySignal(fallbackHeapBytes = 1000L,
+      offHeapBytes = 2000L)
+    s.record("1", 100L) // GC heap: a calm 10%
+    // scheduler events carry the off-heap region usage: 90% — the
+    // region an off-heap apply actually fills
+    s.onStageExecutorMetrics(SparkListenerStageExecutorMetrics(
+      "1", 7, 0, org.apache.spark.GraftTestBus.executorMetrics(
+        Map("JVMHeapMemory" -> 100L, "OffHeapUnifiedMemory" -> 1800L))))
+    assert(s.worstExecutorFraction === 0.9,
+      "a heap-only watch would report 0.1 here and admit into OOM")
+    s.onExecutorMetricsUpdate(SparkListenerExecutorMetricsUpdate(
+      "2", Seq.empty,
+      Map((0, 0) -> org.apache.spark.GraftTestBus.executorMetrics(
+        Map("OffHeapUnifiedMemory" -> 1000L)))))
+    assert(s.offHeapFraction("2").contains(0.5))
+    // off-heap disabled (size 0): no sane denominator, observations
+    // are ignored rather than divided by zero
+    val s2 = new ExecutorMemorySignal(fallbackHeapBytes = 1000L)
+    s2.recordOffHeap("9", 999999L)
+    assert(s2.worstExecutorFraction === 0.0)
+    // removal drops BOTH regions' contributions
+    s.onExecutorRemoved(SparkListenerExecutorRemoved(0L, "1", "gone"))
+    assert(s.worstExecutorFraction === 0.5,
+      "executor 1's off-heap reading must not outlive it")
+  }
+
   test("usage() never reports below the driver's live heap (the " +
       "manifest-commit broker stays part of the signal)") {
     val s = new ExecutorMemorySignal(fallbackHeapBytes = 1000L)

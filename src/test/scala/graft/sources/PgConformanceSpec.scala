@@ -1780,4 +1780,109 @@ class PgConformanceSpec extends AnyFunSuite {
       StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
     assert(lines.length == 5, s"expected 5 envelope lines:\n${lines.toSeq}")
   }
+
+  test("wire: a rival that NEVER releases the slot (permanent " +
+      "misconfiguration) escalates after the configured consecutive " +
+      "55006 cap — the retry loop TERMINATES with a named error " +
+      "carrying the rival's active_pid, instead of warning forever") {
+    val dir = Files.createTempDirectory("pg-conformance").toString
+    val log = s"$dir/wal.log"
+    val startAttempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pidQueries = new java.util.concurrent.atomic.AtomicInteger(0)
+    def frame(t: Char, body: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val d = new DataOutputStream(bos)
+      d.write(t); d.writeInt(4 + body.length); d.write(body)
+      bos.toByteArray
+    }
+    // simple-query reply: one DataRow("4242") + CommandComplete + RFQ
+    val activePidReply: Array[Byte] = {
+      val row = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val d = new DataOutputStream(bos)
+        d.writeShort(1); val v = "4242".getBytes(StandardCharsets.UTF_8)
+        d.writeInt(v.length); d.write(v); bos.toByteArray
+      }
+      frame('D', row) ++
+        frame('C',
+          "SELECT 1".getBytes(StandardCharsets.UTF_8) :+ 0.toByte) ++
+        frame('Z', Array('I'.toByte))
+    }
+    val server = new ServerSocket(0)
+    val accept = new Thread(() => {
+      var live = true
+      while (live) {
+        val sock = try server.accept()
+                   catch { case _: Throwable => live = false; null }
+        if (sock != null) {
+          val worker = new Thread(() => {
+            sock.setTcpNoDelay(true)
+            val in = new DataInputStream(sock.getInputStream)
+            val out = new DataOutputStream(sock.getOutputStream)
+            val slen = in.readInt()
+            in.readFully(new Array[Byte](slen - 4))
+            out.write(session("auth")); out.flush()
+            var open = true
+            while (open) {
+              val t = try in.readByte().toChar
+                      catch { case _: Throwable => open = false; ' ' }
+              if (open) {
+                val len = in.readInt()
+                val payload = new Array[Byte](len - 4)
+                in.readFully(payload)
+                t match {
+                  case 'Q' =>
+                    val sql = new String(payload, 0, payload.length - 1,
+                      StandardCharsets.UTF_8)
+                    if (sql.startsWith("SHOW")) out.write(session("show"))
+                    else if (sql.startsWith("START_REPLICATION")) {
+                      startAttempts.incrementAndGet()
+                      out.write(session("slot_busy")) // rival never lets go
+                    } else if (sql.startsWith("select active_pid")) {
+                      pidQueries.incrementAndGet()
+                      out.write(activePidReply)
+                    }
+                    out.flush()
+                  case 'X' => open = false
+                  case _ => ()
+                }
+              }
+            }
+            try sock.close() catch { case _: Throwable => () }
+          }, "pg-slot-hog-session")
+          worker.setDaemon(true)
+          worker.start()
+        }
+      }
+    }, "pg-slot-hog-accept")
+    accept.setDaemon(true)
+    accept.start()
+
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot", "conf_pub", log,
+      flushLsn = () => 0L, slotBusyMaxConsecutive = 3)
+    try {
+      client.start(reconnectBackoffMs = 50)
+      val t0 = System.currentTimeMillis()
+      while (!client.lastError.exists(
+          _.isInstanceOf[SlotBusyEscalationException]) &&
+        System.currentTimeMillis() - t0 < 15000) Thread.sleep(20)
+      val err = client.lastError
+      assert(err.exists(_.isInstanceOf[SlotBusyEscalationException]),
+        s"expected terminal escalation, got $err")
+      val msg = err.get.getMessage
+      assert(msg.contains("active_pid=4242"), msg) // rival identified
+      assert(msg.contains("3 consecutive retries"), msg)
+      assert(client.slotBusyRetries.get() == 3)
+      assert(startAttempts.get() == 3,
+        s"cap=3 means exactly 3 attempts, got ${startAttempts.get()}")
+      assert(pidQueries.get() == 1, "one enrichment query expected")
+      // the loop truly TERMINATED — no further attempts trickle in
+      Thread.sleep(400)
+      assert(startAttempts.get() == 3, "retry loop kept running")
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+  }
 }

@@ -247,6 +247,17 @@ final class PreflightSpec extends AnyFunSuite {
         f.name == "Protocol Version Unsupported" &&
         f.detail.contains("16+")), fails.map(_.render))
     }
+    // v4 on PG 14 names the TRUE floor (16+) in ONE message — not a
+    // staircase that first says "15+", the operator upgrades, and only
+    // the re-run reveals v4 needs 16+ (round-14 verdict #1)
+    withSource(pg14) { conn =>
+      val fails = Preflight.validateSource(conn, "graft_pub", 4,
+        protoVersion = 4)
+      val pv = fails.filter(_.name == "Protocol Version Unsupported")
+      assert(pv.size == 1 && pv.head.critical &&
+        pv.head.detail.contains("16+") &&
+        !pv.head.detail.contains("15+"), fails.map(_.render))
+    }
     val pg16NoPrep = ("server_version_num" -> Seq(Seq("160004"))) +:
       ("max_prepared_transactions" -> Seq(Seq("0"))) +: healthy
     withSource(pg16NoPrep) { conn =>
