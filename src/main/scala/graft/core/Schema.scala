@@ -22,7 +22,20 @@ final case class ColumnSpec(
     /** Replicated by the publication (ReplicationMask member). */
     replicated: Boolean = true,
     /** Part of the replica identity (IdentityMask member). */
-    identity: Boolean = false) {
+    identity: Boolean = false,
+    /** Physical column number (`pg_attribute.attnum` — the reference's
+      * `ordinal_position`, schema.rs:221): STABLE across renames and
+      * later-column drops, which makes it the key [[SchemaDiff]] tracks
+      * logical columns by. 0 = unknown (transports that don't carry
+      * attnums, e.g. the wire Relation message) — diffs then fall back
+      * to the 1-based position in `columns`, correct for every DDL
+      * except a mid-table drop. */
+    ordinal: Int = 0,
+    /** Column default expression (`pg_attrdef`; reference
+      * ColumnSchema.default_expression, schema.rs:226). Carried for
+      * destination-DDL parity — replicated rows always arrive with
+      * defaults already materialized by the source. */
+    default: Option[String] = None) {
   def sparkType: DataType = PgTypeMap.toSpark(pgType, modifier)
   def sparkField: StructField = StructField(name, sparkType, nullable)
 }
@@ -49,32 +62,67 @@ final case class TableSchemaV(
   def sparkSchema: StructType = StructType(replicatedColumns.map(_.sparkField))
 }
 
-/** Structural diff between two schema versions, consumed by sinks to evolve
-  * destination tables (reference SchemaDiff, crates/etl/src/schema.rs:592). */
+/** A change to one LOGICAL column, identified by its ordinal — the
+  * reference's ColumnChange/ColumnModification (schema.rs:753-790).
+  * "Same ordinal, different name" IS a rename: a name-keyed diff would
+  * mis-describe it as add+drop, and a current-state destination would
+  * then fork the column (pre-rename rows stranded under the old name,
+  * post-rename rows under the new) instead of staying aligned. */
+final case class ColumnChange(ordinal: Int, from: ColumnSpec,
+    to: ColumnSpec) {
+  def renamed: Boolean = from.name != to.name
+  /** NOT NULL → NULL: the only nullability change destinations apply
+    * (tightening an existing destination column can't be guaranteed —
+    * the reference warns and keeps it nullable, bigquery/core.rs:884). */
+  def nullabilityRelaxed: Boolean = !from.nullable && to.nullable
+  def nullabilityTightened: Boolean = from.nullable && !to.nullable
+  def defaultChanged: Boolean = from.default != to.default
+  def typeChanged: Boolean =
+    from.pgType != to.pgType || from.modifier != to.modifier
+}
+
+/** Structural diff between two schema versions, consumed by sinks to
+  * evolve destination tables (reference SchemaDiff,
+  * crates/etl/src/schema.rs:592-651). Keyed by ORDINAL (attnum),
+  * replicated columns only — the view a destination materializes. */
 final case class SchemaDiff(
     added: Seq[ColumnSpec],
-    dropped: Seq[String],
-    modified: Seq[(ColumnSpec, ColumnSpec)]) {
-  def isEmpty: Boolean = added.isEmpty && dropped.isEmpty && modified.isEmpty
+    dropped: Seq[ColumnSpec],
+    changed: Seq[ColumnChange]) {
+  def isEmpty: Boolean = added.isEmpty && dropped.isEmpty && changed.isEmpty
+  /** (oldName → newName) for every rename, in ordinal order. */
+  def renames: Seq[(String, String)] =
+    changed.collect { case c if c.renamed => (c.from.name, c.to.name) }
 }
 
 object SchemaDiff {
+  /** Effective ordinal per column: the carried attnum when the
+    * transport provided one, else the 1-based position in the FULL
+    * column list (computed before the replicated filter, so an
+    * unreplicated column still occupies its slot like an attnum
+    * would). */
+  private def byOrdinal(s: TableSchemaV): Map[Int, ColumnSpec] =
+    s.columns.zipWithIndex.collect {
+      case (c, i) if c.replicated =>
+        (if (c.ordinal > 0) c.ordinal else i + 1) -> c
+    }.toMap
+
   def between(from: TableSchemaV, to: TableSchemaV): SchemaDiff = {
-    val fromByName = from.columns.map(c => c.name -> c).toMap
-    val toByName = to.columns.map(c => c.name -> c).toMap
+    val fromM = byOrdinal(from)
+    val toM = byOrdinal(to)
     SchemaDiff(
-      added = to.columns.filterNot(c => fromByName.contains(c.name)),
-      dropped = from.columns.collect {
-        case c if !toByName.contains(c.name) => c.name
-      },
-      modified = to.columns.flatMap { c =>
-        fromByName.get(c.name) match {
-          case Some(prev)
-              if prev.pgType != c.pgType || prev.nullable != c.nullable ||
-                prev.modifier != c.modifier =>
-            Some((prev, c))
-          case _ => None
-        }
+      added = toM.view.filterKeys(!fromM.contains(_)).toSeq
+        .sortBy(_._1).map(_._2),
+      dropped = fromM.view.filterKeys(!toM.contains(_)).toSeq
+        .sortBy(_._1).map(_._2),
+      changed = fromM.keySet.intersect(toM.keySet).toSeq.sorted.flatMap {
+        ord =>
+          val (f, t) = (fromM(ord), toM(ord))
+          if (f.name != t.name || f.nullable != t.nullable ||
+              f.default != t.default || f.pgType != t.pgType ||
+              f.modifier != t.modifier)
+            Some(ColumnChange(ord, f, t))
+          else None
       })
   }
 }
@@ -149,6 +197,13 @@ final class SchemaRegistry extends Serializable {
   def latest(tableId: Long): Option[TableSchemaV] =
     byTable.get(tableId).flatMap(_.lastOption.map(_._2))
 
+  /** The version immediately PRECEDING `lsn` (largest snapshotLsn
+    * strictly below it) — the "old" side of the destination diff when a
+    * Relation record registers a new version at `lsn`. */
+  def previous(tableId: Long, lsn: Long): Option[TableSchemaV] =
+    byTable.get(tableId)
+      .flatMap(_.rangeUntil(lsn).lastOption.map(_._2))
+
   def versions(tableId: Long): Seq[TableSchemaV] =
     byTable.get(tableId).map(_.values.toSeq).getOrElse(Seq.empty)
 
@@ -174,7 +229,10 @@ final class SchemaRegistry extends Serializable {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val body = byTable.toSeq.sortBy(_._1).flatMap(_._2.values).map { s =>
       val cols = s.columns.map { c =>
-        s"""{"name":"${c.name}","type":"${c.pgType}","nullable":${c.nullable},"pk":${c.pkOrdinal},"mod":${c.modifier},"repl":${c.replicated},"ident":${c.identity}}"""
+        val dflt = c.default.fold("")(d =>
+          s""","default":${org.json4s.jackson.JsonMethods.compact(
+            org.json4s.JString(d))}""")
+        s"""{"name":"${c.name}","type":"${c.pgType}","nullable":${c.nullable},"pk":${c.pkOrdinal},"mod":${c.modifier},"repl":${c.replicated},"ident":${c.identity},"ord":${c.ordinal}$dflt}"""
       }.mkString("[", ",", "]")
       s"""{"tableId":${s.tableId},"tableName":"${s.tableName}","snapshotLsn":${s.snapshotLsn},"cols":$cols}"""
     }.mkString("[", ",\n", "]")
@@ -206,7 +264,9 @@ object SchemaRegistry {
           pkOrdinal = (c \ "pk").extract[Int],
           modifier = (c \ "mod").extract[Int],
           replicated = (c \ "repl").extract[Boolean],
-          identity = (c \ "ident").extract[Boolean])
+          identity = (c \ "ident").extract[Boolean],
+          ordinal = (c \ "ord").extractOrElse[Int](0),
+          default = (c \ "default").extractOpt[String])
       }
       reg.put(TableSchemaV(
         (t \ "tableId").extract[Long],

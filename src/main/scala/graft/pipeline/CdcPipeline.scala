@@ -317,6 +317,43 @@ final class CdcPipeline(
         .sortBy(g => (g.vLsn, g.tableId))
         .foreach { g => g.rPayloads.foreach { p =>
           registry.put(CdcPipeline.parseRelation(g.tableId, g.vLsn, p)) } }
+      // Destination schema evolution (reference handle_relation →
+      // apply_schema_diff, bigquery/core.rs:803-946): every version this
+      // batch REGISTERS diffs against its registry predecessor and lands
+      // at the destination BEFORE any data at that version merges —
+      // driven by the Relation record itself, not by data presence, so
+      // a pure-DDL commit (a rename with no rows) still moves the
+      // destination. The ordinal-keyed diff sees "same ordinal, new
+      // name" as a RENAME — the old name-keyed widen forked such a
+      // column (pre-rename rows stranded under the old name, new rows
+      // under the new). Sink planners are idempotent, so a replayed
+      // batch re-applies as a no-op. A failed DDL quarantines the table
+      // BEFORE the gates are computed below, withholding its data this
+      // batch — merging post-rename rows after a failed rename would
+      // cause the exact fork this path exists to prevent.
+      meta.filter(_.rPayloads.nonEmpty).sortBy(g => (g.vLsn, g.tableId))
+        .foreach { g =>
+          val quarantined = stateStore.get(g.tableId) match {
+            case _: TableState.Errored => true
+            case _ => false
+          }
+          if (!quarantined) try {
+            for {
+              prev <- registry.previous(g.tableId, g.vLsn)
+              cur <- registry.lookup(g.tableId, g.vLsn)
+            } {
+              val diff = graft.core.SchemaDiff.between(prev, cur)
+              if (!diff.isEmpty) sink.applySchemaDiff(cur.tableName, diff)
+            }
+          } catch {
+            case e: Exception =>
+              stateStore.recordError(g.tableId,
+                s"schema change at lsn ${g.vLsn} failed: ${e.getMessage}",
+                RetryPolicy.TimedRetry())
+              Telemetry.counter(Telemetry.WorkerErrorsTotal,
+                "Apply failures (quarantined per ST8)").increment()
+          }
+        }
       val stateSnap = stateStore.all
       val (allowed, gates) = stateStore.applyGates
 
@@ -654,8 +691,11 @@ object CdcPipeline {
     * modifier (numeric precision/scale pack), `repl`/`ident` the
     * per-column ReplicationMask / IdentityMask bits (reference
     * crates/etl/src/schema.rs:69,207; pgoutput Relation column flag 1 =
-    * part of the replica identity). Optional fields default like the
-    * reference's (replicated, not identity, no modifier). */
+    * part of the replica identity). Optional `ord` carries the
+    * pg_attribute.attnum (keys the destination SchemaDiff; 0/absent =
+    * positional) and `default` the pg_attrdef expression. Optional
+    * fields default like the reference's (replicated, not identity,
+    * no modifier). */
   def parseRelation(tableId: Long, schemaLsn: Long, json: String): TableSchemaV = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -671,7 +711,12 @@ object CdcPipeline {
           pkOrdinal = (c \ "pk").extractOrElse[Int](0),
           modifier = (c \ "mod").extractOrElse[Int](-1),
           replicated = (c \ "repl").extractOrElse[Boolean](true),
-          identity = (c \ "ident").extractOrElse[Boolean](false))
+          identity = (c \ "ident").extractOrElse[Boolean](false),
+          // attnum (stable across renames/drops — keys SchemaDiff;
+          // reference ColumnSchemaMessage.attnum, codec/event.rs:190);
+          // absent → 0 = positional fallback
+          ordinal = (c \ "ord").extractOrElse[Int](0),
+          default = (c \ "default").extractOpt[String])
     }
     TableSchemaV(tableId, name, schemaLsn, cols.toIndexedSeq)
   }

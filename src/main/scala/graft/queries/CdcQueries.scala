@@ -268,6 +268,89 @@ object CdcQueries {
     sink.read(spark, "state").orderBy("key")
   }
 
+  /** Full-SchemaDiff destination evolution (reference apply_schema_diff,
+    * bigquery/core.rs:803-946; ordinal-keyed diff, etl/src/schema.rs:
+    * 587-651): backfill `customer` as (key, val, name), then a
+    * MID-STREAM DDL renames val→amount (same attnum) and DROPS name,
+    * and every event lands under the NEW column. The oracle replays the
+    * final state relationally — if the rename forked the column (the
+    * old name-keyed add+drop behavior), pre-rename balances would
+    * surface as NULL `amount` and the extra `val`/`name` columns would
+    * fail the schema compare. */
+  def pipelineRename(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{ColumnSpec, SchemaRegistry, TableSchemaV}
+    import graft.pipeline.{CdcPipeline, PipelineConfig, TableState}
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-rename").toString
+
+    val registry = new SchemaRegistry
+    registry.put(TableSchemaV(1L, "state", 0L, IndexedSeq(
+      ColumnSpec("key", "int8", nullable = false, pkOrdinal = 1,
+        ordinal = 1),
+      ColumnSpec("val", "float8", ordinal = 2),
+      ColumnSpec("name", "text", ordinal = 3))))
+    val sink = new CurrentStateSink(s"$tmp/tables", _ => Seq("key"), 16)
+    sink.writeTableRows("state", Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("key"),
+        col("c_acctbal").cast("double").as("val"),
+        col("c_name").as("name")))
+
+    // WAL: the RENAME+DROP Relation record at lsn 1 (pure-DDL commit),
+    // then every event SHIFTED to lsn = event_id + 1 at schema version
+    // 1, packed as the post-DDL column set (key, amount)
+    val renameJson = """{"table":"state","cols":[""" +
+      """{"name":"key","type":"int8","nullable":false,"pk":1,"ord":1},""" +
+      """{"name":"amount","type":"float8","ord":2}]}"""
+    val ddlLine = graft.sources.CdcLogSource.renderLine(
+      "R", 1L, 1L, 1L, 0L, 1L, None, Some(renameJson))
+    val sep = lit(graft.core.PackedRow.Sep.toString)
+    val evLines = Tables.load(spark, dir, "events")
+      .withColumn("op", opExpr)
+      .withColumn("lsn", col("event_id") + 1)
+      .select(col("lsn"), concat(
+        col("lsn").cast(StringType), lit("\t0\t"), col("op"),
+        lit("\t1\t"), col("lsn").cast(StringType), lit("\t1\t"),
+        when(col("op") === "D",
+          concat(lit("="), col("user_id"), sep, lit("\\N")))
+          .otherwise(lit("\\N")),
+        lit("\t"),
+        when(col("op") =!= "D",
+          concat(lit("="), col("user_id"), sep, col("value")))
+          .otherwise(lit("\\N"))).as("line"))
+    val wal = spark.range(1)
+      .select(lit(1L).as("lsn"), lit(ddlLine).as("line"))
+      .unionByName(evLines)
+      .orderBy("lsn").select("line")
+    wal.coalesce(1).write.text(s"$tmp/wal")
+    val part = new java.io.File(s"$tmp/wal").listFiles()
+      .find(_.getName.endsWith(".txt")).get
+    val log = s"$tmp/wal.log"
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(log))
+
+    val pipeline = new CdcPipeline(spark,
+      PipelineConfig(maxRowsPerTrigger = 50000, maxFillMs = 50,
+        checkpointDir = s"$tmp/ckpt", stateDir = s"$tmp/state"),
+      registry, sink, CdcPipeline.jsonDecode)
+    pipeline.stateStore.force(1L, TableState.Ready)
+    val q = pipeline.startStream(log)
+    q.processAllAvailable()
+    q.stop()
+    sink.read(spark, "state").orderBy("key")
+  }
+
+  val pipelineRenameSql: String = """
+    WITH last AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events) t WHERE rn = 1)
+    SELECT COALESCE(l.user_id, b.c_custkey) AS key,
+      CAST(CASE WHEN l.user_id IS NOT NULL THEN l.value
+                ELSE b.c_acctbal END AS DOUBLE) AS amount
+    FROM customer b FULL OUTER JOIN last l ON b.c_custkey = l.user_id
+    WHERE l.event_type IS NULL OR l.event_type <> 'error'
+    ORDER BY key"""
+
   val streamApplySql: String = """
     SELECT user_id AS key, value AS val FROM (
       SELECT user_id, value, event_type,

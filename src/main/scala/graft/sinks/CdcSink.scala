@@ -30,6 +30,21 @@ trait CdcSink {
   def writeEvents(table: String, events: DataFrame,
       maskHint: Option[Boolean]): Unit = writeEvents(table, events)
   def truncateTable(table: String): Unit
+  /** Destination schema evolution BEYOND the additive widen the merge
+    * path performs on its own (the reference's apply_schema_diff,
+    * bigquery/core.rs:803-946): renames keep a logical column aligned
+    * instead of forking into add+drop, drops retire retired columns,
+    * nullability relaxes, defaults propagate. Called by the pipeline
+    * when a Relation record registers a new schema version — BEFORE any
+    * data at that version is written — with the ordinal-keyed diff
+    * against the predecessor version. MUST be idempotent: batch replay
+    * re-delivers the Relation record, and a crash between DDL and data
+    * replays both. Default no-op: append-shaped sinks are
+    * self-describing per event (each append carries its version's
+    * column set; `latest` readers resolve by sequence), and memory/null
+    * sinks have no schema to move. */
+  def applySchemaDiff(table: String, diff: graft.core.SchemaDiff): Unit =
+    ()
   /** Batch replay identity (txnAppId/txnVersion shape): the pipeline
     * brackets each micro-batch with beginBatch/commitBatch, passing
     * Spark's monotonically-replayed batchId. Return false from
@@ -288,6 +303,67 @@ final class CurrentStateSink(rootDir: String, keysOf: String => Seq[String],
 
   override def truncateTable(table: String): Unit = tableFor(table).truncate()
 
+  /** Full SchemaDiff application (reference apply_schema_diff order:
+    * adds → renames → changes → drops, bigquery/core.rs:803-946), built
+    * on [[GraftTable.applyDdlPlan]] — the idempotent planner: every
+    * step checks live state first, so a replayed Relation record (or a
+    * crash between the DDL and its data) converges as a no-op.
+    *  - RENAME: zero-data-movement mapping commit (columnMapping) —
+    *    pre-rename rows stay aligned under the new logical name instead
+    *    of forking into a stranded old column + null new column;
+    *  - DROP: leaves the logical read schema (files untouched — the
+    *    lakehouse drop; a bucket-key drop fails loudly into the
+    *    pipeline's per-table quarantine, as it must);
+    *  - type change: widening evolve (up-cast reads), non-widening
+    *    fails loudly;
+    *  - nullability relax: target field goes nullable (tightening is
+    *    kept nullable, like the reference warns-and-keeps);
+    *  - defaults: no destination action — replicated rows arrive with
+    *    source defaults already materialized, and a parquet table has
+    *    no fill-in-on-read default surface to set. */
+  override def applySchemaDiff(table: String,
+      diff: graft.core.SchemaDiff): Unit = {
+    import org.apache.spark.sql.types.StructType
+    if (diff.isEmpty) return
+    val t = tableFor(table)
+    // destination not materialized yet (backfill pending / first merge
+    // not landed): nothing to move — the first write creates the
+    // post-DDL shape directly
+    if (t.currentManifest().forall(_.schemaDdl.isEmpty)) return
+    t.awaitMaintenanceQuiesce(leaseOwner)
+    retryOnConflict {
+      val cur = StructType.fromDDL(t.currentManifest().get.schemaDdl)
+      val names = cur.fieldNames.toSet
+      // replay tolerance: a rename that already landed (old gone, new
+      // present) drops out; one whose column never materialized at the
+      // destination has nothing to move
+      val renames = diff.renames
+        .filter { case (f, n) => names(f) && !names(n) }.toMap
+      var target = StructType(cur.fields.map { f =>
+        renames.get(f.name).fold(f)(n => f.copy(name = n))
+      })
+      diff.changed.foreach { ch =>
+        target = StructType(target.fields.map { f =>
+          if (f.name == ch.to.name)
+            f.copy(
+              dataType =
+                if (ch.typeChanged) ch.to.sparkType else f.dataType,
+              nullable = f.nullable || ch.nullabilityRelaxed)
+          else f
+        })
+      }
+      val dropNames = diff.dropped.map(_.name).toSet
+      target = StructType(target.fields.filterNot(f => dropNames(f.name)))
+      val have = target.fieldNames.toSet
+      target = StructType(target.fields ++ diff.added
+        .filterNot(c => have(c.name))
+        // pre-DDL rows carry no value for an added column → nullable at
+        // the destination regardless of the source constraint
+        .map(c => c.sparkField.copy(nullable = true)))
+      if (target != cur || renames.nonEmpty) t.applyDdlPlan(target, renames)
+    }
+  }
+
   def read(spark: SparkSession, table: String): DataFrame =
     tableFor(table).read(spark)
 }
@@ -536,6 +612,12 @@ final class ExactlyOnceSink(inner: CdcSink, ledgerPath: String,
   // flag lingered after a skipped replay (no commitBatch resets it).
   override def truncateTable(table: String): Unit =
     inner.truncateTable(table)
+  // skipped replays skip the DDL too — it was applied when the batch
+  // originally committed, and the inner sink's planner is idempotent
+  // anyway
+  override def applySchemaDiff(table: String,
+      diff: graft.core.SchemaDiff): Unit =
+    if (!skipping) inner.applySchemaDiff(table, diff)
   override def shutdown(): Unit = inner.shutdown()
 }
 

@@ -90,7 +90,8 @@ final class JdbcSink(url: String, keysOf: String => Seq[String],
         if (tableExists(conn, table)) st.executeUpdate(s"DROP TABLE ${q(table)}")
         if (tableExists(conn, stageName(table)))
           st.executeUpdate(s"DROP TABLE ${q(stageName(table))}")
-        st.executeUpdate(createTargetSql(table, payload, keysOf(table)))
+        st.executeUpdate(
+          createTargetSql(dialectOf(conn), table, payload, keysOf(table)))
         st.executeUpdate(
           s"DELETE FROM ${q(OffsetsTable)} WHERE ${q("table_name")} = " +
             sqlStr(table))
@@ -167,7 +168,7 @@ final class JdbcSink(url: String, keysOf: String => Seq[String],
             dataCols.zip(dataTypes).filterNot(c => existing.contains(c._1))
           } else {
             val st = conn.createStatement()
-            try st.executeUpdate(createTargetSql(table,
+            try st.executeUpdate(createTargetSql(dialectOf(conn), table,
               StructType(dataCols.map(c => StructField(c, fresh.schema(c).dataType))),
               keys))
             finally st.close()
@@ -207,15 +208,17 @@ final class JdbcSink(url: String, keysOf: String => Seq[String],
         conn.setAutoCommit(false)
         val st = conn.createStatement()
         try {
+          val d = dialectOf(conn)
           targetAdds.foreach { case (c, t) =>
             st.executeUpdate(
-              s"ALTER TABLE ${q(table)} ADD COLUMN ${q(c)} ${typeSql(t)}")
+              s"ALTER TABLE ${q(table)} ADD COLUMN ${q(c)} ${d.typeSql(t)}")
           }
           masks.foreach { mask =>
             val masked = if (mask.isEmpty) Set.empty[String]
                          else mask.split(",").filter(_.nonEmpty).toSet
-            st.executeUpdate(
-              mergeSql(table, keys, payloadCols.filterNot(masked), mask))
+            applyGroupSql(d, table, keys,
+              payloadCols.filterNot(masked), mask)
+              .foreach(st.executeUpdate)
           }
           advanceHighWater(conn, table, batchMax)
           st.executeUpdate(s"DELETE FROM ${q(stageName(table))}")
@@ -240,6 +243,75 @@ final class JdbcSink(url: String, keysOf: String => Seq[String],
       } catch { case t: Throwable => conn.rollback(); throw t }
       finally st.close()
     } }
+
+  /** Full SchemaDiff at the engine, IN ONE TRANSACTION (the reference
+    * applies the same modification set at its destinations,
+    * bigquery/core.rs:803-946, same order: adds → renames → nullability
+    * /default changes → drops). Idempotent: every step probes engine
+    * metadata first, so a replayed Relation record converges as a
+    * no-op. The per-table STAGE follows renames/drops so future slices
+    * stage under the live names. Defaults apply only when PORTABLE
+    * (literals — see [[JdbcSink.portableDefault]]); a non-portable
+    * source default clears the destination default instead, like the
+    * reference. Dropping a merge key fails loudly (the pipeline
+    * quarantines the table). A not-yet-created target is a no-op — its
+    * first write materializes the post-DDL shape directly. */
+  override def applySchemaDiff(table: String,
+      diff: graft.core.SchemaDiff): Unit = {
+    if (diff.isEmpty) return
+    withBackoffRetry(backoff) { withConn { conn =>
+      if (!tableExists(conn, table)) return
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        val d = dialectOf(conn)
+        val stage = stageName(table)
+        val hasStage = tableExists(conn, stage)
+        def applyDefault(col: String, default: Option[String]): Unit =
+          default.flatMap(portableDefault) match {
+            case Some(lit) => st.executeUpdate(d.setDefaultSql(table, col, lit))
+            case None => st.executeUpdate(d.dropDefaultSql(table, col))
+          }
+        diff.added.foreach { c =>
+          if (!columnsOf(conn, table).contains(c.name)) {
+            st.executeUpdate(s"ALTER TABLE ${q(table)} ADD COLUMN " +
+              s"${q(c.name)} ${d.typeSql(c.sparkType)}")
+            if (c.default.nonEmpty) applyDefault(c.name, c.default)
+          }
+        }
+        diff.renames.foreach { case (from, to) =>
+          val cols = columnsOf(conn, table)
+          if (cols.contains(from) && !cols.contains(to))
+            st.executeUpdate(d.renameColumnSql(table, from, to))
+          if (hasStage) {
+            val sc = columnsOf(conn, stage)
+            if (sc.contains(from) && !sc.contains(to))
+              st.executeUpdate(d.renameColumnSql(stage, from, to))
+          }
+        }
+        diff.changed.foreach { ch =>
+          if (columnsOf(conn, table).contains(ch.to.name)) {
+            if (ch.nullabilityRelaxed)
+              st.executeUpdate(d.dropNotNullSql(table, ch.to.name))
+            // tightening is kept nullable (existing rows may hold
+            // nulls; the reference warns-and-keeps)
+            if (ch.defaultChanged) applyDefault(ch.to.name, ch.to.default)
+          }
+        }
+        val mergeKeys = keysOf(table).toSet
+        diff.dropped.foreach { c =>
+          require(!mergeKeys.contains(c.name),
+            s"cannot drop merge key ${c.name} of $table")
+          if (columnsOf(conn, table).contains(c.name))
+            st.executeUpdate(d.dropColumnSql(table, c.name))
+          if (hasStage && columnsOf(conn, stage).contains(c.name))
+            st.executeUpdate(d.dropColumnSql(stage, c.name))
+        }
+        conn.commit()
+      } catch { case t: Throwable => conn.rollback(); throw t }
+      finally st.close()
+    } }
+  }
 
   /** Read the applied table back THROUGH the engine (spark.read.jdbc —
     * the same wire the writes took). `partitions` > 1 splits the scan on
@@ -296,6 +368,34 @@ final class JdbcSink(url: String, keysOf: String => Seq[String],
     } finally up.close()
   }
 
+  /** The apply statements for one residual-mask group, dialect-routed:
+    * one standard three-arm MERGE where the engine has it, else the
+    * PRE-MERGE PostgreSQL pair — `DELETE … USING` for the delete arm,
+    * then `INSERT … ON CONFLICT DO UPDATE` (seq-guarded) covering the
+    * update+insert arms. Equivalent because the stage holds at most ONE
+    * surviving row per key per batch (Spark-side LWW), so arm
+    * interleaving across the two statements cannot reorder a key. */
+  private[sinks] def applyGroupSql(d: Dialect, table: String, keys: Seq[String],
+      setCols: Seq[String], mask: String): Seq[String] =
+    if (d.supportsMerge) Seq(mergeSql(table, keys, setCols, mask))
+    else {
+      val t = q(table); val s = q(stageName(table))
+      val on = keys.map(k => s"$t.${q(k)} = $s.${q(k)}").mkString(" AND ")
+      val maskEq = s"$s.${q(MaskCol)} = ${sqlStr(mask)}"
+      val newer = s"$s.${q(SeqCol)} > $t.${q(SeqCol)}"
+      val insCols = keys ++ setCols :+ SeqCol
+      val sets = (setCols :+ SeqCol)
+        .map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
+      Seq(
+        s"""DELETE FROM $t USING $s
+           WHERE $on AND $maskEq AND $s.${q(OpCol)} = 'D' AND $newer""",
+        s"""INSERT INTO $t (${insCols.map(q).mkString(", ")})
+           SELECT ${insCols.map(c => s"$s.${q(c)}").mkString(", ")} FROM $s
+           WHERE $maskEq AND $s.${q(OpCol)} <> 'D'
+           ON CONFLICT (${keys.map(q).mkString(", ")}) DO UPDATE SET $sets
+           WHERE EXCLUDED.${q(SeqCol)} > $t.${q(SeqCol)}""")
+    }
+
   /** Seq-guarded three-arm MERGE for one residual-mask group. The guard
     * (`stage.seq > target.seq`) makes the statement idempotent per row
     * even outside the offsets gate — a belt the reference's clients also
@@ -319,11 +419,11 @@ final class JdbcSink(url: String, keysOf: String => Seq[String],
          THEN INSERT ($insCols) VALUES ($insVals)"""
   }
 
-  private def createTargetSql(table: String, payload: StructType,
-      keys: Seq[String]): String = {
+  private def createTargetSql(d: Dialect, table: String,
+      payload: StructType, keys: Seq[String]): String = {
     val cols = payload.fields.map { f =>
       val notNull = if (keys.contains(f.name)) " NOT NULL" else ""
-      s"${q(f.name)} ${typeSql(f.dataType)}$notNull"
+      s"${q(f.name)} ${d.typeSql(f.dataType)}$notNull"
     } :+ s"${q(SeqCol)} VARCHAR(64) NOT NULL"
     val pk = if (keys.nonEmpty)
       s", PRIMARY KEY (${keys.map(q).mkString(", ")})" else ""
@@ -332,6 +432,7 @@ final class JdbcSink(url: String, keysOf: String => Seq[String],
 
   private def ensureStage(conn: Connection, table: String,
       dataCols: Seq[String], dataTypes: Seq[DataType]): Unit = {
+    val d = dialectOf(conn)
     if (tableExists(conn, stageName(table))) {
       // stage evolves with the slice schema (widen-only, like the target)
       val existing = columnsOf(conn, stageName(table))
@@ -341,13 +442,13 @@ final class JdbcSink(url: String, keysOf: String => Seq[String],
         val st = conn.createStatement()
         try missing.foreach { case (c, t) =>
           st.executeUpdate(s"ALTER TABLE ${q(stageName(table))} " +
-            s"ADD COLUMN ${q(c)} ${typeSql(t)}")
+            s"ADD COLUMN ${q(c)} ${d.typeSql(t)}")
         } finally st.close()
       }
       return
     }
     val cols = dataCols.zip(dataTypes).map { case (c, t) =>
-      s"${q(c)} ${typeSql(t)}"
+      s"${q(c)} ${d.typeSql(t)}"
     } ++ Seq(s"${q(OpCol)} CHAR(1) NOT NULL",
       s"${q(SeqCol)} VARCHAR(64) NOT NULL",
       s"${q(MaskCol)} VARCHAR(512) NOT NULL")
@@ -450,22 +551,105 @@ object JdbcSink {
 
   private def sqlStr(v: String): String = "'" + v.replace("'", "''") + "'"
 
-  /** Engine-portable DDL types (names are the SQL-standard set Derby,
-    * Postgres and DuckDB all accept). */
-  private def typeSql(dt: DataType): String = dt match {
+  /** Engine dialect seam — the reference ships one client per
+    * destination engine (five dialects); this sink keeps ONE apply
+    * protocol and isolates what genuinely differs per engine: DDL type
+    * names, the column-DDL verb forms (RENAME/DROP NOT NULL/DEFAULT),
+    * and whether standard MERGE exists (PostgreSQL grew MERGE in 15 —
+    * older servers take the INSERT … ON CONFLICT + DELETE … USING
+    * pair). Detected from `DatabaseMetaData` at connection time. */
+  sealed trait Dialect {
+    def name: String
+    def typeSql(dt: DataType): String
+    def renameColumnSql(table: String, from: String, to: String): String
+    def dropColumnSql(table: String, col: String): String
+    /** NOT NULL → NULL relax (the only nullability change destinations
+      * apply — tightening can't be guaranteed over existing rows). */
+    def dropNotNullSql(table: String, col: String): String
+    def setDefaultSql(table: String, col: String, expr: String): String
+    def dropDefaultSql(table: String, col: String): String
+    /** Standard three-arm MERGE available? false selects the
+      * ON-CONFLICT upsert pair in [[JdbcSink.applyGroupSql]]. */
+    def supportsMerge: Boolean
+  }
+
+  /** Derby + every engine with SQL-standard MERGE and Derby-shaped
+    * column DDL (DuckDB accepts this surface too). */
+  case object DerbyDialect extends Dialect {
+    val name = "derby"
+    def typeSql(dt: DataType): String = standardTypeSql(dt,
+      binary = "BLOB", double = "DOUBLE", text = "VARCHAR(32672)")
+    def renameColumnSql(table: String, from: String, to: String) =
+      s"RENAME COLUMN ${q(table)}.${q(from)} TO ${q(to)}"
+    def dropColumnSql(table: String, col: String) =
+      s"ALTER TABLE ${q(table)} DROP COLUMN ${q(col)} RESTRICT"
+    def dropNotNullSql(table: String, col: String) =
+      s"ALTER TABLE ${q(table)} ALTER COLUMN ${q(col)} NULL"
+    def setDefaultSql(table: String, col: String, expr: String) =
+      s"ALTER TABLE ${q(table)} ALTER COLUMN ${q(col)} DEFAULT $expr"
+    def dropDefaultSql(table: String, col: String) =
+      s"ALTER TABLE ${q(table)} ALTER COLUMN ${q(col)} DEFAULT NULL"
+    val supportsMerge = true
+  }
+
+  /** PostgreSQL: its own type spellings (BYTEA, DOUBLE PRECISION,
+    * TEXT), ALTER-form column DDL, MERGE only on 15+. */
+  final case class PostgresDialect(majorVersion: Int) extends Dialect {
+    val name = "postgresql"
+    def typeSql(dt: DataType): String = standardTypeSql(dt,
+      binary = "BYTEA", double = "DOUBLE PRECISION", text = "TEXT")
+    def renameColumnSql(table: String, from: String, to: String) =
+      s"ALTER TABLE ${q(table)} RENAME COLUMN ${q(from)} TO ${q(to)}"
+    def dropColumnSql(table: String, col: String) =
+      s"ALTER TABLE ${q(table)} DROP COLUMN ${q(col)} RESTRICT"
+    def dropNotNullSql(table: String, col: String) =
+      s"ALTER TABLE ${q(table)} ALTER COLUMN ${q(col)} DROP NOT NULL"
+    def setDefaultSql(table: String, col: String, expr: String) =
+      s"ALTER TABLE ${q(table)} ALTER COLUMN ${q(col)} SET DEFAULT $expr"
+    def dropDefaultSql(table: String, col: String) =
+      s"ALTER TABLE ${q(table)} ALTER COLUMN ${q(col)} DROP DEFAULT"
+    def supportsMerge: Boolean = majorVersion >= 15
+  }
+
+  private[sinks] def dialectOf(conn: Connection): Dialect = {
+    val md = conn.getMetaData
+    if (Option(md.getDatabaseProductName).exists(
+        _.toLowerCase.contains("postgresql")))
+      PostgresDialect(md.getDatabaseMajorVersion)
+    else DerbyDialect
+  }
+
+  private def standardTypeSql(dt: DataType, binary: String,
+      double: String, text: String): String = dt match {
     case LongType            => "BIGINT"
     case IntegerType         => "INTEGER"
     case ShortType | ByteType => "SMALLINT"
-    case DoubleType          => "DOUBLE"
+    case DoubleType          => double
     case FloatType           => "REAL"
     case BooleanType         => "BOOLEAN"
     case DateType            => "DATE"
     case _: TimestampType    => "TIMESTAMP"
     case d: DecimalType      => s"DECIMAL(${d.precision}, ${d.scale})"
-    case BinaryType          => "BLOB"
-    case StringType          => "VARCHAR(32672)"
+    case BinaryType          => binary
+    case StringType          => text
     case other => throw new IllegalArgumentException(
       s"JdbcSink: no SQL mapping for ${other.simpleString}")
+  }
+
+  /** Destination-applicable default expressions: literals only
+    * (numbers, quoted strings, TRUE/FALSE/NULL, optionally with a
+    * `::type` cast suffix, which is stripped). Anything else — nextval,
+    * now(), arbitrary expressions — is source-evaluated; replicated
+    * rows arrive with those already materialized, and re-evaluating
+    * them at the destination would produce DIFFERENT values. The
+    * reference makes the same cut (supports_column_default) and CLEARS
+    * the destination default when unsupported. */
+  private[sinks] def portableDefault(expr: String): Option[String] = {
+    val e = expr.trim.replaceAll("::[A-Za-z_][A-Za-z0-9_ ]*$", "").trim
+    val ok = e.matches("[-+]?[0-9]+(\\.[0-9]+)?") ||
+      e.matches("'([^']|'')*'") ||
+      Set("true", "false", "null").contains(e.toLowerCase)
+    if (ok) Some(e) else None
   }
 
   /** Executor-side batched INSERT: one connection per partition, one

@@ -99,16 +99,49 @@ class SchemaSpec extends AnyFunSuite {
     assert(reg.lookup(1, 25).get.snapshotLsn == 20)
   }
 
-  test("schema diff (schema.rs:592-770)") {
-    val a = schema(10, col("id", "int8", pk = 1), col("name", "text"),
-      col("age", "int4"))
-    val b = schema(20, col("id", "int8", pk = 1),
-      col("name", "varchar"), col("email", "text"))
+  test("schema diff is ORDINAL-keyed (schema.rs:587-651): same attnum " +
+      "+ new name = RENAME, not the add+drop a name-keyed diff " +
+      "mis-reports; a dropped attnum never renumbers its successors") {
+    def ocol(n: String, t: String, ord: Int, pk: Int = 0,
+        nullable: Boolean = true, default: Option[String] = None) =
+      ColumnSpec(n, t, nullable = nullable, pkOrdinal = pk,
+        ordinal = ord, default = default)
+    // attnum-carrying transport: drop age (attnum 3), add email
+    // (attnum 4), retype name — exactly add+drop+change, NO rename
+    val a = schema(10, ocol("id", "int8", 1, pk = 1),
+      ocol("name", "text", 2), ocol("age", "int4", 3))
+    val b = schema(20, ocol("id", "int8", 1, pk = 1),
+      ocol("name", "varchar", 2), ocol("email", "text", 4))
     val d = SchemaDiff.between(a, b)
     assert(d.added.map(_.name) == Seq("email"))
-    assert(d.dropped == Seq("age"))
-    assert(d.modified.map(_._2.name) == Seq("name"))
+    assert(d.dropped.map(_.name) == Seq("age"))
+    assert(d.changed.map(_.to.name) == Seq("name"))
+    assert(d.changed.forall(c => c.typeChanged && !c.renamed))
+    assert(d.renames.isEmpty)
     assert(SchemaDiff.between(a, a).isEmpty)
+    // RENAME: same attnum, new name (reference ColumnModification::
+    // Rename, schema.rs:764) — plus nullability relax + default set
+    val c1 = schema(30, ocol("id", "int8", 1, pk = 1),
+      ocol("name", "text", 2, nullable = false))
+    val c2 = schema(40, ocol("id", "int8", 1, pk = 1),
+      ocol("full_name", "text", 2, default = Some("''::text")))
+    val rd = SchemaDiff.between(c1, c2)
+    assert(rd.added.isEmpty && rd.dropped.isEmpty)
+    assert(rd.renames == Seq(("name", "full_name")))
+    assert(rd.changed.head.nullabilityRelaxed)
+    assert(rd.changed.head.defaultChanged)
+    // POSITIONAL fallback (no attnums, e.g. the wire Relation message):
+    // position is the ordinal, so a rename-in-place is still a rename
+    val p1 = schema(50, col("id", "int8", pk = 1), col("v", "text"))
+    val p2 = schema(60, col("id", "int8", pk = 1), col("w", "text"))
+    assert(SchemaDiff.between(p1, p2).renames == Seq(("v", "w")))
+    // unreplicated columns keep occupying their ordinal slot but never
+    // appear in the diff (the destination never materialized them)
+    val u1 = schema(70, col("id", "int8", pk = 1),
+      ColumnSpec("secret", "text", replicated = false), col("v", "text"))
+    val u2 = schema(80, col("id", "int8", pk = 1),
+      ColumnSpec("secret", "text", replicated = false), col("w", "text"))
+    assert(SchemaDiff.between(u1, u2).renames == Seq(("v", "w")))
   }
 
   test("Relation records carry modifier + replication/identity masks") {

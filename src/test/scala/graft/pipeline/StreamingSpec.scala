@@ -439,6 +439,57 @@ class StreamingSpec extends SparkSpec {
     assert(rows(3L) == (("c", Some("c@x")))) // post-DDL row carries email
   }
 
+  test("schema evolution mid-stream: Relation RENAME (same ordinal, " +
+      "new name) keeps the destination column ALIGNED — pre-rename rows " +
+      "read under the new name, post-DDL updates land in the SAME " +
+      "logical column — and DROP retires its column; a pure-DDL batch " +
+      "(no data rows) still moves the destination (S5/D1, reference " +
+      "apply_schema_diff bigquery/core.rs:803-946)") {
+    val dir = tmp("cdc-rename")
+    val log = s"$dir/wal.log"
+    val sink = new CurrentStateSink(s"$dir/tables", _ => Seq("id"), 4)
+    val pipeline = mkPipeline(dir, sink)
+    pipeline.backfill(Seq(usersSchema), _ => (
+      Seq((1L, "a", 30), (2L, "b", 40)).toDF("id", "name", "age"), 0L))
+
+    // phase 1: a PURE-DDL commit — RENAME name→full_name (same ordinal
+    // 2) + DROP age (ordinal 3 vanishes), no data rows in the batch
+    val renameJson =
+      """{"table":"users","cols":[{"name":"id","type":"int8","nullable":false,"pk":1,"ord":1},{"name":"full_name","type":"text","ord":2}]}"""
+    appendLog(log, Seq(
+      CdcLogSource.renderLine("R", 1L, 2L, 2L, 0L, 2L, None,
+        Some(renameJson))))
+    val q = pipeline.startStream(log)
+    q.processAllAvailable()
+
+    val afterDdl = sink.read(spark, "users")
+    assert(afterDdl.columns.toSet == Set("id", "full_name"),
+      s"rename+drop must land without data rows: ${afterDdl.columns.toSeq}")
+    val pre = afterDdl.select("id", "full_name")
+      .as[(Long, String)].collect().toMap
+    // THE RED PIN: the name-keyed add+drop widen left pre-rename values
+    // stranded under a dead `name` column and full_name all-null
+    assert(pre == Map(1L -> "a", 2L -> "b"),
+      s"pre-rename rows must read under the NEW name, got $pre")
+
+    // phase 2: post-DDL traffic under the new name merges into the
+    // SAME logical column (no fork), including a fresh insert
+    appendLog(log, Seq(
+      CdcLogSource.renderLine("U", 1L, 3L, 3L, 0L, 2L,
+        Some("""{"id":1}"""),
+        Some("""{"id":1,"full_name":"ada"}""")),
+      CdcLogSource.renderLine("I", 1L, 4L, 4L, 0L, 2L, None,
+        Some("""{"id":3,"full_name":"c"}"""))))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = sink.read(spark, "users").select("id", "full_name")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "ada", 2L -> "b", 3L -> "c"), out.toString)
+    assert(!sink.read(spark, "users").columns.contains("name"))
+    assert(!sink.read(spark, "users").columns.contains("age"))
+  }
+
   test("truncate event mid-stream clears table, later inserts apply (D1)") {
     val dir = tmp("cdc-trunc")
     val log = s"$dir/wal.log"

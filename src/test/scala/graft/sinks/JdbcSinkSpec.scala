@@ -13,17 +13,32 @@ import graft.SparkSpec
 class JdbcSinkSpec extends SparkSpec {
   import spark.implicits._
 
-  private def freshDb(): (String, String) = {
+  /** Engine-dialect matrix: embedded Derby for real-engine execution,
+    * plus the PostgreSQL-emulating shim at two reported versions —
+    * 16 (standard MERGE passes through; PG-only column DDL transpiled
+    * and executed, Derby-only forms REFUSED like a real server) and
+    * 14 (exercises the pre-MERGE `INSERT … ON CONFLICT` +
+    * `DELETE … USING` arm end-to-end through the shim's transpiler). */
+  private val kinds = Seq("derby", "pg16", "pg14")
+
+  private def freshDb(kind: String): (String, String) = {
     val dir = java.nio.file.Files.createTempDirectory("jdbcsink").toString
-    (dir, s"jdbc:derby:$dir/db;create=true")
+    val prefix = kind match {
+      case "derby" => "jdbc:derby:"
+      case "pg16" => PgEmulatingJdbc.register(); PgEmulatingJdbc.Prefix
+      case "pg14" => PgEmulatingJdbc.register(); PgEmulatingJdbc.Prefix14
+    }
+    (dir, s"$prefix$dir/db;create=true")
   }
 
   private def ev(rows: (Long, Double, String, Long)*) =
     rows.toDF("key", "val", "_op", "_commit_lsn")
       .withColumn("_tx_ordinal", lit(0L))
 
-  test("backfill + MERGE apply + replay converge to LWW state") {
-    val (_, url) = freshDb()
+  kinds.foreach { kind =>
+
+  test(s"[$kind] backfill + MERGE apply + replay converge to LWW state") {
+    val (_, url) = freshDb(kind)
     val sink = new JdbcSink(url, _ => Seq("key"))
     sink.startup(spark)
     sink.writeTableRows("state", Seq((1L, 1.0), (2L, 2.0), (3L, 3.0))
@@ -45,8 +60,8 @@ class JdbcSinkSpec extends SparkSpec {
     assert(got == Seq((1L, 10.0), (3L, 3.0), (4L, 44.0), (5L, 5.0)))
   }
 
-  test("partial stage from a crashed attempt cannot double-apply") {
-    val (_, url) = freshDb()
+  test(s"[$kind] partial stage from a crashed attempt cannot double-apply") {
+    val (_, url) = freshDb(kind)
     val sink = new JdbcSink(url, _ => Seq("key"))
     sink.startup(spark)
     sink.writeTableRows("state", Seq((1L, 1.0)).toDF("key", "val"))
@@ -64,8 +79,8 @@ class JdbcSinkSpec extends SparkSpec {
     assert(got == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
   }
 
-  test("engine shutdown + reboot keeps state and replay cursor") {
-    val (dir, url) = freshDb()
+  test(s"[$kind] engine shutdown + reboot keeps state and replay cursor") {
+    val (dir, url) = freshDb(kind)
     val sink = new JdbcSink(url, _ => Seq("key"))
     sink.startup(spark)
     sink.writeTableRows("state", Seq((1L, 1.0)).toDF("key", "val"))
@@ -83,8 +98,8 @@ class JdbcSinkSpec extends SparkSpec {
     assert(got == Seq((1L, 11.0)))
   }
 
-  test("truncate rotates the replay cursor with the data") {
-    val (_, url) = freshDb()
+  test(s"[$kind] truncate rotates the replay cursor with the data") {
+    val (_, url) = freshDb(kind)
     val sink = new JdbcSink(url, _ => Seq("key"))
     sink.startup(spark)
     val batch = ev((1L, 1.0, "U", 5L))
@@ -98,8 +113,8 @@ class JdbcSinkSpec extends SparkSpec {
     assert(got == Seq((1L, 1.0)))
   }
 
-  test("TOAST-masked update keeps engine-stored values for masked columns") {
-    val (_, url) = freshDb()
+  test(s"[$kind] TOAST-masked update keeps engine-stored values for masked columns") {
+    val (_, url) = freshDb(kind)
     val sink = new JdbcSink(url, _ => Seq("key"))
     sink.startup(spark)
     sink.writeTableRows("state",
@@ -116,9 +131,9 @@ class JdbcSinkSpec extends SparkSpec {
     assert(got == Seq((1L, 10.0, "big"), (2L, 20.0, "fresh")))
   }
 
-  test("mid-stream ADD COLUMN: widen-only ALTER inside the batch " +
+  test(s"[$kind] mid-stream ADD COLUMN: widen-only ALTER inside the batch " +
       "transaction, pre-DDL rows read NULL") {
-    val (_, url) = freshDb()
+    val (_, url) = freshDb(kind)
     val sink = new JdbcSink(url, _ => Seq("key"))
     sink.startup(spark)
     sink.writeTableRows("state", Seq((1L, 1.0), (2L, 2.0)).toDF("key", "val"))
@@ -148,8 +163,8 @@ class JdbcSinkSpec extends SparkSpec {
       .as[(Long, Double, Option[String])].collect().toSeq == got2)
   }
 
-  test("partitioned JDBC read-back returns the full row set") {
-    val (_, url) = freshDb()
+  test(s"[$kind] partitioned JDBC read-back returns the full row set") {
+    val (_, url) = freshDb(kind)
     val sink = new JdbcSink(url, _ => Seq("key"))
     sink.startup(spark)
     sink.writeTableRows("state",
@@ -162,7 +177,7 @@ class JdbcSinkSpec extends SparkSpec {
     assert(one.size == 100)
   }
 
-  test("backoff policy: transient SQLStates retry with exponential " +
+  test(s"[$kind] backoff policy: transient SQLStates retry with exponential " +
       "delay, non-transient fail fast (reference retry.rs:12-25)") {
     import JdbcSink.{Backoff, isTransient, withBackoffRetry}
     // classification: class-40 (deadlock/serialization/lock timeout),
@@ -201,9 +216,9 @@ class JdbcSinkSpec extends SparkSpec {
     assert(once == 1)
   }
 
-  test("a lock-timeout on the engine transaction retries with backoff " +
+  test(s"[$kind] a lock-timeout on the engine transaction retries with backoff " +
       "and converges once the rival releases") {
-    val (dir, url) = freshDb()
+    val (dir, url) = freshDb(kind)
     val sink = new JdbcSink(url, _ => Seq("key"),
       backoff = JdbcSink.Backoff(maxRetries = 6, initialDelayMs = 200,
         maxDelayMs = 1000))
@@ -235,8 +250,8 @@ class JdbcSinkSpec extends SparkSpec {
     val _ = dir
   }
 
-  test("composite keys merge on the full key") {
-    val (_, url) = freshDb()
+  test(s"[$kind] composite keys merge on the full key") {
+    val (_, url) = freshDb(kind)
     val sink = new JdbcSink(url, _ => Seq("k1", "k2"))
     sink.startup(spark)
     sink.writeTableRows("state",
@@ -249,5 +264,139 @@ class JdbcSinkSpec extends SparkSpec {
     val got = sink.read(spark, "state").orderBy("k1", "k2")
       .as[(Long, String, Double)].collect().toSeq
     assert(got == Seq((1L, "a", 10.0), (2L, "a", 3.0)))
+  }
+
+  test(s"[$kind] applySchemaDiff: RENAME keeps the logical column " +
+      "aligned (pre-rename rows readable under the NEW name — the old " +
+      "name-keyed widen forked the column instead), DROP retires, ADD " +
+      "lands with its portable default; one engine transaction; " +
+      "idempotent under Relation-record replay") {
+    import graft.core.{ColumnSpec, SchemaDiff, TableSchemaV}
+    val (_, url) = freshDb(kind)
+    val sink = new JdbcSink(url, _ => Seq("key"))
+    sink.startup(spark)
+    sink.writeTableRows("state",
+      Seq((1L, 1.0, "a"), (2L, 2.0, "b")).toDF("key", "val", "note"))
+    def cs(n: String, t: String, ord: Int, pk: Int = 0,
+        default: Option[String] = None) =
+      ColumnSpec(n, t, nullable = pk == 0, pkOrdinal = pk, ordinal = ord,
+        default = default)
+    val v1 = TableSchemaV(7L, "state", 10L, IndexedSeq(
+      cs("key", "int8", 1, pk = 1), cs("val", "float8", 2),
+      cs("note", "text", 3)))
+    // DDL: RENAME val→amount (same attnum), DROP note, ADD status
+    // (new attnum) with a portable default
+    val v2 = TableSchemaV(7L, "state", 20L, IndexedSeq(
+      cs("key", "int8", 1, pk = 1), cs("amount", "float8", 2),
+      cs("status", "text", 4, default = Some("'new'"))))
+    val diff = SchemaDiff.between(v1, v2)
+    assert(diff.renames == Seq(("val", "amount")))
+    sink.applySchemaDiff("state", diff)
+    // post-DDL slice merges under the NEW names
+    sink.writeEvents("state",
+      Seq((2L, 20.0, "upd", "U", 5L))
+        .toDF("key", "amount", "status", "_op", "_commit_lsn")
+        .withColumn("_tx_ordinal", lit(0L)))
+    val got = sink.read(spark, "state").orderBy("key")
+      .select("key", "amount", "status")
+      .as[(Long, Double, Option[String])].collect().toSeq
+    // key 1's PRE-rename value 1.0 reads under `amount` — the add+drop
+    // fork would have left it stranded under a dead `val` column
+    assert(got == Seq((1L, 1.0, None), (2L, 20.0, Some("upd"))), got)
+    assert(!sink.read(spark, "state").columns.contains("val"))
+    assert(!sink.read(spark, "state").columns.contains("note"))
+    // ADD COLUMN's default is live in the engine: an insert that omits
+    // `status` fills 'new'
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().executeUpdate(
+        """INSERT INTO "state" ("key", "amount", "_gseq") """ +
+          "VALUES (9, 9.0, 'zz')")
+      val rs = conn.createStatement().executeQuery(
+        """SELECT "status" FROM "state" WHERE "key" = 9""")
+      assert(rs.next() && rs.getString(1) == "new")
+    } finally conn.close()
+    // replayed Relation record → identical diff re-applied → no-op
+    sink.applySchemaDiff("state", diff)
+    assert(sink.read(spark, "state").orderBy("key")
+      .select("key", "amount", "status")
+      .as[(Long, Double, Option[String])].collect().toSeq ==
+      got :+ ((9L, 9.0, Some("new"))))
+  }
+
+  test(s"[$kind] applySchemaDiff: nullability relax (NOT NULL → NULL) " +
+      "executes at the engine; a non-portable source default CLEARS " +
+      "the destination default instead of mis-evaluating it") {
+    import graft.core.{ColumnSpec, SchemaDiff, TableSchemaV}
+    val (_, url) = freshDb(kind)
+    val sink = new JdbcSink(url, _ => Seq("key"))
+    sink.startup(spark)
+    // hand-built target with a NOT NULL payload column + a default
+    val conn = DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(
+      """CREATE TABLE "state" ("key" BIGINT NOT NULL, """ +
+        """"v" INTEGER NOT NULL DEFAULT 5, """ +
+        """"_gseq" VARCHAR(64) NOT NULL, PRIMARY KEY ("key"))""")
+    finally conn.close()
+    def cs(n: String, t: String, ord: Int, pk: Int = 0,
+        nullable: Boolean = true, default: Option[String] = None) =
+      ColumnSpec(n, t, nullable = nullable, pkOrdinal = pk,
+        ordinal = ord, default = default)
+    val v1 = TableSchemaV(7L, "state", 10L, IndexedSeq(
+      cs("key", "int8", 1, pk = 1, nullable = false),
+      cs("v", "int4", 2, nullable = false, default = Some("5"))))
+    val v2 = TableSchemaV(7L, "state", 20L, IndexedSeq(
+      cs("key", "int8", 1, pk = 1, nullable = false),
+      // relaxed + the default became non-portable (source-evaluated)
+      cs("v", "int4", 2, default = Some("nextval('s'::regclass)"))))
+    sink.applySchemaDiff("state", SchemaDiff.between(v1, v2))
+    val c2 = DriverManager.getConnection(url)
+    try {
+      // NULL now accepted (the relax executed)…
+      c2.createStatement().executeUpdate(
+        """INSERT INTO "state" ("key", "v", "_gseq") """ +
+          "VALUES (1, NULL, 'a')")
+      // …and the old default is GONE (cleared, not re-pointed at an
+      // expression this engine would evaluate differently)
+      c2.createStatement().executeUpdate(
+        """INSERT INTO "state" ("key", "_gseq") VALUES (2, 'b')""")
+      val rs = c2.createStatement().executeQuery(
+        """SELECT "v" FROM "state" WHERE "key" = 2""")
+      assert(rs.next() && { rs.getInt(1); rs.wasNull() },
+        "non-portable default must clear, not keep filling 5")
+    } finally c2.close()
+  }
+  }
+
+  test("dialect arm selection: PostgreSQL <15 takes the ON-CONFLICT " +
+      "pair, PostgreSQL 15+ and Derby take standard MERGE; PG type " +
+      "spellings differ where they must") {
+    import JdbcSink.{DerbyDialect, PostgresDialect}
+    val sink = new JdbcSink("jdbc:derby:memory:armsel;create=true",
+      _ => Seq("k"))
+    val pair = sink.applyGroupSql(PostgresDialect(14), "t", Seq("k"),
+      Seq("v"), "")
+    assert(pair.size == 2, pair)
+    assert(pair(0).contains("DELETE FROM \"t\" USING \"t__stage\""))
+    assert(pair(1).contains("ON CONFLICT (\"k\") DO UPDATE SET"))
+    assert(pair(1).contains("EXCLUDED.\"_gseq\" > \"t\".\"_gseq\""))
+    Seq(PostgresDialect(15), PostgresDialect(16)).foreach { d =>
+      val one = sink.applyGroupSql(d, "t", Seq("k"), Seq("v"), "")
+      assert(one.size == 1 && one.head.contains("MERGE INTO"), one)
+    }
+    assert(sink.applyGroupSql(DerbyDialect, "t", Seq("k"), Seq("v"), "")
+      .head.contains("MERGE INTO"))
+    import org.apache.spark.sql.types._
+    assert(PostgresDialect(16).typeSql(BinaryType) == "BYTEA")
+    assert(PostgresDialect(16).typeSql(DoubleType) == "DOUBLE PRECISION")
+    assert(PostgresDialect(16).typeSql(StringType) == "TEXT")
+    assert(DerbyDialect.typeSql(BinaryType) == "BLOB")
+    // portable defaults: literals (with cast suffix stripped) pass,
+    // source-evaluated expressions do not
+    assert(JdbcSink.portableDefault("42").contains("42"))
+    assert(JdbcSink.portableDefault("'x'::text").contains("'x'"))
+    assert(JdbcSink.portableDefault("TRUE").contains("TRUE"))
+    assert(JdbcSink.portableDefault("now()").isEmpty)
+    assert(JdbcSink.portableDefault("nextval('s'::regclass)").isEmpty)
   }
 }
