@@ -314,7 +314,31 @@ object Bench {
     // LAST carries only total + streaming + error markers (~300 bytes)
     // so it always survives tail capture intact and parses.
     val errJson = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val contract = s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","samples":$samples,"op_total":${ms(opTotal)},"errors":$errJson,"streaming":$streaming}"""
+    // Host-noise immunization (round-14 verdict: two consecutive rounds
+    // were adjudicated off degraded-host numbers argued in prose — put
+    // the evidence IN the artifact). Four gates UNTOUCHED since round
+    // ~6 act as the noise probe; their quiet-host sf0.1 medians are
+    // pinned here (median of the three smallest observations across the
+    // r10–r14 BENCH_LOCAL history — derivation in ROADMAP round-15).
+    // noise_index = median(measured/pin): ≈1.0 on a quiet host, >1.3 =
+    // ambient degradation across untouched code. total_scaled divides
+    // the totals by the index when it exceeds 1 — the honest
+    // round-over-round comparison when host loads differed. canary =
+    // the in-process producer rate (pure JVM work, no Spark jobs):
+    // quiet-host pin ≈ 20.7–21.5M events/s. -1 = not measurable on
+    // this run (non-sf0.1, filtered subset, or no streaming samples).
+    val noisePins = Map("q1_agg" -> 0.313, "q5_join" -> 0.711,
+      "semi_anti" -> 0.292, "setops" -> 0.236)
+    val resultMap = results.toMap
+    val ratios = noisePins.toSeq.flatMap { case (nm, pin) =>
+      resultMap.get(nm).filter(_ > 0).map(_ / pin) }
+    val noiseIndex =
+      if (sfDir.contains("sf0.1") && ratios.size == noisePins.size)
+        median(ratios)
+      else -1.0
+    val scale = if (noiseIndex > 1.0) noiseIndex else 1.0
+    val canary = if (runs.isEmpty) -1L else math.round(producerEps)
+    val contract = s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","samples":$samples,"op_total":${ms(opTotal)},"noise_index":${ms(noiseIndex)},"total_scaled":${ms(total / scale)},"op_total_scaled":${ms(opTotal / scale)},"canary":$canary,"errors":$errJson,"streaming":$streaming}"""
     // Belt-and-braces beside the stdout contract: persist the full
     // numbers to a repo file so they survive any log-capture quirk.
     // FILTERED local-iteration runs skip the write — a two-query subset

@@ -15,8 +15,13 @@ import graft.operators.ApplyOps
   * staged-batch apply, reference crates/etl-destinations/src/ducklake/
   * batches.rs:168-213, and its replay bookkeeping, replay_epoch.rs:67-92).
   * Tested against embedded Apache Derby (in-sandbox stand-in for a
-  * warehouse; the SQL is engine-portable: quoted identifiers, standard
-  * MERGE, no Derby extensions beyond DDL type names).
+  * warehouse) AND the PostgreSQL-emulating shim at reported majors 16
+  * and 14. Engine differences route through [[JdbcSink.Dialect]]: DDL
+  * type spellings, the column-DDL verb forms (RENAME / DROP NOT NULL /
+  * DEFAULT), and the upsert arm — standard three-arm MERGE where the
+  * engine has it, the `INSERT … ON CONFLICT` + `DELETE … USING` pair on
+  * pre-15 PostgreSQL. Everything else is engine-portable SQL (quoted
+  * identifiers, no vendor extensions).
   *
   * Apply protocol per micro-batch (per table):
   *   1. read the table's sequence high-water from the engine's

@@ -1781,6 +1781,167 @@ class PgConformanceSpec extends AnyFunSuite {
     assert(lines.length == 5, s"expected 5 envelope lines:\n${lines.toSeq}")
   }
 
+  test("wire: a RENAME-shaped Relation mid-stream (same relid, same " +
+      "column count, one changed name) re-versions the schema — and the " +
+      "ordinal-keyed diff of the two spooled R records is a RENAME, not " +
+      "the add+drop that forked destination columns") {
+    val dir = Files.createTempDirectory("pg-conformance-ren").toString
+    val log = s"$dir/wal.log"
+    val TB1 = 0x19000L; val TB2 = 0x19800L
+    val startQueries =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val fl = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val server = new ServerSocket(0)
+    replayConnections(server, Seq("stream_rename" -> None),
+      startQueries, Seq(fl))
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot_ren", "conf_pub_ren", log,
+      flushLsn = () => TB2 + 8)
+    try {
+      val t0 = System.currentTimeMillis()
+      client.start()
+      while ((client.framesReceived.get() < 8 ||
+        client.keepalivesReceived.get() < 1) &&
+        System.currentTimeMillis() - t0 < 15000) Thread.sleep(20)
+      assert(client.framesReceived.get() == 8,
+        s"frames=${client.framesReceived.get()} err=${client.lastError}")
+      assert(client.lastError.isEmpty, s"client error: ${client.lastError}")
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+    val lines = new String(Files.readAllBytes(Paths.get(log)),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+    // R(name), I, R(full_name), U — two schema versions on the wire
+    assert(lines.size == 4, s"expected 4 envelope lines, got:\n$lines")
+    val f = lines.map(_.split("\t", -1))
+    assert(f(0)(2) == "R" && f(0)(0) == TB1.toString &&
+      f(0)(7).contains(""""name":"name""""))
+    assert(f(1)(2) == "I" &&
+      PackedRow.parse(f(1)(7)) == Vector(Some("1"), Some("alice"), None))
+    assert(f(2)(2) == "R" && f(2)(0) == TB2.toString &&
+      f(2)(7).contains(""""name":"full_name"""") &&
+      !f(2)(7).contains(""""name":"name""""))
+    assert(f(3)(2) == "U" && f(3)(0) == TB2.toString &&
+      PackedRow.parse(f(3)(7)) == Vector(Some("1"), Some("ada"), None))
+    // the CLIENT-side record chain must describe this DDL as a RENAME:
+    // feed both R records through the same parse the pipeline uses and
+    // diff them ordinally (wire Relations carry no attnum → positional)
+    val v1 = graft.pipeline.CdcPipeline.parseRelation(16384L,
+      f(0)(0).toLong, f(0)(7))
+    val v2 = graft.pipeline.CdcPipeline.parseRelation(16384L,
+      f(2)(0).toLong, f(2)(7))
+    val diff = graft.core.SchemaDiff.between(v1, v2)
+    assert(diff.renames == Seq(("name", "full_name")),
+      s"expected a rename, got $diff")
+    assert(diff.added.isEmpty && diff.dropped.isEmpty,
+      s"a rename must NOT surface as add+drop: $diff")
+  }
+
+  test("wire: v4 streaming 'parallel' × two-phase — a parallel-streamed " +
+      "tx with an extended-Stream-Abort subxact ends in StreamPrepare " +
+      "(flush capped below the undecided prepare while a later commit " +
+      "passes it), then COMMIT PREPARED replays the survivors") {
+    val dir = Files.createTempDirectory("pg-conformance-v4p").toString
+    val log = s"$dir/wal.log"
+    val PB = 0x1A000L; val TC = 0x1A800L; val CB = 0x1B000L
+    val startQueries =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val fl = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val server = new ServerSocket(0)
+    replayConnections(server, Seq("stream_v4_2pc" -> None),
+      startQueries, Seq(fl))
+    def durableProgress(): Long =
+      try {
+        val p = Paths.get(log)
+        if (!Files.exists(p)) 0L
+        else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+          .split("\n").filter(_.nonEmpty)
+          .map(_.split("\t")(0).toLong).maxOption.getOrElse(0L)
+      } catch { case _: Throwable => 0L }
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot_v4p", "conf_pub_v4p", log,
+      flushLsn = () => durableProgress(), protoVersion = 4)
+    try {
+      val t0 = System.currentTimeMillis()
+      client.start()
+      while (!fl.toArray.exists(_.asInstanceOf[Long] >= CB) &&
+        System.currentTimeMillis() - t0 < 20000) Thread.sleep(20)
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+    // v4 negotiation on the wire
+    val qs = startQueries.toArray.map(_.toString)
+    assert(qs.nonEmpty && qs.head.contains("proto_version '4'") &&
+      qs.head.contains("streaming 'parallel'") &&
+      qs.head.contains("two_phase 'true'"), qs.toSeq)
+    // the undecided StreamPrepare capped the flush below PB even while
+    // the unrelated commit at TC advanced durable progress past it
+    val reports = fl.toArray.map(_.asInstanceOf[Long]).toSeq
+    assert(reports.exists(_ == PB - 1),
+      s"flush must cap at prepare-1 while undecided: $reports")
+    assert(!reports.exists(r => r > PB - 1 && r < CB),
+      s"no report may pass the undecided prepare: $reports")
+    assert(reports.max >= CB)
+    assert(!Files.exists(Paths.get(log + ".prepare_floor")),
+      "the durable floor must clear at COMMIT PREPARED")
+    val lines = new String(Files.readAllBytes(Paths.get(log)),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+    val f = lines.map(_.split("\t", -1))
+    // R, I(normal)@TC, then the prepared tx replays at CB: keepA, keepB
+    assert(lines.size == 4, s"expected 4 lines, got:\n$lines")
+    assert(f(0)(2) == "R")
+    assert(f(1)(2) == "I" && f(1)(0) == TC.toString &&
+      PackedRow.parse(f(1)(7)) == Vector(Some("5"), Some("normal"), None))
+    assert(f(2)(0) == CB.toString && f(3)(0) == CB.toString)
+    assert(PackedRow.parse(f(2)(7)) ==
+      Vector(Some("1"), Some("keepA"), None))
+    assert(PackedRow.parse(f(3)(7)) ==
+      Vector(Some("3"), Some("keepB"), None))
+    assert(!lines.exists(_.contains("dropA")),
+      s"the extended-abort subxact leaked through COMMIT PREPARED:\n$lines")
+  }
+
+  test("wire: async ParameterStatus + NoticeResponse arriving MID-stream " +
+      "INSIDE COPY BOTH (between CopyData frames) are skipped without " +
+      "tearing the framing or the transaction bracket") {
+    val dir = Files.createTempDirectory("pg-conformance-ps").toString
+    val log = s"$dir/wal.log"
+    val TD = 0x1C000L
+    val startQueries =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val fl = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val server = new ServerSocket(0)
+    replayConnections(server, Seq("stream_param_status" -> None),
+      startQueries, Seq(fl))
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot_ps", "conf_pub_ps", log,
+      flushLsn = () => TD + 8)
+    try {
+      val t0 = System.currentTimeMillis()
+      client.start()
+      // 4 XLogData frames (B, R, I, C) + 1 keepalive — the 'S'/'N'
+      // frames are NOT CopyData and must not count or kill the session
+      while ((client.framesReceived.get() < 4 ||
+        client.keepalivesReceived.get() < 1) &&
+        System.currentTimeMillis() - t0 < 15000) Thread.sleep(20)
+      assert(client.framesReceived.get() == 4,
+        s"frames=${client.framesReceived.get()} err=${client.lastError}")
+      assert(client.lastError.isEmpty, s"client error: ${client.lastError}")
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+    val lines = new String(Files.readAllBytes(Paths.get(log)),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+    assert(lines.size == 2, s"expected R + I, got:\n$lines")
+    val f = lines.map(_.split("\t", -1))
+    assert(f(0)(2) == "R" && f(0)(0) == TD.toString)
+    assert(f(1)(2) == "I" && f(1)(0) == TD.toString &&
+      PackedRow.parse(f(1)(7)) == Vector(Some("1"), Some("alice"), None))
+  }
+
   test("wire: a rival that NEVER releases the slot (permanent " +
       "misconfiguration) escalates after the configured consecutive " +
       "55006 cap — the retry loop TERMINATES with a named error " +

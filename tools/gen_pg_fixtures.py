@@ -676,6 +676,85 @@ v4tx = (backend(b"W", u8(0) + be16(0)) +
         keepalive(TA + 8, True))
 session.append(("stream_v4", v4tx))
 
+# RENAME-shaped Relation mid-stream: the same relid re-announced with
+# the SAME column count and ONE changed name (what ALTER TABLE RENAME
+# COLUMN produces on the wire) — the client must emit a second R record
+# whose position-2 column carries the new name, so the downstream
+# ordinal-keyed SchemaDiff records a RENAME (not an add+drop that
+# would fork the destination column). A post-DDL update then decodes
+# against the renamed shape.
+REL_RENAMED = (b"R" + be32(16384) + cstr("public") + cstr("users") +
+               u8(ord("d")) + be16(3) +
+               u8(1) + cstr("id") + be32(23) + be32(-1) +
+               u8(0) + cstr("full_name") + be32(25) + be32(-1) +
+               u8(0) + cstr("bio") + be32(25) + be32(-1))
+TB1, TB2 = 0x19000, 0x19800
+rename_tx = (backend(b"W", u8(0) + be16(0)) +
+             xlogdata(TB1 - 40, TB1, b"B" + be64(TB1) + be64(TS) +
+                      be32(960)) +
+             xlogdata(TB1 - 32, TB1, REL) +
+             xlogdata(TB1 - 24, TB1, INS("1", "alice")) +
+             xlogdata(TB1 - 8, TB1, b"C" + u8(0) + be64(TB1) +
+                      be64(TB1 + 8) + be64(TS)) +
+             xlogdata(TB2 - 40, TB2, b"B" + be64(TB2) + be64(TS) +
+                      be32(961)) +
+             xlogdata(TB2 - 32, TB2, REL_RENAMED) +
+             xlogdata(TB2 - 24, TB2, b"U" + be32(16384) + b"N" +
+                      tuple_data(text_cell("1"), text_cell("ada"),
+                                 NULL_CELL)) +
+             xlogdata(TB2 - 8, TB2, b"C" + u8(0) + be64(TB2) +
+                      be64(TB2 + 8) + be64(TS)) +
+             keepalive(TB2 + 8, True))
+session.append(("stream_rename", rename_tx))
+
+# v4 `streaming 'parallel'` × two-phase: a parallel-streamed tx whose
+# subtransaction aborts via the EXTENDED v4 Stream Abort (Int64 abort
+# LSN + Int64 abort ts), the parent ends in StreamPrepare, an unrelated
+# transaction commits PAST the undecided prepare, and COMMIT PREPARED
+# decides it — the interplay round 14 left unpinned.
+PB, TC, CB = 0x1A000, 0x1A800, 0x1B000
+v4p = (backend(b"W", u8(0) + be16(0)) +
+       xlogdata(PB - 70, PB, REL) +
+       xlogdata(PB - 64, PB, b"S" + be32(970) + u8(1)) +
+       xlogdata(PB - 60, PB, streamed(970, INS("1", "keepA"))) +
+       xlogdata(PB - 56, PB, streamed(971, INS("2", "dropA"))) +
+       xlogdata(PB - 52, PB, b"E") +
+       # v4 extended Stream Abort of subxact 971
+       xlogdata(PB - 48, PB, b"A" + be32(970) + be32(971) +
+                be64(PB - 48) + be64(TS)) +
+       xlogdata(PB - 44, PB, b"S" + be32(970) + u8(0)) +
+       xlogdata(PB - 40, PB, streamed(970, INS("3", "keepB"))) +
+       xlogdata(PB - 36, PB, b"E") +
+       xlogdata(PB - 32, PB, b"p" + u8(0) + be64(PB) + be64(PB + 0x10) +
+                be64(TS) + be32(970) + cstr("gp4")) +
+       xlogdata(TC - 24, TC, b"B" + be64(TC) + be64(TS) + be32(972)) +
+       xlogdata(TC - 16, TC, INS("5", "normal")) +
+       xlogdata(TC - 8, TC, b"C" + u8(0) + be64(TC) + be64(TC + 8) +
+                be64(TS)) +
+       xlogdata(CB - 8, CB, b"K" + u8(0) + be64(CB) + be64(CB + 0x10) +
+                be64(TS) + be32(970) + cstr("gp4")) +
+       keepalive(CB + 0x10, True))
+session.append(("stream_v4_2pc", v4p))
+
+# async ParameterStatus + NoticeResponse arriving MID-stream INSIDE
+# COPY BOTH (between CopyData frames — a live server interleaves them
+# there too, e.g. a reloaded GUC broadcast): the receive loop must skip
+# them without tearing the framing or the transaction bracket. Round 14
+# pinned the pre-CopyBothResponse window only.
+TD = 0x1C000
+ps_mid = (backend(b"W", u8(0) + be16(0)) +
+          xlogdata(TD - 40, TD, b"B" + be64(TD) + be64(TS) + be32(980)) +
+          xlogdata(TD - 32, TD, REL) +
+          backend(b"S", cstr("application_name") + cstr("walsender")) +
+          xlogdata(TD - 24, TD, INS("1", "alice")) +
+          backend(b"N", b"S" + cstr("NOTICE") + b"V" + cstr("NOTICE") +
+                  b"C" + cstr("00000") +
+                  b"M" + cstr("parameter change broadcast") + b"\x00") +
+          xlogdata(TD - 8, TD, b"C" + u8(0) + be64(TD) + be64(TD + 8) +
+                   be64(TS)) +
+          keepalive(TD + 8, True))
+session.append(("stream_param_status", ps_mid))
+
 # ErrorResponse ('E'): list of (code byte, cstr value) fields, then a
 # terminating zero byte — per the docs' "Message Formats".
 def err_resp(sqlstate, msg):
