@@ -423,16 +423,88 @@ final class ChangelogSink(rootDir: String) extends CdcSink {
     // high-water is deleted WITH the data: a replayed truncate batch
     // re-wipes the dir, and a surviving mark would filter the replayed
     // post-truncate appends out forever (same rationale as
-    // GraftTable.truncate).
+    // GraftTable.truncate). The DDL-op map SURVIVES: it is schema
+    // metadata, and replayed pre-DDL appends after the wipe must still
+    // align under the live names.
     Files.deleteIfExists(hwPath(table))
     graft.core.Fs.deleteRecursively(Paths.get(dir(table)))
+  }
+
+  /** `rootDir/table._ddl`: ordered reader-side DDL ops — `R\told\tnew`
+    * renames, `D\tname` drops. An append-only changelog cannot rewrite
+    * history on DDL at 100 TB; the reference's append-shaped
+    * destinations that are real tables rename/drop via engine metadata
+    * (snowflake/client.rs:331-391) and its file-shaped one (iceberg)
+    * doesn't evolve at all — this map is the file-shaped equivalent of
+    * the metadata op: zero data movement, applied at READ, and
+    * MATERIALIZED whenever compact() rewrites files (after which the
+    * entries become guarded no-ops). */
+  private def ddlPath(table: String) = Paths.get(rootDir, s"$table._ddl")
+
+  private def readDdlOps(table: String): Seq[(String, String, String)] =
+    if (!Files.exists(ddlPath(table))) Seq.empty
+    else new String(Files.readAllBytes(ddlPath(table)),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).toSeq.map { l =>
+        val p = l.split("\t", -1)
+        (p(0), p(1), if (p.length > 2) p(2) else "")
+      }
+
+  /** Renames + drops land as reader-side mapping ops (idempotent:
+    * an exact already-recorded op — a replayed Relation record — is
+    * skipped). Adds/nullability/defaults need no action here: each
+    * append is self-describing and mergeSchema unions the shapes. */
+  override def applySchemaDiff(table: String,
+      diff: graft.core.SchemaDiff): Unit = {
+    if (diff.isEmpty) return
+    val existing = readDdlOps(table)
+    val fresh =
+      (diff.renames.map { case (f, t) => ("R", f, t) } ++
+        diff.dropped.map(c => ("D", c.name, "")))
+        .filterNot(existing.contains)
+    if (fresh.isEmpty) return
+    Files.createDirectories(Paths.get(rootDir))
+    val tmp = Paths.get(rootDir, s"$table._ddl.tmp")
+    Files.write(tmp, (existing ++ fresh)
+      .map { case (k, a, b) => s"$k\t$a\t$b" }.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, ddlPath(table), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
   }
 
   def read(spark: SparkSession, table: String): DataFrame = {
     recoverSwap(table)
     // mergeSchema: backfill files lack the optional _missing column that
     // streamed files carry; footer-picking would otherwise drop it
-    spark.read.option("mergeSchema", "true").parquet(dir(table))
+    val raw = spark.read.option("mergeSchema", "true").parquet(dir(table))
+    readDdlOps(table).foldLeft(raw) { (df, op) =>
+      op match {
+        case ("R", old, neu) =>
+          val mapped =
+            (df.columns.contains(old), df.columns.contains(neu)) match {
+              // both generations on disk: pre-rename rows fill the new
+              // name (a changelog row carries exactly one generation's
+              // cell, so coalesce is a pure relabel, never a mask)
+              case (true, true) =>
+                df.withColumn(neu, coalesce(col(neu), col(old))).drop(old)
+              case (true, false) => df.withColumnRenamed(old, neu)
+              case _ => df // already materialized by compact / no data
+            }
+          // TOAST masks name columns AS OF their row's version: a
+          // pre-rename mask saying "old" must follow the rename or the
+          // latest() resolver stops recognizing it
+          if (mapped.columns.contains("_missing"))
+            mapped.withColumn("_missing",
+              when(col("_missing").isNull, lit(null))
+                .otherwise(array_join(
+                  transform(split(col("_missing"), ","),
+                    x => when(x === old, lit(neu)).otherwise(x)), ",")))
+          else mapped
+        case ("D", name, _) =>
+          if (df.columns.contains(name)) df.drop(name) else df
+        case _ => df
+      }
+    }
   }
 
   /** Leading `_` keeps the marker invisible to Spark's parquet listing. */

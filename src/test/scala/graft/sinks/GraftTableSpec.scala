@@ -705,6 +705,66 @@ class GraftTableSpec extends SparkSpec {
     assert(sink.read(spark, "t").count() == 4)
   }
 
+  test("ChangelogSink applySchemaDiff: a RENAME aligns both file " +
+      "generations (and their TOAST masks) under the new name at read, " +
+      "a DROP retires its column, compact MATERIALIZES the mapping, " +
+      "replayed diffs no-op — zero data movement before compaction") {
+    import graft.core.{ColumnSpec, SchemaDiff, TableSchemaV}
+    val dir = tmp()
+    val sink = new ChangelogSink(dir)
+    def evOld(rows: (Long, Option[String], Int, String, Long,
+        Option[String])*) =
+      rows.toDF("id", "name", "age", "_op", "_commit_lsn", "_missing")
+        .withColumn("_tx_ordinal", lit(0L))
+    def evNew(rows: (Long, Option[String], String, Long,
+        Option[String])*) =
+      rows.toDF("id", "full_name", "_op", "_commit_lsn", "_missing")
+        .withColumn("_tx_ordinal", lit(0L))
+    sink.writeEvents("t", evOld(
+      (1L, Some("ada"), 30, "I", 1L, None),
+      (2L, Some("bob"), 40, "I", 1L, None)))
+    // DDL: rename name→full_name (ordinal 2), drop age (ordinal 3)
+    def cs(n: String, t: String, ord: Int, pk: Int = 0) =
+      ColumnSpec(n, t, nullable = pk == 0, pkOrdinal = pk, ordinal = ord)
+    val v1 = TableSchemaV(9L, "t", 1L, IndexedSeq(
+      cs("id", "int8", 1, pk = 1), cs("name", "text", 2),
+      cs("age", "int4", 3)))
+    val v2 = TableSchemaV(9L, "t", 2L, IndexedSeq(
+      cs("id", "int8", 1, pk = 1), cs("full_name", "text", 2)))
+    val diff = SchemaDiff.between(v1, v2)
+    sink.applySchemaDiff("t", diff)
+    // post-DDL traffic: an update whose mask refers to the NEW name,
+    // and a masked update for a PRE-rename row (its stored value must
+    // survive the mask through the rename mapping)
+    sink.writeEvents("t", evNew(
+      (1L, None, "U", 2L, Some("full_name")),
+      (3L, Some("cyd"), "I", 2L, None)))
+    val cols = sink.latest(spark, "t", Seq("id")).columns.toSet
+    assert(cols == Set("id", "full_name"),
+      s"rename must align and drop must retire: $cols")
+    def state() = sink.latest(spark, "t", Seq("id"))
+      .select("id", "full_name")
+      .as[(Long, Option[String])].collect().toMap
+    // key 1: pre-rename value "ada" readable under full_name AND kept
+    // through the post-rename TOAST mask; key 2 untouched; key 3 new
+    assert(state() == Map(1L -> Some("ada"), 2L -> Some("bob"),
+      3L -> Some("cyd")), state().toString)
+    // replayed Relation record → same diff → idempotent no-op
+    sink.applySchemaDiff("t", diff)
+    assert(state() == Map(1L -> Some("ada"), 2L -> Some("bob"),
+      3L -> Some("cyd")))
+    // compact materializes the mapping into the rewritten files …
+    sink.compact(spark, "t")
+    val physical = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/t").columns.toSet
+    assert(physical.contains("full_name") && !physical.contains("name") &&
+      !physical.contains("age"),
+      s"compact must materialize the DDL map: $physical")
+    // … and the mapped read is unchanged after it
+    assert(state() == Map(1L -> Some("ada"), 2L -> Some("bob"),
+      3L -> Some("cyd")))
+  }
+
   test("ChangelogSink compact collapses per-batch files, content + replay mark identical") {
     import scala.jdk.CollectionConverters._
     val dir = tmp()

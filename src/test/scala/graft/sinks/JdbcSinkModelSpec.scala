@@ -27,10 +27,11 @@ class JdbcSinkModelSpec extends SparkSpec {
   private type Ev = (Long, Double, String, Long, Long, String)
   private final case class MRow(v: Option[Double], seq: (Long, Long))
 
-  private def runScenario(seed: Long, steps: Int): Unit = {
+  private def runScenario(seed: Long, steps: Int,
+      urlPrefix: String = "jdbc:derby:"): Unit = {
     val rnd = new scala.util.Random(seed)
     val tmp = Files.createTempDirectory(s"graft-jdbc-model-$seed").toString
-    val sink = new JdbcSink(s"jdbc:derby:$tmp/db;create=true", _ => Seq("key"))
+    val sink = new JdbcSink(s"$urlPrefix$tmp/db;create=true", _ => Seq("key"))
     sink.startup(spark)
 
     val model = scala.collection.mutable.Map.empty[Long, MRow]
@@ -144,5 +145,15 @@ class JdbcSinkModelSpec extends SparkSpec {
 
   test("random op sequences match the apply-contract model (3 seeds)") {
     Seq(11L, 23L, 47L).foreach(runScenario(_, steps = 14))
+  }
+
+  test("the same model contract holds on the PostgreSQL dialect — " +
+      "MERGE passthrough at major 16 and the transpiled " +
+      "INSERT-ON-CONFLICT pair at major 14") {
+    PgEmulatingJdbc.register()
+    Seq(11L, 23L).foreach(
+      runScenario(_, steps = 14, urlPrefix = PgEmulatingJdbc.Prefix))
+    Seq(11L, 23L).foreach(
+      runScenario(_, steps = 14, urlPrefix = PgEmulatingJdbc.Prefix14))
   }
 }
