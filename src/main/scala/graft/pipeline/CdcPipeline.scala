@@ -701,6 +701,15 @@ object CdcPipeline {
     import org.json4s.jackson.JsonMethods
     implicit val fmts: Formats = DefaultFormats
     val j = JsonMethods.parse(json)
+    // the REFERENCE's event-trigger payload (pg_catalog-shaped:
+    // `columns[].attname/attnum/typname/…` + `identity` — see its
+    // migrations/source/20260415100000_schema_change_messages.up.sql)
+    // is detected by its `columns` key and mapped verbatim, so a source
+    // already running the reference's DDL-capture migration is a
+    // drop-in — with REAL attnums and default expressions feeding the
+    // ordinal-keyed SchemaDiff
+    if ((j \ "columns") != JNothing && (j \ "relname") != JNothing)
+      return parseReferenceDdl(tableId, schemaLsn, j)
     val name = (j \ "table").extract[String]
     val cols = (j \ "cols").extract[List[JValue]].zipWithIndex.map {
       case (c, _) =>
@@ -717,6 +726,48 @@ object CdcPipeline {
           // absent → 0 = positional fallback
           ordinal = (c \ "ord").extractOrElse[Int](0),
           default = (c \ "default").extractOpt[String])
+    }
+    TableSchemaV(tableId, name, schemaLsn, cols.toIndexedSeq)
+  }
+
+  /** Map the reference event trigger's pg_catalog-shaped DDL payload
+    * (one full-column snapshot per ALTER TABLE) into the engine's
+    * versioned schema:
+    *   attname→name, typname→pgType, atttypmod→modifier,
+    *   !attnotnull→nullable, attnum→ordinal (the SchemaDiff key),
+    *   default_expression (when atthasdef)→default;
+    *   pkOrdinal from `identity.primary_key_attnums` order; the
+    *   identity mask from `replica_identity_index_attnums` (falls back
+    *   to the primary key, PostgreSQL's `relreplident = 'd'`
+    *   semantics). Columns are replicated=true: the trigger only fires
+    *   for published tables, and per-column publication masks travel
+    *   on Relation messages, not here (same split as the reference's
+    *   reader). */
+  private def parseReferenceDdl(tableId: Long, schemaLsn: Long,
+      j: org.json4s.JValue): TableSchemaV = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val name = (j \ "relname").extract[String]
+    val pkAttnums = (j \ "identity" \ "primary_key_attnums")
+      .extractOrElse[List[Int]](Nil)
+    val replIdx = (j \ "identity" \ "replica_identity_index_attnums")
+      .extractOrElse[List[Int]](Nil)
+    val identAttnums = if (replIdx.nonEmpty) replIdx else pkAttnums
+    val cols = (j \ "columns").extract[List[JValue]].map { c =>
+      val attnum = (c \ "attnum").extract[Int]
+      ColumnSpec(
+        name = (c \ "attname").extract[String],
+        pgType = (c \ "typname").extract[String],
+        nullable = !(c \ "attnotnull").extractOrElse[Boolean](false),
+        pkOrdinal = pkAttnums.indexOf(attnum) + 1, // 0 when absent
+        modifier = (c \ "atttypmod").extractOrElse[Int](-1),
+        replicated = true,
+        identity = identAttnums.contains(attnum),
+        ordinal = attnum,
+        default =
+          if ((c \ "atthasdef").extractOrElse[Boolean](false))
+            (c \ "default_expression").extractOpt[String]
+          else None)
     }
     TableSchemaV(tableId, name, schemaLsn, cols.toIndexedSeq)
   }

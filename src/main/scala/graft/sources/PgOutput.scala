@@ -24,6 +24,15 @@ object PgOutput {
     * `tableId` field. Unknown prefixes are discarded. */
   val DdlMessagePrefix = "graft_ddl"
 
+  /** The reference's own event-trigger prefix (its DDL-capture
+    * migration emits `pg_logical_emit_message(true, 'supabase_etl_ddl',
+    * <pg_catalog-shaped json>)`) — accepted verbatim so a source
+    * already carrying that trigger is a drop-in; the payload's
+    * `columns[].attnum` / `default_expression` / `identity` map into
+    * [[graft.core.ColumnSpec]] in
+    * `CdcPipeline.parseRelation`. */
+  val ReferenceDdlPrefix = "supabase_etl_ddl"
+
 
   // ------------------------------------------------------------- data model
   sealed trait TupleValue
@@ -1052,15 +1061,24 @@ object PgOutput {
         Seq(CdcLogSource.renderLine("R", r.relId.toLong, lsn, lsn, o, lsn,
           None, Some(payload)))
       case LogicalMsg(_, msgLsn, prefix, content) =>
-        // the reference's DDL channel (apply.rs:2160-2276): only the
-        // engine prefix is processed, unknown prefixes are discarded
-        if (prefix != PgOutput.DdlMessagePrefix) Seq.empty
+        // the reference's DDL channel (apply.rs:2160-2276): the engine
+        // prefix AND the reference's own event-trigger prefix are
+        // processed; unknown prefixes are discarded. Accepting
+        // `supabase_etl_ddl` verbatim makes this a DROP-IN for sources
+        // that already run the reference's migration (its
+        // pg_catalog-shaped payload carries attnums + defaults — the
+        // attnum-accurate SchemaDiff source; see
+        // migrations/source/20260415100000_schema_change_messages.up.sql)
+        if (prefix != PgOutput.DdlMessagePrefix &&
+            prefix != PgOutput.ReferenceDdlPrefix) Seq.empty
         else {
           val payload = new String(content.toArray, StandardCharsets.UTF_8)
-          val tableId = """"tableId"\s*:\s*(\d+)""".r
+          // graft payloads key the table as `tableId`; the reference's
+          // event trigger emits the pg_class `oid`
+          val tableId = """"(?:tableId|oid)"\s*:\s*(\d+)""".r
             .findFirstMatchIn(payload).map(_.group(1).toLong)
             .getOrElse(throw new IllegalArgumentException(
-              "graft_ddl message payload missing tableId"))
+              s"$prefix message payload missing tableId/oid"))
           // schema version keyed by the message's own LSN (the
           // reference keys versions by the DDL's start_lsn); sequence
           // position follows the stream bracket like Relation records

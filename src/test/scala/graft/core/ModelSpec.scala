@@ -38,7 +38,7 @@ class SequenceKeySpec extends AnyFunSuite with PropSpec {
   }
 }
 
-class SchemaSpec extends AnyFunSuite {
+class SchemaSpec extends AnyFunSuite with PropSpec {
   import org.apache.spark.sql.types._
 
   private def col(n: String, t: String, pk: Int = 0) =
@@ -144,6 +144,65 @@ class SchemaSpec extends AnyFunSuite {
     assert(SchemaDiff.between(u1, u2).renames == Seq(("v", "w")))
   }
 
+  test("schema diff soundness (property): for random evolutions — " +
+      "renames, drops, adds, retypes, nullability/default changes over " +
+      "attnum-carrying columns — applying the diff to the old " +
+      "replicated view reconstructs the new one exactly") {
+    import org.scalacheck.{Gen, Prop}
+    val types = Seq("int8", "int4", "text", "float8", "bool")
+    val colGen = for {
+      t <- Gen.oneOf(types)
+      nullable <- Gen.oneOf(true, false)
+      repl <- Gen.frequency(4 -> true, 1 -> false)
+      dflt <- Gen.option(Gen.oneOf("0", "'x'", "now()"))
+    } yield (t, nullable, repl, dflt)
+    val evolveGen = for {
+      n <- Gen.chooseNum(1, 8)
+      cols <- Gen.listOfN(n, colGen)
+      // mutate each ordinal independently: keep / rename / retype /
+      // flip nullability / change default / drop; then add 0-2 fresh
+      fates <- Gen.listOfN(n, Gen.chooseNum(0, 5))
+      adds <- Gen.chooseNum(0, 2)
+      addCols <- Gen.listOfN(adds, colGen)
+    } yield (cols, fates, addCols)
+    val prop = Prop.forAll(evolveGen) { case (cols, fates, addCols) =>
+      def spec(i: Int, c: (String, Boolean, Boolean, Option[String]),
+          name: String) =
+        ColumnSpec(name, c._1, nullable = c._2, replicated = c._3,
+          ordinal = i + 1, default = c._4)
+      val from = cols.zipWithIndex.map { case (c, i) =>
+        spec(i, c, s"c$i") }
+      val to = cols.zip(fates).zipWithIndex.flatMap {
+        case ((c, fate), i) => fate match {
+          case 0 => Some(spec(i, c, s"c$i"))                  // keep
+          case 1 => Some(spec(i, c, s"c${i}_renamed"))        // rename
+          case 2 => Some(spec(i, c, s"c$i")                   // retype
+            .copy(pgType = if (c._1 == "text") "int8" else "text"))
+          case 3 => Some(spec(i, c, s"c$i")                   // nullable
+            .copy(nullable = !c._2))
+          case 4 => Some(spec(i, c, s"c$i")                   // default
+            .copy(default = Some("42")))
+          case _ => None                                      // drop
+        }
+      } ++ addCols.zipWithIndex.map { case (c, j) =>
+        spec(cols.size + j, c, s"a$j") }
+      val a = TableSchemaV(1L, "t", 10L, from.toIndexedSeq)
+      val b = TableSchemaV(1L, "t", 20L, to.toIndexedSeq)
+      val d = SchemaDiff.between(a, b)
+      // reconstruct: start from old replicated view keyed by ordinal,
+      // apply changes, remove drops, add adds
+      val base = a.replicatedColumns.map(c => c.ordinal -> c).toMap
+      val changed = d.changed.foldLeft(base) { (m, ch) =>
+        m + (ch.ordinal -> ch.to) }
+      val afterDrop = changed -- d.dropped.map(_.ordinal)
+      val rebuilt = (afterDrop.values ++ d.added).toSeq.sortBy(_.ordinal)
+      rebuilt == b.replicatedColumns.sortBy(_.ordinal) &&
+        // and a no-op evolution diffs empty
+        SchemaDiff.between(a, a).isEmpty
+    }
+    checkProp(prop)
+  }
+
   test("Relation records carry modifier + replication/identity masks") {
     import org.apache.spark.sql.types._
     val mod = PgTypeMap.packNumericModifier(12, 3)
@@ -167,5 +226,70 @@ class SchemaSpec extends AnyFunSuite {
       """{"table":"t","cols":[{"name":"id","type":"int8","pk":1}]}""")
     assert(plain.identityColumns == Seq("id"))
     assert(plain.columns.head.replicated)
+  }
+
+  test("the REFERENCE event trigger's pg_catalog-shaped DDL payload " +
+      "(supabase_etl_ddl) maps verbatim: attnums become the diff " +
+      "ordinals, defaults/nullability/pk/replica-identity carry over — " +
+      "a drop-in for sources already running the reference migration") {
+    // shape per migrations/source/20260415100000_schema_change_messages
+    // .up.sql — one full-column snapshot per ALTER TABLE; a mid-table
+    // DROP leaves a gap in attnums (PostgreSQL never renumbers)
+    def payload(cols: String) =
+      s"""{"trigger_event":"ddl_command_end","command_tag":"ALTER TABLE",
+        "current_query":"ALTER TABLE ...","current_database":"db",
+        "server_version_num":160004,"nspname":"public","relname":"users",
+        "oid":16384,"relkind":"r","commands":[],
+        "identity":{"primary_key_attnums":[1],"relreplident":"d",
+          "replica_identity_index_relname":null,
+          "replica_identity_index_attnums":[]},
+        "columns":[$cols]}"""
+    def col(attname: String, attnum: Int, typ: String,
+        notnull: Boolean = false, hasdef: Boolean = false,
+        dflt: String = "null", typmod: Int = -1) =
+      s"""{"attname":"$attname","attnum":$attnum,"atttypid":0,
+        "typname":"$typ","formatted_type":"$typ","atttypmod":$typmod,
+        "attnotnull":$notnull,"atthasdef":$hasdef,
+        "default_expression":$dflt,"attidentity":null,
+        "atthasmissing":false}"""
+    val v1 = graft.pipeline.CdcPipeline.parseRelation(16384L, 10L,
+      payload(Seq(
+        col("id", 1, "int8", notnull = true),
+        col("name", 2, "text"),
+        col("age", 3, "int4", hasdef = true, dflt = "\"21\"")).mkString(",")))
+    assert(v1.tableName == "users")
+    assert(v1.primaryKey == Seq("id"))
+    assert(v1.identityColumns == Seq("id"))
+    assert(v1.columns.map(_.ordinal) == Seq(1, 2, 3))
+    assert(v1.columns.find(_.name == "age").get.default.contains("21"))
+    assert(!v1.columns.find(_.name == "id").get.nullable)
+    // ALTER: rename name→full_name; DROP age (attnum 3 simply absent);
+    // ADD email at attnum 4 — the attnum gap must NOT shift anything
+    val v2 = graft.pipeline.CdcPipeline.parseRelation(16384L, 20L,
+      payload(Seq(
+        col("id", 1, "int8", notnull = true),
+        col("full_name", 2, "text"),
+        col("email", 4, "text")).mkString(",")))
+    val d = SchemaDiff.between(v1, v2)
+    assert(d.renames == Seq(("name", "full_name")))
+    assert(d.dropped.map(_.name) == Seq("age"))
+    assert(d.added.map(_.name) == Seq("email"))
+    // and the decode session forwards the reference prefix: an 'M'
+    // logical message with supabase_etl_ddl emits an R envelope line
+    // keyed by the payload's oid
+    val session = new graft.sources.PgOutput.DecodeSession()
+    try {
+      val body = payload(col("id", 1, "int8", notnull = true)).getBytes("UTF-8")
+      val lines = session.onFrame(
+        graft.sources.PgOutput.encode(graft.sources.PgOutput.LogicalMsg(
+          transactional = false, 0x4242L, "supabase_etl_ddl",
+          body.toVector)))
+      assert(lines.size == 1)
+      val f = lines.head.split("\t", -1)
+      assert(f(2) == "R" && f(3) == "16384", lines)
+      val parsed = graft.pipeline.CdcPipeline.parseRelation(
+        f(3).toLong, f(5).toLong, f(7))
+      assert(parsed.columns.map(c => (c.name, c.ordinal)) == Seq(("id", 1)))
+    } finally session.close()
   }
 }

@@ -131,6 +131,20 @@ frame("logical_msg",
       be32(len(DDL)) + DDL)
 frame("logical_msg_foreign",
       b"M" + u8(0) + be64(0x2223) + cstr("other_ext") + be32(3) + b"abc")
+# the REFERENCE's own DDL event-trigger message (prefix
+# supabase_etl_ddl, pg_catalog-shaped payload with attnums — see its
+# migrations/source/20260415100000_schema_change_messages.up.sql):
+# accepted verbatim for drop-in sources
+SUPA = (b'{"command_tag":"ALTER TABLE","nspname":"public",'
+        b'"relname":"users","oid":16384,'
+        b'"identity":{"primary_key_attnums":[1],"relreplident":"d",'
+        b'"replica_identity_index_attnums":[]},'
+        b'"columns":[{"attname":"id","attnum":1,"typname":"int8",'
+        b'"atttypmod":-1,"attnotnull":true,"atthasdef":false,'
+        b'"default_expression":null}]}')
+frame("logical_msg_reference",
+      b"M" + u8(1) + be64(0x2224) + cstr("supabase_etl_ddl") +
+      be32(len(SUPA)) + SUPA)
 
 # zero-column table (CREATE TABLE t() is legal; pgoutput sends ncols=0
 # and inserts carry an empty TupleData) with REPLICA IDENTITY NOTHING
