@@ -316,7 +316,9 @@ final class CdcPipeline(
       meta.filter(_.rPayloads.nonEmpty)
         .sortBy(g => (g.vLsn, g.tableId))
         .foreach { g => g.rPayloads.foreach { p =>
-          registry.put(CdcPipeline.parseRelation(g.tableId, g.vLsn, p)) } }
+          val parsed = CdcPipeline.parseRelation(g.tableId, g.vLsn, p)
+          registry.put(CdcPipeline.alignOrdinals(
+            registry.lookup(g.tableId, g.vLsn), parsed)) } }
       // Destination schema evolution (reference handle_relation →
       // apply_schema_diff, bigquery/core.rs:803-946): every version this
       // batch REGISTERS diffs against its registry predecessor and lands
@@ -729,6 +731,37 @@ object CdcPipeline {
     }
     TableSchemaV(tableId, name, schemaLsn, cols.toIndexedSeq)
   }
+
+  /** Ordinal continuity across transport generations (the reference's
+    * note_waiting_for_relation, apply.rs:2252-2257: after a DDL message
+    * stores an attnum-keyed version, the NEXT pgoutput Relation must
+    * rebuild from the stored version, not from its own positional
+    * view): when a new POSITIONAL version (no attnums — the wire
+    * Relation message carries none) follows an attnum-carrying
+    * predecessor, inherit each column's ordinal BY NAME; unseen names
+    * get fresh ordinals above the predecessor's max. Without this, the
+    * redundant Relation message pgoutput synthesizes after every DDL
+    * would mis-diff against the DDL-sourced version (positions vs
+    * attnums — a historical mid-table drop shifts every later
+    * position) and fork columns at the destination. Chains that are
+    * consistently positional pass through untouched, so Relation-only
+    * rename detection stays intact. */
+  def alignOrdinals(prev: Option[TableSchemaV],
+      next: TableSchemaV): TableSchemaV =
+    prev match {
+      case Some(p) if next.columns.forall(_.ordinal == 0) &&
+          p.columns.exists(_.ordinal > 0) =>
+        val byName = p.columns.zipWithIndex.map { case (c, i) =>
+          c.name -> (if (c.ordinal > 0) c.ordinal else i + 1) }.toMap
+        var fresh = byName.values.max
+        next.copy(columns = next.columns.map { c =>
+          byName.get(c.name) match {
+            case Some(o) => c.copy(ordinal = o)
+            case None => fresh += 1; c.copy(ordinal = fresh)
+          }
+        })
+      case _ => next
+    }
 
   /** Map the reference event trigger's pg_catalog-shaped DDL payload
     * (one full-column snapshot per ALTER TABLE) into the engine's

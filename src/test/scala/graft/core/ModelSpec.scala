@@ -274,6 +274,45 @@ class SchemaSpec extends AnyFunSuite with PropSpec {
     assert(d.renames == Seq(("name", "full_name")))
     assert(d.dropped.map(_.name) == Seq("age"))
     assert(d.added.map(_.name) == Seq("email"))
+    // pgoutput synthesizes a redundant Relation message after every DDL
+    // — positional (no attnums). Registered as-is it would mis-diff
+    // against the attnum-keyed v2 (positions 1,2,3 vs attnums 1,2,4):
+    // alignOrdinals inherits ordinals BY NAME from the stored version,
+    // so the redundant Relation is an EMPTY diff (the reference's
+    // note_waiting_for_relation semantics, apply.rs:2252-2257)
+    val relAfterDdl = graft.pipeline.CdcPipeline.parseRelation(16384L, 25L,
+      """{"table":"users","cols":[
+        {"name":"id","type":"int8","nullable":false,"pk":1},
+        {"name":"full_name","type":"text"},
+        {"name":"email","type":"text"}]}""")
+    val aligned = graft.pipeline.CdcPipeline.alignOrdinals(
+      Some(v2), relAfterDdl)
+    assert(aligned.columns.map(_.ordinal) == Seq(1, 2, 4))
+    assert(SchemaDiff.between(v2, aligned).isEmpty,
+      SchemaDiff.between(v2, aligned).toString)
+    // a genuinely NEW column in a later positional Relation gets a
+    // fresh ordinal above the stored max — never a recycled attnum
+    val relWider = graft.pipeline.CdcPipeline.parseRelation(16384L, 30L,
+      """{"table":"users","cols":[
+        {"name":"id","type":"int8","nullable":false,"pk":1},
+        {"name":"full_name","type":"text"},
+        {"name":"email","type":"text"},
+        {"name":"score","type":"float8"}]}""")
+    val aligned2 = graft.pipeline.CdcPipeline.alignOrdinals(
+      Some(aligned), relWider)
+    assert(aligned2.columns.map(_.ordinal) == Seq(1, 2, 4, 5))
+    val d2 = SchemaDiff.between(aligned, aligned2)
+    assert(d2.added.map(_.name) == Seq("score") && d2.dropped.isEmpty &&
+      d2.changed.isEmpty)
+    // consistently positional chains pass through untouched (rename
+    // detection via position stays intact)
+    val pos1 = graft.pipeline.CdcPipeline.parseRelation(1L, 1L,
+      """{"table":"t","cols":[{"name":"a","type":"text"}]}""")
+    val pos2 = graft.pipeline.CdcPipeline.parseRelation(1L, 2L,
+      """{"table":"t","cols":[{"name":"b","type":"text"}]}""")
+    assert(graft.pipeline.CdcPipeline.alignOrdinals(Some(pos1), pos2)
+      eq pos2)
+    assert(SchemaDiff.between(pos1, pos2).renames == Seq(("a", "b")))
     // and the decode session forwards the reference prefix: an 'M'
     // logical message with supabase_etl_ddl emits an R envelope line
     // keyed by the payload's oid
