@@ -490,6 +490,87 @@ class StreamingSpec extends SparkSpec {
     assert(!sink.read(spark, "users").columns.contains("age"))
   }
 
+  test("schema evolution via the REFERENCE's supabase_etl_ddl payload " +
+      "shape: attnum-keyed rename + drop land at the destination; the " +
+      "redundant positional Relation that follows aligns to the stored " +
+      "attnums and no-ops instead of forking columns") {
+    val dir = tmp("cdc-refddl")
+    val log = s"$dir/wal.log"
+    val sink = new CurrentStateSink(s"$dir/tables", _ => Seq("id"), 4)
+    val pipeline = mkPipeline(dir, sink)
+    pipeline.backfill(Seq(usersSchema), _ => (
+      Seq((1L, "a", 30), (2L, "b", 40)).toDF("id", "name", "age"), 0L))
+
+    // the reference event trigger's pg_catalog-shaped snapshot (rename
+    // name→full_name at attnum 2, age's attnum 3 gone), exactly as the
+    // 'M'-message decode forwards it into the schema channel
+    def refCol(attname: String, attnum: Int, typ: String,
+        notnull: Boolean = false) =
+      s"""{"attname":"$attname","attnum":$attnum,"atttypid":0,""" +
+        s""""typname":"$typ","atttypmod":-1,"attnotnull":$notnull,""" +
+        """"atthasdef":false,"default_expression":null}"""
+    val refPayload =
+      s"""{"command_tag":"ALTER TABLE","nspname":"public","relname":"users","oid":1,"identity":{"primary_key_attnums":[1],"relreplident":"d","replica_identity_index_attnums":[]},"columns":[${
+        Seq(refCol("id", 1, "int8", notnull = true),
+          refCol("full_name", 2, "text")).mkString(",")}]}"""
+    // the redundant POSITIONAL Relation pgoutput synthesizes right
+    // after the DDL — same columns, no attnums
+    val redundantRelation =
+      """{"table":"users","cols":[{"name":"id","type":"int8","nullable":false,"pk":1},{"name":"full_name","type":"text"}]}"""
+    appendLog(log, Seq(
+      CdcLogSource.renderLine("R", 1L, 2L, 2L, 0L, 2L, None,
+        Some(refPayload)),
+      CdcLogSource.renderLine("R", 1L, 3L, 3L, 0L, 3L, None,
+        Some(redundantRelation)),
+      CdcLogSource.renderLine("U", 1L, 4L, 4L, 0L, 3L,
+        Some("""{"id":1}"""),
+        Some("""{"id":1,"full_name":"ada"}"""))))
+    val q = pipeline.startStream(log)
+    q.processAllAvailable()
+    q.stop()
+
+    val out = sink.read(spark, "users")
+    assert(out.columns.toSet == Set("id", "full_name"),
+      s"reference-shaped DDL must rename+drop: ${out.columns.toSeq}")
+    val got = out.select("id", "full_name")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "ada", 2L -> "b"), got.toString)
+  }
+
+  test("an IMPOSSIBLE destination DDL (dropping the merge key) " +
+      "quarantines the table BEFORE its data applies — no silent " +
+      "column fork — and the pipeline survives (ST8)") {
+    val dir = tmp("cdc-badddl")
+    val log = s"$dir/wal.log"
+    val sink = new CurrentStateSink(s"$dir/tables", _ => Seq("id"), 4)
+    val pipeline = mkPipeline(dir, sink)
+    pipeline.backfill(Seq(usersSchema), _ => (
+      Seq((1L, "a", 30)).toDF("id", "name", "age"), 0L))
+    // DDL drops `id` — the bucket/merge key (attnum-keyed so the diff
+    // reads as a DROP of ordinal 1, not a positional rename chain);
+    // the destination must refuse, and the post-DDL row must NOT merge
+    val badJson =
+      """{"table":"users","cols":[{"name":"name","type":"text","ord":2},{"name":"age","type":"int4","ord":3}]}"""
+    appendLog(log, Seq(
+      CdcLogSource.renderLine("R", 1L, 2L, 2L, 0L, 2L, None,
+        Some(badJson)),
+      CdcLogSource.renderLine("I", 1L, 3L, 3L, 0L, 2L, None,
+        Some("""{"name":"zed","age":9}"""))))
+    val q = pipeline.startStream(log)
+    q.processAllAvailable()
+    q.stop()
+    pipeline.stateStore.get(1L) match {
+      case TableState.Errored(reason, _) =>
+        assert(reason.contains("schema change") &&
+          reason.contains("bucket key"), reason)
+      case other => fail(s"table must be quarantined, was $other")
+    }
+    // destination untouched: old shape, old rows, no zed
+    val out = sink.read(spark, "users")
+    assert(out.columns.toSet == Set("id", "name", "age"))
+    assert(out.count() == 1)
+  }
+
   test("truncate event mid-stream clears table, later inserts apply (D1)") {
     val dir = tmp("cdc-trunc")
     val log = s"$dir/wal.log"
