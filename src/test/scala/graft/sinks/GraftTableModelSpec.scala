@@ -15,10 +15,12 @@ class GraftTableModelSpec extends SparkSpec {
 
   private final case class ModelRow(v: String, seq: String)
 
-  private def runScenario(seed: Long, steps: Int): Unit = {
+  private def runScenario(seed: Long, steps: Int,
+      mergeOnRead: Boolean = false): Unit = {
     val rnd = new scala.util.Random(seed)
     val root = Files.createTempDirectory(s"graft-model-$seed").toString
-    val t = new GraftTable(root, Seq("id"), nBuckets = 4)
+    val t = new GraftTable(root, Seq("id"), nBuckets = 4,
+      mergeOnRead = mergeOnRead)
     val model = scala.collection.mutable.Map.empty[Long, ModelRow]
     var highWater = ""
     var lsn = 0L
@@ -275,5 +277,12 @@ class GraftTableModelSpec extends SparkSpec {
     Seq(1L, 7L, 42L).foreach(runScenario(_, steps = 40))
     sys.env.get("GRAFT_FUZZ_SEEDS").foreach(n =>
       (100L until 100L + n.toLong).foreach(runScenario(_, steps = 30)))
+  }
+
+  test("the same random op streams hold under MERGE-ON-READ (delta " +
+      "layers interleaving with rename/truncate/compact/rebucket/" +
+      "replaceBuckets — the steady-state 100 TB destination shape)") {
+    Seq(1L, 7L, 42L).foreach(runScenario(_, steps = 40,
+      mergeOnRead = true))
   }
 }
