@@ -1916,6 +1916,61 @@ class PgConformanceSpec extends AnyFunSuite {
       s"the extended-abort subxact leaked through COMMIT PREPARED:\n$lines")
   }
 
+  test("wire: the reference's supabase_etl_ddl message between a " +
+      "pre-DDL transaction and the renamed Relation re-announcement — " +
+      "the client forwards the pg_catalog payload verbatim as a schema " +
+      "record in transaction position, and it parses to attnum-keyed " +
+      "columns") {
+    val dir = Files.createTempDirectory("pg-conformance-refddl").toString
+    val log = s"$dir/wal.log"
+    val TE1 = 0x1D000L; val TE2 = 0x1D800L; val TE3 = 0x1E000L
+    val startQueries =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val fl = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val server = new ServerSocket(0)
+    replayConnections(server, Seq("stream_ref_ddl" -> None),
+      startQueries, Seq(fl))
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot_rd", "conf_pub_rd", log,
+      flushLsn = () => TE3 + 8)
+    try {
+      val t0 = System.currentTimeMillis()
+      client.start()
+      // 11 XLogData frames + 1 keepalive
+      while ((client.framesReceived.get() < 11 ||
+        client.keepalivesReceived.get() < 1) &&
+        System.currentTimeMillis() - t0 < 15000) Thread.sleep(20)
+      assert(client.framesReceived.get() == 11,
+        s"frames=${client.framesReceived.get()} err=${client.lastError}")
+      assert(client.lastError.isEmpty, s"client error: ${client.lastError}")
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+    val lines = new String(Files.readAllBytes(Paths.get(log)),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+    // R(wire REL), I, R(supabase payload), R(renamed REL), U
+    assert(lines.size == 5, s"expected 5 envelope lines, got:\n$lines")
+    val f = lines.map(_.split("\t", -1))
+    assert(f(0)(2) == "R" && f(1)(2) == "I")
+    assert(f(2)(2) == "R" && f(2)(3) == "16384" &&
+      f(2)(0) == TE2.toString &&
+      f(2)(7).contains(""""command_tag":"ALTER TABLE"""") &&
+      f(2)(7).contains(""""attnum":2"""), lines(2))
+    // the DDL payload parses to attnum-keyed columns via the pipeline's
+    // own relation parser — real ordinals, pk from the identity block
+    val v = graft.pipeline.CdcPipeline.parseRelation(
+      f(2)(3).toLong, f(2)(5).toLong, f(2)(7))
+    assert(v.tableName == "users")
+    assert(v.columns.map(c => (c.name, c.ordinal)) ==
+      Seq(("id", 1), ("full_name", 2), ("bio", 3)))
+    assert(v.primaryKey == Seq("id"))
+    assert(f(3)(2) == "R" && f(3)(0) == TE3.toString &&
+      f(3)(7).contains(""""name":"full_name""""))
+    assert(f(4)(2) == "U" &&
+      PackedRow.parse(f(4)(7)) == Vector(Some("1"), Some("ada"), None))
+  }
+
   test("wire: async ParameterStatus + NoticeResponse arriving MID-stream " +
       "INSIDE COPY BOTH (between CopyData frames) are skipped without " +
       "tearing the framing or the transaction bracket") {

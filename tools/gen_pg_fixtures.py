@@ -769,6 +769,52 @@ ps_mid = (backend(b"W", u8(0) + be16(0)) +
           keepalive(TD + 8, True))
 session.append(("stream_param_status", ps_mid))
 
+# the reference's supabase_etl_ddl message ON THE WIRE: a pre-DDL
+# transaction, then the ALTER TABLE transaction carrying the
+# pg_catalog-shaped logical message (rename name->full_name, attnums
+# 1/2/3), then the renamed Relation re-announcement with post-DDL
+# traffic. The client must forward the payload verbatim as a schema
+# record in transaction position.
+SUPA_REN = (b'{"command_tag":"ALTER TABLE","nspname":"public",'
+            b'"relname":"users","oid":16384,'
+            b'"identity":{"primary_key_attnums":[1],"relreplident":"d",'
+            b'"replica_identity_index_attnums":[]},'
+            b'"columns":['
+            b'{"attname":"id","attnum":1,"typname":"int8",'
+            b'"atttypmod":-1,"attnotnull":true,"atthasdef":false,'
+            b'"default_expression":null},'
+            b'{"attname":"full_name","attnum":2,"typname":"text",'
+            b'"atttypmod":-1,"attnotnull":false,"atthasdef":false,'
+            b'"default_expression":null},'
+            b'{"attname":"bio","attnum":3,"typname":"text",'
+            b'"atttypmod":-1,"attnotnull":false,"atthasdef":false,'
+            b'"default_expression":null}]}')
+TE1, TE2, TE3 = 0x1D000, 0x1D800, 0x1E000
+ref_ddl = (backend(b"W", u8(0) + be16(0)) +
+           xlogdata(TE1 - 40, TE1, b"B" + be64(TE1) + be64(TS) +
+                    be32(990)) +
+           xlogdata(TE1 - 32, TE1, REL) +
+           xlogdata(TE1 - 24, TE1, INS("1", "alice")) +
+           xlogdata(TE1 - 8, TE1, b"C" + u8(0) + be64(TE1) +
+                    be64(TE1 + 8) + be64(TS)) +
+           xlogdata(TE2 - 40, TE2, b"B" + be64(TE2) + be64(TS) +
+                    be32(991)) +
+           xlogdata(TE2 - 32, TE2, b"M" + u8(1) + be64(TE2 - 32) +
+                    cstr("supabase_etl_ddl") + be32(len(SUPA_REN)) +
+                    SUPA_REN) +
+           xlogdata(TE2 - 8, TE2, b"C" + u8(0) + be64(TE2) +
+                    be64(TE2 + 8) + be64(TS)) +
+           xlogdata(TE3 - 40, TE3, b"B" + be64(TE3) + be64(TS) +
+                    be32(992)) +
+           xlogdata(TE3 - 32, TE3, REL_RENAMED) +
+           xlogdata(TE3 - 24, TE3, b"U" + be32(16384) + b"N" +
+                    tuple_data(text_cell("1"), text_cell("ada"),
+                               NULL_CELL)) +
+           xlogdata(TE3 - 8, TE3, b"C" + u8(0) + be64(TE3) +
+                    be64(TE3 + 8) + be64(TS)) +
+           keepalive(TE3 + 8, True))
+session.append(("stream_ref_ddl", ref_ddl))
+
 # ErrorResponse ('E'): list of (code byte, cstr value) fields, then a
 # terminating zero byte — per the docs' "Message Formats".
 def err_resp(sqlstate, msg):
