@@ -39,10 +39,10 @@ trait CdcSink {
     * data at that version is written — with the ordinal-keyed diff
     * against the predecessor version. MUST be idempotent: batch replay
     * re-delivers the Relation record, and a crash between DDL and data
-    * replays both. Default no-op: append-shaped sinks are
-    * self-describing per event (each append carries its version's
-    * column set; `latest` readers resolve by sequence), and memory/null
-    * sinks have no schema to move. */
+    * replays both. Default no-op: memory/null sinks have no schema to
+    * move, and appends are self-describing per event — though
+    * [[ChangelogSink]] still overrides to keep renamed/dropped columns
+    * ALIGNED across file generations in its `latest` view. */
   def applySchemaDiff(table: String, diff: graft.core.SchemaDiff): Unit =
     ()
   /** Batch replay identity (txnAppId/txnVersion shape): the pipeline
