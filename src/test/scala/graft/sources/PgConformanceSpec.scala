@@ -1916,6 +1916,62 @@ class PgConformanceSpec extends AnyFunSuite {
       s"the extended-abort subxact leaked through COMMIT PREPARED:\n$lines")
   }
 
+  test("wire: the ROLLBACK leg of v4 parallel-streaming × two-phase — " +
+      "the same extended-abort prepared transaction decided by " +
+      "ROLLBACK PREPARED vanishes without a trace, the floor clears, " +
+      "the flush passes the rollback") {
+    val dir = Files.createTempDirectory("pg-conformance-v4pr").toString
+    val log = s"$dir/wal.log"
+    val PB = 0x1A000L; val TC = 0x1A800L; val CR = 0x1B800L
+    val startQueries =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val fl = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val server = new ServerSocket(0)
+    replayConnections(server, Seq("stream_v4_2pc_rollback" -> None),
+      startQueries, Seq(fl))
+    def durableProgress(): Long =
+      try {
+        val p = Paths.get(log)
+        if (!Files.exists(p)) 0L
+        else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+          .split("\n").filter(_.nonEmpty)
+          .map(_.split("\t")(0).toLong).maxOption.getOrElse(0L)
+      } catch { case _: Throwable => 0L }
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot_v4r", "conf_pub_v4r", log,
+      flushLsn = () => durableProgress(), protoVersion = 4)
+    try {
+      val t0 = System.currentTimeMillis()
+      client.start()
+      // the rollback RELEASES the cap: the reported flush climbs from
+      // PB-1 to durable downstream progress (TC, the unrelated commit
+      // — the rollback itself appends nothing to advance past)
+      while (!fl.toArray.exists(_.asInstanceOf[Long] >= TC) &&
+        System.currentTimeMillis() - t0 < 20000) Thread.sleep(20)
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+    val reports = fl.toArray.map(_.asInstanceOf[Long]).toSeq
+    assert(reports.exists(_ == PB - 1),
+      s"flush must cap below the undecided prepare: $reports")
+    assert(reports.max >= TC, s"rollback must release the cap: $reports")
+    assert(!Files.exists(Paths.get(log + ".prepare_floor")),
+      "the durable floor must clear at ROLLBACK PREPARED")
+    val _ = CR // rollback end LSN: documented in the fixture, no line
+    val lines = new String(Files.readAllBytes(Paths.get(log)),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+    val f = lines.map(_.split("\t", -1))
+    // R + the unrelated committed tx ONLY — nothing of the rolled-back
+    // parallel-streamed transaction survives
+    assert(lines.size == 2, s"expected R + normal insert, got:\n$lines")
+    assert(f(0)(2) == "R")
+    assert(f(1)(2) == "I" && f(1)(0) == TC.toString &&
+      PackedRow.parse(f(1)(7)) == Vector(Some("5"), Some("normal"), None))
+    assert(!lines.exists(l => l.contains("keepA") || l.contains("keepB")
+      || l.contains("dropA")), s"rolled-back tx leaked:\n$lines")
+  }
+
   test("wire: the reference's supabase_etl_ddl message between a " +
       "pre-DDL transaction and the renamed Relation re-announcement — " +
       "the client forwards the pg_catalog payload verbatim as a schema " +

@@ -750,6 +750,35 @@ v4p = (backend(b"W", u8(0) + be16(0)) +
        keepalive(CB + 0x10, True))
 session.append(("stream_v4_2pc", v4p))
 
+# the ROLLBACK leg of the same interplay: identical parallel-streamed
+# prepared transaction (extended-abort subxact and all), but decided by
+# ROLLBACK PREPARED — every spooled line must vanish without a trace,
+# the durable floor clears, and the flush advances past the rollback.
+CR = 0x1B800
+v4pr = (backend(b"W", u8(0) + be16(0)) +
+        xlogdata(PB - 70, PB, REL) +
+        xlogdata(PB - 64, PB, b"S" + be32(970) + u8(1)) +
+        xlogdata(PB - 60, PB, streamed(970, INS("1", "keepA"))) +
+        xlogdata(PB - 56, PB, streamed(971, INS("2", "dropA"))) +
+        xlogdata(PB - 52, PB, b"E") +
+        xlogdata(PB - 48, PB, b"A" + be32(970) + be32(971) +
+                 be64(PB - 48) + be64(TS)) +
+        xlogdata(PB - 44, PB, b"S" + be32(970) + u8(0)) +
+        xlogdata(PB - 40, PB, streamed(970, INS("3", "keepB"))) +
+        xlogdata(PB - 36, PB, b"E") +
+        xlogdata(PB - 32, PB, b"p" + u8(0) + be64(PB) + be64(PB + 0x10) +
+                 be64(TS) + be32(970) + cstr("gp4")) +
+        xlogdata(TC - 24, TC, b"B" + be64(TC) + be64(TS) + be32(972)) +
+        xlogdata(TC - 16, TC, INS("5", "normal")) +
+        xlogdata(TC - 8, TC, b"C" + u8(0) + be64(TC) + be64(TC + 8) +
+                 be64(TS)) +
+        # Rollback Prepared: flags, prepare end lsn, rollback end lsn,
+        # prepare ts, rollback ts, xid, gid
+        xlogdata(CR - 8, CR, b"r" + u8(0) + be64(PB + 0x10) + be64(CR) +
+                 be64(TS) + be64(TS + 1000) + be32(970) + cstr("gp4")) +
+        keepalive(CR + 0x10, True))
+session.append(("stream_v4_2pc_rollback", v4pr))
+
 # async ParameterStatus + NoticeResponse arriving MID-stream INSIDE
 # COPY BOTH (between CopyData frames — a live server interleaves them
 # there too, e.g. a reloaded GUC broadcast): the receive loop must skip
