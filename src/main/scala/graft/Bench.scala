@@ -185,6 +185,18 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // pin-regeneration aid (no Spark session): print every oracle-SQL
+    // hash the noise-pin guard below would compute, then exit
+    if (sys.env.contains("SPARK_GRAFT_PRINT_PIN_HASHES")) {
+      Seq("q1_agg", "q5_join", "semi_anti", "setops").foreach { nm =>
+        val norm = SparkEntry.oracleSql.getOrElse(nm, "")
+          .replaceAll("\\s+", " ").trim
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        println(s"$nm $h")
+      }
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -269,41 +281,77 @@ object Bench {
     val total = results.filter(r => gateNames(r._1)).map(_._2).filter(_ >= 0).sum
     val opTotal = results.filterNot(r => gateNames(r._1)).map(_._2).filter(_ >= 0).sum
 
-    // sustained streaming throughput — median of 3 runs per phase:
-    // single runs of a driver-latency-bound micro-batch pipeline swing
-    // >2× with background host load (observed 23k vs 57k events/s on
-    // the same build), and judges compare this number round-over-round
+    // sustained streaming throughput — median of N runs per phase WITH
+    // the spread IN the artifact (r15 verdict: three same-code runs read
+    // 24.4k/25.0k/34.6k CoW events/s and the batch noise_index did not
+    // explain the swing — a median without its spread is unadjudicable
+    // round-over-round). CoW and MoR samples INTERLEAVE (C,M · C,M · …)
+    // for the same reason the query samples do: a host-load ramp during
+    // the streaming phase must not poison one lane's whole sample set.
+    // A filtered local-iteration run skips streaming unless the filter
+    // names "streaming" — query probes stay fast, streaming probes are
+    // one env var: SPARK_GRAFT_BENCH_FILTER=streaming.
     val nEvents = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "200000").toInt
     val streamSamples = sys.env.getOrElse("SPARK_GRAFT_STREAM_SAMPLES", "3").toInt
-    val runs = (0 until streamSamples).flatMap { _ =>
-      try Some(streamingThroughput(spark, nEvents))
-      catch { case e: Throwable =>
-        // a failed sample (incl. the convergence assert) must be VISIBLE,
-        // not a silently smaller median set
-        System.err.println(s"stream bench sample failed: $e"); None }
+    val doStreaming = filter.forall(_.exists(_.contains("streaming")))
+    val cowRuns = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Double, Double, Double, Double)]
+    val morRuns = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Double, Double, Double, Double)]
+    // discarded warm-up per lane, exactly like the query gates' warmup
+    // pass: an 8-sample probe (round 16) showed sample 1 reading 15k
+    // CoW events/s against a 40-41k steady state — the first run pays
+    // JIT/codegen for the whole streaming stack, and a cold sample
+    // inside a median-of-3 is exactly the 24.4k-vs-34.6k same-code
+    // spread the r15 verdict could not adjudicate. Full-size warmups:
+    // quarter-size ones left sample 1 ~15% below steady state (the
+    // C2 ramp needs iterations, not just path coverage).
+    if (doStreaming && streamSamples > 0) {
+      try streamingThroughput(spark, nEvents)
+      catch { case _: Throwable => () }
+      try streamingThroughput(spark, nEvents, mergeOnRead = true)
+      catch { case _: Throwable => () }
     }
+    if (doStreaming) (0 until streamSamples).foreach { _ =>
+      // a failed sample (incl. the convergence assert) must be VISIBLE,
+      // not a silently smaller median set
+      try cowRuns += streamingThroughput(spark, nEvents)
+      catch { case e: Throwable =>
+        System.err.println(s"stream bench sample failed: $e") }
+      // the same workload through the MERGE-ON-READ apply lane (staged
+      // one-job merges — the steady-state 100 TB destination shape),
+      // reported BESIDE the CoW headline so rounds stay comparable
+      try morRuns += streamingThroughput(spark, nEvents, mergeOnRead = true)
+      catch { case e: Throwable =>
+        System.err.println(s"stream bench (mor) sample failed: $e") }
+    }
+    val runs = cowRuns.toSeq
+    def spread(xs: Seq[Double]): Double =
+      if (xs.isEmpty) -1.0 else xs.max - xs.min
     val (n, producerEps, endToEndEps, withShutdownEps, drainEps) =
       if (runs.isEmpty) (0, 0.0, 0.0, 0.0, 0.0)
       else (runs.head._1, median(runs.map(_._2)), median(runs.map(_._3)),
         median(runs.map(_._4)), median(runs.map(_._5)))
-    // the same workload through the MERGE-ON-READ apply lane (staged
-    // one-job merges — the steady-state 100 TB destination shape),
-    // reported BESIDE the CoW headline so rounds stay comparable
-    val morRuns =
-      if (filter.nonEmpty) Nil // local-iteration probes skip the extra phase
-      else (0 until streamSamples).flatMap { _ =>
-        try Some(streamingThroughput(spark, nEvents, mergeOnRead = true))
-        catch { case e: Throwable =>
-          System.err.println(s"stream bench (mor) sample failed: $e"); None }
-      }
     val morEndToEndEps =
-      if (morRuns.isEmpty) 0.0 else median(morRuns.map(_._3))
-    val streaming = s"""{"n_events":$n,"producer_events_per_second":${
+      if (morRuns.isEmpty) 0.0 else median(morRuns.toSeq.map(_._3))
+    val streaming = s"""{"n_events":$n,"samples":${runs.size},"producer_events_per_second":${
       math.round(producerEps)},"end_to_end_events_per_second":${
-      math.round(endToEndEps)},"end_to_end_with_shutdown_events_per_second":${
+      math.round(endToEndEps)},"end_to_end_spread":${
+      math.round(spread(runs.map(_._3)))},"end_to_end_with_shutdown_events_per_second":${
       math.round(withShutdownEps)},"drain_events_per_second":${
-      math.round(drainEps)},"end_to_end_mor_events_per_second":${
-      math.round(morEndToEndEps)}}"""
+      math.round(drainEps)},"drain_spread":${
+      math.round(spread(runs.map(_._5)))},"end_to_end_mor_events_per_second":${
+      math.round(morEndToEndEps)},"end_to_end_mor_spread":${
+      math.round(spread(morRuns.toSeq.map(_._3)))}}"""
+    // full per-sample rates (all phases, both lanes) for BENCH_LOCAL —
+    // the diagnostic trail behind the medians+spreads on the contract
+    def sampleJson(rs: Seq[(Int, Double, Double, Double, Double)]) =
+      rs.map { case (_, p, e, w, d) =>
+        s"[${math.round(p)},${math.round(e)},${math.round(w)},${math.round(d)}]"
+      }.mkString("[", ",", "]")
+    val streamSampleJson =
+      s"""{"phases":["producer","end_to_end","with_shutdown","drain"],"cow":${
+        sampleJson(runs)},"mor":${sampleJson(morRuns.toSeq)}}"""
 
     // The driver captures only the log TAIL (~3.2 KB) and parses the
     // FINAL JSON line; rounds 6-8 produced "parsed": null because the
@@ -327,18 +375,43 @@ object Bench {
     // the in-process producer rate (pure JVM work, no Spark jobs):
     // quiet-host pin ≈ 20.7–21.5M events/s. -1 = not measurable on
     // this run (non-sf0.1, filtered subset, or no streaming samples).
-    val noisePins = Map("q1_agg" -> 0.313, "q5_join" -> 0.711,
-      "semi_anti" -> 0.292, "setops" -> 0.236)
+    // Each pin is (quiet-host median, md5 of the gate's whitespace-
+    // normalized oracle SQL AT pin time). The hash guards against silent
+    // pin drift (r15 verdict wrong-#2): if a pinned gate's definition
+    // ever changes — optimization, data change, alias rename — its old
+    // median no longer describes the new query and the index would
+    // misclassify real change as ambient noise. A stale pin is EXCLUDED
+    // from the index, surfaces in the contract as "stale_pins", and the
+    // replacement hash prints to stderr so regeneration is mechanical
+    // (re-pin the median AND the printed hash, note it in ROADMAP).
+    val noisePins = Map(
+      "q1_agg"    -> (0.313, "9cfec849634372b824d02b7e3c706b06"),
+      "q5_join"   -> (0.711, "e14b00694e668315dc2372be3ac92ee7"),
+      "semi_anti" -> (0.292, "6fae8e0437dd3deff3bb9bd274a007f8"),
+      "setops"    -> (0.236, "c71acee6d281fcfdcaf1a9dce70cf6b7"))
+    def sqlHash(nm: String): String = {
+      val norm = SparkEntry.oracleSql.getOrElse(nm, "")
+        .replaceAll("\\s+", " ").trim
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val stalePins = noisePins.keys.toSeq.sorted
+      .filter(nm => sqlHash(nm) != noisePins(nm)._2)
+    stalePins.foreach { nm => System.err.println(
+      s"noise pin STALE for $nm: oracle SQL changed since pin; new hash ${sqlHash(nm)}") }
     val resultMap = results.toMap
-    val ratios = noisePins.toSeq.flatMap { case (nm, pin) =>
-      resultMap.get(nm).filter(_ > 0).map(_ / pin) }
+    val ratios = noisePins.toSeq.collect {
+      case (nm, (pin, _)) if !stalePins.contains(nm) =>
+        resultMap.get(nm).filter(_ > 0).map(_ / pin) }.flatten
     val noiseIndex =
       if (sfDir.contains("sf0.1") && ratios.size == noisePins.size)
         median(ratios)
       else -1.0
     val scale = if (noiseIndex > 1.0) noiseIndex else 1.0
     val canary = if (runs.isEmpty) -1L else math.round(producerEps)
-    val contract = s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","samples":$samples,"op_total":${ms(opTotal)},"noise_index":${ms(noiseIndex)},"total_scaled":${ms(total / scale)},"op_total_scaled":${ms(opTotal / scale)},"canary":$canary,"errors":$errJson,"streaming":$streaming}"""
+    val staleJson = if (stalePins.isEmpty) ""
+      else s""","stale_pins":${stalePins.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    val contract = s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","samples":$samples,"op_total":${ms(opTotal)},"noise_index":${ms(noiseIndex)}$staleJson,"total_scaled":${ms(total / scale)},"op_total_scaled":${ms(opTotal / scale)},"canary":$canary,"errors":$errJson,"streaming":$streaming}"""
     // Belt-and-braces beside the stdout contract: persist the full
     // numbers to a repo file so they survive any log-capture quirk.
     // FILTERED local-iteration runs skip the write — a two-query subset
@@ -346,10 +419,11 @@ object Bench {
     if (filter.isEmpty) try {
       val local = new java.io.PrintWriter("BENCH_LOCAL.json", "UTF-8")
       try local.println(
-        s"""{"contract":$contract,"queries":$qs,"spread":$sp}""")
+        s"""{"contract":$contract,"queries":$qs,"spread":$sp,"streaming_samples":$streamSampleJson}""")
       finally local.close()
     } catch { case e: Exception =>
       System.err.println(s"BENCH_LOCAL.json write failed: $e") }
+    println(s"""{"metric":"streaming_samples","sf":"$sfDir","streaming_samples":$streamSampleJson}""")
     println(s"""{"metric":"spread","sf":"$sfDir","spread":$sp}""")
     println(s"""{"metric":"queries","sf":"$sfDir","queries":$qs}""")
     println(contract)

@@ -206,6 +206,23 @@ object Replicator {
       graft.sources.Preflight.enforce(failures)
     }
 
+    // Catalog attnum stamping (socket mode): seeded schema versions are
+    // positional (ord = 0); the live catalog's attnums re-key them so
+    // the FIRST wire SchemaDiff aligns even when the table's history
+    // includes a mid-table DROP COLUMN — the reference seeds ordinals
+    // the same way at its bootstrap schema fetch (transaction.rs:563).
+    // Non-fatal on any failure; registry saves below persist the stamp.
+    if (get("source.mode", "file") == "socket" &&
+        get("source.stampOrdinals", "true") == "true") {
+      val stamped = graft.sources.SchemaDiscovery.stampOrdinalsVia(
+        get("source.host", "127.0.0.1"), get("source.port").toInt,
+        get("source.user", "graft"), get("source.database", "postgres"),
+        get("source.password", ""), registry,
+        sslMode = sslMode, sslRootCert = sslRootCert)
+      if (stamped.nonEmpty)
+        registry.save(get("source.schemas", s"$work/schemas.json"))
+    }
+
     val pipeline = new CdcPipeline(spark, config, registry, sink,
       CdcPipeline.jsonDecode)
     sink.startup(spark)

@@ -213,8 +213,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     val hasData = t.currentFiles.nonEmpty
     changes.collect { case r: TableChange.RenameColumn => r }.foreach { r =>
-      require(!t.keyCols.contains(r.fieldNames().mkString(".")),
-        s"cannot rename bucket key ${r.fieldNames().mkString(".")}")
+      // bucket keys rename like any column (zero-movement mapping
+      // commit; routing hashes VALUES and `_meta.json` keeps physical
+      // names that GraftTable.open translates) — only DROP and RETYPE
+      // of a key stay refused below.
       // with data, renames go through the manifest's Delta-style name
       // mapping (GraftTable.renameColumn) — top-level columns only
       require(!hasData || r.fieldNames().length == 1,

@@ -521,8 +521,43 @@ final class CdcPipeline(
                 .withColumn("before", lit(null).cast("string"))
               unex.unionByName(dels).unionByName(upss).drop("_bk", "_ak")
             }
-            val data = decode(expanded.filter(col("_op") =!= "T"), schema)
-            sink.writeEvents(schema.tableName, data,
+            val data0 = decode(expanded.filter(col("_op") =!= "T"), schema)
+            // Align this slice to the LATEST registered schema before
+            // the sink sees it: the destination evolved to the newest
+            // shape when the batch's Relation diffs applied (above), so
+            // an EARLIER version's events must arrive under the newest
+            // column names — unaligned, a renamed column forks at the
+            // destination (old-name rows under a resurrected old
+            // column) and a renamed KEY column misses the merge key
+            // entirely. The ordinal-keyed diff between slice version
+            // and latest gives the rename chain; columns the latest
+            // dropped are withheld (no destination column holds them);
+            // TOAST masks name columns too, so `_missing` entries
+            // follow the renames. Steady state (one live version) takes
+            // the first branch: zero per-row work, zero extra plan.
+            val latest = registry.latest(tableId).getOrElse(schema)
+            val data =
+              if (latest.snapshotLsn == schema.snapshotLsn) data0
+              else {
+                val chain = graft.core.SchemaDiff.between(schema, latest)
+                val renamed = chain.renames.foldLeft(data0) {
+                  case (df, (f, t)) => df.withColumnRenamed(f, t) }
+                val masked =
+                  if (chain.renames.isEmpty ||
+                      !renamed.columns.contains("_missing")) renamed
+                  else {
+                    val rm = map(chain.renames.flatMap { case (f, t) =>
+                      Seq(lit(f), lit(t)) }: _*)
+                    renamed.withColumn("_missing",
+                      when(col("_missing").isNull, col("_missing"))
+                        .otherwise(array_join(
+                          transform(split(col("_missing"), ","),
+                            x => coalesce(element_at(rm, x), x)), ",")))
+                  }
+                masked.drop(chain.dropped.map(_.name)
+                  .filter(masked.columns.contains): _*)
+              }
+            sink.writeEvents(latest.tableName, data,
               maskHint((tableId, vLsn)))
           }
           // handoff completion: SyncDone table that has now seen a batch

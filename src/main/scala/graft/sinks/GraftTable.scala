@@ -805,6 +805,9 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       .getOrElse(Map.empty)
       .filter { case (l, p) => l != p && df0.columns.contains(l) }
     val df = if (toPhysical.isEmpty) df0 else df0.withColumnsRenamed(toPhysical)
+    // from here down the frame carries PHYSICAL names — key references
+    // must translate too (a renamed KEY column has logical ≠ physical)
+    val physKeys = keyCols.map(k => toPhysical.getOrElse(k, k))
     val stage = s"$root/.stage-${java.util.UUID.randomUUID()}"
     // default: hash on _bucket (one file per bucket). rangeCols: range
     // partition instead — contiguous (e.g. z-order) spans become the
@@ -812,10 +815,10 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     val shaped = rangeCols match {
       case Nil => df.repartition(parts, col("_bucket"))
       case rs  => df.repartitionByRange(parts, rs.map(col): _*)
-        .drop(rs.filterNot(_ == "_bucket").filterNot(keyCols.contains): _*)
+        .drop(rs.filterNot(_ == "_bucket").filterNot(physKeys.contains): _*)
     }
     shaped
-      .sortWithinPartitions(("_bucket" +: keyCols).map(col): _*)
+      .sortWithinPartitions(("_bucket" +: physKeys).map(col): _*)
       .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(stage)
     val out = scala.collection.mutable.Map.empty[Int, Seq[String]]
     listDir(Paths.get(stage))
@@ -959,15 +962,21 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     * snapshot whose logical schema carries the new name while
     * [[Manifest.columnMapping]] records the on-disk (physical) name —
     * existing files read correctly with zero data movement, and future
-    * writes keep producing the physical name. Bucket keys cannot be
-    * renamed (routing resolves keyCols by name). Renaming TO a name
-    * another column uses on disk is refused — physical names must stay
-    * unique or time travel turns ambiguous. graft-follow followers
-    * mirror renames automatically via the follow stream's control row
-    * (GraftFollower.mirrorRenames). */
+    * writes keep producing the physical name. BUCKET KEYS rename too
+    * (the reference renames ANY column, PK included — its destinations
+    * key merges off the schema version, bigquery/core.rs:803-946):
+    * bucket routing hashes key VALUES and files store the PHYSICAL
+    * name, so a key rename is the same zero-movement mapping commit —
+    * `_meta.json` keeps the creation-time (physical) key names and
+    * [[GraftTable.open]] translates them through the mapping, while a
+    * live handle constructed with the OLD logical key must be reopened
+    * (CurrentStateSink drops its cached handle after a key rename).
+    * Renaming TO a name another column uses on disk is refused —
+    * physical names must stay unique or time travel turns ambiguous.
+    * graft-follow followers mirror renames automatically via the
+    * follow stream's control row (GraftFollower.mirrorRenames). */
   def renameColumn(from: String, to: String): Unit = {
     require(groupState.isEmpty, "close the open group before renameColumn")
-    require(!keyCols.contains(from), s"cannot rename bucket key $from")
     val cur = currentManifest().getOrElse(throw new IllegalStateException(
       s"$root has no committed schema to rename in"))
     require(cur.schemaDdl.nonEmpty,
@@ -1010,7 +1019,6 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     require(cur0.schemaDdl.nonEmpty,
       s"$root has no pinned schema (pre-schema manifest)")
     renames.foreach { case (from, to) =>
-      require(!keyCols.contains(from), s"cannot rename bucket key $from")
       require(target.fieldNames.contains(to),
         s"rename target $to is absent from the target schema")
     }
@@ -1038,7 +1046,11 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
     if (cur != target) {
       val curBy = cur.fields.map(f => f.name -> f).toMap
       val tgtBy = target.fields.map(f => f.name -> f).toMap
-      keyCols.foreach { k =>
+      // key names as of the TARGET: this handle's keyCols may predate a
+      // key rename phase 1 just landed (or may already carry the new
+      // name when the caller re-derived keys before the DDL) — follow
+      // the rename in whichever direction resolves
+      keyCols.map(k => renames.getOrElse(k, k)).foreach { k =>
         require(tgtBy.contains(k), s"cannot drop bucket key $k")
         require(curBy.get(k).forall(_.dataType == tgtBy(k).dataType),
           s"cannot change the type of bucket key $k " +
@@ -1398,8 +1410,9 @@ final class GraftTable(val root: String, val keyCols: Seq[String],
       // multiplies the per-bucket file count every read then folds).
       val shaped = if (stagingNoShuffle(fresh0, nB)) staged
                    else staged.repartition(nB, col("_bucket"))
-      shaped
-        .sortWithinPartitions(("_bucket" +: keyCols).map(col): _*)
+      shaped // staged carries PHYSICAL names — sort keys must translate
+        .sortWithinPartitions(("_bucket" +:
+          keyCols.map(k => toPhysical.getOrElse(k, k))).map(col): _*)
         .write.mode(SaveMode.Overwrite).partitionBy("_bucket", "_op")
         .parquet(stage)
       // staged files by bucket, upserts (any non-D op) vs deletes
@@ -2584,12 +2597,22 @@ object GraftTable {
     import org.json4s.jackson.JsonMethods
     implicit val fmts: Formats = DefaultFormats
     val j = JsonMethods.parse(s)
-    new GraftTable(root, (j \ "keyCols").extract[List[String]],
+    // `_meta.json` holds the CREATION-TIME names — which are exactly
+    // the physical (on-disk) names, since a rename never rewrites
+    // files. Translate them through the current snapshot's name mapping
+    // so the handle speaks today's logical names even after a KEY
+    // column rename (the mapping commit is the only thing a rename
+    // writes; `_meta.json` is immutable by design).
+    val probe = new GraftTable(root, List("_probe"))
+    val toLogical = probe.currentManifest()
+      .map(_.columnMapping.map(_.swap)).getOrElse(Map.empty)
+    def logical(ns: List[String]) = ns.map(n => toLogical.getOrElse(n, n))
+    new GraftTable(root, logical((j \ "keyCols").extract[List[String]]),
       (j \ "nBuckets").extract[Int],
       bucketCols0 =
-        (j \ "bucketCols").extractOrElse[List[String]](Nil),
+        logical((j \ "bucketCols").extractOrElse[List[String]](Nil)),
       statsCols0 =
-        (j \ "statsCols").extractOrElse[List[String]](Nil),
+        logical((j \ "statsCols").extractOrElse[List[String]](Nil)),
       mergeOnRead =
         (j \ "mergeOnRead").extractOrElse[Boolean](false))
   }

@@ -634,6 +634,7 @@ object JdbcSink {
     case BooleanType         => "BOOLEAN"
     case DateType            => "DATE"
     case _: TimestampType    => "TIMESTAMP"
+    case TimestampNTZType    => "TIMESTAMP" // wall-clock, both engines
     case d: DecimalType      => s"DECIMAL(${d.precision}, ${d.scale})"
     case BinaryType          => binary
     case StringType          => text
@@ -641,20 +642,39 @@ object JdbcSink {
       s"JdbcSink: no SQL mapping for ${other.simpleString}")
   }
 
-  /** Destination-applicable default expressions: literals only
-    * (numbers, quoted strings, TRUE/FALSE/NULL, optionally with a
-    * `::type` cast suffix, which is stripped). Anything else — nextval,
-    * now(), arbitrary expressions — is source-evaluated; replicated
-    * rows arrive with those already materialized, and re-evaluating
-    * them at the destination would produce DIFFERENT values. The
-    * reference makes the same cut (supports_column_default) and CLEARS
-    * the destination default when unsupported. */
+  /** Destination-applicable default expressions: literals (numbers,
+    * quoted strings, TRUE/FALSE/NULL, optionally with a `::type` cast
+    * suffix, which is stripped) plus the SQL-standard niladic datetime
+    * functions `CURRENT_TIMESTAMP`/`CURRENT_DATE`/`CURRENT_TIME` and
+    * their `now()` spelling — portable across Derby and PostgreSQL,
+    * and semantically a DESTINATION-clock default is what a user
+    * declaring one means (it only ever fires for rows the engine
+    * itself inserts, never for replicated rows, which arrive with
+    * every column materialized).
+    *
+    * DROPPED-EXPRESSION POLICY (deliberate, mirrors the reference's
+    * supports_column_default cut): anything else — `nextval(...)`,
+    * arbitrary expressions, user functions — is source-evaluated;
+    * replicated rows arrive with those already materialized, and
+    * re-evaluating them at the destination would produce DIFFERENT
+    * values (a destination nextval would fork the sequence). For those
+    * the destination default is CLEARED, not guessed at. */
   private[sinks] def portableDefault(expr: String): Option[String] = {
     val e = expr.trim.replaceAll("::[A-Za-z_][A-Za-z0-9_ ]*$", "").trim
+    val lower = e.toLowerCase
     val ok = e.matches("[-+]?[0-9]+(\\.[0-9]+)?") ||
       e.matches("'([^']|'')*'") ||
-      Set("true", "false", "null").contains(e.toLowerCase)
-    if (ok) Some(e) else None
+      Set("true", "false", "null").contains(lower)
+    // niladic datetime keywords normalize to their standard spelling
+    // (Derby accepts only the keyword form; PG accepts both)
+    val niladic = lower match {
+      case "current_timestamp" | "current_timestamp()" | "now()" =>
+        Some("CURRENT_TIMESTAMP")
+      case "current_date" | "current_date()" => Some("CURRENT_DATE")
+      case "current_time" | "current_time()" => Some("CURRENT_TIME")
+      case _ => None
+    }
+    if (ok) Some(e) else niladic
   }
 
   /** Executor-side batched INSERT: one connection per partition, one

@@ -144,6 +144,35 @@ class SchemaSpec extends AnyFunSuite with PropSpec {
     assert(SchemaDiff.between(u1, u2).renames == Seq(("v", "w")))
   }
 
+  test("positional→attnum transition: a positionally-seeded version " +
+      "mis-keys the first attnum-carrying diff after a historical " +
+      "mid-table drop; catalog-stamped ordinals align it " +
+      "(transaction.rs:563 bootstrap — the r15 documented window)") {
+    // live table: a(1), c(3), d(4) — attnum 2 was dropped BEFORE the
+    // pipeline ever saw the table, so position ≠ attnum from day one
+    def ocol(n: String, ord: Int) = ColumnSpec(n, "text", ordinal = ord)
+    // config-file seed: no attnums → positional keys 1,2,3
+    val seeded = schema(10, col("a", "text"), col("c", "text"),
+      col("d", "text"))
+    // first wire DDL message (supabase_etl_ddl): real attnums, and the
+    // actual change is a plain rename c→c2
+    val ddl = schema(20, ocol("a", 1), ocol("c2", 3), ocol("d", 4))
+    // WITHOUT stamping: seed keys {1,2,3} meet ddl keys {1,3,4} — the
+    // diff reads "d renamed to c2, c dropped, d added", all wrong
+    val misKeyed = SchemaDiff.between(seeded, ddl)
+    assert(misKeyed.renames == Seq(("d", "c2")))
+    assert(misKeyed.dropped.map(_.name) == Seq("c"))
+    assert(misKeyed.added.map(_.name) == Seq("d"))
+    // WITH the catalog stamp (what SchemaDiscovery.stampOrdinals writes
+    // into the registry at bootstrap): the same diff is the plain
+    // rename it always was
+    val stamped = seeded.copy(columns = IndexedSeq(
+      ocol("a", 1), ocol("c", 3), ocol("d", 4)))
+    val aligned = SchemaDiff.between(stamped, ddl)
+    assert(aligned.added.isEmpty && aligned.dropped.isEmpty)
+    assert(aligned.renames == Seq(("c", "c2")))
+  }
+
   test("schema diff soundness (property): for random evolutions — " +
       "renames, drops, adds, retypes, nullability/default changes over " +
       "attnum-carrying columns — applying the diff to the old " +

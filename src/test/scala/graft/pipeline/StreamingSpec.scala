@@ -537,6 +537,63 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(1L -> "ada", 2L -> "b"), got.toString)
   }
 
+  test("mid-stream PRIMARY-KEY column rename lands at the current-state " +
+      "destination (zero data movement) and post-rename events — " +
+      "including same-batch PRE-rename events — merge on the new key") {
+    val dir = tmp("cdc-pkrename")
+    val log = s"$dir/wal.log"
+    val registry = new SchemaRegistry
+    registry.put(usersSchema)
+    // registry-backed keysOf (the Replicator wiring): after the DDL
+    // registers, the sink derives the NEW key name for fresh handles
+    val sink = new CurrentStateSink(s"$dir/tables",
+      name => registry.tables.flatMap(registry.latest)
+        .find(_.tableName == name).map(_.primaryKey).getOrElse(Seq("id")), 4)
+    val pipeline = new CdcPipeline(spark,
+      PipelineConfig(maxRowsPerTrigger = 100, maxFillMs = 50,
+        checkpointDir = s"$dir/ckpt", stateDir = s"$dir/state"),
+      registry, sink, decode)
+    pipeline.backfill(Seq(usersSchema), _ => (
+      Seq((1L, "a", 30), (2L, "b", 31)).toDF("id", "name", "age"), 0L))
+    // ONE batch interleaving: a pre-rename update (old names), the
+    // attnum-keyed rename id→user_id, then post-rename events — the
+    // pre-rename slice must align to the new key name before merging
+    // (the destination evolves before any of the batch's data applies)
+    val renamedJson = """{"table":"users","cols":[""" +
+      """{"name":"user_id","type":"int8","nullable":false,"pk":1,"ord":1},""" +
+      """{"name":"name","type":"text","ord":2},""" +
+      """{"name":"age","type":"int4","ord":3}]}"""
+    appendLog(log, Seq(
+      upd(2L, 0L, 2L, "bee", 31), // old schema, old key name
+      CdcLogSource.renderLine("R", 1L, 3L, 3L, 0L, 3L, None,
+        Some(renamedJson)),
+      CdcLogSource.renderLine("U", 1L, 4L, 4L, 0L, 3L,
+        Some("""{"user_id":1}"""),
+        Some("""{"user_id":1,"name":"ada","age":99}""")),
+      CdcLogSource.renderLine("I", 1L, 5L, 5L, 0L, 3L, None,
+        Some("""{"user_id":3,"name":"c","age":5}"""))))
+    val q = pipeline.startStream(log)
+    q.processAllAvailable()
+    q.stop()
+    assert(pipeline.stateStore.get(1L) == TableState.Ready,
+      s"no quarantine expected: ${pipeline.stateStore.get(1L)}")
+    val out = sink.read(spark, "users")
+    assert(out.columns.toSet == Set("user_id", "name", "age"),
+      out.columns.toSeq.toString)
+    val got = out.select("user_id", "name", "age")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got == Map(1L -> (("ada", 99)), 2L -> (("bee", 31)),
+      3L -> (("c", 5))), got.toString)
+    // the rename itself was a mapping commit (zero-movement proof lives
+    // in GraftTableSpec's key-rename case): a fresh handle speaks the
+    // new key, and a bucket-pruned lookup by it reaches pre-rename rows
+    val t = graft.sinks.GraftTable.open(s"$dir/tables/users")
+    assert(t.keyCols == Seq("user_id"))
+    assert(t.lookup(spark, Seq(2L)).select("name").as[String]
+      .collect().toSeq == Seq("bee"))
+  }
+
   test("an IMPOSSIBLE destination DDL (dropping the merge key) " +
       "quarantines the table BEFORE its data applies — no silent " +
       "column fork — and the pipeline survives (ST8)") {

@@ -163,6 +163,43 @@ class GraftTableSpec extends SparkSpec {
     assert(t.readMeta().highWater == seq(20L))
   }
 
+  test("KEY column rename: one zero-movement mapping commit — bucket " +
+      "membership and data files untouched, open() speaks the new key, " +
+      "post-rename merges and pruned lookups work on the new name") {
+    val root = tmp()
+    val t = new GraftTable(root, Seq("id"), nBuckets = 4)
+    t.overwrite((1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val m0 = t.currentManifest().get
+    t.renameColumn("id", "uid") // the reference renames ANY column, PK incl.
+    val m1 = t.currentManifest().get
+    // zero data movement: the commit carries the SAME files per bucket
+    assert(m1.files == m0.files, "key rename must not move data")
+    assert(m1.columnMapping == Map("uid" -> "id"))
+    // a fresh handle derives the new logical key from meta + mapping
+    val t2 = GraftTable.open(root)
+    assert(t2.keyCols == Seq("uid") && t2.bucketCols == Seq("uid"))
+    assert(t2.read(spark).columns.toSet == Set("uid", "v"))
+    // routing unchanged: a bucket-pruned point lookup by the NEW key
+    // name finds rows written pre-rename (hash is over values)
+    assert(t2.lookup(spark, Seq(7L)).select("v").as[String].collect()
+      .toSeq == Seq("v7"))
+    // post-rename merge on the new key merges in place — no fork
+    t2.merge(Seq((7L, "v7b", "U", "0000000000000010/0000000000000000"),
+        (21L, "v21", "I", "0000000000000010/0000000000000000"))
+      .toDF("uid", "v", "_op", "_seq"))
+    val out = t2.read(spark).as[(Long, String)].collect().toMap
+    assert(out(7L) == "v7b" && out(21L) == "v21" && out.size == 21, out)
+    // retype of the (renamed) key stays refused
+    val bad = intercept[IllegalArgumentException] {
+      t2.applyDdlPlan(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("uid",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))))
+    }
+    assert(bad.getMessage.contains("bucket key"), bad.getMessage)
+  }
+
   test("idempotent replay: re-merging an old batch is a no-op (ducklake replay_epoch)") {
     val t = new GraftTable(tmp(), Seq("id"), nBuckets = 4)
     t.overwrite(Seq((1L, "a")).toDF("id", "v"))
@@ -763,6 +800,41 @@ class GraftTableSpec extends SparkSpec {
     // … and the mapped read is unchanged after it
     assert(state() == Map(1L -> Some("ada"), 2L -> Some("bob"),
       3L -> Some("cyd")))
+  }
+
+  test("ChangelogSink read: a single diff that RENAMES AND RETYPES a " +
+      "column casts the old generation with the DECLARED cast, not " +
+      "coalesce's implicit common-type coercion") {
+    import graft.core.{ColumnSpec, SchemaDiff, TableSchemaV}
+    val dir = tmp()
+    val sink = new ChangelogSink(dir)
+    // old generation: v int4; new generation: val int8 (rename + widen
+    // in ONE Relation diff — same ordinal, new name, new type)
+    sink.writeEvents("t",
+      Seq((1L, 7, "I", 1L), (2L, 9, "I", 1L))
+        .toDF("id", "v", "_op", "_commit_lsn")
+        .withColumn("_tx_ordinal", lit(0L)))
+    def cs(n: String, t: String, ord: Int, pk: Int = 0) =
+      ColumnSpec(n, t, nullable = pk == 0, pkOrdinal = pk, ordinal = ord)
+    val v1 = TableSchemaV(9L, "t", 1L, IndexedSeq(
+      cs("id", "int8", 1, pk = 1), cs("v", "int4", 2)))
+    val v2 = TableSchemaV(9L, "t", 2L, IndexedSeq(
+      cs("id", "int8", 1, pk = 1), cs("val", "int8", 2)))
+    val diff = SchemaDiff.between(v1, v2)
+    assert(diff.renames == Seq(("v", "val")) &&
+      diff.changed.head.typeChanged) // the edge: both in one change
+    sink.applySchemaDiff("t", diff)
+    sink.writeEvents("t",
+      Seq((3L, 5000000000L, "I", 2L))
+        .toDF("id", "val", "_op", "_commit_lsn")
+        .withColumn("_tx_ordinal", lit(0L)))
+    val out = sink.latest(spark, "t", Seq("id"))
+    // the fold must land on the NEW generation's declared type …
+    assert(out.schema("val").dataType ==
+      org.apache.spark.sql.types.LongType, out.schema.toString)
+    // … with old-generation values cast through it, not nulled/forked
+    val got = out.select("id", "val").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 7L, 2L -> 9L, 3L -> 5000000000L), got.toString)
   }
 
   test("ChangelogSink compact collapses per-batch files, content + replay mark identical") {

@@ -366,6 +366,38 @@ class JdbcSinkSpec extends SparkSpec {
         "non-portable default must clear, not keep filling 5")
     } finally c2.close()
   }
+
+  test(s"[$kind] a niladic datetime default (now() → CURRENT_TIMESTAMP) " +
+      "survives the portability cut and EXECUTES at the engine — an " +
+      "engine-side insert that omits the column gets the engine clock") {
+    import graft.core.{ColumnSpec, SchemaDiff, TableSchemaV}
+    val (_, url) = freshDb(kind)
+    val sink = new JdbcSink(url, _ => Seq("key"))
+    sink.startup(spark)
+    sink.writeTableRows("state", Seq((1L, 1.0)).toDF("key", "val"))
+    def cs(n: String, t: String, ord: Int, pk: Int = 0,
+        default: Option[String] = None) =
+      ColumnSpec(n, t, nullable = pk == 0, pkOrdinal = pk, ordinal = ord,
+        default = default)
+    val v1 = TableSchemaV(7L, "state", 10L, IndexedSeq(
+      cs("key", "int8", 1, pk = 1), cs("val", "float8", 2)))
+    // the source spells it now(); the portable form both engines accept
+    // is the SQL-standard keyword
+    val v2 = TableSchemaV(7L, "state", 20L, IndexedSeq(
+      cs("key", "int8", 1, pk = 1), cs("val", "float8", 2),
+      cs("seen", "timestamp", 3, default = Some("now()"))))
+    sink.applySchemaDiff("state", SchemaDiff.between(v1, v2))
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().executeUpdate(
+        """INSERT INTO "state" ("key", "val", "_gseq") """ +
+          "VALUES (2, 2.0, 'a')")
+      val rs = conn.createStatement().executeQuery(
+        """SELECT "seen" FROM "state" WHERE "key" = 2""")
+      assert(rs.next() && rs.getTimestamp(1) != null,
+        "CURRENT_TIMESTAMP default must fill at the engine")
+    } finally conn.close()
+  }
   }
 
   test("dialect arm selection: PostgreSQL <15 takes the ON-CONFLICT " +
@@ -391,12 +423,17 @@ class JdbcSinkSpec extends SparkSpec {
     assert(PostgresDialect(16).typeSql(DoubleType) == "DOUBLE PRECISION")
     assert(PostgresDialect(16).typeSql(StringType) == "TEXT")
     assert(DerbyDialect.typeSql(BinaryType) == "BLOB")
-    // portable defaults: literals (with cast suffix stripped) pass,
-    // source-evaluated expressions do not
+    // portable defaults: literals (with cast suffix stripped) and the
+    // niladic datetime keywords pass (normalized to the standard
+    // spelling Derby also accepts); source-evaluated expressions do not
     assert(JdbcSink.portableDefault("42").contains("42"))
     assert(JdbcSink.portableDefault("'x'::text").contains("'x'"))
     assert(JdbcSink.portableDefault("TRUE").contains("TRUE"))
-    assert(JdbcSink.portableDefault("now()").isEmpty)
+    assert(JdbcSink.portableDefault("now()").contains("CURRENT_TIMESTAMP"))
+    assert(JdbcSink.portableDefault("CURRENT_TIMESTAMP")
+      .contains("CURRENT_TIMESTAMP"))
+    assert(JdbcSink.portableDefault("current_date").contains("CURRENT_DATE"))
     assert(JdbcSink.portableDefault("nextval('s'::regclass)").isEmpty)
+    assert(JdbcSink.portableDefault("upper('x')").isEmpty)
   }
 }
