@@ -766,7 +766,7 @@ class PgConformanceSpec extends AnyFunSuite {
       val t0 = System.currentTimeMillis()
       client.start()
       // 10 XLogData frames + 1 keepalive
-      while ((client.framesReceived.get() < 10 ||
+      while ((client.framesReceived.get() < 9 ||
         client.keepalivesReceived.get() < 1) &&
         System.currentTimeMillis() - t0 < 15000) Thread.sleep(20)
       assert(client.framesReceived.get() == 10,
@@ -2169,5 +2169,153 @@ class PgConformanceSpec extends AnyFunSuite {
       client.stop()
       try server.close() catch { case _: Throwable => () }
     }
+  }
+  test("wire: attnum-keyed DDL message, then a POSITIONAL Relation " +
+      "carrying a CONCURRENT column add — alignOrdinals rebuilds the " +
+      "Relation's ordinals from the stored attnums (gap at the " +
+      "historical drop preserved) and mints a fresh ordinal for the " +
+      "new column, so the diff reads as ONE add") {
+    val dir = Files.createTempDirectory("pg-conformance-align").toString
+    val log = s"$dir/wal.log"
+    val TG2 = 0x1F800L
+    val startQueries =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val fl = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val server = new ServerSocket(0)
+    replayConnections(server, Seq("stream_attnum_align" -> None),
+      startQueries, Seq(fl))
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot_aa", "conf_pub_aa", log,
+      flushLsn = () => TG2 + 8)
+    try {
+      val t0 = System.currentTimeMillis()
+      client.start()
+      while ((client.framesReceived.get() < 7 ||
+        client.keepalivesReceived.get() < 1) &&
+        System.currentTimeMillis() - t0 < 15000) Thread.sleep(20)
+      assert(client.framesReceived.get() == 7,
+        s"frames=${client.framesReceived.get()} err=${client.lastError}")
+      assert(client.lastError.isEmpty, s"client error: ${client.lastError}")
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+    val lines = new String(Files.readAllBytes(Paths.get(log)),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+    // R(supabase payload, attnums 1/2/4), R(wire REL, 4 positional
+    // cols), I(4 cells)
+    assert(lines.size == 3, s"expected 3 envelope lines, got:\n$lines")
+    val f = lines.map(_.split("\t", -1))
+    assert(f(0)(2) == "R" && f(0)(7).contains("\"attnum\":4"), lines(0))
+    assert(f(1)(2) == "R" && f(1)(7).contains("\"score\""), lines(1))
+    assert(f(2)(2) == "I")
+    // the pipeline's own parsers: DDL version is attnum-keyed with the
+    // historical gap; the wire Relation is positional; alignment
+    // inherits 1/2/4 BY NAME and mints 5 (> stored max) for score
+    val stored = graft.pipeline.CdcPipeline.parseRelation(
+      f(0)(3).toLong, f(0)(5).toLong, f(0)(7))
+    assert(stored.columns.map(c => (c.name, c.ordinal)) ==
+      Seq(("id", 1), ("full_name", 2), ("bio", 4)))
+    val wire = graft.pipeline.CdcPipeline.parseRelation(
+      f(1)(3).toLong, f(1)(5).toLong, f(1)(7))
+    assert(wire.columns.forall(_.ordinal == 0), "wire Relations are positional")
+    val aligned = graft.pipeline.CdcPipeline.alignOrdinals(
+      Some(stored), wire)
+    assert(aligned.columns.map(c => (c.name, c.ordinal)) ==
+      Seq(("id", 1), ("full_name", 2), ("bio", 4), ("score", 5)))
+    // and therefore: ONE added column, zero renames/drops — the
+    // positional view alone would have mis-diffed bio 4->3
+    val diff = graft.core.SchemaDiff.between(stored, aligned)
+    assert(diff.added.map(_.name) == Seq("score") &&
+      diff.dropped.isEmpty && diff.renames.isEmpty, diff.toString)
+  }
+
+  test("wire: supabase_etl_ddl with a replica identity INDEX distinct " +
+      "from the PK (relreplident 'i') — the identity mask follows " +
+      "replica_identity_index_attnums, it does NOT fall back to the " +
+      "primary key") {
+    val dir = Files.createTempDirectory("pg-conformance-ident").toString
+    val log = s"$dir/wal.log"
+    val TH1 = 0x20000L
+    val startQueries =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val fl = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val server = new ServerSocket(0)
+    replayConnections(server, Seq("stream_ref_ddl_ident" -> None),
+      startQueries, Seq(fl))
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot_ri", "conf_pub_ri", log,
+      flushLsn = () => TH1 + 8)
+    try {
+      val t0 = System.currentTimeMillis()
+      client.start()
+      while ((client.framesReceived.get() < 3 ||
+        client.keepalivesReceived.get() < 1) &&
+        System.currentTimeMillis() - t0 < 15000) Thread.sleep(20)
+      assert(client.lastError.isEmpty, s"client error: ${client.lastError}")
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+    val lines = new String(Files.readAllBytes(Paths.get(log)),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+    assert(lines.size == 1, s"expected 1 schema record, got:\n$lines")
+    val f = lines.head.split("\t", -1)
+    assert(f(2) == "R" &&
+      f(7).contains("\"replica_identity_index_attnums\":[2]"), lines.head)
+    val v = graft.pipeline.CdcPipeline.parseRelation(
+      f(3).toLong, f(5).toLong, f(7))
+    // pk stays id; the IDENTITY mask is the index column full_name
+    assert(v.primaryKey == Seq("id"))
+    assert(v.identityColumns == Seq("full_name"),
+      v.columns.map(c => (c.name, c.identity)).toString)
+    assert(v.columns.map(c => (c.name, c.identity)) ==
+      Seq(("id", false), ("full_name", true), ("bio", false)))
+  }
+
+  test("wire: a rival that releases the slot EXACTLY at the cap " +
+      "boundary (cap-1 consecutive 55006s, then success) streams " +
+      "normally — no escalation, streak resets, the off-by-one pins") {
+    val dir = Files.createTempDirectory("pg-conformance-boundary").toString
+    val log = s"$dir/wal.log"
+    val T2 = 0x2000L
+    val startQueries =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val fls = Seq.fill(3)(
+      new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+    val server = new ServerSocket(0)
+    // connections 1 and 2 refuse with 55006; connection 3 streams
+    replayConnections(server,
+      Seq("slot_busy" -> None, "slot_busy" -> None, "stream" -> None),
+      startQueries, fls)
+    val client = new ReplicationSocketClient("127.0.0.1",
+      server.getLocalPort, "conf_slot_bd", "conf_pub_bd", log,
+      flushLsn = () => T2 + 8, slotBusyMaxConsecutive = 3)
+    try {
+      client.start(reconnectBackoffMs = 50)
+      val t0 = System.currentTimeMillis()
+      while ((client.framesReceived.get() < 9 ||
+        client.keepalivesReceived.get() < 1) &&
+        System.currentTimeMillis() - t0 < 15000) Thread.sleep(20)
+      // the cap is 3 consecutive FAILURES: 2 failures + success must
+      // never escalate (the boundary the hog test pins from the other
+      // side with exactly 3 failures)
+      assert(!client.lastError.exists(
+          _.isInstanceOf[SlotBusyEscalationException]),
+        s"boundary must not escalate: ${client.lastError}")
+      assert(client.slotBusyRetries.get() == 2,
+        s"exactly 2 busy refusals expected, got ${client.slotBusyRetries.get()}")
+      assert(startQueries.size == 3,
+        s"2 refusals + 1 success = 3 attempts, got ${startQueries.size}")
+      assert(client.framesReceived.get() == 9,
+        s"stream must flow after the boundary: ${client.framesReceived.get()}")
+    } finally {
+      client.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
+    // the recorded stream's envelope lines landed (data actually flowed)
+    val lines = new String(Files.readAllBytes(Paths.get(log)),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+    assert(lines.nonEmpty, "expected envelope lines after the handover")
   }
 }

@@ -100,6 +100,31 @@ final class SchemaDiscoverySpec extends AnyFunSuite {
     assert(reg.latest(7L).get == keyed)
   }
 
+  test("a stamped bootstrap version aligns the FIRST positional wire " +
+      "Relation: ordinals inherit by name through alignOrdinals, so a " +
+      "concurrent column add diffs as ONE add, never a rename chain") {
+    val reg = seedReg()
+    withServer(sql =>
+        if (sql.contains("attrelid = 42")) Some(catalog42) else None) {
+      conn => assert(SchemaDiscovery.stampOrdinals(conn, reg) == Seq(42L))
+    }
+    val stamped = reg.latest(42L).get // a(1), c(3), d(4)
+    // the first pgoutput Relation after bootstrap: positional, and the
+    // source ALSO added a column since the catalog fetch
+    val wire = graft.pipeline.CdcPipeline.parseRelation(42L, 20L,
+      """{"table":"t","cols":[{"name":"a","type":"text"},""" +
+        """{"name":"c","type":"text"},{"name":"d","type":"int4"},""" +
+        """{"name":"e","type":"text"}]}""")
+    assert(wire.columns.forall(_.ordinal == 0))
+    val aligned = graft.pipeline.CdcPipeline.alignOrdinals(
+      Some(stamped), wire)
+    assert(aligned.columns.map(c => (c.name, c.ordinal)) ==
+      IndexedSeq(("a", 1), ("c", 3), ("d", 4), ("e", 5)))
+    val diff = graft.core.SchemaDiff.between(stamped, aligned)
+    assert(diff.added.map(_.name) == Seq("e") &&
+      diff.dropped.isEmpty && diff.renames.isEmpty, diff.toString)
+  }
+
   test("only the LATEST version stamps; history keeps its shape") {
     val reg = seedReg()
     reg.put(TableSchemaV(42L, "t", 20L, IndexedSeq(

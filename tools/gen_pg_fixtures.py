@@ -844,6 +844,86 @@ ref_ddl = (backend(b"W", u8(0) + be16(0)) +
            keepalive(TE3 + 8, True))
 session.append(("stream_ref_ddl", ref_ddl))
 
+# attnum-keyed DDL message followed by a POSITIONAL wire Relation that
+# ALSO adds a column (a concurrent ALTER ADD between the trigger firing
+# and pgoutput's Relation re-announcement): the stored version carries
+# attnums {1,2,4} — attnum 3 was dropped before the pipeline ever saw
+# the table — so the Relation's positions must rebuild BY NAME against
+# the stored attnums (gap preserved) and the new column must mint a
+# fresh ordinal ABOVE the stored max, on the wire, not just in the
+# model spec.
+SUPA_GAP = (b'{"command_tag":"ALTER TABLE","nspname":"public",'
+            b'"relname":"users","oid":16384,'
+            b'"identity":{"primary_key_attnums":[1],"relreplident":"d",'
+            b'"replica_identity_index_attnums":[]},'
+            b'"columns":['
+            b'{"attname":"id","attnum":1,"typname":"int8",'
+            b'"atttypmod":-1,"attnotnull":true,"atthasdef":false,'
+            b'"default_expression":null},'
+            b'{"attname":"full_name","attnum":2,"typname":"text",'
+            b'"atttypmod":-1,"attnotnull":false,"atthasdef":false,'
+            b'"default_expression":null},'
+            b'{"attname":"bio","attnum":4,"typname":"text",'
+            b'"atttypmod":-1,"attnotnull":false,"atthasdef":false,'
+            b'"default_expression":null}]}')
+# the wire Relation after the concurrent ADD: positions 1..4, no attnums
+REL_GAP_ADD = (b"R" + be32(16384) + cstr("public") + cstr("users") +
+               u8(ord("d")) + be16(4) +
+               u8(1) + cstr("id") + be32(20) + be32(-1) +
+               u8(0) + cstr("full_name") + be32(25) + be32(-1) +
+               u8(0) + cstr("bio") + be32(25) + be32(-1) +
+               u8(0) + cstr("score") + be32(701) + be32(-1))
+TG1, TG2 = 0x1F000, 0x1F800
+attnum_align = (backend(b"W", u8(0) + be16(0)) +
+                xlogdata(TG1 - 40, TG1, b"B" + be64(TG1) + be64(TS) +
+                         be32(995)) +
+                xlogdata(TG1 - 32, TG1, b"M" + u8(1) + be64(TG1 - 32) +
+                         cstr("supabase_etl_ddl") + be32(len(SUPA_GAP)) +
+                         SUPA_GAP) +
+                xlogdata(TG1 - 8, TG1, b"C" + u8(0) + be64(TG1) +
+                         be64(TG1 + 8) + be64(TS)) +
+                xlogdata(TG2 - 40, TG2, b"B" + be64(TG2) + be64(TS) +
+                         be32(996)) +
+                xlogdata(TG2 - 32, TG2, REL_GAP_ADD) +
+                xlogdata(TG2 - 24, TG2, b"I" + be32(16384) + b"N" +
+                         tuple_data(text_cell("9"), text_cell("gwen"),
+                                    NULL_CELL, text_cell("2.5"))) +
+                xlogdata(TG2 - 8, TG2, b"C" + u8(0) + be64(TG2) +
+                         be64(TG2 + 8) + be64(TS)) +
+                keepalive(TG2 + 8, True))
+session.append(("stream_attnum_align", attnum_align))
+
+# supabase_etl_ddl whose REPLICA IDENTITY is an index DISTINCT from the
+# primary key (relreplident 'i', replica_identity_index_attnums [2] vs
+# primary_key_attnums [1]): the identity mask must come from the index
+# attnums, NOT fall back to the PK — key-change expansion then keys off
+# full_name, not id.
+SUPA_IDENT = (b'{"command_tag":"ALTER TABLE","nspname":"public",'
+              b'"relname":"users","oid":16384,'
+              b'"identity":{"primary_key_attnums":[1],"relreplident":"i",'
+              b'"replica_identity_index_attnums":[2]},'
+              b'"columns":['
+              b'{"attname":"id","attnum":1,"typname":"int8",'
+              b'"atttypmod":-1,"attnotnull":true,"atthasdef":false,'
+              b'"default_expression":null},'
+              b'{"attname":"full_name","attnum":2,"typname":"text",'
+              b'"atttypmod":-1,"attnotnull":true,"atthasdef":false,'
+              b'"default_expression":null},'
+              b'{"attname":"bio","attnum":3,"typname":"text",'
+              b'"atttypmod":-1,"attnotnull":false,"atthasdef":false,'
+              b'"default_expression":null}]}')
+TH1 = 0x20000
+ref_ddl_ident = (backend(b"W", u8(0) + be16(0)) +
+                 xlogdata(TH1 - 40, TH1, b"B" + be64(TH1) + be64(TS) +
+                          be32(997)) +
+                 xlogdata(TH1 - 32, TH1, b"M" + u8(1) + be64(TH1 - 32) +
+                          cstr("supabase_etl_ddl") +
+                          be32(len(SUPA_IDENT)) + SUPA_IDENT) +
+                 xlogdata(TH1 - 8, TH1, b"C" + u8(0) + be64(TH1) +
+                          be64(TH1 + 8) + be64(TS)) +
+                 keepalive(TH1 + 8, True))
+session.append(("stream_ref_ddl_ident", ref_ddl_ident))
+
 # ErrorResponse ('E'): list of (code byte, cstr value) fields, then a
 # terminating zero byte — per the docs' "Message Formats".
 def err_resp(sqlstate, msg):
