@@ -540,8 +540,14 @@ final class CdcPipeline(
               if (latest.snapshotLsn == schema.snapshotLsn) data0
               else {
                 val chain = graft.core.SchemaDiff.between(schema, latest)
-                val renamed = chain.renames.foldLeft(data0) {
-                  case (df, (f, t)) => df.withColumnRenamed(f, t) }
+                // two-phase (via temp names): a chain where one column
+                // takes another's OLD name (a→b while b→c) would
+                // otherwise collide mid-fold into duplicate columns
+                val rn = chain.renames.zipWithIndex.map {
+                  case ((f, t), i) => (f, s"__graft_rn_$i", t) }
+                val renamed = rn.foldLeft(rn.foldLeft(data0) {
+                  case (df, (f, tmp, _)) => df.withColumnRenamed(f, tmp)
+                }) { case (df, (_, tmp, t)) => df.withColumnRenamed(tmp, t) }
                 val masked =
                   if (chain.renames.isEmpty ||
                       !renamed.columns.contains("_missing")) renamed
