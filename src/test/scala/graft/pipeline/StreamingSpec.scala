@@ -406,6 +406,47 @@ class StreamingSpec extends SparkSpec {
     assert(rows(2L) == ((None, 32)))                   // real null written
   }
 
+  test("a PRE-rename TOAST-masked update in the SAME batch as the " +
+      "rename: the slice alignment rewrites the `_missing` entry to " +
+      "the new column name, so the mask keeps coalescing the stored " +
+      "value instead of silently missing its column") {
+    val dir = tmp("cdc-toast-rename")
+    val log = s"$dir/wal.log"
+    val sink = new CurrentStateSink(s"$dir/tables", _ => Seq("id"), 4)
+    val pipeline = mkPipeline(dir, sink)
+    pipeline.backfill(Seq(usersSchema), _ => (
+      Seq((1L, "toasty", 30)).toDF("id", "name", "age"), 0L))
+    // one batch: pre-rename masked update (mask names OLD "name"),
+    // then the attnum-keyed rename name→full_name, then a post-rename
+    // masked update (mask names NEW "full_name")
+    val renameJson = """{"table":"users","cols":[""" +
+      """{"name":"id","type":"int8","nullable":false,"pk":1,"ord":1},""" +
+      """{"name":"full_name","type":"text","ord":2},""" +
+      """{"name":"age","type":"int4","ord":3}]}"""
+    appendLog(log, Seq(
+      CdcLogSource.renderLine("U", 1L, 2L, 2L, 0L, 0L,
+        Some("""{"id":1}"""), Some("""{"id":1,"age":55}"""),
+        missing = Seq("name")),
+      CdcLogSource.renderLine("R", 1L, 3L, 3L, 0L, 3L, None,
+        Some(renameJson)),
+      CdcLogSource.renderLine("U", 1L, 4L, 4L, 0L, 3L,
+        Some("""{"id":1}"""), Some("""{"id":1,"age":77}"""),
+        missing = Seq("full_name"))))
+    val q = pipeline.startStream(log)
+    q.processAllAvailable()
+    q.stop()
+    assert(pipeline.stateStore.get(1L) == TableState.Ready,
+      pipeline.stateStore.get(1L).toString)
+    val out = sink.read(spark, "users")
+    assert(out.columns.toSet == Set("id", "full_name", "age"),
+      out.columns.toSeq.toString)
+    val rows = out.select("id", "full_name", "age")
+      .as[(Long, Option[String], Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // both masked updates kept the stored value through the rename
+    assert(rows == Map(1L -> ((Some("toasty"), 77))), rows.toString)
+  }
+
   test("schema evolution mid-stream: Relation record adds a column (S5/D1)") {
     val dir = tmp("cdc-ddl")
     val log = s"$dir/wal.log"
