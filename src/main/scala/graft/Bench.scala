@@ -188,7 +188,8 @@ object Bench {
     // pin-regeneration aid (no Spark session): print every oracle-SQL
     // hash the noise-pin guard below would compute, then exit
     if (sys.env.contains("SPARK_GRAFT_PRINT_PIN_HASHES")) {
-      Seq("q1_agg", "q5_join", "semi_anti", "setops").foreach { nm =>
+      Seq("q1_agg", "q5_join", "semi_anti", "setops", "q18_topk",
+          "dedup_jaccard").foreach { nm =>
         val norm = SparkEntry.oracleSql.getOrElse(nm, "")
           .replaceAll("\\s+", " ").trim
         val h = java.security.MessageDigest.getInstance("MD5")
@@ -384,11 +385,24 @@ object Bench {
     // from the index, surfaces in the contract as "stale_pins", and the
     // replacement hash prints to stderr so regeneration is mechanical
     // (re-pin the median AND the printed hash, note it in ROADMAP).
+    // Six pins since round 16: the original four are LIGHT queries
+    // (0.24-0.71 s), and under heavy contention shuffle-bound queries
+    // degrade MORE than light ones — the r16 full run measured pins
+    // scaling 1.23× while untouched heavy gates (dedup/ann/join
+    // families) sat at 1.3×+, so the index under-scaled them. The two
+    // heavier pins (q18_topk: 3-way join + windowless top-k over
+    // lineitem/orders, code unchanged since round ~7; dedup_jaccard:
+    // the PPJoin self-join, quiet minima within 4% across 18 recorded
+    // runs) let the median ratio see that regime. Quiet medians =
+    // median of the three smallest observations in the r10-r15
+    // BENCH_LOCAL git history, same derivation as the original four.
     val noisePins = Map(
-      "q1_agg"    -> (0.313, "9cfec849634372b824d02b7e3c706b06"),
-      "q5_join"   -> (0.711, "e14b00694e668315dc2372be3ac92ee7"),
-      "semi_anti" -> (0.292, "6fae8e0437dd3deff3bb9bd274a007f8"),
-      "setops"    -> (0.236, "c71acee6d281fcfdcaf1a9dce70cf6b7"))
+      "q1_agg"        -> (0.313, "9cfec849634372b824d02b7e3c706b06"),
+      "q5_join"       -> (0.711, "e14b00694e668315dc2372be3ac92ee7"),
+      "semi_anti"     -> (0.292, "6fae8e0437dd3deff3bb9bd274a007f8"),
+      "setops"        -> (0.236, "c71acee6d281fcfdcaf1a9dce70cf6b7"),
+      "q18_topk"      -> (0.952, "20328c8622e5eeed50fea55d1adec180"),
+      "dedup_jaccard" -> (1.927, "22ed5ae37a89b2b039e3b7b18fda7e29"))
     def sqlHash(nm: String): String = {
       val norm = SparkEntry.oracleSql.getOrElse(nm, "")
         .replaceAll("\\s+", " ").trim
