@@ -338,6 +338,99 @@ object CdcQueries {
     sink.read(spark, "state").orderBy("key")
   }
 
+  /** D1/J2 — PRIMARY-KEY column rename mid-stream, with the DDL landing
+    * in the MIDDLE of the event stream so pre-rename slices (old key
+    * name `key`) and post-rename slices (`uid`) coexist in one run —
+    * the destination applies the rename as a zero-movement mapping
+    * commit, the sink re-derives its merge key from the registry, and
+    * the pipeline aligns pre-rename slices to the new key name before
+    * they merge (the reference renames ANY column, PK included:
+    * bigquery/core.rs:803-946). Oracle: the same LWW replay as the
+    * other d1 gates — a rename never changes values, only the output
+    * column name. */
+  def pipelinePkRename(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{ColumnSpec, SchemaRegistry, TableSchemaV}
+    import graft.pipeline.{CdcPipeline, PipelineConfig, TableState}
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-pkrename").toString
+
+    val registry = new SchemaRegistry
+    registry.put(TableSchemaV(1L, "state", 0L, IndexedSeq(
+      ColumnSpec("key", "int8", nullable = false, pkOrdinal = 1,
+        ordinal = 1),
+      ColumnSpec("val", "float8", ordinal = 2))))
+    // registry-backed keysOf (the Replicator wiring): after the rename
+    // registers, fresh table handles merge on the NEW key name
+    val sink = new CurrentStateSink(s"$tmp/tables",
+      name => registry.tables.flatMap(registry.latest)
+        .find(_.tableName == name).map(_.primaryKey)
+        .getOrElse(Seq("key")), 16)
+    sink.writeTableRows("state", Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("key"),
+        col("c_acctbal").cast("double").as("val")))
+
+    // events at lsn 2*event_id+2 (even); the key-rename DDL at the odd
+    // lsn 2*mid+3 splits the stream: event_id <= mid decodes at schema
+    // 0 (old key name), event_id > mid at the renamed version
+    val maxId = Tables.load(spark, dir, "events")
+      .agg(max(col("event_id"))).collect()(0).getLong(0)
+    val mid = maxId / 2
+    val ddlLsn = 2 * mid + 3
+    val renameJson = """{"table":"state","cols":[""" +
+      """{"name":"uid","type":"int8","nullable":false,"pk":1,"ord":1},""" +
+      """{"name":"val","type":"float8","ord":2}]}"""
+    val ddlLine = graft.sources.CdcLogSource.renderLine(
+      "R", 1L, ddlLsn, ddlLsn, 0L, ddlLsn, None, Some(renameJson))
+    val sep = lit(graft.core.PackedRow.Sep.toString)
+    val evLines = Tables.load(spark, dir, "events")
+      .withColumn("op", opExpr)
+      .withColumn("lsn", col("event_id") * 2 + 2)
+      .withColumn("slsn",
+        when(col("event_id") <= mid, lit(0L)).otherwise(lit(ddlLsn)))
+      .select(col("lsn"), concat(
+        col("lsn").cast(StringType), lit("\t0\t"), col("op"),
+        lit("\t1\t"), col("lsn").cast(StringType), lit("\t"),
+        col("slsn").cast(StringType), lit("\t"),
+        when(col("op") === "D", concat(lit("="), col("user_id")))
+          .otherwise(lit("\\N")),
+        lit("\t"),
+        when(col("op") =!= "D",
+          concat(lit("="), col("user_id"), sep, col("value")))
+          .otherwise(lit("\\N"))).as("line"))
+    val wal = spark.range(1)
+      .select(lit(ddlLsn).as("lsn"), lit(ddlLine).as("line"))
+      .unionByName(evLines)
+      .orderBy("lsn").select("line")
+    wal.coalesce(1).write.text(s"$tmp/wal")
+    val part = new java.io.File(s"$tmp/wal").listFiles()
+      .find(_.getName.endsWith(".txt")).get
+    val log = s"$tmp/wal.log"
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(log))
+
+    val pipeline = new CdcPipeline(spark,
+      PipelineConfig(maxRowsPerTrigger = 50000, maxFillMs = 50,
+        checkpointDir = s"$tmp/ckpt", stateDir = s"$tmp/state"),
+      registry, sink, CdcPipeline.jsonDecode)
+    pipeline.stateStore.force(1L, TableState.Ready)
+    val q = pipeline.startStream(log)
+    q.processAllAvailable()
+    q.stop()
+    sink.read(spark, "state").orderBy("uid")
+  }
+
+  val pipelinePkRenameSql: String = """
+    WITH last AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events) t WHERE rn = 1)
+    SELECT COALESCE(l.user_id, b.c_custkey) AS uid,
+      CAST(CASE WHEN l.user_id IS NOT NULL THEN l.value
+                ELSE b.c_acctbal END AS DOUBLE) AS val
+    FROM customer b FULL OUTER JOIN last l ON b.c_custkey = l.user_id
+    WHERE l.event_type IS NULL OR l.event_type <> 'error'
+    ORDER BY uid"""
+
   val pipelineRenameSql: String = """
     WITH last AS (
       SELECT user_id, event_type, value FROM (
