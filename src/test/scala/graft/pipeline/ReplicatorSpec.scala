@@ -190,6 +190,11 @@ class ReplicatorSpec extends SparkSpec {
         Some(Seq(Seq("00000003-00000002-1")))
       else if (sql.contains("pg_partition_tree"))
         Some(Seq(Seq("public.users", "1", "2")))
+      else if (sql.contains("pg_attribute"))
+        // live catalog for the bootstrap attnum stamping
+        // (source.stampOrdinals, default on): the table's history had a
+        // mid-table drop, so name sits at attnum 3, not position 2
+        Some(Seq(Seq("id", "1", null), Seq("name", "3", null)))
       else None
     server.copyHandler = sql => {
       assert(sql.contains("public.users") && sql.contains("ctid"), sql)
@@ -236,6 +241,14 @@ class ReplicatorSpec extends SparkSpec {
     assert(qs.exists(_.startsWith("START_REPLICATION")))
     assert(qs.exists(_.contains("pg_export_snapshot")))
     assert(qs.exists(_.contains("SET TRANSACTION SNAPSHOT '00000003-00000002-1'")))
+    // bootstrap attnum stamping ran over the wire and PERSISTED: the
+    // re-saved registry carries the live catalog's ordinals (gap at the
+    // historical drop), so the first attnum-keyed diff cannot mis-key
+    assert(qs.exists(_.contains("pg_attribute")))
+    val stamped = SchemaRegistry.load(s"$work/schemas.json")
+    assert(stamped.latest(1L).get.columns.map(c => (c.name, c.ordinal)) ==
+      IndexedSeq(("id", 1), ("name", 3)),
+      stamped.latest(1L).get.columns.toString)
   }
 
   test("socket mode + source.createSlot: the slot is created BEFORE " +
