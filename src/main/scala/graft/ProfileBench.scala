@@ -26,20 +26,30 @@ object ProfileBench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobNanos = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
-        starts.put(js.jobId, (System.nanoTime(),
-          Option(js.properties.getProperty("callSite.short")).getOrElse("?")))
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        // callSite.short is absent on some submission paths — the last
+        // stage's name carries the action call site instead
+        val site = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .orElse(js.stageInfos.lastOption.map(_.name))
+          .getOrElse("?")
+        starts.put(js.jobId, (System.nanoTime(), site))
+      }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(starts.remove(je.jobId)).foreach { case (t0, site) =>
           val ms = (System.nanoTime() - t0) / 1e6
+          jobCount.incrementAndGet()
+          jobNanos.addAndGet(System.nanoTime() - t0)
           if (ms >= 20) println(f"    job ${je.jobId}%4d ${ms}%8.0f ms  $site")
         }
       }
     })
 
-    val selected = SparkEntry.queries.filter { case (n, _) =>
-      only.isEmpty || only(n) }
+    val selected = (SparkEntry.queries ++ SparkEntry.benchOnly)
+      .filter { case (n, _) => only.isEmpty || only(n) }
     // one warmup pass at the smallest SF so JIT/codegen noise drops out
     selected.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count()
@@ -48,9 +58,13 @@ object ProfileBench {
     println("=== profiled runs ===")
     selected.foreach { case (name, fn) =>
       println(s"--- $name")
+      jobCount.set(0); jobNanos.set(0L)
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-      println(f"  total ${(System.nanoTime() - t0) / 1e9}%.2f s  ($n rows)")
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"  total $wall%.2f s  ($n rows)  jobs=${jobCount.get}  " +
+        f"jobTime=${jobNanos.get / 1e9}%.2f s  " +
+        f"offJob=${wall - jobNanos.get / 1e9}%.2f s")
     }
     spark.stop()
   }

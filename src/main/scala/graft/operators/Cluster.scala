@@ -75,13 +75,15 @@ object Cluster {
     val asg = assign(corpus, idCol, vecCol, centroids)
     val clustered = corpus.select(col(idCol), col(vecCol))
       .join(asg.select(col(idCol), col("cluster")), idCol)
+    // norms per row, not per within-cluster pair (Σ n_c² pairs):
+    // Similarity.cosinePre — bit-identical scores
     val a = clustered.select(col("cluster"), col(idCol).as("id_a"),
-      col(vecCol).as("_va"))
+      col(vecCol).as("_va"), Similarity.norm(col(vecCol)).as("_na"))
     val b = clustered.select(col("cluster"), col(idCol).as("id_b"),
-      col(vecCol).as("_vb"))
+      col(vecCol).as("_vb"), Similarity.norm(col(vecCol)).as("_nb"))
     val pairs = a.join(b, "cluster").filter(col("id_a") < col("id_b"))
-      .filter(round(Similarity.cosine(col("_va"), col("_vb")), 6)
-        >= threshold)
+      .filter(round(Similarity.cosinePre(col("_va"), col("_vb"),
+        col("_na"), col("_nb")), 6) >= threshold)
       .select("id_a", "id_b")
     val reps = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .withColumnRenamed("id", idCol)

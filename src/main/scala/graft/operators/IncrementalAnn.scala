@@ -129,13 +129,17 @@ object IncrementalAnn {
       qId: String = "q_id", qVec: String = "q_vec"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val centroids = loadCentroids(spark, cents)
-    val probed = queries.select(col(qId), col(qVec))
+    val probed = queries.select(col(qId), col(qVec),
+        Similarity.norm(col(qVec)).as("_qn"))
       .withColumn("list_id", explode(
         graft.functions.NearestCentroids(col(qVec), centroids, nProbe)))
     val cands = lists.readForProbe(spark,
       probed.select("list_id").distinct())
-    val scored = cands.join(broadcast(probed), "list_id")
-      .withColumn("sim", round(Similarity.cosine(col(qVec), col("vec")), 6))
+    // candidate norms once per row, not per (query, candidate) pair
+    val scored = cands.withColumn("_cn", Similarity.norm(col("vec")))
+      .join(broadcast(probed), "list_id")
+      .withColumn("sim", round(Similarity.cosinePre(col(qVec), col("vec"),
+        col("_qn"), col("_cn")), 6))
     val w = Window.partitionBy(col(qId))
       .orderBy(col("sim").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))

@@ -172,16 +172,20 @@ object IncrementalDedup {
       hits => {
         val candIds = hits.select(col("id_a").as("id"))
           .union(hits.select(col("id_b"))).distinct()
-        val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("_v"))
+        // norms once per candidate row, not once per candidate PAIR
+        // (Similarity.cosinePre — bit-identical scores)
+        val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("_v"),
+            Similarity.norm(col(vecCol)).as("_n"))
           .join(candIds, "id")
           .localCheckpoint(eager = false)
         hits
-          .join(vecs.select(col("id").as("id_a"), col("_v").as("v_a")),
-            "id_a")
-          .join(vecs.select(col("id").as("id_b"), col("_v").as("v_b")),
-            "id_b")
+          .join(vecs.select(col("id").as("id_a"), col("_v").as("v_a"),
+            col("_n").as("n_a")), "id_a")
+          .join(vecs.select(col("id").as("id_b"), col("_v").as("v_b"),
+            col("_n").as("n_b")), "id_b")
           .withColumn("sim",
-            round(Similarity.cosine(col("v_a"), col("v_b")), 6))
+            round(Similarity.cosinePre(col("v_a"), col("v_b"),
+              col("n_a"), col("n_b")), 6))
           .filter(col("sim") >= cfg.threshold)
           .select("id_a", "id_b", "sim")
       }, scoreCol = "sim", heavyVerify = false)

@@ -29,6 +29,18 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** [[cosine]] with the two norms precomputed per ROW: a pair-scoring
+    * join (cross join, candidate verify) evaluates [[cosine]] once per
+    * PAIR, so each side's `sqrt(Σx²)` is recomputed |pairs| times —
+    * at n² pair scale that triples the per-pair flops for values that
+    * are row constants. Callers project `norm(v)` once on each side
+    * before the join and score with this. The expression tree
+    * `dot/(na·nb)` is UNCHANGED (same left-to-right double folds, same
+    * division), so scores are bit-identical to [[cosine]] — pinned by
+    * the unchanged oracle gates. */
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors. Queries are broadcast (small side); ranking is deterministic
     * via (rounded score desc, corpus id) ordering. */
@@ -36,8 +48,10 @@ object Similarity {
       qId: String = "q_id", qVec: String = "q_vec",
       cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = corpus.crossJoin(broadcast(queries))
-      .withColumn("sim", round(cosine(col(qVec), col(cVec)), 6))
+    val scored = corpus.withColumn("_cn", norm(col(cVec)))
+      .crossJoin(broadcast(queries.withColumn("_qn", norm(col(qVec)))))
+      .withColumn("sim",
+        round(cosinePre(col(qVec), col(cVec), col("_qn"), col("_cn")), 6))
     val w = Window.partitionBy(col(qId))
       .orderBy(col("sim").desc, col(cId))
     scored.withColumn("rank", row_number().over(w))
@@ -57,9 +71,11 @@ object Similarity {
       cId: String = "c_id", cVec: String = "c_vec",
       labelCol: String = "label"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = corpus.crossJoin(broadcast(queries))
+    val scored = corpus.withColumn("_cn", norm(col(cVec)))
+      .crossJoin(broadcast(queries.withColumn("_qn", norm(col(qVec)))))
       .filter(col(qId) =!= col(cId))
-      .withColumn("sim", round(cosine(col(qVec), col(cVec)), 6))
+      .withColumn("sim",
+        round(cosinePre(col(qVec), col(cVec), col("_qn"), col("_cn")), 6))
     val w = Window.partitionBy(col(qId))
       .orderBy(col("sim").desc, col(cId))
     val neighbors = scored.withColumn("rank", row_number().over(w))
@@ -100,14 +116,16 @@ object Similarity {
       cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bucketed = corpus.withColumn("bucket", hyperplaneSig(col(cVec), nPlanes))
+      .withColumn("_cn", norm(col(cVec)))
     // query probes: own bucket + flip each bit once (hamming-1)
     val probes = queries.withColumn("sig", hyperplaneSig(col(qVec), nPlanes))
-      .select(col(qId), col(qVec), explode(array(
+      .select(col(qId), col(qVec), norm(col(qVec)).as("_qn"), explode(array(
         (col("sig") +: (0 until nPlanes).map(p =>
           col("sig").bitwiseXOR(shiftleft(lit(1L), p)))): _*)).as("bucket"))
     val candidates = bucketed.join(broadcast(probes), "bucket")
     val scored = candidates
-      .withColumn("sim", round(cosine(col(qVec), col(cVec)), 6))
+      .withColumn("sim",
+        round(cosinePre(col(qVec), col(cVec), col("_qn"), col("_cn")), 6))
     val w = Window.partitionBy(col(qId))
       .orderBy(col("sim").desc, col(cId))
     scored.withColumn("rank", row_number().over(w))
@@ -216,12 +234,13 @@ object Similarity {
       cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val indexed = assign(col(cVec), centroids)(
-      corpus.select(col(cId), col(cVec)))
+      corpus.select(col(cId), col(cVec), norm(col(cVec)).as("_cn")))
     val probed = probeLists(col(qVec), centroids, nProbe)(
-      queries.select(col(qId), col(qVec)))
+      queries.select(col(qId), col(qVec), norm(col(qVec)).as("_qn")))
     val candidates = indexed.join(broadcast(probed), "list_id")
     val scored = candidates
-      .withColumn("sim", round(cosine(col(qVec), col(cVec)), 6))
+      .withColumn("sim",
+        round(cosinePre(col(qVec), col(cVec), col("_qn"), col("_cn")), 6))
     val w = Window.partitionBy(col(qId))
       .orderBy(col("sim").desc, col(cId))
     scored.withColumn("rank", row_number().over(w))
@@ -377,14 +396,16 @@ object Similarity {
         (col("_qnorm") * col("_rnorm")))
       .withColumn("_r", row_number().over(wAdc))
       .filter(col("_r") <= k * refineFactor)
-      .select(col(qId), col(qVec), col(cId))
+      .select(col(qId), col(qVec), col("_qnorm"), col(cId))
 
     // --- refine: exact cosine on the shortlist only (id-keyed join
     // moves k·refineFactor vectors per query, not the corpus)
     val w = Window.partitionBy(col(qId))
       .orderBy(col("sim").desc, col(cId))
-    shortlist.join(corpus.select(col(cId), col(cVec)), cId)
-      .withColumn("sim", round(cosine(col(qVec), col(cVec)), 6))
+    shortlist.join(corpus.select(col(cId), col(cVec),
+        norm(col(cVec)).as("_cn")), cId)
+      .withColumn("sim",
+        round(cosinePre(col(qVec), col(cVec), col("_qnorm"), col("_cn")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(qId), col(cId), col("sim"), col("rank"))
@@ -415,13 +436,15 @@ object Similarity {
     val candIds = a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val vecs = df.select(col(idCol).as("_v_id"), col(vecCol).as("_v_vec"))
+    val vecs = df.select(col(idCol).as("_v_id"), col(vecCol).as("_v_vec"),
+      norm(col(vecCol)).as("_v_n"))
     candIds
       .join(vecs.withColumnsRenamed(
-        Map("_v_id" -> "id_a", "_v_vec" -> "vec_a")), "id_a")
+        Map("_v_id" -> "id_a", "_v_vec" -> "vec_a", "_v_n" -> "_n_a")), "id_a")
       .join(vecs.withColumnsRenamed(
-        Map("_v_id" -> "id_b", "_v_vec" -> "vec_b")), "id_b")
-      .withColumn("sim", round(cosine(col("vec_a"), col("vec_b")), 6))
+        Map("_v_id" -> "id_b", "_v_vec" -> "vec_b", "_v_n" -> "_n_b")), "id_b")
+      .withColumn("sim", round(
+        cosinePre(col("vec_a"), col("vec_b"), col("_n_a"), col("_n_b")), 6))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }

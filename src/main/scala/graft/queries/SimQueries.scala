@@ -104,10 +104,13 @@ object SimQueries {
     val w = Window.partitionBy("q_id")
       .orderBy(col("sim").desc, col("doc_id"))
     cand.join(emb.select(col("vec_id").as("doc_id"),
-        col("embedding").as("d_vec")), "doc_id")
-      .join(broadcast(qv), "q_id")
+        col("embedding").as("d_vec"),
+        Similarity.norm(col("embedding")).as("_dn")), "doc_id")
+      .join(broadcast(qv.withColumn("_qn",
+        Similarity.norm(col("q_vec")))), "q_id")
       .withColumn("sim",
-        round(Similarity.cosine(col("q_vec"), col("d_vec")), 6))
+        round(Similarity.cosinePre(col("q_vec"), col("d_vec"),
+          col("_qn"), col("_dn")), 6))
       .withColumn("_r", row_number().over(w))
       .filter(col("_r") <= 5)
       .select(col("q_id"), col("_r").cast("int").as("rank"),
@@ -286,13 +289,19 @@ object SimQueries {
     IncrementalDedup.applyEmbedDelta(spark, bands, pairs, corpus2,
       changes, "vec_id", "embedding", seq(2), cfg)
 
+    // norms per row, not per pair (Similarity.cosinePre — bit-identical):
+    // the exact leg is the declared n² oracle cross join, so the per-pair
+    // kernel cost is the whole leg's cost
     val a = corpus2.select(col("vec_id").as("id_a"),
-      col("embedding").as("va"))
+      col("embedding").as("va"),
+      graft.operators.Similarity.norm(col("embedding")).as("na"))
     val b = corpus2.select(col("vec_id").as("id_b"),
-      col("embedding").as("vb"))
+      col("embedding").as("vb"),
+      graft.operators.Similarity.norm(col("embedding")).as("nb"))
     val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .withColumn("sim",
-        round(graft.operators.Similarity.cosine(col("va"), col("vb")), 6))
+        round(graft.operators.Similarity.cosinePre(col("va"), col("vb"),
+          col("na"), col("nb")), 6))
       .filter(col("sim") >= cfg.threshold)
       .select("id_a", "id_b").withColumn("_e", lit(1))
     val approx = IncrementalDedup.readPairs(spark, pairs)
@@ -447,10 +456,13 @@ object SimQueries {
     val w = Window.partitionBy("q_id")
       .orderBy(col("sim").desc, col("doc_id"))
     val cleg = emb.select(col("vec_id").as("doc_id"),
-        col("embedding").as("d_vec"))
-      .crossJoin(broadcast(qv))
+        col("embedding").as("d_vec"),
+        Similarity.norm(col("embedding")).as("_dn"))
+      .crossJoin(broadcast(qv.withColumn("_qn",
+        Similarity.norm(col("q_vec")))))
       .withColumn("sim",
-        round(Similarity.cosine(col("q_vec"), col("d_vec")), 6))
+        round(Similarity.cosinePre(col("q_vec"), col("d_vec"),
+          col("_qn"), col("_dn")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 20)
       .select("q_id", "doc_id", "rank")
@@ -676,10 +688,14 @@ object SimQueries {
     * SimilaritySpec. */
   def dedupEmbedCosine(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    // norms per row, not per pair (Similarity.cosinePre — bit-identical)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      Similarity.norm(col("embedding")).as("na"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      Similarity.norm(col("embedding")).as("nb"))
     val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .withColumn("sim", round(Similarity.cosinePre(col("va"), col("vb"),
+        col("na"), col("nb")), 6))
       .filter(col("sim") >= 0.45)
       .select("id_a", "id_b")
     val approx = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
