@@ -380,43 +380,104 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Edge count at or below which [[connectedComponents]] runs on the
+    * DRIVER (one bounded collect + union-find — a single job) instead of
+    * the distributed O(log chain) shuffle rounds. Near-dup pair graphs
+    * are OUTPUT-scale (dup pairs, not corpus rows), so even large-corpus
+    * runs often land under this; the distributed path engages above it
+    * (bootstraps, adversarial corpora). Same cap — and the same
+    * rationale — as [[IncrementalClusters.maxLocalEdges]], which has
+    * taken this route for delta-scale subgraphs since round 9. */
+  val LocalEdgeCap: Int = 1 << 17
+
   /** Connected components over a near-dup PAIR list → duplicate
     * CLUSTERS: (id, rep) where rep is the smallest id reachable through
     * the pair graph — the canonicalization step between pairwise dedup
     * output and "keep one representative per duplicate group".
     *
-    * Algorithm: min-label propagation with pointer jumping (path
-    * halving). Each round (1) every node takes the min of its own label
-    * and its neighbors' labels — one long-pair shuffle over the edge
-    * list; (2) labels compress through `rep ← rep(rep)` — one self-join
-    * on label ids. Halving makes convergence O(log longest chain)
-    * rounds rather than O(diameter), so pathological chain-shaped
-    * components (a~b~c~…) don't serialize the job at 100 TB; per round
-    * everything shuffled is (long, long) pairs — no payload. Labels are
-    * localCheckpointed per round (lineage cut, as the Lloyd loop does)
-    * and convergence is an exact changed-count == 0 check (driver
-    * metadata aggregate). Deterministic: pure min folds. Soak: a
-    * 1M-edge random graph (865k nodes → 26.7k components, giant
-    * component included) converges in under a minute on local[32].
+    * Scale-adaptive: the pair stream is materialized once and counted;
+    * at or below `localEdgeCap` edges the components come from a driver
+    * union-find over one bounded collect (one job instead of
+    * O(log chain) rounds of 3+ jobs each — the common case, since pair
+    * lists are output-scale); above it, the distributed
+    * [[connectedComponentsStats]] loop runs. Both produce the identical
+    * (id, rep = component minimum) rows.
     *
     * Only ids that appear in `pairs` are emitted; callers left-join and
     * coalesce(rep, id) to cover singleton documents. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 50): DataFrame =
-    connectedComponentsStats(pairs, aCol, bCol, maxRounds)._1
-
-  /** [[connectedComponents]] plus the number of propagation rounds it
-    * took to converge — the observable the scale soaks pin: rounds must
-    * grow O(log longest-chain), not O(diameter), or a pathological
-    * component serializes the job at 100 TB. */
-  def connectedComponentsStats(pairs: DataFrame, aCol: String,
-      bCol: String, maxRounds: Int = 50): (DataFrame, Int) = {
-    // materialize the pair stream ONCE before mirroring: the union reads
-    // `pairs` twice, and without this the (expensive) upstream candidate
-    // plan — e.g. a whole PPJoin — executes once per branch
+      maxRounds: Int = 50, localEdgeCap: Int = LocalEdgeCap): DataFrame = {
+    // materialize the (expensive) upstream pair plan exactly ONCE —
+    // probe count, bounded collect, and the distributed fallback's
+    // mirror union all read this checkpoint
     val p = pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .localCheckpoint()
+    if (p.count() <= localEdgeCap) {
+      import p.sparkSession.implicits._
+      localComponents(p.sparkSession, p.as[(Long, Long)].collect())
+    } else distributedComponents(p, maxRounds)._1
+  }
+
+  /** Driver union-find (path compression + union-by-min): rep = the
+    * component's smallest id, bit-identical to the distributed loop's
+    * min-label fixpoint. Shared with [[IncrementalClusters]]. */
+  private[operators] def localComponents(
+      spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      if (a != b) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by min keeps reps = component minimum
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+    }
+    val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+      parent.size)
+    val it = parent.keySet().iterator()
+    while (it.hasNext) { val k = it.next(); rows += ((k, find(k))) }
+    rows.toSeq.toDF("id", "rep")
+  }
+
+  /** [[connectedComponents]] plus the number of propagation rounds it
+    * took to converge — ALWAYS the distributed loop (the scale soaks pin
+    * its round growth: O(log longest-chain), not O(diameter), or a
+    * pathological component serializes the job at 100 TB).
+    *
+    * Algorithm: min-label propagation with pointer jumping (path
+    * halving). Each round (1) every node takes the min of its own label
+    * and its neighbors' labels — one long-pair shuffle over the edge
+    * list; (2) labels compress through `rep ← rep(rep)` — one self-join
+    * on label ids. Per round everything shuffled is (long, long) pairs —
+    * no payload. Labels are localCheckpointed per round (lineage cut, as
+    * the Lloyd loop does) and convergence is an exact changed-count == 0
+    * check (driver metadata aggregate). Deterministic: pure min folds.
+    * Soak: a 1M-edge random graph (865k nodes → 26.7k components, giant
+    * component included) converges in under a minute on local[32]. */
+  def connectedComponentsStats(pairs: DataFrame, aCol: String,
+      bCol: String, maxRounds: Int = 50): (DataFrame, Int) = {
+    val p = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .localCheckpoint()
+    distributedComponents(p, maxRounds)
+  }
+
+  /** The distributed label-propagation loop over a checkpointed
+    * canonical (u, v) pair frame. */
+  private def distributedComponents(p: DataFrame,
+      maxRounds: Int): (DataFrame, Int) = {
     val edges = p
       .union(p.select(col("v").as("u"), col("u").as("v")))
       .filter(col("u") =!= col("v"))

@@ -102,16 +102,28 @@ object IncrementalAnn {
         .isin("insert", "update_postimage")).select("id", "vec"))
       val before = assigned(ch.filter(col("_change_type")
         .isin("delete", "update_preimage")).select("id", "vec"))
-      val key = Seq("list_id", "id")
       val vecType = ch.schema("vec").dataType
       // upsert only where the stored vector actually changes; delete
-      // keys that vanished (true deletes + list-crossing updates)
-      val ins = after.join(before.select(col("list_id"), col("id"),
-            col("vec").as("_vOld")), key, "left")
-        .filter(col("_vOld").isNull || col("_vOld") =!= col("vec"))
-        .select(col("list_id"), col("id"), col("vec"))
+      // keys that vanished (true deletes + list-crossing updates).
+      // OLD nets against NEW in ONE (list_id, id) aggregation over the
+      // tagged union (the CDF carries at most one pre- and one
+      // post-image per id, so first() per side is exact) — the
+      // round-15 shape reconciled the two sides with a join + an
+      // anti-join, two extra exchanges of the delta per sync.
+      val net = after.withColumn("_side", lit(1))
+        .unionByName(before.withColumn("_side", lit(2)))
+        .groupBy("list_id", "id").agg(
+          first(when(col("_side") === 1, col("vec")), ignoreNulls = true)
+            .as("_vNew"),
+          first(when(col("_side") === 2, col("vec")), ignoreNulls = true)
+            .as("_vOld"))
+      val ins = net
+        .filter(col("_vNew").isNotNull &&
+          (col("_vOld").isNull || col("_vOld") =!= col("_vNew")))
+        .select(col("list_id"), col("id"), col("_vNew").as("vec"))
         .withColumn("_op", lit("I"))
-      val del = before.join(after, key, "left_anti")
+      val del = net
+        .filter(col("_vNew").isNull && col("_vOld").isNotNull)
         .select(col("list_id"), col("id"),
           lit(null).cast(vecType).as("vec"))
         .withColumn("_op", lit("D"))

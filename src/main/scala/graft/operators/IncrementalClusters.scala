@@ -207,30 +207,8 @@ object IncrementalClusters {
       col("id_b").cast("long")).limit(localEdgeCap + 1)
       .as[(Long, Long)].collect()
     if (head.length > localEdgeCap)
-      Dedup.connectedComponents(edges, "id_a", "id_b", maxRounds)
-    else {
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.get(r) != r) r = parent.get(r)
-        var c = x
-        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
-        r
-      }
-      head.foreach { case (a, b) =>
-        parent.putIfAbsent(a, a)
-        parent.putIfAbsent(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { // union by min keeps reps = component minimum
-          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
-        }
-      }
-      val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
-        parent.size)
-      val it = parent.keySet().iterator()
-      while (it.hasNext) { val k = it.next(); rows += ((k, find(k))) }
-      rows.toSeq.toDF("id", "rep")
-    }
+      Dedup.connectedComponentsStats(edges, "id_a", "id_b", maxRounds)._1
+    else Dedup.localComponents(spark, head)
   }
 
   private def emptyIds(spark: SparkSession): DataFrame =

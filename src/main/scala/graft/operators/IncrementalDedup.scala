@@ -303,11 +303,18 @@ object IncrementalDedup {
     val oldBands = bandRowsOf(before).cache()
     try {
       val hadData = bands.hasData
-      val key = Seq("band", "bh", "id")
-      val ins = newBands.join(oldBands, key, "left_anti")
-        .withColumn("_op", lit("I"))
-      val del = oldBands.join(newBands, key, "left_anti")
-        .withColumn("_op", lit("D"))
+      // net the two sides in ONE aggregation over the tagged union:
+      // (band, bh, id) is unique within each side (one bh per (id,
+      // band)), so the side-sum classifies rows — 1 = new-only (insert),
+      // 2 = old-only (delete), 3 = unmoved (write nothing). The
+      // round-15 shape reconciled with two anti-joins, i.e. two extra
+      // exchanges of the cached delta inside the merge job.
+      val bandDelta = newBands.withColumn("_side", lit(1L))
+        .unionByName(oldBands.withColumn("_side", lit(2L)))
+        .groupBy("band", "bh", "id").agg(sum(col("_side")).as("_s"))
+        .filter(col("_s") =!= 3L)
+        .select(col("band"), col("bh"), col("id"),
+          when(col("_s") === 1L, "I").otherwise("D").as("_op"))
       // the band-table commit OVERLAPS the candidate probe + verify:
       // the probe reads the PRE-merge index unioned with the in-memory
       // delta bands — a superset of the post-merge index ((old −
@@ -320,7 +327,7 @@ object IncrementalDedup {
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       val fBands = Future {
-        bands.merge(ins.unionByName(del).withColumn("_seq", lit(seq)))
+        bands.merge(bandDelta.withColumn("_seq", lit(seq)))
       }
 
       // candidates: the delta's bands probe the index — bucket-pruned

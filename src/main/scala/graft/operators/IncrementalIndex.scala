@@ -79,24 +79,33 @@ object IncrementalIndex {
       val before = ch.filter(col("_change_type")
         .isin("delete", "update_preimage")).select("id", "toks")
       // positional postings: tf plus the sorted position list, so the
-      // same index serves BM25 scoring AND exact phrase search
-      def postingRows(df: DataFrame): DataFrame =
-        df.select(col("id"), posexplode(col("toks")))
-          .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "term")
-          .groupBy("term", "id").agg(count(lit(1)).as("tf"),
-            sort_array(collect_list(col("_pos"))).as("positions"))
-      val newP = postingRows(after)
-      val oldP = postingRows(before)
-      val key = Seq("term", "id")
-      // net delta: upsert only where the positions actually changed
-      // (tf is their size, so this subsumes the tf comparison); delete
-      // rows whose (term, id) vanished from the document
-      val ins = newP.join(oldP.select(col("term"), col("id"),
-            col("positions").as("_pOld")), key, "left")
-        .filter(col("_pOld").isNull || col("_pOld") =!= col("positions"))
-        .select(col("term"), col("id"), col("tf"), col("positions"))
+      // same index serves BM25 scoring AND exact phrase search. OLD and
+      // NEW rows net in ONE pass: both sides explode tagged into one
+      // (term, id) aggregation that collects each side's position list
+      // (collect_list skips the other side's nulls), and the net delta
+      // falls out of comparing the two lists — where the round-15 shape
+      // aggregated each side separately and reconciled with a join + an
+      // anti-join, i.e. two extra exchanges of the delta per sync. An
+      // update that leaves a (term, id) unchanged still writes nothing:
+      // equal position lists drop out exactly as before.
+      val posted = after.withColumn("_side", lit(1))
+        .unionByName(before.withColumn("_side", lit(2)))
+        .select(col("id"), col("_side"), posexplode(col("toks")))
+        .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "term")
+        .groupBy("term", "id").agg(
+          sort_array(collect_list(when(col("_side") === 1, col("_pos"))))
+            .as("_pNew"),
+          sort_array(collect_list(when(col("_side") === 2, col("_pos"))))
+            .as("_pOld"))
+      // new side present and changed → upsert; vanished → delete
+      val ins = posted
+        .filter(size(col("_pNew")) > 0 && col("_pOld") =!= col("_pNew"))
+        .select(col("term"), col("id"),
+          size(col("_pNew")).cast("long").as("tf"),
+          col("_pNew").as("positions"))
         .withColumn("_op", lit("I"))
-      val del = oldP.join(newP, key, "left_anti")
+      val del = posted
+        .filter(size(col("_pNew")) === 0 && size(col("_pOld")) > 0)
         .select(col("term"), col("id"), lit(null).cast("long").as("tf"),
           lit(null).cast("array<int>").as("positions"))
         .withColumn("_op", lit("D"))

@@ -189,11 +189,30 @@ class DedupSpec extends SparkSpec {
   }
 
   test("connectedComponents converges on a long chain (pointer jumping)") {
-    // a 64-node path: min-label alone needs 63 rounds, halving far fewer
+    // a 64-node path: min-label alone needs 63 rounds, halving far fewer.
+    // Stats = the DISTRIBUTED loop always (the adaptive front door would
+    // take the driver-local path at this size).
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(chain, "id_a", "id_b", maxRounds = 12)
-      .as[(Long, Long)].collect()
+    val got = Dedup.connectedComponentsStats(chain, "id_a", "id_b",
+      maxRounds = 12)._1.as[(Long, Long)].collect()
     assert(got.length == 64 && got.forall(_._2 == 0L))
+  }
+
+  test("connectedComponents local and distributed paths agree") {
+    // the adaptive front door takes the driver union-find at or below
+    // LocalEdgeCap and the shuffle loop above it — both must emit the
+    // identical (id, rep = component min) rows
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 300).map(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(df, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(df, "id_a", "id_b",
+        localEdgeCap = 0) // force the distributed loop
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
   }
 
   test("substringDedup removes covered dup spans, keeps global first") {
