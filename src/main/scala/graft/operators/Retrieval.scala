@@ -45,11 +45,19 @@ object Retrieval {
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = docs.select(col(idCol).as("_d"),
       explode(col(tokensCol)).as("term"))
-    // the "index": per-(doc,term) tf, per-doc length, per-term df,
-    // corpus-level (avgdl, N) as a one-row frame (broadcast, not a
-    // driver-side collect — keeps the whole operator one lazy plan)
+    // the "index": per-(doc,term) tf — materialized ONCE (lazy local
+    // checkpoint): it feeds doc lengths, document frequencies AND the
+    // probe join, and without the checkpoint each consumer re-runs the
+    // tokenize + explode + corpus shuffle (profiled as 3-4 concurrent
+    // duplicate stage jobs on the chunked-corpus gate). Doc length =
+    // Σ tf per doc (identical integer count), so the former second
+    // full pass over the exploded token stream drops out entirely —
+    // ONE tokenize pass and ONE corpus-scale exchange per call, at
+    // every scale. Corpus stats stay a one-row broadcast frame, not a
+    // driver-side collect.
     val tf = toks.groupBy("_d", "term").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("_d").agg(count(lit(1)).as("dl"))
+      .localCheckpoint(eager = false)
+    val dl = tf.groupBy("_d").agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(avg(col("dl")).as("avgdl"),
       count(lit(1)).as("n"))

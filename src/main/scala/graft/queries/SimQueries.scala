@@ -378,11 +378,15 @@ object SimQueries {
     val members = IncrementalClusters.membersTable(s"$root/members", 4)
     def seq(v: Long) = f"$v%016x/0"
 
-    IncrementalDedup.applyDelta(spark, bands, pairs, docs,
+    // chain each cluster sync off the pair sync's returned verified set
+    // (the designed corpus→pairs→clusters consumer shape): the cluster
+    // sync seeds from it directly instead of re-probing the pair table
+    val verified1 = IncrementalDedup.applyDelta(spark, bands, pairs, docs,
       docs.withColumn("_change_type", lit("insert")),
       "doc_id", "text", seq(1), cfg)
     IncrementalClusters.applyDelta(spark, idRep, members, pairs,
-      docs.select(col("doc_id").as("id")), "id", seq(1))
+      docs.select(col("doc_id").as("id")), "id", seq(1),
+      touchingPairs = Some(verified1))
 
     val delCond = col("doc_id") % 61 === 0
     val updCond = col("doc_id") % 89 === 0 && !delCond
@@ -400,10 +404,11 @@ object SimQueries {
     val corpus2 = docs.filter(!delCond)
       .withColumn("text", when(updCond, updated).otherwise(col("text")))
       .unionByName(clones)
-    IncrementalDedup.applyDelta(spark, bands, pairs, corpus2, changes,
-      "doc_id", "text", seq(2), cfg)
+    val verified2 = IncrementalDedup.applyDelta(spark, bands, pairs,
+      corpus2, changes, "doc_id", "text", seq(2), cfg)
     IncrementalClusters.applyDelta(spark, idRep, members, pairs,
-      changes.select(col("doc_id").as("id")).distinct(), "id", seq(2))
+      changes.select(col("doc_id").as("id")).distinct(), "id", seq(2),
+      touchingPairs = Some(verified2))
 
     IncrementalClusters.readClusters(spark, idRep).orderBy("id")
   }

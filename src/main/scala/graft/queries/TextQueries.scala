@@ -519,12 +519,19 @@ object TextQueries {
     * spaces (no collision however many chunks a doc has); ranking is
     * 6-dp-rounded and id-tiebroken, hash-gated end-to-end. */
   def chunkSearch(spark: SparkSession, dir: String): DataFrame = {
-    val chunks = graft.operators.Chunk.tokenWindows(
-        Tables.load(spark, dir, "documents"), "doc_id", "text",
-        window = 32, stride = 24)
-      .select((shiftleft(col("doc_id"), 32) + col("chunk_id")).as("cid"),
-        TextFunctions.tokens(col("chunk_text")).as("toks"))
-    val queries = chunks.filter(col("cid") < 8589934592L) // doc_id < 2
+    def chunked(docs: org.apache.spark.sql.DataFrame) =
+      graft.operators.Chunk.tokenWindows(docs, "doc_id", "text",
+          window = 32, stride = 24)
+        .select((shiftleft(col("doc_id"), 32) + col("chunk_id")).as("cid"),
+          TextFunctions.tokens(col("chunk_text")).as("toks"))
+    val chunks = chunked(Tables.load(spark, dir, "documents"))
+    // query chunks: filter the DOCS before chunking (chunking is
+    // per-doc, so this is the same set as filtering cid afterwards) —
+    // the cid-filter formulation re-chunked the whole corpus for a
+    // 2-document query set because the cid predicate sits above the
+    // chunk explode and cannot push into the scan
+    val queries = chunked(Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") < 2))
       .select(col("cid").as("q_id"), col("toks").as("q_toks"))
     graft.operators.Retrieval.bm25TopK(chunks, "cid", "toks",
         queries, "q_id", "q_toks", k = 10)
