@@ -245,8 +245,13 @@ object IncrementalIndex {
     val qterms = queries.select(col(qIdCol).as("_q"),
       explode(array_distinct(col(qTokensCol))).as("term"))
     val termSet = qterms.select("term").distinct()
+    // probed postings materialize ONCE (lazy local checkpoint): they
+    // feed df, the candidate-id set AND the score join, and each
+    // consumer would otherwise re-run the bucket read + term join.
+    // Probe-scale by construction — O(query terms' postings).
     val posts = postings.readForProbe(spark, termSet)
       .join(termSet, "term") // bucket read → exact term postings
+      .localCheckpoint(eager = false)
     val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
     val candIds = posts.select("id").distinct()
     val dls = docs.readForProbe(spark, candIds).join(candIds, "id")
