@@ -40,9 +40,10 @@ object ProfileBench {
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(starts.remove(je.jobId)).foreach { case (t0, site) =>
-          val ms = (System.nanoTime() - t0) / 1e6
+          val nanos = System.nanoTime() - t0
+          val ms = nanos / 1e6
           jobCount.incrementAndGet()
-          jobNanos.addAndGet(System.nanoTime() - t0)
+          jobNanos.addAndGet(nanos)
           if (ms >= 20) println(f"    job ${je.jobId}%4d ${ms}%8.0f ms  $site")
         }
       }
@@ -62,9 +63,11 @@ object ProfileBench {
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       val wall = (System.nanoTime() - t0) / 1e9
+      // jobTime sums per-job wall durations, so concurrent jobs overlap
+      // and the sum can exceed wall; offJob clamps at 0 for that case
       println(f"  total $wall%.2f s  ($n rows)  jobs=${jobCount.get}  " +
-        f"jobTime=${jobNanos.get / 1e9}%.2f s  " +
-        f"offJob=${wall - jobNanos.get / 1e9}%.2f s")
+        f"jobTimeSum=${jobNanos.get / 1e9}%.2f s  " +
+        f"offJob=${math.max(0.0, wall - jobNanos.get / 1e9)}%.2f s")
     }
     spark.stop()
   }

@@ -336,19 +336,30 @@ object Dedup {
 
   /** 64-bit SimHash over token hashes: bit i of the signature is the sign
     * of Σ_tokens (±1 depending on bit i of xxhash64(token)). Computed as
-    * 64 codegen'd conditional sums in one aggregation — no UDAF, no
-    * per-row object allocation. */
+    * 32 PACKED codegen'd sums in one aggregation — lane j sums
+    * `(h >> j) & 0x0000000100000001L`, so one long accumulates the
+    * bit-counters of bits j (low 32 bits) and j+32 (high 32 bits): half
+    * the per-row expression work and half the aggregation-buffer slots
+    * of the former 64 conditional ±1 sums. Lanes cannot overflow into
+    * each other: a document's token array is capped at 2^31−1 elements
+    * (Spark array limit), below each lane's 32-bit capacity. Bit i of
+    * the signature is set iff `2·cnt_i > n` — exactly the old sign test
+    * (Σ± = 2·cnt − n > 0), so signatures are bit-identical. */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val exploded = df.select(col(idCol).as("id"),
         explode(TextFunctions.tokens(col(textCol))).as("t"))
       .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$i")
+    val laneMask = lit(0x0000000100000001L)
+    val laneSums = (0 until 32).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(laneMask)).as(s"s$j")
     }
-    val summed = exploded.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val summed = exploded.groupBy("id")
+      .agg(count(lit(1)).as("_n"), laneSums: _*)
+    def cnt(i: Int): Column =
+      if (i < 32) col(s"s$i").bitwiseAND(0xFFFFFFFFL)
+      else shiftrightunsigned(col(s"s${i - 32}"), 32)
     val sig = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      when(cnt(i) * 2 > col("_n"), shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
     summed.select(col("id"), sig.as("simhash"))
   }
@@ -408,15 +419,22 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 50, localEdgeCap: Int = LocalEdgeCap): DataFrame = {
     // materialize the (expensive) upstream pair plan exactly ONCE —
-    // probe count, bounded collect, and the distributed fallback's
-    // mirror union all read this checkpoint
+    // bounded probe collect and the distributed fallback's mirror union
+    // all read this checkpoint. Degenerate edges (self-loops, null ids)
+    // drop HERE so the local and distributed paths see identical edge
+    // sets (the distributed loop's u =!= v filter dropped them anyway).
     val p = pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
       .localCheckpoint()
-    if (p.count() <= localEdgeCap) {
-      import p.sparkSession.implicits._
-      localComponents(p.sparkSession, p.as[(Long, Long)].collect())
-    } else distributedComponents(p, maxRounds)._1
+    import p.sparkSession.implicits._
+    // limit(cap+1) probe instead of a full count job: collects at most
+    // cap+1 edges to decide the path, and at ≤ cap the collected array
+    // IS the local input (the IncrementalClusters.components pattern)
+    val probe = p.limit(localEdgeCap + 1).as[(Long, Long)].collect()
+    if (probe.length <= localEdgeCap)
+      localComponents(p.sparkSession, probe)
+    else distributedComponents(p, maxRounds)._1
   }
 
   /** Driver union-find (path compression + union-by-min): rep = the

@@ -271,6 +271,11 @@ object IncrementalDedup {
     * (id, band, bh) index rows; `verify` turns candidate (id_a, id_b)
     * pairs into verified pairs carrying `scoreCol`.
     *
+    * CDF contract: `changes` carries AT MOST one pre-image and one
+    * post-image per id (the `rowChangesBetween` net-transition shape);
+    * the band-delta side-sum netting relies on that per-side uniqueness
+    * — duplicate images per id must be LWW-deduplicated upstream.
+    *
     * `heavyVerify` gates the hits/verified/stale localCheckpoints:
     * those subtrees feed multiple consuming jobs, so when a single
     * evaluation is EXPENSIVE (the text front: shingle hashing + array

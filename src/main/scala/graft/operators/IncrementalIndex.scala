@@ -67,7 +67,14 @@ object IncrementalIndex {
     * update_preimage | update_postimage); `tokensCol` is the SAME
     * pre-tokenized array the batch operator scores with, so indexing
     * and querying share one tokenizer by construction. `seq` must be
-    * strictly increasing across syncs (replay-idempotence key). */
+    * strictly increasing across syncs (replay-idempotence key).
+    *
+    * CDF contract (all three sync operators): `changes` carries AT MOST
+    * one pre-image and one post-image per id — the
+    * [[graft.sinks.GraftTable.rowChangesBetween]] net-transition shape.
+    * The single-pass netting below relies on that per-side uniqueness;
+    * a feed with duplicate images per id must be deduplicated (e.g.
+    * last-writer-wins) before the sync. */
   def applyDelta(spark: SparkSession, postings: GraftTable,
       docs: GraftTable, stats: GraftTable, changes: DataFrame,
       idCol: String, tokensCol: String, seq: String): Unit = {

@@ -27,6 +27,28 @@ import org.apache.spark.sql.functions._
   * of a query wave is then proportional to the probed postings only. */
 object Retrieval {
 
+  /** Estimated-size threshold (bytes) above which [[bm25TopK]] takes
+    * the probe-scale lane. Below it (the compact-corpus regime, where
+    * per-stage fixed latency dominates and a vocabulary-scale exchange
+    * is trivial) the fewest-stages shape wins — measured on the sf0.1
+    * gates, every extra materialization barrier or probe-side exchange
+    * costs more wall time than the corpus-scale work it saves. Above
+    * it, shuffle/broadcast BYTES dominate: the probe-scale lane trades
+    * two cheap extra passes over the materialized index for removing
+    * the vocabulary-scale `df` exchange + broadcast and the full-corpus
+    * doc-length broadcast. Override per session with
+    * `spark.conf.set("spark.graft.bm25.probeScaleThresholdBytes", n)`
+    * (set 0 to force the probe-scale lane — the lane-equality spec
+    * does). */
+  val ProbeScaleThresholdBytes: Long = 4L << 30
+
+  private def probeScaleLane(docs: DataFrame): Boolean = {
+    val thr = docs.sparkSession.conf
+      .getOption("spark.graft.bm25.probeScaleThresholdBytes")
+      .map(_.toLong).getOrElse(ProbeScaleThresholdBytes)
+    docs.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(thr)
+  }
+
   /** BM25 top-k: for each query row the `k` best-scoring documents as
     * `(qIdCol, rank, idCol, score)`.
     *
@@ -39,42 +61,65 @@ object Retrieval {
     * across engines and execution orders (FP sum-order noise lives many
     * decades below 1e-6). idf uses the BM25+ floor form
     * `ln(1 + (N − df + ½)/(df + ½))`, never negative for common
-    * terms. */
+    * terms.
+    *
+    * Scale-adaptive physical shape (identical results either lane —
+    * pinned by RetrievalSpec's lane-equality test and the oracle
+    * gates): the per-(doc,term) tf index always materializes ONCE
+    * (lazy local checkpoint — it feeds doc lengths, document
+    * frequencies AND the probe join; without it each consumer re-runs
+    * the tokenize + explode + corpus shuffle), and doc length derives
+    * from it (`Σ tf` per doc — the identical integer), so every call
+    * is ONE tokenize pass and ONE corpus-scale exchange. Under
+    * [[ProbeScaleThresholdBytes]] the compact lane joins the
+    * corpus-wide df/dl frames directly (fewest stages). Above it the
+    * probe-scale lane materializes the PROBED postings once and
+    * derives df, the candidate ids and the score join from them —
+    * df per probed term is identical (filtering by term never changes
+    * a term's row count) but the vocabulary-scale df exchange +
+    * broadcast disappears, and the doc-length attach carries candidate
+    * docs only instead of broadcasting every document's length. */
   def bm25TopK(docs: DataFrame, idCol: String, tokensCol: String,
       queries: DataFrame, qIdCol: String, qTokensCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = docs.select(col(idCol).as("_d"),
       explode(col(tokensCol)).as("term"))
-    // the "index": per-(doc,term) tf — materialized ONCE (lazy local
-    // checkpoint): it feeds doc lengths, document frequencies AND the
-    // probe join, and without the checkpoint each consumer re-runs the
-    // tokenize + explode + corpus shuffle (profiled as 3-4 concurrent
-    // duplicate stage jobs on the chunked-corpus gate). Doc length =
-    // Σ tf per doc (identical integer count), so the former second
-    // full pass over the exploded token stream drops out entirely —
-    // ONE tokenize pass and ONE corpus-scale exchange per call, at
-    // every scale. Corpus stats stay a one-row broadcast frame, not a
-    // driver-side collect.
     val tf = toks.groupBy("_d", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint(eager = false)
-    val dl = tf.groupBy("_d").agg(sum(col("tf")).as("dl"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = dl.agg(avg(col("dl")).as("avgdl"),
-      count(lit(1)).as("n"))
-
-    // postings probe: distinct query terms equijoin the tf index —
-    // only candidate (query, doc) pairs flow beyond this point
     val qterms = queries.select(col(qIdCol).as("_q"),
       explode(array_distinct(col(qTokensCol))).as("term"))
-    val hits = tf.join(qterms, "term")
-      .join(dfreq, "term")
-      .join(dl, "_d")
-      .crossJoin(broadcast(stats))
+    val hits =
+      if (!probeScaleLane(docs)) {
+        val dl = tf.groupBy("_d").agg(sum(col("tf")).as("dl"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val stats = dl.agg(avg(col("dl")).as("avgdl"),
+          count(lit(1)).as("n"))
+        tf.join(qterms, "term")
+          .join(dfreq, "term")
+          .join(dl, "_d")
+          .crossJoin(broadcast(stats))
+      } else {
+        val dl = tf.groupBy("_d").agg(sum(col("tf")).as("dl"))
+          .localCheckpoint(eager = false)
+        val stats = dl.agg(avg(col("dl")).as("avgdl"),
+          count(lit(1)).as("n"))
+        val termSet = qterms.select("term").distinct()
+        val posts = tf.join(termSet, "term")
+          .localCheckpoint(eager = false)
+        val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
+        val candIds = posts.select("_d").distinct()
+        val dls = dl.join(candIds, "_d")
+        posts.join(qterms, "term")
+          .join(dfreq, "term")
+          .join(dls, "_d")
+          .crossJoin(broadcast(stats))
+      }
+    val scored = hits
       .withColumn("_contrib",
         log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
           col("tf") * (k1 + 1) /
           (col("tf") + (col("dl") / col("avgdl") * b + (1 - b)) * k1))
-    val scored = hits.groupBy("_q", "_d")
+      .groupBy("_q", "_d")
       .agg(round(sum(col("_contrib")), 6).as("score"))
     val w = Window.partitionBy("_q")
       .orderBy(col("score").desc, col("_d"))

@@ -26,6 +26,13 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // extra session confs, e.g. to force a scale-adaptive lane:
+    // SPARK_GRAFT_PLAN_CONF=spark.graft.bm25.probeScaleThresholdBytes=0
+    sys.env.getOrElse("SPARK_GRAFT_PLAN_CONF", "").split(",")
+      .map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val selected = (graft.SparkEntry.queries ++ graft.SparkEntry.benchOnly)
       .filter { case (n, _) => only.isEmpty || only(n) }

@@ -55,6 +55,29 @@ class RetrievalSpec extends SparkSpec {
     assert(!got.exists(_._2 == 3L))
   }
 
+  test("bm25TopK probe-scale and compact lanes agree row-for-row") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("w0", "w1", "w2", "w3", "w4", "w5", "w6", "w7")
+    val corpus = (1L to 40L).map { id =>
+      id -> Seq.fill(3 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size)))
+    }
+    val docs = corpus.toDF("doc_id", "toks")
+    val queries = Seq((100L, Seq("w1", "w4", "w4")),
+      (101L, Seq("w7", "w0"))).toDF("q_id", "q_toks")
+    def run(): Seq[(Long, Int, Long, Double)] =
+      Retrieval.bm25TopK(docs, "doc_id", "toks",
+          queries, "q_id", "q_toks", k = 7)
+        .orderBy("q_id", "rank")
+        .as[(Long, Int, Long, Double)].collect().toSeq
+    val compact = run()
+    spark.conf.set("spark.graft.bm25.probeScaleThresholdBytes", "0")
+    try {
+      val probeScale = run()
+      assert(compact == probeScale)
+    } finally spark.conf
+      .unset("spark.graft.bm25.probeScaleThresholdBytes")
+  }
+
   test("bm25TopK matches the driver reference on random corpora") {
     val rnd = new scala.util.Random(42)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
