@@ -106,13 +106,6 @@ object IncrementalDedup {
     if (df.columns.isEmpty) df else df.filter(col("id_a") < col("id_b"))
   }
 
-  /** Both orientations of canonical (id_a < id_b) pair rows. */
-  private def mirror(df: DataFrame, scoreCol: String): DataFrame = {
-    val c = df.select(col("id_a"), col("id_b"), col(scoreCol))
-    c.union(df.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
-      col(scoreCol)))
-  }
-
   /** One incremental TEXT sync. `corpus` is the CURRENT (post-delta)
     * corpus; `changes` is the row CDF of the delta with `_change_type` ∈
     * insert | delete | update_preimage | update_postimage (the
@@ -300,12 +293,13 @@ object IncrementalDedup {
 
     // band delta: OLD rows come from the CDF preimages (no index read);
     // net out rows the new payload keeps so an update only touches bands
-    // that actually moved. Both sides are delta-scale and BOTH feed
-    // multiple consumers/actions (merge stats + merge write + probe), so
-    // both cache — an uncached oldBands would re-run the MinHash kernel
-    // over the preimages once per consuming job.
+    // that actually moved. newBands feeds THREE consumers (band merge,
+    // candidate probe's bucket set, probe rows), so it caches; oldBands
+    // feeds exactly ONE action (the staged band merge is a single write
+    // job since round 13), so caching it only added a materialization
+    // job per sync.
     val newBands = bandRowsOf(after).cache()
-    val oldBands = bandRowsOf(before).cache()
+    val oldBands = bandRowsOf(before)
     try {
       val hadData = bands.hasData
       // net the two sides in ONE aggregation over the tagged union:
@@ -367,24 +361,41 @@ object IncrementalDedup {
       // pruned, like the band probe) sees ALL stale pairs — O(delta
       // buckets), never O(pairs).
       val changed = ch.select(col("id")).distinct()
-      val stale = cp(
+      val stale =
         if (!pairs.hasData) verified.limit(0).select("id_a", "id_b")
         else pairs.readForProbe(spark, changed.select(col("id").as("id_a")))
           .join(changed, col("id_a") === col("id"), "left_semi")
           .select(least(col("id_a"), col("id_b")).as("id_a"),
             greatest(col("id_a"), col("id_b")).as("id_b"))
-          .distinct())
-      // inserts and deletes are canonical pair sets; both write mirrored
-      val delPairs = stale.join(verified, Seq("id_a", "id_b"), "left_anti")
-        .withColumn(scoreCol, lit(null).cast("double"))
-      val pairBatch = mirror(verified, scoreCol).withColumn("_op", lit("I"))
-        .unionByName(mirror(delPairs, scoreCol).withColumn("_op", lit("D")))
+          .distinct()
+      // verified (side 1, carries the score) and stale (side 2, null
+      // score) net in ONE aggregation — side-sum 1 = newly verified,
+      // 3 = re-verified (both insert, score = the verified row's via
+      // first ignoreNulls), 2 = stale-only (delete, null score). Exact
+      // because both sides are distinct canonical pair sets. Replaces
+      // the former anti-join (stale − verified) + checkpointed stale —
+      // one less delta exchange and one less materialization per sync.
+      val net = verified.select(col("id_a"), col("id_b"),
+          col(scoreCol).cast("double").as(scoreCol))
+        .withColumn("_side", lit(1L))
+        .unionByName(stale
+          .withColumn(scoreCol, lit(null).cast("double"))
+          .withColumn("_side", lit(2L)))
+        .groupBy("id_a", "id_b")
+        .agg(first(col(scoreCol), ignoreNulls = true).as(scoreCol),
+          sum(col("_side")).as("_s"))
+        .select(col("id_a"), col("id_b"), col(scoreCol),
+          when(col("_s") === 2L, "D").otherwise("I").as("_op"))
+      // both orientations of every insert AND delete ride one merge
+      val pairBatch = net
+        .union(net.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
+          col(scoreCol), col("_op")))
         .withColumn("_seq", lit(seq))
       pairs.merge(pairBatch)
       // band commit must be durable before the sync reports done (the
       // feed consumer's exactly-once contract covers BOTH tables)
       Await.result(fBands, Duration.Inf)
       verified
-    } finally { newBands.unpersist(); oldBands.unpersist() }
+    } finally newBands.unpersist()
   }
 }
